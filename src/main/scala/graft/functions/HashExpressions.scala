@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic, engine-independent hashing primitives for dedup:
+  * FNV-1a 64-bit (self-contained, no dependence on Spark's seeded hashes so
+  * results are stable across versions), MinHash signatures, SimHash-64, and
+  * a polynomial rolling-hash document fingerprint.
+  *
+  * These power the dedup operators (exact / MinHash-LSH / SimHash), the
+  * Spark-scale equivalents of content-dedup the reference leaves to its
+  * vector stores; the hashing-trick itself mirrors the reference's
+  * feature-hashing embedder (reference:
+  * docarray/document/mixins/featurehash.py:14-54, md5-based sign/value).
+  */
+object Fnv64 {
+  val OFFSET: Long = 0xcbf29ce484222325L
+  val PRIME: Long = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var h = OFFSET ^ seed
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= PRIME; i += 1 }
+    h
+  }
+
+  def hashString(s: UTF8String, seed: Long = 0L): Long = {
+    val b = s.getBytes
+    hashBytes(b, 0, b.length, seed)
+  }
+
+  /** splitmix64 finalizer — decorrelates the per-hash-function streams. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** fnv64(str[, seed]) → long. */
+case class Fnv64Hash(child: Expression, seed: Long = 0L)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"fnv64 expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    Fnv64.hashString(v.asInstanceOf[UTF8String], seed)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "fnv64"
+}
+
+/** minhash_signature(tokens, numHashes, seed) → array<long>.
+  * h_i(x) = mix(fnv(x) ^ mix(seed + i)); signature[i] = min over tokens.
+  * Empty token set → signature of Long.MaxValue (never collides). */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
+  }
+  @transient private lazy val streams: Array[Long] =
+    Array.tabulate(numHashes)(i => Fnv64.mix(seed + i))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val base = Fnv64.hashString(arr.getUTF8String(t))
+        var i = 0
+        while (i < numHashes) {
+          val h = Fnv64.mix(base ^ streams(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** simhash64(tokens) → long: sign-sum of token hash bits. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = Fnv64.hashString(arr.getUTF8String(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** rolling_fingerprint(text, window) → long: min of polynomial rolling hashes
+  * over byte windows (a winnowing-style document fingerprint). */
+case class RollingFingerprint(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  private val B = 1000003L
+  @transient private lazy val bPow: Long = {
+    var p = 1L; var i = 0
+    while (i < window - 1) { p *= B; i += 1 }
+    p
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n == 0) 0L
+    else if (n <= window) Fnv64.hashBytes(bytes, 0, n, 0L)
+    else {
+      var h = 0L
+      var i = 0
+      while (i < window) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+      var best = Fnv64.mix(h)
+      while (i < n) {
+        h = (h - (bytes(i - window) & 0xffL) * bPow) * B + (bytes(i) & 0xffL)
+        val m = Fnv64.mix(h)
+        if (m < best) best = m
+        i += 1
+      }
+      best
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rolling_fingerprint"
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, n-grams, quality scoring, language ID heuristics.
+  *
+  * The tokenizer mirrors the reference's: lowercase, strip punctuation,
+  * split on whitespace (reference: docarray/document/mixins/text.py:104-114).
+  * We normalize to `[a-z0-9]+` runs so the same definition is expressible
+  * in ANSI SQL for the oracle.
+  */
+object TextFunctions {
+
+  /** Canonical token list: lowercase alnum runs, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct token set (for Jaccard / vocabulary). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-grams as space-joined strings (shingles for MinHash / Jaccard).
+    * Empty array when the doc has fewer than n tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = greatest(size(ts) - (n - 1), lit(0))
+    transform(sequence(lit(0), count - 1, lit(1)),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+  }
+
+  /** Character n-grams over the normalized text (spaces collapsed). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
+    val m = greatest(length(norm) - (n - 1), lit(0))
+    transform(sequence(lit(0), m - 1, lit(1)),
+      i => norm.substr(i + 1, lit(n)))
+  }
+
+  /** Ratio of punctuation (non-alnum, non-space) chars to total chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[\\p{Alnum} ]", "")).cast("double") / total)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "for", "on", "with", "as", "by", "at", "it", "this",
+    "that", "be", "from")
+  private val frStop = Seq("le", "la", "les", "de", "des", "du", "un", "une",
+    "et", "ou", "est", "sont", "pour", "dans", "par", "sur", "avec", "ce",
+    "que", "qui", "au", "aux")
+  private val deStop = Seq("der", "die", "das", "und", "oder", "ist", "sind",
+    "ein", "eine", "zu", "von", "mit", "auf", "für", "im", "den", "dem",
+    "nicht", "sich", "auch")
+  private val esStop = Seq("el", "la", "los", "las", "de", "del", "un", "una",
+    "y", "o", "es", "son", "para", "en", "por", "con", "que", "se", "no", "al")
+
+  /** Fraction of tokens that are (english, by default) stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStop): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+  }
+
+  /** Heuristic document quality score in [0,1]: combines length band,
+    * mean-token-length band, and low punctuation — the shape of the usual
+    * pretraining-corpus quality filters. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl >= 3 && mtl <= 10, lit(1.0))
+      .when(mtl === 0.0, lit(0.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    round((lenScore + mtlScore + punctScore) / 3.0, 6)
+  }
+
+  /** Stopword-profile language ID over {en, fr, de, es} with a CJK-character
+    * shortcut for zh. Returns the language code with the highest stopword hit
+    * ratio, 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores: Seq[(String, Column)] = Seq(
+      "en" -> stopwordRatio(text, enStop),
+      "fr" -> stopwordRatio(text, frStop),
+      "de" -> stopwordRatio(text, deStop),
+      "es" -> stopwordRatio(text, esStop))
+    val best = scores.map { case (l, s) => struct(s.as("s"), lit(l).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(cjk > 0, lit("zh"))
+      .when(best.getField("s") <= 0.0, lit("und"))
+      .otherwise(best.getField("l"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst distance kernels over `array<float>` / `array<double>`
+  * embedding columns, with whole-stage codegen (`doGenCode`) so the knn hot
+  * loop stays inside Tungsten — the Spark counterpart of the reference's
+  * numpy distance kernels
+  * (reference: docarray/math/distance/__init__.py:23-121,
+  * docarray/math/distance/numpy.py:9-90).
+  *
+  * Metrics: `cosine` (1 - a·b/(|a||b|)), `sqeuclidean`, `euclidean`, and
+  * `inner_product` distance (-a·b, so smaller = more similar, making every
+  * metric uniformly "ascending = best" like the reference's match ordering,
+  * reference: storage/memory/find.py:176-179).
+  *
+  * All math is performed in double precision regardless of the input element
+  * type, for bit-parity with the DuckDB/numpy oracles.
+  */
+object VectorDistance {
+  val metrics: Set[String] = Set("cosine", "sqeuclidean", "euclidean", "inner_product", "dot")
+}
+
+case class VectorDistance(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"${metric}_distance"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (!VectorDistance.metrics.contains(metric))
+      TypeCheckResult.TypeCheckFailure(
+        s"unknown metric '$metric' (one of ${VectorDistance.metrics.mkString(", ")})")
+    else if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  @inline private def get(a: ArrayData, i: Int, float: Boolean): Double =
+    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val af = elemType(left) == FloatType
+    val bf = elemType(right) == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    metric match {
+      case "cosine" =>
+        while (i < n) {
+          val x = get(a, i, af); val y = get(b, i, bf)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      case "sqeuclidean" | "euclidean" =>
+        while (i < n) {
+          val d = get(a, i, af) - get(b, i, bf); dot += d * d; i += 1
+        }
+        if (metric == "euclidean") math.sqrt(dot) else dot
+      case _ => // inner_product / dot: negative dot product as a distance
+        while (i < n) { dot += get(a, i, af) * get(b, i, bf); i += 1 }
+        -dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val d = ctx.freshName("d")
+      val loop = metric match {
+        case "cosine" =>
+          s"""double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double x = (double) $a.$aGet($i);
+             |  double y = (double) $b.$bGet($i);
+             |  $dot += x * y; $na += x * x; $nb += y * y;
+             |}
+             |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+             |""".stripMargin
+        case "sqeuclidean" =>
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
+             |  $dot += $d * $d;
+             |}
+             |${ev.value} = $dot;
+             |""".stripMargin
+        case "euclidean" =>
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
+             |  $dot += $d * $d;
+             |}
+             |${ev.value} = java.lang.Math.sqrt($dot);
+             |""".stripMargin
+        case _ =>
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  $dot += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+             |}
+             |${ev.value} = -$dot;
+             |""".stripMargin
+      }
+      s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |$loop""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2-normalize an embedding in one pass (useful to turn cosine knn into
+  * dot-product knn so document norms are computed once, not per query). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var norm = 0.0; var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = x; norm += x * x; i += 1
+    }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    i = 0
+    while (i < n) { out(i) *= inv; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val norm = ctx.freshName("norm")
+      val inv = ctx.freshName("inv")
+      s"""int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |double $norm = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.$get($i);
+         |  $out[$i] = x; $norm += x * x;
+         |}
+         |double $inv = $norm == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($norm);
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] *= $inv; }
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.plans.TopKByDistance
+
+/** Public Column-level facade over graft's native Catalyst expressions.
+  * Mirrors `org.apache.spark.sql.functions` style: import graft.functions._ */
+package object functions {
+
+  /** Cosine distance 1 - a·b/(|a||b|) between two float/double arrays. */
+  def cosine_distance(a: Column, b: Column): Column =
+    dist(a, b, "cosine")
+
+  /** Squared euclidean distance. */
+  def sqeuclidean_distance(a: Column, b: Column): Column =
+    dist(a, b, "sqeuclidean")
+
+  /** Euclidean (L2) distance. */
+  def euclidean_distance(a: Column, b: Column): Column =
+    dist(a, b, "euclidean")
+
+  /** Negative inner product (ascending = most similar). */
+  def inner_product_distance(a: Column, b: Column): Column =
+    dist(a, b, "inner_product")
+
+  def vector_distance(a: Column, b: Column, metric: String): Column =
+    dist(a, b, metric)
+
+  /** L2-normalized copy of an embedding (array<double>). */
+  def l2_normalize(a: Column): Column =
+    Bridge.column(L2Normalize(Bridge.expression(a)))
+
+  /** Bounded top-k aggregate: smallest-k (distance, payload) pairs per group,
+    * map-side combined. Returns array<struct<distance, value>> ascending. */
+  def topk_by_distance(distance: Column, payload: Column, k: Int): Column =
+    Bridge.column(
+      TopKByDistance(Bridge.expression(distance), Bridge.expression(payload), k)
+        .toAggregateExpression())
+
+  /** Deterministic FNV-1a 64-bit hash of a string. */
+  def fnv64(c: Column, seed: Long = 0L): Column =
+    Bridge.column(Fnv64Hash(Bridge.expression(c), seed))
+
+  /** MinHash signature (array<long>) of a token array. */
+  def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** Winnowing-style rolling-hash fingerprint of a string. */
+  def rolling_fingerprint(text: Column, window: Int = 16): Column =
+    Bridge.column(RollingFingerprint(Bridge.expression(text), window))
+
+  private def dist(a: Column, b: Column, metric: String): Column =
+    Bridge.column(
+      VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
+
+  /** Register all graft functions for SQL use on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    for (m <- Seq("cosine", "sqeuclidean", "euclidean", "inner_product")) {
+      Bridge.registerFunction(spark, s"${m}_distance",
+        (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), m))
+    }
+    Bridge.registerFunction(spark, "l2_normalize",
+      (exprs: Seq[Expression]) => L2Normalize(exprs(0)))
+    Bridge.registerFunction(spark, "topk_by_distance",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(d, p, Literal(k: Int, IntegerType)) => TopKByDistance(d, p, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: topk_by_distance(distance, payload, k literal int)")
+      })
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Grouping / batching / corpus-statistics operators
+  * (reference: docarray/array/mixins/group.py:17-95 split_by_tag + batch;
+  * docarray/array/mixins/text.py:8-29 get_vocabulary;
+  * docarray/array/mixins/sample.py:11-39 sample/shuffle). */
+object GroupOps {
+
+  /** split_by_tag: one output group key per distinct value; returns the
+    * groups as (tagValue, ids) rows — at scale prefer partitionBy writes
+    * over materializing per-group arrays. */
+  def splitByTag(df: DataFrame, tagCol: Column, idCol: Column): DataFrame =
+    df.groupBy(tagCol.as("tag"))
+      .agg(sort_array(collect_list(idCol)).as("ids"), count(lit(1)).as("n"))
+
+  /** batch(batch_size): assign a dense batch index by global offset.
+    * `zipWithIndex`-free: uses a window over a stable ordering column. */
+  def batchIds(df: DataFrame, orderCol: Column, batchSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+    df.withColumn("batch_id",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** get_vocabulary: corpus term frequencies with a min-frequency floor
+    * (reference: text.py:8-29; min_freq filter). Classic wordcount:
+    * map-side combined, single shuffle on the token. */
+  def vocabulary(df: DataFrame, textCol: Column, minFreq: Long = 1): DataFrame =
+    df.select(explode(TextFunctions.tokens(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minFreq)
+
+  /** Uniform sample of ~k rows without replacement, seeded — exact-k like
+    * the reference (sample.py:11-30) via rand-order + limit. At 100 TB use
+    * `df.sample(fraction, seed)` instead: no global sort. */
+  def sampleExact(df: DataFrame, k: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(k)
+
+  /** shuffle = sample(len(self)) (reference: sample.py:32-39). */
+  def shuffle(df: DataFrame, seed: Long): DataFrame =
+    df.orderBy(rand(seed))
+}

