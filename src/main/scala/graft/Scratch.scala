@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions._
 import graft.operators._
 
 /** Throwaway integration smoke for local dev (not part of the contract). */
@@ -14,38 +13,30 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
 
-    // 1. ns-timestamp parquet read (as long nanos)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    events.printSchema()
-    events.select(col("ts"), (col("ts") / lit(3600000000000L)).cast("long").as("hour_bucket")).show(3, false)
+    // driver t1 smoke: entry() on sf0.001, rows > 0
+    val e = SparkEntry.entry(spark)
+    println("ENTRY_ROWS=" + e.count())
+    e.show(3, 60)
 
-    // 2. expression bridge + distance expr
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    emb.select(cosine_distance(col("embedding"), col("embedding")).as("d0"),
-      fnv64(lit("hello")).as("h")).show(3)
+    // probe: malformed filter JSON → clean error?
+    try {
+      Filters.where(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        """{"l_quantity":{"$bogus":1}}""").count()
+      println("PROBE_BAD_OP=no-error!")
+    } catch { case ex: Exception => println("PROBE_BAD_OP=" + ex.getMessage.take(80)) }
 
-    // 3. knn end-to-end with topk aggregate
-    val q = emb.where(col("vec_id") < 3)
-    val knn = Knn.bruteForce(emb, q, 5, "cosine",
-      docId = "vec_id", queryId = "vec_id", excludeSelf = true)
-    knn.orderBy("query_id", "rank").show(20, false)
+    try {
+      Filters.where(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        """{"no_such_col":{"$gte":1}}""").count()
+      println("PROBE_BAD_COL=no-error!")
+    } catch { case ex: Exception => println("PROBE_BAD_COL=" + ex.getMessage.take(80)) }
 
-    // 4. filter DSL
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    println("filter count: " + Filters.where(li,
-      """{"$and":[{"l_quantity":{"$gte":45}},{"l_returnflag":{"$in":["A","R"]}}]}""").count())
-    println("placeholder: " + Filters.where(li,
-      """{"l_discount":{"$gt":"{l_tax}"}}""").count())
-
-    // 5. dedup ops smoke
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    println("jaccard pairs>=0.3: " +
-      Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count())
-    Dedup.minhashLsh(docs, "doc_id", "text", 0.3, 64, 16, 1).show(5)
-    println("simhash pairs: " + Dedup.simhashPairs(docs, "doc_id", "text", 10).count())
+    // probe: knn k larger than doc count
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val big = Knn.bruteForce(emb, emb.limit(2), 10000, "cosine",
+      docId = "vec_id", queryId = "vec_id")
+    println("PROBE_BIG_K_ROWS=" + big.count())
 
     spark.stop()
   }

@@ -1,13 +1,538 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent oracle in [[oracleSql]].
+  * Column names are aligned between the Spark result and the oracle SQL;
+  * every query ends with a deterministic ORDER BY. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    // testdata events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
+    // and keep all window/session math in integer nanoseconds.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** Flagship query on sf=0.001: knn match over the embeddings table with
+    * matches attached — driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = t(spark, dir, "embeddings")
+    Knn.attachMatches(
+      emb.where(col("vec_id") < 20), emb, k = 5, metric = "cosine",
+      leftId = "vec_id", rightId = "vec_id", excludeSelf = true)
+  }
+
+  // ------------------------------------------------------------------
+  // §2.5 aggregations
+  // ------------------------------------------------------------------
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // ------------------------------------------------------------------
+  // §2.3 filter DSL
+  // ------------------------------------------------------------------
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Filters.where(t(s, dir, "lineitem"),
+      """{"$and":[
+        {"l_quantity":{"$gte":45}},
+        {"l_returnflag":{"$in":["A","R"]}},
+        {"l_shipdate":{"$gte":"1995-06-01"}}
+      ]}""")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Filters.where(t(s, dir, "documents"),
+      """{"$and":[
+        {"$or":[{"text":{"$icontains":"spark"}},{"lang":{"$eq":"zh"}}]},
+        {"n_chars":{"$gte":100}},
+        {"source":{"$regex":"^src[0-4]$"}}
+      ]}""")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    Filters.where(t(s, dir, "lineitem"),
+      """{"l_discount":{"$gt":"{l_tax}"},"l_quantity":{"$lt":3}}""")
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ------------------------------------------------------------------
+  // §2.4 joins
+  // ------------------------------------------------------------------
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  // §2.7 window / top-k per group
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("l_suppkey", "l_partkey", "l_extendedprice", "rn")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  // ------------------------------------------------------------------
+  // text analysis (§2.5 vocabulary + corpus quality ops)
+  // ------------------------------------------------------------------
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    GroupOps.vocabulary(t(s, dir, "documents"), col("text"), minFreq = 20)
+      .orderBy(col("n").desc, col("word"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      size(TextFunctions.tokenSet(col("text"))).as("n_distinct"),
+      round(TextFunctions.meanTokenLength(col("text")), 4).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"),
+      rolling_fingerprint(col("text"), 16).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // dedup family
+  // ------------------------------------------------------------------
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+      .orderBy("keep_id")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.2, ngram = 2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.55, metric = "cosine")
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("a", "b")
+
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.2, numHashes = 128, bands = 64, ngram = 2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
+      .orderBy("a", "b")
+
+  // ------------------------------------------------------------------
+  // knn / similarity search (§2.4)
+  // ------------------------------------------------------------------
+
+  private def knnQuery(s: SparkSession, dir: String, metric: String, k: Int,
+      queryPred: Column): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.bruteForce(emb, emb.where(queryPred), k, metric,
+      docId = "vec_id", docVec = "embedding",
+      queryId = "vec_id", queryVec = "embedding",
+      excludeSelf = true)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    knnQuery(s, dir, "cosine", 5, col("vec_id") < 10)
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    knnQuery(s, dir, "euclidean", 3, col("vec_id") % 50 === 0)
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    knnQuery(s, dir, "inner_product", 5, col("vec_id") >= 490)
+
+  // ------------------------------------------------------------------
+  // events: windowed aggregation + sessionization (+ json props)
+  // ------------------------------------------------------------------
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("hour_bucket", expr("ts div 3600000000000"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    events(s, dir)
+      .withColumn("gap", when(
+        col("ts") - lag("ts", 1).over(w) > lit(1800000000000L), 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum("gap") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  // ------------------------------------------------------------------
+  // reduce / traverse / group (§2.4, §2.6, §2.5)
+  // ------------------------------------------------------------------
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"),
+        lit(null).cast("string").as("source"))
+    val b = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), concat(lit("B:"), col("text")).as("text"),
+        col("source"))
+    Reduce.merge(a, b, "doc_id").orderBy("doc_id")
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    // build nested docs: one chunk per token, then flatten (r + c levels)
+    val docs = t(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val nested = docs.select(
+      col("doc_id").cast("string").as("id"),
+      lit("").as("parent_id"),
+      lit(0).as("granularity"),
+      col("text"),
+      transform(sequence(lit(1), size(toks), lit(1)), i => struct(
+        concat(col("doc_id"), lit("-"), (i - 1).cast("string")).as("id"),
+        col("doc_id").cast("string").as("parent_id"),
+        lit(1).as("granularity"),
+        element_at(toks, i).as("text"))).as("chunks"))
+    Traverse.flatten(nested, depth = 1)
+      .select("id", "parent_id", "granularity", "text")
+      .orderBy("parent_id", "id")
+  }
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy("lang")
+
+  // ------------------------------------------------------------------
+  // evaluate: IR metrics over knn matches vs label ground truth (§2.5)
+  // ------------------------------------------------------------------
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = Knn.bruteForce(emb, emb.where(col("vec_id") < 10), 5, "cosine",
+      docId = "vec_id", queryId = "vec_id", excludeSelf = true)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val rel = hits
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "_ql"), "query_id")
+      .join(labels.withColumnRenamed("vec_id", "id")
+        .withColumnRenamed("label", "_hl"), "id")
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("_ql"), col("_hl")))),
+        x => when(x.getField("_ql") === x.getField("_hl"), 1).otherwise(0)).as("rel"))
+    rel.select(
+      col("query_id"),
+      round(Evaluate.precisionAtK(col("rel"), 5), 4).as("p_at_5"),
+      round(Evaluate.reciprocalRank(col("rel")), 4).as("rr"),
+      round(Evaluate.averagePrecision(col("rel")), 4).as("ap"),
+      round(Evaluate.ndcgAtK(col("rel"), 5), 4).as("ndcg_at_5"))
+      .orderBy("query_id")
+  }
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (q01 _),
+    "q02_filter_mongo" -> (q02 _),
+    "q03_top_customers" -> (q03 _),
+    "q04_supplier_top_parts" -> (q04 _),
+    "q05_doc_filter" -> (q05 _),
+    "q06_placeholder_filter" -> (q06 _),
+    "q07_vocabulary" -> (q07 _),
+    "q08_text_stats" -> (q08 _),
+    "q09_dedup_exact" -> (q09 _),
+    "q10_jaccard_pairs" -> (q10 _),
+    "q11_knn_cosine" -> (q11 _),
+    "q12_knn_euclidean" -> (q12 _),
+    "q13_knn_dot" -> (q13 _),
+    "q14_embedding_pairs" -> (q14 _),
+    "q15_events_hourly" -> (q15 _),
+    "q16_sessions" -> (q16 _),
+    "q17_reduce_merge" -> (q17 _),
+    "q18_traverse_flatten" -> (q18 _),
+    "q19_split_by_tag" -> (q19 _),
+    "q20_eval_ir" -> (q20 _),
+    "q21_quality_score" -> (q21 _),
+    "q22_langid_fingerprint" -> (q22 _),
+    "q23_minhash_lsh" -> (q23 _),
+    "q24_simhash_pairs" -> (q24 _),
+    "q25_props_json" -> (q25 _))
+
+  /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
+    * hashing-free dedup, knn math and window semantics are written to be
+    * bit-compatible with the Spark implementations above. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q02_filter_mongo" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_quantity >= 45 AND l_returnflag IN ('A','R')
+           AND l_shipdate >= TIMESTAMP '1995-06-01'
+         ORDER BY 1,2""",
+
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         GROUP BY 1,2 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "q04_supplier_top_parts" ->
+      """SELECT l_suppkey, l_partkey, l_extendedprice, rn FROM (
+           SELECT l_suppkey, l_partkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) rn
+           FROM lineitem) WHERE rn <= 3 ORDER BY l_suppkey, rn""",
+
+    "q05_doc_filter" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (contains(lower(text),'spark') OR lang='zh')
+           AND n_chars >= 100 AND regexp_matches(source, '^src[0-4]$')
+         ORDER BY doc_id""",
+
+    "q06_placeholder_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+         WHERE l_discount > l_tax AND l_quantity < 3 ORDER BY 1,2""",
+
+    "q07_vocabulary" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS word FROM documents)
+         GROUP BY 1 HAVING count(*) >= 20 ORDER BY n DESC, word""",
+
+    "q08_text_stats" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents)
+         SELECT doc_id, len(tok) AS n_tokens,
+           len(list_distinct(tok)) AS n_distinct,
+           round(CASE WHEN len(tok)=0 THEN 0.0
+             ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok) END, 4)
+             AS mean_tok_len
+         FROM t ORDER BY doc_id""",
+
+    "q09_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q10_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2 ORDER BY a, b""",
+
+    // MinHash-LSH verified pairs: at these params (128 hashes, 64 bands of
+    // 2 rows) recall at j>=0.2 is ~1 on this corpus and the pipeline is
+    // fully deterministic, so the exact-Jaccard oracle applies.
+    "q23_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2 ORDER BY a, b""",
+
+    "q11_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+         d AS (SELECT qid, e.vec_id id, 1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q12_knn_euclidean" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 50 = 0),
+         d AS (SELECT qid, e.vec_id id, list_distance(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q13_knn_dot" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id >= 490),
+         d AS (SELECT qid, e.vec_id id, -list_inner_product(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q14_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         SELECT a.vec_id a, b.vec_id b,
+           round(1.0 - list_cosine_similarity(a.v,b.v), 6) AS distance
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE 1.0 - list_cosine_similarity(a.v,b.v) < 0.55 ORDER BY a, b""",
+
+    "q15_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+         count(*) AS n, round(sum(value),3) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q16_sessions" ->
+      """WITH x AS (SELECT user_id, epoch_ns(ts) tns FROM events),
+         g AS (SELECT user_id, CASE WHEN tns - lag(tns) OVER
+               (PARTITION BY user_id ORDER BY tns) > 1800000000000
+               THEN 1 ELSE 0 END gap FROM x)
+         SELECT user_id, sum(gap)+1 AS n_sessions, count(*) AS n_events
+         FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q17_reduce_merge" ->
+      """WITH a AS (SELECT doc_id, text, NULL AS source FROM documents
+                    WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id, 'B:' || text AS text, source FROM documents
+               WHERE doc_id % 3 = 0)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           coalesce(a.text, b.text) AS text,
+           coalesce(a.source, b.source) AS source
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id ORDER BY doc_id""",
+
+    "q18_traverse_flatten" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents)
+         SELECT doc_id::VARCHAR AS id, '' AS parent_id, 0 AS granularity, text
+           FROM documents
+         UNION ALL
+         SELECT doc_id || '-' || (pos-1), doc_id::VARCHAR, 1, tokk FROM (
+           SELECT doc_id, unnest(tok) AS tokk,
+             unnest(generate_series(1, len(tok))) AS pos FROM t)
+         ORDER BY parent_id, id""",
+
+    "q19_split_by_tag" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q20_eval_ir" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         q AS (SELECT vec_id qid, v qv, label ql FROM e WHERE vec_id < 10),
+         d AS (SELECT qid, ql, e.vec_id id, e.label hl,
+               1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid, id, CASE WHEN ql = hl THEN 1 ELSE 0 END rel,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d),
+         top AS (SELECT qid, rank, rel,
+               sum(rel) OVER (PARTITION BY qid ORDER BY rank) cum
+               FROM r WHERE rank <= 5),
+         per AS (SELECT qid AS query_id,
+               sum(rel)/5.0 AS p5,
+               coalesce(max(CASE WHEN rel=1 THEN 1.0/rank END), 0.0) AS rr,
+               coalesce(sum(CASE WHEN rel=1 THEN cum*1.0/rank END)*1.0
+                 / nullif(sum(rel),0), 0.0) AS ap,
+               sum(rel / (ln(rank+1.0)/ln(2.0))) AS dcg,
+               sum(rel) AS nrel
+               FROM top GROUP BY qid),
+         ideal AS (SELECT query_id, p5, rr, ap, dcg, nrel,
+               (SELECT coalesce(sum(1.0/(ln(i+1.0)/ln(2.0))),0)
+                FROM generate_series(1,5) s(i) WHERE i <= nrel) idcg
+               FROM per)
+         SELECT query_id, round(p5,4) AS p_at_5, round(rr,4) AS rr,
+           round(ap,4) AS ap,
+           round(CASE WHEN idcg=0 THEN 0.0 ELSE dcg/idcg END,4) AS ndcg_at_5
+         FROM ideal ORDER BY query_id""",
+
+    "q21_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         m AS (SELECT doc_id,
+           least(len(tok)/50.0, 1.0) AS len_score,
+           CASE WHEN len(tok)=0 THEN 0.0
+                ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok)
+           END AS mtl,
+           CASE WHEN length(text)=0 THEN 0.0
+                ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
+                     / length(text) END AS punct
+           FROM t)
+         SELECT doc_id, round((len_score
+             + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                     WHEN mtl = 0.0 THEN 0.0 ELSE 0.5 END)
+             + (1.0 - least(punct*5.0, 1.0))) / 3.0, 6) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "q25_props_json" ->
+      """SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
+           AS BIGINT)) AS sum_k, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
 }

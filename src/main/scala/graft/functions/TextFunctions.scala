@@ -43,7 +43,7 @@ object TextFunctions {
   def punctRatio(text: Column): Column = {
     val total = length(text)
     when(total === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[\\p{Alnum} ]", "")).cast("double") / total)
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / total)
   }
 
   /** Mean token length in characters. */

@@ -74,7 +74,8 @@ object Evaluate {
       sequence(lit(1), least(lit(k), size(rel)), lit(1)),
       lit(0.0),
       (acc, i) => acc +
-        element_at(rel, i).cast("double") / log2(i.cast("double") + 1.0))
+        element_at(rel, i).cast("double") /
+          (log(i.cast("double") + 1.0) / log(lit(2.0))))
 
   /** NDCG@k: DCG normalized by the ideal (all relevant first). */
   def ndcgAtK(rel: Column, k: Int): Column = {

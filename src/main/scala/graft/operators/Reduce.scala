@@ -18,19 +18,19 @@ import org.apache.spark.sql.functions._
 object Reduce {
 
   def merge(left: DataFrame, right: DataFrame, idCol: String = "id"): DataFrame = {
-    val l = left.as("l")
-    val r = right.as("r")
-    val joined = l.join(r, l(idCol) === r(idCol), "full_outer")
+    // qualified-by-alias refs so self-derived left/right stay unambiguous
+    def lc(c: String) = col(s"_l.`$c`")
+    def rc(c: String) = col(s"_r.`$c`")
+    val joined = left.as("_l").join(right.as("_r"),
+      lc(idCol) === rc(idCol), "full_outer")
     val lCols = left.columns.toSet
     val rCols = right.columns.toSet
     val outCols = (left.columns ++ right.columns.filterNot(lCols)).toSeq
     val proj = outCols.map {
-      case c if c == idCol =>
-        coalesce(l(idCol), r(idCol)).as(idCol)
-      case c if lCols(c) && rCols(c) =>
-        coalesce(l(c), r(c)).as(c)
-      case c if lCols(c) => l(c).as(c)
-      case c => r(c).as(c)
+      case c if c == idCol => coalesce(lc(idCol), rc(idCol)).as(idCol)
+      case c if lCols(c) && rCols(c) => coalesce(lc(c), rc(c)).as(c)
+      case c if lCols(c) => lc(c).as(c)
+      case c => rc(c).as(c)
     }
     joined.select(proj: _*)
   }
