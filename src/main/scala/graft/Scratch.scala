@@ -14,30 +14,27 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // driver t1 smoke: entry() on sf0.001, rows > 0
-    val e = SparkEntry.entry(spark)
-    println("ENTRY_ROWS=" + e.count())
-    e.show(3, 60)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 100)
 
-    // probe: malformed filter JSON → clean error?
-    try {
-      Filters.where(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
-        """{"l_quantity":{"$bogus":1}}""").count()
-      println("PROBE_BAD_OP=no-error!")
-    } catch { case ex: Exception => println("PROBE_BAD_OP=" + ex.getMessage.take(80)) }
+    val t0 = System.nanoTime()
+    val exact = Knn.bruteForce(emb, queries, 10, "cosine",
+      docId = "vec_id", queryId = "vec_id", excludeSelf = true).cache()
+    println(s"EXACT_ROWS=${exact.count()} in ${(System.nanoTime()-t0)/1e9}s")
 
-    try {
-      Filters.where(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
-        """{"no_such_col":{"$gte":1}}""").count()
-      println("PROBE_BAD_COL=no-error!")
-    } catch { case ex: Exception => println("PROBE_BAD_COL=" + ex.getMessage.take(80)) }
+    val t1 = System.nanoTime()
+    val idx = Ann.ivfBuild(emb, "vec_id", "embedding", nCells = 16)
+    idx.assigned.cache().count()
+    println(s"IVF_BUILD=${(System.nanoTime()-t1)/1e9}s")
 
-    // probe: knn k larger than doc count
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val big = Knn.bruteForce(emb, emb.limit(2), 10000, "cosine",
-      docId = "vec_id", queryId = "vec_id")
-    println("PROBE_BIG_K_ROWS=" + big.count())
-
+    for (nProbe <- Seq(2, 4, 8)) {
+      val t2 = System.nanoTime()
+      val approx = Ann.ivfSearch(idx, queries, 10,
+        queryId = "vec_id", queryVec = "embedding", nProbe = nProbe)
+        .where(col("id") =!= col("query_id"))
+      val r = Ann.recallAgainstExact(approx, exact)
+      println(f"IVF_RECALL nProbe=$nProbe recall=$r%.3f time=${(System.nanoTime()-t2)/1e9}%.2fs")
+    }
     spark.stop()
   }
 }

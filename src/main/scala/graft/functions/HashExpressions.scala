@@ -125,6 +125,37 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "simhash64"
 }
 
+/** feature_hash(tokens, nDim) → array<float>: the hashing-trick embedder —
+  * each token hashes to an index in [0, nDim) and a ±1 sign; values
+  * accumulate (reference: docarray/document/mixins/featurehash.py:14-54,
+  * which uses md5; we use FNV + splitmix for speed, same semantics). */
+case class FeatureHash(child: Expression, nDim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Float](nDim)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = Fnv64.hashString(arr.getUTF8String(t))
+        val idx = (((h % nDim) + nDim) % nDim).toInt
+        val sign = if ((Fnv64.mix(h) & 1L) == 1L) 1.0f else -1.0f
+        out(idx) += sign
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "feature_hash"
+}
+
 /** rolling_fingerprint(text, window) → long: min of polynomial rolling hashes
   * over byte windows (a winnowing-style document fingerprint). */
 case class RollingFingerprint(child: Expression, window: Int)

@@ -57,6 +57,10 @@ package object functions {
   def rolling_fingerprint(text: Column, window: Int = 16): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text), window))
 
+  /** Hashing-trick embedding of a token array (reference featurehash). */
+  def feature_hash(tokens: Column, nDim: Int): Column =
+    Bridge.column(FeatureHash(Bridge.expression(tokens), nDim))
+
   private def dist(a: Column, b: Column, metric: String): Column =
     Bridge.column(
       VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))

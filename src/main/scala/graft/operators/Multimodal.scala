@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions._
+
+/** Multimodal content operators: images/audio/video as opaque `binary`
+  * columns + shape-carrying tensor structs `{values, shape, dtype}`
+  * (reference: docarray/document/mixins/image.py:19-448, audio.py, video.py,
+  * convert.py:15-51).
+  *
+  * The tensor *transforms* (resize, normalize, sliding windows, channel
+  * axis, frame sampling) are real implementations mirroring the reference's
+  * numpy semantics. The *codec* steps (png/jpeg/wav/mp4 decode) are STUBS:
+  * the image/audio libraries are not in this container, so `decode*Stub`
+  * produce a deterministic fake tensor from the bytes — the Spark-side
+  * plumbing (schema, batching, partition parallelism) is the real part.
+  * Swap the stub body for an actual codec (javax.imageio / JavaCV) when
+  * available; signatures stay identical.
+  */
+object Multimodal {
+
+  /** Named tensor struct for UDF returns: {values, shape, dtype}. */
+  case class TensorVal(values: Seq[Float], shape: Seq[Int], dtype: String)
+
+  /** STUB decode: bytes → deterministic fake HWC image tensor whose values
+    * derive from a rolling hash of the content (NOT a real decode). */
+  val decodeImageStub = udf { (blob: Array[Byte], h: Int, w: Int) =>
+    if (blob == null) null
+    else {
+      val n = h * w * 3
+      val values = new Array[Float](n)
+      var state = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) {
+        state = (state ^ (blob(i % blob.length) & 0xffL)) * 0x100000001b3L
+        values(i) = ((state >>> 40) & 0xff).toFloat
+        i += 1
+      }
+      TensorVal(values.toSeq, Seq(h, w, 3), "uint8")
+    }
+  }
+
+  /** STUB audio decode: bytes → deterministic fake mono PCM tensor. */
+  val decodeAudioStub = udf { (blob: Array[Byte], samples: Int) =>
+    if (blob == null) null
+    else {
+      val values = Array.tabulate(samples) { i =>
+        val b = blob(i % blob.length) & 0xff
+        (b - 128) / 128.0f
+      }
+      TensorVal(values.toSeq, Seq(samples), "float32")
+    }
+  }
+
+  /** Nearest-neighbor resize of an HWC image tensor — same semantics as
+    * the reference's `set_image_tensor_shape`
+    * (reference: document/mixins/image.py:96-123). Pure JVM, no deps. */
+  val resizeNearest = udf { (values: Seq[Float], shape: Seq[Int], oh: Int, ow: Int) =>
+    if (values == null || shape == null || shape.length != 3) null
+    else {
+      val Seq(h, w, c) = shape
+      val in = values.toArray
+      val out = new Array[Float](oh * ow * c)
+      var y = 0
+      while (y < oh) {
+        val sy = math.min(h - 1, y * h / oh)
+        var x = 0
+        while (x < ow) {
+          val sx = math.min(w - 1, x * w / ow)
+          var ch = 0
+          while (ch < c) {
+            out((y * ow + x) * c + ch) = in((sy * w + sx) * c + ch)
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      TensorVal(out.toSeq, Seq(oh, ow, c), "float32")
+    }
+  }
+
+  /** Channel-wise normalization (img - mean) / std over an HWC tensor
+    * (reference: image.py:202 set_image_tensor_normalization). */
+  val normalizeChannels = udf {
+    (values: Seq[Float], shape: Seq[Int], mean: Seq[Double], std: Seq[Double]) =>
+      if (values == null || shape == null || shape.length != 3) null
+      else {
+        val c = shape(2)
+        val out = values.toArray
+        var i = 0
+        while (i < out.length) {
+          val ch = i % c
+          out(i) = ((out(i) / 255.0 - mean(ch)) / std(ch)).toFloat
+          i += 1
+        }
+        TensorVal(out.toSeq, shape, "float32")
+      }
+  }
+
+  /** Strided sliding windows over an HWC tensor → array of patch tensors
+    * (reference: image.py:243 convert_image_tensor_to_sliding_windows). */
+  val slidingWindows = udf {
+    (values: Seq[Float], shape: Seq[Int], win: Int, stride: Int) =>
+      if (values == null || shape == null || shape.length != 3) null
+      else {
+        val Seq(h, w, c) = shape
+        val in = values.toArray
+        val patches = for {
+          y0 <- 0 to (h - win) by stride
+          x0 <- 0 to (w - win) by stride
+        } yield {
+          val p = new Array[Float](win * win * c)
+          var y = 0
+          while (y < win) {
+            var x = 0
+            while (x < win) {
+              var ch = 0
+              while (ch < c) {
+                p((y * win + x) * c + ch) = in(((y0 + y) * w + (x0 + x)) * c + ch)
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          TensorVal(p.toSeq, Seq(win, win, c), "float32")
+        }
+        patches
+      }
+  }
+
+  /** Every-nth frame sampling of a THWC video tensor (reference:
+    * video.py:12-70 only_keyframes ≈ temporal subsampling here). */
+  val sampleFrames = udf { (values: Seq[Float], shape: Seq[Int], everyNth: Int) =>
+    if (values == null || shape == null || shape.length != 4) null
+    else {
+      val Seq(t, h, w, c) = shape
+      val frameLen = h * w * c
+      val keep = (0 until t by everyNth)
+      val out = new Array[Float](keep.length * frameLen)
+      val in = values.toArray
+      keep.zipWithIndex.foreach { case (f, i) =>
+        System.arraycopy(in, f * frameLen, out, i * frameLen, frameLen)
+      }
+      TensorVal(out.toSeq, Seq(keep.length, h, w, c), "float32")
+    }
+  }
+
+  /** blob ↔ tensor raw reinterpret (reference: convert.py:15-41
+    * convert_blob_to_tensor frombuffer / convert_tensor_to_blob). */
+  val blobToFloatTensor = udf { (blob: Array[Byte]) =>
+    if (blob == null) null
+    else {
+      val bb = java.nio.ByteBuffer.wrap(blob)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = blob.length / 4
+      val values = Array.tabulate(n)(i => bb.getFloat(i * 4))
+      TensorVal(values.toSeq, Seq(n), "float32")
+    }
+  }
+
+  /** uri → data URI (reference: convert.py:43-51 convert_uri_to_datauri is
+    * per-doc I/O; here the content is already a column — pure transform). */
+  def toDataUri(blob: Column, mimeType: Column): Column =
+    concat(lit("data:"), mimeType, lit(";base64,"), base64(blob))
+}

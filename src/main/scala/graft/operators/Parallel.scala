@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+import graft.functions._
+import graft.functions.TextFunctions
+
+/** UDF / batch-UDF surface: `map`, `apply`, `map_batch`, `embed`
+  * (reference: docarray/array/mixins/parallel.py:56-251,
+  * docarray/array/mixins/embed.py:17-208).
+  *
+  * The reference's thread/process pools are exactly Spark's executor
+  * parallelism; `map_batch` is `mapPartitions` with bounded batches; the
+  * `embed` batched-DNN-inference pattern is `mapPartitions` with a
+  * broadcast model handle (the standard predict_batch shape — plug ONNX
+  * Runtime or any JVM model here; none ships in this container).
+  */
+object Parallel {
+
+  /** map(func): per-row typed transform (reference parallel.py:56-99). */
+  def mapDocs[T, U: Encoder](ds: Dataset[T], f: T => U): Dataset[U] = ds.map(f)
+
+  /** map_batch(func, batch_size): per-batch transform
+    * (reference parallel.py:117-251). Batches never cross partitions. */
+  def mapBatch[T, U: Encoder](ds: Dataset[T], batchSize: Int)(
+      f: Seq[T] => Iterator[U]): Dataset[U] =
+    ds.mapPartitions(_.grouped(batchSize).flatMap(f))
+
+  /** embed: batched model inference filling an embedding column
+    * (reference embed.py:17-208). `model` must be a serializable
+    * batch-scoring function — broadcast once per executor. */
+  def embed[T: Encoder](ds: Dataset[T], batchSize: Int)(
+      model: Seq[T] => Seq[Array[Float]])(implicit
+      enc: Encoder[(T, Array[Float])]): Dataset[(T, Array[Float])] =
+    ds.mapPartitions(_.grouped(batchSize).flatMap(b => b.zip(model(b))))
+
+  /** embed_feature_hashing: the built-in dependency-free embedder
+    * (reference: document/mixins/featurehash.py:14-54) — hashing trick
+    * over the token set, as a pure codegen-free Catalyst expression. */
+  def embedFeatureHashing(df: DataFrame, textCol: String,
+      nDim: Int = 256, outCol: String = "embedding"): DataFrame =
+    df.withColumn(outCol, feature_hash(TextFunctions.tokens(col(textCol)), nDim))
+
+  /** convert_text_to_tensor: vocab-index encode with left-pad/truncate,
+    * 0 = pad, 1 = unk (reference: document/mixins/text.py:15-66). The
+    * vocab map is broadcast via the closure. */
+  def textToTensor(df: DataFrame, textCol: String, vocab: Map[String, Int],
+      maxLength: Int, outCol: String = "tensor_ids"): DataFrame = {
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val ids = toks.map(t => vocab.getOrElse(t, 1) + 1)
+        val cut = ids.takeRight(maxLength)
+        Array.fill(maxLength - cut.length)(0) ++ cut
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  /** convert_tensor_to_text inverse (reference text.py:68-88). */
+  def tensorToText(df: DataFrame, idsCol: String, vocab: Map[String, Int],
+      outCol: String = "text_decoded"): DataFrame = {
+    val inv = vocab.map { case (w, i) => (i + 1) -> w }
+    val dec = udf { (ids: Seq[Int]) =>
+      if (ids == null) null
+      else ids.filter(_ > 1).flatMap(inv.get).mkString(" ")
+    }
+    df.withColumn(outCol, dec(col(idsCol)))
+  }
+}

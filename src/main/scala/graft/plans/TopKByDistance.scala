@@ -47,7 +47,8 @@ case class TopKByDistance(
     val d = distance.eval(input)
     if (d != null) {
       val dist = d.asInstanceOf[Double]
-      if (buf.wouldAccept(dist)) {
+      // NaN distances (e.g. cosine with a zero-norm vector) never rank
+      if (!dist.isNaN && buf.wouldAccept(dist)) {
         val p = payload.eval(input)
         buf.insert(dist, InternalRow.copyValue(p))
       }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is a batch engine — its
+  * closest concept is `dataloader` streaming batches from a binary file
+  * (reference: docarray/array/mixins/dataloader/__init__.py:12,
+  * dataloader/helper.py:11-70). Here the same event tables become real
+  * streams: file-source ingestion, watermarked windowed aggregation, and
+  * stateful sessionization via flatMapGroupsWithState.
+  */
+object EventStream {
+
+  /** Schema of the testdata events table with `ts` as long nanos. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** readStream over a directory of event parquet files. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start: Long, end: Long, n_events: Int)
+
+  /** Stateful sessionization: emit a session row when a user is idle
+    * longer than `gapNanos` — custom state via flatMapGroupsWithState,
+    * the streaming twin of the batch gaps-and-islands query
+    * (SparkEntry q16_sessions). */
+  def sessionize(events: Dataset[SessionEvent], gapNanos: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts - s.last > gapNanos =>
+                out += SessionOut(userId, s.start, s.last, s.n)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case Some(s) =>
+                cur = Some(s.copy(last = e.ts, n = s.n + 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

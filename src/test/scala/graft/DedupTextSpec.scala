@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class DedupTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "Der schnelle braune Fuchs und der faule Hund")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text") {
+    val got = Dedup.exact(docs, "doc_id", Seq("text"))
+      .orderBy("keep_id").collect()
+    assert(got.length == 4)
+    val zero = got.find(_.getLong(0) == 0L).get
+    assert(zero.getLong(1) == 2L) // docs 0 and 3
+  }
+
+  test("jaccard pairs finds exact and near dups, not unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH finds the same high-jaccard pairs as exact") {
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 0.5,
+      numHashes = 64, bands = 32, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts hamming 0; long near-dups found, unrelated not") {
+    // simhash needs long token streams to be stable — short texts flip
+    // too many bits per edit (that's what MinHash is for)
+    val longA = (1 to 100).map(i => s"token$i").mkString(" ")
+    val longB = (1 to 100).map(i => if (i % 50 == 0) "changed" else s"token$i").mkString(" ")
+    val longC = (1 to 100).map(i => s"other$i word$i").mkString(" ")
+    val d = Seq((0L, longA), (1L, longB), (2L, longC), (3L, longA))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((0L, 3L)) == 0)
+    assert(pairs.get((0L, 1L)).exists(_ <= 10))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("embedding near-dup pairs under threshold") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("id", "embedding")
+    val got = Dedup.embeddingPairsExact(emb, "id", "embedding", 0.01)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
+  test("tokenizer, ngrams, counts") {
+    val r = docs.where($"doc_id" === 0).select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.wordNgrams($"text", 2).as("g")).collect()(0)
+    assert(r.getInt(0) == 9)
+    assert(r.getSeq[String](1).head == "the quick")
+    assert(r.getSeq[String](1).length == 8)
+  }
+
+  test("langId separates obvious en/de + cjk shortcut") {
+    val t = Seq(
+      (1, "the cat and the dog are in the house with a mouse"),
+      (2, "der Hund und die Katze sind nicht im Haus"),
+      (3, "这是 一个 中文 文档")
+    ).toDF("i", "text")
+    val got = t.select($"i", TextFunctions.langId($"text")).as[(Int, String)]
+      .collect().toMap
+    assert(got(1) == "en"); assert(got(2) == "de"); assert(got(3) == "zh")
+  }
+
+  test("quality score in [0,1], empty text lowest") {
+    val t = Seq((1, "a solid length sentence with reasonable words inside it"),
+      (2, ""), (3, "!!!! ???? ....")).toDF("i", "text")
+    val got = t.select($"i", TextFunctions.qualityScore($"text"))
+      .as[(Int, Double)].collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(1) > got(2)); assert(got(1) > got(3))
+  }
+
+  test("feature hashing is deterministic and sign-balanced-ish") {
+    val d = docs.select(feature_hash(TextFunctions.tokens($"text"), 64)
+      .as("emb"))
+    val rows = d.collect().map(_.getSeq[Float](0))
+    assert(rows.forall(_.length == 64))
+    val again = d.collect().map(_.getSeq[Float](0))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("rolling fingerprint: equal text equal print, diff text diff print") {
+    val got = docs.select($"doc_id", rolling_fingerprint($"text", 8))
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == got(3L))
+    assert(got(0L) != got(2L))
+  }
+}

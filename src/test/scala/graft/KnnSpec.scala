@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{Ann, Knn}
+
+/** knn semantics mirroring the reference's find/match tests
+  * (reference: tests/unit/array/mixins/test_find.py:66-79 ordering,
+  * test_match.py). */
+class KnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 2-D points with known neighbor structure
+  private lazy val docs = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+    (2L, Seq(1.0f, 0.1f)), (3L, Seq(0.1f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f))
+  ).toDF("id", "embedding")
+
+  test("cosine knn returns ascending distances with correct neighbors") {
+    val q = docs.where($"id" === 0)
+    val hits = Knn.bruteForce(docs, q, 3, "cosine", excludeSelf = true)
+      .orderBy("rank").collect()
+    // sims: d2 = 1/sqrt(1.01) ≈ .995, d3 ≈ .0995, d1 = 0, d4 = -1
+    assert(hits.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    val dists = hits.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+    // float32 storage of 0.1 → compare at float precision
+    assert(math.abs(dists.head - (1.0 - 1.0 / math.sqrt(1.01))) < 1e-7)
+  }
+
+  test("euclidean and sqeuclidean agree on ranking; sq = eu^2") {
+    val q = docs.where($"id" === 1)
+    val eu = Knn.bruteForce(docs, q, 4, "euclidean", excludeSelf = true)
+      .orderBy("rank").collect()
+    val sq = Knn.bruteForce(docs, q, 4, "sqeuclidean", excludeSelf = true)
+      .orderBy("rank").collect()
+    assert(eu.map(_.getLong(1)).toSeq == sq.map(_.getLong(1)).toSeq)
+    eu.zip(sq).foreach { case (e, s) =>
+      assert(math.abs(e.getDouble(2) * e.getDouble(2) - s.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("topk aggregate is partition-invariant") {
+    val many = spark.range(1000).select(
+      col("id"), transform(sequence(lit(0), lit(7)),
+        i => sin((col("id") + 1) * (i + 1)).cast("float")).as("embedding"))
+    val q = many.where(col("id") < 3)
+    def run(parts: Int) =
+      Knn.bruteForce(many.repartition(parts), q, 10, "cosine", excludeSelf = true)
+        .select("query_id", "id", "rank").orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("k larger than corpus returns all docs") {
+    val q = docs.where($"id" === 0)
+    assert(Knn.bruteForce(docs, q, 100, "cosine", excludeSelf = true).count() == 4)
+  }
+
+  test("normalization rescales to [a,b] over the full row (find.py:109-114)") {
+    val q = docs.where($"id" === 0)
+    val n = Knn.bruteForce(docs, q, 5, "cosine",
+      normalization = Some((0.0, 1.0))).orderBy("rank").collect()
+    // self included: min distance 0 → first normalized value 0; max → 1
+    assert(math.abs(n.head.getDouble(2)) < 1e-12)
+    assert(math.abs(n.last.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("attachMatches writes ordered matches array (match.py:12-92)") {
+    val left = docs.where($"id" < 2)
+    val got = Knn.attachMatches(left, docs, 2, "cosine", excludeSelf = true)
+    assert(got.columns.contains("matches"))
+    val m = got.where($"id" === 0).select("matches").collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(m.map(_.getInt(0)).toSeq == Seq(1, 2)) // rank ascending
+    assert(m.head.getLong(1) == 2L)               // nearest neighbor id
+  }
+
+  test("ivf search approximates exact knn on clustered data") {
+    // three tight clusters → coarse quantizer separates them perfectly
+    val pts = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0f, c * -5.0f, c * 3.0f + 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * ((i * 31 + j * 7) % 10)
+      }.toSeq)
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 3, seed = 7)
+    val q = df.where(col("id") < 10)
+    val approx = Ann.ivfSearch(idx, q, 5, nProbe = 1)
+    val exact = Knn.bruteForce(df, q, 5, "cosine")
+    assert(Ann.recallAgainstExact(approx, exact) >= 0.99)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Reduce / Evaluate / Traverse / Items / GroupOps semantics
+  * (reference: tests/unit/array/mixins/test_reduce.py, test_traverse.py,
+  * test_eval_class.py, test_advance_indexing.py, test_group.py). */
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("reduce merge: left priority, union of ids (reduce.py:7-91)") {
+    val a = Seq((1L, "la", null.asInstanceOf[String]),
+      (2L, "lb", "sa")).toDF("id", "text", "src")
+    val b = Seq((2L, "rb", "sb"), (3L, "rc", "sc")).toDF("id", "text", "src")
+    val got = Reduce.merge(a, b, "id").orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "la", null), (2L, "lb", "sa"), (3L, "rc", "sc")))
+  }
+
+  test("reduce merge: null left field filled from right") {
+    val a = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+    val b = Seq((1L, "filled")).toDF("id", "text")
+    assert(Reduce.merge(a, b, "id").as[(Long, String)].collect()(0)._2 == "filled")
+  }
+
+  test("IR metrics known values (math/evaluation.py)") {
+    val df = Seq((1, Seq(0, 1, 0, 1, 0))).toDF("id", "rel")
+    val r = df.select(
+      Evaluate.precisionAtK($"rel", 5).as("p5"),
+      Evaluate.reciprocalRank($"rel").as("rr"),
+      Evaluate.averagePrecision($"rel").as("ap"),
+      Evaluate.hitAtK($"rel", 1).as("h1"),
+      Evaluate.dcgAtK($"rel", 5).as("dcg"),
+      Evaluate.ndcgAtK($"rel", 5).as("ndcg"),
+      Evaluate.rPrecision($"rel").as("rp")).collect()(0)
+    assert(math.abs(r.getAs[Double]("p5") - 0.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rr") - 0.5) < 1e-12)
+    // AP = (1/2 + 2/4) / 2 = 0.5
+    assert(math.abs(r.getAs[Double]("ap") - 0.5) < 1e-12)
+    assert(r.getAs[Double]("h1") == 0.0)
+    val dcgExp = 1.0 / (math.log(3) / math.log(2)) + 1.0 / (math.log(5) / math.log(2))
+    assert(math.abs(r.getAs[Double]("dcg") - dcgExp) < 1e-9)
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(r.getAs[Double]("ndcg") - dcgExp / idcg) < 1e-9)
+    // r-precision: R=2 → first 2 entries contain 1 relevant → 0.5
+    assert(math.abs(r.getAs[Double]("rp") - 0.5) < 1e-12)
+  }
+
+  test("traverse paths and flatten (traverse.py)") {
+    val docs = Seq(
+      ("r1", "root one"), ("r2", "root two")
+    ).toDF("id", "text")
+      .withColumn("chunks", array(
+        struct(concat($"id", lit("-c0")).as("id"), $"id".as("parent_id"),
+          lit(1).as("granularity"), lit("chunk0").as("text")),
+        struct(concat($"id", lit("-c1")).as("id"), $"id".as("parent_id"),
+          lit(1).as("granularity"), lit("chunk1").as("text"))))
+
+    assert(Traverse.traverse(docs, "r").count() == 2)
+    val c = Traverse.traverse(docs, "c")
+    assert(c.count() == 4)
+    assert(c.columns.toSet == Set("id", "parent_id", "granularity", "text"))
+    val sliced = Traverse.traverse(docs, "c[0:1]")
+    assert(sliced.count() == 2)
+    assert(sliced.select("text").as[String].collect().forall(_ == "chunk0"))
+    val flat = Traverse.flatten(docs, depth = 1)
+    assert(flat.count() == 6)
+    assert(flat.select("id").distinct().count() == 6)
+  }
+
+  test("traverseFlat unions multiple paths") {
+    val docs = Seq(("r1", "t")).toDF("id", "text")
+      .withColumn("chunks", array(struct(lit("c1").as("id"), lit("ct").as("text"))))
+    val got = Traverse.traverseFlat(docs, "r,c")
+    assert(got.count() == 2)
+  }
+
+  test("items: updateById coalesces new over old (setitem.py)") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "text", "w")
+    val upd = Seq((2L, "B")).toDF("id", "text")
+    val got = Items.updateById(base, upd, "id").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "B", 2.0)))
+  }
+
+  test("items: byIds, deleteByIds, extend, bySlice") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    assert(Items.byIds(base, "id", Seq(1L, 3L)).count() == 2)
+    assert(Items.deleteByIds(base, "id", Seq(2L)).count() == 2)
+    assert(Items.extend(base, base).count() == 6)
+    val off = Items.withOffsets(base, $"id")
+    assert(Items.bySlice(off, "offset", 1, 3).count() == 2)
+  }
+
+  test("groupOps: splitByTag and batch assignment") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "tag")
+    val groups = GroupOps.splitByTag(df, $"tag", $"id").orderBy("tag").collect()
+    assert(groups.map(_.getString(0)).toSeq == Seq("x", "y"))
+    assert(groups(0).getSeq[Long](1) == Seq(1L, 3L))
+    val batched = GroupOps.batchIds(df, $"id", 2)
+    assert(batched.select(max("batch_id")).as[Long].collect()(0) == 1L)
+  }
+
+  test("vocabulary honors minFreq (text.py:8-29)") {
+    val df = Seq("a a a b b c").toDF("text")
+    val v = GroupOps.vocabulary(df, $"text", minFreq = 2)
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("a" -> 3L, "b" -> 2L))
+  }
+
+  test("sampleExact returns exactly k, deterministic per seed") {
+    val df = spark.range(100).toDF("id")
+    val s1 = GroupOps.sampleExact(df, 10, 42).as[Long].collect().toSeq
+    val s2 = GroupOps.sampleExact(df, 10, 42).as[Long].collect().toSeq
+    assert(s1.length == 10 && s1 == s2)
+  }
+}
