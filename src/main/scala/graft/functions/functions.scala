@@ -49,6 +49,16 @@ package object functions {
   def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))
 
+  /** Fused one-pass MinHash over raw text (tokenize + shingle + hash,
+    * no intermediate arrays) — identical output to
+    * `minhash_signature(wordNgrams(text, n), numHashes, seed)`. */
+  def minhash_text(text: Column, ngram: Int, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashText(Bridge.expression(text), ngram, numHashes, seed))
+
+  /** One-pass word n-gram shingles of raw text (see TextNgrams). */
+  def text_ngrams(text: Column, n: Int): Column =
+    Bridge.column(TextNgrams(Bridge.expression(text), n))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))

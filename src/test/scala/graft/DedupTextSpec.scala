@@ -94,6 +94,18 @@ class DedupTextSpec extends SparkSuite {
     assert(got(1) > got(2)); assert(got(1) > got(3))
   }
 
+  test("fused minhash_text equals minhash_signature(wordNgrams)") {
+    for (n <- Seq(1, 2, 3)) {
+      val cmp = docs.select(
+        minhash_text($"text", n, 32).as("fast"),
+        minhash_signature(
+          if (n == 1) TextFunctions.tokenSet($"text")
+          else TextFunctions.wordNgrams($"text", n), 32).as("ref"))
+        .collect()
+      cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
+
   test("feature hashing is deterministic and sign-balanced-ish") {
     val d = docs.select(feature_hash(TextFunctions.tokens($"text"), 64)
       .as("emb"))
