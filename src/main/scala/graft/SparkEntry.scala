@@ -288,6 +288,36 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // full-text search (§2.4 find-by-text, BM25 scoring)
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    TextSearch.bm25(t(s, dir, "documents"), "doc_id", "text", "spark table merge")
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
+  // update-by-id join-update (§2.2 setitem)
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "source")
+    val updates = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), lit("UPDATED").as("source"))
+    Items.updateById(docs, updates, "doc_id").orderBy("doc_id")
+  }
+
+  // multimodal plumbing (rows-only: stub decode → resize → patches)
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("tensor", Multimodal.decodeImageStub(col("blob"), lit(8), lit(8)))
+      .withColumn("small", Multimodal.resizeNearest(
+        col("tensor.values"), col("tensor.shape"), lit(4), lit(4)))
+      .withColumn("patches", Multimodal.slidingWindows(
+        col("tensor.values"), col("tensor.shape"), lit(4), lit(2)))
+      .select(col("doc_id"), size(col("patches")).as("n_patches"),
+        element_at(col("small.shape"), 1).as("h"),
+        round(aggregate(col("small.values"), lit(0.0d),
+          (acc, x) => acc + x), 2).as("value_sum"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -315,7 +345,10 @@ object SparkEntry {
     "q22_langid_fingerprint" -> (q22 _),
     "q23_minhash_lsh" -> (q23 _),
     "q24_simhash_pairs" -> (q24 _),
-    "q25_props_json" -> (q25 _))
+    "q25_props_json" -> (q25 _),
+    "q26_text_search" -> (q26 _),
+    "q27_update_by_id" -> (q27 _),
+    "q28_multimodal" -> (q28 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -536,6 +569,32 @@ object SparkEntry {
     "q25_props_json" ->
       """SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
            AS BIGINT)) AS sum_k, count(*) AS n
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q26_text_search" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) tok FROM documents),
+         dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY 1),
+         stats AS (SELECT avg(dl) avgdl,
+           (SELECT count(*) FROM documents) n FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) tf FROM tok
+                WHERE tok IN ('spark','table','merge') GROUP BY 1,2),
+         dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+           sum( ln((stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0)
+              * tf.tf*(1.2+1)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) score
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+           GROUP BY 1)
+         SELECT doc_id, round(score,4) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q27_update_by_id" ->
+      """SELECT d.doc_id, d.lang,
+           CASE WHEN d.doc_id % 10 = 0 THEN 'UPDATED' ELSE d.source END AS source
+         FROM documents d ORDER BY d.doc_id"""
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Full-text search over the `text` column — the reference's
+  * `find(query_text)` (reference: docarray/array/mixins/find.py:147-156,
+  * backed there by elasticsearch match queries,
+  * docarray/array/storage/elastic/find.py:74-114).
+  *
+  * Spark-native shape: tokenize → inverted-index semi-join on the query's
+  * terms (docs without any query term never leave the scan) → per-doc BM25
+  * score → top-k. Corpus statistics (N, avgdl, df) are computed in-plan and
+  * broadcast — no driver-side collection.
+  */
+object TextSearch {
+
+  /** BM25 relevance (Lucene-style idf) of every doc matching >= 1 query
+    * term. Output: (id, score), descending relevance left to the caller. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+
+    val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
+    val stats = dl.agg(avg("_dl").as("_avgdl"), count(lit(1)).as("_n"))
+
+    val hits = toks.where(col("_tok").isin(qTokens: _*))
+    val tf = hits.groupBy("_id", "_tok").agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_tok").agg(count(lit(1)).as("_df"))
+
+    val idf = log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0)
+    val tfNorm = col("_tf") * (k1 + 1) /
+      (col("_tf") + lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl")))
+
+    tf.join(broadcast(dfreq), "_tok")
+      .join(dl, "_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_term_score", idf * tfNorm)
+      .groupBy("_id").agg(sum("_term_score").as("score"))
+      .select(col("_id").as(idCol), col("score"))
+  }
+
+  /** Simple match search: docs containing >= minShould of the query's
+    * distinct terms, scored by the count of matched terms. */
+  def matchAny(docs: DataFrame, idCol: String, textCol: String, query: String,
+      minShould: Int = 1): DataFrame = {
+    val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    docs.select(col(idCol),
+      size(array_intersect(TextFunctions.tokenSet(col(textCol)),
+        array(qTokens.map(lit): _*))).as("matched"))
+      .where(col("matched") >= minShould)
+  }
+}
