@@ -84,6 +84,12 @@ object Bench {
     bench("knn_batch100") {
       Knn.bruteForce(stored, queries100, 10, "cosine").collect()
     }
+    bench("knn_blocked_1m") {
+      Knn.bruteForceBlocked(stored, queries1, 10, "cosine").collect()
+    }
+    bench("knn_blocked_100") {
+      Knn.bruteForceBlocked(stored, queries100, 10, "cosine").collect()
+    }
 
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",

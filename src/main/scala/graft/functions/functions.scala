@@ -76,18 +76,34 @@ package object functions {
       VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
 
   /** Register all graft functions for SQL use on a session. */
-  def registerAll(spark: SparkSession): Unit = {
-    for (m <- Seq("cosine", "sqeuclidean", "euclidean", "inner_product")) {
-      Bridge.registerFunction(spark, s"${m}_distance",
-        (exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), m))
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
+
+  /** Single source of truth for SQL-facing function builders (used both by
+    * runtime registration here and GraftExtensions session injection). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    def litInt(e: Expression): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => other.eval().toString.toInt
     }
-    Bridge.registerFunction(spark, "l2_normalize",
-      (exprs: Seq[Expression]) => L2Normalize(exprs(0)))
-    Bridge.registerFunction(spark, "topk_by_distance",
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(d, p, Literal(k: Int, IntegerType)) => TopKByDistance(d, p, k)
-        case _ => throw new IllegalArgumentException(
-          "usage: topk_by_distance(distance, payload, k literal int)")
-      })
+    Seq("cosine", "sqeuclidean", "euclidean", "inner_product").map { m =>
+      s"${m}_distance" ->
+        ((exprs: Seq[Expression]) => VectorDistance(exprs(0), exprs(1), m))
+    } ++ Seq[(String, Seq[Expression] => Expression)](
+      "l2_normalize" -> (exprs => L2Normalize(exprs(0))),
+      "fnv64" -> (exprs => Fnv64Hash(exprs(0))),
+      "simhash64" -> (exprs => SimHash64(exprs(0))),
+      "text_ngrams" -> (exprs => TextNgrams(exprs(0), litInt(exprs(1)))),
+      "feature_hash" -> (exprs => FeatureHash(exprs(0), litInt(exprs(1)))),
+      "rolling_fingerprint" -> (exprs =>
+        RollingFingerprint(exprs(0), litInt(exprs(1)))),
+      "minhash_signature" -> (exprs =>
+        MinHashSignature(exprs(0), litInt(exprs(1)),
+          if (exprs.length > 2) exprs(2).eval().toString.toLong else 42L)),
+      "minhash_text" -> (exprs =>
+        MinHashText(exprs(0), litInt(exprs(1)), litInt(exprs(2)),
+          if (exprs.length > 3) exprs(3).eval().toString.toLong else 42L)),
+      "topk_by_distance" -> (exprs =>
+        TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))))
   }
 }

@@ -77,6 +77,26 @@ class KnnSpec extends SparkSuite {
     assert(m.head.getLong(1) == 2L)               // nearest neighbor id
   }
 
+  test("blocked kernel returns identical results to expression path") {
+    val many = spark.range(500).select(
+      col("id"), transform(sequence(lit(0), lit(7)),
+        i => sin((col("id") + 1) * (i + 1)).cast("float")).as("embedding"))
+    val q = many.where(col("id") < 5)
+    for (m <- Seq("cosine", "euclidean", "sqeuclidean", "inner_product");
+         ex <- Seq(true, false)) {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "id", "rank").orderBy("query_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(key(Knn.bruteForceBlocked(many, q, 7, m, excludeSelf = ex)) ==
+        key(Knn.bruteForce(many, q, 7, m, excludeSelf = ex)), s"$m/$ex")
+    }
+    // string ids too (internal UTF8String vs external String handling)
+    val sdocs = many.withColumn("id", concat(lit("d"), col("id")))
+    val sq = sdocs.limit(3)
+    assert(Knn.bruteForceBlocked(sdocs, sq, 4, "cosine", excludeSelf = true)
+      .count() == 12)
+  }
+
   test("ivf search approximates exact knn on clustered data") {
     // three tight clusters → coarse quantizer separates them perfectly
     val pts = (0 until 300).map { i =>
