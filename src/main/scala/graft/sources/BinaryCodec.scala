@@ -1,0 +1,381 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.DocSchema
+
+/** Compat reader/writer for the reference's binary stream format with
+  * `protocol='protobuf'`, no compression
+  * (format: 1-byte version + 8-byte big-endian doc count, then per doc a
+  * 4-byte big-endian length + DocumentProto message;
+  * reference: docarray/array/mixins/io/binary.py:114-118 header parse,
+  * :394-404 _stream_header, docarray/document/mixins/porting.py:169-177
+  * length framing; field numbers from docarray/proto/docarray.proto:63-123).
+  *
+  * The protobuf wire codec here is hand-rolled (varint / fixed32 / fixed64 /
+  * length-delimited) — no protobuf dependency. Nested chunks/matches are
+  * flattened into the normalized representation on read (one row per
+  * sub-document, linked by parent_id/granularity/adjacency), exactly the
+  * scale-friendly shape from DocSchema.
+  *
+  * Scale note: the reference's format is a single sequential stream. For
+  * distributed writes use [[saveBinaryShards]] (a directory of valid
+  * streams, one per partition — each readable by the reference);
+  * [[loadBinary]] reads a file or a shard directory in parallel.
+  */
+object BinaryCodec {
+
+  // ---- protobuf wire primitives -------------------------------------
+
+  private final class W {
+    val out = new ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field.toLong << 3) | wire)
+    def str(field: Int, s: String): Unit =
+      if (s != null && s.nonEmpty) bytes(field, s.getBytes("UTF-8"))
+    def bytes(field: Int, b: Array[Byte]): Unit =
+      if (b != null && b.length > 0) { tag(field, 2); varint(b.length); out.write(b) }
+    def msg(field: Int, m: W): Unit = {
+      val b = m.out.toByteArray
+      tag(field, 2); varint(b.length); out.write(b)
+    }
+    def uint32(field: Int, v: Int): Unit =
+      if (v != 0) { tag(field, 0); varint(v.toLong) }
+    def float(field: Int, v: Float): Unit =
+      if (v != 0.0f) {
+        tag(field, 5)
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(v)
+        out.write(bb.array())
+      }
+    def packedFloats(field: Int, vs: Seq[Float]): Unit =
+      if (vs != null && vs.nonEmpty) {
+        tag(field, 2); varint(4L * vs.length)
+        val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+  }
+
+  private def denseNdArray(values: Seq[Float], shape: Seq[Int], dtype: String): W = {
+    val dense = new W
+    val buf = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(buf.putFloat)
+    dense.bytes(1, buf.array())
+    shape.foreach(s => { dense.tag(2, 0); dense.varint(s.toLong) })
+    dense.str(3, dtype)
+    val nd = new W
+    nd.msg(1, dense)
+    nd
+  }
+
+  /** google.protobuf.Struct with string values. */
+  private def structOfStrings(m: Map[String, String]): W = {
+    val st = new W
+    m.foreach { case (k, v) =>
+      val value = new W
+      value.str(3, if (v == null) "" else v) // Value.string_value = 3
+      val entry = new W
+      entry.str(1, k)
+      entry.msg(2, value)
+      st.msg(1, entry) // Struct.fields = 1
+    }
+    st
+  }
+
+  private def namedScore(value: Float, opName: String, desc: String, refId: String): W = {
+    val w = new W
+    w.float(1, value); w.str(2, opName); w.str(3, desc); w.str(4, refId)
+    w
+  }
+
+  /** Serialize one flat doc Row (DocSchema.flat order) to DocumentProto. */
+  private def docToProto(r: Row): Array[Byte] = {
+    val w = new W
+    def s(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
+    w.str(1, s(0)) // id
+    // content oneof: blob=2 | tensor=3 | text=4
+    if (!r.isNullAt(4)) w.bytes(2, r.getAs[Array[Byte]](4))
+    else if (!r.isNullAt(5)) {
+      val t = r.getStruct(5)
+      w.msg(3, denseNdArray(t.getSeq[Float](0), t.getSeq[Int](1), t.getString(2)))
+    } else if (s(7) != null && s(7).nonEmpty) w.str(4, s(7)) // text
+    if (!r.isNullAt(2)) w.uint32(5, r.getInt(2)) // granularity
+    if (!r.isNullAt(3)) w.uint32(6, r.getInt(3)) // adjacency
+    w.str(7, s(1)) // parent_id
+    if (!r.isNullAt(8)) w.float(8, r.getFloat(8)) // weight
+    w.str(9, s(9)) // uri
+    w.str(10, s(15)) // modality
+    w.str(11, s(6)) // mime_type
+    if (!r.isNullAt(12)) w.float(12, r.getFloat(12)) // offset
+    if (!r.isNullAt(13)) w.packedFloats(13, r.getSeq[Float](13)) // location
+    if (!r.isNullAt(14)) // embedding → NdArray dense float32
+      w.msg(16, denseNdArray(r.getSeq[Float](14), Seq(r.getSeq[Float](14).length), "float32"))
+    if (!r.isNullAt(10)) { // tags → Struct
+      val tags = r.getMap[String, String](10).toMap
+      if (tags.nonEmpty) w.msg(17, structOfStrings(tags))
+    }
+    for ((field, idx) <- Seq((18, 17), (19, 16))) { // scores, evaluations
+      if (!r.isNullAt(idx)) {
+        r.getMap[String, Row](idx).foreach { case (k, ns) =>
+          val entry = new W
+          entry.str(1, k)
+          entry.msg(2, namedScore(ns.getFloat(0), ns.getString(1),
+            ns.getString(2), ns.getString(3)))
+          w.msg(field, entry)
+        }
+      }
+    }
+    if (!r.isNullAt(11)) { // _metadata → Struct (field 20)
+      val md = r.getMap[String, String](11).toMap
+      if (md.nonEmpty) w.msg(20, structOfStrings(md))
+    }
+    w.out.toByteArray
+  }
+
+  /** One valid stream (header + framed docs) from an iterator of rows. */
+  private def streamBytes(rows: Iterator[Row]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    var n = 0L
+    rows.foreach { r =>
+      val b = docToProto(r)
+      body.write(ByteBuffer.allocate(4).putInt(b.length).array()) // 4B big-endian
+      body.write(b)
+      n += 1
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(1) // version
+    out.write(ByteBuffer.allocate(8).putLong(n).array()) // 8B big-endian count
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Distributed save: one reference-format stream file per partition. */
+  def saveBinaryShards(df: DataFrame, dir: String): Unit = {
+    val flat = DocSchema.fromColumns(df)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    flat.rdd.mapPartitionsWithIndex { (i, rows) =>
+      val bytes = streamBytes(rows)
+      val p = java.nio.file.Paths.get(dir, f"part-$i%05d.protobuf")
+      java.nio.file.Files.write(p, bytes)
+      Iterator.single(1)
+    }.count()
+  }
+
+  /** Driver-side single-blob serialization (the reference's `to_bytes`) —
+    * only for arrays that fit on the driver. */
+  def toBytes(df: DataFrame): Array[Byte] =
+    streamBytes(DocSchema.fromColumns(df).collect().iterator)
+
+  // ---- reading ------------------------------------------------------
+
+  private final class R(val b: Array[Byte], var p: Int, val end: Int) {
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val x = b(p); p += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def fixed32(): Float = {
+      val v = ByteBuffer.wrap(b, p, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
+      p += 4; v
+    }
+    def fixed64(): Double = {
+      val v = ByteBuffer.wrap(b, p, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+      p += 8; v
+    }
+    def chunk(): R = { val len = varint().toInt; val r = new R(b, p, p + len); p += len; r }
+    def bytesField(): Array[Byte] = {
+      val len = varint().toInt
+      val out = java.util.Arrays.copyOfRange(b, p, p + len); p += len; out
+    }
+    def strField(): String = new String(bytesField(), "UTF-8")
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => p += 8
+      case 2 => val len = varint().toInt; p += len
+      case 5 => p += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+    def hasMore: Boolean = p < end
+  }
+
+  private case class NdArray(values: Seq[Float], shape: Seq[Int], dtype: String)
+
+  private def parseDense(r: R): NdArray = {
+    var buf: Array[Byte] = Array.empty
+    val shape = scala.collection.mutable.ArrayBuffer[Int]()
+    var dtype = ""
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      field match {
+        case 1 => buf = r.bytesField()
+        case 2 => if (wire == 2) { val c = r.chunk(); while (c.hasMore) shape += c.varint().toInt }
+                  else shape += r.varint().toInt
+        case 3 => dtype = r.strField()
+        case _ => r.skip(wire)
+      }
+    }
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val values: Seq[Float] = dtype match {
+      case "float64" | "double" =>
+        Seq.tabulate(buf.length / 8)(i => bb.getDouble(i * 8).toFloat)
+      case "int32" => Seq.tabulate(buf.length / 4)(i => bb.getInt(i * 4).toFloat)
+      case "int64" => Seq.tabulate(buf.length / 8)(i => bb.getLong(i * 8).toFloat)
+      case _ => Seq.tabulate(buf.length / 4)(i => bb.getFloat(i * 4))
+    }
+    NdArray(values, shape.toSeq, dtype)
+  }
+
+  private def parseNdArray(r: R): NdArray = {
+    var out = NdArray(Nil, Nil, "")
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      field match {
+        case 1 => out = parseDense(r.chunk())
+        case _ => r.skip(wire) // sparse / cls_name / parameters ignored
+      }
+    }
+    out
+  }
+
+  /** Struct → Map[String,String] (numbers/bools stringified). */
+  private def parseStruct(r: R): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      if (field == 1 && wire == 2) {
+        val e = r.chunk()
+        var k = ""; var v = ""
+        while (e.hasMore) {
+          val et = e.varint(); val ef = (et >> 3).toInt; val ew = (et & 7).toInt
+          if (ef == 1) k = e.strField()
+          else if (ef == 2) {
+            val vv = e.chunk()
+            while (vv.hasMore) {
+              val vt = vv.varint(); val vf = (vt >> 3).toInt; val vw = (vt & 7).toInt
+              vf match {
+                case 2 => val d = vv.fixed64()
+                  v = if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+                case 3 => v = vv.strField()
+                case 4 => v = (vv.varint() != 0).toString
+                case _ => vv.skip(vw)
+              }
+            }
+          } else e.skip(ew)
+        }
+        m(k) = v
+      } else r.skip(wire)
+    }
+    m.toMap
+  }
+
+  private def parseScores(r: R): (String, Row) = {
+    var k = ""; var value = 0.0f; var op = ""; var desc = ""; var ref = ""
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      if (field == 1) k = r.strField()
+      else if (field == 2) {
+        val ns = r.chunk()
+        while (ns.hasMore) {
+          val nt = ns.varint(); val nf = (nt >> 3).toInt; val nw = (nt & 7).toInt
+          nf match {
+            case 1 => value = ns.fixed32()
+            case 2 => op = ns.strField()
+            case 3 => desc = ns.strField()
+            case 4 => ref = ns.strField()
+            case _ => ns.skip(nw)
+          }
+        }
+      } else r.skip(wire)
+    }
+    (k, Row(value, op, desc, ref))
+  }
+
+  /** Parse one DocumentProto; recurse into chunks/matches, emitting the
+    * normalized flat rows (this doc first, then descendants). */
+  private def parseDoc(r: R): Seq[Row] = {
+    var id = ""; var parentId = ""; var granularity = 0; var adjacency = 0
+    var blob: Array[Byte] = null; var tensor: Row = null; var mime = ""
+    var text = ""; var weight = 0.0f; var uri = ""; var modality = ""
+    var offset = 0.0f
+    var location: Seq[Float] = null; var embedding: Seq[Float] = null
+    var tags: Map[String, String] = null; var metadata: Map[String, String] = null
+    val scores = scala.collection.mutable.LinkedHashMap[String, Row]()
+    val evals = scala.collection.mutable.LinkedHashMap[String, Row]()
+    val children = scala.collection.mutable.ArrayBuffer[Seq[Row]]()
+
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      field match {
+        case 1 => id = r.strField()
+        case 2 => blob = r.bytesField()
+        case 3 => val nd = parseNdArray(r.chunk()); tensor = Row(nd.values, nd.shape, nd.dtype)
+        case 4 => text = r.strField()
+        case 5 => granularity = r.varint().toInt
+        case 6 => adjacency = r.varint().toInt
+        case 7 => parentId = r.strField()
+        case 8 => weight = r.fixed32()
+        case 9 => uri = r.strField()
+        case 10 => modality = r.strField()
+        case 11 => mime = r.strField()
+        case 12 => offset = r.fixed32()
+        case 13 =>
+          if (wire == 2) {
+            val c = r.chunk()
+            val vs = scala.collection.mutable.ArrayBuffer[Float]()
+            while (c.hasMore) vs += c.fixed32()
+            location = vs.toSeq
+          } else location = (Option(location).getOrElse(Seq.empty) :+ r.fixed32())
+        case 14 => children += parseDoc(r.chunk())
+        case 15 => children += parseDoc(r.chunk())
+        case 16 => embedding = parseNdArray(r.chunk()).values
+        case 17 => tags = parseStruct(r.chunk())
+        case 18 => val (k, v) = parseScores(r.chunk()); scores(k) = v
+        case 19 => val (k, v) = parseScores(r.chunk()); evals(k) = v
+        case 20 => metadata = parseStruct(r.chunk())
+        case _ => r.skip(wire)
+      }
+    }
+    val self = Row(id, parentId, granularity, adjacency, blob, tensor, mime,
+      text, weight, uri, tags, metadata, offset, location, embedding, modality,
+      if (evals.isEmpty) null else evals.toMap,
+      if (scores.isEmpty) null else scores.toMap)
+    self +: children.flatten.toSeq
+  }
+
+  /** Parse one full stream (header + framed docs) → flat rows. */
+  private def parseStream(bytes: Array[Byte]): Iterator[Row] = {
+    require(bytes.length >= 9 && bytes(0) == 1,
+      s"unsupported stream version ${if (bytes.isEmpty) -1 else bytes(0)}")
+    val n = ByteBuffer.wrap(bytes, 1, 8).getLong
+    var p = 9
+    (0L until n).iterator.flatMap { _ =>
+      val len = ByteBuffer.wrap(bytes, p, 4).getInt
+      val r = new R(bytes, p + 4, p + 4 + len)
+      p += 4 + len
+      parseDoc(r)
+    }
+  }
+
+  /** Read a reference-format binary file (or shard directory) → flat doc
+    * DataFrame; nested chunks/matches become normalized child rows. */
+  def loadBinary(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(
+      if (new java.io.File(path).isDirectory) s"$path/*" else path)
+    val rows = files.select("content").rdd
+      .flatMap(r => parseStream(r.getAs[Array[Byte]](0)))
+    spark.createDataFrame(rows, DocSchema.flat)
+  }
+}

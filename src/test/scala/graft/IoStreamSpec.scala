@@ -51,6 +51,20 @@ class IoStreamSpec extends SparkSuite {
     assert(e.select("id").distinct().count() == 5)
   }
 
+  test("Dataset[Doc] typed round trip through the flat schema") {
+    import graft.schema.{Doc, NamedScore}
+    val ds = Seq(
+      Doc(id = "a", text = "hello", embedding = Seq(1.0f, 2.0f),
+        tags = Map("k" -> "v"),
+        scores = Map("cos" -> NamedScore(0.5f, "knn", "", "b"))),
+      Doc(id = "b")).toDS()
+    assert(ds.count() == 2)
+    val back = ds.toDF().where(col("id") === "a").as[Doc].collect()(0)
+    assert(back.text == "hello")
+    assert(back.scores("cos").value == 0.5f)
+    assert(back.embedding == Seq(1.0f, 2.0f))
+  }
+
   test("multimodal: resize / windows / normalize plumbing on fake decode") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("id", "blob")
       .withColumn("tensor", Multimodal.decodeImageStub($"blob", lit(8), lit(8)))
@@ -88,15 +102,49 @@ class IoStreamSpec extends SparkSuite {
     assert(got.select("embedding").as[Seq[Float]].collect()(0).length == 32)
   }
 
+  test("binary codec: reference-format round trip incl. nesting flatten") {
+    import graft.sources.BinaryCodec
+    import graft.schema.{Doc, NamedScore, Tensor}
+    val docs = Seq(
+      Doc(id = "d1", text = "hello world", embedding = Seq(1.5f, -2.0f, 3.0f),
+        tags = Map("lang" -> "en", "n" -> "5"), weight = 0.7f, uri = "file:///x",
+        scores = Map("cos" -> NamedScore(0.25f, "knn", "", "d2"))),
+      Doc(id = "d2", blob = Array[Byte](1, 2, 3), mime_type = "image/png",
+        location = Seq(1.0f, 2.0f)),
+      Doc(id = "d3", tensor = Tensor(Seq(1f, 2f, 3f, 4f), Seq(2, 2), "float32"),
+        granularity = 1, parent_id = "d1", offset = 2.0f)
+    ).toDS().toDF()
+
+    val dir = java.nio.file.Files.createTempDirectory("graftbin").toString
+    BinaryCodec.saveBinaryShards(docs, s"$dir/shards")
+    val back = BinaryCodec.loadBinary(spark, s"$dir/shards")
+    assert(back.count() == 3)
+    val d1 = back.where($"id" === "d1").collect()(0)
+    assert(d1.getAs[String]("text") == "hello world")
+    assert(d1.getSeq[Float](back.columns.indexOf("embedding")) == Seq(1.5f, -2.0f, 3.0f))
+    assert(d1.getMap[String, String](back.columns.indexOf("tags"))("lang") == "en")
+    val sc = d1.getMap[String, org.apache.spark.sql.Row](back.columns.indexOf("scores"))
+    assert(sc("cos").getFloat(0) == 0.25f)
+    val d2 = back.where($"id" === "d2").collect()(0)
+    assert(d2.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 3))
+    assert(d2.getAs[String]("mime_type") == "image/png")
+    val d3 = back.where($"id" === "d3").collect()(0)
+    assert(d3.getStruct(back.columns.indexOf("tensor")).getSeq[Float](0)
+      == Seq(1f, 2f, 3f, 4f))
+    assert(d3.getAs[Int]("granularity") == 1)
+  }
+
   test("streaming: windowed counts + stateful sessionize over event files") {
     import org.apache.spark.sql.streaming.Trigger
     val stream = EventStream.fromDirectory(spark, "/root/testdata/sf0.001")
     val q = EventStream.windowedCounts(stream, "1 hour", "2 hours")
-      .writeStream.outputMode("append").format("memory").queryName("wc")
+      .writeStream.outputMode("complete").format("memory").queryName("wc")
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
-    // append mode emits only watermark-closed windows; just check it ran
-    // and batch-mode equivalent is non-empty
+    val emitted = spark.sql("SELECT * FROM wc")
+    assert(emitted.count() > 0)
+    // streaming aggregate total equals the batch row count
+    assert(emitted.agg(sum("n")).collect()(0).getLong(0) == 1000L)
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert(batch.count() == 1000)
 
