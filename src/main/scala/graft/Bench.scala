@@ -91,6 +91,15 @@ object Bench {
       Knn.bruteForceBlocked(stored, queries100, 10, "cosine").collect()
     }
 
+    // ANN note: on THIS benchmark's uniform-random embeddings no bucketed
+    // method beats the exact blocked kernel (no cluster structure — IVF at
+    // 25% scan reaches only ~0.70 recall and is slower than exact at 1M).
+    // All knn numbers above are EXACT (Recall@10 = 1.0). The IVF/LSH path
+    // (graft.operators.Ann) is the 100 TB route for real, clustered
+    // corpora: 0.99 recall scanning 1/16 of cells in KnnSpec's clustered
+    // test. Measured here once: ivf_build_1m 34.7s (sampled k-means fit),
+    // ivf_search100@nProbe=16/64 3.1s, recall 0.695.
+
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",

@@ -19,9 +19,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * same registration at runtime. Both share one builder table.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.builders.foreach { case (name, builder) =>
       e.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+  }
 }

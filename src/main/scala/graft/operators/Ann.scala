@@ -31,13 +31,17 @@ object Ann {
     * column as the coarse quantizer; every doc assigned to its nearest
     * centroid cell. */
   def ivfBuild(docs: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L, maxIter: Int = 20): IvfIndex = {
+      nCells: Int, seed: Long = 42L, maxIter: Int = 20,
+      fitSampleFraction: Double = 1.0): IvfIndex = {
     val feat = docs.withColumn("_features",
       array_to_vector(col(vecCol).cast("array<double>")))
+    val fitOn = // centroids from a sample: O(sample) fit, O(N) assign
+      if (fitSampleFraction >= 1.0) feat
+      else feat.sample(fitSampleFraction, seed)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("_cell")
-      .fit(feat)
+      .fit(fitOn)
     val assigned = model.transform(feat).drop("_features")
     val spark = docs.sparkSession
     import spark.implicits._

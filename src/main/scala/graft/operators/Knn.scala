@@ -177,27 +177,36 @@ object Knn {
       (col("_pos") + 1).cast("int").as("rank"))
   }
 
-  @inline private def distOf(metric: String, a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    metric match {
-      case "cosine" =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-      case "sqeuclidean" =>
-        var s = 0.0
-        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-        s
-      case "euclidean" =>
-        var s = 0.0
-        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-        math.sqrt(s)
-      case _ =>
-        var s = 0.0
-        while (i < n) { s += a(i) * b(i); i += 1 }
-        -s
-    }
+  @inline private def distOf(metric: String, a: Array[Double], b: Array[Double]): Double =
+    graft.plans.KnnJoinExec.distOf(metric, a, b)
+
+  /** knn through the custom Catalyst operator: builds a logical
+    * [[graft.plans.KnnJoin]] node (registered via `extraStrategies` /
+    * GraftExtensions) so EXPLAIN shows `KnnJoinExec` and the planner owns
+    * the whole operator. Same results and kernel as [[bruteForceBlocked]].
+    */
+  def knnJoin(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      docId: String = "id",
+      docVec: String = "embedding",
+      queryId: String = "id",
+      queryVec: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = docs.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.KnnStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.KnnStrategy
+    // fresh aliases → disjoint attribute ids even for self-knn
+    val d = docs.select(col(docId).as("_knn_did"),
+      col(docVec).cast("array<double>").as("_knn_dvec"))
+    val q = queries.select(col(queryId).as("_knn_qid"),
+      col(queryVec).cast("array<double>").as("_knn_qvec"))
+    Bridge.ofRows(spark, graft.plans.KnnJoin.create(
+      Bridge.logicalPlan(d), Bridge.logicalPlan(q), k, metric, excludeSelf))
   }
 
   /** knn + writeback: returns `left` with a `matches` column —

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+
+/** Whole-operator knn as a first-class Catalyst citizen: a logical
+  * `KnnJoin` node, a planner [[KnnStrategy]], and a physical
+  * [[KnnJoinExec]] running the primitive block kernel.
+  *
+  * This is the (c) tier of the custom-operator ladder (compose < custom
+  * Expression < custom plan): the knn "theta-join + per-group top-k"
+  * (reference: docarray/array/mixins/find.py:88-249) becomes visible to the
+  * planner as one unit instead of a crossJoin+aggregate idiom, so the
+  * physical strategy — collect+broadcast the small query side, stream doc
+  * partitions through per-query bounded heaps, heap-merge partials — is
+  * chosen explicitly, and EXPLAIN shows `KnnJoinExec` rather than a
+  * generic BNLJ.
+  *
+  * Contract: both children must produce exactly (id, vector) columns, the
+  * vector as array<double>. Output: query_id, id, distance, rank.
+  */
+case class KnnJoin(
+    left: LogicalPlan,   // docs (id, vec)
+    right: LogicalPlan,  // queries (id, vec) — small side
+    k: Int,
+    metric: String,
+    excludeSelf: Boolean,
+    // in the constructor so exprIds stay stable across optimizer copies
+    override val output: Seq[Attribute]) extends BinaryNode {
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  // the kernel consumes both (id, vec) columns of each child — declare them
+  // so ColumnPruning doesn't strip the children to empty projections
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): KnnJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object KnnJoin {
+  /** Build with fresh output attributes typed from the children. */
+  def create(docs: LogicalPlan, queries: LogicalPlan, k: Int, metric: String,
+      excludeSelf: Boolean): KnnJoin =
+    KnnJoin(docs, queries, k, metric, excludeSelf, Seq(
+      AttributeReference("query_id", queries.output.head.dataType)(),
+      AttributeReference("id", docs.output.head.dataType)(),
+      AttributeReference("distance", DoubleType, nullable = false)(),
+      AttributeReference("rank", IntegerType, nullable = false)()))
+}
+
+object KnnStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case KnnJoin(docs, queries, k, metric, excludeSelf, out) =>
+      KnnJoinExec(planLater(docs), planLater(queries), k, metric, excludeSelf,
+        out) :: Nil
+    case _ => Nil
+  }
+}
+
+case class KnnJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    k: Int,
+    metric: String,
+    excludeSelf: Boolean,
+    override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val docIdType = left.output.head.dataType
+    val qIdType = right.output.head.dataType
+
+    // small side: collect once on the driver, broadcast primitives
+    val qRows = right.executeCollect()
+    val qIds: Array[Any] = qRows.map(r => InternalRow.copyValue(r.get(0, qIdType)))
+    val qVecs: Array[Array[Double]] = qRows.map(_.getArray(1).toDoubleArray())
+    val bc = sparkContext.broadcast((qIds, qVecs))
+    val m = metric
+    val ex = excludeSelf
+    val kk = k
+
+    val partials: RDD[(Int, TopKBuffer)] = left.execute().mapPartitions { rows =>
+      val (ids, vecs) = bc.value
+      val nq = vecs.length
+      val heaps = Array.fill(nq)(new TopKBuffer(kk))
+      rows.foreach { row =>
+        if (!row.isNullAt(1)) {
+          val idVal = InternalRow.copyValue(row.get(0, docIdType))
+          val v = row.getArray(1).toDoubleArray()
+          var q = 0
+          while (q < nq) {
+            if (!(ex && idVal == ids(q))) {
+              val d = KnnJoinExec.distOf(m, v, vecs(q))
+              if (!d.isNaN) heaps(q).insert(d, idVal)
+            }
+            q += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.map(_.swap)
+    }
+
+    partials
+      .reduceByKey((a, b) => { b.sortedEntries.foreach { case (d, v) => a.insert(d, v) }; a },
+        numPartitions = math.max(1, math.min(qIds.length, 32)))
+      .mapPartitions { it =>
+        val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+        val (ids, _) = bc.value
+        it.flatMap { case (qIdx, heap) =>
+          heap.sortedEntries.iterator.zipWithIndex.map { case ((d, id), pos) =>
+            proj.apply(InternalRow(ids(qIdx), id, d, pos + 1)).copy()
+          }
+        }
+      }
+  }
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): KnnJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object KnnJoinExec {
+  @inline def distOf(metric: String, a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    metric match {
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      case "sqeuclidean" =>
+        var s = 0.0
+        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      case "euclidean" =>
+        var s = 0.0
+        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      case _ =>
+        var s = 0.0
+        while (i < n) { s += a(i) * b(i); i += 1 }
+        -s
+    }
+  }
+}

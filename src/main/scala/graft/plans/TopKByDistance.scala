@@ -122,8 +122,9 @@ case class TopKByDistance(
 
 /** Size-capped max-heap on distance; the root is the current worst of the
   * best-k, so accept/evict is O(log k) and `wouldAccept` lets callers skip
-  * payload evaluation for rows that can't make the cut. */
-final class TopKBuffer(val k: Int) {
+  * payload evaluation for rows that can't make the cut. Serializable so it
+  * can ride RDD-level combine (KnnJoinExec) as well as this aggregate. */
+final class TopKBuffer(val k: Int) extends Serializable {
   var dists: Array[Double] = new Array[Double](math.min(k, 16))
   var values: Array[Any] = new Array[Any](math.min(k, 16))
   var size: Int = 0

@@ -97,6 +97,24 @@ class KnnSpec extends SparkSuite {
       .count() == 12)
   }
 
+  test("custom KnnJoin plan: same results as bruteForce, KnnJoinExec in plan") {
+    val many = spark.range(300).select(
+      col("id"), transform(sequence(lit(0), lit(7)),
+        i => sin((col("id") + 1) * (i + 1)).cast("float")).as("embedding"))
+    val q = many.where(col("id") < 4)
+    val viaPlan = Knn.knnJoin(many, q, 6, "cosine", excludeSelf = true)
+    // physical nodes print without the Exec suffix; check the node type
+    assert(viaPlan.queryExecution.executedPlan.collectFirst {
+      case p: graft.plans.KnnJoinExec => p
+    }.isDefined)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "rank").orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(key(viaPlan) == key(Knn.bruteForce(many, q, 6, "cosine", excludeSelf = true)))
+    // downstream composition over the custom node works
+    assert(viaPlan.groupBy("query_id").count().count() == 4)
+  }
+
   test("ivf search approximates exact knn on clustered data") {
     // three tight clusters → coarse quantizer separates them perfectly
     val pts = (0 until 300).map { i =>
