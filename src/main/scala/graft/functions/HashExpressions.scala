@@ -223,6 +223,58 @@ case class TextNgrams(child: Expression, ngram: Int)
   override def prettyName: String = "text_ngrams"
 }
 
+/** char_ngrams(text, n) → array<string>: character n-grams over the
+  * normalized text (lowercased, non-alnum runs collapsed to single spaces,
+  * trimmed) in one pass — same rationale as [[TextNgrams]]. */
+case class CharNgrams(child: Expression, ngram: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(ngram >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val norm = new ByteArrayStringBuilder(bytes.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val c: Int =
+        if (b >= 'A' && b <= 'Z') b + 32
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else -1
+      if (c >= 0) {
+        if (pendingSpace && norm.len > 0) norm.add(' '.toByte)
+        pendingSpace = false
+        norm.add(c.toByte)
+      } else pendingSpace = true
+      i += 1
+    }
+    val n = norm.len
+    val count = math.max(n - ngram + 1, 0)
+    val out = new Array[Any](count)
+    var p = 0
+    while (p < count) {
+      out(p) = UTF8String.fromBytes(norm.buf, p, ngram)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_ngrams"
+}
+
+private[functions] final class ByteArrayStringBuilder(cap: Int) {
+  var buf = new Array[Byte](math.max(cap, 8))
+  var len = 0
+  def add(b: Byte): Unit = {
+    if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    buf(len) = b; len += 1
+  }
+}
+
 /** simhash64(tokens) → long: sign-sum of token hash bits. */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

@@ -30,13 +30,10 @@ object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     graft.functions.text_ngrams(text, n)
 
-  /** Character n-grams over the normalized text (spaces collapsed). */
-  def charNgrams(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "[^a-z0-9]+", " ")
-    val m = greatest(length(norm) - (n - 1), lit(0))
-    transform(sequence(lit(0), m - 1, lit(1)),
-      i => norm.substr(i + 1, lit(n)))
-  }
+  /** Character n-grams over the normalized text (spaces collapsed),
+    * single-pass native expression. */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.char_ngrams(text, n)
 
   /** Ratio of punctuation (non-alnum, non-space) chars to total chars. */
   def punctRatio(text: Column): Column = {

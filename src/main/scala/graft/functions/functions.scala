@@ -59,6 +59,10 @@ package object functions {
   def text_ngrams(text: Column, n: Int): Column =
     Bridge.column(TextNgrams(Bridge.expression(text), n))
 
+  /** One-pass character n-grams of normalized text (see CharNgrams). */
+  def char_ngrams(text: Column, n: Int): Column =
+    Bridge.column(CharNgrams(Bridge.expression(text), n))
+
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))

@@ -38,6 +38,25 @@ object EventStream {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Streaming knn: score a stream of query vectors against a static doc
+    * table — stream-static cross join (docs broadcast) + the same bounded
+    * top-k aggregate, in update mode. The streaming twin of `find()`. */
+  def streamingKnn(queryStream: DataFrame, docs: DataFrame, k: Int,
+      metric: String = "cosine",
+      queryId: String = "id", queryVec: String = "embedding",
+      docId: String = "id", docVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.functions._
+    val d = docs.select(col(docId).as("_did"), col(docVec).as("_dvec"))
+    queryStream
+      .select(col(queryId).as("query_id"), col(queryVec).as("_qvec"))
+      .crossJoin(broadcast(d))
+      .groupBy("query_id")
+      .agg(topk_by_distance(
+        vector_distance(col("_dvec"), col("_qvec"), metric),
+        col("_did"), k).as("matches"))
+  }
+
   case class SessionEvent(user_id: Long, ts: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Long, end: Long, n_events: Int)

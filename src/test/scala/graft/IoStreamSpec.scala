@@ -102,6 +102,41 @@ class IoStreamSpec extends SparkSuite {
     assert(got.select("embedding").as[Seq[Float]].collect()(0).length == 32)
   }
 
+  test("charNgrams: single-pass normalized char shingles") {
+    import graft.functions.TextFunctions
+    val got = Seq("Ab, cd!").toDF("text")
+      .select(TextFunctions.charNgrams($"text", 3)).as[Seq[String]].collect()(0)
+    assert(got == Seq("ab ", "b c", " cd"))
+  }
+
+  test("tag promotion gives typed pushdown-able columns") {
+    import graft.operators.Promote
+    import org.apache.spark.sql.types.IntegerType
+    val df = Seq((1L, Map("i" -> "42", "s" -> "x"))).toDF("id", "tags")
+    val p = Promote.tags(df, Map("i" -> IntegerType))
+    assert(p.schema("tag_i").dataType == IntegerType)
+    assert(p.where($"tag_i" > 40).count() == 1)
+  }
+
+  test("streaming knn over a memory stream of query vectors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 1.0f)),
+      (12L, Seq(0.9f, 0.1f))).toDF("id", "embedding")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData((1L, Seq(1.0f, 0.05f)))
+    val stream = mem.toDF().toDF("id", "embedding")
+    val out = EventStream.streamingKnn(stream, docs, 2)
+      .writeStream.outputMode("update").format("memory").queryName("sknn")
+      .trigger(Trigger.AvailableNow()).start()
+    out.processAllAvailable(); out.stop()
+    val rows = spark.sql("SELECT query_id, matches FROM sknn").collect()
+    assert(rows.length == 1)
+    val m = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(m.map(_.getLong(1)) == Seq(10L, 12L)) // nearest first
+  }
+
   test("binary codec: reference-format round trip incl. nesting flatten") {
     import graft.sources.BinaryCodec
     import graft.schema.{Doc, NamedScore, Tensor}
