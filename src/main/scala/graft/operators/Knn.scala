@@ -81,6 +81,36 @@ object Knn {
       (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** knn with a user-supplied distance: any `(docVec, queryVec) => Column`
+    * (native expression composition or a UDF) runs through the same
+    * broadcast + bounded-heap plan — the reference's custom-metric callable
+    * (reference: docarray/array/storage/memory/find.py:69-81). */
+  def bruteForceCustom(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      distance: (Column, Column) => Column,
+      docId: String = "id",
+      docVec: String = "embedding",
+      queryId: String = "id",
+      queryVec: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val d = docs.select(col(docId).as("_did"), col(docVec).as("_dvec"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qvec"))
+    var pairs = d.crossJoin(broadcast(q))
+    if (excludeSelf) pairs = pairs.where(col("_did") =!= col("query_id"))
+    pairs
+      .groupBy("query_id")
+      .agg(topk_by_distance(distance(col("_dvec"), col("_qvec")), col("_did"), k)
+        .as("_topk"))
+      .select(col("query_id"), posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(
+        col("query_id"),
+        col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Blocked brute-force kernel — same results as [[bruteForce]], different
     * physical strategy: the (small) query matrix is collected once and
     * broadcast as primitive double[][]; each doc partition streams its rows

@@ -97,6 +97,18 @@ class KnnSpec extends SparkSuite {
       .count() == 12)
   }
 
+  test("custom metric callable inverts ordering (test_find.py:11-25)") {
+    import graft.functions._
+    val q = docs.where($"id" === 0)
+    val normal = Knn.bruteForce(docs, q, 4, "cosine", excludeSelf = true)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    // inverse metric: negative cosine distance → farthest first
+    val inverse = Knn.bruteForceCustom(docs, q, 4,
+      (d, qv) => -cosine_distance(d, qv), excludeSelf = true)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(inverse == normal.reverse)
+  }
+
   test("custom KnnJoin plan: same results as bruteForce, KnnJoinExec in plan") {
     val many = spark.range(300).select(
       col("id"), transform(sequence(lit(0), lit(7)),
