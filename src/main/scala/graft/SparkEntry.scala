@@ -318,6 +318,19 @@ object SparkEntry {
           (acc, x) => acc + x), 2).as("value_sum"))
       .orderBy("doc_id")
 
+  // pre-filtered knn: boolean filter + vector search in ONE plan — the
+  // reference's filter-param of find() (annlite/qdrant pre-filtered ANN,
+  // reference: storage/annlite/find.py:46-63). The filter lands in the
+  // parquet scan below the distance kernel.
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val filtered = Filters.where(emb, """{"label": {"$in": [0, 2, 4, 6, 8]}}""")
+    Knn.bruteForce(filtered, emb.where(col("vec_id") < 8), 4, "cosine",
+      docId = "vec_id", queryId = "vec_id", excludeSelf = true)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +361,8 @@ object SparkEntry {
     "q25_props_json" -> (q25 _),
     "q26_text_search" -> (q26 _),
     "q27_update_by_id" -> (q27 _),
-    "q28_multimodal" -> (q28 _))
+    "q28_multimodal" -> (q28 _),
+    "q29_filtered_knn" -> (q29 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -595,6 +609,16 @@ object SparkEntry {
     "q27_update_by_id" ->
       """SELECT d.doc_id, d.lang,
            CASE WHEN d.doc_id % 10 = 0 THEN 'UPDATED' ELSE d.source END AS source
-         FROM documents d ORDER BY d.doc_id"""
+         FROM documents d ORDER BY d.doc_id""",
+
+    "q29_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 8),
+         d AS (SELECT qid, e.vec_id id, 1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid AND e.label IN (0,2,4,6,8)),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         WHERE rank <= 4 ORDER BY query_id, rank"""
   )
 }
