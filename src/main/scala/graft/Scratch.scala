@@ -19,13 +19,13 @@ object Scratch {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       plan.linesIterator
-        .filter(l => l.contains("PushedFilters") || l.contains("Exchange") ||
-          l.contains("Join") || l.contains("WholeStageCodegen") ||
-          l.contains("Scan") || l.contains("Aggregate") || l.contains("Window"))
-        .take(18).foreach(l => println(l.take(220)))
+        .filter(l => l.contains("Exchange") || l.contains("Join") ||
+          l.contains("Aggregate(") || l.contains("Scan parquet") ||
+          l.contains("Window"))
+        .take(24).foreach(l => println(l.take(150)))
     }
-    Seq("q01_pricing_agg", "q02_filter_mongo", "q03_top_customers",
-      "q04_supplier_top_parts", "q11_knn_cosine", "q16_sessions").foreach(audit)
+    Seq("q26_text_search", "q23_minhash_lsh", "q10_jaccard_pairs",
+      "q29_filtered_knn").foreach(audit)
     spark.stop()
   }
 }

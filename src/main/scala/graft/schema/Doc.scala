@@ -92,6 +92,17 @@ object DocSchema {
     spark.range(n).withColumnRenamed("id", "seq").select(cols.toIndexedSeq: _*)
   }
 
+  /** Resolved `content_type` view of the blob/tensor/text oneof — the
+    * reference's `content` union discriminator
+    * (reference: docarray.proto:67-76 oneof content;
+    * document/data.py non-empty resolution). */
+  def contentType(df: DataFrame): DataFrame =
+    df.withColumn("content_type",
+      when(col("blob").isNotNull, "blob")
+        .when(col("tensor").isNotNull, "tensor")
+        .when(col("text").isNotNull && col("text") =!= "", "text")
+        .otherwise(""))
+
   /** Wrap an arbitrary DataFrame into the canonical doc shape: named columns
     * are mapped onto core fields; everything else lands in `tags` as strings —
     * the reference's unknown-kwargs-to-tags catch

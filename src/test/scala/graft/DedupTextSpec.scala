@@ -56,6 +56,22 @@ class DedupTextSpec extends SparkSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("embedding LSH near-dup recovers the exact pairs (tight threshold)") {
+    // clustered vectors: near-identical pairs land in the same LSH buckets
+    val pts = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(8)(j =>
+        (c * 5.0 + j * 0.7 + (i / 3) * 0.001).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val exact = Dedup.embeddingPairsExact(df, "id", "embedding", 1e-6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(df, "id", "embedding", dim = 8,
+      threshold = 1e-6).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
   test("embedding near-dup pairs under threshold") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (2L, Seq(0.0f, 1.0f))

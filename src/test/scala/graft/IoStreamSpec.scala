@@ -25,6 +25,20 @@ class IoStreamSpec extends SparkSuite {
     assert(row.getMap[String, String](2).get("answer").contains("him"))
   }
 
+  test("fromFiles: binaryFile glob → uri/blob/mime docs; content_type view") {
+    val dir = Files.createTempDirectory("graftfiles").toFile
+    Files.write(new java.io.File(dir, "a.png").toPath, Array[Byte](1, 2))
+    Files.writeString(new java.io.File(dir, "b.txt").toPath, "hi")
+    val docs = Readers.fromFiles(spark, dir.getPath + "/*")
+    assert(docs.count() == 2)
+    val byMime = docs.select("mime_type", "blob").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(byMime == Map("image/png" -> 2, "text/plain" -> 2))
+    val ct = DocSchema.contentType(docs).select("content_type").distinct()
+      .as[String].collect().toSet
+    assert(ct == Set("blob"))
+  }
+
   test("fromLines + parquet round trip") {
     val dir = Files.createTempDirectory("graftl").toFile
     Files.writeString(new java.io.File(dir, "x.txt").toPath, "l1\nl2\nl3\n")
