@@ -331,6 +331,31 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // full evaluate lifecycle: results (knn matches) vs ground truth
+  // (same-label sets), relevance zip-join → per-query metrics → corpus
+  // mean (reference: evaluation.py:15-87)
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = Knn.bruteForce(emb, emb.where(col("vec_id") < 20), 5, "cosine",
+      docId = "vec_id", queryId = "vec_id", excludeSelf = true)
+    val results = hits.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("id")))),
+        x => x.getField("id")).as("matches"))
+      .withColumnRenamed("query_id", "vec_id")
+    val gtruth = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("_q"), col("label"))
+      .join(emb.select(col("vec_id").as("_o"), col("label")), "label")
+      .where(col("_q") =!= col("_o"))
+      .groupBy(col("_q").as("vec_id"))
+      .agg(sort_array(collect_list(col("_o"))).as("matches"))
+    val rel = Evaluate.relevanceAgainst(results, gtruth, "vec_id")
+    rel.agg(
+      round(avg(Evaluate.precisionAtK(col("rel"), 5)), 4).as("mean_p_at_5"),
+      round(avg(Evaluate.reciprocalRank(col("rel"))), 4).as("mean_rr"),
+      round(avg(Evaluate.averagePrecision(col("rel"))), 4).as("mean_ap"),
+      count(lit(1)).as("n_queries"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -362,7 +387,8 @@ object SparkEntry {
     "q26_text_search" -> (q26 _),
     "q27_update_by_id" -> (q27 _),
     "q28_multimodal" -> (q28 _),
-    "q29_filtered_knn" -> (q29 _))
+    "q29_filtered_knn" -> (q29 _),
+    "q30_evaluate_mean" -> (q30 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -619,6 +645,26 @@ object SparkEntry {
          r AS (SELECT qid query_id, id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
          SELECT query_id, id, round(dist,6) AS distance, rank FROM r
-         WHERE rank <= 4 ORDER BY query_id, rank"""
+         WHERE rank <= 4 ORDER BY query_id, rank""",
+
+    "q30_evaluate_mean" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         q AS (SELECT vec_id qid, v qv, label ql FROM e WHERE vec_id < 20),
+         d AS (SELECT qid, ql, e.vec_id id, e.label hl,
+               1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid, rel, rank,
+               sum(rel) OVER (PARTITION BY qid ORDER BY rank) cum FROM (
+                 SELECT qid, CASE WHEN ql = hl THEN 1 ELSE 0 END rel,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank
+                 FROM d) WHERE rank <= 5),
+         per AS (SELECT qid,
+               sum(rel)/5.0 p5,
+               coalesce(max(CASE WHEN rel=1 THEN 1.0/rank END), 0.0) rr,
+               coalesce(sum(CASE WHEN rel=1 THEN cum*1.0/rank END)*1.0
+                 / nullif(sum(rel),0), 0.0) ap
+               FROM r GROUP BY qid)
+         SELECT round(avg(p5),4) AS mean_p_at_5, round(avg(rr),4) AS mean_rr,
+           round(avg(ap),4) AS mean_ap, count(*) AS n_queries FROM per"""
   )
 }

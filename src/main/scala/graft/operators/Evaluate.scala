@@ -91,4 +91,22 @@ object Evaluate {
     val cols = metrics.toSeq.map { case (name, fn) => fn(col(relCol)).as(name) }
     results.select(col(idCol) +: cols: _*)
   }
+
+  /** `da.evaluate(groundtruth)`: align results to ground truth by id
+    * (inner join — the reference asserts strict alignment,
+    * evaluation.py:40-64) and turn each result's ranked match-id list into
+    * a binary relevance array against the ground-truth match set. Feed the
+    * result to the metric columns above; corpus mean = plain `avg`
+    * (reference: evaluation.py:85-87). */
+  def relevanceAgainst(results: DataFrame, groundTruth: DataFrame,
+      idCol: String = "id", matchesCol: String = "matches"): DataFrame = {
+    val gt = groundTruth.select(col(idCol).as("_gid"),
+      col(matchesCol).as("_gt_matches"))
+    results.select(col(idCol), col(matchesCol))
+      .join(gt, col(idCol) === col("_gid"), "inner")
+      .select(col(idCol),
+        transform(col(matchesCol),
+          m => when(array_contains(col("_gt_matches"), m), 1).otherwise(0))
+          .as("rel"))
+  }
 }
