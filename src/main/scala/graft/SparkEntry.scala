@@ -417,7 +417,7 @@ object SparkEntry {
          GROUP BY 1,2 ORDER BY revenue DESC, c_custkey LIMIT 10""",
 
     "q04_supplier_top_parts" ->
-      """SELECT l_suppkey, l_partkey, l_extendedprice, rn FROM (
+      """SELECT l_suppkey, l_partkey, l_extendedprice, CAST(rn AS INTEGER) AS rn FROM (
            SELECT l_suppkey, l_partkey, l_extendedprice,
              row_number() OVER (PARTITION BY l_suppkey
                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) rn
@@ -443,8 +443,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
            FROM documents)
-         SELECT doc_id, len(tok) AS n_tokens,
-           len(list_distinct(tok)) AS n_distinct,
+         SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct,
            round(CASE WHEN len(tok)=0 THEN 0.0
              ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok) END, 4)
              AS mean_tok_len
@@ -490,7 +490,7 @@ object SparkEntry {
                FROM q, e WHERE e.vec_id <> qid),
          r AS (SELECT qid query_id, id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
-         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         SELECT query_id, id, round(dist,6) AS distance, CAST(rank AS INTEGER) AS rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q12_knn_euclidean" ->
@@ -500,7 +500,7 @@ object SparkEntry {
                FROM q, e WHERE e.vec_id <> qid),
          r AS (SELECT qid query_id, id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
-         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         SELECT query_id, id, round(dist,6) AS distance, CAST(rank AS INTEGER) AS rank FROM r
          WHERE rank <= 3 ORDER BY query_id, rank""",
 
     "q13_knn_dot" ->
@@ -510,7 +510,7 @@ object SparkEntry {
                FROM q, e WHERE e.vec_id <> qid),
          r AS (SELECT qid query_id, id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
-         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         SELECT query_id, id, round(dist,6) AS distance, CAST(rank AS INTEGER) AS rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q14_embedding_pairs" ->
@@ -530,7 +530,7 @@ object SparkEntry {
          g AS (SELECT user_id, CASE WHEN tns - lag(tns) OVER
                (PARTITION BY user_id ORDER BY tns) > 1800000000000
                THEN 1 ELSE 0 END gap FROM x)
-         SELECT user_id, sum(gap)+1 AS n_sessions, count(*) AS n_events
+         SELECT user_id, CAST(sum(gap)+1 AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM g GROUP BY 1 ORDER BY 1""",
 
     "q17_reduce_merge" ->
@@ -607,8 +607,8 @@ object SparkEntry {
          FROM m ORDER BY doc_id""",
 
     "q25_props_json" ->
-      """SELECT event_type, sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
-           AS BIGINT)) AS sum_k, count(*) AS n
+      """SELECT event_type, CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1)
+           AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q26_text_search" ->
@@ -644,7 +644,7 @@ object SparkEntry {
                FROM q, e WHERE e.vec_id <> qid AND e.label IN (0,2,4,6,8)),
          r AS (SELECT qid query_id, id, dist,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
-         SELECT query_id, id, round(dist,6) AS distance, rank FROM r
+         SELECT query_id, id, round(dist,6) AS distance, CAST(rank AS INTEGER) AS rank FROM r
          WHERE rank <= 4 ORDER BY query_id, rank""",
 
     "q30_evaluate_mean" ->

@@ -47,6 +47,13 @@ def main():
                 print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
                 n_fail += 1
                 continue
+            # dtype drift (spark parquet vs oracle) — warn, since the
+            # driver's strictness here is unknown
+            gt_types = {d[0]: d[1] for d in got_rel.description}
+            wt_types = {d[0]: d[1] for d in want_rel.description}
+            for c in got_cols:
+                if gt_types[c] != wt_types[c]:
+                    print(f"  TYPE? {name}.{c}: spark={gt_types[c]} oracle={wt_types[c]}")
             # driver sorts columns by name before hashing
             gidx = [got_cols.index(c) for c in sorted(got_cols)]
             widx = [want_cols.index(c) for c in sorted(want_cols)]
