@@ -128,11 +128,7 @@ object Filters {
           case Some(_: NumericType) => (c, lit(i))
           case _ => (c.cast(DoubleType), lit(i.toDouble))
         }
-      case JDouble(d) =>
-        t match {
-          case Some(_: NumericType) => (c.cast(DoubleType), lit(d))
-          case _ => (c.cast(DoubleType), lit(d))
-        }
+      case JDouble(d) => (c.cast(DoubleType), lit(d))
       case JDecimal(d) => (c.cast(DoubleType), lit(d.toDouble))
       case JNull => (c, lit(null))
       case o => throw new IllegalArgumentException(s"unsupported literal: $o")

@@ -1,10 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Row
-
-import graft.functions._
 
 /** Multimodal content operators: images/audio/video as opaque `binary`
   * columns + shape-carrying tensor structs `{values, shape, dtype}`

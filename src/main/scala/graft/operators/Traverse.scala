@@ -53,10 +53,7 @@ object Traverse {
   def traverseFlat(nested: DataFrame, paths: String): DataFrame =
     paths.split(',').map(_.trim).filter(_.nonEmpty)
       .map(p => traverse(nested, p))
-      .reduce((a, b) => align(a, b.columns.toSet).unionByName(
-        align(b, a.columns.toSet), allowMissingColumns = true))
-
-  private def align(df: DataFrame, keep: Set[String]): DataFrame = df
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** flatten: all nesting levels as one table, deduped by id
     * (reference: traverse.py:197-228). Iteratively explodes to `depth`. */
