@@ -356,6 +356,39 @@ object SparkEntry {
       count(lit(1)).as("n_queries"))
   }
 
+  // event-time rolling aggregates (range-frame window). Micros, not nanos:
+  // the DuckDB oracle reads the ns-parquet at µs precision, so both sides
+  // compute on the same truncated clock.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus")
+      .rangeBetween(-3600000000L, 0)
+    events(s, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .select(col("user_id"), col("tus"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum("value").over(w), 3).as("sum_1h"))
+      .orderBy("user_id", "tus")
+  }
+
+  // as-of join: each event picks the user's latest order at-or-before it
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("event_id", "user_id", "ts")
+    // unique right rows per (custkey, time): keep the max orderkey's row
+    val orders = t(s, dir, "orders")
+      .withColumn("ots",
+        expr("unix_millis(cast(o_orderdate as timestamp)) * 1000000"))
+      .groupBy(col("o_custkey").as("user_id"), col("ots"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("_m"))
+      .select(col("user_id"), col("ots"),
+        col("_m.o_orderkey").as("o_orderkey"),
+        col("_m.o_totalprice").as("o_totalprice"))
+    AsOf.join(ev, orders, Seq("user_id"), "ts", "ots",
+      Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,7 +421,9 @@ object SparkEntry {
     "q27_update_by_id" -> (q27 _),
     "q28_multimodal" -> (q28 _),
     "q29_filtered_knn" -> (q29 _),
-    "q30_evaluate_mean" -> (q30 _))
+    "q30_evaluate_mean" -> (q30 _),
+    "q31_rolling_window" -> (q31 _),
+    "q32_asof_join" -> (q32 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -665,6 +700,27 @@ object SparkEntry {
                  / nullif(sum(rel),0), 0.0) ap
                FROM r GROUP BY qid)
          SELECT round(avg(p5),4) AS mean_p_at_5, round(avg(rr),4) AS mean_rr,
-           round(avg(ap),4) AS mean_ap, count(*) AS n_queries FROM per"""
+           round(avg(ap),4) AS mean_ap, count(*) AS n_queries FROM per""",
+
+    "q31_rolling_window" ->
+      """SELECT user_id, epoch_us(ts) AS tus,
+         count(*) OVER w AS n_1h,
+         round(sum(value) OVER w, 3) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, tus""",
+
+    "q32_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tns FROM events),
+         o AS (SELECT o_custkey user_id, epoch_ms(o_orderdate)*1000000 ots,
+               max(o_orderkey) AS o_orderkey,
+               max_by(o_totalprice, o_orderkey) AS o_totalprice
+               FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total
+         FROM ev ASOF LEFT JOIN o
+           ON ev.user_id = o.user_id AND ev.tns >= o.ots
+         ORDER BY event_id"""
   )
 }

@@ -102,6 +102,18 @@ class OperatorsSpec extends SparkSuite {
     assert(batched.select(max("batch_id")).as[Long].collect()(0) == 1L)
   }
 
+  test("asof join picks latest right row at-or-before, null when none") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "ts", "tag")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 15L, 110.0), (1L, 20L, 120.0))
+      .toDF("key", "qts", "price")
+    val got = AsOf.join(trades, quotes, Seq("key"), "ts", "qts", Seq("price"))
+      .orderBy("ts").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    // t1@10 → quote@8; t2@20 → quote@20 (tie = at-or-before); t3 key 2 → null
+    assert(got.toSeq == Seq(("t3", -1.0), ("t1", 100.0), ("t2", 120.0)))
+  }
+
   test("vocabulary honors minFreq (text.py:8-29)") {
     val df = Seq("a a a b b c").toDF("text")
     val v = GroupOps.vocabulary(df, $"text", minFreq = 2)
