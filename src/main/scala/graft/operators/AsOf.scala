@@ -39,10 +39,10 @@ object AsOf {
         lit(1).as("_side") :+ col(rightTime).as("_t"): _*)
     val unioned = lp.unionByName(rp, allowMissingColumns = true)
 
-    // right rows sort before left rows at equal time so "at-or-before"
-    // includes exact ties (ASOF >= semantics)
+    // right rows (_side=1) sort before left rows (_side=0) at equal time so
+    // "at-or-before" includes exact ties (ASOF >= semantics)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
+      .orderBy(col("_t").asc, col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightVals.foldLeft(unioned) { (d, c) =>
