@@ -183,6 +183,23 @@ class IoStreamSpec extends SparkSuite {
     assert(d3.getAs[Int]("granularity") == 1)
   }
 
+  test("binary codec round trip over the real documents table (500 docs)") {
+    import graft.sources.BinaryCodec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("cast(doc_id as string) as id", "text",
+        "map('lang', lang, 'source', source) as tags")
+    val dir = Files.createTempDirectory("graftbin2").toString
+    BinaryCodec.saveBinaryShards(docs, s"$dir/shards")
+    val back = BinaryCodec.loadBinary(spark, s"$dir/shards")
+    assert(back.count() == 500)
+    val orig = docs.select("id", "text").as[(String, String)].collect().toMap
+    val rt = back.select("id", "text").as[(String, String)].collect().toMap
+    assert(rt == orig)
+    val tags = back.where($"id" === "0").select("tags").collect()(0)
+      .getMap[String, String](0)
+    assert(tags.get("lang").nonEmpty)
+  }
+
   test("streaming: windowed counts + stateful sessionize over event files") {
     import org.apache.spark.sql.streaming.Trigger
     val stream = EventStream.fromDirectory(spark, "/root/testdata/sf0.001")

@@ -69,6 +69,17 @@ class OperatorsSpec extends SparkSuite {
     assert(flat.select("id").distinct().count() == 6)
   }
 
+  test("traverse chained paths: cm reaches matches of chunks") {
+    val docs = Seq(("r1", "root")).toDF("id", "text")
+      .withColumn("chunks", array(struct(
+        lit("c1").as("id"), lit("r1").as("parent_id"), lit("ct").as("text"),
+        array(struct(lit("m1").as("id"), lit("match-of-chunk").as("text")))
+          .as("matches"))))
+    val cm = Traverse.traverse(docs, "cm")
+    assert(cm.count() == 1)
+    assert(cm.select("text").as[String].collect()(0) == "match-of-chunk")
+  }
+
   test("traverseFlat unions multiple paths") {
     val docs = Seq(("r1", "t")).toDF("id", "text")
       .withColumn("chunks", array(struct(lit("c1").as("id"), lit("ct").as("text"))))
