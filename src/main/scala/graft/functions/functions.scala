@@ -30,6 +30,11 @@ package object functions {
   def vector_distance(a: Column, b: Column, metric: String): Column =
     dist(a, b, metric)
 
+  /** Distance over ml.linalg Vector columns (sparse-aware merge loops). */
+  def ml_vector_distance(a: Column, b: Column, metric: String = "cosine"): Column =
+    Bridge.column(
+      MlVectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
+
   /** L2-normalized copy of an embedding (array<double>). */
   def l2_normalize(a: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(a)))

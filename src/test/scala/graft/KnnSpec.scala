@@ -97,6 +97,23 @@ class KnnSpec extends SparkSuite {
       .count() == 12)
   }
 
+  test("sparse ml-vector distances match dense math") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = Seq(
+      (1L, Vectors.sparse(6, Seq((0, 1.0), (3, 2.0))),
+        Vectors.dense(1.0, 0.0, 0.0, 2.0, 0.0, 0.0)),
+      (2L, Vectors.sparse(6, Seq((1, 3.0))), Vectors.dense(0.0, 0.0, 4.0, 0.0, 0.0, 0.0))
+    ).toDF("id", "sv", "dv")
+    val vals = rows.orderBy("id").select(
+      ml_vector_distance($"sv", $"dv", "cosine"),
+      ml_vector_distance($"sv", $"sv", "sqeuclidean")).collect()
+    // row 1: sv == dv → cosine 0, self sqeuclidean 0
+    assert(math.abs(vals(0).getDouble(0)) < 1e-12)
+    assert(math.abs(vals(0).getDouble(1)) < 1e-12)
+    // row 2: orthogonal → cosine distance 1
+    assert(math.abs(vals(1).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("custom metric callable inverts ordering (test_find.py:11-25)") {
     import graft.functions._
     val q = docs.where($"id" === 0)
