@@ -113,6 +113,20 @@ class OperatorsSpec extends SparkSuite {
     assert(batched.select(max("batch_id")).as[Long].collect()(0) == 1L)
   }
 
+  test("multimodal pack/attr: modality columns become positioned chunks") {
+    val df = Seq((1L, "a caption", Array[Byte](9, 9))).toDF("id", "caption", "image")
+    val cols = Seq("caption" -> "text", "image" -> "image")
+    val packed = Modalities.pack(df, "id", cols)
+    assert(packed.columns.contains("chunks") && !packed.columns.contains("caption"))
+    val cap = Modalities.attr(packed, "id", "caption", cols).collect()(0)
+    assert(cap.getString(2) == "a caption")
+    val img = Modalities.attr(packed, "id", "image", cols).collect()(0)
+    assert(img.getAs[Array[Byte]](3).toSeq == Seq[Byte](9, 9))
+    assert(img.getString(1) == "image")
+    // traversal over packed chunks still works
+    assert(Traverse.traverse(packed, "c").count() == 2)
+  }
+
   test("asof join picks latest right row at-or-before, null when none") {
     val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
       .toDF("key", "ts", "tag")
