@@ -14,8 +14,12 @@ import graft.operators._
   * every query ends with a deterministic ORDER BY. */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // oracle parity needs UTC timestamp semantics regardless of the
+    // harness session's locale
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     // testdata events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
@@ -389,6 +393,17 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  // knn through the custom Catalyst operator (KnnJoin plan node) — same
+  // oracle shape as the declarative path, exercising the planner strategy
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.knnJoin(emb, emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+      k = 3, metric = "cosine",
+      docId = "vec_id", queryId = "vec_id", excludeSelf = true)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,7 +438,8 @@ object SparkEntry {
     "q29_filtered_knn" -> (q29 _),
     "q30_evaluate_mean" -> (q30 _),
     "q31_rolling_window" -> (q31 _),
-    "q32_asof_join" -> (q32 _))
+    "q32_asof_join" -> (q32 _),
+    "q33_knn_custom_plan" -> (q33 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -721,6 +737,17 @@ object SparkEntry {
            round(o.o_totalprice, 2) AS total
          FROM ev ASOF LEFT JOIN o
            ON ev.user_id = o.user_id AND ev.tns >= o.ots
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    "q33_knn_custom_plan" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+         d AS (SELECT qid, e.vec_id id, 1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, round(dist,6) AS distance,
+           CAST(rank AS INTEGER) AS rank FROM r
+         WHERE rank <= 3 ORDER BY query_id, rank"""
   )
 }
