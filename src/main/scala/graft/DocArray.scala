@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.schema.DocSchema
+
+/** Reference-shaped facade: the `DocumentArray` API surface
+  * (reference: docarray/array/document.py:19 and its ~20 mixins), with each
+  * method delegating to the corresponding graft operator. A user of the
+  * reference can port call sites almost 1:1; everything stays a lazy
+  * DataFrame plan until an action.
+  *
+  * {{{
+  *   val da = DocArray.fromParquet(spark, "s3://corpus/docs")
+  *   da.find("""{"tags__lang": "en"}""")                 // filter QL
+  *     .find(queries, k = 10)                            // knn
+  *     .df.show()
+  *   da.matchWith(other, k = 5)                          // da.match(other)
+  *   da.reduce(other).sample(1000, seed = 1).df          // merge + sample
+  * }}}
+  */
+final case class DocArray(df: DataFrame, idCol: String = "id") {
+
+  private def wrap(d: DataFrame): DocArray = copy(df = d)
+
+  // ---- find (§2.3 / §2.4: filter, vector, text) ----------------------
+
+  /** find(filter_dict): MongoDB-style boolean filter. */
+  def find(filterJson: String): DocArray = wrap(Filters.where(df, filterJson))
+
+  /** find(query_vectors): brute-force knn against this array. */
+  def find(queries: DataFrame, k: Int, metric: String = "cosine",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame =
+    Knn.bruteForce(df, queries, k, metric,
+      docId = idCol, docVec = vecCol, queryId = idCol, queryVec = vecCol,
+      excludeSelf = excludeSelf)
+
+  /** find(text_query): BM25 full-text relevance. */
+  def findText(query: String, textCol: String = "text"): DataFrame =
+    TextSearch.bm25(df, idCol, textCol, query)
+
+  /** match(other): knn results written into a `matches` column. */
+  def matchWith(other: DocArray, k: Int, metric: String = "cosine",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DocArray =
+    wrap(Knn.attachMatches(df, other.df, k, metric,
+      leftId = idCol, leftVec = vecCol, rightId = other.idCol,
+      rightVec = vecCol, excludeSelf = excludeSelf))
+
+  // ---- indexing / mutation (§2.2) ------------------------------------
+
+  def apply(ids: Seq[Any]): DocArray = wrap(Items.byIds(df, idCol, ids))
+  def where(mask: Column): DocArray = wrap(Items.byMask(df, mask))
+  def attrs(names: String*): DataFrame = Items.attrs(df, names: _*)
+  def update(updates: DataFrame): DocArray = wrap(Items.updateById(df, updates, idCol))
+  def delete(ids: Seq[Any]): DocArray = wrap(Items.deleteByIds(df, idCol, ids))
+  def extend(other: DocArray): DocArray = wrap(Items.extend(df, other.df))
+
+  // ---- merge / traversal / grouping (§2.4-2.6) -----------------------
+
+  def reduce(other: DocArray): DocArray = wrap(Reduce.merge(df, other.df, idCol))
+  def traverse(path: String): DocArray = wrap(Traverse.traverse(df, path))
+  def flatten(depth: Int = 2): DocArray = wrap(Traverse.flatten(df, depth))
+  def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
+  def vocabulary(minFreq: Long = 1, textCol: String = "text"): DataFrame =
+    GroupOps.vocabulary(df, col(textCol), minFreq)
+
+  // ---- sampling / ordering (§2.7) ------------------------------------
+
+  def sample(k: Int, seed: Long): DocArray = wrap(GroupOps.sampleExact(df, k, seed))
+  def shuffle(seed: Long): DocArray = wrap(GroupOps.shuffle(df, seed))
+
+  // ---- evaluation (§2.5) ---------------------------------------------
+
+  def evaluate(groundTruth: DocArray, matchesCol: String = "matches"): DataFrame =
+    Evaluate.relevanceAgainst(df, groundTruth.df, idCol, matchesCol)
+
+  def summary(): DataFrame = Summary.describe(df)
+
+  // ---- persistence (§2.1) --------------------------------------------
+
+  def saveParquet(path: String, partitionBy: Seq[String] = Nil): Unit =
+    graft.sources.Writers.toParquet(df, path, partitionBy)
+  def saveCsv(path: String): Unit = graft.sources.Writers.toCsv(df, path)
+  def saveBinary(dir: String): Unit =
+    graft.sources.BinaryCodec.saveBinaryShards(df, dir)
+
+  def count(): Long = df.count()
+}
+
+object DocArray {
+  def fromParquet(spark: SparkSession, path: String, idCol: String = "id"): DocArray =
+    DocArray(spark.read.parquet(path), idCol)
+  def fromCsv(spark: SparkSession, path: String,
+      fieldResolver: Map[String, String] = Map.empty): DocArray =
+    DocArray(graft.sources.Readers.fromCsv(spark, path, fieldResolver))
+  def fromJsonl(spark: SparkSession, path: String): DocArray =
+    DocArray(graft.sources.Readers.fromJsonl(spark, path))
+  def fromBinary(spark: SparkSession, path: String): DocArray =
+    DocArray(graft.sources.BinaryCodec.loadBinary(spark, path))
+  def empty(spark: SparkSession, n: Long): DocArray =
+    DocArray(DocSchema.empty(spark, n))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Facade behavior: reference-style call sites compose end-to-end. */
+class DocArraySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val da = DocArray(
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id"))
+
+  test("find(filter) → find(vectors) chains lazily") {
+    val filtered = da.find("""{"label": {"$gte": 5}}""")
+    assert(filtered.count() > 0 && filtered.count() < da.count())
+    val hits = filtered.find(filtered.df.limit(2), k = 3, excludeSelf = true)
+    assert(hits.count() == 6)
+  }
+
+  test("matchWith attaches matches; evaluate computes relevance") {
+    val q = DocArray(da.df.where($"id" < 5))
+    val matched = q.matchWith(da, k = 3, excludeSelf = true)
+    assert(matched.df.columns.contains("matches"))
+    assert(matched.count() == 5)
+  }
+
+  test("indexing, update, delete, extend, reduce") {
+    val docs = DocArray(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text"))
+    assert(docs(Seq(1L, 2L)).count() == 2)
+    assert(docs.delete(Seq(2L)).count() == 2)
+    assert(docs.extend(docs).count() == 6)
+    val upd = docs.update(Seq((3L, "C")).toDF("id", "text"))
+    assert(upd.df.where($"text" === "C").count() == 1)
+    val merged = docs.reduce(DocArray(Seq((4L, "d")).toDF("id", "text")))
+    assert(merged.count() == 4)
+  }
+
+  test("text search + vocabulary + sample through the facade") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    assert(docs.findText("spark table").count() > 0)
+    assert(docs.vocabulary(minFreq = 50).count() > 0)
+    assert(docs.sample(7, seed = 3).count() == 7)
+    assert(docs.summary().count() > 0)
+  }
+}
