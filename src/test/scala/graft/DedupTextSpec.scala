@@ -110,6 +110,29 @@ class DedupTextSpec extends SparkSuite {
     assert(got(1) > got(2)); assert(got(1) > got(3))
   }
 
+  test("jaccardPairs maxDocFreq drops hot-token postings (superset stays exact)") {
+    // 'the' appears in 3 docs; capping df at 2 removes its postings but
+    // near-dup pairs still surface through their other shared tokens
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1,
+      maxDocFreq = 2).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    // a generous cap changes nothing
+    val loose = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1,
+      maxDocFreq = 1000).select("a", "b").as[(Long, Long)].collect().toSet
+    assert(loose == full)
+  }
+
+  test("topk heap handles duplicate distances deterministically by payload") {
+    val df = Seq((1, 0.5, 10L), (1, 0.5, 11L), (1, 0.5, 12L), (1, 0.1, 13L))
+      .toDF("g", "d", "id")
+    val r = df.groupBy("g")
+      .agg(graft.functions.topk_by_distance($"d", $"id", 2).as("t"))
+      .select(explode($"t.value")).as[Long].collect().toSeq
+    assert(r.length == 2 && r.head == 13L)
+  }
+
   test("fused minhash_text equals minhash_signature(wordNgrams)") {
     for (n <- Seq(1, 2, 3)) {
       val cmp = docs.select(
