@@ -44,6 +44,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // KnnRewriteRule + SQL functions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.KnnTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.KnnRewriteRule)
   }
 }
