@@ -174,6 +174,17 @@ object BinaryCodec {
   def toBytes(df: DataFrame): Array[Byte] =
     streamBytes(DocSchema.fromColumns(df).collect().iterator)
 
+  /** to_base64 / from_base64 of the whole stream (reference:
+    * io/binary.py:343-403) — driver-side, small arrays only. */
+  def toBase64(df: DataFrame): String =
+    java.util.Base64.getEncoder.encodeToString(toBytes(df))
+
+  def fromBase64(spark: SparkSession, b64: String): DataFrame = {
+    val rows = parseStream(java.util.Base64.getDecoder.decode(b64)).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), DocSchema.flat)
+  }
+
   // ---- reading ------------------------------------------------------
 
   private final class R(val b: Array[Byte], var p: Int, val end: Int) {

@@ -133,6 +133,18 @@ class DedupTextSpec extends SparkSuite {
     assert(r.length == 2 && r.head == 13L)
   }
 
+  test("empty-text docs never become LSH/simhash candidates") {
+    val d = Seq((0L, "real words shared across duplicates here ok"),
+      (1L, "real words shared across duplicates here ok"),
+      (2L, ""), (3L, ""), (4L, "   !!! ")).toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(d, "doc_id", "text", 0.5, 64, 16, 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((0L, 1L))) // empties don't pair with each other
+    val sh = Dedup.simhashPairs(d, "doc_id", "text", 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((0L, 1L)))
+  }
+
   test("fused minhash_text equals minhash_signature(wordNgrams)") {
     for (n <- Seq(1, 2, 3)) {
       val cmp = docs.select(

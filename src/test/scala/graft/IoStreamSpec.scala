@@ -200,6 +200,16 @@ class IoStreamSpec extends SparkSuite {
     assert(tags.get("lang").nonEmpty)
   }
 
+  test("base64 round trip (to_base64/from_base64)") {
+    import graft.sources.BinaryCodec
+    import graft.schema.Doc
+    val docs = Seq(Doc(id = "x", text = "b64"), Doc(id = "y", uri = "u")).toDS().toDF()
+    val b64 = BinaryCodec.toBase64(docs)
+    val back = BinaryCodec.fromBase64(spark, b64)
+    assert(back.count() == 2)
+    assert(back.where($"id" === "x").select("text").as[String].collect()(0) == "b64")
+  }
+
   test("streaming: windowed counts + stateful sessionize over event files") {
     import org.apache.spark.sql.streaming.Trigger
     val stream = EventStream.fromDirectory(spark, "/root/testdata/sf0.001")
