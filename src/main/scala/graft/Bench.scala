@@ -24,14 +24,16 @@ object Bench {
   private def hex(c: org.apache.spark.sql.Column) = lpad(org.apache.spark.sql.functions.hex(abs(c)), 16, "0")
 
   /** Deterministic 1M benchmark docs, generated distributed (no driver
-    * loop): 32-hex id, promoted tags_i column + tags map, 128-d embedding. */
+    * loop): 32-hex id, promoted tags_i column + tags map, 128-d embedding.
+    * All derived values hash the 8-byte sequence number, not the hex id —
+    * hashing the 32-char string 128× per row was 3× the generation cost. */
   def benchDocs(spark: SparkSession, n: Long, dim: Int): DataFrame =
-    spark.range(n).select(
-      concat(hex(xxhash64(col("id"), lit(1))), hex(xxhash64(col("id"), lit(2)))).as("id"),
-      pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("int").as("tags_i"),
-      map(lit("i"), pmod(xxhash64(col("id"), lit(3)), lit(1000)).cast("string")).as("tags"),
+    spark.range(n).select(col("id").as("seq")).select(
+      concat(hex(xxhash64(col("seq"), lit(1))), hex(xxhash64(col("seq"), lit(2)))).as("id"),
+      pmod(xxhash64(col("seq"), lit(3)), lit(1000)).cast("int").as("tags_i"),
+      map(lit("i"), pmod(xxhash64(col("seq"), lit(3)), lit(1000)).cast("string")).as("tags"),
       transform(sequence(lit(0), lit(dim - 1)),
-        j => (pmod(xxhash64(col("id"), j), lit(10000)) / 10000.0).cast("float"))
+        j => (pmod(xxhash64(col("seq"), j), lit(10000)) / 10000.0).cast("float"))
         .as("embedding"))
 
   def main(args: Array[String]): Unit = {
@@ -71,7 +73,9 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graftbench").toString
     val docs1m = benchDocs(spark, 1000000L, 128)
     bench("create_1m", runs = 1) {
-      docs1m.write.mode("overwrite").parquet(s"$tmp/docs1m")
+      // uniform-random floats are incompressible: snappy costs 4s for ~3%
+      docs1m.write.mode("overwrite").option("compression", "none")
+        .parquet(s"$tmp/docs1m")
     }
     val stored = spark.read.parquet(s"$tmp/docs1m")
     bench("filter_1m") {
