@@ -49,6 +49,24 @@ object Items {
     joined.select(proj.toIndexedSeq: _*)
   }
 
+  /** da[[o1, o2, ...]] — multi-offset selection preserving the REQUESTED
+    * order (reference getitem.py:66-80 list/ndarray indexing keeps the
+    * index order, not the table order). */
+  def byOffsetsOrdered(df: DataFrame, offsetCol: String, offsets: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val want = offsets.zipWithIndex.toDF("_want_off", "_want_pos")
+    df.join(broadcast(want), col(offsetCol) === col("_want_off"))
+      .orderBy("_want_pos")
+      .drop("_want_off", "_want_pos")
+  }
+
+  /** Upsert: rows in `updates` overwrite same-id rows and new ids are
+    * appended — Delta MERGE semantics without Delta (reference: store
+    * backends' setitem-or-append, base/getsetdel.py). */
+  def upsert(df: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    Reduce.merge(updates, df, idCol)
+
   /** del da[ids] (reference delitem.py). */
   def deleteByIds(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame =
     df.where(!col(idCol).isin(ids: _*))

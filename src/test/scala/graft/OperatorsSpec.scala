@@ -104,6 +104,27 @@ class OperatorsSpec extends SparkSuite {
     assert(Items.bySlice(off, "offset", 1, 3).count() == 2)
   }
 
+  test("byOffsetsOrdered preserves requested order; upsert merges") {
+    val base = Items.withOffsets(
+      Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("id", "text"), $"id")
+    val got = Items.byOffsetsOrdered(base, "offset", Seq(2L, 0L))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(30L, 10L))
+    val up = Items.upsert(base.select("id", "text"),
+      Seq((20L, "B"), (40L, "d")).toDF("id", "text"), "id")
+    assert(up.count() == 4)
+    assert(up.where($"id" === 20L).select("text").as[String].collect()(0) == "B")
+  }
+
+  test("bucketed layout write round trips through the table catalog") {
+    val df = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "text", "w")
+    Promote.writeLayout(df, "/tmp/graft_bucket_test",
+      bucketBy = Some((4, "id")), table = Some("graft_bucket_test"))
+    val back = spark.table("graft_bucket_test")
+    assert(back.count() == 2)
+    spark.sql("DROP TABLE graft_bucket_test")
+  }
+
   test("groupOps: splitByTag and batch assignment") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "tag")
     val groups = GroupOps.splitByTag(df, $"tag", $"id").orderBy("tag").collect()
