@@ -239,6 +239,32 @@ object Knn {
       Bridge.logicalPlan(d), Bridge.logicalPlan(q), k, metric, excludeSelf))
   }
 
+  /** Large-Q regime: both sides too big for one broadcast. Queries are
+    * hash-split into `nBlocks` groups; each block runs the blocked kernel
+    * (its own broadcast), results union lazily — the full A.match(B) grid
+    * with per-block memory bounded at |Q|/nBlocks × dim doubles. Pick
+    * nBlocks so a block's query matrix is ~10-50 MB; doc side is streamed
+    * once per block (at 100 TB, cache the doc scan or accept re-reads —
+    * the tradeoff is block count × scan cost vs broadcast memory). */
+  def bruteForceLargeQ(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      docId: String = "id",
+      docVec: String = "embedding",
+      queryId: String = "id",
+      queryVec: String = "embedding",
+      excludeSelf: Boolean = false,
+      nBlocks: Int = 8): DataFrame = {
+    require(nBlocks >= 1)
+    (0 until nBlocks).map { b =>
+      val block = queries.where(pmod(xxhash64(col(queryId)), lit(nBlocks)) === b)
+      bruteForceBlocked(docs, block, k, metric,
+        docId, docVec, queryId, queryVec, excludeSelf)
+    }.reduce(_.unionAll(_))
+  }
+
   /** knn + writeback: returns `left` with a `matches` column —
     * array<struct<id, distance, rank>> ascending by distance — the
     * reference's `da.match(darray)` (reference: match.py:12-92; ordering

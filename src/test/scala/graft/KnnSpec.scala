@@ -97,6 +97,18 @@ class KnnSpec extends SparkSuite {
       .count() == 12)
   }
 
+  test("large-Q block-split returns identical results to single broadcast") {
+    val many = spark.range(300).select(
+      col("id"), transform(sequence(lit(0), lit(7)),
+        i => sin((col("id") + 1) * (i + 1)).cast("float")).as("embedding"))
+    val q = many.where(col("id") < 40)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "id", "rank").orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(key(Knn.bruteForceLargeQ(many, q, 5, nBlocks = 4, excludeSelf = true))
+      == key(Knn.bruteForce(many, q, 5, "cosine", excludeSelf = true)))
+  }
+
   test("sparse ml-vector distances match dense math") {
     import org.apache.spark.ml.linalg.Vectors
     val rows = Seq(

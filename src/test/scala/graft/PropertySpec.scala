@@ -1,0 +1,86 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.plans.TopKBuffer
+
+/** Property-based checks of the hand-rolled kernels against trivially
+  * correct reference implementations (raw scalacheck generators, seeded
+  * so runs are reproducible). */
+class PropertySpec extends SparkSuite {
+
+  private def forAll[T](gen: Gen[T], n: Int = 60)(f: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(v) => f(v); produced += 1
+        case None =>
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > 0, "generator produced nothing")
+  }
+
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  test("TopKBuffer equals sort-take-k for arbitrary inputs and merges") {
+    val gen = for {
+      k <- Gen.choose(1, 12)
+      xs <- Gen.listOf(Gen.choose(-1e6, 1e6))
+      split <- Gen.choose(0, math.max(xs.length, 1))
+    } yield (k, xs, split)
+    forAll(gen) { case (k, xs, split) =>
+      // single buffer
+      val buf = new TopKBuffer(k)
+      xs.zipWithIndex.foreach { case (d, i) => buf.insert(d, i.toLong) }
+      val got = buf.sortedEntries.map(_._1).toSeq
+      val want = xs.sorted.take(k)
+      assert(got == want)
+      // two partial buffers merged
+      val (l, r) = xs.splitAt(math.min(split, xs.length))
+      val b1 = new TopKBuffer(k); val b2 = new TopKBuffer(k)
+      l.zipWithIndex.foreach { case (d, i) => b1.insert(d, i.toLong) }
+      r.zipWithIndex.foreach { case (d, i) => b2.insert(d, i.toLong) }
+      b2.sortedEntries.foreach { case (d, v) => b1.insert(d, v) }
+      assert(b1.sortedEntries.map(_._1).toSeq == want)
+    }
+  }
+
+  test("fused minhash_text equals composed pipeline for arbitrary text") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val texts = Gen.listOfN(24, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("the", "cat", "SAT", "on", "a", "123", "", "  "))
+        .map(_.mkString(" "))))
+    forAll(texts) { ts =>
+      whenever(ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val cmp = df.select(
+          minhash_text($"text", 2, 16).as("fast"),
+          minhash_signature(TextFunctions.wordNgrams($"text", 2), 16).as("ref"))
+          .collect()
+        cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+      }
+    }
+  }
+
+  test("text_ngrams equals regex tokenization + sliding for arbitrary text") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    forAll(Gen.asciiPrintableStr) { s =>
+      val expected = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      import spark.implicits._
+      val got = Seq(s).toDF("text")
+        .select(text_ngrams($"text", 2)).as[Seq[String]].collect()(0)
+      assert(got == expected, s"input=${s.take(60)}")
+    }
+  }
+}
