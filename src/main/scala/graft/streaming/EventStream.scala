@@ -38,6 +38,21 @@ object EventStream {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Streaming exact dedup: drop re-arrivals of the same content hash
+    * within the watermark horizon — the bounded-state streaming twin of
+    * `Dedup.exact` (state is pruned once the watermark passes, so memory
+    * is bounded by the horizon's arrival rate). */
+  def streamingDedupe(stream: DataFrame, contentCols: Seq[String],
+      eventTimeCol: String, watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sha2, concat_ws}
+    stream
+      .withColumn("_content_key",
+        sha2(concat_ws("", contentCols.map(col): _*), 256))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("_content_key")
+      .drop("_content_key")
+  }
+
   /** Streaming knn: score a stream of query vectors against a static doc
     * table — stream-static cross join (docs broadcast) + the same bounded
     * top-k aggregate, in update mode. The streaming twin of `find()`. */

@@ -200,6 +200,22 @@ class IoStreamSpec extends SparkSuite {
     assert(tags.get("lang").nonEmpty)
   }
 
+  test("streaming dedup drops re-arrived content within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    mem.addData((t0, "dup"), (t0, "dup"), (t0, "unique"))
+    val out = EventStream.streamingDedupe(
+      mem.toDF().toDF("event_time", "text"), Seq("text"), "event_time", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdd")
+      .trigger(Trigger.AvailableNow()).start()
+    out.processAllAvailable(); out.stop()
+    val got = spark.sql("SELECT text FROM sdd").as[String].collect().sorted
+    assert(got.toSeq == Seq("dup", "unique"))
+  }
+
   test("base64 round trip (to_base64/from_base64)") {
     import graft.sources.BinaryCodec
     import graft.schema.Doc
