@@ -262,7 +262,7 @@ object Knn {
       val block = queries.where(pmod(xxhash64(col(queryId)), lit(nBlocks)) === b)
       bruteForceBlocked(docs, block, k, metric,
         docId, docVec, queryId, queryVec, excludeSelf)
-    }.reduce(_.unionAll(_))
+    }.reduce(_.union(_))
   }
 
   /** knn + writeback: returns `left` with a `matches` column —
