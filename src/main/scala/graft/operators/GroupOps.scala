@@ -26,6 +26,20 @@ object GroupOps {
       ((row_number().over(w) - 1) / batchSize).cast("long"))
   }
 
+  /** Scale variant of batch(): partition-local batch ids with no global
+    * sort — batch = (partitionId << 20) | (localIndex / size). Batches are
+    * contiguous within partitions but not globally ordered; at 100 TB
+    * prefer this over [[batchIds]]' total-order window. */
+  def batchIdsLocal(df: DataFrame, batchSize: Int): DataFrame = {
+    val out = df.withColumn("_pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(monotonically_increasing_id())
+    out.withColumn("batch_id",
+      (col("_pid").cast("long") * lit(1L << 20)) +
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .drop("_pid")
+  }
+
   /** get_vocabulary: corpus term frequencies with a min-frequency floor
     * (reference: text.py:8-29; min_freq filter). Classic wordcount:
     * map-side combined, single shuffle on the token. */

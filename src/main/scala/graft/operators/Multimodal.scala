@@ -164,4 +164,25 @@ object Multimodal {
     * per-doc I/O; here the content is already a column — pure transform). */
   def toDataUri(blob: Column, mimeType: Column): Column =
     concat(lit("data:"), mimeType, lit(";base64,"), base64(blob))
+
+  /** save_blob_to_file for every doc (reference: document/mixins/blob.py:40-52)
+    * — distributed: each partition writes its docs' blobs to
+    * `<dir>/<id><ext>`. Executor-local I/O; `dir` must be a shared
+    * filesystem path (or adapt to an object-store client per partition). */
+  def saveBlobsToFiles(df: org.apache.spark.sql.DataFrame, dir: String,
+      idCol: String = "id", blobCol: String = "blob", ext: String = ".bin"): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("string"), col(blobCol))
+      .filter(col(blobCol).isNotNull)
+      .rdd.mapPartitions { rows =>
+        var n = 0L
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ext),
+            r.getAs[Array[Byte]](1))
+          n += 1
+        }
+        Iterator.single(n)
+      }.sum().toLong
+  }
 }

@@ -91,6 +91,20 @@ class IoStreamSpec extends SparkSuite {
     assert(r.getInt(1) == 4) // 8x8 with 4-stride windows → 2x2
   }
 
+  test("saveBlobsToFiles writes one file per doc; batchIdsLocal covers all rows") {
+    import graft.operators.{GroupOps, Multimodal}
+    val dir = Files.createTempDirectory("graftblobs").toString
+    val df = Seq(("a", Array[Byte](1)), ("b", Array[Byte](2, 3))).toDF("id", "blob")
+    assert(Multimodal.saveBlobsToFiles(df, dir) == 2)
+    assert(Files.readAllBytes(java.nio.file.Paths.get(dir, "b.bin")).toSeq == Seq[Byte](2, 3))
+
+    val batched = GroupOps.batchIdsLocal(spark.range(100).toDF("id"), 8)
+    assert(batched.count() == 100)
+    val sizes = batched.groupBy("batch_id").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 8))
+  }
+
   test("blobToFloatTensor reinterprets bytes little-endian") {
     val bytes = java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(1.5f).putFloat(-2.0f).array()
