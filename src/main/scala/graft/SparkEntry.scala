@@ -404,6 +404,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // language ID alone (fingerprint stays rows-only in q22) — the stopword
+  // heuristic is SQL-expressible, so it gets a real oracle
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -439,7 +447,8 @@ object SparkEntry {
     "q30_evaluate_mean" -> (q30 _),
     "q31_rolling_window" -> (q31 _),
     "q32_asof_join" -> (q32 _),
-    "q33_knn_custom_plan" -> (q33 _))
+    "q33_knn_custom_plan" -> (q33 _),
+    "q34_langid" -> (q34 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -748,6 +757,43 @@ object SparkEntry {
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
          SELECT query_id, id, round(dist,6) AS distance,
            CAST(rank AS INTEGER) AS rank FROM r
-         WHERE rank <= 3 ORDER BY query_id, rank"""
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // mirrors TextFunctions.langId exactly: per-language stopword hit
+    // ratio, argmax with en>fr>de>es tie priority, CJK shortcut, 'und'
+    // when nothing scores
+    "q34_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         s AS (SELECT doc_id, text,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('the','a','an','and','or','of','to','in','is','are','was','for',
+              'on','with','as','by','at','it','this','that','be','from')))*1.0
+             /len(tok) END s_en,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('le','la','les','de','des','du','un','une','et','ou','est','sont',
+              'pour','dans','par','sur','avec','ce','que','qui','au','aux')))*1.0
+             /len(tok) END s_fr,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('der','die','das','und','oder','ist','sind','ein','eine','zu',
+              'von','mit','auf','für','im','den','dem','nicht','sich','auch')))*1.0
+             /len(tok) END s_de,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('el','la','los','las','de','del','un','una','y','o','es','son',
+              'para','en','por','con','que','se','no','al')))*1.0
+             /len(tok) END s_es
+           FROM t),
+         f AS (SELECT doc_id, text, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_fr > s_en THEN s_fr ELSE s_en END b1s,
+           CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END b1l FROM s),
+         g AS (SELECT *, CASE WHEN s_de > b1s THEN s_de ELSE b1s END b2s,
+           CASE WHEN s_de > b1s THEN 'de' ELSE b1l END b2l FROM f),
+         h AS (SELECT *, CASE WHEN s_es > b2s THEN s_es ELSE b2s END b3s,
+           CASE WHEN s_es > b2s THEN 'es' ELSE b2l END b3l FROM g)
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
+         FROM h ORDER BY doc_id"""
   )
 }
