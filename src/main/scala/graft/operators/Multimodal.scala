@@ -147,6 +147,63 @@ object Multimodal {
     }
   }
 
+  /** Point-cloud sampling from a triangle mesh (reference:
+    * document/mixins/mesh.py:12-42 load_uri_to_point_cloud_tensor — there
+    * trimesh.sample; here the actual math): area-weighted triangle pick +
+    * uniform barycentric coordinates, deterministic from the seed. The
+    * mesh decode itself (glb/obj parsing) would be the stubbed codec step;
+    * inputs are the already-decoded vertex/face tensors. */
+  val samplePointCloud = udf {
+    (vertices: Seq[Float], faces: Seq[Int], nSamples: Int, seed: Long) =>
+      if (vertices == null || faces == null || faces.length < 3) null
+      else {
+        val nf = faces.length / 3
+        // cumulative triangle areas
+        val cum = new Array[Double](nf)
+        var total = 0.0
+        var f = 0
+        while (f < nf) {
+          val (a, b, c) = (faces(3 * f) * 3, faces(3 * f + 1) * 3, faces(3 * f + 2) * 3)
+          // cross((B-A),(C-A)) / 2
+          val ux = vertices(b) - vertices(a)
+          val uy = vertices(b + 1) - vertices(a + 1)
+          val uz = vertices(b + 2) - vertices(a + 2)
+          val vx = vertices(c) - vertices(a)
+          val vy = vertices(c + 1) - vertices(a + 1)
+          val vz = vertices(c + 2) - vertices(a + 2)
+          val cx = uy * vz - uz * vy
+          val cy = uz * vx - ux * vz
+          val cz = ux * vy - uy * vx
+          total += math.sqrt(cx * cx + cy * cy + cz * cz) / 2.0
+          cum(f) = total
+          f += 1
+        }
+        val rng = new java.util.Random(seed)
+        val out = new Array[Float](nSamples * 3)
+        var s = 0
+        while (s < nSamples) {
+          val t = rng.nextDouble() * total
+          var lo = 0; var hi = nf - 1
+          while (lo < hi) {
+            val mid = (lo + hi) / 2
+            if (cum(mid) < t) lo = mid + 1 else hi = mid
+          }
+          val (a, b, c) = (faces(3 * lo) * 3, faces(3 * lo + 1) * 3, faces(3 * lo + 2) * 3)
+          var r1 = rng.nextDouble(); var r2 = rng.nextDouble()
+          if (r1 + r2 > 1) { r1 = 1 - r1; r2 = 1 - r2 } // fold into triangle
+          var d = 0
+          while (d < 3) {
+            out(s * 3 + d) = (vertices(a + d) +
+              r1 * (vertices(b + d) - vertices(a + d)) +
+              r2 * (vertices(c + d) - vertices(a + d))).toFloat
+            d += 1
+          }
+          s += 1
+        }
+        TensorVal(out.toSeq, Seq(nSamples, 3), "float32")
+      }
+  }
+
   /** blob ↔ tensor raw reinterpret (reference: convert.py:15-41
     * convert_blob_to_tensor frombuffer / convert_tensor_to_blob). */
   val blobToFloatTensor = udf { (blob: Array[Byte]) =>

@@ -105,6 +105,23 @@ class IoStreamSpec extends SparkSuite {
     assert(sizes.forall(_ <= 8))
   }
 
+  test("point-cloud sampling stays on the mesh surface, deterministic") {
+    import graft.operators.Multimodal
+    // unit right triangle in z=0 plane
+    val verts = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f)
+    val faces = Seq(0, 1, 2)
+    val df = Seq((verts, faces)).toDF("v", "f")
+      .select(Multimodal.samplePointCloud($"v", $"f", lit(50), lit(7L)).as("pc"))
+    val pc = df.select($"pc.values").as[Seq[Float]].collect()(0)
+    assert(pc.length == 150)
+    val pts = pc.grouped(3).toSeq
+    // all points inside the triangle (x>=0, y>=0, x+y<=1, z=0)
+    assert(pts.forall(p => p(0) >= 0 && p(1) >= 0 && p(0) + p(1) <= 1.0001f
+      && p(2) == 0f))
+    val again = df.select($"pc.values").as[Seq[Float]].collect()(0)
+    assert(pc == again) // seeded → deterministic
+  }
+
   test("blobToFloatTensor reinterprets bytes little-endian") {
     val bytes = java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(1.5f).putFloat(-2.0f).array()
