@@ -71,6 +71,17 @@ class FiltersSpec extends SparkSuite {
     assert(got == Seq("b"))
   }
 
+  test("compiled predicates push down to the parquet scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = Filters.where(li,
+      """{"l_quantity": {"$gte": 45}, "l_returnflag": "R"}""")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"), plan.take(900))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+  }
+
   test("unknown operator and unknown field fail fast") {
     intercept[IllegalArgumentException](ids("""{"num": {"$bogus": 1}}"""))
     intercept[IllegalArgumentException](ids("""{"nope": 1}"""))
