@@ -288,8 +288,15 @@ object Knn {
 
     val matches = hits
       .groupBy("query_id")
-      .agg(array_sort(collect_list(struct(
-        col("rank"), col("id"), col("distance")))).as("matches"))
+      .agg(array_sort(
+        collect_list(struct(
+          col("rank"), col("id"), col("distance"),
+          // reference writes scores[metric] = NamedScore(dist) on each
+          // match (find.py:226); keep the same addressable shape
+          map(lit(metric), struct(col("distance").as("value"),
+            lit("knn").as("op_name"))).as("scores"))),
+        // structs holding maps aren't naturally orderable → rank comparator
+        (a, b) => a.getField("rank") - b.getField("rank")).as("matches"))
 
     left.drop("matches").join(
       matches.withColumnRenamed("query_id", "_qid"),

@@ -75,6 +75,17 @@ class KnnSpec extends SparkSuite {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(m.map(_.getInt(0)).toSeq == Seq(1, 2)) // rank ascending
     assert(m.head.getLong(1) == 2L)               // nearest neighbor id
+    // scores map carries the metric → NamedScore-ish struct (find.py:226)
+    val scores = m.head.getMap[String, org.apache.spark.sql.Row](3)
+    assert(scores("cosine").getDouble(0) == m.head.getDouble(2))
+  }
+
+  test("knn plan keeps map-side partial top-k (no full-sort shuffle)") {
+    val q = docs.where($"id" === 0)
+    val plan = Knn.bruteForce(docs, q, 3, "cosine")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_distance"), plan.take(800))
+    assert(!plan.contains("Window")) // never a rank-over-crossproduct
   }
 
   test("blocked kernel returns identical results to expression path") {
