@@ -133,6 +133,19 @@ class DedupTextSpec extends SparkSuite {
     assert(r.length == 2 && r.head == 13L)
   }
 
+  test("dedup results are partition-invariant") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) =
+      Dedup.minhashLsh(big.repartition(parts), "doc_id", "text", 0.2,
+        numHashes = 64, bands = 16, ngram = 2)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(run(1) == run(11))
+    def jac(parts: Int) =
+      Dedup.jaccardPairs(big.repartition(parts), "doc_id", "text", 0.3, ngram = 2)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac(2) == jac(13))
+  }
+
   test("empty-text docs never become LSH/simhash candidates") {
     val d = Seq((0L, "real words shared across duplicates here ok"),
       (1L, "real words shared across duplicates here ok"),
