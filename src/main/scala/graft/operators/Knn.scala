@@ -155,22 +155,17 @@ object Knn {
     val bc = spark.sparkContext.broadcast((qIdsInternal, qVecs))
 
     val child = docs.select(col(docId), col(docVec).cast("array<double>"))
+    val m = metric
+    val ex = excludeSelf
     val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
       val (ids, vecs) = bc.value
-      val nq = vecs.length
-      val heaps = Array.fill(nq)(new TopKBuffer(k))
+      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(k))
       rows.foreach { row =>
         if (!row.isNullAt(1)) {
           val idVal = InternalRow.copyValue(row.get(0, idType))
           val v = row.getArray(1).toDoubleArray()
-          var q = 0
-          while (q < nq) {
-            if (!(excludeSelf && idVal == ids(q))) {
-              val d = distOf(metric, v, vecs(q))
-              if (!d.isNaN) heaps(q).insert(d, idVal)
-            }
-            q += 1
-          }
+          graft.plans.KnnJoinExec.scoreRow(m, v, idVal, vecs, qNorms, ids, heaps, ex)
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, q) =>

@@ -89,20 +89,13 @@ case class KnnJoinExec(
 
     val partials: RDD[(Int, TopKBuffer)] = left.execute().mapPartitions { rows =>
       val (ids, vecs) = bc.value
-      val nq = vecs.length
-      val heaps = Array.fill(nq)(new TopKBuffer(kk))
+      val qNorms = vecs.map(KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk))
       rows.foreach { row =>
         if (!row.isNullAt(1)) {
           val idVal = InternalRow.copyValue(row.get(0, docIdType))
           val v = row.getArray(1).toDoubleArray()
-          var q = 0
-          while (q < nq) {
-            if (!(ex && idVal == ids(q))) {
-              val d = KnnJoinExec.distOf(m, v, vecs(q))
-              if (!d.isNaN) heaps(q).insert(d, idVal)
-            }
-            q += 1
-          }
+          KnnJoinExec.scoreRow(m, v, idVal, vecs, qNorms, ids, heaps, ex)
         }
       }
       heaps.iterator.zipWithIndex.map(_.swap)
@@ -131,6 +124,47 @@ case class KnnJoinExec(
 }
 
 object KnnJoinExec {
+
+  @inline def norm(v: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Score one doc row against every query, updating the per-query heaps.
+    * Cosine hoists the norms: doc norm once per doc, query norms
+    * precomputed — bit-identical to the interleaved loop (independent
+    * accumulators), ~3× fewer multiplications for Q > 1. */
+  def scoreRow(metric: String, v: Array[Double], idVal: Any,
+      vecs: Array[Array[Double]], qNorms: Array[Double], ids: Array[Any],
+      heaps: Array[TopKBuffer], excludeSelf: Boolean): Unit = {
+    val nq = vecs.length
+    if (metric == "cosine") {
+      val dn = norm(v)
+      var q = 0
+      while (q < nq) {
+        if (!(excludeSelf && idVal == ids(q))) {
+          val b = vecs(q)
+          val n = math.min(v.length, b.length)
+          var dot = 0.0; var i = 0
+          while (i < n) { dot += v(i) * b(i); i += 1 }
+          val d = 1.0 - dot / (dn * qNorms(q))
+          if (!d.isNaN) heaps(q).insert(d, idVal)
+        }
+        q += 1
+      }
+    } else {
+      var q = 0
+      while (q < nq) {
+        if (!(excludeSelf && idVal == ids(q))) {
+          val d = distOf(metric, v, vecs(q))
+          if (!d.isNaN) heaps(q).insert(d, idVal)
+        }
+        q += 1
+      }
+    }
+  }
+
   @inline def distOf(metric: String, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var i = 0

@@ -149,8 +149,8 @@ case class KnnTopKExec(
 
     val partials: RDD[(Int, TopKBuffer)] = left.execute().mapPartitions { rows =>
       val (ids, vecs) = bc.value
-      val nq = vecs.length
-      val heaps = Array.fill(nq)(new TopKBuffer(kk))
+      val qNorms = vecs.map(KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk))
       var sawAny = false
       rows.foreach { row =>
         if (!row.isNullAt(1)) {
@@ -159,14 +159,7 @@ case class KnnTopKExec(
           val arr = row.getArray(1)
           val v = if (docVecFloat) arr.toFloatArray().map(_.toDouble)
                   else arr.toDoubleArray()
-          var q = 0
-          while (q < nq) {
-            if (!(ex && idVal == ids(q))) {
-              val d = KnnJoinExec.distOf(m, v, vecs(q))
-              if (!d.isNaN) heaps(q).insert(d, idVal)
-            }
-            q += 1
-          }
+          KnnJoinExec.scoreRow(m, v, idVal, vecs, qNorms, ids, heaps, ex)
         }
       }
       if (sawAny) heaps.iterator.zipWithIndex.map(_.swap) else Iterator.empty
