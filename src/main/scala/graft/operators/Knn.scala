@@ -157,10 +157,11 @@ object Knn {
     val child = docs.select(col(docId), col(docVec).cast("array<double>"))
     val m = metric
     val ex = excludeSelf
+    val tieOrd = graft.plans.PayloadOrdering.forType(idType)
     val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
       val (ids, vecs) = bc.value
       val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
-      val heaps = Array.fill(vecs.length)(new TopKBuffer(k))
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(k, tieOrd))
       rows.foreach { row =>
         if (!row.isNullAt(1)) {
           val idVal = InternalRow.copyValue(row.get(0, idType))

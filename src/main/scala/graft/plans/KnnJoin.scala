@@ -87,10 +87,11 @@ case class KnnJoinExec(
     val ex = excludeSelf
     val kk = k
 
+    val tieOrd = PayloadOrdering.forType(docIdType)
     val partials: RDD[(Int, TopKBuffer)] = left.execute().mapPartitions { rows =>
       val (ids, vecs) = bc.value
       val qNorms = vecs.map(KnnJoinExec.norm)
-      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk))
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk, tieOrd))
       rows.foreach { row =>
         if (!row.isNullAt(1)) {
           val idVal = InternalRow.copyValue(row.get(0, docIdType))

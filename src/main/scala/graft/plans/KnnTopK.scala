@@ -147,10 +147,11 @@ case class KnnTopKExec(
     val docVecFloat = left.output(1).dataType == ArrayType(FloatType) ||
       left.output(1).dataType == ArrayType(FloatType, containsNull = true)
 
+    val tieOrd = PayloadOrdering.forType(docIdType)
     val partials: RDD[(Int, TopKBuffer)] = left.execute().mapPartitions { rows =>
       val (ids, vecs) = bc.value
       val qNorms = vecs.map(KnnJoinExec.norm)
-      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk))
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk, tieOrd))
       var sawAny = false
       rows.foreach { row =>
         if (!row.isNullAt(1)) {

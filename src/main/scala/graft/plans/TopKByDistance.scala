@@ -41,7 +41,12 @@ case class TopKByDistance(
     StructField("distance", DoubleType, nullable = false),
     StructField("value", payload.dataType))))
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  // Equal distances are broken by payload order (ascending), so the kth/k+1th
+  // boundary on tied distances — common in dedup corpora with duplicate
+  // vectors — is partition-invariant, matching the oracle's ORDER BY (dist, id).
+  private def payloadOrd: PayloadOrdering = PayloadOrdering.forType(payload.dataType)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, payloadOrd)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val d = distance.eval(input)
@@ -94,7 +99,7 @@ case class TopKByDistance(
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, payloadOrd)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0
@@ -120,16 +125,43 @@ case class TopKByDistance(
   override def prettyName: String = "topk_by_distance"
 }
 
-/** Size-capped max-heap on distance; the root is the current worst of the
-  * best-k, so accept/evict is O(log k) and `wouldAccept` lets callers skip
-  * payload evaluation for rows that can't make the cut. Serializable so it
-  * can ride RDD-level combine (KnnJoinExec) as well as this aggregate. */
-final class TopKBuffer(val k: Int) extends Serializable {
+/** Serializable total order over Catalyst payload values, used to break
+  * distance ties deterministically. Holds only the (serializable) DataType;
+  * the interpreted ordering is rebuilt lazily on each JVM so the buffer can
+  * ride Java-serialized RDD shuffles (KnnJoinExec's reduceByKey). */
+final class PayloadOrdering(val dt: DataType) extends Ordering[Any] with Serializable {
+  @transient private lazy val ord =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+  override def compare(a: Any, b: Any): Int =
+    if (a == null) (if (b == null) 0 else -1)
+    else if (b == null) 1
+    else ord.compare(a, b)
+}
+
+object PayloadOrdering {
+  /** null when the type has no total order (e.g. contains a map) — the heap
+    * then degrades to distance-only ties, as before. */
+  def forType(dt: DataType): PayloadOrdering =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt))
+      new PayloadOrdering(dt)
+    else null
+}
+
+/** Size-capped max-heap on (distance, payload); the root is the current worst
+  * of the best-k, so accept/evict is O(log k) and `wouldAccept` lets callers
+  * skip payload evaluation for rows that can't make the cut. Ties on distance
+  * are broken by `ord` (ascending payload wins), making results independent
+  * of partition arrival order. Serializable so it can ride RDD-level combine
+  * (KnnJoinExec) as well as this aggregate. */
+final class TopKBuffer(val k: Int, val ord: PayloadOrdering = null) extends Serializable {
   var dists: Array[Double] = new Array[Double](math.min(k, 16))
   var values: Array[Any] = new Array[Any](math.min(k, 16))
   var size: Int = 0
 
-  def wouldAccept(d: Double): Boolean = size < k || d < dists(0)
+  /** May return true on a distance tie even if the payload ultimately loses —
+    * `insert` does the exact check; this only gates payload evaluation. */
+  def wouldAccept(d: Double): Boolean =
+    size < k || d < dists(0) || (ord != null && d == dists(0))
 
   private def grow(): Unit = {
     if (size == dists.length && size < k) {
@@ -140,12 +172,16 @@ final class TopKBuffer(val k: Int) extends Serializable {
     }
   }
 
+  /** true when (d, v) orders strictly before entry i. */
+  @inline private def beats(d: Double, v: Any, i: Int): Boolean =
+    d < dists(i) || (d == dists(i) && ord != null && ord.compare(v, values(i)) < 0)
+
   def insert(d: Double, v: Any): Unit = {
     if (size < k) {
       grow()
       dists(size) = d; values(size) = v; size += 1
       siftUp(size - 1)
-    } else if (d < dists(0)) {
+    } else if (beats(d, v, 0)) {
       dists(0) = d; values(0) = v
       siftDown(0)
     }
@@ -155,7 +191,7 @@ final class TopKBuffer(val k: Int) extends Serializable {
     var i = i0
     while (i > 0) {
       val parent = (i - 1) / 2
-      if (dists(parent) < dists(i)) { swap(parent, i); i = parent }
+      if (beats(dists(parent), values(parent), i)) { swap(parent, i); i = parent }
       else return
     }
   }
@@ -165,8 +201,8 @@ final class TopKBuffer(val k: Int) extends Serializable {
     while (true) {
       val l = 2 * i + 1; val r = 2 * i + 2
       var largest = i
-      if (l < size && dists(l) > dists(largest)) largest = l
-      if (r < size && dists(r) > dists(largest)) largest = r
+      if (l < size && beats(dists(largest), values(largest), l)) largest = l
+      if (r < size && beats(dists(largest), values(largest), r)) largest = r
       if (largest == i) return
       swap(i, largest); i = largest
     }
@@ -177,11 +213,14 @@ final class TopKBuffer(val k: Int) extends Serializable {
     val tv = values(i); values(i) = values(j); values(j) = tv
   }
 
-  /** Entries ascending by distance. */
+  /** Entries ascending by (distance, payload). */
   def sortedEntries: Array[(Double, Any)] = {
     val arr = new Array[(Double, Any)](size)
     var i = 0
     while (i < size) { arr(i) = (dists(i), values(i)); i += 1 }
-    arr.sortBy(_._1)
+    if (ord == null) arr.sortBy(_._1)
+    else arr.sortWith { case ((d1, v1), (d2, v2)) =>
+      d1 < d2 || (d1 == d2 && ord.compare(v1, v2) < 0)
+    }
   }
 }

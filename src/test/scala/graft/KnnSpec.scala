@@ -183,4 +183,41 @@ class KnnSpec extends SparkSuite {
     val exact = Knn.bruteForce(df, q, 5, "cosine")
     assert(Ann.recallAgainstExact(approx, exact) >= 0.99)
   }
+
+  test("tied distances resolve by id, invariant under repartitioning") {
+    // 12 distinct vectors, each duplicated ~17× under different ids → the
+    // k / k+1 boundary always falls inside a tie group; without the payload
+    // tiebreak the winner depends on partition arrival order.
+    val dup = spark.range(200)
+      .withColumn("embedding", transform(sequence(lit(0), lit(5)),
+        i => cos((col("id") % 12 + 1) * (i + 1)).cast("float")))
+      .select(
+        concat(lit("doc_"), format_string("%04d", col("id"))).as("id"),
+        col("embedding"))
+    val q = dup.where(col("id") === "doc_0000")
+    def run(f: (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+        parts: Int) =
+      f(dup.repartition(parts))
+        .select("query_id", "id", "rank").orderBy("query_id", "rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // aggregate path
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      Knn.bruteForce(d, q, 7, "cosine", excludeSelf = true)
+    val ref = run(agg, 1)
+    assert(run(agg, 7) == ref)
+    assert(run(agg, 32) == ref)
+    // blocked kernel path
+    def blocked(d: org.apache.spark.sql.DataFrame) =
+      Knn.bruteForceBlocked(d, q, 7, "cosine", excludeSelf = true)
+    assert(run(blocked, 1) == ref)
+    assert(run(blocked, 7) == ref)
+    // custom-plan path
+    def viaPlan(d: org.apache.spark.sql.DataFrame) =
+      Knn.knnJoin(d, q, 7, "cosine", excludeSelf = true)
+    assert(run(viaPlan, 7) == ref)
+    // and the tie order itself is ascending by id within equal distance
+    ref.sliding(2).foreach { case Seq((_, id1, r1), (_, id2, r2)) =>
+      assert(r1 < r2)
+    }
+  }
 }
