@@ -307,19 +307,52 @@ object SparkEntry {
     Items.updateById(docs, updates, "doc_id").orderBy("doc_id")
   }
 
-  // multimodal plumbing (rows-only: stub decode → resize → patches)
+  // multimodal with REAL codecs: per-doc deterministic 8×8×3 uint8 tensor
+  // (pixel i = (doc_id·31 + i·7) mod 256) → PNG encode → ImageIO decode →
+  // nearest resize 8→4 (source rows/cols 0,2,4,6 on the reference grid) →
+  // per-channel pixel sums. PNG round-trip is lossless, so the DuckDB
+  // oracle reproduces the sums with pure arithmetic — a full
+  // rows+schema+hash gate on the actual encode/decode path.
   private def q28(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("blob", col("text").cast("binary"))
-      .withColumn("tensor", Multimodal.decodeImageStub(col("blob"), lit(8), lit(8)))
+      .withColumn("values", transform(sequence(lit(0), lit(191)),
+        i => ((col("doc_id") * 31 + i * 7) % 256).cast("float")))
+      .withColumn("blob", Multimodal.encodeImage(
+        col("values"), array(lit(8), lit(8), lit(3)), lit("png")))
+      .withColumn("tensor", Multimodal.decodeImage(col("blob"), lit(0), lit(0)))
       .withColumn("small", Multimodal.resizeNearest(
         col("tensor.values"), col("tensor.shape"), lit(4), lit(4)))
       .withColumn("patches", Multimodal.slidingWindows(
         col("tensor.values"), col("tensor.shape"), lit(4), lit(2)))
       .select(col("doc_id"), size(col("patches")).as("n_patches"),
         element_at(col("small.shape"), 1).as("h"),
-        round(aggregate(col("small.values"), lit(0.0d),
-          (acc, x) => acc + x), 2).as("value_sum"))
+        chanSum(col("small.values"), 0).as("sum_r"),
+        chanSum(col("small.values"), 1).as("sum_g"),
+        chanSum(col("small.values"), 2).as("sum_b"))
+      .orderBy("doc_id")
+
+  /** Sum of one channel of a flat HWC float tensor, as long (exact for
+    * uint8-range values). */
+  private def chanSum(values: Column, c: Int): Column =
+    aggregate(
+      filter(values, (_, i) => i % 3 === lit(c)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
+  // audio with REAL codecs: per-doc deterministic int16 PCM (sample i =
+  // (doc_id·13 + i·11) mod 4096 − 2048, exactly representable as
+  // float/2^15) → WAV encode (AudioSystem) → WAV decode → rescale to
+  // int16 → exact sum. Same lossless-round-trip oracle trick as q28.
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("pcm", transform(sequence(lit(0), lit(63)),
+        i => (((col("doc_id") * 13 + i * 11) % 4096 - 2048) / 32768.0).cast("float")))
+      .withColumn("wav", Multimodal.encodeWav(col("pcm"), array(lit(64)), lit(8000)))
+      .withColumn("back", Multimodal.decodeWav(col("wav")))
+      .select(col("doc_id"),
+        element_at(col("back.shape"), 1).as("n_samples"),
+        aggregate(col("back.values"), lit(0L),
+          (acc, x) => acc + round(x.cast("double") * 32768).cast("long"))
+          .as("pcm_sum"))
       .orderBy("doc_id")
 
   // pre-filtered knn: boolean filter + vector search in ONE plan — the
@@ -448,7 +481,8 @@ object SparkEntry {
     "q31_rolling_window" -> (q31 _),
     "q32_asof_join" -> (q32 _),
     "q33_knn_custom_plan" -> (q33 _),
-    "q34_langid" -> (q34 _))
+    "q34_langid" -> (q34 _),
+    "q35_audio_codec" -> (q35 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -794,6 +828,31 @@ object SparkEntry {
          SELECT doc_id,
            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
                 WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
-         FROM h ORDER BY doc_id"""
+         FROM h ORDER BY doc_id""",
+
+    // mirrors q28's arithmetic exactly: the Spark side round-trips the
+    // tensor through real PNG encode/decode (lossless), then nearest-resizes
+    // 8→4 picking source rows/cols {0,2,4,6}; pixel i of doc d is
+    // (d*31 + i*7) mod 256, so each channel sum is closed-form
+    "q28_multimodal" ->
+      """SELECT doc_id,
+           9 AS n_patches,
+           4 AS h,
+           CAST(list_sum(list_transform(range(0,16), p ->
+             (doc_id*31 + ((((p//4)*2)*8 + (p%4)*2)*3 + 0)*7) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0,16), p ->
+             (doc_id*31 + ((((p//4)*2)*8 + (p%4)*2)*3 + 1)*7) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0,16), p ->
+             (doc_id*31 + ((((p//4)*2)*8 + (p%4)*2)*3 + 2)*7) % 256)) AS BIGINT) AS sum_b
+         FROM documents ORDER BY doc_id""",
+
+    // mirrors q35: WAV 16-bit PCM round-trip is exact for samples that are
+    // int16/2^15, so the decoded-and-rescaled sum equals the closed form
+    "q35_audio_codec" ->
+      """SELECT doc_id,
+           64 AS n_samples,
+           CAST(list_sum(list_transform(range(0,64), i ->
+             (doc_id*13 + i*11) % 4096 - 2048)) AS BIGINT) AS pcm_sum
+         FROM documents ORDER BY doc_id"""
   )
 }

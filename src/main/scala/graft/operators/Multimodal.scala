@@ -8,75 +8,242 @@ import org.apache.spark.sql.functions._
   * (reference: docarray/document/mixins/image.py:19-448, audio.py, video.py,
   * convert.py:15-51).
   *
-  * The tensor *transforms* (resize, normalize, sliding windows, channel
-  * axis, frame sampling) are real implementations mirroring the reference's
-  * numpy semantics. The *codec* steps (png/jpeg/wav/mp4 decode) are STUBS:
-  * the image/audio libraries are not in this container, so `decode*Stub`
-  * produce a deterministic fake tensor from the bytes — the Spark-side
-  * plumbing (schema, batching, partition parallelism) is the real part.
-  * Swap the stub body for an actual codec (javax.imageio / JavaCV) when
-  * available; signatures stay identical.
+  * Image decode/encode ride `javax.imageio.ImageIO` and WAV decode/encode
+  * `javax.sound.sampled.AudioSystem` — both in the JDK's `java.desktop`
+  * module, so the codecs are real and dependency-free (PNG/JPEG/GIF/BMP,
+  * 16-bit PCM WAV). The tensor transforms (resize, normalize, sliding
+  * windows, channel axis, frame sampling) mirror the reference's numpy
+  * semantics. Only the video/mesh container formats (mp4, glb) stay out of
+  * scope — no JDK demuxer — with frame sampling / point-cloud math real.
+  *
+  * UDFs here are deliberate: per-row byte/codec work is scalar and opaque
+  * to Catalyst; everything around them (filters, projections, joins) stays
+  * in codegen'd Columns.
   */
 object Multimodal {
 
   /** Named tensor struct for UDF returns: {values, shape, dtype}. */
   case class TensorVal(values: Seq[Float], shape: Seq[Int], dtype: String)
 
-  /** STUB decode: bytes → deterministic fake HWC image tensor whose values
-    * derive from a rolling hash of the content (NOT a real decode). */
-  val decodeImageStub = udf { (blob: Array[Byte], h: Int, w: Int) =>
+  /** Real image decode (PNG/JPEG/GIF/BMP via ImageIO) → HWC uint8 RGB
+    * tensor, optionally resized to (h, w); pass 0 to keep a dimension.
+    * Mirrors `convert_blob_to_image_tensor`/`_to_image_tensor` (reference:
+    * document/mixins/image.py:47-63,332-355): decode, force RGB, resize.
+    * The reference resizes with PIL's default filter; here resize is
+    * nearest-neighbor on the same `linspace(0, in-2, out)` grid as
+    * `set_image_tensor_shape` (image.py:96-123) so *our* decode and
+    * post-hoc resize agree with each other. */
+  val decodeImage = udf { (blob: Array[Byte], h: Int, w: Int) =>
     if (blob == null) null
     else {
-      val n = h * w * 3
-      val values = new Array[Float](n)
-      var state = 0xcbf29ce484222325L
-      var i = 0
-      while (i < n) {
-        state = (state ^ (blob(i % blob.length) & 0xffL)) * 0x100000001b3L
-        values(i) = ((state >>> 40) & 0xff).toFloat
-        i += 1
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) null
+      else {
+        val (ih, iw) = (img.getHeight, img.getWidth)
+        val values = new Array[Float](ih * iw * 3)
+        var y = 0
+        while (y < ih) {
+          var x = 0
+          while (x < iw) {
+            val rgb = img.getRGB(x, y)
+            val base = (y * iw + x) * 3
+            values(base) = ((rgb >> 16) & 0xff).toFloat
+            values(base + 1) = ((rgb >> 8) & 0xff).toFloat
+            values(base + 2) = (rgb & 0xff).toFloat
+            x += 1
+          }
+          y += 1
+        }
+        val (oh, ow) = (if (h > 0) h else ih, if (w > 0) w else iw)
+        if (oh == ih && ow == iw) TensorVal(values.toSeq, Seq(ih, iw, 3), "uint8")
+        else {
+          val r = resizeHwc(values, ih, iw, 3, oh, ow)
+          TensorVal(r.toSeq, Seq(oh, ow, 3), "uint8")
+        }
       }
-      TensorVal(values.toSeq, Seq(h, w, 3), "uint8")
     }
   }
 
-  /** STUB audio decode: bytes → deterministic fake mono PCM tensor. */
-  val decodeAudioStub = udf { (blob: Array[Byte], samples: Int) =>
-    if (blob == null) null
+  /** Real image encode: HWC uint8 tensor (shape (h,w,3) RGB or (h,w) gray)
+    * → png/jpeg/gif/bmp bytes via ImageIO. Inverse of [[decodeImage]];
+    * mirrors `convert_image_tensor_to_blob`/`_to_image_buffer` (reference:
+    * image.py:85-98,377-420). PNG and BMP round-trip losslessly. */
+  val encodeImage = udf { (values: Seq[Float], shape: Seq[Int], format: String) =>
+    if (values == null || shape == null || shape.isEmpty) null
     else {
-      val values = Array.tabulate(samples) { i =>
-        val b = blob(i % blob.length) & 0xff
-        (b - 128) / 128.0f
+      val (ih, iw, c) = shape match {
+        case Seq(h0, w0) => (h0, w0, 1)
+        case Seq(h0, w0, c0) => (h0, w0, c0)
+        case _ => (0, 0, 0)
       }
-      TensorVal(values.toSeq, Seq(samples), "float32")
+      if (ih <= 0 || iw <= 0 || (c != 1 && c != 3)) null
+      else {
+        val img = new java.awt.image.BufferedImage(
+          iw, ih, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < ih) {
+          var x = 0
+          while (x < iw) {
+            val base = (y * iw + x) * c
+            val (r, g, b) =
+              if (c == 1) { val v = u8(values(base)); (v, v, v) }
+              else (u8(values(base)), u8(values(base + 1)), u8(values(base + 2)))
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(img, format, out)) out.toByteArray else null
+      }
     }
   }
 
-  /** Nearest-neighbor resize of an HWC image tensor — same semantics as
-    * the reference's `set_image_tensor_shape`
+  private def u8(v: Float): Int = math.max(0, math.min(255, v.toInt))
+
+  /** Shared nearest-neighbor kernel on the reference's resample grid:
+    * source index = clip(round(linspace(0, in-2, out)), 0, in-1)
+    * (reference: image.py:110-123 `set_image_tensor_shape` +
+    * `_nn_interpolate_2D` image.py:444-448). */
+  private def resizeHwc(in: Array[Float], h: Int, w: Int, c: Int,
+      oh: Int, ow: Int): Array[Float] = {
+    def grid(n: Int, out: Int): Array[Int] = Array.tabulate(out) { j =>
+      val pos = if (out <= 1) 0.0 else j.toDouble * (n - 2).toDouble / (out - 1)
+      math.max(0, math.min(n - 1, math.rint(pos).toInt))
+    }
+    val gy = grid(h, oh)
+    val gx = grid(w, ow)
+    val out = new Array[Float](oh * ow * c)
+    var y = 0
+    while (y < oh) {
+      val sy = gy(y)
+      var x = 0
+      while (x < ow) {
+        val sx = gx(x)
+        System.arraycopy(in, (sy * w + sx) * c, out, (y * ow + x) * c, c)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize of an HWC image tensor — exact semantics of
+    * the reference's `set_image_tensor_shape` resample grid
     * (reference: document/mixins/image.py:96-123). Pure JVM, no deps. */
   val resizeNearest = udf { (values: Seq[Float], shape: Seq[Int], oh: Int, ow: Int) =>
     if (values == null || shape == null || shape.length != 3) null
     else {
       val Seq(h, w, c) = shape
-      val in = values.toArray
-      val out = new Array[Float](oh * ow * c)
-      var y = 0
-      while (y < oh) {
-        val sy = math.min(h - 1, y * h / oh)
-        var x = 0
-        while (x < ow) {
-          val sx = math.min(w - 1, x * w / ow)
-          var ch = 0
-          while (ch < c) {
-            out((y * ow + x) * c + ch) = in((sy * w + sx) * c + ch)
-            ch += 1
-          }
-          x += 1
-        }
-        y += 1
-      }
+      val out = resizeHwc(values.toArray, h, w, c, oh, ow)
       TensorVal(out.toSeq, Seq(oh, ow, c), "float32")
+    }
+  }
+
+  /** Move the channel axis of a rank-3 tensor (reference: image.py:19-31
+    * `set_image_tensor_channel_axis` / `_move_channel_axis` image.py:316-329
+    * — numpy moveaxis semantics, negative axes allowed). */
+  val moveChannelAxis = udf { (values: Seq[Float], shape: Seq[Int], from: Int, to: Int) =>
+    if (values == null || shape == null || shape.length != 3) null
+    else {
+      val rank = 3
+      val f = if (from < 0) from + rank else from
+      val t = if (to < 0) to + rank else to
+      if (f == t) TensorVal(values, shape, "float32")
+      else {
+        // axis order after moveaxis: remove f, insert at t
+        val order = {
+          val rest = (0 until rank).filterNot(_ == f).toBuffer
+          rest.insert(t, f)
+          rest.toArray
+        }
+        val in = values.toArray
+        val oldShape = shape.toArray
+        val newShape = order.map(oldShape)
+        val oldStrides = Array(oldShape(1) * oldShape(2), oldShape(2), 1)
+        val strides = order.map(oldStrides)
+        val out = new Array[Float](in.length)
+        var i0 = 0
+        var p = 0
+        while (i0 < newShape(0)) {
+          var i1 = 0
+          while (i1 < newShape(1)) {
+            var i2 = 0
+            while (i2 < newShape(2)) {
+              out(p) = in(i0 * strides(0) + i1 * strides(1) + i2 * strides(2))
+              p += 1
+              i2 += 1
+            }
+            i1 += 1
+          }
+          i0 += 1
+        }
+        TensorVal(out.toSeq, newShape.toSeq, "float32")
+      }
+    }
+  }
+
+  /** Real WAV decode via AudioSystem (16-bit PCM) → float32 tensor in
+    * [-1, 1): mono → shape (n); stereo → (n, 2) with interleaved order
+    * preserved row-major, matching `load_uri_to_audio_tensor` (reference:
+    * document/mixins/audio.py:41-70). */
+  val decodeWav = udf { (blob: Array[Byte]) =>
+    if (blob == null) null
+    else {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) null
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val values = new Array[Float](n)
+          var i = 0
+          if (fmt.isBigEndian) {
+            while (i < n) {
+              values(i) = ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort / 32768.0f
+              i += 1
+            }
+          } else {
+            while (i < n) {
+              values(i) = (((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort / 32768.0f)
+              i += 1
+            }
+          }
+          val ch = fmt.getChannels
+          val shape = if (ch == 2) Seq(n / 2, 2) else Seq(n)
+          TensorVal(values.toSeq, shape, "float32")
+        }
+      } finally ais.close()
+    }
+  }
+
+  /** Real WAV encode: float32 tensor in [-1, 1) → 16-bit little-endian PCM
+    * WAV bytes at `sampleRate`; shape (n) → mono, (n, 2) → stereo. Mirrors
+    * `save_audio_tensor_to_file` (reference: audio.py:13-39): scale by
+    * 2^15, truncate toward zero like numpy astype. */
+  val encodeWav = udf { (values: Seq[Float], shape: Seq[Int], sampleRate: Int) =>
+    if (values == null || shape == null) null
+    else {
+      val channels = if (shape.length == 2) shape(1) else 1
+      val bytes = new Array[Byte](values.length * 2)
+      var i = 0
+      while (i < values.length) {
+        val v = (values(i) * 32768.0f).toInt.toShort
+        bytes(2 * i) = (v & 0xff).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, values.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
     }
   }
 
@@ -95,6 +262,25 @@ object Multimodal {
           i += 1
         }
         TensorVal(out.toSeq, shape, "float32")
+      }
+  }
+
+  /** Inverse of [[normalizeChannels]]: float32 HWC tensor → uint8 range,
+    * (v * std + mean) * 255 (reference: image.py:173-201
+    * set_image_tensor_inv_normalization). */
+  val inverseNormalizeChannels = udf {
+    (values: Seq[Float], shape: Seq[Int], mean: Seq[Double], std: Seq[Double]) =>
+      if (values == null || shape == null || shape.length != 3) null
+      else {
+        val c = shape(2)
+        val out = values.toArray
+        var i = 0
+        while (i < out.length) {
+          val ch = i % c
+          out(i) = ((out(i) * std(ch) + mean(ch)) * 255.0).toInt.toFloat
+          i += 1
+        }
+        TensorVal(out.toSeq, shape, "uint8")
       }
   }
 

@@ -79,16 +79,84 @@ class IoStreamSpec extends SparkSuite {
     assert(back.embedding == Seq(1.0f, 2.0f))
   }
 
-  test("multimodal: resize / windows / normalize plumbing on fake decode") {
-    val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("id", "blob")
-      .withColumn("tensor", Multimodal.decodeImageStub($"blob", lit(8), lit(8)))
+  test("multimodal: resize / windows / normalize plumbing on real decode") {
+    // synthesize an 8×8 RGB tensor, PNG-encode it, then run the pipeline on
+    // the real ImageIO decode of those bytes
+    val df = spark.range(1).toDF("id")
+      .withColumn("values", transform(sequence(lit(0), lit(191)),
+        i => (i % 256).cast("float")))
+      .withColumn("blob", Multimodal.encodeImage(
+        $"values", array(lit(8), lit(8), lit(3)), lit("png")))
+      .withColumn("tensor", Multimodal.decodeImage($"blob", lit(0), lit(0)))
     val r = df.withColumn("small", Multimodal.resizeNearest(
         $"tensor.values", $"tensor.shape", lit(4), lit(4)))
       .withColumn("patches", Multimodal.slidingWindows(
         $"tensor.values", $"tensor.shape", lit(4), lit(4)))
-      .select($"small.shape".as("shape"), size($"patches").as("np")).collect()(0)
+      .select($"small.shape".as("shape"), size($"patches").as("np"),
+        $"tensor.values".as("decoded"), $"values")
+      .collect()(0)
     assert(r.getSeq[Int](0) == Seq(4, 4, 3))
     assert(r.getInt(1) == 4) // 8x8 with 4-stride windows → 2x2
+    // PNG round-trip is lossless: decoded bytes equal the source tensor
+    assert(r.getSeq[Float](2) == r.getSeq[Float](3))
+  }
+
+  test("image decode: reference png fixture decodes to HWC uint8 RGB") {
+    val bytes = Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/unit/document/toydata/test.png"))
+    val df = Seq(("a", bytes)).toDF("id", "blob")
+      .withColumn("t", Multimodal.decodeImage($"blob", lit(0), lit(0)))
+      .withColumn("t64", Multimodal.decodeImage($"blob", lit(64), lit(32)))
+      .select($"t.shape", $"t.dtype", $"t.values", $"t64.shape").collect()(0)
+    assert(df.getSeq[Int](0) == Seq(85, 152, 3)) // png header says 152×85 RGB
+    assert(df.getString(1) == "uint8")
+    val vals = df.getSeq[Float](2)
+    assert(vals.length == 85 * 152 * 3)
+    assert(vals.forall(v => v >= 0 && v <= 255 && v == v.floor))
+    assert(df.getSeq[Int](3) == Seq(64, 32, 3))
+  }
+
+  test("wav decode: reference fixture matches python wave module ground truth") {
+    val bytes = Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/unit/document/toydata/hello.wav"))
+    val r = Seq(("a", bytes)).toDF("id", "blob")
+      .withColumn("t", Multimodal.decodeWav($"blob"))
+      .select($"t.shape", $"t.values").collect()(0)
+    // ground truth read driver-side with python's stdlib wave module:
+    // 30833 mono int16 frames, first 6 = [-20,-20,-27,-16,-20,-35], Σ=-157249
+    assert(r.getSeq[Int](0) == Seq(30833))
+    val pcm = r.getSeq[Float](1).map(v => math.round(v * 32768.0f))
+    assert(pcm.take(6) == Seq(-20, -20, -27, -16, -20, -35))
+    assert(pcm.map(_.toLong).sum == -157249L)
+  }
+
+  test("wav encode/decode round-trip, mono and stereo") {
+    val mono = Array.tabulate(100)(i => ((i * 37) % 4096 - 2048) / 32768.0f)
+    val stereo = Array.tabulate(200)(i => ((i * 53) % 4096 - 2048) / 32768.0f)
+    val df = Seq((mono.toSeq, Seq(100), "m"), (stereo.toSeq, Seq(100, 2), "s"))
+      .toDF("values", "shape", "kind")
+      .withColumn("wav", Multimodal.encodeWav($"values", $"shape", lit(8000)))
+      .withColumn("back", Multimodal.decodeWav($"wav"))
+    val rows = df.select($"kind", $"back.shape", $"back.values", $"values")
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Int](1), r.getSeq[Float](2), r.getSeq[Float](3)))).toMap
+    assert(rows("m")._1 == Seq(100))
+    assert(rows("m")._2 == rows("m")._3)
+    assert(rows("s")._1 == Seq(100, 2))
+    assert(rows("s")._2 == rows("s")._3)
+  }
+
+  test("moveChannelAxis: HWC ↔ CHW round-trip") {
+    val vals = (0 until 24).map(_.toFloat)
+    val r = Seq((vals, Seq(2, 4, 3))).toDF("values", "shape")
+      .withColumn("chw", Multimodal.moveChannelAxis($"values", $"shape", lit(-1), lit(0)))
+      .withColumn("back", Multimodal.moveChannelAxis(
+        $"chw.values", $"chw.shape", lit(0), lit(-1)))
+      .select($"chw.shape", $"chw.values", $"back.values").collect()(0)
+    assert(r.getSeq[Int](0) == Seq(3, 2, 4))
+    // chw[c][y][x] = hwc[y][x][c]: spot-check c=2,y=1,x=3 → hwc idx (1*4+3)*3+2
+    assert(r.getSeq[Float](1)(2 * 8 + 1 * 4 + 3) == vals((1 * 4 + 3) * 3 + 2))
+    assert(r.getSeq[Float](2) == vals)
   }
 
   test("saveBlobsToFiles writes one file per doc; batchIdsLocal covers all rows") {
