@@ -170,8 +170,11 @@ object SparkEntry {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 
+  // maxHamming=3 with 4×16-bit bands is pigeonhole-complete: ≤3 differing
+  // bits can dirty at most 3 bands, so every qualifying pair shares a clean
+  // band — the banded plan provably equals the brute-force oracle
   private def q24(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("a", "b")
 
   // ------------------------------------------------------------------
@@ -829,6 +832,153 @@ object SparkEntry {
            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
                 WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
          FROM h ORDER BY doc_id""",
+
+    // mirrors q22 exactly: langid (as in q34) + the winnowing fingerprint.
+    // The rolling hash of each 16-byte window is a pure polynomial
+    // Σ byte·B^(15-t) mod 2^64, so windows are computed relationally
+    // (bytes × window-starts range join) instead of a sequential fold;
+    // the splitmix64 finalizer's xor/shift/multiply stages run as chained
+    // vectorized CTEs on HUGEINT with explicit mod-2^64 wraparound, and
+    // 64-bit wrapping multiply is done in 32-bit halves. Docs ≤16 bytes
+    // take the plain-FNV path via list_reduce (ASCII-only corpus: ord()
+    // per char = byte value, verified no non-ASCII at any SF).
+    "q22_langid_fingerprint" ->
+      """WITH byt AS (
+           SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+                  CAST(ord(substr(text, CAST(r.i AS INTEGER), 1)) AS HUGEINT) AS b
+           FROM documents
+           JOIN (SELECT CAST(x AS BIGINT) AS i FROM range(1, 100001) t(x)) r
+             ON r.i <= length(text)),
+         win AS (
+           SELECT w.doc_id, w.p,
+                  CAST(sum(c.b * (CASE c.i - w.p
+                    WHEN 0 THEN 6397295411589846571 WHEN 1 THEN 5600660903763878393
+                    WHEN 2 THEN 14911146631531166995 WHEN 3 THEN 15642640937032856817
+                    WHEN 4 THEN 2455841760392682171 WHEN 5 THEN 5231796974404119081
+                    WHEN 6 THEN 3634980586811902243 WHEN 7 THEN 1460077494926286753
+                    WHEN 8 THEN 12924618581234127435 WHEN 9 THEN 10923514805226455897
+                    WHEN 10 THEN 14453212906556403763 WHEN 11 THEN 14003818205314896721
+                    WHEN 12 THEN 1000009000027000027 WHEN 13 THEN 1000006000009
+                    WHEN 14 THEN 1000003 WHEN 15 THEN 1 END))
+                    % 18446744073709551616 AS HUGEINT) AS h
+           FROM (SELECT doc_id, r2.p FROM documents
+                 JOIN (SELECT CAST(x AS BIGINT) AS p FROM range(1, 100001) t(x)) r2
+                   ON r2.p <= length(text) - 15
+                 WHERE length(text) > 16) w
+           JOIN byt c ON c.doc_id = w.doc_id AND c.i >= w.p AND c.i < w.p + 16
+           GROUP BY w.doc_id, w.p),
+         m1 AS (SELECT doc_id, p,
+           (h + 11400714819323198485) % 18446744073709551616 AS x FROM win),
+         m1x AS (SELECT doc_id, p,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT doc_id, p,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT doc_id, p,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT doc_id, p,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         m3x AS (SELECT doc_id,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS mixed
+           FROM m3),
+         longdoc AS (SELECT doc_id, min(mixed) AS fingerprint FROM m3x GROUP BY doc_id),
+         shortdoc AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+             ELSE CAST(list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+               (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                          * 1099511628211) % 18446744073709551616)
+               - (CASE WHEN list_reduce(
+                    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                      list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+                    (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                               * 1099511628211) % 18446744073709551616)
+                    >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT)
+             END AS fingerprint
+           FROM documents WHERE length(text) <= 16),
+         fp AS (SELECT * FROM longdoc UNION ALL SELECT * FROM shortdoc),
+         lt AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         ls AS (SELECT doc_id, text,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('the','a','an','and','or','of','to','in','is','are','was','for',
+              'on','with','as','by','at','it','this','that','be','from')))*1.0
+             /len(tok) END s_en,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('le','la','les','de','des','du','un','une','et','ou','est','sont',
+              'pour','dans','par','sur','avec','ce','que','qui','au','aux')))*1.0
+             /len(tok) END s_fr,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('der','die','das','und','oder','ist','sind','ein','eine','zu',
+              'von','mit','auf','für','im','den','dem','nicht','sich','auch')))*1.0
+             /len(tok) END s_de,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('el','la','los','las','de','del','un','una','y','o','es','son',
+              'para','en','por','con','que','se','no','al')))*1.0
+             /len(tok) END s_es
+           FROM lt),
+         lf AS (SELECT doc_id, text, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_fr > s_en THEN s_fr ELSE s_en END b1s,
+           CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END b1l FROM ls),
+         lg AS (SELECT *, CASE WHEN s_de > b1s THEN s_de ELSE b1s END b2s,
+           CASE WHEN s_de > b1s THEN 'de' ELSE b1l END b2l FROM lf),
+         lh AS (SELECT *, CASE WHEN s_es > b2s THEN s_es ELSE b2s END b3s,
+           CASE WHEN s_es > b2s THEN 'es' ELSE b2l END b3l FROM lg),
+         lang AS (SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred FROM lh)
+         SELECT l.doc_id, l.lang_pred, f.fingerprint
+         FROM lang l JOIN fp f ON l.doc_id = f.doc_id
+         ORDER BY l.doc_id""",
+
+    // mirrors q24 exactly: per-token FNV-1a (fold via list_reduce; the
+    // ASCII-<256 xor trick keeps it in HUGEINT), per-bit majority vote
+    // over a 64-row range join, signed 64-bit reassembly (bit 63 → −2^63),
+    // then brute-force pairs at hamming ≤ 3 — valid because 4×16-bit
+    // banding is pigeonhole-complete at that radius
+    "q24_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(t, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         bits AS (
+           SELECT doc_id, b.b,
+             sum(CASE WHEN CAST((h // CAST(power(2, b.b) AS HUGEINT)) % 2 AS INTEGER) = 1
+                 THEN 1 ELSE -1 END) AS cnt
+           FROM th
+           JOIN (SELECT CAST(x AS INTEGER) AS b FROM range(0, 64) t(x)) b ON true
+           GROUP BY doc_id, b.b),
+         sims AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 0 THEN
+                 CASE WHEN b = 63 THEN -9223372036854775808 ELSE CAST(power(2, b) AS BIGINT) END
+               ELSE 0 END) AS BIGINT) AS sim
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         ORDER BY a, b""",
 
     // mirrors q28's arithmetic exactly: the Spark side round-trips the
     // tensor through real PNG encode/decode (lossless), then nearest-resizes
