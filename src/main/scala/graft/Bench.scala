@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Filters, Knn}
+import graft.operators.{Ann, Dedup, Filters, Knn}
 
 /** Benchmark main. Mirrors the reference's published benchmark shape
   * (BASELINE.md: 1M docs, 128-dim embeddings, K=10 — doc
@@ -96,14 +96,32 @@ object Bench {
       Knn.bruteForceBlocked(stored, queries100, 10, "cosine").collect()
     }
 
-    // ANN note: on THIS benchmark's uniform-random embeddings no bucketed
-    // method beats the exact blocked kernel (no cluster structure — IVF at
-    // 25% scan reaches only ~0.70 recall and is slower than exact at 1M).
-    // All knn numbers above are EXACT (Recall@10 = 1.0). The IVF/LSH path
-    // (graft.operators.Ann) is the 100 TB route for real, clustered
-    // corpora: 0.99 recall scanning 1/16 of cells in KnnSpec's clustered
-    // test. Measured here once: ivf_build_1m 34.7s (sampled k-means fit),
-    // ivf_search100@nProbe=16/64 3.1s, recall 0.695.
+    // ANN (the 100 TB path): spherical-k-means IVF — L2-normalize, cluster
+    // directions, probe cells in cosine order. On THIS corpus (uniform
+    // 1M×128, the hardest case for bucketed ANN: no cluster structure) the
+    // 1024-cell quantizer at nProbe=204 reaches Recall@10 ≈ 0.96-0.97 at a
+    // 0.199 scan fraction — above the BASELINE.md ≥0.85 target. The exact
+    // blocked kernel is still faster at single-node 1M (one streamlined
+    // scan beats join overhead); the IVF win is the pruned-scan I/O at
+    // cluster scale, where `assigned` is partitioned by `_cell` and only
+    // probed cells are read. ann_recall10_x1000 reports recall×1000 (not
+    // seconds) so the gate travels with the bench JSON.
+    {
+      val tb0 = System.nanoTime()
+      val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
+        fitSampleFraction = 0.2)
+      val idx = idx0.copy(assigned = idx0.assigned.cache())
+      idx.assigned.count()
+      results("ann_ivf_build_1m") = (System.nanoTime() - tb0) / 1e9
+      bench("ann_ivf_search100", runs = 1) {
+        Ann.ivfSearch(idx, queries100, 10, nProbe = 204).count()
+      }
+      val approx = Ann.ivfSearch(idx, queries100, 10, nProbe = 204)
+      val exact = Knn.bruteForce(stored, queries100, 10, "cosine")
+      results("ann_recall10_x1000") =
+        math.round(Ann.recallAgainstExact(approx, exact) * 1000).toDouble
+      idx.assigned.unpersist()
+    }
 
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
@@ -116,7 +134,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results // recall row is a ratio ×1000, not seconds
+      .collect { case (k, v) if v >= 0 && !k.startsWith("ann_recall") => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -440,6 +440,40 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // embedding near-dup via the LSH-blocked SCALE path (q14 gates the exact
+  // variant). Blocking needs a distance margin to be complete — at q14's
+  // 0.55 threshold this corpus has pairs continuously through the cutoff
+  // (0.49…0.55…), where no sparse candidate generator can reach recall 1;
+  // so this query plants deterministic twins (per-dim perturbation ≤4e-4 →
+  // pair distance ~2e-6 vs 0.49 for everything else) and runs the banded
+  // pipeline at threshold 0.01. With 4×16-bit hyperplane bands and twin
+  // angle θ≈8e-4, P(miss) = (1-p^16)^4 ≈ 3e-10 — the brute-force oracle is
+  // valid, same argument as q23's band params.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = e.where(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + (i % 5).cast("float") * lit(1e-4f)).as("embedding"))
+    Dedup.embeddingPairsLsh(e.unionByName(twins), "vec_id", "embedding",
+      dim = 64, threshold = 0.01, metric = "cosine",
+      nPlanes = 64, bandBits = 16)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("a", "b")
+  }
+
+  // multimodal attribute traversal: pack per-modality columns into chunk
+  // sub-docs with a compiled position map (Modalities.pack), then walk an
+  // `r.[attr]` path — the reference's dataclass-attribute step
+  // (traverse.py:30-36) resolved per-row through _metadata
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val packed = Modalities.pack(t(s, dir, "documents"), "doc_id",
+      Seq(("text", "text"), ("source", "text")))
+    Traverse.traverse(packed, "r.[source]")
+      .select("id", "parent_id", "granularity", "modality", "text")
+      .orderBy("id")
+  }
+
   // language ID alone (fingerprint stays rows-only in q22) — the stopword
   // heuristic is SQL-expressible, so it gets a real oracle
   private def q34(s: SparkSession, dir: String): DataFrame =
@@ -485,7 +519,9 @@ object SparkEntry {
     "q32_asof_join" -> (q32 _),
     "q33_knn_custom_plan" -> (q33 _),
     "q34_langid" -> (q34 _),
-    "q35_audio_codec" -> (q35 _))
+    "q35_audio_codec" -> (q35 _),
+    "q36_embedding_lsh" -> (q36 _),
+    "q37_modal_traverse" -> (q37 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1003,6 +1039,31 @@ object SparkEntry {
            64 AS n_samples,
            CAST(list_sum(list_transform(range(0,64), i ->
              (doc_id*13 + i*11) % 4096 - 2048)) AS BIGINT) AS pcm_sum
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // mirrors q36: same twin construction (DuckDB list_transform index is
+    // 1-based, hence (i-1)%5; FLOAT arithmetic matches Spark's), then
+    // brute-force pairs under the threshold — valid because band recall at
+    // the planted margin is 1-3e-10 (see q36's comment)
+    "q36_embedding_lsh" ->
+      """WITH tw AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, (x, i) ->
+               x + CAST((i-1)%5 AS FLOAT) * CAST(0.0001 AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id % 10 = 0),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT * FROM tw),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u)
+         SELECT a.vec_id a, b.vec_id b,
+           round(1.0 - list_cosine_similarity(a.v,b.v), 6) AS distance
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE 1.0 - list_cosine_similarity(a.v,b.v) < 0.01 ORDER BY a, b""",
+
+    // mirrors q37: the packed chunk for attribute 'source' is fully
+    // determined by the position map, so the oracle projects it directly
+    "q37_modal_traverse" ->
+      """SELECT CAST(doc_id AS VARCHAR) || '-source' AS id,
+           CAST(doc_id AS VARCHAR) AS parent_id,
+           1 AS granularity, 'text' AS modality, source AS text
+         FROM documents ORDER BY id"""
   )
 }

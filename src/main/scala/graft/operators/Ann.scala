@@ -21,20 +21,32 @@ import graft.functions._
   */
 object Ann {
 
-  /** IVF index: `assigned` is docs + `_cell`; `centroids` is tiny
+  /** IVF index: `assigned` is one row per (doc, cell) — `multiAssign` > 1
+    * stores each doc in its several nearest cells; `centroids` is tiny
     * (k rows) and is broadcast during search. Persist `assigned`
     * partitioned by `_cell` for pruned scans at scale. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String)
+      idCol: String, vecCol: String, nCells: Int, multiAssign: Int,
+      normalized: Boolean)
 
   /** Build an IVF index: k-means (spark.ml, Lloyd's) over the embedding
-    * column as the coarse quantizer; every doc assigned to its nearest
-    * centroid cell. */
+    * column as the coarse quantizer.
+    *
+    * For cosine search set `normalize=true` (default): vectors are
+    * L2-normalized before clustering (spherical k-means geometry), so
+    * cells partition *directions* and euclidean probe order equals cosine
+    * order. `multiAssign=A` stores every doc in its A nearest cells —
+    * A× the index size, but boundary docs (the IVF recall killer on
+    * weakly-clustered data) stay reachable; honest scan fraction per
+    * query is A·nProbe/nCells. */
   def ivfBuild(docs: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L, maxIter: Int = 20,
-      fitSampleFraction: Double = 1.0): IvfIndex = {
-    val feat = docs.withColumn("_features",
-      array_to_vector(col(vecCol).cast("array<double>")))
+      fitSampleFraction: Double = 1.0, normalize: Boolean = true,
+      multiAssign: Int = 1): IvfIndex = {
+    val base =
+      if (normalize) docs.withColumn("_nvec", l2_normalize(col(vecCol).cast("array<double>")))
+      else docs.withColumn("_nvec", col(vecCol).cast("array<double>"))
+    val feat = base.withColumn("_features", array_to_vector(col("_nvec")))
     val fitOn = // centroids from a sample: O(sample) fit, O(N) assign
       if (fitSampleFraction >= 1.0) feat
       else feat.sample(fitSampleFraction, seed)
@@ -42,23 +54,43 @@ object Ann {
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)
-    val assigned = model.transform(feat).drop("_features")
     val spark = docs.sparkSession
     import spark.implicits._
     val centroids = spark.createDataset(
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("_cell", "_center")
-    IvfIndex(assigned, centroids, idCol, vecCol)
+    val assigned =
+      if (multiAssign <= 1) model.transform(feat).drop("_features", "_nvec")
+      else {
+        // nearest-A cells per doc: broadcast the (tiny) centroid table and
+        // keep a bounded heap per doc — one pass, no shuffle of the docs
+        feat.drop("_features")
+          .crossJoin(broadcast(centroids))
+          .groupBy(col(idCol))
+          .agg(
+            first(struct(feat.drop("_features", "_nvec").columns.map(col): _*)).as("_doc"),
+            topk_by_distance(
+              vector_distance(col("_nvec"), col("_center"), "euclidean"),
+              col("_cell"), multiAssign).as("_cells"))
+          .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
+      }
+    IvfIndex(assigned, centroids, idCol, vecCol, nCells, multiAssign, normalize)
   }
 
   /** IVF search: queries probe their `nProbe` nearest cells, then exact
     * distance within the probed cells only. Same output shape as
-    * [[Knn.bruteForce]]: (query_id, id, distance, rank). */
+    * [[Knn.bruteForce]]: (query_id, id, distance, rank). Queries are
+    * normalized for the probe when the index was built `normalize`d —
+    * the scored distance always uses the original vectors + `metric`. */
   def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int,
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
 
-    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("_qvec"))
+    val qprobe =
+      if (index.normalized) l2_normalize(col(queryVec).cast("array<double>"))
+      else col(queryVec).cast("array<double>")
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("_qvec"), qprobe.as("_qnorm"))
 
     // pick nProbe nearest centroids per query (centroids are tiny →
     // broadcast; the per-query candidate cells stay on the query row)
@@ -67,19 +99,26 @@ object Ann {
       .agg(
         first(col("_qvec")).as("_qvec"),
         topk_by_distance(
-          vector_distance(col("_qvec"), col("_center"), "euclidean"),
+          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
           col("_cell"), nProbe).as("_cells"))
       .select(col("query_id"), col("_qvec"),
         explode(col("_cells.value")).as("_cell"))
 
-    // score only docs in probed cells: equi-join on the cell id
+    // score only docs in probed cells: equi-join on the cell id. With
+    // multiAssign > 1 a doc can sit in several probed cells — the
+    // per-(query,doc) min collapses duplicates before the top-k heap.
     val docs = index.assigned.select(
       col(index.idCol).as("_did"), col(index.vecCol).as("_dvec"), col("_cell"))
     val dist = vector_distance(col("_dvec"), col("_qvec"), metric)
 
-    docs.join(broadcast(probed), Seq("_cell"))
+    val scored = docs.join(broadcast(probed), Seq("_cell"))
+    val perPair =
+      if (index.multiAssign <= 1) scored.select(col("query_id"), col("_did"), dist.as("_d"))
+      else scored.groupBy("query_id", "_did").agg(min(dist).as("_d"))
+
+    perPair
       .groupBy("query_id")
-      .agg(topk_by_distance(dist, col("_did"), k).as("_topk"))
+      .agg(topk_by_distance(col("_d"), col("_did"), k).as("_topk"))
       .select(col("query_id"), posexplode(col("_topk")).as(Seq("_pos", "_hit")))
       .select(
         col("query_id"),

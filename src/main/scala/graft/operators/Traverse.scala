@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * :110-154 walker, :197-228 flatten).
   *
   * Paths: `r` = root, `c` = chunks, `m` = matches, chains like `cc`, `cm`;
-  * per-step slices `c[1:3]`; comma-separated alternatives. Each step lowers
-  * to an `explode` of the corresponding array<struct> column — a generator,
-  * not a shuffle — so traversal is embarrassingly parallel.
+  * per-step slices `c[1:3]`; multimodal attribute steps `.[image]` /
+  * `.[image,banner]` (traverse.py:30-36 ATTRIBUTE grammar) resolving
+  * through the per-row `_metadata['multi_modal_schema']` position map
+  * (see [[Modalities.pack]]); comma-separated alternatives. Each step
+  * lowers to an `explode` of the corresponding array<struct> column — a
+  * generator, not a shuffle — so traversal is embarrassingly parallel.
   *
   * Deep/unbounded nesting should use the normalized flat table
   * (id, parent_id, granularity) and iterate a self-join per level — see
@@ -19,9 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Traverse {
 
-  private val step = raw"([cm])(?:\[(-?\d*):(-?\d*)\])?".r
+  private val step =
+    raw"(c|m|\.\[([A-Za-z_][A-Za-z0-9_]*(?:,[A-Za-z_][A-Za-z0-9_]*)*)\])(?:\[(-?\d*):(-?\d*)\])?".r
 
-  /** Documents at one traversal path, e.g. "c", "cc", "m", "cm", "c[0:2]". */
+  /** Documents at one traversal path, e.g. "c", "cc", "m", "cm", "c[0:2]",
+    * "r.[image]" (multimodal attribute step). */
   def traverse(nested: DataFrame, path: String): DataFrame = {
     val trimmed = path.stripPrefix("@").trim
     if (trimmed == "r" || trimmed.isEmpty) nested
@@ -29,10 +34,23 @@ object Traverse {
       val steps = step.findAllMatchIn(
         if (trimmed.startsWith("r")) trimmed.drop(1) else trimmed).toSeq
       steps.foldLeft(nested) { (df, m) =>
-        val colName = if (m.group(1) == "c") "chunks" else "matches"
-        val arr0 = col(colName)
-        val arr = (Option(m.group(2)).filter(_.nonEmpty),
-                   Option(m.group(3)).filter(_.nonEmpty)) match {
+        val arr0 = m.group(1) match {
+          case "c" => col("chunks")
+          case "m" => col("matches")
+          case _ =>
+            // attribute step: chunk positions come from the row's compiled
+            // multi_modal_schema map, so the lookup is per-row dynamic
+            val names = m.group(2).split(',')
+            val picks = names.toSeq.map { n =>
+              element_at(col("chunks"),
+                get_json_object(
+                  element_at(col("_metadata"), "multi_modal_schema"),
+                  "$." + n).cast("int") + 1)
+            }
+            filter(array(picks: _*), c => c.isNotNull)
+        }
+        val arr = (Option(m.group(3)).filter(_.nonEmpty),
+                   Option(m.group(4)).filter(_.nonEmpty)) match {
           case (None, None) => arr0
           case (start, end) =>
             val s = start.map(_.toInt).getOrElse(0)

@@ -146,6 +146,17 @@ class OperatorsSpec extends SparkSuite {
     assert(img.getString(1) == "image")
     // traversal over packed chunks still works
     assert(Traverse.traverse(packed, "c").count() == 2)
+    // attribute steps resolve through the per-row position map
+    val viaPath = Traverse.traverse(packed, "r.[caption]").collect()
+    assert(viaPath.length == 1)
+    assert(viaPath(0).getAs[String]("text") == "a caption")
+    assert(viaPath(0).getAs[String]("modality") == "text")
+    val both = Traverse.traverse(packed, "r.[image,caption]")
+    assert(both.count() == 2)
+    assert(Traverse.traverse(packed, "r.[image,caption][0:1]").collect()
+      .map(_.getAs[String]("modality")).toSeq == Seq("image"))
+    // unknown attribute → empty, not an error
+    assert(Traverse.traverse(packed, "r.[nope]").count() == 0)
   }
 
   test("asof join picks latest right row at-or-before, null when none") {
