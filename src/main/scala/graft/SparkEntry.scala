@@ -149,9 +149,14 @@ object SparkEntry {
     Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
       .orderBy("keep_id")
 
+  // maxDocFreq=30 drops hot shingles BEFORE the inverted-index self-join —
+  // the skew guard that keeps posting lists subquadratic at scale (here it
+  // prunes ~55% of join volume). Capping lower-bounds the scored jaccard
+  // (hot shingles leave the intersection but not the set sizes); the
+  // oracle replicates that exactly.
   private def q10(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      threshold = 0.2, ngram = 2)
+      threshold = 0.2, ngram = 2, maxDocFreq = 30L)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 
@@ -474,6 +479,16 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  // per-doc URI fetch: text → data URI → distributed uriToBlob fetch →
+  // utf8 decode. The fetch path (helper.py:11-22 _uri_to_blob) is the
+  // thing under test; the round trip makes it hash-gateable.
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Multimodal.loadUriToBlob(
+      t(s, dir, "documents").withColumn("uri",
+        Multimodal.toDataUri(col("text").cast("binary"), lit("text/plain"))))
+      .select(col("doc_id"), decode(col("blob"), "UTF-8").as("fetched"))
+      .orderBy("doc_id")
+
   // language ID alone (fingerprint stays rows-only in q22) — the stopword
   // heuristic is SQL-expressible, so it gets a real oracle
   private def q34(s: SparkSession, dir: String): DataFrame =
@@ -521,7 +536,8 @@ object SparkEntry {
     "q34_langid" -> (q34 _),
     "q35_audio_codec" -> (q35 _),
     "q36_embedding_lsh" -> (q36 _),
-    "q37_modal_traverse" -> (q37 _))
+    "q37_modal_traverse" -> (q37 _),
+    "q38_uri_fetch" -> (q38 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -587,6 +603,9 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
 
+    // mirrors q10's capped plan: shingles in more than maxDocFreq=30 docs
+    // are dropped from the intersection (via the same inverted-index join
+    // shape) while set sizes stay uncapped — the same lower-bound jaccard
     "q10_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
@@ -594,10 +613,16 @@ object SparkEntry {
          g AS (SELECT doc_id,
            list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
            FROM t),
-         j AS (SELECT a.doc_id a, b.doc_id b,
-           len(list_intersect(a.s,b.s))*1.0 /
-             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
-           FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         post AS (SELECT doc_id, unnest(s) sh FROM g),
+         hot AS (SELECT sh FROM (SELECT sh, count(*) c FROM post GROUP BY sh)
+                 WHERE c > 30),
+         kept AS (SELECT doc_id, sh FROM post WHERE sh NOT IN (SELECT sh FROM hot)),
+         inter AS (SELECT x.doc_id a, y.doc_id b, count(*) shared
+                   FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) n FROM g),
+         j AS (SELECT a, b, shared*1.0 / (sa.n + sb.n - shared) j
+               FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2 ORDER BY a, b""",
 
     // MinHash-LSH verified pairs: at these params (128 hashes, 64 bands of
@@ -1064,6 +1089,11 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) || '-source' AS id,
            CAST(doc_id AS VARCHAR) AS parent_id,
            1 AS granularity, 'text' AS modality, source AS text
-         FROM documents ORDER BY id"""
+         FROM documents ORDER BY id""",
+
+    // mirrors q38: the data-URI encode→fetch→decode round trip is the
+    // identity on the text
+    "q38_uri_fetch" ->
+      """SELECT doc_id, text AS fetched FROM documents ORDER BY doc_id"""
   )
 }

@@ -408,6 +408,58 @@ object Multimodal {
   def toDataUri(blob: Column, mimeType: Column): Column =
     concat(lit("data:"), mimeType, lit(";base64,"), base64(blob))
 
+  private def percentDecode(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Per-doc URI fetch: `data:` URIs (base64 or percent-encoded), local
+    * paths / `file:` URIs (shared filesystem), and `http(s)` — the
+    * reference's `_uri_to_blob` (document/mixins/helper.py:11-22) as a
+    * distributed column op. Runs on executors, so file paths must be
+    * visible cluster-wide; failures yield null (bulk pipelines filter
+    * rather than abort). */
+  val uriToBlob = udf { (uri: String) =>
+    if (uri == null) null
+    else try {
+      if (uri.startsWith("data:")) {
+        val comma = uri.indexOf(',')
+        if (comma < 0) null
+        else {
+          val meta = uri.substring(5, comma)
+          val payload = uri.substring(comma + 1)
+          // MIME decoder: tolerates RFC 2045 line breaks (Spark's base64()
+          // chunks at 76 chars) and is a superset of the basic alphabet
+          if (meta.endsWith(";base64")) java.util.Base64.getMimeDecoder.decode(payload)
+          else percentDecode(payload)
+        }
+      } else if (uri.startsWith("http://") || uri.startsWith("https://")) {
+        val conn = java.net.URI.create(uri).toURL.openConnection()
+        conn.setRequestProperty("User-Agent", "Mozilla/5.0")
+        val in = conn.getInputStream
+        try in.readAllBytes() finally in.close()
+      } else {
+        val path =
+          if (uri.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(uri))
+          else java.nio.file.Paths.get(uri)
+        java.nio.file.Files.readAllBytes(path)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** `load_uri_to_blob` over a whole table (reference: blob.py:12-19). */
+  def loadUriToBlob(df: org.apache.spark.sql.DataFrame, uriCol: String = "uri",
+      blobCol: String = "blob"): org.apache.spark.sql.DataFrame =
+    df.withColumn(blobCol, uriToBlob(col(uriCol)))
+
   /** save_blob_to_file for every doc (reference: document/mixins/blob.py:40-52)
     * — distributed: each partition writes its docs' blobs to
     * `<dir>/<id><ext>`. Executor-local I/O; `dir` must be a shared

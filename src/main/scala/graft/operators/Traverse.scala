@@ -73,6 +73,71 @@ object Traverse {
       .map(p => traverse(nested, p))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Write-back through a traversal path — `da['@c'] = docs`
+    * (reference: array/mixins/setitem.py:72-75 → `_set_doc_value_pairs`).
+    * The reference pairs flattened leaves with values by position; the
+    * distributable equivalent is by id: every doc reached by `path` whose
+    * id appears in `updates` is replaced by the `updates` row, and the
+    * nested column is reconstructed with sibling order preserved.
+    *
+    * `updates` must carry the same columns as the leaf documents (a full
+    * replacement row per id). Plan shape per level: posexplode → leaf
+    * left-join (broadcast-able when updates are small) → groupBy parent +
+    * sorted collect_list — one shuffle per nesting level, no driver loop.
+    */
+  def setByPath(nested: DataFrame, path: String, updates: DataFrame,
+      idCol: String = "id"): DataFrame = {
+    val trimmed = path.stripPrefix("@").trim
+    val steps = (if (trimmed.startsWith("r")) trimmed.drop(1) else trimmed)
+      .toSeq.map {
+        case 'c' => "chunks"
+        case 'm' => "matches"
+        case bad => throw new IllegalArgumentException(
+          s"setByPath supports c/m chains, got '$bad' in $path")
+      }
+    require(steps.nonEmpty, s"empty write-back path: $path")
+    rebuildLevel(nested, steps, updates, idCol)
+  }
+
+  private def rebuildLevel(df: DataFrame, steps: Seq[String],
+      updates: DataFrame, idCol: String): DataFrame = {
+    val arrCol = steps.head
+    val kids0 = df
+      .select(col(idCol).as("_pid"), posexplode(col(arrCol)).as(Seq("_pos", "_d")))
+      .select(Seq(col("_pid"), col("_pos")) ++
+        df.select(col(arrCol)).schema.fields.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq.map(f => col("_d").getField(f).as(f)): _*)
+    val kidCols = kids0.columns.filterNot(c => c == "_pid" || c == "_pos").toSeq
+    val kids =
+      if (steps.tail.nonEmpty)
+        rebuildLevel(kids0, steps.tail, updates, idCol)
+      else {
+        // leaf level: replace whole rows whose id matches an updates row
+        val up = updates.select(
+          col(idCol).as("_uid"),
+          struct(kidCols.map(col): _*).as("_new"))
+        kids0.join(up, kids0(idCol) === up("_uid"), "left")
+          .select(col("_pid"), col("_pos"),
+            coalesce(col("_new"), struct(kidCols.map(col): _*)).as("_d"))
+          .select(Seq(col("_pid"), col("_pos")) ++
+            kidCols.map(f => col("_d").getField(f).as(f)): _*)
+      }
+    // `_rb_pid` (not `_pid`) so the join+drop can't collide with an outer
+    // recursion level's own `_pid` marker
+    val rebuilt = kids
+      .groupBy("_pid")
+      .agg(array_sort(collect_list(struct(
+        col("_pos") +: kidCols.map(col): _*))).as("_sorted"))
+      .select(col("_pid").as("_rb_pid"),
+        transform(col("_sorted"),
+          e => struct(kidCols.map(f => e.getField(f).as(f)): _*)).as("_arr"))
+    df.join(rebuilt, df(idCol) === rebuilt("_rb_pid"), "left")
+      .withColumn(arrCol, coalesce(col("_arr"), col(arrCol)))
+      .drop("_rb_pid", "_arr")
+  }
+
   /** flatten: all nesting levels as one table, deduped by id
     * (reference: traverse.py:197-228). Iteratively explodes to `depth`. */
   def flatten(nested: DataFrame, depth: Int = 2): DataFrame = {

@@ -146,6 +146,32 @@ class IoStreamSpec extends SparkSuite {
     assert(rows("s")._2 == rows("s")._3)
   }
 
+  test("uriToBlob: data URIs (base64 + percent), file paths, missing → null") {
+    val f = Files.createTempFile("graft", ".bin")
+    Files.write(f, Array[Byte](1, 2, 3))
+    val rows = Seq(
+      ("b64", "data:application/octet-stream;base64,AQID"),
+      ("pct", "data:text/plain,a%20b%21c"),
+      ("path", f.toString),
+      ("fileuri", f.toUri.toString),
+      ("missing", "/no/such/file/anywhere"))
+      .toDF("kind", "uri")
+    val got = Multimodal.loadUriToBlob(rows).collect()
+      .map(r => r.getString(0) -> Option(r.getAs[Array[Byte]]("blob")).map(_.toSeq))
+      .toMap
+    assert(got("b64") == Some(Seq[Byte](1, 2, 3)))
+    assert(got("pct") == Some("a b!c".getBytes.toSeq))
+    assert(got("path") == Some(Seq[Byte](1, 2, 3)))
+    assert(got("fileuri") == Some(Seq[Byte](1, 2, 3)))
+    assert(got("missing") == None)
+    // toDataUri → uriToBlob round trip
+    val rt = Seq(("x", Array[Byte](0, 127, -128, 64))).toDF("id", "payload")
+      .withColumn("uri", Multimodal.toDataUri($"payload", lit("application/octet-stream")))
+      .withColumn("blob", Multimodal.uriToBlob($"uri"))
+      .select("blob").collect()(0).getAs[Array[Byte]](0)
+    assert(rt.toSeq == Seq[Byte](0, 127, -128, 64))
+  }
+
   test("moveChannelAxis: HWC ↔ CHW round-trip") {
     val vals = (0 until 24).map(_.toFloat)
     val r = Seq((vals, Seq(2, 4, 3))).toDF("values", "shape")

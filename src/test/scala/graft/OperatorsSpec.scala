@@ -69,6 +69,43 @@ class OperatorsSpec extends SparkSuite {
     assert(flat.select("id").distinct().count() == 6)
   }
 
+  test("setByPath: write-back via @c rebuilds chunks, order and schema kept") {
+    val docs = Seq(("r1", "root one"), ("r2", "root two"), ("r3", "no kids"))
+      .toDF("id", "text")
+      .withColumn("chunks", when($"id" =!= "r3", array(
+        struct(concat($"id", lit("-c0")).as("id"), $"id".as("parent_id"),
+          lit("chunk0").as("text")),
+        struct(concat($"id", lit("-c1")).as("id"), $"id".as("parent_id"),
+          lit("chunk1").as("text"))))
+        .otherwise(array().cast("array<struct<id:string,parent_id:string,text:string>>")))
+    // modify ALL @c leaves: uppercase the text
+    val updates = Traverse.traverse(docs, "c")
+      .withColumn("text", upper($"text"))
+    val back = Traverse.setByPath(docs, "@c", updates)
+    assert(back.schema.catalogString == docs.schema.catalogString)
+    val texts = back.orderBy("id")
+      .select(flatten(array($"chunks.text")).as("t")).as[Seq[String]].collect()
+    assert(texts(0) == Seq("CHUNK0", "CHUNK1"))
+    assert(texts(1) == Seq("CHUNK0", "CHUNK1"))
+    assert(texts(2) == Seq())
+    // partial update: only r1-c1 replaced, siblings untouched, order kept
+    val one = Seq(("r1-c1", "r1", "patched")).toDF("id", "parent_id", "text")
+    val t2 = Traverse.setByPath(docs, "@c", one).orderBy("id")
+      .select(flatten(array($"chunks.text")).as("t")).as[Seq[String]].collect()
+    assert(t2(0) == Seq("chunk0", "patched") && t2(1) == Seq("chunk0", "chunk1"))
+    // two-level path @cm
+    val deep = Seq(("r1", "root")).toDF("id", "text")
+      .withColumn("chunks", array(struct(
+        lit("c1").as("id"), lit("r1").as("parent_id"), lit("ct").as("text"),
+        array(struct(lit("m1").as("id"), lit("match-of-chunk").as("text")))
+          .as("matches"))))
+    val mUpd = Seq(("m1", "MATCHED")).toDF("id", "text")
+    val got = Traverse.setByPath(deep, "@cm", mUpd)
+    assert(got.schema.catalogString == deep.schema.catalogString)
+    assert(Traverse.traverse(got, "cm").select("text").as[String].collect()(0)
+      == "MATCHED")
+  }
+
   test("traverse chained paths: cm reaches matches of chunks") {
     val docs = Seq(("r1", "root")).toDF("id", "text")
       .withColumn("chunks", array(struct(
