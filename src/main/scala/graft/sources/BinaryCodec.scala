@@ -249,16 +249,109 @@ object BinaryCodec {
     NdArray(values, shape.toSeq, dtype)
   }
 
+  /** Dense int buffer (the indices tensor of a sparse array) → exact longs
+    * + its shape; float parse would lose indices above 2^24. */
+  private def parseDenseLongs(r: R): (Seq[Long], Seq[Int]) = {
+    var buf: Array[Byte] = Array.empty
+    val shape = scala.collection.mutable.ArrayBuffer[Int]()
+    var dtype = ""
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      field match {
+        case 1 => buf = r.bytesField()
+        case 2 => if (wire == 2) { val c = r.chunk(); while (c.hasMore) shape += c.varint().toInt }
+                  else shape += r.varint().toInt
+        case 3 => dtype = r.strField()
+        case _ => r.skip(wire)
+      }
+    }
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val longs: Seq[Long] = dtype match {
+      case "int32" => Seq.tabulate(buf.length / 4)(i => bb.getInt(i * 4).toLong)
+      case _ => Seq.tabulate(buf.length / 8)(i => bb.getLong(i * 8)) // int64
+    }
+    (longs, shape.toSeq)
+  }
+
+  /** SparseNdArrayProto (docarray.proto:34-46): COO indices [N, ndims]
+    * int64 + values [N] + shape [ndims] → densified row-major NdArray.
+    * The doc schema carries dense tensors/embeddings, so sparse payloads
+    * densify on read; keep them as ml `SparseVector`s downstream via
+    * `array_to_vector` + `MlVectorDistance` when sparsity matters. */
+  private def parseSparse(r: R): NdArray = {
+    var indices: Seq[Long] = Nil
+    var values: NdArray = NdArray(Nil, Nil, "")
+    val shape = scala.collection.mutable.ArrayBuffer[Int]()
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      field match {
+        case 1 => indices = parseDenseLongs(r.chunk())._1
+        case 2 => values = parseDense(r.chunk())
+        case 3 => if (wire == 2) { val c = r.chunk(); while (c.hasMore) shape += c.varint().toInt }
+                  else shape += r.varint().toInt
+        case _ => r.skip(wire)
+      }
+    }
+    val dims = shape.toSeq
+    val total = dims.product
+    val nnz = values.values.length
+    val ndims = if (nnz == 0) math.max(dims.length, 1) else indices.length / nnz
+    val strides = dims.scanRight(1)((d, acc) => d * acc).drop(1)
+    val out = new Array[Float](total)
+    var n = 0
+    while (n < nnz) {
+      var flat = 0L
+      var d = 0
+      while (d < ndims) { flat += indices(n * ndims + d) * strides(d); d += 1 }
+      if (flat >= 0 && flat < total) out(flat.toInt) = values.values(n)
+      n += 1
+    }
+    NdArray(out.toSeq, dims, values.dtype)
+  }
+
   private def parseNdArray(r: R): NdArray = {
     var out = NdArray(Nil, Nil, "")
     while (r.hasMore) {
       val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
       field match {
         case 1 => out = parseDense(r.chunk())
-        case _ => r.skip(wire) // sparse / cls_name / parameters ignored
+        case 2 => out = parseSparse(r.chunk())
+        case _ => r.skip(wire) // cls_name / parameters ignored
       }
     }
     out
+  }
+
+  /** NdArrayProto bytes with the sparse branch — writer counterpart for
+    * COO payloads (and the round-trip test vector). */
+  private[graft] def encodeSparseNdArray(indices: Seq[Seq[Long]],
+      values: Seq[Float], shape: Seq[Int]): Array[Byte] = {
+    val ndims = shape.length
+    val idx = new W
+    val ibuf = ByteBuffer.allocate(8 * indices.length * ndims)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    indices.foreach(_.foreach(ibuf.putLong))
+    idx.bytes(1, ibuf.array())
+    Seq(indices.length, ndims).foreach(s => { idx.tag(2, 0); idx.varint(s.toLong) })
+    idx.str(3, "int64")
+    val vals = new W
+    val vbuf = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(vbuf.putFloat)
+    vals.bytes(1, vbuf.array())
+    vals.tag(2, 0); vals.varint(values.length.toLong)
+    vals.str(3, "float32")
+    val sparse = new W
+    sparse.msg(1, idx)
+    sparse.msg(2, vals)
+    shape.foreach(s => { sparse.tag(3, 0); sparse.varint(s.toLong) })
+    val nd = new W
+    nd.msg(2, sparse)
+    nd.out.toByteArray
+  }
+
+  private[graft] def decodeNdArray(bytes: Array[Byte]): (Seq[Float], Seq[Int], String) = {
+    val nd = parseNdArray(new R(bytes, 0, bytes.length))
+    (nd.values, nd.shape, nd.dtype)
   }
 
   /** Struct → Map[String,String] (numbers/bools stringified). */

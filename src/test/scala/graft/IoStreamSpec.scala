@@ -146,6 +146,30 @@ class IoStreamSpec extends SparkSuite {
     assert(rows("s")._2 == rows("s")._3)
   }
 
+  test("binary codec: sparse COO ndarray densifies on read (docarray.proto:34-46)") {
+    import graft.sources.BinaryCodec
+    // 2-D COO: (0,1)=2.5, (1,3)=-1, (1,0)=4 in a 2×4 tensor
+    val bytes = BinaryCodec.encodeSparseNdArray(
+      Seq(Seq(0L, 1L), Seq(1L, 3L), Seq(1L, 0L)),
+      Seq(2.5f, -1.0f, 4.0f), Seq(2, 4))
+    val (vals, shape, dtype) = BinaryCodec.decodeNdArray(bytes)
+    assert(shape == Seq(2, 4) && dtype == "float32")
+    assert(vals == Seq(0f, 2.5f, 0f, 0f, 4.0f, 0f, 0f, -1.0f))
+    // 1-D sparse embedding: densified read agrees with the ml SparseVector
+    // through the sparse-native merge-loop distance kernel
+    val b1 = BinaryCodec.encodeSparseNdArray(
+      Seq(Seq(1L), Seq(4L)), Seq(3f, 4f), Seq(6))
+    val (v1, s1, _) = BinaryCodec.decodeNdArray(b1)
+    assert(s1 == Seq(6) && v1 == Seq(0f, 3f, 0f, 0f, 4f, 0f))
+    import org.apache.spark.ml.linalg.Vectors
+    val df2 = Seq((
+      Vectors.sparse(6, Array(1, 4), Array(3.0, 4.0)),
+      Vectors.dense(v1.map(_.toDouble).toArray))).toDF("a", "b")
+    val d = df2.select(graft.functions.ml_vector_distance($"a", $"b", "cosine")
+      .as("d")).as[Double].collect()(0)
+    assert(math.abs(d) < 1e-9)
+  }
+
   test("uriToBlob: data URIs (base64 + percent), file paths, missing → null") {
     val f = Files.createTempFile("graft", ".bin")
     Files.write(f, Array[Byte](1, 2, 3))
