@@ -85,15 +85,24 @@ object Filters {
       }
     }
 
-  /** Resolve a dunder/dotted path to (column, sparkType if known). */
+  /** Resolve a dunder/dotted path to (column, sparkType if known).
+    * A field name that exactly matches a top-level column is taken whole —
+    * so a column literally named `a.b` doesn't become a failed struct
+    * walk — and backticks force that reading explicitly. */
   private[graft] def resolve(path: String, schema: StructType): (Column, Option[DataType]) = {
-    val segs = if (path.contains("__")) path.split("__").toSeq else path.split('.').toSeq
+    val segs =
+      if (path.length > 1 && path.startsWith("`") && path.endsWith("`"))
+        Seq(path.substring(1, path.length - 1))
+      else if (schema.fieldNames.contains(path)) Seq(path)
+      else if (path.contains("__")) path.split("__").toSeq
+      else path.split('.').toSeq
     val head = segs.head
     val topType = schema.fields.find(_.name == head).map(_.dataType)
     if (topType.isEmpty && segs.length == 1 && !schema.fieldNames.contains(head))
       throw new IllegalArgumentException(
         s"field '$head' not in schema [${schema.fieldNames.mkString(", ")}]")
-    segs.tail.foldLeft((col(head), topType)) { case ((c, t), seg) =>
+    val headCol = if (head.contains(".")) col(s"`$head`") else col(head)
+    segs.tail.foldLeft((headCol, topType)) { case ((c, t), seg) =>
       t match {
         case Some(MapType(_, vt, _)) => (c.getItem(seg), Some(vt))
         case Some(st: StructType) =>

@@ -104,7 +104,8 @@ case class KnnJoinExec(
 
     partials
       .reduceByKey((a, b) => { b.sortedEntries.foreach { case (d, v) => a.insert(d, v) }; a },
-        numPartitions = math.max(1, math.min(qIds.length, 32)))
+        numPartitions = math.max(1, math.min(qIds.length,
+          conf.numShufflePartitions))) // merge width follows the session conf
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
         val (ids, _) = bc.value

@@ -71,6 +71,16 @@ class FiltersSpec extends SparkSuite {
     assert(got == Seq("b"))
   }
 
+  test("top-level column with a dot in its name is not a struct walk") {
+    val d2 = Seq(("a", 1), ("b", 5)).toDF("id", "a.b")
+    val got = Filters.where(d2, """{"a.b": {"$gte": 5}}""")
+      .select("id").as[String].collect().toSeq
+    assert(got == Seq("b"))
+    val bt = Filters.where(d2, """{"`a.b`": {"$lt": 5}}""")
+      .select("id").as[String].collect().toSeq
+    assert(bt == Seq("a"))
+  }
+
   test("compiled predicates push down to the parquet scan") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plan = Filters.where(li,
