@@ -375,3 +375,55 @@ case class RollingFingerprint(child: Expression, window: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "rolling_fingerprint"
 }
+
+/** cosine_lsh(vec, dim, nPlanes, seed) → long: random-hyperplane signature
+  * for cosine similarity — `nPlanes` sign bits of Gaussian-plane dot
+  * products, packed into a long. One pass over the vector per plane with
+  * the plane matrix materialized once per executor (vs the Column-algebra
+  * formulation's 64 separate zip_with/aggregate traversals — this is the
+  * map-side cost of embedding dedup at scale). Plane layout matches
+  * `java.util.Random(seed).nextGaussian()` drawn row-major [plane][dim],
+  * so signatures are bit-identical to the previous formulation. */
+case class CosineLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(nPlanes > 0 && nPlanes <= 64, "1..64 planes per signature word")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"expects array<float|double>, got ${t.sql}")
+  }
+
+  @transient private lazy val planes: Array[Double] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes * dim)(rnd.nextGaussian())
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var dot = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { dot += a.getFloat(i) * planes(base + i); i += 1 }
+      else while (i < n) { dot += a.getDouble(i) * planes(base + i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cosine_lsh"
+}

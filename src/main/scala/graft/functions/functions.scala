@@ -76,6 +76,10 @@ package object functions {
   def rolling_fingerprint(text: Column, window: Int = 16): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text), window))
 
+  /** Random-hyperplane cosine-LSH signature (see CosineLsh). */
+  def cosine_lsh(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
+    Bridge.column(CosineLsh(Bridge.expression(vec), dim, nPlanes, seed))
+
   /** Hashing-trick embedding of a token array (reference featurehash). */
   def feature_hash(tokens: Column, nDim: Int): Column =
     Bridge.column(FeatureHash(Bridge.expression(tokens), nDim))
@@ -106,6 +110,9 @@ package object functions {
       "feature_hash" -> (exprs => FeatureHash(exprs(0), litInt(exprs(1)))),
       "rolling_fingerprint" -> (exprs =>
         RollingFingerprint(exprs(0), litInt(exprs(1)))),
+      "cosine_lsh" -> (exprs =>
+        CosineLsh(exprs(0), litInt(exprs(1)), litInt(exprs(2)),
+          if (exprs.length > 3) exprs(3).eval().toString.toLong else 42L)),
       "minhash_signature" -> (exprs =>
         MinHashSignature(exprs(0), litInt(exprs(1)),
           if (exprs.length > 2) exprs(2).eval().toString.toLong else 42L)),

@@ -128,20 +128,12 @@ object Ann {
   }
 
   /** Random-hyperplane LSH signature for cosine similarity: `nPlanes`
-    * sign bits packed into a long. Deterministic from the seed. */
+    * sign bits packed into a long. Deterministic from the seed. Native
+    * one-pass expression (graft.functions.CosineLsh) — the Column-algebra
+    * alternative re-traverses the array once per plane. */
   def cosineLshSignature(vec: Column, dim: Int, nPlanes: Int,
-      seed: Long = 42L): Column = {
-    require(nPlanes <= 64, "at most 64 planes per signature word")
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val v = vec.cast("array<double>")
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(v, lit(p), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+      seed: Long = 42L): Column =
+    cosine_lsh(vec, dim, nPlanes, seed)
 
   /** Bucket docs by LSH signature bands for near-dup blocking / ANN
     * pre-join: emits one row per (doc, band) with a `_bucket` key; join

