@@ -408,6 +408,12 @@ object Multimodal {
   def toDataUri(blob: Column, mimeType: Column): Column =
     concat(lit("data:"), mimeType, lit(";base64,"), base64(blob))
 
+  /** convert_image_tensor_to_uri (reference: image.py:66-83): encode the
+    * HWC uint8 tensor and wrap it as a base64 data URI. */
+  def imageTensorToDataUri(values: Column, shape: Column,
+      format: String = "png"): Column =
+    toDataUri(encodeImage(values, shape, lit(format)), lit(s"image/$format"))
+
   private def percentDecode(s: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
