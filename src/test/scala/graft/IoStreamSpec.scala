@@ -365,6 +365,38 @@ class IoStreamSpec extends SparkSuite {
     assert(got.toSeq == Seq("dup", "unique"))
   }
 
+  test("watermark: append-mode windows emit on close, too-late rows dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_time", "event_type", "value")
+    val q = EventStream.windowedCounts(events, "30 minutes", "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wm")
+      .start()
+    // batch 1: two rows in window 00:00-00:30, one at 01:10 that pushes
+    // the watermark to 00:40 — past the first window's end
+    mem.addData((ts("00:05:00"), "a", 1.0), (ts("00:10:00"), "a", 2.0),
+      (ts("01:10:00"), "a", 4.0))
+    q.processAllAvailable()
+    // batch 2: a too-late row for the closed window (00:06 < watermark
+    // 00:40 → dropped) and a row at 02:10 that closes the 01:00 window
+    mem.addData((ts("00:06:00"), "a", 8.0), (ts("02:10:00"), "a", 16.0))
+    q.processAllAvailable()
+    mem.addData((ts("03:10:00"), "a", 32.0)) // close the 02:00 window
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT window.start, n, sum_value FROM wm ORDER BY 1")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3)
+    // first window emitted with ONLY the two on-time rows: the late 8.0
+    // never lands anywhere
+    assert(got(0)._1 == ts("00:00:00") && got(0)._2 == 2 && got(0)._3 == 3.0)
+    assert(got(1)._1 == ts("01:00:00") && got(1)._2 == 1 && got(1)._3 == 4.0)
+    assert(got(2)._1 == ts("02:00:00") && got(2)._2 == 1 && got(2)._3 == 16.0)
+  }
+
   test("base64 round trip (to_base64/from_base64)") {
     import graft.sources.BinaryCodec
     import graft.schema.Doc
