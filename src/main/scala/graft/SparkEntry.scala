@@ -489,6 +489,42 @@ object SparkEntry {
       .select(col("doc_id"), decode(col("blob"), "UTF-8").as("fetched"))
       .orderBy("doc_id")
 
+  // ordered offset selection (§2.2): explicit offsets column + selection
+  // by offset list — document-store point access over a sorted view
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val off = Items.withOffsets(
+      t(s, dir, "documents").select("doc_id", "lang"), col("doc_id"))
+    Items.byOffsetsOrdered(off, "offset", Seq(7L, 3L, 11L, 5L))
+      .orderBy("doc_id")
+  }
+
+  // summary(): one row per column with fill/min/max/avg-len stats
+  // (reference: array/mixins/plot.py summary table). Averages rounded on
+  // both sides — summation order differs between engines.
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Summary.describe(t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "n_chars"))
+      .withColumn("fill_ratio", round(col("fill_ratio"), 6))
+      .withColumn("avg_len", round(col("avg_len"), 6))
+      .orderBy("column")
+
+  // reduce_all: 3-way left-priority merge with null fill + id union
+  // (reference: array/mixins/reduce.py:7-91)
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), lit(null).cast("string").as("source"))
+    val b = d.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("lang"), col("source"))
+    val c = d.where(col("doc_id") < 100).select("doc_id", "lang", "source")
+    Reduce.mergeAll(Seq(a, b, c), "doc_id").orderBy("doc_id")
+  }
+
+  // batch assignment (§2.5): deterministic global batching by id order
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    GroupOps.batchIds(t(s, dir, "documents").select("doc_id"),
+      col("doc_id"), 64).orderBy("doc_id")
+
   // language ID alone (fingerprint stays rows-only in q22) — the stopword
   // heuristic is SQL-expressible, so it gets a real oracle
   private def q34(s: SparkSession, dir: String): DataFrame =
@@ -537,7 +573,11 @@ object SparkEntry {
     "q35_audio_codec" -> (q35 _),
     "q36_embedding_lsh" -> (q36 _),
     "q37_modal_traverse" -> (q37 _),
-    "q38_uri_fetch" -> (q38 _))
+    "q38_uri_fetch" -> (q38 _),
+    "q39_offset_select" -> (q39 _),
+    "q40_summary" -> (q40 _),
+    "q41_reduce_all" -> (q41 _),
+    "q42_batch_ids" -> (q42 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1094,6 +1134,61 @@ object SparkEntry {
     // mirrors q38: the data-URI encode→fetch→decode round trip is the
     // identity on the text
     "q38_uri_fetch" ->
-      """SELECT doc_id, text AS fetched FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, text AS fetched FROM documents ORDER BY doc_id""",
+
+    // mirrors q39: offset = dense 0-based rank by doc_id (stored double)
+    "q39_offset_select" ->
+      """WITH o AS (SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS DOUBLE) AS "offset"
+           FROM documents)
+         SELECT doc_id, lang, "offset" FROM o
+         WHERE "offset" IN (7, 3, 11, 5) ORDER BY doc_id""",
+
+    // mirrors q40 column-by-column (Spark simpleString type names; avg
+    // rounded both sides; non-numeric/numeric branches differ in which
+    // stat columns are null)
+    "q40_summary" ->
+      """SELECT 'doc_id' AS "column", 'bigint' AS type,
+           count(doc_id) AS non_null,
+           round(count(doc_id)*1.0/count(*), 6) AS fill_ratio,
+           CAST(min(doc_id) AS DOUBLE) AS min, CAST(max(doc_id) AS DOUBLE) AS max,
+           CAST(NULL AS DOUBLE) AS avg_len FROM documents
+         UNION ALL SELECT 'text', 'string', count(text),
+           round(count(text)*1.0/count(*), 6),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round(avg(length(text)), 6) FROM documents
+         UNION ALL SELECT 'lang', 'string', count(lang),
+           round(count(lang)*1.0/count(*), 6),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           round(avg(length(lang)), 6) FROM documents
+         UNION ALL SELECT 'n_chars', 'bigint', count(n_chars),
+           round(count(n_chars)*1.0/count(*), 6),
+           CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+           CAST(NULL AS DOUBLE) FROM documents
+         ORDER BY "column"""",
+
+    // mirrors q41: chained full-outer joins with left-priority coalesce
+    "q41_reduce_all" ->
+      """WITH a AS (SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+                    FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source
+               FROM documents WHERE doc_id % 3 = 0),
+         c AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 100),
+         ab AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                  COALESCE(a.lang, b.lang) AS lang,
+                  COALESCE(a.source, b.source) AS source
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         SELECT COALESCE(ab.doc_id, c.doc_id) AS doc_id,
+           COALESCE(ab.lang, c.lang) AS lang,
+           COALESCE(ab.source, c.source) AS source
+         FROM ab FULL OUTER JOIN c ON ab.doc_id = c.doc_id
+         ORDER BY doc_id""",
+
+    // mirrors q42: dense rank by doc_id, integer-divided into batches
+    "q42_batch_ids" ->
+      """SELECT doc_id,
+           CAST((row_number() OVER (ORDER BY doc_id) - 1) // 64 AS BIGINT)
+             AS batch_id
+         FROM documents ORDER BY doc_id"""
   )
 }
