@@ -278,12 +278,14 @@ object SparkEntry {
   // evaluate: IR metrics over knn matches vs label ground truth (§2.5)
   // ------------------------------------------------------------------
 
-  private def q20(s: SparkSession, dir: String): DataFrame = {
+  /** Shared by q20/q43: per-query binary relevance list (rank order) from
+    * knn hits vs same-label ground truth. */
+  private def relLists(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val hits = Knn.bruteForce(emb, emb.where(col("vec_id") < 10), 5, "cosine",
       docId = "vec_id", queryId = "vec_id", excludeSelf = true)
     val labels = emb.select(col("vec_id"), col("label"))
-    val rel = hits
+    hits
       .join(labels.withColumnRenamed("vec_id", "query_id")
         .withColumnRenamed("label", "_ql"), "query_id")
       .join(labels.withColumnRenamed("vec_id", "id")
@@ -291,6 +293,10 @@ object SparkEntry {
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(struct(col("rank"), col("_ql"), col("_hl")))),
         x => when(x.getField("_ql") === x.getField("_hl"), 1).otherwise(0)).as("rel"))
+  }
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val rel = relLists(s, dir)
     rel.select(
       col("query_id"),
       round(Evaluate.precisionAtK(col("rel"), 5), 4).as("p_at_5"),
@@ -489,6 +495,22 @@ object SparkEntry {
       .select(col("doc_id"), decode(col("blob"), "UTF-8").as("fetched"))
       .orderBy("doc_id")
 
+  // the other five IR metrics (q20 gates p@5/rr/ap/ndcg@5): hit@3,
+  // r-precision, recall@3, f1@3, dcg@3 — totalRelevant = relevant within
+  // the retrieved k=5 list, matching the reference's max_rel semantics
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val rel = relLists(s, dir)
+    val totalRel = aggregate(col("rel"), lit(0), _ + _)
+    rel.select(
+      col("query_id"),
+      round(Evaluate.hitAtK(col("rel"), 3), 4).as("hit_at_3"),
+      round(Evaluate.rPrecision(col("rel")), 4).as("r_precision"),
+      round(Evaluate.recallAtK(col("rel"), 3, totalRel), 4).as("recall_at_3"),
+      round(Evaluate.f1AtK(col("rel"), 3, totalRel), 4).as("f1_at_3"),
+      round(Evaluate.dcgAtK(col("rel"), 3), 4).as("dcg_at_3"))
+      .orderBy("query_id")
+  }
+
   // ordered offset selection (§2.2): explicit offsets column + selection
   // by offset list — document-store point access over a sorted view
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -577,7 +599,8 @@ object SparkEntry {
     "q39_offset_select" -> (q39 _),
     "q40_summary" -> (q40 _),
     "q41_reduce_all" -> (q41 _),
-    "q42_batch_ids" -> (q42 _))
+    "q42_batch_ids" -> (q42 _),
+    "q43_eval_ir_rest" -> (q43 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1183,6 +1206,43 @@ object SparkEntry {
            COALESCE(ab.source, c.source) AS source
          FROM ab FULL OUTER JOIN c ON ab.doc_id = c.doc_id
          ORDER BY doc_id""",
+
+    // mirrors q43: same relevance lists as q20, the other five metrics.
+    // r_precision sums relevance over ranks <= R (R = relevant in list);
+    // recall/f1 use the same R as totalRelevant
+    "q43_eval_ir_rest" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         q AS (SELECT vec_id qid, v qv, label ql FROM e WHERE vec_id < 10),
+         d AS (SELECT qid, ql, e.vec_id id, e.label hl,
+               1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid, id, CASE WHEN ql = hl THEN 1 ELSE 0 END rel,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d),
+         top AS (SELECT qid, rank, rel FROM r WHERE rank <= 5),
+         agg AS (SELECT qid, sum(rel) AS nrel,
+               sum(CASE WHEN rank <= 3 THEN rel ELSE 0 END) AS s3,
+               max(CASE WHEN rank <= 3 THEN rel ELSE 0 END) AS hit3,
+               coalesce(sum(CASE WHEN rank <= 3
+                 THEN rel/(ln(rank+1.0)/ln(2.0)) END), 0.0) AS dcg3
+               FROM top GROUP BY qid),
+         rp AS (SELECT a.qid,
+               CASE WHEN a.nrel = 0 THEN 0.0
+                 ELSE sum(CASE WHEN t.rank <= a.nrel THEN t.rel ELSE 0 END)*1.0
+                   / a.nrel END AS rprec
+               FROM agg a JOIN top t ON t.qid = a.qid GROUP BY a.qid, a.nrel),
+         m AS (SELECT a.qid AS query_id,
+               CAST(a.hit3 AS DOUBLE) AS hit3, rp.rprec,
+               CASE WHEN a.nrel = 0 THEN 0.0 ELSE a.s3*1.0/a.nrel END AS rec3,
+               a.s3/3.0 AS p3, a.dcg3, a.nrel
+               FROM agg a JOIN rp ON rp.qid = a.qid)
+         SELECT query_id,
+           round(hit3, 4) AS hit_at_3,
+           round(rprec, 4) AS r_precision,
+           round(rec3, 4) AS recall_at_3,
+           round(CASE WHEN p3 + rec3 = 0 THEN 0.0
+             ELSE 2.0*p3*rec3/(p3+rec3) END, 4) AS f1_at_3,
+           round(dcg3, 4) AS dcg_at_3
+         FROM m ORDER BY query_id""",
 
     // mirrors q42: dense rank by doc_id, integer-divided into batches
     "q42_batch_ids" ->
