@@ -511,6 +511,19 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // text→tensor (§2.9, reference text.py:38-60): deterministic vocab ids
+  // (rank by freq desc, word; +2 so 0=pad / 1=unk stay reserved), encode
+  // tokens, keep the last 16, left-pad zeros
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val ranked = GroupOps.vocabulary(t(s, dir, "documents"), col("text"), minFreq = 20)
+      .orderBy(col("n").desc, col("word")).collect()
+    val vocab = ranked.zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 2) }.toMap
+    Parallel.textToTensor(t(s, dir, "documents").select("doc_id", "text"),
+      "text", vocab, maxLength = 16)
+      .select("doc_id", "tensor_ids")
+      .orderBy("doc_id")
+  }
+
   // ordered offset selection (§2.2): explicit offsets column + selection
   // by offset list — document-store point access over a sorted view
   private def q39(s: SparkSession, dir: String): DataFrame = {
@@ -600,7 +613,8 @@ object SparkEntry {
     "q40_summary" -> (q40 _),
     "q41_reduce_all" -> (q41 _),
     "q42_batch_ids" -> (q42 _),
-    "q43_eval_ir_rest" -> (q43 _))
+    "q43_eval_ir_rest" -> (q43 _),
+    "q44_text_tensor" -> (q44 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1243,6 +1257,34 @@ object SparkEntry {
              ELSE 2.0*p3*rec3/(p3+rec3) END, 4) AS f1_at_3,
            round(dcg3, 4) AS dcg_at_3
          FROM m ORDER BY query_id""",
+
+    // mirrors q44: vocab id = freq-rank + 1 (row_number is 1-based, so
+    // rn + 1 = the Spark side's 0-based i + 2); token id = vocab id + 1
+    // or 2 for unknown; last 16 ids, left-padded with zeros
+    "q44_text_tensor" ->
+      """WITH lt AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         v AS (SELECT unnest(tok) AS word FROM lt),
+         vc AS (SELECT word, count(*) n FROM v GROUP BY word HAVING count(*) >= 20),
+         ranked AS (SELECT word,
+           CAST(row_number() OVER (ORDER BY n DESC, word) + 1 AS INTEGER) AS vid
+           FROM vc),
+         tk AS (SELECT doc_id, unnest(tok) AS w,
+           unnest(range(1, len(tok)+1)) AS pos FROM lt),
+         wi AS (SELECT tk.doc_id, tk.pos,
+           CAST(coalesce(r.vid, 1) + 1 AS INTEGER) AS tid
+           FROM tk LEFT JOIN ranked r ON r.word = tk.w),
+         enc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
+           FROM wi GROUP BY doc_id),
+         fin AS (SELECT d.doc_id, coalesce(e.ids, []) AS ids
+           FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id)
+         SELECT doc_id,
+           list_concat(
+             list_transform(range(1, greatest(0, 16 - len(ids)) + 1),
+               x -> CAST(0 AS INTEGER)),
+             ids[greatest(1, len(ids)-15):len(ids)]) AS tensor_ids
+         FROM fin ORDER BY doc_id""",
 
     // mirrors q42: dense rank by doc_id, integer-divided into batches
     "q42_batch_ids" ->
