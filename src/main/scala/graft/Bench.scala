@@ -126,8 +126,9 @@ object Bench {
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",
-      "q11_knn_cosine", "q15_events_hourly", "q16_sessions",
-      "q23_minhash_lsh", "q24_simhash_pairs")
+      "q10_jaccard_pairs", "q11_knn_cosine", "q15_events_hourly",
+      "q16_sessions", "q22_langid_fingerprint", "q23_minhash_lsh",
+      "q24_simhash_pairs", "q28_multimodal", "q36_embedding_lsh")
     headline.foreach { name =>
       bench(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }
