@@ -62,6 +62,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def reduce(other: DocArray): DocArray = wrap(Reduce.merge(df, other.df, idCol))
   def traverse(path: String): DocArray = wrap(Traverse.traverse(df, path))
   def flatten(depth: Int = 2): DocArray = wrap(Traverse.flatten(df, depth))
+  /** `da['@c'] = docs` — id-keyed write-back through a traversal path. */
+  def setByPath(path: String, updates: DataFrame): DocArray =
+    wrap(Traverse.setByPath(df, path, updates, idCol))
+  /** `load_uri_to_blob` for every doc (data:/file:/http URIs). */
+  def loadUriToBlob(uriCol: String = "uri", blobCol: String = "blob"): DocArray =
+    wrap(Multimodal.loadUriToBlob(df, uriCol, blobCol))
   def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
   def vocabulary(minFreq: Long = 1, textCol: String = "text"): DataFrame =
     GroupOps.vocabulary(df, col(textCol), minFreq)

@@ -72,6 +72,23 @@ object EventStream {
         col("_did"), k).as("matches"))
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose event time lies in
+    * [left − before, left + after]. Both sides are watermarked, so join
+    * state is bounded — Spark evicts buffered rows once the watermark
+    * passes the interval. Inner join → append mode. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$key = r.$key AND
+          r.$rightTime >= l.$leftTime - INTERVAL $before AND
+          r.$rightTime <= l.$leftTime + INTERVAL $after"""))
+  }
+
   case class SessionEvent(user_id: Long, ts: Long)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Long, end: Long, n_events: Int)

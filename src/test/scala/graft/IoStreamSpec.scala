@@ -397,6 +397,32 @@ class IoStreamSpec extends SparkSuite {
     assert(got(2)._1 == ts("02:00:00") && got(2)._2 == 1 && got(2)._3 == 16.0)
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().toDF("click_time", "user_id", "page"),
+      views.toDF().toDF("view_time", "user_id", "item"),
+      key = "user_id", leftTime = "click_time", rightTime = "view_time",
+      before = "10 minutes", after = "10 minutes")
+      .select(col("l.user_id").as("user_id"), col("page"), col("item"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    clicks.addData((ts("00:30:00"), 1L, "p1"))
+    views.addData(
+      (ts("00:25:00"), 1L, "in-window"),
+      (ts("00:05:00"), 1L, "too-early"),
+      (ts("00:50:00"), 1L, "too-late"),
+      (ts("00:28:00"), 2L, "other-user"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT user_id, page, item FROM ssj").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "p1", "in-window")))
+  }
+
   test("base64 round trip (to_base64/from_base64)") {
     import graft.sources.BinaryCodec
     import graft.schema.Doc
