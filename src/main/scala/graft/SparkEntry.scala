@@ -511,6 +511,22 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // interval join, batch twin of EventStream.intervalJoin: purchases
+  // paired with same-user clicks in the 10 minutes before them. AQE
+  // handles the range predicate after the equi-join on user_id — the
+  // same plan shape the streaming version's state machine maintains.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    purchases.join(clicks, "user_id")
+      .where(col("cts") >= col("pts") - lit(600000000000L) && col("cts") <= col("pts"))
+      .select("user_id", "purchase_id", "click_id")
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   // text→tensor (§2.9, reference text.py:38-60): deterministic vocab ids
   // (rank by freq desc, word; +2 so 0=pad / 1=unk stay reserved), encode
   // tokens, keep the last 16, left-pad zeros
@@ -614,7 +630,8 @@ object SparkEntry {
     "q41_reduce_all" -> (q41 _),
     "q42_batch_ids" -> (q42 _),
     "q43_eval_ir_rest" -> (q43 _),
-    "q44_text_tensor" -> (q44 _))
+    "q44_text_tensor" -> (q44 _),
+    "q45_interval_join" -> (q45 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1285,6 +1302,17 @@ object SparkEntry {
                x -> CAST(0 AS INTEGER)),
              ids[greatest(1, len(ids)-15):len(ids)]) AS tensor_ids
          FROM fin ORDER BY doc_id""",
+
+    // mirrors q45: same equi-join + nanos range predicate
+    "q45_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id purchase_id, epoch_ns(ts) pts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id click_id, epoch_ns(ts) cts
+             FROM events WHERE event_type = 'click')
+         SELECT p.user_id, purchase_id, click_id
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND cts >= pts - 600000000000 AND cts <= pts
+         ORDER BY 1, 2, 3""",
 
     // mirrors q42: dense rank by doc_id, integer-divided into batches
     "q42_batch_ids" ->
