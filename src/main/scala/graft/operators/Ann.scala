@@ -127,6 +127,55 @@ object Ann {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** Persist the index with `assigned` partitioned by `_cell` — the 100 TB
+    * layout: a pruned search reads ONLY its probed cells' files. */
+  def writeIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("_cell").parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    Seq((index.idCol, index.vecCol, index.nCells, index.multiAssign,
+      index.normalized))
+      .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized")
+      .write.mode("overwrite").json(s"$path/meta")
+  }
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val m = spark.read.json(s"$path/meta").collect()(0)
+    IvfIndex(
+      assigned = spark.read.parquet(s"$path/assigned"),
+      centroids = spark.read.parquet(s"$path/centroids"),
+      idCol = m.getAs[String]("idCol"), vecCol = m.getAs[String]("vecCol"),
+      nCells = m.getAs[Long]("nCells").toInt,
+      multiAssign = m.getAs[Long]("multiAssign").toInt,
+      normalized = m.getAs[Boolean]("normalized"))
+  }
+
+  /** [[ivfSearch]] with static cell pruning: the probed cell set (tiny —
+    * Q × nProbe ints) is collected and pushed as a partition filter, so a
+    * search over a [[writeIndex]]-layout index only READS the probed
+    * cells — the I/O contract that makes IVF the 100 TB path. */
+  def ivfSearchPruned(index: IvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", nProbe: Int = 4): DataFrame = {
+    val qprobe =
+      if (index.normalized) l2_normalize(col(queryVec).cast("array<double>"))
+      else col(queryVec).cast("array<double>")
+    val cells = queries.select(qprobe.as("_qnorm"))
+      .crossJoin(broadcast(index.centroids))
+      .select(col("_qnorm"),
+        vector_distance(col("_qnorm"), col("_center"), "euclidean").as("_d"),
+        col("_cell"))
+      .groupBy("_qnorm")
+      .agg(topk_by_distance(col("_d"), col("_cell"), nProbe).as("_cells"))
+      .select(explode(col("_cells.value")).as("_cell"))
+      .distinct().collect().map(_.getInt(0))
+    ivfSearch(
+      index.copy(assigned = index.assigned.where(col("_cell").isin(cells.map(Integer.valueOf): _*))),
+      queries, k, queryId, queryVec, metric, nProbe)
+  }
+
   /** Random-hyperplane LSH signature for cosine similarity: `nPlanes`
     * sign bits packed into a long. Deterministic from the seed. Native
     * one-pass expression (graft.functions.CosineLsh) — the Column-algebra

@@ -184,6 +184,42 @@ class KnnSpec extends SparkSuite {
     assert(Ann.recallAgainstExact(approx, exact) >= 0.99)
   }
 
+  test("persisted ivf index: pruned search reads only probed cells") {
+    val pts = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0f, c * -5.0f, c * 3.0f + 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * ((i * 31 + j * 7) % 10)
+      }.toSeq)
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 3, seed = 7)
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+    Ann.writeIndex(idx, dir)
+    val loaded = Ann.readIndex(spark, dir)
+    assert(loaded.nCells == 3 && loaded.normalized)
+    val q = df.where(col("id") < 10)
+    val pruned = Ann.ivfSearchPruned(loaded, q, 5, nProbe = 1)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(pruned) == key(Ann.ivfSearch(idx, q, 5, nProbe = 1)))
+    // the scan over the partitioned index carries a _cell partition filter
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // (string-matched: AQE query-stage wrappers hide the scan from collect)
+    val planStr = plan.toString
+    val scanLine = planStr.linesIterator
+      .find(l => l.contains("/assigned") && l.contains("FileScan"))
+    assert(scanLine.isDefined, s"no index scan found in:\n$planStr")
+    assert(scanLine.get.contains("PartitionFilters: [_cell"),
+      s"index scan not cell-pruned: ${scanLine.get}")
+  }
+
   test("tied distances resolve by id, invariant under repartitioning") {
     // 12 distinct vectors, each duplicated ~17× under different ids → the
     // k / k+1 boundary always falls inside a tie group; without the payload

@@ -162,6 +162,30 @@ class OperatorsSpec extends SparkSuite {
     spark.sql("DROP TABLE graft_bucket_test")
   }
 
+  test("same-bucketed tables equi-join without a shuffle exchange") {
+    val a = spark.range(500).select($"id", ($"id" * 2).as("va"))
+    val b = spark.range(500).select($"id", ($"id" * 3).as("vb"))
+    Promote.writeLayout(a.toDF(), "/tmp/graft_bjoin_a",
+      bucketBy = Some((8, "id")), table = Some("graft_bjoin_a"))
+    Promote.writeLayout(b.toDF(), "/tmp/graft_bjoin_b",
+      bucketBy = Some((8, "id")), table = Some("graft_bjoin_b"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bjoin_a").join(spark.table("graft_bjoin_b"), "id")
+      assert(j.count() == 500)
+      // co-located bucketing: sort-merge join with ZERO Exchange nodes
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "bucketed join should not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE graft_bjoin_a")
+      spark.sql("DROP TABLE graft_bjoin_b")
+    }
+  }
+
   test("groupOps: splitByTag and batch assignment") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("id", "tag")
     val groups = GroupOps.splitByTag(df, $"tag", $"id").orderBy("tag").collect()
