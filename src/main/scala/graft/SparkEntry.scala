@@ -511,6 +511,14 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // feature-hashing embedder (§2.9, reference featurehash.py:14-54):
+  // each token lands in bucket (fnv64 rem 16, floored positive) with a
+  // ±1 sign from the splitmix64 finalizer's low bit
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      feature_hash(TextFunctions.tokens(col("text")), 16).as("features"))
+      .orderBy("doc_id")
+
   // interval join, batch twin of EventStream.intervalJoin: purchases
   // paired with same-user clicks in the 10 minutes before them. AQE
   // handles the range predicate after the equi-join on user_id — the
@@ -631,7 +639,8 @@ object SparkEntry {
     "q42_batch_ids" -> (q42 _),
     "q43_eval_ir_rest" -> (q43 _),
     "q44_text_tensor" -> (q44 _),
-    "q45_interval_join" -> (q45 _))
+    "q45_interval_join" -> (q45 _),
+    "q46_feature_hash" -> (q46 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1302,6 +1311,54 @@ object SparkEntry {
                x -> CAST(0 AS INTEGER)),
              ids[greatest(1, len(ids)-15):len(ids)]) AS tensor_ids
          FROM fin ORDER BY doc_id""",
+
+    // mirrors q46 exactly: per-token FNV-1a in HUGEINT mod 2^64, the
+    // splitmix64 finalizer as chained vectorized stages (32-bit-half
+    // wrapping multiplies), bucket = Scala-style truncated remainder
+    // (DuckDB's % matches), sign = finalizer low bit, zero-filled 16-grid
+    "q46_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         m1 AS (SELECT doc_id, h, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
+         m1x AS (SELECT doc_id, h,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT doc_id, h,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT doc_id, h,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT doc_id, h,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         sgn AS (SELECT doc_id,
+           CAST(h - (CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs,
+           CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                         CAST((x // 2147483648) AS BIGINT)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sg
+           FROM m3),
+         contrib AS (SELECT doc_id, CAST(((hs % 16) + 16) % 16 AS INTEGER) AS idx, sg FROM sgn),
+         cells AS (SELECT doc_id, idx, sum(sg) AS s FROM contrib GROUP BY doc_id, idx),
+         grid AS (SELECT d.doc_id, g.idx FROM documents d
+                  JOIN (SELECT CAST(x AS INTEGER) idx FROM range(0, 16) t(x)) g ON true),
+         fin AS (SELECT grid.doc_id, grid.idx, CAST(coalesce(c.s, 0.0) AS FLOAT) AS v
+                 FROM grid LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.idx = grid.idx)
+         SELECT doc_id, list(v ORDER BY idx) AS features FROM fin GROUP BY doc_id ORDER BY doc_id""",
 
     // mirrors q45: same equi-join + nanos range predicate
     "q45_interval_join" ->
