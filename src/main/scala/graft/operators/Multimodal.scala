@@ -316,6 +316,55 @@ object Multimodal {
       }
   }
 
+  /** Container metadata for an MP4/MOV blob: ISO-BMFF box walk (pure JVM,
+    * big-endian box headers) → {timescale, duration, n_tracks, width,
+    * height}. Covers the metadata half of the reference's video mixin
+    * (video.py loads via av; frame *decode* needs a codec the JDK lacks
+    * — [[sampleFrames]] handles already-decoded tensors). Width/height
+    * come from the first non-zero tkhd (16.16 fixed point). */
+  case class Mp4Meta(timescale: Long, duration: Long, n_tracks: Int,
+      width: Int, height: Int)
+
+  val probeMp4 = udf { (blob: Array[Byte]) =>
+    if (blob == null || blob.length < 8) null
+    else {
+      def u32(p: Int): Long =
+        ((blob(p) & 0xffL) << 24) | ((blob(p + 1) & 0xffL) << 16) |
+          ((blob(p + 2) & 0xffL) << 8) | (blob(p + 3) & 0xffL)
+      def u64(p: Int): Long = (u32(p) << 32) | u32(p + 4)
+      def typ(p: Int): String = new String(blob, p + 4, 4, "ISO-8859-1")
+      var timescale = 0L; var duration = 0L; var nTracks = 0
+      var width = 0; var height = 0
+      def walk(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val size0 = u32(off)
+          val t = typ(off)
+          val (hdr, size) =
+            if (size0 == 1) (16, u64(off + 8)) else (8, size0)
+          if (size < hdr || off + size > end) return
+          t match {
+            case "moov" | "trak" => walk(off + hdr, off + size.toInt)
+            case "mvhd" =>
+              val ver = blob(off + hdr) & 0xff
+              if (ver == 0) { timescale = u32(off + hdr + 12); duration = u32(off + hdr + 16) }
+              else { timescale = u32(off + hdr + 20); duration = u64(off + hdr + 24) }
+            case "tkhd" =>
+              nTracks += 1
+              val e = off + size.toInt
+              val (w, h) = ((u32(e - 8) >> 16).toInt, (u32(e - 4) >> 16).toInt)
+              if (width == 0 && w > 0) { width = w; height = h }
+            case _ =>
+          }
+          off += size.toInt
+        }
+      }
+      walk(0, blob.length)
+      if (timescale == 0) null
+      else Mp4Meta(timescale, duration, nTracks, width, height)
+    }
+  }
+
   /** Every-nth frame sampling of a THWC video tensor (reference:
     * video.py:12-70 only_keyframes ≈ temporal subsampling here). */
   val sampleFrames = udf { (values: Seq[Float], shape: Seq[Int], everyNth: Int) =>

@@ -170,6 +170,24 @@ class IoStreamSpec extends SparkSuite {
     assert(math.abs(d) < 1e-9)
   }
 
+  test("mp4 probe: reference fixture metadata matches independent parse") {
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/tests/unit/document/toydata/mov_bbb.mp4"))
+    val r = Seq(("v", bytes)).toDF("id", "blob")
+      .withColumn("m", Multimodal.probeMp4($"blob"))
+      .select($"m.timescale", $"m.duration", $"m.n_tracks", $"m.width", $"m.height")
+      .collect()(0)
+    // ground truth from a python struct-level box walk of the same file
+    assert(r.getLong(0) == 90000L)
+    assert(r.getLong(1) == 902400L)
+    assert(r.getInt(2) == 4) // video + audio + 2 hint tracks
+    assert((r.getInt(3), r.getInt(4)) == (320, 176))
+    // garbage in → null out
+    val bad = Seq(("x", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))).toDF("id", "blob")
+      .select(Multimodal.probeMp4($"blob").as("m")).collect()(0)
+    assert(bad.isNullAt(0))
+  }
+
   test("uriToBlob: data URIs (base64 + percent), file paths, missing → null") {
     val f = Files.createTempFile("graft", ".bin")
     Files.write(f, Array[Byte](1, 2, 3))
