@@ -113,7 +113,7 @@ object Bench {
       val idx = idx0.copy(assigned = idx0.assigned.cache())
       idx.assigned.count()
       results("ann_ivf_build_1m") = (System.nanoTime() - tb0) / 1e9
-      bench("ann_ivf_search100", runs = 1) {
+      bench("ann_ivf_search100") { // min of 2 like every other row
         Ann.ivfSearch(idx, queries100, 10, nProbe = 204).count()
       }
       val approx = Ann.ivfSearch(idx, queries100, 10, nProbe = 204)
