@@ -519,6 +519,13 @@ object SparkEntry {
       feature_hash(TextFunctions.tokens(col("text")), 16).as("features"))
       .orderBy("doc_id")
 
+  // one-pass char-shingle kernel (CharNgrams): normalize (lowercase,
+  // collapse non-alnum runs to single inner spaces) + sliding 3-grams
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      char_ngrams(col("text"), 3).as("grams"))
+      .orderBy("doc_id")
+
   // interval join, batch twin of EventStream.intervalJoin: purchases
   // paired with same-user clicks in the 10 minutes before them. AQE
   // handles the range predicate after the equi-join on user_id — the
@@ -640,7 +647,8 @@ object SparkEntry {
     "q43_eval_ir_rest" -> (q43 _),
     "q44_text_tensor" -> (q44 _),
     "q45_interval_join" -> (q45 _),
-    "q46_feature_hash" -> (q46 _))
+    "q46_feature_hash" -> (q46 _),
+    "q47_char_ngrams" -> (q47 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1359,6 +1367,18 @@ object SparkEntry {
          fin AS (SELECT grid.doc_id, grid.idx, CAST(coalesce(c.s, 0.0) AS FLOAT) AS v
                  FROM grid LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.idx = grid.idx)
          SELECT doc_id, list(v ORDER BY idx) AS features FROM fin GROUP BY doc_id ORDER BY doc_id""",
+
+    // mirrors q47: the kernel's normalization is exactly
+    // trim(collapse non-alnum runs to ' ') on lowercased text
+    "q47_char_ngrams" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) ns
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN length(ns) >= 3
+             THEN list_transform(range(1, length(ns)-1), i -> ns[i:i+2])
+             ELSE [] END AS grams
+         FROM n ORDER BY doc_id""",
 
     // mirrors q45: same equi-join + nanos range predicate
     "q45_interval_join" ->
