@@ -44,4 +44,16 @@ class DocArraySpec extends SparkSuite {
     assert(docs.sample(7, seed = 3).count() == 7)
     assert(docs.summary().count() > 0)
   }
+
+  test("write-back and URI fetch through the facade") {
+    val nested = Seq(("r1", "t")).toDF("id", "text")
+      .withColumn("chunks", array(struct(lit("c1").as("id"), lit("old").as("text"))))
+    val da = DocArray(nested)
+    val back = da.setByPath("@c", Seq(("c1", "new")).toDF("id", "text"))
+    assert(back.traverse("c").df.select("text").as[String].collect()(0) == "new")
+    val fetched = DocArray(Seq(("x", "data:text/plain;base64,aGk=")).toDF("id", "uri"))
+      .loadUriToBlob()
+    assert(new String(fetched.df.select("blob").collect()(0)
+      .getAs[Array[Byte]](0), "UTF-8") == "hi")
+  }
 }
