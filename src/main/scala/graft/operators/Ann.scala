@@ -47,9 +47,12 @@ object Ann {
       if (normalize) docs.withColumn("_nvec", l2_normalize(col(vecCol).cast("array<double>")))
       else docs.withColumn("_nvec", col(vecCol).cast("array<double>"))
     val feat = base.withColumn("_features", array_to_vector(col("_nvec")))
-    val fitOn = // centroids from a sample: O(sample) fit, O(N) assign
+    val fitOn = // centroids from a sample: O(sample) fit, O(N) assign.
+      // Hash-sampled on the id, not df.sample: row-order independent, so
+      // the quantizer (and downstream recall) is stable run to run.
       if (fitSampleFraction >= 1.0) feat
-      else feat.sample(fitSampleFraction, seed)
+      else feat.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+        < (fitSampleFraction * 1000000L).toLong)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("_cell")
