@@ -76,6 +76,22 @@ class DedupTextSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("embedding LSH pairs are invariant under repartitioning") {
+    val pts = (0 until 120).map { i =>
+      val c = i % 3
+      (i.toLong, Seq.tabulate(8)(j =>
+        (c * 5.0 + j * 0.7 + (i / 3) * 0.001).toFloat))
+    }
+    def run(parts: Int) =
+      Dedup.embeddingPairsLsh(pts.toDF("id", "embedding").repartition(parts),
+        "id", "embedding", dim = 8, threshold = 1e-6, center = false)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val ref = run(1)
+    assert(ref.nonEmpty)
+    assert(run(7) == ref)
+    assert(run(32) == ref)
+  }
+
   test("embedding LSH: centering recovers planted twins in a positive cone") {
     // all-positive corpus = the sign-bias case centering exists for;
     // twins are far from the mean relative to their displacement.

@@ -94,6 +94,55 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("png/bmp encode→decode is the identity for arbitrary uint8 tensors") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val dims = for {
+      h <- Gen.chooseNum(1, 12); w <- Gen.chooseNum(1, 12)
+      seed <- Gen.chooseNum(0, 10000)
+    } yield (h, w, seed)
+    forAll(dims, n = 12) { case (h, w, seed) =>
+      val rnd = new java.util.Random(seed)
+      val vals = Seq.fill(h * w * 3)(rnd.nextInt(256).toFloat)
+      val df = Seq((vals, Seq(h, w, 3))).toDF("values", "shape")
+      Seq("png", "bmp").foreach { fmt =>
+        val r = df
+          .withColumn("blob", Multimodal.encodeImage($"values", $"shape", lit(fmt)))
+          .withColumn("back", Multimodal.decodeImage($"blob", lit(0), lit(0)))
+          .select($"back.values", $"back.shape").collect()(0)
+        assert(r.getSeq[Int](1) == Seq(h, w, 3), s"$fmt shape $h x $w")
+        assert(r.getSeq[Float](0) == vals, s"$fmt values $h x $w seed $seed")
+      }
+    }
+  }
+
+  test("resizeNearest matches the reference linspace/rint grid point-wise") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val cases = for {
+      h <- Gen.chooseNum(2, 16); w <- Gen.chooseNum(2, 16)
+      oh <- Gen.chooseNum(1, 16); ow <- Gen.chooseNum(1, 16)
+    } yield (h, w, oh, ow)
+    forAll(cases, n = 20) { case (h, w, oh, ow) =>
+      val vals = Seq.tabulate(h * w * 3)(_.toFloat)
+      val got = Seq((vals, Seq(h, w, 3))).toDF("values", "shape")
+        .select(Multimodal.resizeNearest($"values", $"shape", lit(oh), lit(ow)).as("r"))
+        .select($"r.values").collect()(0).getSeq[Float](0)
+      // reference: image.py:110-123 — linspace(0, in-2, out), np.around
+      // (half-to-even, = math.rint), clip to [0, in-1]
+      def grid(n: Int, out: Int) = Array.tabulate(out) { j =>
+        val pos = if (out <= 1) 0.0 else j.toDouble * (n - 2).toDouble / (out - 1)
+        math.max(0, math.min(n - 1, math.rint(pos).toInt))
+      }
+      val exp = for {
+        y <- 0 until oh; x <- 0 until ow; c <- 0 until 3
+      } yield vals((grid(h, oh)(y) * w + grid(w, ow)(x)) * 3 + c)
+      assert(got == exp, s"$h x $w -> $oh x $ow")
+    }
+  }
+
   test("text_ngrams equals regex tokenization + sliding for arbitrary text") {
     import org.apache.spark.sql.functions._
     import graft.functions._
