@@ -513,17 +513,24 @@ object SparkEntry {
 
   // feature-hashing embedder (§2.9, reference featurehash.py:14-54):
   // each token lands in bucket (fnv64 rem 16, floored positive) with a
-  // ±1 sign from the splitmix64 finalizer's low bit
+  // ±1 sign from the splitmix64 finalizer's low bit. Cell sums are exact
+  // small integers (sums of ±1), so the vector serializes losslessly to a
+  // canonical comma-joined int string — the driver's pandas oracle can't
+  // sort raw array cells (r2: "unhashable type: numpy.ndarray").
   private def q46(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      feature_hash(TextFunctions.tokens(col("text")), 16).as("features"))
+      concat_ws(",", transform(
+        feature_hash(TextFunctions.tokens(col("text")), 16),
+        x => x.cast("int").cast("string"))).as("features"))
       .orderBy("doc_id")
 
   // one-pass char-shingle kernel (CharNgrams): normalize (lowercase,
-  // collapse non-alnum runs to single inner spaces) + sliding 3-grams
+  // collapse non-alnum runs to single inner spaces) + sliding 3-grams.
+  // Grams draw from [a-z0-9 ], so ',' is an unambiguous join delimiter —
+  // serialized for the driver's pandas oracle (see q46).
   private def q47(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      char_ngrams(col("text"), 3).as("grams"))
+      concat_ws(",", char_ngrams(col("text"), 3)).as("grams"))
       .orderBy("doc_id")
 
   // interval join, batch twin of EventStream.intervalJoin: purchases
@@ -544,14 +551,18 @@ object SparkEntry {
 
   // text→tensor (§2.9, reference text.py:38-60): deterministic vocab ids
   // (rank by freq desc, word; +2 so 0=pad / 1=unk stay reserved), encode
-  // tokens, keep the last 16, left-pad zeros
+  // tokens, keep the last 16, left-pad zeros. Fully distributed: the
+  // vocab never leaves the cluster (rankVocabulary + token equi-join —
+  // no driver collect, no closure Map). Ids serialize to a comma-joined
+  // string for the driver's pandas oracle (see q46).
   private def q44(s: SparkSession, dir: String): DataFrame = {
-    val ranked = GroupOps.vocabulary(t(s, dir, "documents"), col("text"), minFreq = 20)
-      .orderBy(col("n").desc, col("word")).collect()
-    val vocab = ranked.zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 2) }.toMap
-    Parallel.textToTensor(t(s, dir, "documents").select("doc_id", "text"),
-      "text", vocab, maxLength = 16)
-      .select("doc_id", "tensor_ids")
+    val docs = t(s, dir, "documents")
+    val vocab = GroupOps.vocabulary(docs, col("text"), minFreq = 20)
+    Parallel.textToTensorJoin(docs.select("doc_id", "text"), "text", vocab,
+      maxLength = 16)
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("tensor_ids"), _.cast("string")))
+          .as("tensor_ids"))
       .orderBy("doc_id")
   }
 
@@ -1314,10 +1325,10 @@ object SparkEntry {
          fin AS (SELECT d.doc_id, coalesce(e.ids, []) AS ids
            FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id)
          SELECT doc_id,
-           list_concat(
+           coalesce(array_to_string(list_concat(
              list_transform(range(1, greatest(0, 16 - len(ids)) + 1),
                x -> CAST(0 AS INTEGER)),
-             ids[greatest(1, len(ids)-15):len(ids)]) AS tensor_ids
+             ids[greatest(1, len(ids)-15):len(ids)]), ','), '') AS tensor_ids
          FROM fin ORDER BY doc_id""",
 
     // mirrors q46 exactly: per-token FNV-1a in HUGEINT mod 2^64, the
@@ -1364,9 +1375,10 @@ object SparkEntry {
          cells AS (SELECT doc_id, idx, sum(sg) AS s FROM contrib GROUP BY doc_id, idx),
          grid AS (SELECT d.doc_id, g.idx FROM documents d
                   JOIN (SELECT CAST(x AS INTEGER) idx FROM range(0, 16) t(x)) g ON true),
-         fin AS (SELECT grid.doc_id, grid.idx, CAST(coalesce(c.s, 0.0) AS FLOAT) AS v
+         fin AS (SELECT grid.doc_id, grid.idx, CAST(coalesce(c.s, 0.0) AS INTEGER) AS v
                  FROM grid LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.idx = grid.idx)
-         SELECT doc_id, list(v ORDER BY idx) AS features FROM fin GROUP BY doc_id ORDER BY doc_id""",
+         SELECT doc_id, array_to_string(list(v ORDER BY idx), ',') AS features
+         FROM fin GROUP BY doc_id ORDER BY doc_id""",
 
     // mirrors q47: the kernel's normalization is exactly
     // trim(collapse non-alnum runs to ' ') on lowercased text
@@ -1375,9 +1387,10 @@ object SparkEntry {
            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) ns
            FROM documents)
          SELECT doc_id,
-           CASE WHEN length(ns) >= 3
-             THEN list_transform(range(1, length(ns)-1), i -> ns[i:i+2])
-             ELSE [] END AS grams
+           coalesce(array_to_string(
+             CASE WHEN length(ns) >= 3
+               THEN list_transform(range(1, length(ns)-1), i -> ns[i:i+2])
+               ELSE [] END, ','), '') AS grams
          FROM n ORDER BY doc_id""",
 
     // mirrors q45: same equi-join + nanos range predicate

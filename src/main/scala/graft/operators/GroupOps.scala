@@ -48,6 +48,29 @@ object GroupOps {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .where(col("n") >= minFreq)
 
+  /** Deterministic dense ids for a (word, n) vocabulary, ranked by
+    * (freq desc, word) — the reference's vocab-id assignment
+    * (text.py:15-36) — computed fully distributed: range-partition on the
+    * sort key + partition-local sort gives a global order, and RDD
+    * `zipWithIndex` assigns contiguous ranks in two passes with no driver
+    * collect and no single-partition window. At a 100 TB corpus the vocab
+    * is tens of millions of terms; this keeps it on the cluster. Ids start
+    * at `startId` (ids 0/1 stay reserved for pad/unk). */
+  def rankVocabulary(vocab: DataFrame, startId: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val spark = vocab.sparkSession
+    val sorted = vocab
+      .repartitionByRange(col("n").desc, col("word"))
+      .sortWithinPartitions(col("n").desc, col("word"))
+      .select(col("word"))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row(r.getString(0), (i + startId).toInt)
+    }
+    spark.createDataFrame(ranked, StructType(Seq(
+      StructField("word", StringType), StructField("vid", IntegerType))))
+  }
+
   /** Uniform sample of ~k rows without replacement, seeded — exact-k like
     * the reference (sample.py:11-30) via rand-order + limit. At 100 TB use
     * `df.sample(fraction, seed)` instead: no global sort. */

@@ -189,7 +189,7 @@ object Multimodal {
     * document/mixins/audio.py:41-70). */
   val decodeWav = udf { (blob: Array[Byte]) =>
     if (blob == null) null
-    else {
+    else try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(blob))
       try {
@@ -216,6 +216,10 @@ object Multimodal {
           TensorVal(values.toSeq, shape, "float32")
         }
       } finally ais.close()
+    } catch {
+      // malformed / non-WAV blobs → null, matching decodeImage: bulk
+      // pipelines filter bad rows rather than abort the whole query
+      case scala.util.control.NonFatal(_) => null
     }
   }
 
@@ -498,6 +502,10 @@ object Multimodal {
         }
       } else if (uri.startsWith("http://") || uri.startsWith("https://")) {
         val conn = java.net.URI.create(uri).toURL.openConnection()
+        // bounded waits: one dead server must not hang an executor task
+        // (and with it the stage) — timeouts surface as null via NonFatal
+        conn.setConnectTimeout(15000)
+        conn.setReadTimeout(30000)
         conn.setRequestProperty("User-Agent", "Mozilla/5.0")
         val in = conn.getInputStream
         try in.readAllBytes() finally in.close()

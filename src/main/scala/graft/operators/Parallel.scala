@@ -60,6 +60,43 @@ object Parallel {
     df.withColumn(outCol, enc(col(textCol)))
   }
 
+  /** Scale path for convert_text_to_tensor: the vocabulary stays a
+    * DataFrame end-to-end — no driver-side collect, no closure-shipped
+    * Map. Ranks the (word, n) vocab by (freq desc, word) via
+    * [[GroupOps.rankVocabulary]], posexplodes tokens, equi-joins token→id
+    * (broadcast when `broadcastVocab`; pass false once the vocab outgrows
+    * the broadcast threshold and let it shuffle-join), then reassembles
+    * per-doc id sequences by position: keep the last `maxLength`, left-pad
+    * zeros. Identical output to [[textToTensor]] with the vocab map
+    * `word -> rank + 2` (asserted in ParallelSpec). */
+  def textToTensorJoin(df: DataFrame, textCol: String, vocab: DataFrame,
+      maxLength: Int, idCol: String = "doc_id", outCol: String = "tensor_ids",
+      broadcastVocab: Boolean = true): DataFrame = {
+    val ranked0 = GroupOps.rankVocabulary(vocab)
+    val ranked = if (broadcastVocab) broadcast(ranked0) else ranked0
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("_pos", "_w")))
+    val enc = toks.join(ranked, toks("_w") === ranked("word"), "left")
+      .select(col(idCol), col("_pos"),
+        (coalesce(col("vid"), lit(1)) + 1).cast("int").as("_tid"))
+      .groupBy(idCol)
+      // comparator sorts on _pos alone (struct here is orderable, but the
+      // explicit comparator keeps this safe for arbitrary payload types)
+      .agg(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_tid"))),
+          (l, r) => when(l("_pos") < r("_pos"), -1)
+            .when(l("_pos") > r("_pos"), 1).otherwise(0)),
+        e => e.getField("_tid")).as("_ids"))
+    val ids = coalesce(col("_ids"), lit(Array.empty[Int]))
+    df.join(enc, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col(textCol).isNull, lit(null))
+          .otherwise(concat(
+            array_repeat(lit(0), greatest(lit(0), lit(maxLength) - size(ids))),
+            slice(ids, greatest(lit(1), size(ids) - maxLength + 1), lit(maxLength)))))
+      .drop("_ids")
+  }
+
   /** convert_tensor_to_text inverse (reference text.py:68-88). */
   def tensorToText(df: DataFrame, idsCol: String, vocab: Map[String, Int],
       outCol: String = "text_decoded"): DataFrame = {

@@ -126,10 +126,15 @@ object Traverse {
       }
     // `_rb_pid` (not `_pid`) so the join+drop can't collide with an outer
     // recursion level's own `_pid` marker
+    // sort by _pos alone via an explicit comparator: the default
+    // array_sort orders the whole struct, which fails with an
+    // AnalysisException when kid fields are map-typed (tags, scores, …)
     val rebuilt = kids
       .groupBy("_pid")
-      .agg(array_sort(collect_list(struct(
-        col("_pos") +: kidCols.map(col): _*))).as("_sorted"))
+      .agg(array_sort(
+        collect_list(struct(col("_pos") +: kidCols.map(col): _*)),
+        (l, r) => when(l("_pos") < r("_pos"), -1)
+          .when(l("_pos") > r("_pos"), 1).otherwise(0)).as("_sorted"))
       .select(col("_pid").as("_rb_pid"),
         transform(col("_sorted"),
           e => struct(kidCols.map(f => e.getField(f).as(f)): _*)).as("_arr"))

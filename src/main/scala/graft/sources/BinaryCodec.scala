@@ -266,10 +266,12 @@ object BinaryCodec {
       }
     }
     val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
-    val longs: Seq[Long] = dtype match {
-      case "int32" => Seq.tabulate(buf.length / 4)(i => bb.getInt(i * 4).toLong)
-      case _ => Seq.tabulate(buf.length / 8)(i => bb.getLong(i * 8)) // int64
-    }
+    // scipy writes indices as int32 with numpy dtype string '<i4'; torch /
+    // numpy int64 arrives as 'int64' or '<i8' — match both spellings
+    val is32 = dtype == "int32" || dtype == "<i4" || dtype == "uint32" || dtype == "<u4"
+    val longs: Seq[Long] =
+      if (is32) Seq.tabulate(buf.length / 4)(i => bb.getInt(i * 4).toLong)
+      else Seq.tabulate(buf.length / 8)(i => bb.getLong(i * 8)) // int64 / <i8
     (longs, shape.toSeq)
   }
 
@@ -280,12 +282,13 @@ object BinaryCodec {
     * `array_to_vector` + `MlVectorDistance` when sparsity matters. */
   private def parseSparse(r: R): NdArray = {
     var indices: Seq[Long] = Nil
+    var idxShape: Seq[Int] = Nil
     var values: NdArray = NdArray(Nil, Nil, "")
     val shape = scala.collection.mutable.ArrayBuffer[Int]()
     while (r.hasMore) {
       val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
       field match {
-        case 1 => indices = parseDenseLongs(r.chunk())._1
+        case 1 => val (l, s) = parseDenseLongs(r.chunk()); indices = l; idxShape = s
         case 2 => values = parseDense(r.chunk())
         case 3 => if (wire == 2) { val c = r.chunk(); while (c.hasMore) shape += c.varint().toInt }
                   else shape += r.varint().toInt
@@ -296,13 +299,24 @@ object BinaryCodec {
     val total = dims.product
     val nnz = values.values.length
     val ndims = if (nnz == 0) math.max(dims.length, 1) else indices.length / nnz
+    // index layout: scipy/numpy COO is [N, ndims] (docarray.proto's
+    // canonical shape); torch sparse stores indices transposed as
+    // [ndims, N] (reference: docarray/math/ndarray.py torch branch). The
+    // indices tensor carries its own shape — trust it when unambiguous,
+    // preferring [N, ndims] in the square nnz == ndims case.
+    val transposed = idxShape.length == 2 && nnz != 0 &&
+      !(idxShape(0) == nnz && idxShape(1) == ndims) &&
+      idxShape(0) == ndims && idxShape(1) == nnz
     val strides = dims.scanRight(1)((d, acc) => d * acc).drop(1)
     val out = new Array[Float](total)
     var n = 0
     while (n < nnz) {
       var flat = 0L
       var d = 0
-      while (d < ndims) { flat += indices(n * ndims + d) * strides(d); d += 1 }
+      while (d < ndims) {
+        val idx = if (transposed) indices(d * nnz + n) else indices(n * ndims + d)
+        flat += idx * strides(d); d += 1
+      }
       if (flat >= 0 && flat < total) out(flat.toInt) = values.values(n)
       n += 1
     }
@@ -325,15 +339,27 @@ object BinaryCodec {
   /** NdArrayProto bytes with the sparse branch — writer counterpart for
     * COO payloads (and the round-trip test vector). */
   private[graft] def encodeSparseNdArray(indices: Seq[Seq[Long]],
-      values: Seq[Float], shape: Seq[Int]): Array[Byte] = {
+      values: Seq[Float], shape: Seq[Int],
+      transposedIndices: Boolean = false,
+      idxDtype: String = "int64"): Array[Byte] = {
     val ndims = shape.length
     val idx = new W
-    val ibuf = ByteBuffer.allocate(8 * indices.length * ndims)
+    // row layout [N, ndims] is scipy/numpy canonical; torch stores the
+    // transpose [ndims, N] and scipy uses int32 ('<i4') — both writable
+    // here so the reader's layout/dtype detection is testable
+    val flat: Seq[Long] =
+      if (transposedIndices) (0 until ndims).flatMap(d => indices.map(_(d)))
+      else indices.flatten
+    val is32 = idxDtype == "int32" || idxDtype == "<i4"
+    val ibuf = ByteBuffer.allocate((if (is32) 4 else 8) * flat.length)
       .order(ByteOrder.LITTLE_ENDIAN)
-    indices.foreach(_.foreach(ibuf.putLong))
+    if (is32) flat.foreach(v => ibuf.putInt(v.toInt)) else flat.foreach(ibuf.putLong)
     idx.bytes(1, ibuf.array())
-    Seq(indices.length, ndims).foreach(s => { idx.tag(2, 0); idx.varint(s.toLong) })
-    idx.str(3, "int64")
+    val idxShape =
+      if (transposedIndices) Seq(ndims, indices.length)
+      else Seq(indices.length, ndims)
+    idxShape.foreach(s => { idx.tag(2, 0); idx.varint(s.toLong) })
+    idx.str(3, idxDtype)
     val vals = new W
     val vbuf = ByteBuffer.allocate(4 * values.length).order(ByteOrder.LITTLE_ENDIAN)
     values.foreach(vbuf.putFloat)

@@ -277,6 +277,56 @@ class IoStreamSpec extends SparkSuite {
     assert(dec.select("text_decoded").as[String].collect()(0) == "hello spark")
   }
 
+  test("textToTensorJoin: join path ≡ closure-map path, no driver vocab") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the quick quick rare"),
+      (3L, "completely unseen tokens only"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "the quick " * 20)) // long doc → truncation to last maxLength
+      .toDF("doc_id", "text")
+    val vocab = graft.operators.GroupOps.vocabulary(docs, $"text", minFreq = 2)
+    // legacy path: driver-side rank → Map → closure UDF
+    val ranked = vocab.orderBy($"n".desc, $"word").collect()
+    val vmap = ranked.zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 2) }.toMap
+    val legacy = Parallel.textToTensor(docs, "text", vmap, maxLength = 8)
+      .select($"doc_id", $"tensor_ids").orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect()
+    val joined = Parallel.textToTensorJoin(docs, "text", vocab, maxLength = 8)
+      .select($"doc_id", $"tensor_ids").orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect()
+    assert(joined.toSeq == legacy.toSeq)
+    // and the same under a shuffle join (vocab past broadcast threshold)
+    val shuffled = Parallel.textToTensorJoin(docs, "text", vocab, maxLength = 8,
+      broadcastVocab = false)
+      .select($"doc_id", $"tensor_ids").orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect()
+    assert(shuffled.toSeq == legacy.toSeq)
+  }
+
+  test("sparse COO: transposed [ndims,N] torch layout + int32 '<i4' indices") {
+    import graft.sources.BinaryCodec
+    // same logical tensor as the canonical-layout test: (0,1)=2.5,
+    // (1,3)=-1, (1,0)=4 in 2×4 — written torch-style transposed
+    val t = BinaryCodec.encodeSparseNdArray(
+      Seq(Seq(0L, 1L), Seq(1L, 3L), Seq(1L, 0L)),
+      Seq(2.5f, -1.0f, 4.0f), Seq(2, 4), transposedIndices = true)
+    val (tv, ts, _) = BinaryCodec.decodeNdArray(t)
+    assert(ts == Seq(2, 4) && tv == Seq(0f, 2.5f, 0f, 0f, 4.0f, 0f, 0f, -1.0f))
+    // scipy-style: int32 buffer with numpy dtype string '<i4'
+    val s = BinaryCodec.encodeSparseNdArray(
+      Seq(Seq(0L, 1L), Seq(1L, 3L), Seq(1L, 0L)),
+      Seq(2.5f, -1.0f, 4.0f), Seq(2, 4), idxDtype = "<i4")
+    val (sv, ss, _) = BinaryCodec.decodeNdArray(s)
+    assert(ss == Seq(2, 4) && sv == Seq(0f, 2.5f, 0f, 0f, 4.0f, 0f, 0f, -1.0f))
+    // both at once (transposed + 32-bit)
+    val b = BinaryCodec.encodeSparseNdArray(
+      Seq(Seq(1L), Seq(4L)), Seq(3f, 4f), Seq(6),
+      transposedIndices = true, idxDtype = "<i4")
+    val (bv, bs, _) = BinaryCodec.decodeNdArray(b)
+    assert(bs == Seq(6) && bv == Seq(0f, 3f, 0f, 0f, 4f, 0f))
+  }
+
   test("embedFeatureHashing fills embedding with nDim floats") {
     val df = Seq((1L, "some text here")).toDF("id", "text")
     val got = Parallel.embedFeatureHashing(df, "text", nDim = 32)

@@ -106,6 +106,29 @@ class OperatorsSpec extends SparkSuite {
       == "MATCHED")
   }
 
+  test("setByPath: chunks with map-typed fields (tags) still write back") {
+    // full-schema docs carry map columns (tags, scores, …) that Spark
+    // cannot order — the position sort must not order the whole struct
+    val docs = Seq(("r1", "one"), ("r2", "two")).toDF("id", "text")
+      .withColumn("chunks", array(
+        struct(concat($"id", lit("-c0")).as("id"), $"id".as("parent_id"),
+          lit("chunk0").as("text"), map(lit("k"), lit("v0")).as("tags")),
+        struct(concat($"id", lit("-c1")).as("id"), $"id".as("parent_id"),
+          lit("chunk1").as("text"), map(lit("k"), lit("v1")).as("tags"))))
+    val updates = Traverse.traverse(docs, "c").withColumn("text", upper($"text"))
+    val back = Traverse.setByPath(docs, "@c", updates)
+    assert(back.schema.catalogString == docs.schema.catalogString)
+    val got = back.orderBy("id")
+      .select(flatten(array($"chunks.text")).as("t")).as[Seq[String]].collect()
+    assert(got.forall(_ == Seq("CHUNK0", "CHUNK1")))
+    // map payloads survive the rebuild, chunk order kept
+    val tags = back.orderBy("id")
+      .select($"chunks.tags".getItem(0).getItem("k").as("t0"),
+        $"chunks.tags".getItem(1).getItem("k").as("t1"))
+      .as[(String, String)].collect()
+    assert(tags.forall(_ == ("v0", "v1")))
+  }
+
   test("traverse chained paths: cm reaches matches of chunks") {
     val docs = Seq(("r1", "root")).toDF("id", "text")
       .withColumn("chunks", array(struct(

@@ -1,21 +1,42 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify's parquet dumps
 against the DuckDB oracle and diff. Usage: check.py <sfDir> <outDir> [query...]
+
+Canonicalization mirrors the driver's pandas path: columns sorted by name,
+then `DataFrame.sort_values` over all columns. That call is load-bearing —
+it raises TypeError on unhashable cells (e.g. numpy arrays), exactly like
+the driver did on round 2's q44/q46/q47, so an output shape the driver
+can't hash fails HERE first.
 """
 import sys, json, math, glob
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         # repr of the double — exact match expected
         return repr(v)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if v is None:
+        return "None"
     return str(v)
+
+
+def canon(df):
+    """Driver-equivalent canonicalization: sort columns by name, then
+    pandas sort_values over every column (raises on unhashable cells)."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -36,40 +57,30 @@ def main():
                 print(f"FAIL {name}: no spark output")
                 n_fail += 1
                 continue
-            got_rel = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
-            got = got_rel.fetchall()
-            want_rel = con.execute(sql)
-            want_cols = [d[0] for d in want_rel.description]
-            want = want_rel.fetchall()
-            if sorted(got_cols) != sorted(want_cols):
-                print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+            got_df = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+            want_df = con.execute(sql).df()
+            if sorted(got_df.columns) != sorted(want_df.columns):
+                print(f"FAIL {name}: columns {sorted(got_df.columns)} != {sorted(want_df.columns)}")
                 n_fail += 1
                 continue
             # dtype drift (spark parquet vs oracle) — warn, since the
             # driver's strictness here is unknown
-            gt_types = {d[0]: d[1] for d in got_rel.description}
-            wt_types = {d[0]: d[1] for d in want_rel.description}
-            for c in got_cols:
-                if gt_types[c] != wt_types[c]:
-                    print(f"  TYPE? {name}.{c}: spark={gt_types[c]} oracle={wt_types[c]}")
-            # driver sorts columns by name before hashing
-            gidx = [got_cols.index(c) for c in sorted(got_cols)]
-            widx = [want_cols.index(c) for c in sorted(want_cols)]
-            gt = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
-            wt = sorted(tuple(norm(r[i]) for i in widx) for r in want)
+            for c in got_df.columns:
+                if str(got_df[c].dtype) != str(want_df[c].dtype):
+                    print(f"  TYPE? {name}.{c}: spark={got_df[c].dtype} oracle={want_df[c].dtype}")
+            gt = canon(got_df)
+            wt = canon(want_df)
             if gt == wt:
                 print(f"PASS {name} ({len(gt)} rows)")
                 n_pass += 1
             else:
                 n_fail += 1
                 print(f"FAIL {name}: rows {len(gt)} vs {len(wt)}")
-                diff_g = [r for r in gt if r not in set(wt)][:3]
-                diff_w = [r for r in wt if r not in set(gt)][:3]
-                for d in diff_g:
+                wset, gset = set(wt), set(gt)
+                for d in [r for r in gt if r not in wset][:3]:
                     print(f"  spark-only:  {d}")
-                for d in diff_w:
+                for d in [r for r in wt if r not in gset][:3]:
                     print(f"  oracle-only: {d}")
         except Exception as e:
             n_fail += 1
