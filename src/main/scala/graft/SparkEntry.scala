@@ -610,6 +610,32 @@ object SparkEntry {
       TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  // glb mesh codec gate (§2.9, reference mesh.py:12-42): per doc,
+  // synthesize a deterministic k-triangle mesh (coordinates are dyadic
+  // m/16, exactly representable in float32, so Spark and DuckDB sums are
+  // bit-equal), write a real .glb, decode it back, and reduce to
+  // per-axis coordinate sums the oracle recomputes in closed form —
+  // the same arithmetic-round-trip trick as q28/q35.
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val k = (col("doc_id") % 4 + 1).cast("int")
+    val nv = k * 3
+    val verts = transform(sequence(lit(0), nv * 3 - 1),
+      j => (((col("doc_id") * 7 + j) % 101).cast("double") / 16.0).cast("float"))
+    val faces = sequence(lit(0), nv - 1)
+    docs
+      .withColumn("blob", Multimodal.encodeGlb(verts, faces))
+      .select(col("doc_id"), Multimodal.decodeGlb(col("blob")).as("m"))
+      .select(col("doc_id"), col("m.n_vertices").as("n_vertices"),
+        col("m.n_faces").as("n_faces"),
+        posexplode(col("m.vertices")).as(Seq("p", "v")))
+      .groupBy("doc_id", "n_vertices", "n_faces")
+      .agg(sum(when(col("p") % 3 === 0, col("v"))).as("sum_x"),
+        sum(when(col("p") % 3 === 1, col("v"))).as("sum_y"),
+        sum(when(col("p") % 3 === 2, col("v"))).as("sum_z"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,7 +685,8 @@ object SparkEntry {
     "q44_text_tensor" -> (q44 _),
     "q45_interval_join" -> (q45 _),
     "q46_feature_hash" -> (q46 _),
-    "q47_char_ngrams" -> (q47 _))
+    "q47_char_ngrams" -> (q47 _),
+    "q48_glb_mesh" -> (q48 _))
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1409,6 +1436,24 @@ object SparkEntry {
       """SELECT doc_id,
            CAST((row_number() OVER (ORDER BY doc_id) - 1) // 64 AS BIGINT)
              AS batch_id
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // mirrors q48: closed-form recomputation of the glb round trip —
+    // k = doc_id%4+1 triangles, flat coord j = ((doc_id*7 + j) % 101)/16
+    // (dyadic → float32-exact → double sums bit-equal across engines)
+    "q48_glb_mesh" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 4 + 1 AS INTEGER) AS k
+             FROM documents),
+         jj AS (SELECT doc_id, k, unnest(range(0, 9*k)) AS j FROM d),
+         c AS (SELECT doc_id, k, j,
+             CAST(CAST((doc_id*7 + j) % 101 AS DOUBLE)/16.0 AS FLOAT) AS v
+             FROM jj)
+         SELECT doc_id,
+           CAST(3*k AS INTEGER) AS n_vertices,
+           CAST(k AS INTEGER) AS n_faces,
+           sum(CASE WHEN j % 3 = 0 THEN v END) AS sum_x,
+           sum(CASE WHEN j % 3 = 1 THEN v END) AS sum_y,
+           sum(CASE WHEN j % 3 = 2 THEN v END) AS sum_z
+         FROM c GROUP BY doc_id, k ORDER BY doc_id"""
   )
 }

@@ -53,6 +53,12 @@ object Ann {
       if (fitSampleFraction >= 1.0) feat
       else feat.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
         < (fitSampleFraction * 1000000L).toLong)
+        // pin layout too: k-means|| init draws and float reduction order
+        // follow the input's partitioning/order, which follows source file
+        // listing — hash-repartition by id + local sort makes the fit
+        // deterministic regardless of how the corpus was laid out. Cheap:
+        // only the sample shuffles, never the full corpus.
+        .repartition(64, col(idCol)).sortWithinPartitions(idCol)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("_cell")
