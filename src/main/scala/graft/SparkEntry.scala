@@ -636,6 +636,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // embed(model, batch_size) gate (§2.10, reference embed.py:17-208):
+  // the batched-inference pattern with a REAL matmul — a deterministic
+  // 8×16 linear model (weights m_rc = ((r*16+c)*37) mod 64, over 64)
+  // closure-broadcast into Parallel.embed's mapPartitions. Inputs are the
+  // proven feature-hash vectors (q46); all values are dyadic, so
+  // embedding·64 is an exact integer the oracle recomputes with pure
+  // integer arithmetic. This upgrades `embed` from pattern-only to
+  // oracle-gated: an ONNX/torch model is a drop-in for `model`.
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = t(s, dir, "documents")
+      .select(col("doc_id"),
+        feature_hash(TextFunctions.tokens(col("text")), 16).as("f"))
+      .as[(Long, Seq[Float])]
+    val model: Seq[(Long, Seq[Float])] => Seq[Array[Float]] = batch =>
+      batch.map { case (_, f) =>
+        Array.tabulate(8) { r =>
+          var acc = 0.0; var c = 0
+          while (c < 16) { acc += f(c) * (((r * 16 + c) * 37) % 64) / 64.0; c += 1 }
+          acc.toFloat
+        }
+      }
+    Parallel.embed(feats, batchSize = 128)(model)
+      .map { case ((id, _), e) => (id, e.toSeq) }
+      .toDF("doc_id", "embedding")
+      .select(col("doc_id"), concat_ws(",",
+        transform(col("embedding"), x => (x * 64).cast("int").cast("string")))
+        .as("embedding"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -686,7 +717,53 @@ object SparkEntry {
     "q45_interval_join" -> (q45 _),
     "q46_feature_hash" -> (q46 _),
     "q47_char_ngrams" -> (q47 _),
-    "q48_glb_mesh" -> (q48 _))
+    "q48_glb_mesh" -> (q48 _),
+    "q49_embed_linear" -> (q49 _))
+
+  /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
+    * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
+    * multiplies, bucket = truncated remainder, sign = finalizer low bit →
+    * `cells(doc_id, idx, s)` plus the zero-fill `grid(doc_id, idx)`. */
+  private val featureHashCellsSql: String =
+    """tok AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         m1 AS (SELECT doc_id, h, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
+         m1x AS (SELECT doc_id, h,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT doc_id, h,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT doc_id, h,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT doc_id, h,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         sgn AS (SELECT doc_id,
+           CAST(h - (CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs,
+           CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                         CAST((x // 2147483648) AS BIGINT)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sg
+           FROM m3),
+         contrib AS (SELECT doc_id, CAST(((hs % 16) + 16) % 16 AS INTEGER) AS idx, sg FROM sgn),
+         cells AS (SELECT doc_id, idx, sum(sg) AS s FROM contrib GROUP BY doc_id, idx),
+         grid AS (SELECT d.doc_id, g.idx FROM documents d
+                  JOIN (SELECT CAST(x AS INTEGER) idx FROM range(0, 16) t(x)) g ON true)"""
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
     * hashing-free dedup, knn math and window semantics are written to be
@@ -1363,49 +1440,25 @@ object SparkEntry {
     // wrapping multiplies), bucket = Scala-style truncated remainder
     // (DuckDB's % matches), sign = finalizer low bit, zero-filled 16-grid
     "q46_feature_hash" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(list_filter(
-             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-           FROM documents),
-         th AS (
-           SELECT doc_id, list_reduce(
-             list_prepend(CAST(14695981039346656037 AS HUGEINT),
-               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
-             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
-                        * 1099511628211) % 18446744073709551616) AS h
-           FROM tok),
-         m1 AS (SELECT doc_id, h, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
-         m1x AS (SELECT doc_id, h,
-           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
-            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-           FROM m1),
-         m2 AS (SELECT doc_id, h,
-           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
-             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
-         m2x AS (SELECT doc_id, h,
-           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
-            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-           FROM m2),
-         m3 AS (SELECT doc_id, h,
-           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
-             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
-         sgn AS (SELECT doc_id,
-           CAST(h - (CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs,
-           CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                         CAST((x // 2147483648) AS BIGINT)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sg
-           FROM m3),
-         contrib AS (SELECT doc_id, CAST(((hs % 16) + 16) % 16 AS INTEGER) AS idx, sg FROM sgn),
-         cells AS (SELECT doc_id, idx, sum(sg) AS s FROM contrib GROUP BY doc_id, idx),
-         grid AS (SELECT d.doc_id, g.idx FROM documents d
-                  JOIN (SELECT CAST(x AS INTEGER) idx FROM range(0, 16) t(x)) g ON true),
+      s"""WITH $featureHashCellsSql,
          fin AS (SELECT grid.doc_id, grid.idx, CAST(coalesce(c.s, 0.0) AS INTEGER) AS v
                  FROM grid LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.idx = grid.idx)
          SELECT doc_id, array_to_string(list(v ORDER BY idx), ',') AS features
          FROM fin GROUP BY doc_id ORDER BY doc_id""",
+
+    // mirrors q49: embedding·64 = Σ_c cell_c · ((r·16+c)·37 mod 64) —
+    // pure integer arithmetic over the same feature-hash cells as q46
+    "q49_embed_linear" ->
+      s"""WITH $featureHashCellsSql,
+         rr AS (SELECT CAST(x AS INTEGER) AS r FROM range(0, 8) t(x)),
+         emb AS (SELECT grid.doc_id, rr.r,
+             sum(CAST(coalesce(c.s, 0.0) AS BIGINT)
+                 * (((rr.r*16 + grid.idx)*37) % 64)) AS v
+             FROM grid CROSS JOIN rr
+             LEFT JOIN cells c ON c.doc_id = grid.doc_id AND c.idx = grid.idx
+             GROUP BY grid.doc_id, rr.r)
+         SELECT doc_id, array_to_string(list(v ORDER BY r), ',') AS embedding
+         FROM emb GROUP BY doc_id ORDER BY doc_id""",
 
     // mirrors q47: the kernel's normalization is exactly
     // trim(collapse non-alnum runs to ' ') on lowercased text

@@ -107,4 +107,30 @@ object Parallel {
     }
     df.withColumn(outCol, dec(col(idsCol)))
   }
+
+  /** Scale path for convert_tensor_to_text: inverse of
+    * [[textToTensorJoin]] with the vocabulary kept as a DataFrame.
+    * Token id = rank-vid + 1, so the inner equi-join drops pad (0) and
+    * unk ids for free, exactly like the legacy closure path's
+    * `flatMap(inv.get)`. */
+  def tensorToTextJoin(df: DataFrame, idsCol: String, vocab: DataFrame,
+      idCol: String = "doc_id", outCol: String = "text_decoded",
+      broadcastVocab: Boolean = true): DataFrame = {
+    val ranked0 = GroupOps.rankVocabulary(vocab)
+    val ranked = if (broadcastVocab) broadcast(ranked0) else ranked0
+    val toks = df.select(col(idCol),
+      posexplode(col(idsCol)).as(Seq("_pos", "_tid")))
+    val dec = toks.join(ranked, toks("_tid") === ranked("vid") + 1)
+      .groupBy(idCol)
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("_pos"), col("word"))),
+          (l, r) => when(l("_pos") < r("_pos"), -1)
+            .when(l("_pos") > r("_pos"), 1).otherwise(0)),
+        e => e.getField("word"))).as("_txt"))
+    df.join(dec, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col(idsCol).isNull, lit(null))
+          .otherwise(coalesce(col("_txt"), lit(""))))
+      .drop("_txt")
+  }
 }

@@ -246,6 +246,63 @@ class IoStreamSpec extends SparkSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("glb decode: interleaved bufferView with byteStride") {
+    // two vertices interleaved as [pos xyz | normal xyz] with stride 24;
+    // POSITION accessor must honor the view's byteStride
+    val bin = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1f, 2f, 3f, 9f, 9f, 9f, 4f, 5f, 6f, 8f, 8f, 8f).foreach(bin.putFloat)
+    val json = ("""{"asset":{"version":"2.0"},"buffers":[{"byteLength":48}],""" +
+      """"bufferViews":[{"buffer":0,"byteOffset":0,"byteLength":48,"byteStride":24}],""" +
+      """"accessors":[{"bufferView":0,"byteOffset":0,"componentType":5126,"count":2,"type":"VEC3"}],""" +
+      """"meshes":[{"primitives":[{"attributes":{"POSITION":0},"mode":4}]}]}""")
+      .getBytes("UTF-8")
+    val jPad = (4 - json.length % 4) % 4
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + json.length + jPad + 8 + 48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putInt(0x46546C67).putInt(2).putInt(out.capacity)
+    out.putInt(json.length + jPad).putInt(0x4E4F534A)
+    out.put(json); (0 until jPad).foreach(_ => out.put(' '.toByte))
+    out.putInt(48).putInt(0x004E4942).put(bin.array())
+    val m = Seq(("g", out.array())).toDF("id", "blob")
+      .select(Multimodal.decodeGlb($"blob").as("m"))
+      .select($"m.vertices", $"m.faces").collect()(0)
+    // stride skips the normals; non-indexed → identity faces
+    assert(m.getSeq[Float](0) == Seq(1f, 2f, 3f, 4f, 5f, 6f))
+    assert(m.getSeq[Int](1) == Seq(0, 1))
+  }
+
+  test("mp4 sample tables: no stss box means every sample is sync") {
+    // minimal synthetic mp4: moov/trak/mdia(hdlr vide)/minf/stbl with
+    // stsz [10,20,30], one chunk at offset 100, stsc {1,3,1}, NO stss
+    def box(t: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(t.getBytes("ISO-8859-1")).put(payload)
+      b.array()
+    }
+    def u32s(vs: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(b.putInt); b.array()
+    }
+    val hdlr = box("hdlr", u32s(0, 0) ++ "vide".getBytes("ISO-8859-1") ++ u32s(0, 0, 0))
+    val stsz = box("stsz", u32s(0, 0, 3, 10, 20, 30))
+    val stco = box("stco", u32s(0, 1, 100))
+    val stsc = box("stsc", u32s(0, 1, 1, 3, 1))
+    val stbl = box("stbl", stsz ++ stco ++ stsc)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr ++ minf)
+    val moov = box("moov", box("trak", mdia))
+    val r = Seq(("v", moov)).toDF("id", "blob")
+      .select(Multimodal.mp4SampleTable($"blob").as("t"))
+      .select($"t.n_samples", $"t.total_bytes", $"t.keyframe_samples",
+        $"t.keyframe_offsets", $"t.keyframe_sizes")
+      .collect()(0)
+    assert(r.getInt(0) == 3 && r.getLong(1) == 60L)
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getSeq[Long](3) == Seq(100L, 110L, 130L))
+    assert(r.getSeq[Int](4) == Seq(10, 20, 30))
+  }
+
   test("mp4 probe: reference fixture metadata matches independent parse") {
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/tests/unit/document/toydata/mov_bbb.mp4"))
@@ -378,6 +435,27 @@ class IoStreamSpec extends SparkSuite {
       .select($"doc_id", $"tensor_ids").orderBy("doc_id")
       .as[(Long, Seq[Int])].collect()
     assert(shuffled.toSeq == legacy.toSeq)
+  }
+
+  test("tensorToTextJoin: distributed decode ≡ closure-map decode") {
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta rareword"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = graft.operators.GroupOps.vocabulary(docs, $"text", minFreq = 2)
+    val enc = Parallel.textToTensorJoin(docs, "text", vocab, maxLength = 8)
+    val ranked = vocab.orderBy($"n".desc, $"word").collect()
+    val vmap = ranked.zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 2) }.toMap
+    val legacy = Parallel.tensorToText(enc, "tensor_ids", vmap)
+      .select($"doc_id", $"text_decoded").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val joined = Parallel.tensorToTextJoin(enc, "tensor_ids", vocab)
+      .select($"doc_id", $"text_decoded").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(joined.toSeq == legacy.toSeq)
+    // known words survive the round trip in order; unknowns drop
+    assert(joined(0)._2 == "alpha beta alpha")
   }
 
   test("sparse COO: transposed [ndims,N] torch layout + int32 '<i4' indices") {
