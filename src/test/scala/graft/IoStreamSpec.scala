@@ -494,6 +494,37 @@ class IoStreamSpec extends SparkSuite {
     assert(got == Seq("ab ", "b c", " cd"))
   }
 
+  test("schema projections: recursive JSON-schema + GraphQL SDL") {
+    import graft.schema.{DocSchema, Projections}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val js = mapper.readTree(Projections.documentJsonSchema) // must parse
+    val doc = js.path("$defs").path("Document")
+    val props = doc.path("properties")
+    // all 18 core reference fields + recursive chunks/matches
+    DocSchema.flat.fieldNames.foreach(f => assert(props.has(f), f))
+    assert(js.path("$ref").asText == "#/$defs/Document")
+    assert(props.path("chunks").path("items").path("$ref").asText
+      == "#/$defs/Document")
+    assert(props.path("tensor").path("properties").has("shape"))
+    assert(props.path("blob").path("contentEncoding").asText == "base64")
+    assert(props.path("scores").path("additionalProperties")
+      .path("properties").has("ref_id"))
+    assert(doc.path("required").get(0).asText == "id")
+    // arbitrary StructType works too
+    val any = mapper.readTree(Projections.toJsonSchema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))))))
+    assert(any.path("properties").path("x").path("items")
+      .path("type").asText == "integer")
+    val sdl = Projections.documentGraphqlSdl
+    assert(sdl.contains("type Document {"))
+    assert(sdl.contains("chunks: [Document]") && sdl.contains("matches: [Document]"))
+    assert(sdl.contains("metadata_: JSON")) // leading-underscore rename
+    assert(sdl.contains("scalar JSON"))
+  }
+
   test("tag promotion gives typed pushdown-able columns") {
     import graft.operators.Promote
     import org.apache.spark.sql.types.IntegerType
