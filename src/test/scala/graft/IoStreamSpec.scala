@@ -435,6 +435,11 @@ class IoStreamSpec extends SparkSuite {
       .select($"doc_id", $"tensor_ids").orderBy("doc_id")
       .as[(Long, Seq[Int])].collect()
     assert(shuffled.toSeq == legacy.toSeq)
+    // plan shape: the vocab side joins broadcast (no corpus shuffle for
+    // the token→id lookup) and nothing collects to the driver
+    val plan = Parallel.textToTensorJoin(docs, "text", vocab, maxLength = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
   test("tensorToTextJoin: distributed decode ≡ closure-map decode") {
