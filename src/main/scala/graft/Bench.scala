@@ -130,6 +130,21 @@ object Bench {
       idx.assigned.unpersist()
     }
 
+    // Scale validation of the join-based text→tensor path (round 3: the
+    // driver-side vocab collect was removed — prove the replacement holds
+    // at 1M docs / 20M tokens / 50k-term vocab, in shuffle-join mode as a
+    // too-big-to-broadcast vocab would run). Reported outside the total
+    // like the ann_* block: it's a validation row, not a headline query.
+    bench("x_text_tensor_1m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      val vocab = graft.operators.GroupOps.vocabulary(textDocs, col("text"), minFreq = 2)
+      graft.operators.Parallel.textToTensorJoin(
+        textDocs, "text", vocab, maxLength = 16, broadcastVocab = false).count()
+    }
+
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",
@@ -146,10 +161,12 @@ object Bench {
     // are an index-build + search + recall-ratio block reported on their
     // own — the 47 s one-time k-means build would otherwise read as a 3×
     // regression of a total it was never part of. create_1m_gen (round 3)
-    // is a breakdown of create_1m, not extra work — also excluded.
+    // is a breakdown of create_1m, and x_* rows are scale validations —
+    // both also excluded.
     val total = results
       .collect { case (k, v)
-        if v >= 0 && !k.startsWith("ann_") && k != "create_1m_gen" => v }.sum
+        if v >= 0 && !k.startsWith("ann_") && !k.startsWith("x_") &&
+          k != "create_1m_gen" => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
