@@ -386,7 +386,7 @@ object Multimodal {
     * sync sample (ISO 14496-12 §8.6.2), so all samples are listed. */
   val mp4SampleTable = udf { (blob: Array[Byte]) =>
     if (blob == null || blob.length < 8) null
-    else {
+    else try {
       def u32(p: Int): Long =
         ((blob(p) & 0xffL) << 24) | ((blob(p + 1) & 0xffL) << 16) |
           ((blob(p + 2) & 0xffL) << 8) | (blob(p + 3) & 0xffL)
@@ -481,6 +481,10 @@ object Multimodal {
         val ks = keys.filter(kOff.contains)
         Mp4SampleTable(nSamples, total, ks, ks.map(kOff), ks.map(k => sizes(k - 1).toInt))
       }
+    } catch {
+      // truncated boxes / lying table counts → null row, not a failed
+      // query (same contract as decodeWav/decodeImage)
+      case scala.util.control.NonFatal(_) => null
     }
   }
 
@@ -574,7 +578,7 @@ object Multimodal {
     * document/mixins/mesh.py:12-42). Node/scene transforms are not
     * applied — geometry is read in mesh-local coordinates. Returns one
     * (vertices, faces) per triangle primitive; None on malformed input. */
-  private def parseGlb(blob: Array[Byte]): Option[Seq[(Array[Float], Array[Int])]] = {
+  private def parseGlb(blob: Array[Byte]): Option[Seq[(Array[Float], Array[Int])]] = try {
     if (blob == null || blob.length < 20) return None
     val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (bb.getInt(0) != 0x46546C67 || bb.getInt(4) != 2) return None // 'glTF' v2
@@ -653,6 +657,10 @@ object Multimodal {
       mi += 1
     }
     if (out.isEmpty) None else Some(out.toSeq)
+  } catch {
+    // valid magic but corrupt JSON / truncated buffers / lying accessor
+    // counts → null row, not a failed query (same contract as decodeWav)
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** glb → single combined mesh (the reference's `force='mesh'` path,

@@ -197,6 +197,14 @@ class IoStreamSpec extends SparkSuite {
     val bad = Seq(("x", Array[Byte](1, 2, 3, 4, 5))).toDF("id", "blob")
       .select(Multimodal.decodeGlb($"blob").as("m")).collect()(0)
     assert(bad.isNullAt(0))
+    // valid magic but corrupt JSON chunk → null, not a thrown task
+    val corrupt = java.nio.ByteBuffer.allocate(28)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    corrupt.putInt(0x46546C67).putInt(2).putInt(28)
+    corrupt.putInt(8).putInt(0x4E4F534A).put("{broken!".getBytes)
+    val c = Seq(("c", corrupt.array())).toDF("id", "blob")
+      .select(Multimodal.decodeGlb($"blob").as("m")).collect()(0)
+    assert(c.isNullAt(0))
   }
 
   test("glb encode/decode round trip feeds samplePointCloud") {
@@ -301,6 +309,15 @@ class IoStreamSpec extends SparkSuite {
     assert(r.getSeq[Int](2) == Seq(1, 2, 3))
     assert(r.getSeq[Long](3) == Seq(100L, 110L, 130L))
     assert(r.getSeq[Int](4) == Seq(10, 20, 30))
+    // lying stsz count (claims 1000 samples, payload has 3) → null row
+    val lying = {
+      val badStsz = box("stsz", u32s(0, 0, 1000, 10, 20, 30))
+      box("moov", box("trak", box("mdia", hdlr ++ box("minf",
+        box("stbl", badStsz ++ stco ++ stsc)))))
+    }
+    val lr = Seq(("l", lying)).toDF("id", "blob")
+      .select(Multimodal.mp4SampleTable($"blob").as("t")).collect()(0)
+    assert(lr.isNullAt(0))
   }
 
   test("mp4 probe: reference fixture metadata matches independent parse") {
