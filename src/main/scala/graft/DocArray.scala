@@ -68,6 +68,17 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   /** `load_uri_to_blob` for every doc (data:/file:/http URIs). */
   def loadUriToBlob(uriCol: String = "uri", blobCol: String = "blob"): DocArray =
     wrap(Multimodal.loadUriToBlob(df, uriCol, blobCol))
+  /** `load_uri_to_point_cloud_tensor(samples)`: glb blob → sampled point
+    * cloud (reference: document/mixins/mesh.py:12-42). */
+  def loadBlobToPointCloud(samples: Int, seed: Long = 42L,
+      blobCol: String = "blob", outCol: String = "point_cloud"): DocArray =
+    wrap(Multimodal.loadGlbToPointCloud(df, blobCol, samples, seed, outCol))
+  /** `load_uri_to_video_tensor(only_keyframes=True)` addressing: keyframe
+    * sample numbers / byte offsets / sizes from the mp4 sample tables
+    * (reference: document/mixins/video.py:12-70). */
+  def videoKeyframes(blobCol: String = "blob",
+      outCol: String = "keyframes"): DocArray =
+    wrap(df.withColumn(outCol, Multimodal.mp4SampleTable(col(blobCol))))
   def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
   def vocabulary(minFreq: Long = 1, textCol: String = "text"): DataFrame =
     GroupOps.vocabulary(df, col(textCol), minFreq)
@@ -83,6 +94,11 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     Evaluate.relevanceAgainst(df, groundTruth.df, idCol, matchesCol)
 
   def summary(): DataFrame = Summary.describe(df)
+
+  /** This array's actual schema as a JSON-Schema document (the
+    * `PydanticDocument.schema_json()` analog for arbitrary columns). */
+  def schemaJson(title: String = "Document"): String =
+    graft.schema.Projections.toJsonSchema(df.schema, title)
 
   // ---- persistence (§2.1) --------------------------------------------
 
@@ -107,4 +123,7 @@ object DocArray {
     DocArray(graft.sources.BinaryCodec.loadBinary(spark, path))
   def empty(spark: SparkSession, n: Long): DocArray =
     DocArray(DocSchema.empty(spark, n))
+  /** Canonical Document model projections (pydantic / strawberry analogs). */
+  def jsonSchema: String = graft.schema.Projections.documentJsonSchema
+  def graphqlSdl: String = graft.schema.Projections.documentGraphqlSdl
 }
