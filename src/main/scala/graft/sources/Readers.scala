@@ -38,8 +38,21 @@ object Readers {
     * (reference: generators.py:56-126). Spark's binaryFile source yields
     * (path, modificationTime, length, content). */
   def fromFiles(spark: SparkSession, glob: String,
-      loadContent: Boolean = true, mimeFromExtension: Boolean = true): DataFrame = {
-    val raw = spark.read.format("binaryFile").load(glob)
+      loadContent: Boolean = true, mimeFromExtension: Boolean = true,
+      excludeRegex: Option[String] = None, samplingRate: Double = 1.0,
+      size: Option[Int] = None, toDataUri: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    // option parity with from_files (generators.py:56-126): exclude_regex
+    // drops matching paths, sampling_rate subsamples (here deterministic
+    // by path hash, not random.random — reproducible across runs), size
+    // caps the count, to_dataturi swaps uri for a data URI of the blob
+    val raw0 = spark.read.format("binaryFile").load(glob)
+    val raw1 = excludeRegex.fold(raw0)(re => raw0.where(!col("path").rlike(re)))
+    val raw2 =
+      if (samplingRate >= 1.0) raw1
+      else raw1.where(pmod(xxhash64(col("path"), lit(seed)), lit(1000000L))
+        < (samplingRate * 1000000L).toLong)
+    val raw = size.fold(raw2)(raw2.limit)
     val withCols = raw.select(
       col("path").as("uri"),
       (if (loadContent) col("content") else lit(null).cast("binary")).as("blob"),
@@ -53,7 +66,10 @@ object Readers {
            .when(col("path").rlike("(?i)\\.json$"), "application/json")
            .otherwise("application/octet-stream")
        else lit("")).as("mime_type"))
-    DocSchema.fromColumns(withCols)
+    val shaped = DocSchema.fromColumns(withCols)
+    if (!toDataUri) shaped
+    else shaped.withColumn("uri",
+      graft.operators.Multimodal.toDataUri(col("blob"), col("mime_type")))
   }
 
   /** Rows of an in-memory matrix → docs with embeddings

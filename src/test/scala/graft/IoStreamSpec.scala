@@ -37,6 +37,19 @@ class IoStreamSpec extends SparkSuite {
     val ct = DocSchema.contentType(docs).select("content_type").distinct()
       .as[String].collect().toSet
     assert(ct == Set("blob"))
+    // from_files option parity (generators.py:56-126)
+    val noPng = Readers.fromFiles(spark, dir.getPath + "/*",
+      excludeRegex = Some(".*\\.png$"))
+    assert(noPng.select("mime_type").as[String].collect().toSeq
+      == Seq("text/plain"))
+    assert(Readers.fromFiles(spark, dir.getPath + "/*",
+      size = Some(1)).count() == 1)
+    assert(Readers.fromFiles(spark, dir.getPath + "/*",
+      samplingRate = 0.0).count() == 0)
+    val dUri = Readers.fromFiles(spark, dir.getPath + "/*",
+      toDataUri = true, excludeRegex = Some(".*\\.png$"))
+      .select("uri").as[String].collect()(0)
+    assert(dUri == "data:text/plain;base64,aGk=") // "hi"
   }
 
   test("fromLines + parquet round trip") {
