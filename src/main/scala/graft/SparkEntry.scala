@@ -667,6 +667,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // BPE-ish pre-tokenizer gate (training-pipeline token budgeting): the
+  // same lookahead-free GPT-2-style regex runs in Spark (Java regex) and
+  // DuckDB (RE2); tokens joined on the unit separator (never in text)
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+      concat_ws("", TextFunctions.bpeTokens(col("text"))).as("bpe_joined"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -718,7 +727,8 @@ object SparkEntry {
     "q46_feature_hash" -> (q46 _),
     "q47_char_ngrams" -> (q47 _),
     "q48_glb_mesh" -> (q48 _),
-    "q49_embed_linear" -> (q49 _))
+    "q49_embed_linear" -> (q49 _),
+    "q50_bpe_tokens" -> (q50 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1507,6 +1517,16 @@ object SparkEntry {
            sum(CASE WHEN j % 3 = 0 THEN v END) AS sum_x,
            sum(CASE WHEN j % 3 = 1 THEN v END) AS sum_y,
            sum(CASE WHEN j % 3 = 2 THEN v END) AS sum_z
-         FROM c GROUP BY doc_id, k ORDER BY doc_id"""
+         FROM c GROUP BY doc_id, k ORDER BY doc_id""",
+
+    // mirrors q50: the IDENTICAL regex (single Scala source, quote-doubled)
+    // under DuckDB RE2; joined-on-empty = text minus unmatched chars
+    "q50_bpe_tokens" ->
+      s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '${TextFunctions.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe,
+           coalesce(array_to_string(regexp_extract_all(text,
+             '${TextFunctions.bpePattern.replace("'", "''")}'), ''), '') AS bpe_joined
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -19,6 +19,21 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer pattern, minus
+    * the trailing-whitespace lookahead so the identical regex runs under
+    * DuckDB's RE2 for the oracle): contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace runs. This is
+    * the "how many BPE tokens would this cost" estimator a training-data
+    * pipeline budgets with — a real BPE merges within these pieces, so
+    * this counts pre-merge units. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\ra-zA-Z0-9]+|[ \\t\\n\\r]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Distinct token set (for Jaccard / vocabulary). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
