@@ -1520,13 +1520,13 @@ object SparkEntry {
          FROM c GROUP BY doc_id, k ORDER BY doc_id""",
 
     // mirrors q50: the IDENTICAL regex (single Scala source, quote-doubled)
-    // under DuckDB RE2; joined-on-empty = text minus unmatched chars
+    // under DuckDB RE2; both sides join tokens on chr(31) (US, never in text)
     "q50_bpe_tokens" ->
       s"""SELECT doc_id,
            CAST(len(regexp_extract_all(text,
              '${TextFunctions.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe,
            coalesce(array_to_string(regexp_extract_all(text,
-             '${TextFunctions.bpePattern.replace("'", "''")}'), ''), '') AS bpe_joined
+             '${TextFunctions.bpePattern.replace("'", "''")}'), chr(31)), '') AS bpe_joined
          FROM documents ORDER BY doc_id"""
   )
 }
