@@ -79,6 +79,26 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def videoKeyframes(blobCol: String = "blob",
       outCol: String = "keyframes"): DocArray =
     wrap(df.withColumn(outCol, Multimodal.mp4SampleTable(col(blobCol))))
+  /** One row per keyframe with its raw byte payload sliced out of the
+    * container blob (substr is byte-addressed on binary columns). Frame
+    * decode needs a codec this JVM lacks, but the per-keyframe payloads
+    * are exactly what a user hands to an external decoder via
+    * [[Parallel.mapBatch]] (reference: video.py:12-70 only_keyframes). */
+  def videoKeyframeBlobs(blobCol: String = "blob",
+      outCol: String = "frame_blob"): DocArray = {
+    val exploded = df
+      .withColumn("_kf", Multimodal.mp4SampleTable(col(blobCol)))
+      .where(col("_kf").isNotNull)
+      .withColumn("_k", explode(arrays_zip(
+        col("_kf.keyframe_samples").as("sample"),
+        col("_kf.keyframe_offsets").as("offset"),
+        col("_kf.keyframe_sizes").as("size"))))
+    wrap(exploded
+      .withColumn("frame_sample", col("_k.sample"))
+      .withColumn(outCol,
+        col(blobCol).substr(col("_k.offset").cast("int") + lit(1), col("_k.size")))
+      .drop("_kf", "_k"))
+  }
   def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
   def vocabulary(minFreq: Long = 1, textCol: String = "text"): DataFrame =
     GroupOps.vocabulary(df, col(textCol), minFreq)

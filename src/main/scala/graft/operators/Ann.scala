@@ -47,18 +47,21 @@ object Ann {
       if (normalize) docs.withColumn("_nvec", l2_normalize(col(vecCol).cast("array<double>")))
       else docs.withColumn("_nvec", col(vecCol).cast("array<double>"))
     val feat = base.withColumn("_features", array_to_vector(col("_nvec")))
-    val fitOn = // centroids from a sample: O(sample) fit, O(N) assign.
+    val fitOn = { // centroids from a sample: O(sample) fit, O(N) assign.
       // Hash-sampled on the id, not df.sample: row-order independent, so
       // the quantizer (and downstream recall) is stable run to run.
-      if (fitSampleFraction >= 1.0) feat
-      else feat.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
-        < (fitSampleFraction * 1000000L).toLong)
-        // pin layout too: k-means|| init draws and float reduction order
-        // follow the input's partitioning/order, which follows source file
-        // listing — hash-repartition by id + local sort makes the fit
-        // deterministic regardless of how the corpus was laid out. Cheap:
-        // only the sample shuffles, never the full corpus.
-        .repartition(64, col(idCol)).sortWithinPartitions(idCol)
+      val sel =
+        if (fitSampleFraction >= 1.0) feat
+        else feat.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+          < (fitSampleFraction * 1000000L).toLong)
+      // pin layout too: k-means|| init draws and float reduction order
+      // follow the input's partitioning/order, which follows source file
+      // listing — hash-repartition by id + local sort makes the fit
+      // deterministic regardless of how the corpus was laid out. Applied
+      // to BOTH branches so the default full-corpus fit is deterministic
+      // too; with a sample only the sample shuffles.
+      sel.repartition(64, col(idCol)).sortWithinPartitions(idCol)
+    }
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("_features").setPredictionCol("_cell")

@@ -346,8 +346,11 @@ object Multimodal {
         while (off + 8 <= end) {
           val size0 = u32(off)
           val t = typ(off)
+          // size 0 = "box extends to end of file" (ISO 14496-12 §4.2)
           val (hdr, size) =
-            if (size0 == 1) (16, u64(off + 8)) else (8, size0)
+            if (size0 == 1) (16, u64(off + 8))
+            else if (size0 == 0) (8, (end - off).toLong)
+            else (8, size0)
           if (size < hdr || off + size > end) return
           t match {
             case "moov" | "trak" => walk(off + hdr, off + size.toInt)
@@ -399,7 +402,11 @@ object Multimodal {
         while (off + 8 <= end) {
           val size0 = u32(off)
           val t = typ(off)
-          val (hdr, size) = if (size0 == 1) (16, u64(off + 8)) else (8, size0)
+          // size 0 = "box extends to end of file" (ISO 14496-12 §4.2)
+          val (hdr, size) =
+            if (size0 == 1) (16, u64(off + 8))
+            else if (size0 == 0) (8, (end - off).toLong)
+            else (8, size0)
           if (size < hdr || off + size > end) return
           found += ((t, off + hdr, off + size.toInt))
           t match {
@@ -414,17 +421,18 @@ object Multimodal {
       // boxes arrive in document order: a trak's hdlr precedes its stbl
       // tables, so a running handler type scopes each table to its track
       var handler = ""
-      var stsz: Option[Int] = None; var stszEnd = 0
-      var stco: Option[Int] = None; var co64 = false
-      var stsc: Option[Int] = None; var stss: Option[Int] = None
+      var stsz: Option[Int] = None; var stszHi = 0
+      var stco: Option[Int] = None; var co64 = false; var stcoHi = 0
+      var stsc: Option[Int] = None; var stscHi = 0
+      var stss: Option[Int] = None; var stssHi = 0
       found.foreach { case (t, lo, hi) =>
         t match {
           case "hdlr" => handler = new String(blob, lo + 8, 4, "ISO-8859-1")
-          case "stsz" if handler == "vide" && stsz.isEmpty => stsz = Some(lo); stszEnd = hi
-          case "stco" if handler == "vide" && stco.isEmpty => stco = Some(lo)
-          case "co64" if handler == "vide" && stco.isEmpty => stco = Some(lo); co64 = true
-          case "stsc" if handler == "vide" && stsc.isEmpty => stsc = Some(lo)
-          case "stss" if handler == "vide" && stss.isEmpty => stss = Some(lo)
+          case "stsz" if handler == "vide" && stsz.isEmpty => stsz = Some(lo); stszHi = hi
+          case "stco" if handler == "vide" && stco.isEmpty => stco = Some(lo); stcoHi = hi
+          case "co64" if handler == "vide" && stco.isEmpty => stco = Some(lo); co64 = true; stcoHi = hi
+          case "stsc" if handler == "vide" && stsc.isEmpty => stsc = Some(lo); stscHi = hi
+          case "stss" if handler == "vide" && stss.isEmpty => stss = Some(lo); stssHi = hi
           case _ =>
         }
       }
@@ -433,15 +441,29 @@ object Multimodal {
         val zLo = stsz.get
         val defaultSize = u32(zLo + 4)
         val nSamples = u32(zLo + 8).toInt
+        val cLo = stco.get
+        val nChunks = u32(cLo + 4).toInt
+        val scLo = stsc.get
+        val nRuns = u32(scLo + 4).toInt
+        val nKeys = stss.map(kLo => u32(kLo + 4).toInt)
+        // every declared count must fit its own box payload — a lying
+        // count would otherwise read neighbouring bytes (typically mdat)
+        // as sizes/offsets, or drive multi-GB allocations whose OOM is
+        // not NonFatal; a sample is ≥1 byte, so nSamples > blob.length
+        // is also a lie (bounds the fixed-size-sample path too)
+        val countsOk =
+          nSamples >= 0 && nSamples <= blob.length &&
+          (defaultSize != 0 || 12L + 4L * nSamples <= stszHi - zLo) &&
+          nChunks >= 0 && 8L + (if (co64) 8L else 4L) * nChunks <= stcoHi - cLo &&
+          nRuns >= 0 && 8L + 12L * nRuns <= stscHi - scLo &&
+          nKeys.forall(nk => nk >= 0 && 8L + 4L * nk <= stssHi - stss.get)
+        if (!countsOk) null
+        else {
         val sizes: Int => Long =
           if (defaultSize != 0) _ => defaultSize
           else i => u32(zLo + 12 + 4 * i)
-        val cLo = stco.get
-        val nChunks = u32(cLo + 4).toInt
         val chunkOff: Int => Long =
           if (co64) i => u64(cLo + 8 + 8 * i) else i => u32(cLo + 8 + 4 * i)
-        val scLo = stsc.get
-        val nRuns = u32(scLo + 4).toInt
         // expand stsc runs → samples-per-chunk for every chunk
         val spc = new Array[Int](nChunks)
         var r = 0
@@ -456,8 +478,7 @@ object Multimodal {
         // keyframe sample numbers (1-based); absent stss ⇒ all sync
         val keys: Seq[Int] = stss match {
           case Some(kLo) =>
-            val nk = u32(kLo + 4).toInt
-            Seq.tabulate(nk)(i => u32(kLo + 8 + 4 * i).toInt)
+            Seq.tabulate(nKeys.get)(i => u32(kLo + 8 + 4 * i).toInt)
           case None => (1 to nSamples)
         }
         val keySet = keys.toSet
@@ -480,6 +501,7 @@ object Multimodal {
         while (i < nSamples) { total += sizes(i); i += 1 }
         val ks = keys.filter(kOff.contains)
         Mp4SampleTable(nSamples, total, ks, ks.map(kOff), ks.map(k => sizes(k - 1).toInt))
+        }
       }
     } catch {
       // truncated boxes / lying table counts → null row, not a failed
@@ -611,8 +633,19 @@ object Multimodal {
         case "VEC3" => 3; case "VEC2" => 2; case "VEC4" => 4; case _ => 1
       })
       val stride = { val s = v.path("byteStride").asInt(0); if (s > 0) s else elemSize }
-      (v.path("byteOffset").asInt(0) + a.path("byteOffset").asInt(0),
-        stride, a.path("count").asInt, comp)
+      val vOff = v.path("byteOffset").asInt(0)
+      val aOff = a.path("byteOffset").asInt(0)
+      val count = a.path("count").asInt
+      // a lying count must fail HERE, before the caller's
+      // new Array[Float](count*3) allocates (OOM is not NonFatal): the
+      // last element read must fit both the bufferView's byteLength and
+      // the BIN chunk itself; Long math so huge counts can't overflow
+      val viewLen = v.path("byteLength").asLong(bin.length.toLong - vOff)
+      val span = if (count <= 0) 0L else (count - 1).toLong * stride + elemSize
+      if (count < 0 || vOff < 0 || aOff < 0 || aOff + span > viewLen ||
+          vOff + aOff + span > bin.length)
+        throw new IllegalArgumentException(s"accessor $i claims $count elements beyond its view")
+      (vOff + aOff, stride, count, comp)
     }
 
     val out = scala.collection.mutable.ArrayBuffer[(Array[Float], Array[Int])]()

@@ -52,7 +52,10 @@ object Readers {
       if (samplingRate >= 1.0) raw1
       else raw1.where(pmod(xxhash64(col("path"), lit(seed)), lit(1000000L))
         < (samplingRate * 1000000L).toLong)
-    val raw = size.fold(raw2)(raw2.limit)
+    // size truncates in deterministic listing order (orderBy path), like
+    // the reference's from_files — a bare limit would keep a
+    // partition/plan-dependent subset
+    val raw = size.fold(raw2)(n => raw2.orderBy(col("path")).limit(n))
     val withCols = raw.select(
       col("path").as("uri"),
       (if (loadContent) col("content") else lit(null).cast("binary")).as("blob"),

@@ -76,6 +76,18 @@ class DedupTextSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("embeddingPairsExact size guard trips before the cross join") {
+    val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(_.toFloat)))
+      .toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairsExact(df, "id", "embedding", 0.5, maxExactRows = 5L)
+    }
+    assert(e.getMessage.contains("maxExactRows"))
+    // an explicit override lets a deliberate caller through
+    assert(Dedup.embeddingPairsExact(df, "id", "embedding", 1e9,
+      maxExactRows = 10L).count() == 45L)
+  }
+
   test("embedding LSH pairs are invariant under repartitioning") {
     val pts = (0 until 120).map { i =>
       val c = i % 3

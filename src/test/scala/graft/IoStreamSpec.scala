@@ -267,6 +267,21 @@ class IoStreamSpec extends SparkSuite {
     assert(bad.isNullAt(0))
   }
 
+  test("videoKeyframeBlobs slices each keyframe's payload out of the container") {
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/tests/unit/document/toydata/mov_bbb.mp4"))
+    val rows = DocArray(Seq(("v", bytes)).toDF("id", "blob"), "id")
+      .videoKeyframeBlobs()
+      .df.select($"frame_sample", $"frame_blob").orderBy($"frame_sample")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 96))
+    // payloads must be the exact byte ranges the sample tables address
+    val p1 = rows(0).getAs[Array[Byte]](1)
+    val p96 = rows(1).getAs[Array[Byte]](1)
+    assert(p1.toSeq == java.util.Arrays.copyOfRange(bytes, 5147, 5147 + 14820).toSeq)
+    assert(p96.toSeq == java.util.Arrays.copyOfRange(bytes, 423489, 423489 + 11006).toSeq)
+  }
+
   test("glb decode: interleaved bufferView with byteStride") {
     // two vertices interleaved as [pos xyz | normal xyz] with stride 24;
     // POSITION accessor must honor the view's byteStride
@@ -291,6 +306,21 @@ class IoStreamSpec extends SparkSuite {
     // stride skips the normals; non-indexed → identity faces
     assert(m.getSeq[Float](0) == Seq(1f, 2f, 3f, 4f, 5f, 6f))
     assert(m.getSeq[Int](1) == Seq(0, 1))
+
+    // a lying accessor count (200M vertices against a 48-byte view) must
+    // yield null BEFORE allocating — OOM is not NonFatal
+    val lyingJson = new String(json, "UTF-8").replace("\"count\":2", "\"count\":200000000")
+      .getBytes("UTF-8")
+    val lPad = (4 - lyingJson.length % 4) % 4
+    val lout = java.nio.ByteBuffer.allocate(12 + 8 + lyingJson.length + lPad + 8 + 48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lout.putInt(0x46546C67).putInt(2).putInt(lout.capacity)
+    lout.putInt(lyingJson.length + lPad).putInt(0x4E4F534A)
+    lout.put(lyingJson); (0 until lPad).foreach(_ => lout.put(' '.toByte))
+    lout.putInt(48).putInt(0x004E4942).put(bin.array())
+    val lrow = Seq(("l", lout.array())).toDF("id", "blob")
+      .select(Multimodal.decodeGlb($"blob").as("m")).collect()(0)
+    assert(lrow.isNullAt(0))
   }
 
   test("mp4 sample tables: no stss box means every sample is sync") {
@@ -331,6 +361,28 @@ class IoStreamSpec extends SparkSuite {
     val lr = Seq(("l", lying)).toDF("id", "blob")
       .select(Multimodal.mp4SampleTable($"blob").as("t")).collect()(0)
     assert(lr.isNullAt(0))
+    // lying stco (1000 chunks, one entry) and stss (1000 sync samples,
+    // zero entries) must also yield null, not mdat-garbage or an OOM
+    for (tables <- Seq(
+        box("stsz", u32s(0, 0, 3, 10, 20, 30)) ++ box("stco", u32s(0, 1000, 100)) ++ stsc,
+        stsz ++ stco ++ box("stsc", u32s(0, 1000, 1, 3, 1)),
+        stsz ++ stco ++ stsc ++ box("stss", u32s(0, 1000)))) {
+      val b = box("moov", box("trak", box("mdia", hdlr ++ box("minf", box("stbl", tables)))))
+      val row = Seq(("l", b)).toDF("id", "blob")
+        .select(Multimodal.mp4SampleTable($"blob").as("t")).collect()(0)
+      assert(row.isNullAt(0))
+    }
+    // size-0 box = "extends to end of file" (ISO 14496-12 §4.2): a moov
+    // whose size field is 0 (streaming layout) must still be walked
+    val eofMoov = {
+      val m = box("moov", box("trak", mdia))
+      java.nio.ByteBuffer.wrap(m).putInt(0, 0)
+      m
+    }
+    val er = Seq(("e", eofMoov)).toDF("id", "blob")
+      .select(Multimodal.mp4SampleTable($"blob").as("t"))
+      .select($"t.n_samples").collect()(0)
+    assert(er.getInt(0) == 3)
   }
 
   test("mp4 probe: reference fixture metadata matches independent parse") {
