@@ -106,6 +106,11 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   // ---- sampling / ordering (§2.7) ------------------------------------
 
   def sample(k: Int, seed: Long): DocArray = wrap(GroupOps.sampleExact(df, k, seed))
+  /** Seeded exact-k sample that is reproducible across engines and data
+    * layouts (splitmix64 rank on the id) — prefer this in pipelines that
+    * must replay the identical draw. */
+  def sampleDeterministic(k: Int, seed: Long): DocArray =
+    wrap(GroupOps.sampleHashed(df, k, seed, col(idCol)))
   def shuffle(seed: Long): DocArray = wrap(GroupOps.shuffle(df, seed))
 
   // ---- evaluation (§2.5) ---------------------------------------------

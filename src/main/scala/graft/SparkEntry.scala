@@ -676,6 +676,31 @@ object SparkEntry {
       concat_ws("", TextFunctions.bpeTokens(col("text"))).as("bpe_joined"))
       .orderBy("doc_id")
 
+  // Filter-QL corners (§2.3, last spec-only pieces now driver-gated):
+  // $size on an array field, $exists under the default-as-missing rule
+  // ('' and NULL both count as missing — lookup.py:108-124), composed
+  // under $or. opt_src manufactures both missing flavors from `source`.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("opt_src",
+        when(col("source").isin("src0", "src1"), lit(""))
+          .when(col("source").isin("src2", "src3"), lit(null).cast("string"))
+          .otherwise(col("source")))
+    Filters.where(d,
+      """{"$or": [{"opt_src": {"$exists": false}}, {"tokens": {"$size": 16}}]}""")
+      .select(col("doc_id"), col("source"), size(col("tokens")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // Deterministic seeded sample (§2.7, reference sample.py:11-30
+  // semantics): exact k = 40 in splitmix64(doc_id + seed) order —
+  // engine-portable, so the oracle replays the identical draw.
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleHashed(t(s, dir, "documents"), 40, 7L, col("doc_id"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -728,7 +753,9 @@ object SparkEntry {
     "q47_char_ngrams" -> (q47 _),
     "q48_glb_mesh" -> (q48 _),
     "q49_embed_linear" -> (q49 _),
-    "q50_bpe_tokens" -> (q50 _))
+    "q50_bpe_tokens" -> (q50 _),
+    "q51_filter_size_exists" -> (q51 _),
+    "q52_sample_seeded" -> (q52 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1527,6 +1554,46 @@ object SparkEntry {
              '${TextFunctions.bpePattern.replace("'", "''")}')) AS INTEGER) AS n_bpe,
            coalesce(array_to_string(regexp_extract_all(text,
              '${TextFunctions.bpePattern.replace("'", "''")}'), chr(31)), '') AS bpe_joined
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // q51: $size/$exists/$or mirrored relationally; '' and NULL both
+    // count as missing under the default-as-missing rule
+    "q51_filter_size_exists" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+         FROM documents
+         WHERE source IN ('src0','src1','src2','src3')
+            OR len(string_split(text, ' ')) = 16
+         ORDER BY doc_id""",
+
+    // q52: the same splitmix64 finalizer as Splitmix64Rank, replayed as
+    // HUGEINT mod-2^64 stages (32-bit-half wrapping multiplies, XOR in
+    // BIGINT domain — the q46/q49 recipe); seed 7, k 40
+    "q52_sample_seeded" ->
+      """WITH s1 AS (SELECT doc_id, source,
+           (CAST(doc_id AS HUGEINT) + 7 + 11400714819323198485) % 18446744073709551616 AS x
+         FROM documents),
+         s2 AS (SELECT doc_id, source, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s1),
+         s3 AS (SELECT doc_id, source, ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x
+         FROM s2),
+         s4 AS (SELECT doc_id, source, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s3),
+         s5 AS (SELECT doc_id, source, ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x
+         FROM s4),
+         ranked AS (SELECT doc_id, source,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+         FROM s5)
+         SELECT doc_id, source FROM (SELECT * FROM ranked ORDER BY rk LIMIT 40)
+         ORDER BY doc_id"""
   )
 }

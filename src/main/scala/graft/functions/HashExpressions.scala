@@ -57,6 +57,28 @@ case class Fnv64Hash(child: Expression, seed: Long = 0L)
   override def prettyName: String = "fnv64"
 }
 
+/** splitmix64(key + seed) → long: an engine-portable deterministic rank
+  * over an integral key (sampling/shuffling order). Java wrapping
+  * arithmetic here; the DuckDB oracle replicates the same finalizer with
+  * HUGEINT mod-2^64 stages (see SparkEntry's q52 oracle). */
+case class Splitmix64Rank(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"splitmix64_rank expects integral, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val x = v match {
+      case l: Long => l; case i: Int => i.toLong
+      case s: Short => s.toLong; case b: Byte => b.toLong
+    }
+    Fnv64.mix(x + seed)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "splitmix64_rank"
+}
+
 /** minhash_signature(tokens, numHashes, seed) → array<long>.
   * h_i(x) = mix(fnv(x) ^ mix(seed + i)); signature[i] = min over tokens.
   * Empty token set → signature of Long.MaxValue (never collides). */

@@ -50,6 +50,12 @@ package object functions {
   def fnv64(c: Column, seed: Long = 0L): Column =
     Bridge.column(Fnv64Hash(Bridge.expression(c), seed))
 
+  /** splitmix64(key + seed): engine-portable deterministic rank over an
+    * integral key — powers seeded sampling that an external SQL engine
+    * can replicate bit-for-bit. */
+  def splitmix64_rank(c: Column, seed: Long = 0L): Column =
+    Bridge.column(Splitmix64Rank(Bridge.expression(c), seed))
+
   /** MinHash signature (array<long>) of a token array. */
   def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))

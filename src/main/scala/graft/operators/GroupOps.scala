@@ -80,4 +80,15 @@ object GroupOps {
   /** shuffle = sample(len(self)) (reference: sample.py:32-39). */
   def shuffle(df: DataFrame, seed: Long): DataFrame =
     df.orderBy(rand(seed))
+
+  /** Deterministic seeded exact-k sample: rows ordered by
+    * splitmix64(key + seed). Unlike [[sampleExact]] (rand-order, stable
+    * only within one engine), this is reproducible across engines and
+    * layouts — the driver's DuckDB oracle hash-gates it. orderBy+limit
+    * compiles to TakeOrderedAndProject: per-partition bounded top-k then
+    * a k-row driver merge, no global sort — safe at 100 TB for sane k. */
+  def sampleHashed(df: DataFrame, k: Int, seed: Long, key: Column): DataFrame = {
+    val rk = graft.functions.splitmix64_rank(key, seed)
+    df.withColumn("_rk", rk).orderBy(col("_rk")).limit(k).drop("_rk")
+  }
 }

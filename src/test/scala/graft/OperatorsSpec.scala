@@ -268,4 +268,24 @@ class OperatorsSpec extends SparkSuite {
     val s2 = GroupOps.sampleExact(df, 10, 42).as[Long].collect().toSeq
     assert(s1.length == 10 && s1 == s2)
   }
+
+  test("sampleHashed: exact k, layout-invariant, matches reference splitmix64") {
+    val df = spark.range(100).toDF("id")
+    val pick = GroupOps.sampleHashed(df, 10, 7L, col("id")).as[Long].collect().toSet
+    // same draw regardless of partitioning / row order
+    val rep = GroupOps.sampleHashed(df.repartition(13), 10, 7L, col("id"))
+      .as[Long].collect().toSet
+    assert(pick.size == 10 && rep == pick)
+    // equals a driver-side replay of splitmix64(id + seed)
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    val expect = (0L until 100L).sortBy(i => mix(i + 7L)).take(10).toSet
+    assert(pick == expect)
+    // different seed → different draw
+    assert(GroupOps.sampleHashed(df, 10, 8L, col("id")).as[Long].collect().toSet != pick)
+  }
 }
