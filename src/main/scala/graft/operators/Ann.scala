@@ -27,7 +27,19 @@ object Ann {
     * partitioned by `_cell` for pruned scans at scale. */
   final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nCells: Int, multiAssign: Int,
-      normalized: Boolean)
+      normalized: Boolean, center: Option[Seq[Double]] = None)
+
+  /** The probe-space transform for a query column: subtract the index's
+    * stored corpus mean (if centered), then L2-normalize (if spherical).
+    * Must match what [[ivfBuild]] applied to the docs bit-for-bit. */
+  private def probeVec(index: IvfIndex, queryVec: String): Column = {
+    val qcast = col(queryVec).cast("array<double>")
+    val qcent = index.center match {
+      case Some(m) => zip_with(qcast, typedLit(m), (a, b) => a - b)
+      case None => qcast
+    }
+    if (index.normalized) l2_normalize(qcent) else qcent
+  }
 
   /** Build an IVF index: k-means (spark.ml, Lloyd's) over the embedding
     * column as the coarse quantizer.
@@ -38,14 +50,45 @@ object Ann {
     * order. `multiAssign=A` stores every doc in its A nearest cells —
     * A× the index size, but boundary docs (the IVF recall killer on
     * weakly-clustered data) stay reachable; honest scan fraction per
-    * query is A·nProbe/nCells. */
+    * query is A·nProbe/nCells *when cells are balanced* — check with
+    * [[scanFraction]].
+    *
+    * `center=true` subtracts the corpus mean before normalizing — the
+    * same fix [[Dedup.embeddingPairsLsh]] needs: an all-positive corpus
+    * cones its directions around the diagonal, so uncentered spherical
+    * cells are wildly unbalanced (every query probes the same giant
+    * central cells and the real scan fraction is 3× the nominal one).
+    * Centered residual directions are isotropic → balanced cells →
+    * scan fraction ≈ nProbe/nCells, honestly. */
   def ivfBuild(docs: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long = 42L, maxIter: Int = 20,
       fitSampleFraction: Double = 1.0, normalize: Boolean = true,
-      multiAssign: Int = 1): IvfIndex = {
+      multiAssign: Int = 1, initSteps: Int = 2,
+      center: Boolean = false): IvfIndex = {
+    val meanOpt: Option[Seq[Double]] =
+      if (!center) None
+      else {
+        // mean over the (deterministic, hash-picked) fit sample — one
+        // cheap pass; rounded to 1e-6 so float summation-order noise can
+        // never flip a borderline cell assignment between runs
+        val raw = docs.select(col(vecCol).cast("array<double>").as("_rvec"))
+        val sel =
+          if (fitSampleFraction >= 1.0) raw
+          else docs.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+            < (fitSampleFraction * 1000000L).toLong)
+            .select(col(vecCol).cast("array<double>").as("_rvec"))
+        val m = sel.select(array_to_vector(col("_rvec")).as("_f"))
+          .select(org.apache.spark.ml.stat.Summarizer.mean(col("_f")).as("_m"))
+          .head.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        Some(m.map(x => math.rint(x * 1e6) / 1e6).toSeq)
+      }
+    def centered(c: Column): Column = meanOpt match {
+      case Some(m) => zip_with(c, typedLit(m), (a, b) => a - b)
+      case None => c
+    }
     val base =
-      if (normalize) docs.withColumn("_nvec", l2_normalize(col(vecCol).cast("array<double>")))
-      else docs.withColumn("_nvec", col(vecCol).cast("array<double>"))
+      if (normalize) docs.withColumn("_nvec", l2_normalize(centered(col(vecCol).cast("array<double>"))))
+      else docs.withColumn("_nvec", centered(col(vecCol).cast("array<double>")))
     val feat = base.withColumn("_features", array_to_vector(col("_nvec")))
     val fitOn = { // centroids from a sample: O(sample) fit, O(N) assign.
       // Hash-sampled on the id, not df.sample: row-order independent, so
@@ -63,7 +106,7 @@ object Ann {
       sel.repartition(64, col(idCol)).sortWithinPartitions(idCol)
     }
     val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setK(nCells).setSeed(seed).setMaxIter(maxIter).setInitSteps(initSteps)
       .setFeaturesCol("_features").setPredictionCol("_cell")
       .fit(fitOn)
     val spark = docs.sparkSession
@@ -86,7 +129,8 @@ object Ann {
               col("_cell"), multiAssign).as("_cells"))
           .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
       }
-    IvfIndex(assigned, centroids, idCol, vecCol, nCells, multiAssign, normalize)
+    IvfIndex(assigned, centroids, idCol, vecCol, nCells, multiAssign,
+      normalize, meanOpt)
   }
 
   /** IVF search: queries probe their `nProbe` nearest cells, then exact
@@ -98,11 +142,8 @@ object Ann {
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
 
-    val qprobe =
-      if (index.normalized) l2_normalize(col(queryVec).cast("array<double>"))
-      else col(queryVec).cast("array<double>")
     val q = queries.select(col(queryId).as("query_id"),
-      col(queryVec).as("_qvec"), qprobe.as("_qnorm"))
+      col(queryVec).as("_qvec"), probeVec(index, queryVec).as("_qnorm"))
 
     // pick nProbe nearest centroids per query (centroids are tiny →
     // broadcast; the per-query candidate cells stay on the query row)
@@ -139,6 +180,30 @@ object Ann {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** Diagnostic: fraction of the corpus a search at `nProbe` actually
+    * scores, averaged over the query set. Equals nProbe/nCells only when
+    * cells are balanced — a collapsed quantizer (few giant cells) can
+    * show high recall while secretly re-scanning most of the corpus, so
+    * recall claims should always be read next to this number. */
+  def scanFraction(index: IvfIndex, queries: DataFrame,
+      queryId: String = "id", queryVec: String = "embedding",
+      nProbe: Int = 4): Double = {
+    val q = queries.select(col(queryId).as("query_id"),
+      probeVec(index, queryVec).as("_qnorm"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .groupBy("query_id")
+      .agg(topk_by_distance(
+        vector_distance(col("_qnorm"), col("_center"), "euclidean"),
+        col("_cell"), nProbe).as("_cells"))
+      .select(col("query_id"), explode(col("_cells.value")).as("_cell"))
+    val pops = index.assigned.groupBy("_cell").agg(count(lit(1)).as("_n"))
+    val row = probed.join(pops, Seq("_cell"))
+      .agg(sum("_n").as("scanned"), countDistinct("query_id").as("nq"))
+      .collect()(0)
+    val total = index.assigned.count()
+    row.getLong(0).toDouble / (row.getLong(1) * total)
+  }
+
   /** Persist the index with `assigned` partitioned by `_cell` — the 100 TB
     * layout: a pruned search reads ONLY its probed cells' files. */
   def writeIndex(index: IvfIndex, path: String): Unit = {
@@ -148,20 +213,24 @@ object Ann {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     Seq((index.idCol, index.vecCol, index.nCells, index.multiAssign,
-      index.normalized))
-      .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized")
+      index.normalized, index.center))
+      .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized", "center")
       .write.mode("overwrite").json(s"$path/meta")
   }
 
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val m = spark.read.json(s"$path/meta").collect()(0)
+    val center =
+      if (m.schema.fieldNames.contains("center") && !m.isNullAt(m.fieldIndex("center")))
+        Some(m.getSeq[Double](m.fieldIndex("center")))
+      else None
     IvfIndex(
       assigned = spark.read.parquet(s"$path/assigned"),
       centroids = spark.read.parquet(s"$path/centroids"),
       idCol = m.getAs[String]("idCol"), vecCol = m.getAs[String]("vecCol"),
       nCells = m.getAs[Long]("nCells").toInt,
       multiAssign = m.getAs[Long]("multiAssign").toInt,
-      normalized = m.getAs[Boolean]("normalized"))
+      normalized = m.getAs[Boolean]("normalized"), center = center)
   }
 
   /** [[ivfSearch]] with static cell pruning: the probed cell set (tiny —
@@ -171,10 +240,7 @@ object Ann {
   def ivfSearchPruned(index: IvfIndex, queries: DataFrame, k: Int,
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
-    val qprobe =
-      if (index.normalized) l2_normalize(col(queryVec).cast("array<double>"))
-      else col(queryVec).cast("array<double>")
-    val cells = queries.select(qprobe.as("_qnorm"))
+    val cells = queries.select(probeVec(index, queryVec).as("_qnorm"))
       .crossJoin(broadcast(index.centroids))
       .select(col("_qnorm"),
         vector_distance(col("_qnorm"), col("_center"), "euclidean").as("_d"),

@@ -239,9 +239,16 @@ object Knn {
     * hash-split into `nBlocks` groups; each block runs the blocked kernel
     * (its own broadcast), results union lazily — the full A.match(B) grid
     * with per-block memory bounded at |Q|/nBlocks × dim doubles. Pick
-    * nBlocks so a block's query matrix is ~10-50 MB; doc side is streamed
-    * once per block (at 100 TB, cache the doc scan or accept re-reads —
-    * the tradeoff is block count × scan cost vs broadcast memory). */
+    * nBlocks so a block's query matrix is ~10-50 MB.
+    *
+    * The doc side is projected to (id, vec) and cached before the block
+    * loop, so the source is scanned ONCE and every block reads the
+    * in-memory columnar copy — without this, nBlocks blocks re-scan the
+    * source nBlocks times (the round-3 shape). Callers that already hold
+    * a cached/bucketed doc projection can pass `cacheDocs = false`. The
+    * cache is left registered (Spark LRU evicts it); call
+    * `spark.catalog.clearCache()` or unpersist through the returned
+    * plan's children to drop it eagerly. */
   def bruteForceLargeQ(
       docs: DataFrame,
       queries: DataFrame,
@@ -252,11 +259,20 @@ object Knn {
       queryId: String = "id",
       queryVec: String = "embedding",
       excludeSelf: Boolean = false,
-      nBlocks: Int = 8): DataFrame = {
+      nBlocks: Int = 8,
+      cacheDocs: Boolean = true): DataFrame = {
     require(nBlocks >= 1)
+    val side = {
+      // prune to the two needed columns BEFORE caching: the cached copy
+      // is O(rows × (id + dim)) no matter how wide the source table is
+      val projected = docs.select(col(docId), col(docVec))
+      if (cacheDocs && nBlocks > 1)
+        projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else projected
+    }
     (0 until nBlocks).map { b =>
       val block = queries.where(pmod(xxhash64(col(queryId)), lit(nBlocks)) === b)
-      bruteForceBlocked(docs, block, k, metric,
+      bruteForceBlocked(side, block, k, metric,
         docId, docVec, queryId, queryVec, excludeSelf)
     }.reduce(_.union(_))
   }

@@ -120,6 +120,34 @@ class KnnSpec extends SparkSuite {
       == key(Knn.bruteForce(many, q, 5, "cosine", excludeSelf = true)))
   }
 
+  test("large-Q caches the doc projection: source scanned once, not per block") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlq").toString
+    spark.range(2000).select(
+      col("id"), transform(sequence(lit(0), lit(7)),
+        i => sin((col("id") + 1) * (i + 1)).cast("float")).as("embedding"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val q = docs.where(col("id") < 64)
+    // local-FS byte counter: all tasks share this JVM in local mode
+    def fileBytesRead(): Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    }
+    spark.catalog.clearCache()
+    val b0 = fileBytesRead()
+    Knn.bruteForceLargeQ(docs, q, 5, nBlocks = 4).count()
+    val cachedRead = fileBytesRead() - b0
+    spark.catalog.clearCache()
+    val b1 = fileBytesRead()
+    Knn.bruteForceLargeQ(docs, q, 5, nBlocks = 4, cacheDocs = false).count()
+    val uncachedRead = fileBytesRead() - b1
+    // 4 blocks over an uncached side re-scan the parquet ~4×; the cached
+    // path must come in well under that (one materializing scan)
+    assert(cachedRead * 2 < uncachedRead,
+      s"cached=$cachedRead uncached=$uncachedRead")
+  }
+
   test("sparse ml-vector distances match dense math") {
     import org.apache.spark.ml.linalg.Vectors
     val rows = Seq(
@@ -182,6 +210,36 @@ class KnnSpec extends SparkSuite {
     val approx = Ann.ivfSearch(idx, q, 5, nProbe = 1)
     val exact = Knn.bruteForce(df, q, 5, "cosine")
     assert(Ann.recallAgainstExact(approx, exact) >= 0.99)
+  }
+
+  test("centered ivf: balanced cells on a coned corpus, index round-trips") {
+    // all-positive corpus: directions cone around the diagonal — the
+    // uncentered quantizer puts most mass into few central cells (the
+    // round-4 scanFraction finding); centering spreads it
+    val pts = (0 until 600).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        (5.0 + math.sin(i * 0.37 + j * 1.3)).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val cIdx = Ann.ivfBuild(df, "id", "embedding", nCells = 8, seed = 7,
+      center = true)
+    assert(cIdx.center.isDefined && cIdx.center.get.length == 8)
+    val q = df.where(col("id") < 10)
+    // centered cells stay balanced: scan fraction near nProbe/nCells
+    // (the decisive centered-vs-uncentered gap needs the 1M coned corpus —
+    // measured in Bench as ann_scanfrac_x1000: 0.496 vs 0.69 uncentered)
+    val cFrac = Ann.scanFraction(cIdx, q, nProbe = 2)
+    assert(cFrac < 0.5, s"centered scanFrac $cFrac")
+    // the center survives write/read and the loaded index searches the same
+    val dir = java.nio.file.Files.createTempDirectory("graftivfc").toString
+    Ann.writeIndex(cIdx, dir)
+    val loaded = Ann.readIndex(spark, dir)
+    assert(loaded.center == cIdx.center)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Ann.ivfSearch(loaded, q, 5, nProbe = 2))
+      == key(Ann.ivfSearch(cIdx, q, 5, nProbe = 2)))
   }
 
   test("persisted ivf index: pruned search reads only probed cells") {
