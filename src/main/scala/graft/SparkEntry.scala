@@ -701,6 +701,31 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // Dup-cluster resolution (the step between pair emission and doc
+  // dropping): minhash-LSH pairs -> connected components by min-label
+  // propagation; cluster_id = smallest doc_id in the component. The
+  // oracle replays the same pair set and resolves components with a
+  // recursive reachability CTE.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.2, numHashes = 128, bands = 32, ngram = 2)
+    Dedup.clusters(pairs, docs, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // Gopher/MassiveText-style repetition signals (the pretraining-corpus
+  // quality rules): repeated-token fraction, single-token and
+  // single-bigram dominance, mean word length — identical array math on
+  // both engines, rounded to 6 places on both sides.
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(TextFunctions.dupWordFrac(col("text")), 6).as("dup_word_frac"),
+      round(TextFunctions.topWordFrac(col("text")), 6).as("top_word_frac"),
+      round(TextFunctions.topBigramFrac(col("text")), 6).as("top_bigram_frac"),
+      round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_word_len"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -755,7 +780,9 @@ object SparkEntry {
     "q49_embed_linear" -> (q49 _),
     "q50_bpe_tokens" -> (q50 _),
     "q51_filter_size_exists" -> (q51 _),
-    "q52_sample_seeded" -> (q52 _))
+    "q52_sample_seeded" -> (q52 _),
+    "q53_dup_clusters" -> (q53 _),
+    "q54_gopher_repetition" -> (q54 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1594,6 +1621,51 @@ object SparkEntry {
                CAST((x // 2147483648) AS BIGINT)) AS rk
          FROM s5)
          SELECT doc_id, source FROM (SELECT * FROM ranked ORDER BY rk LIMIT 40)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q53: q23's exact-jaccard pair set (LSH recall is complete at these
+    // parameters), then components via recursive min-reachability
+    "q53_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM j WHERE j >= 0.2),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // q54: same tokenizer/bigrams as q23; per-doc max-count via
+    // list_transform over the distinct set (mirrors the Spark HOFs)
+    "q54_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id, tok,
+           [tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))] g2
+           FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(tok) = 0 THEN 0
+             ELSE 1 - len(list_distinct(tok))*1.0/len(tok) END, 6) AS dup_word_frac,
+           round(CASE WHEN len(tok) = 0 THEN 0
+             ELSE list_max(list_transform(list_distinct(tok),
+               w -> len(list_filter(tok, z -> z = w))))*1.0/len(tok) END, 6) AS top_word_frac,
+           round(CASE WHEN len(g2) = 0 THEN 0
+             ELSE list_max(list_transform(list_distinct(g2),
+               w -> len(list_filter(g2, z -> z = w))))*1.0/len(g2) END, 6) AS top_bigram_frac,
+           round(CASE WHEN len(tok) = 0 THEN 0
+             ELSE list_sum(list_transform(tok, z -> len(z)))*1.0/len(tok) END, 6) AS mean_word_len
+         FROM g ORDER BY doc_id"""
   )
 }

@@ -96,6 +96,69 @@ object TextFunctions {
     round((lenScore + mtlScore + punctScore) / 3.0, 6)
   }
 
+  // ---- repetition / format signals -----------------------------------
+  // The Gopher/MassiveText-shape quality rules a pretraining pipeline
+  // filters on (repetition, boilerplate markers), expressed as portable
+  // array/HOF math so the DuckDB oracle replays them exactly. The
+  // max-count formulas are O(distinct × total) per doc — array HOFs
+  // don't CSE the captured token array — which is the right trade for
+  // document-sized arrays (a per-doc hash map would mean a UDF).
+
+  /** Fraction of token occurrences that repeat an earlier token:
+    * 1 - distinct/total; 0 for empty docs. */
+  def dupWordFrac(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+  }
+
+  /** Share of the doc taken by its single most frequent token. */
+  def topWordFrac(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(ts),
+        w => size(filter(ts, t => t === w)))).cast("double") / size(ts))
+  }
+
+  /** Share of all word bigrams taken by the most frequent bigram. */
+  def topBigramFrac(text: Column): Column = {
+    val gs = wordNgrams(text, 2)
+    when(size(gs) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(gs),
+        g => size(filter(gs, x => x === g)))).cast("double") / size(gs))
+  }
+
+  private def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Fraction of non-empty lines that duplicate another line. */
+  def dupLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+  }
+
+  /** Fraction of non-empty lines that start with a bullet marker. */
+  def bulletLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      size(filter(ls, l => trim(l).rlike("^[-*\\u2022]"))).cast("double") / size(ls))
+  }
+
+  /** Fraction of non-empty lines that trail off in an ellipsis. */
+  def ellipsisLineFrac(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast("double") / size(ls))
+  }
+
+  /** Symbol marks (#, …) per token — boilerplate/markup density. */
+  def symbolWordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^#\\u2026]", "")).cast("double") / n)
+  }
+
   /** Stopword-profile language ID over {en, fr, de, es} with a CJK-character
     * shortcut for zh. Returns the language code with the highest stopword hit
     * ratio, 'und' when nothing matches. */

@@ -76,6 +76,47 @@ class DedupTextSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("repetition/format signals: line and symbol variants on multi-line text") {
+    val docs = Seq(
+      (1L, "the cat sat\nthe cat sat\n- bullet one\n- bullet two\nwinds down..."),
+      (2L, "plain line\nanother line"),
+      (3L, "# # # tags everywhere…"),
+      (4L, "")).toDF("id", "text")
+    val r = docs.select(col("id"),
+      TextFunctions.dupLineFrac(col("text")).as("dl"),
+      TextFunctions.bulletLineFrac(col("text")).as("bl"),
+      TextFunctions.ellipsisLineFrac(col("text")).as("el"),
+      TextFunctions.symbolWordRatio(col("text")).as("sw"))
+      .orderBy("id").collect()
+    // doc 1: 5 lines, one duplicated (2 copies -> 1/5 repeats); 2 bullets;
+    // 1 ellipsis line
+    assert(math.abs(r(0).getDouble(1) - 0.2) < 1e-9)
+    assert(math.abs(r(0).getDouble(2) - 0.4) < 1e-9)
+    assert(math.abs(r(0).getDouble(3) - 0.2) < 1e-9)
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 0.0)
+    // doc 3: 3 '#' + 1 '…' over 3 tokens ("tags", "everywhere" ... tokens
+    // = lowercase alnum runs -> 2 tokens) -> 4/2
+    assert(math.abs(r(2).getDouble(4) - 2.0) < 1e-9)
+    // empty doc: all zeros, no division blowups
+    assert(r(3).getDouble(1) == 0.0 && r(3).getDouble(4) == 0.0)
+  }
+
+  test("clusters: chain, triangle, singleton resolve to min-id components") {
+    // chain 1-2-3-4-5 (transitivity the pair set alone can't express),
+    // triangle 10-11-12, singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L)).toDF("id")
+    val got = Dedup.clusters(pairs, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    // canonical selection keeps exactly the component minima + singletons
+    val docs = nodes.withColumnRenamed("id", "id")
+    assert(Dedup.dropByClusters(docs, pairs, "id")
+      .as[Long].collect().toSet == Set(1L, 10L, 20L))
+  }
+
   test("embeddingPairsExact size guard trips before the cross join") {
     val df = (0 until 10).map(i => (i.toLong, Seq.tabulate(4)(_.toFloat)))
       .toDF("id", "embedding")
