@@ -726,6 +726,19 @@ object SparkEntry {
       round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_word_len"))
       .orderBy("doc_id")
 
+  // Decontamination scan: flag training docs sharing an exact 4-token
+  // run with any "benchmark" doc (here: the deterministic doc_id%17
+  // slice acts as the eval set; 4 tokens is the analog of the usual
+  // 8-13-gram window on this tiny-vocabulary synthetic corpus).
+  // Inverted-index join on 4-gram shingles.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+    val train = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+    Dedup.ngramContamination(train, evalSet, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -782,7 +795,8 @@ object SparkEntry {
     "q51_filter_size_exists" -> (q51 _),
     "q52_sample_seeded" -> (q52 _),
     "q53_dup_clusters" -> (q53 _),
-    "q54_gopher_repetition" -> (q54 _))
+    "q54_gopher_repetition" -> (q54 _),
+    "q55_contamination" -> (q55 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1666,6 +1680,23 @@ object SparkEntry {
                w -> len(list_filter(g2, z -> z = w))))*1.0/len(g2) END, 6) AS top_bigram_frac,
            round(CASE WHEN len(tok) = 0 THEN 0
              ELSE list_sum(list_transform(tok, z -> len(z)))*1.0/len(tok) END, 6) AS mean_word_len
-         FROM g ORDER BY doc_id"""
+         FROM g ORDER BY doc_id""",
+
+    // q55: 8-gram lists per doc (q23 tokenizer), eval slice = doc_id%17,
+    // pairs via nonempty list_intersect, counts of distinct eval docs
+    "q55_contamination" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3]
+             for i in range(1, len(tok) - 2)]) s
+           FROM t),
+         ev AS (SELECT * FROM g WHERE doc_id % 17 = 0),
+         tr AS (SELECT * FROM g WHERE doc_id % 17 <> 0),
+         hits AS (SELECT tr.doc_id, ev.doc_id AS eid
+           FROM tr JOIN ev ON len(list_intersect(tr.s, ev.s)) > 0)
+         SELECT doc_id, count(DISTINCT eid) AS n_eval_docs
+         FROM hits GROUP BY doc_id ORDER BY doc_id"""
   )
 }

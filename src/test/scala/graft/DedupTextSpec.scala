@@ -101,6 +101,35 @@ class DedupTextSpec extends SparkSuite {
     assert(r(3).getDouble(1) == 0.0 && r(3).getDouble(4) == 0.0)
   }
 
+  test("ngramContamination flags exact shared runs; hot-shingle valve drops stop-phrases") {
+    val evalSet = Seq(
+      (100L, "the secret benchmark answer is forty two exactly"),
+      (101L, "a common preamble phrase here")).toDF("id", "text")
+    val train = Seq(
+      (1L, "we found the secret benchmark answer is forty two exactly in data"), // 100
+      (2L, "a common preamble phrase here and nothing else"),                    // 101
+      (3L, "completely clean text with no overlap whatsoever at all")
+    ).toDF("id", "text")
+    val got = Dedup.ngramContamination(train, evalSet, "id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    // the valve: a shingle present in > maxDocFreq eval docs is dropped —
+    // with both eval docs sharing a planted hot phrase, flags survive only
+    // through their unique shingles
+    val evalHot = Seq(
+      (100L, "shared hot phrase marker the secret benchmark answer"),
+      (101L, "shared hot phrase marker plus other words")).toDF("id", "text")
+    val hotTrain = Seq(
+      (1L, "shared hot phrase marker appears here too"),
+      (2L, "totally unrelated content in every way")).toDF("id", "text")
+    val capped = Dedup.ngramContamination(hotTrain, evalHot, "id", "text",
+      n = 4, maxDocFreq = Some(1)).as[(Long, Long)].collect().toMap
+    assert(capped.isEmpty) // only hot shingles matched -> all dropped
+    val uncapped = Dedup.ngramContamination(hotTrain, evalHot, "id", "text",
+      n = 4).as[(Long, Long)].collect().toMap
+    assert(uncapped == Map(1L -> 2L))
+  }
+
   test("clusters: chain, triangle, singleton resolve to min-id components") {
     // chain 1-2-3-4-5 (transitivity the pair set alone can't express),
     // triangle 10-11-12, singleton 20
