@@ -739,6 +739,47 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // GPT-style block packing (the batch-assembly step after dedup/filter):
+  // concatenate docs in id order, cut the token stream every 256 tokens;
+  // per doc its stream offset and first/last block. The Spark side is a
+  // two-pass distributed prefix sum (Pack.packBlocks — no single-partition
+  // Window); the oracle is the naive window cumsum, which is exactly what
+  // the distributed version must reproduce.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("_nt", size(split(col("text"), " ")).cast("long"))
+    Pack.packBlocks(d, "doc_id", "_nt", blockSize = 256)
+      .orderBy("doc_id")
+  }
+
+  // PII scrub (emails + IPv4): counts and masked text. The corpus text
+  // carries no PII, so each doc gets a deterministic synthetic contact
+  // line appended (derived from doc_id, replayed identically in SQL) —
+  // the regexes then run over real-text + known-PII concatenations.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      lit(" contact user"), pmod(col("doc_id"), lit(1000)).cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(10)).cast("string"),
+      lit(".com from 10."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 13, lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id"), lit(256)).cast("string"))
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.emailCount(synth).as("n_emails"),
+      TextFunctions.ipv4Count(synth).as("n_ips"),
+      TextFunctions.redactPii(synth).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // Stratified corpus balancing: at most 7 docs per language, drawn in
+  // splitmix64(doc_id + 11) order — the deterministic per-group cap a
+  // pipeline uses to rebalance source/language mix. Partitioned window
+  // (one shuffle on lang), rank pushed down via WindowGroupLimit.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleStratified(t(s, dir, "documents"), k = 7, seed = 11L,
+      col("lang"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -796,7 +837,10 @@ object SparkEntry {
     "q52_sample_seeded" -> (q52 _),
     "q53_dup_clusters" -> (q53 _),
     "q54_gopher_repetition" -> (q54 _),
-    "q55_contamination" -> (q55 _))
+    "q55_contamination" -> (q55 _),
+    "q56_pack_blocks" -> (q56 _),
+    "q57_pii_redact" -> (q57 _),
+    "q58_stratified_sample" -> (q58 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1697,6 +1741,73 @@ object SparkEntry {
          hits AS (SELECT tr.doc_id, ev.doc_id AS eid
            FROM tr JOIN ev ON len(list_intersect(tr.s, ev.s)) > 0)
          SELECT doc_id, count(DISTINCT eid) AS n_eval_docs
-         FROM hits GROUP BY doc_id ORDER BY doc_id"""
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+
+    // q56: the naive window cumsum the distributed two-pass prefix sum
+    // must reproduce (whitespace token counts, 256-token blocks)
+    "q56_pack_blocks" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_off
+         FROM t)
+         SELECT doc_id, n_tokens, start_off,
+           CAST(start_off // 256 AS BIGINT) AS first_block,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 256
+                ELSE start_off // 256 END AS BIGINT) AS last_block
+         FROM c ORDER BY doc_id""",
+
+    // q57: same synthetic contact line, same RE2-safe patterns, same
+    // email-then-ip replacement order; counts via the split fencepost
+    // (string_split_regex keeps boundary empties like Spark's split)
+    "q57_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+           text || ' contact user' || (doc_id % 1000) || '@mail' ||
+           (doc_id % 10) || '.com from 10.' || ((doc_id * 7) % 256) || '.' ||
+           ((doc_id * 13) % 256) || '.' || (doc_id % 256) AS full_text
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(string_split_regex(full_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS INTEGER)
+             AS n_emails,
+           CAST(len(string_split_regex(full_text,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) - 1 AS INTEGER) AS n_ips,
+           regexp_replace(regexp_replace(full_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM s ORDER BY doc_id""",
+
+    // q58: the q52 splitmix64 chain at seed 11, capped per language via
+    // row_number over (lang, rank) — at most 7 docs per lang
+    "q58_stratified_sample" ->
+      """WITH s1 AS (SELECT doc_id, lang, source,
+           (CAST(doc_id AS HUGEINT) + 11 + 11400714819323198485) % 18446744073709551616 AS x
+         FROM documents),
+         s2 AS (SELECT doc_id, lang, source, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s1),
+         s3 AS (SELECT doc_id, lang, source, ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x
+         FROM s2),
+         s4 AS (SELECT doc_id, lang, source, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s3),
+         s5 AS (SELECT doc_id, lang, source, ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x
+         FROM s4),
+         ranked AS (SELECT doc_id, lang, source,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+         FROM s5)
+         SELECT doc_id, lang, source FROM ranked
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) <= 7
+         ORDER BY doc_id"""
   )
 }

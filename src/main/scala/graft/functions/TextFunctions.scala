@@ -159,6 +159,30 @@ object TextFunctions {
       length(regexp_replace(text, "[^#\\u2026]", "")).cast("double") / n)
   }
 
+  // ---- PII scrubbing ---------------------------------------------------
+  // The pre-training scrub pass: find and mask emails / IPv4 literals.
+  // Patterns are deliberately RE2-safe (no lookaround, no backrefs) so the
+  // DuckDB oracle replays them byte-identically; counting is done with the
+  // split-fencepost trick (split keeps boundary empties in both engines),
+  // which keeps the whole thing codegen'd — no UDF, no regexp_count
+  // portability question.
+
+  private[graft] val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Number of non-overlapping matches of an RE2-safe pattern. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(split(text, pattern, -1)) - 1
+
+  def emailCount(text: Column): Column = matchCount(text, emailPattern)
+  def ipv4Count(text: Column): Column = matchCount(text, ipv4Pattern)
+
+  /** Mask emails then IPv4 literals (order matters and is part of the
+    * contract — the oracle applies the same two passes). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   /** Stopword-profile language ID over {en, fr, de, es} with a CJK-character
     * shortcut for zh. Returns the language code with the highest stopword hit
     * ratio, 'und' when nothing matches. */

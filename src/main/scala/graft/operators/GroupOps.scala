@@ -91,4 +91,20 @@ object GroupOps {
     val rk = graft.functions.splitmix64_rank(key, seed)
     df.withColumn("_rk", rk).orderBy(col("_rk")).limit(k).drop("_rk")
   }
+
+  /** Stratified deterministic sample: at most k rows per group, drawn in
+    * splitmix64(key + seed) order (key as tiebreak — unreachable for
+    * integral keys, but makes the contract total). The corpus-balancing
+    * step of a pretraining pipeline: cap each language/domain at k docs,
+    * reproducibly across engines and data layouts. Partitioned window →
+    * shuffles once on the group key, no global sort; Spark pushes the
+    * rank ≤ k limit into the sort (WindowGroupLimit). */
+  def sampleStratified(df: DataFrame, k: Int, seed: Long,
+                       group: Column, key: Column): DataFrame = {
+    val rk = graft.functions.splitmix64_rank(key, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(rk, key)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{GroupOps, Pack}
+
+class PackPiiSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("packBlocks equals the naive window cumsum for random counts") {
+    val rng = new scala.util.Random(42)
+    val df = (0L until 500L).map(i => (i, rng.nextInt(40).toLong))
+      .toDF("id", "nt")
+    val got = Pack.packBlocks(df, "id", "nt", blockSize = 64)
+      .orderBy("id").collect()
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("start_off", coalesce(sum("nt").over(w), lit(0L)))
+      .orderBy("id").collect()
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      val start = e.getLong(2)
+      val n = e.getLong(1)
+      assert(g.getLong(2) == start, s"start_off of id ${g.getLong(0)}")
+      assert(g.getLong(3) == start / 64)
+      val lastWant = if (n > 0) (start + n - 1) / 64 else start / 64
+      assert(g.getLong(4) == lastWant)
+    }
+  }
+
+  test("packBlocks is invariant under input partitioning and order") {
+    val df = (0L until 300L).map(i => (i, (i * 7 % 23) + 1)).toDF("id", "nt")
+    val a = Pack.packBlocks(df.repartition(17), "id", "nt", 32)
+      .orderBy("id").collect().toSeq
+    val b = Pack.packBlocks(df.orderBy(desc("id")).coalesce(1), "id", "nt", 32)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // stream is contiguous: each start_off = previous start_off + n
+    a.sliding(2).foreach { case Seq(p, q) =>
+      assert(q.getLong(2) == p.getLong(2) + p.getLong(1))
+    }
+  }
+
+  test("pii counts and redaction on crafted strings") {
+    val df = Seq(
+      (0L, "reach me at a.b-c%d@sub.example.co.uk or 192.168.0.1 today"),
+      (1L, "no pii here at all"),
+      (2L, "two mails x@y.io z@w.de one ip 10.0.0.255"),
+      (3L, "not-an-ip 1234.5.6.7 still matches inner 234.5.6.7"),
+      (4L, "email at end x@y.com")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.emailCount(col("text")).as("ne"),
+      TextFunctions.ipv4Count(col("text")).as("ni"),
+      TextFunctions.redactPii(col("text")).as("red"))
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) == 1 && got(0).getInt(2) == 1)
+    assert(got(0).getString(3) == "reach me at <EMAIL> or <IP> today")
+    assert(got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+    assert(got(1).getString(3) == "no pii here at all")
+    assert(got(2).getInt(1) == 2 && got(2).getInt(2) == 1)
+    // "1234.5.6.7" yields no match: the first octet would need \b before
+    // a 1-3 digit run followed by '.', and every candidate start inside
+    // "1234" sits between digits (no boundary). Only the standalone
+    // "234.5.6.7" token counts.
+    assert(got(3).getInt(2) == 1)
+    assert(got(4).getInt(1) == 1)
+    assert(got(4).getString(3) == "email at end <EMAIL>")
+  }
+
+  test("stratified sample caps each group at k, deterministically") {
+    val df = (0L until 200L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val a = GroupOps.sampleStratified(df, 5, 99L, col("lang"), col("id"))
+      .orderBy("id").collect().toSeq
+    val b = GroupOps.sampleStratified(df.repartition(13), 5, 99L,
+      col("lang"), col("id")).orderBy("id").collect().toSeq
+    assert(a == b)
+    val perGroup = a.groupBy(_.getString(1)).view.mapValues(_.size).toMap
+    assert(perGroup.values.toSet == Set(5))
+    // different seed draws a different sample
+    val c = GroupOps.sampleStratified(df, 5, 100L, col("lang"), col("id"))
+      .orderBy("id").collect().toSeq
+    assert(a != c)
+  }
+}
