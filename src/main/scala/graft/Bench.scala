@@ -144,7 +144,9 @@ object Bench {
       idx.assigned.count()
       results("ann_ivf_build_1m") = (System.nanoTime() - tb0) / 1e9
       bench("ann_ivf_search100") { // min of 2 like every other row
-        Ann.ivfSearch(idx, queries100, 10, nProbe = 410).count()
+        // blocked kernel (spec-asserted equal to the join path): decodes
+        // each doc vector once per row, not once per probing query
+        Ann.ivfSearchBlocked(idx, queries100, 10, nProbe = 410).count()
       }
       val approx = Ann.ivfSearch(idx, queries100, 10, nProbe = 410)
       val exact = Knn.bruteForce(stored, queries100, 10, "cosine")

@@ -39,10 +39,18 @@ object ScratchIvf {
       idx.assigned.count()
       val build = (System.nanoTime() - t0) / 1e9
       val approx = Ann.ivfSearch(idx, queries100, 10, nProbe = np)
+      def time(f: => Unit): Double = {
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val s1 = time(Ann.ivfSearch(idx, queries100, 10, nProbe = np).count())
+      val s2 = time(Ann.ivfSearch(idx, queries100, 10, nProbe = np).count())
+      val b1 = time(Ann.ivfSearchBlocked(idx, queries100, 10, nProbe = np).count())
+      val b2 = time(Ann.ivfSearchBlocked(idx, queries100, 10, nProbe = np).count())
+      println(f"BLOCKED search=$b1%.2f/$b2%.2f s")
       val recall = Ann.recallAgainstExact(approx, exact)
       val frac = Ann.scanFraction(idx, queries100, nProbe = np)
       println(f"CFG maxIter=$mi initSteps=$is fitFrac=$ff center=$ce nProbe=$np " +
-        f"build=$build%.1f s recall=$recall%.4f scanFrac=$frac%.3f")
+        f"build=$build%.1f s search=$s1%.2f/$s2%.2f s recall=$recall%.4f scanFrac=$frac%.3f")
       idx.assigned.unpersist()
     }
     spark.stop()

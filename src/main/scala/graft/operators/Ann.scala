@@ -180,6 +180,111 @@ object Ann {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** [[ivfSearch]] through the blocked primitive kernel (the
+    * [[Knn.bruteForceBlocked]] strategy, cell-pruned): the probed
+    * (query, cell) set is collected once (Q × nProbe ints — small by the
+    * same contract ivfSearchPruned relies on), inverted into a
+    * cell → query-indices map, and each doc partition streams its rows
+    * through one primitive-math pass updating bounded heaps for exactly
+    * the queries that probed the row's cell. Decodes each doc vector
+    * once per row instead of once per (row, probing-query) join copy —
+    * same ~5× win the blocked exact kernel gets for Q ≳ 50. Results
+    * equal [[ivfSearch]] (spec-asserted); single-assignment indexes only
+    * (multiAssign > 1 needs the join path's per-(query,doc) min). */
+  def ivfSearchBlocked(index: IvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", nProbe: Int = 4): DataFrame = {
+    require(index.multiAssign <= 1,
+      "ivfSearchBlocked requires a single-assignment index; use ivfSearch")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import graft.plans.TopKBuffer
+
+    val spark = queries.sparkSession
+    val idType = queries.schema(queryId).dataType
+
+    // probe exactly like ivfSearch (same expressions → same cell sets),
+    // then collect the small (query, vec, cells) table
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"),
+      probeVec(index, queryVec).as("_qnorm"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .groupBy("query_id")
+      .agg(
+        first(col("_qvec")).as("_qvec"),
+        topk_by_distance(
+          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
+          col("_cell"), nProbe).as("_cells"))
+      .select(col("query_id"), col("_qvec"),
+        col("_cells.value").as("_cells"))
+      .collect()
+
+    val qIds = probed.map(_.get(0))
+    val qVecs = probed.map(_.getSeq[Double](1).toArray)
+    // cell → probing-query indices as a dense array (cells are 0..nCells)
+    val cellToQueries: Array[Array[Int]] = {
+      val m = probed.iterator.zipWithIndex
+        .flatMap { case (r, qi) => r.getSeq[Int](2).map(c => (c, qi)) }
+        .toSeq.groupBy(_._1)
+      Array.tabulate(index.nCells)(c =>
+        m.get(c).map(_.map(_._2).toArray).getOrElse(Array.empty[Int]))
+    }
+    val bc = spark.sparkContext.broadcast((qVecs, cellToQueries))
+
+    val child = index.assigned.select(
+      col(index.idCol), col(index.vecCol).cast("array<double>"),
+      col("_cell").cast("int"))
+    val m = metric
+    val kk = k
+    val docIdType = index.assigned.schema(index.idCol).dataType
+    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
+      val (vecs, c2q) = bc.value
+      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk, tieOrd))
+      rows.foreach { row =>
+        if (!row.isNullAt(1) && !row.isNullAt(2)) {
+          val cell = row.getInt(2)
+          val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
+                   else Array.empty[Int]
+          if (qs.length > 0) {
+            val idVal = InternalRow.copyValue(row.get(0, docIdType))
+            val v = row.getArray(1).toDoubleArray()
+            graft.plans.KnnJoinExec.scoreRowSubset(m, v, idVal, vecs, qNorms,
+              heaps, qs)
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedEntries.iterator.map { case (d, id) => InternalRow(qi, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("_qidx", IntegerType, nullable = false),
+      StructField("_did", docIdType),
+      StructField("_dist", DoubleType, nullable = false)))
+    val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+
+    val qIdDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qIds.zipWithIndex.map { case (id, i) =>
+        org.apache.spark.sql.Row(i, id)
+      }.toIndexedSeq),
+      StructType(Seq(StructField("_qidx", IntegerType, nullable = false),
+        StructField("query_id", idType))))
+
+    partialDf
+      .groupBy("_qidx")
+      .agg(topk_by_distance(col("_dist"), col("_did"), k).as("_topk"))
+      .join(broadcast(qIdDf), "_qidx")
+      .select(col("query_id"), posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(
+        col("query_id"),
+        col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Diagnostic: fraction of the corpus a search at `nProbe` actually
     * scores, averaged over the query set. Equals nProbe/nCells only when
     * cells are balanced — a collapsed quantizer (few giant cells) can

@@ -167,6 +167,37 @@ object KnnJoinExec {
     }
   }
 
+  /** [[scoreRow]] restricted to a query-index subset — the IVF
+    * cell-pruned kernel: only the queries that probed this doc's cell
+    * are scored. Same hoisted-norm cosine math as scoreRow, so results
+    * are bit-identical to the full-scan kernel on the scored subset. */
+  def scoreRowSubset(metric: String, v: Array[Double], idVal: Any,
+      vecs: Array[Array[Double]], qNorms: Array[Double],
+      heaps: Array[TopKBuffer], qs: Array[Int]): Unit = {
+    if (metric == "cosine") {
+      val dn = norm(v)
+      var j = 0
+      while (j < qs.length) {
+        val q = qs(j)
+        val b = vecs(q)
+        val n = math.min(v.length, b.length)
+        var dot = 0.0; var i = 0
+        while (i < n) { dot += v(i) * b(i); i += 1 }
+        val d = 1.0 - dot / (dn * qNorms(q))
+        if (!d.isNaN) heaps(q).insert(d, idVal)
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < qs.length) {
+        val q = qs(j)
+        val d = distOf(metric, v, vecs(q))
+        if (!d.isNaN) heaps(q).insert(d, idVal)
+        j += 1
+      }
+    }
+  }
+
   @inline def distOf(metric: String, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var i = 0

@@ -212,6 +212,32 @@ class KnnSpec extends SparkSuite {
     assert(Ann.recallAgainstExact(approx, exact) >= 0.99)
   }
 
+  test("ivf blocked kernel equals the join-path ivf search") {
+    // mixed geometry: clustered + noise, several queries, enough cells
+    // that the probe sets differ per query
+    val pts = (0 until 400).map { i =>
+      val c = i % 5
+      (i.toLong, Seq.tabulate(6)(j =>
+        (c * 3.0 + math.sin(i * 0.61 + j * 0.9)).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 5, seed = 13)
+    val q = df.where(col("id") % 37 === 0)
+    for (metric <- Seq("cosine", "euclidean", "sqeuclidean")) {
+      val a = Ann.ivfSearch(idx, q, 5, metric = metric, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val b = Ann.ivfSearchBlocked(idx, q, 5, metric = metric, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(a == b, s"metric $metric")
+    }
+    // multiAssign indexes must be rejected (join path handles the dedup)
+    val ma = Ann.ivfBuild(df, "id", "embedding", nCells = 5, seed = 13,
+      multiAssign = 2)
+    intercept[IllegalArgumentException] {
+      Ann.ivfSearchBlocked(ma, q, 5, nProbe = 2)
+    }
+  }
+
   test("centered ivf: balanced cells on a coned corpus, index round-trips") {
     // all-positive corpus: directions cone around the diagonal — the
     // uncentered quantizer puts most mass into few central cells (the
