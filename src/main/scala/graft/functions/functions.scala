@@ -125,6 +125,9 @@ package object functions {
       "minhash_text" -> (exprs =>
         MinHashText(exprs(0), litInt(exprs(1)), litInt(exprs(2)),
           if (exprs.length > 3) exprs(3).eval().toString.toLong else 42L)),
+      "splitmix64_rank" -> (exprs =>
+        Splitmix64Rank(exprs(0),
+          if (exprs.length > 1) exprs(1).eval().toString.toLong else 0L)),
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))))
   }

@@ -19,6 +19,19 @@ class ExtensionsSpec extends SparkSuite {
       .forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("splitmix64_rank callable from SQL, matches the Column API") {
+    graft.functions.registerAll(spark)
+    spark.range(20).createOrReplaceTempView("sm_xs")
+    val viaSql = spark.sql(
+      "SELECT id, splitmix64_rank(id, 7) AS rk FROM sm_xs ORDER BY id")
+      .collect().map(_.getLong(1)).toSeq
+    val viaCol = spark.range(20).select(org.apache.spark.sql.functions.col("id"),
+      graft.functions.splitmix64_rank(
+        org.apache.spark.sql.functions.col("id"), 7L).as("rk"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("topk_by_distance usable as SQL aggregate") {
     graft.functions.registerAll(spark)
     spark.range(100).createOrReplaceTempView("xs")
