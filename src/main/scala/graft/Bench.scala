@@ -154,6 +154,30 @@ object Bench {
         math.round(Ann.recallAgainstExact(approx, exact) * 1000).toDouble
       results("ann_scanfrac_x1000") =
         math.round(Ann.scanFraction(idx, queries100, nProbe = 410) * 1000).toDouble
+
+      // SQ8 codes: the compressed-index layout (1 byte/dim — the scan
+      // side is 4× smaller than float32). Encode is a build-time pass on
+      // the existing IVF; search scans codes asymmetrically; the rerank
+      // row refines top-50 per query exactly against the base table.
+      val tsq = System.nanoTime()
+      val cb = Ann.sqTrain(stored, "embedding")
+      val sq0 = Ann.sqAttach(idx, cb)
+      val sq = sq0.copy(coded = sq0.coded.cache())
+      sq.coded.count()
+      results("ann_sq_encode_1m") = (System.nanoTime() - tsq) / 1e9
+      bench("ann_sq_search100") {
+        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410).count()
+      }
+      bench("ann_sq_rerank100") {
+        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410,
+          rerank = 50, docs = stored).count()
+      }
+      results("ann_sq_recall10_x1000") = math.round(Ann.recallAgainstExact(
+        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410), exact) * 1000).toDouble
+      results("ann_sqr_recall10_x1000") = math.round(Ann.recallAgainstExact(
+        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410, rerank = 50,
+          docs = stored), exact) * 1000).toDouble
+      sq.coded.unpersist()
       idx.assigned.unpersist()
     }
 

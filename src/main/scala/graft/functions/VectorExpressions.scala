@@ -178,3 +178,49 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** 8-bit scalar quantization of an embedding: per-dimension affine code
+  * `round((v - min_d) / delta_d)` clamped to [0, 255], packed as one byte
+  * per dimension (4× smaller than float32, 8× smaller than float64).
+  * The index-build-time encode pass of an IVF-SQ index (the classic
+  * compressed-codes ANN layout — codes live in the index, originals stay
+  * in the base table for the exact re-rank step). Build-time only, so
+  * eval-mode (CodegenFallback) is fine — the search-side decode runs in
+  * the primitive kernel, not here. */
+case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (mins.length == deltas.length) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("mins/deltas length mismatch")
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), mins.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val d = deltas(i)
+      val c = if (d == 0.0) 0.0 else math.rint((x - mins(i)) / d)
+      out(i) = math.max(0.0, math.min(255.0, c)).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  override def prettyName: String = "sq_encode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

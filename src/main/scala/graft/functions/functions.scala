@@ -56,6 +56,11 @@ package object functions {
   def splitmix64_rank(c: Column, seed: Long = 0L): Column =
     Bridge.column(Splitmix64Rank(Bridge.expression(c), seed))
 
+  /** 8-bit scalar-quantize an embedding to a binary code (one byte per
+    * dimension) against a trained per-dim (min, delta) codebook. */
+  def sq_encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =
+    Bridge.column(SqEncode(Bridge.expression(vec), mins, deltas))
+
   /** MinHash signature (array<long>) of a token array. */
   def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))

@@ -285,6 +285,181 @@ object Ann {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  // ---- scalar-quantized codes (IVF-SQ8) ------------------------------
+  // The compressed-codes layout every billion-scale ANN system uses:
+  // the *index* stores one byte per dimension (4× smaller than float32),
+  // the *base table* keeps the originals, and search scans codes with an
+  // asymmetric (float-query × quantized-doc) distance, optionally
+  // re-ranking the top candidates exactly against the base table. At
+  // 100 TB this is the difference between scanning 25 TB and 100 TB for
+  // the same probe set — and the codes fit executor memory 4× as often.
+
+  /** Per-dimension affine codebook: `code = rint((v - min) / delta)`,
+    * clamped to [0, 255]; decode is `min + code * delta`. */
+  final case class SqCodebook(mins: Seq[Double], deltas: Seq[Double])
+
+  /** Train the codebook: one distributed min/max pass per dimension
+    * (exact, order-independent — no determinism caveats). */
+  def sqTrain(docs: DataFrame, vecCol: String): SqCodebook = {
+    import org.apache.spark.ml.stat.Summarizer
+    val row = docs
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("_f"))
+      .select(Summarizer.metrics("min", "max").summary(col("_f")).as("_s"))
+      .select("_s.min", "_s.max").head
+    val mins = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val maxs = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
+    SqCodebook(mins.toSeq,
+      maxs.zip(mins).map { case (hi, lo) => (hi - lo) / 255.0 }.toSeq)
+  }
+
+  /** IVF index + SQ8 codes: `coded` is (idCol, _code, _cell) — the
+    * compact scan side; originals stay wherever the caller keeps them. */
+  final case class SqIvfIndex(ivf: IvfIndex, codebook: SqCodebook,
+      coded: DataFrame)
+
+  /** Attach SQ8 codes to an existing IVF index (build-time pass). */
+  def sqAttach(index: IvfIndex, codebook: SqCodebook): SqIvfIndex = {
+    val coded = index.assigned.select(
+      col(index.idCol),
+      sq_encode(col(index.vecCol), codebook.mins, codebook.deltas).as("_code"),
+      col("_cell"))
+    SqIvfIndex(index, codebook, coded)
+  }
+
+  /** [[ivfSearchBlocked]] over SQ8 codes: same probe step, but the scan
+    * decodes one byte per dimension instead of one float — asymmetric
+    * distance between the double query and the reconstructed doc.
+    * `rerank > 0` re-scores the top-`rerank` code-scan candidates per
+    * query exactly against `docs` (the base table) and returns the true
+    * top-k of that candidate set; with lossless codes and rerank ≥ k the
+    * result equals [[Knn.bruteForce]] on the probed cells. */
+  def ivfSearchSq(sq: SqIvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", nProbe: Int = 4,
+      rerank: Int = 0, docs: DataFrame = null): DataFrame = {
+    require(sq.ivf.multiAssign <= 1,
+      "ivfSearchSq requires a single-assignment index")
+    require(rerank == 0 || docs != null,
+      "rerank needs the base table (docs) for exact distances")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import graft.plans.TopKBuffer
+
+    val spark = queries.sparkSession
+    val index = sq.ivf
+    val idType = queries.schema(queryId).dataType
+
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"),
+      probeVec(index, queryVec).as("_qnorm"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .groupBy("query_id")
+      .agg(
+        first(col("_qvec")).as("_qvec"),
+        topk_by_distance(
+          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
+          col("_cell"), nProbe).as("_cells"))
+      .select(col("query_id"), col("_qvec"), col("_cells.value").as("_cells"))
+      .collect()
+
+    val qIds = probed.map(_.get(0))
+    val qVecs = probed.map(_.getSeq[Double](1).toArray)
+    val cellToQueries: Array[Array[Int]] = {
+      val m = probed.iterator.zipWithIndex
+        .flatMap { case (r, qi) => r.getSeq[Int](2).map(c => (c, qi)) }
+        .toSeq.groupBy(_._1)
+      Array.tabulate(index.nCells)(c =>
+        m.get(c).map(_.map(_._2).toArray).getOrElse(Array.empty[Int]))
+    }
+    val mins = sq.codebook.mins.toArray
+    val deltas = sq.codebook.deltas.toArray
+    val bc = spark.sparkContext.broadcast((qVecs, cellToQueries, mins, deltas))
+
+    val child = sq.coded.select(
+      col(index.idCol), col("_code"), col("_cell").cast("int"))
+    val m = metric
+    val heapK = math.max(k, rerank)
+    val docIdType = sq.coded.schema(index.idCol).dataType
+    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
+      val (vecs, c2q, mn, dl) = bc.value
+      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
+      val dim = mn.length
+      val recon = new Array[Double](dim)
+      rows.foreach { row =>
+        if (!row.isNullAt(1) && !row.isNullAt(2)) {
+          val cell = row.getInt(2)
+          val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
+                   else Array.empty[Int]
+          if (qs.length > 0) {
+            val idVal = InternalRow.copyValue(row.get(0, docIdType))
+            val code = row.getBinary(1)
+            val n = math.min(code.length, dim)
+            var i = 0
+            while (i < n) {
+              recon(i) = mn(i) + (code(i) & 0xFF) * dl(i)
+              i += 1
+            }
+            graft.plans.KnnJoinExec.scoreRowSubset(m, recon, idVal, vecs,
+              qNorms, heaps, qs)
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedEntries.iterator.map { case (d, id) => InternalRow(qi, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("_qidx", IntegerType, nullable = false),
+      StructField("_did", docIdType),
+      StructField("_dist", DoubleType, nullable = false)))
+    val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+
+    val qIdDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qIds.zipWithIndex.map { case (id, i) =>
+        org.apache.spark.sql.Row(i, id)
+      }.toIndexedSeq),
+      StructType(Seq(StructField("_qidx", IntegerType, nullable = false),
+        StructField("query_id", idType))))
+
+    val codeTopK = partialDf
+      .groupBy("_qidx")
+      .agg(topk_by_distance(col("_dist"), col("_did"), heapK).as("_topk"))
+      .join(broadcast(qIdDf), "_qidx")
+      .select(col("query_id"), posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(col("query_id"), col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
+
+    if (rerank <= 0) codeTopK
+    else {
+      // exact refine: the candidate set (Q × rerank ids) is broadcast
+      // against the base table — one pruned pass, true top-k of the set
+      val qv = spark.createDataFrame(
+        spark.sparkContext.parallelize(qIds.zip(qVecs).map { case (id, v) =>
+          org.apache.spark.sql.Row(id, v.toSeq)
+        }.toIndexedSeq),
+        StructType(Seq(StructField("query_id", idType),
+          StructField("_qvec", ArrayType(DoubleType)))))
+      val cands = codeTopK.select(col("query_id"), col("id"))
+        .join(qv, "query_id")
+      val base = docs.select(col(index.idCol).as("id"),
+        col(index.vecCol).cast("array<double>").as("_dvec"))
+      base.join(broadcast(cands), "id")
+        .groupBy("query_id")
+        .agg(topk_by_distance(
+          vector_distance(col("_dvec"), col("_qvec"), metric),
+          col("id"), k).as("_topk"))
+        .select(col("query_id"),
+          posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+        .select(col("query_id"), col("_hit.value").as("id"),
+          col("_hit.distance").as("distance"),
+          (col("_pos") + 1).cast("int").as("rank"))
+    }
+  }
+
   /** Diagnostic: fraction of the corpus a search at `nProbe` actually
     * scores, averaged over the query set. Equals nProbe/nCells only when
     * cells are balanced — a collapsed quantizer (few giant cells) can

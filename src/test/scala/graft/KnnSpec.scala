@@ -238,6 +238,52 @@ class KnnSpec extends SparkSuite {
     }
   }
 
+  test("ivf-sq8: lossless codes reproduce the float search exactly; " +
+      "lossy codes + exact rerank recover it") {
+    // grid-valued vectors (integers in [0,255]) with the identity codebook
+    // → reconstruction is exact → code-scan distances bit-equal the float
+    // kernel's
+    val pts = (0 until 400).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 31 + j * 57) % 256).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 4, seed = 5)
+    val q = df.where(col("id") % 41 === 0)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val lossless = Ann.sqAttach(idx,
+      Ann.SqCodebook(Seq.fill(6)(0.0), Seq.fill(6)(1.0)))
+    for (metric <- Seq("cosine", "euclidean")) {
+      assert(key(Ann.ivfSearchSq(lossless, q, 5, metric = metric, nProbe = 2))
+        == key(Ann.ivfSearchBlocked(idx, q, 5, metric = metric, nProbe = 2)),
+        s"lossless $metric")
+    }
+
+    // trained (lossy) codebook: encode error ≤ delta/2 per dim
+    val cb = Ann.sqTrain(df, "embedding")
+    cb.deltas.foreach(d => assert(d > 0))
+    val sq = Ann.sqAttach(idx, cb)
+    val withRerank =
+      Ann.ivfSearchSq(sq, q, 5, nProbe = 2, rerank = 15, docs = df)
+    val exactBlocked = Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2)
+    // rerank re-scores exactly: any id shared with the float search must
+    // carry the identical distance
+    val exactD = exactBlocked.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val rr = withRerank.collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      exactD.get((r.getLong(0), r.getLong(1))).foreach { d =>
+        assert(r.getDouble(2) == d)
+      }
+    }
+    // and the candidate funnel keeps recall high on this easy geometry
+    val hit = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exactD.keySet).size
+    assert(hit >= exactD.size * 9 / 10, s"$hit of ${exactD.size}")
+  }
+
   test("centered ivf: balanced cells on a coned corpus, index round-trips") {
     // all-positive corpus: directions cone around the diagonal — the
     // uncentered quantizer puts most mass into few central cells (the
