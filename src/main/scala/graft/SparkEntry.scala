@@ -780,6 +780,46 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  // SQ8 quantization gate: the codebook is trained on the corpus (exact
+  // per-dimension min/max — order-independent), vectors encode through
+  // the real library path (sq_encode → binary codes → bytes_to_ints),
+  // and the oracle recomputes the affine quantizer in plain SQL.
+  // round_even(x, 0) in DuckDB is bit-identical to Java's Math.rint
+  // (both round-half-to-even), so the codes match exactly.
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cb = Ann.sqTrain(e, "embedding")
+    e.select(col("vec_id"),
+      array_join(transform(
+        bytes_to_ints(sq_encode(col("embedding"), cb.mins, cb.deltas)),
+        _.cast("string")), ",").as("code_csv"))
+      .orderBy("vec_id")
+  }
+
+  // Unigram-LM quality scoring (CCNet-style): fit token frequencies on
+  // the corpus, score each doc by mean per-token negative log-likelihood,
+  // cut into 10 quality buckets with exact NTILE semantics — computed
+  // distributed (range-partition + zipWithIndex), never a global window.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = LangModel.unigramFit(d, col("text"))
+    LangModel.unigramBuckets(d, model, "doc_id", col("text"), buckets = 10)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll"), 6).as("nll_r"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // Temperature-weighted source mixing (the multilingual/multi-domain
+  // rebalancing rule): per-source quota ∝ count^0.5, each source
+  // contributing its quota of docs in splitmix64(doc_id + 13) order.
+  // alpha = 0.5 goes through sqrt (IEEE correctly-rounded on both
+  // engines), so quotas and the draw replay exactly in the oracle.
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleTemperature(t(s, dir, "documents"), total = 200L,
+      alpha = 0.5, seed = 13L, col("source"), col("doc_id"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -840,7 +880,10 @@ object SparkEntry {
     "q55_contamination" -> (q55 _),
     "q56_pack_blocks" -> (q56 _),
     "q57_pii_redact" -> (q57 _),
-    "q58_stratified_sample" -> (q58 _))
+    "q58_stratified_sample" -> (q58 _),
+    "q59_sq_quantize" -> (q59 _),
+    "q60_unigram_nll" -> (q60 _),
+    "q61_source_mixing" -> (q61 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1808,6 +1851,86 @@ object SparkEntry {
          FROM s5)
          SELECT doc_id, lang, source FROM ranked
          QUALIFY row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) <= 7
+         ORDER BY doc_id""",
+
+    // q59: affine SQ8 replayed in SQL — per-dim min/(max-min)/255 codebook
+    // over float→double values, round_even == Math.rint, clamp to [0,255]
+    "q59_sq_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+           SELECT vec_id, unnest(embedding) AS x,
+                  unnest(range(len(embedding))) AS i FROM embeddings)),
+         d AS (SELECT i, min(x) AS mn, (max(x) - min(x)) / 255.0 AS delta
+               FROM e GROUP BY i),
+         c AS (SELECT vec_id, i,
+                 CAST(CASE WHEN delta = 0 THEN 0
+                      ELSE least(255.0, greatest(0.0, round_even((x - mn) / delta, 0)))
+                      END AS INTEGER) AS code
+               FROM e JOIN d USING (i))
+         SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS code_csv
+         FROM c GROUP BY vec_id ORDER BY vec_id""",
+
+    // q60: unigram NLL under the corpus-fitted model (q07's tokenizer),
+    // NTILE(10) over (nll, doc_id); n/total and ln in double on both sides
+    "q60_unigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS word FROM documents),
+         model AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         tot AS (SELECT sum(n) AS total FROM model),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  -avg(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))) AS nll
+           FROM toks JOIN model USING (word), tot GROUP BY doc_id),
+         f AS (SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.nll
+               FROM documents d LEFT JOIN scored s USING (doc_id))
+         SELECT doc_id, n_tokens, nll_r, CAST(bucket AS INTEGER) AS bucket
+         FROM (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                 round(nll, 6) AS nll_r,
+                 ntile(10) OVER (ORDER BY nll ASC NULLS LAST, doc_id) AS bucket
+               FROM f) ORDER BY doc_id""",
+
+    // q61: per-source quota = max(1, floor(sqrt(n)/sum(sqrt(n)) * 200)),
+    // drawn per source in the q52 splitmix64 order (seed 13)
+    "q61_source_mixing" ->
+      s"""WITH w AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         q AS (SELECT source, greatest(1, CAST(floor(
+                 sqrt(CAST(n AS DOUBLE)) /
+                 (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM w) * 200) AS BIGINT)) AS take
+               FROM w),
+         ${splitmixChainSql("doc_id, source", 13L)}
+         SELECT doc_id, source FROM ranked JOIN q USING (source)
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
          ORDER BY doc_id"""
   )
+
+  /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
+    * WITH-clauses `s1..s5, ranked` (rank column `rk`), parameterized on
+    * the carried columns and seed. Kept textually identical to the
+    * hand-written q52/q58 chains — one splitmix64 definition, one oracle
+    * encoding of it. */
+  private def splitmixChainSql(cols: String, seed: Long): String =
+    s"""s1 AS (SELECT $cols,
+           (CAST(doc_id AS HUGEINT) + $seed + 11400714819323198485) % 18446744073709551616 AS x
+         FROM documents),
+         s2 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s1),
+         s3 AS (SELECT $cols, ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x
+         FROM s2),
+         s4 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+         FROM s3),
+         s5 AS (SELECT $cols, ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x
+         FROM s4),
+         ranked AS (SELECT $cols,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+         FROM s5)
+    """
 }

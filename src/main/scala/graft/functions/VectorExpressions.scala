@@ -224,3 +224,40 @@ case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unsigned byte view of a binary column: `binary → array<int>` with each
+  * element in [0, 255]. The introspection half of [[SqEncode]] (codes back
+  * to comparable ints for oracles/debugging) and generally useful over
+  * `blob` columns. Codegen'd — a straight per-byte loop. */
+case class BytesToInts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i) & 0xff; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $out = new int[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) { $out[$i] = $b[$i] & 0xff; }
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "bytes_to_ints"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

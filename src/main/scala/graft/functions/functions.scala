@@ -61,6 +61,10 @@ package object functions {
   def sq_encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =
     Bridge.column(SqEncode(Bridge.expression(vec), mins, deltas))
 
+  /** Unsigned byte view of a binary column as array<int> (0-255). */
+  def bytes_to_ints(b: Column): Column =
+    Bridge.column(BytesToInts(Bridge.expression(b)))
+
   /** MinHash signature (array<long>) of a token array. */
   def minhash_signature(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))

@@ -107,4 +107,45 @@ object GroupOps {
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k).drop("_rn")
   }
+
+  /** Temperature-weighted data mixing: draw ~`total` rows with per-group
+    * quotas proportional to `count^alpha` — the standard multi-source
+    * rebalancing rule (alpha = 1 keeps natural proportions, alpha = 0 is
+    * uniform across groups, alpha ∈ (0,1) up-weights small sources the
+    * way multilingual/multi-domain pretraining mixes do). Each group
+    * contributes its quota's rows in splitmix64(key + seed) order, so the
+    * draw is deterministic across engines and layouts; every group keeps
+    * at least one row (`floor` can zero-out tiny groups).
+    *
+    * Scale shape: group stats are one tiny agg (G rows, G = #sources);
+    * quotas broadcast-join back onto the corpus; the per-group draw is
+    * one partitioned window — a single shuffle on the group key, same as
+    * [[sampleStratified]] (the per-group quota is a column, so the
+    * literal-only WindowGroupLimit rewrite doesn't fire — the sort is
+    * still per-group, never global). `alpha = 0.5` is special-cased to
+    * `sqrt`,
+    * which is IEEE-correctly-rounded (`pow(x, 0.5)` is not) and thus
+    * bit-reproducible against any other engine. */
+  def sampleTemperature(df: DataFrame, total: Long, alpha: Double,
+                        seed: Long, group: Column, key: Column): DataFrame = {
+    require(total >= 1 && alpha >= 0.0)
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n.cast("double"))
+      else if (alpha == 1.0) n.cast("double")
+      else if (alpha == 0.0) lit(1.0)
+      else pow(n.cast("double"), lit(alpha))
+    val quotas = df.groupBy(group.as("_grp"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_wsum", sum(weight(col("_n"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("_grp"), greatest(lit(1L),
+        floor(weight(col("_n")) / col("_wsum") * total)).as("_take"))
+    val rk = graft.functions.splitmix64_rank(key, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(rk, key)
+    df.join(broadcast(quotas), group === col("_grp"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= col("_take"))
+      .drop("_grp", "_take", "_rn")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram language-model scoring — the corpus-level quality signal the
+  * big pretraining pipelines (CCNet and successors) use to rank and
+  * bucket documents: train a cheap LM on the corpus (here: unigram token
+  * frequencies), score every document by its per-token negative
+  * log-likelihood, and split the corpus into quality buckets.
+  *
+  * The reference has no LM surface (its quality signals are the per-doc
+  * text mixins); this is a beyond-reference training-pipeline operator in
+  * the same family as [[graft.functions.TextFunctions.qualityScore]] and
+  * the Gopher repetition rules.
+  *
+  * Scale shape: the model IS a DataFrame (`word, n`) — it never leaves
+  * the cluster. Scoring is one explode + one equi-join on `word` + one
+  * groupBy on the doc id: two shuffles total, both on keys Spark handles
+  * at any scale (the join side is vocabulary-sized and AQE will broadcast
+  * it when it fits). No driver-side vocabulary, no UDFs — every step is
+  * codegen'd builtin expressions, so the whole score pass stays inside
+  * whole-stage codegen.
+  */
+object LangModel {
+
+  /** Token-frequency model: (`word`, `n`) over the tokenized corpus —
+    * [[GroupOps.vocabulary]] with no frequency floor, kept as its own
+    * name because it is the *model* here, not a vocabulary report. */
+  def unigramFit(docs: DataFrame, textCol: Column): DataFrame =
+    GroupOps.vocabulary(docs, textCol, minFreq = 1)
+
+  /** Score each document under a fitted unigram model: mean per-token
+    * negative log-likelihood `-avg(ln(n_w / total))` (natural log; lower
+    * = more typical of the corpus). Tokens absent from the model get
+    * `ln(smooth / total)` — with the default `smooth = 1` that is
+    * add-nothing for a model fitted on the same corpus (no OOV) and
+    * Laplace-ish for a transfer-scored one.
+    *
+    * Returns one row per input doc: (idCol, `n_tokens`, `nll`); docs with
+    * no tokens get a null `nll`.
+    */
+  def unigramNll(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: Column, smooth: Double = 1.0): DataFrame = {
+    val total = model.agg(sum(col("n"))).head.getLong(0)
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("word"))
+    val scored = toks
+      .join(model, Seq("word"), "left")
+      .select(col(idCol),
+        log(coalesce(col("n").cast("double"), lit(smooth)) / lit(total.toDouble))
+          .as("_lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_tokens"), (-avg(col("_lp"))).as("nll"))
+    // docs whose text tokenizes to nothing still get a row (null score)
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        col("nll"))
+  }
+
+  /** [[unigramNll]] + decile-style quality buckets over ascending
+    * (`nll`, id) — bucket 1 = most in-distribution, exact SQL `NTILE`
+    * semantics (first `count % buckets` buckets take one extra row). The
+    * (nll, id) composite makes the cut deterministic under duplicated
+    * texts.
+    *
+    * NOT a window function: a global `ntile() OVER (ORDER BY …)` plans as
+    * a single-partition sort — every row through one task. Instead the
+    * global rank comes from range-partition + partition-local sort +
+    * RDD `zipWithIndex` (two passes, no driver collect — the same shape
+    * as [[GroupOps.rankVocabulary]]), and the rank→bucket map is
+    * closed-form arithmetic. */
+  def unigramBuckets(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: Column, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    require(buckets >= 1)
+    val scored = unigramNll(docs, model, idCol, textCol)
+    val spark = scored.sparkSession
+    val n = scored.count()
+    val base = n / buckets
+    val rem = (n % buckets).toInt
+    val sorted = scored
+      .repartitionByRange(col("nll").asc_nulls_last, col(idCol))
+      .sortWithinPartitions(col("nll").asc_nulls_last, col(idCol))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("bucket", IntegerType, nullable = false))
+    val bucketed = sorted.rdd.zipWithIndex.map { case (r, rank) =>
+      val cut = rem.toLong * (base + 1)
+      val b = if (n < buckets) rank + 1 // degenerate: one row per bucket
+        else if (rank < cut) rank / (base + 1) + 1
+        else rem + (rank - cut) / base + 1
+      Row.fromSeq(r.toSeq :+ b.toInt)
+    }
+    spark.createDataFrame(bucketed, schema)
+  }
+}

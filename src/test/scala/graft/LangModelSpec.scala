@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{bytes_to_ints, sq_encode}
+import graft.operators.{GroupOps, LangModel}
+
+class LangModelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "the cat sat on the mat"),       // exact dup of 0
+    (3L, "xylophone quartz"),             // rare tokens -> high nll
+    (4L, "the the the the"),              // most common token -> low nll
+    (5L, "")                              // no tokens
+  ).toDF("id", "text")
+
+  test("unigramNll: dup docs score identically, rare tokens score higher") {
+    val model = LangModel.unigramFit(corpus, col("text"))
+    val got = LangModel.unigramNll(corpus, model, "id", col("text"))
+      .orderBy("id").collect()
+    assert(got.length == 6)
+    val nll = got.map(r => if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    assert(nll(0) == nll(2), "identical text, identical score")
+    assert(nll(3) > nll(0), "rare tokens are more surprising")
+    assert(nll(4) < nll(0), "the most common token is the least surprising")
+    assert(got(5).isNullAt(2) && got(5).getInt(1) == 0, "empty doc: null nll")
+    // hand-check doc 4: p(the) = n_the / total
+    val nThe = model.where(col("word") === "the").head.getLong(1)
+    val total = model.agg(sum("n")).head.getLong(0)
+    assert(math.abs(nll(4) - (-math.log(nThe.toDouble / total))) < 1e-12)
+  }
+
+  test("unigramBuckets equals the window-ntile formulation, any n % buckets") {
+    val rng = new scala.util.Random(7)
+    val words = Seq("a", "b", "c", "d", "e", "f", "g")
+    for (n <- Seq(23, 40)) {
+      val docs = (0L until n.toLong)
+        .map(i => (i, Seq.fill(3 + rng.nextInt(5))(words(rng.nextInt(words.length))).mkString(" ")))
+        .toDF("id", "text")
+      val model = LangModel.unigramFit(docs, col("text"))
+      val got = LangModel.unigramBuckets(docs, model, "id", col("text"), buckets = 7)
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      val want = LangModel.unigramNll(docs, model, "id", col("text"))
+        .withColumn("bucket",
+          ntile(7).over(Window.orderBy(col("nll").asc_nulls_last, col("id"))))
+        .select("id", "bucket").as[(Long, Int)].collect().toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("sampleTemperature: quotas follow count^alpha, draw is layout-invariant") {
+    val df = (
+      (0L until 800L).map(i => (i, "big")) ++
+      (800L until 1000L).map(i => (i, "mid")) ++
+      (1000L until 1008L).map(i => (i, "tiny"))).toDF("id", "src")
+
+    val picked = GroupOps.sampleTemperature(df, total = 100L, alpha = 0.5,
+      seed = 3L, col("src"), col("id"))
+    val bySrc = picked.groupBy("src").count().as[(String, Long)].collect().toMap
+    // quotas: floor(sqrt(n)/sum * 100), min 1
+    val sum = math.sqrt(800) + math.sqrt(200) + math.sqrt(8)
+    assert(bySrc("big") == math.floor(math.sqrt(800) / sum * 100).toLong)
+    assert(bySrc("mid") == math.floor(math.sqrt(200) / sum * 100).toLong)
+    assert(bySrc("tiny") == math.floor(math.sqrt(8) / sum * 100).toLong.max(1L))
+    // alpha=0.5 up-weights small groups vs natural proportions
+    assert(bySrc("mid").toDouble / bySrc("big") > 200.0 / 800.0)
+
+    val again = GroupOps.sampleTemperature(df.repartition(17), total = 100L,
+      alpha = 0.5, seed = 3L, col("src"), col("id"))
+    assert(picked.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet, "layout-invariant")
+
+    // alpha = 1 keeps natural proportions; alpha = 0 is uniform-ish
+    val nat = GroupOps.sampleTemperature(df, 100L, 1.0, 3L, col("src"), col("id"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(nat("big") > bySrc("big") && nat("tiny") == 1L)
+    val uni = GroupOps.sampleTemperature(df, 30L, 0.0, 3L, col("src"), col("id"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    // uniform quota of 10 per group; tiny only has 8 rows to give
+    assert(uni("big") == 10L && uni("mid") == 10L && uni("tiny") == 8L)
+  }
+
+  test("bytes_to_ints round-trips sq_encode codes through codegen") {
+    val df = Seq((1L, Array(0.0f, 127.5f, 255.0f, 300.0f, -5.0f)))
+      .toDF("id", "vec")
+    val mins = Seq.fill(5)(0.0)
+    val deltas = Seq.fill(5)(1.0)
+    val got = df.select(bytes_to_ints(sq_encode(col("vec"), mins, deltas)))
+      .head.getSeq[Int](0)
+    // 127.5 rounds half-to-even -> 128, out-of-range clamps
+    assert(got == Seq(0, 128, 255, 255, 0))
+    assert(df.select(bytes_to_ints(lit(null).cast("binary"))).head.isNullAt(0))
+  }
+}
