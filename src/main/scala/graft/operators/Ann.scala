@@ -376,7 +376,12 @@ object Ann {
     val deltas = sq.codebook.deltas.toArray
     val bc = spark.sparkContext.broadcast((qVecs, cellToQueries, mins, deltas))
 
-    val child = sq.coded.select(
+    // static cell pruning: the probed set is already on the driver, so
+    // push it as a filter — over a [[sqWriteIndex]] layout this becomes a
+    // parquet PartitionFilter and unprobed cells are never READ (the
+    // kernel's per-row cell check would only skip them after the I/O)
+    val probedCells = cellToQueries.indices.filter(cellToQueries(_).nonEmpty)
+    val child = prunedCoded(sq, probedCells).select(
       col(index.idCol), col("_code"), col("_cell").cast("int"))
     val m = metric
     val heapK = math.max(k, rerank)
@@ -458,6 +463,59 @@ object Ann {
           col("_hit.distance").as("distance"),
           (col("_pos") + 1).cast("int").as("rank"))
     }
+  }
+
+  /** The scan side of an SQ search restricted to the probed cells —
+    * factored out so the pruning mechanism itself is testable: over a
+    * [[sqWriteIndex]] layout the `isin` lands in `PartitionFilters`. */
+  private[graft] def prunedCoded(sq: SqIvfIndex,
+      probedCells: Seq[Int]): DataFrame =
+    if (probedCells.length >= sq.ivf.nCells) sq.coded
+    else sq.coded.where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
+
+  /** Persist the codes-only IVF-SQ layout: `coded` partitioned by
+    * `_cell` (one byte per dimension — the only corpus-sized artifact),
+    * centroids, codebook, meta. The float `assigned` table is
+    * deliberately NOT written: the point of the layout is that the index
+    * stores codes while originals stay in the caller's base table (hand
+    * it to `ivfSearchSq(rerank=…, docs=…)` for the exact refine). At
+    * 100 TB of float32 embeddings the persisted index is ~25 TB, and a
+    * search READS only `nProbe/nCells` of it (partition pruning — see
+    * [[prunedCoded]]). */
+  def sqWriteIndex(sq: SqIvfIndex, path: String): Unit = {
+    sq.coded.write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$path/coded")
+    sq.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = sq.coded.sparkSession
+    import spark.implicits._
+    Seq((sq.ivf.idCol, sq.ivf.vecCol, sq.ivf.nCells, sq.ivf.multiAssign,
+      sq.ivf.normalized, sq.ivf.center, sq.codebook.mins, sq.codebook.deltas))
+      .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized",
+        "center", "mins", "deltas")
+      .write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** Load a [[sqWriteIndex]] layout. The returned index drives
+    * [[ivfSearchSq]] only — `ivf.assigned` is an empty placeholder (the
+    * float table is not part of the codes-only layout). */
+  def sqReadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): SqIvfIndex = {
+    val m = spark.read.json(s"$path/meta").collect()(0)
+    val center = // an all-null column never reaches the JSON file
+      if (m.schema.fieldNames.contains("center") && !m.isNullAt(m.fieldIndex("center")))
+        Some(m.getSeq[Double](m.fieldIndex("center")))
+      else None
+    val coded = spark.read.parquet(s"$path/coded")
+    val ivf = IvfIndex(
+      assigned = coded.limit(0),
+      centroids = spark.read.parquet(s"$path/centroids"),
+      idCol = m.getAs[String]("idCol"), vecCol = m.getAs[String]("vecCol"),
+      nCells = m.getAs[Long]("nCells").toInt,
+      multiAssign = m.getAs[Long]("multiAssign").toInt,
+      normalized = m.getAs[Boolean]("normalized"), center = center)
+    SqIvfIndex(ivf,
+      SqCodebook(m.getSeq[Double](m.fieldIndex("mins")),
+        m.getSeq[Double](m.fieldIndex("deltas"))), coded)
   }
 
   /** Diagnostic: fraction of the corpus a search at `nProbe` actually

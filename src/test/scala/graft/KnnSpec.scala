@@ -284,6 +284,47 @@ class KnnSpec extends SparkSuite {
     assert(hit >= exactD.size * 9 / 10, s"$hit of ${exactD.size}")
   }
 
+  test("persisted ivf-sq8: codes-only layout round-trips, scan is cell-pruned") {
+    val pts = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0f, c * -5.0f, c * 3.0f + 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * ((i * 31 + j * 7) % 10)
+      }.toSeq)
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 3, seed = 7)
+    val sq = Ann.sqAttach(idx, Ann.sqTrain(df, "embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graftsq").toString
+    Ann.sqWriteIndex(sq, dir)
+    val loaded = Ann.sqReadIndex(spark, dir)
+    assert(loaded.ivf.nCells == 3 && loaded.ivf.normalized)
+    assert(loaded.codebook == sq.codebook)
+
+    val q = df.where(col("id") < 10)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fromDisk = Ann.ivfSearchSq(loaded, q, 5, nProbe = 1,
+      rerank = 5, docs = df)
+    assert(key(fromDisk) == key(
+      Ann.ivfSearchSq(sq, q, 5, nProbe = 1, rerank = 5, docs = df)))
+
+    // the scan side restricted to the probed cells carries a parquet
+    // partition filter — unprobed cells are never read
+    val pruned = Ann.prunedCoded(loaded, Seq(0))
+    pruned.collect()
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator
+      .find(l => l.contains("/coded") && l.contains("FileScan"))
+    assert(scanLine.isDefined, s"no coded scan found in:\n$planStr")
+    // single-cell isin folds to an equality: [isnotnull(_cell), (_cell = 0)]
+    assert("PartitionFilters: \\[[^\\]]*_cell".r.findFirstIn(scanLine.get).isDefined,
+      s"coded scan not cell-pruned: ${scanLine.get}")
+    // all-cells probe set skips the filter entirely
+    assert(Ann.prunedCoded(loaded, Seq(0, 1, 2)) eq loaded.coded)
+  }
+
   test("centered ivf: balanced cells on a coned corpus, index round-trips") {
     // all-positive corpus: directions cone around the diagonal — the
     // uncentered quantizer puts most mass into few central cells (the
