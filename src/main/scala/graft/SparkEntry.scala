@@ -820,6 +820,18 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // Bigram conditional NLL under the corpus-fitted model — the n-gram
+  // step up from q60: -avg(ln(n(w1,w2)/n(w1,·))) over each doc's
+  // adjacent token pairs (MLE; self-fitted, so no unseen pairs).
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bi = LangModel.bigramFit(d, col("text"))
+    LangModel.bigramNll(d, bi, "doc_id", col("text"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll2"), 6).as("nll2_r"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -883,7 +895,8 @@ object SparkEntry {
     "q58_stratified_sample" -> (q58 _),
     "q59_sq_quantize" -> (q59 _),
     "q60_unigram_nll" -> (q60 _),
-    "q61_source_mixing" -> (q61 _))
+    "q61_source_mixing" -> (q61 _),
+    "q62_bigram_nll" -> (q62 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1900,6 +1913,28 @@ object SparkEntry {
          ${splitmixChainSql("doc_id, source", 13L)}
          SELECT doc_id, source FROM ranked JOIN q USING (source)
          QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
+         ORDER BY doc_id""",
+
+    // q62: bigram conditional NLL — pairs via the list zipped with its
+    // own tail (DuckDB zips parallel unnests; l[1:-2] = first n-1,
+    // l[2:-1] = last n-1), model and left-marginal replayed relationally
+    "q62_bigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         pairs AS (
+           SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2
+           FROM toks WHERE len(l) >= 2),
+         bi AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2),
+         lm AS (SELECT w1, sum(n) AS c1 FROM bi GROUP BY w1),
+         scored AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  -avg(ln(CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE))) AS nll2
+           FROM pairs JOIN bi USING (w1, w2) JOIN lm USING (w1)
+           GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+                round(s.nll2, 6) AS nll2_r
+         FROM documents d LEFT JOIN scored s USING (doc_id)
          ORDER BY doc_id"""
   )
 

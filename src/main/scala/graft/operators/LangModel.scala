@@ -60,6 +60,52 @@ object LangModel {
         col("nll"))
   }
 
+  /** Adjacent token pairs of each doc: (idCol, `w1`, `w2`) — one row per
+    * bigram occurrence. zip of the token array with its own tail, fully
+    * codegen'd (slice + arrays_zip + explode). */
+  private def bigramPairs(docs: DataFrame, idCol: String,
+      textCol: Column): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(textCol).as("_l"))
+      .where(size(col("_l")) >= 2)
+      .select(col(idCol),
+        slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
+        slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
+      .select(col(idCol), explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
+      .select(col(idCol), col("_p._a").as("w1"), col("_p._b").as("w2"))
+
+  /** Bigram-frequency model: (`w1`, `w2`, `n`) over adjacent token pairs. */
+  def bigramFit(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(TextFunctions.tokens(textCol).as("_l"))
+      .where(size(col("_l")) >= 2)
+      .select(slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
+        slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
+      .select(explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
+      .select(col("_p._a").as("w1"), col("_p._b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+
+  /** Score docs under a fitted bigram model: mean negative conditional
+    * log-likelihood `-avg(ln(n(w1,w2) / n(w1,·)))` over the doc's
+    * adjacent pairs (MLE, no smoothing — exact for a model fitted on the
+    * scored corpus, where every doc bigram is in the model). Docs with
+    * fewer than two tokens get a null `nll2`. Same scale shape as
+    * [[unigramNll]]: the model and its left-marginal live on the
+    * cluster; scoring is explode + two equi-joins + one groupBy. */
+  def bigramNll(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: Column): DataFrame = {
+    val leftCounts = model.groupBy("w1").agg(sum(col("n")).as("_c1"))
+    val scored = bigramPairs(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .select(col(idCol),
+        log(col("n").cast("double") / col("_c1").cast("double")).as("_lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (-avg(col("_lp"))).as("nll2"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        col("nll2"))
+  }
+
   /** [[unigramNll]] + decile-style quality buckets over ascending
     * (`nll`, id) — bucket 1 = most in-distribution, exact SQL `NTILE`
     * semantics (first `count % buckets` buckets take one extra row). The

@@ -33,6 +33,21 @@ class LangModelSpec extends SparkSuite {
     assert(math.abs(nll(4) - (-math.log(nThe.toDouble / total))) < 1e-12)
   }
 
+  test("bigramNll: MLE conditional probabilities, hand-checked") {
+    // corpus: "a b", "a b", "a c" -> c(a,b)=2, c(a,c)=1, c(a,.)=3
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("id", "text")
+    val model = LangModel.bigramFit(docs, col("text"))
+    assert(model.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
+    val got = LangModel.bigramNll(docs, model, "id", col("text"))
+      .orderBy("id").collect()
+    assert(math.abs(got(0).getDouble(2) - (-math.log(2.0 / 3))) < 1e-12)
+    assert(math.abs(got(2).getDouble(2) - (-math.log(1.0 / 3))) < 1e-12)
+    assert(got(0).getDouble(2) == got(1).getDouble(2), "dup docs equal")
+    assert(got(3).isNullAt(2) && got(3).getInt(1) == 0, "single token: no pairs")
+  }
+
   test("unigramBuckets equals the window-ntile formulation, any n % buckets") {
     val rng = new scala.util.Random(7)
     val words = Seq("a", "b", "c", "d", "e", "f", "g")
