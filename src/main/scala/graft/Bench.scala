@@ -120,6 +120,27 @@ object Bench {
     bench("x_knn_largeq_10k", runs = 1) {
       Knn.bruteForceLargeQ(stored100k, queries10k, 10, nBlocks = 8).count()
     }
+    // same regime through the ANN path (search only — build cost is its
+    // own row at 1M and amortizes over every query batch): one blocked
+    // pass over the probed cells takes the whole 10k query set (heaps for
+    // all 10k queries ride one broadcast, 10k × 128 doubles ≈ 10 MB).
+    // MEASURED HONESTY (r4): at 100k docs this row ≈ the exact loop
+    // (9.2 s vs 8.6 s) — the per-(row, probing-query) subset indirection
+    // costs about what the 1/8 nominal scan saves, and the real scan
+    // fraction on this clusterless corpus is ~0.5 anyway. The IVF win at
+    // this kernel's scale is the 1M-row regime (ann_ivf_search100 0.83 s
+    // vs knn_blocked_100 ~1.1 s) and, above all, pruned I/O once the
+    // corpus doesn't fit a single pass. Tracked, not celebrated.
+    locally {
+      val idx100k0 = Ann.ivfBuild(stored100k, "id", "embedding",
+        nCells = 256, maxIter = 8, center = true)
+      val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
+      idx100k.assigned.count()
+      bench("x_knn_largeq_ivf_10k", runs = 1) {
+        Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
+      }
+      idx100k.assigned.unpersist()
+    }
     spark.catalog.clearCache()
 
     // ANN (the 100 TB path): MEAN-CENTERED spherical-k-means IVF. This
@@ -201,7 +222,9 @@ object Bench {
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",
       "q10_jaccard_pairs", "q11_knn_cosine", "q15_events_hourly",
       "q16_sessions", "q22_langid_fingerprint", "q23_minhash_lsh",
-      "q24_simhash_pairs", "q28_multimodal", "q36_embedding_lsh")
+      "q24_simhash_pairs", "q28_multimodal", "q36_embedding_lsh",
+      "q56_pack_blocks", "q59_sq_quantize", "q60_unigram_nll",
+      "q61_source_mixing", "q62_bigram_nll")
     headline.foreach { name =>
       bench(name) { SparkEntry.queries(name)(spark, sfDir).count() }
     }

@@ -137,6 +137,7 @@ package object functions {
       "splitmix64_rank" -> (exprs =>
         Splitmix64Rank(exprs(0),
           if (exprs.length > 1) exprs(1).eval().toString.toLong else 0L)),
+      "bytes_to_ints" -> (exprs => BytesToInts(exprs(0))),
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))))
   }

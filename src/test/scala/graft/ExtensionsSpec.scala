@@ -19,6 +19,13 @@ class ExtensionsSpec extends SparkSuite {
       .forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("bytes_to_ints callable from SQL, matches the Column API") {
+    graft.functions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT bytes_to_ints(CAST('Az' AS BINARY)) AS v").head.getSeq[Int](0)
+    assert(got == Seq(65, 122))
+  }
+
   test("splitmix64_rank callable from SQL, matches the Column API") {
     graft.functions.registerAll(spark)
     spark.range(20).createOrReplaceTempView("sm_xs")
