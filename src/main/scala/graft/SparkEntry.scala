@@ -832,6 +832,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Context-window chunking (RAG ingestion / long-doc training prep):
+  // 16-token windows stepping by 12 (overlap 4) — pure integer
+  // arithmetic + list slicing, replayed exactly in SQL.
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Pack.chunkTokens(t(s, dir, "documents"), "doc_id", col("text"),
+      window = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_idx")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -896,7 +904,8 @@ object SparkEntry {
     "q59_sq_quantize" -> (q59 _),
     "q60_unigram_nll" -> (q60 _),
     "q61_source_mixing" -> (q61 _),
-    "q62_bigram_nll" -> (q62 _))
+    "q62_bigram_nll" -> (q62 _),
+    "q63_chunk_windows" -> (q63 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1935,7 +1944,24 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
                 round(s.nll2, 6) AS nll2_r
          FROM documents d LEFT JOIN scored s USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q63: 16-token windows stepping by 12; range() excludes len, list
+    // slice l[s+1 : s+16] is 1-based inclusive == slice(l, s+1, 16)
+    "q63_chunk_windows" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         starts AS (
+           SELECT doc_id, l, unnest(range(0, len(l), 12)) AS s
+           FROM toks WHERE len(l) > 0),
+         c AS (SELECT doc_id, CAST(s / 12 AS INTEGER) AS chunk_idx,
+                 CAST(s AS BIGINT) AS start_tok, l[s+1 : s+16] AS chunk
+               FROM starts)
+         SELECT doc_id, chunk_idx, start_tok,
+                CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

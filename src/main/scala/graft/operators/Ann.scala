@@ -133,6 +133,31 @@ object Ann {
       normalize, meanOpt)
   }
 
+  /** Incrementally index new docs into an existing IVF without
+    * re-fitting the quantizer: each new vector goes through the index's
+    * probe-space transform (stored mean + normalization — bit-identical
+    * to the build) and into its `multiAssign` nearest cell(s). One pass
+    * over the new rows against the broadcast centroid table, no shuffle
+    * of the existing index — the daily-ingest path of a persisted index
+    * (write the returned rows to the same `_cell`-partitioned layout
+    * with mode=append). Quantizer drift under a shifting distribution is
+    * the caller's re-fit decision, as in every IVF system. */
+  def ivfAppend(index: IvfIndex, newDocs: DataFrame): IvfIndex = {
+    val probe = probeVec(index, index.vecCol)
+    val appended = newDocs
+      .withColumn("_nvec", probe)
+      .crossJoin(broadcast(index.centroids))
+      .groupBy(col(index.idCol))
+      .agg(
+        first(struct(newDocs.columns.map(col): _*)).as("_doc"),
+        topk_by_distance(
+          vector_distance(col("_nvec"), col("_center"), "euclidean"),
+          col("_cell"), math.max(1, index.multiAssign)).as("_cells"))
+      .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
+    index.copy(assigned = index.assigned.unionByName(appended,
+      allowMissingColumns = true))
+  }
+
   /** IVF search: queries probe their `nProbe` nearest cells, then exact
     * distance within the probed cells only. Same output shape as
     * [[Knn.bruteForce]]: (query_id, id, distance, rank). Queries are

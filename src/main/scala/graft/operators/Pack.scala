@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -83,5 +83,38 @@ object Pack {
         ((col("start_off") + col("n_tokens") - 1) / blockSize).cast("long"))
         .otherwise((col("start_off") / blockSize).cast("long"))
         .as("last_block"))
+  }
+
+  /** The inverse of [[packBlocks]]: split each document into overlapping
+    * token windows — the context-window chunking step of RAG ingestion
+    * and long-document training prep. Chunk starts step by
+    * `window - overlap`; the final chunk may be short (whatever tokens
+    * remain); docs that tokenize to nothing emit no rows.
+    *
+    * Entirely codegen'd builtins (tokenize → `sequence` of starts →
+    * `posexplode` → `slice`): one narrow explode, no shuffle at all —
+    * the plan is a single WholeStageCodegen span over the scan, so it
+    * runs at parquet-scan speed on any corpus size.
+    *
+    * @return (idCol, `chunk_idx`, `start_tok`, `n_chunk_tokens`,
+    *         `chunk_text`) — chunk_text re-joined with single spaces
+    *         (token-level chunking is normalization-lossy by design). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: Column,
+      window: Int, overlap: Int = 0): DataFrame = {
+    require(window >= 1 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val step = window - overlap
+    df.select(col(idCol),
+        graft.functions.TextFunctions.tokens(textCol).as("_l"))
+      .where(size(col("_l")) > 0)
+      .select(col(idCol), col("_l"),
+        posexplode(sequence(lit(0), size(col("_l")) - 1, lit(step)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        col("_start").cast("long").as("start_tok"),
+        slice(col("_l"), col("_start") + 1, lit(window)).as("_c"))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        size(col("_c")).as("n_chunk_tokens"),
+        array_join(col("_c"), " ").as("chunk_text"))
   }
 }

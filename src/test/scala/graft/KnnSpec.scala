@@ -325,6 +325,44 @@ class KnnSpec extends SparkSuite {
     assert(Ann.prunedCoded(loaded, Seq(0, 1, 2)) eq loaded.coded)
   }
 
+  test("ivfAppend: incremental rows get argmin cells, become searchable") {
+    val pts = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val base = df.where(col("id") < 160)
+    val extra = df.where(col("id") >= 160)
+    val idx = Ann.ivfBuild(base, "id", "embedding", nCells = 4, seed = 3,
+      center = true)
+    val grown = Ann.ivfAppend(idx, extra)
+    assert(grown.assigned.count() == 200)
+
+    // every appended row landed in its true argmin cell (checked against
+    // an independent Column-algebra argmin over the same centroid table)
+    val want = extra
+      .withColumn("_nvec", l2_normalize(zip_with(
+        col("embedding").cast("array<double>"),
+        typedLit(idx.center.get), (a, b) => a - b)))
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("_d", vector_distance(col("_nvec"), col("_center"), "euclidean"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("_d"), col("_cell"))))
+      .where(col("_rn") === 1).select(col("id"), col("_cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val got = grown.assigned.where(col("id") >= 160)
+      .select(col("id"), col("_cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == want)
+
+    // an appended doc is now findable: querying with its own vector at
+    // nProbe=1 returns itself at rank 1 (cosine distance 0)
+    val q = extra.limit(3)
+    val hits = Ann.ivfSearchBlocked(grown, q, 1, nProbe = 1).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
+  }
+
   test("centered ivf: balanced cells on a coned corpus, index round-trips") {
     // all-positive corpus: directions cone around the diagonal — the
     // uncentered quantizer puts most mass into few central cells (the

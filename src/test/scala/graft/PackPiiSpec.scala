@@ -8,6 +8,27 @@ import graft.operators.{GroupOps, Pack}
 class PackPiiSpec extends SparkSuite {
   import spark.implicits._
 
+  test("chunkTokens: overlapping windows tile the token stream") {
+    val df = Seq(
+      (0L, "a b c d e f g"),    // 7 tokens, window 3 overlap 1 -> starts 0,2,4,6
+      (1L, "x y"),              // short doc -> one chunk
+      (2L, "")                  // no tokens -> no rows
+    ).toDF("id", "text")
+    val got = Pack.chunkTokens(df, "id", col("text"), window = 3, overlap = 1)
+      .orderBy("id", "chunk_idx").collect()
+    val rows = got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getInt(3), r.getString(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 0, 0L, 3, "a b c"), (0L, 1, 2L, 3, "c d e"),
+      (0L, 2, 4L, 3, "e f g"), (0L, 3, 6L, 1, "g"),
+      (1L, 0, 0L, 2, "x y")))
+    // overlap=0 partitions the stream exactly
+    val flat = Pack.chunkTokens(df, "id", col("text"), window = 3)
+      .where(col("id") === 0).orderBy("chunk_idx")
+      .select("chunk_text").collect().map(_.getString(0))
+    assert(flat.toSeq == Seq("a b c", "d e f", "g"))
+  }
+
   test("packBlocks equals the naive window cumsum for random counts") {
     val rng = new scala.util.Random(42)
     val df = (0L until 500L).map(i => (i, rng.nextInt(40).toLong))
