@@ -118,6 +118,37 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def evaluate(groundTruth: DocArray, matchesCol: String = "matches"): DataFrame =
     Evaluate.relevanceAgainst(df, groundTruth.df, idCol, matchesCol)
 
+  // ---- UDF surface (§2.10) -------------------------------------------
+
+  /** Per-doc transform preserving the schema — the reference's
+    * `da.map(fn)` / `da.apply(fn)` (eager vs lazy is moot here: Spark is
+    * lazy until an action). */
+  def mapRows(f: org.apache.spark.sql.Row => org.apache.spark.sql.Row): DocArray =
+    wrap(df.map(f)(org.apache.spark.sql.Encoders.row(df.schema)))
+
+  /** Batched per-partition transform preserving the schema — the
+    * reference's `da.map_batch(fn, batch_size)`. */
+  def mapBatch(batchSize: Int)(
+      f: Seq[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DocArray =
+    wrap(Parallel.mapBatch(df, batchSize)(f)(
+      org.apache.spark.sql.Encoders.row(df.schema)))
+
+  /** Batched model inference filling `embedding` — the reference's
+    * `da.embed(model, batch_size)`; `model` scores a batch of rows into
+    * one embedding each (plug ONNX Runtime or any JVM scorer). */
+  def embed(batchSize: Int)(
+      model: Seq[org.apache.spark.sql.Row] => Seq[Array[Float]]): DocArray = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(_.name == "embedding") :+
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val base = df.drop("embedding")
+    wrap(base.mapPartitions(_.grouped(batchSize).flatMap { b =>
+      b.zip(model(b)).map { case (r, e) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq) }
+    })(org.apache.spark.sql.Encoders.row(schema)))
+  }
+
   def summary(): DataFrame = Summary.describe(df)
 
   /** This array's actual schema as a JSON-Schema document (the

@@ -35,6 +35,22 @@ class DocArraySpec extends SparkSuite {
     assert(merged.count() == 4)
   }
 
+  test("mapRows / mapBatch / embed through the facade") {
+    import org.apache.spark.sql.Row
+    val docs = DocArray(Seq((1L, "ab"), (2L, "cde"), (3L, "f")).toDF("id", "text"))
+    val upper = docs.mapRows(r => Row(r.getLong(0), r.getString(1).toUpperCase))
+    assert(upper.df.orderBy("id").select("text").as[String].collect().toSeq
+      == Seq("AB", "CDE", "F"))
+    val batched = docs.mapBatch(2)(b => b.iterator) // identity in batches
+    assert(batched.count() == 3)
+    // embed: "model" = char-count one-hot-ish scorer, batch-applied
+    val emb = docs.embed(2)(b => b.map(r => Array(r.getString(1).length.toFloat)))
+    val got = emb.df.orderBy("id").select("embedding")
+      .as[Seq[Float]].collect().map(_.head)
+    assert(got.toSeq == Seq(2.0f, 3.0f, 1.0f))
+    assert(emb.df.schema("embedding").dataType.typeName == "array")
+  }
+
   test("text search + vocabulary + sample through the facade") {
     val docs = DocArray(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
