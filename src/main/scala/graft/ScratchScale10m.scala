@@ -5,18 +5,19 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.{Ann, Knn}
 
 /** Dev harness (declared scratch main like Scratch/ScratchIvf — not part
-  * of the driver contract): one-off 10M×128 IVF-SQ8 proof. 10× the bench
-  * corpus; validates that build, encode, code-scan search and recall hold
-  * on a corpus whose float form (~10 GB) dwarfs the 1M bench set, and
-  * prints the measured (not nominal) scan fraction. Results land in
-  * NOTES.md. */
+  * of the driver contract): one-off 10M×128 IVF-SQ8 proof through the
+  * PERSISTED index path — build → writeIndex (cell-partitioned parquet)
+  * → sqAttach/sqWriteIndex → search the codes-only layout from disk with
+  * partition pruning. No corpus-sized cache anywhere (a 10M float
+  * `assigned` cache OOMs a 96 GB heap via columnar-builder overhead —
+  * measured; disk layout is the honest scale path anyway). Results land
+  * in NOTES.md. */
 object ScratchScale10m {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "96g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -37,19 +38,17 @@ object ScratchScale10m {
     println(f"knn_exact_10m=${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     t0 = System.nanoTime()
-    val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
+    val built = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
       maxIter = 8, fitSampleFraction = 0.02, center = true)
-    val idx = idx0.copy(assigned = idx0.assigned.cache())
-    idx.assigned.count()
-    println(f"ivf_build_10m=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Ann.writeIndex(built, s"$tmp/ivf")
+    println(f"ivf_build_write_10m=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val idx = Ann.readIndex(spark, s"$tmp/ivf")
 
     t0 = System.nanoTime()
     val cb = Ann.sqTrain(stored, "embedding")
-    val sq0 = Ann.sqAttach(idx, cb)
-    val sq = sq0.copy(coded = sq0.coded.cache())
-    sq.coded.count()
-    println(f"sq_encode_10m=${(System.nanoTime() - t0) / 1e9}%.1f s")
-    idx.assigned.unpersist()
+    Ann.sqWriteIndex(Ann.sqAttach(idx, cb), s"$tmp/sq")
+    println(f"sq_encode_write_10m=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val sq = Ann.sqReadIndex(spark, s"$tmp/sq")
 
     val nProbe = 1638 // same 0.4 nominal fraction as the 1M config
     for (r <- 1 to 2) {
@@ -57,6 +56,10 @@ object ScratchScale10m {
       Ann.ivfSearchSq(sq, queries100, 10, nProbe = nProbe).count()
       println(f"sq_search100_run$r=${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    t0 = System.nanoTime()
+    Ann.ivfSearchPruned(idx, queries100, 10, nProbe = nProbe).count()
+    println(f"float_pruned_search100=${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     val rec = Ann.recallAgainstExact(
       Ann.ivfSearchSq(sq, queries100, 10, nProbe = nProbe), exact)
     val recR = Ann.recallAgainstExact(

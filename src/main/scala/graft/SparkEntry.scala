@@ -840,6 +840,18 @@ object SparkEntry {
       window = 16, overlap = 4)
       .orderBy("doc_id", "chunk_idx")
 
+  // Quality-aware dedup keep rule: q53's duplicate clusters, but keep
+  // the LONGEST doc of each cluster (ties → smallest id) instead of the
+  // smallest id — the "keep the best copy" policy of corpus dedup.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.2, numHashes = 128, bands = 32, ngram = 2)
+    Dedup.dropByClustersBest(docs, pairs, "doc_id", col("n_chars"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -905,7 +917,8 @@ object SparkEntry {
     "q60_unigram_nll" -> (q60 _),
     "q61_source_mixing" -> (q61 _),
     "q62_bigram_nll" -> (q62 _),
-    "q63_chunk_windows" -> (q63 _))
+    "q63_chunk_windows" -> (q63 _),
+    "q64_dedup_keep_best" -> (q64 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -1961,7 +1974,35 @@ object SparkEntry {
          SELECT doc_id, chunk_idx, start_tok,
                 CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
                 array_to_string(chunk, ' ') AS chunk_text
-         FROM c ORDER BY doc_id, chunk_idx"""
+         FROM c ORDER BY doc_id, chunk_idx""",
+
+    // q64: q53's cluster CTE + the keep-best rule (max n_chars, tie →
+    // min doc_id) via QUALIFY
+    "q64_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM j WHERE j >= 0.2),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id),
+         cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+                FROM reach GROUP BY id)
+         SELECT d.doc_id, cl.cluster_id, d.n_chars
+         FROM documents d JOIN cl USING (doc_id)
+         QUALIFY row_number() OVER (PARTITION BY cl.cluster_id
+           ORDER BY d.n_chars DESC, d.doc_id) = 1
+         ORDER BY d.doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

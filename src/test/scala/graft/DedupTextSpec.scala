@@ -144,6 +144,14 @@ class DedupTextSpec extends SparkSuite {
     val docs = nodes.withColumnRenamed("id", "id")
     assert(Dedup.dropByClusters(docs, pairs, "id")
       .as[Long].collect().toSet == Set(1L, 10L, 20L))
+
+    // keep-best: highest score wins the cluster, ties break to min id
+    val scored = docs.withColumn("q",
+      org.apache.spark.sql.functions.when(col("id") === 4L, 9)
+        .when(col("id").isin(11L, 12L), 7).otherwise(1))
+    val kept = Dedup.dropByClustersBest(scored, pairs, "id", col("q"))
+    assert(kept.select("id").as[Long].collect().toSet == Set(4L, 11L, 20L))
+    assert(kept.columns.contains("cluster_id"))
   }
 
   test("embeddingPairsExact size guard trips before the cross join") {
