@@ -217,6 +217,21 @@ object Bench {
         textDocs, "text", vocab, maxLength = 16, broadcastVocab = false).count()
     }
 
+    // Corpus line-dedup at 5M lines / 1M docs with a deliberately hot key
+    // distribution (~20% of lines drawn from a 1k-line boilerplate pool,
+    // ~1k copies each) — exercises the agg+join keeper path's map-side
+    // collapse of hot lines. Validation row, outside the headline total.
+    bench("x_line_dedup_1m", runs = 1) {
+      val lines = spark.range(5000000L).select(
+        (col("id") / 5).cast("long").as("doc_id"),
+        (col("id") % 5).cast("int").as("idx"),
+        when(pmod(xxhash64(col("id"), lit(9)), lit(5)) === 0,
+          concat(lit("boiler "), pmod(xxhash64(col("id"), lit(10)), lit(1000))))
+          .otherwise(concat(lit("unique line "), col("id"))).as("line"))
+      graft.operators.Dedup.dedupLinesKeepFirst(
+        lines, "doc_id", "idx", "line").count()
+    }
+
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",

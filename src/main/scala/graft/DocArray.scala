@@ -41,6 +41,18 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def findText(query: String, textCol: String = "text"): DataFrame =
     TextSearch.bm25(df, idCol, textCol, query)
 
+  /** Per-doc TF-IDF keyword profile (top-k terms by smooth-idf weight). */
+  def tfidfTopTerms(topK: Int, textCol: String = "text"): DataFrame =
+    TextSearch.tfidfTopTerms(df, idCol, textCol, topK)
+
+  /** Canonicalize a URI column in place (lowercase scheme/host, default
+    * ports and tracking params dropped, sorted query) — the
+    * normalize-before-dedup key for web corpora. */
+  def canonicalizeUris(uriCol: String = "uri",
+      dropPrefixes: Seq[String] = Seq("utm_")): DocArray =
+    wrap(df.withColumn(uriCol,
+      graft.functions.UrlFunctions.urlCanonicalize(col(uriCol), dropPrefixes)))
+
   /** match(other): knn results written into a `matches` column. */
   def matchWith(other: DocArray, k: Int, metric: String = "cosine",
       vecCol: String = "embedding", excludeSelf: Boolean = false): DocArray =

@@ -852,6 +852,66 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // TF-IDF top-terms per doc (keyword profiles / sparse retrieval
+  // vectors): smooth idf, window partitioned by doc — weight rounded to
+  // 6 dp for the hash gate (the q60 float rule).
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    TextSearch.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), round(col("weight"), 6).as("weight_r"))
+      .orderBy("doc_id", "rank")
+
+  // URL canonicalization (normalize-before-dedup for web corpora). The
+  // corpus carries no URLs, so the query manufactures one per doc from
+  // (source, doc_id) with every hazard the canonicalizer must survive:
+  // uppercase scheme/host, explicit default and non-default ports,
+  // trailing slashes, utm_* tracking params, unsorted params, fragments.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions._
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("www.")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 5 === 0, lit(":443"))
+        .when(col("doc_id") % 5 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/p"), (col("doc_id") % 7).cast("string"), lit("/item"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&ref="), col("source"),
+      when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("_u"))
+      .select(col("doc_id"),
+        urlHost(col("_u")).as("host"),
+        urlRegisteredDomain(col("_u")).as("reg_domain"),
+        urlPort(col("_u")).as("port"),
+        urlPathDepth(col("_u")).as("path_depth"),
+        urlCanonicalize(col("_u")).as("canon_url"))
+      .orderBy("doc_id")
+  }
+
+  // Corpus-level exact line dedup (RefinedWeb-style boilerplate removal):
+  // "lines" are 3-token chunks so the tiny synthetic vocabulary actually
+  // produces cross-doc duplicates and hot keys; only the globally-first
+  // copy of each line survives, then docs are reassembled from their
+  // surviving lines.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val lines = Pack.chunkTokens(t(s, dir, "documents"), "doc_id",
+      col("text"), window = 3)
+    val kept = Dedup.dedupLinesKeepFirst(lines, "doc_id", "chunk_idx",
+      "chunk_text")
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x("chunk_text")), " ").as("kept_text"))
+    lines.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_lines"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,7 +978,10 @@ object SparkEntry {
     "q61_source_mixing" -> (q61 _),
     "q62_bigram_nll" -> (q62 _),
     "q63_chunk_windows" -> (q63 _),
-    "q64_dedup_keep_best" -> (q64 _))
+    "q64_dedup_keep_best" -> (q64 _),
+    "q65_tfidf_terms" -> (q65 _),
+    "q66_url_canon" -> (q66 _),
+    "q67_line_dedup" -> (q67 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2002,7 +2065,97 @@ object SparkEntry {
          FROM documents d JOIN cl USING (doc_id)
          QUALIFY row_number() OVER (PARTITION BY cl.cluster_id
            ORDER BY d.n_chars DESC, d.doc_id) = 1
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // q65: smooth idf = ln((N+1)/(df+1)) + 1; weight rounded to 6 dp
+    // (the q60 float rule); top-5 via doc-partitioned row_number
+    "q65_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT doc_id, term, tf, df,
+                 tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS weight
+               FROM tf JOIN dfq USING (term), n)
+         SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+                CAST(tf AS INTEGER) AS tf, CAST(df AS INTEGER) AS df,
+                round(weight, 6) AS weight_r
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY weight DESC, term) AS rank FROM w)
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+
+    // q66: the same manufactured URL, parsed/canonicalized with RE2
+    // string ops (DuckDB has no parse_url); keepPort/utm-drop/sort rules
+    // mirror UrlFunctions.urlCanonicalize
+    "q66_url_canon" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+             source || '.Example.COM' ||
+             (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                   WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+             '/p' || CAST(doc_id % 7 AS VARCHAR) || '/item' ||
+             (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+             '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+             '&ref=' || source ||
+             (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS auth,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+           FROM u),
+         c AS (
+           SELECT doc_id, scheme,
+             lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+             regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+             regexp_replace(path, '/+$', '') AS pathn, path,
+             array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qn
+           FROM p),
+         h AS (SELECT *, string_split(host, '.') AS hl FROM c)
+         SELECT doc_id, host,
+           hl[len(hl)-1] || '.' || hl[len(hl)] AS reg_domain,
+           port,
+           CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+             AS INTEGER) AS path_depth,
+           scheme || '://' || host ||
+             (CASE WHEN port = '' THEN ''
+                   WHEN scheme = 'https' AND port = '443' THEN ''
+                   WHEN scheme = 'http' AND port = '80' THEN ''
+                   ELSE ':' || port END) ||
+             pathn ||
+             (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS canon_url
+         FROM h ORDER BY doc_id""",
+
+    // q67: 3-token lines (q63's chunk CTE at window=step=3); keep-first =
+    // row_number over (line → doc_id, idx); reassemble survivors in order
+    "q67_line_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         starts AS (
+           SELECT doc_id, l, unnest(range(0, len(l), 3)) AS s
+           FROM toks WHERE len(l) > 0),
+         lines AS (SELECT doc_id, CAST(s / 3 AS INTEGER) AS idx,
+                     array_to_string(l[s+1 : s+3], ' ') AS line FROM starts),
+         kept AS (SELECT doc_id, idx, line FROM lines
+                  QUALIFY row_number() OVER (PARTITION BY line
+                    ORDER BY doc_id, idx) = 1),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   array_to_string(list(line ORDER BY idx), ' ') AS kept_text
+                 FROM kept GROUP BY doc_id),
+         alln AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+         SELECT a.doc_id, CAST(a.n_lines AS INTEGER) AS n_lines,
+                CAST(coalesce(g.n_kept, 0) AS INTEGER) AS n_kept,
+                coalesce(g.kept_text, '') AS kept_text
+         FROM alln a LEFT JOIN agg g ON a.doc_id = g.doc_id
+         ORDER BY a.doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

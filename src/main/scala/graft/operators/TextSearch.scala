@@ -45,6 +45,37 @@ object TextSearch {
       .select(col("_id").as(idCol), col("score"))
   }
 
+  /** TF-IDF top terms per document — the per-doc keyword profile used for
+    * topic tagging and sparse (lexical) retrieval vectors. Smooth idf
+    * `ln((N+1)/(df+1)) + 1` (never zero, so single-doc terms still rank),
+    * weight = raw tf × idf.
+    *
+    * Scale shape: tf and df are two shuffled aggregations over the token
+    * explode (both with map-side partial combine); N rides along as a
+    * broadcast 1-row aggregate, never a driver-side count; the tf↔df join
+    * shuffles on the term (df is NOT broadcast — a web-scale vocabulary
+    * does not fit); the final top-k is a window PARTITIONED by doc, so no
+    * global sort anywhere. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("weight").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        col("tf") * (log((col("_n") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("_id").as(idCol), col("rank"), col("term"),
+        col("tf").cast("int").as("tf"), col("df").cast("int").as("df"),
+        col("weight"))
+  }
+
   /** Simple match search: docs containing >= minShould of the query's
     * distinct terms, scored by the count of matched terms. */
   def matchAny(docs: DataFrame, idCol: String, textCol: String, query: String,

@@ -314,4 +314,33 @@ class DedupTextSpec extends SparkSuite {
     assert(got(0L) == got(3L))
     assert(got(0L) != got(2L))
   }
+
+  test("dedupLinesKeepFirst keeps only the globally-first copy of each line") {
+    val lines = Seq(
+      (0L, 0, "accept all cookies"),
+      (0L, 1, "real content a"),
+      (1L, 0, "accept all cookies"), // corpus-wide dup of (0,0)
+      (1L, 1, "real content b"),
+      (2L, 0, "real content a"),     // corpus-wide dup of (0,1)
+      (2L, 1, "accept all cookies")
+    ).toDF("doc_id", "idx", "line")
+    val kept = Dedup.dedupLinesKeepFirst(lines, "doc_id", "idx", "line")
+      .select("doc_id", "idx").as[(Long, Int)].collect().toSet
+    assert(kept == Set((0L, 0), (0L, 1), (1L, 1)))
+  }
+
+  test("tfidf ranks a rare term above a ubiquitous one") {
+    val corpus = Seq(
+      (0L, "common zebra"),
+      (1L, "common other words"),
+      (2L, "common more words")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextSearch
+      .tfidfTopTerms(corpus, "doc_id", "text", 2)
+      .where(col("doc_id") === 0L).orderBy("rank")
+      .select("term").as[String].collect()
+    // zebra: tf=1 df=1 → w = ln(4/2)+1 ≈ 1.69; common: tf=1 df=3 → w = 1.0
+    assert(top.head == "zebra")
+    assert(top.toSet == Set("zebra", "common"))
+  }
 }

@@ -155,4 +155,24 @@ class PropertySpec extends SparkSuite {
       assert(got == expected, s"input=${s.take(60)}")
     }
   }
+
+  test("urlCanonicalize is idempotent over generated URL shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Example.COM", "www.example.com", "A.B.example.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/x", "/x/", "/x/y///")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=t&a=1", "?utm_only=1")
+      frag <- Gen.oneOf("", "#sec")
+    } yield s"$scheme://$host$port$path$query$frag"
+    forAll(gen, n = 40) { u =>
+      val Array(once, twice) = Seq(u).toDF("url").select(
+        graft.functions.UrlFunctions.urlCanonicalize($"url").as("c1"))
+        .select($"c1", graft.functions.UrlFunctions.urlCanonicalize($"c1"))
+        .as[(String, String)].collect().flatMap(t => Array(t._1, t._2))
+      assert(once == twice, s"not idempotent: $u → $once → $twice")
+    }
+  }
 }
