@@ -912,6 +912,63 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Unicode canonicalization (normalize-before-dedup for crawled text).
+  // The corpus is ASCII, so the query manufactures the hazards per doc:
+  // combining vs precomposed accents (NFC must fuse E+U+0301 → É, shrinking
+  // the codepoint count), precomposed ï/Ñ/ú (strip_accents must drop),
+  // mixed case, tab/space runs (cleanText must collapse).
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      // combining acute E+U+0301 (twice) vs precomposed U+00EF U+00D1 U+00FA;
+      // escapes kept explicit -- no invisible codepoints in source
+      lit("  CAFE\u0301 \t"), col("source"), lit("  na\u00EFve tou"),
+      lit("che\u0301\t\u00D1and\u00FA  #"), col("doc_id").cast("string"))
+    t(s, dir, "documents").select(col("doc_id"), raw.as("_raw"))
+      .select(col("doc_id"),
+        length(col("_raw")).as("n_raw"),
+        length(normalize_text(col("_raw"), "NFC")).as("n_nfc"),
+        strip_accents(normalize_text(col("_raw"), "NFC")).as("ascii_text"),
+        TextFunctions.cleanText(col("_raw")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // Hybrid lexical+vector retrieval with reciprocal-rank fusion: BM25 over
+  // documents, cosine-knn over embeddings (query = embedding 0), truncated
+  // at depth 50, fused as Σ 1/(60+rank). The collected query vector is the
+  // query PARAMETER (like q26's literal string), not corpus data.
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    TextSearch.hybridRrf(t(s, dir, "documents"), "doc_id", "text",
+        emb, "vec_id", "embedding", "spark table merge", qv,
+        k = 20, depth = 50)
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
+        round(col("rrf"), 6).as("rrf_r"))
+      .orderBy(col("rrf_r").desc, col("doc_id"))
+  }
+
+  // Duplicated-span coverage (Lee et al. substring-dedup signal): fraction
+  // of each doc's tokens covered by a 4-token run shared with another doc.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(t(s, dir, "documents"), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+
+  // Incremental corpus dedup: odd-id docs are the incoming batch, even-id
+  // docs the existing corpus; key = first-5-token prefix. The Bloom
+  // prefilter path is exact by construction (absent → new; maybe →
+  // verified by the anti-join), so it gates against the plain anti-join.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val key = array_join(slice(TextFunctions.tokens(col("text")), 1, 5), " ")
+    Dedup.newAgainstCorpusBloom(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        key, key, expectedItems = 100000L, numBits = 1L << 20)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -981,7 +1038,11 @@ object SparkEntry {
     "q64_dedup_keep_best" -> (q64 _),
     "q65_tfidf_terms" -> (q65 _),
     "q66_url_canon" -> (q66 _),
-    "q67_line_dedup" -> (q67 _))
+    "q67_line_dedup" -> (q67 _),
+    "q68_unicode_clean" -> (q68 _),
+    "q69_hybrid_rrf" -> (q69 _),
+    "q70_dup_spans" -> (q70 _),
+    "q71_incremental_dedup" -> (q71 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2155,7 +2216,107 @@ object SparkEntry {
                 CAST(coalesce(g.n_kept, 0) AS INTEGER) AS n_kept,
                 coalesce(g.kept_text, '') AS kept_text
          FROM alln a LEFT JOIN agg g ON a.doc_id = g.doc_id
-         ORDER BY a.doc_id"""
+         ORDER BY a.doc_id""",
+
+    // q68: same manufactured accents built from chr() codepoints (769 =
+    // U+0301 combining acute; 239/209/250 = precomposed ï/Ñ/ú); DuckDB
+    // nfc_normalize/strip_accents are the utf8proc twins of graft's
+    // NormalizeText/StripAccents
+    "q68_unicode_clean" ->
+      """WITH u AS (
+           SELECT doc_id,
+             '  CAFE' || chr(769) || ' ' || chr(9) || source ||
+             '  na' || chr(239) || 've tou' ||
+             'che' || chr(769) || chr(9) || chr(209) || 'and' || chr(250) ||
+             '  #' || CAST(doc_id AS VARCHAR) AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(raw) AS INTEGER) AS n_raw,
+           CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc,
+           strip_accents(nfc_normalize(raw)) AS ascii_text,
+           trim(regexp_replace(lower(strip_accents(nfc_normalize(raw))),
+             '[ \t\n\r]+', ' ', 'g')) AS clean_text
+         FROM u ORDER BY doc_id""",
+
+    // q69: q26's BM25 CTEs (rank on the 4-dp-rounded score — float-sum
+    // order differs between engines) + q11's cosine CTEs (rank on the raw
+    // distance — fixed-order dot product, bit-stable), each truncated to
+    // 50, full-outer fused with RRF k=60; absent rank = 0 contributes 0
+    "q69_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) tok FROM documents),
+         dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY 1),
+         stats AS (SELECT avg(dl) avgdl,
+           (SELECT count(*) FROM documents) n FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) tf FROM tok
+                WHERE tok IN ('spark','table','merge') GROUP BY 1,2),
+         dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+           sum( ln((stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0)
+              * tf.tf*(1.2+1)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) score
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+           GROUP BY 1),
+         tr AS (SELECT doc_id,
+           row_number() OVER (ORDER BY round(score,4) DESC, doc_id) rank_text
+           FROM sc),
+         ttop AS (SELECT * FROM tr WHERE rank_text <= 50),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT v qv FROM e WHERE vec_id = 0),
+         vd AS (SELECT e.vec_id id, 1.0 - list_cosine_similarity(qv, e.v) dist
+                FROM e, q),
+         vr AS (SELECT id, row_number() OVER (ORDER BY dist, id) rank_vec
+                FROM vd),
+         vtop AS (SELECT * FROM vr WHERE rank_vec <= 50),
+         fused AS (SELECT coalesce(t.doc_id, v.id) doc_id,
+             coalesce(t.rank_text, 0) rank_text,
+             coalesce(v.rank_vec, 0) rank_vec,
+             (CASE WHEN t.rank_text IS NULL THEN 0.0
+                   ELSE 1.0/(60+t.rank_text) END)
+           + (CASE WHEN v.rank_vec IS NULL THEN 0.0
+                   ELSE 1.0/(60+v.rank_vec) END) rrf
+           FROM ttop t FULL JOIN vtop v ON t.doc_id = v.id)
+         SELECT doc_id, CAST(rank_text AS INTEGER) AS rank_text,
+                CAST(rank_vec AS INTEGER) AS rank_vec,
+                round(rrf, 6) AS rrf_r
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+
+    // q70: 4-token shingles with start positions; duplicated = shingle in
+    // >= 2 distinct docs; coverage = distinct positions in the union of
+    // duplicated [s, s+4) windows
+    "q70_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         st AS (SELECT doc_id, l, unnest(range(0, greatest(len(l)-3,0))) AS s
+                FROM toks),
+         sh AS (SELECT doc_id, s, array_to_string(l[s+1:s+4], ' ') AS g FROM st),
+         dupg AS (SELECT g FROM (SELECT g, count(distinct doc_id) AS df
+                                 FROM sh GROUP BY 1) WHERE df >= 2),
+         ds AS (SELECT doc_id, s FROM sh JOIN dupg USING (g)),
+         cov AS (SELECT doc_id, count(distinct p) AS ndup
+                 FROM (SELECT doc_id, unnest(range(s, s+4)) AS p FROM ds)
+                 GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.l) AS INTEGER) AS n_tokens,
+                CAST(coalesce(c.ndup, 0) AS INTEGER) AS n_dup_tokens,
+                round(coalesce(c.ndup, 0) / greatest(len(t.l), 1), 6) AS dup_frac
+         FROM toks t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""",
+
+    // q71: the Bloom path is exact by construction, so the oracle is the
+    // plain NOT IN anti-join on the same first-5-token prefix key
+    "q71_incremental_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, source, n_chars,
+             array_to_string(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+               x -> x <> '')[1:5], ' ') AS k
+           FROM documents)
+         SELECT doc_id, source, n_chars FROM toks
+         WHERE doc_id % 2 = 1
+           AND k NOT IN (SELECT k FROM toks WHERE doc_id % 2 = 0)
+         ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

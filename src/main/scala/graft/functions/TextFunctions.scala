@@ -183,6 +183,18 @@ object TextFunctions {
     regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  // ---- unicode canonicalization ---------------------------------------
+
+  /** The normalize-before-dedup pass for crawled text: NFC-canonicalize,
+    * strip accents, lowercase, collapse runs of blank/newline whitespace
+    * to one space, trim. Every step is engine-portable (the whitespace
+    * class is spelled out — no `\s` semantics gap between regex engines). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.strip_accents(
+        graft.functions.normalize_text(text, "NFC"))),
+      "[ \\t\\n\\r]+", " "))
+
   /** Stopword-profile language ID over {en, fr, de, es} with a CJK-character
     * shortcut for zh. Returns the language code with the highest stopword hit
     * ratio, 'und' when nothing matches. */

@@ -99,6 +99,14 @@ package object functions {
   def feature_hash(tokens: Column, nDim: Int): Column =
     Bridge.column(FeatureHash(Bridge.expression(tokens), nDim))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column. */
+  def normalize_text(c: Column, form: String = "NFC"): Column =
+    Bridge.column(NormalizeText(Bridge.expression(c), form))
+
+  /** Drop combining accents (NFD → strip marks → NFC), utf8proc-style. */
+  def strip_accents(c: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(c)))
+
   private def dist(a: Column, b: Column, metric: String): Column =
     Bridge.column(
       VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
@@ -138,6 +146,10 @@ package object functions {
         Splitmix64Rank(exprs(0),
           if (exprs.length > 1) exprs(1).eval().toString.toLong else 0L)),
       "bytes_to_ints" -> (exprs => BytesToInts(exprs(0))),
+      "normalize_text" -> (exprs =>
+        NormalizeText(exprs(0),
+          if (exprs.length > 1) exprs(1).eval().toString else "NFC")),
+      "strip_accents" -> (exprs => StripAccents(exprs(0))),
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))))
   }

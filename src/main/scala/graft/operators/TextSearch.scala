@@ -76,6 +76,53 @@ object TextSearch {
         col("weight"))
   }
 
+  /** Hybrid lexical+vector retrieval with reciprocal-rank fusion — the
+    * standard two-tower search a RAG/retrieval pipeline runs: BM25 over the
+    * text corpus and cosine-knn over the embedding table, fused by
+    * RRF(d) = Σ 1/(rrfK + rank_i(d)) over the rankers that returned d in
+    * their top `depth`.
+    *
+    * Scale shape: each ranker is truncated to `depth` with
+    * `orderBy(...).limit(depth)` — Spark plans that as TakeOrderedAndProject
+    * (per-partition top-k, merge of k·parts rows), NOT a global sort; the
+    * within-list rank is then a window over ≤ depth rows (trivially one
+    * tiny partition) and the fusion is a full outer join of two ≤ depth
+    * lists. BM25 ranks on the 4-dp-rounded score (ties → id) because a
+    * float sum's partial-agg order is nondeterministic; cosine ranks on the
+    * raw distance (a fixed-order dot product, bit-stable). Docs missing
+    * from one list carry rank 0 = "not retrieved" and contribute nothing.
+    *
+    * Output: (id, rank_text, rank_vec, rrf), descending rrf. */
+  def hybridRrf(docs: DataFrame, docId: String, textCol: String,
+      vecs: DataFrame, vecId: String, vecCol: String,
+      queryText: String, queryVec: Array[Double],
+      k: Int, depth: Int = 50, rrfK: Int = 60): DataFrame = {
+    val ss = docs.sparkSession
+    val textScored = bm25(docs, docId, textCol, queryText)
+      .select(col(docId).as("_id"), round(col("score"), 4).as("_ts"))
+      .orderBy(col("_ts").desc, col("_id")).limit(depth)
+    val wT = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_ts").desc, col("_id"))
+    val textRank = textScored
+      .withColumn("rank_text", row_number().over(wT)).drop("_ts")
+
+    val qdf = ss.createDataFrame(Seq(Tuple2(0L, queryVec.toSeq)))
+      .toDF("_qid", "_qv")
+    val vecRank = graft.operators.Knn.bruteForce(
+        vecs, qdf, k = depth, metric = "cosine",
+        docId = vecId, docVec = vecCol, queryId = "_qid", queryVec = "_qv")
+      .select(col("id").as("_id"), col("rank").as("rank_vec"))
+
+    textRank.join(vecRank, Seq("_id"), "full")
+      .select(col("_id").as(docId),
+        coalesce(col("rank_text"), lit(0)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0)).as("rank_vec"))
+      .withColumn("rrf",
+        when(col("rank_text") > 0, lit(1.0) / (col("rank_text") + rrfK)).otherwise(0.0) +
+        when(col("rank_vec") > 0, lit(1.0) / (col("rank_vec") + rrfK)).otherwise(0.0))
+      .orderBy(col("rrf").desc, col(docId)).limit(k)
+  }
+
   /** Simple match search: docs containing >= minShould of the query's
     * distinct terms, scored by the count of matched terms. */
   def matchAny(docs: DataFrame, idCol: String, textCol: String, query: String,

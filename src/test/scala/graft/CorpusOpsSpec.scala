@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, TextSearch}
+
+/** Round-4 corpus operators: unicode cleaning, hybrid RRF retrieval,
+  * duplicated-span coverage, incremental (bloom-prefiltered) dedup. */
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("normalize_text NFC fuses combining accents; strip_accents drops them") {
+    // E + combining acute (U+0301), precomposed U+00EF, bare U+00F8 --
+    // escapes explicit, no invisible codepoints in source
+    val df = Seq(("CAFE\u0301 na\u00EFve \u00F8")).toDF("t")
+      .select(
+        length(col("t")).as("n_raw"),
+        length(normalize_text(col("t"))).as("n_nfc"),
+        strip_accents(col("t")).as("stripped"),
+        TextFunctions.cleanText(lit("  A\u0301  B \t C  ")).as("clean"))
+    val r = df.head
+    assert(r.getInt(0) == 13 && r.getInt(1) == 12) // E+U+0301 fused
+    assert(r.getString(2) == "CAFE naive \u00F8") // ø untouched
+    assert(r.getString(3) == "a b c")
+  }
+
+  test("normalize_text and strip_accents are SQL-registered") {
+    graft.functions.registerAll(spark)
+    // Spark's chr() wraps at 256, so spell the combining mark as a
+    // \uXXXX escape in the SQL literal instead
+    val r = spark.sql(
+      "SELECT strip_accents(normalize_text('Cafe\\u0301', 'NFC')) c")
+      .head.getString(0)
+    assert(r == "Cafe")
+  }
+
+  test("hybridRrf fuses both rankers; single-list docs score lower") {
+    val docs = Seq(
+      (0L, "spark query engine"), (1L, "spark table scan"),
+      (2L, "unrelated prose entirely"), (3L, "table of contents"))
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val got = TextSearch.hybridRrf(docs, "doc_id", "text",
+      vecs, "vec_id", "embedding", "spark table",
+      Array(1.0, 0.0), k = 4, depth = 3)
+      .collect()
+    // doc 0/1 rank in both lists; doc 2 is text-absent and vector-last
+    val byId = got.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(byId(0L)._1 > 0 && byId(0L)._2 == 1)
+    assert(byId(1L)._1 > 0 && byId(1L)._2 == 2)
+    // rrf of a doc present in both lists beats one present in one
+    val top = got.head
+    assert(top.getLong(0) == 0L || top.getLong(0) == 1L)
+    assert(byId.get(2L).forall(t => t._3 < byId(0L)._3))
+    // absent rank encoded as 0, contributes nothing
+    got.foreach { r => assert(r.getInt(1) >= 0 && r.getInt(2) >= 0) }
+  }
+
+  test("dupSpanCoverage: exact coverage of a planted shared run") {
+    // docs 0/1 share tokens 'a b c d' (positions 0-3 in 0; 2-5 in 1)
+    val d = Seq(
+      (0L, "a b c d x y z w"),
+      (1L, "p q a b c d r s"),
+      (2L, "m n o t u v")).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(d, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got(0) == ((0L, 8, 4, 0.5)))
+    assert(got(1) == ((1L, 8, 4, 0.5)))
+    assert(got(2) == ((2L, 6, 0, 0.0)))
+  }
+
+  test("dupSpanCoverage hot-shingle valve undercounts conservatively") {
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val capped = Dedup.dupSpanCoverage(d, "doc_id", "text", n = 4, maxDocFreq = 2)
+      .agg(sum("n_dup_tokens")).head.getLong(0)
+    val full = Dedup.dupSpanCoverage(d, "doc_id", "text", n = 4)
+      .agg(sum("n_dup_tokens")).head.getLong(0)
+    assert(capped == 0L && full == 12L)
+  }
+
+  test("bloom incremental dedup equals the exact anti-join") {
+    val corpus = (0L until 500L).map(i => (i, s"doc number $i content"))
+      .toDF("id", "text")
+    // batch: 100 overlapping keys, 400 new
+    val batch = (0L until 500L).map(i =>
+      (1000L + i, if (i < 100) s"doc number $i content" else s"fresh item $i"))
+      .toDF("id", "text")
+    val exact = Dedup.newAgainstCorpus(batch, corpus, col("text"), col("text"))
+      .select("id").as[Long].collect().toSet
+    val bloom = Dedup.newAgainstCorpusBloom(batch, corpus, col("text"), col("text"),
+      expectedItems = 1000L, numBits = 1L << 14)
+      .select("id").as[Long].collect().toSet
+    assert(exact.size == 400)
+    assert(bloom == exact)
+  }
+
+  test("bloom prefilter routes only maybe-rows into the verify join") {
+    // tiny filter → high fpp → still exact (verify join catches FPs)
+    val corpus = (0L until 200L).map(i => (i, s"k$i")).toDF("id", "text")
+    val batch = (0L until 200L).map(i => (500L + i, s"new$i")).toDF("id", "text")
+    val bloom = Dedup.newAgainstCorpusBloom(batch, corpus, col("text"), col("text"),
+      expectedItems = 200L, numBits = 256L)
+      .count()
+    assert(bloom == 200L)
+  }
+}
