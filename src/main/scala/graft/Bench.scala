@@ -232,6 +232,34 @@ object Bench {
         lines, "doc_id", "idx", "line").count()
     }
 
+    // Incremental corpus dedup at 1M batch vs 1M corpus keys with 5%
+    // overlap — the regime the bloom absent/maybe split is built for:
+    // ~95% of the batch bypasses the verify join entirely, so the join
+    // shuffles ~50k + fpp·1M rows instead of 1M. Validation row.
+    bench("x_bloom_dedup_1m", runs = 1) {
+      val corpus = spark.range(1000000L)
+        .select(concat(lit("k"), col("id")).as("text"))
+      val batch = spark.range(1000000L).select(
+        when(col("id") < 50000, concat(lit("k"), col("id")))
+          .otherwise(concat(lit("new"), col("id"))).as("text"))
+      Dedup.newAgainstCorpusBloom(batch, corpus, col("text"), col("text"),
+        expectedItems = 1000000L, numBits = 1L << 23).count()
+    }
+
+    // The V2 binary connector at 100k docs × 128-d embeddings: streamed
+    // shard write (count patched on commit) and partition-per-shard read.
+    // Validation rows — the format exists for reference interop, not as
+    // the analytics store (that's parquet).
+    bench("x_docbin_write_100k", runs = 1) {
+      graft.schema.DocSchema.fromColumns(
+          stored100k.select(col("id"), col("embedding")))
+        .write.format("graft-docbin").mode("overwrite").save(s"$tmp/docbin")
+    }
+    bench("x_docbin_read_100k", runs = 1) {
+      assert(spark.read.format("graft-docbin").load(s"$tmp/docbin")
+        .count() == 100000L)
+    }
+
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",

@@ -53,6 +53,31 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     wrap(df.withColumn(uriCol,
       graft.functions.UrlFunctions.urlCanonicalize(col(uriCol), dropPrefixes)))
 
+  /** Hybrid find: BM25 + cosine-knn fused by reciprocal rank (RRF). The
+    * vector side ranks `vectors` (an embedding table sharing this array's
+    * id space — pass this array itself for self-contained corpora). */
+  def findHybrid(queryText: String, queryVec: Array[Double], k: Int,
+      vectors: DocArray, textCol: String = "text",
+      vecCol: String = "embedding", depth: Int = 50): DataFrame =
+    TextSearch.hybridRrf(df, idCol, textCol, vectors.df, vectors.idCol,
+      vecCol, queryText, queryVec, k, depth)
+
+  /** Normalize text in place: NFC, accents stripped, lowercased,
+    * whitespace collapsed — the canonical form content dedup keys on. */
+  def cleanText(textCol: String = "text"): DocArray =
+    wrap(df.withColumn(textCol,
+      graft.functions.TextFunctions.cleanText(col(textCol))))
+
+  /** Per-doc duplicated-span coverage (fraction of tokens inside n-token
+    * runs shared with other docs) — the substring-dedup signal. */
+  def dupSpans(n: Int, textCol: String = "text"): DataFrame =
+    Dedup.dupSpanCoverage(df, idCol, textCol, n)
+
+  /** Rows of this array whose `key` is absent from `corpus` — incremental
+    * ingest dedup, Bloom-prefiltered but exact. */
+  def newAgainst(corpus: DocArray, key: Column): DocArray =
+    wrap(Dedup.newAgainstCorpusBloom(df, corpus.df, key, key))
+
   /** match(other): knn results written into a `matches` column. */
   def matchWith(other: DocArray, k: Int, metric: String = "cosine",
       vecCol: String = "embedding", excludeSelf: Boolean = false): DocArray =

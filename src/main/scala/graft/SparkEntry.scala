@@ -969,6 +969,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Fuzzy decontamination / incremental near-dedup: cross-corpus (odd =
+  // incoming batch, even = existing corpus) 2-gram-shingle Jaccard pairs
+  // at >= 0.2 — catches the paraphrase-level overlap q55's exact n-gram
+  // runs miss.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.jaccardPairsAgainst(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", threshold = 0.2, ngram = 2)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  // Duplicated-span REMOVAL (q70's rewrite twin): tokens covered by any
+  // cross-doc 4-run are dropped everywhere, docs reassembled in order.
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Dedup.maskDupSpans(t(s, dir, "documents"), "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1042,7 +1062,9 @@ object SparkEntry {
     "q68_unicode_clean" -> (q68 _),
     "q69_hybrid_rrf" -> (q69 _),
     "q70_dup_spans" -> (q70 _),
-    "q71_incremental_dedup" -> (q71 _))
+    "q71_incremental_dedup" -> (q71 _),
+    "q72_near_contamination" -> (q72 _),
+    "q73_mask_dup_spans" -> (q73 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2316,7 +2338,52 @@ object SparkEntry {
          SELECT doc_id, source, n_chars FROM toks
          WHERE doc_id % 2 = 1
            AND k NOT IN (SELECT k FROM toks WHERE doc_id % 2 = 0)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q72: q10's shingle CTEs, bipartite (odd join even), no a<b dedup —
+    // jaccard double division is bit-identical across engines
+    "q72_near_contamination" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         lt AS (SELECT doc_id a, unnest(s) sh FROM g WHERE doc_id % 2 = 1),
+         rt AS (SELECT doc_id b, unnest(s) sh FROM g WHERE doc_id % 2 = 0),
+         inter AS (SELECT a, b, count(*) shared
+                   FROM lt JOIN rt USING (sh) GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) n FROM g),
+         j AS (SELECT a, b, shared*1.0 / (sa.n + sb.n - shared) j
+               FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2 ORDER BY a, b""",
+
+    // q73: q70's duplicated-window CTEs; survivors = positions outside
+    // every dup window, reassembled in position order
+    "q73_mask_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         st AS (SELECT doc_id, l, unnest(range(0, greatest(len(l)-3,0))) AS s
+                FROM toks),
+         sh AS (SELECT doc_id, s, array_to_string(l[s+1:s+4], ' ') AS g FROM st),
+         dupg AS (SELECT g FROM (SELECT g, count(distinct doc_id) AS df
+                                 FROM sh GROUP BY 1) WHERE df >= 2),
+         cov AS (SELECT DISTINCT doc_id, p
+                 FROM (SELECT doc_id, unnest(range(s, s+4)) AS p
+                       FROM sh JOIN dupg USING (g))),
+         pos AS (SELECT doc_id, unnest(range(0, len(l))) AS p, l FROM toks),
+         kept AS (SELECT pos.doc_id, pos.p, pos.l[pos.p+1] AS tok
+                  FROM pos LEFT JOIN cov
+                    ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                  WHERE cov.p IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                   array_to_string(list(tok ORDER BY p), ' ') AS kept_text
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.l) AS INTEGER) AS n_tokens,
+                coalesce(a.n_kept, 0) AS n_kept,
+                coalesce(a.kept_text, '') AS kept_text
+         FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -97,7 +97,7 @@ object BinaryCodec {
   }
 
   /** Serialize one flat doc Row (DocSchema.flat order) to DocumentProto. */
-  private def docToProto(r: Row): Array[Byte] = {
+  private[sources] def docToProto(r: Row): Array[Byte] = {
     val w = new W
     def s(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
     w.str(1, s(0)) // id
@@ -141,7 +141,7 @@ object BinaryCodec {
   }
 
   /** One valid stream (header + framed docs) from an iterator of rows. */
-  private def streamBytes(rows: Iterator[Row]): Array[Byte] = {
+  private[sources] def streamBytes(rows: Iterator[Row]): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     var n = 0L
     rows.foreach { r =>
@@ -486,7 +486,7 @@ object BinaryCodec {
   }
 
   /** Parse one full stream (header + framed docs) → flat rows. */
-  private def parseStream(bytes: Array[Byte]): Iterator[Row] = {
+  private[sources] def parseStream(bytes: Array[Byte]): Iterator[Row] = {
     require(bytes.length >= 9 && bytes(0) == 1,
       s"unsupported stream version ${if (bytes.isEmpty) -1 else bytes(0)}")
     val n = ByteBuffer.wrap(bytes, 1, 8).getLong

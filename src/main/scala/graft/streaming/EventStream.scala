@@ -53,6 +53,19 @@ object EventStream {
       .drop("_content_key")
   }
 
+  /** Streaming incremental ingest dedup: pass through only stream rows
+    * whose key is absent from the static `corpus` — the streaming twin of
+    * `Dedup.newAgainstCorpus`. A stream-static LEFT ANTI equi-join: the
+    * static side is planned per micro-batch (so a growing corpus table is
+    * re-read), no streaming state at all. Combine with
+    * [[streamingDedupe]] to also drop within-stream re-arrivals. */
+  def streamingNewAgainstCorpus(stream: DataFrame, corpus: DataFrame,
+      streamKey: org.apache.spark.sql.Column,
+      corpusKey: org.apache.spark.sql.Column): DataFrame =
+    stream.join(corpus.select(corpusKey.as("_corpus_key")).distinct(),
+      streamKey === org.apache.spark.sql.functions.col("_corpus_key"),
+      "left_anti")
+
   /** Streaming knn: score a stream of query vectors against a static doc
     * table — stream-static cross join (docs broadcast) + the same bounded
     * top-k aggregate, in update mode. The streaming twin of `find()`. */

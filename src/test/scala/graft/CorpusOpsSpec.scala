@@ -100,6 +100,74 @@ class CorpusOpsSpec extends SparkSuite {
     assert(bloom == exact)
   }
 
+  test("plan shapes: RRF truncation is TakeOrdered, dup-spans never cross-join") {
+    val docs = (0L until 50L).map(i => (i, s"token$i spark table x$i"))
+      .toDF("doc_id", "text")
+    val vecs = (0L until 50L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val rrfPlan = TextSearch.hybridRrf(docs, "doc_id", "text", vecs,
+      "vec_id", "embedding", "spark", Array(1.0, 0.0), k = 5, depth = 10)
+      .queryExecution.executedPlan.toString
+    // depth truncation must be per-partition top-k + merge, not a global sort
+    assert(rrfPlan.contains("TakeOrderedAndProject"))
+    val spanPlan = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("CartesianProduct") &&
+      !spanPlan.contains("BroadcastNestedLoop"))
+  }
+
+  test("DocArray facade: cleanText / dupSpans / newAgainst / findHybrid") {
+    val da = DocArray((0L until 20L).map(i =>
+        (i, s"The  Word\u0301 $i spark table")).toDF("id", "text"),
+      idCol = "id")
+    assert(da.cleanText().df.select("text").as[String].head.contains("word"))
+    assert(da.dupSpans(2).count() == 20)
+    val corpus = DocArray((0L until 10L).map(i =>
+      (100L + i, s"the word\u0301 $i spark table")).toDF("id", "text"))
+    assert(da.newAgainst(corpus, org.apache.spark.sql.functions.lower(col("text")))
+      .count() == 20) // accents differ pre-clean -> all new
+    val vecs = DocArray((0L until 20L).map(i =>
+      (i, Seq(i.toDouble, 1.0))).toDF("id", "embedding"))
+    assert(da.findHybrid("spark", Array(1.0, 0.0), k = 5, vectors = vecs)
+      .count() == 5)
+  }
+
+  test("jaccardPairsAgainst: bipartite pairs only, exact jaccard, valve works") {
+    val batch = Seq((1L, "a b c d"), (3L, "x y z w"), (5L, "a b q r"))
+      .toDF("id", "text")
+    val corpus = Seq((0L, "a b c d"), (2L, "m n o p")).toDF("id", "text")
+    val got = Dedup.jaccardPairsAgainst(batch, corpus, "id", "text",
+      threshold = 0.2, ngram = 1)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // (1,0) identical sets j=1.0; (5,0) shares {a,b} of 6 -> 1/3
+    assert(got.toSeq == Seq((1L, 0L, 1.0), (5L, 0L, 2.0 / 6.0)))
+    // same-side near-dups (1 vs 5) must NOT pair
+    assert(!got.exists(r => r._1 == 1L && r._2 == 5L))
+    val capped = Dedup.jaccardPairsAgainst(batch, corpus, "id", "text",
+      threshold = 0.2, ngram = 1, maxDocFreq = 0).count()
+    assert(capped == 0L)
+  }
+
+  test("maskDupSpans drops exactly the covered tokens, keeps order") {
+    val d = Seq(
+      (0L, "a b c d x y z w"),
+      (1L, "p q a b c d r s"),
+      (2L, "m n o t u v")).toDF("doc_id", "text")
+    val got = Dedup.maskDupSpans(d, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(got(0) == ((0L, 8, 4, "x y z w")))
+    assert(got(1) == ((1L, 8, 4, "p q r s")))
+    assert(got(2) == ((2L, 6, 6, "m n o t u v")))
+  }
+
+  test("maskDupSpans: fully-duplicated doc masks to empty, not null") {
+    val d = Seq((0L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.maskDupSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(got.forall(r => r._3 == 0 && r._4 == ""))
+  }
+
   test("bloom prefilter routes only maybe-rows into the verify join") {
     // tiny filter → high fpp → still exact (verify join catches FPs)
     val corpus = (0L until 200L).map(i => (i, s"k$i")).toDF("id", "text")

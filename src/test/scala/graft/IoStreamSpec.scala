@@ -705,6 +705,22 @@ class IoStreamSpec extends SparkSuite {
     assert(got.toSeq == Seq("dup", "unique"))
   }
 
+  test("streaming new-against-corpus passes only unseen keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val corpus = Seq("seen a", "seen b").toDF("text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "seen a"), (2L, "fresh x"), (3L, "seen b"), (4L, "fresh y"))
+    val out = EventStream.streamingNewAgainstCorpus(
+      mem.toDF().toDF("id", "text"), corpus, col("text"), col("text"))
+      .writeStream.outputMode("append").format("memory").queryName("snac")
+      .trigger(Trigger.AvailableNow()).start()
+    out.processAllAvailable(); out.stop()
+    val got = spark.sql("SELECT id FROM snac").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L))
+  }
+
   test("watermark: append-mode windows emit on close, too-late rows dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
