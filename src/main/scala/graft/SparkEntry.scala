@@ -989,6 +989,25 @@ object SparkEntry {
     Dedup.maskDupSpans(t(s, dir, "documents"), "doc_id", "text", n = 4)
       .orderBy("doc_id")
 
+  // Deterministic signed random projection 64 → 16 (JL sketch with ±1
+  // signs from the splitmix64 low bit): inputs quantized to round(x·1e4)
+  // so the sums are exact integers — the whole matmul replays bit-for-bit
+  // in DuckDB's HUGEINT splitmix chain. Output exploded (vec_id, j, v).
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      posexplode(Ann.randomProjectionInt(col("embedding"), 64, 16, seed = 9))
+        .as(Seq("j", "v")))
+      .orderBy("vec_id", "j")
+
+  // Quality-weighted subsampling: keep doc i iff
+  // pmod(splitmix64(doc_id+5), 1e6) < round(quality·1e6) — quality is
+  // q21's gated score, the draw is pure integer arithmetic.
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleWeighted(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), seed = 5, key = col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1064,7 +1083,9 @@ object SparkEntry {
     "q70_dup_spans" -> (q70 _),
     "q71_incremental_dedup" -> (q71 _),
     "q72_near_contamination" -> (q72 _),
-    "q73_mask_dup_spans" -> (q73 _))
+    "q73_mask_dup_spans" -> (q73 _),
+    "q74_random_projection" -> (q74 _),
+    "q75_weighted_sample" -> (q75 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2383,7 +2404,55 @@ object SparkEntry {
          SELECT t.doc_id, CAST(len(t.l) AS INTEGER) AS n_tokens,
                 coalesce(a.n_kept, 0) AS n_kept,
                 coalesce(a.kept_text, '') AS kept_text
-         FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""
+         FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+
+    // q74: sign matrix = splitmix chain over range(0, 64·16), key
+    // mk = i·16+j, sign = low bit of rk; inputs quantized to BIGINT so
+    // the grouped sum is exact in any order (double-cast before the
+    // multiply — FLOAT×INT in DuckDB would stay single-precision)
+    "q74_random_projection" ->
+      s"""WITH m0 AS (SELECT unnest(range(0, 1024)) AS mk),
+         ${splitmixChainSql("mk", 9L, from = "m0", key = "mk")}
+         , m AS (SELECT mk // 16 AS i, CAST(mk % 16 AS INTEGER) AS j,
+             CASE WHEN ((rk % 2) + 2) % 2 = 1 THEN 1 ELSE -1 END AS s
+           FROM ranked),
+         ex AS (SELECT vec_id, embedding,
+             unnest(range(0, len(embedding))) AS i FROM embeddings),
+         q AS (SELECT vec_id, i,
+             CAST(round(CAST(embedding[i+1] AS DOUBLE) * 10000) AS BIGINT) AS qv
+           FROM ex),
+         p AS (SELECT vec_id, j, sum(qv * s) AS v
+               FROM q JOIN m USING (i) GROUP BY 1, 2)
+         SELECT vec_id, j, CAST(v AS BIGINT) AS v FROM p
+         ORDER BY vec_id, j""",
+
+    // q75: q21's quality CTEs + the q52 splitmix chain (seed 5); the keep
+    // test is all-integer after the one round
+    "q75_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         m AS (SELECT doc_id,
+           least(len(tok)/50.0, 1.0) AS len_score,
+           CASE WHEN len(tok)=0 THEN 0.0
+                ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok)
+           END AS mtl,
+           CASE WHEN length(text)=0 THEN 0.0
+                ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
+                     / length(text) END AS punct
+           FROM t),
+         qual AS (SELECT d.doc_id, d.source, d.n_chars,
+             round((m.len_score
+               + (CASE WHEN m.mtl >= 3 AND m.mtl <= 10 THEN 1.0
+                       WHEN m.mtl = 0.0 THEN 0.0 ELSE 0.5 END)
+               + (1.0 - least(m.punct*5.0, 1.0))) / 3.0, 6) AS quality
+           FROM m JOIN documents d ON m.doc_id = d.doc_id),
+         ${splitmixChainSql("doc_id, source, n_chars, quality", 5L,
+             from = "qual")}
+         SELECT doc_id, source, n_chars FROM ranked
+         WHERE ((rk % 1000000) + 1000000) % 1000000
+               < CAST(round(quality * 1000000) AS BIGINT)
+         ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
@@ -2391,10 +2460,11 @@ object SparkEntry {
     * the carried columns and seed. Kept textually identical to the
     * hand-written q52/q58 chains — one splitmix64 definition, one oracle
     * encoding of it. */
-  private def splitmixChainSql(cols: String, seed: Long): String =
+  private def splitmixChainSql(cols: String, seed: Long,
+      from: String = "documents", key: String = "doc_id"): String =
     s"""s1 AS (SELECT $cols,
-           (CAST(doc_id AS HUGEINT) + $seed + 11400714819323198485) % 18446744073709551616 AS x
-         FROM documents),
+           (CAST($key AS HUGEINT) + $seed + 11400714819323198485) % 18446744073709551616 AS x
+         FROM $from),
          s2 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                      CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
             + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),

@@ -325,6 +325,33 @@ object Ann {
 
   /** Train the codebook: one distributed min/max pass per dimension
     * (exact, order-independent — no determinism caveats). */
+  /** Deterministic signed (±1) random projection R^dim → R^outDim (the
+    * Achlioptas flavor of the JL sketch — the cheap dimensionality
+    * reduction a pipeline runs before LSH banding or coarse clustering).
+    * s(i,j) = ±1 from the low bit of splitmix64(i·outDim + j + seed);
+    * inputs quantize to integers (round(x·quant)) so the accumulation is
+    * EXACT in any evaluation order — the projection replays bit-for-bit
+    * on any engine with 64-bit ints, which is what makes it oracle-gatable.
+    * Zero-shuffle: a scalar expression riding the scan projection.
+    * [[randomProjectionInt]] exposes the raw integer sums (exact);
+    * this wrapper de-quantizes back to doubles. */
+  def randomProjection(vec: Column, dim: Int, outDim: Int, seed: Long = 42L,
+      quant: Double = 10000.0): Column =
+    transform(randomProjectionInt(vec, dim, outDim, seed, quant),
+      v => v.cast("double") / quant)
+
+  def randomProjectionInt(vec: Column, dim: Int, outDim: Int,
+      seed: Long = 42L, quant: Double = 10000.0): Column = {
+    val qv = transform(vec, x => round(x.cast("double") * quant).cast("long"))
+    val outs = (0 until outDim).map { j =>
+      val signs = Array.tabulate(dim)(i =>
+        if ((Fnv64.mix(i.toLong * outDim + j + seed) & 1L) == 1L) 1L else -1L)
+      aggregate(zip_with(qv, lit(signs), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    array(outs: _*)
+  }
+
   def sqTrain(docs: DataFrame, vecCol: String): SqCodebook = {
     import org.apache.spark.ml.stat.Summarizer
     val row = docs

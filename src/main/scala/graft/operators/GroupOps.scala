@@ -92,6 +92,19 @@ object GroupOps {
     df.withColumn("_rk", rk).orderBy(col("_rk")).limit(k).drop("_rk")
   }
 
+  /** Quality-weighted subsampling: keep each row independently with
+    * probability `weight` ∈ [0,1] — the "sample high-quality docs more"
+    * downsampling rule (weight = a quality score, a decay by age, a
+    * per-domain factor...). Deterministic and engine-portable: the draw is
+    * pmod(splitmix64(key+seed), 10^6) < round(weight·10^6) — all integer
+    * arithmetic after the one rounding, so the same rows survive on any
+    * engine and any partitioning. Zero-shuffle scan-level filter. */
+  def sampleWeighted(df: DataFrame, weight: Column, seed: Long,
+      key: Column): DataFrame = {
+    val u = pmod(graft.functions.splitmix64_rank(key, seed), lit(1000000L))
+    df.where(u < round(weight.cast("double") * 1000000.0).cast("long"))
+  }
+
   /** Stratified deterministic sample: at most k rows per group, drawn in
     * splitmix64(key + seed) order (key as tiebreak — unreachable for
     * integral keys, but makes the contract total). The corpus-balancing

@@ -168,6 +168,42 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.forall(r => r._3 == 0 && r._4 == ""))
   }
 
+  test("randomProjection: deterministic, sign-balanced, JL-ish distance preservation") {
+    import graft.operators.Ann
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(64)(rng.nextGaussian().toFloat))).toDF("id", "v")
+    val proj = vecs.select(col("id"),
+      Ann.randomProjection(col("v"), 64, 16, seed = 9).as("p"))
+    // deterministic across evaluations
+    val a = proj.orderBy("id").collect().map(_.getSeq[Double](1))
+    val b = proj.orderBy("id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+    // E[|Rx|^2] = dim_out/... — with ±1 signs, E[|Rx|²] = outDim·|x|²;
+    // check the norm ratio concentrates (JL): mean within 25%
+    val ratios = vecs.join(proj, "id").select(
+      (aggregate(col("p"), lit(0.0), (s, x) => s + x * x) /
+       (aggregate(col("v").cast("array<double>"), lit(0.0), (s, x) => s + x * x)
+         * 16.0)).as("r")).as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.75 && mean < 1.25, s"norm ratio mean $mean")
+  }
+
+  test("sampleWeighted: endpoints exact, fraction tracks the weight") {
+    import graft.operators.GroupOps
+    val d = spark.range(10000).toDF("id")
+    assert(GroupOps.sampleWeighted(d, lit(0.0), 1L, col("id")).count() == 0)
+    assert(GroupOps.sampleWeighted(d, lit(1.0), 1L, col("id")).count() == 10000)
+    val kept = GroupOps.sampleWeighted(d, lit(0.3), 1L, col("id")).count()
+    assert(kept > 2700 && kept < 3300, s"kept $kept of 10000 at w=0.3")
+    // deterministic: same seed/key → same rows
+    val s1 = GroupOps.sampleWeighted(d, lit(0.3), 1L, col("id"))
+      .as[Long].collect().toSet
+    val s2 = GroupOps.sampleWeighted(d, lit(0.3), 1L, col("id"))
+      .as[Long].collect().toSet
+    assert(s1 == s2)
+  }
+
   test("bloom prefilter routes only maybe-rows into the verify join") {
     // tiny filter → high fpp → still exact (verify join catches FPs)
     val corpus = (0L until 200L).map(i => (i, s"k$i")).toDF("id", "text")
