@@ -232,6 +232,25 @@ object Bench {
         lines, "doc_id", "idx", "line").count()
     }
 
+    // BPE tokenizer at the 1M-doc regime: train = one distributed
+    // pre-token count (the corpus-scale pass) + the driver-side merge
+    // loop on ~50k distinct words; encode = the greedy-merge expression
+    // over all 1M docs. Validation rows.
+    locally {
+      val textDocs = spark.range(1000000L).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      var merges: Seq[(String, String)] = Nil
+      bench("x_bpe_train100_1m", runs = 1) {
+        merges = graft.operators.Bpe.train(textDocs, col("text"), numMerges = 100)
+      }
+      bench("x_bpe_encode_1m", runs = 1) {
+        textDocs.select(sum(size(
+          graft.operators.Bpe.encode(col("text"), merges)))).collect()
+      }
+    }
+
     // Incremental corpus dedup at 1M batch vs 1M corpus keys with 5%
     // overlap — the regime the bloom absent/maybe split is built for:
     // ~95% of the batch bypasses the verify join entirely, so the join

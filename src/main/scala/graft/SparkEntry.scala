@@ -1008,6 +1008,14 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  // BPE training's corpus-scale pass: round-1 adjacent pair counts over
+  // pre-token word counts (top 20 by count desc, pair asc) — gates the
+  // distributed half of Bpe.train; the iterative fit + greedy encode are
+  // spec-gated (BpeSpec, incl. the textbook merge order).
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Bpe.pairCounts(t(s, dir, "documents"), col("text"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1085,7 +1093,8 @@ object SparkEntry {
     "q72_near_contamination" -> (q72 _),
     "q73_mask_dup_spans" -> (q73 _),
     "q74_random_projection" -> (q74 _),
-    "q75_weighted_sample" -> (q75 _))
+    "q75_weighted_sample" -> (q75 _),
+    "q76_bpe_pair_counts" -> (q76 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2452,7 +2461,21 @@ object SparkEntry {
          SELECT doc_id, source, n_chars FROM ranked
          WHERE ((rk % 1000000) + 1000000) % 1000000
                < CAST(round(quality * 1000000) AS BIGINT)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q76: the same GPT-2-style pre-tokenizer regex (q50), word counts,
+    // adjacent char pairs weighted by count
+    "q76_bpe_pair_counts" ->
+      s"""WITH pre AS (SELECT unnest(regexp_extract_all(text,
+             '${TextFunctions.bpePattern.replace("'", "''")}')) AS w
+           FROM documents),
+         wc AS (SELECT w, count(*) AS n FROM pre GROUP BY 1),
+         ch AS (SELECT n, w, unnest(range(1, length(w))) AS i
+                FROM wc WHERE length(w) >= 2),
+         pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, sum(n) AS cnt
+                FROM ch GROUP BY 1, 2)
+         SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pr
+         ORDER BY cnt DESC, a, b LIMIT 20"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

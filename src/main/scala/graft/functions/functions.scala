@@ -99,6 +99,15 @@ package object functions {
   def feature_hash(tokens: Column, nDim: Int): Column =
     Bridge.column(FeatureHash(Bridge.expression(tokens), nDim))
 
+  /** BPE tokens after applying a trained merge list (see operators.Bpe). */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(text), merges))
+
+  /** BPE token ids in `vocab` (−1 for out-of-vocab symbols). */
+  def bpe_encode_ids(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[String]): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(text), merges, vocab))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column. */
   def normalize_text(c: Column, form: String = "NFC"): Column =
     Bridge.column(NormalizeText(Bridge.expression(c), form))
