@@ -1016,6 +1016,23 @@ object SparkEntry {
     Bpe.pairCounts(t(s, dir, "documents"), col("text"))
       .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
 
+  // End-to-end RAG ingestion+retrieval, composed from gated primitives:
+  // chunk (q63's windows) → hashing-trick chunk embeddings (q46's kernel)
+  // → cosine top-10 against the query's embedding. One declarative plan:
+  // scan → chunk explode → scalar embed → distance → TakeOrdered.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Pack.chunkTokens(t(s, dir, "documents"), "doc_id",
+      col("text"), window = 16, overlap = 4)
+    val qv = feature_hash(array(lit("spark"), lit("table"), lit("merge")), 16)
+    chunks.select(col("doc_id"), col("chunk_idx"),
+        feature_hash(TextFunctions.tokens(col("chunk_text")), 16).as("_v"))
+      .where(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x) > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        cosine_distance(col("_v"), qv).as("_d"))
+      .orderBy(col("_d"), col("doc_id"), col("chunk_idx")).limit(10)
+      .select(col("doc_id"), col("chunk_idx"), round(col("_d"), 6).as("distance"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1094,17 +1111,23 @@ object SparkEntry {
     "q73_mask_dup_spans" -> (q73 _),
     "q74_random_projection" -> (q74 _),
     "q75_weighted_sample" -> (q75 _),
-    "q76_bpe_pair_counts" -> (q76 _))
+    "q76_bpe_pair_counts" -> (q76 _),
+    "q77_rag_pipeline" -> (q77 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
     * multiplies, bucket = truncated remainder, sign = finalizer low bit →
     * `cells(doc_id, idx, s)` plus the zero-fill `grid(doc_id, idx)`. */
-  private val featureHashCellsSql: String =
+  private val featureHashCellsSql: String = featureHashCellsSqlFrom(
     """tok AS (
            SELECT doc_id, unnest(list_filter(
              string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-           FROM documents),
+           FROM documents)""", "documents")
+
+  /** The same chain over an arbitrary `tok(doc_id, w)` CTE (q77 feeds it
+    * chunk-keyed tokens); `gridSrc` supplies the zero-fill key set. */
+  private def featureHashCellsSqlFrom(tokCte: String, gridSrc: String): String =
+    tokCte + """,
          th AS (
            SELECT doc_id, list_reduce(
              list_prepend(CAST(14695981039346656037 AS HUGEINT),
@@ -1138,7 +1161,7 @@ object SparkEntry {
            FROM m3),
          contrib AS (SELECT doc_id, CAST(((hs % 16) + 16) % 16 AS INTEGER) AS idx, sg FROM sgn),
          cells AS (SELECT doc_id, idx, sum(sg) AS s FROM contrib GROUP BY doc_id, idx),
-         grid AS (SELECT d.doc_id, g.idx FROM documents d
+         grid AS (SELECT d.doc_id, g.idx FROM """ + gridSrc + """ d
                   JOIN (SELECT CAST(x AS INTEGER) idx FROM range(0, 16) t(x)) g ON true)"""
 
   /** DuckDB-runnable oracles, one per SQL-expressible query. Tokenization,
@@ -2475,7 +2498,42 @@ object SparkEntry {
          pr AS (SELECT w[i:i] AS a, w[i+1:i+1] AS b, sum(n) AS cnt
                 FROM ch GROUP BY 1, 2)
          SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM pr
-         ORDER BY cnt DESC, a, b LIMIT 20"""
+         ORDER BY cnt DESC, a, b LIMIT 20""",
+
+    // q77: q63's chunk CTEs feed q46's hash chain keyed by the composite
+    // ck = doc_id·100 + chunk_idx (≤ 9 chunks/doc — max 99 tokens); the
+    // query's 3 tokens ride the same chain under key −1; cosine via
+    // list_cosine_similarity on the zero-filled 16-d vectors
+    "q77_rag_pipeline" ->
+      s"""WITH dtoks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         dstarts AS (
+           SELECT doc_id, l, unnest(range(0, len(l), 12)) AS st
+           FROM dtoks WHERE len(l) > 0),
+         chnk AS (SELECT doc_id * 100 + CAST(st / 12 AS BIGINT) AS ck,
+                    l[st+1 : st+16] AS chunk FROM dstarts),
+         ${featureHashCellsSqlFrom(
+          """tok AS (
+           SELECT ck AS doc_id, unnest(chunk) AS w FROM chnk
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), unnest(['spark','table','merge']))""",
+          "(SELECT DISTINCT doc_id FROM tok)")},
+         vecs AS (SELECT g.doc_id AS ck,
+             list(coalesce(c2.s, 0.0) ORDER BY g.idx) AS v
+           FROM grid g LEFT JOIN cells c2
+             ON g.doc_id = c2.doc_id AND g.idx = c2.idx
+           GROUP BY g.doc_id),
+         qv AS (SELECT v FROM vecs WHERE ck = -1),
+         d AS (SELECT cv.ck, 1.0 - list_cosine_similarity(cv.v, qv.v) AS dist
+               FROM vecs cv, qv
+               WHERE cv.ck >= 0
+                 AND list_sum(list_transform(cv.v, x -> x*x)) > 0)
+         SELECT CAST(ck // 100 AS BIGINT) AS doc_id,
+                CAST(ck % 100 AS INTEGER) AS chunk_idx,
+                round(dist, 6) AS distance
+         FROM (SELECT * FROM d ORDER BY dist, ck LIMIT 10)
+         ORDER BY dist, ck"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
