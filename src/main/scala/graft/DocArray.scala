@@ -78,6 +78,27 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def newAgainst(corpus: DocArray, key: Column): DocArray =
     wrap(Dedup.newAgainstCorpusBloom(df, corpus.df, key, key))
 
+  /** SemDeDup: drop semantic near-duplicates (cosine distance below
+    * `threshold` inside learned embedding clusters), keeping the
+    * best-`score` copy of each duplicate group. */
+  def semanticDedup(threshold: Double, nCells: Int, score: Column,
+      vecCol: String = "embedding"): DocArray =
+    wrap(Dedup.semanticDedup(df, idCol, vecCol, threshold, nCells, score))
+
+  /** Train a BPE tokenizer on this corpus (distributed count pass +
+    * deterministic merge fit). */
+  def trainBpe(numMerges: Int, textCol: String = "text"): Seq[(String, String)] =
+    Bpe.train(df, col(textCol), numMerges)
+
+  /** Tokenize with a trained BPE merge list into a `bpe_tokens` column. */
+  def tokenizeBpe(merges: Seq[(String, String)],
+      textCol: String = "text"): DocArray =
+    wrap(df.withColumn("bpe_tokens", Bpe.encode(col(textCol), merges)))
+
+  /** Keep each doc with probability `weight` (deterministic, seeded). */
+  def sampleWeighted(weight: Column, seed: Long): DocArray =
+    wrap(GroupOps.sampleWeighted(df, weight, seed, col(idCol)))
+
   /** match(other): knn results written into a `matches` column. */
   def matchWith(other: DocArray, k: Int, metric: String = "cosine",
       vecCol: String = "embedding", excludeSelf: Boolean = false): DocArray =

@@ -204,6 +204,44 @@ class CorpusOpsSpec extends SparkSuite {
     assert(s1 == s2)
   }
 
+  test("semanticPairs finds planted near-dups inside learned clusters") {
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(11)
+    // 4 well-separated gaussian clusters of 30 docs, plus planted
+    // near-identical twins inside cluster 0
+    val base = Array.tabulate(4)(c => Array.tabulate(8)(d =>
+      if (d % 4 == c % 4) 5.0 else 0.0))
+    val docs = (0 until 120).map { i =>
+      val c = i % 4
+      val v = base(c).map(x => (x + rng.nextGaussian() * 0.3).toFloat)
+      (i.toLong, v.toSeq)
+    } ++ Seq((200L, base(0).map(_.toFloat + 0.001f).toSeq),
+             (201L, base(0).map(_.toFloat + 0.002f).toSeq))
+    val df = docs.toDF("id", "v")
+    val pairs = Dedup.semanticPairs(df, "id", "v",
+      threshold = 0.0001, nCells = 4, seed = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((200L, 201L)))
+    // verify step is exact: no pair below the cosine threshold leaks in
+    val all = Dedup.semanticPairs(df, "id", "v",
+      threshold = 0.0001, nCells = 4, seed = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(all.forall(_._3 < 0.0001))
+  }
+
+  test("semanticDedup keeps the best copy per duplicate cluster") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 5),
+      (1L, Seq(1f, 0.001f, 0f, 0f), 9), // near-dup of 0, higher score
+      (2L, Seq(0f, 0f, 1f, 0f), 3))
+      .toDF("id", "v", "score")
+    val kept = Dedup.semanticDedup(df, "id", "v", threshold = 0.001,
+      nCells = 2, score = col("score"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("bloom prefilter routes only maybe-rows into the verify join") {
     // tiny filter → high fpp → still exact (verify join catches FPs)
     val corpus = (0L until 200L).map(i => (i, s"k$i")).toDF("id", "text")
