@@ -199,6 +199,36 @@ object Bench {
         Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410, rerank = 50,
           docs = stored), exact) * 1000).toDouble
       sq.coded.unpersist()
+
+      // PQ codes: 32 B/vector (m=32 over 128 dims, 2 bits/dim) — 16×
+      // smaller than the float32 base table, 4× smaller than SQ8. The ADC
+      // scan does m table adds per (doc, probing query) instead of dim
+      // multiply-adds; the rerank row refines top-100 exactly against the
+      // base table. m was tuned empirically on this corpus: at m=16
+      // (1 bit/dim) the uniform 128-d corpus — PQ's adversarial case, no
+      // structure to exploit — scrambles the candidate funnel (recall
+      // 0.32 raw / 0.72 even at rerank=200), while m=32 + rerank=100
+      // reaches the IVF probe ceiling itself (0.853 vs 0.857 at 200k).
+      val tpq = System.nanoTime()
+      val pcb = Ann.pqTrain(stored, "id", "embedding", m = 32,
+        sampleFraction = 0.05)
+      val pq0 = Ann.pqAttach(idx, pcb)
+      val pq = pq0.copy(coded = pq0.coded.cache())
+      pq.coded.count()
+      results("ann_pq_encode_1m") = (System.nanoTime() - tpq) / 1e9
+      bench("ann_pq_search100") {
+        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410).count()
+      }
+      bench("ann_pq_rerank100") {
+        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410,
+          rerank = 100, docs = stored).count()
+      }
+      results("ann_pq_recall10_x1000") = math.round(Ann.recallAgainstExact(
+        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410), exact) * 1000).toDouble
+      results("ann_pqr_recall10_x1000") = math.round(Ann.recallAgainstExact(
+        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410, rerank = 100,
+          docs = stored), exact) * 1000).toDouble
+      pq.coded.unpersist()
       idx.assigned.unpersist()
     }
 

@@ -99,6 +99,22 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def sampleWeighted(weight: Column, seed: Long): DocArray =
     wrap(GroupOps.sampleWeighted(df, weight, seed, col(idCol)))
 
+  /** Write as parquet clustered on the z-curve of `cols` — multi-column
+    * min/max pruning for any stats-aware reader. */
+  def saveZOrdered(path: String, nFiles: Int, bits: Int,
+      cols: String*): Unit =
+    ZOrder.writeZOrdered(df, path, nFiles, bits, cols: _*)
+
+  /** DSIR importance resampling: keep the `k` docs most like `target`
+    * under hashed-n-gram bag models (Xie et al. 2023). */
+  def dsirResample(target: DocArray, k: Int, buckets: Int = 1 << 16,
+      textCol: String = "text"): DocArray = {
+    val keep = Dsir.resampleTop(
+      Dsir.importanceWeights(df, target.df, idCol, col(textCol), buckets),
+      idCol, k).select(col(idCol))
+    wrap(df.join(keep, Seq(idCol)))
+  }
+
   /** match(other): knn results written into a `matches` column. */
   def matchWith(other: DocArray, k: Int, metric: String = "cosine",
       vecCol: String = "embedding", excludeSelf: Boolean = false): DocArray =

@@ -1033,6 +1033,46 @@ object SparkEntry {
       .select(col("doc_id"), col("chunk_idx"), round(col("_d"), 6).as("distance"))
   }
 
+  // DSIR importance resampling (Xie et al. 2023): score every doc's
+  // hashed unigram+bigram counts under target (lang='en') vs raw bag
+  // models, keep the 100 most target-like. The per-bucket log ratio is
+  // the only float — rounded once to 6 dp (the q60 rule) and fixed as a
+  // decimal, so each doc's weight is an exact decimal dot-product and
+  // the whole draw replays bit-for-bit in the oracle's FNV chain.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = Dsir.importanceWeights(d, d.filter(col("lang") === "en"),
+      "doc_id", col("text"), buckets = 4096)
+    Dsir.resampleTop(w, "doc_id", 100)
+      .select(col("doc_id"), col("n_feats"), col("weight"))
+      .orderBy("doc_id")
+  }
+
+  // Z-order (Morton) clustering key — the multi-column layout sort of
+  // lakehouse OPTIMIZE ZORDER, here as pure builtin bit-math: min/max
+  // scale both keys to 16 bits, interleave, walk the curve. Gates the
+  // integer pipeline end to end (scale → interleave → curve order);
+  // the layout/pruning payoff is spec-asserted in ZOrderSpec.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    ZOrder.withZValue(l, bits = 16, "l_partkey", "l_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("_z").as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+  }
+
+  // Hard-triplet mining (metric-learning batch construction): per
+  // anchor, nearest same-label (hard positive) and nearest other-label
+  // (hard negative) neighbor. kCand=2000 ≥ every sf's corpus, so the
+  // funnel is exact and the oracle replays both argmins relationally.
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Knn.tripletMine(t(s, dir, "embeddings"), "vec_id", "embedding",
+      "label", metric = "cosine", kCand = 2000)
+      .select(col("anchor_id"),
+        col("pos_id"), round(col("pos_dist"), 6).as("pos_dist_r"),
+        col("neg_id"), round(col("neg_dist"), 6).as("neg_dist_r"))
+      .orderBy("anchor_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1112,7 +1152,10 @@ object SparkEntry {
     "q74_random_projection" -> (q74 _),
     "q75_weighted_sample" -> (q75 _),
     "q76_bpe_pair_counts" -> (q76 _),
-    "q77_rag_pipeline" -> (q77 _))
+    "q77_rag_pipeline" -> (q77 _),
+    "q78_dsir_resample" -> (q78 _),
+    "q79_zorder_curve" -> (q79 _),
+    "q80_triplet_mine" -> (q80 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2533,7 +2576,93 @@ object SparkEntry {
                 CAST(ck % 100 AS INTEGER) AS chunk_idx,
                 round(dist, 6) AS distance
          FROM (SELECT * FROM d ORDER BY dist, ck LIMIT 10)
-         ORDER BY dist, ck"""
+         ORDER BY dist, ck""",
+
+    // q78: DSIR — hashed unigram+bigram buckets through the q46 FNV
+    // chain; per-bucket log ratio rounded to 6 dp then fixed as
+    // DECIMAL(18,6), so the doc weight is an exact decimal dot-product
+    // (summation-order-free); top-100 by (weight desc, id)
+    "q78_dsir_resample" ->
+      """WITH tl AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         feats AS (
+           SELECT doc_id, unnest(l) AS w FROM tl
+           UNION ALL
+           SELECT doc_id, w1 || ' ' || w2 AS w FROM (
+             SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2
+             FROM tl WHERE len(l) >= 2)),
+         th AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM feats),
+         bk AS (
+           SELECT doc_id, CAST(((hs % 4096) + 4096) % 4096 AS INTEGER) AS bucket
+           FROM (SELECT doc_id,
+                   CAST(h - (CASE WHEN h >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs
+                 FROM th)),
+         dc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         rawm AS (SELECT bucket, sum(cnt) AS rn FROM dc GROUP BY 1),
+         tgtm AS (SELECT bucket, sum(cnt) AS tn
+                  FROM dc JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT sum(rn) FROM rawm) AS r_tot,
+                        (SELECT coalesce(sum(tn), 0) FROM tgtm) AS t_tot),
+         lr AS (SELECT bucket,
+                  CAST(round(
+                    ln(CAST(coalesce(tn, 0) + 1 AS DOUBLE) / (CAST(t_tot AS DOUBLE) + 4096.0))
+                    - ln(CAST(rn + 1 AS DOUBLE) / (CAST(r_tot AS DOUBLE) + 4096.0)),
+                    6) AS DECIMAL(18,6)) AS lr
+                FROM rawm LEFT JOIN tgtm USING (bucket), tot),
+         w AS (SELECT doc_id, sum(cnt) AS n_feats,
+                 CAST(sum(cnt * lr) AS DOUBLE) AS weight
+               FROM dc JOIN lr USING (bucket) GROUP BY doc_id),
+         top AS (SELECT * FROM w ORDER BY weight DESC, doc_id LIMIT 100)
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, weight
+         FROM top ORDER BY doc_id""",
+
+    // q79: Morton curve — min/max scale both keys to 16 bits (integer
+    // division; Spark's floor-of-double is provably equal on this range),
+    // interleave bit-by-bit (pa even positions, pb odd), walk the curve
+    "q79_zorder_curve" -> {
+      val interleave = (0 until 16).map(i =>
+        s"((((pa >> $i) & 1) << ${2 * i}) | (((pb >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" | ")
+      s"""WITH mm AS (SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+                  min(l_suppkey) smn, max(l_suppkey) smx FROM lineitem),
+         sc AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN pmx - pmn <= 0 THEN 0
+                  ELSE ((l_partkey - pmn) * 65535) // (pmx - pmn) END AS pa,
+             CASE WHEN smx - smn <= 0 THEN 0
+                  ELSE ((l_suppkey - smn) * 65535) // (smx - smn) END AS pb
+           FROM lineitem, mm),
+         z AS (SELECT l_orderkey, l_linenumber,
+                 CAST($interleave AS BIGINT) AS zval FROM sc)
+         SELECT l_orderkey, l_linenumber, zval FROM z
+         ORDER BY zval, l_orderkey, l_linenumber LIMIT 200"""
+    },
+
+    // q80: hard-triplet mining — both argmins replayed relationally
+    // over the full pair table (exact; q11's distance-parity rules)
+    "q80_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS bid,
+                 a.label AS alab, b.label AS blab,
+                 1.0 - list_cosine_similarity(a.v, b.v) AS dist
+               FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         pos AS (SELECT anchor_id, bid AS pos_id, dist AS pos_dist FROM p
+                 WHERE blab = alab
+                 QUALIFY row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY dist, bid) = 1),
+         neg AS (SELECT anchor_id, bid AS neg_id, dist AS neg_dist FROM p
+                 WHERE blab <> alab
+                 QUALIFY row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY dist, bid) = 1)
+         SELECT anchor_id, pos_id, round(pos_dist, 6) AS pos_dist_r,
+                neg_id, round(neg_dist, 6) AS neg_dist_r
+         FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

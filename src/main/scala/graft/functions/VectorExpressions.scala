@@ -225,6 +225,78 @@ case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
     copy(child = newChild)
 }
 
+/** pq_encode(vec) → binary: product-quantization codes, one byte per
+  * subspace. The vector is split into `m = centroids.length` contiguous
+  * sub-vectors of `subDim` dims; each sub-vector is replaced by the index
+  * of its nearest (squared-euclidean, first-wins on ties) codeword in
+  * that subspace's codebook. dim/8 compression at m = dim/8 — the scan
+  * side of an IVF-PQ index. The codebook rides serialized inside the
+  * expression (m × ≤256 × subDim doubles — plan-sized, not data-sized). */
+case class PqEncode(child: Expression, subDim: Int,
+    centroids: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(subDim >= 1 && centroids.nonEmpty &&
+    centroids.forall(cs => cs.nonEmpty && cs.length <= 256 &&
+      cs.forall(_.length == subDim)),
+    "codebook must be m × (1..256) × subDim")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    centroids.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = cents.length
+    val out = new Array[Byte](m)
+    val sub = new Array[Double](subDim)
+    var j = 0
+    while (j < m) {
+      val base = j * subDim
+      var i = 0
+      while (i < subDim) {
+        val p = base + i
+        sub(i) =
+          if (p >= a.numElements()) 0.0
+          else if (isFloat) a.getFloat(p).toDouble
+          else a.getDouble(p)
+        i += 1
+      }
+      val cs = cents(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cw = cs(c)
+        var d = 0.0
+        var i2 = 0
+        while (i2 < subDim) { val t = sub(i2) - cw(i2); d += t * t; i2 += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unsigned byte view of a binary column: `binary → array<int>` with each
   * element in [0, 255]. The introspection half of [[SqEncode]] (codes back
   * to comparable ints for oracles/debugging) and generally useful over

@@ -61,6 +61,12 @@ package object functions {
   def sq_encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =
     Bridge.column(SqEncode(Bridge.expression(vec), mins, deltas))
 
+  /** Product-quantization codes (one byte per subspace) against a trained
+    * per-subspace codebook. */
+  def pq_encode(vec: Column, subDim: Int,
+      centroids: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), subDim, centroids))
+
   /** Unsigned byte view of a binary column as array<int> (0-255). */
   def bytes_to_ints(b: Column): Column =
     Bridge.column(BytesToInts(Bridge.expression(b)))

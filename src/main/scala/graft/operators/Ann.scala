@@ -400,39 +400,18 @@ object Ann {
 
     val spark = queries.sparkSession
     val index = sq.ivf
-    val idType = queries.schema(queryId).dataType
-
-    val q = queries.select(col(queryId).as("query_id"),
-      col(queryVec).cast("array<double>").as("_qvec"),
-      probeVec(index, queryVec).as("_qnorm"))
-    val probed = q.crossJoin(broadcast(index.centroids))
-      .groupBy("query_id")
-      .agg(
-        first(col("_qvec")).as("_qvec"),
-        topk_by_distance(
-          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
-          col("_cell"), nProbe).as("_cells"))
-      .select(col("query_id"), col("_qvec"), col("_cells.value").as("_cells"))
-      .collect()
-
-    val qIds = probed.map(_.get(0))
-    val qVecs = probed.map(_.getSeq[Double](1).toArray)
-    val cellToQueries: Array[Array[Int]] = {
-      val m = probed.iterator.zipWithIndex
-        .flatMap { case (r, qi) => r.getSeq[Int](2).map(c => (c, qi)) }
-        .toSeq.groupBy(_._1)
-      Array.tabulate(index.nCells)(c =>
-        m.get(c).map(_.map(_._2).toArray).getOrElse(Array.empty[Int]))
-    }
+    val probe = probeCollect(index, queries, queryId, queryVec, nProbe)
     val mins = sq.codebook.mins.toArray
     val deltas = sq.codebook.deltas.toArray
-    val bc = spark.sparkContext.broadcast((qVecs, cellToQueries, mins, deltas))
+    val bc = spark.sparkContext.broadcast(
+      (probe.qVecs, probe.cellToQueries, mins, deltas))
 
     // static cell pruning: the probed set is already on the driver, so
     // push it as a filter — over a [[sqWriteIndex]] layout this becomes a
     // parquet PartitionFilter and unprobed cells are never READ (the
     // kernel's per-row cell check would only skip them after the I/O)
-    val probedCells = cellToQueries.indices.filter(cellToQueries(_).nonEmpty)
+    val probedCells =
+      probe.cellToQueries.indices.filter(probe.cellToQueries(_).nonEmpty)
     val child = prunedCoded(sq, probedCells).select(
       col(index.idCol), col("_code"), col("_cell").cast("int"))
     val m = metric
@@ -473,13 +452,57 @@ object Ann {
       StructField("_did", docIdType),
       StructField("_dist", DoubleType, nullable = false)))
     val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+    assembleTopK(partialDf, probe, k, heapK, metric, rerank, docs, index)
+  }
 
+  /** Probe step shared by the coded-scan kernels: collect each query's
+    * `nProbe` nearest cells plus its raw vector to the driver (Q×nProbe
+    * ints + Q vectors — broadcast-sized by contract). */
+  private final case class ProbeSet(qIds: Array[Any],
+      qVecs: Array[Array[Double]], cellToQueries: Array[Array[Int]],
+      idType: org.apache.spark.sql.types.DataType)
+
+  private def probeCollect(index: IvfIndex, queries: DataFrame,
+      queryId: String, queryVec: String, nProbe: Int): ProbeSet = {
+    val idType = queries.schema(queryId).dataType
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"),
+      probeVec(index, queryVec).as("_qnorm"))
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .groupBy("query_id")
+      .agg(
+        first(col("_qvec")).as("_qvec"),
+        topk_by_distance(
+          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
+          col("_cell"), nProbe).as("_cells"))
+      .select(col("query_id"), col("_qvec"), col("_cells.value").as("_cells"))
+      .collect()
+    val qIds = probed.map(_.get(0))
+    val qVecs = probed.map(_.getSeq[Double](1).toArray)
+    val cellToQueries: Array[Array[Int]] = {
+      val m = probed.iterator.zipWithIndex
+        .flatMap { case (r, qi) => r.getSeq[Int](2).map(c => (c, qi)) }
+        .toSeq.groupBy(_._1)
+      Array.tabulate(index.nCells)(c =>
+        m.get(c).map(_.map(_._2).toArray).getOrElse(Array.empty[Int]))
+    }
+    ProbeSet(qIds, qVecs, cellToQueries, idType)
+  }
+
+  /** Shared tail of the coded-scan kernels: per-partition partials →
+    * global per-query top-`heapK` → optional exact rerank of the
+    * candidate set against the base table. */
+  private def assembleTopK(partialDf: DataFrame, probe: ProbeSet, k: Int,
+      heapK: Int, metric: String, rerank: Int, docs: DataFrame,
+      index: IvfIndex): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = partialDf.sparkSession
     val qIdDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(qIds.zipWithIndex.map { case (id, i) =>
-        org.apache.spark.sql.Row(i, id)
+      spark.sparkContext.parallelize(probe.qIds.zipWithIndex.map {
+        case (id, i) => org.apache.spark.sql.Row(i, id)
       }.toIndexedSeq),
       StructType(Seq(StructField("_qidx", IntegerType, nullable = false),
-        StructField("query_id", idType))))
+        StructField("query_id", probe.idType))))
 
     val codeTopK = partialDf
       .groupBy("_qidx")
@@ -495,10 +518,10 @@ object Ann {
       // exact refine: the candidate set (Q × rerank ids) is broadcast
       // against the base table — one pruned pass, true top-k of the set
       val qv = spark.createDataFrame(
-        spark.sparkContext.parallelize(qIds.zip(qVecs).map { case (id, v) =>
-          org.apache.spark.sql.Row(id, v.toSeq)
+        spark.sparkContext.parallelize(probe.qIds.zip(probe.qVecs).map {
+          case (id, v) => org.apache.spark.sql.Row(id, v.toSeq)
         }.toIndexedSeq),
-        StructType(Seq(StructField("query_id", idType),
+        StructType(Seq(StructField("query_id", probe.idType),
           StructField("_qvec", ArrayType(DoubleType)))))
       val cands = codeTopK.select(col("query_id"), col("id"))
         .join(qv, "query_id")
@@ -568,6 +591,325 @@ object Ann {
     SqIvfIndex(ivf,
       SqCodebook(m.getSeq[Double](m.fieldIndex("mins")),
         m.getSeq[Double](m.fieldIndex("deltas"))), coded)
+  }
+
+  // ---- IVF-PQ: product-quantized codes + ADC scan --------------------
+
+  /** Product-quantization codebook: `centroids(j)(c)` is codeword `c` of
+    * subspace `j` (all subspaces `subDim` wide, ≤256 codewords each →
+    * codes are one byte per subspace). At dim=128, m=16 this is 8 B per
+    * vector vs 512 B of float32 — 64× smaller than the base table, 16×
+    * smaller than SQ8. */
+  final case class PqCodebook(subDim: Int,
+      centroids: Seq[Seq[Seq[Double]]]) {
+    def m: Int = centroids.length
+    def dim: Int = m * subDim
+  }
+
+  /** Train per-subspace codebooks with Lloyd's k-means on a
+    * deterministic hash-picked sample.
+    *
+    * The corpus-scale phase is ONE pass (hash-filter + top-`maxSample`
+    * by splitmix order — layout-independent); the m independent k-means
+    * fits run driver-side over the collected sample (the k-means-centroid
+    * pattern: the model is tiny, the data pass is distributed), in
+    * parallel across subspaces. Everything is deterministic: the sample
+    * and its order are hash-defined, init is evenly-spaced codewords over
+    * the lexicographically-sorted distinct sub-vectors (no RNG), Lloyd
+    * assignment ties break low-index, accumulation order is fixed —
+    * two builds over any layout of the same corpus give byte-identical
+    * codebooks. */
+  def pqTrain(docs: DataFrame, idCol: String, vecCol: String, m: Int,
+      nCodes: Int = 256, maxIter: Int = 12, seed: Long = 42L,
+      sampleFraction: Double = 1.0, maxSample: Int = 32768): PqCodebook = {
+    require(nCodes >= 1 && nCodes <= 256, "nCodes must be in [1, 256]")
+    val filtered =
+      if (sampleFraction >= 1.0) docs
+      else docs.where(pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+        < (sampleFraction * 1000000L).toLong)
+    val rows = filtered
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        xxhash64(col(idCol), lit(seed)).as("_rk"))
+      .where(col("_v").isNotNull)
+      .orderBy("_rk").limit(maxSample)
+      .select("_v").collect()
+    val sample = rows.map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty fit sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    def fitSubspace(j: Int): Array[Array[Double]] = {
+      val base = j * subDim
+      val pts = sample.map { v =>
+        java.util.Arrays.copyOfRange(v, base, base + subDim)
+      }
+      val distinct = pts.map(_.toVector).distinct.sorted(
+        Ordering.Implicits.seqOrdering[Vector, Double])
+      val kEff = math.min(nCodes, distinct.length)
+      var cent = Array.tabulate(kEff)(c =>
+        distinct((c.toLong * distinct.length / kEff).toInt).toArray)
+      val assign = new Array[Int](pts.length)
+      var it = 0
+      var changed = true
+      while (it < maxIter && changed) {
+        changed = false
+        var p = 0
+        while (p < pts.length) {
+          val v = pts(p)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            val cw = cent(c)
+            var d = 0.0
+            var i = 0
+            while (i < subDim) { val t = v(i) - cw(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (assign(p) != best) { assign(p) = best; changed = true }
+          p += 1
+        }
+        if (changed) {
+          val sums = Array.ofDim[Double](kEff, subDim)
+          val cnt = new Array[Int](kEff)
+          var p2 = 0
+          while (p2 < pts.length) {
+            val a = assign(p2); val v = pts(p2)
+            var i = 0
+            while (i < subDim) { sums(a)(i) += v(i); i += 1 }
+            cnt(a) += 1
+            p2 += 1
+          }
+          cent = Array.tabulate(kEff)(c =>
+            if (cnt(c) == 0) cent(c) // empty cell keeps its codeword
+            else { val s = sums(c); Array.tabulate(subDim)(i => s(i) / cnt(c)) })
+        }
+        it += 1
+      }
+      cent
+    }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = Await.result(
+      Future.sequence((0 until m).map(j => Future(fitSubspace(j)))), Duration.Inf)
+    PqCodebook(subDim, fits.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** IVF index + PQ codes: `coded` is (idCol, _code, _cell); originals
+    * stay in the caller's base table, exactly like [[SqIvfIndex]]. */
+  final case class PqIvfIndex(ivf: IvfIndex, codebook: PqCodebook,
+      coded: DataFrame)
+
+  /** Attach PQ codes to an existing IVF index (build-time pass). */
+  def pqAttach(index: IvfIndex, codebook: PqCodebook): PqIvfIndex = {
+    val coded = index.assigned.select(
+      col(index.idCol),
+      pq_encode(col(index.vecCol), codebook.subDim, codebook.centroids)
+        .as("_code"),
+      col("_cell"))
+    PqIvfIndex(index, codebook, coded)
+  }
+
+  /** [[ivfSearchSq]] over PQ codes with asymmetric-distance lookup
+    * tables (ADC): per query and subspace, the distance contribution of
+    * every codeword is precomputed once, so scoring a doc is `m` table
+    * adds instead of `dim` multiply-adds — at dim=128, m=16 that is 8×
+    * less arithmetic AND 64× less scan I/O than the float kernel.
+    *
+    * Metrics: `sqeuclidean`/`euclidean` sum per-subspace squared
+    * distances; `inner_product` sums dots; `cosine` sums dots and
+    * per-subspace codeword norms (the doc norm of the RECONSTRUCTED
+    * vector — the same asymmetric approximation [[ivfSearchSq]] makes).
+    * `rerank > 0` exact-refines the top candidates against `docs`.
+    *
+    * LUT memory is (queries probing this partition's cells) × m × 256
+    * doubles, built lazily per query — batch very large query sets. */
+  def ivfSearchPq(pq: PqIvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", nProbe: Int = 4,
+      rerank: Int = 0, docs: DataFrame = null): DataFrame = {
+    require(pq.ivf.multiAssign <= 1,
+      "ivfSearchPq requires a single-assignment index")
+    require(rerank == 0 || docs != null,
+      "rerank needs the base table (docs) for exact distances")
+    require(Set("cosine", "sqeuclidean", "euclidean", "inner_product")
+      .contains(metric), s"unsupported metric $metric")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import graft.plans.TopKBuffer
+
+    val spark = queries.sparkSession
+    val index = pq.ivf
+    val probe = probeCollect(index, queries, queryId, queryVec, nProbe)
+    val cents = pq.codebook.centroids.map(_.map(_.toArray).toArray).toArray
+    val subDim = pq.codebook.subDim
+    val bc = spark.sparkContext.broadcast(
+      (probe.qVecs, probe.cellToQueries, cents, subDim))
+
+    val probedCells =
+      probe.cellToQueries.indices.filter(probe.cellToQueries(_).nonEmpty)
+    val child = prunedPqCoded(pq, probedCells).select(
+      col(index.idCol), col("_code"), col("_cell").cast("int"))
+    val met = metric
+    val heapK = math.max(k, rerank)
+    val docIdType = pq.coded.schema(index.idCol).dataType
+    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
+      val (vecs, c2q, cb, sd) = bc.value
+      val m = cb.length
+      val needIp = met == "cosine" || met == "inner_product"
+      // static per-codeword squared norms (cosine's reconstructed doc norm)
+      val normTab: Array[Double] =
+        if (met != "cosine") null
+        else {
+          val t = new Array[Double](m * 256)
+          var j = 0
+          while (j < m) {
+            val cs = cb(j)
+            var c = 0
+            while (c < cs.length) {
+              val cw = cs(c)
+              var s = 0.0; var i = 0
+              while (i < sd) { s += cw(i) * cw(i); i += 1 }
+              t(j * 256 + c) = s
+              c += 1
+            }
+            j += 1
+          }
+          t
+        }
+      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+      // lazily-built per-query LUTs: lut(q)(j*256 + c)
+      val luts = new Array[Array[Double]](vecs.length)
+      def lutOf(q: Int): Array[Double] = {
+        var t = luts(q)
+        if (t == null) {
+          t = new Array[Double](m * 256)
+          val qv = vecs(q)
+          var j = 0
+          while (j < m) {
+            val base = j * sd
+            val cs = cb(j)
+            var c = 0
+            while (c < cs.length) {
+              val cw = cs(c)
+              var s = 0.0; var i = 0
+              if (needIp) {
+                while (i < sd) { s += qv(base + i) * cw(i); i += 1 }
+              } else {
+                while (i < sd) { val d = qv(base + i) - cw(i); s += d * d; i += 1 }
+              }
+              t(j * 256 + c) = s
+              c += 1
+            }
+            j += 1
+          }
+          luts(q) = t
+        }
+        t
+      }
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
+      rows.foreach { row =>
+        if (!row.isNullAt(1) && !row.isNullAt(2)) {
+          val cell = row.getInt(2)
+          val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
+                   else Array.empty[Int]
+          if (qs.length > 0) {
+            val idVal = InternalRow.copyValue(row.get(0, docIdType))
+            val code = row.getBinary(1)
+            val n = math.min(code.length, m)
+            // cosine's reconstructed-norm sum is query-independent
+            var dn2 = 0.0
+            if (met == "cosine") {
+              var j = 0
+              while (j < n) { dn2 += normTab(j * 256 + (code(j) & 0xFF)); j += 1 }
+            }
+            var x = 0
+            while (x < qs.length) {
+              val q = qs(x)
+              val lut = lutOf(q)
+              var s = 0.0
+              var j = 0
+              while (j < n) { s += lut(j * 256 + (code(j) & 0xFF)); j += 1 }
+              val d = met match {
+                case "cosine" => 1.0 - s / (math.sqrt(dn2) * qNorms(q))
+                case "sqeuclidean" => s
+                case "euclidean" => math.sqrt(s)
+                case _ => -s
+              }
+              if (!d.isNaN) heaps(q).insert(d, idVal)
+              x += 1
+            }
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedEntries.iterator.map { case (d, id) => InternalRow(qi, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("_qidx", IntegerType, nullable = false),
+      StructField("_did", docIdType),
+      StructField("_dist", DoubleType, nullable = false)))
+    val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+    assembleTopK(partialDf, probe, k, heapK, metric, rerank, docs, index)
+  }
+
+  private[graft] def prunedPqCoded(pq: PqIvfIndex,
+      probedCells: Seq[Int]): DataFrame =
+    if (probedCells.length >= pq.ivf.nCells) pq.coded
+    else pq.coded.where(col("_cell").isin(probedCells.map(Integer.valueOf): _*))
+
+  /** Persist the codes-only IVF-PQ layout — same contract as
+    * [[sqWriteIndex]] (codes partitioned by `_cell`, originals stay in
+    * the base table), with the codebook in the meta file. At 100 TB of
+    * float32 embeddings the persisted index is ~1.6 TB, and a search
+    * READS only the probed cells of it. */
+  def pqWriteIndex(pq: PqIvfIndex, path: String): Unit = {
+    pq.coded.write.mode("overwrite").partitionBy("_cell")
+      .parquet(s"$path/coded")
+    pq.ivf.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = pq.coded.sparkSession
+    import spark.implicits._
+    Seq((pq.ivf.idCol, pq.ivf.vecCol, pq.ivf.nCells, pq.ivf.multiAssign,
+      pq.ivf.normalized, pq.ivf.center, pq.codebook.subDim,
+      pq.codebook.centroids))
+      .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized",
+        "center", "subDim", "centroids")
+      .write.mode("overwrite").json(s"$path/meta")
+  }
+
+  /** Load a [[pqWriteIndex]] layout (drives [[ivfSearchPq]] only). */
+  def pqReadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqIvfIndex = {
+    val m = spark.read.json(s"$path/meta").collect()(0)
+    val center =
+      if (m.schema.fieldNames.contains("center") && !m.isNullAt(m.fieldIndex("center")))
+        Some(m.getSeq[Double](m.fieldIndex("center")))
+      else None
+    val coded = spark.read.parquet(s"$path/coded")
+    val ivf = IvfIndex(
+      assigned = coded.limit(0),
+      centroids = spark.read.parquet(s"$path/centroids"),
+      idCol = m.getAs[String]("idCol"), vecCol = m.getAs[String]("vecCol"),
+      nCells = m.getAs[Long]("nCells").toInt,
+      multiAssign = m.getAs[Long]("multiAssign").toInt,
+      normalized = m.getAs[Boolean]("normalized"), center = center)
+    // nested JSON arrays come back as mutable ArraySeqs — normalize level
+    // by level rather than trusting a nested getSeq cast
+    val cb = PqCodebook(
+      m.getAs[Long]("subDim").toInt,
+      m.getSeq[Any](m.fieldIndex("centroids")).map {
+        _.asInstanceOf[scala.collection.Seq[Any]].map {
+          _.asInstanceOf[scala.collection.Seq[Double]].toSeq
+        }.toSeq
+      }.toSeq)
+    PqIvfIndex(ivf, cb, coded)
   }
 
   /** Diagnostic: fraction of the corpus a search at `nProbe` actually

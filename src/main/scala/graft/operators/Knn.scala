@@ -315,4 +315,52 @@ object Knn {
       col(leftId) === col("_qid"), "left")
       .drop("_qid")
   }
+
+  /** Hard-triplet mining over a labeled embedding table: for each anchor,
+    * its nearest same-label neighbor (hard positive) and nearest
+    * other-label neighbor (hard negative) — the batch-construction
+    * primitive of metric learning (triplet/contrastive losses).
+    *
+    * Exact within the candidate depth `kCand` (self excluded): an anchor
+    * whose whole top-`kCand` neighborhood is single-label gets a null on
+    * the missing side. `kCand ≥ corpus size` makes the mining exact; at
+    * scale, keep `kCand` modest (hard triplets live at the top of the
+    * list anyway) or feed an [[Ann]] search's hits straight into
+    * [[tripletsFromHits]] — the selection step is knn-source-agnostic. */
+  def tripletMine(docs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, metric: String = "cosine",
+      kCand: Int = 128): DataFrame = {
+    val hits = bruteForce(docs, docs, kCand, metric,
+      docId = idCol, docVec = vecCol, queryId = idCol, queryVec = vecCol,
+      excludeSelf = true)
+    tripletsFromHits(hits, docs.select(col(idCol), col(labelCol)),
+      idCol, labelCol)
+  }
+
+  /** Label-aware triplet selection over any (query_id, id, distance,
+    * rank) hit table: per anchor, the lowest-rank hit with the anchor's
+    * label and the lowest-rank hit with a different label. One
+    * broadcast-or-shuffle equi-join against the (id, label) table and
+    * one partial-aggregated min(struct) per side — no windows. */
+  def tripletsFromHits(hits: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("_lid"), col(labelCol).as("_lab"))
+    val joined = hits
+      .join(lab, col("id") === col("_lid"))
+      .withColumnRenamed("_lab", "_hitLab").drop("_lid")
+      .join(lab, col("query_id") === col("_lid"))
+      .withColumnRenamed("_lab", "_ancLab").drop("_lid")
+    def side(pred: Column, prefix: String): DataFrame =
+      joined.where(pred)
+        .groupBy(col("query_id"))
+        .agg(min(struct(col("rank"), col("id"), col("distance"))).as("_m"))
+        .select(col("query_id"),
+          col("_m.id").as(s"${prefix}_id"),
+          col("_m.distance").as(s"${prefix}_dist"))
+    val pos = side(col("_hitLab") === col("_ancLab"), "pos")
+    val neg = side(col("_hitLab") =!= col("_ancLab"), "neg")
+    labels.select(col(idCol).as("anchor_id"))
+      .join(pos.withColumnRenamed("query_id", "anchor_id"), Seq("anchor_id"), "left")
+      .join(neg.withColumnRenamed("query_id", "anchor_id"), Seq("anchor_id"), "left")
+  }
 }

@@ -465,4 +465,30 @@ class KnnSpec extends SparkSuite {
       assert(r1 < r2)
     }
   }
+
+  test("tripletMine: hard positive shares the label, hard negative doesn't") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), "x"), (1L, Seq(0.9f, 0.1f), "x"),
+      (2L, Seq(0.0f, 1.0f), "y"), (3L, Seq(0.1f, 0.9f), "y"),
+      (4L, Seq(-1.0f, 0.0f), "z")
+    ).toDF("id", "embedding", "label")
+    val t = Knn.tripletMine(df, "id", "embedding", "label", kCand = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(t.size == 5)
+    // anchor 0: pos = its only label-mate; neg = nearest of the rest (3)
+    assert(t(0L).getLong(1) == 1L && t(0L).getLong(3) == 3L)
+    // positives are strictly the same label, negatives never are
+    assert(t(2L).getLong(1) == 3L && t(3L).getLong(1) == 2L)
+    // a label singleton has no positive but still mines a negative
+    assert(t(4L).isNullAt(1) && !t(4L).isNullAt(3))
+    // mining is knn-source-agnostic: feeding bruteForce hits through
+    // tripletsFromHits reproduces the composed operator
+    val hits = Knn.bruteForce(df, df, 10, "cosine", docId = "id",
+      docVec = "embedding", queryId = "id", queryVec = "embedding",
+      excludeSelf = true)
+    val via = Knn.tripletsFromHits(hits, df.select(col("id"), col("label")),
+      "id", "label").collect().map(r => r.getLong(0) -> r).toMap
+    assert(via.keySet == t.keySet &&
+      via.forall { case (k, r) => r.toSeq == t(k).toSeq })
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.Ann
+
+/** IVF-PQ: product-quantized codes, ADC lookup-table scan, persistence. */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def key(d: org.apache.spark.sql.DataFrame) =
+    d.select("query_id", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("pq_encode picks the nearest codeword per subspace, first-wins ties") {
+    // 2 subspaces × 2 dims; subspace 0 has an exact tie between
+    // codewords 0 and 1 for the point (0.5, 0.5)
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+    val df = Seq(
+      (0L, Seq(0.5f, 0.5f, 9.0f, 9.0f)), // tie in sub 0 -> code 0; sub 1 -> 1
+      (1L, Seq(0.9f, 0.8f, 1.0f, 2.0f))  // sub 0 -> 1; sub 1 -> 0
+    ).toDF("id", "embedding")
+      .select(col("id"), bytes_to_ints(pq_encode(col("embedding"), 2, cb)).as("c"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(m(0L) == Seq(0, 1) && m(1L) == Seq(1, 0))
+  }
+
+  // integer-valued vectors: every partial sum in the ADC tables and the
+  // float kernel is an exact small integer, so a lossless codebook makes
+  // the two paths bit-identical in every metric (addition-order-free)
+  private lazy val intDf = (0 until 400).map { i =>
+    (i.toLong, Seq.tabulate(6)(j => ((i * 31 + j * 57) % 8).toFloat))
+  }.toDF("id", "embedding")
+
+  test("ivf-pq: complete codebook reproduces the float search exactly") {
+    val idx = Ann.ivfBuild(intDf, "id", "embedding", nCells = 4, seed = 5)
+    val q = intDf.where(col("id") % 41 === 0)
+    // 64 distinct subvectors per subspace, all captured by the fit
+    val cb = Ann.pqTrain(intDf, "id", "embedding", m = 3, maxIter = 4)
+    assert(cb.subDim == 2 && cb.m == 3)
+    val pq = Ann.pqAttach(idx, cb)
+    for (metric <- Seq("cosine", "euclidean", "sqeuclidean")) {
+      val a = Ann.ivfSearchPq(pq, q, 5, metric = metric, nProbe = 2)
+      val b = Ann.ivfSearchBlocked(idx, q, 5, metric = metric, nProbe = 2)
+      assert(key(a) == key(b), s"ids/ranks differ: $metric")
+      // distances too — exact arithmetic end to end
+      val da = a.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      b.collect().foreach { r =>
+        assert(da((r.getLong(0), r.getLong(1))) == r.getDouble(2), s"dist: $metric")
+      }
+    }
+  }
+
+  test("lossy pq + exact rerank recovers exact distances, recall stays high") {
+    val df = (0 until 400).map { i =>
+      val c = i % 5
+      (i.toLong, Seq.tabulate(8)(j =>
+        (c * 3.0 + math.sin(i * 0.61 + j * 0.9)).toFloat))
+    }.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 5, seed = 13)
+    val q = df.where(col("id") % 37 === 0)
+    val pq = Ann.pqAttach(idx, Ann.pqTrain(df, "id", "embedding", m = 4))
+    val rr = Ann.ivfSearchPq(pq, q, 5, nProbe = 2, rerank = 15, docs = df)
+      .collect()
+    assert(rr.nonEmpty)
+    val exactD = Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // rerank re-scores exactly: shared ids carry identical distances
+    rr.foreach { r =>
+      exactD.get((r.getLong(0), r.getLong(1))).foreach { d =>
+        assert(r.getDouble(2) == d)
+      }
+    }
+    val hit = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exactD.keySet).size
+    assert(hit >= exactD.size * 9 / 10, s"$hit of ${exactD.size}")
+  }
+
+  test("pqTrain is layout-independent (deterministic sample and fit)") {
+    val df = (0 until 500).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("id", "embedding")
+    val a = Ann.pqTrain(df.repartition(1), "id", "embedding", m = 4,
+      maxSample = 200)
+    val b = Ann.pqTrain(df.repartition(7, col("id")), "id", "embedding", m = 4,
+      maxSample = 200)
+    assert(a == b)
+  }
+
+  test("persisted ivf-pq: codes-only layout round-trips, scan is cell-pruned") {
+    val pts = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0f, c * -5.0f, c * 3.0f + 1f, 0.5f * c)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * ((i * 31 + j * 7) % 10)
+      }.toSeq)
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 3, seed = 7)
+    val pq = Ann.pqAttach(idx, Ann.pqTrain(df, "id", "embedding", m = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    Ann.pqWriteIndex(pq, dir)
+    val loaded = Ann.pqReadIndex(spark, dir)
+    assert(loaded.ivf.nCells == 3 && loaded.ivf.normalized)
+    assert(loaded.codebook == pq.codebook)
+
+    val q = df.where(col("id") < 10)
+    val fromDisk = Ann.ivfSearchPq(loaded, q, 5, nProbe = 1,
+      rerank = 5, docs = df)
+    assert(key(fromDisk) == key(
+      Ann.ivfSearchPq(pq, q, 5, nProbe = 1, rerank = 5, docs = df)))
+
+    val pruned = Ann.prunedPqCoded(loaded, Seq(0))
+    pruned.collect()
+    val planStr = pruned.queryExecution.executedPlan.toString
+    val scanLine = planStr.linesIterator
+      .find(l => l.contains("/coded") && l.contains("FileScan"))
+    assert(scanLine.isDefined, s"no coded scan found in:\n$planStr")
+    assert("PartitionFilters: \\[[^\\]]*_cell".r.findFirstIn(scanLine.get).isDefined,
+      s"coded scan not cell-pruned: ${scanLine.get}")
+    assert(Ann.prunedPqCoded(loaded, Seq(0, 1, 2)) eq loaded.coded)
+  }
+}

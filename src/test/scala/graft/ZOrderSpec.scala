@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+/** Z-order clustering: bit interleave semantics + the layout payoff
+  * (per-file value locality in EVERY clustered dimension). */
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("zvalue interleaves bits (col0 even positions, col1 odd)") {
+    val df = Seq((2L, 1L), (3L, 3L), (0L, 0L), (63L, 0L)).toDF("a", "b")
+      .select(ZOrder.zvalue(6, col("a"), col("b")).as("z"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(6L, 15L, 0L, 1365L)) // 63 -> 0b010101010101
+  }
+
+  test("withZValue min/max scaling is exact on full-range ints") {
+    // a spans exactly [0, 63] so 6-bit scaling is the identity
+    val df = Seq((0L, 5L), (63L, 5L), (32L, 5L)).toDF("a", "b")
+    val z = ZOrder.withZValue(df, 6, "a", "b")
+      .select(col("a"), col("_z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // b is constant -> span 0 -> scaled 0 -> z = spread(a) only
+    assert(z(0L) == 0L)
+    assert(z(63L) == 1365L)
+    assert(z(32L) == (1L << 10)) // bit 5 of a -> position 10
+  }
+
+  test("z-ordered layout bounds per-file spread in BOTH dimensions") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong * 64 + b, a.toLong, b.toLong))
+      .toDF("id", "a", "b")
+    val zDir = java.nio.file.Files.createTempDirectory("graftz").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graftlin").toString
+    ZOrder.writeZOrdered(grid, zDir, nFiles = 16, bits = 6, "a", "b")
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(linDir)
+
+    def spreads(path: String): (Double, Double) = {
+      val row = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .agg(avg("sa"), avg("sb")).head
+      (row.getDouble(0), row.getDouble(1))
+    }
+    val (za, zb) = spreads(zDir)
+    val (_, linB) = spreads(linDir)
+    // a contiguous z-range covers a compact block: both dims stay local
+    assert(za < 32 && zb < 32, s"z spreads ($za, $zb)")
+    // a linear sort clusters only its own key; the other dim spans fully
+    assert(linB > 56, s"linear b spread $linB")
+    assert(zb < linB / 2)
+  }
+}
