@@ -309,6 +309,33 @@ object Bench {
         .count() == 100000L)
     }
 
+    // Z-order layout: 4M rows, two independent uniform keys in [0, 4096),
+    // 64 files each way. A 128×128 box (≈0.1% selectivity) on the
+    // z-ordered layout prunes in BOTH dimensions via parquet min/max
+    // (row groups outside the box are skipped after the footer read);
+    // the a-sorted layout prunes only on `a` and scans every `b`. The
+    // gap below IS the multi-column pruning payoff; at 100 TB the same
+    // stats-skipping happens before the I/O, not after the footer.
+    locally {
+      val zsrc = spark.range(4000000L).select(
+        col("id"),
+        pmod(xxhash64(col("id"), lit(11)), lit(4096L)).as("a"),
+        pmod(xxhash64(col("id"), lit(12)), lit(4096L)).as("b"))
+      bench("x_zorder_write_4m", runs = 1) {
+        graft.operators.ZOrder.writeZOrdered(zsrc, s"$tmp/zord", 64, 12,
+          "a", "b")
+      }
+      zsrc.repartitionByRange(64, col("a")).sortWithinPartitions("a")
+        .write.mode("overwrite").parquet(s"$tmp/lin")
+      val boxPred = col("a").between(1024, 1151) && col("b").between(2048, 2175)
+      bench("x_zorder_box_4m") {
+        spark.read.parquet(s"$tmp/zord").where(boxPred).count()
+      }
+      bench("x_linear_box_4m") {
+        spark.read.parquet(s"$tmp/lin").where(boxPred).count()
+      }
+    }
+
     // --- headline graft queries at sfDir --------------------------------
     val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
       "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",

@@ -105,6 +105,19 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       cols: String*): Unit =
     ZOrder.writeZOrdered(df, path, nFiles, bits, cols: _*)
 
+  /** Train a target-domain quality discriminator (GPT-3/CCNet-style
+    * linear classifier over hashed n-gram features). */
+  def fitQualityClassifier(target: DocArray, dim: Int = 4096,
+      textCol: String = "text"): QualityClassifier.Model =
+    QualityClassifier.fit(df, target.df, col(textCol), dim)
+
+  /** Keep each doc with probability `score^alpha` under a fitted
+    * quality model (deterministic splitmix draw). */
+  def filterByQuality(model: QualityClassifier.Model, alpha: Double = 1.0,
+      textCol: String = "text"): DocArray =
+    wrap(QualityClassifier.filterByScore(df, col(textCol), model,
+      col(idCol), alpha))
+
   /** DSIR importance resampling: keep the `k` docs most like `target`
     * under hashed-n-gram bag models (Xie et al. 2023). */
   def dsirResample(target: DocArray, k: Int, buckets: Int = 1 << 16,
