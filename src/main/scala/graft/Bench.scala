@@ -117,7 +117,10 @@ object Bench {
     val stored100k = spark.read.parquet(s"$tmp/docs100k")
     val queries10k = benchDocs(spark, 10000L, 128)
     // x_ prefix: scale-validation row, excluded from the cross-round total
-    bench("x_knn_largeq_10k", runs = 1) {
+    // runs=2: a one-off 30 s outlier (vs 7.3/7.6 s isolated min-of-2,
+    // re-measured this round) showed these long rows need the same
+    // min-of-N insurance knn_batch100 got
+    bench("x_knn_largeq_10k", runs = 2) {
       Knn.bruteForceLargeQ(stored100k, queries10k, 10, nBlocks = 8).count()
     }
     // same regime through the ANN path (search only — build cost is its
@@ -136,7 +139,7 @@ object Bench {
         nCells = 256, maxIter = 8, center = true)
       val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
       idx100k.assigned.count()
-      bench("x_knn_largeq_ivf_10k", runs = 1) {
+      bench("x_knn_largeq_ivf_10k", runs = 2) {
         Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
       }
       idx100k.assigned.unpersist()
@@ -245,6 +248,21 @@ object Bench {
       val vocab = graft.operators.GroupOps.vocabulary(textDocs, col("text"), minFreq = 2)
       graft.operators.Parallel.textToTensorJoin(
         textDocs, "text", vocab, maxLength = 16, broadcastVocab = false).count()
+    }
+
+    // DSIR importance weights at 1M docs / 39M hashed features / 2^16
+    // buckets — the weight pass's shuffle regime ((doc, bucket) partial
+    // agg → bucket-keyed model join → per-doc decimal dot-product).
+    // Validation row, outside the headline total.
+    bench("x_dsir_1m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      val target = textDocs.where(pmod(col("doc_id"), lit(10)) === 0)
+      graft.operators.Dsir.importanceWeights(textDocs, target, "doc_id",
+        col("text"), buckets = 1 << 16)
+        .agg(sum("n_feats")).collect()
     }
 
     // Corpus line-dedup at 5M lines / 1M docs with a deliberately hot key

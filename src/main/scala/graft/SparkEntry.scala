@@ -1073,6 +1073,22 @@ object SparkEntry {
         col("neg_id"), round(col("neg_dist"), 6).as("neg_dist_r"))
       .orderBy("anchor_id")
 
+  // Curriculum data ordering: easy→hard by q60's quality deciles,
+  // shuffled within each decile by the engine-portable splitmix draw,
+  // with the exact global training position from globalOrderIndex
+  // (range-partition + zipWithIndex — never a single-partition window).
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = LangModel.unigramFit(d, col("text"))
+    val bucketed = LangModel.unigramBuckets(d, model, "doc_id", col("text"))
+    GroupOps.globalOrderIndex(
+      bucketed.select(col("doc_id"), col("bucket"),
+        splitmix64_rank(col("doc_id"), 29L).as("_rk")),
+      "train_pos", col("bucket"), col("_rk"), col("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("train_pos"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1155,7 +1171,8 @@ object SparkEntry {
     "q77_rag_pipeline" -> (q77 _),
     "q78_dsir_resample" -> (q78 _),
     "q79_zorder_curve" -> (q79 _),
-    "q80_triplet_mine" -> (q80 _))
+    "q80_triplet_mine" -> (q80 _),
+    "q81_curriculum_order" -> (q81 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2662,7 +2679,30 @@ object SparkEntry {
                    ORDER BY dist, bid) = 1)
          SELECT anchor_id, pos_id, round(pos_dist, 6) AS pos_dist_r,
                 neg_id, round(neg_dist, 6) AS neg_dist_r
-         FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id"""
+         FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id""",
+
+    // q81: curriculum order — q60's decile chain (gated equivalence),
+    // the q52 splitmix rank, and a global row_number the Spark side
+    // computes via range-partition + zipWithIndex instead of a window
+    "q81_curriculum_order" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS word FROM documents),
+         model AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         tot AS (SELECT sum(n) AS total FROM model),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  -avg(ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))) AS nll
+           FROM toks JOIN model USING (word), tot GROUP BY doc_id),
+         f AS (SELECT d.doc_id, s.nll
+               FROM documents d LEFT JOIN scored s USING (doc_id)),
+         b AS (SELECT doc_id,
+                 CAST(ntile(10) OVER (ORDER BY nll ASC NULLS LAST, doc_id) AS INTEGER) AS bucket
+               FROM f),
+         ${splitmixChainSql("doc_id, bucket", 29L, from = "b")}
+         SELECT doc_id, bucket,
+                CAST(row_number() OVER (ORDER BY bucket, rk, doc_id) - 1 AS BIGINT) AS train_pos
+         FROM ranked ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -161,4 +161,25 @@ object GroupOps {
       .where(col("_rn") <= col("_take"))
       .drop("_grp", "_take", "_rn")
   }
+
+  /** Exact global position (0-based) of every row under `sortCols` —
+    * the scale-safe replacement for `row_number() OVER (ORDER BY …)`,
+    * whose empty window frame is a single-partition sort: here the sort
+    * is a range-repartition + local sorts, and positions come from
+    * zipWithIndex's partition-offset pass (one extra count job, no
+    * data movement). Deterministic when `sortCols` is a total order
+    * (include a unique key as the last column). The q60 exact-NTILE
+    * pattern, generalized. */
+  def globalOrderIndex(df: DataFrame, name: String,
+      sortCols: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(name, LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
 }

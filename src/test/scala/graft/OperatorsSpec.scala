@@ -288,4 +288,20 @@ class OperatorsSpec extends SparkSuite {
     // different seed → different draw
     assert(GroupOps.sampleHashed(df, 10, 8L, col("id")).as[Long].collect().toSet != pick)
   }
+
+  test("globalOrderIndex equals a global window row_number, any layout") {
+    val df = spark.range(500).select(col("id"),
+      pmod(col("id") * 37, lit(11)).as("k"))
+    val want = df
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id")))
+        .cast("long") - 1)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = GroupOps.globalOrderIndex(df.repartition(parts), "pos",
+        col("k"), col("id"))
+        .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }
