@@ -250,6 +250,16 @@ object Bench {
         textDocs, "text", vocab, maxLength = 16, broadcastVocab = false).count()
     }
 
+    // SemDeDup at 100k×128 / 512 cells (~195 rows per cell → ~10M
+    // in-place pair distances): blocking = the centered spherical
+    // quantizer; the verify distance is computed INSIDE the per-cell
+    // pair explode, so only sub-threshold pairs ever shuffle out — no
+    // pair × vector join anywhere. Validation row for that shape.
+    bench("x_semdedup_100k", runs = 1) {
+      Dedup.semanticPairs(stored100k, "id", "embedding", threshold = 0.02,
+        nCells = 512, fitSampleFraction = 0.2).count()
+    }
+
     // DSIR importance weights at 1M docs / 39M hashed features / 2^16
     // buckets — the weight pass's shuffle regime ((doc, bucket) partial
     // agg → bucket-keyed model join → per-doc decimal dot-product).
