@@ -161,12 +161,21 @@ object Bench {
     // I/O at cluster scale (assigned partitioned by _cell; only probed
     // cells read); the exact blocked kernel stays faster at 1M.
     {
-      val tb0 = System.nanoTime()
-      val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
-        maxIter = 12, fitSampleFraction = 0.2, center = true)
-      val idx = idx0.copy(assigned = idx0.assigned.cache())
-      idx.assigned.count()
-      results("ann_ivf_build_1m") = (System.nanoTime() - tb0) / 1e9
+      // min-of-2 like the query rows: identical code measured 52 s and
+      // 92 s across two exclusive runs this round (JVM/GC state, not
+      // plan) — a one-shot build number is not a stable contract
+      var idx: Ann.IvfIndex = null
+      var buildBest = Double.MaxValue
+      for (attempt <- 0 until 2) {
+        if (idx != null) idx.assigned.unpersist()
+        val tb0 = System.nanoTime()
+        val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
+          maxIter = 12, fitSampleFraction = 0.2, center = true)
+        idx = idx0.copy(assigned = idx0.assigned.cache())
+        idx.assigned.count()
+        buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
+      }
+      results("ann_ivf_build_1m") = buildBest
       bench("ann_ivf_search100") { // min of 2 like every other row
         // blocked kernel (spec-asserted equal to the join path): decodes
         // each doc vector once per row, not once per probing query
@@ -337,30 +346,38 @@ object Bench {
         .count() == 100000L)
     }
 
-    // Z-order layout: 4M rows, two independent uniform keys in [0, 4096),
-    // 64 files each way. A 128×128 box (≈0.1% selectivity) on the
-    // z-ordered layout prunes in BOTH dimensions via parquet min/max
-    // (row groups outside the box are skipped after the footer read);
-    // the a-sorted layout prunes only on `a` and scans every `b`. The
-    // gap below IS the multi-column pruning payoff; at 100 TB the same
-    // stats-skipping happens before the I/O, not after the footer.
+    // Z-order layout: 4M rows, two independent uniform keys in [0, 4096)
+    // plus a ~120 B payload (so scan I/O, not task overhead, dominates),
+    // 64 files each way. The discriminating query is a range on the
+    // SECOND column only: the a-sorted layout can prune nothing for it
+    // (every file spans all of b) while the z-layout's files each cover
+    // a 512×512 block of the key plane, so a 128-wide b-slab touches
+    // ~1/8 of the files. (A 2-d box is NOT the discriminator at this
+    // file count — leading-column pruning alone already serves it; the
+    // payoff z-order buys is pruning on the non-leading dimensions.)
     locally {
       val zsrc = spark.range(4000000L).select(
         col("id"),
         pmod(xxhash64(col("id"), lit(11)), lit(4096L)).as("a"),
-        pmod(xxhash64(col("id"), lit(12)), lit(4096L)).as("b"))
+        pmod(xxhash64(col("id"), lit(12)), lit(4096L)).as("b"),
+        concat_ws("", transform(sequence(lit(0), lit(6)),
+          j => hex(xxhash64(col("id"), j)))).as("payload"))
       bench("x_zorder_write_4m", runs = 1) {
         graft.operators.ZOrder.writeZOrdered(zsrc, s"$tmp/zord", 64, 12,
           "a", "b")
       }
       zsrc.repartitionByRange(64, col("a")).sortWithinPartitions("a")
         .write.mode("overwrite").parquet(s"$tmp/lin")
-      val boxPred = col("a").between(1024, 1151) && col("b").between(2048, 2175)
-      bench("x_zorder_box_4m") {
-        spark.read.parquet(s"$tmp/zord").where(boxPred).count()
+      val bSlab = col("b").between(2048, 2175)
+      // sum(length(...)) forces real payload materialization — count()
+      // alone could be served from definition levels without the bytes
+      bench("x_zorder_bslab_4m") {
+        spark.read.parquet(s"$tmp/zord").where(bSlab)
+          .agg(sum(length(col("payload")))).collect()
       }
-      bench("x_linear_box_4m") {
-        spark.read.parquet(s"$tmp/lin").where(boxPred).count()
+      bench("x_linear_bslab_4m") {
+        spark.read.parquet(s"$tmp/lin").where(bSlab)
+          .agg(sum(length(col("payload")))).collect()
       }
     }
 

@@ -42,7 +42,8 @@ object Dsir {
     * (single-space joined, same tokenizer as the rest of the text
     * stack); bucket = pmod(fnv64(feature), buckets). */
   def bucketCounts(docs: DataFrame, idCol: String, textCol: Column,
-      buckets: Int): DataFrame =
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
     docs
       .select(col(idCol),
         explode(concat(text_ngrams(textCol, 1), text_ngrams(textCol, 2)))
@@ -51,6 +52,7 @@ object Dsir {
         pmod(fnv64(col("_feat")), lit(buckets.toLong)).cast("int").as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Importance weight for every document of `raw` toward the
     * distribution of `target`: (idCol, `n_feats`, `weight`), where
