@@ -142,9 +142,18 @@ object Ann {
     * (write the returned rows to the same `_cell`-partitioned layout
     * with mode=append). Quantizer drift under a shifting distribution is
     * the caller's re-fit decision, as in every IVF system. */
-  def ivfAppend(index: IvfIndex, newDocs: DataFrame): IvfIndex = {
+  def ivfAppend(index: IvfIndex, newDocs: DataFrame): IvfIndex =
+    index.copy(assigned = index.assigned.unionByName(
+      assignRows(index, newDocs), allowMissingColumns = true))
+
+  /** The assignment step of [[ivfAppend]] alone: `newDocs` rows with
+    * their `multiAssign` nearest `_cell`(s), NOT unioned into the index
+    * — feed it to [[sqEncodeRows]]/[[pqEncodeRows]] and append the
+    * result to a persisted codes-only layout (`mode=append` under the
+    * same `_cell` partitioning) without touching existing shards. */
+  def assignRows(index: IvfIndex, newDocs: DataFrame): DataFrame = {
     val probe = probeVec(index, index.vecCol)
-    val appended = newDocs
+    newDocs
       .withColumn("_nvec", probe)
       .crossJoin(broadcast(index.centroids))
       .groupBy(col(index.idCol))
@@ -154,8 +163,6 @@ object Ann {
           vector_distance(col("_nvec"), col("_center"), "euclidean"),
           col("_cell"), math.max(1, index.multiAssign)).as("_cells"))
       .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
-    index.copy(assigned = index.assigned.unionByName(appended,
-      allowMissingColumns = true))
   }
 
   /** IVF search: queries probe their `nProbe` nearest cells, then exact
@@ -370,13 +377,21 @@ object Ann {
       coded: DataFrame)
 
   /** Attach SQ8 codes to an existing IVF index (build-time pass). */
-  def sqAttach(index: IvfIndex, codebook: SqCodebook): SqIvfIndex = {
-    val coded = index.assigned.select(
+  def sqAttach(index: IvfIndex, codebook: SqCodebook): SqIvfIndex =
+    SqIvfIndex(index, codebook, sqEncodeRows(index, codebook, index.assigned))
+
+  /** Encode a batch of assigned rows (e.g. an [[assignRows]] delta) into
+    * the coded schema — the incremental-ingest path for a persisted
+    * [[sqWriteIndex]] layout: append these rows to `coded/` with
+    * mode=append; existing shards are untouched and the codebook does
+    * not re-fit (codebook drift under a shifting value range is the
+    * caller's re-train decision, as with the quantizer itself). */
+  def sqEncodeRows(index: IvfIndex, codebook: SqCodebook,
+      rows: DataFrame): DataFrame =
+    rows.select(
       col(index.idCol),
       sq_encode(col(index.vecCol), codebook.mins, codebook.deltas).as("_code"),
       col("_cell"))
-    SqIvfIndex(index, codebook, coded)
-  }
 
   /** [[ivfSearchBlocked]] over SQ8 codes: same probe step, but the scan
     * decodes one byte per dimension instead of one float — asymmetric
@@ -705,14 +720,18 @@ object Ann {
       coded: DataFrame)
 
   /** Attach PQ codes to an existing IVF index (build-time pass). */
-  def pqAttach(index: IvfIndex, codebook: PqCodebook): PqIvfIndex = {
-    val coded = index.assigned.select(
+  def pqAttach(index: IvfIndex, codebook: PqCodebook): PqIvfIndex =
+    PqIvfIndex(index, codebook, pqEncodeRows(index, codebook, index.assigned))
+
+  /** PQ twin of [[sqEncodeRows]]: encode an [[assignRows]] delta for
+    * mode=append ingest into a [[pqWriteIndex]] layout. */
+  def pqEncodeRows(index: IvfIndex, codebook: PqCodebook,
+      rows: DataFrame): DataFrame =
+    rows.select(
       col(index.idCol),
       pq_encode(col(index.vecCol), codebook.subDim, codebook.centroids)
         .as("_code"),
       col("_cell"))
-    PqIvfIndex(index, codebook, coded)
-  }
 
   /** [[ivfSearchSq]] over PQ codes with asymmetric-distance lookup
     * tables (ADC): per query and subspace, the distance contribution of

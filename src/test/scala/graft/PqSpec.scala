@@ -122,4 +122,53 @@ class PqSpec extends SparkSuite {
       s"coded scan not cell-pruned: ${scanLine.get}")
     assert(Ann.prunedPqCoded(loaded, Seq(0, 1, 2)) eq loaded.coded)
   }
+
+  test("incremental ingest: assignRows + pqEncodeRows append into the layout") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("id", "embedding")
+    val base = mk(0 until 250)
+    val extra = mk(250 until 300)
+    val idx = Ann.ivfBuild(base, "id", "embedding", nCells = 4, seed = 3,
+      center = true)
+    val cb = Ann.pqTrain(base, "id", "embedding", m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graftpqa").toString
+    Ann.pqWriteIndex(Ann.pqAttach(idx, cb), dir)
+
+    // the delta alone is assigned + encoded and appended — no corpus
+    // re-encode, no touching existing shards
+    val delta = Ann.pqEncodeRows(idx, cb, Ann.assignRows(idx, extra))
+    delta.write.mode("append").partitionBy("_cell").parquet(s"$dir/coded")
+
+    val loaded = Ann.pqReadIndex(spark, dir)
+    assert(loaded.coded.count() == 300)
+    // appended codes are byte-identical to a direct encode of those rows
+    val wantCodes = extra
+      .select(col("id"), bytes_to_ints(
+        pq_encode(col("embedding"), cb.subDim, cb.centroids)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val gotCodes = loaded.coded.where(col("id") >= 250)
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(gotCodes == wantCodes)
+    // and an appended doc is findable: its own vector returns itself.
+    // rerank=50: the sin generator nearly repeats every ~9 ids, so
+    // several near-twins share the query's PQ code and outrank it in
+    // the ADC tie order (ties break by id) — a deep-enough exact refine
+    // must surface the true self (distance exactly 0) at rank 1
+    val hits = Ann.ivfSearchPq(loaded, extra.where(col("id") >= 297), 1,
+      nProbe = 1, rerank = 50, docs = base.unionByName(extra)).collect()
+    assert(hits.length == 3)
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
+
+    // SQ twin: the encode-rows path matches a full attach on those rows
+    val scb = Ann.sqTrain(base, "embedding")
+    val sqDelta = Ann.sqEncodeRows(idx, scb, Ann.assignRows(idx, extra))
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val sqWant = extra.select(col("id"), bytes_to_ints(
+        sq_encode(col("embedding"), scb.mins, scb.deltas)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sqDelta == sqWant)
+  }
 }
