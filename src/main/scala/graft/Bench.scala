@@ -279,9 +279,11 @@ object Bench {
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
           .as("text"))
       val target = textDocs.where(pmod(col("doc_id"), lit(10)) === 0)
+      // sum BOTH outputs: aggregating n_feats alone lets ColumnPruning
+      // drop the decimal dot-product (the thing this row measures)
       graft.operators.Dsir.importanceWeights(textDocs, target, "doc_id",
         col("text"), buckets = 1 << 16)
-        .agg(sum("n_feats")).collect()
+        .agg(sum("n_feats"), sum("weight")).collect()
     }
 
     // Corpus line-dedup at 5M lines / 1M docs with a deliberately hot key

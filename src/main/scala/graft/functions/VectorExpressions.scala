@@ -241,7 +241,7 @@ case class PqEncode(child: Expression, subDim: Int,
       cs.forall(_.length == subDim)),
     "codebook must be m × (1..256) × subDim")
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
 
   private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -260,6 +260,10 @@ case class PqEncode(child: Expression, subDim: Int,
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val m = cents.length
+    // a dimension-mismatched vector encodes to null, not to a plausible-
+    // looking code with zero-padded (or dropped) subspaces that would
+    // silently corrupt the ADC ranking downstream
+    if (a.numElements() != m * subDim) return null
     val out = new Array[Byte](m)
     val sub = new Array[Double](subDim)
     var j = 0
@@ -268,10 +272,7 @@ case class PqEncode(child: Expression, subDim: Int,
       var i = 0
       while (i < subDim) {
         val p = base + i
-        sub(i) =
-          if (p >= a.numElements()) 0.0
-          else if (isFloat) a.getFloat(p).toDouble
-          else a.getDouble(p)
+        sub(i) = if (isFloat) a.getFloat(p).toDouble else a.getDouble(p)
         i += 1
       }
       val cs = cents(j)

@@ -444,12 +444,14 @@ object Ann {
           val cell = row.getInt(2)
           val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
                    else Array.empty[Int]
-          if (qs.length > 0) {
+          val code = row.getBinary(1)
+          // the recon buffer is reused across rows: a short code would
+          // score against the PREVIOUS row's trailing dims — skip
+          // wrong-width codes (foreign layout / other codebook) instead
+          if (qs.length > 0 && code.length == dim) {
             val idVal = InternalRow.copyValue(row.get(0, docIdType))
-            val code = row.getBinary(1)
-            val n = math.min(code.length, dim)
             var i = 0
-            while (i < n) {
+            while (i < dim) {
               recon(i) = mn(i) + (code(i) & 0xFF) * dl(i)
               i += 1
             }
@@ -664,7 +666,10 @@ object Ann {
       val kEff = math.min(nCodes, distinct.length)
       var cent = Array.tabulate(kEff)(c =>
         distinct((c.toLong * distinct.length / kEff).toInt).toArray)
-      val assign = new Array[Int](pts.length)
+      // -1 so the first pass always registers as changed and runs the
+      // mean update — all-zero init would short-circuit Lloyd entirely
+      // when every point's nearest init codeword is index 0 (kEff = 1)
+      val assign = Array.fill(pts.length)(-1)
       var it = 0
       var changed = true
       while (it < maxIter && changed) {
@@ -838,15 +843,18 @@ object Ann {
           val cell = row.getInt(2)
           val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
                    else Array.empty[Int]
-          if (qs.length > 0) {
+          val code = row.getBinary(1)
+          // a code of the wrong width (foreign layout, other codebook)
+          // must not score with partial-subspace sums — for L2 metrics a
+          // truncated sum is systematically SMALLER and would flood the
+          // top-k; skip the row instead
+          if (qs.length > 0 && code.length == m) {
             val idVal = InternalRow.copyValue(row.get(0, docIdType))
-            val code = row.getBinary(1)
-            val n = math.min(code.length, m)
             // cosine's reconstructed-norm sum is query-independent
             var dn2 = 0.0
             if (met == "cosine") {
               var j = 0
-              while (j < n) { dn2 += normTab(j * 256 + (code(j) & 0xFF)); j += 1 }
+              while (j < m) { dn2 += normTab(j * 256 + (code(j) & 0xFF)); j += 1 }
             }
             var x = 0
             while (x < qs.length) {
@@ -854,7 +862,7 @@ object Ann {
               val lut = lutOf(q)
               var s = 0.0
               var j = 0
-              while (j < n) { s += lut(j * 256 + (code(j) & 0xFF)); j += 1 }
+              while (j < m) { s += lut(j * 256 + (code(j) & 0xFF)); j += 1 }
               val d = met match {
                 case "cosine" => 1.0 - s / (math.sqrt(dn2) * qNorms(q))
                 case "sqeuclidean" => s

@@ -323,10 +323,15 @@ object Knn {
     *
     * Exact within the candidate depth `kCand` (self excluded): an anchor
     * whose whole top-`kCand` neighborhood is single-label gets a null on
-    * the missing side. `kCand ≥ corpus size` makes the mining exact; at
-    * scale, keep `kCand` modest (hard triplets live at the top of the
-    * list anyway) or feed an [[Ann]] search's hits straight into
-    * [[tripletsFromHits]] — the selection step is knn-source-agnostic. */
+    * the missing side. `kCand ≥ corpus size` makes the mining exact.
+    *
+    * SCALE: this convenience form broadcasts the WHOLE table as the
+    * query side of [[bruteForce]] — `kCand` bounds only the per-anchor
+    * heap, not that broadcast, so it stops at broadcast-sized corpora
+    * (~millions of rows). Beyond that, run batches of anchors through
+    * it, or produce hits with [[Ann.ivfSearchBlocked]]/[[Ann.ivfSearchPq]]
+    * and feed them straight into [[tripletsFromHits]] — the selection
+    * step is knn-source-agnostic. */
   def tripletMine(docs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, metric: String = "cosine",
       kCand: Int = 128): DataFrame = {

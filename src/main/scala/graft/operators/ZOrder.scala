@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Z-order (Morton) clustering: interleave the bits of several columns
   * into one sort key so that range-partitioning on it co-locates rows
@@ -36,17 +37,32 @@ object ZOrder {
   }
 
   /** Scale an integral column to [0, 2^bits) by its (min, max):
-    * `floor((x - mn)·(2^bits - 1) / (mx - mn))`. The float division is
-    * exact here: the numerator is an exact ≤2^47 integer and the true
-    * quotient is ≥ 1/span > half-ulp away from any integer it isn't,
-    * so `floor` equals integer division on every engine. `mn`/`mx`
-    * ride a broadcast 1-row aggregate (see [[withZValue]]). */
+    * `floor((x - mn)·(2^bits - 1) / (mx - mn))`. Wide-range columns
+    * (epoch micros: span ~2^50) would overflow the ×(2^bits−1) product
+    * and exceed double's exact-integer range, so offsets and span are
+    * first right-shifted until the span fits 2^37 — a loss of bits the
+    * quantization was about to throw away anyway (bits ≤ 21 kept).
+    * After the shift the numerator is an exact ≤2^53 integer and the
+    * true quotient is ≥ 1/span > half-ulp from any integer it isn't,
+    * so the double `floor` equals integer division on every engine.
+    * `mn`/`mx` ride a broadcast 1-row aggregate (see [[withZValue]]). */
   private def scaleToBits(c: Column, mn: Column, mx: Column,
       bits: Int): Column = {
     val span = mx.cast("long") - mn.cast("long")
+    // shift = max(0, floor(log2 span) − (52−bits)): after it,
+    // span >> shift < 2^(53−bits), so (off × (2^bits−1)) ≤ 2^53 exactly.
+    // (functions.shiftright only takes a literal count — use the
+    // Catalyst expression for the column-valued shift)
+    def shr(x: Column, n: Column): Column = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        Bridge.expression(x), Bridge.expression(n)))
+    val shift = greatest(lit(0),
+      (floor(log2(span.cast("double"))) - lit(52 - bits)).cast("int"))
+    val off = shr(c.cast("long") - mn.cast("long"), shift)
+    val spanS = shr(span, shift)
     when(span <= 0, lit(0L)).otherwise(
-      floor(((c.cast("long") - mn.cast("long")) * lit((1L << bits) - 1))
-        .cast("double") / span.cast("double")).cast("long"))
+      floor((off * lit((1L << bits) - 1)).cast("double") /
+        spanS.cast("double")).cast("long"))
   }
 
   /** Append a `_z` column: each named (integral) column min/max-scaled

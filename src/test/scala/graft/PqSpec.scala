@@ -27,6 +27,18 @@ class PqSpec extends SparkSuite {
     assert(m(0L) == Seq(0, 1) && m(1L) == Seq(1, 0))
   }
 
+  test("pq_encode nulls out dimension-mismatched vectors") {
+    val cb: Seq[Seq[Seq[Double]]] = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val df = Seq((0L, Seq(0.9f, 0.8f)), (1L, Seq(0.9f, 0.8f, 0.7f)),
+      (2L, Seq(0.9f)))
+      .toDF("id", "embedding")
+      .select(col("id"), pq_encode(col("embedding"), 2, cb).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    // only the exactly-m*subDim vector encodes; short/long become null
+    // (a zero-padded code would silently corrupt the ADC ranking)
+    assert(!rows(0L) && rows(1L) && rows(2L))
+  }
+
   // integer-valued vectors: every partial sum in the ADC tables and the
   // float kernel is an exact small integer, so a lossless codebook makes
   // the two paths bit-identical in every metric (addition-order-free)

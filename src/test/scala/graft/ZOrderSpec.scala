@@ -27,6 +27,26 @@ class ZOrderSpec extends SparkSuite {
     assert(z(32L) == (1L << 10)) // bit 5 of a -> position 10
   }
 
+  test("wide-range columns (epoch-microsecond scale) do not overflow") {
+    // spans ~1e15 ≈ 2^50: the unshifted ×65535 product would wrap a long
+    val base = 1700000000000000L
+    val half = 500000000000000L
+    val df = Seq(
+      (0L, base, base + 2 * half),        // t at min, u at max
+      (1L, base + half, base + half),     // both mid
+      (2L, base + 2 * half, base)         // t at max, u at min
+    ).toDF("id", "t", "u")
+    val z = ZOrder.withZValue(df, 16, "t", "u")
+      .select(col("id"), col("_z")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(z.values.forall(_ >= 0L), s"negative z: $z")
+    // exact interleaves of the scaled extremes/midpoints:
+    // t rides even bit positions, u odd
+    assert(z(0L) == 0xAAAAAAAAL, s"$z")            // (0, 65535)
+    assert(z(1L) == (1L << 30) - 1, s"$z")         // (32767, 32767)
+    assert(z(2L) == 0x55555555L, s"$z")            // (65535, 0)
+  }
+
   test("z-ordered layout bounds per-file spread in BOTH dimensions") {
     val grid = (for (a <- 0 until 64; b <- 0 until 64)
       yield (a.toLong * 64 + b, a.toLong, b.toLong))
