@@ -1089,6 +1089,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Token-budget source mixing — q61's temperature rule with group mass
+  // = Σ tokens instead of doc count (how the real mixing recipes weigh
+  // sources): quota ∝ sqrt(token mass), draw in splitmix order. Token
+  // counts ride q08's gated tokenizer; sqrt keeps cross-engine parity.
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleTemperatureBySize(t(s, dir, "documents"), total = 200L,
+      alpha = 0.5, seed = 13L, col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1172,7 +1183,8 @@ object SparkEntry {
     "q78_dsir_resample" -> (q78 _),
     "q79_zorder_curve" -> (q79 _),
     "q80_triplet_mine" -> (q80 _),
-    "q81_curriculum_order" -> (q81 _))
+    "q81_curriculum_order" -> (q81 _),
+    "q82_token_budget_mix" -> (q82 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2702,7 +2714,22 @@ object SparkEntry {
          ${splitmixChainSql("doc_id, bucket", 29L, from = "b")}
          SELECT doc_id, bucket,
                 CAST(row_number() OVER (ORDER BY bucket, rk, doc_id) - 1 AS BIGINT) AS train_pos
-         FROM ranked ORDER BY doc_id"""
+         FROM ranked ORDER BY doc_id""",
+
+    // q82: q61's quota/draw with group mass = Σ tokens (q07's tokenizer)
+    "q82_token_budget_mix" ->
+      s"""WITH tc AS (SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+               x -> x <> '')) AS ntok FROM documents),
+         w AS (SELECT source, sum(ntok) AS n FROM tc GROUP BY source),
+         q AS (SELECT source, greatest(1, CAST(floor(
+                 sqrt(CAST(n AS DOUBLE)) /
+                 (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM w) * 200) AS BIGINT)) AS take
+               FROM w),
+         ${splitmixChainSql("doc_id, source", 13L)}
+         SELECT doc_id, source FROM ranked JOIN q USING (source)
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
+         ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -140,7 +140,16 @@ object GroupOps {
     * which is IEEE-correctly-rounded (`pow(x, 0.5)` is not) and thus
     * bit-reproducible against any other engine. */
   def sampleTemperature(df: DataFrame, total: Long, alpha: Double,
-                        seed: Long, group: Column, key: Column): DataFrame = {
+                        seed: Long, group: Column, key: Column): DataFrame =
+    sampleTemperatureBySize(df, total, alpha, seed, group, key, lit(1L))
+
+  /** [[sampleTemperature]] with group mass = `sum(size)` instead of the
+    * row count — quota ∝ (token mass)^alpha is how the real mixing
+    * rules weigh sources (a source of few huge docs should not be
+    * upsampled like a small one). `size = lit(1)` degenerates to the
+    * doc-count rule exactly (sum(1) ≡ count). */
+  def sampleTemperatureBySize(df: DataFrame, total: Long, alpha: Double,
+      seed: Long, group: Column, key: Column, size: Column): DataFrame = {
     require(total >= 1 && alpha >= 0.0)
     def weight(n: Column): Column =
       if (alpha == 0.5) sqrt(n.cast("double"))
@@ -148,7 +157,7 @@ object GroupOps {
       else if (alpha == 0.0) lit(1.0)
       else pow(n.cast("double"), lit(alpha))
     val quotas = df.groupBy(group.as("_grp"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(sum(size.cast("long")).as("_n"))
       .withColumn("_wsum", sum(weight(col("_n"))).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("_grp"), greatest(lit(1L),
