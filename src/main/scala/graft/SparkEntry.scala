@@ -1100,6 +1100,27 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // End-to-end pretraining data pipeline in ONE declarative plan,
+  // composed entirely from stages that already carry their own gates:
+  // unicode clean (q68's cleanText) → exact dedup keep-first on the
+  // cleaned text (q09/q67's agg+join pattern) → token-count floor
+  // (q07's tokenizer) → token-budget source mixing over the survivors
+  // (q82's quota/draw). The oracle replays the whole chain as one CTE
+  // pipeline — the integration twin of q77's RAG composition.
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextFunctions.cleanText(col("text")).as("_clean"))
+    val keep = c.groupBy(col("_clean")).agg(min(col("doc_id")).as("doc_id"))
+    val f = c.join(keep, Seq("_clean", "doc_id"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("_clean")).as("ntok"))
+      .where(col("ntok") >= 20)
+    GroupOps.sampleTemperatureBySize(f, total = 100L, alpha = 0.5,
+      seed = 7L, col("source"), col("doc_id"), col("ntok"))
+      .select(col("doc_id"), col("source"), col("ntok"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1184,7 +1205,8 @@ object SparkEntry {
     "q79_zorder_curve" -> (q79 _),
     "q80_triplet_mine" -> (q80 _),
     "q81_curriculum_order" -> (q81 _),
-    "q82_token_budget_mix" -> (q82 _))
+    "q82_token_budget_mix" -> (q82 _),
+    "q83_pretrain_pipeline" -> (q83 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2728,6 +2750,30 @@ object SparkEntry {
                FROM w),
          ${splitmixChainSql("doc_id, source", 13L)}
          SELECT doc_id, source FROM ranked JOIN q USING (source)
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
+         ORDER BY doc_id""",
+
+    // q83: the full pipeline — q68's clean, keep-first dedup on the
+    // cleaned text, q07-tokenizer length floor, q82's quota/draw
+    "q83_pretrain_pipeline" ->
+      s"""WITH c AS (SELECT doc_id, source,
+             trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+               '[ \\t\\n\\r]+', ' ', 'g')) AS clean
+           FROM documents),
+         k AS (SELECT clean, min(doc_id) AS keep FROM c GROUP BY clean),
+         d AS (SELECT c.doc_id, c.source, c.clean FROM c
+               JOIN k ON c.clean = k.clean AND c.doc_id = k.keep),
+         tc AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(clean),'[^a-z0-9]+'),
+               x -> x <> '')) AS INTEGER) AS ntok FROM d),
+         f AS (SELECT * FROM tc WHERE ntok >= 20),
+         w AS (SELECT source, sum(ntok) AS n FROM f GROUP BY source),
+         q AS (SELECT source, greatest(1, CAST(floor(
+                 sqrt(CAST(n AS DOUBLE)) /
+                 (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM w) * 100) AS BIGINT)) AS take
+               FROM w),
+         ${splitmixChainSql("doc_id, source, ntok", 7L, from = "f")}
+         SELECT doc_id, source, ntok FROM ranked JOIN q USING (source)
          QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
          ORDER BY doc_id"""
   )
