@@ -66,6 +66,31 @@ class LangModelSpec extends SparkSuite {
     }
   }
 
+  test("sampleTemperatureBySize: size=1 equals the doc-count rule; " +
+      "token mass shifts quotas") {
+    val df = (
+      (0L until 400L).map(i => (i, "big", 10)) ++
+      (400L until 500L).map(i => (i, "fat", 200))).toDF("id", "src", "ntok")
+    // size=1 degenerates to sampleTemperature exactly
+    val a = GroupOps.sampleTemperature(df, 50L, 0.5, 3L, col("src"), col("id"))
+      .select("id").as[Long].collect().toSet
+    val b = GroupOps.sampleTemperatureBySize(df, 50L, 0.5, 3L, col("src"),
+      col("id"), lit(1L)).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // by token mass, "fat" (100 docs × 200 tok = 20k) outweighs "big"
+    // (400 × 10 = 4k): sqrt(20000)/(sqrt(20000)+sqrt(4000)) of 50 ≈ 34
+    val byMass = GroupOps.sampleTemperatureBySize(df, 50L, 0.5, 3L,
+      col("src"), col("id"), col("ntok"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val s = math.sqrt(20000.0) + math.sqrt(4000.0)
+    assert(byMass("fat") == math.floor(math.sqrt(20000.0) / s * 50).toLong)
+    assert(byMass("big") == math.floor(math.sqrt(4000.0) / s * 50).toLong)
+    // the doc-count rule would have given "big" the larger share
+    val byCount = GroupOps.sampleTemperature(df, 50L, 0.5, 3L, col("src"), col("id"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byCount("big") > byCount("fat") && byMass("fat") > byMass("big"))
+  }
+
   test("sampleTemperature: quotas follow count^alpha, draw is layout-invariant") {
     val df = (
       (0L until 800L).map(i => (i, "big")) ++

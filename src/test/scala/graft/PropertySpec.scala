@@ -175,4 +175,28 @@ class PropertySpec extends SparkSuite {
       assert(once == twice, s"not idempotent: $u → $once → $twice")
     }
   }
+
+  test("zvalue is a bijection on in-range int pairs (curve = total order)") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val gen = for {
+      a <- Gen.choose(0L, 255L)
+      b <- Gen.choose(0L, 255L)
+    } yield (a, b)
+    val seen = scala.collection.mutable.Map[Long, (Long, Long)]()
+    val pairs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    forAll(gen, n = 60)(p => pairs += p)
+    val rows = pairs.toSeq.distinct.toDF("a", "b")
+      .select($"a", $"b", ZOrder.zvalue(8, $"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (a, b, z) =>
+      assert(z >= 0 && z < (1L << 16))
+      // invert: even bits back to a, odd bits to b
+      val ia = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ib = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(ia == a && ib == b, s"($a,$b) -> $z -> ($ia,$ib)")
+      seen.get(z).foreach(prev => assert(prev == ((a, b)), "collision"))
+      seen(z) = (a, b)
+    }
+  }
 }
