@@ -118,6 +118,19 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     wrap(QualityClassifier.filterByScore(df, col(textCol), model,
       col(idCol), alpha))
 
+  /** Hard-triplet mining over a label column: per doc, its nearest
+    * same-label and nearest other-label neighbor (metric-learning
+    * batch construction). */
+  def mineTriplets(labelCol: String, kCand: Int = 128,
+      metric: String = "cosine", vecCol: String = "embedding"): DataFrame =
+    Knn.tripletMine(df, idCol, vecCol, labelCol, metric, kCand)
+
+  /** Curriculum training order: exact global position under
+    * (`orderCols`…, id) — never a single-partition sort. */
+  def withTrainingOrder(posCol: String, orderCols: Column*): DocArray =
+    wrap(GroupOps.globalOrderIndex(df, posCol,
+      (orderCols :+ col(idCol)): _*))
+
   /** DSIR importance resampling: keep the `k` docs most like `target`
     * under hashed-n-gram bag models (Xie et al. 2023). */
   def dsirResample(target: DocArray, k: Int, buckets: Int = 1 << 16,
