@@ -193,10 +193,17 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
         col("_kf.keyframe_samples").as("sample"),
         col("_kf.keyframe_offsets").as("offset"),
         col("_kf.keyframe_sizes").as("size"))))
+    // a lying co64 offset beyond the blob (or beyond int range — the
+    // JVM can't hold a >2 GB blob anyway) must yield null, not a
+    // wrapped-negative substr slicing arbitrary bytes
+    val inRange = col("_k.offset") >= 0 &&
+      col("_k.size") >= 0 &&
+      col("_k.offset") + col("_k.size") <= length(col(blobCol)).cast("long")
     wrap(exploded
       .withColumn("frame_sample", col("_k.sample"))
-      .withColumn(outCol,
-        col(blobCol).substr(col("_k.offset").cast("int") + lit(1), col("_k.size")))
+      .withColumn(outCol, when(inRange,
+        col(blobCol).substr(col("_k.offset").cast("int") + lit(1),
+          col("_k.size").cast("int"))))
       .drop("_kf", "_k"))
   }
   def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
@@ -244,7 +251,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
     val base = df.drop("embedding")
     wrap(base.mapPartitions(_.grouped(batchSize).flatMap { b =>
-      b.zip(model(b)).map { case (r, e) =>
+      val out = model(b)
+      // one embedding per row, enforced: a short return would silently
+      // drop docs and a mid-batch skip would shift every later pair
+      require(out.size == b.size,
+        s"embed model returned ${out.size} embeddings for ${b.size} rows")
+      b.zip(out).map { case (r, e) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ e.toSeq) }
     })(org.apache.spark.sql.Encoders.row(schema)))
   }

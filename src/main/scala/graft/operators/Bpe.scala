@@ -53,11 +53,14 @@ object Bpe {
   def train(df: DataFrame, textCol: Column, numMerges: Int,
       maxWords: Int = 5000000): Seq[(String, String)] = {
     val wc = wordCounts(df, textCol)
-    val probe = wc.limit(maxWords + 1).count()
-    require(probe <= maxWords,
+    // guard and collect in ONE job: collecting maxWords+1 rows both
+    // detects the overflow and is the data we need — the old separate
+    // limit-count probe re-ran the whole corpus aggregation twice
+    val rows = wc.limit(maxWords + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(rows.length <= maxWords,
       s"BPE fit input exceeds maxWords=$maxWords distinct pre-tokens; " +
         "raise maxWords to insist (fit is driver-side on the count table)")
-    val rows = wc.collect().map(r => (r.getString(0), r.getLong(1)))
     trainLocal(rows, numMerges)
   }
 

@@ -165,7 +165,10 @@ object GroupOps {
     val rk = graft.functions.splitmix64_rank(key, seed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(rk, key)
-    df.join(broadcast(quotas), group === col("_grp"))
+    // null-safe: a null group key is a group like any other (the sibling
+    // sampleStratified's window keeps it) — a plain === would silently
+    // drop every null-keyed row from the draw
+    df.join(broadcast(quotas), group <=> col("_grp"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= col("_take"))
       .drop("_grp", "_take", "_rn")

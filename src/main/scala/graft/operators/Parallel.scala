@@ -30,11 +30,20 @@ object Parallel {
 
   /** embed: batched model inference filling an embedding column
     * (reference embed.py:17-208). `model` must be a serializable
-    * batch-scoring function — broadcast once per executor. */
+    * batch-scoring function — broadcast once per executor, and it must
+    * return exactly one embedding per input row: a short return would
+    * otherwise silently drop rows, and a mid-batch omission would
+    * shift every later (row, embedding) pair — enforced per batch. */
   def embed[T: Encoder](ds: Dataset[T], batchSize: Int)(
       model: Seq[T] => Seq[Array[Float]])(implicit
       enc: Encoder[(T, Array[Float])]): Dataset[(T, Array[Float])] =
-    ds.mapPartitions(_.grouped(batchSize).flatMap(b => b.zip(model(b))))
+    ds.mapPartitions(_.grouped(batchSize).flatMap { b =>
+      val out = model(b)
+      require(out.size == b.size,
+        s"embed model returned ${out.size} embeddings for ${b.size} rows" +
+          " — return one per row (null/empty for failures), never skip")
+      b.zip(out)
+    })
 
   /** embed_feature_hashing: the built-in dependency-free embedder
     * (reference: document/mixins/featurehash.py:14-54) — hashing trick
