@@ -125,6 +125,25 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       metric: String = "cosine", vecCol: String = "embedding"): DataFrame =
     Knn.tripletMine(df, idCol, vecCol, labelCol, metric, kCand)
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct /
+    * min-words / javascript line rules + lorem-ipsum / brace / min-kept
+    * doc rules; adds n_lines, n_kept, keep, kept_text. Map-only. */
+  def c4Clean(textCol: String = "text", minWordsPerLine: Int = 5,
+      minKeptLines: Int = 3): DocArray =
+    wrap(Quality.c4Clean(df, col(textCol), minWordsPerLine, minKeptLines))
+
+  /** Gopher/MassiveText quality rule battery (Rae et al. 2021 Table A1)
+    * at the published default thresholds: adds one ok_* boolean per rule
+    * plus their conjunction `keep`. Map-only. */
+  def gopherQuality(textCol: String = "text"): DocArray =
+    wrap(Quality.gopherQuality(df, col(textCol)))
+
+  /** PMI collocation mining over the corpus: top-`k` bigrams by exact
+    * integer independence lift (see LangModel.collocations). */
+  def collocations(k: Int = 50, minCount: Long = 5,
+      textCol: String = "text"): DataFrame =
+    LangModel.collocations(df, col(textCol), minCount, k)
+
   /** Curriculum training order: exact global position under
     * (`orderCols`…, id) — never a single-partition sort. */
   def withTrainingOrder(posCol: String, orderCols: Column*): DocArray =

@@ -1121,6 +1121,60 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // C4 line-level cleaning (Raffel et al. 2020 §2.2). The corpus has no
+  // line structure, so the query manufactures it deterministically (pure
+  // arithmetic — portable to the oracle): 6-token lines, terminal
+  // punctuation cycling {., !, ?, none} on (doc_id + 2i) % 4, a
+  // "javascript" word every (doc_id + i) % 7 == 0 line, a lorem-ipsum
+  // line on doc_id % 11 docs and a brace line on doc_id % 13 docs. Then
+  // Quality.c4Clean applies the published rules.
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokens(col("text")).as("_tok"))
+    val nl = ceil(size(col("_tok")) / 6.0).cast("int")
+    val mk = transform(sequence(lit(0), nl - 1), i => concat(
+      array_join(slice(col("_tok"), i * lit(6) + 1, lit(6)), " "),
+      when((col("doc_id") + i) % 7 === 0, lit(" javascript"))
+        .otherwise(lit("")),
+      element_at(array(lit("."), lit("!"), lit("?"), lit("")),
+        ((col("doc_id") + i * 2) % 4).cast("int") + 1)))
+    val noLines = array().cast("array<string>")
+    val ls = concat(
+      when(size(col("_tok")) === 0, noLines).otherwise(mk),
+      when(col("doc_id") % 11 === 0, array(lit("Lorem ipsum dolor sit amet.")))
+        .otherwise(noLines),
+      when(col("doc_id") % 13 === 0, array(lit("{ body: 1 }")))
+        .otherwise(noLines))
+    val txt = d.select(col("doc_id"), array_join(ls, "\n").as("_txt"))
+    Quality.c4Clean(txt, col("_txt"), minWordsPerLine = 5, minKeptLines = 3)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("keep").cast("int").as("keep"), col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  // Gopher/MassiveText document-quality rule battery (Rae et al. 2021
+  // Table A1) — every rule a codegen'd scalar; thresholds tuned to this
+  // corpus's distributions so each discriminating rule actually cuts
+  // (word band 30+, mean-word-length band 3.0-4.6, top-word 0.1,
+  // top-bigram 0.04, ≥1 required stopword; the line/symbol rules keep
+  // their published defaults and pass vacuously on line-less text).
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Quality.gopherQuality(t(s, dir, "documents"), col("text"),
+      minWords = 30, maxMeanWordLen = 4.6, minDistinctStopwords = 1,
+      maxTopWordFrac = 0.1, maxTopBigramFrac = 0.04)
+      .select(col("doc_id") +: Seq("ok_words", "ok_word_len", "ok_symbols",
+        "ok_bullets", "ok_ellipsis", "ok_alpha", "ok_stopwords",
+        "ok_dup_lines", "ok_top_word", "ok_top_bigram", "keep")
+        .map(c => col(c).cast("int").as(c)): _*)
+      .orderBy("doc_id")
+
+  // PMI collocation mining: top-50 bigrams by independence lift with
+  // n12 ≥ 5, scored in exact integer ppm (no float log) — see
+  // LangModel.collocations for the overflow bound and the 100 TB shape.
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    LangModel.collocations(t(s, dir, "documents"), col("text"),
+      minCount = 5, topK = 50)
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1206,7 +1260,10 @@ object SparkEntry {
     "q80_triplet_mine" -> (q80 _),
     "q81_curriculum_order" -> (q81 _),
     "q82_token_budget_mix" -> (q82 _),
-    "q83_pretrain_pipeline" -> (q83 _))
+    "q83_pretrain_pipeline" -> (q83 _),
+    "q84_c4_clean" -> (q84 _),
+    "q85_gopher_quality" -> (q85 _),
+    "q86_collocations" -> (q86 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2775,7 +2832,92 @@ object SparkEntry {
          ${splitmixChainSql("doc_id, source, ntok", 7L, from = "f")}
          SELECT doc_id, source, ntok FROM ranked JOIN q USING (source)
          QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= take
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q84: same manufactured line structure as the Spark side (pure
+    // arithmetic — q23's tokenizer, 6-token slices, mod-cycled
+    // punctuation/hazards), then the C4 rules replayed with list HOFs
+    "q84_c4_clean" ->
+      s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         l AS (SELECT doc_id, [
+             array_to_string(tok[6*i+1 : 6*i+6], ' ')
+             || CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END
+             || (['.','!','?',''])[CAST((doc_id + 2*i) % 4 AS INT) + 1]
+           for i in range(0, CAST(ceil(len(tok)/6.0) AS INT))] ls FROM t),
+         l2 AS (SELECT doc_id, ls
+             || CASE WHEN doc_id % 11 = 0 THEN ['Lorem ipsum dolor sit amet.'] ELSE [] END
+             || CASE WHEN doc_id % 13 = 0 THEN ['{ body: 1 }'] ELSE [] END AS ls FROM l),
+         d AS (SELECT doc_id, array_to_string(ls, chr(10)) AS txt FROM l2),
+         r AS (SELECT doc_id, txt,
+           list_filter(string_split(txt, chr(10)), x -> len(trim(x)) > 0) AS lines FROM d),
+         k AS (SELECT doc_id, txt, lines,
+           list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$$')
+             AND len(list_filter(string_split_regex(x, '[ \\t]+'), w -> w <> '')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept FROM r)
+         SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+           CAST((NOT contains(lower(txt),'lorem ipsum') AND NOT contains(txt,'{')
+                 AND len(kept) >= 3) AS INT) AS keep,
+           CASE WHEN NOT contains(lower(txt),'lorem ipsum') AND NOT contains(txt,'{')
+                 AND len(kept) >= 3
+             THEN array_to_string(kept, chr(10)) ELSE '' END AS kept_text
+         FROM k ORDER BY doc_id""",
+
+    // q85: the Gopher rule battery — every metric recomputed with the
+    // q54-style list math, rounded to 6 dp BEFORE the threshold compare
+    // exactly like the Spark side, booleans shipped as ints
+    "q85_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok,
+           list_filter(string_split(text, chr(10)), x -> len(x) > 0) lns
+           FROM documents),
+         g AS (SELECT *, [tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))] g2 FROM t),
+         m AS (SELECT doc_id, len(tok) AS ntok,
+           round(CASE WHEN len(tok)=0 THEN 0 ELSE list_sum(list_transform(tok, z -> len(z)))*1.0/len(tok) END, 6) AS mwl,
+           round(CASE WHEN len(tok)=0 THEN 0 ELSE len(regexp_replace(text, '[^#…]', '', 'g'))*1.0/len(tok) END, 6) AS symr,
+           round(CASE WHEN len(lns)=0 THEN 0 ELSE len(list_filter(lns, l -> regexp_matches(trim(l), '^[-*•]')))*1.0/len(lns) END, 6) AS bullets,
+           round(CASE WHEN len(lns)=0 THEN 0 ELSE len(list_filter(lns, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))*1.0/len(lns) END, 6) AS ellip,
+           round(CASE WHEN len(tok)=0 THEN 0 ELSE len(list_filter(tok, z -> regexp_matches(z, '[a-z]')))*1.0/len(tok) END, 6) AS alphaf,
+           len(list_intersect(list_distinct(tok), ['the','be','to','of','and','that','have','with'])) AS nstop,
+           round(CASE WHEN len(lns)=0 THEN 0 ELSE 1 - len(list_distinct(lns))*1.0/len(lns) END, 6) AS duplf,
+           round(CASE WHEN len(tok)=0 THEN 0 ELSE list_max(list_transform(list_distinct(tok), w -> len(list_filter(tok, z -> z = w))))*1.0/len(tok) END, 6) AS topw,
+           round(CASE WHEN len(g2)=0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), w -> len(list_filter(g2, z -> z = w))))*1.0/len(g2) END, 6) AS topb
+           FROM g)
+         SELECT doc_id,
+           CAST(ntok BETWEEN 30 AND 100000 AS INT) AS ok_words,
+           CAST(mwl BETWEEN 3.0 AND 4.6 AS INT) AS ok_word_len,
+           CAST(symr <= 0.1 AS INT) AS ok_symbols,
+           CAST(bullets <= 0.9 AS INT) AS ok_bullets,
+           CAST(ellip <= 0.3 AS INT) AS ok_ellipsis,
+           CAST(alphaf >= 0.8 AS INT) AS ok_alpha,
+           CAST(nstop >= 1 AS INT) AS ok_stopwords,
+           CAST(duplf <= 0.3 AS INT) AS ok_dup_lines,
+           CAST(topw <= 0.1 AS INT) AS ok_top_word,
+           CAST(topb <= 0.04 AS INT) AS ok_top_bigram,
+           CAST(ntok BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 4.6
+             AND symr <= 0.1 AND bullets <= 0.9 AND ellip <= 0.3
+             AND alphaf >= 0.8 AND nstop >= 1 AND duplf <= 0.3
+             AND topw <= 0.1 AND topb <= 0.04 AS INT) AS keep
+         FROM m ORDER BY doc_id""",
+
+    // q86: PMI collocations — unigram + bigram counts, exact HUGEINT
+    // lift-ppm (floor division, positive operands, so // == Spark div),
+    // deterministic top-50 by (lift_ppm desc, w1, w2)
+    "q86_collocations" ->
+      s"""WITH t AS (SELECT
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         uc AS (SELECT w, count(*) n FROM (SELECT unnest(tok) w FROM t) GROUP BY w),
+         tot AS (SELECT sum(n) s FROM uc),
+         b AS (SELECT unnest([{'w1': tok[i], 'w2': tok[i+1]}
+                 for i in range(1, len(tok))], recursive := true) FROM t),
+         bc AS (SELECT w1, w2, count(*) n12 FROM b GROUP BY w1, w2
+                HAVING count(*) >= 5)
+         SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2,
+           CAST((n12 * (SELECT s FROM tot) * 1000000) // (u1.n * u2.n) AS BIGINT) AS lift_ppm
+         FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+         ORDER BY lift_ppm DESC, w1, w2 LIMIT 50"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -152,6 +152,21 @@ object TextFunctions {
       size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast("double") / size(ls))
   }
 
+  /** Fraction of tokens containing at least one alphabetic character
+    * (the Gopher "80% of words must contain an alphabetic char" rule;
+    * under the alnum tokenizer a non-alpha token is a pure digit run). */
+  def alphaWordFrac(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts))
+  }
+
+  /** How many of `words` appear in the doc at least once (the Gopher
+    * "must contain ≥2 of 8 required stopwords" rule). */
+  def distinctStopwordCount(text: Column, words: Seq[String]): Column =
+    size(array_intersect(tokenSet(text),
+      array(words.map(lit): _*)))
+
   /** Symbol marks (#, …) per token — boilerplate/markup density. */
   def symbolWordRatio(text: Column): Column = {
     val n = tokenCount(text)

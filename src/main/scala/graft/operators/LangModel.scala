@@ -106,6 +106,70 @@ object LangModel {
         col("nll2"))
   }
 
+  /** PMI collocation mining: the top bigrams whose observed frequency most
+    * exceeds independence — `lift = P(w1 w2) / (P(w1) P(w2))` with all
+    * probabilities estimated from token counts over one shared total `N`
+    * (the standard simplification; the bigram-total/`N` factor it drops is
+    * constant and rank-neutral, so the ordering equals PMI's).
+    *
+    * The score ships as `lift_ppm = floor(n12 · N · 10^6 / (n1 · n2))` —
+    * exact 64-bit integer math, no float log anywhere, so the oracle
+    * replays it bit-for-bit with HUGEINT division. The `N ≤ 3M tokens`
+    * guard is the int64 overflow bound of that exactness trick
+    * (`n12 ≤ N` ⇒ the numerator is < 2^63 whenever `N² · 10^6` is); a
+    * 100 TB corpus mines collocations per-shard/per-source at this size
+    * or ranks by the double-precision PMI instead — the pipeline shape
+    * (two count aggregations, one vocab-sized equi-join, top-k) is
+    * unchanged and scale-safe: the final order-by-limit plans as
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    *
+    * Output: (`w1`, `w2`, `n12`, `n1`, `n2`, `lift_ppm`), the `topK` rows
+    * by (`lift_ppm` desc, `w1`, `w2`) among bigrams with `n12 ≥ minCount`.
+    */
+  def collocations(docs: DataFrame, textCol: Column, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val uni = unigramFit(docs, textCol)
+    val bi = bigramFit(docs, textCol)
+    val nTok = uni.agg(sum(col("n"))).head.getLong(0)
+    require(nTok <= 3000000L,
+      s"collocations exact-ppm math needs N ≤ 3M tokens (got $nTok): " +
+        "mine per-shard or rank by double PMI beyond that")
+    val n1 = uni.select(col("word").as("w1"), col("n").as("n1"))
+    val n2 = uni.select(col("word").as("w2"), col("n").as("n2"))
+    bi.where(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").as("n12"))
+      .join(n1, Seq("w1")).join(n2, Seq("w2"))
+      .withColumn("lift_ppm",
+        expr(s"(n12 * ${nTok}L * 1000000L) div (n1 * n2)"))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** [[collocations]]' scale path: identical count pipeline, ranked by
+    * double-precision `pmi = ln(n12 · N / (n1 · n2))` with no overflow
+    * bound — for corpora past the exact-ppm guard. Same deterministic
+    * tie-break; the two variants order identically except where two
+    * lifts collide within one double ulp. */
+  def collocationsPmi(docs: DataFrame, textCol: Column, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val uni = unigramFit(docs, textCol)
+    val bi = bigramFit(docs, textCol)
+    val nTok = uni.agg(sum(col("n"))).head.getLong(0)
+    val n1 = uni.select(col("word").as("w1"), col("n").as("n1"))
+    val n2 = uni.select(col("word").as("w2"), col("n").as("n2"))
+    bi.where(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").as("n12"))
+      .join(n1, Seq("w1")).join(n2, Seq("w2"))
+      .withColumn("pmi", log(col("n12").cast("double") * nTok.toDouble /
+        (col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** [[unigramNll]] + decile-style quality buckets over ascending
     * (`nll`, id) — bucket 1 = most in-distribution, exact SQL `NTILE`
     * semantics (first `count % buckets` buckets take one extra row). The

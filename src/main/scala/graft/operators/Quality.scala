@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus cleaning rule batteries from the public pretraining-pipeline
+  * literature: the C4 line-level rules (Raffel et al. 2020, §2.2) and the
+  * Gopher/MassiveText document-level rules (Rae et al. 2021, Table A1).
+  *
+  * The reference has no corpus-cleaning surface (its text mixins stop at
+  * per-doc conversion); these are beyond-reference training-pipeline
+  * operators in the same family as the repetition signals in
+  * [[graft.functions.TextFunctions]].
+  *
+  * Scale shape: every rule is a per-row scalar over builtin expressions —
+  * no shuffle, no UDF, the whole battery stays inside whole-stage codegen.
+  * At 100 TB this is a map-only pass that rides whatever partitioning the
+  * scan produced.
+  */
+object Quality {
+
+  /** Words of one line: split on blank runs, empties dropped. (The line
+    * rules deliberately use the raw-whitespace word definition, not the
+    * alnum tokenizer — C4 counts "words" before any normalization.) */
+  private def lineWords(l: Column): Column =
+    filter(split(l, "[ \\t]+"), w => w =!= "")
+
+  /** C4 line-level cleaning. Keeps a line iff it
+    *  - ends in a terminal punctuation mark (`.` `!` `?` `"`),
+    *  - has at least `minWordsPerLine` words, and
+    *  - does not contain the word "javascript" (case-insensitive);
+    * then keeps the document iff it
+    *  - contains neither "lorem ipsum" (case-insensitive) nor `{`, and
+    *  - retains at least `minKeptLines` lines.
+    *
+    * Output: input row + `n_lines`, `n_kept`, `keep`, `kept_text` (the
+    * surviving lines re-joined with `\n`; empty string when none).
+    */
+  def c4Clean(df: DataFrame, textCol: Column,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val ls = filter(split(textCol, "\n"), l => length(trim(l)) > 0)
+    val kept = filter(ls, l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(lineWords(l)) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val docOk = !lower(textCol).contains("lorem ipsum") &&
+      !textCol.contains("{")
+    df.withColumn("n_lines", size(ls))
+      .withColumn("n_kept", size(kept))
+      .withColumn("keep", docOk && size(kept) >= lit(minKeptLines))
+      .withColumn("kept_text", when(col("keep"), array_join(kept, "\n"))
+        .otherwise(lit("")))
+  }
+
+  /** Gopher/MassiveText quality rule battery. Emits one boolean per rule
+    * plus the conjunction `keep`; metrics are rounded to 6 dp *before*
+    * comparison so an oracle recomputing the same double math lands on
+    * the same side of every threshold.
+    *
+    * Defaults are the published MassiveText values. `minWords`/`maxWords`
+    * bound the token count; `requiredStopwords` is the published 8-word
+    * list ("the, be, to, of, and, that, have, with").
+    */
+  def gopherQuality(df: DataFrame, textCol: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9, maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minDistinctStopwords: Int = 2,
+      maxDupLineFrac: Double = 0.3,
+      maxTopWordFrac: Double = 0.2,
+      maxTopBigramFrac: Double = 0.18,
+      requiredStopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val n = TextFunctions.tokenCount(textCol)
+    val r = (c: Column) => round(c, 6)
+    val out = df
+      .withColumn("ok_words", n >= minWords && n <= maxWords)
+      .withColumn("ok_word_len",
+        r(TextFunctions.meanTokenLength(textCol))
+          .between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("ok_symbols",
+        r(TextFunctions.symbolWordRatio(textCol)) <= maxSymbolWordRatio)
+      .withColumn("ok_bullets",
+        r(TextFunctions.bulletLineFrac(textCol)) <= maxBulletLineFrac)
+      .withColumn("ok_ellipsis",
+        r(TextFunctions.ellipsisLineFrac(textCol)) <= maxEllipsisLineFrac)
+      .withColumn("ok_alpha",
+        r(TextFunctions.alphaWordFrac(textCol)) >= minAlphaWordFrac)
+      .withColumn("ok_stopwords",
+        TextFunctions.distinctStopwordCount(textCol, requiredStopwords)
+          >= minDistinctStopwords)
+      .withColumn("ok_dup_lines",
+        r(TextFunctions.dupLineFrac(textCol)) <= maxDupLineFrac)
+      .withColumn("ok_top_word",
+        r(TextFunctions.topWordFrac(textCol)) <= maxTopWordFrac)
+      .withColumn("ok_top_bigram",
+        r(TextFunctions.topBigramFrac(textCol)) <= maxTopBigramFrac)
+    out.withColumn("keep",
+      Seq("ok_words", "ok_word_len", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_dup_lines",
+        "ok_top_word", "ok_top_bigram").map(col).reduce(_ && _))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{LangModel, Quality}
+
+/** Corpus cleaning rule batteries (C4 / Gopher) and PMI collocations. */
+class QualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("c4Clean applies every published line and document rule") {
+    val good = "one two three four five.\nsix seven eight nine ten!\n" +
+      "is this a kept question line?"
+    val docs = Seq(
+      // 3 clean lines -> kept verbatim
+      (0L, good),
+      // short line, no-punct line, javascript line all drop -> 1 kept < 3
+      (1L, "too short.\nno terminal punct here at all\n" +
+        "we use JavaScript on this page.\nonly this line has legs to stand."),
+      // lorem ipsum nukes the doc even with 3 good lines
+      (2L, good + "\nLorem Ipsum dolor sit amet forever."),
+      // a brace anywhere nukes the doc
+      (3L, good + "\nvar x = { a: 1 };"),
+      // blank lines are not lines; quote counts as terminal punctuation
+      (4L, "\n\nhe said \"this line ends in a quote\"\n" +
+        "one two three four five.\nsix seven eight nine ten?")
+    ).toDF("id", "t")
+    val r = Quality.c4Clean(docs, col("t")).orderBy("id")
+      .select("n_lines", "n_kept", "keep", "kept_text").collect()
+    assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 3 && r(0).getBoolean(2))
+    assert(r(0).getString(3) == good)
+    assert(r(1).getInt(1) == 1 && !r(1).getBoolean(2) && r(1).getString(3) == "")
+    assert(r(2).getInt(1) == 4 && !r(2).getBoolean(2)) // lorem line itself passes the line rules
+    assert(!r(3).getBoolean(2))
+    assert(r(4).getInt(0) == 3 && r(4).getInt(1) == 3 && r(4).getBoolean(2))
+  }
+
+  test("gopherQuality: each rule cuts on its own axis") {
+    val base = "the quick brown fox jumps over the lazy dog and that " +
+      "is why we keep this document around for the test of quality rules"
+    val docs = Seq(
+      (0L, base), // passes with the tuned-down minWords below
+      (1L, "way too short"), // word-count floor
+      (2L, "zz " * 30 + "the of"), // top-word dominance
+      (3L, "0 1 2 3 4 5 6 7 8 9 " * 3 + "the of and that be"), // alpha frac
+      (4L, Seq.fill(24)("assorted distinct words here").mkString(" ")
+        .split(" ").zipWithIndex.map { case (w, i) => w + i }.mkString(" "))
+      // ^ 96 distinct words, no required stopword
+    ).toDF("id", "t")
+    val r = Quality.gopherQuality(docs, col("t"), minWords = 20,
+      maxTopWordFrac = 0.2).orderBy("id").collect()
+    def b(row: org.apache.spark.sql.Row, name: String): Boolean =
+      row.getBoolean(row.fieldIndex(name))
+    assert(b(r(0), "keep"))
+    assert(!b(r(1), "ok_words") && !b(r(1), "keep"))
+    assert(!b(r(2), "ok_top_word") && !b(r(2), "keep"))
+    assert(!b(r(3), "ok_alpha") && !b(r(3), "keep"))
+    assert(!b(r(4), "ok_stopwords") && !b(r(4), "keep"))
+  }
+
+  test("gopherQuality line rules: bullets, ellipsis, duplicate lines") {
+    val bullety = (1 to 10).map(i => s"- bullet item $i").mkString("\n")
+    val ellipsisy = (1 to 10).map(i => s"thought number $i trails off...")
+      .mkString("\n")
+    val dupey = ("same line of text\n" * 8) + "one other line"
+    val docs = Seq((0L, bullety), (1L, ellipsisy), (2L, dupey)).toDF("id", "t")
+    // relax the word rules so only the line rules decide
+    val r = Quality.gopherQuality(docs, col("t"), minWords = 1,
+      minDistinctStopwords = 0, maxTopWordFrac = 1.0, maxTopBigramFrac = 1.0,
+      minMeanWordLen = 0.0).orderBy("id").collect()
+    def b(row: org.apache.spark.sql.Row, name: String): Boolean =
+      row.getBoolean(row.fieldIndex(name))
+    assert(!b(r(0), "ok_bullets") && b(r(1), "ok_bullets"))
+    assert(!b(r(1), "ok_ellipsis") && b(r(0), "ok_ellipsis"))
+    assert(!b(r(2), "ok_dup_lines") && b(r(0), "ok_dup_lines"))
+  }
+
+  test("alphaWordFrac and distinctStopwordCount") {
+    val r = Seq(Tuple1("the 42 cats eat 7 fish"))
+      .toDF("t").select(
+        TextFunctions.alphaWordFrac(col("t")).as("a"),
+        TextFunctions.distinctStopwordCount(col("t"),
+          Seq("the", "and", "fish")).as("s"))
+      .head
+    assert(math.abs(r.getDouble(0) - 4.0 / 6.0) < 1e-12)
+    assert(r.getInt(1) == 2) // the, fish
+  }
+
+  test("collocations ranks glued pairs above independent ones, exact ppm") {
+    // "tick tock" always adjacent; filler words shuffled independently
+    val docs = (0 until 40).map { i =>
+      val filler = Seq("aa", "bb", "cc", "dd").map(w => w + " " + w)
+      (i.toLong, s"tick tock ${filler((i * 7) % 4)} tick tock aa bb cc dd")
+    }.toDF("id", "t")
+    val r = LangModel.collocations(docs, col("t"), minCount = 5, topK = 5)
+      .collect()
+    assert(r.head.getString(0) == "tick" && r.head.getString(1) == "tock")
+    // exact integer replay of the head row: floor(n12 * N * 1e6 / (n1*n2))
+    val n12 = r.head.getLong(2); val n1 = r.head.getLong(3)
+    val n2 = r.head.getLong(4); val ppm = r.head.getLong(5)
+    val nTok = 40L * 10L
+    assert(ppm == n12 * nTok * 1000000L / (n1 * n2))
+    assert(ppm > 1000000L) // well above independence
+  }
+
+  test("collocations is deterministically ordered and honors minCount") {
+    val docs = Seq((0L, "x y " * 6 + "rare pair")).toDF("id", "t")
+    val r = LangModel.collocations(docs, col("t"), minCount = 5, topK = 10)
+      .collect()
+    // only "x y" and "y x" recur >= 5 times ("rare pair" occurs once)
+    assert(r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("x", "y"), ("y", "x")) ||
+      r.map(x => (x.getString(0), x.getString(1))).toSeq ==
+        Seq(("y", "x"), ("x", "y")))
+    assert(r.forall(_.getLong(2) >= 5))
+    val ppms = r.map(_.getLong(5)).toSeq
+    assert(ppms == ppms.sortBy(-_))
+  }
+}
