@@ -286,6 +286,35 @@ object Bench {
         .agg(sum("n_feats"), sum("weight")).collect()
     }
 
+    // Gopher rule battery at 1M docs × 20 tokens — the full 10-rule
+    // scalar battery is map-only (one scan, no shuffle, one codegen
+    // stage); the row measures per-doc scalar throughput. Validation
+    // row, outside the headline total.
+    bench("x_gopher_1m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      graft.operators.Quality.gopherQuality(textDocs, col("text"),
+        minWords = 10, minDistinctStopwords = 0)
+        .agg(sum(col("keep").cast("long"))).collect()
+    }
+
+    // PMI collocations at 1M docs / 19M bigram occurrences / 2k vocab
+    // (double-PMI scale path — past the exact-ppm int64 bound; the
+    // smaller vocab keeps expected pair counts above minCount, ~4M
+    // distinct pairs through the groupBy): two count aggregations,
+    // vocab-sized joins, TakeOrderedAndProject top-50. Validation row,
+    // outside the headline total.
+    bench("x_collocations_1m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(2000)))))
+          .as("text"))
+      graft.operators.LangModel.collocationsPmi(textDocs, col("text"),
+        minCount = 5, topK = 50).collect()
+    }
+
     // Corpus line-dedup at 5M lines / 1M docs with a deliberately hot key
     // distribution (~20% of lines drawn from a 1k-line boilerplate pool,
     // ~1k copies each) — exercises the agg+join keeper path's map-side
