@@ -1175,6 +1175,30 @@ object SparkEntry {
     LangModel.collocations(t(s, dir, "documents"), col("text"),
       minCount = 5, topK = 50)
 
+  // Transfer-scored unigram NLL (the CCNet cross-domain scoring shape):
+  // model fitted on the ENGLISH slice only, every doc scored under it —
+  // non-English tokens are genuinely OOV, so this is the oracle gate for
+  // unigramNll's Laplace-smoothing branch (q60 fits and scores the same
+  // corpus, where OOV can't occur).
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = LangModel.unigramFit(d.where(col("lang") === "en"),
+      col("text"))
+    LangModel.unigramNll(d, model, "doc_id", col("text"), smooth = 1.0)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll"), 6).as("nll_r"))
+      .orderBy("doc_id")
+  }
+
+  // Per-doc unigram Shannon entropy (lexical diversity): the fold runs
+  // over sorted distinct tokens on BOTH engines, so the double summation
+  // order — and hence the rounded value — is identical by construction.
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      round(TextFunctions.tokenEntropy(col("text")), 6).as("entropy_r"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1263,7 +1287,9 @@ object SparkEntry {
     "q83_pretrain_pipeline" -> (q83 _),
     "q84_c4_clean" -> (q84 _),
     "q85_gopher_quality" -> (q85 _),
-    "q86_collocations" -> (q86 _))
+    "q86_collocations" -> (q86 _),
+    "q87_transfer_nll" -> (q87 _),
+    "q88_token_entropy" -> (q88 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2917,7 +2943,40 @@ object SparkEntry {
          SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2,
            CAST((n12 * (SELECT s FROM tot) * 1000000) // (u1.n * u2.n) AS BIGINT) AS lift_ppm
          FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
-         ORDER BY lift_ppm DESC, w1, w2 LIMIT 50"""
+         ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""",
+    // q87: q60's NLL replay with the model CTE filtered to lang='en' and
+    // a LEFT join + coalesce(n,1) for the Laplace-smoothed OOV branch
+    "q87_transfer_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS word FROM documents),
+         model AS (SELECT word, count(*) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+               x -> x <> '')) AS word FROM documents WHERE lang = 'en')
+           GROUP BY word),
+         tot AS (SELECT sum(n) AS total FROM model),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  -avg(ln(CAST(coalesce(n, 1) AS DOUBLE) / CAST(total AS DOUBLE))) AS nll
+           FROM toks LEFT JOIN model USING (word), tot GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS INTEGER) AS n_tokens,
+           round(s.nll, 6) AS nll_r
+         FROM documents d LEFT JOIN scored s USING (doc_id) ORDER BY doc_id""",
+
+    // q88: the same sorted-distinct fold — list_sort(list_distinct(tok))
+    // then a left-to-right p·ln(p) accumulation via list_transform +
+    // list_sum over the sorted order (identical double summation order)
+    "q88_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents)
+         SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tokens,
+           round(CASE WHEN len(tok) = 0 THEN 0.0 ELSE
+             -list_sum(list_transform(list_sort(list_distinct(tok)),
+               w -> (len(list_filter(tok, z -> z = w))*1.0/len(tok)) *
+                    ln(len(list_filter(tok, z -> z = w))*1.0/len(tok)))) END, 6)
+             AS entropy_r
+         FROM t ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -152,6 +152,21 @@ object TextFunctions {
       size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast("double") / size(ls))
   }
 
+  /** Shannon entropy (nats) of the doc's unigram distribution —
+    * a lexical-diversity quality signal (low = repetitive/templated).
+    * The fold runs over the SORTED distinct tokens so the float
+    * summation order is deterministic and an oracle replaying the same
+    * sorted fold lands on the identical double. */
+  def tokenEntropy(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts).cast("double")
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      -aggregate(array_sort(array_distinct(ts)), lit(0.0), (acc, w) => {
+        val p = size(filter(ts, t => t === w)).cast("double") / n
+        acc + p * log(p)
+      }))
+  }
+
   /** Fraction of tokens containing at least one alphabetic character
     * (the Gopher "80% of words must contain an alphabetic char" rule;
     * under the alnum tokenizer a non-alpha token is a pure digit run). */

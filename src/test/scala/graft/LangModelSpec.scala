@@ -134,4 +134,35 @@ class LangModelSpec extends SparkSuite {
     assert(got == Seq(0, 128, 255, 255, 0))
     assert(df.select(bytes_to_ints(lit(null).cast("binary"))).head.isNullAt(0))
   }
+
+  test("unigramNll transfer scoring: OOV tokens hit the Laplace branch") {
+    import org.apache.spark.sql.functions._
+    val fit = Seq((0L, "aa aa bb")).toDF("id", "t") // model: aa->2, bb->1, N=3
+    val score = Seq((1L, "aa bb"), (2L, "aa zz")).toDF("id", "t")
+    val model = LangModel.unigramFit(fit, col("t"))
+    val r = LangModel.unigramNll(score, model, "id", col("t"), smooth = 1.0)
+      .orderBy("id").collect()
+    val in = -(math.log(2.0 / 3) + math.log(1.0 / 3)) / 2   // aa, bb
+    val oov = -(math.log(2.0 / 3) + math.log(1.0 / 3)) / 2  // zz -> ln(1/3)
+    assert(math.abs(r(0).getDouble(2) - in) < 1e-12)
+    assert(math.abs(r(1).getDouble(2) - oov) < 1e-12)
+    // the OOV doc scores the same as (aa, bb) here because smooth=1 makes
+    // zz's pseudo-count equal bb's real count -- assert that equivalence
+    // explicitly so the smoothing semantics are pinned
+    assert(r(0).getDouble(2) == r(1).getDouble(2))
+  }
+
+  test("tokenEntropy: hand-checked, empty-safe, uniform max") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val df = Seq((0L, "aa aa bb"), (1L, ""), (2L, "a b c d"),
+      (3L, "x x x x")).toDF("id", "t")
+      .select(col("id"), TextFunctions.tokenEntropy(col("t")).as("h"))
+      .orderBy("id").collect()
+    val h0 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(df(0).getDouble(1) - h0) < 1e-12)
+    assert(df(1).getDouble(1) == 0.0)
+    assert(math.abs(df(2).getDouble(1) - math.log(4)) < 1e-12)
+    assert(df(3).getDouble(1) == 0.0) // -1*ln(1) exactly
+  }
 }
