@@ -144,6 +144,25 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text"): DataFrame =
     LangModel.collocations(df, col(textCol), minCount, k)
 
+  /** Decode each image blob (resized to `h`×`w` by the real codec path)
+    * and attach its 64-bit average perceptual hash. */
+  def withImagePhash(blobCol: String = "blob", h: Int = 16, w: Int = 16,
+      outCol: String = "phash"): DocArray =
+    wrap(df.withColumn("_t",
+      Multimodal.decodeImage(col(blobCol), lit(h), lit(w)))
+      .withColumn(outCol, Multimodal.aHashFromBlocks(
+        Multimodal.grayBlockSums(col("_t.values"), h, w)))
+      .drop("_t"))
+
+  /** Image near-duplicate pairs by perceptual hash: [[withImagePhash]] →
+    * banded hamming join (exact up to `maxHamming` ≤ 3, the pigeonhole
+    * radius). Output (a, b, hamming). */
+  def imageNearDupPairs(blobCol: String = "blob", maxHamming: Int = 3,
+      h: Int = 16, w: Int = 16): DataFrame =
+    Dedup.hammingPairs64(
+      withImagePhash(blobCol, h, w).df.where(col("phash").isNotNull),
+      idCol, "phash", maxHamming)
+
   /** Curriculum training order: exact global position under
     * (`orderCols`…, id) — never a single-partition sort. */
   def withTrainingOrder(posCol: String, orderCols: Column*): DocArray =

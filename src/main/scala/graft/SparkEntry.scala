@@ -1199,6 +1199,33 @@ object SparkEntry {
       round(TextFunctions.tokenEntropy(col("text")), 6).as("entropy_r"))
       .orderBy("doc_id")
 
+  // Image near-dup detection by perceptual hash: deterministic 16×16 RGB
+  // pixels (doc_id arithmetic; docs 5k/5k+1 share a base image, 5k+1
+  // perturbed at 5 flat positions) → REAL PNG encode + decode (lossless,
+  // the q28 machinery) → integer-exact aHash (gray block sums, cross-
+  // multiplied mean threshold) → banded hamming pairs. maxHamming=3 is
+  // the pigeonhole-complete radius, so the banded result must EQUAL the
+  // oracle's brute-force all-pairs bit-compare — the oracle never builds
+  // the packed hash, it recounts differing threshold bits per pair,
+  // which is the same hamming by construction.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val grp = col("doc_id") - col("doc_id") % 5
+    val pix = transform(sequence(lit(0), lit(16 * 16 * 3 - 1)), i => {
+      val v = when(col("doc_id") % 5 <= 1, (grp * 31 + i * 7) % 256)
+        .otherwise((col("doc_id") * 31 + i * 7) % 256)
+      when(col("doc_id") % 5 === 1 && i % 191 === 0, (v + 60) % 256)
+        .otherwise(v).cast("float")
+    })
+    val hashed = t(s, dir, "documents")
+      .withColumn("_blob", Multimodal.encodeImage(
+        pix, array(lit(16), lit(16), lit(3)), lit("png")))
+      .withColumn("_t", Multimodal.decodeImage(col("_blob"), lit(0), lit(0)))
+      .withColumn("_blocks", Multimodal.grayBlockSums(col("_t.values"), 16, 16))
+      .withColumn("_ph", Multimodal.aHashFromBlocks(col("_blocks")))
+    Dedup.hammingPairs64(hashed, "doc_id", "_ph", maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1289,7 +1316,8 @@ object SparkEntry {
     "q85_gopher_quality" -> (q85 _),
     "q86_collocations" -> (q86 _),
     "q87_transfer_nll" -> (q87 _),
-    "q88_token_entropy" -> (q88 _))
+    "q88_token_entropy" -> (q88 _),
+    "q89_image_phash_pairs" -> (q89 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2976,7 +3004,32 @@ object SparkEntry {
                w -> (len(list_filter(tok, z -> z = w))*1.0/len(tok)) *
                     ln(len(list_filter(tok, z -> z = w))*1.0/len(tok)))) END, 6)
              AS entropy_r
-         FROM t ORDER BY doc_id"""
+         FROM t ORDER BY doc_id""",
+
+    // q89: brute-force replay — same pixel arithmetic, 2x2x3 block gray
+    // sums, cross-multiplied mean-threshold bits, hamming = count of
+    // differing bits over ALL doc pairs (no banding, no packed hash)
+    "q89_image_phash_pairs" ->
+      """WITH px AS (SELECT doc_id, [
+             CASE WHEN doc_id % 5 = 1 AND i % 191 = 0
+               THEN (((doc_id - doc_id % 5) * 31 + i * 7) % 256 + 60) % 256
+               WHEN doc_id % 5 <= 1
+               THEN ((doc_id - doc_id % 5) * 31 + i * 7) % 256
+               ELSE (doc_id * 31 + i * 7) % 256 END
+           for i in range(0, 768)] v FROM documents),
+         bl AS (SELECT doc_id, [
+             list_sum([v[((2*(k//8) + j//6)*16 + (2*(k%8) + (j%6)//3))*3 + (j%3) + 1]
+                       for j in range(0, 12)])
+           for k in range(0, 64)] bs FROM px),
+         bits AS (SELECT doc_id,
+             [CASE WHEN bs[k+1]*64 > list_sum(bs) THEN 1 ELSE 0 END
+              for k in range(0, 64)] bt FROM bl)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_filter(range(0, 64),
+             k -> a.bt[k+1] != b.bt[k+1])) AS INTEGER) AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(range(0, 64), k -> a.bt[k+1] != b.bt[k+1])) <= 3
+         ORDER BY a, b"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -881,4 +881,52 @@ object Multimodal {
         Iterator.single(n)
       }.sum().toLong
   }
+
+  // ---- perceptual hashing ---------------------------------------------
+  // Average-hash (aHash) over a decoded uint8 tensor, split into two
+  // stages so the caller can bind the block sums to a column once (HOF
+  // lambdas don't CSE a shared subtree). Everything is exact integer
+  // arithmetic — gray = r+g+b (unnormalized), block score = block gray
+  // SUM, bit = "block·nBlocks > total" (the mean comparison cross-
+  // multiplied, so no division ever happens) — which is what lets a SQL
+  // oracle replay the bits exactly. Pure builtin expressions, codegen'd;
+  // image size is a few hundred elements so the O(grid²·block) HOF
+  // scans are trivially cheap per row.
+
+  /** Per-block gray sums of a flat HWC uint8-range tensor: `grid × grid`
+    * long sums of (r+g+b) over each `(h/grid) × (w/grid)` pixel block,
+    * row-major block order. Requires `grid` to divide `h` and `w`. */
+  def grayBlockSums(values: Column, h: Int, w: Int, grid: Int = 8): Column = {
+    require(h % grid == 0 && w % grid == 0,
+      s"grid=$grid must divide h=$h and w=$w")
+    val bh = h / grid
+    val bw = w / grid
+    transform(sequence(lit(0), lit(grid * grid - 1)), k => {
+      // Column `/` is double division — (k - k % g) / g stays integral
+      val by = ((k - k % grid) / grid).cast("int") * bh
+      val bx = (k % grid) * bw
+      aggregate(sequence(lit(0), lit(bh * bw - 1)), lit(0L), (acc, j) => {
+        val base = ((by + ((j - j % bw) / bw).cast("int")) * w +
+          (bx + j % bw)) * 3
+        acc + element_at(values, base + 1).cast("long") +
+          element_at(values, base + 2).cast("long") +
+          element_at(values, base + 3).cast("long")
+      })
+    })
+  }
+
+  /** aHash bits from [[grayBlockSums]] packed MSB-first into one long
+    * (`acc·2 + bit` fold): bit k = 1 iff block k's gray mean exceeds the
+    * image mean. Hamming distance between two such hashes
+    * (`bit_count(a ^ b)`) counts differing threshold decisions and is
+    * independent of the packing order. */
+  def aHashFromBlocks(blocks: Column): Column = {
+    val total = aggregate(blocks, lit(0L), (a, x) => a + x)
+    // shift/or, not acc*2+bit: the top bit makes *2 overflow-trap under
+    // ANSI mode, while shiftleft is defined to wrap
+    aggregate(blocks, lit(0L), (acc, b) =>
+      shiftleft(acc, 1).bitwiseOR(
+        when(b * size(blocks).cast("long") > total, lit(1L))
+          .otherwise(lit(0L))))
+  }
 }

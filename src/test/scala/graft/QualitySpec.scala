@@ -116,4 +116,39 @@ class QualitySpec extends SparkSuite {
     val ppms = r.map(_.getLong(5)).toSeq
     assert(ppms == ppms.sortBy(-_))
   }
+
+  test("aHash: block sums and threshold bits, hand-checked") {
+    import graft.operators.Multimodal
+    // 2x2 image, grid=2 -> 1x1 blocks; gray sums = r+g+b per pixel
+    val vals = Seq(
+      10f, 10f, 10f, // (0,0) sum 30
+      0f, 0f, 0f, // (0,1) sum 0
+      90f, 0f, 0f, // (1,0) sum 90
+      0f, 0f, 0f) // (1,1) sum 0
+    val df = Seq(Tuple1(vals)).toDF("v")
+      .withColumn("b", Multimodal.grayBlockSums(col("v"), 2, 2, grid = 2))
+      .withColumn("h", Multimodal.aHashFromBlocks(col("b")))
+    val r = df.head
+    assert(r.getSeq[Long](1) == Seq(30L, 0L, 90L, 0L))
+    // total 120, mean 30: bits (30*4>120)=0, 0, (90*4>120)=1, 0 -> MSB-first 0b0010
+    assert(r.getLong(2) == 2L)
+  }
+
+  test("hammingPairs64 equals brute force at the pigeonhole radius") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i => (i.toLong, rnd.nextLong()) }
+    // plant a hamming-3 neighbor for the first 12 signatures
+    val planted = rows ++ rows.take(12).map { case (id, s) =>
+      (id + 1000L, s ^ 0x0000000000010101L) // flip 3 bits
+    }
+    val df = planted.toDF("id", "sig")
+    val got = graft.operators.Dedup.hammingPairs64(df, "id", "sig",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, sa) <- planted; (b, sb) <- planted if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want && want.size >= 12)
+  }
 }
