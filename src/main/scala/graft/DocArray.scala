@@ -163,6 +163,29 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       withImagePhash(blobCol, h, w).df.where(col("phash").isNotNull),
       idCol, "phash", maxHamming)
 
+  /** Decode each WAV blob and attach its 64-bit energy-envelope
+    * fingerprint over `frames` frames of `frameLen` samples (clips are
+    * expected at a fixed length ≥ frames·frameLen; shorter decodes
+    * yield null). */
+  def withAudioFingerprint(frameLen: Int, blobCol: String = "blob",
+      frames: Int = 64, outCol: String = "afp"): DocArray =
+    wrap(df.withColumn("_b", Multimodal.decodeWav(col(blobCol)))
+      .withColumn(outCol, when(
+        element_at(col("_b.shape"), 1) >= frames * frameLen,
+        Multimodal.aHashFromBlocks(
+          Multimodal.frameEnergies(col("_b.values"), frames, frameLen))))
+      .drop("_b"))
+
+  /** Audio near-duplicate pairs by energy-envelope fingerprint —
+    * [[withAudioFingerprint]] → banded hamming join (exact up to
+    * `maxHamming` ≤ 3). Output (a, b, hamming). */
+  def audioNearDupPairs(frameLen: Int, blobCol: String = "blob",
+      maxHamming: Int = 3, frames: Int = 64): DataFrame =
+    Dedup.hammingPairs64(
+      withAudioFingerprint(frameLen, blobCol, frames).df
+        .where(col("afp").isNotNull),
+      idCol, "afp", maxHamming)
+
   /** Curriculum training order: exact global position under
     * (`orderCols`…, id) — never a single-partition sort. */
   def withTrainingOrder(posCol: String, orderCols: Column*): DocArray =

@@ -1226,6 +1226,30 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  // Audio near-dup by energy-envelope fingerprint: deterministic int16
+  // PCM (q35's arithmetic; docs 5k/5k+1 share a base clip, 5k+1 nudged
+  // at 4 samples) → REAL WAV encode/decode (lossless int16) → 64 exact
+  // integer frame energies → mean-threshold fingerprint → banded hamming
+  // pairs, gated against the brute-force all-pairs oracle exactly like
+  // q89 (maxHamming=3 = the pigeonhole-complete radius).
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val base = when(col("doc_id") % 5 <= 1, col("doc_id") - col("doc_id") % 5)
+      .otherwise(col("doc_id"))
+    val pcm = transform(sequence(lit(0), lit(1023)), i => {
+      val t0 = base * 13 + i * 11 +
+        when(col("doc_id") % 5 === 1 && i % 257 === 0, lit(1300))
+          .otherwise(lit(0))
+      ((t0 % 4096 - 2048) / 32768.0).cast("float")
+    })
+    val hashed = t(s, dir, "documents")
+      .withColumn("_wav", Multimodal.encodeWav(pcm, array(lit(1024)), lit(8000)))
+      .withColumn("_b", Multimodal.decodeWav(col("_wav")))
+      .withColumn("_e", Multimodal.frameEnergies(col("_b.values"), 64, 16))
+      .withColumn("_fp", Multimodal.aHashFromBlocks(col("_e")))
+    Dedup.hammingPairs64(hashed, "doc_id", "_fp", maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1317,7 +1341,8 @@ object SparkEntry {
     "q86_collocations" -> (q86 _),
     "q87_transfer_nll" -> (q87 _),
     "q88_token_entropy" -> (q88 _),
-    "q89_image_phash_pairs" -> (q89 _))
+    "q89_image_phash_pairs" -> (q89 _),
+    "q90_audio_fingerprint_pairs" -> (q90 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3024,6 +3049,30 @@ object SparkEntry {
          bits AS (SELECT doc_id,
              [CASE WHEN bs[k+1]*64 > list_sum(bs) THEN 1 ELSE 0 END
               for k in range(0, 64)] bt FROM bl)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_filter(range(0, 64),
+             k -> a.bt[k+1] != b.bt[k+1])) AS INTEGER) AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(range(0, 64), k -> a.bt[k+1] != b.bt[k+1])) <= 3
+         ORDER BY a, b""",
+
+    // q90: brute-force replay — q35's PCM arithmetic (+ the twin nudge),
+    // exact int16 squares summed per 16-sample frame, mean-threshold
+    // bits, hamming recounted over ALL pairs with no packed fingerprint
+    "q90_audio_fingerprint_pairs" ->
+      """WITH sig AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 <= 1 THEN doc_id - doc_id % 5
+                  ELSE doc_id END AS g FROM documents),
+         p AS (SELECT doc_id, [
+             (g*13 + i*11 + CASE WHEN doc_id % 5 = 1 AND i % 257 = 0
+                                 THEN 1300 ELSE 0 END) % 4096 - 2048
+           for i in range(0, 1024)] s FROM sig),
+         e AS (SELECT doc_id, [
+             list_sum([s[k*16+j+1]*s[k*16+j+1] for j in range(0, 16)])
+           for k in range(0, 64)] en FROM p),
+         bits AS (SELECT doc_id,
+             [CASE WHEN en[k+1]*64 > list_sum(en) THEN 1 ELSE 0 END
+              for k in range(0, 64)] bt FROM e)
          SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(len(list_filter(range(0, 64),
              k -> a.bt[k+1] != b.bt[k+1])) AS INTEGER) AS hamming

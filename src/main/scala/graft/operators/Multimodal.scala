@@ -915,6 +915,21 @@ object Multimodal {
     })
   }
 
+  /** Per-frame integer energy of a decoded mono PCM tensor (values in
+    * [-1, 1) as int16/2^15): `frames` sums of the squared int16 samples
+    * over consecutive `frameLen`-sample frames. The int16 recovery is
+    * exact (the decode scale is a power of two), so frame energies are
+    * exact longs — the audio analog of [[grayBlockSums]], and
+    * [[aHashFromBlocks]] turns them into an energy-envelope fingerprint
+    * (bit = frame louder than the clip mean). */
+  def frameEnergies(values: Column, frames: Int, frameLen: Int): Column =
+    transform(sequence(lit(0), lit(frames - 1)), k =>
+      aggregate(sequence(lit(0), lit(frameLen - 1)), lit(0L), (acc, j) => {
+        val s = round(element_at(values, k * frameLen + j + 1)
+          .cast("double") * 32768).cast("long")
+        acc + s * s
+      }))
+
   /** aHash bits from [[grayBlockSums]] packed MSB-first into one long
     * (`acc·2 + bit` fold): bit k = 1 iff block k's gray mean exceeds the
     * image mean. Hamming distance between two such hashes

@@ -151,4 +151,22 @@ class QualitySpec extends SparkSuite {
     } yield (a, b, h)).toSet
     assert(got == want && want.size >= 12)
   }
+
+  test("frameEnergies: exact int16 squares through the real WAV codec") {
+    import graft.operators.Multimodal
+    // 8 samples, 2 frames of 4: loud first frame, quiet second
+    val ints = Seq(1000, -1000, 2000, -500, 10, -10, 5, 0)
+    val pcm = ints.map(v => v / 32768.0f)
+    val df = Seq(Tuple1(pcm)).toDF("pcm")
+      .withColumn("wav", Multimodal.encodeWav(col("pcm"), array(lit(8)), lit(8000)))
+      .withColumn("back", Multimodal.decodeWav(col("wav")))
+      .withColumn("e", Multimodal.frameEnergies(col("back.values"), 2, 4))
+      .withColumn("fp", Multimodal.aHashFromBlocks(col("e")))
+    val r = df.head
+    val e0 = ints.take(4).map(v => v.toLong * v).sum
+    val e1 = ints.drop(4).map(v => v.toLong * v).sum
+    assert(r.getSeq[Long](3) == Seq(e0, e1))
+    // frame 0 above the mean, frame 1 below -> bits 10 -> MSB-first 0b10
+    assert(r.getLong(4) == 2L)
+  }
 }
