@@ -349,6 +349,24 @@ object Bench {
       }
     }
 
+    // Banded hamming pairs at 1M 64-bit signatures + 50k planted
+    // hamming≤3 twins: 4M banded rows through 4×65536 bucket keys
+    // (~15 rows/bucket), in-place pair emit, exact xor verify. The
+    // shared backbone of simhash text dedup and the image/audio
+    // fingerprint pipelines. Validation row, outside the headline total.
+    bench("x_hamming_pairs_1m", runs = 1) {
+      val sigs = spark.range(1000000L)
+        .select(col("id"), xxhash64(col("id")).as("sig"))
+      val twins = spark.range(50000L).select(
+        (col("id") + 1000000L).as("id"),
+        xxhash64(col("id"))
+          .bitwiseXOR(shiftleft(lit(1L), 7))
+          .bitwiseXOR(shiftleft(lit(1L), 23))
+          .bitwiseXOR(shiftleft(lit(1L), 55)).as("sig"))
+      graft.operators.Dedup.hammingPairs64(
+        sigs.unionByName(twins), "id", "sig", maxHamming = 3).count()
+    }
+
     // Incremental corpus dedup at 1M batch vs 1M corpus keys with 5%
     // overlap — the regime the bloom absent/maybe split is built for:
     // ~95% of the batch bypasses the verify join entirely, so the join
