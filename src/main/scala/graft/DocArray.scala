@@ -267,6 +267,32 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
           col("_k.size").cast("int"))))
       .drop("_kf", "_k"))
   }
+  /** Per-video content signature for exact video dedup: xxhash64 of each
+    * keyframe payload (the byte ranges the sample tables address),
+    * collected in sample order and hashed again — videos with identical
+    * keyframe content collide regardless of id/uri/tag metadata. One
+    * row per parseable video: (id, n_keyframes, vsig). Re-encoded or
+    * trimmed copies do NOT collide (this is the exact tier; perceptual
+    * video dedup needs a frame decoder, which stays out of scope). */
+  def videoContentSignature(blobCol: String = "blob"): DataFrame =
+    videoKeyframeBlobs(blobCol).df
+      .where(col("frame_blob").isNotNull)
+      .groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("int").as("n_keyframes"),
+        xxhash64(transform(
+          array_sort(collect_list(struct(col("frame_sample"),
+            xxhash64(col("frame_blob")).as("_h")))),
+          x => x.getField("_h"))).as("vsig"))
+
+  /** Groups of exact video duplicates by [[videoContentSignature]]:
+    * (vsig, n_copies, ids), only signatures with ≥ 2 members. */
+  def videoDupGroups(blobCol: String = "blob"): DataFrame =
+    videoContentSignature(blobCol)
+      .groupBy("vsig")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("int").as("n_copies"),
+        array_sort(collect_list(col(idCol))).as("ids"))
+      .where(col("n_copies") >= 2)
+
   def splitByTag(tag: Column): DataFrame = GroupOps.splitByTag(df, tag, col(idCol))
   def vocabulary(minFreq: Long = 1, textCol: String = "text"): DataFrame =
     GroupOps.vocabulary(df, col(textCol), minFreq)

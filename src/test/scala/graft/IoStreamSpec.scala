@@ -813,4 +813,24 @@ class IoStreamSpec extends SparkSuite {
     val users = batch.select(countDistinct("user_id")).as[Long].collect()(0)
     assert(sessions.count() + users == expected)
   }
+
+  test("videoContentSignature: identical keyframe content collides, a flipped byte does not") {
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/tests/unit/document/toydata/mov_bbb.mp4"))
+    // copy with one keyframe payload byte flipped (offset 5147 is the
+    // first keyframe's start; header/tables untouched so it still parses)
+    val tampered = bytes.clone()
+    tampered(5147) = (tampered(5147) ^ 0x01).toByte
+    val da = DocArray(Seq(
+      ("a", bytes), ("b", bytes), ("c", tampered)).toDF("id", "blob"), "id")
+    val sigs = da.videoContentSignature().collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(sigs.keySet == Set("a", "b", "c"))
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a")._1 == 2 && sigs("c")._1 == 2)
+    assert(sigs("a")._2 != sigs("c")._2)
+    val groups = da.videoDupGroups().collect()
+    assert(groups.length == 1)
+    assert(groups(0).getSeq[String](2) == Seq("a", "b"))
+  }
 }
