@@ -150,8 +150,13 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       outCol: String = "phash"): DocArray =
     wrap(df.withColumn("_t",
       Multimodal.decodeImage(col(blobCol), lit(h), lit(w)))
-      .withColumn(outCol, Multimodal.aHashFromBlocks(
-        Multimodal.grayBlockSums(col("_t.values"), h, w)))
+      // explicit null-out for failed decodes: transform-over-sequence
+      // builds a non-null array of null sums from a null tensor, and the
+      // threshold when/otherwise would then swallow the nulls into an
+      // all-zero hash — every corrupt blob colliding with every other
+      .withColumn(outCol, when(col("_t").isNotNull,
+        Multimodal.aHashFromBlocks(
+          Multimodal.grayBlockSums(col("_t.values"), h, w))))
       .drop("_t"))
 
   /** Image near-duplicate pairs by perceptual hash: [[withImagePhash]] →
@@ -170,8 +175,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def withAudioFingerprint(frameLen: Int, blobCol: String = "blob",
       frames: Int = 64, outCol: String = "afp"): DocArray =
     wrap(df.withColumn("_b", Multimodal.decodeWav(col(blobCol)))
+      // mono only: frameEnergies indexes the flat values array, so on an
+      // interleaved stereo decode it would fingerprint half the clip
+      // with L/R mixed — null those out rather than mis-hash them
       .withColumn(outCol, when(
-        element_at(col("_b.shape"), 1) >= frames * frameLen,
+        size(col("_b.shape")) === 1 &&
+          element_at(col("_b.shape"), 1) >= frames * frameLen,
         Multimodal.aHashFromBlocks(
           Multimodal.frameEnergies(col("_b.values"), frames, frameLen))))
       .drop("_b"))
@@ -274,20 +283,26 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     * row per parseable video: (id, n_keyframes, vsig). Re-encoded or
     * trimmed copies do NOT collide (this is the exact tier; perceptual
     * video dedup needs a frame decoder, which stays out of scope). */
-  def videoContentSignature(blobCol: String = "blob"): DataFrame =
+  def videoContentSignature(blobCol: String = "blob"): DataFrame = {
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
     videoKeyframeBlobs(blobCol).df
-      .where(col("frame_blob").isNotNull)
       .groupBy(col(idCol))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).cast("int").as("n_keyframes"),
-        xxhash64(transform(
-          array_sort(collect_list(struct(col("frame_sample"),
-            xxhash64(col("frame_blob")).as("_h")))),
-          x => x.getField("_h"))).as("vsig"))
+      // sign only fully-readable videos: a video whose trailing keyframe
+      // offsets lie beyond the blob must NOT silently collide with a
+      // genuinely shorter video that matches its readable prefix
+      .agg(cnt.cast("int").as("n_keyframes"),
+        when(cnt === org.apache.spark.sql.functions.count(col("frame_blob")),
+          xxhash64(transform(
+            array_sort(collect_list(struct(col("frame_sample"),
+              xxhash64(col("frame_blob")).as("_h")))),
+            x => x.getField("_h")))).as("vsig"))
+  }
 
   /** Groups of exact video duplicates by [[videoContentSignature]]:
     * (vsig, n_copies, ids), only signatures with ≥ 2 members. */
   def videoDupGroups(blobCol: String = "blob"): DataFrame =
     videoContentSignature(blobCol)
+      .where(col("vsig").isNotNull)
       .groupBy("vsig")
       .agg(org.apache.spark.sql.functions.count(lit(1)).cast("int").as("n_copies"),
         array_sort(collect_list(col(idCol))).as("ids"))

@@ -11,8 +11,15 @@ object ScratchExplain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.isEmpty) {
+      System.err.println(
+        s"usage: ScratchExplain <queryName> [sfDir]; queries: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val dir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     spark.stop()

@@ -3025,7 +3025,7 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, CAST(len(tok) AS INTEGER) AS n_tokens,
            round(CASE WHEN len(tok) = 0 THEN 0.0 ELSE
-             -list_sum(list_transform(list_sort(list_distinct(tok)),
+             0.0 - list_sum(list_transform(list_sort(list_distinct(tok)),
                w -> (len(list_filter(tok, z -> z = w))*1.0/len(tok)) *
                     ln(len(list_filter(tok, z -> z = w))*1.0/len(tok)))) END, 6)
              AS entropy_r

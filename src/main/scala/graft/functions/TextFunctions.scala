@@ -160,8 +160,11 @@ object TextFunctions {
   def tokenEntropy(text: Column): Column = {
     val ts = tokens(text)
     val n = size(ts).cast("double")
+    // 0.0 - sum, not -sum: a one-distinct-token doc sums to 0.0 and
+    // unary negation would emit -0.0, whose sign survives DuckDB's round
+    // but not Spark's BigDecimal round — a cross-engine parity trap
     when(size(ts) === 0, lit(0.0)).otherwise(
-      -aggregate(array_sort(array_distinct(ts)), lit(0.0), (acc, w) => {
+      lit(0.0) - aggregate(array_sort(array_distinct(ts)), lit(0.0), (acc, w) => {
         val p = size(filter(ts, t => t === w)).cast("double") / n
         acc + p * log(p)
       }))

@@ -126,25 +126,41 @@ object LangModel {
     * Output: (`w1`, `w2`, `n12`, `n1`, `n2`, `lift_ppm`), the `topK` rows
     * by (`lift_ppm` desc, `w1`, `w2`) among bigrams with `n12 ≥ minCount`.
     */
+  /** Shared count pipeline of both collocation variants: unigram model +
+    * min-count-filtered bigram counts joined to their marginals —
+    * (`uni`, joined (w1, w2, n12, n1, n2)). */
+  private def collocCounts(docs: DataFrame, textCol: Column,
+      minCount: Long): (DataFrame, DataFrame) = {
+    val uni = unigramFit(docs, textCol)
+    val n1 = uni.select(col("word").as("w1"), col("n").as("n1"))
+    val n2 = uni.select(col("word").as("w2"), col("n").as("n2"))
+    val joined = bigramFit(docs, textCol)
+      .where(col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").as("n12"))
+      .join(n1, Seq("w1")).join(n2, Seq("w2"))
+    (uni, joined)
+  }
+
+  private def collocTopK(scored: DataFrame, scoreCol: String,
+      topK: Int): DataFrame =
+    scored.select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+      col(scoreCol))
+      .orderBy(col(scoreCol).desc, col("w1"), col("w2"))
+      .limit(topK)
+
   def collocations(docs: DataFrame, textCol: Column, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
-    val uni = unigramFit(docs, textCol)
-    val bi = bigramFit(docs, textCol)
-    val nTok = uni.agg(sum(col("n"))).head.getLong(0)
+    val (uni, joined) = collocCounts(docs, textCol, minCount)
+    // the N guard genuinely needs the total on the driver — this is the
+    // one eager action in the exact variant (the unbounded
+    // [[collocationsPmi]] stays fully lazy)
+    val row = uni.agg(sum(col("n"))).head
+    val nTok = if (row.isNullAt(0)) 0L else row.getLong(0)
     require(nTok <= 3000000L,
       s"collocations exact-ppm math needs N ≤ 3M tokens (got $nTok): " +
         "mine per-shard or rank by double PMI beyond that")
-    val n1 = uni.select(col("word").as("w1"), col("n").as("n1"))
-    val n2 = uni.select(col("word").as("w2"), col("n").as("n2"))
-    bi.where(col("n") >= minCount)
-      .select(col("w1"), col("w2"), col("n").as("n12"))
-      .join(n1, Seq("w1")).join(n2, Seq("w2"))
-      .withColumn("lift_ppm",
-        expr(s"(n12 * ${nTok}L * 1000000L) div (n1 * n2)"))
-      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
-        col("lift_ppm"))
-      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
-      .limit(topK)
+    collocTopK(joined.withColumn("lift_ppm",
+      expr(s"(n12 * ${nTok}L * 1000000L) div (n1 * n2)")), "lift_ppm", topK)
   }
 
   /** [[collocations]]' scale path: identical count pipeline, ranked by
@@ -154,20 +170,15 @@ object LangModel {
     * lifts collide within one double ulp. */
   def collocationsPmi(docs: DataFrame, textCol: Column, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
-    val uni = unigramFit(docs, textCol)
-    val bi = bigramFit(docs, textCol)
-    val nTok = uni.agg(sum(col("n"))).head.getLong(0)
-    val n1 = uni.select(col("word").as("w1"), col("n").as("n1"))
-    val n2 = uni.select(col("word").as("w2"), col("n").as("n2"))
-    bi.where(col("n") >= minCount)
-      .select(col("w1"), col("w2"), col("n").as("n12"))
-      .join(n1, Seq("w1")).join(n2, Seq("w2"))
-      .withColumn("pmi", log(col("n12").cast("double") * nTok.toDouble /
+    val (uni, joined) = collocCounts(docs, textCol, minCount)
+    // total tokens as a broadcast 1-row aggregate, not a driver action:
+    // the whole pipeline stays one lazy plan with a single corpus scan
+    // per count table
+    val tot = broadcast(uni.agg(sum(col("n")).cast("double").as("_N")))
+    collocTopK(joined.crossJoin(tot)
+      .withColumn("pmi", log(col("n12").cast("double") * col("_N") /
         (col("n1").cast("double") * col("n2").cast("double"))))
-      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
-        col("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(topK)
+      .drop("_N"), "pmi", topK)
   }
 
   /** [[unigramNll]] + decile-style quality buckets over ascending

@@ -163,6 +163,8 @@ class LangModelSpec extends SparkSuite {
     assert(math.abs(df(0).getDouble(1) - h0) < 1e-12)
     assert(df(1).getDouble(1) == 0.0)
     assert(math.abs(df(2).getDouble(1) - math.log(4)) < 1e-12)
-    assert(df(3).getDouble(1) == 0.0) // -1*ln(1) exactly
+    // POSITIVE zero, not -0.0 (negating the 1*ln(1) sum would give -0.0,
+    // which rounds differently across engines): pin the sign via 1/x
+    assert(df(3).getDouble(1) == 0.0 && 1.0 / df(3).getDouble(1) > 0)
   }
 }

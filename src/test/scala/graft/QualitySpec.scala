@@ -169,4 +169,27 @@ class QualitySpec extends SparkSuite {
     // frame 0 above the mean, frame 1 below -> bits 10 -> MSB-first 0b10
     assert(r.getLong(4) == 2L)
   }
+
+  test("withImagePhash nulls failed decodes; corrupt blobs pair with nothing") {
+    import graft.operators.Multimodal
+    val px = (0 until 768).map(i => (i * 7 % 256).toFloat)
+    val withBlob = Seq(Tuple1(px)).toDF("v")
+      .select(Multimodal.encodeImage(col("v"),
+        array(lit(16), lit(16), lit(3)), lit("png")).as("blob"))
+      .head.getAs[Array[Byte]](0)
+    val docs = Seq(
+      ("good1", withBlob), ("good2", withBlob),
+      ("bad1", Array[Byte](1, 2, 3)), ("bad2", Array[Byte](9, 9))
+    ).toDF("id", "blob")
+    val da = DocArray(docs, "id").withImagePhash()
+    val hashes = da.df.select("id", "phash").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes("good1").isDefined && hashes("good1") == hashes("good2"))
+    assert(hashes("bad1").isEmpty && hashes("bad2").isEmpty)
+    val pairs = DocArray(docs, "id").imageNearDupPairs()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the identical pair is found; the corrupt blobs pair with NOTHING
+    assert(pairs == Set(("good1", "good2")))
+  }
 }
