@@ -99,6 +99,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def sampleWeighted(weight: Column, seed: Long): DocArray =
     wrap(GroupOps.sampleWeighted(df, weight, seed, col(idCol)))
 
+  /** Label every doc train/val/test (or any named fractions summing to
+    * 1) by its seeded hash draw — deterministic, layout-invariant,
+    * zero-shuffle; the label column doubles as a write partition key. */
+  def withSplits(seed: Long, fractions: (String, Double)*): DocArray =
+    wrap(GroupOps.splitHashed(df, col(idCol), seed, fractions))
+
   /** Write as parquet clustered on the z-curve of `cols` — multi-column
     * min/max pruning for any stats-aware reader. */
   def saveZOrdered(path: String, nFiles: Int, bits: Int,

@@ -1250,6 +1250,17 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  // Deterministic corpus splitting (train/val/test): each row labeled by
+  // where its splitmix64 ppm draw falls among cumulative fractions —
+  // layout-invariant, reproducible, zero-shuffle (the label is a scan
+  // expression, usable directly as a write partition column). Same draw
+  // arithmetic q75 gates; the cuts are the exact ints the oracle uses.
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    GroupOps.splitHashed(t(s, dir, "documents"), col("doc_id"), seed = 91L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1342,7 +1353,8 @@ object SparkEntry {
     "q87_transfer_nll" -> (q87 _),
     "q88_token_entropy" -> (q88 _),
     "q89_image_phash_pairs" -> (q89 _),
-    "q90_audio_fingerprint_pairs" -> (q90 _))
+    "q90_audio_fingerprint_pairs" -> (q90 _),
+    "q91_split_assign" -> (q91 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3078,7 +3090,19 @@ object SparkEntry {
              k -> a.bt[k+1] != b.bt[k+1])) AS INTEGER) AS hamming
          FROM bits a JOIN bits b ON a.doc_id < b.doc_id
          WHERE len(list_filter(range(0, 64), k -> a.bt[k+1] != b.bt[k+1])) <= 3
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q91: the q52 splitmix chain (seed 91), u = ppm remainder (q75's
+    // sign-safe mod), cumulative cuts 800000/900000
+    "q91_split_assign" ->
+      s"""WITH ${splitmixChainSql("doc_id", 91L)}
+         SELECT doc_id,
+           CASE WHEN u < 800000 THEN 'train'
+                WHEN u < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ((rk % 1000000) + 1000000) % 1000000 AS u FROM ranked)
+         ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

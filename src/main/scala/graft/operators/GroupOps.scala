@@ -105,6 +105,32 @@ object GroupOps {
     df.where(u < round(weight.cast("double") * 1000000.0).cast("long"))
   }
 
+  /** Deterministic train/val/test splitting: label each row by where its
+    * splitmix64 draw (the same ppm arithmetic as [[sampleWeighted]])
+    * falls among the cumulative `fractions` (name → share, must sum to
+    * 1). Layout-invariant, reproducible, zero-shuffle — the split
+    * column is a pure scan expression, so it also serves as a partition
+    * column for a split-partitioned write. Rows with a null key all land
+    * in the first bucket (splitmix of null is null → every `>=` cut
+    * false); pass a non-null key. */
+  def splitHashed(df: DataFrame, key: Column, seed: Long,
+      fractions: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val u = pmod(graft.functions.splitmix64_rank(key, seed), lit(1000000L))
+    // cumulative ppm cuts, rounded once each — the exact ints the oracle
+    // replays; the last bucket absorbs the rounding remainder
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * 1000000.0))
+    val labeled = fractions.map(_._1).zip(cuts).init
+      .foldRight(lit(fractions.last._1)) { case ((name, cut), rest) =>
+        when(u < cut, lit(name)).otherwise(rest)
+      }
+    df.withColumn(outCol, labeled)
+  }
+
   /** Stratified deterministic sample: at most k rows per group, drawn in
     * splitmix64(key + seed) order (key as tiebreak — unreachable for
     * integral keys, but makes the contract total). The corpus-balancing

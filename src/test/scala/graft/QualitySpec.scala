@@ -192,4 +192,26 @@ class QualitySpec extends SparkSuite {
     // the identical pair is found; the corrupt blobs pair with NOTHING
     assert(pairs == Set(("good1", "good2")))
   }
+
+  test("splitHashed: disjoint cover, deterministic, near-nominal shares") {
+    import graft.operators.GroupOps
+    val df = spark.range(10000).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = GroupOps.splitHashed(df, col("id"), seed = 3L, fr)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 300)
+    assert(math.abs(counts("val") - 1000) < 150)
+    // layout-invariant: same labels after a reshuffle
+    val b = GroupOps.splitHashed(df.repartition(13), col("id"), seed = 3L, fr)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // a different seed re-deals
+    val c = GroupOps.splitHashed(df, col("id"), seed = 4L, fr)
+    assert(a.except(c).count() > 0)
+    intercept[IllegalArgumentException] {
+      GroupOps.splitHashed(df, col("id"), 1L, Seq("x" -> 0.5, "y" -> 0.4))
+    }
+  }
 }
