@@ -73,6 +73,14 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def dupSpans(n: Int, textCol: String = "text"): DataFrame =
     Dedup.dupSpanCoverage(df, idCol, textCol, n)
 
+  /** Shift-robust duplicated-content stats via content-defined chunking
+    * (rsync/LBFS boundaries — survives insertions that break fixed or
+    * line blocking): per doc, its chunk count and how many chunks recur
+    * in other docs. */
+  def cdcSharedChunks(window: Int = 16, maskBits: Int = 5,
+      textCol: String = "text"): DataFrame =
+    Dedup.cdcSharedChunks(df, idCol, textCol, window, maskBits)
+
   /** Rows of this array whose `key` is absent from `corpus` — incremental
     * ingest dedup, Bloom-prefiltered but exact. */
   def newAgainst(corpus: DocArray, key: Column): DocArray =

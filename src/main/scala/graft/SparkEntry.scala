@@ -1261,6 +1261,18 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  // Shift-robust duplicated-content stats via content-defined chunking
+  // (rsync/LBFS boundary rule on q22's rolling polynomial + splitmix
+  // mix): chunk every doc where the mixed window hash has 5 low zero
+  // bits (expected chunk ~32 chars), then count per doc the chunk
+  // instances whose text recurs in another doc. The oracle rebuilds the
+  // window-hash chain (q22's encoding, position carried through),
+  // derives the same cuts, slices the same chunks, and recounts.
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcSharedChunks(t(s, dir, "documents"), "doc_id", "text",
+      window = 16, maskBits = 5)
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1354,7 +1366,8 @@ object SparkEntry {
     "q88_token_entropy" -> (q88 _),
     "q89_image_phash_pairs" -> (q89 _),
     "q90_audio_fingerprint_pairs" -> (q90 _),
-    "q91_split_assign" -> (q91 _))
+    "q91_split_assign" -> (q91 _),
+    "q92_cdc_shared_chunks" -> (q92 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3102,6 +3115,86 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM (SELECT doc_id,
                  ((rk % 1000000) + 1000000) % 1000000 AS u FROM ranked)
+         ORDER BY doc_id""",
+
+    // q92: q22's window-polynomial + splitmix chain with the window
+    // start p carried through; cut after char p+15 when the mixed hash
+    // has 5 low zero bits (and the cut is interior); chunks = substrings
+    // between cuts; shared = chunk text in >= 2 distinct docs
+    "q92_cdc_shared_chunks" ->
+      """WITH byt AS (
+           SELECT doc_id, CAST(r.i AS BIGINT) AS i,
+                  CAST(ord(substr(text, CAST(r.i AS INTEGER), 1)) AS HUGEINT) AS b
+           FROM documents
+           JOIN (SELECT CAST(x AS BIGINT) AS i FROM range(1, 100001) t(x)) r
+             ON r.i <= length(text)),
+         win AS (
+           SELECT w.doc_id, w.p,
+                  CAST(sum(c.b * (CASE c.i - w.p
+                    WHEN 0 THEN 6397295411589846571 WHEN 1 THEN 5600660903763878393
+                    WHEN 2 THEN 14911146631531166995 WHEN 3 THEN 15642640937032856817
+                    WHEN 4 THEN 2455841760392682171 WHEN 5 THEN 5231796974404119081
+                    WHEN 6 THEN 3634980586811902243 WHEN 7 THEN 1460077494926286753
+                    WHEN 8 THEN 12924618581234127435 WHEN 9 THEN 10923514805226455897
+                    WHEN 10 THEN 14453212906556403763 WHEN 11 THEN 14003818205314896721
+                    WHEN 12 THEN 1000009000027000027 WHEN 13 THEN 1000006000009
+                    WHEN 14 THEN 1000003 WHEN 15 THEN 1 END))
+                    % 18446744073709551616 AS HUGEINT) AS h
+           FROM (SELECT doc_id, r2.p FROM documents
+                 JOIN (SELECT CAST(x AS BIGINT) AS p FROM range(1, 100001) t(x)) r2
+                   ON r2.p <= length(text) - 15
+                 WHERE length(text) > 16) w
+           JOIN byt c ON c.doc_id = w.doc_id AND c.i >= w.p AND c.i < w.p + 16
+           GROUP BY w.doc_id, w.p),
+         m1 AS (SELECT doc_id, p,
+           (h + 11400714819323198485) % 18446744073709551616 AS x FROM win),
+         m1x AS (SELECT doc_id, p,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT doc_id, p,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT doc_id, p,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT doc_id, p,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         m3x AS (SELECT doc_id, p,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS mixed
+           FROM m3),
+         cutpos AS (
+           SELECT m.doc_id, m.p + 15 AS cp FROM m3x m
+           JOIN documents d ON d.doc_id = m.doc_id
+           WHERE m.mixed % 32 = 0 AND m.p + 15 < length(d.text)),
+         cutsl AS (SELECT doc_id, list_sort(list(cp)) AS cs FROM cutpos GROUP BY doc_id),
+         bounds AS (SELECT d.doc_id, d.text,
+             [CAST(0 AS BIGINT)] || coalesce(c.cs, []) || [CAST(length(d.text) AS BIGINT)] AS cs
+           FROM documents d LEFT JOIN cutsl c USING (doc_id)),
+         chunks AS (SELECT doc_id,
+             unnest([substr(text, CAST(cs[i]+1 AS INTEGER), CAST(cs[i+1]-cs[i] AS INTEGER))
+                     for i in range(1, len(cs))]) AS chunk
+           FROM bounds WHERE length(text) > 0),
+         sharedset AS (
+           SELECT chunk FROM (SELECT DISTINCT doc_id, chunk FROM chunks)
+           GROUP BY chunk HAVING count(*) >= 2),
+         perdoc AS (
+           SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared FROM chunks
+           WHERE chunk IN (SELECT chunk FROM sharedset) GROUP BY doc_id),
+         nch AS (SELECT doc_id,
+             CAST(CASE WHEN length(text) = 0 THEN 0 ELSE 1 END
+               + coalesce(len((SELECT cs FROM cutsl c WHERE c.doc_id = d.doc_id)), 0)
+               AS INTEGER) AS n_chunks
+           FROM documents d)
+         SELECT n.doc_id, n.n_chunks, coalesce(p.n_shared, 0) AS n_shared
+         FROM nch n LEFT JOIN perdoc p USING (doc_id)
          ORDER BY doc_id"""
   )
 

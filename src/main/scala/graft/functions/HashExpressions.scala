@@ -398,6 +398,66 @@ case class RollingFingerprint(child: Expression, window: Int)
   override def prettyName: String = "rolling_fingerprint"
 }
 
+/** cdc_chunks(text, window, maskBits[, minLen, maxLen]) → array<string>:
+  * content-defined chunking (the rsync/LBFS boundary rule) — cut after
+  * every position whose [[RollingFingerprint]]-polynomial window hash,
+  * splitmix-mixed, has its low `maskBits` bits zero. Because boundaries
+  * depend only on local content, an insertion re-chunks ONLY its
+  * neighborhood — exact chunk-hash dedup then survives shifts that break
+  * fixed-size or line blocking. Expected chunk length ≈ 2^maskBits.
+  * `minLen` suppresses boundaries inside the first `minLen` chars of a
+  * chunk; `maxLen > 0` forces one at `maxLen`. Char-level (BMP) so an
+  * ANSI-SQL oracle replays it with ord(substr(…)); same B-polynomial and
+  * mix as rolling_fingerprint, so the two share one oracle encoding. */
+case class CdcChunks(child: Expression, window: Int, maskBits: Int,
+    minLen: Int = 0, maxLen: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 2 && maskBits >= 1 && maskBits <= 62)
+  require(minLen >= 0 && (maxLen == 0 || maxLen >= math.max(minLen, 1)))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  private val B = 1000003L
+  private val mask = (1L << maskBits) - 1
+  @transient private lazy val bPow: Long = {
+    var p = 1L; var i = 0
+    while (i < window - 1) { p *= B; i += 1 }
+    p
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    val n = s.length
+    if (n == 0) return org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.empty[UTF8String])
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i) & 0xffffL
+      h = if (i < window) h * B + c
+        else (h - (s.charAt(i - window) & 0xffffL) * bPow) * B + c
+      val pos = i + 1 // chars before a cut placed after position i
+      if (pos < n && pos - cuts.last >= math.max(minLen, 1)) {
+        if (i >= window - 1 && (Fnv64.mix(h) & mask) == 0L) cuts += pos
+        else if (maxLen > 0 && pos - cuts.last >= maxLen) cuts += pos
+      }
+      i += 1
+    }
+    cuts += n
+    val out = new Array[UTF8String](cuts.length - 1)
+    var k = 0
+    while (k < cuts.length - 1) {
+      out(k) = UTF8String.fromString(s.substring(cuts(k), cuts(k + 1)))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "cdc_chunks"
+}
+
 /** cosine_lsh(vec, dim, nPlanes, seed) → long: random-hyperplane signature
   * for cosine similarity — `nPlanes` sign bits of Gaussian-plane dot
   * products, packed into a long. One pass over the vector per plane with

@@ -97,6 +97,12 @@ package object functions {
   def rolling_fingerprint(text: Column, window: Int = 16): Column =
     Bridge.column(RollingFingerprint(Bridge.expression(text), window))
 
+  /** Content-defined chunking on the same rolling hash (see CdcChunks). */
+  def cdc_chunks(text: Column, window: Int = 16, maskBits: Int = 5,
+      minLen: Int = 0, maxLen: Int = 0): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), window, maskBits,
+      minLen, maxLen))
+
   /** Random-hyperplane cosine-LSH signature (see CosineLsh). */
   def cosine_lsh(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column =
     Bridge.column(CosineLsh(Bridge.expression(vec), dim, nPlanes, seed))

@@ -343,4 +343,53 @@ class DedupTextSpec extends SparkSuite {
     assert(top.head == "zebra")
     assert(top.toSet == Set("zebra", "common"))
   }
+
+  test("cdc_chunks: chunks tile the input; insertions only re-chunk locally") {
+    import graft.functions.cdc_chunks
+    val base = (1 to 40).map(i => s"sentence number $i with some words.").mkString(" ")
+    val shifted = "THIS ENTIRELY NEW PREFIX CHANGES EVERY FIXED OFFSET. " + base
+    val df = Seq((1L, base), (2L, shifted), (3L, "")).toDF("id", "t")
+      .withColumn("c", cdc_chunks(col("t"), 16, 5))
+    val r = df.orderBy("id").collect()
+    val c1 = r(0).getSeq[String](2)
+    val c2 = r(1).getSeq[String](2)
+    // tiling: concatenation reconstructs the input exactly
+    assert(c1.mkString == base && c2.mkString == shifted)
+    assert(r(2).getSeq[String](2).isEmpty)
+    // shift robustness: the shifted doc re-chunks only near the splice --
+    // most of the original doc's chunks survive verbatim
+    val sharedFrac = c1.count(c2.toSet).toDouble / c1.size
+    assert(c1.size > 5 && sharedFrac > 0.7, s"n=${c1.size} shared=$sharedFrac")
+  }
+
+  test("cdc_chunks: minLen suppresses cuts, maxLen forces them") {
+    import graft.functions.cdc_chunks
+    val text = (1 to 40).map(i => s"chunky text piece $i right here.").mkString(" ")
+    val df = Seq(Tuple1(text)).toDF("t").select(
+      cdc_chunks(col("t"), 16, 4).as("free"),
+      cdc_chunks(col("t"), 16, 4, minLen = 64).as("floored"),
+      cdc_chunks(col("t"), 16, 62, maxLen = 50).as("forced"))
+    val r = df.head
+    assert(r.getSeq[String](1).forall(c => c.length >= 64 ||
+      c == r.getSeq[String](1).last)) // last chunk may be short
+    // maskBits=62 -> no content cut ever fires; every cut is the forced one
+    val forced = r.getSeq[String](2)
+    assert(forced.init.forall(_.length == 50) && forced.mkString == text)
+  }
+
+  test("cdcSharedChunks counts cross-doc duplicated content through a shift") {
+    val core = (1 to 30).map(i => s"shared corpus content block $i.").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, "unrelated preamble that shifts every byte offset. " + core),
+      (3L, "completely different text with no overlap at all whatsoever beyond sheer chance of tiny chunks never happening here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.cdcSharedChunks(docs, "doc_id", "text", 16, 5)
+      .orderBy("doc_id").collect()
+    val (n1, s1) = (r(0).getInt(1), r(0).getInt(2))
+    val (n3, s3) = (r(2).getInt(1), r(2).getInt(2))
+    assert(s1.toDouble / n1 > 0.7, s"doc1 $s1/$n1")
+    assert(r(1).getInt(2) > 0)
+    assert(s3 == 0, s"doc3 shared $s3 of $n3")
+  }
 }
