@@ -439,7 +439,11 @@ case class CdcChunks(child: Expression, window: Int, maskBits: Int,
       h = if (i < window) h * B + c
         else (h - (s.charAt(i - window) & 0xffffL) * bPow) * B + c
       val pos = i + 1 // chars before a cut placed after position i
-      if (pos < n && pos - cuts.last >= math.max(minLen, 1)) {
+      // never cut between the halves of a surrogate pair: an astral char
+      // split in two mangles both neighboring chunks to '?' on UTF-8
+      // encode and breaks the tiling invariant
+      if (pos < n && pos - cuts.last >= math.max(minLen, 1) &&
+          !Character.isHighSurrogate(s.charAt(i))) {
         if (i >= window - 1 && (Fnv64.mix(h) & mask) == 0L) cuts += pos
         else if (maxLen > 0 && pos - cuts.last >= maxLen) cuts += pos
       }

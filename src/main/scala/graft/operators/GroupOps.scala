@@ -111,15 +111,17 @@ object GroupOps {
     * 1). Layout-invariant, reproducible, zero-shuffle — the split
     * column is a pure scan expression, so it also serves as a partition
     * column for a split-partitioned write. Rows with a null key all land
-    * in the first bucket (splitmix of null is null → every `>=` cut
-    * false); pass a non-null key. */
+    * in the FIRST bucket (their draw coalesces to 0) — deliberately the
+    * train side, so key hygiene bugs can't contaminate a held-out split. */
   def splitHashed(df: DataFrame, key: Column, seed: Long,
       fractions: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
-    require(fractions.nonEmpty &&
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
-      s"fractions must sum to 1, got $fractions")
-    val u = pmod(graft.functions.splitmix64_rank(key, seed), lit(1000000L))
+      s"fractions must be positive and sum to 1, got $fractions")
+    val u = coalesce(
+      pmod(graft.functions.splitmix64_rank(key, seed), lit(1000000L)),
+      lit(0L))
     // cumulative ppm cuts, rounded once each — the exact ints the oracle
     // replays; the last bucket absorbs the rounding remainder
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }

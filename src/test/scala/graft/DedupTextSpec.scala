@@ -392,4 +392,18 @@ class DedupTextSpec extends SparkSuite {
     assert(r(1).getInt(2) > 0)
     assert(s3 == 0, s"doc3 shared $s3 of $n3")
   }
+
+  test("cdc_chunks never splits a surrogate pair; astral text still tiles") {
+    import graft.functions.cdc_chunks
+    // emoji-dense text: enough astral chars that an unguarded cutter
+    // would split a pair with overwhelming probability at maskBits=1
+    val text = (1 to 300).map(i =>
+      new String(Character.toChars(0x1F600 + i % 10)) + s" w$i").mkString(" ")
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(cdc_chunks(col("t"), 16, 1).as("c")).head.getSeq[String](0)
+    assert(r.size > 10)
+    assert(r.mkString == text) // tiling survives UTF-8 re-encode
+    assert(!r.exists(c => c.nonEmpty &&
+      Character.isHighSurrogate(c.last))) // no chunk ends mid-pair
+  }
 }
