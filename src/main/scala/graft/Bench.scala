@@ -16,8 +16,23 @@ import graft.operators.{Ann, Dedup, Filters, Knn}
   *  - knn_batch100: same with 100 queries (batch amortization)
   *
   * plus headline graft queries on SPARK_GRAFT_SF_DIR. Each timer is the
-  * second of two runs (steady state, like the reference's repeated-query
-  * numbers). Output: ONE JSON line.
+  * best of its runs (steady state, like the reference's repeated-query
+  * numbers).
+  *
+  * Output contract (round 5 — partial-result hardened): one tagged JSON
+  * line per row AS IT COMPLETES (`{"row":name,"sec":v,...}`), then the
+  * single final summary line (`{"metric":"total",...}`) the driver
+  * parses. A killed run therefore still yields every completed row in
+  * the log instead of voiding the whole measurement (the round-4
+  * failure mode: one JSON line at minute 50, JVM killed at minute 50).
+  *
+  * Wall-clock budget: after SPARK_GRAFT_BENCH_BUDGET_S seconds
+  * (default 1200) every remaining `ann_*`/`x_*` validation row is
+  * skipped and listed under `"skipped"` in the summary. The essential
+  * rows (baseline-shaped + headline queries, the cross-round `total`)
+  * run FIRST and are never skipped; they complete in the first few
+  * minutes. The long tail (IVF/SQ/PQ builds, 1M–5M-row scale
+  * validations) is the budget-gated part.
   */
 object Bench {
 
@@ -37,6 +52,14 @@ object Bench {
         .as("embedding"))
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
+    // min-of-2 IVF build costs 35–92 s per attempt; default is ONE attempt
+    // so a stolen host can't blow the budget before the recall rows land
+    val min2Builds = sys.env.get("SPARK_GRAFT_BENCH_MIN2").contains("1")
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
+    def overBudget: Boolean = elapsedS > budgetS
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors() - 0).toString)
@@ -54,22 +77,45 @@ object Bench {
     spark.range(1000000).select(sum("id")).collect()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
+
+    /** Record a completed row AND stream it to stdout immediately — the
+      * partial-result contract. The driver parses only the final summary
+      * line; these per-row lines are the salvage path for a killed run. */
+    def record(name: String, v: Double): Unit = {
+      results(name) = v
+      println(f"""{"row":"$name","sec":$v%.4f,"elapsed":${elapsedS}%.1f}""")
+      Console.out.flush()
+    }
+    def skip(name: String): Unit = {
+      skipped += name
+      println(f"""{"row":"$name","skipped":true,"elapsed":${elapsedS}%.1f}""")
+      Console.out.flush()
+    }
+    /** Validation rows (ann_ / x_ prefixed) are skippable once the budget
+      * is spent; essential rows always run. */
+    def skippable(name: String): Boolean =
+      name.startsWith("ann_") || name.startsWith("x_")
     def bench(name: String, runs: Int = 2)(f: => Unit): Unit = {
+      if (skippable(name) && overBudget) { skip(name); return }
       var best = Double.MaxValue
       var i = 0
       while (i < runs) {
         val t0 = System.nanoTime()
         try f catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          results(name) = -1.0; return
+          record(name, -1.0); return
         }
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
         i += 1
+        // a long first run eats the budget: don't burn it again on rerun
+        if (skippable(name) && overBudget) i = runs
       }
-      results(name) = best
+      record(name, best)
     }
 
     // --- BASELINE-shaped workloads (1M x 128, K=10) ---------------------
+    // Essential rows: never skipped, run before every validation block.
     val tmp = java.nio.file.Files.createTempDirectory("graftbench").toString
     val docs1m = benchDocs(spark, 1000000L, 128)
     bench("create_1m_gen", runs = 1) {
@@ -106,6 +152,46 @@ object Bench {
       Knn.bruteForceBlocked(stored, queries100, 10, "cosine").collect()
     }
 
+    // --- headline graft queries at sfDir --------------------------------
+    // Essential: these + the baseline rows form the cross-round total, so
+    // they run BEFORE the budget-gated validation tail (round 4 had them
+    // last, behind ~45 min of IVF builds — which is how one kill erased
+    // the entire measurement).
+    val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
+      "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",
+      "q10_jaccard_pairs", "q11_knn_cosine", "q15_events_hourly",
+      "q16_sessions", "q22_langid_fingerprint", "q23_minhash_lsh",
+      "q24_simhash_pairs", "q28_multimodal", "q36_embedding_lsh",
+      "q56_pack_blocks", "q59_sq_quantize", "q60_unigram_nll",
+      "q61_source_mixing", "q62_bigram_nll")
+    headline.foreach { name =>
+      bench(name) { SparkEntry.queries(name)(spark, sfDir).count() }
+    }
+
+    def emitSummaryAndStop(): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // total stays comparable across rounds: the ann_* rows (added round
+      // 2) are an index-build + search + recall-ratio block reported on
+      // their own — the 47 s one-time k-means build would otherwise read
+      // as a 3× regression of a total it was never part of. create_1m_gen
+      // (round 3) is a breakdown of create_1m, and x_* rows are scale
+      // validations — both also excluded.
+      val total = results
+        .collect { case (k, v)
+          if v >= 0 && !k.startsWith("ann_") && !k.startsWith("x_") &&
+            k != "create_1m_gen" => v }.sum
+      val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"sf":"$sfDir"}""")
+      Console.out.flush()
+      spark.stop()
+    }
+
+    // =====================================================================
+    // Budget-gated validation tail: every row below is ann_* or x_* —
+    // excluded from the total, skippable once the budget is spent.
+    // =====================================================================
+
     // Large-Q regime: 10k queries can't sensibly ride one broadcast-kernel
     // block (80 heaps/MB per partition is fine, but the regime under test
     // is the block loop) — 8 blocks over a cached doc projection, source
@@ -118,7 +204,7 @@ object Bench {
     val queries10k = benchDocs(spark, 10000L, 128)
     // x_ prefix: scale-validation row, excluded from the cross-round total
     // runs=2: a one-off 30 s outlier (vs 7.3/7.6 s isolated min-of-2,
-    // re-measured this round) showed these long rows need the same
+    // re-measured round 4) showed these long rows need the same
     // min-of-N insurance knn_batch100 got
     bench("x_knn_largeq_10k", runs = 2) {
       Knn.bruteForceLargeQ(stored100k, queries10k, 10, nBlocks = 8).count()
@@ -134,7 +220,8 @@ object Bench {
     // this kernel's scale is the 1M-row regime (ann_ivf_search100 0.83 s
     // vs knn_blocked_100 ~1.1 s) and, above all, pruned I/O once the
     // corpus doesn't fit a single pass. Tracked, not celebrated.
-    locally {
+    if (overBudget) skip("x_knn_largeq_ivf_10k")
+    else locally {
       val idx100k0 = Ann.ivfBuild(stored100k, "id", "embedding",
         nCells = 256, maxIter = 8, center = true)
       val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
@@ -160,13 +247,21 @@ object Bench {
     // ann_scanfrac_x1000 (the honest cost). The IVF win is pruned-scan
     // I/O at cluster scale (assigned partitioned by _cell; only probed
     // cells read); the exact blocked kernel stays faster at 1M.
-    {
-      // min-of-2 like the query rows: identical code measured 52 s and
-      // 92 s across two exclusive runs this round (JVM/GC state, not
-      // plan) — a one-shot build number is not a stable contract
+    val annRows = Seq("ann_ivf_build_1m", "ann_ivf_search100",
+      "ann_recall10_x1000", "ann_scanfrac_x1000", "ann_sq_encode_1m",
+      "ann_sq_search100", "ann_sq_rerank100", "ann_sq_recall10_x1000",
+      "ann_sqr_recall10_x1000", "ann_pq_encode_1m", "ann_pq_search100",
+      "ann_pq_rerank100", "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000")
+    if (overBudget) annRows.foreach(skip)
+    else {
+      // ONE build attempt by default (round 5): min-of-2 (identical code
+      // measured 52 s and 92 s across two exclusive round-4 runs —
+      // JVM/GC state, not plan) is behind SPARK_GRAFT_BENCH_MIN2=1; the
+      // second attempt was half the block's fixed cost and a kill risk.
       var idx: Ann.IvfIndex = null
       var buildBest = Double.MaxValue
-      for (attempt <- 0 until 2) {
+      val attempts = if (min2Builds) 2 else 1
+      for (attempt <- 0 until attempts) {
         if (idx != null) idx.assigned.unpersist()
         val tb0 = System.nanoTime()
         val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
@@ -175,7 +270,7 @@ object Bench {
         idx.assigned.count()
         buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
       }
-      results("ann_ivf_build_1m") = buildBest
+      record("ann_ivf_build_1m", buildBest)
       bench("ann_ivf_search100") { // min of 2 like every other row
         // blocked kernel (spec-asserted equal to the join path): decodes
         // each doc vector once per row, not once per probing query
@@ -183,34 +278,37 @@ object Bench {
       }
       val approx = Ann.ivfSearch(idx, queries100, 10, nProbe = 410)
       val exact = Knn.bruteForce(stored, queries100, 10, "cosine")
-      results("ann_recall10_x1000") =
-        math.round(Ann.recallAgainstExact(approx, exact) * 1000).toDouble
-      results("ann_scanfrac_x1000") =
-        math.round(Ann.scanFraction(idx, queries100, nProbe = 410) * 1000).toDouble
+      record("ann_recall10_x1000",
+        math.round(Ann.recallAgainstExact(approx, exact) * 1000).toDouble)
+      record("ann_scanfrac_x1000",
+        math.round(Ann.scanFraction(idx, queries100, nProbe = 410) * 1000).toDouble)
 
       // SQ8 codes: the compressed-index layout (1 byte/dim — the scan
       // side is 4× smaller than float32). Encode is a build-time pass on
       // the existing IVF; search scans codes asymmetrically; the rerank
       // row refines top-50 per query exactly against the base table.
-      val tsq = System.nanoTime()
-      val cb = Ann.sqTrain(stored, "embedding")
-      val sq0 = Ann.sqAttach(idx, cb)
-      val sq = sq0.copy(coded = sq0.coded.cache())
-      sq.coded.count()
-      results("ann_sq_encode_1m") = (System.nanoTime() - tsq) / 1e9
-      bench("ann_sq_search100") {
-        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410).count()
+      if (overBudget) annRows.drop(4).take(5).foreach(skip)
+      else {
+        val tsq = System.nanoTime()
+        val cb = Ann.sqTrain(stored, "embedding")
+        val sq0 = Ann.sqAttach(idx, cb)
+        val sq = sq0.copy(coded = sq0.coded.cache())
+        sq.coded.count()
+        record("ann_sq_encode_1m", (System.nanoTime() - tsq) / 1e9)
+        bench("ann_sq_search100") {
+          Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410).count()
+        }
+        bench("ann_sq_rerank100") {
+          Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410,
+            rerank = 50, docs = stored).count()
+        }
+        record("ann_sq_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410), exact) * 1000).toDouble)
+        record("ann_sqr_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410, rerank = 50,
+            docs = stored), exact) * 1000).toDouble)
+        sq.coded.unpersist()
       }
-      bench("ann_sq_rerank100") {
-        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410,
-          rerank = 50, docs = stored).count()
-      }
-      results("ann_sq_recall10_x1000") = math.round(Ann.recallAgainstExact(
-        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410), exact) * 1000).toDouble
-      results("ann_sqr_recall10_x1000") = math.round(Ann.recallAgainstExact(
-        Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410, rerank = 50,
-          docs = stored), exact) * 1000).toDouble
-      sq.coded.unpersist()
 
       // PQ codes: 32 B/vector (m=32 over 128 dims, 2 bits/dim) — 16×
       // smaller than the float32 base table, 4× smaller than SQ8. The ADC
@@ -221,26 +319,29 @@ object Bench {
       // structure to exploit — scrambles the candidate funnel (recall
       // 0.32 raw / 0.72 even at rerank=200), while m=32 + rerank=100
       // reaches the IVF probe ceiling itself (0.853 vs 0.857 at 200k).
-      val tpq = System.nanoTime()
-      val pcb = Ann.pqTrain(stored, "id", "embedding", m = 32,
-        sampleFraction = 0.05)
-      val pq0 = Ann.pqAttach(idx, pcb)
-      val pq = pq0.copy(coded = pq0.coded.cache())
-      pq.coded.count()
-      results("ann_pq_encode_1m") = (System.nanoTime() - tpq) / 1e9
-      bench("ann_pq_search100") {
-        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410).count()
+      if (overBudget) annRows.drop(9).foreach(skip)
+      else {
+        val tpq = System.nanoTime()
+        val pcb = Ann.pqTrain(stored, "id", "embedding", m = 32,
+          sampleFraction = 0.05)
+        val pq0 = Ann.pqAttach(idx, pcb)
+        val pq = pq0.copy(coded = pq0.coded.cache())
+        pq.coded.count()
+        record("ann_pq_encode_1m", (System.nanoTime() - tpq) / 1e9)
+        bench("ann_pq_search100") {
+          Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410).count()
+        }
+        bench("ann_pq_rerank100") {
+          Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410,
+            rerank = 100, docs = stored).count()
+        }
+        record("ann_pq_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410), exact) * 1000).toDouble)
+        record("ann_pqr_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410, rerank = 100,
+            docs = stored), exact) * 1000).toDouble)
+        pq.coded.unpersist()
       }
-      bench("ann_pq_rerank100") {
-        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410,
-          rerank = 100, docs = stored).count()
-      }
-      results("ann_pq_recall10_x1000") = math.round(Ann.recallAgainstExact(
-        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410), exact) * 1000).toDouble
-      results("ann_pqr_recall10_x1000") = math.round(Ann.recallAgainstExact(
-        Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410, rerank = 100,
-          docs = stored), exact) * 1000).toDouble
-      pq.coded.unpersist()
       idx.assigned.unpersist()
     }
 
@@ -334,7 +435,8 @@ object Bench {
     // pre-token count (the corpus-scale pass) + the driver-side merge
     // loop on ~50k distinct words; encode = the greedy-merge expression
     // over all 1M docs. Validation rows.
-    locally {
+    if (overBudget) { skip("x_bpe_train100_1m"); skip("x_bpe_encode_1m") }
+    else locally {
       val textDocs = spark.range(1000000L).select(
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -343,10 +445,10 @@ object Bench {
       bench("x_bpe_train100_1m", runs = 1) {
         merges = graft.operators.Bpe.train(textDocs, col("text"), numMerges = 100)
       }
-      bench("x_bpe_encode_1m", runs = 1) {
+      if (merges.nonEmpty) bench("x_bpe_encode_1m", runs = 1) {
         textDocs.select(sum(size(
           graft.operators.Bpe.encode(col("text"), merges)))).collect()
-      }
+      } else skip("x_bpe_encode_1m")
     }
 
     // Banded hamming pairs at 1M 64-bit signatures + 50k planted
@@ -404,7 +506,9 @@ object Bench {
     // ~1/8 of the files. (A 2-d box is NOT the discriminator at this
     // file count — leading-column pruning alone already serves it; the
     // payoff z-order buys is pruning on the non-leading dimensions.)
-    locally {
+    if (overBudget) Seq("x_zorder_write_4m", "x_zorder_bslab_4m",
+      "x_linear_bslab_4m").foreach(skip)
+    else locally {
       val zsrc = spark.range(4000000L).select(
         col("id"),
         pmod(xxhash64(col("id"), lit(11)), lit(4096L)).as("a"),
@@ -430,31 +534,6 @@ object Bench {
       }
     }
 
-    // --- headline graft queries at sfDir --------------------------------
-    val headline = Seq("q01_pricing_agg", "q02_filter_mongo",
-      "q04_supplier_top_parts", "q07_vocabulary", "q09_dedup_exact",
-      "q10_jaccard_pairs", "q11_knn_cosine", "q15_events_hourly",
-      "q16_sessions", "q22_langid_fingerprint", "q23_minhash_lsh",
-      "q24_simhash_pairs", "q28_multimodal", "q36_embedding_lsh",
-      "q56_pack_blocks", "q59_sq_quantize", "q60_unigram_nll",
-      "q61_source_mixing", "q62_bigram_nll")
-    headline.foreach { name =>
-      bench(name) { SparkEntry.queries(name)(spark, sfDir).count() }
-    }
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total stays comparable across rounds: the ann_* rows (added round 2)
-    // are an index-build + search + recall-ratio block reported on their
-    // own — the 47 s one-time k-means build would otherwise read as a 3×
-    // regression of a total it was never part of. create_1m_gen (round 3)
-    // is a breakdown of create_1m, and x_* rows are scale validations —
-    // both also excluded.
-    val total = results
-      .collect { case (k, v)
-        if v >= 0 && !k.startsWith("ann_") && !k.startsWith("x_") &&
-          k != "create_1m_gen" => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    emitSummaryAndStop()
   }
 }

@@ -189,6 +189,15 @@ object Ann {
       .select(col("query_id"), col("_qvec"),
         explode(col("_cells.value")).as("_cell"))
 
+    scoreProbed(index, probed, k, metric)
+  }
+
+  /** Scoring tail of the join-path IVF search: a `probed`
+    * (query_id, _qvec, _cell) table against the index's assigned docs.
+    * Shared by [[ivfSearch]] (distributed probe) and [[ivfSearchPruned]]
+    * (driver-collected probe reused for the partition filter). */
+  private def scoreProbed(index: IvfIndex, probed: DataFrame, k: Int,
+      metric: String): DataFrame = {
     // score only docs in probed cells: equi-join on the cell id. With
     // multiAssign > 1 a doc can sit in several probed cells — the
     // per-(query,doc) min collapses duplicates before the top-k heap.
@@ -999,18 +1008,28 @@ object Ann {
   def ivfSearchPruned(index: IvfIndex, queries: DataFrame, k: Int,
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
-    val cells = queries.select(probeVec(index, queryVec).as("_qnorm"))
-      .crossJoin(broadcast(index.centroids))
-      .select(col("_qnorm"),
-        vector_distance(col("_qnorm"), col("_center"), "euclidean").as("_d"),
-        col("_cell"))
-      .groupBy("_qnorm")
-      .agg(topk_by_distance(col("_d"), col("_cell"), nProbe).as("_cells"))
-      .select(explode(col("_cells.value")).as("_cell"))
-      .distinct().collect().map(_.getInt(0))
-    ivfSearch(
+    import org.apache.spark.sql.types._
+    // ONE probe job: the collected set yields both the distinct-cell
+    // partition filter and the (query, cell) probe table — the round-4
+    // shape collected cells here and then let ivfSearch re-run the
+    // centroid-distance job to rebuild per-query probes.
+    val probe = probeCollect(index, queries, queryId, queryVec, nProbe)
+    val spark = queries.sparkSession
+    val cells = probe.cellToQueries.iterator.zipWithIndex
+      .collect { case (qs, c) if qs.nonEmpty => c }.toArray
+    val probedRows = probe.cellToQueries.iterator.zipWithIndex.flatMap {
+      case (qs, c) => qs.iterator.map(qi =>
+        org.apache.spark.sql.Row(probe.qIds(qi), probe.qVecs(qi).toSeq, c))
+    }.toIndexedSeq
+    val probed = spark.createDataFrame(
+      spark.sparkContext.parallelize(probedRows, 1),
+      StructType(Seq(
+        StructField("query_id", probe.idType),
+        StructField("_qvec", ArrayType(DoubleType)),
+        StructField("_cell", IntegerType, nullable = false))))
+    scoreProbed(
       index.copy(assigned = index.assigned.where(col("_cell").isin(cells.map(Integer.valueOf): _*))),
-      queries, k, queryId, queryVec, metric, nProbe)
+      probed, k, metric)
   }
 
   /** Random-hyperplane LSH signature for cosine similarity: `nPlanes`
