@@ -1273,6 +1273,62 @@ object SparkEntry {
       window = 16, maskBits = 5)
       .orderBy("doc_id")
 
+  // SemDeDup verify-stage gate (Dedup.semanticPairs — Abbas et al. 2023
+  // blocking, q36's planted-twin construction): twins sit at distance
+  // ~2e-6 while every other pair is ≥0.49, so the brute-force oracle
+  // under threshold 0.01 returns exactly the twin pairs. Completeness of
+  // the learned blocking at that margin: a twin pair is missed only if
+  // the two (near-identical) vectors share NONE of their multiAssign=4
+  // nearest cells, which needs 4 distinct centroids within ~4e-6 of the
+  // twin's minimum centroid distance — and the quantizer fit is
+  // deterministic (seeded, layout-pinned sample), so the blocking result
+  // is the SAME every run: verified complete here, it stays complete.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val twins = e.where(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + (i % 5).cast("float") * lit(1e-4f)).as("embedding"))
+    Dedup.semanticPairs(e.unionByName(twins), "vec_id", "embedding",
+      threshold = 0.01, nCells = 32, multiAssign = 4)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("a", "b")
+  }
+
+  // QualityClassifier SCORING path end-to-end (score → sigmoid →
+  // stochastic keep): fixed dyadic coefficients (w_c = ((c·37 mod 64) −
+  // 32)/64, intercept −1/8) over the proven q46 feature-hash cells make
+  // the logit z exact in double on both engines; the keep rule is
+  // filterByScore's ppm-integer splitmix draw (q75's pattern). The fit
+  // itself stays ungated (LBFGS is float-order dependent — see
+  // QualityClassifier scaladoc); the model artifact is the
+  // deterministic input, exactly the q49 shape.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val model = QualityClassifier.Model(16,
+      Seq.tabulate(16)(c => (((c * 37) % 64) - 32) / 64.0), -0.125)
+    QualityClassifier.filterByScore(t(s, dir, "documents"), col("text"),
+      model, col("doc_id"), alpha = 1.0, seed = 17L)
+      .select(col("doc_id"),
+        round(QualityClassifier.score(col("text"), model), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  // knn normalization=(a,b) gate (reference memory/find.py:109-114 via
+  // math/helper.py:6-37): min-max rescale of top-k distances where the
+  // min/max are taken over the FULL per-query distance row (all non-self
+  // docs), not just the k survivors — the subtle part the oracle replays
+  // with a windowed min/max over every pair. (0.25, 1.0) keeps b−a
+  // dyadic; the rescale mirrors Spark's operation order exactly.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Knn.bruteForce(emb, emb.where(col("vec_id") < 10), 5, "cosine",
+      docId = "vec_id", docVec = "embedding",
+      queryId = "vec_id", queryVec = "embedding",
+      excludeSelf = true, normalization = Some((0.25, 1.0)))
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1367,7 +1423,10 @@ object SparkEntry {
     "q89_image_phash_pairs" -> (q89 _),
     "q90_audio_fingerprint_pairs" -> (q90 _),
     "q91_split_assign" -> (q91 _),
-    "q92_cdc_shared_chunks" -> (q92 _))
+    "q92_cdc_shared_chunks" -> (q92 _),
+    "q93_semantic_pairs" -> (q93 _),
+    "q94_classifier_filter" -> (q94 _),
+    "q95_knn_normalized" -> (q95 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3195,7 +3254,61 @@ object SparkEntry {
            FROM documents d)
          SELECT n.doc_id, n.n_chunks, coalesce(p.n_shared, 0) AS n_shared
          FROM nch n LEFT JOIN perdoc p USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // mirrors q93: q36's twin construction, then brute-force pairs under
+    // the threshold — valid because the planted margin (twin distance
+    // ~2e-6 vs ≥0.49 for all other pairs) makes the deterministic
+    // multiAssign=4 blocking provably-in-practice complete (see q93's
+    // comment); spark finds exactly the exhaustive sub-threshold set
+    "q93_semantic_pairs" ->
+      """WITH tw AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, (x, i) ->
+               x + CAST((i-1)%5 AS FLOAT) * CAST(0.0001 AS FLOAT)) AS embedding
+           FROM embeddings WHERE vec_id % 10 = 0),
+         u AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL SELECT * FROM tw),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM u)
+         SELECT a.vec_id a, b.vec_id b,
+           round(1.0 - list_cosine_similarity(a.v,b.v), 6) AS distance
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE 1.0 - list_cosine_similarity(a.v,b.v) < 0.01 ORDER BY a, b""",
+
+    // mirrors q94: q46's feature-hash cells → exact dyadic logit z →
+    // sigmoid → q75's all-integer ppm keep test on the seed-17 splitmix
+    // draw. z is exact in double (cells are small ints, weights are
+    // multiples of 1/64), so exp is evaluated at identical arguments on
+    // both engines.
+    "q94_classifier_filter" ->
+      s"""WITH $featureHashCellsSql,
+         zt AS (SELECT grid.doc_id,
+             sum(coalesce(c.s, 0.0) * ((((grid.idx*37) % 64) - 32) / 64.0)) - 0.125 AS z
+           FROM grid LEFT JOIN cells c
+             ON c.doc_id = grid.doc_id AND c.idx = grid.idx
+           GROUP BY grid.doc_id),
+         sc AS (SELECT doc_id, 1.0/(1.0 + exp(-z)) AS score FROM zt),
+         ${splitmixChainSql("doc_id, score", 17L, from = "sc")}
+         SELECT doc_id, round(score, 6) AS score FROM ranked
+         WHERE ((rk % 1000000) + 1000000) % 1000000
+               < CAST(round(score * 1000000) AS BIGINT)
+         ORDER BY doc_id""",
+
+    // mirrors q95: q11's distance CTE plus per-query min/max over the
+    // FULL row; rescale replicates Spark's operation order
+    // a + ((d - dmin) * (b - a)) / (dmax - dmin) with (a,b)=(0.25,1.0)
+    "q95_knn_normalized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+         d AS (SELECT qid, e.vec_id id, 1.0 - list_cosine_similarity(qv, e.v) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         mm AS (SELECT qid, min(dist) dmin, max(dist) dmax FROM d GROUP BY qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT r.query_id, r.id,
+           round(0.25 + ((r.dist - mm.dmin) * 0.75) / (mm.dmax - mm.dmin), 6) AS distance,
+           CAST(r.rank AS INTEGER) AS rank
+         FROM r JOIN mm ON r.query_id = mm.qid
+         WHERE r.rank <= 5 ORDER BY query_id, rank"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

@@ -68,9 +68,13 @@ object Bpe {
     * tests; [[train]] is the corpus-facing entry. */
   private[graft] def trainLocal(wordCounts: Array[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
-    // each word as an array of current symbols (starts as single chars)
+    // each word as an array of current symbols (one per CODE POINT —
+    // per-char seeding would split astral characters into lone
+    // surrogates; see BpeApply.codePointSymbols, same rule as encode)
     var words: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, n) => (w.map(_.toString).toArray, n) }
+      wordCounts.map { case (w, n) =>
+        (graft.functions.BpeApply.codePointSymbols(w), n)
+      }
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var m = 0
     while (m < numMerges) {
@@ -113,7 +117,8 @@ object Bpe {
     * merge, ids in rank order — the id space [[encodeIds]] emits. */
   def vocab(merges: Seq[(String, String)],
       baseChars: Seq[String] = Seq.empty): Seq[String] = {
-    val base = (merges.flatMap { case (a, b) => (a + b).map(_.toString) } ++
+    val base = (merges.flatMap { case (a, b) =>
+      graft.functions.BpeApply.codePointSymbols(a + b) } ++
       baseChars).distinct.sorted
     base ++ merges.map { case (a, b) => a + b }
   }

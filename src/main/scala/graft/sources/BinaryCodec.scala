@@ -499,6 +499,21 @@ object BinaryCodec {
     }
   }
 
+  /** [[parseStream]] over an open stream: one frame in memory at a time
+    * (the shard itself never is — the V2 reader feeds 100 GB shards
+    * through here). Caller owns closing the stream. */
+  private[sources] def parseStreamInput(in: java.io.DataInputStream): Iterator[Row] = {
+    val version = in.read()
+    require(version == 1, s"unsupported stream version $version")
+    val n = in.readLong()
+    (0L until n).iterator.flatMap { _ =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      parseDoc(new R(buf, 0, len))
+    }
+  }
+
   /** Read a reference-format binary file (or shard directory) → flat doc
     * DataFrame; nested chunks/matches become normalized child rows. */
   def loadBinary(spark: SparkSession, path: String): DataFrame = {

@@ -41,6 +41,43 @@ class BpeSpec extends SparkSuite {
     got.foreach { case (orig, rt) => assert(rt == orig) }
   }
 
+  test("astral characters stay whole code points through train + encode") {
+    // 😀 = U+1F600 (surrogate pair): per-char seeding would split it into
+    // lone surrogates that mangle to '?' on UTF-8 encode
+    val texts = Seq("😀😀 ok", "x 😀😀")
+    val merges = Bpe.train(texts.toDF("t"), col("t"), numMerges = 5)
+    assert(merges.contains(("😀", "😀")))
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s(i))) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(s(i))) return false
+        else i += 1
+      }
+      true
+    }
+    assert(merges.forall { case (a, b) => wellFormed(a) && wellFormed(b) })
+    val rt = texts.toDF("t")
+      .select(col("t"), array_join(Bpe.encode(col("t"), merges), "").as("rt"))
+      .as[(String, String)].collect()
+    rt.foreach { case (orig, back) => assert(back == orig) }
+    // the merged emoji pair is a single 2-code-point token, not 4 units
+    val toks = Seq("😀😀").toDF("t")
+      .select(Bpe.encode(col("t"), merges)).as[Seq[String]].head
+    assert(toks == Seq("😀😀"))
+  }
+
+  test("space-run merges disambiguate (tuple-keyed ranks)") {
+    // symbols that CONTAIN the old joined-key separator: with string
+    // keys, pair ("  ","  ") and (" ","   ") collide; tuple keys don't
+    val df = Seq("    ").toDF("t") // 4 spaces
+    val got = df.select(Bpe.encode(col("t"),
+      Seq((" ", " "), ("  ", "  ")))).as[Seq[String]].head
+    assert(got == Seq("    "))
+  }
+
   test("training compresses the corpus it was trained on") {
     val docs = (0 until 200).map(i =>
       s"the quick brown fox ${i % 7} jumps over the lazy dog").toDF("t")

@@ -148,6 +148,20 @@ class CorpusOpsSpec extends SparkSuite {
     assert(capped == 0L)
   }
 
+  test("jaccardPairsAgainst valve scores exactly on the filtered universe") {
+    // 'a' is hot on the left (3 docs > maxDocFreq=2) → removed from BOTH
+    // sides and from the set sizes: (1,0) scores |{b,c}| / |{b,c,d,e}|
+    // = 0.5, not the old biased 2/(4+4-2) = 1/3 that left hot shingles
+    // in the denominators
+    val batch = Seq((1L, "a b c d"), (3L, "a x y z"), (5L, "a p q r"))
+      .toDF("id", "text")
+    val corpus = Seq((0L, "a b c e")).toDF("id", "text")
+    val got = Dedup.jaccardPairsAgainst(batch, corpus, "id", "text",
+      threshold = 0.4, ngram = 1, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0.5)))
+  }
+
   test("maskDupSpans drops exactly the covered tokens, keeps order") {
     val d = Seq(
       (0L, "a b c d x y z w"),

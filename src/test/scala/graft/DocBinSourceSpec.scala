@@ -84,4 +84,26 @@ class DocBinSourceSpec extends SparkSuite {
       .mode("append").save(dir)
     assert(spark.read.format("graft-docbin").load(dir).count() == 12)
   }
+
+  test("failed overwrite job leaves prior data intact (job-level atomicity)") {
+    val dir = Files.createTempDirectory("docbin_atomic").toString
+    flatDocs(9).repartition(3).write.format("graft-docbin")
+      .mode("overwrite").save(dir)
+    // a write whose tasks throw mid-stream: the truncate must NOT have
+    // happened (it runs only in BatchWrite.commit, after all staging)
+    val poisoned = DocSchema.fromColumns(
+      (0 until 8).map(i => (s"p$i", s"t$i")).toDF("id", "text")
+        .withColumn("id",
+          when(col("id") === "p5", raise_error(lit("boom")))
+            .otherwise(col("id"))))
+    intercept[Exception] {
+      poisoned.repartition(2).write.format("graft-docbin")
+        .mode("overwrite").save(dir)
+    }
+    val back = spark.read.format("graft-docbin").load(dir)
+    assert(back.count() == 9, "old shards must survive a failed overwrite")
+    // abort cleaned the staging namespace
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_staging-")))
+  }
 }
