@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.KnnStrategy)
     e.injectPlannerStrategy(_ => graft.plans.KnnTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.KnnRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.TagPromotionRule)
   }
 }

@@ -113,6 +113,71 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("TagPromotionRule: tags['k'] filter pushes down via the promoted column") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("promo").toString + "/t"
+      val src = s2.range(100).select(col("id"),
+        map(lit("i"), col("id").cast("string")).as("tags"))
+      graft.operators.Promote.tags(src,
+          Map("i" -> org.apache.spark.sql.types.IntegerType))
+        .write.mode("overwrite").parquet(dir)
+
+      val q = s2.read.parquet(dir)
+        .where(col("tags").getItem("i").cast("int") >= 90)
+        .select("id")
+      val planStr = q.queryExecution.executedPlan.toString
+      // the predicate reached the parquet scan on the PROMOTED column...
+      assert(planStr.contains("GreaterThanOrEqual(tag_i,90)"), planStr)
+      // ...and the map column dropped out of the read schema entirely
+      assert(!planStr.contains("tags:map"), planStr)
+      assert(q.count() == 10)
+
+      // untyped string lookup rewrites too when the promotion is string
+      val dir2 = java.nio.file.Files.createTempDirectory("promo").toString + "/s"
+      graft.operators.Promote.tags(src,
+          Map("i" -> org.apache.spark.sql.types.StringType))
+        .write.mode("overwrite").parquet(dir2)
+      val q2 = s2.read.parquet(dir2)
+        .where(col("tags").getItem("i") === "42").select("id")
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("EqualTo(tag_i,42)"), plan2)
+      assert(q2.count() == 1)
+
+      // no promoted column → untouched semantics (rule must not fire)
+      val dir3 = java.nio.file.Files.createTempDirectory("promo").toString + "/n"
+      src.write.mode("overwrite").parquet(dir3)
+      val q3 = s2.read.parquet(dir3)
+        .where(col("tags").getItem("i").cast("int") >= 90)
+      assert(q3.count() == 10)
+
+      // cross-relation: tag_i from the OTHER join side must not capture the
+      // lookup — right's tag_i is id+1, deliberately inconsistent with left's
+      // tags['i']; a wrong rewrite would return ids 89..98 instead of 90..99
+      val dir4 = java.nio.file.Files.createTempDirectory("promo").toString + "/j"
+      s2.range(100).select(col("id"),
+          (col("id") + 1).cast("int").as("tag_i"))
+        .write.mode("overwrite").parquet(dir4)
+      val left = s2.read.parquet(dir3)
+      val right = s2.read.parquet(dir4)
+      val q4 = left.join(right, "id")
+        .where(col("tags").getItem("i").cast("int") >= 90)
+        .select(left("id"))
+      assert(q4.count() == 10)
+      assert(q4.agg(min(left("id"))).head.getLong(0) == 90L)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("Summary.describe reports fill ratios and stats") {
     val df = Seq((1L, "ab", Seq(1.0f)), (2L, null.asInstanceOf[String], Seq(1.0f, 2.0f)))
       .toDF("id", "text", "embedding")
