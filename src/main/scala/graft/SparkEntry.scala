@@ -1329,6 +1329,71 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // custom-metric knn: the reference's metric-callable surface
+  // (docarray/array/storage/memory/find.py:69-81) driven through
+  // Knn.bruteForceCustom with a composed native L1 distance. Exactness:
+  // float->double casts are exact, |a-b| is one rounding each, and BOTH
+  // engines left-fold the identical sequence (Spark aggregate(0.0, +) ==
+  // DuckDB list_reduce(list_prepend(0.0, ...))), so the doubles are
+  // bit-equal with no rounding crutch.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val l1 = (d: Column, q: Column) =>
+      aggregate(
+        zip_with(d, q, (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    Knn.bruteForceCustom(emb, emb.where(col("vec_id") < 10), 5, l1,
+      docId = "vec_id", docVec = "embedding",
+      queryId = "vec_id", queryVec = "embedding", excludeSelf = true)
+      .orderBy("query_id", "rank")
+  }
+
+  // boolean-mask selection (reference getitem.py mask path): da[mask]
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Items.byMask(t(s, dir, "documents"),
+        (col("n_chars") % 7 === 0) && col("lang") =!= "en")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+  // __delitem__ both shapes (reference delitem.py): del da[ids] then a
+  // predicate delete; deleteWhere keeps only rows where the condition is
+  // strictly false (null-condition rows drop too), mirrored as NOT(...)
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val afterIds = Items.deleteByIds(docs, "doc_id",
+      (0L until 100L by 3).map(_.asInstanceOf[Any]))
+    Items.deleteWhere(afterIds, col("n_chars") > 400)
+      .where(col("doc_id") < 200)
+      .select("doc_id", "n_chars").orderBy("doc_id")
+  }
+
+  // traversal write-back (reference setitem.py:72-75 da['@c'] = docs):
+  // q18's nested layout, every 5th doc's first chunk replaced by an
+  // uppercased row, chunks rebuilt, then re-flattened to leaves
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val nested = docs.select(
+      col("doc_id").cast("string").as("id"),
+      lit("").as("parent_id"),
+      lit(0).as("granularity"),
+      col("text"),
+      transform(sequence(lit(1), size(toks), lit(1)), i => struct(
+        concat(col("doc_id"), lit("-"), (i - 1).cast("string")).as("id"),
+        col("doc_id").cast("string").as("parent_id"),
+        lit(1).as("granularity"),
+        element_at(toks, i).as("text"))).as("chunks"))
+    val updates = docs.where(col("doc_id") % 5 === 0 && size(toks) > 0)
+      .select(
+        concat(col("doc_id"), lit("-0")).as("id"),
+        col("doc_id").cast("string").as("parent_id"),
+        lit(1).as("granularity"),
+        upper(element_at(toks, 1)).as("text"))
+    Traverse.flatten(Traverse.setByPath(nested, "@c", updates), depth = 1)
+      .where(col("granularity") === 1)
+      .select("id", "parent_id", "text")
+      .orderBy("parent_id", "id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1426,7 +1491,11 @@ object SparkEntry {
     "q92_cdc_shared_chunks" -> (q92 _),
     "q93_semantic_pairs" -> (q93 _),
     "q94_classifier_filter" -> (q94 _),
-    "q95_knn_normalized" -> (q95 _))
+    "q95_knn_normalized" -> (q95 _),
+    "q96_knn_custom_metric" -> (q96 _),
+    "q97_mask_select" -> (q97 _),
+    "q98_delete_items" -> (q98 _),
+    "q99_setbypath_writeback" -> (q99 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3308,7 +3377,44 @@ object SparkEntry {
            round(0.25 + ((r.dist - mm.dmin) * 0.75) / (mm.dmax - mm.dmin), 6) AS distance,
            CAST(r.rank AS INTEGER) AS rank
          FROM r JOIN mm ON r.query_id = mm.qid
-         WHERE r.rank <= 5 ORDER BY query_id, rank"""
+         WHERE r.rank <= 5 ORDER BY query_id, rank""",
+
+    "q96_knn_custom_metric" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 10),
+         d AS (SELECT qid, e.vec_id id,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(e.v)+1), i -> abs(qv[i] - e.v[i]))),
+                 (acc, x) -> acc + x) dist
+               FROM q, e WHERE e.vec_id <> qid),
+         r AS (SELECT qid query_id, id, dist,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d)
+         SELECT query_id, id, dist AS distance, CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q97_mask_select" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars % 7 = 0 AND lang <> 'en' ORDER BY doc_id""",
+
+    "q98_delete_items" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE NOT (doc_id < 100 AND doc_id % 3 = 0)
+           AND NOT (n_chars > 400)
+           AND doc_id < 200
+         ORDER BY doc_id""",
+
+    "q99_setbypath_writeback" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         leaves AS (
+           SELECT doc_id, doc_id || '-' || (pos-1) AS id, doc_id::VARCHAR AS parent_id,
+             tokk, pos FROM (
+             SELECT doc_id, unnest(tok) AS tokk,
+               unnest(generate_series(1, len(tok))) AS pos FROM t))
+         SELECT id, parent_id,
+           CASE WHEN doc_id % 5 = 0 AND pos = 1 THEN upper(tokk) ELSE tokk END AS text
+         FROM leaves ORDER BY parent_id, id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
