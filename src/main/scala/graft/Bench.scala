@@ -251,7 +251,9 @@ object Bench {
       "ann_recall10_x1000", "ann_scanfrac_x1000", "ann_sq_encode_1m",
       "ann_sq_search100", "ann_sq_rerank100", "ann_sq_recall10_x1000",
       "ann_sqr_recall10_x1000", "ann_pq_encode_1m", "ann_pq_search100",
-      "ann_pq_rerank100", "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000")
+      "ann_pq_rerank100", "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000",
+      "ann_pqres_encode_1m", "ann_pqres_search100",
+      "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000")
     if (overBudget) annRows.foreach(skip)
     else {
       // ONE build attempt by default (round 5): min-of-2 (identical code
@@ -319,7 +321,7 @@ object Bench {
       // structure to exploit — scrambles the candidate funnel (recall
       // 0.32 raw / 0.72 even at rerank=200), while m=32 + rerank=100
       // reaches the IVF probe ceiling itself (0.853 vs 0.857 at 200k).
-      if (overBudget) annRows.drop(9).foreach(skip)
+      if (overBudget) annRows.drop(9).take(5).foreach(skip)
       else {
         val tpq = System.nanoTime()
         val pcb = Ann.pqTrain(stored, "id", "embedding", m = 32,
@@ -341,6 +343,34 @@ object Bench {
           Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410, rerank = 100,
             docs = stored), exact) * 1000).toDouble)
         pq.coded.unpersist()
+      }
+
+      // Residual PQ (IVFADC): same 32 B/vector budget, but codes quantize
+      // v - anchor(cell) — the anchors absorb each cell's position, so
+      // every codeword bit spends on within-cell detail. On THIS corpus
+      // (uniform 128-d, no cluster structure) the anchors have nothing to
+      // absorb and the rows measure parity with raw ADC (recall 514 vs
+      // 553 raw, 883 vs 885 reranked) — the residual win appears on
+      // clustered embeddings (PqSpec: 0.957 vs 0.914 at equal bytes).
+      // Both families ship so the frontier is visible per corpus shape;
+      // search arithmetic is the same m table adds either way.
+      if (overBudget) annRows.drop(14).foreach(skip)
+      else {
+        val tpr = System.nanoTime()
+        val rcb = Ann.pqTrainResidual(idx, m = 32, sampleFraction = 0.05)
+        val pqr0 = Ann.pqAttach(idx, rcb)
+        val pqr = pqr0.copy(coded = pqr0.coded.cache())
+        pqr.coded.count()
+        record("ann_pqres_encode_1m", (System.nanoTime() - tpr) / 1e9)
+        bench("ann_pqres_search100") {
+          Ann.ivfSearchPq(pqr, queries100, 10, nProbe = 410).count()
+        }
+        record("ann_pqres_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchPq(pqr, queries100, 10, nProbe = 410), exact) * 1000).toDouble)
+        record("ann_pqresr_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchPq(pqr, queries100, 10, nProbe = 410, rerank = 100,
+            docs = stored), exact) * 1000).toDouble)
+        pqr.coded.unpersist()
       }
       idx.assigned.unpersist()
     }

@@ -625,11 +625,69 @@ object Ann {
     * subspace `j` (all subspaces `subDim` wide, ≤256 codewords each →
     * codes are one byte per subspace). At dim=128, m=16 this is 8 B per
     * vector vs 512 B of float32 — 64× smaller than the base table, 16×
-    * smaller than SQ8. */
+    * smaller than SQ8.
+    *
+    * `anchors`, when present, makes this a RESIDUAL codebook (the IVFADC
+    * scheme of Jégou et al. 2011): codes quantize `v - anchors(cell)`
+    * instead of `v`, where `anchors(cell)` is the raw-space mean of the
+    * cell's vectors. Residuals have far less variance than raw vectors
+    * (the cell's position is already known from `_cell`), so the same
+    * byte budget spends entirely on within-cell detail — the standard
+    * raw-ADC recall lift. Encode/search/persist all key off this field,
+    * so a codebook can never be applied in the wrong space. */
   final case class PqCodebook(subDim: Int,
-      centroids: Seq[Seq[Seq[Double]]]) {
+      centroids: Seq[Seq[Seq[Double]]],
+      anchors: Option[Seq[Seq[Double]]] = None) {
     def m: Int = centroids.length
     def dim: Int = m * subDim
+    def residual: Boolean = anchors.nonEmpty
+  }
+
+  /** Per-cell anchor vectors for residual PQ: the mean of each cell's RAW
+    * vectors (the IVF quantizer's centroids live in the probe-transformed
+    * centered/normalized space and are useless as raw-space anchors).
+    * One distributed grouped-mean pass; rounded to 1e-6 like the ivfBuild
+    * corpus mean so float summation-order noise can't make two builds
+    * disagree; cells with no rows anchor at the origin (their residuals
+    * are then the raw vectors — graceful, not wrong). */
+  def pqAnchors(index: IvfIndex): Seq[Seq[Double]] = {
+    val rows = index.assigned
+      .select(col("_cell"),
+        array_to_vector(col(index.vecCol).cast("array<double>")).as("_f"))
+      .groupBy("_cell")
+      .agg(org.apache.spark.ml.stat.Summarizer.mean(col("_f")).as("_m"))
+      .collect()
+    val byCell = rows.map(r => r.getInt(0) ->
+      r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
+        .map(x => math.rint(x * 1e6) / 1e6).toSeq).toMap
+    val dim = byCell.headOption.map(_._2.length).getOrElse(0)
+    Seq.tabulate(index.nCells)(c =>
+      byCell.getOrElse(c, Seq.fill(dim)(0.0)))
+  }
+
+  /** Train a residual PQ codebook over an IVF index: per-cell raw-space
+    * anchors, then the exact [[pqTrain]] sampling + Lloyd fits on the
+    * residual column. Same determinism guarantees (hash-picked sample,
+    * RNG-free init, fixed accumulation order) — two builds over any
+    * layout of the same index give byte-identical codebooks. */
+  def pqTrainResidual(index: IvfIndex, m: Int, nCodes: Int = 256,
+      maxIter: Int = 12, seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxSample: Int = 32768): PqCodebook = {
+    require(index.multiAssign <= 1,
+      "pqTrainResidual requires a single-assignment index (one residual per doc)")
+    val anchors = pqAnchors(index)
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val anchorsDf = broadcast(
+      spark.createDataset(anchors.zipWithIndex.map { case (a, c) => (c, a) })
+        .toDF("_acell", "_anchor"))
+    val residDf = index.assigned
+      .join(anchorsDf, col("_cell") === col("_acell"))
+      .select(col(index.idCol),
+        zip_with(col(index.vecCol).cast("array<double>"), col("_anchor"),
+          (v, a) => v - a).as("_rv"))
+    pqTrain(residDf, index.idCol, "_rv", m, nCodes, maxIter, seed,
+      sampleFraction, maxSample).copy(anchors = Some(anchors))
   }
 
   /** Train per-subspace codebooks with Lloyd's k-means on a
@@ -738,14 +796,32 @@ object Ann {
     PqIvfIndex(index, codebook, pqEncodeRows(index, codebook, index.assigned))
 
   /** PQ twin of [[sqEncodeRows]]: encode an [[assignRows]] delta for
-    * mode=append ingest into a [[pqWriteIndex]] layout. */
+    * mode=append ingest into a [[pqWriteIndex]] layout. A residual
+    * codebook subtracts its per-cell anchor first (broadcast join on
+    * `_cell` — map-side, no shuffle of the rows). */
   def pqEncodeRows(index: IvfIndex, codebook: PqCodebook,
-      rows: DataFrame): DataFrame =
-    rows.select(
-      col(index.idCol),
-      pq_encode(col(index.vecCol), codebook.subDim, codebook.centroids)
-        .as("_code"),
-      col("_cell"))
+      rows: DataFrame): DataFrame = codebook.anchors match {
+    case None =>
+      rows.select(
+        col(index.idCol),
+        pq_encode(col(index.vecCol), codebook.subDim, codebook.centroids)
+          .as("_code"),
+        col("_cell"))
+    case Some(anchors) =>
+      val spark = rows.sparkSession
+      import spark.implicits._
+      val anchorsDf = broadcast(
+        spark.createDataset(anchors.zipWithIndex.map { case (a, c) => (c, a) })
+          .toDF("_acell", "_anchor"))
+      rows.join(anchorsDf, col("_cell") === col("_acell"))
+        .select(
+          col(index.idCol),
+          pq_encode(
+            zip_with(col(index.vecCol).cast("array<double>"), col("_anchor"),
+              (v, a) => v - a),
+            codebook.subDim, codebook.centroids).as("_code"),
+          col("_cell"))
+  }
 
   /** [[ivfSearchSq]] over PQ codes with asymmetric-distance lookup
     * tables (ADC): per query and subspace, the distance contribution of
@@ -767,6 +843,8 @@ object Ann {
       rerank: Int = 0, docs: DataFrame = null): DataFrame = {
     require(pq.ivf.multiAssign <= 1,
       "ivfSearchPq requires a single-assignment index")
+    require(pq.codebook.anchors.forall(_.length == pq.ivf.nCells),
+      "residual codebook anchors must cover every cell of this index")
     require(rerank == 0 || docs != null,
       "rerank needs the base table (docs) for exact distances")
     require(Set("cosine", "sqeuclidean", "euclidean", "inner_product")
@@ -781,8 +859,12 @@ object Ann {
     val probe = probeCollect(index, queries, queryId, queryVec, nProbe)
     val cents = pq.codebook.centroids.map(_.map(_.toArray).toArray).toArray
     val subDim = pq.codebook.subDim
+    // residual mode ships the per-cell anchors too (nCells × dim doubles —
+    // 1 MB at 1024 cells × 128 dims, plan-sized, not data-sized)
+    val anchorsArr: Array[Array[Double]] =
+      pq.codebook.anchors.map(_.map(_.toArray).toArray).orNull
     val bc = spark.sparkContext.broadcast(
-      (probe.qVecs, probe.cellToQueries, cents, subDim))
+      (probe.qVecs, probe.cellToQueries, cents, subDim, anchorsArr))
 
     val probedCells =
       probe.cellToQueries.indices.filter(probe.cellToQueries(_).nonEmpty)
@@ -793,12 +875,17 @@ object Ann {
     val docIdType = pq.coded.schema(index.idCol).dataType
     val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
     val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
-      val (vecs, c2q, cb, sd) = bc.value
+      val (vecs, c2q, cb, sd, anch) = bc.value
+      val resid = anch != null
       val m = cb.length
-      val needIp = met == "cosine" || met == "inner_product"
-      // static per-codeword squared norms (cosine's reconstructed doc norm)
+      // residual mode always builds dot-product LUTs: every metric's
+      // residual term is dot(q, r), with the cell-dependent parts coming
+      // from per-cell static tables instead of per-(query,cell) LUTs
+      val needIp = resid || met == "cosine" || met == "inner_product"
+      // static per-codeword squared norms (cosine's reconstructed doc
+      // norm; in residual mode also the ||r||^2 term of every metric)
       val normTab: Array[Double] =
-        if (met != "cosine") null
+        if (met != "cosine" && !resid) null
         else {
           val t = new Array[Double](m * 256)
           var j = 0
@@ -846,6 +933,60 @@ object Ann {
         }
         t
       }
+      // residual mode: per-cell static tables, built lazily on the first
+      // row of each cell this partition sees (the layout is `_cell`-
+      // partitioned, so that's a handful of cells per task). cross(j,c) =
+      // dot(anchor_j, codeword_c) makes every metric's cell-dependent
+      // term a table sum — NO per-(query,cell) LUTs, the memory stays
+      // O(queries + cellsSeen) × m × 256.
+      final class CellState(val cross: Array[Double], val anorm2: Double,
+          val qa: Array[Double], val qa2: Array[Double])
+      val cellStates =
+        if (resid) new java.util.HashMap[Int, CellState]() else null
+      def stateOf(cell: Int, qs: Array[Int]): CellState = {
+        var st = cellStates.get(cell)
+        if (st == null) {
+          val a = anch(cell)
+          val cross = new Array[Double](m * 256)
+          var j = 0
+          while (j < m) {
+            val base = j * sd
+            val cs = cb(j)
+            var c = 0
+            while (c < cs.length) {
+              val cw = cs(c)
+              var s = 0.0; var i = 0
+              while (i < sd) { s += a(base + i) * cw(i); i += 1 }
+              cross(j * 256 + c) = s
+              c += 1
+            }
+            j += 1
+          }
+          var an2 = 0.0
+          var i = 0
+          while (i < a.length) { an2 += a(i) * a(i); i += 1 }
+          // dot(q, a) and ||q - a||^2 for the queries probing this cell
+          val qa = new Array[Double](vecs.length)
+          val qa2 = new Array[Double](vecs.length)
+          var x = 0
+          while (x < qs.length) {
+            val q = qs(x); val qv = vecs(q)
+            var dqa = 0.0; var d2 = 0.0; var i2 = 0
+            val n = math.min(qv.length, a.length)
+            while (i2 < n) {
+              val qi = qv(i2); val ai = a(i2)
+              dqa += qi * ai
+              val t = qi - ai; d2 += t * t
+              i2 += 1
+            }
+            qa(q) = dqa; qa2(q) = d2
+            x += 1
+          }
+          st = new CellState(cross, an2, qa, qa2)
+          cellStates.put(cell, st)
+        }
+        st
+      }
       val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
       rows.foreach { row =>
         if (!row.isNullAt(1) && !row.isNullAt(2)) {
@@ -859,27 +1000,63 @@ object Ann {
           // top-k; skip the row instead
           if (qs.length > 0 && code.length == m) {
             val idVal = InternalRow.copyValue(row.get(0, docIdType))
-            // cosine's reconstructed-norm sum is query-independent
-            var dn2 = 0.0
-            if (met == "cosine") {
+            if (resid) {
+              val st = stateOf(cell, qs)
+              // query-independent per-doc sums: dot(a, r) and ||r||^2
+              var crossSum = 0.0
+              var rn = 0.0
               var j = 0
-              while (j < m) { dn2 += normTab(j * 256 + (code(j) & 0xFF)); j += 1 }
-            }
-            var x = 0
-            while (x < qs.length) {
-              val q = qs(x)
-              val lut = lutOf(q)
-              var s = 0.0
-              var j = 0
-              while (j < m) { s += lut(j * 256 + (code(j) & 0xFF)); j += 1 }
-              val d = met match {
-                case "cosine" => 1.0 - s / (math.sqrt(dn2) * qNorms(q))
-                case "sqeuclidean" => s
-                case "euclidean" => math.sqrt(s)
-                case _ => -s
+              while (j < m) {
+                val o = j * 256 + (code(j) & 0xFF)
+                crossSum += st.cross(o); rn += normTab(o)
+                j += 1
               }
-              if (!d.isNaN) heaps(q).insert(d, idVal)
-              x += 1
+              var x = 0
+              while (x < qs.length) {
+                val q = qs(x)
+                val lut = lutOf(q)
+                var ip = 0.0 // dot(q, r)
+                var j2 = 0
+                while (j2 < m) { ip += lut(j2 * 256 + (code(j2) & 0xFF)); j2 += 1 }
+                val d = met match {
+                  case "cosine" =>
+                    val dot = st.qa(q) + ip
+                    val vn2 = st.anorm2 + 2.0 * crossSum + rn
+                    1.0 - dot / (math.sqrt(vn2) * qNorms(q))
+                  case "sqeuclidean" =>
+                    st.qa2(q) - 2.0 * (ip - crossSum) + rn
+                  case "euclidean" =>
+                    // the decomposed sum can land ~-1e-16 on a near-exact
+                    // hit; an unguarded sqrt would NaN it out of the heap
+                    math.sqrt(math.max(0.0, st.qa2(q) - 2.0 * (ip - crossSum) + rn))
+                  case _ => -(st.qa(q) + ip)
+                }
+                if (!d.isNaN) heaps(q).insert(d, idVal)
+                x += 1
+              }
+            } else {
+              // cosine's reconstructed-norm sum is query-independent
+              var dn2 = 0.0
+              if (met == "cosine") {
+                var j = 0
+                while (j < m) { dn2 += normTab(j * 256 + (code(j) & 0xFF)); j += 1 }
+              }
+              var x = 0
+              while (x < qs.length) {
+                val q = qs(x)
+                val lut = lutOf(q)
+                var s = 0.0
+                var j = 0
+                while (j < m) { s += lut(j * 256 + (code(j) & 0xFF)); j += 1 }
+                val d = met match {
+                  case "cosine" => 1.0 - s / (math.sqrt(dn2) * qNorms(q))
+                  case "sqeuclidean" => s
+                  case "euclidean" => math.sqrt(s)
+                  case _ => -s
+                }
+                if (!d.isNaN) heaps(q).insert(d, idVal)
+                x += 1
+              }
             }
           }
         }
@@ -914,9 +1091,9 @@ object Ann {
     import spark.implicits._
     Seq((pq.ivf.idCol, pq.ivf.vecCol, pq.ivf.nCells, pq.ivf.multiAssign,
       pq.ivf.normalized, pq.ivf.center, pq.codebook.subDim,
-      pq.codebook.centroids))
+      pq.codebook.centroids, pq.codebook.anchors))
       .toDF("idCol", "vecCol", "nCells", "multiAssign", "normalized",
-        "center", "subDim", "centroids")
+        "center", "subDim", "centroids", "anchors")
       .write.mode("overwrite").json(s"$path/meta")
   }
 
@@ -938,13 +1115,20 @@ object Ann {
       normalized = m.getAs[Boolean]("normalized"), center = center)
     // nested JSON arrays come back as mutable ArraySeqs — normalize level
     // by level rather than trusting a nested getSeq cast
+    val anchors =
+      if (m.schema.fieldNames.contains("anchors") && !m.isNullAt(m.fieldIndex("anchors")))
+        Some(m.getSeq[Any](m.fieldIndex("anchors")).map {
+          _.asInstanceOf[scala.collection.Seq[Double]].toSeq
+        }.toSeq)
+      else None
     val cb = PqCodebook(
       m.getAs[Long]("subDim").toInt,
       m.getSeq[Any](m.fieldIndex("centroids")).map {
         _.asInstanceOf[scala.collection.Seq[Any]].map {
           _.asInstanceOf[scala.collection.Seq[Double]].toSeq
         }.toSeq
-      }.toSeq)
+      }.toSeq,
+      anchors)
     PqIvfIndex(ivf, cb, coded)
   }
 

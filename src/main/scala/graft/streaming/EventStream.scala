@@ -134,4 +134,27 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Streaming ANN ingest: each micro-batch of new docs is assigned to
+    * its IVF cell and (PQ-)encoded with the FROZEN quantizer/codebook,
+    * then appended to the persisted codes-only layout — the continuous
+    * twin of the batch `assignRows`+`pqEncodeRows` ingest path. Existing
+    * `_cell` shards are never rewritten (append under the same
+    * partitioning), searches over `Ann.pqReadIndex(path)` see new docs at
+    * the next read, and quantizer drift stays the operator's explicit
+    * re-fit decision, exactly as in the batch path. Per batch this is one
+    * broadcast-centroid assign + a map-side encode — no shuffle of the
+    * batch, no read of the existing index. */
+  def streamingAnnIngest(docStream: DataFrame,
+      index: graft.operators.Ann.IvfIndex,
+      codebook: graft.operators.Ann.PqCodebook,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Ann
+    docStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ann.pqEncodeRows(index, codebook, Ann.assignRows(index, batch))
+          .write.mode("append").partitionBy("_cell")
+          .parquet(s"$path/coded")
+      }
+  }
 }

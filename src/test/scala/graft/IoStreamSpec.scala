@@ -640,6 +640,52 @@ class IoStreamSpec extends SparkSuite {
     assert(m.map(_.getLong(1)) == Seq(10L, 12L)) // nearest first
   }
 
+  test("streaming ANN ingest appends encoded micro-batches to the persisted layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Ann
+    import graft.functions._
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }
+    val base = mk(0 until 250).toDF("id", "embedding")
+    val idx = Ann.ivfBuild(base, "id", "embedding", nCells = 4, seed = 3,
+      center = true)
+    val cb = Ann.pqTrainResidual(idx, m = 4)
+    val dir = Files.createTempDirectory("graftsann").toString
+    Ann.pqWriteIndex(Ann.pqAttach(idx, cb), dir)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val writer = EventStream.streamingAnnIngest(
+      mem.toDF().toDF("id", "embedding"), idx, cb, dir)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    // two micro-batches, restarted writer between them — the layout is
+    // the only state that carries over, like a real daily-ingest job
+    mem.addData(mk(250 until 280): _*)
+    val run1 = writer.start(); run1.processAllAvailable(); run1.stop()
+    mem.addData(mk(280 until 300): _*)
+    val run2 = writer.start(); run2.processAllAvailable(); run2.stop()
+
+    val loaded = Ann.pqReadIndex(spark, dir)
+    assert(loaded.coded.count() == 300)
+    // streamed codes are byte-identical to the batch encode of those rows
+    val extra = mk(250 until 300).toDF("id", "embedding")
+    val want = Ann.pqEncodeRows(idx, cb, Ann.assignRows(idx, extra))
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got = loaded.coded.where(col("id") >= 250)
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got == want)
+    // and a streamed doc is findable through the loaded index
+    val hits = Ann.ivfSearchPq(loaded, extra.where(col("id") >= 297), 1,
+      nProbe = 1, rerank = 50, docs = base.unionByName(extra)).collect()
+    assert(hits.length == 3)
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
+  }
+
   test("binary codec: reference-format round trip incl. nesting flatten") {
     import graft.sources.BinaryCodec
     import graft.schema.{Doc, NamedScore, Tensor}

@@ -90,6 +90,106 @@ class PqSpec extends SparkSuite {
     assert(hit >= exactD.size * 9 / 10, s"$hit of ${exactD.size}")
   }
 
+  // ---- residual (IVFADC) mode ----------------------------------------
+
+  test("residual pq: complete codebook matches the float search per metric") {
+    // continuous sin values: no distance ties, and 200 distinct residual
+    // subvectors per subspace all become codewords (reconstruction exact)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 4, seed = 5)
+    val q = df.where(col("id") % 41 === 0)
+    val cb = Ann.pqTrainResidual(idx, m = 4, maxIter = 4)
+    assert(cb.residual && cb.anchors.get.length == 4)
+    val pq = Ann.pqAttach(idx, cb)
+    for (metric <- Seq("cosine", "euclidean", "sqeuclidean", "inner_product")) {
+      val a = Ann.ivfSearchPq(pq, q, 5, metric = metric, nProbe = 2)
+      val b = Ann.ivfSearchBlocked(idx, q, 5, metric = metric, nProbe = 2)
+      assert(key(a) == key(b), s"ids/ranks differ: $metric")
+      // distances agree to rounding noise: the decomposed sum
+      // ||q-a||^2 - 2(dot(q,r) - dot(a,r)) + ||r||^2 associates
+      // differently from the direct kernel, so exact bit-equality is
+      // not expected — 1e-9 is ~1e7 ulps of slack on O(1) distances
+      val da = a.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      b.collect().foreach { r =>
+        val d = da((r.getLong(0), r.getLong(1)))
+        assert(math.abs(d - r.getDouble(2)) < 1e-9, s"dist: $metric")
+      }
+    }
+  }
+
+  test("residual codes beat raw codes at equal byte budget on clustered data") {
+    // 5 directionally-separated clusters (center_c = 10·e_c, so cosine
+    // tells them apart): a raw codebook must spend its 8 codewords per
+    // subspace on cluster POSITIONS, a residual codebook spends all 8 on
+    // within-cell detail (the anchors absorb position)
+    val df = (0 until 500).map { i =>
+      val c = i % 5
+      (i.toLong, Seq.tabulate(8)(j =>
+        ((if (j == c) 10.0 else 0.0) + math.sin(i * 0.61 + j * 0.9)).toFloat))
+    }.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 5, seed = 13)
+    val q = df.where(col("id") % 37 === 0)
+    val exact = Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2)
+    val raw = Ann.pqAttach(idx, Ann.pqTrain(df, "id", "embedding", m = 4, nCodes = 32))
+    val res = Ann.pqAttach(idx, Ann.pqTrainResidual(idx, m = 4, nCodes = 32))
+    def recall(hits: org.apache.spark.sql.DataFrame): Double = {
+      val e = key(exact); val h = key(hits).map(t => (t._1, t._2))
+      e.count(t => h.contains((t._1, t._2))).toDouble / e.size
+    }
+    val rRaw = recall(Ann.ivfSearchPq(raw, q, 5, nProbe = 2))
+    val rRes = recall(Ann.ivfSearchPq(res, q, 5, nProbe = 2))
+    info(s"raw=$rRaw residual=$rRes")
+    assert(rRes > rRaw, s"residual $rRes should beat raw $rRaw")
+    assert(rRes >= 0.9, s"residual recall $rRes")
+  }
+
+  test("residual pq: persisted layout round-trips anchors; append path encodes identically") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("id", "embedding")
+    val base = mk(0 until 250)
+    val extra = mk(250 until 300)
+    val idx = Ann.ivfBuild(base, "id", "embedding", nCells = 4, seed = 3,
+      center = true)
+    val cb = Ann.pqTrainResidual(idx, m = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graftpqr").toString
+    Ann.pqWriteIndex(Ann.pqAttach(idx, cb), dir)
+    val loaded = Ann.pqReadIndex(spark, dir)
+    assert(loaded.codebook == cb) // anchors included in the equality
+    // incremental ingest goes through the SAME residual encode as build
+    val delta = Ann.pqEncodeRows(idx, cb, Ann.assignRows(idx, extra))
+    delta.write.mode("append").partitionBy("_cell").parquet(s"$dir/coded")
+    val re = Ann.pqReadIndex(spark, dir)
+    assert(re.coded.count() == 300)
+    val fromAttach = Ann.pqAttach(Ann.ivfAppend(idx, extra), cb).coded
+      .where(col("id") >= 250)
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val fromDisk = re.coded.where(col("id") >= 250)
+      .select(col("id"), bytes_to_ints(col("_code")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fromDisk == fromAttach)
+    // an appended doc finds itself through the loaded residual index
+    val hits = Ann.ivfSearchPq(re, extra.where(col("id") >= 297), 1,
+      nProbe = 1, rerank = 50, docs = base.unionByName(extra)).collect()
+    assert(hits.length == 3)
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
+  }
+
+  test("pqTrainResidual is layout-independent") {
+    val df = (0 until 500).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("id", "embedding")
+    val mkIdx = (d: org.apache.spark.sql.DataFrame) =>
+      Ann.ivfBuild(d, "id", "embedding", nCells = 4, seed = 11)
+    val a = Ann.pqTrainResidual(mkIdx(df.repartition(1)), m = 4, maxSample = 200)
+    val b = Ann.pqTrainResidual(mkIdx(df.repartition(7, col("id"))), m = 4,
+      maxSample = 200)
+    assert(a == b)
+  }
+
   test("pqTrain is layout-independent (deterministic sample and fit)") {
     val df = (0 until 500).map { i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 0.7 + j * 1.3).toFloat))
