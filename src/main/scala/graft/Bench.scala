@@ -400,6 +400,17 @@ object Bench {
         nCells = 512, fitSampleFraction = 0.2).count()
     }
 
+    // Distributed Lloyd k-means at 1M×128, k=16, 2 iterations — per
+    // iteration one broadcast-join argmin (16M codegen distance rows,
+    // collapsed by the groupBy) + one posexplode centroid update whose
+    // map-side partial agg reduces each partition to ≤ k×dim rows before
+    // the shuffle. Validation row for the every-row-participates fit
+    // shape (ivfBuild's sampled fit is the headline ann_ path).
+    bench("x_kmeans_1m", runs = 1) {
+      Ann.kmeansLloyd(stored, "id", "embedding", k = 16, iters = 2)
+        .assigned.agg(sum("_cell")).collect()
+    }
+
     // DSIR importance weights at 1M docs / 39M hashed features / 2^16
     // buckets — the weight pass's shuffle regime ((doc, bucket) partial
     // agg → bucket-keyed model join → per-doc decimal dot-product).

@@ -93,6 +93,15 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding"): DocArray =
     wrap(Dedup.semanticDedup(df, idCol, vecCol, threshold, nCells, score))
 
+  /** Cluster the corpus by embedding with fully distributed Lloyd
+    * k-means (every row participates in every update — the cluster-side
+    * complement of the sampled IVF quantizer fit): adds an integer
+    * `_cell` column; deterministic and layout-invariant. For domain
+    * discovery, cluster-balanced mixing quotas, SemDeDup blocking. */
+  def kmeans(k: Int, iters: Int = 5, seed: Long = 42L,
+      vecCol: String = "embedding"): DocArray =
+    wrap(Ann.kmeansLloyd(df, idCol, vecCol, k, iters, seed).assigned)
+
   /** Train a BPE tokenizer on this corpus (distributed count pass +
     * deterministic merge fit). */
   def trainBpe(numMerges: Int, textCol: String = "text"): Seq[(String, String)] =

@@ -1394,6 +1394,19 @@ object SparkEntry {
       .orderBy("parent_id", "id")
   }
 
+  // fully distributed Lloyd k-means (Ann.kmeansLloyd): two complete
+  // iterations over the embeddings table with an SQL-replayable init
+  // (vec_id % 4). This gates the whole fit — the order-free integer-ppm
+  // centroid means AND the exact left-fold squared-euclidean argmin —
+  // twice, since iteration 2's centroids depend on iteration 1's
+  // assignment. Cluster-side Lloyd is the scale path ivfBuild's sampled
+  // driver fit can't cover: every row participates in every update.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val r = Ann.kmeansLloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 4, iters = 2, initCell = pmod(col("vec_id"), lit(4)))
+    r.assigned.select(col("vec_id"), col("_cell").as("cell")).orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1495,7 +1508,8 @@ object SparkEntry {
     "q96_knn_custom_metric" -> (q96 _),
     "q97_mask_select" -> (q97 _),
     "q98_delete_items" -> (q98 _),
-    "q99_setbypath_writeback" -> (q99 _))
+    "q99_setbypath_writeback" -> (q99 _),
+    "q100_kmeans_assign" -> (q100 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3414,7 +3428,44 @@ object SparkEntry {
                unnest(generate_series(1, len(tok))) AS pos FROM t))
          SELECT id, parent_id,
            CASE WHEN doc_id % 5 = 0 AND pos = 1 THEN upper(tokk) ELSE tokk END AS text
-         FROM leaves ORDER BY parent_id, id"""
+         FROM leaves ORDER BY parent_id, id""",
+
+    // mirrors q100: two Lloyd iterations replayed CTE-by-CTE. Input
+    // components quantize once to ppm BIGINTs (q74 idiom); centroid
+    // means are integer round-half-away ((2|s|+n) // (2n), re-signed —
+    // Spark's `div` == DuckDB `//` on the nonnegative operands);
+    // components are mean_ppm/1e6 (one correctly-rounded double op on
+    // both engines); distances left-fold squared diffs in dim order
+    // (q96-proven bit parity); argmin orders by (dist, cell).
+    "q100_kmeans_assign" -> {
+      def step(assign: String, sn: String, cn: String, dn: String,
+          an: String): String =
+        s"""$sn AS (SELECT $assign.c, r.range i, sum(e.vp[r.range]) s, count(*) n
+             FROM $assign JOIN e USING (vec_id) CROSS JOIN range(1,65) r
+             GROUP BY $assign.c, r.range),
+           $cn AS (SELECT c, list(CAST(CASE WHEN s < 0
+                 THEN -((abs(s)*2 + n) // (n*2))
+                 ELSE (abs(s)*2 + n) // (n*2) END AS DOUBLE) / 1000000
+                 ORDER BY i) ctr
+               FROM $sn GROUP BY c),
+           $dn AS (SELECT e.vec_id, $cn.c,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(e.v)+1),
+                   i -> (e.v[i]-$cn.ctr[i])*(e.v[i]-$cn.ctr[i]))),
+                 (acc,x) -> acc + x) dist
+               FROM e CROSS JOIN $cn),
+           $an AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+                 FROM $dn) WHERE rn = 1)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) vp
+           FROM embeddings),
+         a0 AS (SELECT vec_id, CAST(vec_id % 4 AS INTEGER) c FROM e),
+         ${step("a0", "s1", "c1", "d1", "a1")},
+         ${step("a1", "s2", "c2", "d2", "a2")}
+         SELECT vec_id, CAST(c AS INTEGER) AS cell FROM a2 ORDER BY vec_id"""
+    }
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

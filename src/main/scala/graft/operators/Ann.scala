@@ -1247,4 +1247,93 @@ object Ann {
     val hit = e.join(a, Seq("query_id", "id"), "left_semi").count()
     hit.toDouble / e.count().toDouble
   }
+
+  // ---- distributed Lloyd k-means (exact, engine-replayable) -----------
+
+  /** Result of [[kmeansLloyd]]: `assigned` = the input rows plus an
+    * integer `_cell`; `centroids` = (_cell, _center: array<double>) for
+    * the cells that were non-empty in the final update. */
+  final case class KmeansResult(assigned: DataFrame, centroids: DataFrame)
+
+  /** Fully distributed Lloyd k-means over an embedding column — the
+    * cluster-side complement of [[ivfBuild]]'s sampled driver fit. Where
+    * `ivfBuild` fits spark.ml k-means on a (layout-pinned) sample and is
+    * the right default for a coarse quantizer, this runs every Lloyd
+    * step on the cluster: each iteration is ONE broadcast join (assign:
+    * N×k distance argmin, no shuffle of the docs beyond the groupBy
+    * collapse) plus ONE partially-aggregated groupBy (centroid update),
+    * so the full corpus participates in the fit — the shape you want
+    * when k is small and N is 100 TB (domain discovery, SemDeDup-style
+    * cluster blocking, topic-balanced mixing quotas).
+    *
+    * Determinism is total, by construction, so the whole fit replays in
+    * an external SQL engine: input components are quantized once to ppm
+    * integers (`round(x·1e6)` — the q74 idiom), centroid means are
+    * integer round-half-away-from-zero in ppm (order-free BIGINT sums;
+    * bound: 2·1e6·maxCellRows must fit int64, i.e. fine to ~4e12 rows
+    * per cell), centroid components are `mean_ppm/1e6` (one correctly-
+    * rounded double op), distances are the q96 left-fold of squared
+    * diffs (bit-identical across engines), and argmin tie-breaks on the
+    * lowest cell id via `min(struct(dist, cell))`.
+    *
+    * `initCell` defaults to `pmod(xxhash64(id, seed), k)` — random-
+    * partition init, layout-invariant. Pass an explicit column (e.g.
+    * `pmod(col("id"), lit(k))`) when the init itself must be replayed
+    * externally. Cells that lose all members drop out of `centroids`
+    * (k shrinks — standard Lloyd degeneracy; seed more cells or center
+    * the data if it matters). */
+  def kmeansLloyd(docs: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, seed: Long = 42L, initCell: Column = null): KmeansResult = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vppm = transform(col(vecCol).cast("array<double>"),
+      x => round(x * 1e6).cast("long"))
+    val base = docs.withColumn("_vppm", vppm)
+    val init = Option(initCell).getOrElse(
+      pmod(xxhash64(col(idCol), lit(seed)), lit(k)))
+    var assigned = base.withColumn("_cell", init.cast("int"))
+    var centroids: DataFrame = null
+    for (_ <- 0 until iters) {
+      centroids = kmeansCentroids(assigned)
+      assigned = kmeansAssign(base, idCol, vecCol, centroids)
+    }
+    KmeansResult(assigned.drop("_vppm"), centroids)
+  }
+
+  /** Exact per-cell centroid means of the ppm-quantized vectors.
+    * posexplode → groupBy(cell, pos) BIGINT sum: the map-side partial
+    * aggregation collapses every partition to ≤ k×dim rows before the
+    * shuffle, so the exchange is tiny regardless of N. */
+  private def kmeansCentroids(assigned: DataFrame): DataFrame = {
+    val s = col("_sum"); val n = col("_n")
+    // round-half-away-from-zero integer mean: (2|s|+n) div (2n), re-signed
+    val mag = expr("(abs(_sum) * 2 + _n) div (_n * 2)")
+    val meanPpm = when(s < 0, -mag).otherwise(mag)
+    assigned
+      .select(col("_cell"), posexplode(col("_vppm")).as(Seq("_pos", "_x")))
+      .groupBy("_cell", "_pos")
+      .agg(sum("_x").as("_sum"), count(lit(1)).as("_n"))
+      .withColumn("_mean", meanPpm.cast("double") / 1e6)
+      .groupBy("_cell")
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_mean")))),
+        p => p.getField("_mean")).as("_center"))
+  }
+
+  /** Nearest-centroid assignment: broadcast the (≤ k)-row centroid
+    * table, exact left-fold squared-euclidean per (doc, cell), argmin
+    * with lowest-cell tie-break. One pass over the docs, no shuffle of
+    * the vectors — the groupBy collapses the k candidate rows per doc. */
+  private def kmeansAssign(base: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col(vecCol).cast("array<double>"), col("_center"),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    base.crossJoin(broadcast(centroids))
+      .groupBy(col(idCol))
+      .agg(
+        first(struct(base.columns.map(col): _*)).as("_doc"),
+        min(struct(dist.as("_d"), col("_cell").as("_c"))).as("_best"))
+      .select(col("_doc.*"), col("_best._c").as("_cell"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Distributed Lloyd k-means: convergence on planted blobs, layout
+  * invariance, exact integer centroid means, degeneracy handling. */
+class KmeansSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 3 planted blobs in 4-d: centers at 0, 10, 20 on every axis with
+    * ±0.25 deterministic jitter — separation >> spread so Lloyd must
+    * recover the planting from any non-degenerate init. */
+  private def blobs(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val b = i % 3
+      val jit = (d: Int) => ((i * 7 + d * 13) % 11 - 5) * 0.05
+      (i.toLong, b, Seq.tabulate(4)(d => (b * 10.0 + jit(d)).toFloat))
+    }
+    rows.toDF("id", "planted", "vec")
+  }
+
+  test("recovers planted blobs and centroids are the exact ppm means") {
+    val df = blobs(300)
+    val r = Ann.kmeansLloyd(df, "id", "vec", k = 3, iters = 3)
+    // every cluster maps 1:1 onto a planted blob
+    val purity = r.assigned.groupBy("_cell")
+      .agg(countDistinct(col("planted")).as("np"), count(lit(1)).as("n"))
+      .collect()
+    assert(purity.length == 3 && purity.forall(_.getLong(1) == 1L))
+    assert(purity.map(_.getLong(2)).sum == 300L)
+    // centroid components equal the exact integer-ppm mean of members
+    val cent = r.centroids.collect()
+      .map(row => row.getInt(0) -> row.getSeq[Double](1)).toMap
+    val members = r.assigned
+      .select(col("_cell"), col("vec").cast("array<double>").as("v"))
+      .collect().groupBy(_.getInt(0))
+    for ((cell, rows) <- members) {
+      val vs = rows.map(_.getSeq[Double](1))
+      val n = vs.length
+      val expect = Seq.tabulate(4) { d =>
+        val s = vs.map(v => math.round(v(d) * 1e6)).sum
+        val mag = (math.abs(s) * 2 + n) / (2L * n)
+        (if (s < 0) -mag else mag).toDouble / 1e6
+      }
+      assert(cent(cell) == expect, s"cell $cell centroid mismatch")
+    }
+  }
+
+  test("layout-invariant: repartitioned input yields identical output") {
+    val df = blobs(200)
+    val a = Ann.kmeansLloyd(df, "id", "vec", k = 3, iters = 2)
+    val b = Ann.kmeansLloyd(df.repartition(13, col("planted")), "id", "vec",
+      k = 3, iters = 2)
+    val keyA = a.assigned.select("id", "_cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val keyB = b.assigned.select("id", "_cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(keyA == keyB)
+    val cA = a.centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    val cB = b.centroids.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    assert(cA == cB) // exact equality: integer sums are order-free
+  }
+
+  test("explicit init replays and ties break to the lowest cell") {
+    // two identical centroids (cells 0,1 get the same single member set
+    // via init on id parity over duplicate points) — argmin must pick 0
+    val df = Seq(
+      (0L, Seq(1.0f, 1.0f)), (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 1.0f))
+    ).toDF("id", "vec")
+    val r = Ann.kmeansLloyd(df, "id", "vec", k = 2, iters = 1,
+      initCell = pmod(col("id"), lit(2)))
+    // both init cells have the same centroid (1,1); every doc ties and
+    // must land in cell 0
+    val cells = r.assigned.select("_cell").collect().map(_.getInt(0)).toSet
+    assert(cells == Set(0))
+  }
+
+  test("empty cells drop out instead of crashing") {
+    val df = blobs(30) // ids 0..29, k=8 with hash init: some cells empty
+    val r = Ann.kmeansLloyd(df, "id", "vec", k = 8, iters = 2)
+    val nCells = r.centroids.count()
+    assert(nCells <= 8 && nCells >= 1)
+    assert(r.assigned.count() == 30)
+  }
+
+  test("assignment plan broadcasts the centroid table (no shuffle join)") {
+    val df = blobs(100)
+    val r = Ann.kmeansLloyd(df, "id", "vec", k = 3, iters = 1)
+    val plan = r.assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
