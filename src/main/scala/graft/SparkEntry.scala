@@ -22,10 +22,20 @@ object SparkEntry {
   }
 
   private def events(s: SparkSession, dir: String): DataFrame = {
-    // testdata events.ts is parquet TIMESTAMP(NANOS) — read as long nanos
-    // and keep all window/session math in integer nanoseconds.
+    // All event-time math downstream is integer NANOSECONDS — normalize
+    // `ts` to long nanos whatever the parquet physical type is. The
+    // driver's generator has shipped both TIMESTAMP(NANOS) (rounds 1-4;
+    // readable only as long via the legacy conf) and TIMESTAMP(MICROS)
+    // (round 5+; arrives as TIMESTAMP_NTZ — wall-clock micros, which
+    // DuckDB's epoch_ns() also treats as epoch, so ×1000 matches the
+    // oracle exactly).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   /** Flagship query on sf=0.001: knn match over the embeddings table with

@@ -23,10 +23,36 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** readStream over a directory of event parquet files. */
+  /** Normalize an events frame so `ts` is long NANOSECONDS whatever the
+    * parquet physical type was: TIMESTAMP(NANOS) already arrives as long
+    * under the legacy conf; TIMESTAMP(MICROS) arrives as a (NTZ)
+    * timestamp and is converted wall-clock-as-UTC ×1000 — the same
+    * convention DuckDB's epoch_ns() applies, so oracles agree. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case _ => df.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+  }
+
+  /** Batch read of an events parquet path with `ts` as long nanos. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(path))
+  }
+
+  /** readStream over a directory of event parquet files. File streams
+    * need a declared schema, and the generator has shipped `ts` as both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds — peek at one
+    * existing file (batch, driver-side, metadata-only) to pick the
+    * physical ts type, then normalize to long nanos post-read. */
   def fromDirectory(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
+    val evFile = new java.io.File(dir, "events.parquet")
+    val peek = if (evFile.exists) evFile.getPath else dir
+    val tsType = spark.read.parquet(peek).schema("ts").dataType
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    normalizeTs(spark.readStream.schema(schema).parquet(dir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -846,7 +846,7 @@ class IoStreamSpec extends SparkSuite {
     assert(emitted.count() > 0)
     // streaming aggregate total equals the batch row count
     assert(emitted.agg(sum("n")).collect()(0).getLong(0) == 1000L)
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = EventStream.readEvents(spark, "/root/testdata/sf0.001/events.parquet")
     assert(batch.count() == 1000)
 
     val ds = batch.select($"user_id", $"ts").as[EventStream.SessionEvent]
