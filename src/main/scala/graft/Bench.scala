@@ -401,11 +401,12 @@ object Bench {
     }
 
     // Distributed Lloyd k-means at 1M×128, k=16, 2 iterations — per
-    // iteration one broadcast-join argmin (16M codegen distance rows,
-    // collapsed by the groupBy) + one posexplode centroid update whose
-    // map-side partial agg reduces each partition to ≤ k×dim rows before
-    // the shuffle. Validation row for the every-row-participates fit
-    // shape (ivfBuild's sampled fit is the headline ann_ path).
+    // iteration ONE job: scan → map-only nearest_centroid assign (the
+    // k×dim centroid table folded into a single scalar kernel — no join,
+    // no N×k row explosion) → posexplode centroid update whose map-side
+    // partial agg reduces each partition to ≤ k×dim rows before the
+    // shuffle. Validation row for the every-row-participates fit shape
+    // (ivfBuild's sampled fit is the headline ann_ path).
     bench("x_kmeans_1m", runs = 1) {
       Ann.kmeansLloyd(stored, "id", "embedding", k = 16, iters = 2)
         .assigned.agg(sum("_cell")).collect()

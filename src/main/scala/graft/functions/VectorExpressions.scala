@@ -298,6 +298,104 @@ case class PqEncode(child: Expression, subDim: Int,
     copy(child = newChild)
 }
 
+/** Map-only nearest-centroid assignment: the argmin cell id of a vector
+  * against a small driver-collected centroid table, as ONE scalar kernel
+  * instead of a crossJoin + groupBy argmin (which materializes N×k
+  * full-width rows through a hash aggregate). The per-cell distance is the
+  * identical left-fold of squared diffs used by the join-based argmin it
+  * replaces (`aggregate(zip_with(v, c, (x,y) => (x-y)²), 0.0, _+_)`), and
+  * ties break to the LOWEST cell id (cells are scanned ascending with a
+  * strict `<` replace), so results are bit-identical to
+  * `min(struct(dist, cell))` — the property [[graft.operators.Ann.kmeansLloyd]]'s
+  * external-engine replay depends on. A dimension-mismatched vector yields
+  * null rather than a plausible-looking cell. */
+case class NearestCentroid(child: Expression, cells: Seq[Int],
+    centers: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(cells.nonEmpty && cells.length == centers.length,
+    "cells and centers must be non-empty and parallel")
+  require(centers.forall(_.length == centers.head.length) && centers.head.nonEmpty,
+    "centroids must share one non-zero dimensionality")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // ascending cell order ⇒ the strict-< scan keeps the lowest cell on ties
+  @transient private lazy val (cellIds, cents) = {
+    val sorted = cells.zip(centers).sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (a.numElements() != dim) return null
+    val flt = isFloat
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      x(i) = if (flt) a.getFloat(i).toDouble else a.getDouble(i); i += 1
+    }
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cw = cents(c)
+      var d = 0.0
+      var j = 0
+      while (j < dim) { val t = x(j) - cw(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    cellIds(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val cellsRef = ctx.addReferenceObj("cellIds", cellIds, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim"); val x = ctx.freshName("x")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""int $dim = $centsRef[0].length;
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$dim];
+         |  for (int $j = 0; $j < $dim; $j++) $x[$j] = (double) $a.$get($j);
+         |  int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $centsRef.length; $c++) {
+         |    double[] $cw = $centsRef[$c];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      double $t = $x[$j] - $cw[$j]; $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  ${ev.value} = $cellsRef[$best];
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Unsigned byte view of a binary column: `binary → array<int>` with each
   * element in [0, 255]. The introspection half of [[SqEncode]] (codes back
   * to comparable ints for oracles/debugging) and generally useful over

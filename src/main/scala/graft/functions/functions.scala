@@ -67,6 +67,13 @@ package object functions {
       centroids: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), subDim, centroids))
 
+  /** Map-only nearest-centroid cell id over a driver-collected centroid
+    * table (ascending-cell tie-break, bit-identical to the join argmin —
+    * see [[graft.operators.Ann.kmeansLloyd]]). */
+  def nearest_centroid(vec: Column, cells: Seq[Int],
+      centers: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), cells, centers))
+
   /** Unsigned byte view of a binary column as array<int> (0-255). */
   def bytes_to_ints(b: Column): Column =
     Bridge.column(BytesToInts(Bridge.expression(b)))

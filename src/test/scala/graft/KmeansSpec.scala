@@ -85,12 +85,64 @@ class KmeansSpec extends SparkSuite {
     assert(r.assigned.count() == 30)
   }
 
-  test("assignment plan broadcasts the centroid table (no shuffle join)") {
-    val df = blobs(100)
+  test("assignment plan is map-only (no join, no exchange)") {
+    // a range-derived input (not a LocalRelation, which the optimizer
+    // pre-evaluates into a LocalTableScan) so the assign stage is a real
+    // executed projection
+    val df = spark.range(100).select(col("id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (pmod(col("id"), lit(3)) * 10.0 + d * 0.01).cast("float")).as("vec"))
     val r = Ann.kmeansLloyd(df, "id", "vec", k = 3, iters = 1)
     val plan = r.assigned.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"), s"expected broadcast join:\n$plan")
-    assert(!plan.contains("SortMergeJoin"))
+    // assignment folds the driver-collected centroid table into one
+    // nearest_centroid scalar: the final assign stage must carry no join
+    // and no shuffle of the doc vectors
+    assert(!plan.contains("Join"), s"expected no join:\n$plan")
+    assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+    // the kernel has doGenCode: the assign projection must stay inside a
+    // whole-stage codegen span (the `*(n)` prefix), not fall back to
+    // interpreted eval
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nearest_centroid") && l.trim.startsWith("*(")),
+      s"expected codegen'd assign projection:\n$plan")
+  }
+
+  test("nearest_centroid matches the join-based argmin bit-for-bit") {
+    val df = blobs(200)
+    val cents = Seq(
+      Seq(0.0, 0.0, 0.1, -0.1),
+      Seq(9.5, 10.5, 10.0, 9.9),
+      Seq(20.0, 19.0, 20.1, 20.0))
+    val cells = Seq(0, 1, 2)
+    val kernel = df.withColumn("_cell",
+      graft.functions.nearest_centroid(col("vec"), cells, cents))
+      .select("id", "_cell")
+    // reference: explicit crossJoin + min(struct(dist, cell)) argmin with
+    // the identical left-fold distance
+    val cdf = cells.zip(cents).toDF("_c", "_center")
+    val dist = org.apache.spark.sql.functions.aggregate(
+      zip_with(col("vec").cast("array<double>"), col("_center"),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val joined = df.crossJoin(broadcast(cdf))
+      .groupBy(col("id"))
+      .agg(min(struct(dist.as("_d"), col("_c"))).as("_best"))
+      .select(col("id"), col("_best._c").as("_cell"))
+    val a = kernel.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b = joined.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("nearest_centroid nulls on dimension mismatch and null input") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f)), (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "vec")
+    val out = df.withColumn("_cell",
+        graft.functions.nearest_centroid(col("vec"), Seq(0, 1),
+          Seq(Seq(0.0, 0.0), Seq(5.0, 5.0))))
+      .orderBy("id").select("_cell").collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0), "dim-mismatched vector must yield null")
+    assert(out(2).isNullAt(0), "null vector must yield null")
   }
 }
