@@ -1417,6 +1417,25 @@ object SparkEntry {
     r.assigned.select(col("vec_id"), col("_cell").as("cell")).orderBy("vec_id")
   }
 
+  // html → text extraction (TextFunctions.stripHtml): wrap each document
+  // in a deterministic page skeleton — script with comparison operators
+  // inside, style subtree, comment, heading, paragraph, entities (incl.
+  // a double-encoded one) — and extract. The oracle replays the identical
+  // RE2-safe pass order in DuckDB, so the contract (subtree drops, block
+  // newlines, tag strip, entity decode order, blank collapse) is proven
+  // engine-portable, not just self-consistent.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>T</title><style>p {color: red}</style>"),
+      lit("<script type=\"text/javascript\">if (1 < 2 && x > 3) { alert(\"hi\"); }</script></head>"),
+      lit("<body><!-- doc "), col("doc_id").cast("string"), lit(" --><h1>"),
+      col("source"), lit("</h1><p>"), col("text"),
+      lit("</p><br/><div>tail &amp;amp; &lt;b&gt; &nbsp;end</div></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.stripHtml(html).as("extracted"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1519,7 +1538,8 @@ object SparkEntry {
     "q97_mask_select" -> (q97 _),
     "q98_delete_items" -> (q98 _),
     "q99_setbypath_writeback" -> (q99 _),
-    "q100_kmeans_assign" -> (q100 _))
+    "q100_kmeans_assign" -> (q100 _),
+    "q101_html_extract" -> (q101 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3475,7 +3495,34 @@ object SparkEntry {
          ${step("a0", "s1", "c1", "d1", "a1")},
          ${step("a1", "s2", "c2", "d2", "a2")}
          SELECT vec_id, CAST(c AS INTEGER) AS cell FROM a2 ORDER BY vec_id"""
-    }
+    },
+
+    // identical RE2-safe pass order as TextFunctions.stripHtml; newline
+    // replacements/patterns via chr(10) and backslash-escapes the regex
+    // engine (not the SQL literal) interprets
+    "q101_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>T</title><style>p {color: red}</style>'
+           || '<script type="text/javascript">if (1 < 2 && x > 3) { alert("hi"); }</script></head>'
+           || '<body><!-- doc ' || doc_id || ' --><h1>' || source || '</h1><p>' || text
+           || '</p><br/><div>tail &amp;amp; &lt;b&gt; &nbsp;end</div></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', '', 'g'),
+             '(?is)<style[^>]*>.*?</style>', '', 'g') x FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') x FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+             '(?i)<br[^>]*>', chr(10), 'g'),
+             '(?i)</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>', chr(10), 'g') x FROM s2),
+         s4 AS (SELECT doc_id, regexp_replace(x, '(?s)<[^>]*>', '', 'g') x FROM s3),
+         s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&') x FROM s4),
+         s6 AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(x,
+             '[ \t]+', ' ', 'g'),
+             ' *\n[ \n]*', chr(10), 'g'),
+             '^\n+|\n+$', '', 'g')) AS extracted FROM s5)
+         SELECT doc_id, extracted FROM s6 ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

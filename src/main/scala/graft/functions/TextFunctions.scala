@@ -228,6 +228,41 @@ object TextFunctions {
         graft.functions.normalize_text(text, "NFC"))),
       "[ \\t\\n\\r]+", " "))
 
+  // ---- html → text extraction ------------------------------------------
+
+  /** HTML → text extraction for crawled corpora — the step upstream of
+    * every C4-style cleaning battery. The contract is a fixed, engine-
+    * portable pass order (RE2-safe: non-greedy dotall, inline flags, NO
+    * lookaround, so the identical patterns run in DuckDB/Trino):
+    * 1. drop `<script>`/`<style>` subtrees and `<!-- -->` comments;
+    * 2. `<br>` and closing block tags become newlines;
+    * 3. every remaining tag is stripped;
+    * 4. the five XML entities + `&nbsp;` decode (`&amp;` LAST, so
+    *    double-encoded text decodes one level, same both engines);
+    * 5. blank runs collapse: tabs/spaces to one space, space-padded
+    *    newline runs to one newline, then trim.
+    * Numeric character references are left as-is — decoding them needs
+    * per-engine code; callers who care apply [[cleanText]] after. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(
+      regexp_replace(noComment, "(?i)<br[^>]*>", "\n"),
+      "(?i)</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", "")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(decoded, "[ \\t]+", " "),
+        " *\\n[ \\n]*", "\n"),
+      "^\\n+|\\n+$", ""))
+  }
+
   /** Stopword-profile language ID over {en, fr, de, es} with a CJK-character
     * shortcut for zh. Returns the language code with the highest stopword hit
     * ratio, 'und' when nothing matches. */

@@ -214,4 +214,22 @@ class QualitySpec extends SparkSuite {
       GroupOps.splitHashed(df, col("id"), 1L, Seq("x" -> 0.5, "y" -> 0.4))
     }
   }
+
+  test("stripHtml: subtree drops, block newlines, entity order, collapse") {
+    import spark.implicits._
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextFunctions.stripHtml(col("h"))).as[String].head
+    assert(strip("<html><head><style>p {color: red}</style>" +
+      "<script>if (1 < 2 && x > 3) { alert(\"hi\"); }</script></head>" +
+      "<body><h1>Title</h1><p>Hello   world</p><br><div>end</div></body></html>")
+      == "Title\nHello world\nend")
+    // comments drop; entities decode in the documented order: &amp; LAST,
+    // so double-encoded text decodes exactly one level and a decoded
+    // &lt;b&gt; stays literal text (tags are stripped BEFORE decode)
+    assert(strip("<!-- c -->a &amp;amp; b &lt;b&gt; c&nbsp;d") == "a &amp; b <b> c d")
+    // unclosed/plain text passes through; edge blank runs trim fully
+    assert(strip("  \n\n x  y \n ") == "x y")
+    // numeric refs are left as-is (documented: apply cleanText after)
+    assert(strip("<p>a&#65;b</p>") == "a&#65;b")
+  }
 }
