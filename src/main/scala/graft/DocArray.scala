@@ -128,6 +128,13 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       cols: String*): Unit =
     ZOrder.writeZOrdered(df, path, nFiles, bits, cols: _*)
 
+  /** push(name): publish this array as an immutable versioned artifact
+    * under a registry root — the reference's cloud push realized over any
+    * Hadoop filesystem (reference: array/mixins/io/pushpull.py:52-103). */
+  def push(registryRoot: String, name: String,
+      fieldResolver: Map[String, String] = Map.empty): graft.sources.Registry.Artifact =
+    graft.sources.Registry.push(df, registryRoot, name, fieldResolver)
+
   /** Train a target-domain quality discriminator (GPT-3/CCNet-style
     * linear classifier over hashed n-gram features). */
   def fitQualityClassifier(target: DocArray, dim: Int = 4096,
@@ -416,6 +423,11 @@ object DocArray {
     DocArray(graft.sources.BinaryCodec.loadBinary(spark, path))
   def empty(spark: SparkSession, n: Long): DocArray =
     DocArray(DocSchema.empty(spark, n))
+  /** pull(name): load a pushed artifact back (latest published version by
+    * default — reference: array/mixins/io/pushpull.py:105-199). */
+  def pull(spark: SparkSession, registryRoot: String, name: String,
+      version: Int = -1): DocArray =
+    DocArray(graft.sources.Registry.pull(spark, registryRoot, name, version))
   /** Canonical Document model projections (pydantic / strawberry analogs). */
   def jsonSchema: String = graft.schema.Projections.documentJsonSchema
   def graphqlSdl: String = graft.schema.Projections.documentGraphqlSdl

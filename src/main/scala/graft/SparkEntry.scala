@@ -1436,6 +1436,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // push/pull roundtrip through the file-based artifact registry: publish
+  // the documents table as a DocBin V2 artifact (real protobuf wire
+  // bytes), pull the published version back, reconstruct the original
+  // columns (core field + string tags), and hash-compare against the
+  // source table itself — gating the registry, the connector write/read,
+  // and the wire codec in one lossless loop.
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    graft.sources.Registry.push(t(s, dir, "documents"), root, "documents",
+      fieldResolver = Map("doc_id" -> "id"))
+    graft.sources.Registry.pull(s, root, "documents")
+      .select(
+        col("id").cast("long").as("doc_id"),
+        col("text"),
+        col("tags")("lang").as("lang"),
+        col("tags")("source").as("source"),
+        col("tags")("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1539,7 +1559,8 @@ object SparkEntry {
     "q98_delete_items" -> (q98 _),
     "q99_setbypath_writeback" -> (q99 _),
     "q100_kmeans_assign" -> (q100 _),
-    "q101_html_extract" -> (q101 _))
+    "q101_html_extract" -> (q101 _),
+    "q102_pushpull_roundtrip" -> (q102 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3522,7 +3543,12 @@ object SparkEntry {
              '[ \t]+', ' ', 'g'),
              ' *\n[ \n]*', chr(10), 'g'),
              '^\n+|\n+$', '', 'g')) AS extracted FROM s5)
-         SELECT doc_id, extracted FROM s6 ORDER BY doc_id"""
+         SELECT doc_id, extracted FROM s6 ORDER BY doc_id""",
+
+    // the roundtrip must reproduce the source table bit-for-bit
+    "q102_pushpull_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
