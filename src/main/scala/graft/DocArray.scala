@@ -128,6 +128,14 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       cols: String*): Unit =
     ZOrder.writeZOrdered(df, path, nFiles, bits, cols: _*)
 
+  /** post(cmd): ship the array through an external executor process
+    * speaking the DocBin wire protocol and wrap the transformed array —
+    * the reference's Flow post at the process boundary (reference:
+    * array/mixins/post.py:47-118). */
+  def post(command: Seq[String], batchSize: Int = 512,
+      env: Map[String, String] = Map.empty): DocArray =
+    wrap(graft.sources.PostPipe.post(df, command, batchSize, env))
+
   /** push(name): publish this array as an immutable versioned artifact
     * under a registry root — the reference's cloud push realized over any
     * Hadoop filesystem (reference: array/mixins/io/pushpull.py:52-103). */

@@ -1456,6 +1456,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // post() roundtrip at the process boundary: every document rides the
+  // DocBin wire protocol into an external process (cat) and back —
+  // framing, lock-step batching, and codec fidelity gated against the
+  // source table itself.
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.sources.PostPipe.post(
+        t(s, dir, "documents"), Seq("cat"), batchSize = 64,
+        fieldResolver = Map("doc_id" -> "id"))
+      .select(
+        col("id").cast("long").as("doc_id"),
+        col("text"),
+        col("tags")("lang").as("lang"),
+        col("tags")("source").as("source"),
+        col("tags")("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1560,7 +1576,8 @@ object SparkEntry {
     "q99_setbypath_writeback" -> (q99 _),
     "q100_kmeans_assign" -> (q100 _),
     "q101_html_extract" -> (q101 _),
-    "q102_pushpull_roundtrip" -> (q102 _))
+    "q102_pushpull_roundtrip" -> (q102 _),
+    "q103_post_roundtrip" -> (q103 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3547,6 +3564,11 @@ object SparkEntry {
 
     // the roundtrip must reproduce the source table bit-for-bit
     "q102_pushpull_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // same contract for the process-boundary post loop
+    "q103_post_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id"""
   )

@@ -514,6 +514,11 @@ object BinaryCodec {
     }
   }
 
+  /** One DocumentProto frame → flat rows (doc first, then descendants) —
+    * the per-frame decode used by [[PostPipe]] workers. */
+  private[sources] def parseDocBytes(b: Array[Byte]): Seq[Row] =
+    parseDoc(new R(b, 0, b.length))
+
   /** Read a reference-format binary file (or shard directory) → flat doc
     * DataFrame; nested chunks/matches become normalized child rows. */
   def loadBinary(spark: SparkSession, path: String): DataFrame = {
