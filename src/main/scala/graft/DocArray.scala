@@ -102,6 +102,23 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding"): DocArray =
     wrap(Ann.kmeansLloyd(df, idCol, vecCol, k, iters, seed).assigned)
 
+  /** Fit an exact PCA basis over the embedding column (one integer
+    * co-moment scan + a deterministic driver-side Jacobi eigensolve) and
+    * project every doc onto it — a map-only codegen stage, no shuffle.
+    * The usual front end of [[semanticDedup]]/[[kmeans]] at scale. */
+  def pca(outDim: Int, outCol: String = "pca",
+      vecCol: String = "embedding"): DocArray = {
+    val (_, out) = Pca.fitTransform(df, vecCol, outDim, outCol)
+    wrap(out)
+  }
+
+  /** Distinct-cardinality estimate per group (vocabulary size, unique
+    * URLs/n-grams) via a mergeable bottom-k KMV sketch — bounded memory
+    * at any scale, deterministic, engine-replayable. */
+  def distinctEstimate(key: Column, groupCols: Seq[String],
+      k: Int = 1024, seed: Long = 0L): DataFrame =
+    Sketch.kmvDistinctStrings(df, groupCols, key, k, seed)
+
   /** Train a BPE tokenizer on this corpus (distributed count pass +
     * deterministic merge fit). */
   def trainBpe(numMerges: Int, textCol: String = "text"): Seq[(String, String)] =

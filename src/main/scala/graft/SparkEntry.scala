@@ -1472,6 +1472,35 @@ object SparkEntry {
         col("tags")("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
 
+  // exact PCA co-moments (Pca.comoments → CoMomentAgg): the distributed
+  // stage of the PCA fit — one scan, map-side-combined integer sums over
+  // the q74-quantized first 8 dims. cov_num = n·sxy − sxi·sxj is the
+  // covariance numerator the driver-side Jacobi eigensolve consumes; the
+  // oracle recomputes every sum from scratch with a positional self-join,
+  // so the aggregate's triangle layout and skip rule are gated, not just
+  // replayed.
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Pca.comoments(t(s, dir, "embeddings"), "embedding", 8)
+      .withColumn("cov_num",
+        (col("n") * col("sxy") - col("sxi") * col("sxj")).cast("long"))
+      .orderBy("i", "j")
+
+  // KMV bottom-k distinct sketch (Sketch.kmvDistinctStrings): per-source
+  // distinct-token cardinality through the q46 FNV→splitmix hash space.
+  // k=16 < the ~31-token vocabulary exercises the estimator (exact
+  // integer (k−1)·2^64 // kth-min-unsigned-hash); k=64 > vocabulary
+  // exercises the exact-count branch. Both branches in one result.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+    def run(k: Int) =
+      Sketch.kmvDistinctStrings(toks, Seq("source"), col("w"), k)
+        .withColumn("k", lit(k))
+    run(16).unionByName(run(64))
+      .select("source", "k", "k_actual", "kth_hash", "est_distinct")
+      .orderBy("source", "k")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1577,7 +1606,9 @@ object SparkEntry {
     "q100_kmeans_assign" -> (q100 _),
     "q101_html_extract" -> (q101 _),
     "q102_pushpull_roundtrip" -> (q102 _),
-    "q103_post_roundtrip" -> (q103 _))
+    "q103_post_roundtrip" -> (q103 _),
+    "q104_pca_comoments" -> (q104 _),
+    "q105_kmv_distinct" -> (q105 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3570,7 +3601,85 @@ object SparkEntry {
     // same contract for the process-boundary post loop
     "q103_post_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // q104: PCA co-moments recomputed from scratch — q74's quantizer, a
+    // positional self-join for the pairwise product sums, HUGEINT exact
+    "q104_pca_comoments" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+             WHERE len(embedding) >= 8),
+         ex AS (SELECT vec_id, CAST(unnest(range(0, 8)) AS INTEGER) AS i,
+             embedding FROM e),
+         q AS (SELECT vec_id, i,
+             CAST(round(CAST(embedding[i+1] AS DOUBLE) * 10000) AS BIGINT) AS qv
+           FROM ex),
+         nn AS (SELECT count(*) AS n FROM e),
+         sx AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY i),
+         p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sxy
+               FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+               GROUP BY 1, 2)
+         SELECT p.i, p.j, nn.n, sa.s AS sxi, sb.s AS sxj, p.sxy,
+           CAST(CAST(nn.n AS HUGEINT) * p.sxy
+                - CAST(sa.s AS HUGEINT) * sb.s AS BIGINT) AS cov_num
+         FROM p CROSS JOIN nn
+         JOIN sx sa ON sa.i = p.i
+         JOIN sx sb ON sb.i = p.j
+         ORDER BY p.i, p.j""",
+
+    // q105: KMV distinct sketch — q46's FNV-1a → splitmix64 token hash
+    // chain, unsigned bottom-k via the sign-bit flip, estimate by exact
+    // HUGEINT floor division; k=16 gates the estimator, k=64 the
+    // exact-count branch
+    "q105_kmv_distinct" -> {
+      def kmvSql(k: Int): String =
+        s"""SELECT source, $k AS k, k_actual, kth_hash,
+           CASE WHEN k_actual < $k THEN k_actual
+                ELSE CAST((($k - 1) * CAST(18446744073709551616 AS HUGEINT))
+                  // (CAST(kth_hash AS HUGEINT)
+                      + (CASE WHEN kth_hash < 0 THEN 18446744073709551616 ELSE 0 END))
+                  AS BIGINT) END AS est_distinct
+         FROM (SELECT source, count(*) AS k_actual,
+                 xor(max(u), -9223372036854775808) AS kth_hash
+               FROM (SELECT source, u,
+                       row_number() OVER (PARTITION BY source ORDER BY u) AS rn
+                     FROM fl)
+               WHERE rn <= $k GROUP BY source)"""
+      """WITH tok AS (SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         th AS (SELECT source, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         m1 AS (SELECT source, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
+         m1x AS (SELECT source,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT source,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT source,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT source,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         rkd AS (SELECT DISTINCT source,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+           FROM m3),
+         fl AS (SELECT source, rk, xor(rk, -9223372036854775808) AS u FROM rkd)
+         """ + kmvSql(16) + "\n         UNION ALL\n         " + kmvSql(64) +
+        "\n         ORDER BY source, k"
+    }
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

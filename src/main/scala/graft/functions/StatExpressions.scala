@@ -1,0 +1,268 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Exact second-moment statistics and sketch kernels for embedding-scale
+  * analytics: the one-scan co-moment aggregate behind [[graft.operators.Pca]]
+  * and the KMV cardinality estimator behind [[graft.operators.Sketch]].
+  *
+  * Everything here is integer-exact and summation-order-free, so results are
+  * layout-invariant (repartition-stable) and replayable bit-for-bit in an
+  * external SQL engine — the same determinism contract the k-means and DSIR
+  * paths follow.
+  */
+
+/** Mutable co-moment accumulator: row count, per-dimension sums, and the
+  * upper-triangle (row-major) sums of pairwise products. All `Long` — inputs
+  * are pre-quantized integers, so partial sums are exact and merge in any
+  * order. Triangle layout: t(i,j) = i*d - i*(i+1)/2 + j for i <= j. */
+final class CoMomentBuffer(val dims: Int) extends Serializable {
+  var n: Long = 0L
+  val sx: Array[Long] = new Array[Long](dims)
+  val sxy: Array[Long] = new Array[Long](dims * (dims + 1) / 2)
+
+  def add(q: Array[Long]): Unit = {
+    n += 1L
+    var i = 0
+    var t = 0
+    while (i < dims) {
+      val qi = q(i)
+      sx(i) += qi
+      var j = i
+      while (j < dims) { sxy(t) += qi * q(j); t += 1; j += 1 }
+      i += 1
+    }
+  }
+
+  def merge(o: CoMomentBuffer): Unit = {
+    n += o.n
+    var i = 0
+    while (i < dims) { sx(i) += o.sx(i); i += 1 }
+    var t = 0
+    while (t < sxy.length) { sxy(t) += o.sxy(t); t += 1 }
+  }
+}
+
+/** One-scan exact co-moment aggregate over a pre-quantized integer vector
+  * column (`array<long>`, typically `round(v * 10000)` — the q74 quantizer).
+  * Rows whose array is null or not exactly `dims` long are skipped (and not
+  * counted), so a corrupt vector can't silently skew the covariance.
+  *
+  * Map-side partial aggregation collapses each partition to ONE buffer of
+  * d(d+1)/2 + d longs before the shuffle, so the covariance of 100 TB of
+  * embeddings moves O(partitions × d²) bytes — never a row explosion. Exact
+  * while n × (quant·max|v|)² stays under 2^63 (≈ 9·10^10 rows at quant=10^4,
+  * |v| ≤ 1).
+  *
+  * Result: struct(n: long, sx: array<long>, sxy: array<long>) with sxy in
+  * upper-triangle row-major order.
+  */
+case class CoMomentAgg(
+    child: Expression,
+    dims: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CoMomentBuffer] {
+
+  require(dims > 0, s"co_moments dims must be > 0, got $dims")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sx", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sxy", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"co_moments expects array<bigint> (pre-quantized), got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): CoMomentBuffer = new CoMomentBuffer(dims)
+
+  override def update(buf: CoMomentBuffer, input: InternalRow): CoMomentBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == dims) buf.add(a.toLongArray())
+    }
+    buf
+  }
+
+  override def merge(buf: CoMomentBuffer, other: CoMomentBuffer): CoMomentBuffer = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: CoMomentBuffer): Any =
+    InternalRow(buf.n, new GenericArrayData(buf.sx), new GenericArrayData(buf.sxy))
+
+  override def serialize(buf: CoMomentBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * (1 + buf.sx.length + buf.sxy.length))
+    bb.putLong(buf.n)
+    var i = 0
+    while (i < buf.sx.length) { bb.putLong(buf.sx(i)); i += 1 }
+    var t = 0
+    while (t < buf.sxy.length) { bb.putLong(buf.sxy(t)); t += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CoMomentBuffer = {
+    val buf = new CoMomentBuffer(dims)
+    val bb = ByteBuffer.wrap(bytes)
+    buf.n = bb.getLong
+    var i = 0
+    while (i < buf.sx.length) { buf.sx(i) = bb.getLong; i += 1 }
+    var t = 0
+    while (t < buf.sxy.length) { buf.sxy(t) = bb.getLong; t += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CoMomentAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CoMomentAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "co_moments"
+}
+
+/** Map-only affine projection of a vector onto a small driver-fitted basis:
+  * out_k = Σ_j components(k)(j) · (v_j − mean_j), accumulated left-to-right
+  * per output dimension (a fixed summation order, so results are
+  * deterministic and replayable). The k×d loadings fold into ONE scalar
+  * codegen kernel — the PCA transform of 100 TB of embeddings is a plain
+  * map stage with no join and no shuffle (the [[NearestCentroid]] pattern).
+  * A dimension-mismatched vector yields null rather than a wrong projection.
+  */
+case class ProjectVector(child: Expression, mean: Seq[Double],
+    components: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(components.nonEmpty && components.forall(_.length == mean.length),
+    "components must be non-empty rows of the mean's dimensionality")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "project_vector"
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val mu: Array[Double] = mean.toArray
+  @transient private lazy val comps: Array[Array[Double]] =
+    components.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = mu.length
+    if (a.numElements() != dim) return null
+    val flt = isFloat
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      x(i) = (if (flt) a.getFloat(i).toDouble else a.getDouble(i)) - mu(i); i += 1
+    }
+    val out = new Array[Double](comps.length)
+    var k = 0
+    while (k < comps.length) {
+      val c = comps(k)
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += c(j) * x(j); j += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val compsRef = ctx.addReferenceObj("comps", comps, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim"); val x = ctx.freshName("x")
+      val out = ctx.freshName("out"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""int $dim = $muRef.length;
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$dim];
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $x[$j] = (double) $a.$get($j) - $muRef[$j];
+         |  }
+         |  double[] $out = new double[$compsRef.length];
+         |  for (int $k = 0; $k < $compsRef.length; $k++) {
+         |    double[] $c = $compsRef[$k];
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) { $acc += $c[$j] * $x[$j]; }
+         |    $out[$k] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KmvEstimate {
+  private val TWO64 = BigInt(1) << 64
+
+  /** (k−1)·2^64 / u for the kth-minimum hash read as unsigned 64-bit —
+    * the standard KMV distinct estimator over the splitmix64 hash space,
+    * in exact integer arithmetic (floor division, matching an external
+    * engine's HUGEINT `//`). u = 0 (degenerate) yields 0. */
+  def compute(kthHash: Long, k: Int): Long = {
+    val u = BigInt(kthHash) & (TWO64 - 1)
+    if (u == 0) 0L
+    else {
+      val est = (BigInt(k - 1) << 64) / u
+      if (est > Long.MaxValue) Long.MaxValue else est.toLong
+    }
+  }
+}
+
+/** KMV cardinality estimate from the kth-minimum (signed) hash of a
+  * bottom-k sketch: exact BigInt floor division, engine-portable. */
+case class KmvEstimate(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 1, s"kmv_estimate needs k > 1, got $k")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects bigint hash, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    KmvEstimate.compute(v.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.KmvEstimate.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

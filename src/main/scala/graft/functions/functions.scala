@@ -46,6 +46,24 @@ package object functions {
       TopKByDistance(Bridge.expression(distance), Bridge.expression(payload), k)
         .toAggregateExpression())
 
+  /** One-scan exact integer co-moment aggregate (n, Σx_i, Σx_i·x_j upper
+    * triangle) over a pre-quantized `array<long>` vector — the distributed
+    * stage of [[graft.operators.Pca]]. */
+  def co_moments(vec: Column, dims: Int): Column =
+    Bridge.column(
+      CoMomentAgg(Bridge.expression(vec), dims).toAggregateExpression())
+
+  /** Map-only affine projection onto driver-fitted loadings:
+    * out_k = Σ_j components(k)(j)·(v_j − mean_j). */
+  def project_vector(vec: Column, mean: Seq[Double],
+      components: Seq[Seq[Double]]): Column =
+    Bridge.column(ProjectVector(Bridge.expression(vec), mean, components))
+
+  /** KMV distinct estimate from the kth-minimum signed hash: exact integer
+    * (k−1)·2^64 / unsigned(hash) floor division. */
+  def kmv_estimate(h: Column, k: Int): Column =
+    Bridge.column(KmvEstimate(Bridge.expression(h), k))
+
   /** Deterministic FNV-1a 64-bit hash of a string. */
   def fnv64(c: Column, seed: Long = 0L): Column =
     Bridge.column(Fnv64Hash(Bridge.expression(c), seed))
@@ -179,6 +197,9 @@ package object functions {
           if (exprs.length > 1) exprs(1).eval().toString else "NFC")),
       "strip_accents" -> (exprs => StripAccents(exprs(0))),
       "topk_by_distance" -> (exprs =>
-        TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))))
+        TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
+      "kmv_estimate" -> (exprs => KmvEstimate(exprs(0), litInt(exprs(1)))),
+      "co_moments" -> (exprs =>
+        CoMomentAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()))
   }
 }
