@@ -576,6 +576,32 @@ object Bench {
       }
     }
 
+    // Exact PCA at 1M×128: ONE co-moment scan (each partition collapses to
+    // d(d+1)/2 + d = 8,384 longs before the shuffle), a driver-side Jacobi
+    // on the 128×128 covariance, then the map-only projection kernel over
+    // all 1M rows (16 output dims = 2,048 loading doubles as broadcast
+    // literals). Validation row for the covariance-at-scale shape.
+    bench("x_pca_1m", runs = 1) {
+      val m = graft.operators.Pca.fit(stored, "embedding", 16)
+      stored.select(sum(element_at(m.project(col("embedding")), 1))).collect()
+    }
+
+    // KMV distinct sketch at 20M token occurrences / 1M docs / 16 groups,
+    // k=1024: the distinct on (group, hash) collapses 20M rows to ~800k
+    // before the bottom-k window (WindowGroupLimit per-partition top-k).
+    // Validation row for the cardinality-estimation shape.
+    bench("x_kmv_1m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(
+        pmod(col("id"), lit(16)).as("g"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      val toks = textDocs.select(col("g"),
+        explode(split(col("text"), " ")).as("w"))
+      graft.operators.Sketch.kmvDistinctStrings(
+        toks, Seq("g"), col("w"), k = 1024).collect()
+    }
+
     emitSummaryAndStop()
   }
 }

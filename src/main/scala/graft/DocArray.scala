@@ -199,6 +199,24 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text"): DataFrame =
     LangModel.collocations(df, col(textCol), minCount, k)
 
+  /** C4's bad-words rule: adds `keep` = no token on the blocklist.
+    * Map-only broadcast-literal containment check. */
+  def blocklistFilter(words: Seq[String],
+      textCol: String = "text"): DocArray =
+    wrap(Quality.blocklistFilter(df, col(textCol), words))
+
+  /** CCNet-style perplexity scoring under an interpolated Kneser-Ney
+    * bigram model fitted on `reference` (this array when None): adds
+    * (n_bigrams, nll_kn) per doc via an id-join. */
+  def kneserNeyScore(reference: Option[DocArray] = None,
+      textCol: String = "text"): DocArray = {
+    val fitOn = reference.getOrElse(this).df
+    val model = LangModel.bigramFit(fitOn, col(textCol))
+    wrap(df.join(
+      LangModel.kneserNeyBigramNll(df, model, idCol, col(textCol)),
+      Seq(idCol), "left"))
+  }
+
   /** Decode each image blob (resized to `h`×`w` by the real codec path)
     * and attach its 64-bit average perceptual hash. */
   def withImagePhash(blobCol: String = "blob", h: Int = 16, w: Int = 16,

@@ -1501,6 +1501,51 @@ object SparkEntry {
       .orderBy("source", "k")
   }
 
+  // interpolated Kneser-Ney bigram NLL (LangModel.kneserNeyBigramNll):
+  // the KenLM-family smoothing CCNet-style perplexity filters use —
+  // discounted seen mass + continuation-probability backoff. Fitted on
+  // the scored corpus every term is a ratio of exact integer counts
+  // (c12, c1, N1+(w1,·), N1+(·,w2), |types|) with a fixed operation
+  // order the oracle mirrors token-for-token; D = 0.75 is dyadic.
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bi = LangModel.bigramFit(d, col("text"))
+    LangModel.kneserNeyBigramNll(d, bi, "doc_id", col("text"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll_kn"), 6).as("nll_kn_r"))
+      .orderBy("doc_id")
+  }
+
+  // C4 bad-words blocklist rule (Quality.blocklistKeep): keep iff no
+  // token is blocklisted — one arrays_overlap against a literal array,
+  // map-only. "slow" hits most docs, "dup" a handful, the third word
+  // never — all three containment outcomes are exercised.
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Quality.blocklistFilter(t(s, dir, "documents"), col("text"),
+        Seq("slow", "dup", "zzznotaword"))
+      .select(col("doc_id"), col("keep"))
+      .orderBy("doc_id")
+
+  // the ProjectVector map kernel gated cross-engine with FIXED dyadic
+  // loadings (the q94 fixed-coefficient pattern): mean/components are
+  // exact in double, float→double casts are exact, and BOTH engines
+  // left-fold j ascending (Spark's kernel loop == DuckDB
+  // list_reduce(list_prepend(0.0, …))) — doubles bit-equal, no rounding
+  // crutch. This is the projection half of the PCA pair (q104 gates the
+  // fit's distributed stage).
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
+    val comps = Seq.tabulate(2)(k =>
+      Seq.tabulate(d)(j => (((j * 37 + k * 11) % 64) - 32) / 64.0))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        project_vector(col("embedding"), mean, comps).as("p"))
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1608,7 +1653,10 @@ object SparkEntry {
     "q102_pushpull_roundtrip" -> (q102 _),
     "q103_post_roundtrip" -> (q103 _),
     "q104_pca_comoments" -> (q104 _),
-    "q105_kmv_distinct" -> (q105 _))
+    "q105_kmv_distinct" -> (q105 _),
+    "q106_kneser_ney" -> (q106 _),
+    "q107_blocklist" -> (q107 _),
+    "q108_pca_project" -> (q108 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3679,7 +3727,62 @@ object SparkEntry {
          fl AS (SELECT source, rk, xor(rk, -9223372036854775808) AS u FROM rkd)
          """ + kmvSql(16) + "\n         UNION ALL\n         " + kmvSql(64) +
         "\n         ORDER BY source, k"
-    }
+    },
+
+    // q106: interpolated Kneser-Ney — the q62 bigram chain plus
+    // distinct-continuation counts; the lp expression mirrors the Spark
+    // operation order exactly: (greatest(c12−D,0) + (D·n1p)·(dl/T)) / c1
+    "q106_kneser_ney" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         pairs AS (
+           SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2
+           FROM toks WHERE len(l) >= 2),
+         bi AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2),
+         lm AS (SELECT w1, sum(n) AS c1, CAST(count(DISTINCT w2) AS DOUBLE) AS n1p
+                FROM bi GROUP BY w1),
+         ct AS (SELECT w2, CAST(count(DISTINCT w1) AS DOUBLE) AS dl
+                FROM bi GROUP BY w2),
+         ty AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bi),
+         scored AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  -avg(ln((greatest(CAST(n AS DOUBLE) - 0.75, 0.0)
+                           + (0.75 * n1p) * (dl / t))
+                          / CAST(c1 AS DOUBLE))) AS nll_kn
+           FROM pairs JOIN bi USING (w1, w2) JOIN lm USING (w1)
+                JOIN ct USING (w2) CROSS JOIN ty
+           GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+                round(s.nll_kn, 6) AS nll_kn_r
+         FROM documents d LEFT JOIN scored s USING (doc_id)
+         ORDER BY doc_id""",
+
+    // q107: C4 bad-words rule — keep iff the token list intersects the
+    // blocklist nowhere
+    "q107_blocklist" ->
+      """SELECT doc_id,
+           NOT list_has_any(
+             list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> ''),
+             ['slow', 'dup', 'zzznotaword']) AS keep
+         FROM documents ORDER BY doc_id""",
+
+    // q108: the projection kernel replayed term-for-term — dyadic
+    // loadings, identical j-ascending left fold, bit-equal doubles
+    "q108_pca_project" ->
+      """SELECT vec_id,
+           list_reduce(list_prepend(0.0,
+             [ ((CAST((j*37) % 64 AS DOUBLE) - 32)/64)
+               * (CAST(embedding[j+1] AS DOUBLE)
+                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
+               for j in range(0, 64) ]), (a, b) -> a + b) AS p0,
+           list_reduce(list_prepend(0.0,
+             [ ((CAST((j*37 + 11) % 64 AS DOUBLE) - 32)/64)
+               * (CAST(embedding[j+1] AS DOUBLE)
+                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
+               for j in range(0, 64) ]), (a, b) -> a + b) AS p1
+         FROM embeddings WHERE len(embedding) = 64
+         ORDER BY vec_id"""
   )
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

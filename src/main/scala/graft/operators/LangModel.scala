@@ -106,6 +106,58 @@ object LangModel {
         col("nll2"))
   }
 
+  /** Score docs under an interpolated Kneser-Ney bigram model — the
+    * smoothing family behind the KenLM scorers CCNet-style pipelines use
+    * for perplexity filtering (Kneser & Ney 1995; Chen & Goodman 1999),
+    * which Laplace smoothing ([[unigramNll]]) approximates poorly: KN
+    * backs off to a CONTINUATION probability (how many distinct contexts
+    * a word follows) rather than raw frequency, so "Francisco" (frequent
+    * but only after "San") stops looking like a likely unigram.
+    *
+    *   P(w2|w1) = (max(c(w1,w2) − D, 0) + D · N1+(w1,·) · Pcont(w2)) / c(w1,·)
+    *   Pcont(w2) = N1+(·,w2) / |bigram types|
+    *
+    * with fixed discount `D` (the dyadic default 0.75 is exact in
+    * binary). Backoff rules for transfer scoring: an unseen (w1, w2)
+    * pair contributes only the continuation term; an unseen w2 takes
+    * Pcont = 1/|types| (one phantom continuation); an unseen w1 drops
+    * straight to Pcont(w2). Fitted-on-the-scored-corpus has no OOV and
+    * every term is a ratio of exact integer counts, so the score replays
+    * in an external engine (q106) with the same fixed operation order.
+    *
+    * Scale shape of the model statistics: three aggregations over the
+    * bigram model (left marginal + distinct-continuation counts — all
+    * vocabulary-sized) and ONE 1-row type-count read; scoring is the
+    * q62 join shape. Returns (idCol, `n_bigrams`, `nll_kn`); docs with
+    * fewer than two tokens get a null score.
+    */
+  def kneserNeyBigramNll(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: Column, discount: Double = 0.75): DataFrame = {
+    val types = model.count().toDouble // 1-row model-size read
+    val left = model.groupBy("w1").agg(sum(col("n")).as("_c1"),
+      countDistinct(col("w2")).cast("double").as("_n1p"))
+    val cont = model.groupBy("w2")
+      .agg(countDistinct(col("w1")).cast("double").as("_dl"))
+    // fixed operation order, mirrored verbatim in the oracle:
+    // (greatest(c12 − D, 0) + (D·n1p) · (dl/T)) / c1
+    val pcont = coalesce(col("_dl"), lit(1.0)) / lit(types)
+    val lp = when(col("_c1").isNotNull,
+      log((greatest(coalesce(col("n").cast("double"), lit(0.0)) - lit(discount),
+          lit(0.0)) + (lit(discount) * col("_n1p")) * pcont) / col("_c1")))
+      .otherwise(log(pcont))
+    val scored = bigramPairs(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .select(col(idCol), lp.as("_lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (-avg(col("_lp"))).as("nll_kn"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        col("nll_kn"))
+  }
+
   /** PMI collocation mining: the top bigrams whose observed frequency most
     * exceeds independence — `lift = P(w1 w2) / (P(w1) P(w2))` with all
     * probabilities estimated from token counts over one shared total `N`

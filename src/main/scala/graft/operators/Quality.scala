@@ -54,6 +54,24 @@ object Quality {
         .otherwise(lit("")))
   }
 
+  /** C4's bad-words rule (Raffel et al. 2020 §2.2: drop any page
+    * containing a word on a blocklist), generalized to any token list.
+    * `keep` is true iff NO alnum token of the text appears in `words` —
+    * one `arrays_overlap` against a broadcast literal array: map-only,
+    * zero shuffle, whole-stage codegen at any corpus size. Null text is
+    * dropped (keep = false), matching the rule's intent. Case handled by
+    * the tokenizer's lowercasing; pass the blocklist lowercase. */
+  def blocklistKeep(text: Column, words: Seq[String]): Column =
+    when(text.isNull, lit(false))
+      .otherwise(!arrays_overlap(
+        graft.functions.TextFunctions.tokens(text),
+        array(words.map(lit): _*)))
+
+  /** Filter battery form of [[blocklistKeep]]: input row + `keep`. */
+  def blocklistFilter(df: DataFrame, textCol: Column,
+      words: Seq[String]): DataFrame =
+    df.withColumn("keep", blocklistKeep(textCol, words))
+
   /** Gopher/MassiveText quality rule battery. Emits one boolean per rule
     * plus the conjunction `keep`; metrics are rounded to 6 dp *before*
     * comparison so an oracle recomputing the same double math lands on

@@ -167,4 +167,65 @@ class LangModelSpec extends SparkSuite {
     // which rounds differently across engines): pin the sign via 1/x
     assert(df(3).getDouble(1) == 0.0 && 1.0 / df(3).getDouble(1) > 0)
   }
+
+  test("kneserNey: P(·|w1) sums to 1 over the model vocabulary (seen w1)") {
+    val docs = Seq((0L, "a b a c a b b c c a"), (1L, "b a c b a a")).toDF("doc_id", "t")
+    val model = LangModel.bigramFit(docs, col("t")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val d = 0.75
+    val types = model.size.toDouble
+    val c1 = model.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = model.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val dl = model.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val vocab = (model.keys.map(_._1) ++ model.keys.map(_._2)).toSet
+    for (w1 <- c1.keys) {
+      // the interpolated-KN normalization identity: Σ_w2 P(w2|w1) = 1 when
+      // Pcont itself is a distribution — check over the continuation vocab
+      val contTotal = dl.values.sum.toDouble // Σ dl = |types| by construction
+      assert(contTotal == types)
+      val s = vocab.toSeq.map { w2 =>
+        val c12 = model.getOrElse((w1, w2), 0L).toDouble
+        val pc = dl.getOrElse(w2, 0).toDouble / types
+        (math.max(c12 - d, 0.0) + d * n1p(w1) * pc) / c1(w1)
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-12, s"P(.|$w1) sums to $s")
+    }
+  }
+
+  test("kneserNey operator matches the hand formula and handles transfer OOV") {
+    val train = Seq((0L, "a b a c a b"), (1L, "b c a b")).toDF("doc_id", "t")
+    val model = LangModel.bigramFit(train, col("t"))
+    // same-corpus scoring: every pair seen → the discounted branch only
+    val got = LangModel.kneserNeyBigramNll(train, model, "doc_id", col("t"))
+      .orderBy("doc_id").collect()
+    val m = model.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = m.size.toDouble
+    val c1 = m.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = m.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val dl = m.groupBy(_._1._2).view.mapValues(_.size).toMap
+    def lp(w1: String, w2: String): Double = {
+      val c12 = m.getOrElse((w1, w2), 0L).toDouble
+      math.log((math.max(c12 - 0.75, 0.0) +
+        (0.75 * n1p(w1)) * (dl(w2) / types)) / c1(w1))
+    }
+    val doc0 = Seq("a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a", "a" -> "b")
+    val exp0 = -doc0.map { case (x, y) => lp(x, y) }.sum / doc0.size
+    assert(got(0).getInt(1) == 5)
+    assert(math.abs(got(0).getDouble(2) - exp0) < 1e-12)
+
+    // transfer: unseen pair ("c","b") → continuation-only; unseen w1
+    // ("zz") → bare Pcont; unseen w2 ("qq") → 1/types phantom mass
+    val test = Seq((9L, "c b"), (10L, "zz a"), (11L, "a qq"), (12L, "a"))
+      .toDF("doc_id", "t")
+    val tr = LangModel.kneserNeyBigramNll(test, model, "doc_id", col("t"))
+      .orderBy("doc_id").collect()
+    val expCb = -math.log((0.0 + (0.75 * n1p("c")) * (dl("b") / types)) / c1("c"))
+    assert(math.abs(tr(0).getDouble(2) - expCb) < 1e-12)
+    val expZa = -math.log(dl("a") / types)
+    assert(math.abs(tr(1).getDouble(2) - expZa) < 1e-12)
+    val expAq = -math.log((0.0 + (0.75 * n1p("a")) * (1.0 / types)) / c1("a"))
+    assert(math.abs(tr(2).getDouble(2) - expAq) < 1e-12)
+    // single-token doc: no bigrams, null score
+    assert(tr(3).getInt(1) == 0 && tr(3).isNullAt(2))
+  }
 }

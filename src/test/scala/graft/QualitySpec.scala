@@ -232,4 +232,18 @@ class QualitySpec extends SparkSuite {
     // numeric refs are left as-is (documented: apply cleanText after)
     assert(strip("<p>a&#65;b</p>") == "a&#65;b")
   }
+
+  test("blocklistKeep: token-level containment, case-folded, null-safe") {
+    import graft.operators.Quality
+    val df = Seq(
+      (0L, "a perfectly clean document"),
+      (1L, "contains the BADWORD here"),       // case-folds to a hit
+      (2L, "badwordish embadwordded survive"), // substrings are NOT tokens
+      (3L, "punct exposes it: badword!"),      // tokenizer splits punct
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = Quality.blocklistFilter(df, col("t"), Seq("badword"))
+      .orderBy("id").collect().map(r => r.getBoolean(2))
+    assert(got.toSeq == Seq(true, false, true, false, true, false))
+  }
 }
