@@ -183,4 +183,62 @@ object EventStream {
           .parquet(s"$path/coded")
       }
   }
+
+  /** Streaming distinct-cardinality monitoring: each micro-batch is
+    * sketched ([[graft.operators.Sketch.kmvSketch]]) and losslessly
+    * merged into the persisted per-group bottom-k state — the continuous
+    * twin of the batch KMV path. Because a KMV union is a pure function
+    * of the per-part bottom-k arrays, the persisted sketch file IS the
+    * whole state: restart-safe (re-read, merge, rewrite), bounded at
+    * k longs per group forever, and `Sketch.kmvEstimateFromSketch` reads
+    * the current estimate at any time. Per batch: one batch-local sketch
+    * (the batch's distinct is micro-batch-sized) + a group-keyed merge
+    * with the tiny persisted state — no unbounded streaming state store,
+    * no watermark needed for an all-time cardinality. */
+  def streamingKmvSketch(stream: DataFrame, groupCols: Seq[String],
+      hash: org.apache.spark.sql.Column, k: Int,
+      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Sketch
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val batchSk = Sketch.kmvSketch(batch, groupCols, hash, k)
+        // versioned state, one dir per micro-batch: merge the latest
+        // version STRICTLY OLDER than this batchId, write v<batchId>.
+        // A replayed batch (restart between state write and checkpoint
+        // commit) re-merges the same older version and overwrites its own
+        // dir — idempotent because a KMV union is a set union. The
+        // previous version is never touched, so no crash point can lose
+        // the only copy of the state.
+        val merged = latestKmvVersion(batch.sparkSession, path, batchId) match {
+          case Some(v) =>
+            val prev = batch.sparkSession.read.parquet(s"$path/v$v")
+            Sketch.kmvMerge(prev.unionByName(batchSk), groupCols, k)
+          case None => batchSk
+        }
+        merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+      }
+  }
+
+  /** The current sketch state written by [[streamingKmvSketch]] (latest
+    * committed version); estimate with `Sketch.kmvEstimateFromSketch`. */
+  def readKmvState(spark: SparkSession, path: String): DataFrame =
+    latestKmvVersion(spark, path, Long.MaxValue) match {
+      case Some(v) => spark.read.parquet(s"$path/v$v")
+      case None => throw new IllegalStateException(s"no kmv state under $path")
+    }
+
+  /** Highest complete (_SUCCESS-marked) state version strictly below
+    * `before`, via the Hadoop FS API (cluster filesystems included). */
+  private def latestKmvVersion(spark: SparkSession, path: String,
+      before: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+      .filter(v => v < before &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$path/v$v/_SUCCESS")))
+      .maxOption
+  }
 }

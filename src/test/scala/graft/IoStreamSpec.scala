@@ -686,6 +686,46 @@ class IoStreamSpec extends SparkSuite {
     hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
   }
 
+  test("streaming KMV sketch: merged state equals the batch sketch of everything") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketch
+    val mk = (r: Range) => r.map(i => (s"g${i % 2}", s"key-${i / 3}"))
+    val all = mk(0 until 3000) // duplicated keys within and across batches
+    val (h1, h2) = all.splitAt(1500)
+    val dir = Files.createTempDirectory("graftskmv").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val writer = EventStream.streamingKmvSketch(
+      mem.toDF().toDF("g", "key"), Seq("g"), Sketch.keyHash(col("key")),
+      k = 64, path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    // two micro-batches with a writer restart between them — the
+    // versioned parquet state is the only carried state
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val state = EventStream.readKmvState(spark, s"$dir/state")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = Sketch.kmvSketch(all.toDF("g", "key"), Seq("g"),
+        Sketch.keyHash(col("key")), k = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(state == want) // lossless: stream-merged == one-shot batch sketch
+    // estimates read straight off the persisted artifact
+    val est = EventStream.readKmvState(spark, s"$dir/state")
+      .select(col("g"), Sketch.kmvEstimateFromSketch(col("kmv"), 64).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = all.distinct.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    for ((g, e) <- est)
+      assert(math.abs(e - truth(g)) / truth(g) < 0.40, s"$g: $e vs ${truth(g)}")
+    // both micro-batch versions persisted; each is a complete state
+    val vs = new java.io.File(s"$dir/state").list().filter(_.startsWith("v"))
+    assert(vs.toSet == Set("v0", "v1"))
+  }
+
   test("binary codec: reference-format round trip incl. nesting flatten") {
     import graft.sources.BinaryCodec
     import graft.schema.{Doc, NamedScore, Tensor}

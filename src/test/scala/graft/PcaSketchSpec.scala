@@ -70,6 +70,14 @@ class PcaSketchSpec extends SparkSuite {
     assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
   }
 
+  test("comoments plan partially aggregates (map-side combine before the shuffle)") {
+    val df = vecsDf(Seq(1L -> Seq(0.1f, 0.2f), 2L -> Seq(0.3f, 0.4f)))
+      .repartition(4)
+    val plan = Pca.comoments(df, "v", 2).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_co_moments"),
+      s"no partial aggregation in plan:\n$plan")
+  }
+
   // ---------- fit ----------
 
   test("pca recovers a planted 2D subspace and orders by variance") {
