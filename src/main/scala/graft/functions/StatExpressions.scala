@@ -227,6 +227,100 @@ case class ProjectVector(child: Expression, mean: Seq[Double],
     copy(child = newChild)
 }
 
+/** Bounded distinct-bottom-k buffer over unsigned 64-bit hashes: a
+  * flipped-sign TreeSet capped at k (distinctness is free — it's a set;
+  * membership and eviction are O(log k)). The state is ≤ k longs no
+  * matter how many rows flow through. */
+final class KmvBuffer(val k: Int) extends Serializable {
+  // stores sign-FLIPPED values so natural Long order == unsigned order
+  val set: java.util.TreeSet[Long] = new java.util.TreeSet[Long]()
+
+  def insert(hSigned: Long): Unit = {
+    val f = hSigned ^ Long.MinValue
+    if (set.size < k) { set.add(f); () }
+    else if (f < set.last) { if (set.add(f)) { set.pollLast(); () } }
+  }
+
+  /** ascending-unsigned SIGNED originals */
+  def sortedSigned: Array[Long] = {
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next() ^ Long.MinValue; i += 1 }
+    out
+  }
+}
+
+/** One-shuffle KMV sketch aggregate: the k smallest DISTINCT unsigned
+  * hashes per group as `array<long>` (signed values, ascending unsigned
+  * order — the [[graft.operators.Sketch]] artifact contract). Dedup
+  * happens inside the bounded buffer, so there is no separate
+  * `distinct` pass and no per-group sort: each partition contributes at
+  * most k longs per group to the only shuffle (map-side combine), vs.
+  * the distinct + window formulation's full distinct-set shuffle. Null
+  * hashes are skipped. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] {
+
+  require(k > 1, s"kmv_sketch needs k > 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects bigint hash, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buf.insert(it.next() ^ Long.MinValue)
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = new GenericArrayData(buf.sortedSigned)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val a = buf.sortedSigned
+    val bb = ByteBuffer.allocate(4 + 8 * a.length)
+    bb.putInt(a.length)
+    var i = 0
+    while (i < a.length) { bb.putLong(a(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val buf = new KmvBuffer(k)
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "kmv_sketch"
+}
+
 object KmvEstimate {
   private val TWO64 = BigInt(1) << 64
 

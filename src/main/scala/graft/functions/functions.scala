@@ -64,6 +64,12 @@ package object functions {
   def kmv_estimate(h: Column, k: Int): Column =
     Bridge.column(KmvEstimate(Bridge.expression(h), k))
 
+  /** One-shuffle bounded KMV sketch aggregate: the k smallest distinct
+    * unsigned hashes per group as array<long> (ascending unsigned). */
+  def kmv_sketch(h: Column, k: Int): Column =
+    Bridge.column(
+      KmvSketchAgg(Bridge.expression(h), k).toAggregateExpression())
+
   /** Deterministic FNV-1a 64-bit hash of a string. */
   def fnv64(c: Column, seed: Long = 0L): Column =
     Bridge.column(Fnv64Hash(Bridge.expression(c), seed))
@@ -199,6 +205,8 @@ package object functions {
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
       "kmv_estimate" -> (exprs => KmvEstimate(exprs(0), litInt(exprs(1)))),
+      "kmv_sketch" -> (exprs =>
+        KmvSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),
       "co_moments" -> (exprs =>
         CoMomentAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()))
   }

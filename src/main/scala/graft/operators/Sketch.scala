@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{fnv64, kmv_estimate, splitmix64_rank}
+import graft.functions.{fnv64, kmv_estimate, kmv_sketch, splitmix64_rank}
 
 /** KMV (bottom-k minimum values) distinct-count sketches: bounded-memory,
   * mergeable cardinality estimation over arbitrary keys — vocabulary size,
@@ -17,12 +16,12 @@ import graft.functions.{fnv64, kmv_estimate, splitmix64_rank}
   * exact integer floor division ([[graft.functions.KmvEstimate]]) — is
   * deterministic and layout-invariant.
   *
-  * Scale shape: one distinct on (group, hash) — the only shuffle, keyed and
-  * skew-free — then a per-group bottom-k window that Spark's
-  * WindowGroupLimit rewrites into per-partition top-k + merge (the q58
-  * pattern), so no group ever sorts its full distinct set in one place.
-  * Sketches (bottom-k arrays) union losslessly: the bottom-k of a union is
-  * a function of the per-part bottom-k's, which makes per-shard/per-day
+  * Scale shape: ONE aggregation ([[graft.functions.KmvSketchAgg]] — a
+  * bounded distinct-bottom-k buffer, dedup inside the heap) with map-side
+  * combine, so the only shuffle moves ≤ k longs per (partition, group) —
+  * no separate distinct pass, no per-group sort, no window. Sketches
+  * (bottom-k arrays) union losslessly: the bottom-k of a union is a
+  * function of the per-part bottom-k's, which makes per-shard/per-day
   * sketch artifacts combinable without re-reading the data.
   */
 object Sketch {
@@ -35,47 +34,41 @@ object Sketch {
   // flipped value equals unsigned order on the original (both engines).
   private def flip(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
 
-  /** Per-group bottom-k rows of distinct (unsigned) hashes: (groupCols…, _h)
-    * with at most k rows per group, `_h` the signed splitmix hash. */
+  /** Materialized sketch artifact: per group ONE row with `kmv` = the
+    * distinct bottom-k signed hashes in ascending unsigned order (≤ k
+    * elements). One aggregation, one bounded shuffle. Store per
+    * shard/day; [[kmvMerge]] combines without data re-reads. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], hash: Column,
+      k: Int): DataFrame =
+    df.select(groupCols.map(col) :+ hash.as("_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv_sketch(col("_h"), k).as("kmv"))
+
+  /** Per-group bottom-k rows of distinct (unsigned) hashes: (groupCols…,
+    * `_h`) with at most k rows per group — [[kmvSketch]] exploded. */
   def kmvBottomK(df: DataFrame, groupCols: Seq[String], hash: Column,
-      k: Int): DataFrame = {
-    require(k > 1, s"kmv needs k > 1, got $k")
-    val d = df.select(groupCols.map(col) :+ hash.as("_h"): _*)
-      .where(col("_h").isNotNull).distinct()
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(flip(col("_h")))
-    d.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
-  }
+      k: Int): DataFrame =
+    kmvSketch(df, groupCols, hash, k)
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("_h"): _*)
 
   /** Distinct-count estimate per group: (groupCols…, k_actual, kth_hash,
     * est_distinct). Groups with fewer than k distinct hashes report the
     * exact count (the sketch saw everything); otherwise the KMV estimator
     * fires on the kth minimum. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], hash: Column,
-      k: Int): DataFrame = {
-    val bk = kmvBottomK(df, groupCols, hash, k)
-    bk.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("k_actual"), max(flip(col("_h"))).as("_mx"))
-      .select((groupCols.map(col) :+ col("k_actual") :+
-        flip(col("_mx")).as("kth_hash")): _*)
+      k: Int): DataFrame =
+    kmvSketch(df, groupCols, hash, k)
+      .select((groupCols.map(col) :+
+        size(col("kmv")).cast("long").as("k_actual") :+
+        element_at(col("kmv"), size(col("kmv"))).as("kth_hash")): _*)
       .withColumn("est_distinct",
         when(col("k_actual") < k, col("k_actual"))
           .otherwise(kmv_estimate(col("kth_hash"), k)))
-  }
 
   /** String-key convenience: hash with [[keyHash]] then [[kmvDistinct]]. */
   def kmvDistinctStrings(df: DataFrame, groupCols: Seq[String], key: Column,
       k: Int, seed: Long = 0L): DataFrame =
     kmvDistinct(df, groupCols, keyHash(key, seed), k)
-
-  /** Materialized sketch artifact: per group ONE row with `kmv` = the
-    * bottom-k signed hashes in ascending unsigned order (≤ k elements).
-    * Store per shard/day; [[kmvMerge]] combines without data re-reads. */
-  def kmvSketch(df: DataFrame, groupCols: Seq[String], hash: Column,
-      k: Int): DataFrame =
-    kmvBottomK(df, groupCols, hash, k)
-      .groupBy(groupCols.map(col): _*)
-      .agg(transform(sort_array(collect_list(flip(col("_h")))),
-        x => x.bitwiseXOR(lit(Long.MinValue))).as("kmv"))
 
   /** Union sketches that share a group key: lossless bottom-k of the union
     * of the per-part bottom-k arrays (distinct, unsigned sort, cut at k). */

@@ -212,10 +212,31 @@ class PcaSketchSpec extends SparkSuite {
     assert(graft.functions.KmvEstimate.compute(1L, 2) == Long.MaxValue)
   }
 
-  test("kmv bottom-k plan uses WindowGroupLimit (no full per-group sort everywhere)") {
+  test("kmv sketch plan is ONE partially-aggregated pass — no distinct, no window") {
     val df = (0 until 1000).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "key")
-    val plan = Sketch.kmvBottomK(df, Seq("g"), Sketch.keyHash(col("key")), 16)
+      .repartition(4)
+    val plan = Sketch.kmvSketch(df, Seq("g"), Sketch.keyHash(col("key")), 16)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"plan missing WindowGroupLimit:\n$plan")
+    assert(plan.contains("partial_kmv_sketch"),
+      s"no map-side combine in plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    // one group-keyed exchange above the repartition (dedup lives IN the
+    // buffer, so there's no second distinct shuffle)
+    assert("Exchange hashpartitioning\\(g".r.findAllIn(plan).length == 1,
+      s"expected exactly one group-keyed exchange:\n$plan")
+  }
+
+  test("kmv sketch agg equals the explicit distinct+sort formulation") {
+    val rows = (0 until 4000).map(i => (s"g${i % 2}", s"key-${i % 700}"))
+    val df = rows.toDF("g", "key").repartition(7)
+    val got = Sketch.kmvSketch(df, Seq("g"), Sketch.keyHash(col("key")), 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // reference: hash per distinct key, sort unsigned, take 32
+    val want = rows.distinct.map { case (g, key) =>
+      g -> graft.functions.Fnv64.mix(graft.functions.Fnv64.hashString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key)))
+    }.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sortBy(h => h ^ Long.MinValue).take(32).toSeq).toMap
+    assert(got == want)
   }
 }
