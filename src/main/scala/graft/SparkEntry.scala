@@ -1546,6 +1546,23 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // cluster-balanced source mixing: q100's gated distributed k-means
+  // discovers the domains, then q61's temperature-quota + splitmix-order
+  // draw runs per CELL — balanced sampling over LEARNED clusters instead
+  // of metadata labels (the composition a 100 TB pipeline runs when
+  // "source" is unreliable or absent), in ONE declarative plan. The
+  // oracle replays both gated stages end-to-end: the two-iteration
+  // exact-ppm k-means chain feeding the sqrt-quota QUALIFY draw.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Ann.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4, iters = 2,
+      initCell = pmod(col("vec_id"), lit(4))).assigned
+    GroupOps.sampleTemperature(assigned, total = 100L, alpha = 0.5,
+      seed = 19L, col("_cell"), col("vec_id"))
+      .select(col("vec_id"), col("_cell").cast("int").as("cell"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1656,7 +1673,8 @@ object SparkEntry {
     "q105_kmv_distinct" -> (q105 _),
     "q106_kneser_ney" -> (q106 _),
     "q107_blocklist" -> (q107 _),
-    "q108_pca_project" -> (q108 _))
+    "q108_pca_project" -> (q108 _),
+    "q109_cluster_mixing" -> (q109 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3585,32 +3603,7 @@ object SparkEntry {
     // both engines); distances left-fold squared diffs in dim order
     // (q96-proven bit parity); argmin orders by (dist, cell).
     "q100_kmeans_assign" -> {
-      def step(assign: String, sn: String, cn: String, dn: String,
-          an: String): String =
-        s"""$sn AS (SELECT $assign.c, r.range i, sum(e.vp[r.range]) s, count(*) n
-             FROM $assign JOIN e USING (vec_id) CROSS JOIN range(1,65) r
-             GROUP BY $assign.c, r.range),
-           $cn AS (SELECT c, list(CAST(CASE WHEN s < 0
-                 THEN -((abs(s)*2 + n) // (n*2))
-                 ELSE (abs(s)*2 + n) // (n*2) END AS DOUBLE) / 1000000
-                 ORDER BY i) ctr
-               FROM $sn GROUP BY c),
-           $dn AS (SELECT e.vec_id, $cn.c,
-               list_reduce(list_prepend(0.0,
-                 list_transform(range(1, len(e.v)+1),
-                   i -> (e.v[i]-$cn.ctr[i])*(e.v[i]-$cn.ctr[i]))),
-                 (acc,x) -> acc + x) dist
-               FROM e CROSS JOIN $cn),
-           $an AS (SELECT vec_id, c FROM (
-                 SELECT vec_id, c,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
-                 FROM $dn) WHERE rn = 1)"""
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
-             list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) vp
-           FROM embeddings),
-         a0 AS (SELECT vec_id, CAST(vec_id % 4 AS INTEGER) c FROM e),
-         ${step("a0", "s1", "c1", "d1", "a1")},
-         ${step("a1", "s2", "c2", "d2", "a2")}
+      s"""WITH $kmeansTwoIterCtes
          SELECT vec_id, CAST(c AS INTEGER) AS cell FROM a2 ORDER BY vec_id"""
     },
 
@@ -3782,8 +3775,55 @@ object SparkEntry {
                   - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
                for j in range(0, 64) ]), (a, b) -> a + b) AS p1
          FROM embeddings WHERE len(embedding) = 64
+         ORDER BY vec_id""",
+
+    // q109: the k-means chain (a2) feeding q61's sqrt-temperature quota
+    // and splitmix-seeded per-cell draw — both gated stages composed
+    "q109_cluster_mixing" ->
+      s"""WITH $kmeansTwoIterCtes,
+         w AS (SELECT c, count(*) AS n FROM a2 GROUP BY c),
+         q AS (SELECT c, greatest(1, CAST(floor(
+                 sqrt(CAST(n AS DOUBLE)) /
+                 (SELECT sum(sqrt(CAST(n AS DOUBLE))) FROM w) * 100) AS BIGINT)) AS take
+               FROM w),
+         ${splitmixChainSql("vec_id, c", 19L, from = "a2", key = "vec_id")}
+         SELECT vec_id, CAST(c AS INTEGER) AS cell FROM ranked JOIN q USING (c)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY rk, vec_id) <= take
          ORDER BY vec_id"""
   )
+
+  /** q100's two-iteration k-means replay as reusable WITH-clauses ending
+    * in `a2(vec_id, c)` — the exact-ppm centroid means + left-fold argmin
+    * chain, shared by q100 (assignment gate) and q109 (cluster-balanced
+    * mixing composition). */
+  private def kmeansTwoIterCtes: String = {
+    def step(assign: String, sn: String, cn: String, dn: String,
+        an: String): String =
+      s"""$sn AS (SELECT $assign.c, r.range i, sum(e.vp[r.range]) s, count(*) n
+           FROM $assign JOIN e USING (vec_id) CROSS JOIN range(1,65) r
+           GROUP BY $assign.c, r.range),
+         $cn AS (SELECT c, list(CAST(CASE WHEN s < 0
+               THEN -((abs(s)*2 + n) // (n*2))
+               ELSE (abs(s)*2 + n) // (n*2) END AS DOUBLE) / 1000000
+               ORDER BY i) ctr
+             FROM $sn GROUP BY c),
+         $dn AS (SELECT e.vec_id, $cn.c,
+             list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(e.v)+1),
+                 i -> (e.v[i]-$cn.ctr[i])*(e.v[i]-$cn.ctr[i]))),
+               (acc,x) -> acc + x) dist
+             FROM e CROSS JOIN $cn),
+         $an AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
+               FROM $dn) WHERE rn = 1)"""
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) vp
+         FROM embeddings),
+       a0 AS (SELECT vec_id, CAST(vec_id % 4 AS INTEGER) c FROM e),
+       ${step("a0", "ks1", "kc1", "kd1", "a1")},
+       ${step("a1", "ks2", "kc2", "kd2", "a2")}"""
+  }
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable
     * WITH-clauses `s1..s5, ranked` (rank column `rk`), parameterized on
