@@ -1563,6 +1563,25 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  // PCA-space near-dup pairs: q108's fixed-loading projection feeding
+  // grid-blocked pair emission with cellW = radius — blocking is
+  // COMPLETE by construction, so the oracle is brute-force all-pairs:
+  // one gate proves the projection→blocking→verify composition AND the
+  // blocking's recall-1 guarantee.
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
+    val comps = Seq.tabulate(2)(k =>
+      Seq.tabulate(d)(j => (((j * 37 + k * 11) % 64) - 32) / 64.0))
+    val proj = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        project_vector(col("embedding"), mean, comps).as("p"))
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
+    Dedup.gridPairs2d(proj, "vec_id", "p0", "p1", radius = 0.02)
+      .orderBy("a", "b")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1674,7 +1693,8 @@ object SparkEntry {
     "q106_kneser_ney" -> (q106 _),
     "q107_blocklist" -> (q107 _),
     "q108_pca_project" -> (q108 _),
-    "q109_cluster_mixing" -> (q109 _))
+    "q109_cluster_mixing" -> (q109 _),
+    "q110_pca_grid_pairs" -> (q110 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3763,19 +3783,8 @@ object SparkEntry {
     // q108: the projection kernel replayed term-for-term — dyadic
     // loadings, identical j-ascending left fold, bit-equal doubles
     "q108_pca_project" ->
-      """SELECT vec_id,
-           list_reduce(list_prepend(0.0,
-             [ ((CAST((j*37) % 64 AS DOUBLE) - 32)/64)
-               * (CAST(embedding[j+1] AS DOUBLE)
-                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
-               for j in range(0, 64) ]), (a, b) -> a + b) AS p0,
-           list_reduce(list_prepend(0.0,
-             [ ((CAST((j*37 + 11) % 64 AS DOUBLE) - 32)/64)
-               * (CAST(embedding[j+1] AS DOUBLE)
-                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
-               for j in range(0, 64) ]), (a, b) -> a + b) AS p1
-         FROM embeddings WHERE len(embedding) = 64
-         ORDER BY vec_id""",
+      s"""WITH $pcaProjCte
+         SELECT vec_id, p0, p1 FROM pp ORDER BY vec_id""",
 
     // q109: the k-means chain (a2) feeding q61's sqrt-temperature quota
     // and splitmix-seeded per-cell draw — both gated stages composed
@@ -3789,8 +3798,36 @@ object SparkEntry {
          ${splitmixChainSql("vec_id, c", 19L, from = "a2", key = "vec_id")}
          SELECT vec_id, CAST(c AS INTEGER) AS cell FROM ranked JOIN q USING (c)
          QUALIFY row_number() OVER (PARTITION BY c ORDER BY rk, vec_id) <= take
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    // q110: brute-force all-pairs in the projected plane — equality with
+    // the grid-blocked Spark side proves blocking completeness, and the
+    // fixed dist2 operation order keeps the doubles bit-equal
+    "q110_pca_grid_pairs" ->
+      s"""WITH $pcaProjCte
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1) AS dist2
+         FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+         WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1) <= 0.02*0.02
+         ORDER BY a, b"""
   )
+
+  /** q108's fixed-dyadic-loading 2-D projection as a reusable WITH-clause
+    * `pp(vec_id, p0, p1)` — shared by q108 (kernel gate) and q110
+    * (projection-space near-dup composition). */
+  private def pcaProjCte: String =
+    """pp AS (SELECT vec_id,
+           list_reduce(list_prepend(0.0,
+             [ ((CAST((j*37) % 64 AS DOUBLE) - 32)/64)
+               * (CAST(embedding[j+1] AS DOUBLE)
+                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
+               for j in range(0, 64) ]), (a, b) -> a + b) AS p0,
+           list_reduce(list_prepend(0.0,
+             [ ((CAST((j*37 + 11) % 64 AS DOUBLE) - 32)/64)
+               * (CAST(embedding[j+1] AS DOUBLE)
+                  - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
+               for j in range(0, 64) ]), (a, b) -> a + b) AS p1
+         FROM embeddings WHERE len(embedding) = 64)"""
 
   /** q100's two-iteration k-means replay as reusable WITH-clauses ending
     * in `a2(vec_id, c)` — the exact-ppm centroid means + left-fold argmin

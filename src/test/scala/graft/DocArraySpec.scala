@@ -72,4 +72,25 @@ class DocArraySpec extends SparkSuite {
     assert(new String(fetched.df.select("blob").collect()(0)
       .getAs[Array[Byte]](0), "UTF-8") == "hi")
   }
+
+  test("pca / distinctEstimate / kneserNeyScore / blocklistFilter facades") {
+    val projected = da.pca(2).df
+    assert(projected.columns.contains("pca"))
+    assert(projected.select(size(col("pca"))).distinct().head.getInt(0) == 2)
+
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val est = docs.distinctEstimate(col("text"), Seq("source"), k = 8)
+    assert(est.columns.toSet ==
+      Set("source", "k_actual", "kth_hash", "est_distinct"))
+    assert(est.count() > 0)
+
+    val kn = docs.kneserNeyScore().df
+    assert(kn.columns.contains("nll_kn"))
+    assert(kn.where(col("nll_kn").isNotNull).count() > 0)
+
+    val bl = docs.blocklistFilter(Seq("zzznotaword")).df
+    assert(bl.where(col("keep")).count() == docs.count()) // nothing blocked
+  }
 }

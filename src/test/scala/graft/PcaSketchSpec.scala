@@ -168,6 +168,45 @@ class PcaSketchSpec extends SparkSuite {
     assert(math.abs(c01) < 1e-5) // quantization-order agreement, not ulp
   }
 
+  // ---------- grid-blocked 2-D pairs ----------
+
+  test("gridPairs2d equals brute force — complete blocking at any cell width ≥ r") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1))
+    val df = pts.toDF("id", "x", "y").repartition(5)
+    val r = 0.07
+    def key(row: org.apache.spark.sql.Row) = (row.getLong(0), row.getLong(1))
+    val got = Dedup.gridPairs2d(df, "id", "x", "y", r).collect()
+      .map(rw => key(rw) -> rw.getDouble(2)).toMap
+    val want = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r * r
+    } yield (a, b) -> d2).toMap
+    assert(got == want) // recall 1 AND exact distances
+    assert(want.nonEmpty)
+    // wider cells are still complete
+    val got2 = Dedup.gridPairs2d(df, "id", "x", "y", r, cellW = 0.25)
+      .collect().map(rw => key(rw) -> rw.getDouble(2)).toMap
+    assert(got2 == want)
+    // cells narrower than the radius would lose pairs — refused loudly
+    intercept[IllegalArgumentException] {
+      Dedup.gridPairs2d(df, "id", "x", "y", r, cellW = 0.05)
+    }
+  }
+
+  test("gridPairs2d maxCell valve drops only hot-cell points") {
+    import graft.operators.Dedup
+    // 50 points piled into one cell + 2 isolated near neighbors elsewhere
+    val hot = (0 until 50).map(i => (i.toLong, 0.001 * i, 0.001 * i))
+    val pair = Seq((100L, 5.0, 5.0), (101L, 5.001, 5.001))
+    val df = (hot ++ pair).toDF("id", "x", "y")
+    val out = Dedup.gridPairs2d(df, "id", "x", "y", radius = 0.1, maxCell = 10)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    assert(out == Set((100L, 101L))) // hot cell dropped, the quiet pair kept
+  }
+
   // ---------- KMV sketch ----------
 
   test("kmv reports exact counts below k and estimates above with bounded error") {
