@@ -576,6 +576,24 @@ object Bench {
       }
     }
 
+    // Connected components at 1M nodes / 1M edges (100k 10-chains + one
+    // planted 1,000-node chain): min-label propagation with pointer
+    // doubling — per round two equi-joins shuffling O(|E|+|V|) id-keyed
+    // rows, localCheckpoint lineage cuts, convergence by exact
+    // changed-count. The pair→cluster resolution step of every dedup
+    // pipeline (q53's operator) at its scale regime; the long chain
+    // exercises the O(log diameter) doubling, not just star merges.
+    bench("x_cc_1m", runs = 1) {
+      val nodes = spark.range(1000000L).select(col("id"))
+      val chain = spark.range(1000000L)
+        .where(pmod(col("id"), lit(10)) =!= 9 && col("id") < 999000L)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val long = spark.range(999L)
+        .select((col("id") + 999000L).as("a"), (col("id") + 999001L).as("b"))
+      val cl = Dedup.clusters(chain.unionByName(long), nodes, "id")
+      cl.agg(countDistinct(col("cluster_id"))).collect()
+    }
+
     // Exact PCA at 1M×128: ONE co-moment scan (each partition collapses to
     // d(d+1)/2 + d = 8,384 longs before the shuffle), a driver-side Jacobi
     // on the 128×128 covariance, then the map-only projection kernel over
@@ -584,6 +602,18 @@ object Bench {
     bench("x_pca_1m", runs = 1) {
       val m = graft.operators.Pca.fit(stored, "embedding", 16)
       stored.select(sum(element_at(m.project(col("embedding")), 1))).collect()
+    }
+
+    // Grid-blocked 2-D near-dup at 1M projected points: cell width =
+    // radius ⇒ complete blocking; the 9-neighborhood join carries N + 9N
+    // rows through ~4M cells (≈0.25 points/cell at this density). The
+    // q110 composition's scale regime — pair emission stays linear in N
+    // while recall is provably 1.
+    bench("x_gridpairs_1m", runs = 1) {
+      val pts = spark.range(1000000L).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)) / 1000000.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(22)), lit(1000000L)) / 1000000.0).as("y"))
+      Dedup.gridPairs2d(pts, "id", "x", "y", radius = 0.0005).count()
     }
 
     // KMV distinct sketch at 20M token occurrences / 1M docs / 16 groups,

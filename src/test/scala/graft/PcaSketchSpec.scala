@@ -196,6 +196,16 @@ class PcaSketchSpec extends SparkSuite {
     }
   }
 
+  test("gridPairs2d plans as a cell-keyed equi-join, never a cross product") {
+    import graft.operators.Dedup
+    val df = (0 until 100).map(i => (i.toLong, i * 0.01, i * 0.02)).toDF("id", "x", "y")
+    val plan = Dedup.gridPairs2d(df, "id", "x", "y", 0.05)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross product in plan:\n$plan")
+  }
+
   test("gridPairs2d maxCell valve drops only hot-cell points") {
     import graft.operators.Dedup
     // 50 points piled into one cell + 2 isolated near neighbors elsewhere

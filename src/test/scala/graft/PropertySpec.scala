@@ -199,4 +199,53 @@ class PropertySpec extends SparkSuite {
       seen(z) = (a, b)
     }
   }
+
+  test("KmvBuffer equals distinct-sort-take-k for arbitrary longs incl. extremes") {
+    import graft.functions.KmvBuffer
+    val gen = for {
+      k <- Gen.choose(2, 12)
+      xs <- Gen.listOf(Gen.oneOf(
+        Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.oneOf(0L, -1L, 1L, Long.MinValue, Long.MaxValue)))
+      split <- Gen.choose(0, math.max(0, xs.length))
+    } yield (k, xs, split)
+    forAll(gen) { case (k, xs, split) =>
+      val want = xs.distinct.sortBy(_ ^ Long.MinValue).take(k)
+      val one = new KmvBuffer(k)
+      xs.foreach(one.insert)
+      assert(one.sortedSigned.toList == want, s"single-buffer k=$k")
+      // arbitrary split + merge must land on the same bottom-k
+      val (l, r) = xs.splitAt(split)
+      val a = new KmvBuffer(k); l.foreach(a.insert)
+      val b = new KmvBuffer(k); r.foreach(b.insert)
+      val it = b.set.iterator()
+      while (it.hasNext) a.insert(it.next() ^ Long.MinValue)
+      assert(a.sortedSigned.toList == want, s"merged k=$k split=$split")
+    }
+  }
+
+  test("CoMomentBuffer sums are split-invariant for arbitrary integer vectors") {
+    import graft.functions.CoMomentBuffer
+    val gen = for {
+      d <- Gen.choose(1, 5)
+      rows <- Gen.nonEmptyListOf(Gen.listOfN(d, Gen.choose(-10000L, 10000L)))
+      split <- Gen.choose(0, rows.length)
+    } yield (d, rows.map(_.toArray), split)
+    forAll(gen, n = 40) { case (d, rows, split) =>
+      val whole = new CoMomentBuffer(d)
+      rows.foreach(whole.add)
+      val (l, r) = rows.splitAt(split)
+      val a = new CoMomentBuffer(d); l.foreach(a.add)
+      val b = new CoMomentBuffer(d); r.foreach(b.add)
+      a.merge(b)
+      assert(a.n == whole.n && a.sx.toList == whole.sx.toList &&
+        a.sxy.toList == whole.sxy.toList)
+      // triangle cells against the naive definition
+      var t = 0
+      for (i <- 0 until d; j <- i until d) {
+        assert(whole.sxy(t) == rows.map(v => v(i) * v(j)).sum, s"t($i,$j)")
+        t += 1
+      }
+    }
+  }
 }
