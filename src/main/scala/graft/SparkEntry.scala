@@ -1582,6 +1582,28 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  // cross-corpus overlap WITHOUT a data join: per-source bigram KMV
+  // sketches (k=16) compared pairwise via the Beyer et al. bottom-k-of-
+  // union Jaccard estimator — the 100 TB contamination-rate screen
+  // (two k-long arrays per slice; composable over merged shards). The
+  // estimate is an exact rational of deterministic hash-order counts →
+  // one double division, replayed bit-for-bit by the oracle's list ops.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    val bi = d.select(col("source"), toks.as("_l"))
+      .where(size(col("_l")) >= 2)
+      .select(col("source"),
+        slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
+        slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
+      .select(col("source"), explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
+      .select(col("source"),
+        concat(col("_p._a"), lit(" "), col("_p._b")).as("w"))
+    val sk = Sketch.kmvSketch(bi, Seq("source"), Sketch.keyHash(col("w")), 16)
+    Sketch.kmvOverlapPairs(sk, "source", 16)
+      .orderBy("ga", "gb")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1694,7 +1716,8 @@ object SparkEntry {
     "q107_blocklist" -> (q107 _),
     "q108_pca_project" -> (q108 _),
     "q109_cluster_mixing" -> (q109 _),
-    "q110_pca_grid_pairs" -> (q110 _))
+    "q110_pca_grid_pairs" -> (q110 _),
+    "q111_sketch_overlap" -> (q111 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3705,38 +3728,9 @@ object SparkEntry {
                        row_number() OVER (PARTITION BY source ORDER BY u) AS rn
                      FROM fl)
                WHERE rn <= $k GROUP BY source)"""
-      """WITH tok AS (SELECT source, unnest(list_filter(
+      s"""WITH ${tokenRankCtes("""tok AS (SELECT source, unnest(list_filter(
              string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-           FROM documents),
-         th AS (SELECT source, list_reduce(
-             list_prepend(CAST(14695981039346656037 AS HUGEINT),
-               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
-             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
-                        * 1099511628211) % 18446744073709551616) AS h
-           FROM tok),
-         m1 AS (SELECT source, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
-         m1x AS (SELECT source,
-           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
-            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-           FROM m1),
-         m2 AS (SELECT source,
-           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
-             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
-         m2x AS (SELECT source,
-           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
-            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-           FROM m2),
-         m3 AS (SELECT source,
-           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
-             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
-         rkd AS (SELECT DISTINCT source,
-           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
-               CAST((x // 2147483648) AS BIGINT)) AS rk
-           FROM m3),
+           FROM documents)""")},
          fl AS (SELECT source, rk, xor(rk, -9223372036854775808) AS u FROM rkd)
          """ + kmvSql(16) + "\n         UNION ALL\n         " + kmvSql(64) +
         "\n         ORDER BY source, k"
@@ -3809,8 +3803,74 @@ object SparkEntry {
            (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1) AS dist2
          FROM pp a JOIN pp b ON a.vec_id < b.vec_id
          WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1) <= 0.02*0.02
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q111: per-source bigram bottom-16 sketches, then the bottom-k-of-
+    // union Jaccard — every list op mirrors the Spark expression order
+    "q111_sketch_overlap" ->
+      s"""WITH ${tokenRankCtes("""tok AS (
+           SELECT source, w1 || ' ' || w2 AS w FROM (
+             SELECT source, unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2
+             FROM (SELECT source, list_filter(
+                 string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') AS l
+               FROM documents) WHERE len(l) >= 2))""")},
+         sk AS (SELECT source, list(rk ORDER BY xor(rk, -9223372036854775808)) AS kmv
+                FROM (SELECT source, rk, row_number() OVER (PARTITION BY source
+                        ORDER BY xor(rk, -9223372036854775808)) AS rn
+                      FROM rkd)
+                WHERE rn <= 16 GROUP BY source),
+         pr AS (SELECT a.source AS ga, b.source AS gb, a.kmv AS ka, b.kmv AS kb
+                FROM sk a JOIN sk b ON a.source < b.source),
+         uu AS (SELECT ga, gb, ka, kb,
+                  list_transform(list_sort(list_distinct(
+                    list_transform(list_concat(ka, kb),
+                      x -> xor(x, -9223372036854775808)))),
+                    x -> xor(x, -9223372036854775808))[1:16] AS m
+                FROM pr)
+         SELECT ga, gb,
+           CASE WHEN len(m) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(m, x ->
+                       list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
+                     / len(m) END AS jaccard
+         FROM uu ORDER BY ga, gb"""
   )
+
+  /** The q105 per-source token-hash chain (FNV-1a → full splitmix64
+    * finalizer, HUGEINT stages) as reusable WITH-clauses: feed any
+    * `tok(source, w)` CTE, get `rkd(source, rk)` — DISTINCT signed
+    * splitmix hashes per source. Shared by q105 (KMV distinct) and q111
+    * (sketch-overlap pairs, bigram keys). */
+  private def tokenRankCtes(tokCte: String): String =
+    tokCte + """,
+         th AS (SELECT source, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM tok),
+         m1 AS (SELECT source, (h + 11400714819323198485) % 18446744073709551616 AS x FROM th),
+         m1x AS (SELECT source,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m1),
+         m2 AS (SELECT source,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM m1x),
+         m2x AS (SELECT source,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM m2),
+         m3 AS (SELECT source,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM m2x),
+         rkd AS (SELECT DISTINCT source,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+           FROM m3)"""
 
   /** q108's fixed-dyadic-loading 2-D projection as a reusable WITH-clause
     * `pp(vec_id, p0, p1)` — shared by q108 (kernel gate) and q110

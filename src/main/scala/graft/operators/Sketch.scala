@@ -86,4 +86,37 @@ object Sketch {
   def kmvEstimateFromSketch(kmv: Column, k: Int): Column =
     when(size(kmv) < k, size(kmv).cast("long"))
       .otherwise(kmv_estimate(element_at(kmv, k), k))
+
+  /** Jaccard similarity estimate between two bottom-k sketches (Beyer et
+    * al. 2007): over M = the bottom-k of the sketch union (an unbiased
+    * uniform sample of A ∪ B), J ≈ |{m ∈ M : m ∈ A_k ∧ m ∈ B_k}| / |M|.
+    * Deterministic (no RNG — the "sample" is the hash order) and exact
+    * rational → one double division, so an external engine replays it
+    * bit-for-bit. This is the cross-corpus overlap/contamination-rate
+    * estimator that needs NO join of the raw data — two k-long arrays
+    * per corpus slice, composable over [[kmvMerge]]d shards. */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column = {
+    val union = slice(
+      transform(
+        sort_array(array_distinct(transform(concat(a, b),
+          x => x.bitwiseXOR(lit(Long.MinValue))))),
+        x => x.bitwiseXOR(lit(Long.MinValue))),
+      1, k)
+    val inBoth = size(filter(union,
+      x => array_contains(a, x) && array_contains(b, x)))
+    when(size(union) === 0, lit(0.0))
+      .otherwise(inBoth.cast("double") / size(union).cast("double"))
+  }
+
+  /** All-pairs overlap estimates between the groups of a sketch table
+    * (from [[kmvSketch]]): (ga, gb, jaccard) for every unordered group
+    * pair — |G|² sketch-array comparisons, never a data join. */
+  def kmvOverlapPairs(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("kmv").as("_ka"))
+    val b = sketches.select(col(groupCol).as("gb"), col("kmv").as("_kb"))
+    a.crossJoin(b).where(col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        kmvJaccard(col("_ka"), col("_kb"), k).as("jaccard"))
+  }
 }

@@ -253,6 +253,37 @@ class PcaSketchSpec extends SparkSuite {
     assert(math.abs(est - 3000.0) / 3000.0 < 0.45)
   }
 
+  test("kmvJaccard estimates planted overlap; exact at the extremes") {
+    val k = 256
+    def sketchOf(keys: Seq[String]) = Sketch.kmvSketch(
+      keys.map(("g", _)).toDF("g", "key"), Seq("g"),
+      Sketch.keyHash(col("key")), k)
+    val shared = (0 until 1000).map(i => s"s$i")
+    val onlyA = (0 until 1000).map(i => s"a$i")
+    val onlyB = (0 until 1000).map(i => s"b$i")
+    val sa = sketchOf(shared ++ onlyA).withColumnRenamed("kmv", "ka")
+    val sb = sketchOf(shared ++ onlyB).withColumnRenamed("kmv", "kb")
+    val j = sa.join(sb, "g")
+      .select(Sketch.kmvJaccard(col("ka"), col("kb"), k)).head.getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 0.12, s"jaccard $j vs 1/3") // ±~3σ at k=256
+    // identical sketches → exactly 1; disjoint → exactly 0
+    val same = sa.select(Sketch.kmvJaccard(col("ka"), col("ka"), k)).head.getDouble(0)
+    assert(same == 1.0)
+    val da = sketchOf(onlyA).withColumnRenamed("kmv", "ka")
+    val db = sketchOf(onlyB).withColumnRenamed("kmv", "kb")
+    val none = da.crossJoin(db)
+      .select(Sketch.kmvJaccard(col("ka"), col("kb"), k)).head.getDouble(0)
+    assert(none == 0.0)
+    // pairwise driver over a 3-group sketch table
+    val tri = Sketch.kmvSketch(
+      (shared.map(("x", _)) ++ shared.map(("y", _)) ++ onlyB.map(("z", _)))
+        .toDF("g", "key"), Seq("g"), Sketch.keyHash(col("key")), k)
+    val pairs = Sketch.kmvOverlapPairs(tri, "g", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(pairs(("x", "y")) == 1.0 && pairs(("x", "z")) == 0.0 &&
+      pairs(("y", "z")) == 0.0)
+  }
+
   test("kmv estimate is the exact integer floor-division formula") {
     // unsigned(h) = 2^63 → est = (k-1)·2^64 / 2^63 = 2(k-1)
     assert(graft.functions.KmvEstimate.compute(Long.MinValue, 5) == 8L)
