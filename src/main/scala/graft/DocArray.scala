@@ -199,6 +199,15 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text"): DataFrame =
     LangModel.collocations(df, col(textCol), minCount, k)
 
+  /** knn majority-vote pseudo-labeling: classify every doc of THIS array
+    * by its k nearest neighbors in `labeled` (ties → smallest label).
+    * Returns (query_id, label, votes). */
+  def classifyWith(labeled: DocArray, k: Int, metric: String = "cosine",
+      labelCol: String = "label", vecCol: String = "embedding"): DataFrame =
+    Knn.classify(labeled.df, df, k, metric, labelCol,
+      docId = labeled.idCol, docVec = vecCol,
+      queryId = idCol, queryVec = vecCol)
+
   /** C4's bad-words rule: adds `keep` = no token on the blocklist.
     * Map-only broadcast-literal containment check. */
   def blocklistFilter(words: Seq[String],

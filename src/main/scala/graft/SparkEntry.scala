@@ -1604,6 +1604,22 @@ object SparkEntry {
       .orderBy("ga", "gb")
   }
 
+  // knn majority-vote pseudo-labeling (Knn.classify): hold out every
+  // 10th vector as the unlabeled set, vote with k=5 over the labeled
+  // rest; ties break to the smallest label. The semi-supervised
+  // labeling step of a training pipeline, gated end-to-end (knn rank
+  // boundary + vote count + deterministic argmax).
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Knn.classify(
+        e.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        e.where(pmod(col("vec_id"), lit(10)) === 0),
+        k = 5, metric = "euclidean", labelCol = "label",
+        docId = "vec_id", docVec = "embedding",
+        queryId = "vec_id", queryVec = "embedding")
+      .orderBy("query_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1717,7 +1733,8 @@ object SparkEntry {
     "q108_pca_project" -> (q108 _),
     "q109_cluster_mixing" -> (q109 _),
     "q110_pca_grid_pairs" -> (q110 _),
-    "q111_sketch_overlap" -> (q111 _))
+    "q111_sketch_overlap" -> (q111 _),
+    "q112_knn_classify" -> (q112 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3832,7 +3849,23 @@ object SparkEntry {
                 ELSE CAST(len(list_filter(m, x ->
                        list_contains(ka, x) AND list_contains(kb, x))) AS DOUBLE)
                      / len(m) END AS jaccard
-         FROM uu ORDER BY ga, gb"""
+         FROM uu ORDER BY ga, gb""",
+
+    // q112: brute-force knn rank ≤ 5 (the q12 chain) → per-query label
+    // vote counts → argmax with (votes desc, label asc) determinism
+    "q112_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id % 10 = 0),
+         t AS (SELECT vec_id, v, label FROM e WHERE vec_id % 10 <> 0),
+         d AS (SELECT qid, t.vec_id id, list_distance(qv, t.v) dist, t.label
+               FROM q, t),
+         r AS (SELECT qid query_id, label,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank FROM d),
+         v AS (SELECT query_id, label, count(*) votes FROM r
+               WHERE rank <= 5 GROUP BY 1, 2)
+         SELECT query_id, label, votes FROM v
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+         ORDER BY query_id"""
   )
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64

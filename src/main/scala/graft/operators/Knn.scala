@@ -368,4 +368,32 @@ object Knn {
       .join(pos.withColumnRenamed("query_id", "anchor_id"), Seq("anchor_id"), "left")
       .join(neg.withColumnRenamed("query_id", "anchor_id"), Seq("anchor_id"), "left")
   }
+
+  /** knn-majority-vote classification (pseudo-labeling): each query takes
+    * the most frequent label among its k nearest labeled docs, ties →
+    * the smallest label (deterministic, engine-replayable). The semi-
+    * supervised labeling step of training pipelines — label a small seed
+    * set, propagate to the corpus. Works from [[bruteForce]] here;
+    * at index scale feed [[classifyFromHits]] with `Ann` search hits
+    * instead (the selection step is knn-source-agnostic, like
+    * [[tripletsFromHits]]). Output: (query_id, label, votes). */
+  def classify(docs: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine", labelCol: String = "label",
+      docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding"): DataFrame =
+    classifyFromHits(
+      bruteForce(docs, queries, k, metric, docId, docVec, queryId, queryVec),
+      docs.select(col(docId).as("id"), col(labelCol).as("label")))
+
+  /** Majority vote over any (query_id, id, …) hit table joined to an
+    * (id, label) table: one equi-join + one partially-aggregated count +
+    * one min(struct) argmax per query — no windows. */
+  def classifyFromHits(hits: DataFrame, labels: DataFrame): DataFrame =
+    hits.join(labels, Seq("id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("_w"))
+      .select(col("query_id"), col("_w.l").as("label"),
+        (-col("_w.nv")).as("votes"))
 }

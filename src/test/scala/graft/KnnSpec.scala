@@ -491,4 +491,22 @@ class KnnSpec extends SparkSuite {
     assert(via.keySet == t.keySet &&
       via.forall { case (k, r) => r.toSeq == t(k).toSeq })
   }
+
+  test("classify: majority vote, deterministic tie-break to the lowest label") {
+    import spark.implicits._
+    // labeled docs on a line; query at 0.35 has k=4 neighbors 2×A (0.3,
+    // 0.4) and 2×B (0.2, 0.5) — a 2-2 tie → label A (smaller); query at
+    // 10.1 is surrounded by 3×C
+    val docs = Seq(
+      (1L, Seq(0.2f), 2), (2L, Seq(0.3f), 1), (3L, Seq(0.4f), 1),
+      (4L, Seq(0.5f), 2), (5L, Seq(10.0f), 3), (6L, Seq(10.2f), 3),
+      (7L, Seq(10.3f), 3), (8L, Seq(99.0f), 9)
+    ).toDF("id", "embedding", "label")
+    val queries = Seq((100L, Seq(0.35f)), (200L, Seq(10.1f)))
+      .toDF("id", "embedding")
+    val got = Knn.classify(docs, queries, k = 4, metric = "euclidean")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got(100L) == ((1, 2L))) // 2-2 tie → smallest label, votes 2
+    assert(got(200L) == ((3, 3L))) // clear majority 3 of 4
+  }
 }
