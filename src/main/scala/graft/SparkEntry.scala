@@ -1620,6 +1620,18 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  // exact-quota class rebalancing (GroupOps.rebalanceToQuota): every
+  // lang ends with EXACTLY 100 rows — fr/de/es/zh (64–82) oversample
+  // with replacement via the deterministic cyclic repeat
+  // ((quota − rn) div n + 1 copies of seeded-rank rn), en (193–218)
+  // downsamples to its first 100 draws. Both branches gated; the
+  // oracle replays rank, copy count, and the 0-based rep expansion.
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    GroupOps.rebalanceToQuota(t(s, dir, "documents"), quota = 100,
+        seed = 23L, col("lang"), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("rep"))
+      .orderBy("lang", "doc_id", "rep")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1734,7 +1746,8 @@ object SparkEntry {
     "q109_cluster_mixing" -> (q109 _),
     "q110_pca_grid_pairs" -> (q110 _),
     "q111_sketch_overlap" -> (q111 _),
-    "q112_knn_classify" -> (q112 _))
+    "q112_knn_classify" -> (q112 _),
+    "q113_rebalance" -> (q113 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3865,7 +3878,22 @@ object SparkEntry {
                WHERE rank <= 5 GROUP BY 1, 2)
          SELECT query_id, label, votes FROM v
          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
-         ORDER BY query_id"""
+         ORDER BY query_id""",
+
+    // q113: seeded per-lang rank → cyclic copy count → rep expansion
+    "q113_rebalance" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         ${splitmixChainSql("doc_id, lang", 23L)},
+         r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+               FROM ranked),
+         c AS (SELECT r.doc_id, r.lang,
+               CASE WHEN rn <= least(n.n, 100) THEN (100 - rn) // n.n + 1
+                    ELSE 0 END AS cps
+               FROM r JOIN n USING (lang))
+         SELECT doc_id, lang, CAST(unnest(range(0, cps)) AS BIGINT) AS rep
+         FROM c WHERE cps > 0
+         ORDER BY lang, doc_id, rep"""
   )
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64

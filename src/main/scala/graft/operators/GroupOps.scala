@@ -149,6 +149,42 @@ object GroupOps {
       .where(col("_rn") <= k).drop("_rn")
   }
 
+  /** Exact-quota class rebalancing: every group ends up with EXACTLY
+    * `quota` rows — small groups oversample with replacement (rows
+    * repeat cyclically in the seeded hash order), large groups
+    * downsample to their first `quota` draws. The class-imbalance fix
+    * of classifier-training pipelines, made deterministic: row with
+    * seeded rank rn (1-based) appears `(quota − rn) div n + 1` times
+    * (rn ≤ min(n, quota); 0 otherwise) where n is the group size — the
+    * cyclic-repeat count, replayable as integer division in any engine.
+    * Output: input row + `rep` (0-based copy index; `(group, key, rep)`
+    * is a unique key for downstream shuffling).
+    *
+    * Scale shape: one group-keyed window for the seeded rank (the q58
+    * WindowGroupLimit-eligible shape is lost to the explode, but the
+    * window is still a single group-keyed shuffle) + a broadcast of the
+    * G-row group sizes + a zero-shuffle sequence explode. Groups larger
+    * than `quota` shuffle all rows into the rank but emit only `quota`.
+    */
+  def rebalanceToQuota(df: DataFrame, quota: Int, seed: Long,
+      group: Column, key: Column): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val sizes = df.groupBy(group.as("_grp")).agg(count(lit(1)).as("_n"))
+    val rk = graft.functions.splitmix64_rank(key, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(rk, key)
+    val copies = when(col("_rn") <= least(col("_n"), lit(quota.toLong)),
+      floor((lit(quota.toLong) - col("_rn")) / col("_n")) + 1L)
+      .otherwise(lit(0L))
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), group <=> col("_grp"))
+      .withColumn("_c", copies)
+      .where(col("_c") > 0)
+      .withColumn("rep",
+        explode(sequence(lit(0L), col("_c") - 1L, lit(1L))))
+      .drop("_rn", "_grp", "_n", "_c")
+  }
+
   /** Temperature-weighted data mixing: draw ~`total` rows with per-group
     * quotas proportional to `count^alpha` — the standard multi-source
     * rebalancing rule (alpha = 1 keeps natural proportions, alpha = 0 is

@@ -265,4 +265,27 @@ class CorpusOpsSpec extends SparkSuite {
       .count()
     assert(bloom == 200L)
   }
+
+  test("rebalanceToQuota: exact quotas, cyclic oversample, layout-invariant") {
+    import graft.operators.GroupOps
+    // small (3 rows), exact (5), large (12) groups → all three regimes
+    val df = ((0 until 3).map(i => ("s", i.toLong)) ++
+      (10 until 15).map(i => ("m", i.toLong)) ++
+      (20 until 32).map(i => ("l", i.toLong))).toDF("g", "id")
+    val out = GroupOps.rebalanceToQuota(df, quota = 5, seed = 7L,
+      col("g"), col("id"))
+    val byG = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byG.view.mapValues(_.length).toMap == Map("s" -> 5, "m" -> 5, "l" -> 5))
+    // small group: cyclic repeat — ranks 1,2 get 2 copies (rep 0,1), rank 3 one
+    val sCopies = byG("s").groupBy(_._2).view.mapValues(_.map(_._3).sorted.toList).toMap
+    assert(sCopies.values.toList.sortBy(-_.length).map(_.length).sorted.reverse == List(2, 2, 1))
+    sCopies.values.foreach(reps => assert(reps == reps.indices.map(_.toLong).toList))
+    // large group: 5 distinct rows, all rep 0
+    assert(byG("l").map(_._2).distinct.length == 5 && byG("l").forall(_._3 == 0L))
+    // deterministic under repartition
+    val out2 = GroupOps.rebalanceToQuota(df.repartition(7), quota = 5, seed = 7L,
+      col("g"), col("id")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
