@@ -1632,6 +1632,16 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("rep"))
       .orderBy("lang", "doc_id", "rep")
 
+  // winnowing fingerprints (Dedup.winnowFingerprints, MOSS): k=8-gram
+  // FNV hashes, window w=4 min with the rightmost-tie robust rule. The
+  // oracle replays the selection with a single packed HUGEINT window
+  // min — (h + 2^63)·2^32 + (2^32−1−pos) orders exactly like Spark's
+  // min(struct(h, −pos)) — then decodes (pos, fp) back out.
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+      .orderBy("doc_id", "pos", "fp")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1747,7 +1757,8 @@ object SparkEntry {
     "q110_pca_grid_pairs" -> (q110 _),
     "q111_sketch_overlap" -> (q111 _),
     "q112_knn_classify" -> (q112 _),
-    "q113_rebalance" -> (q113 _))
+    "q113_rebalance" -> (q113 _),
+    "q114_winnow_fingerprints" -> (q114 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3893,7 +3904,37 @@ object SparkEntry {
                FROM r JOIN n USING (lang))
          SELECT doc_id, lang, CAST(unnest(range(0, cps)) AS BIGINT) AS rep
          FROM c WHERE cps > 0
-         ORDER BY lang, doc_id, rep"""
+         ORDER BY lang, doc_id, rep""",
+
+    // q114: raw-char FNV per 8-gram, then the packed-HUGEINT window min
+    // (signed-h order via +2^63; rightmost tie via 2^32-1-pos), decoded
+    "q114_winnow_fingerprints" ->
+      """WITH g0 AS (SELECT doc_id, text,
+             CAST(unnest(range(0, len(text) - 7)) AS INTEGER) AS pos
+           FROM documents WHERE len(text) >= 8),
+         g AS (SELECT doc_id, pos, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(substr(text, pos + 1, 8), ''),
+                 c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS hu
+           FROM g0),
+         hs AS (SELECT doc_id, pos,
+             CAST(hu - (CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS h
+           FROM g),
+         p AS (SELECT doc_id, pos,
+             (CAST(h AS HUGEINT) + 9223372036854775808) * 4294967296
+               + (4294967295 - pos) AS pk
+           FROM hs),
+         sel AS (SELECT doc_id, pos,
+             min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+           FROM p),
+         fp AS (SELECT DISTINCT doc_id,
+             CAST(4294967295 - (mn % 4294967296) AS INTEGER) AS pos,
+             CAST((mn // 4294967296) - 9223372036854775808 AS BIGINT) AS fp
+           FROM sel WHERE pos >= 3)
+         SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos, fp"""
   )
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64

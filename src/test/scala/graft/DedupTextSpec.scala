@@ -406,4 +406,44 @@ class DedupTextSpec extends SparkSuite {
     assert(!r.exists(c => c.nonEmpty &&
       Character.isHighSurrogate(c.last))) // no chunk ends mid-pair
   }
+
+  test("winnowing: the w+k-1 guarantee, rightmost ties, density, pairs") {
+    val rnd = new scala.util.Random(31)
+    def randText(n: Int) = (0 until n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = randText(20) // ≥ w + k − 1 = 11 ⇒ MUST share a fingerprint
+    val docs = Seq(
+      (1L, randText(150) + shared + randText(150)),
+      (2L, randText(140) + shared + randText(160)),
+      (3L, randText(300))).toDF("id", "t")
+    val k = 8; val w = 4
+    val fp = Dedup.winnowFingerprints(docs, "id", "t", k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // the guarantee: docs 1 and 2 share at least one fingerprint value
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    // expected density ≈ 2/(w+1): loose sanity band
+    val n1 = fp.count(_._1 == 1L).toDouble
+    val grams1 = (150 + 20 + 150) - k + 1 - (w - 1)
+    assert(n1 / grams1 > 0.2 && n1 / grams1 < 0.6, s"density ${n1 / grams1}")
+    // hand-check the selection on a tiny case: every window min, ties rightmost
+    val tiny = Seq((9L, "abababab")).toDF("id", "t") // k-grams repeat → ties
+    val tf = Dedup.winnowFingerprints(tiny, "id", "t", 2, 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val h = (s: String) => graft.functions.Fnv64.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val grams = (0 to 6).map(i => "abababab".substring(i, i + 2))
+    val hs = grams.map(h)
+    val want = (2 to 6).map { i =>
+      val frame = (i - 2 to i).map(j => (hs(j), -j))
+      val m = frame.min // (h asc, -pos asc) == rightmost min, Spark's rule
+      (-m._2, m._1)
+    }.distinct.sortBy(_._1)
+    assert(tf.toList == want.toList)
+    // pairs: the planted pair survives minShared, the random doc doesn't
+    val pairs = Dedup.winnowPairs(docs, "id", "t", k, w, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
