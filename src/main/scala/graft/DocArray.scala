@@ -133,6 +133,18 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def sampleWeighted(weight: Column, seed: Long): DocArray =
     wrap(GroupOps.sampleWeighted(df, weight, seed, col(idCol)))
 
+  /** Exact-quota class rebalancing: every `group` to exactly `quota`
+    * rows — deterministic oversample-with-replacement below quota,
+    * first-draws downsample above it; adds a `rep` copy index. */
+  def rebalanceClasses(quota: Int, seed: Long, group: Column): DocArray =
+    wrap(GroupOps.rebalanceToQuota(df, quota, seed, group, col(idCol)))
+
+  /** Winnowing (MOSS) shared-fingerprint near-dup pairs: local-match
+    * detection with the w+k−1 guarantee — code clones, quotes. */
+  def winnowNearDupPairs(k: Int = 8, w: Int = 4, minShared: Int = 2,
+      textCol: String = "text"): DataFrame =
+    Dedup.winnowPairs(df, idCol, textCol, k, w, minShared)
+
   /** Label every doc train/val/test (or any named fractions summing to
     * 1) by its seeded hash draw — deterministic, layout-invariant,
     * zero-shuffle; the label column doubles as a write partition key. */
