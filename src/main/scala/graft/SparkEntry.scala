@@ -1642,6 +1642,24 @@ object SparkEntry {
         k = 8, w = 4)
       .orderBy("doc_id", "pos", "fp")
 
+  // incremental NEAR-dup ingest (Dedup.minhashAgainstSigs): every 5th
+  // doc is the "daily batch", the rest the persisted corpus signature
+  // artifact; bipartite banding + signature-estimated jaccard
+  // (matches/128, dyadic-exact). The oracle replays the FULL minhash
+  // pipeline — shingle FNV, the 128 per-stream mixes (two prefixed
+  // splitmix chains), signed component mins — then brute-forces all
+  // batch×corpus pairs: the gate proves the signatures bit-for-bit AND
+  // the banding's completeness at this threshold.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = Dedup.minhashSignatures(
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+    val batch = Dedup.minhashSignatures(
+      d.where(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+    Dedup.minhashAgainstSigs(batch, corpus, threshold = 0.5)
+      .orderBy("a", "b")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1758,7 +1776,8 @@ object SparkEntry {
     "q111_sketch_overlap" -> (q111 _),
     "q112_knn_classify" -> (q112 _),
     "q113_rebalance" -> (q113 _),
-    "q114_winnow_fingerprints" -> (q114 _))
+    "q114_winnow_fingerprints" -> (q114 _),
+    "q115_incremental_neardup" -> (q115 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3934,7 +3953,46 @@ object SparkEntry {
              CAST(4294967295 - (mn % 4294967296) AS INTEGER) AS pos,
              CAST((mn // 4294967296) - 9223372036854775808 AS BIGINT) AS fp
            FROM sel WHERE pos >= 3)
-         SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos, fp"""
+         SELECT doc_id, pos, fp FROM fp ORDER BY doc_id, pos, fp""",
+
+    // q115: the full minhash replay — shingle FNV, 128 streams
+    // (mix(42+i)), per-component mix(base xor stream) via a second
+    // prefixed splitmix chain, signed mins — then brute-force
+    // batch×corpus with the matches/128 estimator
+    "q115_incremental_neardup" ->
+      s"""WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         sh AS (SELECT doc_id, unnest(s) AS w FROM g WHERE len(s) >= 1),
+         fh AS (SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS hu
+           FROM sh),
+         fs AS (SELECT doc_id,
+             CAST(hu - (CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs
+           FROM fh),
+         ${splitmixChainSql("i", 42L,
+            from = "(SELECT CAST(x AS INTEGER) AS i FROM range(0, 128) t0(x)) tt",
+            key = "i", prefix = "st")},
+         st AS (SELECT i, rk AS stream FROM stranked),
+         xr AS (SELECT doc_id, i, xor(hs, stream) AS k2 FROM fs CROSS JOIN st),
+         ${splitmixChainSql("doc_id, i", 0L, from = "xr", key = "k2",
+            prefix = "mx")},
+         sigc AS (SELECT doc_id, i, min(rk) AS mn FROM mxranked GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM sigc GROUP BY doc_id),
+         ba AS (SELECT doc_id AS a, sig AS sa FROM sig WHERE doc_id % 5 = 0),
+         co AS (SELECT doc_id AS b, sig AS sb FROM sig WHERE doc_id % 5 <> 0),
+         pr AS (SELECT a, b,
+             len(list_filter(range(1, 129), k -> sa[k] = sb[k])) AS m
+           FROM ba CROSS JOIN co)
+         SELECT a, b, CAST(m AS DOUBLE) / 128 AS est_jaccard
+         FROM pr WHERE CAST(m AS DOUBLE) / 128 >= 0.5
+         ORDER BY a, b"""
   )
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64
@@ -4030,29 +4088,30 @@ object SparkEntry {
     * hand-written q52/q58 chains — one splitmix64 definition, one oracle
     * encoding of it. */
   private def splitmixChainSql(cols: String, seed: Long,
-      from: String = "documents", key: String = "doc_id"): String =
-    s"""s1 AS (SELECT $cols,
+      from: String = "documents", key: String = "doc_id",
+      prefix: String = ""): String =
+    s"""${prefix}s1 AS (SELECT $cols,
            (CAST($key AS HUGEINT) + $seed + 11400714819323198485) % 18446744073709551616 AS x
          FROM $from),
-         s2 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+         ${prefix}s2 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                      CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
             + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                              CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-         FROM s1),
-         s3 AS (SELECT $cols, ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+         FROM ${prefix}s1),
+         ${prefix}s3 AS (SELECT $cols, ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
              + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x
-         FROM s2),
-         s4 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+         FROM ${prefix}s2),
+         ${prefix}s4 AS (SELECT $cols, (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                      CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
             + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                              CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
-         FROM s3),
-         s5 AS (SELECT $cols, ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+         FROM ${prefix}s3),
+         ${prefix}s5 AS (SELECT $cols, ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
              + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x
-         FROM s4),
-         ranked AS (SELECT $cols,
+         FROM ${prefix}s4),
+         ${prefix}ranked AS (SELECT $cols,
            xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
                CAST((x // 2147483648) AS BIGINT)) AS rk
-         FROM s5)
+         FROM ${prefix}s5)
     """
 }

@@ -407,6 +407,33 @@ class DedupTextSpec extends SparkSuite {
       Character.isHighSurrogate(c.last))) // no chunk ends mid-pair
   }
 
+  test("incremental near-dup: persisted signature artifact, no raw corpus read") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about spark query planning internals"),
+      (3L, "another unrelated document mentioning parquet column pruning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "nothing like anything in the historical corpus whatsoever")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graftsigs").toString
+    // day 0: sign the corpus once, persist the artifact
+    Dedup.minhashSignatures(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // day 1: the batch joins ONLY against the artifact
+    val sigs = spark.read.parquet(dir)
+    val out = Dedup.minhashAgainstSigs(
+        Dedup.minhashSignatures(batch, "doc_id", "text"), sigs,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    val (a, b, est) = out.head
+    assert(a == 100L && b == 1L && est > 0.5 && est <= 1.0)
+    // estimator sanity: est is n/128 exactly
+    assert((est * 128).isWhole)
+  }
+
   test("winnowing: the w+k-1 guarantee, rightmost ties, density, pairs") {
     val rnd = new scala.util.Random(31)
     def randText(n: Int) = (0 until n).map(_ =>
