@@ -219,6 +219,45 @@ object EventStream {
       }
   }
 
+  /** Streaming incremental NEAR-dup ingest: each micro-batch is minhash-
+    * signed, screened against the persisted corpus signature artifact
+    * ([[graft.operators.Dedup.minhashAgainstSigs]] — banding +
+    * signature-estimated jaccard, no raw corpus read), and the batch's
+    * NOVEL docs' signatures are appended to the artifact so later
+    * batches dedup against them too. The artifact is versioned like
+    * [[streamingKmvSketch]]'s state (v<batchId> = previous version ∪
+    * novel sigs; replayed batches re-derive from the strictly-older
+    * version — idempotent, crash-safe). Novel doc rows are appended to
+    * `path/docs` as plain parquet (idempotent per-batch overwrite of a
+    * batch-keyed subdir). Ids must be globally unique across the
+    * stream; docs with no shingles are unsignable and are dropped. */
+  def streamingNearDupIngest(docStream: DataFrame, idCol: String,
+      textCol: String, threshold: Double, path: String,
+      numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
+          numHashes, seed = seed)
+        val novel = latestKmvVersion(spark, s"$path/sigs", batchId) match {
+          case Some(v) =>
+            val corpus = spark.read.parquet(s"$path/sigs/v$v")
+            val dupIds = Dedup.minhashAgainstSigs(sigs, corpus, threshold,
+              numHashes, bands, seed).select(col("a").as(idCol)).distinct()
+            val nv = sigs.join(dupIds, Seq(idCol), "left_anti")
+            corpus.unionByName(nv)
+          case None => sigs
+        }
+        novel.write.mode("overwrite").parquet(s"$path/sigs/v$batchId")
+        val keptIds = spark.read.parquet(s"$path/sigs/v$batchId")
+          .select(col(idCol))
+        batch.join(keptIds, Seq(idCol))
+          .write.mode("overwrite").parquet(s"$path/docs/b$batchId")
+      }
+  }
+
   /** The current sketch state written by [[streamingKmvSketch]] (latest
     * committed version); estimate with `Sketch.kmvEstimateFromSketch`. */
   def readKmvState(spark: SparkSession, path: String): DataFrame =

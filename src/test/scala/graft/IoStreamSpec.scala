@@ -726,6 +726,35 @@ class IoStreamSpec extends SparkSuite {
     assert(vs.toSet == Set("v0", "v1"))
   }
 
+  test("streaming near-dup ingest: artifact grows, dups dropped, restart-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "spark plans filters joins and aggregates over columnar parquet data"
+    val c = "a totally novel third document about streaming watermarks and state"
+    val dir = Files.createTempDirectory("graftnd").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val writer = EventStream.streamingNearDupIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData((1L, a), (2L, b))
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    // batch 2 (restarted writer): a near-dup of doc 1 + one novel doc
+    mem.addData((10L, a + " today"), (11L, c))
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val sigIds = spark.read.parquet(s"$dir/state/sigs/v1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 11L)) // dup 10 never entered the artifact
+    val docIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/state/docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docIds == Set(1L, 2L, 11L))
+  }
+
   test("binary codec: reference-format round trip incl. nesting flatten") {
     import graft.sources.BinaryCodec
     import graft.schema.{Doc, NamedScore, Tensor}
