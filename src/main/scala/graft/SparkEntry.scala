@@ -3826,12 +3826,14 @@ object SparkEntry {
          ORDER BY doc_id""",
 
     // q107: C4 bad-words rule — keep iff the token list intersects the
-    // blocklist nowhere
+    // blocklist nowhere; null text drops (mirrors blocklistKeep's
+    // explicit null rule, not SQL's null propagation)
     "q107_blocklist" ->
       """SELECT doc_id,
-           NOT list_has_any(
-             list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> ''),
-             ['slow', 'dup', 'zzznotaword']) AS keep
+           CASE WHEN text IS NULL THEN false
+                ELSE NOT list_has_any(
+                  list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> ''),
+                  ['slow', 'dup', 'zzznotaword']) END AS keep
          FROM documents ORDER BY doc_id""",
 
     // q108: the projection kernel replayed term-for-term — dyadic

@@ -94,7 +94,15 @@ case class CoMomentAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      if (a.numElements() == dims) buf.add(a.toLongArray())
+      if (a.numElements() == dims) {
+        // a null element would read as 0 through toLongArray and silently
+        // skew the sums — treat the row as corrupt and skip it, like a
+        // dimension mismatch
+        var i = 0
+        var clean = true
+        while (clean && i < dims) { clean = !a.isNullAt(i); i += 1 }
+        if (clean) buf.add(a.toLongArray())
+      }
     }
     buf
   }

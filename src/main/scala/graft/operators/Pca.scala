@@ -85,8 +85,10 @@ object Pca {
       quant: Double = 10000.0, dims: Int = -1): PcaModel = {
     val d =
       if (dims > 0) dims
-      else df.select(size(col(vecCol)).as("d")).where(col("d") > 0)
-        .head.getInt(0) // 1-row metadata read, the sqTrain pattern
+      // deterministic 1-row metadata read (the sqTrain pattern): max over
+      // all rows — an unordered head() would make the inferred dims (and
+      // which rows the agg skips) depend on partition layout
+      else df.agg(max(size(col(vecCol)))).head.getInt(0)
     require(outDim > 0 && outDim <= d, s"outDim must be in [1, $d], got $outDim")
     val q = slice(quantize(col(vecCol), quant), 1, d)
     val row = df.select(co_moments(q, d).as("s"))

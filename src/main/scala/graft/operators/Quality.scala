@@ -59,13 +59,14 @@ object Quality {
     * `keep` is true iff NO alnum token of the text appears in `words` —
     * one `arrays_overlap` against a broadcast literal array: map-only,
     * zero shuffle, whole-stage codegen at any corpus size. Null text is
-    * dropped (keep = false), matching the rule's intent. Case handled by
-    * the tokenizer's lowercasing; pass the blocklist lowercase. */
+    * dropped (keep = false), matching the rule's intent. The blocklist
+    * is lowercased here to match the tokenizer's case folding — a
+    * mixed-case entry can never match otherwise. */
   def blocklistKeep(text: Column, words: Seq[String]): Column =
     when(text.isNull, lit(false))
       .otherwise(!arrays_overlap(
         graft.functions.TextFunctions.tokens(text),
-        array(words.map(lit): _*)))
+        array(words.map(w => lit(w.toLowerCase)): _*)))
 
   /** Filter battery form of [[blocklistKeep]]: input row + `keep`. */
   def blocklistFilter(df: DataFrame, textCol: Column,

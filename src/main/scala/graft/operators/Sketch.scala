@@ -60,7 +60,10 @@ object Sketch {
     kmvSketch(df, groupCols, hash, k)
       .select((groupCols.map(col) :+
         size(col("kmv")).cast("long").as("k_actual") :+
-        element_at(col("kmv"), size(col("kmv"))).as("kth_hash")): _*)
+        // a group whose hashes were all null has an EMPTY sketch —
+        // element_at(kmv, 0) would throw; its kth hash is simply absent
+        when(size(col("kmv")) > 0,
+          element_at(col("kmv"), size(col("kmv")))).as("kth_hash")): _*)
       .withColumn("est_distinct",
         when(col("k_actual") < k, col("k_actual"))
           .otherwise(kmv_estimate(col("kth_hash"), k)))
@@ -70,17 +73,22 @@ object Sketch {
       k: Int, seed: Long = 0L): DataFrame =
     kmvDistinct(df, groupCols, keyHash(key, seed), k)
 
+  /** Bottom-k (unsigned order) of an array of signed hashes: the single
+    * definition both [[kmvMerge]] and [[kmvJaccard]] build on — one
+    * sign-flip/sort/unflip encoding, not two drifting copies. */
+  private def unionBottomK(arr: Column, k: Int): Column =
+    slice(
+      transform(
+        sort_array(array_distinct(transform(arr,
+          x => x.bitwiseXOR(lit(Long.MinValue))))),
+        x => x.bitwiseXOR(lit(Long.MinValue))),
+      1, k)
+
   /** Union sketches that share a group key: lossless bottom-k of the union
     * of the per-part bottom-k arrays (distinct, unsigned sort, cut at k). */
   def kmvMerge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
     sketches.groupBy(groupCols.map(col): _*)
-      .agg(slice(
-        transform(
-          sort_array(array_distinct(transform(
-            flatten(collect_list(col("kmv"))),
-            x => x.bitwiseXOR(lit(Long.MinValue))))),
-          x => x.bitwiseXOR(lit(Long.MinValue))),
-        1, k).as("kmv"))
+      .agg(unionBottomK(flatten(collect_list(col("kmv"))), k).as("kmv"))
 
   /** Estimate column over a sketch array (from [[kmvSketch]]/[[kmvMerge]]). */
   def kmvEstimateFromSketch(kmv: Column, k: Int): Column =
@@ -96,12 +104,7 @@ object Sketch {
     * estimator that needs NO join of the raw data — two k-long arrays
     * per corpus slice, composable over [[kmvMerge]]d shards. */
   def kmvJaccard(a: Column, b: Column, k: Int): Column = {
-    val union = slice(
-      transform(
-        sort_array(array_distinct(transform(concat(a, b),
-          x => x.bitwiseXOR(lit(Long.MinValue))))),
-        x => x.bitwiseXOR(lit(Long.MinValue))),
-      1, k)
+    val union = unionBottomK(concat(a, b), k)
     val inBoth = size(filter(union,
       x => array_contains(a, x) && array_contains(b, x)))
     when(size(union) === 0, lit(0.0))

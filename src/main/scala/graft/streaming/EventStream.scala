@@ -196,11 +196,13 @@ object EventStream {
     * with the tiny persisted state — no unbounded streaming state store,
     * no watermark needed for an all-time cardinality. */
   def streamingKmvSketch(stream: DataFrame, groupCols: Seq[String],
-      hash: org.apache.spark.sql.Column, k: Int,
-      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      hash: org.apache.spark.sql.Column, k: Int, path: String,
+      keepVersions: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepVersions >= 2, "keepVersions must be >= 2 (replay safety)")
     import graft.operators.Sketch
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val batchSk = Sketch.kmvSketch(batch, groupCols, hash, k)
         // versioned state, one dir per micro-batch: merge the latest
         // version STRICTLY OLDER than this batchId, write v<batchId>.
@@ -208,14 +210,24 @@ object EventStream {
         // commit) re-merges the same older version and overwrites its own
         // dir — idempotent because a KMV union is a set union. The
         // previous version is never touched, so no crash point can lose
-        // the only copy of the state.
-        val merged = latestKmvVersion(batch.sparkSession, path, batchId) match {
+        // the only copy of the state; versions beyond `keepVersions` are
+        // pruned after a successful write (only the last in-flight batch
+        // can replay, so >= 2 retained versions preserve its input).
+        val merged = latestKmvVersion(spark, path, batchId) match {
           case Some(v) =>
-            val prev = batch.sparkSession.read.parquet(s"$path/v$v")
+            val prev = spark.read.parquet(s"$path/v$v")
             Sketch.kmvMerge(prev.unionByName(batchSk), groupCols, k)
           case None => batchSk
         }
         merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map((_, s.getPath)))
+          .filter(_._1 <= batchId)
+          .sortBy(-_._1).drop(keepVersions)
+          .foreach { case (_, old) => fs.delete(old, true) }
       }
   }
 
@@ -241,21 +253,49 @@ object EventStream {
         val spark = batch.sparkSession
         val sigs = Dedup.minhashSignatures(batch, idCol, textCol,
           numHashes, seed = seed)
-        val novel = latestKmvVersion(spark, s"$path/sigs", batchId) match {
-          case Some(v) =>
-            val corpus = spark.read.parquet(s"$path/sigs/v$v")
-            val dupIds = Dedup.minhashAgainstSigs(sigs, corpus, threshold,
-              numHashes, bands, seed).select(col("a").as(idCol)).distinct()
-            val nv = sigs.join(dupIds, Seq(idCol), "left_anti")
-            corpus.unionByName(nv)
-          case None => sigs
-        }
-        novel.write.mode("overwrite").parquet(s"$path/sigs/v$batchId")
-        val keptIds = spark.read.parquet(s"$path/sigs/v$batchId")
+        // WITHIN-batch screening first: near-dups arriving together must
+        // not both enter (survivors = ids with no smaller-id near-dup in
+        // the batch — the usual greedy keep-smallest pair rule)
+        val selfDup = Dedup.minhashAgainstSigs(sigs, sigs, threshold,
+            numHashes, bands, seed)
+          .where(col("a") > col("b")).select(col("a").as(idCol)).distinct()
+        val screened = sigs.join(selfDup, Seq(idCol), "left_anti")
+        // cross screening vs the union of all strictly-older DELTAS; each
+        // batch persists ONLY its novel signatures (d<batchId>), so the
+        // per-batch write is O(novel) and storage is linear in the corpus
+        // — a replayed batch re-screens against the same older deltas and
+        // overwrites its own delta: idempotent, no crash point loses state
+        val prior = completedDeltas(spark, s"$path/sigs", batchId)
+        val novel =
+          if (prior.isEmpty) screened
+          else {
+            val corpus = spark.read.parquet(prior: _*)
+            val dupIds = Dedup.minhashAgainstSigs(screened, corpus,
+                threshold, numHashes, bands, seed)
+              .select(col("a").as(idCol)).distinct()
+            screened.join(dupIds, Seq(idCol), "left_anti")
+          }
+        novel.write.mode("overwrite").parquet(s"$path/sigs/d$batchId")
+        val keptIds = spark.read.parquet(s"$path/sigs/d$batchId")
           .select(col(idCol))
         batch.join(keptIds, Seq(idCol))
           .write.mode("overwrite").parquet(s"$path/docs/b$batchId")
       }
+  }
+
+  /** All complete (_SUCCESS-marked) signature delta dirs strictly below
+    * `before`, via the Hadoop FS API. */
+  private def completedDeltas(spark: SparkSession, dir: String,
+      before: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(v => (v, s.getPath)))
+      .filter { case (v, pth) => v < before &&
+        fs.exists(new org.apache.hadoop.fs.Path(pth, "_SUCCESS")) }
+      .sortBy(_._1).map(_._2.toString)
   }
 
   /** The current sketch state written by [[streamingKmvSketch]] (latest

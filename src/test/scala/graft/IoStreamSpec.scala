@@ -740,15 +740,21 @@ class IoStreamSpec extends SparkSuite {
       threshold = 0.5, path = s"$dir/state")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$dir/_chk")
-    mem.addData((1L, a), (2L, b))
+    // batch 1 contains an INTRA-batch near-dup pair (1, 3): only the
+    // smaller id may enter
+    mem.addData((1L, a), (2L, b), (3L, a + " truly"))
     val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
     // batch 2 (restarted writer): a near-dup of doc 1 + one novel doc
     mem.addData((10L, a + " today"), (11L, c))
     val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
 
-    val sigIds = spark.read.parquet(s"$dir/state/sigs/v1")
+    // delta layout: d0 = batch-1 survivors, d1 = batch-2 novelty only
+    val d0 = spark.read.parquet(s"$dir/state/sigs/d0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sigIds == Set(1L, 2L, 11L)) // dup 10 never entered the artifact
+    val d1 = spark.read.parquet(s"$dir/state/sigs/d1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(d0 == Set(1L, 2L)) // intra-batch dup 3 screened out
+    assert(d1 == Set(11L))    // cross-batch dup 10 screened out
     val docIds = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$dir/state/docs")
       .select("doc_id").collect().map(_.getLong(0)).toSet
