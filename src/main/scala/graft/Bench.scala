@@ -594,6 +594,27 @@ object Bench {
       cl.agg(countDistinct(col("cluster_id"))).collect()
     }
 
+    // Incremental near-dup ingest at 1M corpus / 100k batch with 5%
+    // planted near-dups: sign both sides (minhash_text fused kernel is
+    // the dominant cost), bipartite band join on ids+buckets only,
+    // signature-estimated verify — the daily-crawl-vs-corpus regime the
+    // artifact path exists for. Validation row.
+    bench("x_neardup_ingest_1m", runs = 1) {
+      def mkText(n: Long, off: Long, mut: Boolean) =
+        spark.range(n).select((col("id") + off).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
+            concat(lit("w"), pmod(xxhash64(
+              when(lit(mut) && col("id") < 5000 && j === 0,
+                col("id") + 7777777L)
+                .otherwise(col("id") % 1000000), j), lit(50000)))))
+            .as("text"))
+      val corpus = Dedup.minhashSignatures(
+        mkText(1000000L, 0L, mut = false), "doc_id", "text")
+      val batch = Dedup.minhashSignatures(
+        mkText(100000L, 2000000L, mut = true), "doc_id", "text")
+      Dedup.minhashAgainstSigs(batch, corpus, threshold = 0.5).count()
+    }
+
     // Exact PCA at 1M×128: ONE co-moment scan (each partition collapses to
     // d(d+1)/2 + d = 8,384 longs before the shuffle), a driver-side Jacobi
     // on the 128×128 covariance, then the map-only projection kernel over

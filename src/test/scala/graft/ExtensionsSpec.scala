@@ -49,6 +49,28 @@ class ExtensionsSpec extends SparkSuite {
     assert(top.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("round-5 stat/sketch functions usable from SQL") {
+    graft.functions.registerAll(spark)
+    // kmv_estimate: unsigned(2^63) → (k−1)·2^64/2^63 = 2(k−1)
+    assert(spark.sql("SELECT kmv_estimate(-9223372036854775808, 5)")
+      .head.getLong(0) == 8L)
+    // kmv_sketch as a SQL aggregate: distinct bottom-2 in unsigned order
+    spark.sql("SELECT * FROM VALUES (5), (5), (-1), (3), (9) t(h)")
+      .createOrReplaceTempView("hs")
+    val sk = spark.sql("SELECT kmv_sketch(cast(h AS bigint), 2) FROM hs")
+      .head.getSeq[Long](0)
+    assert(sk == Seq(3L, 5L)) // -1 is unsigned-huge; 3 < 5 < 9
+    // co_moments as a SQL aggregate over pre-quantized vectors
+    spark.sql("SELECT * FROM VALUES (array(1, 2)), (array(3, 4)) t(v)")
+      .createOrReplaceTempView("vs")
+    val cm = spark.sql(
+      "SELECT co_moments(cast(v AS array<bigint>), 2) AS s FROM vs")
+      .select("s.n", "s.sx", "s.sxy").head
+    assert(cm.getLong(0) == 2L)
+    assert(cm.getSeq[Long](1) == Seq(4L, 6L))   // 1+3, 2+4
+    assert(cm.getSeq[Long](2) == Seq(10L, 14L, 20L)) // 1+9, 2+12, 4+16
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // getOrCreate returns the suite session and would skip extensions;
     // clear default/active so a fresh session (same context) is built
