@@ -1660,6 +1660,17 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  // exact distributed ROC-AUC (Evaluate.aucExact): tie-aware
+  // Mann–Whitney over the q21-gated quality score predicting
+  // English-ness. All rank math is integer half-ranks over the exact
+  // global order (range partition + zipWithIndex) — the single final
+  // division is the only float op, so the statistic replays
+  // bit-for-bit (tie handling included: the score has heavy ties at
+  // the 6-dp grid).
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    Evaluate.aucExact(t(s, dir, "documents"),
+      TextFunctions.qualityScore(col("text")), col("lang") === "en")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1777,7 +1788,8 @@ object SparkEntry {
     "q112_knn_classify" -> (q112 _),
     "q113_rebalance" -> (q113 _),
     "q114_winnow_fingerprints" -> (q114 _),
-    "q115_incremental_neardup" -> (q115 _))
+    "q115_incremental_neardup" -> (q115 _),
+    "q116_auc_exact" -> (q116 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -3994,7 +4006,41 @@ object SparkEntry {
            FROM ba CROSS JOIN co)
          SELECT a, b, CAST(m AS DOUBLE) / 128 AS est_jaccard
          FROM pr WHERE CAST(m AS DOUBLE) / 128 >= 0.5
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q116: the q21 score chain + integer half-rank Mann–Whitney; the
+    // one division mirrors Spark's operation order exactly
+    "q116_auc_exact" ->
+      """WITH t AS (SELECT doc_id, text, lang,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         m AS (SELECT doc_id, lang,
+           least(len(tok)/50.0, 1.0) AS len_score,
+           CASE WHEN len(tok)=0 THEN 0.0
+                ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok)
+           END AS mtl,
+           CASE WHEN length(text)=0 THEN 0.0
+                ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
+                     / length(text) END AS punct
+           FROM t),
+         q AS (SELECT round((len_score
+             + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                     WHEN mtl = 0.0 THEN 0.0 ELSE 0.5 END)
+             + (1.0 - least(punct*5.0, 1.0))) / 3.0, 6) AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM m),
+         r AS (SELECT sc, pos, row_number() OVER (ORDER BY sc) - 1 AS gi FROM q),
+         g AS (SELECT sc, min(gi) AS gmin, count(*) AS gcnt, sum(pos) AS gpos
+               FROM r GROUP BY sc),
+         a AS (SELECT CAST(sum(gpos) AS BIGINT) AS p,
+                 CAST(sum(gcnt) - sum(gpos) AS BIGINT) AS n,
+                 CAST(sum(gpos * (2*gmin + gcnt + 1)) AS BIGINT) AS r2
+               FROM g)
+         SELECT p AS n_pos, n AS n_neg,
+           CASE WHEN p > 0 AND n > 0
+                THEN CAST(r2 - p*(p+1) AS DOUBLE) / (2.0 * p * n)
+                ELSE NULL END AS auc
+         FROM a"""
   )
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64

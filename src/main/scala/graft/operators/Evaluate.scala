@@ -109,4 +109,38 @@ object Evaluate {
           m => when(array_contains(col("_gt_matches"), m), 1).otherwise(0))
           .as("rel"))
   }
+
+  /** EXACT distributed ROC-AUC (Mann–Whitney rank-sum with average-rank
+    * tie handling — the textbook definition, not a sampled estimate):
+    * the probability that a uniformly random positive outscores a
+    * uniformly random negative, with ties counting half. The classifier
+    * eval for [[QualityClassifier]]-style keep rules at corpus scale.
+    *
+    * Scale shape: global rank positions come from
+    * [[GroupOps.globalOrderIndex]] (range partition + zipWithIndex —
+    * never a single-partition sort); tie groups collapse to one row per
+    * DISTINCT score, and all rank arithmetic stays in integer
+    * HALF-ranks (2·avgrank = 2·gmin + gcnt + 1), so the rank sums are
+    * exact and summation-order-free — the single final division is the
+    * only floating-point operation (exact while 2·P·N < 2^53), which
+    * makes the whole statistic replayable bit-for-bit in an external
+    * engine. Null scores/labels are dropped. Returns ONE row:
+    * (n_pos, n_neg, auc — null when either class is empty). */
+  def aucExact(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val base = df.select(score.as("_sc"), positive.cast("boolean").as("_pos"))
+      .where(col("_sc").isNotNull && col("_pos").isNotNull)
+    val idx = GroupOps.globalOrderIndex(base, "_gi", col("_sc"))
+    idx.groupBy("_sc")
+      .agg(min("_gi").as("_gmin"), count(lit(1)).as("_gcnt"),
+        sum(col("_pos").cast("long")).as("_gpos"))
+      .agg(sum("_gpos").as("n_pos"),
+        (sum("_gcnt") - sum("_gpos")).as("n_neg"),
+        sum(col("_gpos") * (lit(2L) * col("_gmin") + col("_gcnt") + 1))
+          .as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("_r2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
 }

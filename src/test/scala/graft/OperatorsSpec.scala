@@ -304,4 +304,28 @@ class OperatorsSpec extends SparkSuite {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  test("aucExact: hand-checked with ties, extremes, degenerate classes") {
+    def auc(rows: Seq[(Double, Boolean)], parts: Int = 3) = {
+      val r = Evaluate.aucExact(rows.toDF("s", "p").repartition(parts),
+        col("s"), col("p")).head
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // scores: pos {0.8, 0.6}, neg {0.6, 0.2} — the 0.6 tie counts half:
+    // pairs: (0.8>0.6)=1, (0.8>0.2)=1, (0.6=0.6)=.5, (0.6>0.2)=1 → 3.5/4
+    assert(auc(Seq((0.8, true), (0.6, true), (0.6, false), (0.2, false)))
+      == ((2L, 2L, Some(0.875))))
+    // perfect separation → 1.0; reversed → 0.0
+    assert(auc(Seq((0.9, true), (0.8, true), (0.3, false)))._3.contains(1.0))
+    assert(auc(Seq((0.1, true), (0.9, false)))._3.contains(0.0))
+    // all scores equal → 0.5 exactly (pure ties)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, false)))._3.contains(0.5))
+    // one class empty → null auc; null scores dropped
+    assert(auc(Seq((0.5, true), (0.6, true))) == ((2L, 0L, None)))
+    // layout invariance (exact integer rank sums)
+    val rnd = new scala.util.Random(17)
+    val big = (0 until 500).map(_ =>
+      (math.rint(rnd.nextDouble() * 20) / 20.0, rnd.nextBoolean()))
+    assert(auc(big, parts = 1) == auc(big, parts = 13))
+  }
 }
