@@ -1338,4 +1338,57 @@ object Ann {
     base.withColumn("_cell",
       graft.functions.nearest_centroid(col(vecCol), cells, cents))
   }
+
+  /** Simplified (centroid-based) silhouette over a fitted clustering —
+    * the O(N·k) map-only clustering-quality diagnostic (the classic
+    * silhouette's O(N²) pairwise distances are replaced by distances to
+    * centroids, the standard approximation at scale). Per row: a = the
+    * squared-euclidean distance to the NEAREST centroid (which is the
+    * assigned cell under Lloyd assignment), b = the second-nearest
+    * distance, s = (b − a)/max(a, b) ∈ [0, 1] (higher = better
+    * separated; both-zero degenerates to 0).
+    *
+    * Scale shape: the ≤ k-row centroid table rides as a literal
+    * nested-array column, so scoring is ONE codegen'd scan — no join,
+    * no shuffle; the per-row fold order (dims ascending, then cells
+    * ascending) is fixed, so every double is replayable by an external
+    * engine. Adds `_cell` (argmin, lowest-cell tie-break — identical to
+    * [[kmeansLloyd]]'s rule), `_sil`, and `_sil_ppm` (round(s·1e6), the
+    * exact-integer form whose SUM is layout-invariant — mean silhouette
+    * = sum(_sil_ppm)/(n·1e6) with one final division). */
+  def silhouetteCentroid(docs: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("_cell").cast("int"), col("_center"))
+      .orderBy("_cell").collect()
+    val cells = rows.map(_.getInt(0))
+    val cents = rows.map(_.getSeq[Double](1))
+    require(cells.length >= 2, "silhouette needs >= 2 clusters")
+    val centArr = array(cents.toSeq.map(c =>
+      array(c.map(x => lit(x)): _*)): _*)
+    val v = col(vecCol).cast("array<double>")
+    val dists = transform(centArr, ctr =>
+      aggregate(zip_with(v, ctr, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val d1 = array_min(col("_dists"))
+    val d2 = element_at(array_sort(col("_dists")), 2)
+    val sil = when(d2 > 0.0, (d2 - d1) / greatest(d1, d2)).otherwise(lit(0.0))
+    docs
+      .withColumn("_dists", dists)
+      .withColumn("_cell",
+        element_at(typedLit(cells.toSeq),
+          array_position(col("_dists"), d1).cast("int")))
+      .withColumn("_sil", sil)
+      .withColumn("_sil_ppm", round(col("_sil") * 1e6).cast("long"))
+      .drop("_dists")
+  }
+
+  /** Per-cluster silhouette summary: n, exact integer Σ_sil_ppm, and the
+    * mean (one division — deterministic). */
+  def silhouetteByCluster(docs: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    silhouetteCentroid(docs, vecCol, centroids)
+      .groupBy(col("_cell").as("cell"))
+      .agg(count(lit(1)).as("n"), sum("_sil_ppm").as("sil_ppm_sum"))
+      .withColumn("mean_sil",
+        col("sil_ppm_sum").cast("double") / (col("n").cast("double") * 1e6))
 }

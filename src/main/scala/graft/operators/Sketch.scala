@@ -30,6 +30,20 @@ object Sketch {
   def keyHash(key: Column, seed: Long = 0L): Column =
     splitmix64_rank(fnv64(key), seed)
 
+  // The functions-API shift operators only take constant Int amounts;
+  // these bridge the column-amount forms (1L << amt, v >>> amt).
+  private def shl1(amount: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.graft.Bridge.expression(amount)))
+
+  private def shru(v: Column, amount: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+        org.apache.spark.sql.graft.Bridge.expression(v),
+        org.apache.spark.sql.graft.Bridge.expression(amount)))
+
   // signed ↔ unsigned order flip: XOR the sign bit, then signed order on the
   // flipped value equals unsigned order on the original (both engines).
   private def flip(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
@@ -121,5 +135,260 @@ object Sketch {
     a.crossJoin(b).where(col("ga") < col("gb"))
       .select(col("ga"), col("gb"),
         kmvJaccard(col("_ka"), col("_kb"), k).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007): fixed-size (2^p registers)
+  // mergeable cardinality sketches over the same engine-portable hash
+  // space as KMV. Where KMV keeps k hash VALUES (enabling Jaccard /
+  // overlap estimation), HLL keeps only max-leading-zero ranks — 2^p
+  // bytes per group regardless of k, the shape for per-partition /
+  // per-day register artifacts that an OR-free `zip_with(max)` merges.
+  // Registers are pure integer state (bucket = top p hash bits, rho =
+  // leading zeros of the remaining 64-p bits + 1), so a sketch is
+  // replayable bit-for-bit by an external SQL engine; the estimate has
+  // exactly ONE rounding (a single double division over an exact
+  // integer harmonic denominator), plus the standard linear-counting
+  // branch below 2.5·m.
+  // ------------------------------------------------------------------
+
+  /** (bucket, rho) of a signed 64-bit hash under 2^p buckets: bucket =
+    * top p bits (unsigned), rho = leading-zero count of the remaining
+    * 64-p bits + 1 (the all-zero remainder maps to 64-p+1). Pure
+    * integer/bit ops — `bin()` length is the engine-portable bit-length. */
+  def hllBucket(hash: Column, p: Int): Column =
+    shiftrightunsigned(hash, 64 - p).cast("int")
+
+  def hllRho(hash: Column, p: Int): Column = {
+    val rem = hash.bitwiseAND(lit((1L << (64 - p)) - 1L))
+    val win = 64 - p
+    when(rem === 0L, lit(win + 1))
+      .otherwise(lit(win + 1) - length(bin(rem)).cast("int"))
+      .cast("int")
+  }
+
+  /** Sparse register table: one row per (group, non-empty bucket) with
+    * `reg` = max rho seen. ONE aggregation with map-side combine — the
+    * shuffle moves ≤ 2^p ints per (partition, group). Absent buckets
+    * are register 0. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], hash: Column,
+      p: Int): DataFrame =
+    df.select(groupCols.map(col) :+ hash.as("_h"): _*)
+      .where(col("_h").isNotNull)
+      .groupBy(groupCols.map(col) :+ hllBucket(col("_h"), p).as("bucket"): _*)
+      .agg(max(hllRho(col("_h"), p)).as("reg"))
+
+  /** Dense sketch artifact: per group ONE row with `hll` = the full
+    * 2^p-register array (0 = empty bucket), bucket-ascending. The
+    * storable / mergeable form. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], hash: Column,
+      p: Int): DataFrame = {
+    val m = 1 << p
+    hllRegisters(df, groupCols, hash, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
+        .as("_m"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(m - 1)),
+          b => coalesce(element_at(col("_m"), b), lit(0))).as("hll"): _*)
+  }
+
+  /** Union sketches that share a group key: element-wise register max —
+    * lossless (the register of a union is the max of the registers), so
+    * per-shard/per-day artifacts combine without re-reading data. */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col("hll")),
+        typedLit(Seq.empty[Int]),
+        (acc, regs) => when(size(acc) === 0, regs)
+          .otherwise(zip_with(acc, regs, (a, b) => greatest(a, b))))
+        .as("hll"))
+
+  /** Cardinality estimate over a dense register array: the raw HLL
+    * estimator alpha_m·m²/Σ2^−reg with the harmonic denominator kept as
+    * an EXACT integer (Σ 2^(W−reg), W = 64−p+1, Decimal(38,0) — order-
+    * independent, no float accumulation), one double division, and the
+    * standard linear-counting switch (V = empty buckets) below 2.5·m.
+    * Every operation order is fixed so an external engine replays the
+    * exact double. */
+  def hllEstimateFromRegs(hll: Column, p: Int): Column = {
+    val m = 1 << p
+    val w = 64 - p + 1
+    // 2^(w−reg) fits a long (reg ≥ 0 ⇒ ≤ 2^57 at p=8); the SUM needs
+    // decimal (≤ m·2^w). expr: the functions API only takes Int shifts.
+    val zInt = aggregate(hll,
+      lit(java.math.BigDecimal.ZERO).cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+      (acc, r) => acc + shl1(lit(w) - r)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val nZero = size(filter(hll, r => r === 0))
+    // alpha·m² is exact up to the alpha literal (×2^(16) shifts exponent
+    // only); ONE rounding happens in the division.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble * m.toDouble) *
+      lit(math.pow(2.0, w)) / zInt.cast("double")
+    when(nZero > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / nZero.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** Per-group scalar summary gateable as integers: register count /
+    * sum / bucket-weighted sum (an order-free checksum of the whole
+    * register table), empty-bucket count, and the estimate. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], hash: Column,
+      p: Int): DataFrame =
+    hllSketch(df, groupCols, hash, p)
+      .select(groupCols.map(col) :+
+        size(filter(col("hll"), r => r > 0)).as("n_reg") :+
+        aggregate(col("hll"), lit(0L), (a, r) => a + r).as("reg_sum") :+
+        aggregate(zip_with(
+            sequence(lit(0), lit((1 << p) - 1)), col("hll"),
+            (b, r) => b.cast("long") * r),
+          lit(0L), (a, x) => a + x).as("reg_wsum") :+
+        size(filter(col("hll"), r => r === 0)).as("n_zero") :+
+        hllEstimateFromRegs(col("hll"), p).as("est_hll"): _*)
+
+  /** String-key convenience: [[keyHash]] then [[hllDistinct]]. */
+  def hllDistinctStrings(df: DataFrame, groupCols: Seq[String], key: Column,
+      p: Int, seed: Long = 0L): DataFrame =
+    hllDistinct(df, groupCols, keyHash(key, seed), p)
+
+  // ------------------------------------------------------------------
+  // Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size
+  // (depth × width counters) FREQUENCY estimation — "how often does
+  // key x occur" without a full groupBy of every distinct key. The
+  // counters are exact integer sums, so the whole sketch — and every
+  // point estimate (min over depth rows) — is deterministic and
+  // layout-invariant: an external engine replaying the same hash
+  // chain reproduces it bit-for-bit. Estimates never undercount;
+  // overcount is bounded by collision mass (~N/width per row, the
+  // min over `depth` independent rows drives it down).
+  //
+  // Scale shape: ONE distinct-key pre-aggregation (the 100 TB corpus
+  // collapses to its vocabulary before hashing), then depth hashed
+  // re-keyings of the ≤ depth·width counter space — the shuffle after
+  // partial aggregation is ≤ depth·width rows per partition. Sketches
+  // with the same (depth, width, seed) merge by counter addition.
+  // ------------------------------------------------------------------
+
+  /** Build: (row, bucket, cell) counters over occurrences of `key`.
+    * `width` must be a power of two (bucket = low bits of the row-seeded
+    * splitmix hash — two's-complement low bits are engine-portable). */
+  def cmSketch(df: DataFrame, key: Column, depth: Int, width: Int,
+      seed: Long = 0L): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"width must be a power of two, got $width")
+    val cnt = df.select(key.as("_w")).where(col("_w").isNotNull)
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val rows = explode(array((0 until depth).map { i =>
+      struct(lit(i).as("_row"),
+        keyHash(col("_w"), seed + i).bitwiseAND(lit((width - 1).toLong))
+          .cast("int").as("_bucket"))
+    }: _*)).as("_rb")
+    cnt.select(col("_c"), rows)
+      .groupBy(col("_rb._row").as("row"), col("_rb._bucket").as("bucket"))
+      .agg(sum("_c").as("cell"))
+  }
+
+  /** Point-frequency estimates for `keys` (a one-column DataFrame of
+    * probe keys): min over the depth counter rows, 0 when a bucket was
+    * never touched. The sketch side is ≤ depth·width rows — broadcast. */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int, seed: Long = 0L): DataFrame = {
+    val probes = keys.select(col(keyCol).as("_w")).where(col("_w").isNotNull)
+      .distinct()
+      .select(col("_w"), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("_row"),
+          keyHash(col("_w"), seed + i).bitwiseAND(lit((width - 1).toLong))
+            .cast("int").as("_bucket"))
+      }: _*)).as("_rb"))
+      .select(col("_w"), col("_rb._row").as("row"), col("_rb._bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("_w")
+      .agg(min(coalesce(col("cell"), lit(0L))).as("est_cm"))
+      .withColumnRenamed("_w", keyCol)
+  }
+
+  // ------------------------------------------------------------------
+  // Mergeable log-scale histograms: pure-integer value binning (bin =
+  // bit-length bucket × 2^subBits sub-buckets from the bits after the
+  // MSB — ≤ 1/2^subBits relative bin width) for quantile estimation
+  // over non-negative integer measures (doc lengths, token counts,
+  // byte sizes) at corpus scale. ONE groupBy(bin) aggregation whose
+  // map-side combine collapses each partition to ≤ ~64·2^subBits rows;
+  // histograms merge by count addition; quantile selection — smallest
+  // bin whose cumulative count reaches ceil(q·N), ties and targets in
+  // exact integer arithmetic — is layout-invariant and replayable.
+  // ------------------------------------------------------------------
+
+  /** Bin id of a non-negative integer value: values < 2^subBits map to
+    * themselves (exact); otherwise (bitlen − subBits)·2^subBits + the
+    * subBits bits after the MSB. Monotone in the value, so bin order =
+    * value order. Negative / null values yield null (dropped by
+    * [[logHistogram]]). */
+  def logBin(value: Column, subBits: Int): Column = {
+    val v = value.cast("long")
+    val small = 1L << subBits
+    val e = length(bin(v)).cast("int") // bit length for v > 0
+    when(v.isNull || v < 0, lit(null).cast("int"))
+      .when(v < small, v.cast("int"))
+      .otherwise(((e - subBits) * lit(1 << subBits)).cast("int") +
+        shru(v, e - (subBits + 1))
+          .bitwiseAND(lit((1L << subBits) - 1L)).cast("int"))
+  }
+
+  /** Inclusive lower / exclusive upper value bounds of a bin id. */
+  def logBinLo(bin: Column, subBits: Int): Column = {
+    val m = 1 << subBits
+    when(bin < m, bin.cast("long"))
+      .otherwise((bin.bitwiseAND(lit(m - 1)).cast("long") + m) *
+        shl1(shiftright(bin.cast("int"), subBits) - 1))
+  }
+
+  def logBinHi(bin: Column, subBits: Int): Column = {
+    val m = 1 << subBits
+    when(bin < m, bin.cast("long") + 1L)
+      .otherwise(logBinLo(bin, subBits) +
+        shl1(shiftright(bin.cast("int"), subBits) - 1))
+  }
+
+  /** Histogram artifact: (group…, bin, cnt) over non-negative `value`s. */
+  def logHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+      subBits: Int = 4): DataFrame =
+    df.select(groupCols.map(col) :+ logBin(value, subBits).as("bin"): _*)
+      .where(col("bin").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histograms sharing (group, bin): count addition. */
+  def histMerge(hists: DataFrame, groupCols: Seq[String]): DataFrame =
+    hists.groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile bins per group for rational quantiles q = num/den: the
+    * smallest bin whose cumulative count ≥ ceil(q·N) (exact integers
+    * throughout — target = (N·num + den − 1) div den). The window runs
+    * over the HISTOGRAM (≤ ~64·2^subBits rows per group), never the
+    * data. Returns (group…, q_num, q_den, target, bin, lo, hi). */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      qs: Seq[(Int, Int)], subBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val cum = hist
+      .withColumn("_cum", sum("cnt").over(w))
+      .withColumn("_n", sum("cnt").over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val quants = qs.map { case (n, d) =>
+      struct(lit(n).as("q_num"), lit(d).as("q_den"))
+    }
+    cum.select((groupCols.map(col) :+ col("bin") :+ col("_cum") :+
+        col("_n") :+ explode(array(quants: _*)).as("_q")): _*)
+      .withColumn("target",
+        expr("(_n * _q.q_num + _q.q_den - 1) div _q.q_den"))
+      .where(col("_cum") >= col("target"))
+      .groupBy(groupCols.map(col) :+ col("_q.q_num").as("q_num") :+
+        col("_q.q_den").as("q_den") :+ col("target"): _*)
+      .agg(min(col("bin")).as("bin"))
+      .withColumn("lo", logBinLo(col("bin"), subBits))
+      .withColumn("hi", logBinHi(col("bin"), subBits))
   }
 }
