@@ -1671,6 +1671,84 @@ object SparkEntry {
     Evaluate.aucExact(t(s, dir, "documents"),
       TextFunctions.qualityScore(col("text")), col("lang") === "en")
 
+  // HyperLogLog distinct sketches (Sketch.hllDistinct): 2^8-register
+  // mergeable cardinality per source over the q105 hash space. The
+  // register table is gated EXACTLY through integer checksums (count /
+  // sum / bucket-weighted sum / zero count — order-free functions of
+  // the whole register array), and the estimate has one float division
+  // over an exact integer harmonic denominator. Per-source token
+  // cardinalities (~31) exercise the linear-counting branch; the
+  // appended global bigram-key group (~900 distinct) exercises the raw
+  // harmonic branch.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("source"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val l = TextFunctions.tokens(col("text"))
+    val bi = d.where(size(l) >= 2)
+      .select(slice(l, lit(1), size(l) - 1).as("_a"),
+        slice(l, lit(2), size(l) - 1).as("_b"))
+      .select(explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
+      .select(lit("__bigrams__").as("source"),
+        concat(col("_p._a"), lit(" "), col("_p._b")).as("w"))
+    Sketch.hllDistinctStrings(toks.unionByName(bi), Seq("source"), col("w"),
+        p = 8)
+      .select(col("source"), col("n_reg"), col("reg_sum"), col("reg_wsum"),
+        col("n_zero"), round(col("est_hll"), 6).as("est_hll_r"))
+      .orderBy("source")
+  }
+
+  // Count-min frequency sketch (Sketch.cmSketch/cmEstimate): depth-4
+  // counter estimates for a fixed probe set, never undercounting,
+  // deterministic (counters are exact sums; the row hashes are the
+  // engine-portable splitmix chain under seeds 0..3). width=16 forces
+  // real collisions (31-word vocabulary in 16 buckets — the min-over-
+  // depth semantics are what's gated); width=1024 is collision-free
+  // (estimates = exact counts). The absent probe exercises the
+  // zero-bucket rule.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val probes = s.createDataFrame(
+      Seq("join", "hash", "row", "scan", "slow", "value", "zzznotaword")
+        .map(Tuple1(_))).toDF("w")
+    def run(width: Int) =
+      Sketch.cmEstimate(Sketch.cmSketch(toks, col("w"), depth = 4, width),
+          probes, "w", depth = 4, width)
+        .withColumn("width", lit(width))
+    run(16).unionByName(run(1024))
+      .select("w", "width", "est_cm")
+      .orderBy("w", "width")
+  }
+
+  // Mergeable log-scale histogram quantiles (Sketch.logHistogram +
+  // histQuantiles): pure-integer binning of text length (bit-length ×
+  // 16 sub-buckets) and exact ceil(q·N) selection — median / p90 / p99
+  // per source with every output an integer (bin id, target rank,
+  // bin bounds), layout-invariant by construction.
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val hist = Sketch.logHistogram(t(s, dir, "documents"), Seq("source"),
+      length(col("text")))
+    Sketch.histQuantiles(hist, Seq("source"), Seq((1, 2), (9, 10), (99, 100)))
+      .select("source", "q_num", "q_den", "target", "bin", "lo", "hi")
+      .orderBy("source", "q_num", "q_den")
+  }
+
+  // Centroid silhouette over the q100 k-means fit (Ann.silhouette
+  // ByCluster): map-only clustering-quality scoring — per row the
+  // nearest / second-nearest centroid distances with the q100-gated
+  // fixed fold order, s = (d2−d1)/max in ppm integers, per-cluster
+  // exact integer sums and a single final division for the mean.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val r = Ann.kmeansLloyd(emb, "vec_id", "embedding", k = 4, iters = 2,
+      initCell = pmod(col("vec_id"), lit(4)))
+    Ann.silhouetteByCluster(emb, "embedding", r.centroids)
+      .select(col("cell"), col("n"), col("sil_ppm_sum"),
+        round(col("mean_sil"), 6).as("mean_sil_r"))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1789,7 +1867,11 @@ object SparkEntry {
     "q113_rebalance" -> (q113 _),
     "q114_winnow_fingerprints" -> (q114 _),
     "q115_incremental_neardup" -> (q115 _),
-    "q116_auc_exact" -> (q116 _))
+    "q116_auc_exact" -> (q116 _),
+    "q117_hll_distinct" -> (q117 _),
+    "q118_cm_freq" -> (q118 _),
+    "q119_hist_quantiles" -> (q119 _),
+    "q120_silhouette" -> (q120 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4040,8 +4122,173 @@ object SparkEntry {
            CASE WHEN p > 0 AND n > 0
                 THEN CAST(r2 - p*(p+1) AS DOUBLE) / (2.0 * p * n)
                 ELSE NULL END AS auc
-         FROM a"""
+         FROM a""",
+
+    // q117: HLL registers replayed from the q105 hash chain — bucket =
+    // top 8 bits, rho = 57 − bit-length of the low 56 (bin() length,
+    // the engine-portable clz), register max per (source, bucket);
+    // integer checksums gate the register table exactly, and the
+    // estimate repeats Spark's operation order (one division over the
+    // exact HUGEINT harmonic sum; ln() only in the linear-counting
+    // branch, round-6 like q106)
+    "q117_hll_distinct" -> {
+      s"""WITH ${tokenRankCtes("""tok AS (
+             SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+             FROM documents
+             UNION ALL
+             SELECT '__bigrams__' AS source, w1 || ' ' || w2 AS w FROM (
+               SELECT unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2 FROM (
+                 SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '') AS l FROM documents) WHERE len(l) >= 2))""")},
+         hu AS (SELECT source,
+             CAST(rk AS HUGEINT)
+               + (CASE WHEN rk < 0 THEN 18446744073709551616 ELSE 0 END) AS u
+           FROM rkd),
+         hb AS (SELECT source,
+             CAST(u // 72057594037927936 AS INTEGER) AS bucket,
+             CAST(u % 72057594037927936 AS BIGINT) AS rem
+           FROM hu),
+         hr AS (SELECT source, bucket,
+             max(CASE WHEN rem = 0 THEN 57 ELSE 57 - length(bin(rem)) END) AS reg
+           FROM hb GROUP BY source, bucket),
+         hs AS (SELECT source,
+             count(*) AS n_reg,
+             CAST(sum(reg) AS BIGINT) AS reg_sum,
+             CAST(sum(bucket * reg) AS BIGINT) AS reg_wsum,
+             256 - count(*) AS n_zero,
+             sum(CAST((CAST(1 AS BIGINT) << (57 - reg)) AS HUGEINT)) AS zp
+           FROM hr GROUP BY source),
+         he AS (SELECT source, n_reg, reg_sum, reg_wsum, n_zero,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+               / CAST(zp + CAST(n_zero AS HUGEINT) * 144115188075855872 AS DOUBLE)
+               AS raw
+           FROM hs)
+         SELECT source, n_reg, reg_sum, reg_wsum, n_zero,
+           round(CASE WHEN n_zero > 0 AND raw <= 640.0
+                      THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+                      ELSE raw END, 6) AS est_hll_r
+         FROM he ORDER BY source"""
+    },
+
+    // q118: count-min counters rebuilt from scratch — the splitmix
+    // chain under seeds 0..3 over (vocabulary ∪ probes), bucket = low
+    // mask bits (two's-complement &), counters = exact sums of the
+    // per-word counts, estimate = min over the 4 rows with missing
+    // buckets as 0
+    "q118_cm_freq" -> {
+      val probesSql = "['join', 'hash', 'row', 'scan', 'slow', 'value', 'zzznotaword']"
+      def est(width: Int): String = {
+        val m = width - 1
+        s"""SELECT p.w, $width AS width,
+             CAST(min(coalesce(ctr.cell, 0)) AS BIGINT) AS est_cm
+           FROM (SELECT pr.w, rks.i, (rks.rk & $m) AS b
+                 FROM pr JOIN rks USING (w)) p
+           LEFT JOIN (SELECT i, (rk & $m) AS b, sum(c) AS cell
+                      FROM rks JOIN cnt USING (w) GROUP BY i, (rk & $m)) ctr
+             USING (i, b)
+           GROUP BY p.w"""
+      }
+      s"""WITH tok AS (SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         pr AS (SELECT unnest($probesSql) AS w),
+         ws AS (SELECT w FROM cnt UNION SELECT w FROM pr),
+         th AS (SELECT w, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM ws),
+         ${(0 until 4).map(i => wordMixCtes(s"k$i", i.toLong)).mkString(",\n         ")},
+         rks AS (${(0 until 4).map(i =>
+           s"SELECT $i AS i, w, rk FROM k${i}rk").mkString("\n           UNION ALL ")})
+         SELECT * FROM (${est(16)} UNION ALL ${est(1024)})
+         ORDER BY w, width"""
+    },
+
+    // q119: the integer log-bin (bit-length × 16 sub-buckets via bin()
+    // length and shifts), histogram, window cumsum, and exact
+    // ceil(q·N) selection replayed end-to-end
+    "q119_hist_quantiles" ->
+      """WITH v AS (SELECT source, CAST(length(text) AS BIGINT) AS v
+           FROM documents WHERE text IS NOT NULL),
+         b AS (SELECT source,
+             CASE WHEN v < 16 THEN CAST(v AS INTEGER)
+                  ELSE CAST((length(bin(v)) - 4) * 16
+                    + ((v >> (length(bin(v)) - 5)) & 15) AS INTEGER) END AS bin
+           FROM v WHERE v >= 0),
+         h AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY source, bin),
+         c AS (SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+           FROM h),
+         q AS (SELECT unnest([1, 9, 99]) AS q_num, unnest([2, 10, 100]) AS q_den),
+         t AS (SELECT c.*, q.q_num, q.q_den,
+             CAST((n * q_num + q_den - 1) // q_den AS BIGINT) AS target
+           FROM c CROSS JOIN q),
+         sel AS (SELECT source, q_num, q_den, target, min(bin) AS bin
+           FROM t WHERE cum >= target GROUP BY source, q_num, q_den, target)
+         SELECT source, q_num, q_den, target, bin,
+           CASE WHEN bin < 16 THEN CAST(bin AS BIGINT)
+                ELSE CAST((bin & 15) + 16 AS BIGINT) << ((bin >> 4) - 1) END AS lo,
+           CASE WHEN bin < 16 THEN CAST(bin + 1 AS BIGINT)
+                ELSE (CAST((bin & 15) + 16 AS BIGINT) << ((bin >> 4) - 1))
+                  + (CAST(1 AS BIGINT) << ((bin >> 4) - 1)) END AS hi
+         FROM sel ORDER BY source, q_num, q_den""",
+
+    // q120: silhouette over the q100 k-means chain — kd2 already holds
+    // every (vec, centroid) distance with the exact fold order; d1/d2
+    // by (dist, c) rank, s in ppm integers, one final division
+    "q120_silhouette" ->
+      s"""WITH $kmeansTwoIterCtes,
+         ds AS (SELECT vec_id, c, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+           FROM kd2),
+         d12 AS (SELECT a.vec_id, a.c AS cell, a.dist AS d1, b.dist AS d2
+           FROM (SELECT * FROM ds WHERE rn = 1) a
+           JOIN (SELECT * FROM ds WHERE rn = 2) b USING (vec_id)),
+         sl AS (SELECT vec_id, cell,
+             CAST(round((CASE WHEN d2 > 0 THEN (d2 - d1) / greatest(d1, d2)
+                              ELSE 0.0 END) * 1000000) AS BIGINT) AS sp
+           FROM d12),
+         g AS (SELECT cell, count(*) AS n, sum(sp) AS sil_ppm_sum
+           FROM sl GROUP BY cell)
+         SELECT cell, n, CAST(sil_ppm_sum AS BIGINT) AS sil_ppm_sum,
+           round(CAST(sil_ppm_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+             AS mean_sil_r
+         FROM g ORDER BY cell"""
   )
+
+  /** One splitmix64 finalizer chain (the tokenRankCtes stage text,
+    * carrying a word key instead of source) from the shared `th(w, h)`
+    * FNV CTE under an additive seed: emits `${p}m1..${p}m3 → ${p}rk`
+    * with `rk` = the signed splitmix64(fnv64(w) + seed). */
+  private def wordMixCtes(p: String, seed: Long): String =
+    s"""${p}m1 AS (SELECT w, (h + $seed + 11400714819323198485) % 18446744073709551616 AS x FROM th),
+         ${p}m1x AS (SELECT w,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 1073741824) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 1073741824) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM ${p}m1),
+         ${p}m2 AS (SELECT w,
+           ((x // 4294967296 * 13787848793156543929) % 4294967296 * 4294967296
+             + (x % 4294967296) * 13787848793156543929) % 18446744073709551616 AS x FROM ${p}m1x),
+         ${p}m2x AS (SELECT w,
+           (CAST(xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                     CAST((x // 134217728) AS BIGINT)) AS HUGEINT)
+            + (CASE WHEN xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+                             CAST((x // 134217728) AS BIGINT)) < 0 THEN 18446744073709551616 ELSE 0 END)) AS x
+           FROM ${p}m2),
+         ${p}m3 AS (SELECT w,
+           ((x // 4294967296 * 10723151780598845931) % 4294967296 * 4294967296
+             + (x % 4294967296) * 10723151780598845931) % 18446744073709551616 AS x FROM ${p}m2x),
+         ${p}rk AS (SELECT w,
+           xor(CAST(x - (CASE WHEN x >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT),
+               CAST((x // 2147483648) AS BIGINT)) AS rk
+           FROM ${p}m3)"""
 
   /** The q105 per-source token-hash chain (FNV-1a → full splitmix64
     * finalizer, HUGEINT stages) as reusable WITH-clauses: feed any
