@@ -1749,6 +1749,29 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  // Sentence BLEU-4 (Evaluate.bleu): the text-generation eval metric —
+  // clipped n-gram matches and totals as EXACT integers per order
+  // (gated directly), the score a fixed-order float chain over them
+  // (BP·exp(Σln p_n/4), 0 on any zero precision — no smoothing).
+  // Pairs = each doc as candidate vs the next doc of its source as
+  // reference: the tiny shared vocabulary yields high unigram overlap,
+  // sparse 3/4-gram overlap, and plenty of exact-zero BLEU rows, so
+  // both the zero rule and the full float chain are exercised.
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("_cand"),
+        lead(col("text"), 1).over(w).as("_ref"))
+      .where(col("_ref").isNotNull)
+    Evaluate.bleu(pairs, "doc_id", TextFunctions.tokens(col("_cand")),
+        TextFunctions.tokens(col("_ref")), maxN = 4)
+      .select(col("doc_id"), col("c_len"), col("r_len"),
+        col("match_1"), col("match_2"), col("match_3"), col("match_4"),
+        col("total_1"), col("total_2"), col("total_3"), col("total_4"),
+        round(col("bleu"), 6).as("bleu_r"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1871,7 +1894,8 @@ object SparkEntry {
     "q117_hll_distinct" -> (q117 _),
     "q118_cm_freq" -> (q118 _),
     "q119_hist_quantiles" -> (q119 _),
-    "q120_silhouette" -> (q120 _))
+    "q120_silhouette" -> (q120 _),
+    "q121_bleu" -> (q121 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4258,7 +4282,61 @@ object SparkEntry {
          SELECT cell, n, CAST(sil_ppm_sum AS BIGINT) AS sil_ppm_sum,
            round(CAST(sil_ppm_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
              AS mean_sil_r
-         FROM g ORDER BY cell"""
+         FROM g ORDER BY cell""",
+
+    // q121: BLEU-4 replayed — n-grams by list slice, clipped-match
+    // LEFT JOIN of the two count tables, totals as max(c_len−n+1, 0),
+    // and the identical float chain (BP on c_len >= r_len, ln-sum/4)
+    "q121_bleu" ->
+      """WITH d AS (SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         p AS (SELECT doc_id, tok AS ct,
+             lead(tok) OVER (PARTITION BY source ORDER BY doc_id) AS rt
+           FROM d),
+         pp AS (SELECT doc_id, ct, rt FROM p WHERE rt IS NOT NULL),
+         nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+         cg AS (SELECT doc_id, n, array_to_string(ct[i.range : i.range + n - 1], ' ') AS g
+           FROM pp CROSS JOIN nn CROSS JOIN range(1, 2000) i
+           WHERE i.range <= len(ct) - n + 1),
+         rg AS (SELECT doc_id, n, array_to_string(rt[i.range : i.range + n - 1], ' ') AS g
+           FROM pp CROSS JOIN nn CROSS JOIN range(1, 2000) i
+           WHERE i.range <= len(rt) - n + 1),
+         cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY doc_id, n, g),
+         rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY doc_id, n, g),
+         mt AS (SELECT cc.doc_id, cc.n,
+             CAST(sum(least(cc.c, coalesce(rc.c, 0))) AS BIGINT) AS m
+           FROM cc LEFT JOIN rc
+             ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+           GROUP BY cc.doc_id, cc.n),
+         ln0 AS (SELECT doc_id, CAST(len(ct) AS BIGINT) AS c_len,
+             CAST(len(rt) AS BIGINT) AS r_len FROM pp),
+         j AS (SELECT l.doc_id, c_len, r_len,
+             coalesce(max(CASE WHEN n = 1 THEN m END), 0) AS match_1,
+             coalesce(max(CASE WHEN n = 2 THEN m END), 0) AS match_2,
+             coalesce(max(CASE WHEN n = 3 THEN m END), 0) AS match_3,
+             coalesce(max(CASE WHEN n = 4 THEN m END), 0) AS match_4,
+             greatest(c_len, 0) AS total_1,
+             greatest(c_len - 1, 0) AS total_2,
+             greatest(c_len - 2, 0) AS total_3,
+             greatest(c_len - 3, 0) AS total_4
+           FROM ln0 l LEFT JOIN mt ON l.doc_id = mt.doc_id
+           GROUP BY l.doc_id, c_len, r_len)
+         SELECT doc_id, c_len, r_len, match_1, match_2, match_3, match_4,
+           total_1, total_2, total_3, total_4,
+           round(CASE WHEN c_len = 0
+                   OR match_1 = 0 OR total_1 = 0 OR match_2 = 0 OR total_2 = 0
+                   OR match_3 = 0 OR total_3 = 0 OR match_4 = 0 OR total_4 = 0
+                 THEN 0.0
+                 ELSE (CASE WHEN c_len >= r_len THEN 1.0
+                            ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
+                   * exp((ln(CAST(match_1 AS DOUBLE) / CAST(total_1 AS DOUBLE))
+                        + ln(CAST(match_2 AS DOUBLE) / CAST(total_2 AS DOUBLE))
+                        + ln(CAST(match_3 AS DOUBLE) / CAST(total_3 AS DOUBLE))
+                        + ln(CAST(match_4 AS DOUBLE) / CAST(total_4 AS DOUBLE))) / 4.0)
+                 END, 6) AS bleu_r
+         FROM j ORDER BY doc_id"""
   )
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,

@@ -143,4 +143,75 @@ object Evaluate {
             (lit(2.0) * col("n_pos") * col("n_neg")))
           .as("auc"))
   }
+
+  /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
+    * space-joined — tokens are the lowercased alnum runs, so the join is
+    * unambiguous). Empty when the text is shorter than n. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sentence-level BLEU-N (Papineni et al. 2002, no smoothing) of a
+    * candidate text against a reference text, on pre-tokenized pairs —
+    * the text-generation twin of the IR metric battery: per pair, each
+    * order's CLIPPED n-gram matches (Σ min(count_cand, count_ref)) and
+    * totals are exact integers, and the score
+    * `BP · exp(Σ ln p_n / N)` (BP = min(1, e^(1−r/c)); 0 when any p_n
+    * is 0) is a fixed-order float chain over those integers — so the
+    * whole metric replays in an external engine.
+    *
+    * Scale shape: ONE n-gram explode per side (all orders at once) →
+    * count aggregation keyed (id, n, gram) → one join of the two count
+    * tables → per-pair re-aggregation. Shuffles are n-gram-count-sized
+    * with map-side combine; nothing is per-pair quadratic. Returns
+    * (id, c_len, r_len, match_1..N, total_1..N, bleu). */
+  def bleu(pairs: DataFrame, idCol: String, candToks: Column,
+      refToks: Column, maxN: Int = 4): DataFrame = {
+    val empty = array().cast("array<string>")
+    val base = pairs.select(col(idCol).as("_id"),
+      coalesce(candToks, empty).as("_ct"), coalesce(refToks, empty).as("_rt"))
+    def grams(side: Column): Column =
+      flatten(array((1 to maxN).map(n =>
+        transform(wordNgrams(side, n), g => struct(lit(n).as("_n"),
+          g.as("_g")))): _*))
+    def counts(side: String): DataFrame =
+      base.select(col("_id"), explode(grams(col(if (side == "c") "_ct"
+        else "_rt"))).as("_e"))
+        .groupBy(col("_id"), col("_e._n").as("_n"), col("_e._g").as("_g"))
+        .agg(count(lit(1)).as(s"_${side}cnt"))
+    val matched = counts("c")
+      .join(counts("r"), Seq("_id", "_n", "_g"), "left")
+      .groupBy("_id", "_n")
+      .agg(sum(least(col("_ccnt"), coalesce(col("_rcnt"), lit(0L))))
+        .as("_match"))
+    val lens = base.select(col("_id"),
+      size(col("_ct")).cast("long").as("c_len"),
+      size(col("_rt")).cast("long").as("r_len"))
+    // totals are a pure function of c_len: max(c_len − n + 1, 0)
+    val withM = lens.join(
+      matched.groupBy("_id")
+        .agg(map_from_entries(collect_list(struct(col("_n"), col("_match"))))
+          .as("_mm")), Seq("_id"), "left")
+    val cols = (1 to maxN).flatMap { n =>
+      Seq(coalesce(element_at(col("_mm"), n), lit(0L)).as(s"match_$n"),
+        greatest(col("c_len") - (n - 1), lit(0L)).as(s"total_$n"))
+    }
+    val out = withM.select(col("_id") +: col("c_len") +: col("r_len") +:
+      cols: _*)
+    // fixed-order float chain: ln p_1 + … + ln p_N, /N, exp, ×BP
+    val anyZero = (1 to maxN).map(n =>
+      col(s"match_$n") === 0L || col(s"total_$n") === 0L).reduce(_ || _)
+    val lnSum = (1 to maxN).map(n =>
+      log(col(s"match_$n").cast("double") / col(s"total_$n").cast("double")))
+      .reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    out.withColumn("bleu",
+      when(col("c_len") === 0L || anyZero, lit(0.0))
+        .otherwise(bp * exp(lnSum / lit(maxN.toDouble))))
+      .withColumnRenamed("_id", idCol)
+  }
 }

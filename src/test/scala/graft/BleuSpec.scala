@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Evaluate
+
+/** Sentence BLEU-4: hand-derived clipped counts, the zero rule, identity
+  * pairs, brevity penalty, and clipping under repeated n-grams. */
+class BleuSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, String, String)]) =
+    Evaluate.bleu(pairs.toDF("id", "cand", "ref"), "id",
+        TextFunctions.tokens(col("cand")), TextFunctions.tokens(col("ref")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("hand-derived clipped counts and zero rule") {
+    val out = run(Seq(
+      (1L, "the cat sat on the mat", "the cat is on the mat")))
+    val r = out(1L)
+    assert(r.getLong(1) === 6 && r.getLong(2) === 6) // c_len, r_len
+    // schema interleaves (match_n, total_n) pairs after the lengths
+    val m = Seq(3, 5, 7, 9).map(r.getLong) // match_1..4
+    assert(m === Seq(5L, 3L, 1L, 0L))
+    val t = Seq(4, 6, 8, 10).map(r.getLong) // total_1..4
+    assert(t === Seq(6L, 5L, 4L, 3L))
+    assert(r.getDouble(11) === 0.0) // 4-gram miss -> zero rule
+  }
+
+  test("identical sentences score exactly 1") {
+    val out = run(Seq((1L, "a b c d e f g", "a b c d e f g")))
+    assert(out(1L).getDouble(11) === 1.0)
+  }
+
+  test("brevity penalty fires only when candidate is shorter") {
+    // cand = prefix of ref (5 of 8 words): all n-gram precisions are 1
+    // so bleu = BP = exp(1 - 8/5)
+    val out = run(Seq((1L, "a b c d e", "a b c d e f g h")))
+    assert(out(1L).getDouble(11) === math.exp(1.0 - 8.0 / 5.0))
+    // cand longer than ref with perfect overlap of ref side: BP = 1
+    val out2 = run(Seq((2L, "a b c d e f g h", "a b c d e f g h")))
+    assert(out2(2L).getDouble(11) === 1.0)
+  }
+
+  test("clipping caps repeated candidate n-grams at the reference count") {
+    // 'the' x4 in cand, x1 in ref -> match_1 = 1, not 4
+    val out = run(Seq((1L, "the the the the", "the end")))
+    assert(out(1L).getLong(3) === 1L)
+  }
+
+  test("null and empty texts yield zero without errors") {
+    val pairs = Seq((1L, null.asInstanceOf[String], "a b"), (2L, "", "a b"),
+      (3L, "a b", null.asInstanceOf[String]))
+    val out = run(pairs)
+    assert(out.values.forall(_.getDouble(11) === 0.0))
+    assert(out(1L).getLong(1) === 0L) // null cand -> c_len 0
+  }
+}
