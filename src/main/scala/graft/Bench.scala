@@ -653,6 +653,49 @@ object Bench {
         toks, Seq("g"), col("w"), k = 1024).collect()
     }
 
+    // HLL over the same 20M-occurrence / 50k-distinct / 16-group corpus
+    // as x_kmv_1m — the fixed-2^p-register alternative: the groupBy
+    // (g, bucket) partial agg collapses each partition to ≤ 4096 rows
+    // before the shuffle. Directly comparable with the KMV row.
+    bench("x_hll_20m", runs = 1) {
+      val toks = spark.range(1000000L).select(
+        pmod(col("id"), lit(16)).as("g"),
+        explode(transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("w"))
+      graft.operators.Sketch.hllDistinctStrings(
+        toks, Seq("g"), col("w"), p = 12).collect()
+    }
+
+    // Count-min at the same scale: the distinct-key pre-aggregation
+    // collapses 20M occurrences to the 50k vocabulary BEFORE the 4
+    // hashed re-keyings, then 100 probe lookups against the broadcast
+    // ≤ 4×4096-counter sketch. The frequency-estimation shape.
+    bench("x_cm_20m", runs = 1) {
+      val toks = spark.range(1000000L).select(
+        explode(transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("w"))
+      val sk = graft.operators.Sketch.cmSketch(toks, col("w"),
+        depth = 4, width = 4096)
+      val probes = spark.range(100L)
+        .select(concat(lit("w"), col("id")).as("w"))
+      graft.operators.Sketch.cmEstimate(sk, probes, "w",
+        depth = 4, width = 4096).collect()
+    }
+
+    // Log-histogram quantiles over 20M integer values / 16 groups:
+    // map-only binning + ≤ ~100-bin-per-group histogram aggregation;
+    // the quantile window runs over the histogram, never the data.
+    bench("x_hist_20m", runs = 1) {
+      val vals = spark.range(20000000L).select(
+        pmod(col("id"), lit(16)).as("g"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
+      val hist = graft.operators.Sketch.logHistogram(vals, Seq("g"), col("v"))
+      graft.operators.Sketch.histQuantiles(hist, Seq("g"),
+        Seq((1, 2), (9, 10), (99, 100))).collect()
+    }
+
     emitSummaryAndStop()
   }
 }

@@ -1772,6 +1772,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // ROUGE-L (Evaluate.rougeL over the native LcsLength DP kernel): the
+  // LCS integer is gated directly per pair, and P/R/F replay as a
+  // fixed-order float chain. Same doc-vs-next-doc pairing as q121 —
+  // the shared small vocabulary yields long non-contiguous common
+  // subsequences, exactly the regime where ROUGE-L differs from BLEU.
+  // The oracle recomputes every LCS with a list_reduce fold of the
+  // SAME flattened DP table — the kernel is cross-engine-verified
+  // cell-for-cell, not just spec-checked.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("_cand"),
+        lead(col("text"), 1).over(w).as("_ref"))
+      .where(col("_ref").isNotNull)
+    Evaluate.rougeL(pairs, "doc_id", TextFunctions.tokens(col("_cand")),
+        TextFunctions.tokens(col("_ref")))
+      .select(col("doc_id"), col("c_len"), col("r_len"), col("lcs"),
+        round(col("rouge_p"), 6).as("rouge_p_r"),
+        round(col("rouge_r"), 6).as("rouge_r_r"),
+        round(col("rouge_f"), 6).as("rouge_f_r"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1895,7 +1918,8 @@ object SparkEntry {
     "q118_cm_freq" -> (q118 _),
     "q119_hist_quantiles" -> (q119 _),
     "q120_silhouette" -> (q120 _),
-    "q121_bleu" -> (q121 _))
+    "q121_bleu" -> (q121 _),
+    "q122_rouge_l" -> (q122 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4336,7 +4360,47 @@ object SparkEntry {
                         + ln(CAST(match_3 AS DOUBLE) / CAST(total_3 AS DOUBLE))
                         + ln(CAST(match_4 AS DOUBLE) / CAST(total_4 AS DOUBLE))) / 4.0)
                  END, 6) AS bleu_r
-         FROM j ORDER BY doc_id"""
+         FROM j ORDER BY doc_id""",
+
+    // q122: every LCS recomputed with a flat row-major list_reduce DP
+    // fold (acc = the growing flattened dp table, j=0 markers emit the
+    // boundary column), then the identical P/R/F float chain
+    "q122_rouge_l" ->
+      """WITH d AS (SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS tok
+           FROM documents),
+         p AS (SELECT doc_id, tok AS ct,
+             lead(tok) OVER (PARTITION BY source ORDER BY doc_id) AS rt
+           FROM d),
+         pp AS (SELECT doc_id, ct, rt FROM p WHERE rt IS NOT NULL),
+         lx AS (SELECT doc_id,
+             CAST(len(ct) AS BIGINT) AS c_len, CAST(len(rt) AS BIGINT) AS r_len,
+             CAST(CASE WHEN len(ct) = 0 OR len(rt) = 0 THEN 0
+               ELSE list_reduce(
+                 list_prepend(list_transform(range(0, len(rt)+1), x -> 0),
+                   list_transform(range(1, len(ct)*(len(rt)+1)+1),
+                     k -> [CAST((k-1) // (len(rt)+1) AS INTEGER) + 1,
+                           CAST((k-1) % (len(rt)+1) AS INTEGER)])),
+                 (acc, m) -> list_append(acc,
+                   CASE WHEN m[2] = 0 THEN 0
+                        WHEN ct[m[1]] = rt[m[2]]
+                        THEN acc[(m[1]-1)*(len(rt)+1) + m[2]] + 1
+                        ELSE greatest(acc[(m[1]-1)*(len(rt)+1) + m[2] + 1],
+                                      acc[(m[1])*(len(rt)+1) + m[2]]) END)
+               )[len(ct)*(len(rt)+1) + len(rt) + 1] END AS BIGINT) AS lcs
+           FROM pp),
+         sc AS (SELECT doc_id, c_len, r_len, lcs,
+             CASE WHEN c_len > 0 THEN CAST(lcs AS DOUBLE) / CAST(c_len AS DOUBLE)
+                  ELSE 0.0 END AS rp,
+             CASE WHEN r_len > 0 THEN CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE)
+                  ELSE 0.0 END AS rr
+           FROM lx)
+         SELECT doc_id, c_len, r_len, lcs,
+           round(rp, 6) AS rouge_p_r, round(rr, 6) AS rouge_r_r,
+           round(CASE WHEN rp + rr > 0.0 THEN 2.0 * rp * rr / (rp + rr)
+                      ELSE 0.0 END, 6) AS rouge_f_r
+         FROM sc ORDER BY doc_id"""
   )
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,

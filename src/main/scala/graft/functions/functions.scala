@@ -74,6 +74,10 @@ package object functions {
   def fnv64(c: Column, seed: Long = 0L): Column =
     Bridge.column(Fnv64Hash(Bridge.expression(c), seed))
 
+  /** Longest-common-subsequence length of two token arrays (exact DP). */
+  def lcs_length(a: Column, b: Column): Column =
+    Bridge.column(LcsLength(Bridge.expression(a), Bridge.expression(b)))
+
   /** splitmix64(key + seed): engine-portable deterministic rank over an
     * integral key — powers seeded sampling that an external SQL engine
     * can replicate bit-for-bit. */
@@ -204,6 +208,7 @@ package object functions {
       "strip_accents" -> (exprs => StripAccents(exprs(0))),
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
+      "lcs_length" -> (exprs => LcsLength(exprs(0), exprs(1))),
       "kmv_estimate" -> (exprs => KmvEstimate(exprs(0), litInt(exprs(1)))),
       "kmv_sketch" -> (exprs =>
         KmvSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),

@@ -214,4 +214,39 @@ object Evaluate {
         .otherwise(bp * exp(lnSum / lit(maxN.toDouble))))
       .withColumnRenamed("_id", idCol)
   }
+
+  /** ROUGE-L (Lin 2004, β=1 F-measure) of candidate vs reference token
+    * arrays: LCS-based — credits in-order (not necessarily contiguous)
+    * token overlap, the standard summarization metric complementing
+    * [[bleu]]'s contiguous n-grams. The LCS is an exact integer from
+    * the native [[graft.functions.LcsLength]] DP kernel (map-only, one
+    * codegen'd scan — no explode, no shuffle); precision/recall/F are
+    * a fixed-order float chain over (lcs, c_len, r_len), replayable
+    * externally (the oracle folds the identical DP table with
+    * list_reduce). Returns (id, c_len, r_len, lcs, rouge_p, rouge_r,
+    * rouge_f). */
+  def rougeL(pairs: DataFrame, idCol: String, candToks: Column,
+      refToks: Column): DataFrame = {
+    val empty = array().cast("array<string>")
+    val base = pairs.select(col(idCol).as("_id"),
+      coalesce(candToks, empty).as("_ct"), coalesce(refToks, empty).as("_rt"))
+    val withL = base.select(col("_id"),
+      size(col("_ct")).cast("long").as("c_len"),
+      size(col("_rt")).cast("long").as("r_len"),
+      graft.functions.lcs_length(col("_ct"), col("_rt")).cast("long")
+        .as("lcs"))
+    val p = when(col("c_len") > 0L,
+      col("lcs").cast("double") / col("c_len").cast("double")).otherwise(0.0)
+    val r = when(col("r_len") > 0L,
+      col("lcs").cast("double") / col("r_len").cast("double")).otherwise(0.0)
+    withL
+      .withColumn("rouge_p", p)
+      .withColumn("rouge_r", r)
+      .withColumn("rouge_f",
+        when(col("rouge_p") + col("rouge_r") > 0.0,
+          lit(2.0) * col("rouge_p") * col("rouge_r") /
+            (col("rouge_p") + col("rouge_r")))
+          .otherwise(0.0))
+      .withColumnRenamed("_id", idCol)
+  }
 }

@@ -231,6 +231,48 @@ object EventStream {
       }
   }
 
+  /** Streaming HyperLogLog state: the fixed-size (2^p registers per
+    * group) twin of [[streamingKmvSketch]] — per micro-batch, sketch the
+    * batch ([[graft.operators.Sketch.hllSketch]]), element-wise-max
+    * merge into the latest strictly-older version, write v<batchId>.
+    * Register max is idempotent, so a replayed batch (restart between
+    * state write and checkpoint commit) re-merges to the identical
+    * state; the previous version is never touched. Estimate any version
+    * with `Sketch.hllEstimateFromRegs`. */
+  def streamingHllSketch(stream: DataFrame, groupCols: Seq[String],
+      hash: org.apache.spark.sql.Column, p: Int, path: String,
+      keepVersions: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepVersions >= 2, "keepVersions must be >= 2 (replay safety)")
+    import graft.operators.Sketch
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchSk = Sketch.hllSketch(batch, groupCols, hash, p)
+        val merged = latestKmvVersion(spark, path, batchId) match {
+          case Some(v) =>
+            val prev = spark.read.parquet(s"$path/v$v")
+            Sketch.hllMerge(prev.unionByName(batchSk), groupCols)
+          case None => batchSk
+        }
+        merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map((_, s.getPath)))
+          .filter(_._1 <= batchId)
+          .sortBy(-_._1).drop(keepVersions)
+          .foreach { case (_, old) => fs.delete(old, true) }
+      }
+  }
+
+  /** The current register state written by [[streamingHllSketch]]. */
+  def readHllState(spark: SparkSession, path: String): DataFrame =
+    latestKmvVersion(spark, path, Long.MaxValue) match {
+      case Some(v) => spark.read.parquet(s"$path/v$v")
+      case None => throw new IllegalStateException(s"no hll state under $path")
+    }
+
   /** Streaming incremental NEAR-dup ingest: each micro-batch is minhash-
     * signed, screened against the persisted corpus signature artifact
     * ([[graft.operators.Dedup.minhashAgainstSigs]] — banding +

@@ -71,6 +71,14 @@ class ExtensionsSpec extends SparkSuite {
     assert(cm.getSeq[Long](2) == Seq(10L, 14L, 20L)) // 1+9, 2+12, 4+16
   }
 
+  test("lcs_length callable from SQL, matches the Column API") {
+    graft.functions.registerAll(spark)
+    val got = spark.sql(
+      "SELECT lcs_length(array('a','x','b','y','c'), array('a','b','c'))")
+      .head.getInt(0)
+    assert(got == 3)
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // getOrCreate returns the suite session and would skip extensions;
     // clear default/active so a fresh session (same context) is built

@@ -686,6 +686,42 @@ class IoStreamSpec extends SparkSuite {
     hits.foreach(r => assert(r.getLong(0) == r.getLong(1) && r.getInt(3) == 1))
   }
 
+  test("streaming HLL sketch: merged registers equal the batch sketch of everything") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketch
+    val mk = (r: Range) => r.map(i => (s"g${i % 2}", s"key-${i / 3}"))
+    val all = mk(0 until 3000)
+    val (h1, h2) = all.splitAt(1500)
+    val dir = Files.createTempDirectory("graftshll").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val writer = EventStream.streamingHllSketch(
+      mem.toDF().toDF("g", "key"), Seq("g"), Sketch.keyHash(col("key")),
+      p = 8, path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val state = EventStream.readHllState(spark, s"$dir/state")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val want = Sketch.hllSketch(all.toDF("g", "key"), Seq("g"),
+        Sketch.keyHash(col("key")), p = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(state == want) // register max merge is lossless
+    val est = EventStream.readHllState(spark, s"$dir/state")
+      .select(col("g"), Sketch.hllEstimateFromRegs(col("hll"), 8).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = all.distinct.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    for ((g, e) <- est)
+      assert(math.abs(e - truth(g)) / truth(g) < 0.30, s"$g: $e vs ${truth(g)}")
+    val vs = new java.io.File(s"$dir/state").list().filter(_.startsWith("v"))
+    assert(vs.toSet == Set("v0", "v1"))
+  }
+
   test("streaming KMV sketch: merged state equals the batch sketch of everything") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
