@@ -368,3 +368,99 @@ case class KmvEstimate(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** bit_length64(v) → int: position of the highest set bit of a long
+  * (64 − numberOfLeadingZeros; 0 for v = 0, 64 for negative/top-bit-set
+  * values). Codegen'd — the arithmetic replacement for the
+  * `length(bin(v))` string round-trip in hot binning/rho paths (an
+  * external engine replays it AS the bin()-length, which is equal for
+  * non-negative inputs). */
+case class BitLength64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects integral, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val x = v match { case l: Long => l; case i: Int => i.toLong }
+    64 - java.lang.Long.numberOfLeadingZeros(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"64 - java.lang.Long.numberOfLeadingZeros((long)($c))")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bit_length64"
+}
+
+/** One-shuffle HyperLogLog register aggregate: the dense 2^p register
+  * array per group, built directly in the aggregation buffer (bucket =
+  * top p hash bits, rho = window-clz + 1 computed in the update loop) —
+  * map-side combine ships ≤ 2^p BYTES per (partition, group) into the
+  * only shuffle, replacing the groupBy(bucket) + map_from_entries +
+  * O(m²) dense-rebuild formulation (measured 15.6 s → ~2 s at 20M rows,
+  * p=12). Register max merges are idempotent and lossless. Null hashes
+  * are skipped. Output: `array<int>` of length 2^p. */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, s"hll_sketch needs 4 <= p <= 16, got $p")
+
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects bigint hash, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> (64 - p)).toInt
+      val rem = h & ((1L << (64 - p)) - 1L)
+      // rho = leading zeros within the (64−p)-bit window + 1; the
+      // all-zero remainder falls out of the same formula (bitlen 0)
+      val rho = (64 - p + 1) - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "hll_sketch"
+}

@@ -78,6 +78,16 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     Bridge.column(LcsLength(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Highest-set-bit position of a long (0 for 0) — codegen'd clz. */
+  def bit_length64(c: Column): Column =
+    Bridge.column(BitLength64(Bridge.expression(c)))
+
+  /** One-shuffle dense HyperLogLog register aggregate: array<int> of
+    * 2^p registers per group, ≤ 2^p bytes per (partition, group). */
+  def hll_sketch(hash: Column, p: Int): Column =
+    Bridge.column(
+      HllSketchAgg(Bridge.expression(hash), p).toAggregateExpression())
+
   /** splitmix64(key + seed): engine-portable deterministic rank over an
     * integral key — powers seeded sampling that an external SQL engine
     * can replicate bit-for-bit. */
@@ -209,6 +219,9 @@ package object functions {
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
       "lcs_length" -> (exprs => LcsLength(exprs(0), exprs(1))),
+      "bit_length64" -> (exprs => BitLength64(exprs(0))),
+      "hll_sketch" -> (exprs =>
+        HllSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),
       "kmv_estimate" -> (exprs => KmvEstimate(exprs(0), litInt(exprs(1)))),
       "kmv_sketch" -> (exprs =>
         KmvSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),

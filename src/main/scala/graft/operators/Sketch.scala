@@ -161,10 +161,10 @@ object Sketch {
 
   def hllRho(hash: Column, p: Int): Column = {
     val rem = hash.bitwiseAND(lit((1L << (64 - p)) - 1L))
-    val win = 64 - p
-    when(rem === 0L, lit(win + 1))
-      .otherwise(lit(win + 1) - length(bin(rem)).cast("int"))
-      .cast("int")
+    // window-clz + 1; the all-zero remainder (bit length 0) falls out
+    // of the same formula. bit_length64 is the codegen'd arithmetic
+    // equal of length(bin(rem)) — the oracle replays the string form.
+    (lit(64 - p + 1) - graft.functions.bit_length64(rem)).cast("int")
   }
 
   /** Sparse register table: one row per (group, non-empty bucket) with
@@ -179,19 +179,17 @@ object Sketch {
       .agg(max(hllRho(col("_h"), p)).as("reg"))
 
   /** Dense sketch artifact: per group ONE row with `hll` = the full
-    * 2^p-register array (0 = empty bucket), bucket-ascending. The
-    * storable / mergeable form. */
+    * 2^p-register array (0 = empty bucket), bucket-ascending. ONE
+    * [[graft.functions.HllSketchAgg]] aggregation — bucket/rho computed
+    * inside the update loop, map-side combine ships ≤ 2^p bytes per
+    * (partition, group) into the only shuffle. The storable / mergeable
+    * form; register-identical to [[hllRegisters]] densified
+    * (spec-asserted). */
   def hllSketch(df: DataFrame, groupCols: Seq[String], hash: Column,
-      p: Int): DataFrame = {
-    val m = 1 << p
-    hllRegisters(df, groupCols, hash, p)
+      p: Int): DataFrame =
+    df.select(groupCols.map(col) :+ hash.as("_h"): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("reg"))))
-        .as("_m"))
-      .select(groupCols.map(col) :+
-        transform(sequence(lit(0), lit(m - 1)),
-          b => coalesce(element_at(col("_m"), b), lit(0))).as("hll"): _*)
-  }
+      .agg(graft.functions.hll_sketch(col("_h"), p).as("hll"))
 
   /** Union sketches that share a group key: element-wise register max —
     * lossless (the register of a union is the max of the registers), so
@@ -328,7 +326,7 @@ object Sketch {
   def logBin(value: Column, subBits: Int): Column = {
     val v = value.cast("long")
     val small = 1L << subBits
-    val e = length(bin(v)).cast("int") // bit length for v > 0
+    val e = graft.functions.bit_length64(v) // codegen'd; = length(bin(v)) for v > 0
     when(v.isNull || v < 0, lit(null).cast("int"))
       .when(v < small, v.cast("int"))
       .otherwise(((e - subBits) * lit(1 << subBits)).cast("int") +

@@ -79,6 +79,23 @@ class ExtensionsSpec extends SparkSuite {
     assert(got == 3)
   }
 
+  test("bit_length64 and hll_sketch usable from SQL") {
+    graft.functions.registerAll(spark)
+    val bl = spark.sql(
+      "SELECT bit_length64(0L), bit_length64(1L), bit_length64(255L), bit_length64(-1L)")
+      .head
+    assert((0 until 4).map(bl.getInt) == Seq(0, 1, 8, 64))
+    spark.sql("SELECT * FROM VALUES (0L), (-1L) t(h)")
+      .createOrReplaceTempView("hh")
+    val regs = spark.sql("SELECT hll_sketch(h, 4) FROM hh")
+      .head.getSeq[Int](0)
+    assert(regs.length == 16)
+    // h=0 -> bucket 0, all-zero remainder -> rho = 64-4+1 = 61
+    assert(regs.head == 61)
+    // h=-1 -> bucket 15, remainder all-ones -> rho = 1
+    assert(regs(15) == 1)
+  }
+
   test("GraftExtensions injects functions at session build time") {
     // getOrCreate returns the suite session and would skip extensions;
     // clear default/active so a fresh session (same context) is built

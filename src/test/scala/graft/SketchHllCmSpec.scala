@@ -50,6 +50,21 @@ class SketchHllCmSpec extends SparkSuite {
     assert(math.abs(est - 40) < 5, s"est $est")
   }
 
+  test("hllSketch agg equals hllRegisters densified") {
+    val df = (0 until 2000).map(i => s"k${i % 700}").toDF("w")
+      .withColumn("g", (length(col("w")) % 2).cast("int"))
+    val p = 8
+    val dense = Sketch.hllSketch(df, Seq("g"), Sketch.keyHash(col("w")), p)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    val sparse = Sketch.hllRegisters(df, Seq("g"), Sketch.keyHash(col("w")), p)
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getInt(2)).toMap).toMap
+    for ((g, regs) <- dense) {
+      val want = (0 until (1 << p)).map(b => sparse(g).getOrElse(b, 0))
+      assert(regs === want, s"group $g")
+    }
+  }
+
   test("hll sketches merge losslessly (union == element-wise max)") {
     val h1 = (0 until 3000).map(i => s"a$i")
     val h2 = (1500 until 4500).map(i => s"a$i")
