@@ -1795,6 +1795,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Jensen–Shannon corpus drift (LangModel.jsDivergencePairs): unigram
+  // JS divergence between every source pair — shared masses and the
+  // ppb-integer contribution sum are gated exactly; the scalar is one
+  // fixed-order chain over them. The one-sided-vocabulary closed form
+  // (0.5·ln2·(1 − shared mass)) means the oracle needs only the same
+  // shared-token join.
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    LangModel.jsDivergencePairs(t(s, dir, "documents"), "source",
+        col("text"))
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        col("ca_shared"), col("cb_shared"), col("t_ppb_sum"),
+        round(col("js"), 6).as("js_r"))
+      .orderBy("ga", "gb")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1919,7 +1933,8 @@ object SparkEntry {
     "q119_hist_quantiles" -> (q119 _),
     "q120_silhouette" -> (q120 _),
     "q121_bleu" -> (q121 _),
-    "q122_rouge_l" -> (q122 _))
+    "q122_rouge_l" -> (q122 _),
+    "q123_js_divergence" -> (q123 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4400,7 +4415,46 @@ object SparkEntry {
            round(rp, 6) AS rouge_p_r, round(rr, 6) AS rouge_r_r,
            round(CASE WHEN rp + rr > 0.0 THEN 2.0 * rp * rr / (rp + rr)
                       ELSE 0.0 END, 6) AS rouge_f_r
-         FROM sc ORDER BY doc_id"""
+         FROM sc ORDER BY doc_id""",
+
+    // q123: JS divergence replayed — identical shared-token join, the
+    // same fixed-order per-term double rounded to ppb and summed as
+    // integers, the same closed-form one-sided mass
+    "q123_js_divergence" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         cnt AS (SELECT g, w, count(*) AS c FROM tok GROUP BY g, w),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY g),
+         sh AS (SELECT a.g AS ga, b.g AS gb,
+             CAST(sum(a.c) AS BIGINT) AS ca_shared,
+             CAST(sum(b.c) AS BIGINT) AS cb_shared,
+             CAST(sum(CAST(round(
+               (0.5 * ((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+                   * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+                        / ((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+                           + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))))
+                 + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                   * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                        / ((CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+                           + (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))))))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS t_ppb_sum
+           FROM cnt a JOIN cnt b ON a.w = b.w AND a.g < b.g
+           JOIN tot na ON na.g = a.g JOIN tot nb ON nb.g = b.g
+           GROUP BY a.g, b.g),
+         pr AS (SELECT na.g AS ga, nb.g AS gb, na.n AS n_a, nb.n AS n_b
+           FROM tot na CROSS JOIN tot nb WHERE na.g < nb.g)
+         SELECT ga, gb, n_a, n_b,
+           coalesce(ca_shared, 0) AS ca_shared,
+           coalesce(cb_shared, 0) AS cb_shared,
+           coalesce(t_ppb_sum, 0) AS t_ppb_sum,
+           round(CAST(coalesce(t_ppb_sum, 0) AS DOUBLE) / 1000000000.0
+             + (0.5 * ln(2.0)) *
+               ((1.0 - CAST(coalesce(ca_shared, 0) AS DOUBLE) / CAST(n_a AS DOUBLE))
+                + (1.0 - CAST(coalesce(cb_shared, 0) AS DOUBLE) / CAST(n_b AS DOUBLE))),
+             6) AS js_r
+         FROM pr LEFT JOIN sh USING (ga, gb)
+         ORDER BY ga, gb"""
   )
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,

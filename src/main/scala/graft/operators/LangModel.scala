@@ -269,4 +269,55 @@ object LangModel {
     }
     spark.createDataFrame(bucketed, schema)
   }
+
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * every unordered group pair — the corpus-drift / domain-shift
+    * monitor (0 = identical, ln 2 = disjoint support). The one-sided
+    * vocabulary needs NO join: a term present only in A contributes
+    * 0.5·p·ln 2, and those p's sum to 1 − (A's shared mass) — a closed
+    * form over exact integer counts. So the only data-sized work is
+    * ONE (group, token) count aggregation and ONE shared-vocabulary
+    * self-join; the G² pair frame is a broadcast cross of the G-row
+    * totals.
+    *
+    * Determinism: each shared term's contribution
+    * 0.5·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))) is a fixed-order double
+    * rounded to ppb and summed as exact integers (order-free,
+    * layout-invariant); shared masses are exact integer count sums
+    * with one division each. Returns (ga, gb, n_a, n_b, ca_shared,
+    * cb_shared, t_ppb_sum, js). */
+  def jsDivergencePairs(docs: DataFrame, groupCol: String,
+      textCol: Column): DataFrame = {
+    val toks = docs.select(col(groupCol).as("_g"),
+      explode(TextFunctions.tokens(textCol)).as("_w"))
+    val cnt = toks.groupBy("_g", "_w").agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy("_g").agg(sum("_c").as("_n"))
+    val a = cnt.select(col("_g").as("ga"), col("_w"), col("_c").as("_ca"))
+    val b = cnt.select(col("_g").as("gb"), col("_w"), col("_c").as("_cb"))
+    val na = broadcast(tot.select(col("_g").as("ga"), col("_n").as("n_a")))
+    val nb = broadcast(tot.select(col("_g").as("gb"), col("_n").as("n_b")))
+    val p = col("_ca").cast("double") / col("n_a").cast("double")
+    val q = col("_cb").cast("double") / col("n_b").cast("double")
+    val t = lit(0.5) * (p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q)))
+    val shared = a.join(b, Seq("_w")).where(col("ga") < col("gb"))
+      .join(na, Seq("ga")).join(nb, Seq("gb"))
+      .withColumn("_t_ppb", round(t * lit(1e9)).cast("long"))
+      .groupBy("ga", "gb")
+      .agg(sum("_ca").as("ca_shared"), sum("_cb").as("cb_shared"),
+        sum("_t_ppb").as("t_ppb_sum"))
+    val pairs = na.crossJoin(nb).where(col("ga") < col("gb"))
+    val half = lit(0.5) * log(lit(2.0))
+    pairs.join(shared, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        coalesce(col("ca_shared"), lit(0L)).as("ca_shared"),
+        coalesce(col("cb_shared"), lit(0L)).as("cb_shared"),
+        coalesce(col("t_ppb_sum"), lit(0L)).as("t_ppb_sum"))
+      .withColumn("js",
+        col("t_ppb_sum").cast("double") / lit(1e9) +
+          half * ((lit(1.0) -
+              col("ca_shared").cast("double") / col("n_a").cast("double")) +
+            (lit(1.0) -
+              col("cb_shared").cast("double") / col("n_b").cast("double"))))
+  }
 }
