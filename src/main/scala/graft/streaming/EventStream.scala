@@ -273,6 +273,38 @@ object EventStream {
       case None => throw new IllegalStateException(s"no hll state under $path")
     }
 
+  /** Streaming count-min sketch: per micro-batch, the batch's OWN
+    * counters are written as a delta (d<batchId>) — counters are
+    * additive (unlike the idempotent KMV-union / HLL-max merges), so
+    * the versioned-overwrite design would double-count a replayed
+    * batch; the delta design is idempotent because a replay overwrites
+    * its own delta and never touches the others (the
+    * [[streamingNearDupIngest]] artifact rule). Each delta is ≤
+    * depth·width rows; [[readCmState]] sums them — compact by
+    * rewriting the summed state as a fresh single delta when the count
+    * grows. */
+  def streamingCmSketch(stream: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int, width: Int, path: String,
+      seed: Long = 0L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Sketch
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Sketch.cmSketch(batch, key, depth, width, seed)
+          .write.mode("overwrite").parquet(s"$path/d$batchId")
+      }
+  }
+
+  /** The summed counter state of every completed [[streamingCmSketch]]
+    * delta; estimate with [[graft.operators.Sketch.cmEstimate]]. */
+  def readCmState(spark: SparkSession, path: String): DataFrame = {
+    val deltas = completedDeltas(spark, path, Long.MaxValue)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no cm state under $path")
+    spark.read.parquet(deltas: _*)
+      .groupBy("row", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cell").as("cell"))
+  }
+
   /** Streaming incremental NEAR-dup ingest: each micro-batch is minhash-
     * signed, screened against the persisted corpus signature artifact
     * ([[graft.operators.Dedup.minhashAgainstSigs]] — banding +

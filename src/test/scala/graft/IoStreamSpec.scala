@@ -722,6 +722,43 @@ class IoStreamSpec extends SparkSuite {
     assert(vs.toSet == Set("v0", "v1"))
   }
 
+  test("streaming CM sketch: summed deltas equal the one-shot sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketch
+    val all = (0 until 2000).map(i => Tuple1(s"k${i % 300}"))
+    val (h1, h2) = all.splitAt(900)
+    val dir = Files.createTempDirectory("graftscm").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Tuple1[String]]
+    val writer = EventStream.streamingCmSketch(
+      mem.toDF().toDF("w"), col("w"), depth = 4, width = 256,
+      path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val state = EventStream.readCmState(spark, s"$dir/state")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = Sketch.cmSketch(all.map(_._1).toDF("w"), col("w"),
+        depth = 4, width = 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(state == want) // delta sum == one-shot counters
+    // estimates off the merged state never undercount the true counts
+    val probes = Seq("k0", "k299", "nope").toDF("w")
+    val est = Sketch.cmEstimate(EventStream.readCmState(spark, s"$dir/state"),
+        probes, "w", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = all.map(_._1).groupBy(identity).view.mapValues(_.size.toLong)
+    assert(est("k0") >= truth("k0") && est("k299") >= truth("k299"))
+    // two delta dirs, one per micro-batch
+    val ds = new java.io.File(s"$dir/state").list().filter(_.startsWith("d"))
+    assert(ds.toSet == Set("d0", "d1"))
+  }
+
   test("streaming KMV sketch: merged state equals the batch sketch of everything") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
