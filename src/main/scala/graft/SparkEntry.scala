@@ -1809,6 +1809,27 @@ object SparkEntry {
         round(col("js"), 6).as("js_r"))
       .orderBy("ga", "gb")
 
+  // Integer fixed-point PageRank (Graph.pageRankPpb) over the bidirected
+  // customer↔supplier trade graph (distinct o_custkey↔l_suppkey pairs
+  // via orders⋈lineitem): every rank is an exact ppb long — r0, base,
+  // per-edge floor-divided contributions, damped floor-divided update —
+  // so TWO full iterations gate hash-exact with zero rounding columns.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    Graph.pageRankPpb(edges, nodes, "node", iters = 2)
+      .orderBy("node")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1934,7 +1955,8 @@ object SparkEntry {
     "q120_silhouette" -> (q120 _),
     "q121_bleu" -> (q121 _),
     "q122_rouge_l" -> (q122 _),
-    "q123_js_divergence" -> (q123 _))
+    "q123_js_divergence" -> (q123 _),
+    "q124_pagerank" -> (q124 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4454,7 +4476,37 @@ object SparkEntry {
                 + (1.0 - CAST(coalesce(cb_shared, 0) AS DOUBLE) / CAST(n_b AS DOUBLE))),
              6) AS js_r
          FROM pr LEFT JOIN sh USING (ga, gb)
-         ORDER BY ga, gb"""
+         ORDER BY ga, gb""",
+
+    // q124: two PageRank iterations replayed in exact integer floor
+    // division — same r0/base constants, same per-edge r div deg
+    // contributions, same damped update; no rounding columns at all
+    "q124_pagerank" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+         nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         cst AS (SELECT 1000000000 // count(*) AS r0,
+             ((1000000000 // count(*)) * 15) // 100 AS base
+           FROM nd),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0t AS (SELECT node, (SELECT r0 FROM cst) AS r FROM nd),
+         i1 AS (SELECT e.dst AS node, sum(r.r // dg.deg) AS inn
+           FROM e JOIN r0t r ON e.src = r.node JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             (SELECT base FROM cst) + (85 * coalesce(i1.inn, 0)) // 100 AS r
+           FROM nd LEFT JOIN i1 USING (node)),
+         i2 AS (SELECT e.dst AS node, sum(r.r // dg.deg) AS inn
+           FROM e JOIN r1 r ON e.src = r.node JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             (SELECT base FROM cst) + (85 * coalesce(i2.inn, 0)) // 100 AS r
+           FROM nd LEFT JOIN i2 USING (node))
+         SELECT node, CAST(r AS BIGINT) AS rank_ppb
+         FROM r2 ORDER BY node"""
   )
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank: hand-derived cycles, dangling leak, duplicate
+  * edge collapse, layout invariance. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def run(edges: Seq[(String, String)], iters: Int) = {
+    val e = edges.toDF("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    Graph.pageRankPpb(e, nodes, "node", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("2-cycle conserves mass exactly: ranks stay at r0") {
+    // N=2, r0=5e8, deg 1: r' = (5e8*15)//100 + (85*5e8)//100 = 5e8
+    val out = run(Seq(("a", "b"), ("b", "a")), iters = 3)
+    assert(out === Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("dangling node keeps receiving, source decays to base") {
+    // a -> b, b dangling. N=2: r0=5e8, base=75e6
+    val out1 = run(Seq(("a", "b")), iters = 1)
+    assert(out1("a") === 75000000L)
+    assert(out1("b") === 75000000L + 85L * 500000000L / 100L)
+    // iter 2: b's inflow is now a's decayed rank
+    val out2 = run(Seq(("a", "b")), iters = 2)
+    assert(out2("a") === 75000000L)
+    assert(out2("b") === 75000000L + 85L * 75000000L / 100L)
+  }
+
+  test("duplicate edges collapse before degrees") {
+    val dup = run(Seq(("a", "b"), ("a", "b"), ("b", "a")), iters = 2)
+    val once = run(Seq(("a", "b"), ("b", "a")), iters = 2)
+    assert(dup === once)
+  }
+
+  test("out-degree splits contributions with floor division") {
+    // a -> b and a -> c: each gets r0 div 2 damped; N=3, r0=333333333
+    val out = run(Seq(("a", "b"), ("a", "c")), iters = 1)
+    val r0 = 1000000000L / 3
+    val base = (r0 * 15) / 100
+    val want = base + 85L * (r0 / 2) / 100L
+    assert(out("b") === want && out("c") === want)
+    assert(out("a") === base)
+  }
+
+  test("layout invariance: repartitioned edges give identical ranks") {
+    val edges = (0 until 200).map(i => (s"n${i % 37}", s"n${(i * 7) % 37}"))
+    val e = edges.toDF("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val a = Graph.pageRankPpb(e, nodes, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRankPpb(e.repartition(7), nodes.repartition(3),
+        "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
