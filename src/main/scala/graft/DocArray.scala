@@ -119,6 +119,47 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       k: Int = 1024, seed: Long = 0L): DataFrame =
     Sketch.kmvDistinctStrings(df, groupCols, key, k, seed)
 
+  /** Distinct-cardinality estimate per group via fixed-size HyperLogLog
+    * registers (2^p bytes per group regardless of cardinality — the
+    * smaller-state alternative to [[distinctEstimate]]'s KMV; KMV also
+    * supports Jaccard/overlap, HLL merges cheaper). */
+  def distinctEstimateHll(key: Column, groupCols: Seq[String],
+      p: Int = 12, seed: Long = 0L): DataFrame =
+    Sketch.hllDistinctStrings(df, groupCols, key, p, seed)
+
+  /** Frequency estimates for `probes` from a count-min sketch of `key`
+    * occurrences — "how often does x occur" at corpus scale without a
+    * full distinct-key aggregation shuffle; never undercounts. */
+  def frequencyEstimate(key: Column, probes: DataFrame, probeCol: String,
+      depth: Int = 4, width: Int = 4096, seed: Long = 0L): DataFrame =
+    Sketch.cmEstimate(Sketch.cmSketch(df, key, depth, width, seed),
+      probes, probeCol, depth, width, seed)
+
+  /** Per-group quantiles of a non-negative integer measure (doc length,
+    * token count, byte size) from a mergeable log-scale histogram —
+    * ≤ 1/16 relative bin width, exact integer selection. */
+  def quantiles(value: Column, groupCols: Seq[String],
+      qs: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame =
+    Sketch.histQuantiles(
+      Sketch.logHistogram(df, groupCols, value), groupCols, qs)
+
+  /** Sentence BLEU-N of a candidate vs reference text column per row —
+    * exact clipped n-gram integers, standard zero rule. */
+  def bleu(candCol: Column, refCol: Column, maxN: Int = 4): DataFrame =
+    Evaluate.bleu(df, idCol, graft.functions.TextFunctions.tokens(candCol),
+      graft.functions.TextFunctions.tokens(refCol), maxN)
+
+  /** ROUGE-L (β=1) of a candidate vs reference text column per row —
+    * exact-integer LCS kernel, map-only. */
+  def rougeL(candCol: Column, refCol: Column): DataFrame =
+    Evaluate.rougeL(df, idCol, graft.functions.TextFunctions.tokens(candCol),
+      graft.functions.TextFunctions.tokens(refCol))
+
+  /** Jensen–Shannon divergence of the unigram distributions between
+    * every pair of corpus slices — the drift/domain-shift monitor. */
+  def corpusDrift(groupCol: String, textCol: String = "text"): DataFrame =
+    LangModel.jsDivergencePairs(df, groupCol, col(textCol))
+
   /** Train a BPE tokenizer on this corpus (distributed count pass +
     * deterministic merge fit). */
   def trainBpe(numMerges: Int, textCol: String = "text"): Seq[(String, String)] =

@@ -145,6 +145,34 @@ class SketchHllCmSpec extends SparkSuite {
     assert(whole === merged)
   }
 
+  test("plan shapes: hll one exchange, cm broadcast lookup, silhouette map-only") {
+    val df = (0 until 500).map(i => (s"g${i % 2}", s"k$i")).toDF("g", "w")
+      .repartition(5)
+    // hllSketch: ONE group-keyed exchange, partial agg, no Window
+    val hp = Sketch.hllSketch(df, Seq("g"), Sketch.keyHash(col("w")), 8)
+      .queryExecution.executedPlan.toString
+    assert(hp.contains("partial_hll_sketch"),
+      s"no map-side combine in plan:\n$hp")
+    assert(!hp.contains("Window"), s"unexpected window:\n$hp")
+    assert("Exchange hashpartitioning\\(g".r.findAllIn(hp).length == 1,
+      s"expected exactly one group-keyed exchange:\n$hp")
+
+    // cmEstimate: the sketch side rides a broadcast join
+    val sk = Sketch.cmSketch(df, col("w"), depth = 4, width = 256)
+    val cp = Sketch.cmEstimate(sk, df.select("w"), "w", 4, 256)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), s"no broadcast lookup:\n$cp")
+
+    // silhouette scoring stage: map-only — no exchange anywhere
+    val docs = (0 until 50).map(i => (i.toLong, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 10.0)))
+      .toDF("_cell", "_center")
+    val sp = graft.operators.Ann.silhouetteCentroid(docs, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"), s"silhouette should be map-only:\n$sp")
+  }
+
   test("centroid silhouette: separated clusters score high, cell = argmin") {
     // two tight clusters far apart in 4-d
     val docs = ((0 until 20).map(i => (i.toLong, Array(0.0f, 0.0f, 0.0f, i * 0.01f))) ++
