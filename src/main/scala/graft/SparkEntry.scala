@@ -1830,6 +1830,18 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  // Sequence training examples (Pack.sequenceExamples): the sliding
+  // next-item window generator over event streams — one key-partitioned
+  // window, (ts, event_id) total order, context joined to a string for
+  // the hash compare. Gates the frame boundaries (3-preceding..1-
+  // preceding), the pos>1 rule, and the in-order context.
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    Pack.sequenceExamples(events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), col("event_type"), contextLen = 3)
+      .select(col("user_id"), col("pos"),
+        concat_ws("|", col("context")).as("ctx"), col("label"))
+      .orderBy("user_id", "pos")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1956,7 +1968,8 @@ object SparkEntry {
     "q121_bleu" -> (q121 _),
     "q122_rouge_l" -> (q122 _),
     "q123_js_divergence" -> (q123 _),
-    "q124_pagerank" -> (q124 _))
+    "q124_pagerank" -> (q124 _),
+    "q125_seq_examples" -> (q125 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4506,7 +4519,19 @@ object SparkEntry {
              (SELECT base FROM cst) + (85 * coalesce(i2.inn, 0)) // 100 AS r
            FROM nd LEFT JOIN i2 USING (node))
          SELECT node, CAST(r AS BIGINT) AS rank_ppb
-         FROM r2 ORDER BY node"""
+         FROM r2 ORDER BY node""",
+
+    // q125: the sliding window replayed with DuckDB's framed list()
+    // aggregate under the identical (ts, event_id) total order
+    "q125_seq_examples" ->
+      """WITH w AS (SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+           list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx,
+           event_type AS label
+         FROM events)
+         SELECT user_id, pos, array_to_string(ctx, '|') AS ctx, label
+         FROM w WHERE pos > 1 ORDER BY user_id, pos"""
   )
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,

@@ -117,4 +117,30 @@ object Pack {
         size(col("_c")).as("n_chunk_tokens"),
         array_join(col("_c"), " ").as("chunk_text"))
   }
+
+  /** Next-item training examples from event sequences: per key, ordered
+    * by `orderCols` (include a unique tiebreaker for determinism), each
+    * position ≥ 2 yields (context = up to `contextLen` preceding items
+    * in order, label = the item) — the sliding-window example generator
+    * of sequential-recommendation / session-LM training.
+    *
+    * Scale shape: ONE key-partitioned window (sequences are per-user
+    * bounded; heavy keys are a data problem, not a plan problem — cap
+    * upstream if a key can be unbounded), no self-join, no explode of
+    * the full sequence per position. Returns (keyCol, pos, context
+    * array, label). */
+  def sequenceExamples(events: DataFrame, keyCol: String,
+      orderCols: Seq[Column], itemCol: Column,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    events
+      .withColumn("_pos", row_number().over(w))
+      .withColumn("_ctx", collect_list(itemCol)
+        .over(w.rowsBetween(-contextLen, -1)))
+      .where(col("_pos") > 1)
+      .select(col(keyCol), col("_pos").as("pos"), col("_ctx").as("context"),
+        itemCol.as("label"))
+  }
 }

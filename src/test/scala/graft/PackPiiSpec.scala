@@ -104,4 +104,23 @@ class PackPiiSpec extends SparkSuite {
       .orderBy("id").collect().toSeq
     assert(a != c)
   }
+
+  test("sequenceExamples: in-order bounded context, pos>1, per-key isolation") {
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "d"),
+      (1L, 50L, "e"),
+      (2L, 10L, "x"), (2L, 20L, "y")
+    ).toDF("u", "t", "item")
+    val out = Pack.sequenceExamples(ev, "u", Seq(col("t")), col("item"), 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getSeq[String](2), r.getString(3))).toMap
+    assert(out((1L, 2)) === ((Seq("a"), "b")))
+    assert(out((1L, 4)) === ((Seq("a", "b", "c"), "d")))
+    // context caps at 3 and slides (drops "a")
+    assert(out((1L, 5)) === ((Seq("b", "c", "d"), "e")))
+    // keys never leak into each other; first position emits nothing
+    assert(out((2L, 2)) === ((Seq("x"), "y")))
+    assert(!out.contains((1L, 1)) && !out.contains((2L, 1)))
+    assert(out.size === 5)
+  }
 }
