@@ -1842,6 +1842,20 @@ object SparkEntry {
         concat_ws("|", col("context")).as("ctx"), col("label"))
       .orderBy("user_id", "pos")
 
+  // Calibration bins (Evaluate.calibrationBins): the reliability-
+  // diagram table for the q21 quality score predicting English-ness —
+  // per clamped floor(score·10) bin, exact integer n / positives / ppm
+  // score sum (hash-gated directly), derived mean and fraction as one
+  // division each. Composes the q116-shared score chain.
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    Evaluate.calibrationBins(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), col("lang") === "en",
+        nBins = 10)
+      .select(col("bin"), col("n"), col("n_pos"), col("score_ppm_sum"),
+        round(col("mean_score"), 6).as("mean_score_r"),
+        round(col("frac_pos"), 6).as("frac_pos_r"))
+      .orderBy("bin")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1969,7 +1983,8 @@ object SparkEntry {
     "q122_rouge_l" -> (q122 _),
     "q123_js_divergence" -> (q123 _),
     "q124_pagerank" -> (q124 _),
-    "q125_seq_examples" -> (q125 _))
+    "q125_seq_examples" -> (q125 _),
+    "q126_calibration" -> (q126 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4191,24 +4206,7 @@ object SparkEntry {
     // q116: the q21 score chain + integer half-rank Mann–Whitney; the
     // one division mirrors Spark's operation order exactly
     "q116_auc_exact" ->
-      """WITH t AS (SELECT doc_id, text, lang,
-           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
-           FROM documents),
-         m AS (SELECT doc_id, lang,
-           least(len(tok)/50.0, 1.0) AS len_score,
-           CASE WHEN len(tok)=0 THEN 0.0
-                ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok)
-           END AS mtl,
-           CASE WHEN length(text)=0 THEN 0.0
-                ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
-                     / length(text) END AS punct
-           FROM t),
-         q AS (SELECT round((len_score
-             + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
-                     WHEN mtl = 0.0 THEN 0.0 ELSE 0.5 END)
-             + (1.0 - least(punct*5.0, 1.0))) / 3.0, 6) AS sc,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-           FROM m),
+      s"""WITH $qualityScorePosCtes,
          r AS (SELECT sc, pos, row_number() OVER (ORDER BY sc) - 1 AS gi FROM q),
          g AS (SELECT sc, min(gi) AS gmin, count(*) AS gcnt, sum(pos) AS gpos
                FROM r GROUP BY sc),
@@ -4531,8 +4529,49 @@ object SparkEntry {
            event_type AS label
          FROM events)
          SELECT user_id, pos, array_to_string(ctx, '|') AS ctx, label
-         FROM w WHERE pos > 1 ORDER BY user_id, pos"""
+         FROM w WHERE pos > 1 ORDER BY user_id, pos""",
+
+    // q126: the same score chain as q116, binned — exact integer
+    // aggregates per clamped floor(sc·10) bin, one division per
+    // derived column
+    "q126_calibration" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT greatest(least(CAST(floor(sc * 10) AS INTEGER), 9), 0) AS bin,
+             pos, CAST(round(sc * 1000000.0) AS BIGINT) AS sppm
+           FROM q),
+         g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(sppm) AS BIGINT) AS score_ppm_sum
+           FROM b GROUP BY bin)
+         SELECT bin, n, n_pos, score_ppm_sum,
+           round(CAST(score_ppm_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_score_r,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos_r
+         FROM g ORDER BY bin"""
   )
+
+  /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =
+    * round-6 quality score, pos = 1 iff lang = 'en'. Shared by q116
+    * (AUC) and q126 (calibration bins); text identical to the original
+    * q116 inline form. */
+  private val qualityScorePosCtes: String =
+    """t AS (SELECT doc_id, text, lang,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         m AS (SELECT doc_id, lang,
+           least(len(tok)/50.0, 1.0) AS len_score,
+           CASE WHEN len(tok)=0 THEN 0.0
+                ELSE list_sum(list_transform(tok, x -> length(x)))*1.0/len(tok)
+           END AS mtl,
+           CASE WHEN length(text)=0 THEN 0.0
+                ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
+                     / length(text) END AS punct
+           FROM t),
+         q AS (SELECT round((len_score
+             + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                     WHEN mtl = 0.0 THEN 0.0 ELSE 0.5 END)
+             + (1.0 - least(punct*5.0, 1.0))) / 3.0, 6) AS sc,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM m)"""
 
   /** One splitmix64 finalizer chain (the tokenRankCtes stage text,
     * carrying a word key instead of source) from the shared `th(w, h)`

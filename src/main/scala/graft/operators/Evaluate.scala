@@ -144,6 +144,33 @@ object Evaluate {
           .as("auc"))
   }
 
+  /** Calibration / reliability bins for a [0, 1]-ranged score against a
+    * binary outcome: per bin (floor(score·nBins), clamped), the exact
+    * integer n / positive count / ppm score sum, plus the derived mean
+    * score and positive fraction (one division each). The reliability-
+    * diagram input and ECE numerator at corpus scale — ONE groupBy over
+    * ≤ nBins keys with map-side combine; every aggregate is an exact
+    * integer, so the table is layout-invariant and replayable. Null
+    * scores/labels are dropped. */
+  def calibrationBins(df: DataFrame, score: Column, positive: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = df.select(score.as("_sc"), positive.cast("boolean").as("_pos"))
+      .where(col("_sc").isNotNull && col("_pos").isNotNull)
+    base
+      .withColumn("bin", greatest(least(
+        floor(col("_sc") * nBins).cast("int"), lit(nBins - 1)), lit(0)))
+      .withColumn("_sppm", round(col("_sc") * 1e6).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_pos").cast("long")).as("n_pos"),
+        sum("_sppm").as("score_ppm_sum"))
+      .withColumn("mean_score",
+        col("score_ppm_sum").cast("double") / (col("n").cast("double") * 1e6))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+  }
+
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
     * space-joined — tokens are the lowercased alnum runs, so the join is
     * unambiguous). Empty when the text is shorter than n. */

@@ -49,6 +49,27 @@ class BleuSpec extends SparkSuite {
     assert(out(1L).getLong(3) === 1L)
   }
 
+  test("calibrationBins: exact integers, clamping, derived ratios") {
+    val df = Seq(
+      (0.05, true), (0.07, false),        // bin 0
+      (0.55, true), (0.58, true),         // bin 5
+      (1.0, true),                        // exactly 1.0 clamps to bin 9
+      (-0.2, false)                       // negative clamps to bin 0
+    ).toDF("sc", "y")
+    val out = Evaluate.calibrationBins(df, col("sc"), col("y"), nBins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet === Set(0, 5, 9))
+    val (n0, p0, s0, _, f0) = out(0)
+    assert(n0 === 3L && p0 === 1L && s0 === 50000L + 70000L - 200000L)
+    assert(f0 === 1.0 / 3.0)
+    val (n5, p5, s5, m5, f5) = out(5)
+    assert(n5 === 2L && p5 === 2L && s5 === 550000L + 580000L)
+    assert(m5 === s5.toDouble / (2 * 1e6) && f5 === 1.0)
+    assert(out(9)._1 === 1L && out(9)._2 === 1L)
+  }
+
   test("null and empty texts yield zero without errors") {
     val pairs = Seq((1L, null.asInstanceOf[String], "a b"), (2L, "", "a b"),
       (3L, "a b", null.asInstanceOf[String]))
