@@ -1856,6 +1856,19 @@ object SparkEntry {
         round(col("frac_pos"), 6).as("frac_pos_r"))
       .orderBy("bin")
 
+  // Exact vector pooling (GroupOps.poolVectors): chunk→doc embedding
+  // mean/max per group — every output an exact ppm long (the q100
+  // centroid integer-mean rule, max on the same grid), hash-gated with
+  // zero rounding columns. Groups = vec_id mod 7 over the embeddings
+  // table; first 8 dims keep the gate compact.
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    GroupOps.poolVectors(
+        t(s, dir, "embeddings")
+          .select(pmod(col("vec_id"), lit(7)).as("grp"), col("embedding")),
+        Seq("grp"), col("embedding"))
+      .where(col("pos") < 8)
+      .orderBy("grp", "pos")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1984,7 +1997,8 @@ object SparkEntry {
     "q123_js_divergence" -> (q123 _),
     "q124_pagerank" -> (q124 _),
     "q125_seq_examples" -> (q125 _),
-    "q126_calibration" -> (q126 _))
+    "q126_calibration" -> (q126 _),
+    "q127_vector_pool" -> (q127 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4546,7 +4560,25 @@ object SparkEntry {
            round(CAST(score_ppm_sum AS DOUBLE)
              / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_score_r,
            round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos_r
-         FROM g ORDER BY bin"""
+         FROM g ORDER BY bin""",
+
+    // q127: the ppm integer mean (round-half-away (2|s|+n) div 2n) and
+    // grid max replayed per (group, position)
+    "q127_vector_pool" ->
+      """WITH e AS (SELECT vec_id % 7 AS grp,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 1000000) AS BIGINT)) AS vp
+           FROM embeddings WHERE embedding IS NOT NULL),
+         x AS (SELECT grp, r.range - 1 AS pos, vp[r.range] AS v
+           FROM e CROSS JOIN range(1, 9) r
+           WHERE r.range <= len(vp)),
+         g AS (SELECT grp, pos, count(*) AS n, sum(v) AS s, max(v) AS max_ppm
+           FROM x GROUP BY grp, pos)
+         SELECT grp, CAST(pos AS INTEGER) AS pos, n,
+           CAST(CASE WHEN s < 0 THEN -((abs(s) * 2 + n) // (n * 2))
+                     ELSE (abs(s) * 2 + n) // (n * 2) END AS BIGINT) AS mean_ppm,
+           CAST(max_ppm AS BIGINT) AS max_ppm
+         FROM g WHERE pos < 8 ORDER BY grp, pos"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =

@@ -14,6 +14,37 @@ object GroupOps {
   /** split_by_tag: one output group key per distinct value; returns the
     * groups as (tagValue, ids) rows — at scale prefer partitionBy writes
     * over materializing per-group arrays. */
+  /** Element-wise mean/max pooling of a vector column per group — the
+    * chunk→document embedding aggregation (passage embeddings pooled to
+    * a doc embedding, doc embeddings pooled to a centroid per slice).
+    * The mean is the exact integer mean of ppm-quantized components
+    * (round-half-away, the [[Ann.kmeansLloyd]] centroid rule), the max
+    * is taken on the quantized grid too — every output is an exact
+    * long, so the pooled table is layout-invariant and replayable.
+    *
+    * Scale shape: posexplode → groupBy(group…, pos) whose map-side
+    * partial agg collapses each partition to ≤ |groups|·dim rows before
+    * the shuffle — never a collect_list of vectors. Returns one row per
+    * (group…, pos): n, mean_ppm, max_ppm. Null vectors are dropped;
+    * ragged dims pool per-position over the rows that have them. */
+  def poolVectors(df: DataFrame, groupCols: Seq[String],
+      vecCol: Column): DataFrame = {
+    val vppm = transform(vecCol.cast("array<double>"),
+      x => round(x * 1e6).cast("long"))
+    val mag = expr("(abs(_sum) * 2 + _n) div (_n * 2)")
+    df.select(groupCols.map(col) :+ vppm.as("_vppm"): _*)
+      .where(col("_vppm").isNotNull)
+      .select(groupCols.map(col) :+
+        posexplode(col("_vppm")).as(Seq("_pos", "_x")): _*)
+      .groupBy(groupCols.map(col) :+ col("_pos").as("pos"): _*)
+      .agg(count(lit(1)).as("_n"), sum("_x").as("_sum"),
+        max("_x").as("max_ppm"))
+      .withColumn("mean_ppm",
+        when(col("_sum") < 0, -mag).otherwise(mag))
+      .select((groupCols.map(col) :+ col("pos") :+ col("_n").as("n") :+
+        col("mean_ppm") :+ col("max_ppm")): _*)
+  }
+
   def splitByTag(df: DataFrame, tagCol: Column, idCol: Column): DataFrame =
     df.groupBy(tagCol.as("tag"))
       .agg(sort_array(collect_list(idCol)).as("ids"), count(lit(1)).as("n"))

@@ -105,6 +105,26 @@ class PackPiiSpec extends SparkSuite {
     assert(a != c)
   }
 
+  test("poolVectors: exact ppm means/maxes, ragged dims, layout invariance") {
+    val df = Seq(
+      ("a", Array(1.0f, -2.0f, 0.5f)),
+      ("a", Array(2.0f, -1.0f)), // ragged: dim 2 pools over one row
+      ("b", Array(10.0f, 10.0f, 10.0f))
+    ).toDF("g", "v")
+    val out = GroupOps.poolVectors(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 0)) === ((2L, 1500000L, 2000000L)))
+    // mean of -2e6 and -1e6 ppm: round-half-away((3e6*2+2) div 4) = -1500000
+    assert(out(("a", 1)) === ((2L, -1500000L, -1000000L)))
+    assert(out(("a", 2)) === ((1L, 500000L, 500000L)))
+    assert(out(("b", 0)) === ((1L, 10000000L, 10000000L)))
+    val rep = GroupOps.poolVectors(df.repartition(5), Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep === out)
+  }
+
   test("sequenceExamples: in-order bounded context, pos>1, per-key isolation") {
     val ev = Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (1L, 40L, "d"),
