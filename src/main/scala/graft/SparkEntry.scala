@@ -1869,6 +1869,22 @@ object SparkEntry {
       .where(col("pos") < 8)
       .orderBy("grp", "pos")
 
+  // Margin-based pair mining (Knn.marginPairs — the LASER/CCMatrix
+  // bitext rule): best-b-per-a by cos/(neighborhood-mean) ratio margin.
+  // Both knn directions ride the q11-gated kernel; neighborhood sums
+  // are exact ppb integers (gated directly), the margin one fixed
+  // double expression over them. A = vec_id < 60, B = vec_id ≥ 440,
+  // k = 4.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Knn.marginPairs(e.where(col("vec_id") < 60),
+        e.where(col("vec_id") >= 440), k = 4,
+        aId = "vec_id", bId = "vec_id")
+      .select(col("a_id"), col("b_id"), col("c_ppb"), col("s_a"),
+        col("s_b"), round(col("margin"), 6).as("margin_r"))
+      .orderBy("a_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1998,7 +2014,8 @@ object SparkEntry {
     "q124_pagerank" -> (q124 _),
     "q125_seq_examples" -> (q125 _),
     "q126_calibration" -> (q126 _),
-    "q127_vector_pool" -> (q127 _))
+    "q127_vector_pool" -> (q127 _),
+    "q128_margin_pairs" -> (q128 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4578,7 +4595,41 @@ object SparkEntry {
            CAST(CASE WHEN s < 0 THEN -((abs(s) * 2 + n) // (n * 2))
                      ELSE (abs(s) * 2 + n) // (n * 2) END AS BIGINT) AS mean_ppm,
            CAST(max_ppm AS BIGINT) AS max_ppm
-         FROM g WHERE pos < 8 ORDER BY grp, pos"""
+         FROM g WHERE pos < 8 ORDER BY grp, pos""",
+
+    // q128: both knn directions brute-forced with the q11 distance, the
+    // same (dist, id) top-k rule, ppb cosine integers, and the margin
+    // ratio with identical operation order; best-per-a ties toward the
+    // smallest b
+    "q128_margin_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         aa AS (SELECT vec_id aid, v av FROM e WHERE vec_id < 60),
+         bb AS (SELECT vec_id bid, v bv FROM e WHERE vec_id >= 440),
+         fd AS (SELECT aid, bid, 1.0 - list_cosine_similarity(av, bv) dist
+           FROM aa, bb),
+         fr AS (SELECT aid, bid,
+             CAST(round((1.0 - dist) * 1000000000.0) AS BIGINT) AS c_ppb,
+             row_number() OVER (PARTITION BY aid ORDER BY dist, bid) rk
+           FROM fd),
+         fk AS (SELECT aid, bid, c_ppb FROM fr WHERE rk <= 4),
+         sa AS (SELECT aid, CAST(sum(c_ppb) AS BIGINT) s_a FROM fk GROUP BY aid),
+         br AS (SELECT bid, aid,
+             CAST(round((1.0 - dist) * 1000000000.0) AS BIGINT) AS c_ppb,
+             row_number() OVER (PARTITION BY bid ORDER BY dist, aid) rk
+           FROM fd),
+         bk AS (SELECT bid, c_ppb FROM br WHERE rk <= 4),
+         sb AS (SELECT bid, CAST(sum(c_ppb) AS BIGINT) s_b FROM bk GROUP BY bid),
+         cand AS (SELECT fk.aid, fk.bid, fk.c_ppb, s_a, s_b,
+             (8.0 * CAST(fk.c_ppb AS DOUBLE))
+               / CAST(s_a + s_b AS DOUBLE) AS margin
+           FROM fk JOIN sa USING (aid) JOIN sb USING (bid)),
+         best AS (SELECT aid, bid, c_ppb, s_a, s_b, margin,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY margin DESC, bid) rn
+           FROM cand)
+         SELECT aid AS a_id, bid AS b_id, c_ppb, s_a, s_b,
+           round(margin, 6) AS margin_r
+         FROM best WHERE rn = 1 ORDER BY a_id"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =

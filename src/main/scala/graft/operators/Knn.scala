@@ -396,4 +396,51 @@ object Knn {
       .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("_w"))
       .select(col("query_id"), col("_w.l").as("label"),
         (-col("_w.nv")).as("votes"))
+
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 — the LASER/
+    * CCMatrix bitext-mining rule): for every row of `a`, its best `b`
+    * candidate by the ratio margin
+    *
+    *   margin(x, y) = cos(x, y) / ((Σ_{z∈NNk(x)} cos(x,z)
+    *                              + Σ_{z∈NNk(y)} cos(y,z)) / 2k)
+    *
+    * which penalizes hubs (y's close to everything) that plain cosine
+    * top-1 would over-select. Candidates are x's forward top-k; the
+    * backward top-k of every y supplies the y-side normalizer.
+    *
+    * Determinism: both directions ride the gated [[bruteForce]] kernel
+    * (tie rule (dist, id)); per-neighbor cosines are ppb-rounded longs,
+    * so the neighborhood sums are EXACT integers and the margin is one
+    * fixed-order double expression over them; best-per-a breaks margin
+    * ties toward the smallest b id. Returns (a_id, b_id, c_ppb, s_a,
+    * s_b, margin) — the integer columns gate the whole chain.
+    *
+    * Scale: two knn passes (each the broadcast-query bounded-heap plan)
+    * + two ≤|A|k-row aggregations + one broadcast-sized join; at index
+    * scale feed [[graft.operators.Ann]] hits through the same shape. */
+  def marginPairs(a: DataFrame, b: DataFrame, k: Int,
+      aId: String = "id", bId: String = "id",
+      vecCol: String = "embedding"): DataFrame = {
+    def cosPpb = round((lit(1.0) - col("distance")) * lit(1e9)).cast("long")
+    val fwd = bruteForce(b, a, k, "cosine", docId = bId, docVec = vecCol,
+        queryId = aId, queryVec = vecCol)
+      .select(col("query_id").as("a_id"), col("id").as("b_id"),
+        cosPpb.as("c_ppb"))
+    val bwd = bruteForce(a, b, k, "cosine", docId = aId, docVec = vecCol,
+        queryId = bId, queryVec = vecCol)
+      .select(col("query_id").as("b_id"), cosPpb.as("c_ppb"))
+    val sA = fwd.groupBy("a_id").agg(sum("c_ppb").as("s_a"))
+    val sB = bwd.groupBy("b_id").agg(sum("c_ppb").as("s_b"))
+    val cand = fwd.join(sA, Seq("a_id")).join(sB, Seq("b_id"))
+      .withColumn("margin",
+        (lit(2.0 * k) * col("c_ppb").cast("double")) /
+          (col("s_a") + col("s_b")).cast("double"))
+    cand.groupBy("a_id")
+      .agg(min(struct((-col("margin")).as("nm"), col("b_id").as("b"),
+        col("c_ppb").as("c"), col("s_a").as("sa"), col("s_b").as("sb")))
+        .as("_w"))
+      .select(col("a_id"), col("_w.b").as("b_id"), col("_w.c").as("c_ppb"),
+        col("_w.sa").as("s_a"), col("_w.sb").as("s_b"),
+        (-col("_w.nm")).as("margin"))
+  }
 }

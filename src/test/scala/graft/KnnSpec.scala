@@ -8,6 +8,51 @@ import graft.operators.{Ann, Knn}
   * (reference: tests/unit/array/mixins/test_find.py:66-79 ordering,
   * test_match.py). */
 class KnnSpec extends SparkSuite {
+
+  test("marginPairs replays the ratio-margin formula exactly") {
+    import spark.implicits._
+    val av = Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(0.6f, 0.8f))
+    val bv = Seq(10L -> Array(0.8f, 0.6f), 11L -> Array(0.0f, 1.0f),
+      12L -> Array(0.9f, 0.1f))
+    val a = av.toDF("vec_id", "embedding")
+    val b = bv.toDF("vec_id", "embedding")
+    val out = graft.operators.Knn.marginPairs(a, b, k = 2,
+        aId = "vec_id", bId = "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+
+    // Scala-side replay: cosine, ppb rounding, top-2 by (dist, id)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i)
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def ppb(c: Double): Long = math.round((1.0 - (1.0 - c)) * 1e9)
+    val fwd = av.map { case (ai, x) =>
+      ai -> bv.map { case (bi, y) => (bi, 1.0 - cos(x, y)) }
+        .sortBy { case (bi, d) => (d, bi) }.take(2)
+    }.toMap
+    val bwd = bv.map { case (bi, y) =>
+      bi -> av.map { case (ai, x) => (ai, 1.0 - cos(x, y)) }
+        .sortBy { case (ai, d) => (d, ai) }.take(2)
+    }.toMap
+    val sA = fwd.view.mapValues(_.map(p => ppb(1.0 - p._2)).sum).toMap
+    val sB = bwd.view.mapValues(_.map(p => ppb(1.0 - p._2)).sum).toMap
+    for ((ai, nns) <- fwd) {
+      val cands = nns.map { case (bi, d) =>
+        val c = ppb(1.0 - d)
+        (bi, c, (2.0 * 2 * c.toDouble) / (sA(ai) + sB(bi)).toDouble)
+      }
+      val (bi, c, m) = cands.minBy { case (bi2, _, m2) => (-m2, bi2) }
+      val (gotB, gotC, gotSa, gotSb, gotM) = out(ai)
+      assert(gotB === bi && gotC === c && gotM === m)
+      assert(gotSa === sA(ai) && gotSb === sB(bi))
+    }
+  }
   import spark.implicits._
 
   // 2-D points with known neighbor structure
