@@ -1885,6 +1885,18 @@ object SparkEntry {
       .orderBy("a_id")
   }
 
+  // Bucketed exponential-decay counters (EventStream.decayedCounts):
+  // freshness-weighted event counts with EXACT integer math — weight =
+  // 2^−floor(age/halfLife) as the rounded ppb integer
+  // (10⁹ + 2^(e−1)) div 2^e, no exp()/pow() anywhere. Half-life = 1
+  // day over the 30-day event span exercises ~30 buckets.
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.decayedCounts(events(s, dir),
+        Seq("event_type"), col("ts"), halfLifeNs = 86400000000000L)
+      .select(col("event_type"), col("n"), col("w_ppb_sum"),
+        round(col("decayed"), 6).as("decayed_r"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2015,7 +2027,8 @@ object SparkEntry {
     "q125_seq_examples" -> (q125 _),
     "q126_calibration" -> (q126 _),
     "q127_vector_pool" -> (q127 _),
-    "q128_margin_pairs" -> (q128 _))
+    "q128_margin_pairs" -> (q128 _),
+    "q129_decayed_counts" -> (q129 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4629,7 +4642,28 @@ object SparkEntry {
            FROM cand)
          SELECT aid AS a_id, bid AS b_id, c_ppb, s_a, s_b,
            round(margin, 6) AS margin_r
-         FROM best WHERE rn = 1 ORDER BY a_id"""
+         FROM best WHERE rn = 1 ORDER BY a_id""",
+
+    // q129: the pure-integer decay weight replayed — same epoch-ns age,
+    // same floor bucket, same (1e9 + 2^(e−1)) // 2^e rounding
+    "q129_decayed_counts" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) AS t
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT max(t) AS tmax FROM e),
+         w AS (SELECT event_type,
+             CAST(least((tmax - t) // 86400000000000, 62) AS INTEGER) AS ex
+           FROM e CROSS JOIN mx),
+         w2 AS (SELECT event_type,
+             (1000000000 + (CASE WHEN ex > 0
+                 THEN (CAST(1 AS BIGINT) << (ex - 1)) ELSE 0 END))
+               // (CAST(1 AS BIGINT) << ex) AS w_ppb
+           FROM w),
+         g AS (SELECT event_type, count(*) AS n,
+             CAST(sum(w_ppb) AS BIGINT) AS w_ppb_sum
+           FROM w2 GROUP BY event_type)
+         SELECT event_type, n, w_ppb_sum,
+           round(CAST(w_ppb_sum AS DOUBLE) / 1000000000.0, 6) AS decayed_r
+         FROM g ORDER BY event_type"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =

@@ -273,6 +273,35 @@ object EventStream {
       case None => throw new IllegalStateException(s"no hll state under $path")
     }
 
+  /** Freshness-weighted (bucketed exponential decay) counts per group:
+    * each event contributes 2^−e of a count where e = floor(age /
+    * halfLife) — the per-epoch half-life decay counters of trending /
+    * recency-weighted sampling. The weight in ppb is the EXACT rounded
+    * integer (10⁹ + 2^(e−1)) div 2^e, so the sums are layout-invariant
+    * integers and the whole table replays externally — no exp()/pow()
+    * anywhere. Ages are relative to the corpus max timestamp (one 1-row
+    * aggregate, broadcast); e caps at 62 (weight 0 past ~2⁶² ages).
+    * Returns (group…, n, w_ppb_sum, decayed) where decayed =
+    * w_ppb_sum/10⁹ — the effective fresh-equivalent count. */
+  def decayedCounts(events: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], tsCol: org.apache.spark.sql.Column,
+      halfLifeNs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
+    val tMax = events.agg(max(tsCol).as("_tmax"))
+    val withAge = events.select(groupCols.map(col) :+ tsCol.as("_ts"): _*)
+      .where(col("_ts").isNotNull)
+      .crossJoin(broadcast(tMax))
+      .withColumn("_e", least(
+        expr(s"(_tmax - _ts) div ${halfLifeNs}L"), lit(62L)).cast("int"))
+      // exact round-half-up of 1e9 / 2^e in pure integer ops
+      .withColumn("_w_ppb", expr(
+        "(1000000000L + shiftleft(1L, _e - 1) * cast(_e > 0 as long)) div shiftleft(1L, _e)"))
+    withAge.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("_w_ppb").as("w_ppb_sum"))
+      .withColumn("decayed", col("w_ppb_sum").cast("double") / lit(1e9))
+  }
+
   /** Streaming count-min sketch: per micro-batch, the batch's OWN
     * counters are written as a delta (d<batchId>) — counters are
     * additive (unlike the idempotent KMV-union / HLL-max merges), so

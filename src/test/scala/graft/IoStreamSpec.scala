@@ -722,6 +722,28 @@ class IoStreamSpec extends SparkSuite {
     assert(vs.toSet == Set("v0", "v1"))
   }
 
+  test("decayedCounts: exact power-of-two bucket weights") {
+    val h = 100L // half-life in the test's fake-ns unit
+    val ev = Seq(
+      ("a", 1000L), // age 0   -> e=0 -> 1e9
+      ("a", 950L),  // age 50  -> e=0 -> 1e9
+      ("a", 900L),  // age 100 -> e=1 -> 5e8
+      ("a", 650L),  // age 350 -> e=3 -> round(1.25e8) = 125000000
+      ("b", 0L)     // age 1000 -> e=10 -> round(1e9/1024) = 976563
+    ).toDF("g", "ts")
+    val out = EventStream.decayedCounts(ev, Seq("g"), col("ts"), h)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a")._1 === 4L)
+    assert(out("a")._2 === 1000000000L + 1000000000L + 500000000L + 125000000L)
+    assert(out("b") === ((1L, 976563L, 976563L / 1e9)))
+    // layout invariance: integer sums don't care about partitioning
+    val rep = EventStream.decayedCounts(ev.repartition(4), Seq("g"),
+        col("ts"), h)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rep("a") === out("a")._2 && rep("b") === out("b")._2)
+  }
+
   test("streaming CM sketch: summed deltas equal the one-shot sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
