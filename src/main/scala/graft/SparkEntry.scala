@@ -1897,6 +1897,16 @@ object SparkEntry {
         round(col("decayed"), 6).as("decayed_r"))
       .orderBy("event_type")
 
+  // Per-doc token entropy (Quality.tokenEntropy): the gibberish /
+  // boilerplate band signal — every −p·ln p term ppb-rounded and
+  // summed as exact integers (the q123 rule), h_ppb_sum hash-gated
+  // directly.
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    Quality.tokenEntropy(t(s, dir, "documents"), "doc_id", col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("h_ppb_sum"), round(col("entropy"), 6).as("entropy_r"))
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2028,7 +2038,8 @@ object SparkEntry {
     "q126_calibration" -> (q126 _),
     "q127_vector_pool" -> (q127 _),
     "q128_margin_pairs" -> (q128 _),
-    "q129_decayed_counts" -> (q129 _))
+    "q129_decayed_counts" -> (q129 _),
+    "q130_token_entropy" -> (q130 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4663,7 +4674,33 @@ object SparkEntry {
            FROM w2 GROUP BY event_type)
          SELECT event_type, n, w_ppb_sum,
            round(CAST(w_ppb_sum AS DOUBLE) / 1000000000.0, 6) AS decayed_r
-         FROM g ORDER BY event_type"""
+         FROM g ORDER BY event_type""",
+
+    // q130: per-term −p·ln p ppb integers summed per doc, the same
+    // operation order; token-less docs report zeros
+    "q130_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents),
+         cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             count(*) AS n_distinct
+           FROM cnt GROUP BY doc_id),
+         sc AS (SELECT cnt.doc_id,
+             CAST(sum(CAST(round(
+               (-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS h_ppb_sum
+           FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+         SELECT d.doc_id,
+           coalesce(n, 0) AS n_tokens,
+           coalesce(n_distinct, 0) AS n_distinct,
+           coalesce(h_ppb_sum, 0) AS h_ppb_sum,
+           round(CAST(coalesce(h_ppb_sum, 0) AS DOUBLE) / 1000000000.0, 6)
+             AS entropy_r
+         FROM documents d LEFT JOIN tot USING (doc_id)
+         LEFT JOIN sc USING (doc_id)
+         ORDER BY doc_id"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =

@@ -82,6 +82,35 @@ object Quality {
     * bound the token count; `requiredStopwords` is the published 8-word
     * list ("the, be, to, of, and, that, have, with").
     */
+  /** Per-doc token (unigram) Shannon entropy in nats — the gibberish /
+    * boilerplate signal (natural prose sits in a band; repeated-token
+    * spam collapses toward 0, random-unique-token noise rises to
+    * ln(n)). Each term −(c/n)·ln(c/n) is a fixed-order double rounded
+    * to ppb and summed as exact integers per doc, so the table is
+    * layout-invariant and externally replayable (the q123 JS rule).
+    * Scale shape: one (id, token) count aggregation + one per-doc sum
+    * — both map-side combined. Returns (idCol, n_tokens, n_distinct,
+    * h_ppb_sum, entropy). Docs with no tokens report 0. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      explode(TextFunctions.tokens(textCol)).as("_w"))
+    val cnt = toks.groupBy("_id", "_w").agg(count(lit(1)).as("_c"))
+    val tot = cnt.groupBy("_id").agg(sum("_c").as("_n"),
+      count(lit(1)).as("n_distinct"))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    val scored = cnt.join(tot, Seq("_id"))
+      .withColumn("_t_ppb", round((-p * log(p)) * lit(1e9)).cast("long"))
+      .groupBy("_id")
+      .agg(sum("_t_ppb").as("h_ppb_sum"))
+    val base = df.select(col(idCol).as("_id"))
+    base.join(tot, Seq("_id"), "left").join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("h_ppb_sum"), lit(0L)).as("h_ppb_sum"))
+      .withColumn("entropy", col("h_ppb_sum").cast("double") / lit(1e9))
+  }
+
   def gopherQuality(df: DataFrame, textCol: Column,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,

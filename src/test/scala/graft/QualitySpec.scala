@@ -193,6 +193,25 @@ class QualitySpec extends SparkSuite {
     assert(pairs == Set(("good1", "good2")))
   }
 
+  test("tokenEntropy: uniform ln(n), constant 0, hand-mixed case, empty") {
+    val df = Seq(
+      (1L, "a b c d"),          // uniform over 4 -> ln 4
+      (2L, "x x x x"),          // constant -> 0
+      (3L, "a a b"),            // (2/3, 1/3) mix
+      (4L, "")                  // no tokens -> zeros
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Quality.tokenEntropy(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def term(p: Double): Long = math.round(-p * math.log(p) * 1e9)
+    assert(out(1L)._1 === 4L && out(1L)._2 === 4L)
+    assert(out(1L)._3 === 4 * term(0.25))
+    assert(out(2L) === ((4L, 1L, 0L, 0.0)))
+    val want3 = term(2.0 / 3.0) + term(1.0 / 3.0)
+    assert(out(3L)._3 === want3)
+    assert(out(4L) === ((0L, 0L, 0L, 0.0)))
+  }
+
   test("splitHashed: disjoint cover, deterministic, near-nominal shares") {
     import graft.operators.GroupOps
     val df = spark.range(10000).toDF("id")
