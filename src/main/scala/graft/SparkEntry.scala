@@ -1907,6 +1907,20 @@ object SparkEntry {
         col("h_ppb_sum"), round(col("entropy"), 6).as("entropy_r"))
       .orderBy("doc_id")
 
+  // Exact two-sample KS (Evaluate.ksTest2): length-distribution drift
+  // between English and non-English docs — D as the exact integer
+  // max |cum1·n2 − cum2·n1| over merged distinct lengths (range-
+  // partition + two-pass prefix sum, never a 1-partition window),
+  // smallest-value tie rule, one final division.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    Evaluate.ksTest2(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        length(col("text")))
+      .select(col("n1"), col("n2"), col("d_num"), col("at_v"),
+        round(col("d"), 6).as("d_r"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2039,7 +2053,8 @@ object SparkEntry {
     "q127_vector_pool" -> (q127 _),
     "q128_margin_pairs" -> (q128 _),
     "q129_decayed_counts" -> (q129 _),
-    "q130_token_entropy" -> (q130 _))
+    "q130_token_entropy" -> (q130 _),
+    "q131_ks_drift" -> (q131 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4700,7 +4715,31 @@ object SparkEntry {
              AS entropy_r
          FROM documents d LEFT JOIN tot USING (doc_id)
          LEFT JOIN sc USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q131: the exact-integer KS replayed with a window cumsum (the
+    // oracle may window; the engine side uses the two-pass prefix sum)
+    "q131_ks_drift" ->
+      """WITH ca AS (SELECT CAST(length(text) AS BIGINT) v, count(*) c1
+           FROM documents WHERE text IS NOT NULL AND lang = 'en' GROUP BY v),
+         cb AS (SELECT CAST(length(text) AS BIGINT) v, count(*) c2
+           FROM documents WHERE text IS NOT NULL AND lang <> 'en' GROUP BY v),
+         m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(c1, 0) AS c1,
+             coalesce(c2, 0) AS c2
+           FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m),
+         c AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2 FROM m),
+         d AS (SELECT v, abs(CAST(cum1 AS BIGINT) * n2
+             - CAST(cum2 AS BIGINT) * n1) AS dnum
+           FROM c CROSS JOIN t),
+         best AS (SELECT v, dnum,
+             row_number() OVER (ORDER BY dnum DESC, v) AS rn FROM d)
+         SELECT n1, n2, CAST(dnum AS BIGINT) AS d_num, v AS at_v,
+           round(CAST(dnum AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_r
+         FROM best CROSS JOIN t WHERE rn = 1"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =

@@ -171,6 +171,68 @@ object Evaluate {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic over an integer
+    * measure — the NUMERIC drift test complementing
+    * [[LangModel.jsDivergencePairs]]'s categorical divergence (doc
+    * length / token count / size distribution shift between crawls or
+    * slices). D = max_v |F₁(v) − F₂(v)| is computed as the exact
+    * integer max |cum₁·n₂ − cum₂·n₁| over the merged distinct values
+    * (exact while n₁·n₂ < 2⁶³), so the statistic is layout-invariant
+    * with ONE final division.
+    *
+    * Scale shape: per-side distinct-value count aggregations, a full
+    * outer merge, then cumulative counts via the range-partition +
+    * two-pass prefix sum ([[Pack.packBlocks]]'s pattern) — never a
+    * single-partition window. Returns one row: (n1, n2, d_num, at_v =
+    * the smallest value attaining the max, d). */
+  def ksTest2(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = a.sparkSession
+    def side(df: DataFrame, cName: String): DataFrame =
+      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as(cName))
+    val merged = side(a, "_c1").join(side(b, "_c2"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = merged.repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions("_v")
+    // pass 1: per-partition (Σc1, Σc2) → exclusive offsets; the totals
+    // n1/n2 fall out of the same scan
+    val partSums = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s1 = 0L; var s2 = 0L
+      it.foreach { r => s1 += r.getLong(1); s2 += r.getLong(2) }
+      Iterator((i, s1, s2))
+    }.collect().sortBy(_._1)
+    val off1 = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partSums.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = off1.last; val n2 = off2.last
+    val bc = spark.sparkContext.broadcast((off1, off2))
+    // pass 2: partition-local inclusive cumsum seeded with the offsets
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var c1 = bc.value._1(i); var c2 = bc.value._2(i)
+      it.map { r =>
+        c1 += r.getLong(1); c2 += r.getLong(2)
+        Row(r.getLong(0), c1, c2)
+      }
+    }
+    val cums = spark.createDataFrame(rows, StructType(Seq(
+      StructField("_v", LongType), StructField("_cum1", LongType),
+      StructField("_cum2", LongType))))
+    cums
+      .select(col("_v"),
+        abs(col("_cum1") * n2 - col("_cum2") * n1).as("_dnum"))
+      .agg(max(struct(col("_dnum"), (-col("_v")).as("_nv"))).as("_w"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        col("_w._dnum").as("d_num"), (-col("_w._nv")).as("at_v"))
+      .withColumn("d",
+        when(lit(n1) > 0L && lit(n2) > 0L,
+          col("d_num").cast("double") /
+            (lit(n1).cast("double") * lit(n2).cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
     * space-joined — tokens are the lowercased alnum runs, so the join is
     * unambiguous). Empty when the text is shorter than n. */

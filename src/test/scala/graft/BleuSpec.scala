@@ -49,6 +49,26 @@ class BleuSpec extends SparkSuite {
     assert(out(1L).getLong(3) === 1L)
   }
 
+  test("ksTest2: hand case, identical -> 0, disjoint -> n1*n2, layout-proof") {
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = Evaluate.ksTest2(a, b, col("v")).head
+    // cums at v=2: (2,0) -> |2*4 - 0*4| = 8 (max); D = 8/16 = 0.5
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 8L && r.getLong(3) === 2L)
+    assert(r.getDouble(4) === 0.5)
+
+    val same = Evaluate.ksTest2(a, a, col("v")).head
+    assert(same.getLong(2) === 0L)
+
+    val disj = Evaluate.ksTest2(a, Seq(10L, 11L).toDF("v"), col("v")).head
+    assert(disj.getLong(2) === 4L * 2L && disj.getDouble(4) === 1.0)
+
+    val rep = Evaluate.ksTest2(a.repartition(3), b.repartition(5),
+      col("v")).head
+    assert(rep.getLong(2) === 8L && rep.getLong(3) === 2L)
+  }
+
   test("calibrationBins: exact integers, clamping, derived ratios") {
     val df = Seq(
       (0.05, true), (0.07, false),        // bin 0
