@@ -1921,6 +1921,17 @@ object SparkEntry {
         round(col("d"), 6).as("d_r"))
   }
 
+  // Exact Spearman (Evaluate.spearmanExact): does the q21 quality score
+  // order docs like raw length? Doubled tie-average ranks make every
+  // moment sum an exact integer (all five gated); rho = the Pearson
+  // formula over them (two sqrts, one division). Heavy ties on the
+  // 6-dp score grid exercise the tie rule.
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Evaluate.spearmanExact(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), length(col("text")))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"), round(col("rho"), 6).as("rho_r"))
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2054,7 +2065,8 @@ object SparkEntry {
     "q128_margin_pairs" -> (q128 _),
     "q129_decayed_counts" -> (q129 _),
     "q130_token_entropy" -> (q130 _),
-    "q131_ks_drift" -> (q131 _))
+    "q131_ks_drift" -> (q131 _),
+    "q132_spearman" -> (q132 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4739,7 +4751,36 @@ object SparkEntry {
          SELECT n1, n2, CAST(dnum AS BIGINT) AS d_num, v AS at_v,
            round(CAST(dnum AS DOUBLE)
              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_r
-         FROM best CROSS JOIN t WHERE rn = 1"""
+         FROM best CROSS JOIN t WHERE rn = 1""",
+
+    // q132: doubled tie-average ranks (2·min-gi + cnt + 1 per distinct
+    // value) joined back by value, the five exact moment sums, and the
+    // identical Pearson-over-ranks float chain
+    "q132_spearman" ->
+      s"""WITH $qualityScorePosCtes,
+         pairs AS (SELECT q.sc AS xv, CAST(length(d.text) AS BIGINT) AS yv
+           FROM q JOIN documents d USING (doc_id)
+           WHERE q.sc IS NOT NULL AND d.text IS NOT NULL),
+         rx AS (SELECT xv, 2 * min(gi) + count(*) + 1 AS xr2
+           FROM (SELECT xv, row_number() OVER (ORDER BY xv) - 1 AS gi
+                 FROM pairs) GROUP BY xv),
+         ry AS (SELECT yv, 2 * min(gi) + count(*) + 1 AS yr2
+           FROM (SELECT yv, row_number() OVER (ORDER BY yv) - 1 AS gi
+                 FROM pairs) GROUP BY yv),
+         j AS (SELECT xr2, yr2 FROM pairs
+           JOIN rx USING (xv) JOIN ry USING (yv)),
+         a AS (SELECT count(*) AS n, sum(xr2) AS sx, sum(yr2) AS sy,
+             sum(xr2 * yr2) AS sxy, sum(xr2 * xr2) AS sxx,
+             sum(yr2 * yr2) AS syy FROM j)
+         SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+           CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+           CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                ELSE NULL END AS rho_r
+         FROM a"""
   )
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =
@@ -4759,7 +4800,7 @@ object SparkEntry {
                 ELSE length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))*1.0
                      / length(text) END AS punct
            FROM t),
-         q AS (SELECT round((len_score
+         q AS (SELECT doc_id, round((len_score
              + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
                      WHEN mtl = 0.0 THEN 0.0 ELSE 0.5 END)
              + (1.0 - least(punct*5.0, 1.0))) / 3.0, 6) AS sc,

@@ -171,6 +171,45 @@ object Evaluate {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** Exact tie-aware Spearman rank correlation between two per-row
+    * signals — the signal-agreement QA check (does the model quality
+    * score order docs like the heuristic? does length correlate with
+    * perplexity?). Ranks use DOUBLED average ranks (2·gmin + gcnt + 1
+    * per tie group — integers, the [[aucExact]] half-rank rule), so all
+    * five moment sums are exact integers (exact while ~4n³ < 2⁶³, i.e.
+    * n ≲ 1.2M rows — beyond that swap the sums to decimal); rho is the
+    * Pearson formula over them with two sqrts and one division.
+    *
+    * Scale shape: each signal's rank table comes from
+    * [[GroupOps.globalOrderIndex]] (range partition + zipWithIndex,
+    * never a 1-partition sort) collapsed to one row per DISTINCT value,
+    * joined back by value. Returns one row: (n, sx, sy, sxy, sxx, syy,
+    * rho — null when either signal is constant). */
+  def spearmanExact(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.as("_x"), y.as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    def rankTable(c: String): DataFrame =
+      GroupOps.globalOrderIndex(base.select(col(c)), "_gi", col(c))
+        .groupBy(c)
+        .agg((lit(2L) * min("_gi") + count(lit(1)) + 1L).as(s"${c}r2"))
+    val joined = base
+      .join(rankTable("_x"), Seq("_x"))
+      .join(rankTable("_y"), Seq("_y"))
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum("_xr2").as("sx"), sum("_yr2").as("sy"),
+      sum(col("_xr2") * col("_yr2")).as("sxy"),
+      sum(col("_xr2") * col("_xr2")).as("sxx"),
+      sum(col("_yr2") * col("_yr2")).as("syy"))
+    val varX = col("n") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n") * col("syy") - col("sy") * col("sy")
+    agg.withColumn("rho",
+      when(varX > 0L && varY > 0L,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))))
+        .otherwise(lit(null).cast("double")))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic over an integer
     * measure — the NUMERIC drift test complementing
     * [[LangModel.jsDivergencePairs]]'s categorical divergence (doc

@@ -69,6 +69,36 @@ class BleuSpec extends SparkSuite {
     assert(rep.getLong(2) === 8L && rep.getLong(3) === 2L)
   }
 
+  test("spearmanExact: monotone -> 1, reversed -> -1, ties, constant null") {
+    // num = var exactly for perfect monotone, so rho = v/(sqrt v * sqrt v)
+    // — 1 ulp shy of 1.0 by the float chain's own arithmetic
+    def chain(num: Double, vx: Double, vy: Double): Double =
+      num / (math.sqrt(vx) * math.sqrt(vy))
+    // doubled ranks of 4 distinct singletons: 2gi+2 = (2,4,6,8)
+    val mono = Seq((1.0, 10L), (2.0, 20L), (3.0, 30L), (4.0, 40L))
+      .toDF("x", "y")
+    val v4 = 4.0 * (4 + 16 + 36 + 64) - 400.0 // = 80
+    assert(Evaluate.spearmanExact(mono, col("x"), col("y"))
+      .head.getDouble(6) === chain(v4, v4, v4))
+    val rev = Seq((1.0, 40L), (2.0, 30L), (3.0, 20L), (4.0, 10L))
+      .toDF("x", "y")
+    assert(Evaluate.spearmanExact(rev, col("x"), col("y"))
+      .head.getDouble(6) === chain(-v4, v4, v4))
+    // tie case hand-check: x = (1,1,2), y = (10,20,30)
+    // x doubled ranks: tie at 1 -> 2*0+2+1 = 3, 3; x=2 -> 2*2+1+1 = 6
+    // y doubled ranks (singletons): 2, 4, 6
+    val tied = Seq((1.0, 10L), (1.0, 20L), (2.0, 30L)).toDF("x", "y")
+    val r = Evaluate.spearmanExact(tied, col("x"), col("y")).head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 12L && r.getLong(2) === 12L)
+    assert(r.getLong(3) === 3L * 2 + 3 * 4 + 6 * 6) // sxy = 54
+    assert(r.getLong(4) === 54L && r.getLong(5) === 56L)
+    assert(r.getDouble(6) === chain(3.0 * 54 - 144, 3.0 * 54 - 144,
+      3.0 * 56 - 144))
+    // constant x -> null rho
+    val const = Seq((5.0, 1L), (5.0, 2L)).toDF("x", "y")
+    assert(Evaluate.spearmanExact(const, col("x"), col("y")).head.isNullAt(6))
+  }
+
   test("calibrationBins: exact integers, clamping, derived ratios") {
     val df = Seq(
       (0.05, true), (0.07, false),        // bin 0
