@@ -1932,6 +1932,21 @@ object SparkEntry {
       .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
         col("syy"), round(col("rho"), 6).as("rho_r"))
 
+  // Leakage-safe cluster split (Dedup.clusterSafeSplit): q53's near-dup
+  // clusters + q91's splitmix ppm split keyed on cluster_id — every
+  // member of a near-dup cluster provably lands in the same split. The
+  // oracle composes BOTH gated chains (recursive reach + the splitmix
+  // chain on cluster_id).
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.2, numHashes = 128, bands = 32, ngram = 2)
+    Dedup.clusterSafeSplit(docs, pairs, "doc_id", seed = 133L,
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2066,7 +2081,8 @@ object SparkEntry {
     "q129_decayed_counts" -> (q129 _),
     "q130_token_entropy" -> (q130 _),
     "q131_ks_drift" -> (q131 _),
-    "q132_spearman" -> (q132 _))
+    "q132_spearman" -> (q132 _),
+    "q133_cluster_split" -> (q133 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -2915,23 +2931,7 @@ object SparkEntry {
     // q53: q23's exact-jaccard pair set (LSH recall is complete at these
     // parameters), then components via recursive min-reachability
     "q53_dup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
-           FROM documents),
-         g AS (SELECT doc_id,
-           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
-           FROM t),
-         j AS (SELECT a.doc_id a, b.doc_id b,
-           len(list_intersect(a.s,b.s))*1.0 /
-             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
-           FROM g a JOIN g b ON a.doc_id < b.doc_id),
-         e AS (SELECT a, b FROM j WHERE j >= 0.2),
-         sym AS (SELECT a AS src, b AS dst FROM e
-                 UNION ALL SELECT b, a FROM e),
-         reach(id, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)
+      s"""WITH RECURSIVE $dupClusterCtes
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
 
@@ -4780,8 +4780,48 @@ object SparkEntry {
                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                 ELSE NULL END AS rho_r
-         FROM a"""
+         FROM a""",
+
+    // q133: both gated chains composed — the q53 recursive reach gives
+    // cluster ids, the q91 splitmix ppm draw keyed on cluster_id gives
+    // the split; same 800000/900000 cuts
+    "q133_cluster_split" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+         cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY id),
+         ${splitmixChainSql("doc_id, cluster_id", 133L, "cl",
+           "cluster_id", "sp")}
+         SELECT doc_id, cluster_id,
+           CASE WHEN u < 800000 THEN 'train'
+                WHEN u < 900000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster_id,
+                 ((rk % 1000000) + 1000000) % 1000000 AS u FROM spranked)
+         ORDER BY doc_id"""
   )
+
+  /** The q53 near-dup cluster chain (bigram-jaccard edges at 0.2 +
+    * recursive min-label reach), ending in `reach(id, r)` — shared by
+    * q53 (clusters) and q133 (cluster-safe split); text identical to
+    * the original q53 inline form. Callers prefix WITH RECURSIVE. */
+  private val dupClusterCtes: String =
+    """t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         e AS (SELECT a, b FROM j WHERE j >= 0.2),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id)"""
 
   /** The q21/q116 quality-score chain ending in `q(sc, pos)` — sc =
     * round-6 quality score, pos = 1 iff lang = 'en'. Shared by q116

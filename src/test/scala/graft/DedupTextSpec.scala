@@ -8,6 +8,26 @@ import graft.operators.Dedup
 class DedupTextSpec extends SparkSuite {
   import spark.implicits._
 
+  test("clusterSafeSplit: every cluster member shares one split, covers all") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // chain clusters {0..3}, {10,11}, singletons elsewhere
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.clusterSafeSplit(docs, pairs, "id", seed = 7L,
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 40)
+    // cluster-level split agreement — the leakage-safety invariant
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1)
+    }
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert(Set(0L, 1L, 2L, 3L).map(byId) === Set(0L))
+    assert(Set(10L, 11L).map(byId) === Set(10L))
+    assert(byId(20L) === 20L)
+    // with a fair seed all three splits appear across 38 clusters
+    assert(out.map(_._3).distinct.toSet === Set("train", "val", "test"))
+  }
+
   private lazy val docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog"),
     (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
