@@ -85,12 +85,16 @@ object Quality {
   /** Per-doc token (unigram) Shannon entropy in nats — the gibberish /
     * boilerplate signal (natural prose sits in a band; repeated-token
     * spam collapses toward 0, random-unique-token noise rises to
-    * ln(n)). Each term −(c/n)·ln(c/n) is a fixed-order double rounded
-    * to ppb and summed as exact integers per doc, so the table is
-    * layout-invariant and externally replayable (the q123 JS rule).
-    * Scale shape: one (id, token) count aggregation + one per-doc sum
-    * — both map-side combined. Returns (idCol, n_tokens, n_distinct,
-    * h_ppb_sum, entropy). Docs with no tokens report 0. */
+    * ln(n)). The AGGREGATION-path twin of the per-row scalar
+    * [[graft.functions.TextFunctions.tokenEntropy]] (q88): use the
+    * scalar when entropy is the only signal (one codegen'd pass, no
+    * shuffle); use this form when the (id, token) count table is being
+    * built anyway (it shares that aggregation) or when the exact
+    * integer gate matters — each term −(c/n)·ln(c/n) is a fixed-order
+    * double rounded to ppb and summed as exact integers per doc, so
+    * the table is layout-invariant and hash-gateable (the q123 JS
+    * rule). Returns (idCol, n_tokens, n_distinct, h_ppb_sum, entropy).
+    * Docs with no tokens report 0. */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     val toks = df.select(col(idCol).as("_id"),
       explode(TextFunctions.tokens(textCol)).as("_w"))
