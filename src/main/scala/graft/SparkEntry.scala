@@ -1947,6 +1947,38 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // END-TO-END pipeline gate: blocklist → quality rules → exact dedup
+  // (keep-min) → deterministic split → PER-SPLIT sequence packing —
+  // the corpus→training-batches chain a real pretraining pipeline
+  // runs, five gated stages composed in ONE oracle (the blocklist
+  // rule, the token/stopword rules, the q09 keep-min groupBy, the q91
+  // splitmix chain on the SURVIVORS, and the q56 prefix-sum packing
+  // replayed per split). Output: one row per surviving doc with its
+  // split and block assignment.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val clean = d
+      .where(Quality.blocklistKeep(col("text"), Seq("slow", "zzznotaword")))
+      .where(TextFunctions.tokenCount(col("text")) >= 30 &&
+        TextFunctions.distinctStopwordCount(col("text"), stop) >= 1)
+    val kept = clean.join(
+      Dedup.exact(clean, "doc_id", Seq("text"))
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"))
+    val split = GroupOps.splitHashed(kept, col("doc_id"), seed = 134L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+    val packed = Seq("train", "val", "test").map { sp =>
+      Pack.packBlocks(split.where(col("split") === sp), "doc_id",
+          "n_tokens", blockSize = 256)
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionByName _)
+    packed.select(col("doc_id"), col("split"),
+        col("n_tokens"), col("start_off"), col("first_block"),
+        col("last_block"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2082,7 +2114,8 @@ object SparkEntry {
     "q130_token_entropy" -> (q130 _),
     "q131_ks_drift" -> (q131 _),
     "q132_spearman" -> (q132 _),
-    "q133_cluster_split" -> (q133 _))
+    "q133_cluster_split" -> (q133 _),
+    "q134_pipeline" -> (q134 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4797,7 +4830,41 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM (SELECT doc_id, cluster_id,
                  ((rk % 1000000) + 1000000) % 1000000 AS u FROM spranked)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q134: the five-stage pipeline replayed — blocklist + token/
+    // stopword rules, keep-min dedup, the splitmix chain over the
+    // SURVIVORS, and the per-split exclusive prefix-sum packing
+    "q134_pipeline" ->
+      s"""WITH base AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') tok
+           FROM documents),
+         cln AS (SELECT doc_id, text, len(tok) AS n_tokens FROM base
+           WHERE text IS NOT NULL
+             AND NOT list_has_any(tok, ['slow', 'zzznotaword'])
+             AND len(tok) >= 30
+             AND len(list_intersect(list_distinct(tok),
+               ['the','be','to','of','and','that','have','with'])) >= 1),
+         ded AS (SELECT min(doc_id) AS doc_id FROM cln GROUP BY text),
+         kept AS (SELECT cln.doc_id, n_tokens FROM cln JOIN ded USING (doc_id)),
+         ${splitmixChainSql("doc_id, n_tokens", 134L, "kept", "doc_id", "sp")},
+         spl AS (SELECT doc_id, n_tokens,
+             CASE WHEN u < 800000 THEN 'train'
+                  WHEN u < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id, n_tokens,
+                   ((rk % 1000000) + 1000000) % 1000000 AS u FROM spranked)),
+         pk AS (SELECT doc_id, split, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM spl)
+         SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // 256 AS BIGINT) AS first_block,
+           CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 256
+                     ELSE start_off // 256 END AS BIGINT) AS last_block
+         FROM pk ORDER BY doc_id"""
   )
 
   /** The q53 near-dup cluster chain (bigram-jaccard edges at 0.2 +
