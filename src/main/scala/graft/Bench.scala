@@ -696,6 +696,31 @@ object Bench {
         Seq((1, 2), (9, 10), (99, 100))).collect()
     }
 
+    // Exact two-sample KS at 10M + 10M values over ~1M distinct: the
+    // per-side count aggs + full-outer merge + the range-partition
+    // two-pass prefix sum — never a single-partition window.
+    bench("x_ks_20m", runs = 1) {
+      val a = spark.range(10000000L)
+        .select(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("v"))
+      val b = spark.range(10000000L)
+        .select(pmod(xxhash64(col("id"), lit(2)) +
+          pmod(col("id"), lit(3)), lit(1000000L)).as("v"))
+      graft.operators.Evaluate.ksTest2(a, b, col("v")).collect()
+    }
+
+    // Fixed-point PageRank at 1M nodes / ~3M directed edges, 3
+    // iterations — per iter one edges⋈ranks join + one dst-keyed
+    // partial-agg sum with lineage cuts (the x_cc_1m convergence-join
+    // shape with integer rank math on top).
+    bench("x_pagerank_1m", runs = 1) {
+      val edges = spark.range(3000000L).select(
+        pmod(xxhash64(col("id"), lit(5)), lit(1000000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(6)), lit(1000000L)).as("dst"))
+      val nodes = spark.range(1000000L).select(col("id").as("node"))
+      graft.operators.Graph.pageRankPpb(edges, nodes, "node", iters = 3)
+        .agg(sum("rank_ppb")).collect()
+    }
+
     emitSummaryAndStop()
   }
 }
