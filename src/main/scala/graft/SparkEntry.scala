@@ -1979,6 +1979,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // edit-distance-verified near-dup pairs: minhash raw-slice banding for
+  // candidates (engine-replayable — no band hash), levenshtein verify at
+  // an integer 10% ratio threshold. All output columns integers.
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        maxRatioPct = 10, numHashes = 128, bands = 64, ngram = 2)
+      .orderBy("a", "b")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2115,7 +2123,8 @@ object SparkEntry {
     "q131_ks_drift" -> (q131 _),
     "q132_spearman" -> (q132 _),
     "q133_cluster_split" -> (q133 _),
-    "q134_pipeline" -> (q134 _))
+    "q134_pipeline" -> (q134 _),
+    "q135_edit_pairs" -> (q135 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4284,31 +4293,7 @@ object SparkEntry {
     // prefixed splitmix chain, signed mins — then brute-force
     // batch×corpus with the matches/128 estimator
     "q115_incremental_neardup" ->
-      s"""WITH t AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
-           FROM documents),
-         g AS (SELECT doc_id,
-           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
-           FROM t),
-         sh AS (SELECT doc_id, unnest(s) AS w FROM g WHERE len(s) >= 1),
-         fh AS (SELECT doc_id, list_reduce(
-             list_prepend(CAST(14695981039346656037 AS HUGEINT),
-               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
-             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
-                        * 1099511628211) % 18446744073709551616) AS hu
-           FROM sh),
-         fs AS (SELECT doc_id,
-             CAST(hu - (CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs
-           FROM fh),
-         ${splitmixChainSql("i", 42L,
-            from = "(SELECT CAST(x AS INTEGER) AS i FROM range(0, 128) t0(x)) tt",
-            key = "i", prefix = "st")},
-         st AS (SELECT i, rk AS stream FROM stranked),
-         xr AS (SELECT doc_id, i, xor(hs, stream) AS k2 FROM fs CROSS JOIN st),
-         ${splitmixChainSql("doc_id, i", 0L, from = "xr", key = "k2",
-            prefix = "mx")},
-         sigc AS (SELECT doc_id, i, min(rk) AS mn FROM mxranked GROUP BY doc_id, i),
-         sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM sigc GROUP BY doc_id),
+      s"""WITH $minhashSigCtes,
          ba AS (SELECT doc_id AS a, sig AS sa FROM sig WHERE doc_id % 5 = 0),
          co AS (SELECT doc_id AS b, sig AS sb FROM sig WHERE doc_id % 5 <> 0),
          pr AS (SELECT a, b,
@@ -4864,8 +4849,64 @@ object SparkEntry {
            CAST(start_off // 256 AS BIGINT) AS first_block,
            CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 256
                      ELSE start_off // 256 END AS BIGINT) AS last_block
-         FROM pk ORDER BY doc_id"""
+         FROM pk ORDER BY doc_id""",
+
+    // q135: the q115 signature chain re-banded on RAW 2-long slices
+    // (64 bands — no band hash, list equality IS the bucket key), then
+    // the levenshtein verify at the integer 10% ratio — every output
+    // column an integer, hash-exact
+    "q135_edit_pairs" ->
+      s"""WITH $minhashSigCtes,
+         bd AS (SELECT doc_id, b, sig[2*b+1 : 2*b+2] AS key
+           FROM sig CROSS JOIN (SELECT CAST(x AS INTEGER) AS b
+                                FROM range(0, 64) tb(x))),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bd x JOIN bd y
+             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         tx AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS l
+           FROM documents WHERE text IS NOT NULL),
+         v AS (SELECT cand.a, cand.b,
+             CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+             ta.l AS len_a, tb.l AS len_b
+           FROM cand JOIN tx ta ON ta.doc_id = cand.a
+           JOIN tx tb ON tb.doc_id = cand.b)
+         SELECT a, b, dist, len_a, len_b FROM v
+         WHERE dist * 100 <= greatest(len_a, len_b) * 10
+         ORDER BY a, b"""
   )
+
+  /** The q115 minhash signature replay — bigram shingles, per-shingle
+    * FNV-1a, 128 splitmix streams (mix(42+i)), per-component
+    * mix(base xor stream), signed mins — ending in `sig(doc_id, sig)`
+    * (docs with no shingles absent, mirroring the Long.MaxValue-sentinel
+    * drop). Shared by q115 (incremental near-dup) and q135 (edit-distance
+    * banding); text identical to the original q115 inline form. */
+  private lazy val minhashSigCtes: String =
+    s"""t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         sh AS (SELECT doc_id, unnest(s) AS w FROM g WHERE len(s) >= 1),
+         fh AS (SELECT doc_id, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS hu
+           FROM sh),
+         fs AS (SELECT doc_id,
+             CAST(hu - (CASE WHEN hu >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END) AS BIGINT) AS hs
+           FROM fh),
+         ${splitmixChainSql("i", 42L,
+            from = "(SELECT CAST(x AS INTEGER) AS i FROM range(0, 128) t0(x)) tt",
+            key = "i", prefix = "st")},
+         st AS (SELECT i, rk AS stream FROM stranked),
+         xr AS (SELECT doc_id, i, xor(hs, stream) AS k2 FROM fs CROSS JOIN st),
+         ${splitmixChainSql("doc_id, i", 0L, from = "xr", key = "k2",
+            prefix = "mx")},
+         sigc AS (SELECT doc_id, i, min(rk) AS mn FROM mxranked GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM sigc GROUP BY doc_id)"""
 
   /** The q53 near-dup cluster chain (bigram-jaccard edges at 0.2 +
     * recursive min-label reach), ending in `reach(id, r)` — shared by

@@ -61,6 +61,32 @@ class DedupTextSpec extends SparkSuite {
     assert(lsh == exact)
   }
 
+  test("editDistancePairs: exact dup at dist 0, small edit verified, unrelated dropped") {
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        maxRatioPct = 15, numHashes = 64, bands = 32, ngram = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 3L)) === 0L)       // exact dup
+    assert(got((0L, 1L)) === 3L)       // dog -> cat
+    assert(got((1L, 3L)) === 3L)
+    // unrelated docs never reach the verify output
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("editDistancePairs: ratio threshold is integer-exact at the boundary") {
+    // len 20 vs 20, dist 2 -> 2*100 <= 20*10 holds exactly at 10%
+    val d = Seq(
+      (0L, "aaaa bbbb cccc dddd "),
+      (1L, "aaaa bbbb cccc ddzz "),  // dist 2 of len 20: ratio exactly 10%
+      (2L, "aaaa bbbb cccc zzzz ")   // dist 4: 20% — over at maxRatioPct=10
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(d, "doc_id", "text",
+        maxRatioPct = 10, numHashes = 64, bands = 64, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
   test("simhash: identical texts hamming 0; long near-dups found, unrelated not") {
     // simhash needs long token streams to be stable — short texts flip
     // too many bits per edit (that's what MinHash is for)
