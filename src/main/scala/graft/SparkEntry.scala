@@ -1987,6 +1987,13 @@ object SparkEntry {
         maxRatioPct = 10, numHashes = 128, bands = 64, ngram = 2)
       .orderBy("a", "b")
 
+  // Moore–Lewis contrastive selection: in-domain (lang='en') vs general
+  // unigram NLL difference, keep flag decided on the round-6 score
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    LangModel.mooreLewisScore(t(s, dir, "documents"), "doc_id",
+        col("text"), inDomain = col("lang") === "en")
+      .orderBy("doc_id")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2124,7 +2131,8 @@ object SparkEntry {
     "q132_spearman" -> (q132 _),
     "q133_cluster_split" -> (q133 _),
     "q134_pipeline" -> (q134 _),
-    "q135_edit_pairs" -> (q135 _))
+    "q135_edit_pairs" -> (q135 _),
+    "q136_moore_lewis" -> (q136 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4872,7 +4880,39 @@ object SparkEntry {
            JOIN tx tb ON tb.doc_id = cand.b)
          SELECT a, b, dist, len_a, len_b FROM v
          WHERE dist * 100 <= greatest(len_a, len_b) * 10
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q136: one token stream, both models left-joined (q60's general
+    // model + q87's en-domain model), mean NLLs in one aggregate; the
+    // difference is rounded BEFORE the keep comparison so the boundary
+    // is engine-portable
+    "q136_moore_lewis" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS word FROM documents),
+         gm AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+         gt AS (SELECT sum(n) AS total FROM gm),
+         im AS (SELECT word, count(*) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+               x -> x <> '')) AS word FROM documents WHERE lang = 'en')
+           GROUP BY word),
+         it AS (SELECT sum(n) AS total FROM im),
+         scored AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  -avg(ln(CAST(coalesce(im.n, 1) AS DOUBLE) / CAST(it.total AS DOUBLE))) AS nll_in,
+                  -avg(ln(CAST(coalesce(gm.n, 1) AS DOUBLE) / CAST(gt.total AS DOUBLE))) AS nll_gen
+           FROM toks LEFT JOIN gm USING (word) LEFT JOIN im USING (word),
+                gt, it
+           GROUP BY doc_id),
+         f AS (SELECT d.doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS INTEGER) AS n_tokens,
+             round(s.nll_in, 6) AS nll_in_r,
+             round(s.nll_gen, 6) AS nll_gen_r,
+             round(s.nll_gen - s.nll_in, 6) AS ml_r
+           FROM documents d LEFT JOIN scored s USING (doc_id))
+         SELECT doc_id, n_tokens, nll_in_r, nll_gen_r, ml_r,
+           ml_r > 0 AS keep
+         FROM f ORDER BY doc_id"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

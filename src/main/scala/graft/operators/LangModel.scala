@@ -60,6 +60,54 @@ object LangModel {
         col("nll"))
   }
 
+  /** Moore–Lewis contrastive data selection (Moore & Lewis, ACL 2010):
+    * score each doc by its mean per-token NLL under a GENERAL unigram
+    * model minus its NLL under an IN-DOMAIN model fit on the subset
+    * matching `inDomain`. Positive = the in-domain model explains the
+    * doc better than the background — select it for domain-targeted
+    * training. This is the cross-entropy-difference criterion behind
+    * most "select web data that looks like my target corpus" pipelines
+    * (and the intelligent-selection step DSIR generalizes).
+    *
+    * One token pass: a single explode, both models joined onto the same
+    * token stream, one aggregate — not two [[unigramNll]] runs (which
+    * would tokenize and shuffle the corpus twice). OOV under either
+    * model scores `ln(smooth / total)` of that model. The keep flag is
+    * computed on the ROUND-6 score so the boundary is engine-portable.
+    *
+    * At 100 TB: two broadcast-sized model joins (vocabulary scale) and
+    * one groupBy(doc) — map-side combine collapses token rows early.
+    *
+    * Returns (idCol, `n_tokens`, `nll_in_r`, `nll_gen_r`, `ml_r`,
+    * `keep`); token-less docs get null scores and a null keep.
+    */
+  def mooreLewisScore(docs: DataFrame, idCol: String, textCol: Column,
+      inDomain: Column, smooth: Double = 1.0): DataFrame = {
+    val genModel = unigramFit(docs, textCol)
+    val inModel = unigramFit(docs.where(inDomain), textCol)
+    val totalG = genModel.agg(sum(col("n"))).head.getLong(0)
+    val totalI = inModel.agg(sum(col("n"))).head.getLong(0)
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("word"))
+    val scored = toks
+      .join(genModel.withColumnRenamed("n", "_ng"), Seq("word"), "left")
+      .join(inModel.withColumnRenamed("n", "_ni"), Seq("word"), "left")
+      .select(col(idCol),
+        log(coalesce(col("_ng").cast("double"), lit(smooth)) / lit(totalG.toDouble)).as("_lpg"),
+        log(coalesce(col("_ni").cast("double"), lit(smooth)) / lit(totalI.toDouble)).as("_lpi"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        (-avg(col("_lpi"))).as("_nll_in"),
+        (-avg(col("_lpg"))).as("_nll_gen"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        round(col("_nll_in"), 6).as("nll_in_r"),
+        round(col("_nll_gen"), 6).as("nll_gen_r"),
+        round(col("_nll_gen") - col("_nll_in"), 6).as("ml_r"))
+      .withColumn("keep", col("ml_r") > 0)
+  }
+
   /** Adjacent token pairs of each doc: (idCol, `w1`, `w2`) — one row per
     * bigram occurrence. zip of the token array with its own tail, fully
     * codegen'd (slice + arrays_zip + explode). */

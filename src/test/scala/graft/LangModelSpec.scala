@@ -228,4 +228,34 @@ class LangModelSpec extends SparkSuite {
     // single-token doc: no bigrams, null score
     assert(tr(3).getInt(1) == 0 && tr(3).isNullAt(2))
   }
+
+  test("mooreLewisScore: in-domain-looking docs score positive, background negative") {
+    // domain docs dominated by 'spark'; background dominated by 'cat'
+    val docs = Seq(
+      (0L, "spark spark query spark", "dom"),
+      (1L, "spark query spark plan", "dom"),
+      (2L, "cat dog cat bird cat", "gen"),
+      (3L, "cat dog bird dog cat", "gen"),
+      (4L, "spark spark spark query", "gen"), // domain-looking background doc
+      (5L, "", "gen")
+    ).toDF("doc_id", "text", "kind")
+    val got = LangModel.mooreLewisScore(docs, "doc_id", col("text"),
+        inDomain = col("kind") === "dom")
+      .orderBy("doc_id").collect()
+    // domain docs and the domain-looking background doc are kept
+    assert(got(0).getAs[Boolean]("keep") && got(1).getAs[Boolean]("keep"))
+    assert(got(4).getAs[Boolean]("keep"))
+    // pure-background docs rejected
+    assert(!got(2).getAs[Boolean]("keep") && !got(3).getAs[Boolean]("keep"))
+    // token-less doc: zero tokens, null scores, null keep
+    assert(got(5).getAs[Int]("n_tokens") == 0)
+    assert(got(5).isNullAt(got(5).fieldIndex("ml_r")))
+    assert(got(5).isNullAt(got(5).fieldIndex("keep")))
+    // hand-check doc 0: every token in-domain; verify sign via raw counts
+    // in-domain: spark=5, query=2, plan=1 (total 8); general adds cat=5,
+    // dog=3, bird=2 (total 18). For 'spark': -ln(5/8) < -ln(8/18)? NLLs
+    // per token are lower under the domain model for domain words.
+    val ml0 = got(0).getAs[Double]("ml_r")
+    assert(ml0 > 0.0)
+  }
 }
