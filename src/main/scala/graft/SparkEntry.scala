@@ -1994,6 +1994,19 @@ object SparkEntry {
         col("text"), inDomain = col("lang") === "en")
       .orderBy("doc_id")
 
+  // MMR diverse top-5 from cosine top-20 at lambda=3/4 — the greedy
+  // selection runs in a Catalyst fold; integer ranks/ids gate the whole
+  // float chain (a selection flip anywhere would break the hash)
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Knn.mmrSelect(
+        e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
+        k = 5, fetchK = 20, lambda = 0.75,
+        docId = "vec_id", docVec = "embedding",
+        queryId = "vec_id", queryVec = "embedding")
+      .orderBy("query_id", "rank")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2132,7 +2145,8 @@ object SparkEntry {
     "q133_cluster_split" -> (q133 _),
     "q134_pipeline" -> (q134 _),
     "q135_edit_pairs" -> (q135 _),
-    "q136_moore_lewis" -> (q136 _))
+    "q136_moore_lewis" -> (q136 _),
+    "q137_mmr_select" -> (q137 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4912,7 +4926,69 @@ object SparkEntry {
            FROM documents d LEFT JOIN scored s USING (doc_id))
          SELECT doc_id, n_tokens, nll_in_r, nll_gen_r, ml_r,
            ml_r > 0 AS keep
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+
+    // q137: greedy MMR unrolled RELATIONALLY — a pairwise-sim table over
+    // the per-query top-20 plus five argmax steps (row_number by score,
+    // NOT EXISTS over the growing selected set). Deliberately avoids
+    // DuckDB nested-lambda capture (list_transform inside list_transform
+    // silently mis-binds the outer lambda variable on 1.0.0 when >1
+    // group row is in flight — single-level folds like q96's are fine).
+    // Dots are the explicit q96 left-fold (bit-equal to Spark's
+    // aggregate(zip_with)); max-sim is an order-independent MAX; the
+    // dyadic 3/4 blend keeps every score bit-portable, so integer
+    // (query, rank, doc) triples gate the whole selection.
+    "q137_mmr_select" -> {
+      def dotSql(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      def pickSql(k: Int, prevSel: String): String =
+        s"""pk$k AS (
+           SELECT qid, id, rel, $k AS rnk FROM (
+             SELECT c.qid, c.id, c.rel,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY 0.75 * c.rel - 0.25 * ms.m DESC, c.id) rn
+             FROM c20 c
+             JOIN (SELECT p.qid, p.ia AS id, max(p.sim) AS m
+                   FROM p JOIN $prevSel s ON s.qid = p.qid AND s.id = p.ib
+                   GROUP BY p.qid, p.ia) ms
+               ON ms.qid = c.qid AND ms.id = c.id
+             WHERE NOT EXISTS (SELECT 1 FROM $prevSel s2
+                               WHERE s2.qid = c.qid AND s2.id = c.id))
+           WHERE rn = 1)"""
+      s"""WITH
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(
+             ${dotSql("v", "v")})) vn FROM e),
+         q AS (SELECT vec_id qid, vn qv FROM n WHERE vec_id % 50 = 0),
+         t AS (SELECT vec_id id, vn FROM n WHERE vec_id % 50 <> 0),
+         rel AS (SELECT qid, id, vn, ${dotSql("qv", "vn")} AS rel
+           FROM q CROSS JOIN t),
+         cand AS (SELECT qid, id, vn, rel,
+             row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) rn
+           FROM rel),
+         c20 AS (SELECT qid, id, vn, rel FROM cand WHERE rn <= 20),
+         p AS (SELECT a.qid, a.id ia, b.id ib, ${dotSql("a.vn", "b.vn")} sim
+               FROM c20 a JOIN c20 b ON a.qid = b.qid AND a.id <> b.id),
+         pk1 AS (SELECT qid, id, rel, 1 AS rnk FROM (
+             SELECT qid, id, rel,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY 0.75 * rel DESC, id) rn
+             FROM c20) WHERE rn = 1),
+         s1 AS (SELECT qid, id FROM pk1),
+         ${pickSql(2, "s1")},
+         s2 AS (SELECT qid, id FROM s1 UNION ALL SELECT qid, id FROM pk2),
+         ${pickSql(3, "s2")},
+         s3 AS (SELECT qid, id FROM s2 UNION ALL SELECT qid, id FROM pk3),
+         ${pickSql(4, "s3")},
+         s4 AS (SELECT qid, id FROM s3 UNION ALL SELECT qid, id FROM pk4),
+         ${pickSql(5, "s4")},
+         allp AS (SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+           UNION ALL SELECT * FROM pk3 UNION ALL SELECT * FROM pk4
+           UNION ALL SELECT * FROM pk5)
+         SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, id AS doc_id,
+           round(rel, 6) AS rel_r
+         FROM allp ORDER BY query_id, rank"""
+    }
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

@@ -332,6 +332,96 @@ object Knn {
     * it, or produce hits with [[Ann.ivfSearchBlocked]]/[[Ann.ivfSearchPq]]
     * and feed them straight into [[tripletsFromHits]] — the selection
     * step is knn-source-agnostic. */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): for each query, fetch the `fetchK` most-similar docs, then
+    * greedily pick `k` of them maximizing
+    * `lambda * rel(q,d) - (1-lambda) * max_{s in selected} sim(d,s)` —
+    * relevance tempered by redundancy, the diversity-selection step of a
+    * RAG retrieval stage. Both rel and sim are cosine (dot over
+    * pre-normalized vectors).
+    *
+    * The greedy loop runs INSIDE one Catalyst `aggregate` fold per query
+    * row over the collected candidate array — no driver loop, no UDF.
+    * Per-query work is k·fetchK·dim-bounded; the only shuffle is the
+    * Q×fetchK candidate groupBy. First pick (empty selected set) scores
+    * `lambda * rel` — the pure-relevance argmax. Ties break to the
+    * smaller doc id. With `lambda` dyadic (default 3/4) the float chain
+    * is engine-portable.
+    *
+    * Output: (`query_id`, `rank` 1..k in selection order, `doc_id`,
+    * `rel_r` = round-6 cosine relevance).
+    */
+  def mmrSelect(docs: DataFrame, queries: DataFrame, k: Int, fetchK: Int,
+      lambda: Double = 0.75, docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding"): DataFrame = {
+    require(fetchK >= k, s"fetchK ($fetchK) must be >= k ($k)")
+
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    def normalize(v: Column): Column = {
+      val vd = transform(v, _.cast("double"))
+      transform(vd, x => x / sqrt(dot(vd, vd)))
+    }
+
+    val dn = docs.select(col(docId).as("_id"), normalize(col(docVec)).as("_vn"))
+    val qn = queries.select(col(queryId).as("_qid"),
+      normalize(col(queryVec)).as("_qvn"))
+
+    // candidate stage: the standard broadcast + bounded-heap knn on the
+    // dot metric over normalized vectors (distance = -cosine relevance)
+    val cands = bruteForce(dn, qn, fetchK, metric = "dot",
+      docId = "_id", docVec = "_vn", queryId = "_qid", queryVec = "_qvn")
+
+    val withVec = cands
+      .join(dn.withColumnRenamed("_id", "id"), "id")
+      .select(col("query_id"), col("rank"),
+        struct(col("id"), col("_vn").as("vn"),
+          (-col("distance")).as("rel")).as("_c"))
+
+    // rank already encodes (rel desc, id asc); sort_array restores it
+    // after the unordered collect
+    val collected = withVec.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("_c")))),
+        x => x.getField("_c")).as("_rem"))
+
+    val lamRel = lit(lambda)
+    val lamDiv = lit(1.0 - lambda)
+    val emptySel = array().cast("array<struct<id:bigint,vn:array<double>,rel:double>>")
+
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      struct(emptySel.as("sel"), col("_rem").as("rem")),
+      (st, _) => {
+        val rem = st.getField("rem")
+        val selArr = st.getField("sel")
+        val scored = transform(rem, c => struct(
+          (lamRel * c.getField("rel") - lamDiv * coalesce(
+            array_max(transform(selArr,
+              s => dot(s.getField("vn"), c.getField("vn")))),
+            lit(0.0))).as("sc"),
+          (-c.getField("id")).as("nid"),
+          c.as("c")))
+        // list_reduce shape: first element is the init, fold the tail
+        val best = aggregate(
+          slice(scored, lit(2), greatest(size(scored) - 1, lit(0))),
+          element_at(scored, 1),
+          (a, b) => when(b.getField("sc") > a.getField("sc") ||
+            (b.getField("sc") === a.getField("sc") &&
+              b.getField("nid") > a.getField("nid")), b).otherwise(a))
+        when(size(rem) > lit(0), struct(
+          concat(selArr, array(best.getField("c"))).as("sel"),
+          filter(rem, c => c.getField("id") =!=
+            best.getField("c").getField("id")).as("rem")))
+          .otherwise(st)
+      }).getField("sel")
+
+    collected.select(col("query_id"), posexplode(sel).as(Seq("_pos", "_s")))
+      .select(col("query_id"),
+        (col("_pos") + 1).cast("int").as("rank"),
+        col("_s.id").as("doc_id"),
+        round(col("_s.rel"), 6).as("rel_r"))
+  }
+
   def tripletMine(docs: DataFrame, idCol: String, vecCol: String,
       labelCol: String, metric: String = "cosine",
       kCand: Int = 128): DataFrame = {

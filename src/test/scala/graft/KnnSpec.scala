@@ -554,4 +554,41 @@ class KnnSpec extends SparkSuite {
     assert(got(100L) == ((1, 2L))) // 2-2 tie → smallest label, votes 2
     assert(got(200L) == ((3, 3L))) // clear majority 3 of 4
   }
+
+  test("mmrSelect: redundancy penalized — diverse doc outranks a near-clone") {
+    import spark.implicits._
+    // query along +x; doc 2 is nearly parallel to doc 1 (sim ~0.999)
+    // while doc 3 sits on the other side of the axis (sim to 1 ~0.85
+    // but rel ~0.95). Pure relevance order: 1, 2, 3. At lambda=0.5:
+    // sc(2) = .5*.960 - .5*.999 < 0 < sc(3) = .5*.951 - .5*.848,
+    // so MMR picks the diverse 3 before the clone 2.
+    val docs = Seq(
+      (1L, Seq(0.97f, 0.24f, 0.0f)),
+      (2L, Seq(0.96f, 0.28f, 0.0f)),
+      (3L, Seq(0.95f, -0.31f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))
+    ).toDF("id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "embedding")
+    val got = Knn.mmrSelect(docs, queries, k = 3, fetchK = 4, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(1L, 3L, 2L))
+    // pure relevance for contrast: the clone ranks second
+    val rel = Knn.bruteForce(docs, queries, 3, "cosine")
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: lambda=1 reduces to pure relevance ranking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)),
+      (3L, Seq(0.9f, 0.43f)), (4L, Seq(0.0f, 1.0f))
+    ).toDF("id", "embedding")
+    val queries = Seq((0L, Seq(1.0f, 0.0f))).toDF("id", "embedding")
+    val mmr = Knn.mmrSelect(docs, queries, k = 4, fetchK = 4, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val rel = Knn.bruteForce(docs, queries, 4, "cosine")
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mmr.toSeq == rel.toSeq)
+  }
 }
