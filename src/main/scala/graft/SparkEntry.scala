@@ -1994,6 +1994,29 @@ object SparkEntry {
         col("text"), inDomain = col("lang") === "en")
       .orderBy("doc_id")
 
+  // first-order Markov session scoring: MLE transition model over each
+  // user's (ts, event_id)-ordered event_type stream, mean transition
+  // NLL per user — the behavioral anomaly signal (bigramNll's twin on
+  // the events path)
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    LangModel.markovChainNll(
+        events(s, dir).where(col("ts").isNotNull),
+        "user_id", Seq(col("ts"), col("event_id")), col("event_type"))
+      .select(col("user_id"), col("n_trans"),
+        round(col("nll"), 6).as("nll_r"))
+      .orderBy("user_id")
+
+  // exact signal-correlation audit: n_chars / length / token count /
+  // quality score through the q104 comoment aggregate — integer
+  // covariance numerators hash-gated, Pearson r one float chain
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Pca.correlationPairs(t(s, dir, "documents"), Seq(
+        "n_chars" -> col("n_chars"),
+        "len" -> length(col("text")),
+        "n_tokens" -> TextFunctions.tokenCount(col("text")),
+        "quality" -> round(TextFunctions.qualityScore(col("text")), 6)))
+      .orderBy("sig_i", "sig_j")
+
   // MMR diverse top-5 from cosine top-20 at lambda=3/4 — the greedy
   // selection runs in a Catalyst fold; integer ranks/ids gate the whole
   // float chain (a selection flip anywhere would break the hash)
@@ -2146,7 +2169,9 @@ object SparkEntry {
     "q134_pipeline" -> (q134 _),
     "q135_edit_pairs" -> (q135 _),
     "q136_moore_lewis" -> (q136 _),
-    "q137_mmr_select" -> (q137 _))
+    "q137_mmr_select" -> (q137 _),
+    "q138_markov_sessions" -> (q138 _),
+    "q139_signal_corr" -> (q139 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4988,7 +5013,76 @@ object SparkEntry {
          SELECT qid AS query_id, CAST(rnk AS INTEGER) AS rank, id AS doc_id,
            round(rel, 6) AS rel_r
          FROM allp ORDER BY query_id, rank"""
-    }
+    },
+
+    // q138: the same lag-extraction (per-user (ts, event_id) order, null
+    // ts dropped on BOTH sides), MLE transition model, mean-NLL replay —
+    // q62's bigram shape on the events path
+    "q138_markov_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) tsn, event_id, event_type
+           FROM events WHERE ts IS NOT NULL),
+         p0 AS (SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY tsn, event_id) s1,
+             event_type s2
+           FROM e),
+         p AS (SELECT user_id, s1, s2 FROM p0 WHERE s1 IS NOT NULL),
+         bi AS (SELECT s1, s2, count(*) AS n FROM p GROUP BY s1, s2),
+         lm AS (SELECT s1, CAST(sum(n) AS BIGINT) AS c1 FROM bi GROUP BY s1),
+         sc AS (SELECT user_id, count(*) AS n_trans,
+             -avg(ln(CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE))) AS nll
+           FROM p JOIN bi USING (s1, s2) JOIN lm USING (s1)
+           GROUP BY user_id),
+         u AS (SELECT DISTINCT user_id FROM e)
+         SELECT u.user_id, CAST(coalesce(s.n_trans, 0) AS INTEGER) AS n_trans,
+           round(s.nll, 6) AS nll_r
+         FROM u LEFT JOIN sc s USING (user_id)
+         ORDER BY user_id""",
+
+    // q139: the q104 comoment replay over the packed signal vector
+    // (n_chars, length, token count, round-6 quality score) — rows with
+    // any null signal skipped whole (the co_moments corrupt-row rule);
+    // Pearson r = cov_num / sqrt(var_i·var_j), one float chain, round-6
+    "q139_signal_corr" ->
+      s"""WITH $qualityScorePosCtes,
+         base AS (SELECT d.doc_id,
+             CAST(d.n_chars AS DOUBLE) AS v0,
+             CAST(length(d.text) AS DOUBLE) AS v1,
+             CAST(len(list_filter(string_split_regex(lower(d.text),'[^a-z0-9]+'),
+               x -> x <> '')) AS DOUBLE) AS v2,
+             CAST(q.sc AS DOUBLE) AS v3
+           FROM documents d JOIN q USING (doc_id)
+           WHERE d.text IS NOT NULL AND d.n_chars IS NOT NULL
+             AND q.sc IS NOT NULL),
+         ex AS (SELECT doc_id, CAST(unnest(range(0, 4)) AS INTEGER) AS i,
+             [v0, v1, v2, v3] AS vs FROM base),
+         qq AS (SELECT doc_id, i,
+             CAST(round(vs[i+1] * 10000) AS BIGINT) AS qv FROM ex),
+         nn AS (SELECT count(*) AS n FROM base),
+         sx AS (SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM qq GROUP BY i),
+         pp AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS sxy
+               FROM qq a JOIN qq b ON a.doc_id = b.doc_id AND a.i <= b.i
+               GROUP BY 1, 2),
+         cv AS (SELECT pp.i, pp.j, nn.n,
+             CAST(CAST(nn.n AS HUGEINT) * pp.sxy
+                  - CAST(sa.s AS HUGEINT) * sb.s AS BIGINT) AS cov_num
+           FROM pp CROSS JOIN nn
+           JOIN sx sa ON sa.i = pp.i
+           JOIN sx sb ON sb.i = pp.j),
+         dg AS (SELECT i, cov_num AS vr FROM cv WHERE i = j),
+         nm AS (SELECT 0 AS i, 'n_chars' AS nm UNION ALL SELECT 1, 'len'
+           UNION ALL SELECT 2, 'n_tokens' UNION ALL SELECT 3, 'quality')
+         SELECT na.nm AS sig_i, nb.nm AS sig_j, cv.n, cv.cov_num,
+           CASE WHEN da.vr > 0 AND db.vr > 0
+                THEN round(CAST(cv.cov_num AS DOUBLE)
+                  / sqrt(CAST(da.vr AS DOUBLE) * CAST(db.vr AS DOUBLE)), 6)
+                ELSE NULL END AS corr_r
+         FROM cv
+         JOIN dg da ON da.i = cv.i
+         JOIN dg db ON db.i = cv.j
+         JOIN nm na ON na.i = cv.i
+         JOIN nm nb ON nb.i = cv.j
+         ORDER BY sig_i, sig_j"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

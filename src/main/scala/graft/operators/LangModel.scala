@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -106,6 +107,45 @@ object LangModel {
         round(col("_nll_gen"), 6).as("nll_gen_r"),
         round(col("_nll_gen") - col("_nll_in"), 6).as("ml_r"))
       .withColumn("keep", col("ml_r") > 0)
+  }
+
+  /** First-order Markov-chain scoring of event sequences: fit MLE
+    * transition probabilities `P(s2|s1) = n(s1,s2) / n(s1,·)` over every
+    * group's ordered state stream, then score each group by the mean
+    * transition NLL — the behavioral twin of [[bigramNll]] (documents →
+    * event streams). Low NLL = a typical session; high = anomalous
+    * (bots, broken clients, fraud — the rows a training pipeline wants
+    * flagged before user-behavior data becomes features).
+    *
+    * Sequence extraction is a lag over (`groupCol` partition, `orderCols`
+    * order) — per-group windows, never a global sort; groups are
+    * user-sized, so partitions stay bounded at any corpus scale (skewed
+    * mega-users should be capped upstream). The transition model is a
+    * groupBy the size of the state alphabet squared — broadcast-joined
+    * back.
+    *
+    * Returns one row per group: (groupCol, `n_trans`, `nll`); groups
+    * with fewer than 2 events get `n_trans = 0` and a null score. */
+  def markovChainNll(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      stateCol: Column): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    val pairs = df
+      .select(col(groupCol), lag(stateCol, 1).over(w).as("_s1"),
+        stateCol.as("_s2"))
+      .where(col("_s1").isNotNull)
+    val bi = pairs.groupBy("_s1", "_s2").agg(count(lit(1)).as("_n"))
+    val lm = bi.groupBy("_s1").agg(sum(col("_n")).as("_c1"))
+    val scored = pairs
+      .join(bi, Seq("_s1", "_s2"))
+      .join(lm, Seq("_s1"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast("int").as("n_trans"),
+        (-avg(log(col("_n").cast("double") / col("_c1").cast("double"))))
+          .as("nll"))
+    df.select(col(groupCol)).distinct()
+      .join(scored, Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("n_trans"), lit(0)).as("n_trans"),
+        col("nll"))
   }
 
   /** Adjacent token pairs of each doc: (idCol, `w1`, `w2`) — one row per

@@ -56,6 +56,45 @@ object Pca {
       element_at(col("sxy"), col("t") + 1).as("sxy"))
   }
 
+  /** Exact correlation matrix over named scalar signals — the feature-
+    * audit table a curation pipeline runs before trusting a quality
+    * score ("does my classifier just measure document length?"). Each
+    * row's signals are packed into one vector and pushed through the
+    * same one-pass quantized [[comoments]] aggregate as PCA fit; rows
+    * where ANY signal is null are skipped whole (the co_moments corrupt-
+    * row rule), so every pair is computed over the same support.
+    *
+    * `cov_num = n·sxy − sxi·sxj` and the variance numerators are exact
+    * integers on the 1/quant grid; Pearson r is ONE float chain over
+    * them (`cov_num / sqrt(var_i · var_j)`), round-6.
+    *
+    * Output: (`sig_i`, `sig_j`, `n`, `cov_num`, `corr_r`), upper
+    * triangle including the diagonal (diagonal corr 1 when var > 0).
+    * One shuffle of a k(k+1)/2-long buffer — no per-pair jobs. */
+  def correlationPairs(df: DataFrame, signals: Seq[(String, Column)],
+      quant: Double = 10000.0): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    val vec = array(signals.map(_._2.cast("double")): _*)
+    val com = comoments(df.select(vec.as("_sig")), "_sig",
+      signals.length, quant)
+    val cov = com.withColumn("cov_num",
+      (col("n") * col("sxy") - col("sxi") * col("sxj")).cast("long"))
+    val diag = cov.where(col("i") === col("j"))
+      .select(col("i").as("_k"), col("cov_num").as("_var"))
+    val nameArr = array(signals.map(s => lit(s._1)): _*)
+    cov
+      .join(diag.withColumnRenamed("_k", "i").withColumnRenamed("_var", "_vi"), "i")
+      .join(diag.withColumnRenamed("_k", "j").withColumnRenamed("_var", "_vj"), "j")
+      .select(
+        element_at(nameArr, col("i") + 1).as("sig_i"),
+        element_at(nameArr, col("j") + 1).as("sig_j"),
+        col("n"), col("cov_num"),
+        when(col("_vi") > 0 && col("_vj") > 0,
+          round(col("cov_num") /
+            sqrt(col("_vi").cast("double") * col("_vj").cast("double")), 6))
+          .as("corr_r"))
+  }
+
   /** Fitted PCA basis. `mean` and `components` are in original (float)
     * units; `eigenvalues` are the covariance eigenvalues (variance units),
     * descending. `components(k)` is the kth principal axis (unit norm,

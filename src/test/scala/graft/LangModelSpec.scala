@@ -229,6 +229,24 @@ class LangModelSpec extends SparkSuite {
     assert(tr(3).getInt(1) == 0 && tr(3).isNullAt(2))
   }
 
+  test("markovChainNll: hand-checked MLE transitions; single-event group null") {
+    val ev = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"), (1L, 40L, "B"),
+      (2L, 10L, "A"), (2L, 20L, "A"),
+      (3L, 10L, "Z")
+    ).toDF("user_id", "ts", "event_type")
+    val got = LangModel.markovChainNll(ev, "user_id", Seq(col("ts")),
+        col("event_type"))
+      .orderBy("user_id").collect()
+    // transitions: u1 (A,B)(B,A)(A,B), u2 (A,A); counts (A,B)=2 (B,A)=1
+    // (A,A)=1; marginals A=3, B=1
+    val nll1 = -(math.log(2.0 / 3) + math.log(1.0) + math.log(2.0 / 3)) / 3
+    val nll2 = -math.log(1.0 / 3)
+    assert(got(0).getInt(1) == 3 && math.abs(got(0).getDouble(2) - nll1) < 1e-12)
+    assert(got(1).getInt(1) == 1 && math.abs(got(1).getDouble(2) - nll2) < 1e-12)
+    assert(got(2).getInt(1) == 0 && got(2).isNullAt(2))
+  }
+
   test("mooreLewisScore: in-domain-looking docs score positive, background negative") {
     // domain docs dominated by 'spark'; background dominated by 'cat'
     val docs = Seq(

@@ -80,6 +80,38 @@ class PcaSketchSpec extends SparkSuite {
 
   // ---------- fit ----------
 
+  test("correlationPairs: perfect +1/-1 correlations exact; null rows skipped whole") {
+    import spark.implicits._
+    // y = 2x (r = +1), z = -x (r = -1); one row with a null y drops
+    // entirely from every pair (common-support rule)
+    val df = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)
+    ).toDF("x", "y", "z")
+      .unionByName(Seq((99.0, Option.empty[Double], -99.0))
+        .toDF("x", "y", "z"))
+    val got = Pca.correlationPairs(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.values.forall(_._1 == 4L)) // the null row never counted
+    assert(got(("x", "y"))._2.contains(1.0))
+    assert(got(("x", "z"))._2.contains(-1.0))
+    assert(got(("y", "z"))._2.contains(-1.0))
+    assert(got(("x", "x"))._2.contains(1.0))
+  }
+
+  test("correlationPairs: zero-variance signal yields null corr, exact cov") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "c")
+    val got = Pca.correlationPairs(df, Seq("a" -> col("a"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ac = got(("a", "c"))
+    assert(ac.getLong(3) == 0L)   // cov_num exact zero
+    assert(ac.isNullAt(4))        // constant signal -> undefined r
+  }
+
   test("pca recovers a planted 2D subspace and orders by variance") {
     // x = a·u + b·w + tiny noise in d=6; u, w orthogonal; var(a) >> var(b)
     val d = 6
