@@ -2017,6 +2017,33 @@ object SparkEntry {
         "quality" -> round(TextFunctions.qualityScore(col("text")), 6)))
       .orderBy("sig_i", "sig_j")
 
+  // Zipf-law slope per source: five ppb-integer regression sums over the
+  // (ln rank, ln freq) term table gate hash-exact; the slope is one
+  // float chain on top — the corpus-health diagnostic
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    LangModel.zipfFit(t(s, dir, "documents"), "source", col("text"))
+      .orderBy("source")
+
+  // whitened 2-D PCA projection: the q108 dyadic projection kernel
+  // standardized per component — exact integer z numerators hash-gated,
+  // one sqrt per component on top
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
+    val comps = Seq.tabulate(2)(k =>
+      Seq.tabulate(d)(j => (((j * 37 + k * 11) % 64) - 32) / 64.0))
+    val proj = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        project_vector(col("embedding"), mean, comps).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
+    GroupOps.standardize(proj, Seq("p0" -> col("p0"), "p1" -> col("p1")))
+      .select(col("vec_id"), col("znum_p0"), col("z_p0_r"),
+        col("znum_p1"), col("z_p1_r"))
+      .orderBy("vec_id")
+  }
+
   // MMR diverse top-5 from cosine top-20 at lambda=3/4 — the greedy
   // selection runs in a Catalyst fold; integer ranks/ids gate the whole
   // float chain (a selection flip anywhere would break the hash)
@@ -2171,7 +2198,9 @@ object SparkEntry {
     "q136_moore_lewis" -> (q136 _),
     "q137_mmr_select" -> (q137 _),
     "q138_markov_sessions" -> (q138 _),
-    "q139_signal_corr" -> (q139 _))
+    "q139_signal_corr" -> (q139 _),
+    "q140_zipf_slope" -> (q140 _),
+    "q141_whiten_project" -> (q141 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5082,7 +5111,70 @@ object SparkEntry {
          JOIN dg db ON db.i = cv.j
          JOIN nm na ON na.i = cv.i
          JOIN nm nb ON nb.i = cv.j
-         ORDER BY sig_i, sig_j"""
+         ORDER BY sig_i, sig_j""",
+
+    // q140: per-source (freq desc, word asc) ranks, per-term ppb-rounded
+    // ln terms summed order-free, the identical slope chain
+    "q140_zipf_slope" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS w FROM documents),
+         cnt AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),
+         rk AS (SELECT source, n,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, w ASC) AS DOUBLE) AS r
+           FROM cnt),
+         t2 AS (SELECT source,
+             CAST(round(ln(r) * 1000000000.0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS y,
+             CAST(round(ln(r) * ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS xy,
+             CAST(round(ln(r) * ln(r) * 1000000000.0) AS BIGINT) AS xx
+           FROM rk),
+         g AS (SELECT source, count(*) AS n_terms,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
+           FROM t2 GROUP BY source)
+         SELECT source, n_terms, sx, sy, sxy, sxx,
+           CASE WHEN CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000.0)
+                     - (CAST(sx AS DOUBLE) / 1000000000.0)
+                       * (CAST(sx AS DOUBLE) / 1000000000.0) > 0
+                THEN round(
+                  (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000.0)
+                   - (CAST(sx AS DOUBLE) / 1000000000.0)
+                     * (CAST(sy AS DOUBLE) / 1000000000.0))
+                  / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000.0)
+                   - (CAST(sx AS DOUBLE) / 1000000000.0)
+                     * (CAST(sx AS DOUBLE) / 1000000000.0)), 6)
+                ELSE NULL END AS zipf_slope_r
+         FROM g ORDER BY source""",
+
+    // q141: the q108 projection CTE quantized to the 1e4 grid; z
+    // numerators `n·q − s` exact HUGEINT→BIGINT, denominator one sqrt
+    "q141_whiten_project" ->
+      s"""WITH $pcaProjCte,
+         qz AS (SELECT vec_id,
+             CAST(round(p0 * 10000) AS BIGINT) AS q0,
+             CAST(round(p1 * 10000) AS BIGINT) AS q1
+           FROM pp),
+         ag AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(q0) AS HUGEINT) AS s0,
+             CAST(sum(CAST(q0 AS HUGEINT) * q0) AS HUGEINT) AS ss0,
+             CAST(sum(q1) AS HUGEINT) AS s1,
+             CAST(sum(CAST(q1 AS HUGEINT) * q1) AS HUGEINT) AS ss1
+           FROM qz)
+         SELECT vec_id,
+           CAST(n * q0 - s0 AS BIGINT) AS znum_p0,
+           CASE WHEN n * ss0 - s0 * s0 > 0
+                THEN round(CAST(n * q0 - s0 AS DOUBLE)
+                  / sqrt(CAST(n * ss0 - s0 * s0 AS DOUBLE)), 6)
+                ELSE NULL END AS z_p0_r,
+           CAST(n * q1 - s1 AS BIGINT) AS znum_p1,
+           CASE WHEN n * ss1 - s1 * s1 > 0
+                THEN round(CAST(n * q1 - s1 AS DOUBLE)
+                  / sqrt(CAST(n * ss1 - s1 * s1 AS DOUBLE)), 6)
+                ELSE NULL END AS z_p1_r
+         FROM qz CROSS JOIN ag
+         ORDER BY vec_id"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

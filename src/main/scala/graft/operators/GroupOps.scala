@@ -11,6 +11,48 @@ import graft.functions.TextFunctions
   * docarray/array/mixins/sample.py:11-39 sample/shuffle). */
 object GroupOps {
 
+  /** Z-score standardization of scalar columns — the feature-scaling
+    * pass before mixing heterogeneous signals (whitened PCA components,
+    * quality-score ensembles). Engine-portable: values are quantized to
+    * a 1/quant integer grid, the moment sums are EXACT (Decimal-summed,
+    * overflow-safe at any corpus size), and each z-score is the single
+    * float chain `(n·q − s) / sqrt(n·ss − s²)` — numerator an exact
+    * long (`znum_<name>`, hash-gatable), denominator one sqrt.
+    *
+    * One tiny aggregate row broadcast back over the input: no second
+    * shuffle, no window. Null values stay null (and are excluded from
+    * that column's n/s/ss).
+    *
+    * Adds, per signal: `znum_<name>` (exact long) and `z_<name>_r`
+    * (round-6 z-score; null when the signal is constant). */
+  def standardize(df: DataFrame, values: Seq[(String, Column)],
+      quant: Double = 10000.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(values.nonEmpty, "need at least one value column")
+    val dec = DecimalType(38, 0)
+    val qName = (n: String) => s"_q_$n"
+    val base = df.select(df.columns.map(col) ++ values.map { case (n, c) =>
+      round(c.cast("double") * quant).cast("long").as(qName(n))
+    }: _*)
+    val aggs = values.flatMap { case (n, _) => Seq(
+      count(col(qName(n))).as(s"_n_$n"),
+      sum(col(qName(n)).cast(dec)).as(s"_s_$n"),
+      sum(col(qName(n)).cast(dec) * col(qName(n)).cast(dec)).as(s"_ss_$n"))
+    }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val out = base.crossJoin(broadcast(stats))
+    val zCols = values.flatMap { case (n, _) =>
+      val (q, nn, s, ss) = (col(qName(n)), col(s"_n_$n").cast(dec),
+        col(s"_s_$n"), col(s"_ss_$n"))
+      val num = (nn * q.cast(dec) - s)
+      val den = (nn * ss - s * s)
+      Seq(num.cast("long").as(s"znum_$n"),
+        when(den > 0, round(num.cast("double") / sqrt(den.cast("double")), 6))
+          .as(s"z_${n}_r"))
+    }
+    out.select(df.columns.map(col) ++ zCols: _*)
+  }
+
   /** split_by_tag: one output group key per distinct value; returns the
     * groups as (tagValue, ids) rows — at scale prefer partitionBy writes
     * over materializing per-group arrays. */

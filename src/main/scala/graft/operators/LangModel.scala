@@ -109,6 +109,55 @@ object LangModel {
       .withColumn("keep", col("ml_r") > 0)
   }
 
+  /** Zipf-law fit per group: regress `ln(freq)` on `ln(rank)` over the
+    * group's term-frequency table and report the least-squares slope —
+    * the corpus-health diagnostic (natural language sits near −1;
+    * boilerplate/templated or synthetic text drifts off, so a per-source
+    * slope table flags degenerate sources before they enter a mix).
+    *
+    * Engine-portable by the ppb-integer rule: each term's `ln(rank)`,
+    * `ln(n)`, their product and square are pure functions of exact
+    * integers, rounded to ppb longs PER TERM, then summed (order-free).
+    * The slope is one fixed float chain over the five gated sums.
+    *
+    * Ranks are per-group `row_number` by (freq desc, word asc) over the
+    * group's vocabulary — vocabulary-sized partitions (not corpus-sized);
+    * at 100 TB vocabulary scale switch the rank stage to the
+    * [[GroupOps.vocabIds]] range-partition machinery.
+    *
+    * Output per group: (`groupCol`, `n_terms`, `sx`, `sy`, `sxy`, `sxx`
+    * — ppb longs — and `zipf_slope_r`). */
+  def zipfFit(docs: DataFrame, groupCol: String, textCol: Column,
+      minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(textCol)).as("_w"))
+      .groupBy(groupCol, "_w").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minCount)
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("_n").desc, col("_w").asc)
+    val ppb = (c: Column) => round(c * lit(1e9)).cast("long")
+    val terms = counts
+      .withColumn("_r", row_number().over(w).cast("double"))
+      .select(col(groupCol),
+        ppb(log(col("_r"))).as("_x"),
+        ppb(log(col("_n").cast("double"))).as("_y"),
+        ppb(log(col("_r")) * log(col("_n").cast("double"))).as("_xy"),
+        ppb(log(col("_r")) * log(col("_r"))).as("_xx"))
+    val g = terms.groupBy(groupCol).agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+      sum(col("_xy")).as("sxy"), sum(col("_xx")).as("sxx"))
+    val R = col("n_terms").cast("double")
+    val e9 = lit(1e9)
+    val num = R * (col("sxy").cast("double") / e9) -
+      (col("sx").cast("double") / e9) * (col("sy").cast("double") / e9)
+    val den = R * (col("sxx").cast("double") / e9) -
+      (col("sx").cast("double") / e9) * (col("sx").cast("double") / e9)
+    g.select(col(groupCol), col("n_terms"),
+      col("sx"), col("sy"), col("sxy"), col("sxx"),
+      when(den > 0, round(num / den, 6)).as("zipf_slope_r"))
+  }
+
   /** First-order Markov-chain scoring of event sequences: fit MLE
     * transition probabilities `P(s2|s1) = n(s1,s2) / n(s1,·)` over every
     * group's ordered state stream, then score each group by the mean

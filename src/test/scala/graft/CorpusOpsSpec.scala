@@ -3,12 +3,35 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, TextSearch}
+import graft.operators.{Dedup, GroupOps, TextSearch}
 
 /** Round-4 corpus operators: unicode cleaning, hybrid RRF retrieval,
   * duplicated-span coverage, incremental (bloom-prefiltered) dedup. */
 class CorpusOpsSpec extends SparkSuite {
   import spark.implicits._
+
+  test("standardize: hand-checked z-scores, exact numerators, null rows excluded") {
+    val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(3.0)),
+      (4L, Option.empty[Double])).toDF("id", "v")
+    val got = GroupOps.standardize(df, Seq("v" -> col("v")))
+      .orderBy("id").collect()
+    // q = 1e4, 2e4, 3e4 over n=3 (null excluded): znum = 3q - 6e4
+    assert(got(0).getLong(2) == -30000L)
+    assert(got(1).getLong(2) == 0L)
+    assert(got(2).getLong(2) == 30000L)
+    // z = znum / sqrt(3*1.4e9 - 3.6e9) = ±30000/sqrt(6e8) = ±sqrt(3/2)
+    assert(math.abs(got(0).getAs[Double]("z_v_r") + 1.224745) < 1e-6)
+    assert(got(1).getAs[Double]("z_v_r") == 0.0)
+    assert(math.abs(got(2).getAs[Double]("z_v_r") - 1.224745) < 1e-6)
+    // the null row stays a row, with null z outputs
+    assert(got(3).isNullAt(2) && got(3).isNullAt(3))
+  }
+
+  test("standardize: constant signal gives null z, zero numerator") {
+    val df = Seq(1L, 2L, 3L).toDF("id").withColumn("c", lit(7.5))
+    val got = GroupOps.standardize(df, Seq("c" -> col("c"))).collect()
+    assert(got.forall(r => r.getLong(2) == 0L && r.isNullAt(3)))
+  }
 
   test("normalize_text NFC fuses combining accents; strip_accents drops them") {
     // E + combining acute (U+0301), precomposed U+00EF, bare U+00F8 --

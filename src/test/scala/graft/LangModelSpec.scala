@@ -229,6 +229,25 @@ class LangModelSpec extends SparkSuite {
     assert(tr(3).getInt(1) == 0 && tr(3).isNullAt(2))
   }
 
+  test("zipfFit: exact power-law corpus recovers slope -1") {
+    // frequencies 12, 6, 4, 3 = 12/r for ranks 1..4 -> ln f = ln 12 - ln r,
+    // an exact line of slope -1 through every point
+    val words = Seq("aa" -> 12, "bb" -> 6, "cc" -> 4, "dd" -> 3)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val got = LangModel.zipfFit(Seq(("s1", text)).toDF("source", "text"),
+      "source", col("text")).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 4)
+    assert(math.abs(got(0).getAs[Double]("zipf_slope_r") + 1.0) < 1e-5)
+  }
+
+  test("zipfFit: single-term group has zero rank variance -> null slope") {
+    val got = LangModel.zipfFit(
+      Seq(("s1", "only only only")).toDF("source", "text"),
+      "source", col("text")).collect()
+    assert(got(0).getLong(1) == 1 && got(0).isNullAt(6))
+  }
+
   test("markovChainNll: hand-checked MLE transitions; single-event group null") {
     val ev = Seq(
       (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"), (1L, 40L, "B"),
