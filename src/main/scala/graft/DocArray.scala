@@ -186,6 +186,43 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text"): DataFrame =
     Dedup.winnowPairs(df, idCol, textCol, k, w, minShared)
 
+  /** Edit-distance-verified near-dup pairs: minhash banding candidates,
+    * Levenshtein verify at an integer percentage ratio. */
+  def fuzzyDedupPairs(maxRatioPct: Int = 10,
+      textCol: String = "text"): DataFrame =
+    Dedup.editDistancePairs(df, idCol, textCol, maxRatioPct)
+
+  /** Moore–Lewis contrastive selection: score every doc by general-vs-
+    * in-domain unigram NLL difference; `keep` marks in-domain-like docs. */
+  def selectLikeDomain(inDomain: Column,
+      textCol: String = "text"): DataFrame =
+    LangModel.mooreLewisScore(df, idCol, col(textCol), inDomain)
+
+  /** MMR diverse top-k: fetch the most-similar `fetchK`, greedily keep
+    * `k` balancing relevance against redundancy — the RAG diversity
+    * re-ranker. */
+  def findDiverse(queries: DataFrame, k: Int, fetchK: Int,
+      lambda: Double = 0.75, vecCol: String = "embedding",
+      queryIdCol: String = "id", queryVecCol: String = "embedding"): DataFrame =
+    Knn.mmrSelect(df, queries, k, fetchK, lambda,
+      docId = idCol, docVec = vecCol,
+      queryId = queryIdCol, queryVec = queryVecCol)
+
+  /** Zipf-law slope per corpus slice — the corpus-health diagnostic
+    * (natural text ≈ −1; templated/synthetic sources drift off). */
+  def zipfSlopes(groupCol: String, textCol: String = "text"): DataFrame =
+    LangModel.zipfFit(df, groupCol, col(textCol))
+
+  /** Exact Pearson correlation matrix over named per-doc signals — the
+    * feature audit before trusting a quality score. */
+  def signalCorrelations(signals: (String, Column)*): DataFrame =
+    Pca.correlationPairs(df, signals)
+
+  /** Z-score standardize scalar signal columns (exact integer
+    * numerators; adds `znum_<name>` / `z_<name>_r`). */
+  def standardized(signals: (String, Column)*): DocArray =
+    wrap(GroupOps.standardize(df, signals))
+
   /** Label every doc train/val/test (or any named fractions summing to
     * 1) by its seeded hash draw — deterministic, layout-invariant,
     * zero-shuffle; the label column doubles as a write partition key. */

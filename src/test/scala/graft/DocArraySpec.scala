@@ -93,4 +93,40 @@ class DocArraySpec extends SparkSuite {
     val bl = docs.blocklistFilter(Seq("zzznotaword")).df
     assert(bl.where(col("keep")).count() == docs.count()) // nothing blocked
   }
+
+  test("fuzzyDedupPairs / selectLikeDomain / zipfSlopes / signalCorrelations facades") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+
+    val fz = docs.fuzzyDedupPairs(maxRatioPct = 10)
+    assert(fz.columns.toSet == Set("a", "b", "dist", "len_a", "len_b"))
+    assert(fz.count() > 0)
+
+    val ml = docs.selectLikeDomain(col("lang") === "en")
+    assert(ml.columns.contains("ml_r") && ml.columns.contains("keep"))
+    assert(ml.where(col("keep")).count() > 0)
+
+    val zs = docs.zipfSlopes("source")
+    assert(zs.where(col("zipf_slope_r") < 0).count() > 0) // freq falls with rank
+
+    val corr = docs.signalCorrelations(
+      "len" -> length(col("text")), "nc" -> col("n_chars"))
+    assert(corr.where(col("sig_i") === "len" && col("sig_j") === "len")
+      .head.getAs[Double]("corr_r") == 1.0)
+  }
+
+  test("findDiverse facade: diverse top-k over the embeddings table") {
+    val emb = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"))
+    val queries = emb.df.where(col("id") < 3)
+    val got = emb.where(col("id") >= 3)
+      .findDiverse(queries, k = 3, fetchK = 10)
+    assert(got.groupBy("query_id").count().count() == 3)
+    assert(got.count() == 9)
+    // ranks are 1..3 per query, docs distinct within a query
+    assert(got.where(col("rank") > 3 || col("rank") < 1).count() == 0)
+    assert(got.select("query_id", "doc_id").distinct().count() == 9)
+  }
 }
