@@ -2057,6 +2057,35 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  // Fuzzy record linkage (entity resolution): deterministic typos
+  // (drop / adjacent-swap / duplicate at a key-derived position) applied
+  // to part names, then linked back to the canonical name table via
+  // bigram-blocked Jaro–Winkler (byte-level, DuckDB-parity semantics:
+  // integer-halved transpositions, boost > 0.7, prefix cap 4). Best
+  // match = max jw, tie → min name; n_cand gates the blocking shape and
+  // round-6 jw the whole float chain.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val nm = col("p_name")
+    val len = length(nm)
+    val kd = (col("p_partkey") % len + 1).cast("int")
+    val ks = (col("p_partkey") % (len - 1) + 1).cast("int")
+    val dirty = when(col("p_partkey") % 3 === 0,
+        concat(nm.substr(lit(1), kd - 1), nm.substr(kd + 1, len)))
+      .when(col("p_partkey") % 3 === 1,
+        concat(nm.substr(lit(1), ks - 1), nm.substr(ks + 1, lit(1)),
+          nm.substr(ks, lit(1)), nm.substr(ks + 2, len)))
+      .otherwise(concat(nm.substr(lit(1), kd), nm.substr(kd, lit(1)),
+        nm.substr(kd + 1, len)))
+    val left = p.select(col("p_partkey"), dirty.as("dirty_name"))
+    val canon = p.select(col("p_name")).distinct()
+    Dedup.fuzzyLink(left, canon, "p_partkey", "dirty_name",
+        "p_name", "p_name", threshold = 0.8)
+      .select(col("a").as("p_partkey"), col("b").as("canon_name"),
+        col("n_cand"), round(col("jw"), 6).as("jw_r"))
+      .orderBy("p_partkey")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2200,7 +2229,8 @@ object SparkEntry {
     "q138_markov_sessions" -> (q138 _),
     "q139_signal_corr" -> (q139 _),
     "q140_zipf_slope" -> (q140 _),
-    "q141_whiten_project" -> (q141 _))
+    "q141_whiten_project" -> (q141 _),
+    "q142_fuzzy_link" -> (q142 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5174,7 +5204,54 @@ object SparkEntry {
                   / sqrt(CAST(n * ss1 - s1 * s1 AS DOUBLE)), 6)
                 ELSE NULL END AS z_p1_r
          FROM qz CROSS JOIN ag
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+
+    // q142: typo generation replayed with the same substr algebra, the
+    // q47 bigram normalization on both sides for blocking, DuckDB's
+    // native jaro_winkler_similarity as the independent verify (the
+    // Spark kernel matches its byte-level semantics), argmax replay =
+    // max jw then min name
+    "q142_fuzzy_link" ->
+      """WITH p AS (SELECT p_partkey, p_name, length(p_name) AS l,
+             CAST(p_partkey % length(p_name) + 1 AS INTEGER) AS kd,
+             CAST(p_partkey % (length(p_name) - 1) + 1 AS INTEGER) AS ks
+           FROM part),
+         d AS (SELECT p_partkey,
+             CASE CAST(p_partkey % 3 AS INTEGER)
+               WHEN 0 THEN substr(p_name, 1, kd - 1) || substr(p_name, kd + 1, l)
+               WHEN 1 THEN substr(p_name, 1, ks - 1) || substr(p_name, ks + 1, 1)
+                        || substr(p_name, ks, 1) || substr(p_name, ks + 2, l)
+               ELSE substr(p_name, 1, kd) || substr(p_name, kd, 1)
+                        || substr(p_name, kd + 1, l)
+             END AS dirty
+           FROM p),
+         c AS (SELECT DISTINCT p_name FROM part),
+         lnorm AS (SELECT p_partkey, dirty,
+             trim(regexp_replace(lower(dirty), '[^a-z0-9]+', ' ', 'g')) AS nd
+           FROM d),
+         lgr AS (SELECT p_partkey, dirty,
+             unnest([nd[i:i+1] for i in range(1, length(nd))]) AS g
+           FROM lnorm),
+         lg AS (SELECT DISTINCT p_partkey, dirty, g FROM lgr),
+         rnorm AS (SELECT p_name,
+             trim(regexp_replace(lower(p_name), '[^a-z0-9]+', ' ', 'g')) AS nr
+           FROM c),
+         rgr AS (SELECT p_name,
+             unnest([nr[i:i+1] for i in range(1, length(nr))]) AS g
+           FROM rnorm),
+         rg AS (SELECT DISTINCT p_name, g FROM rgr),
+         cand AS (SELECT DISTINCT lg.p_partkey, lg.dirty, rg.p_name
+           FROM lg JOIN rg USING (g)),
+         sc AS (SELECT p_partkey, dirty, p_name,
+             jaro_winkler_similarity(dirty, p_name) AS jw FROM cand),
+         ag AS (SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_cand,
+             max(jw) AS mjw
+           FROM sc GROUP BY p_partkey HAVING max(jw) >= 0.8)
+         SELECT sc.p_partkey, min(sc.p_name) AS canon_name,
+           max(ag.n_cand) AS n_cand, round(max(ag.mjw), 6) AS jw_r
+         FROM sc JOIN ag ON sc.p_partkey = ag.p_partkey AND sc.jw = ag.mjw
+         GROUP BY sc.p_partkey
+         ORDER BY sc.p_partkey"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fuzzy string-similarity primitives for entity resolution / record
+  * linkage (the dirty-name → canonical-name matching step of a data
+  * pipeline). Semantics are pinned to the common reference
+  * implementation family (and verified against DuckDB's
+  * `jaro_winkler_similarity` probe-by-probe) so oracle replay is exact:
+  *
+  *  - computed over RAW UTF-8 BYTES, not code points (multi-byte code
+  *    points count per byte — the cross-engine-portable choice; ASCII
+  *    inputs are unaffected);
+  *  - match window = max(|a|,|b|)/2 − 1 (integer division, clamped ≥ 0);
+  *  - transpositions = (# order-mismatched matched positions) / 2 with
+  *    INTEGER division;
+  *  - either side empty → 0.0; no matches → 0.0;
+  *  - Winkler boost only when jaro > 0.7, common-prefix capped at 4,
+  *    scaling 0.1: jw = j + prefix·0.1·(1−j).
+  *
+  * Float discipline: the only float ops are the three divisions of the
+  * Jaro formula summed left-to-right, one division by 3, and the boost
+  * chain — identical order to the oracle engine, so doubles match
+  * bit-for-bit and a ppm rounding gates safely.
+  */
+object StringSimilarity {
+
+  /** (jaro, commonPrefixBytes) over raw UTF-8 bytes. */
+  private[functions] def jaroBytes(a: Array[Byte], b: Array[Byte]): (Double, Int) = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return (0.0, 0)
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val amatch = new Array[Boolean](la)
+    val bmatch = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!bmatch(j) && a(i) == b(j)) {
+          amatch(i) = true; bmatch(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return (0.0, 0)
+    // order-mismatch count over the matched subsequences
+    var mismatch = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (amatch(i)) {
+        while (!bmatch(j)) j += 1
+        if (a(i) != b(j)) mismatch += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = mismatch / 2
+    val jaro =
+      (m.toDouble / la + m.toDouble / lb + (m - t).toDouble / m) / 3.0
+    var p = 0
+    val pmax = math.min(4, math.min(la, lb))
+    while (p < pmax && a(p) == b(p)) p += 1
+    (jaro, p)
+  }
+
+  private[functions] def jaro(a: UTF8String, b: UTF8String): Double =
+    jaroBytes(a.getBytes, b.getBytes)._1
+
+  private[functions] def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val (j, p) = jaroBytes(a.getBytes, b.getBytes)
+    if (j > 0.7) j + p * 0.1 * (1.0 - j) else j
+  }
+}
+
+private[functions] trait StringPairExpression extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got (${l.sql}, ${r.sql})")
+    }
+}
+
+/** jaro_similarity(a, b) → double in [0,1]. */
+case class JaroSimilarity(left: Expression, right: Expression)
+    extends StringPairExpression {
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "jaro_similarity"
+}
+
+/** jaro_winkler_similarity(a, b) → double in [0,1] (boost > 0.7,
+  * prefix cap 4, scaling 0.1). */
+case class JaroWinklerSimilarity(left: Expression, right: Expression)
+    extends StringPairExpression {
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.jaroWinkler(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "jaro_winkler_similarity"
+}

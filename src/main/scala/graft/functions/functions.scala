@@ -173,6 +173,15 @@ package object functions {
   def strip_accents(c: Column): Column =
     Bridge.column(StripAccents(Bridge.expression(c)))
 
+  /** Jaro similarity over raw UTF-8 bytes (oracle-parity semantics). */
+  def jaro_similarity(a: Column, b: Column): Column =
+    Bridge.column(JaroSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Jaro–Winkler similarity (boost > 0.7, prefix cap 4, scaling 0.1). */
+  def jaro_winkler_similarity(a: Column, b: Column): Column =
+    Bridge.column(
+      JaroWinklerSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
   private def dist(a: Column, b: Column, metric: String): Column =
     Bridge.column(
       VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
@@ -219,6 +228,9 @@ package object functions {
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
       "lcs_length" -> (exprs => LcsLength(exprs(0), exprs(1))),
+      "jaro_similarity" -> (exprs => JaroSimilarity(exprs(0), exprs(1))),
+      "jaro_winkler_similarity" -> (exprs =>
+        JaroWinklerSimilarity(exprs(0), exprs(1))),
       "bit_length64" -> (exprs => BitLength64(exprs(0))),
       "hll_sketch" -> (exprs =>
         HllSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),
