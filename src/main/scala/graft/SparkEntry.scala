@@ -2086,6 +2086,17 @@ object SparkEntry {
       .orderBy("p_partkey")
   }
 
+  // One-sided containment pairs (quote / subset duplication): bigram
+  // shingles, q10's hot-postings valve applied to BOTH postings and set
+  // sizes, containment = shared/|A| per direction. Integer (n_a, shared)
+  // gate the postings join exactly; the single division is round-6 gated.
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, ngram = 2, maxDocFreq = 30L)
+      .select(col("a"), col("b"), col("n_a"), col("shared"),
+        round(col("containment"), 6).as("containment_r"))
+      .orderBy("a", "b")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2230,7 +2241,8 @@ object SparkEntry {
     "q139_signal_corr" -> (q139 _),
     "q140_zipf_slope" -> (q140 _),
     "q141_whiten_project" -> (q141 _),
-    "q142_fuzzy_link" -> (q142 _))
+    "q142_fuzzy_link" -> (q142 _),
+    "q143_containment_pairs" -> (q143 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5251,7 +5263,33 @@ object SparkEntry {
            max(ag.n_cand) AS n_cand, round(max(ag.mjw), 6) AS jw_r
          FROM sc JOIN ag ON sc.p_partkey = ag.p_partkey AND sc.jw = ag.mjw
          GROUP BY sc.p_partkey
-         ORDER BY sc.p_partkey"""
+         ORDER BY sc.p_partkey""",
+
+    // q143: q10's shingle/hot-valve CTEs, but sizes from the KEPT
+    // postings (the hot filter applies to numerator AND denominator)
+    // and both directions emitted
+    "q143_containment_pairs" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         post AS (SELECT doc_id, unnest(s) sh FROM g),
+         hot AS (SELECT sh FROM (SELECT sh, count(*) c FROM post GROUP BY sh)
+                 WHERE c > 30),
+         kept AS (SELECT doc_id, sh FROM post WHERE sh NOT IN (SELECT sh FROM hot)),
+         sz AS (SELECT doc_id, count(*) n FROM kept GROUP BY doc_id),
+         inter AS (SELECT x.doc_id a, y.doc_id b, count(*) shared
+                   FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+                   GROUP BY 1, 2),
+         c AS (SELECT a, b, sa.n AS n_a, shared,
+                 shared * 1.0 / sa.n AS containment
+               FROM inter JOIN sz sa ON sa.doc_id = a)
+         SELECT a, b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(shared AS BIGINT) AS shared,
+           round(containment, 6) AS containment_r
+         FROM c WHERE containment >= 0.5 ORDER BY a, b"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

@@ -519,4 +519,34 @@ class DedupTextSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("containmentPairs: subset docs score 1.0 one-way, less the other") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // contained in 2's shingle set
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta")).toDF("id", "t")
+    val out = Dedup.containmentPairs(docs, "id", "t", threshold = 0.0,
+        ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1: shingles {alpha beta, beta gamma} both inside doc2's 4
+    assert(out((1L, 2L)) === ((2L, 2L, 1.0)))
+    assert(out((2L, 1L)) === ((4L, 2L, 0.5)))
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
+  test("containmentPairs: hot valve shrinks numerator AND denominator") {
+    // shingle "x y" is in all three docs -> df=3 > 2 drops it everywhere
+    val docs = Seq(
+      (1L, "x y a"), (2L, "x y a b"), (3L, "x y z")).toDF("id", "t")
+    val out = Dedup.containmentPairs(docs, "id", "t", threshold = 0.0,
+        ngram = 2, maxDocFreq = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1 kept shingles {y a}; doc2 kept {y a, a b}: containment 1/1
+    assert(out((1L, 2L)) === ((1L, 1L, 1.0)))
+    assert(out((2L, 1L)) === ((2L, 1L, 0.5)))
+    // doc3's only surviving shingle {y z} shares nothing
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
 }
