@@ -2097,6 +2097,32 @@ object SparkEntry {
         round(col("containment"), 6).as("containment_r"))
       .orderBy("a", "b")
 
+  // Luhn-validated card scrubbing: deterministic digit runs planted from
+  // order keys (a 16- and a 13-digit candidate, plus 12- and 20-digit
+  // runs that must NOT match — the maximal-run length rule), redaction
+  // only where the mod-10 checksum passes. Integer (n_runs, n_valid)
+  // and the exact redacted string gate the whole byte-scan kernel.
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val full = concat(lit("inv "),
+      lpad((col("o_orderkey") * 2654435761L % 10000000000000000L)
+        .cast("string"), 16, "0"),
+      lit(" ref "), col("o_custkey").cast("string"),
+      lit(" tel "), lpad((col("o_custkey") * 1103515245L % 1000000000000L)
+        .cast("string"), 12, "0"),
+      lit(" ean "), lpad((col("o_orderkey") * 48271L % 10000000000000L)
+        .cast("string"), 13, "0"),
+      lit(" sn "), lpad((col("o_orderkey") * 69621L % 10000000000L)
+        .cast("string"), 10, "0"),
+      lpad((col("o_custkey") * 16807L % 10000000000L).cast("string"), 10, "0"))
+    o.select(col("o_orderkey"), full.as("_ft"))
+      .select(col("o_orderkey"), card_run_stats(col("_ft")).as("_st"),
+        redact_cards(col("_ft")).as("redacted"))
+      .select(col("o_orderkey"), col("_st.n_runs").as("n_runs"),
+        col("_st.n_valid").as("n_valid"), col("redacted"))
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2242,7 +2268,8 @@ object SparkEntry {
     "q140_zipf_slope" -> (q140 _),
     "q141_whiten_project" -> (q141 _),
     "q142_fuzzy_link" -> (q142 _),
-    "q143_containment_pairs" -> (q143 _))
+    "q143_containment_pairs" -> (q143 _),
+    "q144_card_redact" -> (q144 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5289,7 +5316,47 @@ object SparkEntry {
          SELECT a, b, CAST(n_a AS BIGINT) AS n_a,
            CAST(shared AS BIGINT) AS shared,
            round(containment, 6) AS containment_r
-         FROM c WHERE containment >= 0.5 ORDER BY a, b"""
+         FROM c WHERE containment >= 0.5 ORDER BY a, b""",
+
+    // q144: ordered digit/non-digit tokenization (regexp_extract_all
+    // tiles the string), per-token Luhn as a relational sum over char
+    // positions (doubling parity from the right), reassembly via
+    // ordered string_agg — the redacted string is gated byte-for-byte
+    "q144_card_redact" ->
+      """WITH s AS (SELECT o_orderkey,
+           'inv ' || lpad(CAST((o_orderkey * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+           || ' ref ' || CAST(o_custkey AS VARCHAR)
+           || ' tel ' || lpad(CAST((o_custkey * 1103515245) % 1000000000000 AS VARCHAR), 12, '0')
+           || ' ean ' || lpad(CAST((o_orderkey * 48271) % 10000000000000 AS VARCHAR), 13, '0')
+           || ' sn ' || lpad(CAST((o_orderkey * 69621) % 10000000000 AS VARCHAR), 10, '0')
+                     || lpad(CAST((o_custkey * 16807) % 10000000000 AS VARCHAR), 10, '0')
+           AS full_text FROM orders),
+         tk AS (SELECT o_orderkey,
+             regexp_extract_all(full_text, '[0-9]+|[^0-9]+') AS toks FROM s),
+         tok AS (SELECT o_orderkey, i AS ord, toks[CAST(i AS INTEGER)] AS t
+             FROM tk CROSS JOIN range(1, 64) r(i) WHERE i <= len(toks)),
+         cand AS (SELECT o_orderkey, ord, t,
+             length(t) BETWEEN 13 AND 19
+               AND regexp_full_match(t, '[0-9]+') AS is_cand FROM tok),
+         luhn AS (SELECT o_orderkey, ord,
+             sum(CASE WHEN (length(t) - i) % 2 = 1
+                 THEN CASE WHEN 2 * CAST(t[CAST(i AS INTEGER):CAST(i AS INTEGER)] AS INTEGER) > 9
+                      THEN 2 * CAST(t[CAST(i AS INTEGER):CAST(i AS INTEGER)] AS INTEGER) - 9
+                      ELSE 2 * CAST(t[CAST(i AS INTEGER):CAST(i AS INTEGER)] AS INTEGER) END
+                 ELSE CAST(t[CAST(i AS INTEGER):CAST(i AS INTEGER)] AS INTEGER) END) % 10 AS chk
+           FROM cand CROSS JOIN range(1, 20) r(i)
+           WHERE is_cand AND i <= length(t)
+           GROUP BY o_orderkey, ord),
+         m AS (SELECT c.o_orderkey, c.ord, c.t, c.is_cand,
+             coalesce(l.chk, -1) = 0 AS valid
+           FROM cand c LEFT JOIN luhn l
+             ON c.o_orderkey = l.o_orderkey AND c.ord = l.ord)
+         SELECT o_orderkey,
+           CAST(count(*) FILTER (WHERE is_cand) AS INTEGER) AS n_runs,
+           CAST(count(*) FILTER (WHERE is_cand AND valid) AS INTEGER) AS n_valid,
+           string_agg(CASE WHEN is_cand AND valid THEN '[CARD]' ELSE t END,
+             '' ORDER BY ord) AS redacted
+         FROM m GROUP BY o_orderkey ORDER BY o_orderkey"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

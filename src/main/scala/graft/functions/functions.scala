@@ -182,6 +182,14 @@ package object functions {
     Bridge.column(
       JaroWinklerSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Redact Luhn-valid 13–19-digit runs with `[CARD]`. */
+  def redact_cards(c: Column): Column =
+    Bridge.column(RedactCards(Bridge.expression(c)))
+
+  /** struct(n_runs, n_valid): candidate card runs and Luhn survivors. */
+  def card_run_stats(c: Column): Column =
+    Bridge.column(CardRunStats(Bridge.expression(c)))
+
   private def dist(a: Column, b: Column, metric: String): Column =
     Bridge.column(
       VectorDistance(Bridge.expression(a), Bridge.expression(b), metric))
@@ -229,6 +237,8 @@ package object functions {
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
       "lcs_length" -> (exprs => LcsLength(exprs(0), exprs(1))),
       "jaro_similarity" -> (exprs => JaroSimilarity(exprs(0), exprs(1))),
+      "redact_cards" -> (exprs => RedactCards(exprs(0))),
+      "card_run_stats" -> (exprs => CardRunStats(exprs(0))),
       "jaro_winkler_similarity" -> (exprs =>
         JaroWinklerSimilarity(exprs(0), exprs(1))),
       "bit_length64" -> (exprs => BitLength64(exprs(0))),

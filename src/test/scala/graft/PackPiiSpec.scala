@@ -143,4 +143,44 @@ class PackPiiSpec extends SparkSuite {
     assert(!out.contains((1L, 1)) && !out.contains((2L, 1)))
     assert(out.size === 5)
   }
+
+  test("redact_cards: Luhn gate, maximal-run length rule, stats") {
+    import graft.functions.{card_run_stats, redact_cards}
+    val valid16 = "4539578763621486" // passes Luhn
+    val invalid16 = "4539578763621487"
+    val valid13 = "4222222222222"
+    val cases = Seq(
+      (1L, s"pay $valid16 now"), // redacted
+      (2L, s"pay $invalid16 now"), // candidate, checksum fails
+      (3L, s"id 123456789012 x"), // 12 digits: not a candidate
+      (4L, s"sn 45395787636214860000 x"), // 20 digits: not a candidate
+      (5L, s"a $valid16 b $valid13 c"), // two redactions in one row
+      (6L, "no digits at all"))
+    val out = cases.toDF("id", "t")
+      .select(col("id"), redact_cards(col("t")).as("r"),
+        card_run_stats(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getStruct(2).getInt(0), r.getStruct(2).getInt(1))))
+      .toMap
+    assert(out(1L) === (("pay [CARD] now", 1, 1)))
+    assert(out(2L) === ((s"pay $invalid16 now", 1, 0)))
+    assert(out(3L) === (("id 123456789012 x", 0, 0)))
+    assert(out(4L) === (("sn 45395787636214860000 x", 0, 0)))
+    assert(out(5L) === (("a [CARD] b [CARD] c", 2, 2)))
+    assert(out(6L) === (("no digits at all", 0, 0)))
+  }
+
+  test("redact_cards: run at string boundaries and checksum parity") {
+    import graft.functions.redact_cards
+    // the check digit is the rightmost: appending one digit flips the
+    // doubling parity of every digit — both directions exercised
+    val r = Seq((1L, "4539578763621486"), (2L, "04539578763621486"))
+      .toDF("id", "t")
+      .select(col("id"), redact_cards(col("t")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "[CARD]") // whole string is the run
+    // 17-digit run with leading 0: doubling parity shifts; 0 prefix
+    // keeps the sum's mod-10 value (0 doubled is 0) -> still valid
+    assert(r(2L) === "[CARD]")
+  }
 }
