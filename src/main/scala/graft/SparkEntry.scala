@@ -2123,6 +2123,17 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  // Chi-square term↔class feature selection (which words discriminate
+  // English docs): doc-level presence contingency — all four cells and
+  // the association sign exact integers; chi2 one fixed double chain,
+  // NULL on empty margins (tokens present in every doc exercise it).
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    LangModel.termClassChi2(t(s, dir, "documents"), "doc_id",
+        col("text"), col("lang") === "en")
+      .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("admbc"), round(col("chi2"), 6).as("chi2_r"))
+      .orderBy("term")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2269,7 +2280,8 @@ object SparkEntry {
     "q141_whiten_project" -> (q141 _),
     "q142_fuzzy_link" -> (q142 _),
     "q143_containment_pairs" -> (q143 _),
-    "q144_card_redact" -> (q144 _))
+    "q144_card_redact" -> (q144 _),
+    "q145_term_chi2" -> (q145 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5356,7 +5368,40 @@ object SparkEntry {
            CAST(count(*) FILTER (WHERE is_cand AND valid) AS INTEGER) AS n_valid,
            string_agg(CASE WHEN is_cand AND valid THEN '[CARD]' ELSE t END,
              '' ORDER BY ord) AS redacted
-         FROM m GROUP BY o_orderkey ORDER BY o_orderkey"""
+         FROM m GROUP BY o_orderkey ORDER BY o_orderkey""",
+
+    // q145: presence = DISTINCT (doc, term); the chi2 double chain is
+    // spelled in the same left-to-right order as the Spark column
+    "q145_term_chi2" ->
+      """WITH d AS (SELECT doc_id, lang = 'en' AS c, text
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         tokr AS (SELECT doc_id, c,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS term
+           FROM d),
+         tok AS (SELECT DISTINCT doc_id, c, term FROM tokr),
+         tot AS (SELECT count(*) AS n, count(*) FILTER (WHERE c) AS np FROM d),
+         tc AS (SELECT term,
+             count(*) FILTER (WHERE c) AS n11,
+             count(*) FILTER (WHERE NOT c) AS n10
+           FROM tok GROUP BY term),
+         x AS (SELECT term, n11, n10, np - n11 AS n01,
+             (n - np) - n10 AS n00, n
+           FROM tc CROSS JOIN tot),
+         y AS (SELECT term, n11, n10, n01, n00,
+             n11 * n00 - n10 * n01 AS admbc,
+             CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0
+                    OR n11 + n01 = 0 OR n10 + n00 = 0 THEN NULL
+                  ELSE CAST(n AS DOUBLE) * (n11 * n00 - n10 * n01)
+                       * (n11 * n00 - n10 * n01)
+                       / (CAST(n11 + n10 AS DOUBLE) * (n01 + n00)
+                          * (n11 + n01) * (n10 + n00))
+             END AS chi2
+           FROM x)
+         SELECT term, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST(admbc AS BIGINT) AS admbc, round(chi2, 6) AS chi2_r
+         FROM y ORDER BY term"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

@@ -457,4 +457,50 @@ object LangModel {
             (lit(1.0) -
               col("cb_shared").cast("double") / col("n_b").cast("double"))))
   }
+  /** Chi-square term↔class association — the feature-selection table for
+    * quality/domain classifiers (which n-grams discriminate the target
+    * class; the fastText-seed selection step). Doc-level PRESENCE
+    * statistics: each (doc, distinct term) pair contributes once, so the
+    * 2×2 contingency per term is exact integers
+    * (n11 = class docs containing the term, n10 = non-class docs
+    * containing it, n01/n00 the complements against the class totals).
+    *
+    * chi2 = N·(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n11+n01)(n10+n00))
+    * with the numerator's inner difference kept as an exact BIGINT
+    * (`admbc` — also the association sign) and the final value one fixed
+    * left-to-right double chain, NULL when a margin is empty.
+    *
+    * Scale: explode-distinct + one groupBy on term + a broadcast 1-row
+    * totals join — the wordcount shape, no window, no driver state.
+    */
+  def termClassChi2(df: DataFrame, idCol: String, text: Column,
+      cls: Column): DataFrame = {
+    val base = df.where(text.isNotNull && cls.isNotNull)
+      .select(col(idCol).as("_id"), cls.cast("boolean").as("_c"), text.as("_t"))
+    val tok = base
+      .select(col("_id"), col("_c"),
+        explode(TextFunctions.tokenSet(col("_t"))).as("term"))
+      .distinct()
+    val tot = broadcast(base.agg(count(lit(1)).as("_n"),
+      count(when(col("_c"), 1)).as("_np")))
+    val tc = tok.groupBy("term")
+      .agg(count(when(col("_c"), 1)).as("n11"),
+        count(when(!col("_c"), 1)).as("n10"))
+    val out = tc.crossJoin(tot)
+      .withColumn("n01", col("_np") - col("n11"))
+      .withColumn("n00", col("_n") - col("_np") - col("n10"))
+      .withColumn("admbc",
+        col("n11") * col("n00") - col("n10") * col("n01"))
+    val r1 = col("n11") + col("n10")
+    val r0 = col("n01") + col("n00")
+    val c1 = col("n11") + col("n01")
+    val c0 = col("n10") + col("n00")
+    out.withColumn("chi2",
+        when(r1 === 0 || r0 === 0 || c1 === 0 || c0 === 0, lit(null))
+          .otherwise(
+            col("_n").cast("double") * col("admbc") * col("admbc") /
+              (r1.cast("double") * r0 * c1 * c0)))
+      .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("admbc"), col("chi2"))
+  }
 }

@@ -295,4 +295,29 @@ class LangModelSpec extends SparkSuite {
     val ml0 = got(0).getAs[Double]("ml_r")
     assert(ml0 > 0.0)
   }
+
+  test("termClassChi2: hand-derived contingency, sign, and null margin") {
+    val docs = Seq(
+      (1L, "cat dog", true), (2L, "cat fish", true),
+      (3L, "dog dog fish", false), (4L, "bird fish", false))
+      .toDF("id", "text", "en")
+    val out = LangModel.termClassChi2(docs, "id", col("text"), col("en"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // cat: in both class docs, neither non-class doc -> perfect assoc
+    assert(out("cat") === ((2L, 0L, 0L, 2L, 4L, Some(4.0))))
+    // dog: one of each class; repeated "dog dog" counts once (presence)
+    assert(out("dog")._1 === 1L && out("dog")._2 === 1L)
+    assert(out("dog")._5 === 0L && out("dog")._6 === Some(0.0))
+    // fish: present in 3 docs (1 class, 2 non): admbc = 1*0 - 2*1 = -2
+    assert(out("fish") === ((1L, 2L, 1L, 0L, -2L, Some(4.0 * 4 / 12))))
+    // a term in EVERY doc has an empty absent-margin -> chi2 NULL
+    val all = Seq((1L, "x a", true), (2L, "x b", false))
+      .toDF("id", "text", "en")
+    val out2 = LangModel.termClassChi2(all, "id", col("text"), col("en"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(6)).toMap
+    assert(out2("x") === true && out2("a") === false)
+  }
 }
