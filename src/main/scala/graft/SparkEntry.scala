@@ -2134,6 +2134,20 @@ object SparkEntry {
         col("admbc"), round(col("chi2"), 6).as("chi2_r"))
       .orderBy("term")
 
+  // Isotonic calibration of the q21 quality score as an English-ness
+  // probability: PAV over the q126 bins (driver fit with exact integer
+  // cross-multiplication merging; each fitted value ONE division of the
+  // block sums). The oracle replays the fit via the minimax max-min-
+  // average characterization — monotone IEEE rounding makes the two
+  // bit-equal, so round-6 iso gates the whole fit.
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    Evaluate.isotonicCalibrate(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), col("lang") =!= "en",
+        nBins = 10)
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("iso"), 6).as("iso_r"))
+      .orderBy("bin")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2281,7 +2295,8 @@ object SparkEntry {
     "q142_fuzzy_link" -> (q142 _),
     "q143_containment_pairs" -> (q143 _),
     "q144_card_redact" -> (q144 _),
-    "q145_term_chi2" -> (q145 _))
+    "q145_term_chi2" -> (q145 _),
+    "q146_isotonic" -> (q146 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5401,7 +5416,36 @@ object SparkEntry {
          SELECT term, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
            CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
            CAST(admbc AS BIGINT) AS admbc, round(chi2, 6) AS chi2_r
-         FROM y ORDER BY term"""
+         FROM y ORDER BY term""",
+
+    // q146: the q126 bin table, then isotonic values via the minimax
+    // characterization iso(i) = max_{j<=i} min_{k>=i} mean(j..k) over
+    // present-bin indices — every range mean is one IEEE division of
+    // exact prefix-sum differences, and monotone rounding makes the
+    // max-min over doubles equal the PAV block mean bit-for-bit
+    "q146_isotonic" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT greatest(least(CAST(floor(sc * 10) AS INTEGER), 9), 0) AS bin,
+             1 - pos AS pos FROM q),
+         g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM b GROUP BY bin),
+         r AS (SELECT bin, n, n_pos,
+             row_number() OVER (ORDER BY bin) AS idx FROM g),
+         pr AS (SELECT idx, sum(n) OVER (ORDER BY idx) AS cn,
+             sum(n_pos) OVER (ORDER BY idx) AS cp FROM r),
+         pr0 AS (SELECT CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS cn,
+             CAST(0 AS BIGINT) AS cp
+           UNION ALL SELECT idx, cn, cp FROM pr),
+         avgr AS (SELECT lo.idx + 1 AS j, hi.idx AS k,
+             CAST(hi.cp - lo.cp AS DOUBLE) / CAST(hi.cn - lo.cn AS DOUBLE) AS a
+           FROM pr0 lo JOIN pr0 hi ON hi.idx > lo.idx),
+         mn AS (SELECT i.idx AS i, a.j, min(a.a) AS m
+           FROM r i JOIN avgr a ON a.j <= i.idx AND a.k >= i.idx
+           GROUP BY i.idx, a.j),
+         iso AS (SELECT i, max(m) AS iso FROM mn GROUP BY i)
+         SELECT r.bin, r.n, r.n_pos, round(iso.iso, 6) AS iso_r
+         FROM r JOIN iso ON iso.i = r.idx
+         ORDER BY r.bin"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

@@ -377,4 +377,52 @@ object Evaluate {
           .otherwise(0.0))
       .withColumnRenamed("_id", idCol)
   }
+  /** Isotonic (monotone nondecreasing) calibration of a [0,1] score
+    * against a binary outcome: pool-adjacent-violators over the
+    * [[calibrationBins]] table. The distributed pass is the ≤-nBins-key
+    * binning aggregation; the PAV fit runs driver-side over the collected
+    * bin rows (the k-means-centroid pattern — O(nBins) state, bounded by
+    * the `require` in calibrationBins' contract). Block merging compares
+    * block means by exact integer CROSS-MULTIPLICATION (posᵃ·nᵇ vs
+    * posᵇ·nᵃ) so no float enters the fit; each calibrated value is ONE
+    * IEEE division of the block's exact (Σpos, Σn) — bit-equal to the
+    * max-min-average (minimax) characterization an oracle replays
+    * relationally. Weak violators (equal means) are NOT merged — the
+    * fitted values are identical either way, so the output is invariant.
+    *
+    * Output: one row per PRESENT bin — (bin, n, n_pos, iso_num, iso_den,
+    * iso) with iso nondecreasing in bin; iso_num/iso_den are the merged
+    * block's exact sums (iso = iso_num/iso_den). Apply by broadcast-
+    * joining on the binned score. */
+  def isotonicCalibrate(df: DataFrame, score: Column, positive: Column,
+      nBins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val bins = calibrationBins(df, score, positive, nBins)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV stack: (firstPos, n, pos); merge while the previous block's
+    // mean exceeds the new one's (strict — ties stay split)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    bins.zipWithIndex.foreach { case ((_, n, pos), i) =>
+      var cur = (i, n, pos)
+      while (stack.nonEmpty &&
+          stack.last._3 * cur._2 > cur._3 * stack.last._2) {
+        val prev = stack.remove(stack.length - 1)
+        cur = (prev._1, prev._2 + cur._2, prev._3 + cur._3)
+      }
+      stack += cur
+    }
+    val rows = stack.iterator.zipWithIndex.flatMap {
+      case ((start, bn, bpos), bi) =>
+        val end = if (bi + 1 < stack.length) stack(bi + 1)._1 else bins.length
+        (start until end).map { i =>
+          val (bin, n, pos) = bins(i)
+          (bin, n, pos, bpos, bn, bpos.toDouble / bn.toDouble)
+        }
+    }.toSeq
+    import spark.implicits._
+    rows.toDF("bin", "n", "n_pos", "iso_num", "iso_den", "iso")
+  }
 }

@@ -127,4 +127,32 @@ class BleuSpec extends SparkSuite {
     assert(out.values.forall(_.getDouble(11) === 0.0))
     assert(out(1L).getLong(1) === 0L) // null cand -> c_len 0
   }
+
+  test("isotonicCalibrate: PAV pools violators, weighted, already-monotone") {
+    // bins: b0 2/2=1.0, b5 0/1=0.0, b9 1/1=1.0 -> b0,b5 violate; pooled
+    // (2+0)/(2+1)=2/3; b9 stays. Weighted: the pool is count-weighted,
+    // not a mean of means.
+    val df = Seq(
+      (0.01, true), (0.02, true), (0.55, false), (0.95, true))
+      .toDF("sc", "y")
+    val out = Evaluate.isotonicCalibrate(df, col("sc"), col("y"), 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out(0) === ((2L, 2L, 2L, 3L, 2.0 / 3.0)))
+    assert(out(5) === ((1L, 0L, 2L, 3L, 2.0 / 3.0)))
+    assert(out(9) === ((1L, 1L, 1L, 1L, 1.0)))
+    // already-monotone input is untouched
+    val mono = Seq((0.05, false), (0.55, true), (0.56, false), (0.95, true))
+      .toDF("sc", "y")
+    val out2 = Evaluate.isotonicCalibrate(mono, col("sc"), col("y"), 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(out2(0) === 0.0 && out2(5) === 0.5 && out2(9) === 1.0)
+    // cascade: a late low bin pulls several predecessors into one block
+    val casc = Seq((0.05, true), (0.15, true), (0.25, false), (0.35, false))
+      .toDF("sc", "y")
+    val out3 = Evaluate.isotonicCalibrate(casc, col("sc"), col("y"), 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(Seq(0, 1, 2, 3).forall(b => out3(b) === 0.5))
+  }
 }
