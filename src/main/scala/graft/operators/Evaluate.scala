@@ -272,6 +272,136 @@ object Evaluate {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
+    * integer measure — [[ksTest2]]'s integral twin: where KS reports the
+    * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,
+    * the drift signal that notices a whole-distribution shift KS
+    * underweights. Computed as Σ_v |cum₁(v)·n₂ − cum₂(v)·n₁| · gap(v)
+    * over merged distinct values (gap = distance to the next value), an
+    * exact integer accumulated in Decimal(38,0), with ONE final division
+    * by n₁·n₂ — layout-invariant and bit-replayable.
+    *
+    * Scale shape: identical to [[ksTest2]] — per-side distinct-value
+    * aggs, full-outer merge, range-partition + two-pass prefix sum; the
+    * gap lookahead threads each partition's first value through the
+    * pass-1 collect (O(partitions) driver data). The CDF cross-product
+    * needs n₁·n₂ < 2⁶³ (same bound as [[ksTest2]]); the gap multiply
+    * and the sum run in exact decimal. Returns (n1, n2, w1_num decimal,
+    * w1 double). */
+  def w1Test2(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = a.sparkSession
+    def side(df: DataFrame, cName: String): DataFrame =
+      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as(cName))
+    val merged = side(a, "_c1").join(side(b, "_c2"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = merged.repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions("_v")
+    // pass 1: per-partition count sums + the partition's FIRST value
+    // (the lookahead seed for the preceding partition's last row)
+    val partSums = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s1 = 0L; var s2 = 0L; var first: Option[Long] = None
+      it.foreach { r =>
+        if (first.isEmpty) first = Some(r.getLong(0))
+        s1 += r.getLong(1); s2 += r.getLong(2)
+      }
+      Iterator((i, s1, s2, first))
+    }.collect().sortBy(_._1)
+    val off1 = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = partSums.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = off1.last; val n2 = off2.last
+    // next non-empty partition's first value, per partition
+    val firsts = partSums.map(_._4)
+    val nextFirst = Array.tabulate(firsts.length) { i =>
+      firsts.drop(i + 1).collectFirst { case Some(v) => v }
+    }
+    val bc = spark.sparkContext.broadcast((off1, off2, nextFirst))
+    // pass 2: inclusive cumsums + in-partition lookahead for the gap
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var c1 = bc.value._1(i); var c2 = bc.value._2(i)
+      val nf = bc.value._3(i)
+      new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): Row = {
+          val v = cur.getLong(0)
+          c1 += cur.getLong(1); c2 += cur.getLong(2)
+          val nxt: java.lang.Long =
+            if (it.hasNext) { cur = it.next(); Long.box(cur.getLong(0)) }
+            else { cur = null; nf.map(Long.box).orNull }
+          Row(v, c1, c2, nxt)
+        }
+      }
+    }
+    val cums = spark.createDataFrame(rows, StructType(Seq(
+      StructField("_v", LongType), StructField("_cum1", LongType),
+      StructField("_cum2", LongType), StructField("_next", LongType))))
+    // the global max value has cum1=n1, cum2=n2 -> dnum 0; its null gap
+    // coalesces to 0 so the row contributes nothing either way
+    val contrib = abs(col("_cum1") * n2 - col("_cum2") * n1)
+      .cast("decimal(38,0)") *
+      coalesce(col("_next") - col("_v"), lit(0L)).cast("decimal(38,0)")
+    cums.agg(sum(contrib).as("w1_num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        coalesce(col("w1_num"), lit(0).cast("decimal(38,0)")).as("w1_num"))
+      .withColumn("w1",
+        when(lit(n1) > 0L && lit(n2) > 0L,
+          col("w1_num").cast("double") /
+            (lit(n1).cast("double") * lit(n2).cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Split-conformal calibration (Papadopoulos et al. 2002; Vovk's
+    * distribution-free coverage guarantee): the threshold is the r-th
+    * smallest calibration nonconformity with r = ceil((n+1)(1−α)),
+    * α = alphaNum/alphaDen kept RATIONAL so r is exact integer
+    * arithmetic; eval-side coverage then lower-bounds 1−α in
+    * expectation whatever the score distribution. When r > n the
+    * threshold is +∞ (null thr, everything covered).
+    *
+    * Scores are integer-valued (cast to long — quantize floats to ppm
+    * upstream, the q74 rule); the r-th smallest VALUE is well-defined
+    * under ties, so no tiebreak column is needed. Scale: the selection
+    * is [[GroupOps.globalOrderIndex]]'s range-partition + zipWithIndex
+    * (never a single-partition sort); everything else is one-row
+    * aggregates. Returns one row
+    * (n_cal, r, thr, n_eval, n_covered, coverage). */
+  def conformal(calib: DataFrame, eval: DataFrame, score: Column,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"need 0 < alpha < 1, got $alphaNum/$alphaDen")
+    val idx = GroupOps.globalOrderIndex(
+      calib.select(score.cast("long").as("_s"))
+        .where(col("_s").isNotNull), "_gi", col("_s"))
+    val withR = calib.select(score.cast("long").as("_s"))
+      .where(col("_s").isNotNull)
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("r", expr(
+        s"((n_cal + 1) * ${alphaDen - alphaNum}L + ${alphaDen - 1}L) " +
+          s"div ${alphaDen}L"))
+    // global aggregates always yield exactly one row, so the chain
+    // below survives empty calibration / eval frames
+    val thrAgg = idx.crossJoin(withR)
+      .agg(min(when(col("_gi") === col("r") - 1, col("_s"))).as("thr"))
+    val evAgg = eval.select(score.cast("long").as("_es"))
+      .where(col("_es").isNotNull)
+      .crossJoin(thrAgg)
+      .agg(count(lit(1)).as("n_eval"),
+        coalesce(sum(when(col("thr").isNull || col("_es") <= col("thr"),
+          1L).otherwise(0L)), lit(0L)).as("n_covered"))
+    withR.crossJoin(thrAgg).crossJoin(evAgg)
+      .withColumn("coverage",
+        when(col("n_eval") > 0L,
+          col("n_covered").cast("double") / col("n_eval").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select(col("n_cal"), col("r"), col("thr"), col("n_eval"),
+        col("n_covered"), col("coverage"))
+  }
+
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
     * space-joined — tokens are the lowercased alnum runs, so the join is
     * unambiguous). Empty when the text is shorter than n. */

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over event streams — the product-analytics
+  * sibling of the sessionization ops (q16/q125/q138): how far along a
+  * required event sequence each user gets, every step strictly AFTER
+  * the previous one and (optionally) within `windowNs` of the first
+  * step.
+  *
+  * Semantics (strict-order, earliest-completion funnel):
+  *
+  *   t₁(u)     = min ts of step-1 events
+  *   tᵢ₊₁(u)   = min ts of step-(i+1) events with ts > tᵢ(u)
+  *               and ts − t₁(u) <= windowNs
+  *
+  * The window anchors at the user's FIRST step-1 event (the standard
+  * analytics convention — a later anchor could occasionally convert
+  * deeper, but re-anchoring is a different metric). Conditional on
+  * that anchor, taking the earliest feasible timestamp at each later
+  * step only widens downstream feasible sets, so the greedy chain is
+  * optimal and the result is a pure function of the event set
+  * (layout-invariant, engine-replayable).
+  *
+  * Scale shape: per step ONE user-keyed equi-join of that step's
+  * filtered events against the O(users) step-time table + one
+  * partial-agg min — |steps| is a small constant, there are no windows
+  * and no per-user event sorts. All timestamps are integer
+  * nanoseconds. */
+object Funnel {
+
+  /** Per-user step times + reached depth. Users with no step-1 event
+    * are absent (depth-0 rows carry no information the caller can't
+    * reconstruct). Returns (userCol, step_1..step_k ns longs — null
+    * where unreached — and depth). */
+  def funnelUsers(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      windowNs: Long = Long.MaxValue): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"repeated step types are ambiguous: $steps")
+    val ev = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+      col(tsCol).cast("long").as("_ts"))
+    var acc = ev.where(col("_t") === steps.head)
+      .groupBy("_u").agg(min("_ts").as("step_1"))
+    for (i <- 2 to steps.length) {
+      val nxt = ev.where(col("_t") === steps(i - 1))
+        .join(acc.select(col("_u"), col(s"step_${i - 1}").as("_tp"),
+          col("step_1").as("_t1")), Seq("_u"))
+        .where(col("_ts") > col("_tp") &&
+          col("_ts") - col("_t1") <= windowNs)
+        .groupBy("_u").agg(min("_ts").as(s"step_$i"))
+      acc = acc.join(nxt, Seq("_u"), "left")
+    }
+    val depth = (1 to steps.length)
+      .map(i => when(col(s"step_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("depth", depth).withColumnRenamed("_u", userCol)
+  }
+
+  /** Step-level conversion table: (step, step_name, users) where
+    * `users` counts users reaching at least that step. One O(users)
+    * aggregation over [[funnelUsers]]. */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      windowNs: Long = Long.MaxValue): DataFrame = {
+    val fu = funnelUsers(events, userCol, typeCol, tsCol, steps, windowNs)
+    val sums = (1 to steps.length).map(i =>
+      sum(when(col(s"step_$i").isNotNull, 1L).otherwise(0L)).as(s"_n$i"))
+    fu.agg(sums.head, sums.tail: _*)
+      .select(posexplode(array((1 to steps.length).map(i =>
+        col(s"_n$i")): _*)).as(Seq("_p", "users")))
+      .select((col("_p") + 1).cast("int").as("step"),
+        typedLit(steps).getItem(col("_p")).as("step_name"),
+        col("users"))
+  }
+
+  /** Retention cohort matrix: users are cohorted by the period of
+    * their FIRST event (period = ts div periodNs — timestamps must be
+    * non-negative for div to be floor), then counted once per
+    * (cohort, period-offset) they were active in. Two aggregations and
+    * one user-keyed join — the weekly/daily retention triangle at any
+    * scale. Returns (cohort, offset, users): `cohort` the period index
+    * of first activity, `offset` periods since it (0 = the cohort's
+    * own period, so offset-0 users = cohort size). */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      periodNs: Long): DataFrame = {
+    require(periodNs > 0, s"periodNs must be positive, got $periodNs")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"))
+    val first = ev.groupBy("_u").agg(min("_ts").as("_f"))
+      .select(col("_u"), expr(s"_f div ${periodNs}L").as("_cp"))
+    val active = ev.select(col("_u"),
+        expr(s"_ts div ${periodNs}L").as("_p"))
+      .distinct()
+    active.join(first, Seq("_u"))
+      .groupBy(col("_cp").as("cohort"),
+        (col("_p") - col("_cp")).cast("int").as("offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -54,4 +54,40 @@ object Graph {
     }
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
+
+  /** Exact per-node triangle counts over an undirected pair set — the
+    * cohesion probe of near-dup cluster QA (a dup "cluster" that is a
+    * chain of borderline pairs has few triangles; a true clique is
+    * dense with them) and of any similarity graph.
+    *
+    * The classic distributed shape (Suri & Vassilvitskii 2011): orient
+    * every edge from its lower endpoint in the total order (degree,
+    * id) — each triangle then has exactly ONE node with two outgoing
+    * edges, so wedges built from the oriented adjacency self-join are
+    * counted once when the closing edge exists. Orientation caps
+    * out-degrees at O(√|E|), which bounds the wedge explosion — the
+    * property that makes this the 100 TB triangle algorithm. Self
+    * loops dropped, duplicate pairs collapsed.
+    *
+    * Returns (node, triangles) for nodes in >= 1 triangle. */
+  def triangleCounts(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("x"), col("d").as("_du")), Seq("x"))
+      .join(deg.select(col("x").as("y"), col("d").as("_dv")), Seq("y"))
+    val dir = withDeg.where(col("_du") < col("_dv") ||
+        (col("_du") === col("_dv") && col("x") < col("y")))
+      .select(col("x").as("u"), col("y").as("v"))
+    val wedges = dir.join(dir.select(col("u"), col("v").as("w")), Seq("u"))
+      .where(col("v") < col("w"))
+    val tri = wedges.join(und.select(col("x").as("v"), col("y").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

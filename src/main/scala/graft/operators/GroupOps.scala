@@ -87,6 +87,45 @@ object GroupOps {
         col("mean_ppm") :+ col("max_ppm")): _*)
   }
 
+  /** Pairwise cosine similarity between per-group [[poolVectors]] mean
+    * centroids — the domain-similarity matrix of mixture design (which
+    * sources are near-duplicates of each other in embedding space,
+    * which eval domain is closest to which training slice). Centroid
+    * components are exact ppm longs, so `dot`/`na`/`nb` are exact
+    * integer sums (order-free) and the cosine is ONE fixed float chain
+    * over them — layout-invariant, engine-replayable.
+    *
+    * Scale: pooling is the map-side-collapsed posexplode agg; the pair
+    * join is |G|² over |G| centroid rows — broadcast-sized for any
+    * realistic group count. Returns (ga, gb, dot_ppm2, na_ppm2,
+    * nb_ppm2, cos) for ga < gb with equal dims. */
+  def centroidPairs(df: DataFrame, groupCol: String,
+      vecCol: Column): DataFrame = {
+    val cent = poolVectors(df, Seq(groupCol), vecCol)
+      .groupBy(groupCol)
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("mean_ppm")))).as("_c"))
+      .select(col(groupCol),
+        transform(col("_c"), x => x.getField("mean_ppm")).as("_v"))
+    val a = cent.select(col(groupCol).as("ga"), col("_v").as("_va"))
+    val b = cent.select(col(groupCol).as("gb"), col("_v").as("_vb"))
+    a.join(b, col("ga") < col("gb"))
+      .where(size(col("_va")) === size(col("_vb")))
+      .select(col("ga"), col("gb"),
+        aggregate(zip_with(col("_va"), col("_vb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot_ppm2"),
+        aggregate(col("_va"), lit(0L),
+          (acc, x) => acc + x * x).as("na_ppm2"),
+        aggregate(col("_vb"), lit(0L),
+          (acc, x) => acc + x * x).as("nb_ppm2"))
+      .withColumn("cos",
+        when(col("na_ppm2") > 0L && col("nb_ppm2") > 0L,
+          col("dot_ppm2").cast("double") /
+            (sqrt(col("na_ppm2").cast("double")) *
+             sqrt(col("nb_ppm2").cast("double"))))
+          .otherwise(lit(null).cast("double")))
+  }
+
   def splitByTag(df: DataFrame, tagCol: Column, idCol: Column): DataFrame =
     df.groupBy(tagCol.as("tag"))
       .agg(sort_array(collect_list(idCol)).as("ids"), count(lit(1)).as("n"))

@@ -533,4 +533,37 @@ object Knn {
         col("_w.sa").as("s_a"), col("_w.sb").as("s_b"),
         (-col("_w.nm")).as("margin"))
   }
+
+  /** kth-NN distance outlier scoring (Ramaswamy et al. 2000) over a
+    * knn hit table — the embedding-space outlier-removal signal of
+    * corpus curation (far-from-everything rows are mislabeled, corrupt,
+    * or off-distribution). Scores: `kth_distance` (the classic D^k) and
+    * `mean_distance` over ranks 1..k (the smoothed variant), the latter
+    * summed in RANK order via a fold over the sorted hit array so the
+    * float chain is fixed-order and engine-replayable. Rows with fewer
+    * than k hits are dropped (their D^k is undefined).
+    *
+    * Hit-table-agnostic like [[classifyFromHits]]: feed [[bruteForce]]
+    * output at gate scale or [[graft.operators.Ann]] search hits at
+    * index scale — the scoring is one groupBy over O(Q·k) rows. */
+  def outlierFromHits(hits: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val perQ = hits.where(col("rank") <= k)
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("distance")))).as("_h"))
+      .where(size(col("_h")) === k)
+    perQ.select(col("query_id"),
+      element_at(col("_h"), k).getField("distance").as("kth_distance"),
+      (aggregate(col("_h"), lit(0.0),
+        (acc, x) => acc + x.getField("distance")) / k).as("mean_distance"))
+  }
+
+  /** Self-knn convenience for [[outlierFromHits]]: every doc scored
+    * against the rest of the corpus. */
+  def outlierScores(docs: DataFrame, k: Int, metric: String = "cosine",
+      idCol: String = "id", vecCol: String = "embedding"): DataFrame =
+    outlierFromHits(
+      bruteForce(docs, docs, k, metric, docId = idCol, docVec = vecCol,
+        queryId = idCol, queryVec = vecCol, excludeSelf = true), k)
 }

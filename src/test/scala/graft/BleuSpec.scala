@@ -69,6 +69,53 @@ class BleuSpec extends SparkSuite {
     assert(rep.getLong(2) === 8L && rep.getLong(3) === 2L)
   }
 
+  test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
+    // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
+    val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
+      col("v")).head
+    assert(pm.getDecimal(2).longValueExact() === 10L &&
+      pm.getDouble(3) === 10.0)
+
+    // hand case: a={1,2,3,4}, b={3,4,5,6} — shift by 2 => W1 = 2
+    // contributions |cum1·n2 − cum2·n1|·gap with n1=n2=4:
+    //  v=1: 4, v=2: 8, v=3: 8, v=4: 8, v=5: 4, v=6: gap 0
+    // total w1_num = 32 = 2·(4·4)
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    def naive(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val vs = (xs ++ ys).distinct.sorted
+      vs.zip(vs.tail).map { case (v, nxt) =>
+        val c1 = xs.count(_ <= v).toLong; val c2 = ys.count(_ <= v).toLong
+        math.abs(c1 * ys.size - c2 * xs.size) * (nxt - v)
+      }.sum
+    }
+    val r = Evaluate.w1Test2(a, b, col("v")).head
+    assert(r.getDecimal(2).longValueExact() === naive(Seq(1, 2, 3, 4),
+      Seq(3, 4, 5, 6)))
+    // shift-by-2 ground truth: W1 = 2 exactly
+    assert(r.getDouble(3) === 2.0)
+
+    assert(Evaluate.w1Test2(a, a, col("v")).head
+      .getDecimal(2).longValueExact() === 0L)
+
+    val rep = Evaluate.w1Test2(a.repartition(5), b.repartition(3),
+      col("v")).head
+    assert(rep.getDecimal(2).longValueExact() ===
+      r.getDecimal(2).longValueExact())
+
+    // random parity vs the naive quadratic
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(60)(rnd.nextInt(40).toLong)
+    val ys = Seq.fill(45)(rnd.nextInt(40).toLong + 5L)
+    val rr = Evaluate.w1Test2(xs.toDF("v").repartition(7),
+      ys.toDF("v").repartition(2), col("v")).head
+    assert(rr.getDecimal(2).longValueExact() === naive(xs, ys))
+
+    // empty side -> null w1
+    val empty = Seq.empty[Long].toDF("v")
+    assert(Evaluate.w1Test2(a, empty, col("v")).head.isNullAt(3))
+  }
+
   test("spearmanExact: monotone -> 1, reversed -> -1, ties, constant null") {
     // num = var exactly for perfect monotone, so rho = v/(sqrt v * sqrt v)
     // — 1 ulp shy of 1.0 by the float chain's own arithmetic

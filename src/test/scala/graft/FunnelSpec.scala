@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+/** Strict-order earliest-completion funnel: step rules, window anchor,
+  * strictness, counts. */
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def fu(rows: Seq[(String, String, Long)],
+      windowNs: Long = Long.MaxValue) =
+    Funnel.funnelUsers(rows.toDF("u", "t", "ts").repartition(3),
+        "u", "t", "ts", steps, windowNs)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+          r.getInt(4)))
+      .toMap
+
+  test("simple conversion and step times") {
+    val got = fu(Seq(("a", "view", 0L), ("a", "click", 10L),
+      ("a", "purchase", 20L)))
+    assert(got("a") == ((Seq(Some(0L), Some(10L), Some(20L)), 3)))
+  }
+
+  test("steps must be strictly after the previous one; pre-step events ignored") {
+    // click@5 precedes the first view -> ignored; click@15 counts
+    val got = fu(Seq(("b", "click", 5L), ("b", "view", 10L),
+      ("b", "click", 15L), ("b", "purchase", 20L),
+      ("c", "click", 5L), ("c", "view", 10L)))
+    assert(got("b") == ((Seq(Some(10L), Some(15L), Some(20L)), 3)))
+    assert(got("c") == ((Seq(Some(10L), None, None), 1)))
+  }
+
+  test("equal timestamps do not advance (strict >)") {
+    val got = fu(Seq(("e", "view", 10L), ("e", "click", 10L)))
+    assert(got("e") == ((Seq(Some(10L), None, None), 1)))
+  }
+
+  test("window anchors at the first step-1 event") {
+    val rows = Seq(("d", "view", 0L), ("d", "click", 10L),
+      ("d", "purchase", 200L))
+    assert(fu(rows, windowNs = 150L)("d") ==
+      ((Seq(Some(0L), Some(10L), None), 2)))
+    assert(fu(rows, windowNs = 200L)("d") ==
+      ((Seq(Some(0L), Some(10L), Some(200L)), 3)))
+    // a second, later view does NOT re-anchor
+    val rows2 = rows :+ ("d", "view", 90L)
+    assert(fu(rows2, windowNs = 150L)("d") ==
+      ((Seq(Some(0L), Some(10L), None), 2)))
+  }
+
+  test("users without the first step are absent") {
+    val got = fu(Seq(("x", "click", 1L), ("x", "purchase", 2L)))
+    assert(!got.contains("x"))
+  }
+
+  test("funnelCounts: monotone step counts with names") {
+    val rows = Seq(
+      ("a", "view", 0L), ("a", "click", 1L), ("a", "purchase", 2L),
+      ("b", "view", 0L), ("b", "click", 1L),
+      ("c", "view", 0L),
+      ("d", "error", 0L))
+    val got = Funnel.funnelCounts(rows.toDF("u", "t", "ts"),
+        "u", "t", "ts", steps)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("repeated step names are refused") {
+    intercept[IllegalArgumentException] {
+      Funnel.funnelUsers(Seq(("a", "x", 1L)).toDF("u", "t", "ts"),
+        "u", "t", "ts", Seq("view", "view"))
+    }
+  }
+
+  test("retentionCohorts: hand case — cohorts, offsets, counts") {
+    val day = 10L // tiny period for readability
+    val rows = Seq(
+      ("a", 1L), ("a", 12L), ("a", 25L), // cohort 0, active days 0,1,2
+      ("b", 5L), ("b", 27L),             // cohort 0, active days 0,2
+      ("c", 13L), ("c", 14L),            // cohort 1, active day 1 (once)
+      ("d", 21L))                        // cohort 2, active day 2
+    val got = Funnel.retentionCohorts(rows.toDF("u", "ts").repartition(3),
+        "u", "ts", day)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0) -> 2L, (0L, 1) -> 1L, (0L, 2) -> 2L,
+      (1L, 0) -> 1L,
+      (2L, 0) -> 1L))
+  }
+}

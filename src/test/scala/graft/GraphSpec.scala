@@ -62,4 +62,39 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  private def triRef(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = pairs.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- adj(a).filter(_ > a)
+      c <- (adj(a) intersect adj(b)).filter(_ > b)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts: K4, chain, and random-graph parity with brute force") {
+    // K4: every node in C(3,2)=3 triangles
+    val k4 = (for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)).toSeq
+    val gotK4 = Graph.triangleCounts(k4.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    // a chain has no triangles -> empty result
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(chain).count() === 0)
+
+    // random graph: parity with the reference counter; duplicate and
+    // reversed pairs and self-loops must not change the answer
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val noisy = pairs ++ pairs.take(50).map(_.swap) ++
+      Seq((7L, 7L), (3L, 3L))
+    val got = Graph.triangleCounts(noisy.toDF("a", "b").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triRef(pairs))
+  }
 }

@@ -591,4 +591,25 @@ class KnnSpec extends SparkSuite {
       .orderBy("rank").collect().map(_.getLong(1))
     assert(mmr.toSeq == rel.toSeq)
   }
+
+  test("outlierScores: kth distance and rank-ordered mean match the explicit computation; short rows drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("id", "embedding")
+    val k = 5
+    val hits = Knn.bruteForce(docs, docs, k, "euclidean", excludeSelf = true)
+    val explicit = hits.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        val ds = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+        q -> ((ds(k - 1), ds.foldLeft(0.0)(_ + _) / k))
+      }
+    val got = Knn.outlierFromHits(hits, k).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == explicit)
+    // a corpus smaller than k+1 yields no scores (D^k undefined)
+    val tiny = docs.where(col("id") < 4)
+    assert(Knn.outlierScores(tiny, k = 5, idCol = "id").count() == 0)
+  }
 }

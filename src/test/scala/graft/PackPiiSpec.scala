@@ -183,4 +183,46 @@ class PackPiiSpec extends SparkSuite {
     // keeps the sum's mod-10 value (0 doubled is 0) -> still valid
     assert(r(2L) === "[CARD]")
   }
+
+  test("centroidPairs: exact integer dot/norms, identical/orthogonal groups, dim mismatch drops") {
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 0.0f)),
+      ("b", Array(0.0f, 2.0f)),
+      ("c", Array(1.0f, 0.0f)),
+      ("d", Array(1.0f, 1.0f, 1.0f)) // wrong dim -> no pairs with a/b/c
+    ).toDF("g", "v")
+    val out = GroupOps.centroidPairs(df, "g", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)), r.getDouble(5))).toMap
+    // centroids: a=(1e6,0), b=(0,2e6), c=(1e6,0)
+    assert(out(("a", "b"))._1 === ((0L, 1000000000000L, 4000000000000L)))
+    assert(out(("a", "b"))._2 === 0.0) // orthogonal -> exactly 0
+    val ((dac, naac, ncc), cosac) = out(("a", "c"))
+    assert(dac === 1000000000000L && naac === dac && ncc === dac)
+    assert(math.abs(cosac - 1.0) < 1e-12) // identical, up to sqrt ulp
+    assert(!out.keySet.exists(p => p._1 == "d" || p._2 == "d"))
+    assert(out.size === 3) // (a,b) (a,c) (b,c)
+  }
+
+  test("conformal: exact rank selection, r>n infinity, tie handling") {
+    import graft.operators.Evaluate
+    def df(vs: Seq[Long]) = vs.toDF("s").repartition(3)
+    // n=9, alpha=1/10 -> r = ceil(10*0.9) = 9 -> thr = 9
+    val r1 = Evaluate.conformal(df(1L to 9L), df(Seq(5L, 9L, 10L)),
+      col("s"), 1, 10).head
+    assert(r1.getLong(0) === 9L && r1.getLong(1) === 9L)
+    assert(r1.getLong(2) === 9L)
+    assert(r1.getLong(3) === 3L && r1.getLong(4) === 2L)
+    assert(r1.getDouble(5) === 2.0 / 3.0)
+    // r > n -> infinite threshold (null), everything covered
+    val r2 = Evaluate.conformal(df(Seq(1L, 2L)), df(Seq(100L)),
+      col("s"), 1, 10).head
+    assert(r2.getLong(1) === 3L && r2.isNullAt(2))
+    assert(r2.getLong(4) === 1L && r2.getDouble(5) === 1.0)
+    // ties: the r-th smallest VALUE is well-defined
+    val r3 = Evaluate.conformal(df(Seq(5L, 5L, 5L, 1L)), df(Seq(5L, 6L)),
+      col("s"), 1, 2).head
+    assert(r3.getLong(1) === 3L && r3.getLong(2) === 5L)
+    assert(r3.getLong(4) === 1L)
+  }
 }
