@@ -2148,6 +2148,128 @@ object SparkEntry {
         round(col("iso"), 6).as("iso_r"))
       .orderBy("bin")
 
+  // DBSCAN over the q108/q110 projected plane (Density.dbscan2d):
+  // complete grid-blocked eps-pairs -> degree agg -> core-subgraph CC ->
+  // deterministic border attach (min core-neighbor cluster). Every
+  // output is a pure function of the point set, so the oracle replays
+  // the pairs brute-force and resolves components with a recursive
+  // min-label CTE; noise cluster ids coalesce to -1 on both engines.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
+    val comps = Seq.tabulate(2)(k =>
+      Seq.tabulate(d)(j => (((j * 37 + k * 11) % 64) - 32) / 64.0))
+    val proj = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        project_vector(col("embedding"), mean, comps).as("p"))
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
+    Density.dbscan2d(proj, "vec_id", "p0", "p1", eps = 0.03, minPts = 3)
+      .select(col("vec_id"), col("kind"),
+        coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  // kth-NN distance outlier scores (Knn.outlierFromHits): D^k plus the
+  // rank-ordered mean over the top-k — the embedding-space outlier-
+  // removal signal. Distances ride the gated cosine kernel (q11 parity);
+  // the mean's fold runs in RANK order, replayed by the oracle's
+  // ORDER BY (dist, id) list fold.
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Knn.outlierScores(e, k = 10, metric = "cosine",
+        idCol = "vec_id", vecCol = "embedding")
+      .select(col("query_id"), round(col("kth_distance"), 6).as("kth_r"),
+        round(col("mean_distance"), 6).as("mean_r"))
+      .orderBy("query_id")
+  }
+
+  // Exact 1-D Wasserstein drift (Evaluate.w1Test2): q131-KS's integral
+  // twin on the same en/non-en split — the TOTAL transport cost between
+  // the two n_chars distributions as an exact integer numerator
+  // (Σ|cumΔ|·gap over merged distinct values) with one final division.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    Evaluate.w1Test2(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        col("n_chars"))
+      .select(col("n1"), col("n2"),
+        col("w1_num").cast("long").as("w1_num"),
+        round(col("w1"), 6).as("w1_r"))
+  }
+
+  // Strict-order funnel (Funnel.funnelUsers): view -> click -> purchase
+  // within 7 days of the first view, earliest-completion semantics —
+  // per-user step times in exact ns + reached depth; unreached -> -1.
+  // The oracle replays the same iterative min chain step by step.
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    Funnel.funnelUsers(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowNs = 604800000000000L)
+      .select(col("user_id"),
+        col("step_1").as("s1_ns"),
+        coalesce(col("step_2"), lit(-1L)).as("s2_ns"),
+        coalesce(col("step_3"), lit(-1L)).as("s3_ns"),
+        col("depth"))
+      .orderBy("user_id")
+
+  // Retention cohort triangle (Funnel.retentionCohorts): users cohorted
+  // by first-activity DAY, counted once per active (cohort, offset)
+  // cell — two aggregations + one user-keyed join, exact integers.
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    Funnel.retentionCohorts(events(s, dir), "user_id", "ts",
+        periodNs = 86400000000000L)
+      .select(col("cohort"), col("offset").as("day_offset"), col("users"))
+      .orderBy("cohort", "day_offset")
+
+  // Per-node triangle counts over the eps-similarity graph in the
+  // projected plane (Graph.triangleCounts): degree-ordered orientation
+  // counts each triangle exactly once — the near-dup-cluster cohesion
+  // probe. The oracle enumerates id-ordered triangles brute-force and
+  // unnests the three corners.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
+    val comps = Seq.tabulate(2)(k =>
+      Seq.tabulate(d)(j => (((j * 37 + k * 11) % 64) - 32) / 64.0))
+    val proj = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        project_vector(col("embedding"), mean, comps).as("p"))
+      .select(col("vec_id"),
+        element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
+    Graph.triangleCounts(
+        Dedup.gridPairs2d(proj, "vec_id", "p0", "p1", radius = 0.03))
+      .orderBy("node")
+  }
+
+  // Split-conformal threshold + held-out coverage (Evaluate.conformal):
+  // nonconformity = 1e6 − quality ppm (q21's gated score), α = 1/10
+  // kept rational so r = ceil((n+1)(1−α)) is exact integer arithmetic;
+  // the selection is the range-partitioned exact order statistic.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ncf = lit(1000000L) -
+      round(TextFunctions.qualityScore(col("text")) * 1e6).cast("long")
+    Evaluate.conformal(
+        d.where(col("doc_id") % 5 === 0),
+        d.where(col("doc_id") % 5 =!= 0),
+        ncf, alphaNum = 1, alphaDen = 10)
+      .select(col("n_cal"), col("r"),
+        coalesce(col("thr"), lit(-1L)).as("thr"),
+        col("n_eval"), col("n_covered"),
+        round(col("coverage"), 6).as("coverage_r"))
+  }
+
+  // Domain-similarity matrix (GroupOps.centroidPairs): per-label ppm
+  // centroids compared pairwise — exact integer dot/norm sums gated
+  // directly, one fixed float chain for the cosine.
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    GroupOps.centroidPairs(
+        t(s, dir, "embeddings").select(col("label"), col("embedding")),
+        "label", col("embedding"))
+      .select(col("ga"), col("gb"), col("dot_ppm2"), col("na_ppm2"),
+        col("nb_ppm2"), round(col("cos"), 6).as("cos_r"))
+      .orderBy("ga", "gb")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2296,7 +2418,15 @@ object SparkEntry {
     "q143_containment_pairs" -> (q143 _),
     "q144_card_redact" -> (q144 _),
     "q145_term_chi2" -> (q145 _),
-    "q146_isotonic" -> (q146 _))
+    "q146_isotonic" -> (q146 _),
+    "q147_dbscan" -> (q147 _),
+    "q148_knn_outlier" -> (q148 _),
+    "q149_w1_drift" -> (q149 _),
+    "q150_funnel" -> (q150 _),
+    "q151_retention" -> (q151 _),
+    "q152_triangles" -> (q152 _),
+    "q153_conformal" -> (q153 _),
+    "q154_centroid_sim" -> (q154 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5445,7 +5575,195 @@ object SparkEntry {
          iso AS (SELECT i, max(m) AS iso FROM mn GROUP BY i)
          SELECT r.bin, r.n, r.n_pos, round(iso.iso, 6) AS iso_r
          FROM r JOIN iso ON iso.i = r.idx
-         ORDER BY r.bin"""
+         ORDER BY r.bin""",
+
+    // q147: brute-force eps-pairs in the projected plane (the fixed
+    // dist2 operation order keeps boolean membership bit-equal), core
+    // = deg+1 >= minPts, components via a recursive min-label CTE over
+    // the core-core subgraph, border = min core-neighbor cluster
+    "q147_dbscan" ->
+      s"""WITH RECURSIVE $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         und AS (SELECT a AS i, b AS j FROM pr
+                 UNION ALL SELECT b, a FROM pr),
+         deg AS (SELECT i, count(*) AS d FROM und GROUP BY i),
+         core AS (SELECT p.vec_id AS i FROM pp p
+           LEFT JOIN deg ON deg.i = p.vec_id
+           WHERE coalesce(deg.d, 0) + 1 >= 3),
+         ce AS (SELECT u.i, u.j FROM und u
+           JOIN core c1 ON u.i = c1.i JOIN core c2 ON u.j = c2.i),
+         reach(i, r) AS (SELECT i, i FROM core
+           UNION SELECT e.j, reach.r FROM reach JOIN ce e ON reach.i = e.i),
+         lbl AS (SELECT i, min(r) AS cluster_id FROM reach GROUP BY i),
+         bord AS (SELECT u.i, min(l.cluster_id) AS bcl
+           FROM und u JOIN lbl l ON u.j = l.i
+           WHERE u.i NOT IN (SELECT i FROM core)
+           GROUP BY u.i)
+         SELECT p.vec_id,
+           CASE WHEN l.i IS NOT NULL THEN 'core'
+                WHEN b.i IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS kind,
+           coalesce(l.cluster_id, b.bcl, -1) AS cluster_id
+         FROM pp p LEFT JOIN lbl l ON p.vec_id = l.i
+           LEFT JOIN bord b ON p.vec_id = b.i
+         ORDER BY p.vec_id""",
+
+    // q148: brute-force kth-NN distances under the q11 tie rule
+    // (dist, id); the mean replays Spark's rank-ordered fold as a
+    // list_reduce over the rank-sorted distance list
+    "q148_knn_outlier" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         d AS (SELECT a.vec_id qid, b.vec_id id,
+             1.0 - list_cosine_similarity(a.v, b.v) dist
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT qid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) rk
+           FROM d),
+         h AS (SELECT qid, list(dist ORDER BY rk) l
+           FROM r WHERE rk <= 10 GROUP BY qid)
+         SELECT qid AS query_id, round(l[10], 6) AS kth_r,
+           round(list_reduce(list_prepend(0.0, l), (a, b) -> a + b) / 10,
+             6) AS mean_r
+         FROM h WHERE len(l) = 10 ORDER BY query_id""",
+
+    // q149: the q131 CDF merge plus lead() gaps; contributions are
+    // exact HUGEINT |cumΔ|·gap products, one division at the end
+    "q149_w1_drift" ->
+      """WITH ca AS (SELECT CAST(n_chars AS BIGINT) v, count(*) c1
+           FROM documents WHERE text IS NOT NULL AND lang = 'en' GROUP BY v),
+         cb AS (SELECT CAST(n_chars AS BIGINT) v, count(*) c2
+           FROM documents WHERE text IS NOT NULL AND lang <> 'en' GROUP BY v),
+         m AS (SELECT coalesce(ca.v, cb.v) AS v, coalesce(c1, 0) AS c1,
+             coalesce(c2, 0) AS c2
+           FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM m),
+         c AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(c2) OVER (ORDER BY v) AS cum2,
+             lead(v) OVER (ORDER BY v) AS nxt FROM m),
+         d AS (SELECT abs(CAST(cum1 AS HUGEINT) * n2
+               - CAST(cum2 AS HUGEINT) * n1)
+             * CAST(coalesce(nxt - v, 0) AS HUGEINT) AS contrib
+           FROM c CROSS JOIN t)
+         SELECT n1, n2,
+           CAST(coalesce(sum(contrib), 0) AS BIGINT) AS w1_num,
+           round(CAST(coalesce(sum(contrib), 0) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS w1_r
+         FROM d CROSS JOIN t GROUP BY n1, n2""",
+
+    // q150: the earliest-completion funnel chain replayed step by step
+    // — each step one join + min against the previous step's time
+    "q150_funnel" ->
+      """WITH ev AS (SELECT user_id u, event_type t, epoch_ns(ts) ts
+           FROM events),
+         s1 AS (SELECT u, min(ts) t1 FROM ev WHERE t = 'view' GROUP BY u),
+         s2 AS (SELECT ev.u AS u, min(ev.ts) t2
+           FROM ev JOIN s1 ON ev.u = s1.u
+           WHERE t = 'click' AND ev.ts > t1
+             AND ev.ts - t1 <= 604800000000000 GROUP BY ev.u),
+         s3 AS (SELECT ev.u AS u, min(ev.ts) t3
+           FROM ev JOIN s2 ON ev.u = s2.u JOIN s1 ON ev.u = s1.u
+           WHERE t = 'purchase' AND ev.ts > t2
+             AND ev.ts - t1 <= 604800000000000 GROUP BY ev.u)
+         SELECT s1.u AS user_id, t1 AS s1_ns,
+           coalesce(t2, -1) AS s2_ns, coalesce(t3, -1) AS s3_ns,
+           CAST(1 + CAST(t2 IS NOT NULL AS INTEGER)
+              + CAST(t3 IS NOT NULL AS INTEGER) AS INTEGER) AS depth
+         FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+         ORDER BY user_id""",
+
+    // q151: first-activity day per user, distinct active days, exact
+    // integer day arithmetic (// == div on the non-negative epoch)
+    "q151_retention" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts FROM events),
+         f AS (SELECT u, min(ts) // 86400000000000 AS cp
+           FROM ev GROUP BY u),
+         a AS (SELECT DISTINCT u, ts // 86400000000000 AS p FROM ev)
+         SELECT cp AS cohort, CAST(p - cp AS INTEGER) AS day_offset,
+           count(*) AS users
+         FROM a JOIN f USING (u) GROUP BY 1, 2 ORDER BY cohort, day_offset""",
+
+    // q152: triangles enumerated brute-force in id order (a<b<c, all
+    // three edges present in the a<b pair list), corners unnested
+    "q152_triangles" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+           FROM pr p1 JOIN pr p2 ON p1.b = p2.a
+           JOIN pr p3 ON p3.a = p1.a AND p3.b = p2.b)
+         SELECT node, count(*) AS triangles
+         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         GROUP BY node ORDER BY node""",
+
+    // q153: the q21 score chain -> ppm nonconformity; r via exact
+    // integer ceil-division; threshold = the r-th smallest calibration
+    // value (row_number selection, null when r > n); coverage replayed
+    "q153_conformal" ->
+      s"""WITH $qualityScorePosCtes,
+         s AS (SELECT doc_id,
+             1000000 - CAST(round(sc * 1000000) AS BIGINT) AS ncf
+           FROM q WHERE sc IS NOT NULL),
+         cal AS (SELECT ncf FROM s WHERE doc_id % 5 = 0),
+         ev AS (SELECT ncf FROM s WHERE doc_id % 5 <> 0),
+         rr AS (SELECT count(*) AS n_cal,
+             ((count(*) + 1) * 9 + 9) // 10 AS r FROM cal),
+         c2 AS (SELECT ncf, row_number() OVER (ORDER BY ncf) AS rn
+           FROM cal),
+         th AS (SELECT n_cal, r,
+             (SELECT ncf FROM c2 JOIN rr ON rn = r) AS thr FROM rr),
+         ea AS (SELECT count(*) AS n_eval,
+             coalesce(sum(CASE WHEN th.thr IS NULL OR ncf <= th.thr
+               THEN 1 ELSE 0 END), 0) AS n_covered
+           FROM ev CROSS JOIN th)
+         SELECT CAST(th.n_cal AS BIGINT) AS n_cal, CAST(th.r AS BIGINT) AS r,
+           CAST(coalesce(th.thr, -1) AS BIGINT) AS thr,
+           CAST(ea.n_eval AS BIGINT) AS n_eval,
+           CAST(ea.n_covered AS BIGINT) AS n_covered,
+           round(CAST(ea.n_covered AS DOUBLE) / ea.n_eval, 6) AS coverage_r
+         FROM th CROSS JOIN ea""",
+
+    // q154: the q127 ppm-mean pooling per label, then exact integer
+    // dot/norm folds over the centroid pairs and the identical cosine
+    // float chain
+    "q154_centroid_sim" ->
+      """WITH e AS (SELECT label AS grp,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(round(x * 1000000) AS BIGINT)) AS vp
+           FROM embeddings WHERE embedding IS NOT NULL),
+         x AS (SELECT grp, r.range - 1 AS pos, vp[r.range] AS v
+           FROM e CROSS JOIN range(1, 65) r WHERE r.range <= len(vp)),
+         g AS (SELECT grp, pos, count(*) AS n, sum(v) AS s
+           FROM x GROUP BY grp, pos),
+         c AS (SELECT grp, list(CAST(CASE WHEN s < 0
+               THEN -((abs(s) * 2 + n) // (n * 2))
+               ELSE (abs(s) * 2 + n) // (n * 2) END AS BIGINT)
+             ORDER BY pos) AS v
+           FROM g GROUP BY grp),
+         p AS (SELECT a.grp AS ga, b.grp AS gb, a.v AS va, b.v AS vb
+           FROM c a JOIN c b ON a.grp < b.grp WHERE len(a.v) = len(b.v)),
+         d AS (SELECT ga, gb,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [va[i] * vb[i] for i in range(1, len(va) + 1)]),
+               (acc, x) -> acc + x) AS BIGINT) AS dot_ppm2,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [va[i] * va[i] for i in range(1, len(va) + 1)]),
+               (acc, x) -> acc + x) AS BIGINT) AS na_ppm2,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [vb[i] * vb[i] for i in range(1, len(vb) + 1)]),
+               (acc, x) -> acc + x) AS BIGINT) AS nb_ppm2
+           FROM p)
+         SELECT ga, gb, dot_ppm2, na_ppm2, nb_ppm2,
+           CASE WHEN na_ppm2 > 0 AND nb_ppm2 > 0
+             THEN round(CAST(dot_ppm2 AS DOUBLE)
+               / (sqrt(CAST(na_ppm2 AS DOUBLE)) * sqrt(CAST(nb_ppm2 AS DOUBLE))), 6)
+             ELSE NULL END AS cos_r
+         FROM d ORDER BY ga, gb"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle
