@@ -298,6 +298,31 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       docId = labeled.idCol, docVec = vecCol,
       queryId = idCol, queryVec = vecCol)
 
+  /** kth-NN distance outlier scores over the embedding column —
+    * far-from-everything rows are the drop candidates. */
+  def outlierScores(k: Int = 10, metric: String = "cosine",
+      vecCol: String = "embedding"): DataFrame =
+    Knn.outlierScores(df, k, metric, idCol, vecCol)
+
+  /** Grid-blocked DBSCAN over a 2-D projection of the corpus (PCA the
+    * embeddings to 2-D first, or pass any two numeric columns):
+    * (id, kind core|border|noise, cluster_id). */
+  def dbscan(xCol: String, yCol: String, eps: Double,
+      minPts: Int): DataFrame =
+    Density.dbscan2d(df, idCol, xCol, yCol, eps, minPts)
+
+  /** Pairwise cosine similarity between per-group embedding centroids
+    * — which sources/domains are interchangeable in embedding space. */
+  def domainSimilarity(group: String,
+      vecCol: String = "embedding"): DataFrame =
+    GroupOps.centroidPairs(df, group, col(vecCol))
+
+  /** Split-conformal threshold + coverage for an integer-valued
+    * nonconformity score against a calibration slice. */
+  def conformalWith(calib: DocArray, score: Column,
+      alphaNum: Long, alphaDen: Long): DataFrame =
+    Evaluate.conformal(calib.df, df, score, alphaNum, alphaDen)
+
   /** C4's bad-words rule: adds `keep` = no token on the blocklist.
     * Map-only broadcast-literal containment check. */
   def blocklistFilter(words: Seq[String],

@@ -129,4 +129,33 @@ class DocArraySpec extends SparkSuite {
     assert(got.where(col("rank") > 3 || col("rank") < 1).count() == 0)
     assert(got.select("query_id", "doc_id").distinct().count() == 9)
   }
+
+  test("outlierScores / dbscan / domainSimilarity / conformalWith facades") {
+    val emb = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"))
+
+    val os = emb.outlierScores(k = 5)
+    assert(os.columns.toSet ==
+      Set("query_id", "kth_distance", "mean_distance"))
+    assert(os.count() == emb.count()) // every vector scored
+
+    val proj = emb.pca(2).df
+      .select(col("id"), element_at(col("pca"), 1).as("x"),
+        element_at(col("pca"), 2).as("y"))
+    val db = DocArray(proj).dbscan("x", "y", eps = 0.5, minPts = 3)
+    assert(db.columns.toSet == Set("id", "kind", "cluster_id"))
+    assert(db.count() == emb.count())
+
+    val sim = emb.domainSimilarity("label")
+    assert(sim.count() == 45) // C(10,2) label pairs
+    assert(sim.where(abs(col("cos")) > 1.0000001).count() == 0)
+
+    val cal = emb.where(col("id") % 2 === 0)
+    val ev = emb.where(col("id") % 2 =!= 0)
+    val cf = ev.conformalWith(cal,
+      element_at(col("embedding"), 1) * 1000, 1, 10).head
+    assert(cf.getAs[Long]("n_cal") > 0 && cf.getAs[Long]("n_eval") > 0)
+    assert(cf.getAs[Double]("coverage") >= 0.8) // ~1-alpha by construction
+  }
 }
