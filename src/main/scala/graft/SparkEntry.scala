@@ -2259,6 +2259,59 @@ object SparkEntry {
         round(col("coverage"), 6).as("coverage_r"))
   }
 
+  // Personalized PageRank (Graph.personalizedPageRankPpb): teleport
+  // mass restricted to a customer seed slice over the q124 trade graph
+  // — slice-relative centrality in the same exact ppb integer
+  // arithmetic (zero rounding columns).
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val seeds = nodes.where(col("node").startsWith("c") &&
+      substring(col("node"), 2, 100).cast("long") % 10 === 0)
+    Graph.personalizedPageRankPpb(edges, nodes, seeds, "node", iters = 2)
+      .orderBy("node")
+  }
+
+  // A/B two-proportion z-test (Evaluate.proportionTest): "purchased
+  // within 3 days of first activity" conversion, even- vs odd-id user
+  // cohorts — exact integer n/k per side, one pooled float chain for z.
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val first = ev.groupBy("user_id").agg(min("ts").as("t0"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    val u = first.join(purch, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("tp").isNotNull &&
+          col("tp") - col("t0") <= 259200000000000L).as("conv"))
+    Evaluate.proportionTest(
+        u.where(col("user_id") % 2 === 0),
+        u.where(col("user_id") % 2 =!= 0),
+        col("conv"))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"),
+        round(col("z"), 6).as("z_r"))
+  }
+
+  // CUSUM changepoint per event type over the DENSE daily count grid
+  // (Evaluate.cusumChangepoint): D = |S_i·T − i·S_T| in exact integers,
+  // argmax with the smallest-day tie — "when did this stream's volume
+  // shift".
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    Evaluate.cusumChangepoint(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"))
+      .select(col("event_type"), col("t_buckets"), col("total"),
+        col("best_bucket"), col("d_num"), round(col("d"), 6).as("d_r"))
+      .orderBy("event_type")
+
   // Domain-similarity matrix (GroupOps.centroidPairs): per-label ppm
   // centroids compared pairwise — exact integer dot/norm sums gated
   // directly, one fixed float chain for the cosine.
@@ -2426,7 +2479,10 @@ object SparkEntry {
     "q151_retention" -> (q151 _),
     "q152_triangles" -> (q152 _),
     "q153_conformal" -> (q153 _),
-    "q154_centroid_sim" -> (q154 _))
+    "q154_centroid_sim" -> (q154 _),
+    "q155_ppr" -> (q155 _),
+    "q156_ab_ztest" -> (q156 _),
+    "q157_cusum" -> (q157 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5763,7 +5819,99 @@ object SparkEntry {
              THEN round(CAST(dot_ppm2 AS DOUBLE)
                / (sqrt(CAST(na_ppm2 AS DOUBLE)) * sqrt(CAST(nb_ppm2 AS DOUBLE))), 6)
              ELSE NULL END AS cos_r
-         FROM d ORDER BY ga, gb"""
+         FROM d ORDER BY ga, gb""",
+
+    // q155: q124's replay with the teleport terms gated on seed
+    // membership — r0/base only for seeds, zero elsewhere
+    "q155_ppr" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+         nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         sd AS (SELECT node FROM nd WHERE node LIKE 'c%'
+           AND CAST(substr(node, 2) AS BIGINT) % 10 = 0),
+         cst AS (SELECT 1000000000 // count(*) AS r0,
+             ((1000000000 // count(*)) * 15) // 100 AS base
+           FROM sd),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0t AS (SELECT node, CASE WHEN node IN (SELECT node FROM sd)
+             THEN (SELECT r0 FROM cst) ELSE 0 END AS r FROM nd),
+         i1 AS (SELECT e.dst AS node, sum(r.r // dg.deg) AS inn
+           FROM e JOIN r0t r ON e.src = r.node JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+             CASE WHEN nd.node IN (SELECT node FROM sd)
+               THEN (SELECT base FROM cst) ELSE 0 END
+             + (85 * coalesce(i1.inn, 0)) // 100 AS r
+           FROM nd LEFT JOIN i1 USING (node)),
+         i2 AS (SELECT e.dst AS node, sum(r.r // dg.deg) AS inn
+           FROM e JOIN r1 r ON e.src = r.node JOIN dg ON dg.src = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+             CASE WHEN nd.node IN (SELECT node FROM sd)
+               THEN (SELECT base FROM cst) ELSE 0 END
+             + (85 * coalesce(i2.inn, 0)) // 100 AS r
+           FROM nd LEFT JOIN i2 USING (node))
+         SELECT node, CAST(r AS BIGINT) AS rank_ppb
+         FROM r2 ORDER BY node""",
+
+    // q156: exact per-cohort counts + the identical pooled-z float
+    // chain (p1 − p2 over sqrt(p(1−p)(1/n1+1/n2)))
+    "q156_ab_ztest" ->
+      """WITH f AS (SELECT user_id, min(epoch_ns(ts)) AS t0
+           FROM events GROUP BY user_id),
+         p AS (SELECT user_id, min(epoch_ns(ts)) AS tp FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+         u AS (SELECT f.user_id,
+             (tp IS NOT NULL AND tp - t0 <= 259200000000000) AS conv
+           FROM f LEFT JOIN p ON f.user_id = p.user_id),
+         s1 AS (SELECT count(*) AS n1,
+             coalesce(sum(CASE WHEN conv THEN 1 ELSE 0 END), 0) AS k1
+           FROM u WHERE user_id % 2 = 0),
+         s2 AS (SELECT count(*) AS n2,
+             coalesce(sum(CASE WHEN conv THEN 1 ELSE 0 END), 0) AS k2
+           FROM u WHERE user_id % 2 <> 0)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+           CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+           CASE WHEN n1 > 0 AND n2 > 0 AND k1 + k2 > 0
+                 AND k1 + k2 < n1 + n2
+             THEN round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+               / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                 * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                 * (1.0 / n1 + 1.0 / n2)), 6)
+             ELSE NULL END AS z_r
+         FROM s1 CROSS JOIN s2""",
+
+    // q157: the dense day grid (zero days included), per-type cumsum,
+    // exact |S_i*T - i*S_T| argmax with the smallest-day tie
+    "q157_cusum" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b, b0
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         cum AS (SELECT grid.g, grid.b, grid.b0,
+             sum(coalesce(cnt, 0)) OVER (PARTITION BY grid.g
+               ORDER BY grid.b) AS s,
+             grid.b - grid.b0 + 1 AS i
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         tt AS (SELECT g, max(i) AS t, max(s) AS tot FROM cum GROUP BY g),
+         d AS (SELECT cum.g, cum.b, abs(s * t - i * tot) AS dn, t, tot
+           FROM cum JOIN tt ON cum.g = tt.g),
+         best AS (SELECT g, t, tot, b, dn,
+             row_number() OVER (PARTITION BY g ORDER BY dn DESC, b) AS rn
+           FROM d)
+         SELECT g AS event_type, CAST(t AS BIGINT) AS t_buckets,
+           CAST(tot AS BIGINT) AS total, CAST(b AS BIGINT) AS best_bucket,
+           CAST(dn AS BIGINT) AS d_num,
+           round(CAST(dn AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS d_r
+         FROM best WHERE rn = 1 ORDER BY event_type"""
   )
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle

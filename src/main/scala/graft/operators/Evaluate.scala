@@ -402,6 +402,85 @@ object Evaluate {
         col("n_covered"), col("coverage"))
   }
 
+  /** Two-sample proportion z-test — the A/B conversion comparison:
+    * exact integer counts (n, successes) per side and the pooled
+    * z statistic
+    *
+    *   z = (k₁/n₁ − k₂/n₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)),  p̂ = (k₁+k₂)/(n₁+n₂)
+    *
+    * as ONE fixed-order float chain over them (null when either side
+    * is empty or p̂ is degenerate 0/1). Two 1-row aggregations — any
+    * scale. Returns (n1, k1, n2, k2, z). */
+  def proportionTest(a: DataFrame, b: DataFrame,
+      success: Column): DataFrame = {
+    def side(df: DataFrame, np: String, kp: String) =
+      df.agg(count(lit(1)).as(np),
+        coalesce(sum(when(success, 1L).otherwise(0L)), lit(0L)).as(kp))
+    val agg = side(a, "n1", "k1").crossJoin(side(b, "n2", "k2"))
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val p2 = col("k2").cast("double") / col("n2").cast("double")
+    val p = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    agg.withColumn("z",
+      when(col("n1") > 0L && col("n2") > 0L &&
+        (col("k1") + col("k2")) > 0L &&
+        (col("k1") + col("k2")) < (col("n1") + col("n2")),
+        (p1 - p2) / sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n1").cast("double") +
+           lit(1.0) / col("n2").cast("double"))))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** CUSUM changepoint scan per group over a bucketed count series —
+    * the pipeline-monitoring "when did this source's volume shift"
+    * probe. Over the dense bucket grid i = 0..T−1 (zero-count buckets
+    * INCLUDED — the statistic can peak on a gap):
+    *
+    *   D_i = |S_i · T − (i+1) · S_T|,   S_i = cumulative count
+    *
+    * reported at its argmax (smallest bucket on ties) as the exact
+    * integer `d_num` with the single normalized division
+    * d = D / (T · S_T). The grid span is CALENDAR-bounded (days/hours),
+    * so the per-group cumulative window runs over ≤ T rows per group —
+    * never over the event data. Returns (group…, t_buckets, total,
+    * best_bucket, d_num, d). */
+  def cusumChangepoint(df: DataFrame, groupCols: Seq[String],
+      bucket: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(groupCols.map(col) :+
+      bucket.cast("long").as("_b"): _*).where(col("_b").isNotNull)
+    val span = ev.agg(min("_b").as("_b0"), max("_b").as("_b1"))
+    val counts = ev.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grid = counts.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(span))
+      .select(groupCols.map(col) :+
+        explode(sequence(col("_b0"), col("_b1"))).as("_b") :+
+        col("_b0"): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("_b")
+    val cum = grid.join(counts, groupCols :+ "_b", "left")
+      .withColumn("_x", coalesce(col("_c"), lit(0L)))
+      .withColumn("_s", sum("_x").over(w))
+      .withColumn("_i", col("_b") - col("_b0") + 1L)
+    val withTot = cum
+      .withColumn("_t", max(col("_i")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .withColumn("_tot", max(col("_s")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    withTot
+      .withColumn("_d", abs(col("_s") * col("_t") - col("_i") * col("_tot")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("_t")).as("t_buckets"), max(col("_tot")).as("total"),
+        min(struct((-col("_d")).as("nd"), col("_b").as("b"))).as("_w"))
+      .select(groupCols.map(col) :+ col("t_buckets") :+ col("total") :+
+        col("_w.b").as("best_bucket") :+ (-col("_w.nd")).as("d_num"): _*)
+      .withColumn("d",
+        when(col("total") > 0L,
+          col("d_num").cast("double") /
+            (col("t_buckets").cast("double") * col("total").cast("double")))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
     * space-joined — tokens are the lowercased alnum runs, so the join is
     * unambiguous). Empty when the text is shorter than n. */

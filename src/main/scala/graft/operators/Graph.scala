@@ -55,6 +55,51 @@ object Graph {
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
 
+  /** Personalized PageRank, same exact fixed-point integer arithmetic
+    * as [[pageRankPpb]] but with teleport mass restricted to `seeds` —
+    * "importance relative to THIS slice" (which hosts/docs are central
+    * to a topic seed set; graph-proximity data valuation):
+    *
+    *   r₀(v)    = [v∈S] · (10⁹ div |S|)
+    *   rᵢ₊₁(v)  = [v∈S] · base + (dampNum · Σ_{u→v} rᵢ(u) div deg(u))
+    *              div dampDen
+    *
+    * Seeds not present in `nodes` contribute nothing (their share of
+    * the 10⁹ is simply never injected — document, don't guess). Same
+    * per-iteration shape and determinism guarantees as the global
+    * variant. */
+  def personalizedPageRankPpb(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, idCol: String, iters: Int,
+      dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+    val sd = seeds.select(col(idCol).as("_id")).distinct()
+    val m = sd.count()
+    require(m > 0, "empty seed set")
+    val r0 = 1000000000L / m
+    val base = (r0 * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.select(col(idCol).as("_id")).distinct()
+      .join(sd.withColumn("_s", lit(1)), Seq("_id"), "left")
+      .select(col("_id"),
+        when(col("_s").isNotNull, lit(r0)).otherwise(lit(0L)).as("_r"),
+        when(col("_s").isNotNull, lit(base)).otherwise(lit(0L)).as("_b"))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(ranks, e("src") === ranks("_id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("_r div _deg").as("_c"))
+        .groupBy("dst").agg(sum("_c").as("_in"))
+      ranks = ranks.join(contrib, ranks("_id") === contrib("dst"), "left")
+        .select(col("_id"), col("_b"),
+          (col("_b") +
+            expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("_r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
+  }
+
   /** Exact per-node triangle counts over an undirected pair set — the
     * cohesion probe of near-dup cluster QA (a dup "cluster" that is a
     * chain of borderline pairs has few triangles; a true clique is

@@ -116,6 +116,58 @@ class BleuSpec extends SparkSuite {
     assert(Evaluate.w1Test2(a, empty, col("v")).head.isNullAt(3))
   }
 
+  test("proportionTest: hand z, degenerate pools null, empty side null") {
+    val a = Seq(true, true, true, false).toDF("c")   // 3/4
+    val b = Seq(true, false, false, false).toDF("c") // 1/4
+    val r = Evaluate.proportionTest(a, b, col("c")).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 3L, 4L, 1L)))
+    val p = 4.0 / 8.0
+    val want = (3.0 / 4 - 1.0 / 4) /
+      math.sqrt(p * (1.0 - p) * (1.0 / 4 + 1.0 / 4))
+    assert(r.getDouble(4) === want)
+    // all-success pool -> null z
+    val allT = Seq(true, true).toDF("c")
+    assert(Evaluate.proportionTest(allT, allT, col("c")).head.isNullAt(4))
+    // empty side -> null z
+    val e = Seq.empty[Boolean].toDF("c")
+    assert(Evaluate.proportionTest(a, e, col("c")).head.isNullAt(4))
+  }
+
+  test("cusumChangepoint: step series peaks at the step, flat series scores 0, zero-gap days count") {
+    // group A: 5 days at 0 then 5 days at 10 -> changepoint at day 5
+    // (i=5): S_5=0, D = |0*10 - 5*50| = 250
+    val rows =
+      (0L until 5L).flatMap(d => Seq.empty[(String, Long)]) ++
+      (5L until 10L).flatMap(d => Seq.fill(10)(("A", d))) ++
+      Seq(("A", 0L)) ++ // one event on day 0 so the span starts at 0
+      (0L until 10L).map(d => ("B", d)) // flat: 1/day
+    val df = rows.toDF("g", "b").repartition(4)
+    val out = Evaluate.cusumChangepoint(df, Seq("g"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // A: T=10, total=51; S_4 = 1 (the day-0 event); argmax at i=5
+    // D_5 = |1*10 - 5*51| = 245? recompute: S_5 includes day 4 -> b=4,
+    // i=5, S=1 -> D=|10-255|=245; at b=5,i=6: S=11 -> |110-306|=196...
+    // trust the reference replay below instead of hand numbers
+    val refA = {
+      val counts = (0L until 10L).map(d =>
+        if (d == 0L) 1L else if (d >= 5L) 10L else 0L)
+      val tot = counts.sum; val t = 10L
+      var s = 0L
+      val ds = counts.zipWithIndex.map { case (c, i0) =>
+        s += c; (math.abs(s * t - (i0 + 1) * tot), i0.toLong)
+      }
+      val best = ds.maxBy(x => (x._1, -x._2))
+      (t, tot, best._2, best._1)
+    }
+    assert(out("A") === refA)
+    // B is perfectly flat at 1/day: S_i*10 == i*10 -> D == 0 everywhere,
+    // tie -> smallest day (0)
+    assert(out("B") === ((10L, 10L, 0L, 0L)))
+  }
+
   test("spearmanExact: monotone -> 1, reversed -> -1, ties, constant null") {
     // num = var exactly for perfect monotone, so rho = v/(sqrt v * sqrt v)
     // — 1 ulp shy of 1.0 by the float chain's own arithmetic

@@ -63,6 +63,32 @@ class GraphSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("personalizedPageRankPpb: all-seeds equals global; non-seeds get no teleport mass") {
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    // seeds = all nodes -> identical to the global variant
+    val glob = Graph.pageRankPpb(e, nodes, "node", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allSeeds = Graph.personalizedPageRankPpb(e, nodes, nodes, "node",
+      iters = 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(allSeeds === glob)
+    // seed {a} only — hand-replay of both iterations:
+    // r0: a=1e9, b=c=0; base(a)=15e7, others 0
+    // i1: b <- a's 1e9 div 1 -> r1 = (15e7, 85e7, 0)
+    // i2: a,c <- b's 85e7 div 2 = 425e6; b <- a's 15e7
+    //     r2 = (15e7 + 85*425e6//100, 85*15e7//100, 85*425e6//100)
+    val ppr = Graph.personalizedPageRankPpb(e, nodes,
+        Seq("a").toDF("node"), "node", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = (1000000000L * 15) / 100
+    assert(ppr("a") === base + (85L * (850000000L / 2)) / 100)
+    assert(ppr("b") === (85L * base) / 100)
+    assert(ppr("c") === (85L * (850000000L / 2)) / 100)
+    assert(ppr("a") > ppr("c") && ppr("c") > ppr("b")) // c: flow only, no base
+  }
+
   private def triRef(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = pairs.filter(p => p._1 != p._2)
       .flatMap(p => Seq(p, p.swap)).distinct
