@@ -721,6 +721,32 @@ object Bench {
         .agg(sum("rank_ppb")).collect()
     }
 
+    // grid-blocked DBSCAN over 1M uniform 2-D points at the x_gridpairs
+    // radius (~420k eps-pairs): pair emit + degree agg + core-subgraph
+    // CC + border attach — the full density-clustering path at scale.
+    bench("x_dbscan_1m", runs = 1) {
+      val pts = spark.range(1000000L).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)) / 1000000.0).as("x"),
+        (pmod(xxhash64(col("id"), lit(22)), lit(1000000L)) / 1000000.0).as("y"))
+      graft.operators.Density.dbscan2d(pts, "id", "x", "y",
+          eps = 0.0005, minPts = 3)
+        .groupBy("kind").count().collect()
+    }
+
+    // strict-order funnel over 10M events / 1M users: per step one
+    // user-keyed join + partial-agg min — the no-window conversion path.
+    bench("x_funnel_10m", runs = 1) {
+      val types = typedLit(Seq("view", "click", "purchase", "error"))
+      val ev = spark.range(10000000L).select(
+        pmod(xxhash64(col("id"), lit(31)), lit(1000000L)).as("u"),
+        types.getItem(pmod(xxhash64(col("id"), lit(32)), lit(4))
+          .cast("int")).as("t"),
+        pmod(xxhash64(col("id"), lit(33)), lit(1000000000L)).as("ts"))
+      graft.operators.Funnel.funnelUsers(ev, "u", "t", "ts",
+          Seq("view", "click", "purchase"), windowNs = 500000000L)
+        .agg(sum("depth")).collect()
+    }
+
     emitSummaryAndStop()
   }
 }

@@ -161,6 +161,48 @@ object EventStream {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, ts: Long)
+  case class FunnelState(times: Seq[Long])
+  case class FunnelUpdate(user_id: Long, depth: Int, times: Seq[Long])
+
+  /** Streaming funnel — the continuous twin of
+    * [[graft.operators.Funnel.funnelUsers]], under the standard
+    * streaming-funnel delivery contract: events may arrive in any order
+    * WITHIN a micro-batch (each batch is sorted per user before the
+    * state update), but a later batch must not carry an event older
+    * than an already-consumed step time — such stragglers are ignored
+    * rather than re-anchoring history (exactly-once advancement, state
+    * = at most |steps| longs per user, bounded forever).
+    *
+    * Under in-order delivery the scan-in-ts-order rule IS the batch
+    * earliest-completion rule: the first feasible step-(i+1) event
+    * after tᵢ is its minimum. Emits each user's (depth, times) once
+    * per batch (Update mode). */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+      windowNs: Long = Long.MaxValue): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct: $steps")
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_type))
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          sorted.foreach { e =>
+            val depth = times.length
+            if (depth < steps.length && e.event_type == steps(depth)) {
+              val ok =
+                if (depth == 0) true
+                else e.ts > times.last && e.ts - times.head <= windowNs
+              if (ok) times = times :+ e.ts
+            }
+          }
+          state.update(FunnelState(times))
+          FunnelUpdate(uid, times.length, times)
+      }
+  }
+
   /** Streaming ANN ingest: each micro-batch of new docs is assigned to
     * its IVF cell and (PQ-)encoded with the FROZEN quantizer/codebook,
     * then appended to the persisted codes-only layout — the continuous

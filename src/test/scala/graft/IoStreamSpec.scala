@@ -1030,6 +1030,64 @@ class IoStreamSpec extends SparkSuite {
     assert(sessions.count() + users == expected)
   }
 
+  test("streamingFunnel: cross-batch advancement equals the batch funnel; stragglers never re-anchor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStream.{FunnelEvent, FunnelUpdate}
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStream.streamingFunnel(mem.toDS(), steps,
+        windowNs = 100L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sfun").start()
+    // batch 1: u1 views+clicks (click arrives before view IN the batch
+    // - intra-batch disorder is sorted); u2 views at 50
+    mem.addData(
+      FunnelEvent(1L, "click", 20L), FunnelEvent(1L, "view", 10L),
+      FunnelEvent(2L, "view", 50L))
+    q.processAllAvailable()
+    // batch 2: u1 purchases in-window; u2 gets a STRAGGLER click at 40
+    // (older than its consumed view-anchor rule? no - older than
+    // nothing consumed after t1; 40 < t1=50 so the batch rule would
+    // also reject it: ts > t1 required); u2 clicks at 60 and purchases
+    // too late (170 > 50+100)
+    mem.addData(
+      FunnelEvent(1L, "purchase", 90L),
+      FunnelEvent(2L, "click", 40L), FunnelEvent(2L, "click", 60L),
+      FunnelEvent(2L, "purchase", 170L))
+    q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val last = spark.sql("SELECT * FROM sfun").as[FunnelUpdate].collect()
+      .groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.depth) }.toMap
+    assert(last(1L).depth == 3 && last(1L).times == Seq(10L, 20L, 90L))
+    assert(last(2L).depth == 2 && last(2L).times == Seq(50L, 60L))
+    // parity with the batch operator over the full in-order event set
+    val all = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 90L),
+      (2L, "view", 50L), (2L, "click", 40L), (2L, "click", 60L),
+      (2L, "purchase", 170L)).toDF("user_id", "event_type", "ts")
+    val batch = graft.operators.Funnel.funnelUsers(all, "user_id",
+        "event_type", "ts", steps, windowNs = 100L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(batch == last.view.mapValues(_.depth).toMap)
+
+    // a true straggler (older than a CONSUMED later step) is ignored,
+    // not re-anchored: u3 view@10, click@30 in batch 1; click@15 in
+    // batch 2 arrives too late - state keeps 30
+    val mem2 = MemoryStream[FunnelEvent]
+    val q2 = EventStream.streamingFunnel(mem2.toDS(), steps)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sfun2").start()
+    mem2.addData(FunnelEvent(3L, "view", 10L), FunnelEvent(3L, "click", 30L))
+    q2.processAllAvailable()
+    mem2.addData(FunnelEvent(3L, "click", 15L))
+    q2.processAllAvailable(); q2.stop()
+    val u3 = spark.sql("SELECT * FROM sfun2").as[FunnelUpdate].collect()
+      .filter(_.user_id == 3L).maxBy(_.depth)
+    assert(u3.times == Seq(10L, 30L)) // 15 did not rewrite the click
+  }
+
   test("videoContentSignature: identical keyframe content collides, a flipped byte does not") {
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/tests/unit/document/toydata/mov_bbb.mp4"))
