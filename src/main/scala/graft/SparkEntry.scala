@@ -2312,6 +2312,16 @@ object SparkEntry {
         col("best_bucket"), col("d_num"), round(col("d"), 6).as("d_r"))
       .orderBy("event_type")
 
+  // Greedy k-center coreset (Ann.kCenter): deterministic Gonzalez
+  // farthest-point selection over the embeddings — each round one
+  // map-only scan + a 1-row argmax; the oracle unrolls the identical
+  // rounds as a CTE chain (same left-fold distances, same ties).
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    Ann.kCenter(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .select(col("sel_order"), col("vec_id"),
+        round(col("d2_sel"), 6).as("d2_r"))
+      .orderBy("sel_order")
+
   // Domain-similarity matrix (GroupOps.centroidPairs): per-label ppm
   // centroids compared pairwise — exact integer dot/norm sums gated
   // directly, one fixed float chain for the cosine.
@@ -2482,7 +2492,8 @@ object SparkEntry {
     "q154_centroid_sim" -> (q154 _),
     "q155_ppr" -> (q155 _),
     "q156_ab_ztest" -> (q156 _),
-    "q157_cusum" -> (q157 _))
+    "q157_cusum" -> (q157 _),
+    "q158_kcenter" -> (q158 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5911,8 +5922,38 @@ object SparkEntry {
            CAST(dn AS BIGINT) AS d_num,
            round(CAST(dn AS DOUBLE)
              / (CAST(t AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS d_r
-         FROM best WHERE rn = 1 ORDER BY event_type"""
+         FROM best WHERE rn = 1 ORDER BY event_type""",
+
+    // q158: the greedy rounds unrolled — seed = smallest id, then
+    // per round the same j-ascending squared-euclidean fold, least()
+    // against the running min, ORDER BY d DESC, id LIMIT 1
+    "q158_kcenter" -> kCenterOracleSql(5)
   )
+
+  /** q158's oracle: k−1 unrolled farthest-point rounds over the
+    * embeddings, mirroring [[graft.operators.Ann.kCenter]]'s fold and
+    * tie rules exactly. */
+  private def kCenterOracleSql(k: Int): String = {
+    def dist: String =
+      "list_reduce(list_prepend(0.0, [ (p.v[j] - c.v[j]) * (p.v[j] - c.v[j])" +
+        " for j in range(1, len(p.v) + 1) ]), (a, b) -> a + b)"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),\n"
+    sb ++= " c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s" d1 AS (SELECT p.vec_id, p.v, $dist AS d FROM e p CROSS JOIN c1 c)"
+    for (i <- 2 to k) {
+      sb ++= s",\n c$i AS (SELECT vec_id, v, d FROM d${i - 1} " +
+        "ORDER BY d DESC, vec_id LIMIT 1)"
+      if (i < k)
+        sb ++= s",\n d$i AS (SELECT p.vec_id, p.v, least(p.d, $dist) AS d " +
+          s"FROM d${i - 1} p CROSS JOIN c$i c)"
+    }
+    sb ++= "\n SELECT 1 AS sel_order, vec_id, 0.0 AS d2_r FROM c1"
+    for (i <- 2 to k)
+      sb ++= s"\n UNION ALL SELECT $i, vec_id, round(d, 6) FROM c$i"
+    sb ++= "\n ORDER BY sel_order"
+    sb.toString
+  }
 
   /** The q115 minhash signature replay — bigram shingles, per-shingle
     * FNV-1a, 128 splitmix streams (mix(42+i)), per-component

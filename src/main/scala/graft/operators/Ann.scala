@@ -1391,4 +1391,59 @@ object Ann {
       .agg(count(lit(1)).as("n"), sum("_sil_ppm").as("sil_ppm_sum"))
       .withColumn("mean_sil",
         col("sil_ppm_sum").cast("double") / (col("n").cast("double") * 1e6))
+
+  /** Greedy k-center (Gonzalez farthest-point) coreset selection — the
+    * classic 2-approximation diverse-subset picker (seed/eval-set
+    * selection, prototype picking, the diversity complement of
+    * [[graft.operators.Knn.mmrSelect]]'s relevance trade-off).
+    * Deterministic: seeds at the SMALLEST id, then k−1 rounds of
+    * "farthest from the selected set" (squared-euclidean left folds,
+    * ties toward the smallest id) — a pure function of the point set.
+    *
+    * Scale shape: each round is ONE map-only scan (selected vectors
+    * ride as ≤ k broadcast literal folds — the NearestCentroid
+    * pattern, O(k·d) work per row) + a 1-row argmax aggregate; k
+    * driver hops of one (id, vector) row each. O(n·k²·d) total work —
+    * intended for k up to a few dozen centers.
+    *
+    * Returns (sel_order 1..k, idCol, d2_sel) where `d2_sel` is the
+    * point's distance-squared to the already-selected set at the
+    * moment it was chosen (0 for the seed; nonincreasing thereafter —
+    * d2_sel of center i+1 is the k-center radius of the first i). */
+  def kCenter(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .where(col("_v").isNotNull).cache()
+    def d2(c: Seq[Double]): Column =
+      aggregate(zip_with(col("_v"), typedLit(c),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    val seed = base.orderBy("_id").limit(1).head
+    var centerIds = Vector[Any](seed.get(0))
+    var centerVecs = Vector(seed.getSeq[Double](1))
+    var sel = Vector[(Int, Any, Double)]((1, seed.get(0), 0.0))
+    for (i <- 1 until k) {
+      val dmin = centerVecs.map(d2).reduce(least(_, _))
+      val far = base
+        .agg(min(struct((-dmin).as("nd"), col("_id").as("id"),
+          col("_v").as("v"))).as("_w"))
+        .select(col("_w.nd"), col("_w.id"), col("_w.v")).head
+      centerIds :+= far.get(1)
+      centerVecs :+= far.getSeq[Double](2)
+      sel :+= ((i + 1, far.get(1), -far.getDouble(0)))
+    }
+    base.unpersist()
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel_order",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      df.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("d2_sel",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      sel.map(s => org.apache.spark.sql.Row(s._1, s._2, s._3)).asJava,
+      schema)
+  }
 }

@@ -145,4 +145,36 @@ class KmeansSpec extends SparkSuite {
     assert(out(1).isNullAt(0), "dim-mismatched vector must yield null")
     assert(out(2).isNullAt(0), "null vector must yield null")
   }
+
+  test("kCenter: greedy reference parity, min-id seed, nonincreasing selection distances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0L until 80L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 2 - 1)))
+    def ref(k: Int): Seq[(Int, Long, Double)] = {
+      def d2(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+      var centers = Vector(pts.minBy(_._1))
+      var out = Vector((1, centers(0)._1, 0.0))
+      for (i <- 2 to k) {
+        val far = pts.map(p =>
+            (p, centers.map(c => d2(p._2, c._2)).min))
+          .minBy { case (p, d) => (-d, p._1) }
+        centers :+= far._1
+        out :+= ((i, far._1._1, far._2))
+      }
+      out
+    }
+    val got = Ann.kCenter(pts.toDF("id", "v").repartition(5), "id", "v", 6)
+      .orderBy("sel_order").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref(6))
+    assert(got.head._2 == 0L) // min-id seed
+    // selection distances nonincreasing after the seed
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+    // k = 1 is just the seed
+    val one = Ann.kCenter(pts.toDF("id", "v"), "id", "v", 1).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 0L)
+  }
 }
