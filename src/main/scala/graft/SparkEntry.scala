@@ -2312,6 +2312,29 @@ object SparkEntry {
         col("best_bucket"), col("d_num"), round(col("d"), 6).as("d_r"))
       .orderBy("event_type")
 
+  // HITS hubs/authorities (Graph.hitsPpm): two iterations over the
+  // DIRECTED customer->supplier trade graph in exact integer
+  // arithmetic — the overflow-free floor-div max normalization keeps
+  // every value near 1e6 and replays as `//`.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select(concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
+    Graph.hitsPpm(cs, iters = 2).orderBy("node")
+  }
+
+  // Median/MAD robust daily-volume anomalies per event type
+  // (Evaluate.robustAnomalies): lower-median selections over the dense
+  // day grid, flag = 1e4·|x−med| > 44478·mad — all exact integers.
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Evaluate.robustAnomalies(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"))
+      .orderBy("event_type", "bucket")
+
   // Greedy k-center coreset (Ann.kCenter): deterministic Gonzalez
   // farthest-point selection over the embeddings — each round one
   // map-only scan + a 1-row argmax; the oracle unrolls the identical
@@ -2493,7 +2516,9 @@ object SparkEntry {
     "q155_ppr" -> (q155 _),
     "q156_ab_ztest" -> (q156 _),
     "q157_cusum" -> (q157 _),
-    "q158_kcenter" -> (q158 _))
+    "q158_kcenter" -> (q158 _),
+    "q159_hits" -> (q159 _),
+    "q160_robust_anom" -> (q160 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -5927,7 +5952,67 @@ object SparkEntry {
     // q158: the greedy rounds unrolled — seed = smallest id, then
     // per round the same j-ascending squared-euclidean fold, least()
     // against the running min, ORDER BY d DESC, id LIMIT 1
-    "q158_kcenter" -> kCenterOracleSql(5)
+    "q158_kcenter" -> kCenterOracleSql(5),
+
+    // q159: both HITS iterations replayed — per step one edge join +
+    // sum, then the floor-div max normalization as integer //
+    "q159_hits" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         ar1 AS (SELECT dst, count(*) * 1000000 AS ar FROM cs GROUP BY dst),
+         am1 AS (SELECT greatest(1, max(ar) // 1000000) AS m FROM ar1),
+         a1 AS (SELECT dst AS id, ar // (SELECT m FROM am1) AS a FROM ar1),
+         hr1 AS (SELECT src, sum(a1.a) AS hr
+           FROM cs JOIN a1 ON cs.dst = a1.id GROUP BY src),
+         hm1 AS (SELECT greatest(1, max(hr) // 1000000) AS m FROM hr1),
+         h1 AS (SELECT src AS id, hr // (SELECT m FROM hm1) AS h FROM hr1),
+         ar2 AS (SELECT dst, sum(h1.h) AS ar
+           FROM cs JOIN h1 ON cs.src = h1.id GROUP BY dst),
+         am2 AS (SELECT greatest(1, max(ar) // 1000000) AS m FROM ar2),
+         a2 AS (SELECT dst AS id, ar // (SELECT m FROM am2) AS a FROM ar2),
+         hr2 AS (SELECT src, sum(a2.a) AS hr
+           FROM cs JOIN a2 ON cs.dst = a2.id GROUP BY src),
+         hm2 AS (SELECT greatest(1, max(hr) // 1000000) AS m FROM hr2),
+         h2 AS (SELECT src AS id, hr // (SELECT m FROM hm2) AS h FROM hr2)
+         SELECT coalesce(h2.id, a2.id) AS node,
+           CAST(coalesce(h, 0) AS BIGINT) AS hub_ppm,
+           CAST(coalesce(a, 0) AS BIGINT) AS auth_ppm
+         FROM h2 FULL OUTER JOIN a2 ON h2.id = a2.id ORDER BY node""",
+
+    // q160: the dense day grid, lower-median selections via
+    // row_number = (t+1)//2 on (value, day) order, integer flag rule
+    "q160_robust_anom" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         gx AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         st AS (SELECT g, count(*) AS t FROM gx GROUP BY g),
+         mr AS (SELECT g, b, x,
+             row_number() OVER (PARTITION BY g ORDER BY x, b) AS rn
+           FROM gx),
+         md AS (SELECT mr.g, x AS med FROM mr JOIN st ON mr.g = st.g
+           WHERE rn = (t + 1) // 2),
+         dv AS (SELECT gx.g, b, x, med, abs(x - med) AS dev
+           FROM gx JOIN md ON gx.g = md.g),
+         dr AS (SELECT g, b, dev,
+             row_number() OVER (PARTITION BY g ORDER BY dev, b) AS rn
+           FROM dv),
+         mad AS (SELECT dr.g, dev AS mad FROM dr JOIN st ON dr.g = st.g
+           WHERE rn = (t + 1) // 2)
+         SELECT dv.g AS event_type, CAST(b AS BIGINT) AS bucket,
+           CAST(x AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
+           CAST(mad.mad AS BIGINT) AS mad,
+           (mad.mad > 0 AND abs(x - med) * 10000 > 44478 * mad.mad)
+             AS anomaly
+         FROM dv JOIN mad ON dv.g = mad.g ORDER BY event_type, bucket"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the

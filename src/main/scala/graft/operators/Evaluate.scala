@@ -447,19 +447,8 @@ object Evaluate {
   def cusumChangepoint(df: DataFrame, groupCols: Seq[String],
       bucket: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = df.select(groupCols.map(col) :+
-      bucket.cast("long").as("_b"): _*).where(col("_b").isNotNull)
-    val span = ev.agg(min("_b").as("_b0"), max("_b").as("_b1"))
-    val counts = ev.groupBy(groupCols.map(col) :+ col("_b"): _*)
-      .agg(count(lit(1)).as("_c"))
-    val grid = counts.select(groupCols.map(col): _*).distinct()
-      .crossJoin(broadcast(span))
-      .select(groupCols.map(col) :+
-        explode(sequence(col("_b0"), col("_b1"))).as("_b") :+
-        col("_b0"): _*)
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy("_b")
-    val cum = grid.join(counts, groupCols :+ "_b", "left")
-      .withColumn("_x", coalesce(col("_c"), lit(0L)))
+    val cum = denseGridCounts(df, groupCols, bucket)
       .withColumn("_s", sum("_x").over(w))
       .withColumn("_i", col("_b") - col("_b0") + 1L)
     val withTot = cum
@@ -479,6 +468,68 @@ object Evaluate {
           col("d_num").cast("double") /
             (col("t_buckets").cast("double") * col("total").cast("double")))
           .otherwise(lit(null).cast("double")))
+  }
+
+  /** Dense per-group bucket count grid shared by [[cusumChangepoint]]
+    * and [[robustAnomalies]]: every bucket of the GLOBAL [min, max]
+    * span, per observed group, zero-filled — (group…, _b, _b0, _x).
+    * The span is calendar-bounded, so downstream per-group windows run
+    * over ≤ T rows, never over the event data. */
+  private def denseGridCounts(df: DataFrame, groupCols: Seq[String],
+      bucket: Column): DataFrame = {
+    val ev = df.select(groupCols.map(col) :+
+      bucket.cast("long").as("_b"): _*).where(col("_b").isNotNull)
+    val span = ev.agg(min("_b").as("_b0"), max("_b").as("_b1"))
+    val counts = ev.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    counts.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(span))
+      .select(groupCols.map(col) :+
+        explode(sequence(col("_b0"), col("_b1"))).as("_b") :+
+        col("_b0"): _*)
+      .join(counts, groupCols :+ "_b", "left")
+      .withColumn("_x", coalesce(col("_c"), lit(0L)))
+      .drop("_c")
+  }
+
+  /** Median/MAD robust anomaly flags per group over the dense bucket
+    * count grid — the outlier-day detector that a mean/stddev z-score
+    * gets wrong whenever the anomaly itself inflates the baseline.
+    * `med` and `mad` are LOWER medians (the value at position
+    * (T+1) div 2 of the value-sorted grid — exact integer selection),
+    * and a bucket flags iff
+    *
+    *   10⁴·|x − med| > thrTenK · mad   and   mad > 0
+    *
+    * (thrTenK = 44478 ≈ 3·1.4826·10⁴, the "3 sigma" consistency
+    * threshold in exact integer arithmetic; an all-flat series — mad
+    * 0 — flags nothing by rule). Per-group windows run over the
+    * calendar-bounded grid only. Returns (group…, bucket, n, med,
+    * mad, anomaly). */
+  def robustAnomalies(df: DataFrame, groupCols: Seq[String],
+      bucket: Column, thrTenK: Long = 44478L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val g = denseGridCounts(df, groupCols, bucket)
+    val t = Window.partitionBy(gc: _*)
+    val wv = Window.partitionBy(gc: _*).orderBy(col("_x"), col("_b"))
+    val med = g.withColumn("_rn", row_number().over(wv))
+      .withColumn("_t", count(lit(1)).over(t))
+      .where(col("_rn") === expr("(_t + 1) div 2"))
+      .select(gc :+ col("_x").as("_med"): _*)
+    val withMed = g.join(med, groupCols)
+      .withColumn("_dev", abs(col("_x") - col("_med")))
+    val wd = Window.partitionBy(gc: _*).orderBy(col("_dev"), col("_b"))
+    val mad = withMed.withColumn("_rn", row_number().over(wd))
+      .withColumn("_t", count(lit(1)).over(t))
+      .where(col("_rn") === expr("(_t + 1) div 2"))
+      .select(gc :+ col("_dev").as("_mad"): _*)
+    withMed.join(mad, groupCols)
+      .select(gc :+ col("_b").as("bucket") :+ col("_x").as("n") :+
+        col("_med").as("med") :+ col("_mad").as("mad") :+
+        (col("_mad") > 0L &&
+          col("_dev") * 10000L > lit(thrTenK) * col("_mad"))
+          .as("anomaly"): _*)
   }
 
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,

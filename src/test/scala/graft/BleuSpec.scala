@@ -168,6 +168,32 @@ class BleuSpec extends SparkSuite {
     assert(out("B") === ((10L, 10L, 0L, 0L)))
   }
 
+  test("robustAnomalies: spike flags against median/MAD, flat and majority-at-median series flag nothing, zero days fill") {
+    // group A: days 0..7 get d+1 events, day 8 spikes to 50
+    // values 1..8,50 -> lower median (pos 5 of 9) = 5
+    // devs |x-5|: 4,3,2,1,0,1,2,3,45 sorted -> mad (pos 5) = 2
+    // flag iff 1e4*dev > 44478*2 = 88956 <-> dev >= 9 -> only the spike
+    val a = (0L until 9L).flatMap { d =>
+      val n = if (d == 8L) 50 else d.toInt + 1
+      Seq.fill(n)(("A", d))
+    }
+    // group B: perfectly flat 3/day -> mad 0 -> flags nothing by rule
+    // and skips day 4 entirely -> zero-filled, becomes the minimum
+    val b = (0L until 9L).filter(_ != 4L).flatMap(d =>
+      Seq.fill(3)(("B", d)))
+    val out = Evaluate.robustAnomalies((a ++ b).toDF("g", "b")
+        .repartition(4), Seq("g"), col("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(("A", 8L)) == ((50L, 5L, 2L, true)))
+    assert(out(("A", 4L)) == ((5L, 5L, 2L, false)))
+    assert((0L to 7L).forall(d => !out(("A", d))._4)) // only the spike
+    // B: values 3,3,3,3,0,3,3,3,3 -> med 3, devs majority 0 -> mad 0
+    assert(out(("B", 4L)) == ((0L, 3L, 0L, false)))
+    assert(out.keys.count(_._1 == "B") == 9) // zero day present in grid
+    assert(out.filter(_._1._1 == "B").values.forall(!_._4))
+  }
+
   test("spearmanExact: monotone -> 1, reversed -> -1, ties, constant null") {
     // num = var exactly for perfect monotone, so rho = v/(sqrt v * sqrt v)
     // — 1 ulp shy of 1.0 by the float chain's own arithmetic

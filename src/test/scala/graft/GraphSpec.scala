@@ -89,6 +89,25 @@ class GraphSpec extends SparkSuite {
     assert(ppr("a") > ppr("c") && ppr("c") > ppr("b")) // c: flow only, no base
   }
 
+  test("hitsPpm: hand bipartite case, normalization scale, layout invariance") {
+    // hubs u1 (points at v1, v2), u2 (points at v2 only)
+    val e = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v2")).toDF("src", "dst")
+    val out = Graph.hitsPpm(e, iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // iter1: ar(v1)=1e6, ar(v2)=2e6; m = 2 -> a = (500000, 1000000)
+    //        hr(u1)=1.5e6, hr(u2)=1e6; m = 1 -> h as-is
+    // iter2: ar(v1)=1.5e6, ar(v2)=2.5e6; m = 2 -> a=(750000, 1250000)
+    //        hr(u1)=2e6, hr(u2)=1.25e6; m = 2 -> h=(1e6, 625000)
+    assert(out("u1") == ((1000000L, 0L)) && out("u2") == ((625000L, 0L)))
+    assert(out("v1") == ((0L, 750000L)) && out("v2") == ((0L, 1250000L)))
+    // layout invariance
+    val rep = Graph.hitsPpm(e.repartition(4), iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep === out)
+    // the better-connected hub and authority dominate
+    assert(out("u1")._1 > out("u2")._1 && out("v2")._2 > out("v1")._2)
+  }
+
   private def triRef(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = pairs.filter(p => p._1 != p._2)
       .flatMap(p => Seq(p, p.swap)).distinct
