@@ -1424,15 +1424,23 @@ object Ann {
     var centerIds = Vector[Any](seed.get(0))
     var centerVecs = Vector(seed.getSeq[Double](1))
     var sel = Vector[(Int, Any, Double)]((1, seed.get(0), 0.0))
-    for (i <- 1 until k) {
+    var exhausted = false
+    for (i <- 1 until k if !exhausted) {
       val dmin = centerVecs.map(d2).reduce(least(_, _))
-      val far = base
+      // already-selected ids are excluded so a degenerate point set
+      // (duplicates of the centers, or n < k) stops early instead of
+      // re-selecting a center; with any point at d > 0 this matches
+      // the unconstrained argmax (centers sit at distance 0)
+      val far = base.where(!col("_id").isin(centerIds: _*))
         .agg(min(struct((-dmin).as("nd"), col("_id").as("id"),
           col("_v").as("v"))).as("_w"))
         .select(col("_w.nd"), col("_w.id"), col("_w.v")).head
-      centerIds :+= far.get(1)
-      centerVecs :+= far.getSeq[Double](2)
-      sel :+= ((i + 1, far.get(1), -far.getDouble(0)))
+      if (far.isNullAt(1)) exhausted = true
+      else {
+        centerIds :+= far.get(1)
+        centerVecs :+= far.getSeq[Double](2)
+        sel :+= ((i + 1, far.get(1), -far.getDouble(0)))
+      }
     }
     base.unpersist()
     import scala.jdk.CollectionConverters._

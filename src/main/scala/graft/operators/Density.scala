@@ -41,9 +41,13 @@ object Density {
       eps: Double, minPts: Int,
       maxCell: Int = Int.MaxValue): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    // lazy localCheckpoint: the pair set materializes once on first
+    // use and is reused by the degree/CC/border branches AND by the
+    // caller's eventual action (a cache+unpersist here would drop it
+    // before the returned lazy plan ever ran)
     val pairs = Dedup.gridPairs2d(df, idCol, xCol, yCol, eps,
         maxCell = maxCell)
-      .select(col("a"), col("b")).cache()
+      .select(col("a"), col("b")).localCheckpoint(false)
     val und = pairs.select(col("a").as("_i"), col("b").as("_j"))
       .union(pairs.select(col("b").as("_i"), col("a").as("_j")))
     val deg = und.groupBy("_i").agg(count(lit(1)).as("_deg"))
@@ -74,7 +78,6 @@ object Density {
           .when(col("_bcl").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("kind"),
         coalesce(col("cluster_id"), col("_bcl")).as("cluster_id"))
-    pairs.unpersist()
     out
   }
 }

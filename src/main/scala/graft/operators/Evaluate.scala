@@ -479,7 +479,18 @@ object Evaluate {
       bucket: Column): DataFrame = {
     val ev = df.select(groupCols.map(col) :+
       bucket.cast("long").as("_b"): _*).where(col("_b").isNotNull)
+    // refuse un-bucketed inputs loudly: a raw-ns "bucket" would ask
+    // sequence() for a trillion-row grid. The guard rides INSIDE _b0
+    // (a dropped check column would be pruned away by Catalyst).
     val span = ev.agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      .select(
+        when(col("_b1") - col("_b0") < 10000000L, col("_b0"))
+          .otherwise(raise_error(concat(lit(
+            "bucket span too wide for a dense grid (did you pass " +
+              "raw timestamps?): "),
+            (col("_b1") - col("_b0")).cast("string"))))
+          .as("_b0"),
+        col("_b1"))
     val counts = ev.groupBy(groupCols.map(col) :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
     counts.select(groupCols.map(col): _*).distinct()

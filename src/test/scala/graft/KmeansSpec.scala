@@ -176,5 +176,10 @@ class KmeansSpec extends SparkSuite {
     // k = 1 is just the seed
     val one = Ann.kCenter(pts.toDF("id", "v"), "id", "v", 1).collect()
     assert(one.length == 1 && one(0).getLong(1) == 0L)
+    // n < k stops early with each point selected once, no duplicates
+    val tiny = pts.take(3).toDF("id", "v")
+    val t3 = Ann.kCenter(tiny, "id", "v", 5).collect()
+      .map(_.getLong(1)).toSeq
+    assert(t3.length == 3 && t3.distinct.length == 3)
   }
 }
