@@ -2335,6 +2335,41 @@ object SparkEntry {
         expr("ts div 86400000000000"))
       .orderBy("event_type", "bucket")
 
+  // Cohort revenue matrix (Funnel.cohortValues): the retention
+  // triangle weighted by exact integer cents — users, events, and
+  // value per (first-activity-day cohort, day offset).
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    Funnel.cohortValues(events(s, dir), "user_id", "ts",
+        periodNs = 86400000000000L, round(col("value") * 100))
+      .select(col("cohort"), col("offset").as("day_offset"),
+        col("users"), col("events"), col("value_cents"))
+      .orderBy("cohort", "day_offset")
+
+  // Market-basket co-occurrence (GroupOps.basketPairs): orders as
+  // baskets of suppliers — support/cnt/N exact integers gated
+  // directly, confidence and lift one float chain each.
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    GroupOps.basketPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_suppkey").as("item")),
+        "basket", "item", minSupport = 3L)
+      .select(col("a"), col("b"), col("support"), col("cnt_a"),
+        col("cnt_b"), col("n_baskets"),
+        round(col("conf_ab"), 6).as("conf_r"),
+        round(col("lift"), 6).as("lift_r"))
+      .orderBy("a", "b")
+
+  // Corpus concentration (GroupOps.concentration): Gini + HHI of the
+  // token mass across sources — rank-weighted sums in exact decimal,
+  // single divisions; the mixture-balance diagnostic.
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    GroupOps.concentration(
+        t(s, dir, "documents").select(col("source"),
+          size(TextFunctions.tokens(col("text"))).as("ntok")),
+        col("source"), col("ntok"))
+      .select(col("n_groups"), col("total"), col("gini_num"),
+        round(col("gini"), 6).as("gini_r"), round(col("hhi"), 6).as("hhi_r"))
+
   // Greedy k-center coreset (Ann.kCenter): deterministic Gonzalez
   // farthest-point selection over the embeddings — each round one
   // map-only scan + a 1-row argmax; the oracle unrolls the identical
@@ -2518,7 +2553,10 @@ object SparkEntry {
     "q157_cusum" -> (q157 _),
     "q158_kcenter" -> (q158 _),
     "q159_hits" -> (q159 _),
-    "q160_robust_anom" -> (q160 _))
+    "q160_robust_anom" -> (q160 _),
+    "q161_cohort_value" -> (q161 _),
+    "q162_basket_lift" -> (q162 _),
+    "q163_concentration" -> (q163 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6012,7 +6050,66 @@ object SparkEntry {
            CAST(mad.mad AS BIGINT) AS mad,
            (mad.mad > 0 AND abs(x - med) * 10000 > 44478 * mad.mad)
              AS anomaly
-         FROM dv JOIN mad ON dv.g = mad.g ORDER BY event_type, bucket"""
+         FROM dv JOIN mad ON dv.g = mad.g ORDER BY event_type, bucket""",
+
+    // q161: first-activity day, per-(user, day) rollup with exact
+    // cents, cohort/offset aggregation
+    "q161_cohort_value" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts,
+             CAST(round(value * 100) AS BIGINT) v FROM events),
+         f AS (SELECT u, min(ts) // 86400000000000 AS cp
+           FROM ev GROUP BY u),
+         per AS (SELECT u, ts // 86400000000000 AS p, count(*) AS n,
+             sum(v) AS vs
+           FROM ev GROUP BY u, p)
+         SELECT cp AS cohort, CAST(p - cp AS INTEGER) AS day_offset,
+           count(*) AS users, CAST(sum(n) AS BIGINT) AS events,
+           CAST(sum(vs) AS BIGINT) AS value_cents
+         FROM per JOIN f USING (u) GROUP BY 1, 2
+         ORDER BY cohort, day_offset""",
+
+    // q162: distinct (order, supplier) baskets, a<b pair counts, the
+    // identical confidence/lift float chains
+    "q162_basket_lift" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey bk, l_suppkey it
+           FROM lineitem),
+         nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM bi),
+         ic AS (SELECT it, count(*) AS cnt FROM bi GROUP BY it),
+         pr AS (SELECT a.it a, b.it b, count(*) AS support
+           FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT a, b, CAST(support AS BIGINT) AS support,
+           CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+           CAST(n_baskets AS BIGINT) AS n_baskets,
+           round(CAST(support AS DOUBLE) / ca.cnt, 6) AS conf_r,
+           round(CAST(support * n_baskets AS DOUBLE)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift_r
+         FROM pr JOIN ic ca ON pr.a = ca.it JOIN ic cb ON pr.b = cb.it
+         CROSS JOIN nb ORDER BY a, b""",
+
+    // q163: token sums per source, ascending (sum, source) ranks, the
+    // exact HUGEINT Gini numerator and HHI squares, one division each
+    "q163_concentration" ->
+      """WITH t AS (SELECT source, coalesce(len(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')), 0) AS ntok
+           FROM documents WHERE source IS NOT NULL),
+         s AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS x
+           FROM t GROUP BY source),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS rk
+           FROM s),
+         agg AS (SELECT count(*) AS n, sum(x) AS total,
+             sum(CAST(rk AS HUGEINT) * x) AS rx,
+             sum(CAST(x AS HUGEINT) * x) AS xx
+           FROM r)
+         SELECT CAST(n AS BIGINT) AS n_groups, CAST(total AS BIGINT) AS total,
+           CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT) AS BIGINT)
+             AS gini_num,
+           round(CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini_r,
+           round(CAST(xx AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi_r
+         FROM agg"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over event streams — the product-analytics
@@ -98,5 +98,31 @@ object Funnel {
       .groupBy(col("_cp").as("cohort"),
         (col("_p") - col("_cp")).cast("int").as("offset"))
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** [[retentionCohorts]] weighted by value — the cohort REVENUE
+    * matrix (LTV curves): per (cohort, offset) cell the active-user
+    * count, the event count, and the exact value sum in integer cents
+    * (quantize the value column upstream — `round(value*100)` — so
+    * sums are order-free exact longs). Same two-aggregation + one
+    * user-keyed join shape. Returns (cohort, offset, users, events,
+    * value_cents). */
+  def cohortValues(events: DataFrame, userCol: String, tsCol: String,
+      periodNs: Long, valueCents: Column): DataFrame = {
+    require(periodNs > 0, s"periodNs must be positive, got $periodNs")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"),
+      coalesce(valueCents.cast("long"), lit(0L)).as("_v"))
+    val first = ev.groupBy("_u").agg(min("_ts").as("_f"))
+      .select(col("_u"), expr(s"_f div ${periodNs}L").as("_cp"))
+    val per = ev.select(col("_u"),
+        expr(s"_ts div ${periodNs}L").as("_p"), col("_v"))
+      .groupBy("_u", "_p")
+      .agg(count(lit(1)).as("_n"), sum("_v").as("_vs"))
+    per.join(first, Seq("_u"))
+      .groupBy(col("_cp").as("cohort"),
+        (col("_p") - col("_cp")).cast("int").as("offset"))
+      .agg(count(lit(1)).as("users"), sum("_n").as("events"),
+        sum("_vs").as("value_cents"))
   }
 }

@@ -126,6 +126,88 @@ object GroupOps {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** Market-basket co-occurrence (support / confidence / lift) over
+    * (basket, item) rows — "what co-occurs with what" across orders,
+    * sessions, or docs-as-baskets-of-entities. Pair emission is one
+    * basket-keyed self-join of the DISTINCT item sets with `a < b`
+    * (each unordered pair once); `maxBasket` drops over-full baskets
+    * from pairing before the quadratic blowup (conservative, the
+    * gridPairs valve pattern). Counts are exact integers; confidence
+    * and lift are single float chains over them:
+    *
+    *   conf(a→b) = sup(ab)/cnt(a),  lift = sup(ab)·N / (cnt(a)·cnt(b))
+    *
+    * Returns (a, b, support, cnt_a, cnt_b, n_baskets, conf_ab, lift)
+    * for pairs with support >= minSupport. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L, maxBasket: Int = 1000): DataFrame = {
+    val bi = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .where(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+    val sizes = bi.groupBy("_bk").agg(count(lit(1)).as("_sz"))
+    val kept = bi.join(sizes.where(col("_sz") <= maxBasket)
+      .select("_bk"), Seq("_bk"), "left_semi")
+    // the universe is the KEPT baskets — counts, N, and pairs agree
+    val nB = kept.agg(countDistinct(col("_bk")).as("n_baskets"))
+    val itemCnt = kept.groupBy(col("_it")).agg(count(lit(1)).as("_cnt"))
+    val pairs = kept.select(col("_bk"), col("_it").as("a"))
+      .join(kept.select(col("_bk"), col("_it").as("b")), Seq("_bk"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs
+      .join(itemCnt.select(col("_it").as("a"), col("_cnt").as("cnt_a")),
+        Seq("a"))
+      .join(itemCnt.select(col("_it").as("b"), col("_cnt").as("cnt_b")),
+        Seq("b"))
+      .crossJoin(broadcast(nB))
+      .withColumn("conf_ab",
+        col("support").cast("double") / col("cnt_a").cast("double"))
+      .withColumn("lift",
+        (col("support") * col("n_baskets")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"))
+      .select("a", "b", "support", "cnt_a", "cnt_b", "n_baskets",
+        "conf_ab", "lift")
+  }
+
+  /** Concentration diagnostics of a weighted group distribution — is
+    * the corpus dominated by a few sources? Exact integer machinery:
+    * group sums ranked ascending via [[globalOrderIndex]] (n_groups
+    * rows — trivial at any corpus size), then
+    *
+    *   Gini = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx)
+    *   HHI  = Σ xᵢ² / (Σx)²          (both single divisions)
+    *
+    * with Σ rankᵢ·xᵢ and Σ xᵢ² accumulated in exact Decimal(38,0).
+    * Returns one row (n_groups, total, gini_num, gini, hhi). */
+  def concentration(df: DataFrame, groupCol: Column,
+      weight: Column): DataFrame = {
+    val sums = df.select(groupCol.as("_g"),
+        coalesce(weight.cast("long"), lit(0L)).as("_w"))
+      .where(col("_g").isNotNull)
+      .groupBy("_g").agg(sum("_w").as("_x"))
+    val ranked = globalOrderIndex(sums, "_gi", col("_x"), col("_g"))
+    ranked.agg(count(lit(1)).as("n_groups"), sum("_x").as("total"),
+        sum((col("_gi") + 1L).cast("decimal(38,0)") *
+          col("_x").cast("decimal(38,0)")).as("_rx"),
+        sum(col("_x").cast("decimal(38,0)") *
+          col("_x").cast("decimal(38,0)")).as("_xx"))
+      .withColumn("gini_num",
+        (col("_rx") * 2 - (col("n_groups") + 1L).cast("decimal(38,0)") *
+          col("total").cast("decimal(38,0)")).cast("long"))
+      .withColumn("gini",
+        when(col("total") > 0L && col("n_groups") > 0L,
+          col("gini_num").cast("double") /
+            (col("n_groups").cast("double") * col("total").cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("hhi",
+        when(col("total") > 0L,
+          col("_xx").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .select("n_groups", "total", "gini_num", "gini", "hhi")
+  }
+
   def splitByTag(df: DataFrame, tagCol: Column, idCol: Column): DataFrame =
     df.groupBy(tagCol.as("tag"))
       .agg(sort_array(collect_list(idCol)).as("ids"), count(lit(1)).as("n"))

@@ -79,6 +79,61 @@ class FunnelSpec extends SparkSuite {
     }
   }
 
+  test("cohortValues: users, events, and exact cents per cell") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 50L),   // cohort 0, day 0: 2 events
+      ("a", 12L, 25L),                   // cohort 0, day 1
+      ("b", 5L, 10L),                    // cohort 0, day 0
+      ("c", 13L, 7L))                    // cohort 1, day 0
+    val got = Funnel.cohortValues(rows.toDF("u", "ts", "v")
+        .repartition(3), "u", "ts", 10L, col("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (0L, 0) -> ((2L, 3L, 160L)), // users a+b, 3 events, 160 cents
+      (0L, 1) -> ((1L, 1L, 25L)),
+      (1L, 0) -> ((1L, 1L, 7L))))
+  }
+
+  test("basketPairs: hand support/conf/lift, maxBasket valve, minSupport cut") {
+    import graft.operators.GroupOps
+    // baskets: 1:{x,y} 2:{x,y} 3:{x,z} 4:{y} -> sup(xy)=2, cnt x=3 y=3
+    // z=1, N=4; lift(xy) = 2*4/(3*3)
+    val rows = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y"))
+    val out = GroupOps.basketPairs(rows.toDF("bk", "it"), "bk", "it",
+        minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(7)))).toMap
+    assert(out.keySet == Set(("x", "y"))) // xz/yz below minSupport
+    assert(out(("x", "y")) == ((2L, 3L, 3L, 4L, 2.0 * 4 / 9)))
+    // a 3-item basket dropped by maxBasket=2 contributes no pairs but
+    // its items/baskets leave the universe too
+    val big = rows ++ Seq((5L, "x"), (5L, "y"), (5L, "z"))
+    val out2 = GroupOps.basketPairs(big.toDF("bk", "it"), "bk", "it",
+        minSupport = 2L, maxBasket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(5)).toMap
+    assert(out2(("x", "y")) == 4L) // N excludes the dropped basket
+  }
+
+  test("concentration: uniform -> gini 0, single-group dominance, exact numerator") {
+    import graft.operators.GroupOps
+    val uni = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L))
+      .toDF("g", "w")
+    val u = GroupOps.concentration(uni, col("g"), col("w")).head
+    assert(u.getLong(0) == 4L && u.getLong(1) == 20L)
+    // uniform: 2*(1+2+3+4)*5 - 5*20 = 100 - 100 = 0
+    assert(u.getLong(2) == 0L && u.getDouble(3) == 0.0)
+    assert(u.getDouble(4) == 4.0 * 25 / 400) // HHI = 1/n
+    // all mass on one group of three: gini = (2*3*9 - 4*9)/(3*9) = 2/3
+    val dom = Seq(("a", 0L), ("b", 0L), ("c", 9L)).toDF("g", "w")
+    val d = GroupOps.concentration(dom, col("g"), col("w")).head
+    assert(d.getLong(2) == 2L * 3 * 9 - 4 * 9)
+    assert(d.getDouble(3) == 18.0 / 27 && d.getDouble(4) == 1.0)
+  }
+
   test("retentionCohorts: hand case — cohorts, offsets, counts") {
     val day = 10L // tiny period for readability
     val rows = Seq(
