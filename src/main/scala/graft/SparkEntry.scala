@@ -2370,6 +2370,48 @@ object SparkEntry {
       .select(col("n_groups"), col("total"), col("gini_num"),
         round(col("gini"), 6).as("gini_r"), round(col("hhi"), 6).as("hhi_r"))
 
+  // Decile lift / cumulative gains (Evaluate.liftTable): quality score
+  // targeting non-English docs — score-descending exact deciles under
+  // the (−score, doc_id) total order, integer counts, gain/lift one
+  // float chain each.
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    Evaluate.liftTable(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), col("lang") =!= "en",
+        col("doc_id"), nBins = 10)
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"), round(col("gain"), 6).as("gain_r"),
+        round(col("lift"), 6).as("lift_r"))
+      .orderBy("bin")
+
+  // PSI score drift (Evaluate.psiBins): en vs non-en quality-score
+  // distributions, Laplace-smoothed bins, per-bin contribution gated
+  // as a ppb integer (the q123 float-chain rule).
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Evaluate.psiBins(d.where(col("lang") === "en"),
+        d.where(col("lang") =!= "en"),
+        TextFunctions.qualityScore(col("text")), nBins = 10)
+      .orderBy("bin")
+  }
+
+  // Cramér's V association between lang and source
+  // (Evaluate.cramersV): observed-cells-only χ² identity with ppb cell
+  // terms — is the language mix confounded with the source mix?
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    Evaluate.cramersV(t(s, dir, "documents"), col("lang"), col("source"))
+      .select(col("n"), col("card_a"), col("card_b"),
+        col("term_ppb_sum"), round(col("chi2"), 6).as("chi2_r"),
+        round(col("v"), 6).as("v_r"))
+
+  // Expected calibration error (Evaluate.ece): the q126 bin grid
+  // collapsed to ONE exact integer numerator Σ|pos·1e6 − s_ppm| and a
+  // single division.
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    Evaluate.ece(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), col("lang") =!= "en",
+        nBins = 10)
+      .select(col("n"), col("ece_num"), round(col("ece"), 6).as("ece_r"))
+
   // Greedy k-center coreset (Ann.kCenter): deterministic Gonzalez
   // farthest-point selection over the embeddings — each round one
   // map-only scan + a 1-row argmax; the oracle unrolls the identical
@@ -2556,7 +2598,11 @@ object SparkEntry {
     "q160_robust_anom" -> (q160 _),
     "q161_cohort_value" -> (q161 _),
     "q162_basket_lift" -> (q162 _),
-    "q163_concentration" -> (q163 _))
+    "q163_concentration" -> (q163 _),
+    "q164_lift_table" -> (q164 _),
+    "q165_psi" -> (q165 _),
+    "q166_cramers_v" -> (q166 _),
+    "q167_ece" -> (q167 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6109,7 +6155,92 @@ object SparkEntry {
              / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini_r,
            round(CAST(xx AS DOUBLE)
              / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi_r
-         FROM agg"""
+         FROM agg""",
+
+    // q164: score-descending ranks under (sc DESC, doc_id), exact
+    // integer decile bins (gi*10)//n, windowed cumulatives over the
+    // ten bin rows, identical gain/lift float chains
+    "q164_lift_table" ->
+      s"""WITH $qualityScorePosCtes,
+         s AS (SELECT doc_id, sc, 1 - pos AS p FROM q
+           WHERE sc IS NOT NULL),
+         r AS (SELECT sc, p,
+             row_number() OVER (ORDER BY sc DESC, doc_id) - 1 AS gi
+           FROM s),
+         tt AS (SELECT count(*) AS n, sum(p) AS tp FROM s),
+         b AS (SELECT CAST((gi * 10) // n AS INTEGER) AS bin,
+             count(*) AS n_b, sum(p) AS np
+           FROM r CROSS JOIN tt GROUP BY 1),
+         c AS (SELECT bin, n_b, np, sum(n_b) OVER (ORDER BY bin) AS cn,
+             sum(np) OVER (ORDER BY bin) AS cp FROM b)
+         SELECT bin, CAST(n_b AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
+           CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos,
+           round(CAST(cp AS DOUBLE) / tp, 6) AS gain_r,
+           round((CAST(cp AS DOUBLE) / cn)
+             / (CAST(tp AS DOUBLE) / n), 6) AS lift_r
+         FROM c CROSS JOIN tt ORDER BY bin""",
+
+    // q165: clamped floor(sc*10) bins per side, Laplace +1 smoothing,
+    // the identical (p-q)*ln(p/q)*1e9 chain rounded to ppb longs
+    "q165_psi" ->
+      s"""WITH $qualityScorePosCtes,
+         bi AS (SELECT greatest(least(CAST(floor(sc * 10) AS INTEGER), 9),
+             0) AS bin, pos FROM q WHERE sc IS NOT NULL),
+         g AS (SELECT CAST(r.range AS INTEGER) AS bin FROM range(0, 10) r),
+         k1 AS (SELECT bin, count(*) AS c FROM bi WHERE pos = 1
+           GROUP BY bin),
+         k2 AS (SELECT bin, count(*) AS c FROM bi WHERE pos = 0
+           GROUP BY bin),
+         mm AS (SELECT g.bin, coalesce(k1.c, 0) AS c1,
+             coalesce(k2.c, 0) AS c2
+           FROM g LEFT JOIN k1 ON g.bin = k1.bin
+             LEFT JOIN k2 ON g.bin = k2.bin),
+         tt AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM mm)
+         SELECT bin, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(round(((c1 + 1.0) / (n1 + 10) - (c2 + 1.0) / (n2 + 10))
+             * ln(((c1 + 1.0) / (n1 + 10)) / ((c2 + 1.0) / (n2 + 10)))
+             * 1e9) AS BIGINT) AS psi_ppb
+         FROM mm CROSS JOIN tt ORDER BY bin""",
+
+    // q166: observed contingency cells only, the o²·1e9/(r·c) ppb cell
+    // terms, χ² = n·(Σ/1e9 − 1), V with the min-dimension normalizer
+    "q166_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+         cbt AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+         tm AS (SELECT CAST(round(CAST(o * o AS DOUBLE)
+             / CAST(r * c AS DOUBLE) * 1e9) AS BIGINT) AS tp
+           FROM cells JOIN ra USING (a) JOIN cbt USING (b)),
+         ag AS (SELECT sum(tp) AS tsum FROM tm),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             count(DISTINCT a) AS ca, count(DISTINCT b) AS cb2 FROM cells)
+         SELECT n, CAST(ca AS BIGINT) AS card_a,
+           CAST(cb2 AS BIGINT) AS card_b,
+           CAST(tsum AS BIGINT) AS term_ppb_sum,
+           round(CAST(n AS DOUBLE) * (CAST(tsum AS DOUBLE) / 1e9 - 1.0),
+             6) AS chi2_r,
+           round(sqrt(greatest(CAST(n AS DOUBLE)
+               * (CAST(tsum AS DOUBLE) / 1e9 - 1.0), 0.0)
+             / (CAST(n AS DOUBLE)
+               * CAST(least(ca - 1, cb2 - 1) AS DOUBLE))), 6) AS v_r
+         FROM ag CROSS JOIN nn""",
+
+    // q167: the q126 bin grid collapsed to Σ|pos·1e6 − s_ppm| — one
+    // exact integer numerator, one division
+    "q167_ece" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT greatest(least(CAST(floor(sc * 10) AS INTEGER), 9),
+             0) AS bin, 1 - pos AS p,
+             CAST(round(sc * 1000000) AS BIGINT) AS sppm
+           FROM q WHERE sc IS NOT NULL),
+         g AS (SELECT bin, count(*) AS n, sum(p) AS np, sum(sppm) AS sp
+           FROM b GROUP BY bin)
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(abs(np * 1000000 - sp)) AS BIGINT) AS ece_num,
+           round(CAST(sum(abs(np * 1000000 - sp)) AS DOUBLE)
+             / (CAST(sum(n) AS DOUBLE) * 1e6), 6) AS ece_r
+         FROM g"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the

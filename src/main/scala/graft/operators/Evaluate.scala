@@ -543,6 +543,136 @@ object Evaluate {
           .as("anomaly"): _*)
   }
 
+  /** Decile lift / cumulative-gains table — the classifier-targeting
+    * report (score the corpus, take the top decile, how much of the
+    * positive mass did you capture?). Rows are ranked score-DESCENDING
+    * under the deterministic (−score, key) total order via
+    * [[GroupOps.globalOrderIndex]] (never a 1-partition sort), binned
+    * by exact integer `(rank·nBins) div n`, then cumulated over the
+    * ≤ nBins bin rows. All counts exact; gain/lift one float chain
+    * each. Returns (bin, n, n_pos, cum_n, cum_pos, gain, lift). */
+  def liftTable(df: DataFrame, score: Column, positive: Column,
+      key: Column, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = df.select(score.cast("double").as("_s"),
+        when(positive, 1L).otherwise(0L).as("_p"), key.as("_k"))
+      .where(col("_s").isNotNull)
+    val idx = GroupOps.globalOrderIndex(base, "_gi",
+      (-col("_s")).as("_ns"), col("_k"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val bins = idx.crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"(_gi * $nBins) div _n").cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_p").as("n_pos"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .crossJoin(broadcast(
+        base.agg(count(lit(1)).as("_tn"), sum("_p").as("_tp"))))
+      .withColumn("gain",
+        when(col("_tp") > 0L,
+          col("cum_pos").cast("double") / col("_tp").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("lift",
+        when(col("_tp") > 0L && col("cum_n") > 0L,
+          (col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("_tp").cast("double") / col("_tn").cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .select("bin", "n", "n_pos", "cum_n", "cum_pos", "gain", "lift")
+  }
+
+  /** Population Stability Index between two slices of a [0,1] score —
+    * the industry-standard model/feature drift monitor. Bins are
+    * clamped floor(score·nBins) (the [[calibrationBins]] rule); both
+    * sides are Laplace-smoothed (+1 per bin over n+nBins) so empty
+    * bins stay finite and deterministic; each bin's
+    * (p−q)·ln(p/q) contribution is ONE fixed float chain rounded to a
+    * ppb long (the q123 JS pattern — order-free exact sums, the whole
+    * float chain gated through the integer column). Returns one row
+    * per bin (bin, c1, c2, psi_ppb) — total PSI = Σ psi_ppb / 1e9. */
+  def psiBins(a: DataFrame, b: DataFrame, score: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    def binned(df: DataFrame, cName: String): DataFrame =
+      df.select(score.cast("double").as("_s")).where(col("_s").isNotNull)
+        .select(greatest(least(floor(col("_s") * nBins).cast("int"),
+          lit(nBins - 1)), lit(0)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cName))
+    val spark = a.sparkSession
+    val allBins = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val m = allBins
+      .join(binned(a, "_c1"), Seq("bin"), "left")
+      .join(binned(b, "_c2"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_c1"), lit(0L)).as("c1"),
+        coalesce(col("_c2"), lit(0L)).as("c2"))
+    val tot = m.agg(sum("c1").as("_n1"), sum("c2").as("_n2"))
+    m.crossJoin(broadcast(tot))
+      .withColumn("_p", (col("c1") + 1L).cast("double") /
+        (col("_n1") + nBins).cast("double"))
+      .withColumn("_q", (col("c2") + 1L).cast("double") /
+        (col("_n2") + nBins).cast("double"))
+      .withColumn("psi_ppb",
+        round((col("_p") - col("_q")) * log(col("_p") / col("_q")) * 1e9)
+          .cast("long"))
+      .select("bin", "c1", "c2", "psi_ppb")
+  }
+
+  /** Cramér's V association between two categorical columns (is `lang`
+    * confounded with `source`?) via the observed-cells-only identity
+    * χ² = n·(Σ o²/(r·c) − 1): each cell term is one float chain rounded
+    * to a ppb long (order-free exact sum), V = √(χ²/(n·min(R−1,C−1))).
+    * One contingency aggregation + two marginal aggs — any scale.
+    * Returns one row (n, rows, cols, term_ppb_sum, chi2, v). */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).as("_o"))
+    val ra = cells.groupBy("_a").agg(sum("_o").as("_r"))
+    val cb = cells.groupBy("_b").agg(sum("_o").as("_c"))
+    val terms = cells.join(ra, Seq("_a")).join(cb, Seq("_b"))
+      .select(round((col("_o") * col("_o")).cast("double") /
+        (col("_r") * col("_c")).cast("double") * 1e9).cast("long")
+        .as("_t"))
+    val agg = terms.agg(sum("_t").as("term_ppb_sum"))
+      .crossJoin(broadcast(cells.agg(sum("_o").as("n"),
+        countDistinct("_a").as("card_a"), countDistinct("_b").as("card_b"))))
+    agg
+      .withColumn("chi2",
+        col("n").cast("double") *
+          (col("term_ppb_sum").cast("double") / 1e9 - 1.0))
+      .withColumn("v",
+        when(col("card_a") > 1L && col("card_b") > 1L && col("n") > 0L,
+          sqrt(greatest(col("chi2"), lit(0.0)) /
+            (col("n").cast("double") *
+              least(col("card_a") - 1L, col("card_b") - 1L).cast("double"))))
+          .otherwise(lit(null).cast("double")))
+      .select("n", "card_a", "card_b", "term_ppb_sum", "chi2", "v")
+  }
+
+  /** Expected Calibration Error over the [[calibrationBins]] grid —
+    * and it reduces to an EXACT integer numerator: with per-bin
+    * positives p_i and ppm score sums s_i,
+    *
+    *   ECE = Σ_i (n_i/n)·|p_i/n_i − s_i/(n_i·10⁶)|
+    *       = Σ_i |p_i·10⁶ − s_i| / (n·10⁶)
+    *
+    * so the whole statistic is one order-free integer sum and ONE
+    * division. Returns (n, ece_num, ece). */
+  def ece(df: DataFrame, score: Column, positive: Column,
+      nBins: Int = 10): DataFrame = {
+    val bins = calibrationBins(df, score, positive, nBins)
+    bins.agg(sum("n").as("n"),
+        sum(abs(col("n_pos") * 1000000L - col("score_ppm_sum")))
+          .as("ece_num"))
+      .withColumn("ece",
+        when(col("n") > 0L,
+          col("ece_num").cast("double") / (col("n").cast("double") * 1e6))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Word n-grams of a token array as joined strings (positions 1..len−n+1,
     * space-joined — tokens are the lowercased alnum runs, so the join is
     * unambiguous). Empty when the text is shorter than n. */

@@ -194,6 +194,58 @@ class BleuSpec extends SparkSuite {
     assert(out.filter(_._1._1 == "B").values.forall(!_._4))
   }
 
+  test("liftTable: hand deciles, cumulative gains, top-bin lift") {
+    // 10 rows scored 1.0 down to 0.1; positives are the top 3 scores
+    val rows = (1 to 10).map(i => (i.toLong, (11 - i) / 10.0, i <= 3))
+    val out = Evaluate.liftTable(rows.toDF("id", "s", "p"),
+        col("s"), col("p"), col("id"), nBins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // bins of 2 in score-desc order: bin0 = scores 1.0,0.9 (2 pos)
+    assert(out(0) == ((0, 2L, 2L, 2L, 2L, 2.0 / 3, (2.0 / 2) / (3.0 / 10))))
+    // bin1 holds the last positive (0.8): cum_pos = 3 -> gain 1.0
+    assert(out(1)._3 == 1L && out(1)._5 == 3L && out(1)._6 == 1.0)
+    assert(out(4)._4 == 10L && out(4)._5 == 3L && out(4)._7 == 1.0)
+  }
+
+  test("psiBins: identical slices -> 0 everywhere, shifted mass -> positive total, hand bin value") {
+    val a = Seq(0.05, 0.15, 0.15, 0.95).toDF("s")
+    val same = Evaluate.psiBins(a, a, col("s")).collect()
+    assert(same.length == 10 && same.forall(_.getLong(3) == 0L))
+    val b = Seq(0.55, 0.65, 0.65, 0.95).toDF("s")
+    val drift = Evaluate.psiBins(a, b, col("s")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // bin 0: c1=1, c2=0 -> p=2/14, q=1/14 -> (1/14)*ln(2)*1e9
+    val want = math.round((2.0 / 14 - 1.0 / 14) *
+      math.log((2.0 / 14) / (1.0 / 14)) * 1e9)
+    assert(drift(0) == ((1L, 0L, want)))
+    assert(drift.values.map(_._3).sum > 0L)
+  }
+
+  test("cramersV: perfect association -> 1, hand 2x2") {
+    val perfect = Seq(("x", "a"), ("x", "a"), ("y", "b"), ("y", "b"))
+      .toDF("u", "v")
+    val r = Evaluate.cramersV(perfect, col("u"), col("v")).head
+    // terms: each cell o=2, r=c=2 -> 4/4 = 1 -> 1e9; sum 2e9
+    assert(r.getLong(0) == 4L && r.getLong(3) == 2000000000L)
+    assert(r.getDouble(4) == 4.0 * (2.0 - 1.0)) // chi2 = n
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-9)
+    // single-category column -> null V
+    val degen = Seq(("x", "a"), ("x", "b")).toDF("u", "v")
+    assert(Evaluate.cramersV(degen, col("u"), col("v")).head.isNullAt(5))
+  }
+
+  test("ece: integer numerator, perfectly calibrated bin contributes 0") {
+    // two rows at 0.5 with one positive: |1e6 - 2*5e5| = 0
+    // one row at 0.9 negative: |0 - 9e5| = 900000
+    val rows = Seq((0.5, true), (0.5, false), (0.9, false)).toDF("s", "p")
+    val r = Evaluate.ece(rows, col("s"), col("p")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 900000L)
+    assert(r.getDouble(2) == 900000.0 / 3e6)
+  }
+
   test("spearmanExact: monotone -> 1, reversed -> -1, ties, constant null") {
     // num = var exactly for perfect monotone, so rho = v/(sqrt v * sqrt v)
     // — 1 ulp shy of 1.0 by the float chain's own arithmetic
