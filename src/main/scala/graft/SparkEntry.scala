@@ -2370,6 +2370,41 @@ object SparkEntry {
       .select(col("n_groups"), col("total"), col("gini_num"),
         round(col("gini"), 6).as("gini_r"), round(col("hhi"), 6).as("hhi_r"))
 
+  // ROLLUP subtotal grid (native Spark rollup -> DuckDB GROUP BY
+  // ROLLUP): the SURVEY §2.5 "grouping sets are free on Spark" line,
+  // now driver-gated. Rollup nulls are masked to 'ALL' on both engines
+  // (the data has no genuine nulls).
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  // PIVOT to a fixed column set (native Spark pivot -> conditional
+  // aggregation in the oracle): per-source language count matrix.
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
+  // INTERSECT / EXCEPT set semantics (SURVEY §2.8's "free" line,
+  // gated): (source, lang) tuples present in both id-parity halves vs
+  // only the even half — distinct set semantics on both engines.
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.where(col("doc_id") % 2 === 0).select("source", "lang")
+    val b = d.where(col("doc_id") % 2 =!= 0).select("source", "lang")
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionByName(a.except(b).withColumn("op", lit("even_only")))
+      .orderBy("op", "source", "lang")
+  }
+
   // Decile lift / cumulative gains (Evaluate.liftTable): quality score
   // targeting non-English docs — score-descending exact deciles under
   // the (−score, doc_id) total order, integer counts, gain/lift one
@@ -2602,7 +2637,10 @@ object SparkEntry {
     "q164_lift_table" -> (q164 _),
     "q165_psi" -> (q165 _),
     "q166_cramers_v" -> (q166 _),
-    "q167_ece" -> (q167 _))
+    "q167_ece" -> (q167 _),
+    "q168_rollup" -> (q168 _),
+    "q169_pivot" -> (q169 _),
+    "q170_setops" -> (q170 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6240,7 +6278,37 @@ object SparkEntry {
            CAST(sum(abs(np * 1000000 - sp)) AS BIGINT) AS ece_num,
            round(CAST(sum(abs(np * 1000000 - sp)) AS DOUBLE)
              / (CAST(sum(n) AS DOUBLE) * 1e6), 6) AS ece_r
-         FROM g"""
+         FROM g""",
+
+    // q168: GROUP BY ROLLUP with the same ALL masking
+    "q168_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+
+    // q169: the pivot as conditional aggregation with the same fixed
+    // column set
+    "q169_pivot" ->
+      """SELECT source,
+           count(*) FILTER (lang = 'en') AS en,
+           count(*) FILTER (lang = 'fr') AS fr,
+           count(*) FILTER (lang = 'de') AS de,
+           count(*) FILTER (lang = 'es') AS es,
+           count(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+
+    // q170: INTERSECT/EXCEPT distinct set semantics, same halves
+    "q170_setops" ->
+      """WITH a AS (SELECT source, lang FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT source, lang FROM documents WHERE doc_id % 2 <> 0)
+         SELECT source, lang, 'both' AS op FROM (
+           SELECT source, lang FROM a INTERSECT SELECT source, lang FROM b)
+         UNION ALL
+         SELECT source, lang, 'even_only' AS op FROM (
+           SELECT source, lang FROM a EXCEPT SELECT source, lang FROM b)
+         ORDER BY op, source, lang"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the
