@@ -323,6 +323,28 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       alphaNum: Long, alphaDen: Long): DataFrame =
     Evaluate.conformal(calib.df, df, score, alphaNum, alphaDen)
 
+  /** Greedy k-center coreset over the embedding column: the diverse
+    * prototype subset (selection order, id, distance when chosen). */
+  def coreset(k: Int, vecCol: String = "embedding"): DataFrame =
+    Ann.kCenter(df, idCol, vecCol, k)
+
+  /** Exact 1-D Wasserstein drift of an integer measure vs another
+    * array — the total-transport complement of the KS max-gap. */
+  def driftW1(other: DocArray, value: Column): DataFrame =
+    Evaluate.w1Test2(df, other.df, value)
+
+  /** PSI drift of a [0,1] score distribution vs another array
+    * (per-bin ppb contributions; total = Σ psi_ppb / 1e9). */
+  def driftPsi(other: DocArray, score: Column,
+      nBins: Int = 10): DataFrame =
+    Evaluate.psiBins(df, other.df, score, nBins)
+
+  /** Expected calibration error of a [0,1] score against a boolean
+    * outcome (exact integer numerator). */
+  def calibrationError(score: Column, positive: Column,
+      nBins: Int = 10): DataFrame =
+    Evaluate.ece(df, score, positive, nBins)
+
   /** C4's bad-words rule: adds `keep` = no token on the blocklist.
     * Map-only broadcast-literal containment check. */
   def blocklistFilter(words: Seq[String],

@@ -2370,7 +2370,40 @@ object SparkEntry {
       .select(col("n_groups"), col("total"), col("gini_num"),
         round(col("gini"), 6).as("gini_r"), round(col("hhi"), 6).as("hhi_r"))
 
-  // ROLLUP subtotal grid (native Spark rollup -> DuckDB GROUP BY
+  // DTW similarity matrix between event types' daily-volume curves
+  // (native dtw_distance kernel): zero-filled aligned day series, all
+  // type pairs — shape similarity that tolerates local stretching.
+  // The oracle refolds every DP table flat row-major (q122's
+  // technique) with the same finite sentinel boundaries.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_type").as("g"),
+      expr("ts div 86400000000000").as("b"))
+    val span = ev.agg(min("b").as("b0"), max("b").as("b1"))
+    val counts = ev.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val grid = counts.select("g").distinct().crossJoin(broadcast(span))
+      .select(col("g"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    val series = grid.join(counts, Seq("g", "b"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+      .groupBy("g")
+      .agg(transform(sort_array(collect_list(struct(col("b"), col("x")))),
+        p => p.getField("x")).as("v"))
+    val a = series.select(col("g").as("ga"), col("v").as("va"))
+    val b = series.select(col("g").as("gb"), col("v").as("vb"))
+    a.join(b, col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        dtw_distance(col("va"), col("vb")).as("dtw"))
+      .orderBy("ga", "gb")
+  }
+
+  // Benford first-digit forensics (Quality.benfordDigits) over order
+  // totals in integer cents — the fabricated-data smell test; exact
+  // observed counts, expected/χ²-contribution chains as rounded
+  // integer columns. (The synthetic uniform prices FAIL Benford —
+  // which is precisely the true-positive this flag exists to raise.)
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    Quality.benfordDigits(t(s, dir, "orders"),
+        round(col("o_totalprice") * 100))
+      .orderBy("digit")
   // ROLLUP): the SURVEY §2.5 "grouping sets are free on Spark" line,
   // now driver-gated. Rollup nulls are masked to 'ALL' on both engines
   // (the data has no genuine nulls).
@@ -2640,7 +2673,9 @@ object SparkEntry {
     "q167_ece" -> (q167 _),
     "q168_rollup" -> (q168 _),
     "q169_pivot" -> (q169 _),
-    "q170_setops" -> (q170 _))
+    "q170_setops" -> (q170 _),
+    "q171_dtw" -> (q171 _),
+    "q172_benford" -> (q172 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6308,7 +6343,60 @@ object SparkEntry {
          UNION ALL
          SELECT source, lang, 'even_only' AS op FROM (
            SELECT source, lang FROM a EXCEPT SELECT source, lang FROM b)
-         ORDER BY op, source, lang"""
+         ORDER BY op, source, lang""",
+
+    // q171: aligned zero-filled day series per type, then every DTW DP
+    // table refolded flat row-major (q122's technique) with the same
+    // 1e15 sentinel boundaries and |a-b| + least(diag, up, left) rule
+    "q171_dtw" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         sr AS (SELECT grid.g, list(coalesce(cnt, 0) ORDER BY grid.b) AS v
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b
+           GROUP BY grid.g),
+         pr AS (SELECT a.g AS ga, b.g AS gb, a.v AS va, b.v AS vb
+           FROM sr a JOIN sr b ON a.g < b.g)
+         SELECT ga, gb,
+           CAST(list_reduce(
+             list_prepend(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(vb) + 1),
+                   x -> CAST(1000000000000000 AS BIGINT))),
+               list_transform(range(1, len(va) * (len(vb) + 1) + 1),
+                 k -> [CAST((k - 1) // (len(vb) + 1) AS INTEGER) + 1,
+                       CAST((k - 1) % (len(vb) + 1) AS INTEGER)])),
+             (acc, m) -> list_append(acc,
+               CASE WHEN m[2] = 0 THEN CAST(1000000000000000 AS BIGINT)
+                    ELSE abs(va[m[1]] - vb[m[2]])
+                      + least(acc[(m[1] - 1) * (len(vb) + 1) + m[2]],
+                              acc[(m[1] - 1) * (len(vb) + 1) + m[2] + 1],
+                              acc[(m[1]) * (len(vb) + 1) + m[2]]) END)
+           )[len(va) * (len(vb) + 1) + len(vb) + 1] AS BIGINT) AS dtw
+         FROM pr ORDER BY ga, gb""",
+
+    // q172: first digit from the integer's decimal string, exact
+    // counts, identical expected/contribution float chains
+    "q172_benford" ->
+      """WITH d AS (SELECT CAST(left(CAST(CAST(round(o_totalprice * 100)
+               AS BIGINT) AS VARCHAR), 1) AS INTEGER) AS digit
+           FROM orders
+           WHERE round(o_totalprice * 100) > 0),
+         g AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+         t AS (SELECT sum(obs) AS n FROM g)
+         SELECT digit, CAST(obs AS BIGINT) AS obs,
+           CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1e9) AS BIGINT)
+             AS exp_ppb,
+           CAST(round((obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             * (obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+             / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1e6) AS BIGINT)
+             AS contrib_micro
+         FROM g CROSS JOIN t ORDER BY digit"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the

@@ -55,3 +55,58 @@ case class LcsLength(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "lcs_length"
 }
+
+/** dtw_distance(a, b) → long: dynamic-time-warping alignment cost of
+  * two integer series under |aᵢ − bⱼ| cost (full window, classic
+  * O(n·m) two-row DP) — the shape-similarity measure for time series
+  * that tolerates local stretching (daily-volume curves, session
+  * rhythms). Boundary semantics: dp(0,0) = 0, first row/column
+  * unreachable (a large finite sentinel, so the same fold replays in
+  * any engine without IEEE infinities). Exact integers throughout;
+  * empty or null-element inputs yield null. */
+case class DtwDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dtw_distance expects (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+    }
+
+  private val Inf = 1000000000000000L // 1e15: finite, engine-portable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    var j = 0
+    while (j < m) { if (b.isNullAt(j)) return null; j += 1 }
+    val prev = new Array[Long](m + 1)
+    val cur = new Array[Long](m + 1)
+    java.util.Arrays.fill(prev, Inf); prev(0) = 0L
+    i = 1
+    while (i <= n) {
+      cur(0) = Inf
+      val ai = a.getLong(i - 1)
+      j = 1
+      while (j <= m) {
+        val cost = math.abs(ai - b.getLong(j - 1))
+        cur(j) = cost + math.min(prev(j - 1), math.min(prev(j), cur(j - 1)))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "dtw_distance"
+}

@@ -78,6 +78,10 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     Bridge.column(LcsLength(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Dynamic-time-warping cost of two integer series (exact DP). */
+  def dtw_distance(a: Column, b: Column): Column =
+    Bridge.column(DtwDistance(Bridge.expression(a), Bridge.expression(b)))
+
   /** Highest-set-bit position of a long (0 for 0) — codegen'd clz. */
   def bit_length64(c: Column): Column =
     Bridge.column(BitLength64(Bridge.expression(c)))
@@ -236,6 +240,7 @@ package object functions {
       "topk_by_distance" -> (exprs =>
         TopKByDistance(exprs(0), exprs(1), litInt(exprs(2)))),
       "lcs_length" -> (exprs => LcsLength(exprs(0), exprs(1))),
+      "dtw_distance" -> (exprs => DtwDistance(exprs(0), exprs(1))),
       "jaro_similarity" -> (exprs => JaroSimilarity(exprs(0), exprs(1))),
       "redact_cards" -> (exprs => RedactCards(exprs(0))),
       "card_run_stats" -> (exprs => CardRunStats(exprs(0))),

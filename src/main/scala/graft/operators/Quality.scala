@@ -156,4 +156,32 @@ object Quality {
         "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_dup_lines",
         "ok_top_word", "ok_top_bigram").map(col).reduce(_ && _))
   }
+
+  /** Benford first-digit forensics over a positive integer measure —
+    * the fabricated-/templated-data smell test (organic magnitudes
+    * follow log-uniform leading digits; synthetic uniform generators,
+    * copy-paste and capped fields don't). The first digit comes from
+    * the INTEGER's decimal string (portable across engines — never
+    * from float formatting); observed counts are exact; expected
+    * p_d = ln(1+1/d)/ln(10) and the per-digit χ² contribution
+    * (obs − n·p)²/(n·p) are fixed float chains reported as rounded
+    * integer columns (ppb / micro). One groupBy over ≤ 9 keys.
+    * Returns (digit, obs, exp_ppb, contrib_micro). */
+  def benfordDigits(df: DataFrame, positiveInt: Column): DataFrame = {
+    val d = df.select(positiveInt.cast("long").as("_c"))
+      .where(col("_c").isNotNull && col("_c") > 0L)
+      .select(substring(col("_c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val tot = d.agg(sum("obs").as("_n"))
+    val p = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    val diff = col("obs").cast("double") - col("_n").cast("double") * p
+    d.crossJoin(broadcast(tot))
+      .withColumn("exp_ppb", round(p * 1e9).cast("long"))
+      .withColumn("contrib_micro",
+        round(diff * diff / (col("_n").cast("double") * p) * 1e6)
+          .cast("long"))
+      .select("digit", "obs", "exp_ppb", "contrib_micro")
+  }
 }

@@ -158,4 +158,28 @@ class DocArraySpec extends SparkSuite {
     assert(cf.getAs[Long]("n_cal") > 0 && cf.getAs[Long]("n_eval") > 0)
     assert(cf.getAs[Double]("coverage") >= 0.8) // ~1-alpha by construction
   }
+
+  test("coreset / driftW1 / driftPsi / calibrationError facades") {
+    val emb = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"))
+    val cs = emb.coreset(4)
+    assert(cs.count() == 4 &&
+      cs.columns.toSeq == Seq("sel_order", "id", "d2_sel"))
+
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val en = docs.where(col("lang") === "en")
+    val rest = docs.where(col("lang") =!= "en")
+    val w1 = en.driftW1(rest, col("n_chars")).head
+    assert(w1.getAs[Long]("n1") > 0 && !w1.isNullAt(3))
+
+    val psi = en.driftPsi(rest, length(col("text")) / 10000.0)
+    assert(psi.count() == 10)
+
+    val ece = docs.calibrationError(length(col("text")) / 10000.0,
+      col("lang") =!= "en").head
+    assert(ece.getAs[Long]("n") == docs.count())
+  }
 }

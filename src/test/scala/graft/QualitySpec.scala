@@ -265,4 +265,19 @@ class QualitySpec extends SparkSuite {
       .orderBy("id").collect().map(r => r.getBoolean(2))
     assert(got.toSeq == Seq(true, false, true, false, true, false))
   }
+
+  test("benfordDigits: exact digit counts from integer strings, expected ppb, nonpositive dropped") {
+    val vals = Seq(1L, 19L, 123L, 2L, 25L, 999L, 0L, -7L)
+    val out = Quality.benfordDigits(vals.toDF("v"), col("v"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // digits: 1,1,1,2,2,9 (0 and -7 dropped) -> n = 6
+    assert(out.keySet == Set(1, 2, 9))
+    assert(out(1)._1 == 3L && out(2)._1 == 2L && out(9)._1 == 1L)
+    assert(out(1)._2 == math.round(math.log(2.0) / math.log(10.0) * 1e9))
+    // contribution replays the double chain exactly
+    val p9 = math.log(1.0 + 1.0 / 9) / math.log(10.0)
+    val d9 = 1.0 - 6.0 * p9
+    assert(out(9)._3 == math.round(d9 * d9 / (6.0 * p9) * 1e6))
+  }
 }

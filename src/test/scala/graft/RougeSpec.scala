@@ -52,4 +52,40 @@ class RougeSpec extends SparkSuite {
     assert(out(1L) === ((0L, 2L, 0L, 0.0)))
     assert(out(2L) === ((2L, 0L, 0L, 0.0)))
   }
+
+  test("dtw_distance: hand cases, reference parity, null rules") {
+    import spark.implicits._
+    import graft.functions.dtw_distance
+    def refDtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val inf = 1000000000000000L
+      val dp = Array.fill(a.length + 1, b.length + 1)(inf)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j - 1), math.min(dp(i - 1)(j), dp(i)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    def run(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(dtw_distance(col("a"), col("b"))).head.getLong(0)
+    assert(run(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0L)
+    assert(run(Seq(1L), Seq(5L)) == 4L)
+    assert(run(Seq(0L, 0L), Seq(3L)) == 6L) // both map onto the single b
+    // warping beats lockstep: a shifted spike aligns cheaply
+    assert(run(Seq(0L, 5L, 0L, 0L), Seq(0L, 0L, 5L, 0L)) == 0L)
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 10) {
+      val a = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextInt(20).toLong)
+      val b = Seq.fill(rnd.nextInt(8) + 1)(rnd.nextInt(20).toLong)
+      assert(run(a, b) == refDtw(a, b))
+    }
+    // empty input -> null
+    val e = Seq((Seq.empty[Long], Seq(1L))).toDF("a", "b")
+      .select(dtw_distance(col("a"), col("b"))).head
+    assert(e.isNullAt(0))
+    // SQL registration parity
+    graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT dtw_distance(array(1L,2L), array(2L,2L))")
+      .head.getLong(0) == 1L)
+  }
 }
