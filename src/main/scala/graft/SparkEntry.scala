@@ -2404,6 +2404,96 @@ object SparkEntry {
     Quality.benfordDigits(t(s, dir, "orders"),
         round(col("o_totalprice") * 100))
       .orderBy("digit")
+
+  // Window-function surface (lag/lead/ntile/row_number over a
+  // partitioned total order) — the §2.7 sequence-analytics "free on
+  // Spark" line, driver-gated against DuckDB's identical standard
+  // window semantics (ntile: first n mod b buckets take the extra
+  // row). Partition key = customer, so the window is bounded per
+  // customer and scale-safe; the custkey filter sits ON the partition
+  // key and Catalyst pushes it below the window.
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_cents",
+        lag(round(col("o_totalprice") * 100).cast("long"), 1).over(w))
+      .withColumn("next_cents",
+        lead(round(col("o_totalprice") * 100).cast("long"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .where(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("prev_cents"), col("next_cents"), col("quartile"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // LEFT SEMI / LEFT ANTI join semantics (the §2.8 membership /
+  // exclusion lines as native join types, not reduce-based set ops):
+  // per-nation counts of customers with and without orders. The anti
+  // side is the classic "docs not yet ingested" shape.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    def side(joinType: String, out: String) =
+      c.join(o, c("c_custkey") === o("o_custkey"), joinType)
+        .groupBy("c_nationkey").agg(count(lit(1)).as(out))
+    side("left_semi", "n_with")
+      .join(side("left_anti", "n_without"), Seq("c_nationkey"), "full")
+      .select(col("c_nationkey"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("c_nationkey")
+  }
+
+  // Exact per-group order statistics (lower/upper median +
+  // percentile_disc(0.9)) via a partitioned row_number — the exact
+  // quantile surface over raw rows. NOTE the scale contract: the
+  // window partitions by l_returnflag (6 groups), so this exact shape
+  // is for bounded-cardinality groups; at 100 TB with huge groups the
+  // scale paths are Sketch.histQuantiles (bounded-memory log bins,
+  // gated q119) and GroupOps.globalOrderIndex selection (gated q153).
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy("rf")
+      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+      .groupBy("rf", "n").agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("qty"))).as("med_lo"),
+        max(when(col("rk") === expr("(n + 2) div 2"), col("qty"))).as("med_hi"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("qty"))).as("p90"))
+      .orderBy("rf")
+  }
+
+  // Exact verified heavy hitters (Sketch.heavyHitters): per-partition
+  // Misra–Gries candidate summaries + ONE exact count pass restricted
+  // to the candidate set — the full-vocabulary shuffle never happens,
+  // yet the output (count·k > N in exact integers) is unique and
+  // layout-invariant, so plain GROUP BY + HAVING replays it.
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    Sketch.heavyHitters(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0),
+      col("w"), k = 30)
+      .orderBy("key")
+
+  // Delete-one-block jackknife SE of mean order value
+  // (Evaluate.jackknifeMean): 32 orderkey-keyed blocks, exact integer
+  // partials, LOO means folded in fixed block order — metric
+  // uncertainty without resampling the data.
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    Evaluate.jackknifeMean(t(s, dir, "orders"),
+        round(col("o_totalprice") * 100), pmod(col("o_orderkey"), lit(32)))
+      .select(col("n"), col("s"), col("b_used"),
+        round(col("mean"), 6).as("mean_r"),
+        round(col("m_dot"), 6).as("m_dot_r"),
+        round(col("se_jack"), 6).as("se_r"))
   // ROLLUP): the SURVEY §2.5 "grouping sets are free on Spark" line,
   // now driver-gated. Rollup nulls are masked to 'ALL' on both engines
   // (the data has no genuine nulls).
@@ -2675,7 +2765,12 @@ object SparkEntry {
     "q169_pivot" -> (q169 _),
     "q170_setops" -> (q170 _),
     "q171_dtw" -> (q171 _),
-    "q172_benford" -> (q172 _))
+    "q172_benford" -> (q172 _),
+    "q173_window_funcs" -> (q173 _),
+    "q174_semi_anti" -> (q174 _),
+    "q175_group_quantiles" -> (q175 _),
+    "q176_heavy_hitters" -> (q176 _),
+    "q177_jackknife" -> (q177 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6396,7 +6491,93 @@ object SparkEntry {
              * (obs - n * (ln(1.0 + 1.0 / digit) / ln(10.0)))
              / (n * (ln(1.0 + 1.0 / digit) / ln(10.0))) * 1e6) AS BIGINT)
              AS contrib_micro
-         FROM g CROSS JOIN t ORDER BY digit"""
+         FROM g CROSS JOIN t ORDER BY digit""",
+
+    // q173: identical standard window semantics; the custkey filter is
+    // on the partition key, so pre- vs post-window filtering agree
+    "q173_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           lag(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w
+             AS prev_cents,
+           lead(CAST(round(o_totalprice * 100) AS BIGINT), 1) OVER w
+             AS next_cents,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WHERE o_custkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+
+    // q174: semi/anti as EXISTS / NOT EXISTS over the same key; every
+    // nation with a customer appears (the two counts partition them)
+    "q174_semi_anti" ->
+      """WITH f AS (SELECT c_nationkey,
+             EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS has_o
+           FROM customer c)
+         SELECT c_nationkey,
+           CAST(count(*) FILTER (has_o) AS BIGINT) AS n_with,
+           CAST(count(*) FILTER (NOT has_o) AS BIGINT) AS n_without
+         FROM f GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // q175: the same partitioned row_number selection — rank ties are
+    // impossible (the (qty, orderkey, linenumber) order is total)
+    "q175_group_quantiles" ->
+      """WITH r AS (SELECT l_returnflag AS rf,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(l_quantity AS BIGINT), l_orderkey,
+                 l_linenumber) AS BIGINT) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT rf, CAST(n AS BIGINT) AS n,
+           max(qty) FILTER (rk = (n + 1) // 2) AS med_lo,
+           max(qty) FILTER (rk = (n + 2) // 2) AS med_hi,
+           max(qty) FILTER (rk = (9 * n + 9) // 10) AS p90
+         FROM r GROUP BY rf, n ORDER BY rf""",
+
+    // q176: the MG candidate pass is invisible to the result — exact
+    // counts + the integer threshold replay as GROUP BY + HAVING
+    "q176_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS key
+           FROM documents),
+         k AS (SELECT key FROM tok WHERE len(key) > 0),
+         g AS (SELECT key, count(*) AS cnt FROM k GROUP BY key),
+         t AS (SELECT sum(cnt) AS n_total FROM g)
+         SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(n_total AS BIGINT) AS n_total
+         FROM g CROSS JOIN t WHERE cnt * 30 > n_total ORDER BY key""",
+
+    // q177: LOO means are single divisions of exact integers (bit-equal
+    // across engines); both summary folds replayed in the same fixed
+    // ascending-block order via list_reduce
+    "q177_jackknife" ->
+      """WITH v AS (SELECT o_orderkey % 32 AS b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         per AS (SELECT b, count(*) AS n_b, sum(v) AS s_b FROM v GROUP BY b),
+         tot AS (SELECT sum(n_b) AS n, sum(s_b) AS s,
+             count(*) AS b_used FROM per),
+         loo AS (SELECT b, CAST(s - s_b AS DOUBLE)
+               / CAST(n - n_b AS DOUBLE) AS m
+           FROM per CROSS JOIN tot WHERE n > n_b),
+         ms AS (SELECT list(m ORDER BY b) AS ms FROM loo),
+         md AS (SELECT t.n, t.s, t.b_used, ms.ms,
+             list_reduce(list_prepend(0.0, ms.ms), (a, x) -> a + x)
+               / t.b_used AS m_dot
+           FROM ms CROSS JOIN tot t),
+         ssq AS (SELECT n, s, b_used, m_dot,
+             list_reduce(list_prepend(0.0,
+               [ (x - m_dot) * (x - m_dot) for x in ms ]),
+               (a, y) -> a + y) AS ss
+           FROM md)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           CAST(b_used AS BIGINT) AS b_used,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r,
+           round(m_dot, 6) AS m_dot_r,
+           round(sqrt(ss * CAST(b_used - 1 AS DOUBLE)
+             / CAST(b_used AS DOUBLE)), 6) AS se_r
+         FROM ssq"""
   )
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the

@@ -826,4 +826,42 @@ object Evaluate {
     import spark.implicits._
     rows.toDF("bin", "n", "n_pos", "iso_num", "iso_den", "iso")
   }
+
+  /** Delete-one-block jackknife standard error of a mean (Quenouille /
+    * Tukey — the block variant used for metric uncertainty at corpus
+    * scale, where i.i.d. resampling is unaffordable and rows within a
+    * block are correlated anyway). `value` must be an exact integer
+    * quantity (cents, tokens); `bucket` a deterministic block key the
+    * caller controls (e.g. `orderkey % B`), so the whole statistic is
+    * layout-invariant: per-block (n_b, s_b) integer partials collapse
+    * map-side, the ≤ B leave-one-block-out means m_b = (S−s_b)/(N−n_b)
+    * are each ONE float division of exact integers, and the two
+    * summary folds (Σm_b, Σ(m_b−m̄)²) run in fixed ascending-block
+    * order over an in-row array — replayable list_reduce-style in an
+    * external engine. var_jack = (B−1)/B · Σ(m_b − m̄)². Output one
+    * row: exact n / sum / blocks plus mean, m_dot, se_jack. */
+  def jackknifeMean(df: DataFrame, value: Column, bucket: Column): DataFrame = {
+    val per = df
+      .select(bucket.cast("long").as("b"), value.cast("long").as("v"))
+      .groupBy("b").agg(count(lit(1)).as("n_b"), sum("v").as("s_b"))
+    val tot = per.agg(sum("n_b").as("n"), sum("s_b").as("s"),
+      count(lit(1)).as("b_used"))
+    val loo = per.crossJoin(broadcast(tot))
+      .where(col("n") > col("n_b")) // a block owning every row has no LOO mean
+      .select(col("b"), col("n"), col("s"), col("b_used"),
+        ((col("s") - col("s_b")).cast("double") /
+          (col("n") - col("n_b")).cast("double")).as("m_loo"))
+    loo.groupBy("n", "s", "b_used")
+      .agg(transform(sort_array(collect_list(struct(col("b"), col("m_loo")))),
+        p => p.getField("m_loo")).as("ms"))
+      .withColumn("m_dot",
+        aggregate(col("ms"), lit(0.0), (acc, m) => acc + m) / col("b_used"))
+      .withColumn("ss", aggregate(col("ms"), lit(0.0),
+        (acc, m) => acc + (m - col("m_dot")) * (m - col("m_dot"))))
+      .select(col("n"), col("s"), col("b_used"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        col("m_dot"),
+        sqrt(col("ss") * (col("b_used") - 1).cast("double") /
+          col("b_used").cast("double")).as("se_jack"))
+  }
 }

@@ -389,4 +389,50 @@ object Sketch {
       .withColumn("lo", logBinLo(col("bin"), subBits))
       .withColumn("hi", logBinHi(col("bin"), subBits))
   }
+
+  /** Exact heavy hitters — every key with count·k > N — without a
+    * full-vocabulary shuffle (Misra & Gries 1982 summaries + the
+    * candidates-then-verify second pass). Pass 1 runs a Misra–Gries
+    * summary of `k·candidateFactor` counters INSIDE each partition
+    * (mapPartitions — genuine per-partition imperative state, the rare
+    * legitimate case) and emits only the surviving candidate keys: any
+    * key with global count > N/k has count > N_p/k on at least one
+    * partition and therefore survives that partition's summary, so the
+    * union of survivors is a guaranteed superset of the true heavy
+    * hitters. Pass 2 broadcast-joins the stream against the bounded
+    * (≤ parts·k·candidateFactor distinct) candidate set and takes ONE
+    * exact count aggregation over it, so the verify shuffle carries only
+    * candidate keys, never the vocabulary. The final output — exact
+    * counts, exact integer threshold cnt·k > N — is unique and
+    * layout-invariant even though MG survivor sets are order-dependent.
+    *
+    * Reference analogue: the frequent-terms slice of corpus summaries
+    * (array/mixins/plot.py vocabulary views); here it is the 100 TB
+    * path for "which boilerplate tokens dominate the crawl". */
+  def heavyHitters(df: DataFrame, key: Column, k: Int,
+      candidateFactor: Int = 4): DataFrame = {
+    require(k > 0 && candidateFactor > 0, "k and candidateFactor must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(key.cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val cap = k * candidateFactor
+    val cands = keyed.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { s =>
+        if (counts.contains(s)) counts.update(s, counts(s) + 1L)
+        else if (counts.size < cap) counts.update(s, 1L)
+        else { // decrement-all step: pairs with cap arrivals, amortized O(1)
+          counts.mapValuesInPlace((_, v) => v - 1L)
+          counts.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      counts.keysIterator
+    }.toDF("key").distinct()
+    val totals = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.join(broadcast(cands), Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .where(col("cnt") * k > col("n_total"))
+  }
 }

@@ -332,4 +332,20 @@ class BleuSpec extends SparkSuite {
       .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
     assert(Seq(0, 1, 2, 3).forall(b => out3(b) === 0.5))
   }
+
+  test("jackknifeMean: hand two-block case, layout invariance, one-block guard") {
+    // block 0 = {10, 20}, block 1 = {30, 40}: S=100, N=4, mean 25
+    // m_0 = 70/2 = 35, m_1 = 30/2 = 15 -> m_dot 25,
+    // ss = 100+100 = 200, var = (1/2)*200 -> se = 10
+    val df = Seq((0L, 10L), (0L, 20L), (1L, 30L), (1L, 40L)).toDF("b", "v")
+    val r = Evaluate.jackknifeMean(df, col("v"), col("b")).head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 100L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) === 25.0 && r.getDouble(4) === 25.0)
+    assert(r.getDouble(5) === 10.0)
+    val r7 = Evaluate.jackknifeMean(df.repartition(7), col("v"), col("b")).head
+    assert(r7.toSeq == r.toSeq)
+    // every row in one block: no leave-one-out mean exists -> empty
+    val one = Seq((3L, 5L), (3L, 7L)).toDF("b", "v")
+    assert(Evaluate.jackknifeMean(one, col("v"), col("b")).count() == 0L)
+  }
 }

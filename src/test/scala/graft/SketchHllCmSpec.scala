@@ -216,4 +216,39 @@ class SketchHllCmSpec extends SparkSuite {
     val a = x * x; val b = (x - 2.0) * (x - 2.0)
     assert(s2 === (b - a) / b)
   }
+
+  test("heavyHitters: exact vs brute force under real MG pruning, layout-invariant") {
+    // 5 hot keys (800 each) over a 10k-unique tail: cap = k*cf = 40
+    // counters per partition << 10005 distinct, so the MG decrement
+    // step actually fires; the verified output must still be exact.
+    val k = 20 // N = 14000 -> threshold count > 700; hot keys at 800 pass
+    val tail = (0 until 10000).map(i => s"tail$i")
+    val hot2 = (0 until 5).flatMap(h => Seq.fill(800)(s"hot$h"))
+    val data2 = new scala.util.Random(7).shuffle(hot2 ++ tail)
+    val n2 = data2.length.toLong // 14000; N/k = 700 < 800
+    val out = Sketch.heavyHitters(data2.toDF("w").repartition(7), col("w"), k,
+        candidateFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val expect = data2.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 * k > n2).keys.toSeq.sorted
+    assert(out.map(_._1).toSeq == expect)
+    assert(out.forall { case (kk, c, n) =>
+      c == data2.count(_ == kk).toLong && n == n2 })
+    // layout invariance of the exact output
+    val out1 = Sketch.heavyHitters(data2.toDF("w").repartition(1), col("w"), k,
+        candidateFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out1.toSeq == out.toSeq)
+  }
+
+  test("heavyHitters: strict integer threshold cnt*k > N") {
+    // 4 keys x 25 each: N=100, k=4 -> threshold cnt > 25 -> none pass
+    val df = (0 until 4).flatMap(i => Seq.fill(25)(s"k$i")).toDF("w")
+    assert(Sketch.heavyHitters(df, col("w"), 4).count() == 0L)
+    // one key at 26 of 101 passes 26*4 > 101
+    val df2 = ((0 until 4).flatMap(i => Seq.fill(25)(s"k$i")) :+ "k0").toDF("w")
+    val out = Sketch.heavyHitters(df2, col("w"), 4).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k0"))
+    assert(out.head.getLong(1) == 26L && out.head.getLong(2) == 101L)
+  }
 }
