@@ -328,6 +328,27 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def coreset(k: Int, vecCol: String = "embedding"): DataFrame =
     Ann.kCenter(df, idCol, vecCol, k)
 
+  /** Fixed-point PLSA topic model over the text column: deterministic
+    * integer EM — (theta, phi) ppm tables for topic-balanced mixing
+    * and corpus-diversity audits. */
+  def topicModel(k: Int, iters: Int = 2,
+      textCol: String = "text"): Plsa.Model =
+    Plsa.fit(df
+        .select(col(idCol).as("d"),
+          explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("d", "w")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c")),
+      "d", "w", "c", k, iters)
+
+  /** Exact verified heavy hitters of the token stream: every token
+    * with count·k > N, found without a full-vocabulary shuffle. */
+  def heavyTokens(k: Int, textCol: String = "text"): DataFrame =
+    Sketch.heavyHitters(df
+        .select(explode(split(col(textCol), " ")).as("w"))
+        .where(length(col("w")) > 0),
+      col("w"), k)
+
   /** Exact 1-D Wasserstein drift of an integer measure vs another
     * array — the total-transport complement of the KS max-gap. */
   def driftW1(other: DocArray, value: Column): DataFrame =

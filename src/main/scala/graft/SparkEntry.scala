@@ -2494,6 +2494,34 @@ object SparkEntry {
         round(col("mean"), 6).as("mean_r"),
         round(col("m_dot"), 6).as("m_dot_r"),
         round(col("se_jack"), 6).as("se_r"))
+
+  // Exact integer (doc, word) counts feeding the PLSA gates.
+  private def docTokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").as("d"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("d", "w").agg(count(lit(1)).as("c"))
+
+  // Fixed-point PLSA topic model (Plsa.fit): K=4 topics over the
+  // document bag-of-words, two full integer EM rounds — every
+  // probability a floor-divided ppm long, every sum exact, so the
+  // entire fit (init perturbation, E-step responsibilities, M-step
+  // renormalizations) replays step-for-step in the oracle. q178 gates
+  // the topic-word table φ.
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    Plsa.fit(docTokenCounts(s, dir), "d", "w", "c", k = 4, iters = 2)
+      .phi.orderBy("z", "w")
+
+  // Per-source topic mixture: the same fit's θ reduced to hard topics
+  // (deterministic argmax, smallest z on ties) and cross-tabbed with
+  // the source column — the corpus-diversity / source-mixing readout.
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    Plsa.docTopics(
+        Plsa.fit(docTokenCounts(s, dir), "d", "w", "c", k = 4, iters = 2).theta)
+      .join(t(s, dir, "documents").select(col("doc_id").as("d"), col("source")),
+        Seq("d"))
+      .groupBy("source", "topic").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "topic")
   // ROLLUP): the SURVEY §2.5 "grouping sets are free on Spark" line,
   // now driver-gated. Rollup nulls are masked to 'ALL' on both engines
   // (the data has no genuine nulls).
@@ -2770,7 +2798,9 @@ object SparkEntry {
     "q174_semi_anti" -> (q174 _),
     "q175_group_quantiles" -> (q175 _),
     "q176_heavy_hitters" -> (q176 _),
-    "q177_jackknife" -> (q177 _))
+    "q177_jackknife" -> (q177 _),
+    "q178_plsa_topics" -> (q178 _),
+    "q179_topic_mix" -> (q179 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6577,8 +6607,79 @@ object SparkEntry {
            round(m_dot, 6) AS m_dot_r,
            round(sqrt(ss * CAST(b_used - 1 AS DOUBLE)
              / CAST(b_used AS DOUBLE)), 6) AS se_r
-         FROM ssq"""
+         FROM ssq""",
+
+    // q178: the 2-round integer EM replayed end-to-end; φ after round 2
+    "q178_plsa_topics" ->
+      s"""WITH $plsaCtes
+         SELECT z, w, CAST(p AS BIGINT) AS p FROM ph2 ORDER BY z, w""",
+
+    // q179: θ after round 2 → deterministic argmax (t DESC, z) →
+    // source cross-tab
+    "q179_topic_mix" ->
+      s"""WITH $plsaCtes,
+         pick AS (SELECT d, z AS topic,
+             row_number() OVER (PARTITION BY d ORDER BY t DESC, z) AS rn
+           FROM th2)
+         SELECT s.source, p.topic, CAST(count(*) AS BIGINT) AS n_docs
+         FROM pick p JOIN documents s ON p.d = s.doc_id
+         WHERE p.rn = 1
+         GROUP BY s.source, p.topic ORDER BY s.source, p.topic"""
   )
+
+  /** q178/q179's oracle core: the complete fixed-point PLSA fit
+    * replayed — char-fold FNV-1a φ⁰ perturbation (the q105 hash chain),
+    * uniform θ⁰ = 250000, then per round: E-step ppm responsibilities
+    * (num·1e6 // Σ_z num, window over the K rows of each (d,w)) and
+    * M-step floor renormalizations — ending at th2(d,z,t) / ph2(z,w,p).
+    * All HUGEINT integer arithmetic; mirrors
+    * [[graft.operators.Plsa.fit]] cell-for-cell at k=4, iters=2. */
+  private def plsaRoundCtes(i: Int): String = {
+    val q = i - 1
+    s"""e$i AS (SELECT tok.d, tok.w, tok.c, th.z, th.t * ph.p AS num
+           FROM tok JOIN th$q th ON tok.d = th.d
+           JOIN ph$q ph ON tok.w = ph.w AND th.z = ph.z),
+         r$i AS (SELECT d, w, c, z, CASE WHEN den > 0
+               THEN (num * 1000000) // den ELSE 250000 END AS r
+           FROM (SELECT *, sum(num) OVER (PARTITION BY d, w) AS den
+                 FROM e$i)),
+         thr$i AS (SELECT d, z, sum(c * r) AS s FROM r$i GROUP BY d, z),
+         th$i AS (SELECT d, z,
+             (s * 1000000) // (sum(s) OVER (PARTITION BY d)) AS t
+           FROM thr$i),
+         phr$i AS (SELECT z, w, sum(c * r) AS s FROM r$i GROUP BY z, w),
+         ph$i AS (SELECT z, w,
+             (s * 1000000) // (sum(s) OVER (PARTITION BY z)) AS p
+           FROM phr$i)"""
+  }
+
+  private lazy val plsaCtes: String =
+    s"""tokr AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         tok AS (SELECT d, w, count(*) AS c FROM tokr
+           WHERE len(w) > 0 GROUP BY d, w),
+         words AS (SELECT DISTINCT w FROM tok),
+         zr AS (SELECT CAST(range AS INTEGER) AS z FROM range(0, 4)),
+         wh AS (SELECT w, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM words),
+         f0 AS (SELECT w, z,
+             1000000 + (((x - (CASE WHEN x >= 9223372036854775808
+                 THEN 18446744073709551616 ELSE 0 END))
+               % 1000000 + 1000000) % 1000000) AS raw
+           FROM (SELECT w, z,
+               (h + z * 2654435761) % 18446744073709551616 AS x
+             FROM wh CROSS JOIN zr)),
+         zs0 AS (SELECT z, sum(raw) AS sr FROM f0 GROUP BY z),
+         ph0 AS (SELECT w, f0.z, (raw * 1000000) // sr AS p
+           FROM f0 JOIN zs0 ON f0.z = zs0.z),
+         th0 AS (SELECT d, zr.z, CAST(250000 AS HUGEINT) AS t
+           FROM (SELECT DISTINCT d FROM tok) CROSS JOIN zr),
+         ${plsaRoundCtes(1)},
+         ${plsaRoundCtes(2)}"""
 
   /** q158's oracle: k−1 unrolled farthest-point rounds over the
     * embeddings, mirroring [[graft.operators.Ann.kCenter]]'s fold and

@@ -182,4 +182,16 @@ class DocArraySpec extends SparkSuite {
       col("lang") =!= "en").head
     assert(ece.getAs[Long]("n") == docs.count())
   }
+
+  test("topicModel / heavyTokens facades") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val m = docs.topicModel(k = 3)
+    assert(m.phi.select("z").distinct().count() == 3)
+    assert(m.theta.columns.toSeq == Seq("d", "z", "t"))
+    val hh = docs.heavyTokens(k = 30)
+    assert(hh.count() > 0 &&
+      hh.columns.toSeq == Seq("key", "cnt", "n_total"))
+  }
 }
