@@ -412,6 +412,26 @@ object Bench {
         .assigned.agg(sum("_cell")).collect()
     }
 
+    // Fixed-point PLSA at 300k docs / ~6M (doc,word) cells / 50k vocab /
+    // k=8, one full EM round: the E-step join (tok ⋈ θ doc-keyed ⋈
+    // broadcast φ) computes responsibilities in-row, then the two
+    // M-step groupBys collapse 48M exploded (cell, topic) rows
+    // map-side to 2.4M + 400k. The distributed-EM shuffle regime
+    // (first measured at 1M docs: 137 s — the shape holds, the row was
+    // outsized for a per-round validation; 300k keeps the same plan).
+    bench("x_plsa_300k", runs = 1) {
+      val textDocs = spark.range(300000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      val tok = textDocs.select(col("doc_id").as("d"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("d", "w").agg(count(lit(1)).as("c"))
+      val m = graft.operators.Plsa.fit(tok, "d", "w", "c", k = 8, iters = 1)
+      m.phi.agg(sum("p")).collect()   // materializes the shared E-step
+      m.theta.agg(sum("t")).collect() // θ' branch reuses the checkpoint
+    }
+
     // DSIR importance weights at 1M docs / 39M hashed features / 2^16
     // buckets — the weight pass's shuffle regime ((doc, bucket) partial
     // agg → bucket-keyed model join → per-doc decimal dot-product).

@@ -2512,6 +2512,29 @@ object SparkEntry {
     Plsa.fit(docTokenCounts(s, dir), "d", "w", "c", k = 4, iters = 2)
       .phi.orderBy("z", "w")
 
+  // Sorted-neighborhood ER blocking (Dedup.sortedNeighborhoodPairs):
+  // customers ordered by exact account-balance cents, candidate pairs
+  // within 3 sort positions — the windowed-blocking complement of
+  // q142's gram blocking. Total order via globalOrderIndex, pairs via
+  // the bucket self-join; the oracle replays with one global
+  // row_number (fine at oracle scale).
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "customer")
+          .select(col("c_custkey"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+        "c_custkey", col("bal_cents"), window = 3)
+      .orderBy("a", "b")
+
+  // IDF-weighted overlap near-dup pairs (Dedup.weightedOverlapPairs):
+  // rare-bigram-weighted containment over documents with the hot-gram
+  // valve — idf quantized to ppm once (the q172 ln rule), then pure
+  // integer sums and a floor-division threshold.
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    Dedup.weightedOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        thresholdPpm = 200000L, ngram = 2, maxDocFreq = 50L)
+      .orderBy("a", "b")
+
   // Per-source topic mixture: the same fit's θ reduced to hard topics
   // (deterministic argmax, smallest z on ties) and cross-tabbed with
   // the source column — the corpus-diversity / source-mixing readout.
@@ -2800,7 +2823,9 @@ object SparkEntry {
     "q176_heavy_hitters" -> (q176 _),
     "q177_jackknife" -> (q177 _),
     "q178_plsa_topics" -> (q178 _),
-    "q179_topic_mix" -> (q179 _))
+    "q179_topic_mix" -> (q179 _),
+    "q180_sorted_neighborhood" -> (q180 _),
+    "q181_weighted_overlap" -> (q181 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6624,7 +6649,50 @@ object SparkEntry {
          SELECT s.source, p.topic, CAST(count(*) AS BIGINT) AS n_docs
          FROM pick p JOIN documents s ON p.d = s.doc_id
          WHERE p.rn = 1
-         GROUP BY s.source, p.topic ORDER BY s.source, p.topic"""
+         GROUP BY s.source, p.topic ORDER BY s.source, p.topic""",
+
+    // q180: the same (key, id) total order as one global row_number,
+    // pairs by index distance
+    "q180_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS k FROM customer),
+         o AS (SELECT id, row_number() OVER (ORDER BY k, id) - 1 AS gi
+           FROM r)
+         SELECT x.id AS a, y.id AS b, y.gi - x.gi AS gap
+         FROM o x JOIN o y ON y.gi > x.gi AND y.gi - x.gi <= 3
+         ORDER BY a, b""",
+
+    // q181: the q111 bigram construction, hot-gram valve, ppm idf
+    // (round-half-away on both engines), exact integer sums, floor
+    // threshold
+    "q181_weighted_overlap" ->
+      """WITH tok AS (SELECT doc_id AS id, w1 || ' ' || w2 AS g FROM (
+             SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:-1]) AS w2
+             FROM (SELECT doc_id, list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '') AS l
+               FROM documents) WHERE len(l) >= 2)),
+         toks AS (SELECT DISTINCT id, g FROM tok),
+         dfreq AS (SELECT g, count(*) AS dfc FROM toks GROUP BY g
+           HAVING count(*) <= 50),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         idf AS (SELECT g, CAST(round(ln(CAST(n AS DOUBLE)
+               / CAST(dfc AS DOUBLE)) * 1000000) AS BIGINT) AS widf
+           FROM dfreq CROSS JOIN nd),
+         tw AS (SELECT id, toks.g, widf FROM toks
+           JOIN idf ON toks.g = idf.g),
+         docw AS (SELECT id, sum(widf) AS w FROM tw GROUP BY id),
+         pr AS (SELECT x.id AS a, y.id AS b, sum(x.widf) AS w_shared
+           FROM tw x JOIN tw y ON x.g = y.g AND x.id < y.id
+           GROUP BY x.id, y.id),
+         res AS (SELECT a, b, w_shared, wa.w AS w_a, wb.w AS w_b,
+             (w_shared * 1000000) // wa.w AS sim_ppm
+           FROM pr JOIN docw wa ON pr.a = wa.id
+           JOIN docw wb ON pr.b = wb.id)
+         SELECT a, b, CAST(w_shared AS BIGINT) AS w_shared,
+           CAST(w_a AS BIGINT) AS w_a, CAST(w_b AS BIGINT) AS w_b,
+           CAST(sim_ppm AS BIGINT) AS sim_ppm
+         FROM res WHERE sim_ppm >= 200000 ORDER BY a, b"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

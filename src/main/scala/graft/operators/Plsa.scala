@@ -89,6 +89,10 @@ object Plsa {
             expr("_nz * 1000000 div _den"))
           .otherwise(lit(1000000L / k)))
         .withColumn("_cr", (col("_r") * col("c")).cast("decimal(38,0)"))
+        // both M-step branches read this T·K-row table: materialize the
+        // E-step once (lazily, on first touch) instead of re-running the
+        // joins per branch
+        .localCheckpoint(false)
 
       // M-step θ': per-doc topic mass, normalized over the K rows
       val thRaw = ex.groupBy("d", "z").agg(sum("_cr").as("_s"))

@@ -549,4 +549,62 @@ class DedupTextSpec extends SparkSuite {
     // doc3's only surviving shingle {y z} shares nothing
     assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L))
   }
+
+  test("sortedNeighborhoodPairs: exact window semantics, ties by id, layout-invariant") {
+    import org.apache.spark.sql.functions.col
+    // keys: id1->10, id2->10 (tie), id3->20, id4->30, id5->40
+    val df = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L), (5L, 40L))
+      .toDF("id", "k")
+    val out = Dedup.sortedNeighborhoodPairs(df, "id", col("k"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sort order (k, id): 1,2,3,4,5 -> pairs with gap<=2
+    val expect = Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L), (2L, 4L, 2L),
+      (3L, 4L, 1L), (3L, 5L, 2L), (4L, 5L, 1L))
+    assert(out == expect)
+    // brute-force parity on 100 random keys + repartition invariance
+    val rnd = new scala.util.Random(11)
+    val data = (1L to 100L).map(i => (i, rnd.nextInt(40).toLong))
+    val w = 4
+    val got = Dedup.sortedNeighborhoodPairs(
+        data.toDF("id", "k").repartition(7), "id", col("k"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val order = data.sortBy(t => (t._2, t._1)).map(_._1).zipWithIndex
+    val brute = (for {
+      (a, ia) <- order; (b, ib) <- order
+      if ib > ia && ib - ia <= w
+    } yield (a, b, (ib - ia).toLong)).toSet
+    assert(got == brute)
+  }
+
+  test("weightedOverlapPairs: idf-weighted containment, hot valve, integer threshold") {
+    import org.apache.spark.sql.functions.col
+    // bigrams: "a b" in all 4 docs (hot), "x y" in docs 1+2 (rare),
+    // "p q"/"r s" distinctive singles
+    val docs = Seq(
+      (1L, "a b x y"), // bigrams: "a b","b x","x y"
+      (2L, "a b x y"),
+      (3L, "a b p q"),
+      (4L, "a b r s")).toDF("id", "text")
+    val out = Dedup.weightedOverlapPairs(docs, "id", "text",
+        thresholdPpm = 0L, ngram = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    def idf(dfc: Int) = math.round(math.log(4.0 / dfc) * 1e6)
+    // docs 1,2 share all three bigrams; w_a = idf(4)+idf(2)+idf(2)
+    val w12 = idf(4) + 2 * idf(2)
+    assert(out((1L, 2L)) == ((w12, w12, 1000000L)))
+    // docs 3,4 share only the hot "a b" (idf 0 at df=4): w_shared = 0
+    assert(out((3L, 4L))._1 == 0L)
+    // hot valve: maxDocFreq=3 removes "a b" everywhere -> 3-4 pair gone
+    val valved = Dedup.weightedOverlapPairs(docs, "id", "text",
+        thresholdPpm = 1L, ngram = 2, maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(valved == Set((1L, 2L)))
+    // integer threshold: 1-2 at 1.0 survives ppm 999999, others don't
+    val tight = Dedup.weightedOverlapPairs(docs, "id", "text",
+        thresholdPpm = 999999L, ngram = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)))
+  }
 }
