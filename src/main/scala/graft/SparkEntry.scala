@@ -6686,13 +6686,16 @@ object SparkEntry {
            FROM tw x JOIN tw y ON x.g = y.g AND x.id < y.id
            GROUP BY x.id, y.id),
          res AS (SELECT a, b, w_shared, wa.w AS w_a, wb.w AS w_b,
-             (w_shared * 1000000) // wa.w AS sim_ppm
+             (w_shared * 1000000) // wa.w AS sim_a_ppm,
+             (w_shared * 1000000) // wb.w AS sim_b_ppm
            FROM pr JOIN docw wa ON pr.a = wa.id
            JOIN docw wb ON pr.b = wb.id)
          SELECT a, b, CAST(w_shared AS BIGINT) AS w_shared,
            CAST(w_a AS BIGINT) AS w_a, CAST(w_b AS BIGINT) AS w_b,
-           CAST(sim_ppm AS BIGINT) AS sim_ppm
-         FROM res WHERE sim_ppm >= 200000 ORDER BY a, b"""
+           CAST(sim_a_ppm AS BIGINT) AS sim_a_ppm,
+           CAST(sim_b_ppm AS BIGINT) AS sim_b_ppm
+         FROM res WHERE greatest(sim_a_ppm, sim_b_ppm) >= 200000
+         ORDER BY a, b"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
