@@ -2535,6 +2535,45 @@ object SparkEntry {
         thresholdPpm = 200000L, ngram = 2, maxDocFreq = 50L)
       .orderBy("a", "b")
 
+  // Behavioral cohort (the composable funnel complement): users who
+  // completed view→click inside the 7-day window with NO error event
+  // during the conversion interval [s1, s2] — q150's
+  // earliest-completion funnel chain composed with a conditioned
+  // left-anti join, all event times integer ns.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val funnel = Funnel.funnelUsers(ev, "user_id", "event_type", "ts",
+        Seq("view", "click"), windowNs = 604800000000000L)
+      .where(col("depth") === 2)
+    val err = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("ets"))
+    funnel.join(err, funnel("user_id") === err("eu") &&
+        err("ets") >= funnel("step_1") && err("ets") <= funnel("step_2"),
+        "left_anti")
+      .select(col("user_id"), col("step_1").as("s1_ns"),
+        col("step_2").as("s2_ns"))
+      .orderBy("user_id")
+  }
+
+  // Cross-source n-gram novelty: per source, the exact fraction of its
+  // DISTINCT trigrams seen in NO other source — the
+  // contamination-adjacent "how much of this source is actually new"
+  // readout. Distinct (source, gram) pairs, a gram-keyed spread count,
+  // integer sums and one floor division.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(TextFunctions.wordNgrams(col("text"), 3)))
+          .as("g"))
+      .distinct()
+    val spread = grams.groupBy("g").agg(countDistinct("source").as("ns"))
+    grams.join(spread, Seq("g"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", expr("(n_unique * 1000000) div n_grams"))
+      .orderBy("source")
+  }
+
   // Per-source topic mixture: the same fit's θ reduced to hard topics
   // (deterministic argmax, smallest z on ties) and cross-tabbed with
   // the source column — the corpus-diversity / source-mixing readout.
@@ -2825,7 +2864,9 @@ object SparkEntry {
     "q178_plsa_topics" -> (q178 _),
     "q179_topic_mix" -> (q179 _),
     "q180_sorted_neighborhood" -> (q180 _),
-    "q181_weighted_overlap" -> (q181 _))
+    "q181_weighted_overlap" -> (q181 _),
+    "q182_behavioral_cohort" -> (q182 _),
+    "q183_ngram_novelty" -> (q183 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6695,7 +6736,44 @@ object SparkEntry {
            CAST(sim_a_ppm AS BIGINT) AS sim_a_ppm,
            CAST(sim_b_ppm AS BIGINT) AS sim_b_ppm
          FROM res WHERE greatest(sim_a_ppm, sim_b_ppm) >= 200000
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q182: the q150 min-chain truncated at two steps + NOT EXISTS error
+    "q182_behavioral_cohort" ->
+      """WITH ev AS (SELECT user_id u, event_type t, epoch_ns(ts) ts
+           FROM events),
+         s1 AS (SELECT u, min(ts) t1 FROM ev WHERE t = 'view' GROUP BY u),
+         s2 AS (SELECT ev.u AS u, min(ev.ts) t2
+           FROM ev JOIN s1 ON ev.u = s1.u
+           WHERE t = 'click' AND ev.ts > t1
+             AND ev.ts - t1 <= 604800000000000 GROUP BY ev.u)
+         SELECT s1.u AS user_id, t1 AS s1_ns, t2 AS s2_ns
+         FROM s1 JOIN s2 ON s1.u = s2.u
+         WHERE NOT EXISTS (SELECT 1 FROM ev e
+           WHERE e.u = s1.u AND e.t = 'error'
+             AND e.ts >= t1 AND e.ts <= t2)
+         ORDER BY user_id""",
+
+    // q183: the q111 tokenizer extended to trigrams; distinct
+    // (source, gram) pairs, spread count, integer novelty
+    "q183_ngram_novelty" ->
+      """WITH tok AS (SELECT DISTINCT source,
+             w1 || ' ' || w2 || ' ' || w3 AS g FROM (
+             SELECT source, unnest(l[1:-3]) AS w1, unnest(l[2:-2]) AS w2,
+               unnest(l[3:-1]) AS w3
+             FROM (SELECT source, list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '') AS l
+               FROM documents) WHERE len(l) >= 3)),
+         spread AS (SELECT g, count(DISTINCT source) AS ns
+           FROM tok GROUP BY g)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST((sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS novelty_ppm
+         FROM tok JOIN spread ON tok.g = spread.g
+         GROUP BY source ORDER BY source"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
