@@ -2574,6 +2574,23 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
+  // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
+  // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
+  // fold rounds) in the oracle.
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def toks(f: Column) = d.where(f)
+      .select(col("doc_id").as("d"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("d", "w").agg(count(lit(1)).as("c"))
+    val m = Plsa.fit(toks(col("doc_id") % 2 === 0), "d", "w", "c",
+      k = 4, iters = 2)
+    Plsa.foldIn(toks(col("doc_id") % 2 === 1), "d", "w", "c", m.phi,
+        iters = 2)
+      .orderBy("d", "z")
+  }
+
   // Per-source topic mixture: the same fit's θ reduced to hard topics
   // (deterministic argmax, smallest z on ties) and cross-tabbed with
   // the source column — the corpus-diversity / source-mixing readout.
@@ -2866,7 +2883,8 @@ object SparkEntry {
     "q180_sorted_neighborhood" -> (q180 _),
     "q181_weighted_overlap" -> (q181 _),
     "q182_behavioral_cohort" -> (q182 _),
-    "q183_ngram_novelty" -> (q183 _))
+    "q183_ngram_novelty" -> (q183 _),
+    "q184_plsa_foldin" -> (q184 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6677,13 +6695,13 @@ object SparkEntry {
 
     // q178: the 2-round integer EM replayed end-to-end; φ after round 2
     "q178_plsa_topics" ->
-      s"""WITH $plsaCtes
+      s"""WITH ${plsaCtes()}
          SELECT z, w, CAST(p AS BIGINT) AS p FROM ph2 ORDER BY z, w""",
 
     // q179: θ after round 2 → deterministic argmax (t DESC, z) →
     // source cross-tab
     "q179_topic_mix" ->
-      s"""WITH $plsaCtes,
+      s"""WITH ${plsaCtes()},
          pick AS (SELECT d, z AS topic,
              row_number() OVER (PARTITION BY d ORDER BY t DESC, z) AS rn
            FROM th2)
@@ -6773,7 +6791,21 @@ object SparkEntry {
            CAST((sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) * 1000000)
              // count(*) AS BIGINT) AS novelty_ppm
          FROM tok JOIN spread ON tok.g = spread.g
-         GROUP BY source ORDER BY source"""
+         GROUP BY source ORDER BY source""",
+
+    // q184: the even-half fit (plsaCtes with the parity filter) + two
+    // θ-only fold rounds over the odd half against the frozen ph2
+    "q184_plsa_foldin" ->
+      s"""WITH ${plsaCtes("WHERE doc_id % 2 = 0")},
+         o_tokr AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id % 2 = 1),
+         o_tok AS (SELECT d, w, count(*) AS c FROM o_tokr
+           WHERE len(w) > 0 GROUP BY d, w),
+         o_th0 AS (SELECT d, zr.z, CAST(250000 AS HUGEINT) AS t
+           FROM (SELECT DISTINCT d FROM o_tok) CROSS JOIN zr),
+         ${plsaFoldRoundCtes(1)},
+         ${plsaFoldRoundCtes(2)}
+         SELECT d, z, CAST(t AS BIGINT) AS t FROM o_th2 ORDER BY d, z"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -6802,9 +6834,26 @@ object SparkEntry {
            FROM phr$i)"""
   }
 
-  private lazy val plsaCtes: String =
+  /** q184's fold-in round: the [[plsaRoundCtes]] E-step + θ M-step with
+    * φ FROZEN at ph2 — no phr/ph update CTEs. */
+  private def plsaFoldRoundCtes(i: Int): String = {
+    val q = i - 1
+    s"""o_e$i AS (SELECT o_tok.d, o_tok.w, o_tok.c, th.z, th.t * ph.p AS num
+           FROM o_tok JOIN o_th$q th ON o_tok.d = th.d
+           JOIN ph2 ph ON o_tok.w = ph.w AND th.z = ph.z),
+         o_r$i AS (SELECT d, w, c, z, CASE WHEN den > 0
+               THEN (num * 1000000) // den ELSE 250000 END AS r
+           FROM (SELECT *, sum(num) OVER (PARTITION BY d, w) AS den
+                 FROM o_e$i)),
+         o_thr$i AS (SELECT d, z, sum(c * r) AS s FROM o_r$i GROUP BY d, z),
+         o_th$i AS (SELECT d, z,
+             (s * 1000000) // (sum(s) OVER (PARTITION BY d)) AS t
+           FROM o_thr$i)"""
+  }
+
+  private def plsaCtes(docWhere: String = ""): String =
     s"""tokr AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
-           FROM documents),
+           FROM documents $docWhere),
          tok AS (SELECT d, w, count(*) AS c FROM tokr
            WHERE len(w) > 0 GROUP BY d, w),
          words AS (SELECT DISTINCT w FROM tok),

@@ -76,30 +76,7 @@ object Plsa {
     var theta = docs.withColumn("th", array_repeat(lit(1000000L / k), k))
 
     for (_ <- 0 until iters) {
-      // E-step: responsibilities in-row, then one narrow explode
-      val ex = tok
-        .join(theta, Seq("d"))
-        .join(phi, Seq("w"))
-        .withColumn("_num", zip_with(col("th"), col("ph"), (a, b) => a * b))
-        .withColumn("_den",
-          aggregate(col("_num"), lit(0L), (acc, x) => acc + x))
-        .select(col("d"), col("w"), col("c"), col("_den"),
-          posexplode(col("_num")).as(Seq("z", "_nz")))
-        .withColumn("_r", when(col("_den") > 0,
-            expr("_nz * 1000000 div _den"))
-          .otherwise(lit(1000000L / k)))
-        .withColumn("_cr", (col("_r") * col("c")).cast("decimal(38,0)"))
-        // both M-step branches read this T·K-row table: materialize the
-        // E-step once (lazily, on first touch) instead of re-running the
-        // joins per branch
-        .localCheckpoint(false)
-
-      // M-step θ': per-doc topic mass, normalized over the K rows
-      val thRaw = ex.groupBy("d", "z").agg(sum("_cr").as("_s"))
-      val th = thRaw
-        .withColumn("_tot", sum("_s").over(Window.partitionBy("d")))
-        .select(col("d"), col("z"),
-          expr("CAST((_s * 1000000) div _tot AS BIGINT)").as("t"))
+      val ex = eStep(tok, theta, phi, k)
       // M-step φ': per-topic word mass, K-row broadcast normalizer
       val phRaw = ex.groupBy("z", "w").agg(sum("_cr").as("_s"))
       val zTot = phRaw.groupBy("z").agg(sum("_s").as("_tot"))
@@ -107,13 +84,63 @@ object Plsa {
         .select(col("z"), col("w"),
           expr("CAST((_s * 1000000) div _tot AS BIGINT)").as("p"))
 
-      theta = pack(th, "d", "z", "t", "th").localCheckpoint(false)
+      theta = pack(thetaFromEx(ex), "d", "z", "t", "th").localCheckpoint(false)
       phi = pack(ph, "w", "z", "p", "ph").localCheckpoint(false)
     }
 
     Model(unpack(theta, "d", "th", "z", "t"),
       unpack(phi, "w", "ph", "z", "p"), k)
   }
+
+  /** Fold-in (Hofmann's heuristic for unseen documents): topic mixtures
+    * for NEW docs against a FROZEN φ — θ-only EM rounds, uniform init.
+    * The deployment path: fit φ once on a bounded sample, then tag a
+    * corpus of any size (or stream micro-batches) — per round one
+    * doc-keyed join + the broadcast-sized φ join + one (d,z) groupBy;
+    * the vocabulary tables never update. Docs with no in-vocabulary
+    * words carry no evidence and are absent from the output. `phi` is
+    * the exploded (z, w, p) table of a fitted [[Model]]. */
+  def foldIn(tokens: DataFrame, docCol: String, wordCol: String,
+      cntCol: String, phi: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val k = phi.agg(max("z")).head().getInt(0) + 1 // 1-row metadata read
+    val phiArr = pack(phi, "w", "z", "p", "ph")
+    val tok = tokens.select(col(docCol).as("d"), col(wordCol).as("w"),
+      col(cntCol).cast("long").as("c"))
+    var theta = tok.select("d").distinct()
+      .withColumn("th", array_repeat(lit(1000000L / k), k))
+    for (_ <- 0 until iters) {
+      theta = pack(thetaFromEx(eStep(tok, theta, phiArr, k)),
+        "d", "z", "t", "th").localCheckpoint(false)
+    }
+    unpack(theta, "d", "th", "z", "t")
+  }
+
+  /** E-step: responsibilities computed in-row after the doc-keyed θ and
+    * word-keyed φ joins, then one narrow explode. Checkpointed because
+    * (in [[fit]]) both M-step branches read this T·K-row table. */
+  private def eStep(tok: DataFrame, theta: DataFrame, phi: DataFrame,
+      k: Int): DataFrame =
+    tok
+      .join(theta, Seq("d"))
+      .join(phi, Seq("w"))
+      .withColumn("_num", zip_with(col("th"), col("ph"), (a, b) => a * b))
+      .withColumn("_den",
+        aggregate(col("_num"), lit(0L), (acc, x) => acc + x))
+      .select(col("d"), col("w"), col("c"), col("_den"),
+        posexplode(col("_num")).as(Seq("z", "_nz")))
+      .withColumn("_r", when(col("_den") > 0,
+          expr("_nz * 1000000 div _den"))
+        .otherwise(lit(1000000L / k)))
+      .withColumn("_cr", (col("_r") * col("c")).cast("decimal(38,0)"))
+      .localCheckpoint(false)
+
+  /** M-step θ': per-doc topic mass, normalized over the K rows. */
+  private def thetaFromEx(ex: DataFrame): DataFrame =
+    ex.groupBy("d", "z").agg(sum("_cr").as("_s"))
+      .withColumn("_tot", sum("_s").over(Window.partitionBy("d")))
+      .select(col("d"), col("z"),
+        expr("CAST((_s * 1000000) div _tot AS BIGINT)").as("t"))
 
   /** Hard topic per doc: argmax_z θ_dz, smallest z on ties (the q112
     * min-struct argmax rule — replayable as an ORDER BY t DESC, z). */

@@ -49,6 +49,22 @@ class PlsaSpec extends SparkSuite {
       nw == nWords && s <= 1000000L && s > 1000000L - nWords })
   }
 
+  test("foldIn: new docs against a frozen phi land on the right topic; OOV-only docs drop") {
+    val a = (0L until 10L).map(d => (d, "ball game team win score"))
+    val b = (10L until 20L).map(d => (d, "oven salt flour bake dough"))
+    val m = Plsa.fit(tokens(a ++ b), "d", "w", "c", k = 2, iters = 8)
+    val fitTopics = Plsa.docTopics(m.theta).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aTopic = fitTopics(0L)
+    val newDocs = Seq((100L, "ball game score"), (101L, "oven dough flour"),
+      (102L, "zzz qqq")) // 102: no in-vocabulary words at all
+    val th = Plsa.foldIn(tokens(newDocs), "d", "w", "c", m.phi, iters = 2)
+    val nt = Plsa.docTopics(th).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nt(100L) == aTopic && nt(101L) == 1 - aTopic)
+    assert(!nt.contains(102L))
+  }
+
   test("docTopics: argmax ties resolve to the smallest topic id") {
     val theta = Seq((1L, 0, 400000L), (1L, 1, 400000L), (1L, 2, 200000L))
       .toDF("d", "z", "t")
