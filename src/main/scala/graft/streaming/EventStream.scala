@@ -428,6 +428,32 @@ object EventStream {
       }
   }
 
+  /** Streaming topic tagging against a FROZEN φ artifact — the
+    * continuous twin of [[graft.operators.Plsa.foldIn]] (q184's batch
+    * path): per micro-batch, tokenize the incoming docs, run the
+    * θ-only fold-in EM against the persisted topic-word table, and
+    * write each batch's hard topic assignments to `b<batchId>`
+    * (overwrite per batch → replay-idempotent, no cross-batch state —
+    * the model is the state, and it never updates here). `phiPath` is
+    * a parquet dump of a fitted `Plsa.Model.phi` (z, w, p). */
+  def streamingTopicTag(docStream: DataFrame, idCol: String,
+      textCol: String, phiPath: String, outPath: String,
+      iters: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Plsa
+    docStream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val phi = spark.read.parquet(phiPath)
+        val tok = batch.select(col(idCol).as("d"),
+            explode(split(col(textCol), " ")).as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy("d", "w").agg(count(lit(1)).as("c"))
+        Plsa.docTopics(Plsa.foldIn(tok, "d", "w", "c", phi, iters))
+          .withColumnRenamed("d", idCol)
+          .write.mode("overwrite").parquet(s"$outPath/b$batchId")
+      }
+  }
+
   /** All complete (_SUCCESS-marked) signature delta dirs strictly below
     * `before`, via the Hadoop FS API. */
   private def completedDeltas(spark: SparkSession, dir: String,

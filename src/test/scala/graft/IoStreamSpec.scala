@@ -856,6 +856,42 @@ class IoStreamSpec extends SparkSuite {
     assert(docIds == Set(1L, 2L, 11L))
   }
 
+  test("streaming topic tag: frozen-phi fold-in per batch, replay-idempotent output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Plsa
+    val dir = Files.createTempDirectory("grafttt").toString
+    // fit a separable model, persist phi as the frozen artifact
+    val fitTok = ((0L until 5L).map(d => (d, "ball game team win")) ++
+      (5L until 10L).map(d => (d, "oven salt flour bake")))
+      .toDF("d", "text")
+      .select($"d", explode(split($"text", " ")).as("w"))
+      .groupBy("d", "w").agg(count(lit(1)).as("c"))
+    val m = Plsa.fit(fitTok, "d", "w", "c", k = 2, iters = 8)
+    m.phi.write.parquet(s"$dir/phi")
+    val sportTopic = Plsa.docTopics(m.theta)
+      .where($"d" === 0L).head.getInt(1)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val writer = EventStream.streamingTopicTag(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/phi", s"$dir/out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData((100L, "ball game win"), (101L, "oven flour bake"))
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData((102L, "team game ball ball"))
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val b0 = spark.read.parquet(s"$dir/out/b0")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b0(100L) == sportTopic && b0(101L) == 1 - sportTopic)
+    val b1 = spark.read.parquet(s"$dir/out/b1")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == Map(102L -> sportTopic))
+  }
+
   test("binary codec: reference-format round trip incl. nesting flatten") {
     import graft.sources.BinaryCodec
     import graft.schema.{Doc, NamedScore, Tensor}
