@@ -2574,6 +2574,24 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // Interval overlap join (IntervalJoin.overlap): 30-day order windows
+  // per customer, 7-day bucket blocking with exactly-once attribution at
+  // bucket(max(starts)) — the oracle is DuckDB's native inequality join,
+  // so the gate proves blocking completeness AND the closed-endpoint /
+  // intersection-bound semantics.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders").select(
+      col("o_orderkey").as("iid"), col("o_custkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("st"))
+      .withColumn("en", col("st") + lit(30L * 86400L))
+    IntervalJoin.overlap(iv, iv, Seq("k"), "iid", "st", "en",
+        "iid", "st", "en", bucketWidth = 7L * 86400L)
+      .where(col("a") < col("b"))
+      .select(col("k").as("custkey"), col("a"), col("b"),
+        col("o_start"), col("o_end"))
+      .orderBy("custkey", "a", "b")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2884,7 +2902,8 @@ object SparkEntry {
     "q181_weighted_overlap" -> (q181 _),
     "q182_behavioral_cohort" -> (q182 _),
     "q183_ngram_novelty" -> (q183 _),
-    "q184_plsa_foldin" -> (q184 _))
+    "q184_plsa_foldin" -> (q184 _),
+    "q185_interval_join" -> (q185 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6805,7 +6824,20 @@ object SparkEntry {
            FROM (SELECT DISTINCT d FROM o_tok) CROSS JOIN zr),
          ${plsaFoldRoundCtes(1)},
          ${plsaFoldRoundCtes(2)}
-         SELECT d, z, CAST(t AS BIGINT) AS t FROM o_th2 ORDER BY d, z"""
+         SELECT d, z, CAST(t AS BIGINT) AS t FROM o_th2 ORDER BY d, z""",
+
+    // q185: DuckDB's native inequality join IS the semantics the bucket
+    // blocking must reproduce — closed endpoints, intersection bounds
+    "q185_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey AS id, o_custkey AS k,
+             CAST(epoch(o_orderdate) AS BIGINT) AS st,
+             CAST(epoch(o_orderdate) AS BIGINT) + 2592000 AS en
+           FROM orders)
+         SELECT l.k AS custkey, l.id AS a, r.id AS b,
+           greatest(l.st, r.st) AS o_start, least(l.en, r.en) AS o_end
+         FROM iv l JOIN iv r ON l.k = r.k
+           AND l.st <= r.en AND r.st <= l.en AND l.id < r.id
+         ORDER BY custkey, a, b"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
