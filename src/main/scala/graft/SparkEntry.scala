@@ -2592,6 +2592,32 @@ object SparkEntry {
       .orderBy("custkey", "a", "b")
   }
 
+  // Exact phrase search (TextSearch.phrasePositions): quoted-query
+  // adjacency over the positional inverted index — a 2-token phrase with
+  // self-overlap potential AND a 3-token phrase through the k-way
+  // (id, pos−i) join chain; the oracle re-derives every occurrence from
+  // token-slice equality.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val p1 = TextSearch.phrasePositions(d, "doc_id", "text", "table table")
+      .withColumn("phrase", lit("table table"))
+    val p2 = TextSearch
+      .phrasePositions(d, "doc_id", "text", "value table part")
+      .withColumn("phrase", lit("value table part"))
+    p1.unionByName(p2)
+      .select(col("phrase"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .orderBy("phrase", "doc_id", "pos")
+  }
+
+  // Proximity search (TextSearch.proximityPairs): two terms within 3
+  // token positions, both co-occurrence directions, inclusive bound.
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    TextSearch.proximityPairs(t(s, dir, "documents"), "doc_id", "text",
+        "spark", "vector", window = 3)
+      .select(col("doc_id"), col("pos_a").cast("long").as("pos_a"),
+        col("pos_b").cast("long").as("pos_b"))
+      .orderBy("doc_id", "pos_a", "pos_b")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2903,7 +2929,9 @@ object SparkEntry {
     "q182_behavioral_cohort" -> (q182 _),
     "q183_ngram_novelty" -> (q183 _),
     "q184_plsa_foldin" -> (q184 _),
-    "q185_interval_join" -> (q185 _))
+    "q185_interval_join" -> (q185 _),
+    "q186_phrase_search" -> (q186 _),
+    "q187_proximity_search" -> (q187 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6837,7 +6865,44 @@ object SparkEntry {
            greatest(l.st, r.st) AS o_start, least(l.en, r.en) AS o_end
          FROM iv l JOIN iv r ON l.k = r.k
            AND l.st <= r.en AND r.st <= l.en AND l.id < r.id
-         ORDER BY custkey, a, b"""
+         ORDER BY custkey, a, b""",
+
+    // q186: every phrase occurrence re-derived from token-slice equality
+    // (1-based DuckDB slices; pos output 0-based to match posexplode)
+    "q186_phrase_search" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         p AS (SELECT doc_id, i FROM t,
+             unnest(range(1, len(l) + 1)) AS u(i)),
+         m2 AS (SELECT 'table table' AS phrase, t.doc_id,
+             CAST(p.i - 1 AS BIGINT) AS pos
+           FROM t JOIN p ON t.doc_id = p.doc_id
+           WHERE p.i + 1 <= len(t.l)
+             AND list_aggregate(t.l[p.i:p.i+1], 'string_agg', ' ')
+               = 'table table'),
+         m3 AS (SELECT 'value table part' AS phrase, t.doc_id,
+             CAST(p.i - 1 AS BIGINT) AS pos
+           FROM t JOIN p ON t.doc_id = p.doc_id
+           WHERE p.i + 2 <= len(t.l)
+             AND list_aggregate(t.l[p.i:p.i+2], 'string_agg', ' ')
+               = 'value table part')
+         SELECT * FROM m2 UNION ALL SELECT * FROM m3
+         ORDER BY phrase, doc_id, pos""",
+
+    // q187: postings self-derivation + inclusive |Δpos| <= 3 join
+    "q187_proximity_search" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, l[i] AS w FROM t,
+             unnest(range(1, len(l) + 1)) AS u(i))
+         SELECT a.doc_id AS doc_id, CAST(a.pos AS BIGINT) AS pos_a,
+           CAST(b.pos AS BIGINT) AS pos_b
+         FROM (SELECT doc_id, pos FROM p WHERE w = 'spark') a
+         JOIN (SELECT doc_id, pos FROM p WHERE w = 'vector') b
+           ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
+         ORDER BY 1, 2, 3"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -123,6 +123,65 @@ object TextSearch {
       .orderBy(col("rrf").desc, col(docId)).limit(k)
   }
 
+  /** Exact phrase search over a positional inverted index: every
+    * occurrence of `phrase`'s token sequence at consecutive token
+    * positions. BM25 can rank by bag-of-terms but cannot answer "these
+    * words, adjacent, in this order" — the quoted-query operator every
+    * search surface needs.
+    *
+    * Physical shape: posexplode the tokens, PRUNE the postings to the
+    * phrase's distinct terms at the scan (everything else dies before
+    * any shuffle), then one equi-join per remaining phrase token on
+    * (id, pos − i) — k−1 hash joins over term-postings lists, never a
+    * string scan of the corpus. Overlapping occurrences are found
+    * naturally ("x x x" matches "x x" at 0 AND 1). Output: (idCol,
+    * pos) — one row per occurrence, pos = 0-based first-token index. */
+  def phrasePositions(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val p = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    require(p.nonEmpty, "phrase has no tokens")
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .toDF("_id", "_pos", "_tok")
+      .where(col("_tok").isin(p.distinct.toSeq: _*))
+    val first = toks.where(col("_tok") === p(0))
+      .select(col("_id"), col("_pos"))
+    p.toSeq.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        toks.where(col("_tok") === w)
+          .select(col("_id").as("_id2"), (col("_pos") - i).as("_p2")),
+        col("_id") === col("_id2") && col("_pos") === col("_p2"))
+        .select(col("_id"), col("_pos"))
+    }.select(col("_id").as(idCol), col("_pos").as("pos"))
+  }
+
+  /** Per-doc phrase occurrence counts (docs with zero matches absent). */
+  def phraseCounts(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame =
+    phrasePositions(docs, idCol, textCol, phrase)
+      .groupBy(idCol).agg(count(lit(1)).as("n_matches"))
+
+  /** Proximity search: every (posA, posB) co-occurrence of two distinct
+    * terms within `window` token positions (|posA − posB| <= window),
+    * same pruned-postings shape as [[phrasePositions]] — one equi-join
+    * on the doc id over the two terms' postings with the distance test
+    * in-join. Per-doc output is |A|·|B| filtered pairs; for stop-word
+    * terms compose with a document-frequency valve upstream. */
+  def proximityPairs(docs: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .toDF("_id", "_pos", "_tok")
+    val a = toks.where(col("_tok") === termA.toLowerCase)
+      .select(col("_id"), col("_pos").as("pos_a"))
+    val b = toks.where(col("_tok") === termB.toLowerCase)
+      .select(col("_id").as("_id2"), col("_pos").as("pos_b"))
+    a.join(b, col("_id") === col("_id2") &&
+        abs(col("pos_a") - col("pos_b")) <= window)
+      .select(col("_id").as(idCol), col("pos_a"), col("pos_b"))
+  }
+
   /** Simple match search: docs containing >= minShould of the query's
     * distinct terms, scored by the count of matched terms. */
   def matchAny(docs: DataFrame, idCol: String, textCol: String, query: String,

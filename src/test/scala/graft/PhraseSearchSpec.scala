@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextSearch
+
+/** Positional phrase + proximity search: adjacency/order semantics,
+  * overlapping occurrences, tokenizer normalization, window bounds. */
+class PhraseSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the quick brown dog"),
+    (2L, "quick brown"),
+    (3L, "brown quick"), // order matters
+    (4L, "quick fast brown"), // adjacency matters
+    (5L, "x x x x"), // overlapping occurrences
+    (6L, "Quick, BROWN!") // tokenizer lowercases and strips punct
+  ).toDF("id", "text")
+
+  private def pos(phrase: String): Seq[(Long, Int)] =
+    TextSearch.phrasePositions(docs, "id", "text", phrase)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+  test("phrase matches adjacency and order, not bags") {
+    assert(pos("quick brown") ===
+      Seq((1L, 1), (1L, 7), (2L, 0), (6L, 0)))
+  }
+
+  test("overlapping occurrences all found") {
+    assert(pos("x x") === Seq((5L, 0), (5L, 1), (5L, 2)))
+    assert(pos("x x x") === Seq((5L, 0), (5L, 1)))
+  }
+
+  test("three-token phrase: every token must line up") {
+    assert(pos("quick brown fox") === Seq((1L, 1)))
+    assert(pos("quick brown cat") === Seq())
+  }
+
+  test("phraseCounts aggregates per doc, zero-match docs absent") {
+    val got = TextSearch.phraseCounts(docs, "id", "text", "quick brown")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 6L -> 1L))
+  }
+
+  test("proximity window is inclusive and symmetric") {
+    // fox at 3, dog at 9: distance 6
+    val got = TextSearch.proximityPairs(docs, "id", "text",
+        "fox", "dog", window = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, 3, 9)))
+    assert(TextSearch.proximityPairs(docs, "id", "text",
+      "fox", "dog", window = 5).count() === 0L)
+  }
+}
