@@ -2618,6 +2618,27 @@ object SparkEntry {
         col("pos_b").cast("long").as("pos_b"))
       .orderBy("doc_id", "pos_a", "pos_b")
 
+  // k-anonymity / l-diversity profile (Quality.kAnonymityGroups): cohort
+  // sizes + distinct-sensitive counts + risk flags over the customer
+  // quasi-identifiers — the privacy release gate.
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    Quality.kAnonymityGroups(t(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), k = 10L,
+        sensitiveCol = Some("c_acctbal"))
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  // Exact autocorrelation (Evaluate.autocorrelation): daily event counts
+  // per type at lags 1..7 — integer numerators/denominators gated
+  // directly, the acf one rounded division (the q157 grid conventions).
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    Evaluate.autocorrelation(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), maxLag = 7)
+      .select(col("event_type"), col("lag"),
+        col("num_t2").cast("long").as("num_t2"),
+        col("den_t2").cast("long").as("den_t2"),
+        col("t_buckets"), col("total"), round(col("acf"), 6).as("acf_r"))
+      .orderBy("event_type", "lag")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2931,7 +2952,9 @@ object SparkEntry {
     "q184_plsa_foldin" -> (q184 _),
     "q185_interval_join" -> (q185 _),
     "q186_phrase_search" -> (q186 _),
-    "q187_proximity_search" -> (q187 _))
+    "q187_proximity_search" -> (q187 _),
+    "q188_k_anonymity" -> (q188 _),
+    "q189_autocorrelation" -> (q189 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6902,7 +6925,47 @@ object SparkEntry {
          FROM (SELECT doc_id, pos FROM p WHERE w = 'spark') a
          JOIN (SELECT doc_id, pos FROM p WHERE w = 'vector') b
            ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+
+    // q188: SQL grouping (nulls form their own cohort) IS the semantics
+    "q188_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           count(DISTINCT c_acctbal) AS n_sensitive,
+           CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS at_risk
+         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q189: the q157 dense-grid chain + T-scaled integer deviations +
+    // the lag self-join, all in HUGEINT; acf one rounded division
+    "q189_autocorrelation" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         tt AS (SELECT g, count(*) AS t, sum(x) AS tot FROM x GROUP BY g),
+         d AS (SELECT x.g, x.b, CAST(t * x.x - tot AS HUGEINT) AS dev,
+             t, tot FROM x JOIN tt ON x.g = tt.g),
+         den AS (SELECT g, sum(dev * dev) AS den_t2, max(t) AS t_buckets,
+             max(tot) AS total FROM d GROUP BY g),
+         lags AS (SELECT unnest(range(1, 8)) AS lag),
+         num AS (SELECT a.g AS g, lags.lag AS lag,
+             sum(a.dev * b.dev) AS num_t2
+           FROM d a CROSS JOIN lags
+           JOIN d b ON a.g = b.g AND b.b = a.b + lags.lag
+           GROUP BY a.g, lags.lag)
+         SELECT num.g AS event_type, CAST(num.lag AS BIGINT) AS lag,
+           CAST(num_t2 AS BIGINT) AS num_t2,
+           CAST(den_t2 AS BIGINT) AS den_t2,
+           CAST(t_buckets AS BIGINT) AS t_buckets,
+           CAST(total AS BIGINT) AS total,
+           round(CAST(num_t2 AS DOUBLE) / CAST(den_t2 AS DOUBLE), 6)
+             AS acf_r
+         FROM num JOIN den ON num.g = den.g ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -431,6 +431,56 @@ object Evaluate {
         .otherwise(lit(null).cast("double")))
   }
 
+  /** Exact sample autocorrelation of a bucketed count series at lags
+    * 1..maxLag — the seasonality/periodicity probe next to
+    * [[cusumChangepoint]] (level shifts) and [[robustAnomalies]]
+    * (spikes): a weekly-traffic source shows a peak at lag 7.
+    *
+    *   r_l = Σ_{t=1..T−l} (x_t − x̄)(x_{t+l} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * over the zero-filled dense grid. The mean is cleared by T-scaling:
+    * dev_t = T·x_t − S_T is an exact integer, so numerator·T² and
+    * denominator·T² are exact (summation-order-free) decimal sums and
+    * `acf` is their single double division — layout-invariant and
+    * engine-replayable. The lag pairing is an equi-join of the grid
+    * with itself on (group, b + lag) after a 1..maxLag explode; the
+    * grid is calendar-bounded (groups × T rows), so the join input is
+    * ≤ groups·T·maxLag rows regardless of event volume. Lags with no
+    * overlap (l >= T) are absent. Returns (group…, lag, num_t2,
+    * den_t2, t_buckets, total, acf). */
+  def autocorrelation(df: DataFrame, groupCols: Seq[String],
+      bucket: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val g = denseGridCounts(df, groupCols, bucket)
+      .withColumn("_t", max(col("_b") - col("_b0") + 1L).over(gw))
+      .withColumn("_tot", sum("_x").over(gw))
+      .withColumn("_dev",
+        (col("_t") * col("_x") - col("_tot")).cast("decimal(38,0)"))
+    val den = g.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_dev") * col("_dev")).as("den_t2"),
+        max("_t").as("t_buckets"), max("_tot").as("total"))
+    val a = g.select(groupCols.map(col) :+ col("_b") :+
+        col("_dev").as("_da"): _*)
+      .withColumn("lag", explode(sequence(lit(1L), lit(maxLag.toLong))))
+    val b = g.select(groupCols.map(c => col(c).as(s"_g_$c")) :+
+      col("_b").as("_bb") :+ col("_dev").as("_db"): _*)
+    val joinCond = groupCols.map(c => col(c) === col(s"_g_$c"))
+      .reduce(_ && _) && col("_bb") === col("_b") + col("lag")
+    a.join(b, joinCond)
+      .groupBy(groupCols.map(col) :+ col("lag"): _*)
+      .agg(sum(col("_da") * col("_db")).as("num_t2"))
+      .join(den, groupCols)
+      .withColumn("acf",
+        when(col("den_t2") =!= lit(0),
+          col("num_t2").cast("double") / col("den_t2").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select(groupCols.map(col) :+ col("lag") :+ col("num_t2") :+
+        col("den_t2") :+ col("t_buckets") :+ col("total") :+
+        col("acf"): _*)
+  }
+
   /** CUSUM changepoint scan per group over a bucketed count series —
     * the pipeline-monitoring "when did this source's volume shift"
     * probe. Over the dense bucket grid i = 0..T−1 (zero-count buckets

@@ -184,4 +184,40 @@ object Quality {
           .cast("long"))
       .select("digit", "obs", "exp_ppb", "contrib_micro")
   }
+
+  /** k-anonymity group profile (Sweeney 2002): one row per distinct
+    * quasi-identifier combination with its population `n`, the
+    * re-identification flag `at_risk` = (n < k), and — when
+    * `sensitiveCol` is given — `n_sensitive` distinct sensitive values
+    * (the l-diversity readout: a group with n >= k but n_sensitive = 1
+    * still leaks the attribute). NULL is a QI value like any other
+    * (standard SQL grouping), so incomplete records form their own
+    * cohort instead of vanishing from the risk report.
+    *
+    * A release gate before training data leaves a tenant boundary —
+    * the privacy twin of the PII scrubbers (`redactPii`/`redact_cards`),
+    * which clean VALUES while this measures STRUCTURE. One hash
+    * aggregation, map-side combined; at 100 TB the output is bounded by
+    * the QI-combination cardinality, never the row count. */
+  def kAnonymityGroups(df: DataFrame, qiCols: Seq[String], k: Long,
+      sensitiveCol: Option[String] = None): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val aggs = count(lit(1)).as("n") +:
+      sensitiveCol.map(c => countDistinct(col(c)).as("n_sensitive")).toSeq
+    df.groupBy(qiCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+  }
+
+  /** One-row k-anonymity summary over [[kAnonymityGroups]]: the dataset
+    * IS k'-anonymous for k' = `k_anonymity` (the smallest cohort), and
+    * `at_risk_rows` individuals sit in cohorts smaller than `k`. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    kAnonymityGroups(df, qiCols, k)
+      .agg(sum("n").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("at_risk") === 1, col("n")).otherwise(0L))
+          .as("at_risk_rows"),
+        sum(col("at_risk").cast("long")).as("at_risk_groups"),
+        min("n").as("k_anonymity"))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Evaluate, Quality}
+
+/** Exact autocorrelation over the dense bucket grid, and the
+  * k-anonymity / l-diversity privacy profile. */
+class AcfAnonymitySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** In-memory ACF reference over the materialized count series. */
+  private def refAcf(counts: Seq[Long], maxLag: Int): Map[Long, (Long, Long)] = {
+    val t = counts.size.toLong
+    val s = counts.sum
+    val dev = counts.map(x => t * x - s)
+    val den = dev.map(d => d * d).sum
+    (1 to maxLag).flatMap { l =>
+      if (l >= counts.size) None
+      else Some(l.toLong ->
+        ((0 until counts.size - l).map(i => dev(i) * dev(i + l)).sum, den))
+    }.toMap
+  }
+
+  private def runAcf(rows: Seq[(String, Long)], maxLag: Int) =
+    Evaluate.autocorrelation(rows.toDF("g", "b").repartition(5),
+        Seq("g"), col("b"), maxLag)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDecimal(2).longValueExact, r.getDecimal(3).longValueExact,
+          if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))).toMap
+
+  test("period-2 series: negative lag-1, positive lag-2, exact integers") {
+    // span 0..6 -> T=7; counts: 4,0,4,0,4,0,4; S=16; dev = 7x-16
+    val rows = (0L until 8L by 2).flatMap(b => Seq.fill(4)(("A", b)))
+    val out = runAcf(rows, 2)
+    // dev: [12,-16,12,-16,12,-16,12]; den = 4*144 + 3*256 = 1344
+    assert(out(("A", 1L))._1 === -1152L) // 6 * (12 * -16)
+    assert(out(("A", 2L))._1 === 944L)   // 3*144 + 2*256
+    assert(out(("A", 1L))._2 === 1344L)
+    assert(math.abs(out(("A", 1L))._3 - (-1152.0 / 1344.0)) < 1e-12)
+    assert(math.abs(out(("A", 2L))._3 - (944.0 / 1344.0)) < 1e-12)
+  }
+
+  test("reference parity on a pseudo-random series with gap days") {
+    // buckets 0..19, day d gets (d*7 % 5) events; days 3 and 11 get 0
+    val counts = (0 until 20).map(d =>
+      if (d == 3 || d == 11) 0L else (d * 7 % 5).toLong)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n.toInt)(("A", d.toLong)) }
+    // keep the span anchored even though day 0 count may be 0
+    val anchored = if (counts.head == 0L) ("A", 0L) +: rows else rows
+    val adj = if (counts.head == 0L) counts.updated(0, 1L) else counts
+    val out = runAcf(anchored, 6)
+    val want = refAcf(adj, 6)
+    for ((l, (num, den)) <- want) {
+      assert(out(("A", l))._1 === num, s"num lag $l")
+      assert(out(("A", l))._2 === den, s"den lag $l")
+    }
+  }
+
+  test("constant series: zero deviations, null acf") {
+    val rows = (0L until 6L).flatMap(b => Seq.fill(3)(("A", b)))
+    val out = runAcf(rows, 2)
+    assert(out(("A", 1L))._1 === 0L && out(("A", 1L))._2 === 0L)
+    assert(out(("A", 1L))._3.isNaN)
+  }
+
+  test("lags at or beyond the series length are absent") {
+    val rows = Seq(("A", 0L), ("A", 1L), ("A", 2L))
+    val out = runAcf(rows, 10)
+    assert(out.keys.map(_._2).toSet === Set(1L, 2L))
+  }
+
+  test("kAnonymityGroups: sizes, risk flags, null cohort, l-diversity") {
+    val df = Seq(
+      ("m", Some(1), "a"), ("m", Some(1), "a"), ("m", Some(1), "b"),
+      ("f", Some(1), "a"), ("f", Some(1), "a"),
+      ("m", None, "c")
+    ).toDF("seg", "nat", "sens")
+    val out = Quality.kAnonymityGroups(df, Seq("seg", "nat"), k = 3,
+        sensitiveCol = Some("sens"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(("m", 1)) === ((3L, 2L, 0)))  // big enough, 2 sens values
+    assert(out(("f", 1)) === ((2L, 1L, 1)))  // small AND sens-uniform
+    assert(out(("m", -1)) === ((1L, 1L, 1))) // null QI is its own cohort
+  }
+
+  test("kAnonymity summary: row/group tallies and the min cohort") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2), ("c", 3))
+      .toDF("q1", "q2")
+    val r = Quality.kAnonymity(df, Seq("q1", "q2"), k = 3).head
+    assert(r.getLong(0) === 6L) // n_rows
+    assert(r.getLong(1) === 3L) // n_groups
+    assert(r.getLong(2) === 3L) // at_risk_rows (2 + 1)
+    assert(r.getLong(3) === 2L) // at_risk_groups
+    assert(r.getLong(4) === 1L) // k_anonymity
+  }
+}
