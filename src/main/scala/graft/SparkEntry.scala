@@ -2639,6 +2639,34 @@ object SparkEntry {
         col("t_buckets"), col("total"), round(col("acf"), 6).as("acf_r"))
       .orderBy("event_type", "lag")
 
+  // Reciprocal kNN pairs (Knn.mutualPairsFromHits): both directions of
+  // the exact top-5 euclidean self-knn replayed, pairs kept only when
+  // membership is mutual — ranks from BOTH lists gated.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val hits = Knn.bruteForce(emb, emb, 5, "euclidean",
+      docId = "vec_id", docVec = "embedding",
+      queryId = "vec_id", queryVec = "embedding", excludeSelf = true)
+    Knn.mutualPairsFromHits(hits)
+      .withColumn("distance", round(col("distance"), 6))
+      .orderBy("a", "b")
+  }
+
+  // Bag-of-words dedup (Dedup.bagDedup): every 10th doc re-enters with
+  // its token sequence REVERSED — byte-distinct, bag-identical — and
+  // must collapse onto its source row through the sorted-multiset key.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val rev = d.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", reverse(TextFunctions.tokens(col("text"))))
+          .as("text"))
+    Dedup.bagDedup(d.unionByName(rev), "doc_id", "text")
+      .where(col("n_copies") >= 2)
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2954,7 +2982,9 @@ object SparkEntry {
     "q186_phrase_search" -> (q186 _),
     "q187_proximity_search" -> (q187 _),
     "q188_k_anonymity" -> (q188 _),
-    "q189_autocorrelation" -> (q189 _))
+    "q189_autocorrelation" -> (q189 _),
+    "q190_mutual_knn" -> (q190 _),
+    "q191_bag_dedup" -> (q191 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -6965,7 +6995,37 @@ object SparkEntry {
            CAST(total AS BIGINT) AS total,
            round(CAST(num_t2 AS DOUBLE) / CAST(den_t2 AS DOUBLE), 6)
              AS acf_r
-         FROM num JOIN den ON num.g = den.g ORDER BY 1, 2"""
+         FROM num JOIN den ON num.g = den.g ORDER BY 1, 2""",
+
+    // q190: both knn directions replayed (the q11/q12 rank chain), the
+    // mutual join keeps (a,b) iff each sits in the other's top-5
+    "q190_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         d AS (SELECT a.vec_id qid, b.vec_id id, list_distance(a.v, b.v)
+             AS dist FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT qid, id, dist, row_number()
+             OVER (PARTITION BY qid ORDER BY dist, id) AS rank FROM d),
+         h AS (SELECT qid, id, dist, rank FROM r WHERE rank <= 5)
+         SELECT f.qid AS a, f.id AS b, CAST(f.rank AS INTEGER) AS rank_ab,
+           CAST(g.rank AS INTEGER) AS rank_ba, round(f.dist, 6) AS distance
+         FROM h f JOIN h g ON f.qid = g.id AND f.id = g.qid
+         WHERE f.qid < f.id ORDER BY 1, 2""",
+
+    // q191: the sorted-multiset canonical key replayed on the same
+    // planted reversed-copy corpus; groups compared by (keep_id, size)
+    "q191_bag_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+         rev AS (SELECT doc_id + 100000 AS doc_id, list_aggregate(
+             list_reverse(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')), 'string_agg', ' ') AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         a AS (SELECT * FROM base UNION ALL SELECT * FROM rev),
+         k AS (SELECT doc_id, list_aggregate(list_sort(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')), 'string_agg', ' ') AS ck FROM a)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keep_id"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

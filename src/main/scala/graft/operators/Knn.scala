@@ -487,6 +487,31 @@ object Knn {
       .select(col("query_id"), col("_w.l").as("label"),
         (-col("_w.nv")).as("votes"))
 
+  /** Reciprocal (mutual) kNN pairs from any hit table (query_id, id,
+    * distance, rank): keep (a, b) only when b is in a's top-k AND a is
+    * in b's top-k. One-directional neighborhood evidence is what hub
+    * points fake — a hub lands in thousands of top-k lists whose
+    * members it does not reciprocate — so mutuality is the standard
+    * cheap filter before near-dup clustering or bitext alignment (the
+    * set-intersection cousin of [[marginPairs]]' ratio rule).
+    *
+    * Hit-table-agnostic like [[classifyFromHits]]: feed [[bruteForce]]
+    * output at gate scale, `Ann` search hits at index scale. One
+    * self-equi-join of the hit table on the swapped (id, query_id) key —
+    * shuffle O(|hits|), never touches vectors. Output: (a, b, rank_ab,
+    * rank_ba, distance) with a < b, distance from the a→b direction
+    * (equal to b→a for the symmetric metrics). */
+  def mutualPairsFromHits(hits: DataFrame): DataFrame = {
+    val fwd = hits.select(col("query_id").as("a"), col("id").as("b"),
+      col("rank").as("rank_ab"), col("distance"))
+    val rev = hits.select(col("id").as("a"), col("query_id").as("b"),
+      col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"),
+        col("distance"))
+  }
+
   /** Margin-based pair mining (Artetxe & Schwenk 2019 — the LASER/
     * CCMatrix bitext-mining rule): for every row of `a`, its best `b`
     * candidate by the ratio margin
