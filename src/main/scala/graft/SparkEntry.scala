@@ -2667,6 +2667,16 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  // Per-group percentile normalization (GroupOps.percentileRank):
+  // doubled midranks + floor-div ppm percentiles of n_chars per source —
+  // exact integers end-to-end, heavy ties exercised.
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    GroupOps.percentileRank(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), col("n_chars"))
+      .select("doc_id", "source", "n_chars", "d_rank", "pct_ppm")
+      .orderBy("doc_id")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2984,7 +2994,8 @@ object SparkEntry {
     "q188_k_anonymity" -> (q188 _),
     "q189_autocorrelation" -> (q189 _),
     "q190_mutual_knn" -> (q190 _),
-    "q191_bag_dedup" -> (q191 _))
+    "q191_bag_dedup" -> (q191 _),
+    "q192_percentile_rank" -> (q192 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7025,7 +7036,23 @@ object SparkEntry {
              string_split_regex(lower(text), '[^a-z0-9]+'),
              x -> x <> '')), 'string_agg', ' ') AS ck FROM a)
          SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-         FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keep_id"""
+         FROM k GROUP BY ck HAVING count(*) >= 2 ORDER BY keep_id""",
+
+    // q192: the q132 doubled-rank rule per group + one floor division
+    "q192_percentile_rank" ->
+      """WITH p AS (SELECT doc_id, source, n_chars AS v FROM documents),
+         cnt AS (SELECT source, count(v) AS n FROM p GROUP BY source),
+         r AS (SELECT source, v, 2 * min(gi) + count(*) + 1 AS dr
+           FROM (SELECT source, v, row_number()
+               OVER (PARTITION BY source ORDER BY v) - 1 AS gi
+             FROM p WHERE v IS NOT NULL)
+           GROUP BY source, v)
+         SELECT p.doc_id, p.source, p.v AS n_chars,
+           CAST(dr AS BIGINT) AS d_rank,
+           CAST((dr * 1000000) // (2 * cnt.n) AS BIGINT) AS pct_ppm
+         FROM p JOIN r ON p.source = r.source AND p.v = r.v
+         JOIN cnt ON p.source = cnt.source
+         ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -53,6 +53,45 @@ object GroupOps {
     out.select(df.columns.map(col) ++ zCols: _*)
   }
 
+  /** Per-group tie-aware percentile ranks — the cross-source score
+    * normalizer: heterogeneous quality signals (different scales per
+    * source, heavy ties) become comparable [0, 1e6] percentiles before
+    * a global keep-threshold or mixing draw.
+    *
+    * `d_rank` is the DOUBLED midrank 2·(#strictly-smaller) + #ties + 1
+    * (the q132 exact-integer tie rule, per group) and
+    * `pct_ppm = d_rank · 1e6 div (2n)` a single floor division — both
+    * exact, layout-invariant, engine-replayable. Rows with a null value
+    * keep null outputs.
+    *
+    * Scale shape: one (group, value) count aggregation (map-side
+    * combined), a cumulative window over the DISTINCT values per group
+    * (the q175 bounded-cardinality contract — for one giant ungrouped
+    * series use `globalOrderIndex`), and one equi-join back onto the
+    * rows. Appends (d_rank, pct_ppm). */
+  def percentileRank(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(df.columns.map(col) :+ value.as("_v"): _*)
+    val counts = base.where(col("_v").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val cum = Window.partitionBy(groupCols.map(col): _*).orderBy("_v")
+    val ranked = counts
+      .withColumn("_cum", sum("_c").over(cum))
+      .withColumn("d_rank",
+        lit(2L) * (col("_cum") - col("_c")) + col("_c") + 1L)
+    val n = base.groupBy(groupCols.map(col): _*)
+      .agg(count(col("_v")).as("_n"))
+    base
+      .join(ranked.select(groupCols.map(col) :+ col("_v") :+
+        col("d_rank"): _*), groupCols :+ "_v", "left")
+      .join(n, groupCols)
+      .withColumn("pct_ppm",
+        expr("(d_rank * 1000000) div (2 * _n)"))
+      .select(df.columns.map(col) :+ col("d_rank") :+ col("pct_ppm"): _*)
+  }
+
   /** split_by_tag: one output group key per distinct value; returns the
     * groups as (tagValue, ids) rows — at scale prefer partitionBy writes
     * over materializing per-group arrays. */

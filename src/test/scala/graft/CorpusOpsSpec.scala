@@ -27,6 +27,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got(3).isNullAt(2) && got(3).isNullAt(3))
   }
 
+  test("percentileRank: doubled midranks, ties, nulls, group isolation") {
+    val df = Seq(
+      ("s1", 1L, Some(10L)), ("s1", 2L, Some(20L)), ("s1", 3L, Some(20L)),
+      ("s1", 4L, Some(30L)), ("s1", 5L, Option.empty[Long]),
+      ("s2", 6L, Some(10L))
+    ).toDF("g", "id", "v")
+    val out = GroupOps.percentileRank(df, Seq("g"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // s1 non-null n=4: v=10 -> d=2*0+1+1=2, pct=2e6 div 8=250000
+    assert(out(1L) === ((2L, 250000L)))
+    // v=20 ties: d=2*1+2+1=5, pct=5e6 div 8=625000
+    assert(out(2L) === ((5L, 625000L)))
+    assert(out(3L) === ((5L, 625000L)))
+    // v=30: d=2*3+1+1=8, pct=8e6 div 8=1000000
+    assert(out(4L) === ((8L, 1000000L)))
+    // null value -> null outputs
+    assert(out(5L) === ((-1L, -1L)))
+    // s2 singleton: d=2, pct=2e6 div 2=1000000
+    assert(out(6L) === ((2L, 1000000L)))
+  }
+
+  test("percentileRank: layout invariance") {
+    val df = (0L until 300L).map(i => (s"g${i % 3}", i, (i * 7) % 50))
+      .toDF("g", "id", "v")
+    val a = GroupOps.percentileRank(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    val b = GroupOps.percentileRank(df.repartition(11), Seq("g"), col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+    assert(a === b)
+  }
+
   test("standardize: constant signal gives null z, zero numerator") {
     val df = Seq(1L, 2L, 3L).toDF("id").withColumn("c", lit(7.5))
     val got = GroupOps.standardize(df, Seq("c" -> col("c"))).collect()
