@@ -304,6 +304,43 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding"): DataFrame =
     Knn.outlierScores(df, k, metric, idCol, vecCol)
 
+  /** Reciprocal-kNN near-dup pairs over the embedding column: exact
+    * self-knn + the mutuality filter (one-directional hub hits die).
+    * Returns (a, b, rank_ab, rank_ba, distance), a < b. */
+  def mutualNearDupPairs(k: Int = 10, metric: String = "cosine",
+      vecCol: String = "embedding"): DataFrame =
+    Knn.mutualPairsFromHits(Knn.bruteForce(df, df, k, metric,
+      docId = idCol, docVec = vecCol, queryId = idCol, queryVec = vecCol,
+      excludeSelf = true))
+
+  /** Word-order-insensitive duplicate groups: exact dedup on the sorted
+    * token multiset (reordered copies collapse; repeat-count changes
+    * don't). Returns (bag_fp, keep_id, n_copies). */
+  def bagDedup(textCol: String = "text"): DataFrame =
+    Dedup.bagDedup(df, idCol, textCol)
+
+  /** Exact phrase search (the quoted query): every occurrence of the
+    * phrase's token sequence at consecutive positions — (id, pos). */
+  def findPhrase(phrase: String, textCol: String = "text"): DataFrame =
+    TextSearch.phrasePositions(df, idCol, textCol, phrase)
+
+  /** Proximity search: co-occurrences of two terms within `window`
+    * token positions — (id, pos_a, pos_b). */
+  def findNear(termA: String, termB: String, window: Int,
+      textCol: String = "text"): DataFrame =
+    TextSearch.proximityPairs(df, idCol, textCol, termA, termB, window)
+
+  /** k-anonymity / l-diversity privacy profile over quasi-identifier
+    * columns — the release gate before data leaves a tenant boundary. */
+  def kAnonymityProfile(qiCols: Seq[String], k: Long,
+      sensitiveCol: Option[String] = None): DataFrame =
+    Quality.kAnonymityGroups(df, qiCols, k, sensitiveCol)
+
+  /** Per-group tie-aware percentile ranks — normalize heterogeneous
+    * per-source scores into comparable [0, 1e6] percentiles. */
+  def percentileRank(groupCols: Seq[String], value: Column): DataFrame =
+    GroupOps.percentileRank(df, groupCols, value)
+
   /** Grid-blocked DBSCAN over a 2-D projection of the corpus (PCA the
     * embeddings to 2-D first, or pass any two numeric columns):
     * (id, kind core|border|noise, cluster_id). */

@@ -183,6 +183,34 @@ class DocArraySpec extends SparkSuite {
     assert(ece.getAs[Long]("n") == docs.count())
   }
 
+  test("phrase / proximity / bagDedup / mutual-knn / privacy / percentile facades") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val ph = docs.findPhrase("table table")
+    assert(ph.columns.toSeq === Seq("id", "pos") && ph.count() > 0)
+    val nr = docs.findNear("spark", "vector", window = 3)
+    assert(nr.columns.toSeq === Seq("id", "pos_a", "pos_b"))
+    val bd = docs.bagDedup()
+    assert(bd.columns.toSeq === Seq("bag_fp", "keep_id", "n_copies"))
+    assert(bd.agg(sum("n_copies")).head.getLong(0) === docs.count())
+    val ka = docs.kAnonymityProfile(Seq("lang", "source"), k = 5,
+      sensitiveCol = Some("n_chars"))
+    assert(ka.columns.toSeq ===
+      Seq("lang", "source", "n", "n_sensitive", "at_risk"))
+    val pr = docs.percentileRank(Seq("source"), col("n_chars"))
+    assert(pr.columns.contains("pct_ppm") &&
+      pr.agg(max("pct_ppm")).head.getLong(0) === 1000000L)
+
+    val emb = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumnRenamed("vec_id", "id"))
+    val mp = emb.mutualNearDupPairs(k = 3, metric = "euclidean")
+    assert(mp.columns.toSeq ===
+      Seq("a", "b", "rank_ab", "rank_ba", "distance"))
+    assert(mp.where(col("a") >= col("b")).count() === 0L)
+  }
+
   test("topicModel / heavyTokens facades") {
     val docs = DocArray(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
