@@ -133,9 +133,23 @@ object Pca {
     val row = df.select(co_moments(q, d).as("s"))
       .select(col("s.n"), col("s.sx"), col("s.sxy")).head
     val n = row.getLong(0)
-    require(n > 1, s"PCA needs at least 2 complete vectors, got $n")
     val sx = row.getSeq[Long](1).toArray
     val sxy = row.getSeq[Long](2).toArray
+    fitFromSums(n, sx, sxy, outDim, quant)
+  }
+
+  /** The driver-side half of [[fit]], callable on PERSISTED or STREAMED
+    * co-moment sums (n, Σx, Σx·x upper triangle — e.g. the summed state
+    * of `EventStream.streamingCoMoments`): co-moments are additive, so
+    * a model fit from merged partial sums is bit-identical to a one-shot
+    * fit over the union — incremental PCA without revisiting history. */
+  def fitFromSums(n: Long, sx: Array[Long], sxy: Array[Long],
+      outDim: Int, quant: Double = 10000.0): PcaModel = {
+    val d = sx.length
+    require(sxy.length == d * (d + 1) / 2,
+      s"sxy length ${sxy.length} is not the upper triangle of d=$d")
+    require(outDim > 0 && outDim <= d, s"outDim must be in [1, $d], got $outDim")
+    require(n > 1, s"PCA needs at least 2 complete vectors, got $n")
 
     // covariance from exact integer sums: (n·sxy − sxi·sxj) / n² / quant²
     // (BigInt numerator — n·sxy can exceed 2^63 long before the sums do)

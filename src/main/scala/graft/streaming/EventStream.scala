@@ -376,6 +376,51 @@ object EventStream {
       .agg(org.apache.spark.sql.functions.sum("cell").as("cell"))
   }
 
+  /** Streaming co-moment accumulation — INCREMENTAL PCA statistics.
+    * Each micro-batch reduces to ONE exact co-moment row (n, Σx, Σx·x
+    * upper triangle — the `Pca.fit` sufficient statistics, all longs on
+    * the quantization grid) written as delta `d<batchId>`. Co-moments
+    * are ADDITIVE like the count-min counters, so the per-batch-delta
+    * design is the replay-idempotent one (a replayed batch overwrites
+    * its OWN delta; versioned-overwrite would double-count). Fit any
+    * time with `Pca.fitFromSums(readCoMomentState(...))` — bit-identical
+    * to a one-shot fit over everything seen, without revisiting
+    * history. State is one row × (d + d(d+1)/2 + 1) longs per batch;
+    * compact by rewriting the summed state as a fresh delta. */
+  def streamingCoMoments(stream: DataFrame, vecCol: String, dims: Int,
+      path: String, quant: Double = 10000.0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.functions.{co_moments => coMoments}
+    import graft.operators.Pca
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(coMoments(
+            slice(Pca.quantize(col(vecCol), quant), 1, dims), dims).as("s"))
+          .select(col("s.n").as("n"), col("s.sx").as("sx"),
+            col("s.sxy").as("sxy"))
+          .write.mode("overwrite").parquet(s"$path/d$batchId")
+      }
+  }
+
+  /** Element-wise sum of every completed [[streamingCoMoments]] delta —
+    * the (n, sx, sxy) row [[graft.operators.Pca.fitFromSums]] consumes. */
+  def readCoMomentState(spark: SparkSession, path: String)
+      : (Long, Array[Long], Array[Long]) = {
+    val deltas = completedDeltas(spark, path, Long.MaxValue)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no co-moment state under $path")
+    val df = spark.read.parquet(deltas: _*)
+    val n = df.agg(sum("n")).head.getLong(0)
+    def sumArr(name: String): Array[Long] = df
+      .select(posexplode(col(name)).as(Seq("p", "v")))
+      .groupBy("p").agg(sum("v").as("v"))
+      .select(struct(col("p"), col("v")).as("z"))
+      .agg(sort_array(collect_list(col("z"))).as("zs"))
+      .select(transform(col("zs"), x => x.getField("v")).as("vs"))
+      .head.getSeq[Long](0).toArray
+    (n, sumArr("sx"), sumArr("sxy"))
+  }
+
   /** Streaming incremental NEAR-dup ingest: each micro-batch is minhash-
     * signed, screened against the persisted corpus signature artifact
     * ([[graft.operators.Dedup.minhashAgainstSigs]] — banding +

@@ -781,6 +781,48 @@ class IoStreamSpec extends SparkSuite {
     assert(ds.toSet == Set("d0", "d1"))
   }
 
+  test("streaming co-moments: fit from summed deltas == one-shot fit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Pca
+    // deterministic 3-dim vectors, split across two micro-batches
+    val mk = (i: Int) => Tuple1(Array(
+      (i % 7).toDouble, ((i * 3) % 5).toDouble, ((i * 11) % 4).toDouble))
+    val all = (0 until 400).map(mk)
+    val (h1, h2) = all.splitAt(170)
+    val dir = Files.createTempDirectory("graftscom").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Tuple1[Array[Double]]]
+    val writer = EventStream.streamingCoMoments(
+      mem.toDF().toDF("v"), "v", dims = 3, path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val (n, sx, sxy) = EventStream.readCoMomentState(spark, s"$dir/state")
+    assert(n === 400L)
+    val oneShot = all.map(_._1).toDF("v")
+      .select(graft.functions.co_moments(
+        Pca.quantize(col("v")), 3).as("s"))
+      .select(col("s.n"), col("s.sx"), col("s.sxy")).head
+    assert(oneShot.getLong(0) === n)
+    assert(oneShot.getSeq[Long](1).toArray.toSeq === sx.toSeq)
+    assert(oneShot.getSeq[Long](2).toArray.toSeq === sxy.toSeq)
+    // and the model built from merged state == the one-shot batch fit
+    val m1 = Pca.fitFromSums(n, sx, sxy, outDim = 2)
+    val m2 = Pca.fit(all.map(_._1).toDF("v"), "v", outDim = 2)
+    assert(m1.mean.toSeq === m2.mean.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq ===
+      m2.components.map(_.toSeq).toSeq)
+    assert(m1.eigenvalues.toSeq === m2.eigenvalues.toSeq)
+    // two delta dirs, one per micro-batch
+    val ds = new java.io.File(s"$dir/state").list().filter(_.startsWith("d"))
+    assert(ds.toSet == Set("d0", "d1"))
+  }
+
   test("streaming KMV sketch: merged state equals the batch sketch of everything") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
