@@ -767,6 +767,36 @@ object Bench {
         .agg(sum("depth")).collect()
     }
 
+    // Interval overlap self-join at 1M intervals / 100k keys: bucket
+    // blocking (width ≈ interval length ⇒ ≤ 3 replicas/row) + the
+    // exactly-once max-start attribution — the range-join shape that
+    // would be a nested-loop disaster without blocking. ~9k pairs out.
+    bench("x_interval_1m", runs = 1) {
+      val iv = spark.range(1000000L).select(col("id"),
+          pmod(xxhash64(col("id"), lit(41)), lit(100000L)).as("k"),
+          pmod(xxhash64(col("id"), lit(42)), lit(1000000000L)).as("st"))
+        .withColumn("en", col("st") + lit(1L) +
+          pmod(xxhash64(col("id"), lit(43)), lit(2000000L)))
+      graft.operators.IntervalJoin.overlap(iv, iv, Seq("k"),
+          "id", "st", "en", "id", "st", "en", bucketWidth = 1000000L)
+        .where(col("a") < col("b")).count()
+    }
+
+    // Exact phrase search over 1M docs / 20M token positions: the
+    // posexplode prunes to the phrase's two terms at the scan, so only
+    // the planted 10k occurrences' postings shuffle into the
+    // (id, pos−i) join — quoted-query retrieval at corpus scale.
+    bench("x_phrase_1m", runs = 1) {
+      val docs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
+          when(pmod(col("id"), lit(100)) === 0 && j === 5, lit("alpha"))
+            .when(pmod(col("id"), lit(100)) === 0 && j === 6, lit("beta"))
+            .otherwise(concat(lit("w"),
+              pmod(xxhash64(col("id"), j), lit(50000)))))).as("text"))
+      graft.operators.TextSearch.phrasePositions(
+        docs, "doc_id", "text", "alpha beta").count()
+    }
+
     emitSummaryAndStop()
   }
 }

@@ -341,6 +341,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def percentileRank(groupCols: Seq[String], value: Column): DataFrame =
     GroupOps.percentileRank(df, groupCols, value)
 
+  /** Exact-k weighted sampling without replacement (inclusion odds ∝
+    * weight; deterministic, layout-invariant, engine-replayable). */
+  def sampleByWeight(k: Int, weight: Column, seed: Long): DocArray =
+    wrap(GroupOps.sampleWeightedK(df, k, weight, seed, col(idCol))
+      .drop("es_ppb"))
+
   /** Grid-blocked DBSCAN over a 2-D projection of the corpus (PCA the
     * embeddings to 2-D first, or pass any two numeric columns):
     * (id, kind core|border|noise, cluster_id). */

@@ -2677,6 +2677,15 @@ object SparkEntry {
       .select("doc_id", "source", "n_chars", "d_rank", "pct_ppm")
       .orderBy("doc_id")
 
+  // Exact-k weighted sampling without replacement (ES order,
+  // GroupOps.sampleWeightedK): weight = n_chars, the es_ppb key and the
+  // top-100 boundary both gated.
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    GroupOps.sampleWeightedK(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        k = 100, weight = col("n_chars"), seed = 17L, key = col("doc_id"))
+      .orderBy("doc_id")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -2995,7 +3004,8 @@ object SparkEntry {
     "q189_autocorrelation" -> (q189 _),
     "q190_mutual_knn" -> (q190 _),
     "q191_bag_dedup" -> (q191 _),
-    "q192_percentile_rank" -> (q192 _))
+    "q192_percentile_rank" -> (q192 _),
+    "q193_weighted_sample_k" -> (q193 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7052,7 +7062,19 @@ object SparkEntry {
            CAST((dr * 1000000) // (2 * cnt.n) AS BIGINT) AS pct_ppm
          FROM p JOIN r ON p.source = r.source AND p.v = r.v
          JOIN cnt ON p.source = cnt.source
-         ORDER BY 1"""
+         ORDER BY 1""",
+
+    // q193: the splitmix draw → u_ppm → ln(u)/w rounded ONCE to ppb
+    // (the q123 float-chain rule) → top-100 by (es_ppb DESC, doc_id)
+    "q193_weighted_sample_k" ->
+      s"""WITH ${splitmixChainSql("doc_id, n_chars", 17L)},
+         e AS (SELECT doc_id, n_chars,
+             CAST(round(1000000000 * ln(
+               ((((rk % 1000000) + 1000000) % 1000000) + 1) / 1000000.0)
+               / n_chars) AS BIGINT) AS es_ppb
+           FROM ranked WHERE n_chars > 0)
+         SELECT doc_id, n_chars, es_ppb FROM e
+         ORDER BY es_ppb DESC, doc_id LIMIT 100"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

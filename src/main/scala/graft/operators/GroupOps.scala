@@ -338,6 +338,34 @@ object GroupOps {
     df.where(u < round(weight.cast("double") * 1000000.0).cast("long"))
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): keep the k rows with the largest u^(1/w) — each
+    * row's inclusion probability is proportional to its weight, and no
+    * row repeats, the draw [[sampleWeighted]] (independent keeps,
+    * random output size) and `rebalanceToQuota` (with replacement)
+    * don't cover. Weights are any positive scale (token counts,
+    * quality scores); u comes from the gated splitmix64 chain, so the
+    * sample is deterministic and layout-invariant.
+    *
+    * Selection rides the equivalent order ln(u)/w, quantized ONCE to
+    * `es_ppb = round(1e9 · ln(u_ppm/1e6) / w)` (the q123 fixed-chain →
+    * integer rule; ties → smallest key), so the chosen set replays in
+    * an external engine. Rows with null or non-positive weight are
+    * never selected. orderBy+limit lowers to TakeOrderedAndProject —
+    * per-partition top-k heaps, never a global sort. Appends es_ppb. */
+  def sampleWeightedK(df: DataFrame, k: Int, weight: Column, seed: Long,
+      key: Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = pmod(graft.functions.splitmix64_rank(key, seed),
+      lit(1000000L)) + lit(1L)
+    val es = round(lit(1e9) * log(u.cast("double") / 1e6) /
+      weight.cast("double")).cast("long")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("es_ppb", es)
+      .orderBy(col("es_ppb").desc, key)
+      .limit(k)
+  }
+
   /** Deterministic train/val/test splitting: label each row by where its
     * splitmix64 draw (the same ppm arithmetic as [[sampleWeighted]])
     * falls among the cumulative `fractions` (name → share, must sum to

@@ -50,6 +50,38 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(6L) === ((2L, 1000000L)))
   }
 
+  test("sampleWeightedK: exact k, weight monotonicity, null/zero excluded") {
+    val df = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
+      .toDF("id", "w")
+    val got = GroupOps.sampleWeightedK(df, 40, col("w"), seed = 3L,
+      key = col("id"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 40)
+    assert(rows.map(_._1).distinct.length === 40) // without replacement
+    // heavy weights dominate the sample overwhelmingly
+    assert(rows.count(_._2 == 50.0) >= 35)
+    // selection == an in-memory replay of the same es order
+    val all = GroupOps
+      .sampleWeightedK(df, 200, col("w"), seed = 3L, key = col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val wantTop = all.sortBy { case (id, es) => (-es, id) }.take(40)
+      .map(_._1).toSet
+    assert(rows.map(_._1).toSet === wantTop)
+    // zero/null weights never selected
+    val bad = Seq((1000L, 0.0), (1001L, -2.0)).toDF("id", "w")
+    assert(GroupOps.sampleWeightedK(df.union(bad), 300, col("w"), 3L,
+      col("id")).where(col("id") >= 1000L).count() === 0L)
+  }
+
+  test("sampleWeightedK: same key and u, larger weight wins at k=1") {
+    // two rows share the id key -> identical u; es = ln(u)/w is closer
+    // to zero for the larger weight, so it must be chosen first
+    val df = Seq((7L, "small", 1.0), (7L, "big", 100.0)).toDF("id", "tag", "w")
+    val got = GroupOps.sampleWeightedK(df, 1, col("w"), seed = 1L,
+      key = col("id")).select("tag").head.getString(0)
+    assert(got === "big")
+  }
+
   test("percentileRank: layout invariance") {
     val df = (0L until 300L).map(i => (s"g${i % 3}", i, (i * 7) % 50))
       .toDF("g", "id", "v")
