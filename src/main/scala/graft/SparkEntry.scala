@@ -2686,6 +2686,14 @@ object SparkEntry {
         k = 100, weight = col("n_chars"), seed = 17L, key = col("doc_id"))
       .orderBy("doc_id")
 
+  // Windowed co-occurrence PMI (LangModel.cooccurrencePmi): skip-gram
+  // pair counts within 3 positions, exact integer marginals/total, the
+  // single ln chain ppb-rounded — the PPMI word-association table.
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    LangModel.cooccurrencePmi(t(s, dir, "documents"), "doc_id",
+        col("text"), window = 3, minCount = 10L)
+      .orderBy("a", "b")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3005,7 +3013,8 @@ object SparkEntry {
     "q190_mutual_knn" -> (q190 _),
     "q191_bag_dedup" -> (q191 _),
     "q192_percentile_rank" -> (q192 _),
-    "q193_weighted_sample_k" -> (q193 _))
+    "q193_weighted_sample_k" -> (q193 _),
+    "q194_cooccurrence_pmi" -> (q194 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7074,7 +7083,34 @@ object SparkEntry {
                / n_chars) AS BIGINT) AS es_ppb
            FROM ranked WHERE n_chars > 0)
          SELECT doc_id, n_chars, es_ppb FROM e
-         ORDER BY es_ppb DESC, doc_id LIMIT 100"""
+         ORDER BY es_ppb DESC, doc_id LIMIT 100""",
+
+    // q194: the q186 positional postings, windowed pair join, both
+    // directions, exact counts, one ppb-rounded ln chain
+    "q194_cooccurrence_pmi" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, l[i] AS w FROM t,
+             unnest(range(1, len(l) + 1)) AS u(i)),
+         pr AS (SELECT x.w AS wa, y.w AS wb FROM p x JOIN p y
+           ON x.doc_id = y.doc_id AND y.pos > x.pos
+             AND y.pos <= x.pos + 3),
+         dird AS (SELECT wa AS a, wb AS b FROM pr
+           UNION ALL SELECT wb AS a, wa AS b FROM pr),
+         cab AS (SELECT a, b, count(*) AS c_ab FROM dird GROUP BY a, b),
+         ma AS (SELECT a, sum(c_ab) AS m_a FROM cab GROUP BY a),
+         mb AS (SELECT b, sum(c_ab) AS m_b FROM cab GROUP BY b),
+         tt AS (SELECT sum(c_ab) AS t FROM cab)
+         SELECT cab.a, cab.b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(m_a AS BIGINT) AS m_a, CAST(m_b AS BIGINT) AS m_b,
+           CAST(t AS BIGINT) AS t,
+           CAST(round(1000000000 * ln(CAST(c_ab AS DOUBLE)
+             * CAST(t AS DOUBLE)
+             / (CAST(m_a AS DOUBLE) * CAST(m_b AS DOUBLE)))) AS BIGINT)
+             AS pmi_ppb
+         FROM cab JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+         WHERE c_ab >= 10 ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

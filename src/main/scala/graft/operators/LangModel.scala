@@ -370,6 +370,56 @@ object LangModel {
       .drop("_N"), "pmi", topK)
   }
 
+  /** Windowed co-occurrence PMI — the word-ASSOCIATION statistic under
+    * word-vector training (PPMI matrices are what SVD/GloVe-style
+    * embeddings factor), where [[collocations]] scores ADJACENT bigrams
+    * only. Every ordered pair of token occurrences within `window`
+    * positions counts once per direction (the skip-gram convention, so
+    * marginals are symmetric):
+    *
+    *   pmi(a,b) = ln( c_ab · T / (m_a · m_b) ),  T = Σ c_ab,
+    *   m_w = Σ_b c_wb
+    *
+    * with c/m/T exact integers from one (a, b) pair aggregation and
+    * `pmi_ppb` the single ln-of-ratio rounded once to ppb (the q123
+    * fixed-chain rule — engine-replayable). Physical shape: positional
+    * postings self-join per doc (O(len·window) rows, one doc-keyed
+    * shuffle), pair groupBy with map-side combine, broadcast marginal
+    * joins; never a vocabulary cross product. Output: (a, b, c_ab,
+    * m_a, m_b, t, pmi_ppb) for pairs with c_ab >= minCount. */
+  def cooccurrencePmi(docs: DataFrame, idCol: String, textCol: Column,
+      window: Int, minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(graft.functions.TextFunctions.tokens(textCol)))
+      .toDF("_id", "_pos", "_w")
+    val right = toks.select(col("_id").as("_id2"), col("_pos").as("_p2"),
+      col("_w").as("_w2"))
+    val pos = toks.join(right,
+      col("_id") === col("_id2") &&
+        col("_p2") > col("_pos") && col("_p2") <= col("_pos") + window)
+    val directed = pos.select(explode(array(
+        struct(col("_w").as("a"), col("_w2").as("b")),
+        struct(col("_w2").as("a"), col("_w").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = directed.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ma = cab.groupBy("a").agg(sum("c_ab").as("m_a"))
+    val mb = cab.groupBy("b").agg(sum("c_ab").as("m_b"))
+    val tot = broadcast(cab.agg(sum("c_ab").as("t")))
+    // marginal joins key on the term; AQE broadcasts them when the
+    // vocabulary is small and shuffles otherwise (a web-scale vocab
+    // must not be forced onto the driver)
+    cab.where(col("c_ab") >= minCount)
+      .join(ma, "a").join(mb, "b")
+      .crossJoin(tot)
+      .withColumn("pmi_ppb",
+        round(lit(1e9) * log(col("c_ab").cast("double") *
+          col("t").cast("double") /
+          (col("m_a").cast("double") * col("m_b").cast("double"))))
+          .cast("long"))
+      .select("a", "b", "c_ab", "m_a", "m_b", "t", "pmi_ppb")
+  }
+
   /** [[unigramNll]] + decile-style quality buckets over ascending
     * (`nll`, id) — bucket 1 = most in-distribution, exact SQL `NTILE`
     * semantics (first `count % buckets` buckets take one extra row). The

@@ -320,4 +320,35 @@ class LangModelSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.isNullAt(6)).toMap
     assert(out2("x") === true && out2("a") === false)
   }
+
+  test("cooccurrencePmi: hand counts, window truncation, symmetric marginals") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val out = LangModel.cooccurrencePmi(docs, "id", col("text"),
+        window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // position pairs (0,1),(0,2),(1,2) -> 6 directed; every c_ab = 1,
+    // every marginal = 2, T = 6 -> pmi = ln(1.5) for all pairs
+    assert(out.size === 6)
+    val ppb = math.round(1e9 * math.log(1.5))
+    for ((_, (c, ma, mb, t, p)) <- out)
+      assert((c, ma, mb, t, p) === ((1L, 2L, 2L, 6L, ppb)))
+    // both directions present
+    assert(out.contains(("a", "b")) && out.contains(("b", "a")))
+
+    // tokens farther than the window never pair
+    val far = Seq((1L, "a x y z b")).toDF("id", "text")
+    val pairs = LangModel.cooccurrencePmi(far, "id", col("text"),
+        window = 2, minCount = 1L)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!pairs.contains(("a", "b")))
+
+    // repeated tokens: self-pairs count like any pair
+    val rep = Seq((1L, "a a")).toDF("id", "text")
+    val selfP = LangModel.cooccurrencePmi(rep, "id", col("text"),
+        window = 1, minCount = 1L).collect()
+    assert(selfP.length === 1) // (a,a) both directions collapse to one key
+    assert(selfP.head.getLong(2) === 2L) // ...with directed count 2
+  }
 }
