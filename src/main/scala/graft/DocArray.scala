@@ -347,6 +347,12 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     wrap(GroupOps.sampleWeightedK(df, k, weight, seed, col(idCol))
       .drop("es_ppb"))
 
+  /** SVD-PPMI word vectors trained on this corpus's co-occurrence
+    * statistics (deterministic word2vec-equivalent geometry). */
+  def wordVectors(window: Int = 3, dim: Int = 32, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame =
+    LangModel.wordVectors(df, idCol, col(textCol), window, dim, minCount)
+
   /** Grid-blocked DBSCAN over a 2-D projection of the corpus (PCA the
     * embeddings to 2-D first, or pass any two numeric columns):
     * (id, kind core|border|noise, cluster_id). */

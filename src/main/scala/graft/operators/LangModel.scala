@@ -420,6 +420,57 @@ object LangModel {
       .select("a", "b", "c_ab", "m_a", "m_b", "t", "pmi_ppb")
   }
 
+  /** SVD-PPMI word vectors (Levy & Goldberg 2014: skip-gram negative
+    * sampling implicitly factorizes the shifted PPMI matrix — this is
+    * the direct, deterministic route to the same geometry): build the
+    * windowed PPMI matrix ([[cooccurrencePmi]], negatives clamped to
+    * 0), eigendecompose it with the deterministic cyclic Jacobi (the
+    * [[graft.operators.Jacobi]] PCA solver — PPMI is symmetric), and
+    * embed word w as U[w, k] · sqrt(|λ_k|) over the top `dim` axes
+    * (|λ| = the singular values of a symmetric matrix; Pca.fit's sign
+    * and ordering conventions, so the fit is bit-reproducible).
+    *
+    * The distributed stage is the q194-gated count pipeline; only the
+    * V×V PPMI matrix lands on the driver (the kmeans-centroid / BPE
+    * guarded-driver-fit pattern — `maxVocab` refuses loudly). Fit on
+    * the top-`maxVocab` corpus; vectors for the long tail come from
+    * fold-in against these axes downstream. Returns (w, vec). */
+  def wordVectors(docs: DataFrame, idCol: String, textCol: Column,
+      window: Int, dim: Int, minCount: Long = 5L,
+      maxVocab: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ppmi = cooccurrencePmi(docs, idCol, textCol, window, minCount)
+      .where(col("pmi_ppb") > 0L)
+      .select("a", "b", "pmi_ppb").collect()
+    val vocab = ppmi.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    require(vocab.length <= maxVocab,
+      s"wordVectors driver fit needs vocab <= $maxVocab " +
+        s"(got ${vocab.length}): raise minCount or maxVocab")
+    require(vocab.nonEmpty, "no co-occurring pairs above minCount")
+    val d = vocab.length
+    require(dim >= 1 && dim <= d, s"dim must be in [1, $d], got $dim")
+    val idx = vocab.zipWithIndex.toMap
+    val m = Array.ofDim[Double](d, d)
+    ppmi.foreach { r =>
+      m(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2) / 1e9
+    }
+    val (eigVals, eigVecs) = Jacobi.eigSym(m)
+    // top axes by |eigenvalue| (symmetric SVD), tie -> lower index
+    val order = eigVals.indices
+      .sortBy(k => (-math.abs(eigVals(k)), k)).take(dim)
+    val axes = order.map { k =>
+      val v = Array.tabulate(d)(j => eigVecs(j)(k))
+      var j0 = 0; var j = 1
+      while (j < d) { if (math.abs(v(j)) > math.abs(v(j0))) j0 = j; j += 1 }
+      val s = math.sqrt(math.abs(eigVals(k)))
+      if (v(j0) < 0) v.map(x => -x * s) else v.map(_ * s)
+    }
+    vocab.map(w => (w, axes.map(_(idx(w))).toArray))
+      .toSeq.toDF("w", "vec")
+  }
+
   /** [[unigramNll]] + decile-style quality buckets over ascending
     * (`nll`, id) — bucket 1 = most in-distribution, exact SQL `NTILE`
     * semantics (first `count % buckets` buckets take one extra row). The

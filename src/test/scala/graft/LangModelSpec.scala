@@ -321,6 +321,32 @@ class LangModelSpec extends SparkSuite {
     assert(out2("x") === true && out2("a") === false)
   }
 
+  test("wordVectors: topic clusters separate, deterministic, vocab guard") {
+    val docs = ((0 until 30).map(i => (i.toLong, "cat dog pet")) ++
+      (30 until 60).map(i => (i.toLong, "car road drive")))
+      .toDF("id", "text")
+    val vecs = LangModel.wordVectors(docs, "id", col("text"),
+        window = 2, dim = 3, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(vecs.keySet === Set("cat", "dog", "pet", "car", "road", "drive"))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(vecs("cat"), vecs("dog")) > cos(vecs("cat"), vecs("car")) + 0.3)
+    assert(cos(vecs("car"), vecs("road")) > cos(vecs("road"), vecs("pet")) + 0.3)
+    // deterministic across layouts
+    val again = LangModel.wordVectors(docs.repartition(7), "id",
+        col("text"), window = 2, dim = 3, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    for (w <- vecs.keys) assert(vecs(w).toSeq === again(w).toSeq)
+    // vocab guard refuses loudly
+    intercept[IllegalArgumentException] {
+      LangModel.wordVectors(docs, "id", col("text"),
+        window = 2, dim = 2, minCount = 1L, maxVocab = 3)
+    }
+  }
+
   test("cooccurrencePmi: hand counts, window truncation, symmetric marginals") {
     val docs = Seq((1L, "a b c")).toDF("id", "text")
     val out = LangModel.cooccurrencePmi(docs, "id", col("text"),
