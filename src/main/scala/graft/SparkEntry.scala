@@ -2694,6 +2694,15 @@ object SparkEntry {
         col("text"), window = 3, minCount = 10L)
       .orderBy("a", "b")
 
+  // Skip-gram pairs with frequent-word subsampling
+  // (LangModel.skipGramPairs): the word2vec data-prep stage — IEEE-sqrt
+  // keep thresholds, per-occurrence splitmix draws, subsample-then-
+  // window pair counts, all replayed.
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    LangModel.skipGramPairs(t(s, dir, "documents"), "doc_id",
+        col("text"), window = 2, thrPpm = 1000L, seed = 11L)
+      .orderBy("center", "context")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3014,7 +3023,8 @@ object SparkEntry {
     "q191_bag_dedup" -> (q191 _),
     "q192_percentile_rank" -> (q192 _),
     "q193_weighted_sample_k" -> (q193 _),
-    "q194_cooccurrence_pmi" -> (q194 _))
+    "q194_cooccurrence_pmi" -> (q194 _),
+    "q195_skipgram_pairs" -> (q195 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7110,7 +7120,34 @@ object SparkEntry {
              / (CAST(m_a AS DOUBLE) * CAST(m_b AS DOUBLE)))) AS BIGINT)
              AS pmi_ppb
          FROM cab JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
-         WHERE c_ab >= 10 ORDER BY 1, 2"""
+         WHERE c_ab >= 10 ORDER BY 1, 2""",
+
+    // q195: IEEE-sqrt keep thresholds + the splitmix chain keyed on
+    // doc_id·2^20 + pos + re-rank + window join, replayed end-to-end
+    "q195_skipgram_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '') AS l FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, l[i] AS w FROM t,
+             unnest(range(1, len(l) + 1)) AS u(i)),
+         c AS (SELECT w, count(*) AS cnt FROM p GROUP BY w),
+         tt AS (SELECT count(*) AS tn FROM p),
+         kth AS (SELECT p.doc_id, p.pos, p.w,
+             least(1000000, CAST(round(1000000 * sqrt(
+               (1000 / 1000000.0) * tn / cnt)) AS BIGINT)) AS kp
+           FROM p JOIN c USING (w) CROSS JOIN tt),
+         ${splitmixChainSql("doc_id, pos, w, kp", 11L, from = "kth",
+            key = "doc_id * 1048576 + pos")},
+         kept AS (SELECT doc_id, pos, w FROM ranked
+           WHERE ((rk % 1000000) + 1000000) % 1000000 < kp),
+         rn AS (SELECT doc_id, w, row_number()
+             OVER (PARTITION BY doc_id ORDER BY pos) AS np FROM kept),
+         pr AS (SELECT x.w AS wa, y.w AS wb FROM rn x JOIN rn y
+           ON x.doc_id = y.doc_id AND y.np > x.np AND y.np <= x.np + 2),
+         d AS (SELECT wa AS center, wb AS context FROM pr
+           UNION ALL SELECT wb AS center, wa AS context FROM pr)
+         SELECT center, context, count(*) AS n_pairs FROM d
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

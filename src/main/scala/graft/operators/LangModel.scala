@@ -420,6 +420,60 @@ object LangModel {
       .select("a", "b", "c_ab", "m_a", "m_b", "t", "pmi_ppb")
   }
 
+  /** Skip-gram (center, context) training-pair extraction with
+    * Mikolov-style frequent-word subsampling — the word2vec data-prep
+    * stage: occurrence t of word w survives with probability
+    * min(1, sqrt(thr / f_w)), f_w = cnt_w / T, and pairs window over
+    * the KEPT sequence (subsample-then-window, the word2vec order — so
+    * dropping stopwords brings content words into each other's
+    * windows). Both directions are emitted and aggregated to
+    * (center, context, n_pairs).
+    *
+    * Determinized end-to-end: the keep threshold rides IEEE sqrt (the
+    * q61 bit-parity rule) rounded once to ppm, and the per-OCCURRENCE
+    * draw is splitmix64(id·2^20 + pos + seed) — so the surviving pair
+    * table replays in an external engine. Positions are capped at 2^20
+    * per doc (the key packing); a longer doc raises loudly.
+    *
+    * Scale shape: one count agg + broadcast total, a zero-shuffle keep
+    * filter, one per-doc re-rank window (bounded by doc length), one
+    * doc-keyed pair join, one pair groupBy — no vocabulary cross
+    * product, no global sort. */
+  def skipGramPairs(docs: DataFrame, idCol: String, textCol: Column,
+      window: Int, thrPpm: Long = 1000L, seed: Long = 0L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(thrPpm >= 1L, s"thrPpm must be >= 1, got $thrPpm")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(graft.functions.TextFunctions.tokens(textCol)))
+      .toDF("_id", "_pos", "_w")
+    val cnt = toks.groupBy("_w").agg(count(lit(1)).as("_cnt"))
+    val tot = broadcast(toks.agg(count(lit(1)).as("_T")))
+    val key = when(col("_pos") < lit(1048576),
+      shiftleft(col("_id"), 20) + col("_pos"))
+      .otherwise(raise_error(lit(
+        "skipGramPairs: doc exceeds 2^20 token positions")))
+    val kept = toks.join(cnt, "_w").crossJoin(tot)
+      .withColumn("_kp", least(lit(1000000L),
+        round(lit(1000000.0) * sqrt(
+          lit(thrPpm.toDouble / 1e6) * col("_T").cast("double") /
+            col("_cnt").cast("double"))).cast("long")))
+      .withColumn("_u", pmod(
+        graft.functions.splitmix64_rank(key, seed), lit(1000000L)))
+      .where(col("_u") < col("_kp"))
+      .withColumn("_np", row_number().over(
+        Window.partitionBy("_id").orderBy("_pos")))
+    val r = kept.select(col("_id").as("_id2"), col("_np").as("_np2"),
+      col("_w").as("_w2"))
+    kept.join(r, col("_id") === col("_id2") &&
+        col("_np2") > col("_np") && col("_np2") <= col("_np") + window)
+      .select(explode(array(
+        struct(col("_w").as("center"), col("_w2").as("context")),
+        struct(col("_w2").as("center"), col("_w").as("context")))).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SVD-PPMI word vectors (Levy & Goldberg 2014: skip-gram negative
     * sampling implicitly factorizes the shifted PPMI matrix — this is
     * the direct, deterministic route to the same geometry): build the

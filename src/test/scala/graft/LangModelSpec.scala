@@ -321,6 +321,40 @@ class LangModelSpec extends SparkSuite {
     assert(out2("x") === true && out2("a") === false)
   }
 
+  test("skipGramPairs: thr=1 keeps all (plain windowed pairs); subsampling thins hot words") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    // thr = 1.0 -> kp = round(1e6*sqrt(T/cnt)) >= 1e6 -> keep everything
+    val all = LangModel.skipGramPairs(docs, "id", col("text"),
+        window = 1, thrPpm = 1000000L, seed = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(all === Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("c", "b") -> 1L, ("b", "c") -> 1L))
+
+    // a corpus dominated by "the": aggressive thr drops most of its
+    // occurrences, so pairs involving it shrink vs the keep-all run
+    val hot = (0L until 50L)
+      .map(i => (i, s"the w$i the x$i the")).toDF("id", "text")
+    def hotPairs(thr: Long): Long =
+      LangModel.skipGramPairs(hot, "id", col("text"), window = 2,
+          thrPpm = thr, seed = 1L)
+        .where(col("center") === "the").agg(sum("n_pairs")).head.getLong(0)
+    val full = hotPairs(1000000L)
+    val thinned = LangModel.skipGramPairs(hot, "id", col("text"),
+        window = 2, thrPpm = 1000L, seed = 1L)
+      .where(col("center") === "the")
+      .agg(coalesce(sum("n_pairs"), lit(0L))).head.getLong(0)
+    assert(thinned < full / 2, s"expected < ${full / 2}, got $thinned")
+
+    // deterministic across layouts
+    val a = LangModel.skipGramPairs(hot, "id", col("text"), 2, 1000L, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val b = LangModel.skipGramPairs(hot.repartition(7), "id", col("text"),
+        2, 1000L, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("wordVectors: topic clusters separate, deterministic, vocab guard") {
     val docs = ((0 until 30).map(i => (i.toLong, "cat dog pet")) ++
       (30 until 60).map(i => (i.toLong, "car road drive")))
