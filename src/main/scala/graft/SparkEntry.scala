@@ -2703,6 +2703,14 @@ object SparkEntry {
         col("text"), window = 2, thrPpm = 1000L, seed = 11L)
       .orderBy("center", "context")
 
+  // Stratified k-fold assignment (GroupOps.kFolds): per-lang seeded
+  // rank mod 5 — exact fold balance within every stratum, the whole
+  // rank chain replayed.
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    GroupOps.kFolds(t(s, dir, "documents").select("doc_id", "lang"),
+        k = 5, seed = 23L, key = col("doc_id"), strataCols = Seq("lang"))
+      .orderBy("doc_id")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3024,7 +3032,8 @@ object SparkEntry {
     "q192_percentile_rank" -> (q192 _),
     "q193_weighted_sample_k" -> (q193 _),
     "q194_cooccurrence_pmi" -> (q194 _),
-    "q195_skipgram_pairs" -> (q195 _))
+    "q195_skipgram_pairs" -> (q195 _),
+    "q196_kfolds" -> (q196 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7147,7 +7156,15 @@ object SparkEntry {
          d AS (SELECT wa AS center, wb AS context FROM pr
            UNION ALL SELECT wb AS center, wa AS context FROM pr)
          SELECT center, context, count(*) AS n_pairs FROM d
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q196: the splitmix rank chain + per-stratum row_number mod k
+    "q196_kfolds" ->
+      s"""WITH ${splitmixChainSql("doc_id, lang", 23L)}
+         SELECT doc_id, lang, CAST((row_number()
+             OVER (PARTITION BY lang ORDER BY rk, doc_id) - 1) % 5
+           AS BIGINT) AS fold
+         FROM ranked ORDER BY doc_id"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -366,6 +366,29 @@ object GroupOps {
       .limit(k)
   }
 
+  /** Stratified k-fold assignment (cross-validation / sharded-eval
+    * splits): fold = (seeded rank within the stratum) mod k, so every
+    * stratum's rows land EXACTLY evenly across folds (sizes differ by
+    * at most 1 — the guarantee `splitHashed`'s independent draws only
+    * approach in expectation) and every fold mirrors the corpus's
+    * stratum mix. The rank is the gated splitmix64 order (tie → key),
+    * so assignments are deterministic, layout-invariant, and
+    * engine-replayable.
+    *
+    * One stratum-keyed window (the `rebalanceToQuota` shape — strata
+    * are class labels / sources, so the per-stratum sort is bounded by
+    * the largest class; for one giant unstratified series rank via
+    * `globalOrderIndex` instead). Appends `fold` ∈ [0, k). */
+  def kFolds(df: DataFrame, k: Int, seed: Long, key: Column,
+      strataCols: Seq[String], outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(graft.functions.splitmix64_rank(key, seed), key)
+    df.withColumn(outCol,
+      pmod(row_number().over(w).cast("long") - 1L, lit(k.toLong)))
+  }
+
   /** Deterministic train/val/test splitting: label each row by where its
     * splitmix64 draw (the same ppm arithmetic as [[sampleWeighted]])
     * falls among the cumulative `fractions` (name → share, must sum to

@@ -50,6 +50,32 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(6L) === ((2L, 1000000L)))
   }
 
+  test("kFolds: exact per-stratum balance, disjoint cover, layout invariance") {
+    val df = ((0L until 103L).map(i => (i, "en")) ++
+      (200L until 207L).map(i => (i, "de"))).toDF("id", "lang")
+    val out = GroupOps.kFolds(df, k = 5, seed = 9L, key = col("id"),
+      strataCols = Seq("lang"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2)))
+    assert(rows.length === 110) // every row assigned exactly once
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 5))
+    // per-stratum fold sizes differ by at most 1
+    for (lang <- Seq("en", "de")) {
+      val sizes = rows.filter(_._2 == lang).groupBy(_._3)
+        .map(_._2.length).toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+    }
+    // 103 = 5*20+3 -> three folds of 21, two of 20
+    val enSizes = rows.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.length).values.toSeq.sorted
+    assert(enSizes === Seq(20, 20, 21, 21, 21))
+    // deterministic under repartition
+    val again = GroupOps.kFolds(df.repartition(7), 5, 9L, col("id"),
+        Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r._1, r._3)).toSet)
+  }
+
   test("sampleWeightedK: exact k, weight monotonicity, null/zero excluded") {
     val df = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
       .toDF("id", "w")
