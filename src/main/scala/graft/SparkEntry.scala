@@ -2711,6 +2711,25 @@ object SparkEntry {
         k = 5, seed = 23L, key = col("doc_id"), strataCols = Seq("lang"))
       .orderBy("doc_id")
 
+  // TRUE Damerau–Levenshtein (functions.damerau_levenshtein) next to
+  // the builtin levenshtein, gated cell-for-cell against DuckDB's
+  // natives on customer-name pairs — offset 9 manufactures real
+  // digit-swap pairs where DL < Levenshtein.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("n"))
+    val offs = c.withColumn("d",
+      explode(array(lit(1L), lit(2L), lit(3L), lit(9L))))
+      .select((col("k") + col("d")).as("k2"), col("k").as("a"),
+        col("n").as("na"))
+    offs.join(c.select(col("k").as("k2"), col("k").as("b"),
+        col("n").as("nb")), Seq("k2"))
+      .select(col("a"), col("b"),
+        damerau_levenshtein(col("na"), col("nb")).as("dl"),
+        levenshtein(col("na"), col("nb")).as("lev"))
+      .orderBy("a", "b")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3033,7 +3052,8 @@ object SparkEntry {
     "q193_weighted_sample_k" -> (q193 _),
     "q194_cooccurrence_pmi" -> (q194 _),
     "q195_skipgram_pairs" -> (q195 _),
-    "q196_kfolds" -> (q196 _))
+    "q196_kfolds" -> (q196 _),
+    "q197_damerau" -> (q197 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7164,7 +7184,17 @@ object SparkEntry {
          SELECT doc_id, lang, CAST((row_number()
              OVER (PARTITION BY lang ORDER BY rk, doc_id) - 1) % 5
            AS BIGINT) AS fold
-         FROM ranked ORDER BY doc_id"""
+         FROM ranked ORDER BY doc_id""",
+
+    // q197: both edit-distance kernels vs DuckDB's natives
+    "q197_damerau" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer),
+         d AS (SELECT unnest([1, 2, 3, 9]) AS d)
+         SELECT a.k AS a, b.k AS b,
+           CAST(damerau_levenshtein(a.n, b.n) AS INTEGER) AS dl,
+           CAST(levenshtein(a.n, b.n) AS INTEGER) AS lev
+         FROM c a CROSS JOIN d JOIN c b ON b.k = a.k + d.d
+         ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -74,6 +74,47 @@ object StringSimilarity {
     (jaro, p)
   }
 
+  /** TRUE Damerau–Levenshtein (Lowrance–Wagner: a transposed pair may
+    * be edited between — "CA"→"ABC" = 2, where the restricted/OSA
+    * variant says 3), over raw UTF-8 bytes with the 256-entry
+    * last-occurrence table. Byte semantics match DuckDB's
+    * `damerau_levenshtein` exactly (probe-verified, incl. multi-byte
+    * code points counting per byte). O(|a|·|b|) time and memory — name
+    * / title-sized inputs; cap lengths upstream for document bodies. */
+  private[functions] def damerauLevenshtein(a: Array[Byte],
+      b: Array[Byte]): Int = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb
+    if (lb == 0) return la
+    val maxDist = la + lb
+    val da = new Array[Int](256)
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxDist
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = maxDist; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = maxDist; d(1)(j + 1) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      var db = 0
+      j = 1
+      while (j <= lb) {
+        val k = da(b(j - 1) & 0xFF)
+        val l = db
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = math.min(
+          math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          math.min(d(i)(j + 1) + 1,
+            d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+        j += 1
+      }
+      da(a(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d(la + 1)(lb + 1)
+  }
+
   private[functions] def jaro(a: UTF8String, b: UTF8String): Double =
     jaroBytes(a.getBytes, b.getBytes)._1
 
@@ -114,4 +155,25 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "jaro_winkler_similarity"
+}
+
+/** damerau_levenshtein(a, b) → int: TRUE (unrestricted) transposition
+  * edit distance — the typo-tolerant complement of the builtin
+  * `levenshtein` ("teh"→"the" costs 1, not 2). */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string), got (${l.sql}, ${r.sql})")
+    }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StringSimilarity.damerauLevenshtein(
+      l.asInstanceOf[UTF8String].getBytes,
+      r.asInstanceOf[UTF8String].getBytes)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "damerau_levenshtein"
 }

@@ -186,6 +186,12 @@ package object functions {
     Bridge.column(
       JaroWinklerSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** TRUE Damerau–Levenshtein distance (transpositions cost 1, edits
+    * allowed between the transposed pair) over raw UTF-8 bytes. */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    Bridge.column(
+      DamerauLevenshtein(Bridge.expression(a), Bridge.expression(b)))
+
   /** Redact Luhn-valid 13–19-digit runs with `[CARD]`. */
   def redact_cards(c: Column): Column =
     Bridge.column(RedactCards(Bridge.expression(c)))
@@ -246,6 +252,8 @@ package object functions {
       "card_run_stats" -> (exprs => CardRunStats(exprs(0))),
       "jaro_winkler_similarity" -> (exprs =>
         JaroWinklerSimilarity(exprs(0), exprs(1))),
+      "damerau_levenshtein" -> (exprs =>
+        DamerauLevenshtein(exprs(0), exprs(1))),
       "bit_length64" -> (exprs => BitLength64(exprs(0))),
       "hll_sketch" -> (exprs =>
         HllSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),

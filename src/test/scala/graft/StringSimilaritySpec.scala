@@ -69,6 +69,30 @@ class StringSimilaritySpec extends SparkSuite {
     assert(!out.contains(3L)) // shares no bigram or below threshold
   }
 
+  test("damerau_levenshtein: true-DL hand cases, bytes, nulls, SQL name") {
+    import graft.functions.damerau_levenshtein
+    val pairs = Seq(
+      ("CA", "ABC", 2),       // TRUE DL: edit between the transposed pair
+      ("teh", "the", 1),      // adjacent swap costs 1
+      ("ab", "ba", 1),
+      ("abc", "abc", 0),
+      ("", "abc", 3),
+      ("kitten", "sitting", 3),
+      ("héllo", "hello", 2) // byte semantics: é is two UTF-8 bytes
+    ).toDF("a", "b", "want")
+    val got = pairs.select(damerau_levenshtein(col("a"), col("b"))
+      .as("dl"), col("want")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // null propagates
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(damerau_levenshtein(col("a"), col("b"))).head
+    assert(n.isNullAt(0))
+    // SQL registration
+    graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('CA', 'ABC')")
+      .head.getInt(0) === 2)
+  }
+
   test("fuzzyLink: equal-score tie resolves to the min right id") {
     val dirty = Seq((1L, "abz")).toDF("id", "name")
     val canon = Seq("aby", "abx").toDF("cname")
