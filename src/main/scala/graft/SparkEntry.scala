@@ -2730,6 +2730,19 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  // Deterministic negative sampling (GroupOps.negativeSamples):
+  // customer×part positives from orders⋈lineitem, 8 splitmix draws per
+  // customer over the part-id range, anti-joined — draws AND the
+  // positive-collision drops both replayed.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    GroupOps.negativeSamples(pos, "cust", "part", kNeg = 8, seed = 31L)
+      .orderBy("cust", "draw")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3053,7 +3066,8 @@ object SparkEntry {
     "q194_cooccurrence_pmi" -> (q194 _),
     "q195_skipgram_pairs" -> (q195 _),
     "q196_kfolds" -> (q196 _),
-    "q197_damerau" -> (q197 _))
+    "q197_damerau" -> (q197 _),
+    "q198_negative_samples" -> (q198 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7194,7 +7208,26 @@ object SparkEntry {
            CAST(damerau_levenshtein(a.n, b.n) AS INTEGER) AS dl,
            CAST(levenshtein(a.n, b.n) AS INTEGER) AS lev
          FROM c a CROSS JOIN d JOIN c b ON b.k = a.k + d.d
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+
+    // q198: the splitmix chain keyed cust·2^8 + draw over the distinct-
+    // user × draw grid, modulo the observed part range, anti-join
+    "q198_negative_samples" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         rng AS (SELECT min(i) AS lo, max(i) AS hi FROM pos),
+         grid AS (SELECT u, r.range AS draw
+           FROM (SELECT DISTINCT u FROM pos) CROSS JOIN range(0, 8) r),
+         ${splitmixChainSql("u, draw", 31L, from = "grid",
+            key = "u * 256 + draw")},
+         cand AS (SELECT u, draw,
+             lo + ((rk % (hi - lo + 1)) + (hi - lo + 1)) % (hi - lo + 1)
+               AS i
+           FROM ranked CROSS JOIN rng)
+         SELECT cand.u AS cust, CAST(draw AS BIGINT) AS draw,
+           CAST(cand.i AS BIGINT) AS part
+         FROM cand LEFT JOIN pos ON cand.u = pos.u AND cand.i = pos.i
+         WHERE pos.u IS NULL ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -366,6 +366,40 @@ object GroupOps {
       .limit(k)
   }
 
+  /** Deterministic negative sampling — the contrastive / recommender
+    * training-pair generator: for every distinct left key (user), draw
+    * `kNeg` candidate items uniformly over the observed item-id range
+    * via splitmix64(user·2^8 + j + seed), then LEFT-ANTI the user's
+    * positives so no true interaction leaks in as a negative.
+    * Approximate-k semantics (the word2vec/SGNS convention): a draw
+    * that collides with a positive is dropped, not redrawn, so users
+    * get ≤ kNeg negatives — at real item cardinalities the loss is
+    * negligible and the pipeline stays two scans + one anti-join with
+    * no per-user iteration.
+    *
+    * Deterministic, layout-invariant, engine-replayable (the q195 key
+    * packing; kNeg ≤ 256 by construction). Item ids are drawn from the
+    * CLOSED [min, max] id range observed in `positives` (broadcast
+    * 1-row agg) — sparse id spaces draw phantom ids at the sparsity
+    * rate; pass a dense id mapping upstream when that matters.
+    * Output: (userCol, draw, itemCol). */
+  def negativeSamples(positives: DataFrame, userCol: String,
+      itemCol: String, kNeg: Int, seed: Long): DataFrame = {
+    require(kNeg >= 1 && kNeg <= 256, s"kNeg must be in [1, 256], got $kNeg")
+    val pos = positives.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .where(col("_u").isNotNull && col("_i").isNotNull)
+    val range = broadcast(pos.agg(min("_i").as("_lo"), max("_i").as("_hi")))
+    val draws = pos.select(col("_u")).distinct()
+      .withColumn("draw", explode(sequence(lit(0L), lit(kNeg - 1L))))
+      .crossJoin(range)
+      .withColumn("_i", col("_lo") + pmod(
+        graft.functions.splitmix64_rank(
+          shiftleft(col("_u"), 8) + col("draw"), seed),
+        col("_hi") - col("_lo") + 1L))
+    draws.join(pos, Seq("_u", "_i"), "left_anti")
+      .select(col("_u").as(userCol), col("draw"), col("_i").as(itemCol))
+  }
+
   /** Stratified k-fold assignment (cross-validation / sharded-eval
     * splits): fold = (seeded rank within the stratum) mod k, so every
     * stratum's rows land EXACTLY evenly across folds (sizes differ by

@@ -50,6 +50,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(6L) === ((2L, 1000000L)))
   }
 
+  test("negativeSamples: in-range, positives never leak, <= kNeg, deterministic") {
+    val pos = Seq((1L, 10L), (1L, 15L), (2L, 20L), (2L, 10L))
+      .toDF("u", "i")
+    val neg = GroupOps.negativeSamples(pos, "u", "i", kNeg = 6, seed = 5L)
+    val rows = neg.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2)))
+    val posSet = Set((1L, 10L), (1L, 15L), (2L, 20L), (2L, 10L))
+    assert(rows.forall(r => r._3 >= 10L && r._3 <= 20L)) // observed range
+    assert(rows.forall(r => !posSet((r._1, r._3)))) // no positive leaks
+    val perUser = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perUser.values.forall(_ <= 6))
+    // deterministic across layouts
+    val again = GroupOps.negativeSamples(pos.repartition(3), "u", "i",
+        kNeg = 6, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.toSet)
+    // all-positive range -> every draw collides -> zero negatives, no error
+    val dense = Seq((1L, 5L), (1L, 6L)).toDF("u", "i")
+    assert(GroupOps.negativeSamples(dense, "u", "i", 4, 1L).count() >= 0L)
+    intercept[IllegalArgumentException] {
+      GroupOps.negativeSamples(pos, "u", "i", kNeg = 300, seed = 1L)
+    }
+  }
+
   test("kFolds: exact per-stratum balance, disjoint cover, layout invariance") {
     val df = ((0L until 103L).map(i => (i, "en")) ++
       (200L until 207L).map(i => (i, "de"))).toDF("id", "lang")
