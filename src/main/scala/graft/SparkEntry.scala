@@ -2743,6 +2743,42 @@ object SparkEntry {
       .orderBy("cust", "draw")
   }
 
+  // Funnel time-to-convert quantiles: q150's gated funnel chain feeding
+  // q175's exact row_number quantile selection — the "how long do users
+  // take between steps" readout, one composition gate.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Funnel.funnelUsers(events(s, dir), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"),
+      windowNs = 604800000000000L)
+    val delays = f.where(col("step_2").isNotNull)
+      .select(lit("view_to_click").as("step"), col("user_id").as("u"),
+        (col("step_2") - col("step_1")).as("d"))
+      .unionByName(f.where(col("step_3").isNotNull)
+        .select(lit("click_to_purchase").as("step"),
+          col("user_id").as("u"), (col("step_3") - col("step_2")).as("d")))
+    val w = Window.partitionBy("step").orderBy(col("d"), col("u"))
+    delays.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("step")))
+      .groupBy("step", "n").agg(
+        max(when(col("rk") === expr("(n + 1) div 2"), col("d")))
+          .as("med_lo"),
+        max(when(col("rk") === expr("(n + 2) div 2"), col("d")))
+          .as("med_hi"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("d")))
+          .as("p90"))
+      .orderBy("step")
+  }
+
+  // langID confusion matrix: the q34-gated predictor cross-tabbed
+  // against the ground-truth lang column — the classifier-eval
+  // composition over the whole corpus.
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3067,7 +3103,9 @@ object SparkEntry {
     "q195_skipgram_pairs" -> (q195 _),
     "q196_kfolds" -> (q196 _),
     "q197_damerau" -> (q197 _),
-    "q198_negative_samples" -> (q198 _))
+    "q198_negative_samples" -> (q198 _),
+    "q199_funnel_delays" -> (q199 _),
+    "q200_langid_confusion" -> (q200 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7227,7 +7265,74 @@ object SparkEntry {
          SELECT cand.u AS cust, CAST(draw AS BIGINT) AS draw,
            CAST(cand.i AS BIGINT) AS part
          FROM cand LEFT JOIN pos ON cand.u = pos.u AND cand.i = pos.i
-         WHERE pos.u IS NULL ORDER BY 1, 2"""
+         WHERE pos.u IS NULL ORDER BY 1, 2""",
+
+    // q199: the q150 funnel chain -> step delays -> the q175 exact
+    // row_number quantile selection
+    "q199_funnel_delays" ->
+      """WITH ev AS (SELECT user_id u, event_type t, epoch_ns(ts) ts
+           FROM events),
+         s1 AS (SELECT u, min(ts) t1 FROM ev WHERE t = 'view' GROUP BY u),
+         s2 AS (SELECT ev.u AS u, min(ev.ts) t2
+           FROM ev JOIN s1 ON ev.u = s1.u
+           WHERE t = 'click' AND ev.ts > t1
+             AND ev.ts - t1 <= 604800000000000 GROUP BY ev.u),
+         s3 AS (SELECT ev.u AS u, min(ev.ts) t3
+           FROM ev JOIN s2 ON ev.u = s2.u JOIN s1 ON ev.u = s1.u
+           WHERE t = 'purchase' AND ev.ts > t2
+             AND ev.ts - t1 <= 604800000000000 GROUP BY ev.u),
+         del AS (
+           SELECT 'view_to_click' AS step, s2.u AS u, t2 - t1 AS d
+           FROM s2 JOIN s1 ON s2.u = s1.u
+           UNION ALL
+           SELECT 'click_to_purchase' AS step, s3.u AS u, t3 - t2 AS d
+           FROM s3 JOIN s2 ON s3.u = s2.u),
+         r AS (SELECT step, u, d,
+             row_number() OVER (PARTITION BY step ORDER BY d, u) AS rk,
+             count(*) OVER (PARTITION BY step) AS n FROM del)
+         SELECT step, CAST(n AS BIGINT) AS n,
+           max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS med_lo,
+           max(CASE WHEN rk = (n + 2) // 2 THEN d END) AS med_hi,
+           max(CASE WHEN rk = (9 * n + 9) // 10 THEN d END) AS p90
+         FROM r GROUP BY step, n ORDER BY step""",
+
+    // q200: the q34 predictor chain cross-tabbed vs the lang column
+    "q200_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         s AS (SELECT doc_id, text,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('the','a','an','and','or','of','to','in','is','are','was','for',
+              'on','with','as','by','at','it','this','that','be','from')))*1.0
+             /len(tok) END s_en,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('le','la','les','de','des','du','un','une','et','ou','est','sont',
+              'pour','dans','par','sur','avec','ce','que','qui','au','aux')))*1.0
+             /len(tok) END s_fr,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('der','die','das','und','oder','ist','sind','ein','eine','zu',
+              'von','mit','auf','für','im','den','dem','nicht','sich','auch')))*1.0
+             /len(tok) END s_de,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('el','la','los','las','de','del','un','una','y','o','es','son',
+              'para','en','por','con','que','se','no','al')))*1.0
+             /len(tok) END s_es
+           FROM t),
+         f AS (SELECT doc_id, text, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_fr > s_en THEN s_fr ELSE s_en END b1s,
+           CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END b1l FROM s),
+         g AS (SELECT *, CASE WHEN s_de > b1s THEN s_de ELSE b1s END b2s,
+           CASE WHEN s_de > b1s THEN 'de' ELSE b1l END b2l FROM f),
+         h AS (SELECT *, CASE WHEN s_es > b2s THEN s_es ELSE b2s END b3s,
+           CASE WHEN s_es > b2s THEN 'es' ELSE b2l END b3l FROM g),
+         pred AS (SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
+           FROM h)
+         SELECT d.lang, p.lang_pred, count(*) AS n
+         FROM pred p JOIN documents d USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
