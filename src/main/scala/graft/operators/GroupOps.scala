@@ -416,6 +416,12 @@ object GroupOps {
   def kFolds(df: DataFrame, k: Int, seed: Long, key: Column,
       strataCols: Seq[String], outCol: String = "fold"): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // an empty strata list would silently become ONE global
+    // single-partition window — refuse; unstratified folds are
+    // pmod(splitmix64_rank(key), k) directly, no window needed
+    require(strataCols.nonEmpty,
+      "kFolds needs at least one stratum column; for unstratified " +
+        "folds use pmod(splitmix64_rank(key, seed), k)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(graft.functions.splitmix64_rank(key, seed), key)

@@ -494,14 +494,20 @@ object LangModel {
       maxVocab: Int = 2000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ppmi = cooccurrencePmi(docs, idCol, textCol, window, minCount)
+    val pairsDf = cooccurrencePmi(docs, idCol, textCol, window, minCount)
       .where(col("pmi_ppb") > 0L)
-      .select("a", "b", "pmi_ppb").collect()
+      .select("a", "b", "pmi_ppb")
+    // guard BEFORE collecting: the pair table is O(vocab²) — a 1-row
+    // count agg refuses loudly instead of materializing it on the driver
+    val nVocab = pairsDf
+      .select(explode(array(col("a"), col("b"))).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    require(nVocab <= maxVocab,
+      s"wordVectors driver fit needs vocab <= $maxVocab " +
+        s"(got $nVocab): raise minCount or maxVocab")
+    val ppmi = pairsDf.collect()
     val vocab = ppmi.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
-    require(vocab.length <= maxVocab,
-      s"wordVectors driver fit needs vocab <= $maxVocab " +
-        s"(got ${vocab.length}): raise minCount or maxVocab")
     require(vocab.nonEmpty, "no co-occurring pairs above minCount")
     val d = vocab.length
     require(dim >= 1 && dim <= d, s"dim must be in [1, $d], got $dim")

@@ -177,7 +177,11 @@ object TextSearch {
       .select(col("_id"), col("_pos").as("pos_a"))
     val b = toks.where(col("_tok") === termB.toLowerCase)
       .select(col("_id").as("_id2"), col("_pos").as("pos_b"))
+    // pos_a =!= pos_b: no-op for distinct terms (one token per
+    // position), and for termA == termB it drops the degenerate
+    // self-match of an occurrence with itself
     a.join(b, col("_id") === col("_id2") &&
+        col("pos_a") =!= col("pos_b") &&
         abs(col("pos_a") - col("pos_b")) <= window)
       .select(col("_id").as(idCol), col("pos_a"), col("pos_b"))
   }

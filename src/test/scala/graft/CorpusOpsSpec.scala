@@ -98,6 +98,10 @@ class CorpusOpsSpec extends SparkSuite {
         Seq("lang"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(again === rows.map(r => (r._1, r._3)).toSet)
+    // empty strata would be a silent global window -> loud refusal
+    intercept[IllegalArgumentException] {
+      GroupOps.kFolds(df, 5, 9L, col("id"), Seq.empty)
+    }
   }
 
   test("sampleWeightedK: exact k, weight monotonicity, null/zero excluded") {

@@ -41,6 +41,18 @@ class PhraseSearchSpec extends SparkSuite {
     assert(got === Map(1L -> 2L, 2L -> 1L, 6L -> 1L))
   }
 
+  test("same-term proximity: real co-occurrences only, no self-match") {
+    val got = TextSearch.proximityPairs(docs, "id", "text",
+        "x", "x", window = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 5 "x x x x": all ordered position pairs within 2, both
+    // directions, but never (p, p)
+    assert(got.forall { case (_, a, b) => a != b })
+    assert(got === Set((5L, 0, 1), (5L, 1, 0), (5L, 0, 2), (5L, 2, 0),
+      (5L, 1, 2), (5L, 2, 1), (5L, 1, 3), (5L, 3, 1), (5L, 2, 3),
+      (5L, 3, 2)))
+  }
+
   test("proximity window is inclusive and symmetric") {
     // fox at 3, dog at 9: distance 6
     val got = TextSearch.proximityPairs(docs, "id", "text",
