@@ -2779,6 +2779,20 @@ object SparkEntry {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
+  // Holt linear-trend forecast (Evaluate.holtForecast): daily event
+  // volume per type, the level/trend fold replayed as DuckDB's
+  // identical list_reduce over the ordered zero-filled series.
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    Evaluate.holtForecast(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), alpha = 0.5, beta = 0.25,
+        horizons = Seq(1, 7))
+      .select(col("event_type"), col("t_buckets"),
+        round(col("level"), 6).as("level_r"),
+        round(col("trend"), 6).as("trend_r"),
+        round(col("fc_1"), 6).as("fc_1_r"),
+        round(col("fc_7"), 6).as("fc_7_r"))
+      .orderBy("event_type")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3105,7 +3119,8 @@ object SparkEntry {
     "q197_damerau" -> (q197 _),
     "q198_negative_samples" -> (q198 _),
     "q199_funnel_delays" -> (q199 _),
-    "q200_langid_confusion" -> (q200 _))
+    "q200_langid_confusion" -> (q200 _),
+    "q201_holt_forecast" -> (q201 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7332,7 +7347,39 @@ object SparkEntry {
            FROM h)
          SELECT d.lang, p.lang_pred, count(*) AS n
          FROM pred p JOIN documents d USING (doc_id)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q201: the q189 dense grid -> ordered double series -> the SAME
+    // IEEE fold as a recursive CTE (DuckDB 1.0's list_reduce struct
+    // accumulator aliases fields being built — probe-verified broken —
+    // so the fold recurses over (g, i, l, t) instead)
+    "q201_holt_forecast" ->
+      """WITH RECURSIVE ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         s AS (SELECT g, list(CAST(x AS DOUBLE) ORDER BY b) AS xs
+           FROM x GROUP BY g),
+         rec AS (
+           SELECT g, 1 AS i, xs[1] AS l, 0.0::DOUBLE AS t FROM s
+           UNION ALL
+           SELECT rec.g, i + 1,
+             0.5::DOUBLE * s.xs[i+1] + 0.5::DOUBLE * (l + t),
+             0.25::DOUBLE * (0.5::DOUBLE * s.xs[i+1]
+               + 0.5::DOUBLE * (l + t) - l) + 0.75::DOUBLE * t
+           FROM rec JOIN s ON rec.g = s.g WHERE i < len(s.xs))
+         SELECT rec.g AS event_type, CAST(len(s.xs) AS BIGINT) AS t_buckets,
+           round(rec.l, 6) AS level_r, round(rec.t, 6) AS trend_r,
+           round(rec.l + 1.0 * rec.t, 6) AS fc_1_r,
+           round(rec.l + 7.0 * rec.t, 6) AS fc_7_r
+         FROM rec JOIN s ON rec.g = s.g WHERE rec.i = len(s.xs)
+         ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -481,6 +481,54 @@ object Evaluate {
         col("acf"): _*)
   }
 
+  /** Holt double-exponential-smoothing forecast of a bucketed count
+    * series — the capacity-planning / volume-projection readout next to
+    * [[autocorrelation]] (seasonality) and [[cusumChangepoint]]
+    * (shifts). Over the zero-filled dense grid x_1..x_T:
+    *
+    *   init   l = x_1, t = 0
+    *   step   l' = α·x + (1−α)·(l + t);  t' = β·(l'−l) + (1−β)·t
+    *   h-step forecast = l + h·t
+    *
+    * The fold runs INSIDE one codegen `aggregate` expression over the
+    * per-group series array (collected from the calendar-bounded grid —
+    * ≤ T values per group, the q157 contract), with every operation an
+    * IEEE double in pinned order, so the final level/trend replay
+    * bit-for-bit in an external engine's identical fold (DuckDB
+    * list_reduce). One grid pass + one groupBy. Returns (group…,
+    * t_buckets, level, trend, plus `fc_<h>` per requested horizon). */
+  def holtForecast(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      alpha: Double = 0.5, beta: Double = 0.25,
+      horizons: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be >= 1, got $horizons")
+    val series = denseGridCounts(df, groupCols, bucket)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_s"))
+      .withColumn("_xs",
+        transform(col("_s"), e => e.getField("_x").cast("double")))
+      .drop("_s")
+    def step(acc: Column, x: Column): Column = {
+      val l2 = lit(alpha) * x + lit(1.0 - alpha) *
+        (acc.getField("l") + acc.getField("t"))
+      struct(l2.as("l"),
+        (lit(beta) * (l2 - acc.getField("l")) +
+          lit(1.0 - beta) * acc.getField("t")).as("t"))
+    }
+    val init = struct(element_at(col("_xs"), 1).as("l"), lit(0.0).as("t"))
+    val folded = series
+      .withColumn("_f", aggregate(
+        slice(col("_xs"), lit(2), greatest(size(col("_xs")) - 1, lit(0))),
+        init, step))
+    val fcCols = horizons.map(h =>
+      (col("_f.l") + lit(h.toDouble) * col("_f.t")).as(s"fc_$h"))
+    folded.select(groupCols.map(col) ++ Seq(
+      size(col("_xs")).cast("long").as("t_buckets"),
+      col("_f.l").as("level"), col("_f.t").as("trend")) ++ fcCols: _*)
+  }
+
   /** CUSUM changepoint scan per group over a bucketed count series —
     * the pipeline-monitoring "when did this source's volume shift"
     * probe. Over the dense bucket grid i = 0..T−1 (zero-count buckets

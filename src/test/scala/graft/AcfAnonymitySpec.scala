@@ -71,6 +71,39 @@ class AcfAnonymitySpec extends SparkSuite {
     assert(out.keys.map(_._2).toSet === Set(1L, 2L))
   }
 
+  test("holtForecast: in-memory fold parity, single bucket, linear trend") {
+    def refHolt(xs: Seq[Double], a: Double, b: Double): (Double, Double) =
+      xs.tail.foldLeft((xs.head, 0.0)) { case ((l, t), x) =>
+        val l2 = a * x + (1 - a) * (l + t)
+        (l2, b * (l2 - l) + (1 - b) * t)
+      }
+    val counts = Seq(3L, 0L, 5L, 2L, 7L, 0L, 4L)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n.toInt)(("A", d.toLong)) }
+    val out = Evaluate.holtForecast(rows.toDF("g", "b").repartition(4),
+        Seq("g"), col("b"), alpha = 0.5, beta = 0.25, horizons = Seq(1, 3))
+      .head
+    val (l, t) = refHolt(counts.map(_.toDouble), 0.5, 0.25)
+    assert(out.getLong(1) === 7L)
+    assert(out.getDouble(2) === l && out.getDouble(3) === t)
+    assert(out.getDouble(4) === l + 1.0 * t)
+    assert(out.getDouble(5) === l + 3.0 * t)
+
+    // single bucket: level = x1, trend = 0
+    val one = Evaluate.holtForecast(Seq(("B", 5L), ("B", 5L))
+        .toDF("g", "b"), Seq("g"), col("b")).head
+    assert(one.getLong(1) === 1L && one.getDouble(2) === 2.0 &&
+      one.getDouble(3) === 0.0)
+
+    // steadily rising series: positive trend, fc_7 > level
+    val rising = (0L until 10L).flatMap(d =>
+      Seq.fill((d + 1).toInt)(("C", d)))
+    val r = Evaluate.holtForecast(rising.toDF("g", "b"), Seq("g"),
+      col("b"), horizons = Seq(7)).head
+    assert(r.getDouble(3) > 0.5)
+    assert(r.getDouble(4) > r.getDouble(2))
+  }
+
   test("kAnonymityGroups: sizes, risk flags, null cohort, l-diversity") {
     val df = Seq(
       ("m", Some(1), "a"), ("m", Some(1), "a"), ("m", Some(1), "b"),
