@@ -2793,6 +2793,24 @@ object SparkEntry {
         round(col("fc_7"), 6).as("fc_7_r"))
       .orderBy("event_type")
 
+  // Seasonal index per weekday phase (Evaluate.seasonalIndex): exact
+  // integer phase-mean vs overall-mean ratios over the dense grid.
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    Evaluate.seasonalIndex(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), period = 7)
+      .orderBy("event_type", "phase")
+
+  // Theil–Sen robust trend (Evaluate.theilSen): median pairwise slope +
+  // median residual intercept over the dense grid, both medians via the
+  // exact row_number selection.
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    Evaluate.theilSen(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_r"),
+        round(col("intercept"), 6).as("intercept_r"))
+      .orderBy("event_type")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3120,7 +3138,9 @@ object SparkEntry {
     "q198_negative_samples" -> (q198 _),
     "q199_funnel_delays" -> (q199 _),
     "q200_langid_confusion" -> (q200 _),
-    "q201_holt_forecast" -> (q201 _))
+    "q201_holt_forecast" -> (q201 _),
+    "q202_seasonal_index" -> (q202 _),
+    "q203_theil_sen" -> (q203 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7379,7 +7399,70 @@ object SparkEntry {
            round(rec.l + 1.0 * rec.t, 6) AS fc_1_r,
            round(rec.l + 7.0 * rec.t, 6) AS fc_7_r
          FROM rec JOIN s ON rec.g = s.g WHERE rec.i = len(s.xs)
-         ORDER BY 1"""
+         ORDER BY 1""",
+
+    // q202: phase-mean / overall-mean in exact integer ppm
+    "q202_seasonal_index" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         tt AS (SELECT g, count(*) AS t, sum(x) AS s FROM x GROUP BY g),
+         p AS (SELECT x.g, ((x.b % 7) + 7) % 7 AS phase,
+             count(*) AS n_buckets, sum(x.x) AS total
+           FROM x GROUP BY 1, 2)
+         SELECT p.g AS event_type, CAST(phase AS BIGINT) AS phase,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(total AS BIGINT) AS total,
+           CAST(CASE WHEN s > 0
+             THEN (total * t * 1000000) // (n_buckets * s) END AS BIGINT)
+             AS index_ppm
+         FROM p JOIN tt ON p.g = tt.g ORDER BY 1, 2""",
+
+    // q203: all pairwise slopes, the exact median selections, the
+    // residual-median intercept — every float op mirrored
+    "q203_theil_sen" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         gg AS (SELECT x.g, x.b - sp.b0 AS i, x.x AS y
+           FROM x CROSS JOIN sp),
+         pr AS (SELECT a.g, a.i AS i, b.i AS j,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS m
+           FROM gg a JOIN gg b ON a.g = b.g AND b.i > a.i),
+         rs AS (SELECT g, m, row_number()
+             OVER (PARTITION BY g ORDER BY m, i, j) AS rk,
+             count(*) OVER (PARTITION BY g) AS n FROM pr),
+         sl AS (SELECT g, max(n) AS n_pairs,
+             max(CASE WHEN rk = (n + 1) // 2 THEN m END) / 2.0
+               + max(CASE WHEN rk = (n + 2) // 2 THEN m END) / 2.0 AS slope
+           FROM rs GROUP BY g),
+         res AS (SELECT gg.g, gg.i,
+             CAST(gg.y AS DOUBLE) - sl.slope * CAST(gg.i AS DOUBLE) AS r
+           FROM gg JOIN sl ON gg.g = sl.g),
+         rr AS (SELECT g, r, row_number()
+             OVER (PARTITION BY g ORDER BY r, i) AS rk,
+             count(*) OVER (PARTITION BY g) AS t FROM res)
+         SELECT rr.g AS event_type, CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+           round(sl.slope, 6) AS slope_r,
+           round(max(CASE WHEN rk = (t + 1) // 2 THEN r END) / 2.0
+             + max(CASE WHEN rk = (t + 2) // 2 THEN r END) / 2.0, 6)
+             AS intercept_r
+         FROM rr JOIN sl ON rr.g = sl.g
+         GROUP BY rr.g, sl.n_pairs, sl.slope ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -481,6 +481,84 @@ object Evaluate {
         col("acf"): _*)
   }
 
+  /** Seasonal index per phase — the periodicity DECOMPOSITION readout
+    * (the [[autocorrelation]] peak tells you period 7 exists; this
+    * tells you WHICH days are heavy and by how much): over the dense
+    * grid, phase p = bucket mod period gets
+    *
+    *   index_ppm = (sum_p · T · 1e6) div (n_p · S)
+    *
+    * — the phase's mean as ppm of the overall mean, all exact integer
+    * arithmetic (1e6 ppm == flat). Returns (group…, phase, n_buckets,
+    * total, index_ppm). One grid pass + one ≤ period-keyed groupBy. */
+  def seasonalIndex(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    import org.apache.spark.sql.expressions.Window
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    denseGridCounts(df, groupCols, bucket)
+      .withColumn("_t", max(col("_b") - col("_b0") + 1L).over(gw))
+      .withColumn("_s", sum("_x").over(gw))
+      .withColumn("phase", pmod(col("_b"), lit(period.toLong)))
+      .groupBy(groupCols.map(col) :+ col("phase"): _*)
+      .agg(count(lit(1)).as("n_buckets"), sum("_x").as("total"),
+        max("_t").as("_tt"), max("_s").as("_ss"))
+      .withColumn("index_ppm",
+        when(col("_ss") > 0L, expr(
+          "(total * _tt * 1000000) div (n_buckets * _ss)"))
+          .otherwise(lit(null).cast("long")))
+      .select(groupCols.map(col) :+ col("phase") :+ col("n_buckets") :+
+        col("total") :+ col("index_ppm"): _*)
+  }
+
+  /** Theil–Sen robust trend of a bucketed count series: slope = the
+    * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) over the dense
+    * grid — outlier days move the Holt/OLS trend but barely move this
+    * one (29% breakdown point). Intercept = median of (y_i − m·x_i).
+    * Medians use the q175 row_number selection with (i, j) tie-breaks;
+    * the pair slopes are single double divisions of exact integers, so
+    * both engines sort the same values. Pairs are O(T²) per group —
+    * the grid is calendar-bounded, so that's ≤ T²·groups rows, never
+    * event-scale. Returns (group…, n_pairs, slope, intercept). */
+  def theilSen(df: DataFrame, groupCols: Seq[String],
+      bucket: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = denseGridCounts(df, groupCols, bucket)
+      .withColumn("_i", col("_b") - col("_b0"))
+      .select(groupCols.map(col) :+ col("_i") :+ col("_x"): _*)
+    val r = g.select(groupCols.map(c => col(c).as(s"_g_$c")) :+
+      col("_i").as("_j") :+ col("_x").as("_y"): _*)
+    val joinCond = groupCols.map(c => col(c) === col(s"_g_$c"))
+      .reduce(_ && _) && col("_j") > col("_i")
+    val slopes = g.join(r, joinCond)
+      .withColumn("_m", (col("_y") - col("_x")).cast("double") /
+        (col("_j") - col("_i")).cast("double"))
+    val sw = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_m"), col("_i"), col("_j"))
+    val slope = slopes
+      .withColumn("_rk", row_number().over(sw).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max("_n").as("n_pairs"),
+        (max(when(col("_rk") === expr("(_n + 1) div 2"), col("_m"))) / 2.0 +
+         max(when(col("_rk") === expr("(_n + 2) div 2"), col("_m"))) / 2.0)
+          .as("slope"))
+    val iw = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_r"), col("_i"))
+    g.join(slope, groupCols)
+      .withColumn("_r", col("_x").cast("double") -
+        col("slope") * col("_i").cast("double"))
+      .withColumn("_rk", row_number().over(iw).cast("long"))
+      .withColumn("_t", count(lit(1)).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max("n_pairs").as("n_pairs"), max("slope").as("slope"),
+        (max(when(col("_rk") === expr("(_t + 1) div 2"), col("_r"))) / 2.0 +
+         max(when(col("_rk") === expr("(_t + 2) div 2"), col("_r"))) / 2.0)
+          .as("intercept"))
+  }
+
   /** Holt double-exponential-smoothing forecast of a bucketed count
     * series — the capacity-planning / volume-projection readout next to
     * [[autocorrelation]] (seasonality) and [[cusumChangepoint]]

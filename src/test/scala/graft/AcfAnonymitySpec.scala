@@ -104,6 +104,42 @@ class AcfAnonymitySpec extends SparkSuite {
     assert(r.getDouble(4) > r.getDouble(2))
   }
 
+  test("seasonalIndex: exact phase ratios, flat series = 1e6, zero days count") {
+    // period 3 over 6 buckets: phases {0,3},{1,4},{2,5}
+    // counts: 4,1,1,4,1,1 -> phase0 sum 8 (n 2), others 2 -> T=6, S=12
+    val rows = Seq(0L -> 4, 1L -> 1, 2L -> 1, 3L -> 4, 4L -> 1, 5L -> 1)
+      .flatMap { case (b, n) => Seq.fill(n)(("A", b)) }
+    val out = Evaluate.seasonalIndex(rows.toDF("g", "b").repartition(3),
+        Seq("g"), col("b"), period = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(0L) === ((2L, 8L, 2000000L))) // (8*6*1e6) div (2*12)
+    assert(out(1L) === ((2L, 2L, 500000L)))
+    assert(out(2L) === ((2L, 2L, 500000L)))
+    // flat series: every phase exactly 1e6
+    val flat = (0L until 9L).map(b => ("B", b))
+    val f = Evaluate.seasonalIndex(flat.toDF("g", "b"), Seq("g"),
+        col("b"), period = 3)
+      .collect().map(_.getLong(4)).toSet
+    assert(f === Set(1000000L))
+  }
+
+  test("theilSen: hand slopes, outlier robustness, single-bucket group absent") {
+    // perfect line y = 2x over 5 buckets -> slope exactly 2, intercept 0
+    val line = (0L until 5L).flatMap(b => Seq.fill((2 * b).toInt)(("A", b))) ++
+      Seq(("A", 0L)) // keep bucket 0 populated in the span (y0 = 1)
+    // A: counts 1,2,4,6,8 -- not a perfect line; use B as the clean one
+    val clean = (0L until 5L).flatMap(b => Seq.fill((2 * b + 1).toInt)(("B", b)))
+    val out = Evaluate.theilSen((line ++ clean).toDF("g", "b"),
+        Seq("g"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // B: y = 2i + 1 exactly -> all pairwise slopes 2, residuals all 1
+    assert(out("B") === ((10L, 2.0, 1.0)))
+    // A: counts 1,2,4,6,8 -> median slope still near 2 despite the kink
+    assert(math.abs(out("A")._2 - 2.0) <= 0.5)
+  }
+
   test("kAnonymityGroups: sizes, risk flags, null cohort, l-diversity") {
     val df = Seq(
       ("m", Some(1), "a"), ("m", Some(1), "a"), ("m", Some(1), "b"),
