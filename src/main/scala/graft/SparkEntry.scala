@@ -2811,6 +2811,23 @@ object SparkEntry {
         round(col("intercept"), 6).as("intercept_r"))
       .orderBy("event_type")
 
+  // Text clustering end-to-end: q46's gated feature-hash vectors feed
+  // q100's gated exact-ppm k-means — raw text to discovered clusters in
+  // ONE declarative plan, the cluster×lang cross-tab gated by an oracle
+  // that composes BOTH chains.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vecs = d.select(col("doc_id"),
+      transform(feature_hash(TextFunctions.tokens(col("text")), 16),
+        x => x.cast("double")).as("embedding"))
+    val r = Ann.kmeansLloyd(vecs, "doc_id", "embedding", k = 3,
+      iters = 2, initCell = pmod(col("doc_id"), lit(3)))
+    r.assigned.select(col("doc_id"), col("_cell").as("cell"))
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy("cell", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("cell", "lang")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3140,7 +3157,8 @@ object SparkEntry {
     "q200_langid_confusion" -> (q200 _),
     "q201_holt_forecast" -> (q201 _),
     "q202_seasonal_index" -> (q202 _),
-    "q203_theil_sen" -> (q203 _))
+    "q203_theil_sen" -> (q203 _),
+    "q204_text_clustering" -> (q204 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7462,7 +7480,25 @@ object SparkEntry {
              + max(CASE WHEN rk = (t + 2) // 2 THEN r END) / 2.0, 6)
              AS intercept_r
          FROM rr JOIN sl ON rr.g = sl.g
-         GROUP BY rr.g, sl.n_pairs, sl.slope ORDER BY 1"""
+         GROUP BY rr.g, sl.n_pairs, sl.slope ORDER BY 1""",
+
+    // q204: q46's feature-hash cell chain builds e(vec_id, v, vp), then
+    // q100's two k-means iterations run over it — both gated chains
+    // composed, cluster×lang counts hash-equal
+    "q204_text_clustering" ->
+      s"""WITH $featureHashCellsSql,
+         fv AS (SELECT grid.doc_id, grid.idx,
+             CAST(coalesce(c.s, 0.0) AS BIGINT) AS v
+           FROM grid LEFT JOIN cells c
+             ON c.doc_id = grid.doc_id AND c.idx = grid.idx),
+         e AS (SELECT doc_id AS vec_id,
+             list(CAST(v AS DOUBLE) ORDER BY idx) AS v,
+             list(v * 1000000 ORDER BY idx) AS vp
+           FROM fv GROUP BY doc_id),
+         ${kmeansStepsCtes(dims = 16, k = 3)}
+         SELECT CAST(a2.c AS INTEGER) AS cell, d.lang, count(*) AS n
+         FROM a2 JOIN documents d ON a2.vec_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -7728,11 +7764,20 @@ object SparkEntry {
     * in `a2(vec_id, c)` — the exact-ppm centroid means + left-fold argmin
     * chain, shared by q100 (assignment gate) and q109 (cluster-balanced
     * mixing composition). */
-  private def kmeansTwoIterCtes: String = {
+  private def kmeansTwoIterCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v,
+           list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) vp
+         FROM embeddings),
+       ${kmeansStepsCtes(dims = 64, k = 4)}"""
+
+  /** The two-iteration chain over an ALREADY-DEFINED `e(vec_id, v, vp)`
+    * CTE (v double list, vp its exact ppm longs) — q204 feeds it
+    * feature-hashed text vectors instead of the embeddings table. */
+  private def kmeansStepsCtes(dims: Int, k: Int): String = {
     def step(assign: String, sn: String, cn: String, dn: String,
         an: String): String =
       s"""$sn AS (SELECT $assign.c, r.range i, sum(e.vp[r.range]) s, count(*) n
-           FROM $assign JOIN e USING (vec_id) CROSS JOIN range(1,65) r
+           FROM $assign JOIN e USING (vec_id) CROSS JOIN range(1,${dims + 1}) r
            GROUP BY $assign.c, r.range),
          $cn AS (SELECT c, list(CAST(CASE WHEN s < 0
                THEN -((abs(s)*2 + n) // (n*2))
@@ -7749,10 +7794,7 @@ object SparkEntry {
                SELECT vec_id, c,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) rn
                FROM $dn) WHERE rn = 1)"""
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v,
-           list_transform(embedding::DOUBLE[], x -> CAST(round(x*1000000) AS BIGINT)) vp
-         FROM embeddings),
-       a0 AS (SELECT vec_id, CAST(vec_id % 4 AS INTEGER) c FROM e),
+    s"""a0 AS (SELECT vec_id, CAST(vec_id % $k AS INTEGER) c FROM e),
        ${step("a0", "ks1", "kc1", "kd1", "a1")},
        ${step("a1", "ks2", "kc2", "kd2", "a2")}"""
   }
