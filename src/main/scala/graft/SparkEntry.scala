@@ -2828,6 +2828,17 @@ object SparkEntry {
       .orderBy("cell", "lang")
   }
 
+  // Exact OLS trend (Evaluate.olsTrend): integer normal equations over
+  // the dense grid, num/den gated exactly, slope/intercept one float
+  // chain each.
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    Evaluate.olsTrend(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"))
+      .select(col("event_type"), col("n"), col("num"), col("den"),
+        round(col("slope"), 6).as("slope_r"),
+        round(col("intercept"), 6).as("intercept_r"))
+      .orderBy("event_type")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3158,7 +3169,8 @@ object SparkEntry {
     "q201_holt_forecast" -> (q201 _),
     "q202_seasonal_index" -> (q202 _),
     "q203_theil_sen" -> (q203 _),
-    "q204_text_clustering" -> (q204 _))
+    "q204_text_clustering" -> (q204 _),
+    "q205_ols_trend" -> (q205 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7498,7 +7510,33 @@ object SparkEntry {
          ${kmeansStepsCtes(dims = 16, k = 3)}
          SELECT CAST(a2.c AS INTEGER) AS cell, d.lang, count(*) AS n
          FROM a2 JOIN documents d ON a2.vec_id = d.doc_id
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q205: integer normal equations over the q189 grid, two divisions
+    "q205_ols_trend" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         gg AS (SELECT x.g, x.b - sp.b0 AS i, x.x AS y
+           FROM x CROSS JOIN sp),
+         a AS (SELECT g, count(*) AS n, sum(i) AS si, sum(y) AS sy,
+             sum(i * y) AS sxy, sum(i * i) AS sxx FROM gg GROUP BY g),
+         f AS (SELECT g, n, n * sxy - si * sy AS num,
+             n * sxx - si * si AS den, si, sy FROM a)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_r,
+           round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)
+               / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_r
+         FROM f ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

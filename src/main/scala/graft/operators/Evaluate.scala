@@ -511,6 +511,39 @@ object Evaluate {
         col("total") :+ col("index_ppm"): _*)
   }
 
+  /** Exact OLS trend of a bucketed count series — the least-squares
+    * complement of [[theilSen]] (robust median slope) and
+    * [[holtForecast]] (recency-weighted): over the dense grid with
+    * i = 0..T−1,
+    *
+    *   slope = (n·Σiy − Σi·Σy) / (n·Σi² − (Σi)²)
+    *   intercept = (Σy − slope·Σi) / n
+    *
+    * with every sum an exact integer (one groupBy, map-side combined —
+    * no windows at all) and two float divisions at the end. Returns
+    * (group…, n, num, den, slope, intercept); constant-x degeneracy is
+    * impossible on a grid with ≥ 2 buckets, T = 1 yields den 0 → null
+    * slope. */
+  def olsTrend(df: DataFrame, groupCols: Seq[String],
+      bucket: Column): DataFrame = {
+    val g = denseGridCounts(df, groupCols, bucket)
+      .withColumn("_i", col("_b") - col("_b0"))
+    g.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("_i").as("_si"),
+        sum("_x").as("_sy"), sum(col("_i") * col("_x")).as("_sxy"),
+        sum(col("_i") * col("_i")).as("_sxx"))
+      .withColumn("num", col("n") * col("_sxy") - col("_si") * col("_sy"))
+      .withColumn("den", col("n") * col("_sxx") - col("_si") * col("_si"))
+      .withColumn("slope",
+        when(col("den") =!= 0L,
+          col("num").cast("double") / col("den").cast("double")))
+      .withColumn("intercept",
+        (col("_sy").cast("double") - col("slope") *
+          col("_si").cast("double")) / col("n").cast("double"))
+      .select(groupCols.map(col) :+ col("n") :+ col("num") :+
+        col("den") :+ col("slope") :+ col("intercept"): _*)
+  }
+
   /** Theil–Sen robust trend of a bucketed count series: slope = the
     * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) over the dense
     * grid — outlier days move the Holt/OLS trend but barely move this

@@ -140,6 +140,23 @@ class AcfAnonymitySpec extends SparkSuite {
     assert(math.abs(out("A")._2 - 2.0) <= 0.5)
   }
 
+  test("olsTrend: exact normal equations on a hand line, T=1 null slope") {
+    // y = 3i + 1 over i = 0..3 (counts 1,4,7,10)
+    val rows = (0L until 4L).flatMap(b =>
+      Seq.fill((3 * b + 1).toInt)(("A", b)))
+    val out = Evaluate.olsTrend(rows.toDF("g", "b").repartition(3),
+      Seq("g"), col("b")).head
+    // n=4, si=6, sy=22, sxy=48, sxx=14: num=4*48-132=60, den=56-36=20
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === 60L && out.getLong(3) === 20L)
+    assert(out.getDouble(4) === 3.0)
+    assert(out.getDouble(5) === 1.0)
+    // single bucket: den 0 -> null slope
+    val one = Evaluate.olsTrend(Seq(("B", 2L), ("B", 2L)).toDF("g", "b"),
+      Seq("g"), col("b")).head
+    assert(one.getLong(3) === 0L && one.isNullAt(4))
+  }
+
   test("kAnonymityGroups: sizes, risk flags, null cohort, l-diversity") {
     val df = Seq(
       ("m", Some(1), "a"), ("m", Some(1), "a"), ("m", Some(1), "b"),
