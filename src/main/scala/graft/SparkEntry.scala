@@ -2839,6 +2839,16 @@ object SparkEntry {
         round(col("intercept"), 6).as("intercept_r"))
       .orderBy("event_type")
 
+  // Prefix-filtered set-similarity join (Dedup.jaccardPairsPrefix):
+  // same exact-pair output as the full inverted index, provably-
+  // complete candidate reduction — gated against the brute-force
+  // all-pairs oracle (the q23 form, no valve anywhere).
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2, ngram = 2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3170,7 +3180,8 @@ object SparkEntry {
     "q202_seasonal_index" -> (q202 _),
     "q203_theil_sen" -> (q203 _),
     "q204_text_clustering" -> (q204 _),
-    "q205_ols_trend" -> (q205 _))
+    "q205_ols_trend" -> (q205 _),
+    "q206_prefix_jaccard" -> (q206 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7536,7 +7547,24 @@ object SparkEntry {
            round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)
                / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
              / CAST(n AS DOUBLE), 6) AS intercept_r
-         FROM f ORDER BY 1"""
+         FROM f ORDER BY 1""",
+
+    // q206: brute-force exact bigram jaccard (the q23 oracle form) —
+    // the prefix filter must lose NOTHING
+    "q206_prefix_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         g AS (SELECT doc_id,
+           list_distinct([tok[i] || ' ' || tok[i+1] for i in range(1, len(tok))]) s
+           FROM t),
+         j AS (SELECT a.doc_id a, b.doc_id b,
+           len(list_intersect(a.s,b.s))*1.0 /
+             (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) j
+           FROM g a JOIN g b ON a.doc_id < b.doc_id
+           WHERE len(a.s) > 0 AND len(b.s) > 0)
+         SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2
+         ORDER BY a, b"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -43,6 +43,32 @@ class MutualBagSpec extends SparkSuite {
     assert(groups === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("jaccardPairsPrefix == full-index jaccardPairs at three thresholds") {
+    import graft.operators.Dedup
+    // pseudo-random corpus with planted near-dup pairs
+    val docs = ((0L until 120L).map { i =>
+      val ws = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 40}")
+      (i, ws.mkString(" "))
+    } ++ (0L until 10L).map { i => // planted: doc i with one word changed
+      val ws = (0 until 12).map(j =>
+        if (j == 0) "zzz" else s"w${(i * 7 + j * 3) % 40}")
+      (1000L + i, ws.mkString(" "))
+    }).toDF("id", "text")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(docs, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pref === full, s"threshold $t")
+    }
+    // the planted pairs survive at a high threshold
+    val high = Dedup.jaccardPairsPrefix(docs, "id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 10L).forall(i => high((i, 1000L + i))))
+  }
+
   test("bagDedup: layout invariance of keep_id") {
     val docs = (0L until 100L).map(i => (i, s"w${i % 7} w${(i * 3) % 7}"))
       .toDF("id", "text")
