@@ -2849,6 +2849,19 @@ object SparkEntry {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 
+  // Flesch reading ease (TextFunctions.fleschCounts/fleschScore): the
+  // three integer counts gated exactly, the score one rounded chain.
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fleschCounts(col("text")).as("f"))
+      .select(col("doc_id"),
+        col("f.n_words").cast("long").as("n_words"),
+        col("f.n_sent").cast("long").as("n_sent"),
+        col("f.n_syll").cast("long").as("n_syll"),
+        round(TextFunctions.fleschScore(col("f.n_words"), col("f.n_sent"),
+          col("f.n_syll")), 6).as("flesch_r"))
+      .orderBy("doc_id")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3181,7 +3194,8 @@ object SparkEntry {
     "q203_theil_sen" -> (q203 _),
     "q204_text_clustering" -> (q204 _),
     "q205_ols_trend" -> (q205 _),
-    "q206_prefix_jaccard" -> (q206 _))
+    "q206_prefix_jaccard" -> (q206 _),
+    "q207_flesch" -> (q207 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7564,7 +7578,29 @@ object SparkEntry {
            FROM g a JOIN g b ON a.doc_id < b.doc_id
            WHERE len(a.s) > 0 AND len(b.s) > 0)
          SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // q207: vowel-run syllables (floor 1/word), [.!?]+ sentences
+    // (floor 1), the Flesch chain in pinned order
+    "q207_flesch" ->
+      """WITH t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         c AS (SELECT doc_id,
+             len(tok) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+             list_sum(list_prepend(0, list_transform(tok, w ->
+               greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))))
+               AS n_syll
+           FROM t)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           CASE WHEN n_words > 0 THEN round(206.835::DOUBLE
+             - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             - 84.6::DOUBLE * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+           END AS flesch_r
+         FROM c ORDER BY doc_id"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -83,6 +83,39 @@ object TextFunctions {
       size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
   }
 
+  /** Syllable estimate for one lowercase token: vowel-group runs
+    * ([aeiouy]+), floored at 1 — the standard readability heuristic
+    * (identical under Java regex and RE2, so it replays). */
+  def syllables(word: Column): Column =
+    greatest(size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0))),
+      lit(1))
+
+  /** Sentence count: maximal [.!?]+ runs, floored at 1 so fragment-only
+    * docs don't divide by zero. */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Flesch reading ease (Flesch 1948):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) — the
+    * classic readability signal of corpus-quality batteries, computed
+    * from three exact integer counts and one fixed-order float chain
+    * (null for token-less docs). Gate the counts, round the score. */
+  def fleschCounts(text: Column): Column = {
+    val toks = tokens(text)
+    struct(
+      size(toks).as("n_words"),
+      sentenceCount(text).as("n_sent"),
+      aggregate(toks, lit(0),
+        (acc, w) => acc + syllables(w)).as("n_syll"))
+  }
+
+  def fleschScore(nWords: Column, nSent: Column, nSyll: Column): Column =
+    when(nWords > 0,
+      lit(206.835) -
+        lit(1.015) * (nWords.cast("double") / nSent.cast("double")) -
+        lit(84.6) * (nSyll.cast("double") / nWords.cast("double")))
+      .otherwise(lit(null).cast("double"))
+
   /** Heuristic document quality score in [0,1]: combines length band,
     * mean-token-length band, and low punctuation — the shape of the usual
     * pretraining-corpus quality filters. */

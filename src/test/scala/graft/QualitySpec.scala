@@ -280,4 +280,29 @@ class QualitySpec extends SparkSuite {
     val d9 = 1.0 - 6.0 * p9
     assert(out(9)._3 == math.round(d9 * d9 / (6.0 * p9) * 1e6))
   }
+
+  test("fleschCounts: hand syllables/sentences, vowel-less floor, empty doc") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran! Really?"),
+      (2L, "xyz qqq"), // no vowels -> 1 syllable per word
+      (3L, "")
+    ).toDF("id", "text")
+    val out = docs.select(col("id"),
+        TextFunctions.fleschCounts(col("text")).as("f"))
+      .select(col("id"), col("f.n_words"), col("f.n_sent"), col("f.n_syll"),
+        TextFunctions.fleschScore(col("f.n_words"), col("f.n_sent"),
+          col("f.n_syll")).as("fs"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    // "the cat sat the dog ran really": 7 words, 3 sentences,
+    // syllables: the=1 cat=1 sat=1 the=1 dog=1 ran=1 really=3 (ea,y... e-a-y runs: r[ea]ll[y] -> 2) = 8
+    assert(out(1L)._1 === 7 && out(1L)._2 === 3)
+    assert(out(1L)._3 === 8) // really -> 'ea' and 'y' = 2 runs
+    val want = 206.835 - 1.015 * (7.0 / 3.0) - 84.6 * (8.0 / 7.0)
+    assert(math.abs(out(1L)._4 - want) < 1e-12)
+    assert(out(2L) === ((2, 1, 2, 206.835 - 1.015 * 2.0 - 84.6 * 1.0)))
+    assert(out(3L)._1 === 0 && out(3L)._4.isNaN) // null score
+  }
 }
