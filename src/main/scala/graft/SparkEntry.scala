@@ -2862,6 +2862,30 @@ object SparkEntry {
           col("f.n_syll")), 6).as("flesch_r"))
       .orderBy("doc_id")
 
+  // Segmented trend: q157's gated CUSUM changepoint splits each type's
+  // series into pre/post, exact OLS (q205's machinery via olsPoints)
+  // quantifies each side — "the volume shifted HERE, from THIS trend to
+  // THAT one" in one composed plan over observed days.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts div 86400000000000")
+    val ev = events(s, dir).select(col("event_type"), day.as("_day"))
+    val counts = ev.groupBy("event_type", "_day")
+      .agg(count(lit(1)).as("_cnt"))
+    val cp = Evaluate.cusumChangepoint(events(s, dir), Seq("event_type"),
+        day)
+      .select(col("event_type"), col("best_bucket"))
+    val seg = counts.join(cp, "event_type")
+      .withColumn("segment",
+        when(col("_day") <= col("best_bucket"), lit("pre"))
+          .otherwise(lit("post")))
+    Evaluate.olsPoints(seg, Seq("event_type", "segment"), col("_day"),
+        col("_cnt"))
+      .select(col("event_type"), col("segment"), col("n"), col("num"),
+        col("den"), round(col("slope"), 6).as("slope_r"),
+        round(col("intercept"), 6).as("intercept_r"))
+      .orderBy("event_type", "segment")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3195,7 +3219,8 @@ object SparkEntry {
     "q204_text_clustering" -> (q204 _),
     "q205_ols_trend" -> (q205 _),
     "q206_prefix_jaccard" -> (q206 _),
-    "q207_flesch" -> (q207 _))
+    "q207_flesch" -> (q207 _),
+    "q208_segmented_trend" -> (q208 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7600,7 +7625,50 @@ object SparkEntry {
              - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
              - 84.6::DOUBLE * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
            END AS flesch_r
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+
+    // q208: the q157 CUSUM chain picks the changepoint, exact OLS per
+    // (type, pre/post segment) over the observed day counts
+    "q208_segmented_trend" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b, b0
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         cum AS (SELECT grid.g, grid.b, grid.b0,
+             sum(coalesce(cnt, 0)) OVER (PARTITION BY grid.g
+               ORDER BY grid.b) AS s,
+             grid.b - grid.b0 + 1 AS i
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         tt AS (SELECT g, max(i) AS t, max(s) AS tot FROM cum GROUP BY g),
+         d AS (SELECT cum.g, cum.b, abs(s * t - i * tot) AS dn
+           FROM cum JOIN tt ON cum.g = tt.g),
+         best AS (SELECT g, b,
+             row_number() OVER (PARTITION BY g ORDER BY dn DESC, b) AS rn
+           FROM d),
+         b1 AS (SELECT g, b AS bb FROM best WHERE rn = 1),
+         seg AS (SELECT c.g, c.b, c.cnt,
+             CASE WHEN c.b <= b1.bb THEN 'pre' ELSE 'post' END AS seg
+           FROM c JOIN b1 ON c.g = b1.g),
+         a AS (SELECT g, seg, count(*) AS n, sum(b) AS si, sum(cnt) AS sy,
+             sum(b * cnt) AS sxy, sum(b * b) AS sxx
+           FROM seg GROUP BY 1, 2),
+         f AS (SELECT g, seg, n, n * sxy - si * sy AS num,
+             n * sxx - si * si AS den, si, sy FROM a)
+         SELECT g AS event_type, seg AS segment, CAST(n AS BIGINT) AS n,
+           CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+           CASE WHEN den <> 0 THEN
+             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS slope_r,
+           CASE WHEN den <> 0 THEN
+             round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)
+                 / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
+               / CAST(n AS DOUBLE), 6)
+           END AS intercept_r
+         FROM f ORDER BY 1, 2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -525,13 +525,25 @@ object Evaluate {
     * impossible on a grid with ≥ 2 buckets, T = 1 yields den 0 → null
     * slope. */
   def olsTrend(df: DataFrame, groupCols: Seq[String],
-      bucket: Column): DataFrame = {
-    val g = denseGridCounts(df, groupCols, bucket)
-      .withColumn("_i", col("_b") - col("_b0"))
+      bucket: Column): DataFrame =
+    olsPoints(
+      denseGridCounts(df, groupCols, bucket)
+        .withColumn("_i", col("_b") - col("_b0")),
+      groupCols, col("_i"), col("_x"))
+
+  /** Exact OLS over ARBITRARY integer (x, y) points per group — the
+    * generic regression [[olsTrend]] specializes to the dense grid.
+    * Integer sums, two float divisions; null/degenerate x-variance →
+    * null slope. Returns (group…, n, num, den, slope, intercept). */
+  def olsPoints(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val g = df.select(groupCols.map(col) :+ x.cast("long").as("_px") :+
+        y.cast("long").as("_py"): _*)
+      .where(col("_px").isNotNull && col("_py").isNotNull)
     g.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"), sum("_i").as("_si"),
-        sum("_x").as("_sy"), sum(col("_i") * col("_x")).as("_sxy"),
-        sum(col("_i") * col("_i")).as("_sxx"))
+      .agg(count(lit(1)).as("n"), sum("_px").as("_si"),
+        sum("_py").as("_sy"), sum(col("_px") * col("_py")).as("_sxy"),
+        sum(col("_px") * col("_px")).as("_sxx"))
       .withColumn("num", col("n") * col("_sxy") - col("_si") * col("_sy"))
       .withColumn("den", col("n") * col("_sxx") - col("_si") * col("_si"))
       .withColumn("slope",
