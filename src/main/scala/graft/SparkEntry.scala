@@ -2886,6 +2886,15 @@ object SparkEntry {
       .orderBy("event_type", "segment")
   }
 
+  // Mann–Kendall trend test (Evaluate.mannKendall): exact S and the
+  // tie-corrected Var·18, z one float chain.
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    Evaluate.mannKendall(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"))
+      .select(col("event_type"), col("n"), col("s"), col("var18"),
+        round(col("z"), 6).as("z_r"))
+      .orderBy("event_type")
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3220,7 +3229,8 @@ object SparkEntry {
     "q205_ols_trend" -> (q205 _),
     "q206_prefix_jaccard" -> (q206 _),
     "q207_flesch" -> (q207 _),
-    "q208_segmented_trend" -> (q208 _))
+    "q208_segmented_trend" -> (q208 _),
+    "q209_mann_kendall" -> (q209 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7668,7 +7678,43 @@ object SparkEntry {
                  / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
                / CAST(n AS DOUBLE), 6)
            END AS intercept_r
-         FROM f ORDER BY 1, 2"""
+         FROM f ORDER BY 1, 2""",
+
+    // q209: pairwise signs + the tie-corrected variance, both exact
+    "q209_mann_kendall" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         st AS (SELECT a.g, sum(CASE WHEN b.x > a.x THEN 1
+               WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+           FROM x a JOIN x b ON a.g = b.g AND b.b > a.b GROUP BY a.g),
+         nt AS (SELECT g, count(*) AS n FROM x GROUP BY g),
+         tie AS (SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tiesum
+           FROM (SELECT g, x, count(*) AS t FROM x GROUP BY g, x)
+           WHERE t > 1 GROUP BY g),
+         f AS (SELECT st.g, nt.n, st.s,
+             nt.n * (nt.n - 1) * (2 * nt.n + 5)
+               - coalesce(tiesum, 0) AS var18
+           FROM st JOIN nt ON st.g = nt.g
+           LEFT JOIN tie ON st.g = tie.g)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS s, CAST(var18 AS BIGINT) AS var18,
+           CASE WHEN var18 > 0 AND s > 0 THEN
+               round(CAST(s - 1 AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+             WHEN var18 > 0 AND s < 0 THEN
+               round(CAST(s + 1 AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+             WHEN var18 > 0 THEN 0.0
+           END AS z_r
+         FROM f ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -511,6 +511,56 @@ object Evaluate {
         col("total") :+ col("index_ppm"): _*)
   }
 
+  /** Mann–Kendall monotonic-trend test — the SIGNIFICANCE companion of
+    * [[theilSen]]'s slope (is this drift real, or noise?): over the
+    * dense grid,
+    *
+    *   S = Σ_{i<j} sign(x_j − x_i)
+    *   Var·18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+    *   z = (S ∓ 1) / sqrt(Var)   (continuity-corrected, 0 when S = 0)
+    *
+    * S and the tie-corrected Var·18 are exact integers (the pair join
+    * is the [[theilSen]] grid self-join, ≤ T²·groups rows); z is one
+    * float chain. |z| > 1.96 ⇒ trend at 5%. Returns (group…, n, s,
+    * var18, z). */
+  def mannKendall(df: DataFrame, groupCols: Seq[String],
+      bucket: Column): DataFrame = {
+    val g = denseGridCounts(df, groupCols, bucket)
+      .withColumn("_i", col("_b") - col("_b0"))
+      .select(groupCols.map(col) :+ col("_i") :+ col("_x"): _*)
+    val r = g.select(groupCols.map(c => col(c).as(s"_g_$c")) :+
+      col("_i").as("_j") :+ col("_x").as("_y"): _*)
+    val joinCond = groupCols.map(c => col(c) === col(s"_g_$c"))
+      .reduce(_ && _) && col("_j") > col("_i")
+    val sTab = g.join(r, joinCond)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(signum(col("_y") - col("_x")).cast("long")).as("s"))
+    val nTab = g.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val ties = g.groupBy(groupCols.map(col) :+ col("_x"): _*)
+      .agg(count(lit(1)).as("_t"))
+      .where(col("_t") > 1L)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_t") * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L))
+        .as("_tie"))
+    val base = sTab.join(nTab, groupCols)
+      .join(ties, groupCols, "left")
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          coalesce(col("_tie"), lit(0L)))
+    base.withColumn("z",
+        when(col("var18") > 0L && col("s") > 0L,
+          (col("s") - 1L).cast("double") /
+            sqrt(col("var18").cast("double") / 18.0))
+          .when(col("var18") > 0L && col("s") < 0L,
+            (col("s") + 1L).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0))
+          .when(col("var18") > 0L, lit(0.0))
+          .otherwise(lit(null).cast("double")))
+      .select(groupCols.map(col) :+ col("n") :+ col("s") :+
+        col("var18") :+ col("z"): _*)
+  }
+
   /** Exact OLS trend of a bucketed count series — the least-squares
     * complement of [[theilSen]] (robust median slope) and
     * [[holtForecast]] (recency-weighted): over the dense grid with

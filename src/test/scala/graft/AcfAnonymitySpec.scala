@@ -157,6 +157,31 @@ class AcfAnonymitySpec extends SparkSuite {
     assert(one.getLong(3) === 0L && one.isNullAt(4))
   }
 
+  test("mannKendall: hand S with ties, variance correction, z signs") {
+    // counts 1,2,2,4 over buckets 0..3: pairs (i<j) signs:
+    // (1,2)+ (1,2)+ (1,4)+ (2,2)0 (2,4)+ (2,4)+ -> S = 5
+    val rows = Seq(0L -> 1, 1L -> 2, 2L -> 2, 3L -> 4)
+      .flatMap { case (b, n) => Seq.fill(n)(("A", b)) }
+    val out = Evaluate.mannKendall(rows.toDF("g", "b").repartition(3),
+      Seq("g"), col("b")).head
+    assert(out.getLong(1) === 4L && out.getLong(2) === 5L)
+    // var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
+    assert(out.getLong(3) === 138L)
+    val wantZ = (5.0 - 1.0) / math.sqrt(138.0 / 18.0)
+    assert(math.abs(out.getDouble(4) - wantZ) < 1e-12)
+    // strictly decreasing -> negative z with the +1 correction
+    val dec = (0L until 5L).flatMap(b => Seq.fill((5 - b).toInt)(("B", b)))
+    val d = Evaluate.mannKendall(dec.toDF("g", "b"), Seq("g"),
+      col("b")).head
+    assert(d.getLong(2) === -10L) // all 10 pairs decreasing
+    assert(d.getDouble(4) < -2.0)
+    // constant series: S = 0, z = 0... but all-tie var18 = 0 -> null
+    val const = (0L until 4L).flatMap(b => Seq.fill(3)(("C", b)))
+    val c = Evaluate.mannKendall(const.toDF("g", "b"), Seq("g"),
+      col("b")).head
+    assert(c.getLong(2) === 0L && c.getLong(3) === 0L && c.isNullAt(4))
+  }
+
   test("kAnonymityGroups: sizes, risk flags, null cohort, l-diversity") {
     val df = Seq(
       ("m", Some(1), "a"), ("m", Some(1), "a"), ("m", Some(1), "b"),
