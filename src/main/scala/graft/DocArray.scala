@@ -398,6 +398,25 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
         .where(length(col("w")) > 0),
       col("w"), k)
 
+  /** Adamic–Adar link prediction over a pair table (near-dup edges,
+    * co-click edges, …): (a, b, cn, aa_ppb) for node pairs at
+    * distance 2, rare shared neighbors weighted up. */
+  def linkPredict(pairs: DataFrame,
+      maxDegree: Long = Long.MaxValue): DataFrame =
+    Graph.adamicAdar(pairs, maxDegree = maxDegree)
+
+  /** k-core of a pair graph: `rounds` peels of degree < k — the dense
+    * substructure that survives (node, degree). */
+  def kCoreOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
+    Graph.kCore(pairs, k, rounds)
+
+  /** Poisson-bootstrap standard error of the mean of an integer-valued
+    * (pre-quantized) signal: one row (b_used, grand_mean, se_boot). */
+  def bootstrapSe(value: Column, reps: Int = 32,
+      seed: Long = 0L): DataFrame =
+    Evaluate.bootstrapSe(
+      Evaluate.poissonBootstrap(df, col(idCol), value, reps, seed))
+
   /** Exact 1-D Wasserstein drift of an integer measure vs another
     * array — the total-transport complement of the KS max-gap. */
   def driftW1(other: DocArray, value: Column): DataFrame =

@@ -2226,7 +2226,12 @@ object SparkEntry {
   // counts each triangle exactly once — the near-dup-cluster cohesion
   // probe. The oracle enumerates id-ordered triangles brute-force and
   // unnests the three corners.
-  private def q152(s: SparkSession, dir: String): DataFrame = {
+  /** The q152/q212 geometric graph: embeddings projected to the fixed
+    * dyadic 2-D basis (q108's kernel), pairs within `radius` via the
+    * COMPLETE grid blocking — a deterministic similarity graph over
+    * real vectors. */
+  private def projPairGraph(s: SparkSession, dir: String,
+      radius: Double): DataFrame = {
     val d = 64
     val mean = Seq.tabulate(d)(j => (((j * 13) % 32) - 16) / 64.0)
     val comps = Seq.tabulate(2)(k =>
@@ -2236,10 +2241,12 @@ object SparkEntry {
         project_vector(col("embedding"), mean, comps).as("p"))
       .select(col("vec_id"),
         element_at(col("p"), 1).as("p0"), element_at(col("p"), 2).as("p1"))
-    Graph.triangleCounts(
-        Dedup.gridPairs2d(proj, "vec_id", "p0", "p1", radius = 0.03))
-      .orderBy("node")
+    Dedup.gridPairs2d(proj, "vec_id", "p0", "p1", radius = radius)
   }
+
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(projPairGraph(s, dir, radius = 0.03))
+      .orderBy("node")
 
   // Split-conformal threshold + held-out coverage (Evaluate.conformal):
   // nonconformity = 1e6 − quality ppm (q21's gated score), α = 1/10
@@ -2895,6 +2902,122 @@ object SparkEntry {
         round(col("z"), 6).as("z_r"))
       .orderBy("event_type")
 
+  // Adamic–Adar link prediction (Graph.adamicAdar) over the bipartite
+  // customer–supplier trade graph: supplier pairs scored by their
+  // SHARED customers, each customer weighted 1/ln(deg) quantized once
+  // to ppb (the q172 ln rule) — rare shared customers vote loudly.
+  // maxDegree=100 keeps every customer center (deg = distinct
+  // suppliers bought from, well under 100 at gate scales) and drops
+  // supplier centers — supplier-pair scores only ever ride customer
+  // centers, so the s-prefix output filter makes the valve inert for
+  // the gated pairs.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select(concat(lit("c"), col("ck")).as("a"),
+        concat(lit("s"), col("sk")).as("b"))
+    Graph.adamicAdar(cs, maxDegree = 100)
+      .where(col("a").startsWith("s") && col("b").startsWith("s"))
+      .orderBy("a", "b")
+  }
+
+  // Poisson bootstrap SE of the mean quality score
+  // (Evaluate.poissonBootstrap): 32 replicates, every per-replicate
+  // count an exact integer from the gated splitmix draw through the
+  // ppb Poisson(1) inverse-CDF table — the scalable bootstrap, whole
+  // weight chain replayed in SQL.
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    Evaluate.poissonBootstrap(t(s, dir, "documents"), col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")) * 1e6).cast("long"),
+        reps = 32, seed = 0L)
+      .select(col("rep"), col("n_src"), col("n_eff"), col("wsum"),
+        round(col("mean"), 6).as("mean_r"))
+      .orderBy("rep")
+
+  // k-core peeling (Graph.kCore) over the q152 geometric graph: four
+  // "drop degree < k" rounds, each round's node set and filtered edge
+  // set replayed as a CTE pair in the oracle (the fixed-iters rule).
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(projPairGraph(s, dir, radius = 0.03), k = 3, rounds = 4)
+      .orderBy("node")
+
+  // CUBE grouping sets (native cube() vs GROUP BY CUBE) — the
+  // all-subtotals companion of q168's ROLLUP; nulls masked to 'ALL'
+  // on both engines, quantities integer-valued doubles so sums are
+  // exact.
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("sm"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "sm")
+
+  // Trailing 7-day rolling volume (Evaluate.rollingCounts): the
+  // moving-average monitor over the dense zero-filled day grid —
+  // exact integer window sums, the mean one rounded division.
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    Evaluate.rollingCounts(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), window = 7)
+      .select(col("event_type"), col("bucket"), col("cnt"), col("win_n"),
+        col("win_sum"), round(col("win_avg"), 6).as("win_avg_r"))
+      .orderBy("event_type", "bucket")
+
+  // Forward as-of join with tolerance (AsOf.join direction="forward"):
+  // the NEXT order at-or-after each event, only if it lands within 30
+  // days — q32's backward twin, against DuckDB's native <= ASOF JOIN
+  // with the tolerance null-out replayed on the matched time.
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders")
+      .withColumn("ots",
+        expr("unix_millis(cast(o_orderdate as timestamp)) * 1000000"))
+      .groupBy(col("o_custkey").as("user_id"), col("ots"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("_m"))
+      .select(col("user_id"), col("ots"),
+        col("_m.o_orderkey").as("o_orderkey"),
+        col("_m.o_totalprice").as("o_totalprice"))
+    AsOf.join(ev, orders, Seq("user_id"), "ts", "ots",
+        Seq("o_orderkey", "o_totalprice"), direction = "forward",
+        tolerance = Some(30L * 86400L * 1000000000L))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("event_id")
+  }
+
+  // Exact Newman modularity (Graph.modularity) of the q100-gated
+  // k-means partition over the q152 geometric graph — both chains
+  // already driver-gated, composed into the "is this clustering denser
+  // than chance" readout; m/within/Σd_c² exact integers, q one float
+  // chain.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val labels = Ann.kmeansLloyd(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 4, iters = 2,
+        initCell = pmod(col("vec_id"), lit(4)))
+      .assigned.select(col("vec_id"), col("_cell").as("cell"))
+    Graph.modularity(projPairGraph(s, dir, radius = 0.03), labels,
+        "vec_id", "cell")
+      .select(col("m"), col("within"), col("sum_dc2"),
+        round(col("q"), 6).as("q_r"))
+  }
+
+  // Interval union coverage (IntervalJoin.unionLength): per-customer
+  // active seconds under 30-day order windows, overlaps counted once —
+  // the sweep-line as one per-key window pass, oracle-replayed with
+  // the identical strictly-preceding running-max frame.
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .select(col("o_custkey").as("k"),
+        unix_timestamp(col("o_orderdate")).as("st"))
+      .withColumn("en", col("st") + lit(30L * 86400L))
+    IntervalJoin.unionLength(iv, Seq("k"), col("st"), col("en"))
+      .orderBy("k")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3230,7 +3353,15 @@ object SparkEntry {
     "q206_prefix_jaccard" -> (q206 _),
     "q207_flesch" -> (q207 _),
     "q208_segmented_trend" -> (q208 _),
-    "q209_mann_kendall" -> (q209 _))
+    "q209_mann_kendall" -> (q209 _),
+    "q210_adamic_adar" -> (q210 _),
+    "q211_poisson_bootstrap" -> (q211 _),
+    "q212_kcore" -> (q212 _),
+    "q213_cube" -> (q213 _),
+    "q214_rolling" -> (q214 _),
+    "q215_asof_forward" -> (q215 _),
+    "q216_modularity" -> (q216 _),
+    "q217_interval_union" -> (q217 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7714,7 +7845,181 @@ object SparkEntry {
                  / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
              WHEN var18 > 0 THEN 0.0
            END AS z_r
-         FROM f ORDER BY 1"""
+         FROM f ORDER BY 1""",
+
+    // q210: the undirected customer↔supplier adjacency, ppb
+    // Adamic–Adar weights quantized once per center (round(1e9/ln d)),
+    // wedge self-join on the center, exact integer sums; same
+    // maxDegree=100 valve and s-prefix output filter
+    "q210_adamic_adar" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         und AS (SELECT a AS x, b AS y FROM cs
+           UNION SELECT b AS x, a AS y FROM cs),
+         deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+         adj AS (SELECT u.x, u.y,
+             CAST(round(1e9 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS w
+           FROM und u JOIN deg USING (x) WHERE d >= 2 AND d <= 100),
+         wdg AS (SELECT a1.y AS a, a2.y AS b, a1.w AS w
+           FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y)
+         SELECT a, b, count(*) AS cn, CAST(sum(w) AS BIGINT) AS aa_ppb
+         FROM wdg WHERE a LIKE 's%' AND b LIKE 's%'
+         GROUP BY a, b ORDER BY a, b""",
+
+    // q211: the q21 quality-score chain -> ppm values, 32-way replicate
+    // explode, the q75 splitmix draw over key = doc_id*32 + rep, the
+    // ppb Poisson(1) inverse-CDF as a 10-term CASE sum — every count
+    // exact integers, the replicate mean one rounded division
+    "q211_poisson_bootstrap" ->
+      s"""WITH $qualityScorePosCtes,
+         v AS (SELECT doc_id,
+             CAST(round(sc * 1000000) AS BIGINT) AS vp
+           FROM q WHERE sc IS NOT NULL),
+         rr AS (SELECT doc_id, vp, r.range AS rep
+           FROM v CROSS JOIN range(0, 32) r),
+         ${splitmixChainSql("vp, rep", 0L, from = "rr",
+            key = "(doc_id * 32 + rep)")},
+         u AS (SELECT rep, vp,
+             ((rk % 1000000000) + 1000000000) % 1000000000 AS u
+           FROM ranked),
+         w AS (SELECT rep, vp,
+             (CASE WHEN u >= 367879441 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 735758882 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 919698603 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 981011843 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 996340153 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 999405815 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 999916759 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 999989751 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 999998875 THEN 1 ELSE 0 END)
+           + (CASE WHEN u >= 999999889 THEN 1 ELSE 0 END) AS w
+           FROM u)
+         SELECT CAST(rep AS BIGINT) AS rep, count(*) AS n_src,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * vp) AS BIGINT) AS wsum,
+           round(CAST(sum(w * vp) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE), 6) AS mean_r
+         FROM w GROUP BY rep ORDER BY rep""",
+
+    // q212: the q152 projected-pair graph, then four peel rounds
+    // unrolled — each round a kept-node CTE (degree >= 3) and a
+    // filtered edge CTE; final degrees over e4
+    "q212_kcore" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         e0 AS (SELECT a AS x, b AS y FROM pr
+           UNION SELECT b AS x, a AS y FROM pr),
+         k1 AS (SELECT x FROM e0 GROUP BY x HAVING count(*) >= 3),
+         e1 AS (SELECT x, y FROM e0 WHERE x IN (SELECT x FROM k1)
+           AND y IN (SELECT x FROM k1)),
+         k2 AS (SELECT x FROM e1 GROUP BY x HAVING count(*) >= 3),
+         e2 AS (SELECT x, y FROM e1 WHERE x IN (SELECT x FROM k2)
+           AND y IN (SELECT x FROM k2)),
+         k3 AS (SELECT x FROM e2 GROUP BY x HAVING count(*) >= 3),
+         e3 AS (SELECT x, y FROM e2 WHERE x IN (SELECT x FROM k3)
+           AND y IN (SELECT x FROM k3)),
+         k4 AS (SELECT x FROM e3 GROUP BY x HAVING count(*) >= 3),
+         e4 AS (SELECT x, y FROM e3 WHERE x IN (SELECT x FROM k4)
+           AND y IN (SELECT x FROM k4))
+         SELECT x AS node, count(*) AS degree FROM e4
+         GROUP BY x ORDER BY node""",
+
+    // q213: GROUP BY CUBE with the same 'ALL' null masking as q168
+    "q213_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS sm,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY rf, sm""",
+
+    // q214: the q171 dense grid + a trailing 7-row window per type
+    "q214_rolling" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS cnt
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b)
+         SELECT g AS event_type, b AS bucket, cnt,
+           count(*) OVER w AS win_n,
+           CAST(sum(cnt) OVER w AS BIGINT) AS win_sum,
+           round(CAST(sum(cnt) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE), 6) AS win_avg_r
+         FROM x
+         WINDOW w AS (PARTITION BY g ORDER BY b
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, bucket""",
+
+    // q215: DuckDB's native forward ASOF (<= ordering condition), the
+    // 30-day tolerance nulled out on the matched time in the outer
+    // select — q32's dedup of the right side reused
+    "q215_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tns FROM events),
+         o AS (SELECT o_custkey user_id, epoch_ms(o_orderdate)*1000000 ots,
+               max(o_orderkey) AS o_orderkey,
+               max_by(o_totalprice, o_orderkey) AS o_totalprice
+               FROM orders GROUP BY 1, 2)
+         SELECT ev.event_id, ev.user_id,
+           CASE WHEN o.ots IS NOT NULL
+                 AND o.ots - ev.tns <= 2592000000000000
+             THEN o.o_orderkey END AS o_orderkey,
+           CASE WHEN o.ots IS NOT NULL
+                 AND o.ots - ev.tns <= 2592000000000000
+             THEN round(o.o_totalprice, 2) END AS total
+         FROM ev ASOF LEFT JOIN o
+           ON ev.user_id = o.user_id AND ev.tns <= o.ots
+         ORDER BY event_id""",
+
+    // q216: the q152 pair graph + the q100 k-means chain, then exact
+    // m/within/Σd_c² and the single modularity float chain
+    "q216_modularity" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         $kmeansTwoIterCtes,
+         el AS (SELECT pr.a AS x, pr.b AS y, la.c AS lx, lb.c AS ly
+           FROM pr JOIN a2 la ON pr.a = la.vec_id
+           JOIN a2 lb ON pr.b = lb.vec_id),
+         mw AS (SELECT count(*) AS m,
+             sum(CASE WHEN lx = ly THEN 1 ELSE 0 END) AS within FROM el),
+         dc AS (SELECT l, count(*) AS d FROM (
+             SELECT x AS v, lx AS l FROM el
+             UNION ALL SELECT y, ly FROM el) GROUP BY l),
+         s2 AS (SELECT sum(CAST(d AS HUGEINT) * d) AS sum_dc2 FROM dc)
+         SELECT CAST(m AS BIGINT) AS m, CAST(within AS BIGINT) AS within,
+           sum_dc2,
+           round((4.0 * m * within - CAST(sum_dc2 AS DOUBLE))
+             / (4.0 * m * m), 6) AS q_r
+         FROM mw CROSS JOIN s2""",
+
+    // q217: the identical sweep — strictly-preceding running max(end),
+    // per-row novel coverage, per-key exact sums
+    "q217_interval_union" ->
+      """WITH iv AS (SELECT o_custkey AS k,
+             CAST(epoch(o_orderdate) AS BIGINT) AS st,
+             CAST(epoch(o_orderdate) AS BIGINT) + 2592000 AS en
+           FROM orders),
+         w AS (SELECT k, st, en,
+             max(en) OVER (PARTITION BY k ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+           FROM iv),
+         c AS (SELECT k, st, en,
+             greatest(0, en - greatest(st, coalesce(rm, st))) AS cov
+           FROM w)
+         SELECT k, count(*) AS n_intervals, min(st) AS span_start,
+           max(en) AS span_end, CAST(sum(cov) AS BIGINT) AS covered
+         FROM c GROUP BY k ORDER BY k"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -1135,4 +1135,101 @@ object Evaluate {
         sqrt(col("ss") * (col("b_used") - 1).cast("double") /
           col("b_used").cast("double")).as("se_jack"))
   }
+
+  /** Poisson(1) cumulative distribution quantized to ppb — the
+    * deterministic inverse-CDF table for [[poissonBootstrap]]. Weight =
+    * number of thresholds <= the ppb draw (capped at the table length;
+    * P(w > 10) < 10⁻⁸ per draw). */
+  private val poissonPpbCdf: Seq[Long] = Seq(
+    367879441L, 735758882L, 919698603L, 981011843L, 996340153L,
+    999405815L, 999916759L, 999989751L, 999998875L, 999999889L)
+
+  /** Poisson bootstrap (the distributed bootstrap — Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams"): instead of
+    * resampling n rows with replacement (which needs global
+    * coordination), every row gets an INDEPENDENT Poisson(1) weight per
+    * replicate — the multinomial's scale-free limit. One map-only
+    * `reps`-way explode + one partial-aggregated groupBy; no shuffle of
+    * the data by anything but the `reps` tiny keys.
+    *
+    * Determinism: the weight is the exact inverse-CDF of Poisson(1) at
+    * u = pmod(splitmix64(key·reps + rep + seed), 10⁹) against the ppb
+    * threshold table — all integers, engine-replayable (the q75 draw
+    * rule). `value` is expected pre-quantized (ppm ints); per-replicate
+    * Σw and Σw·v are exact order-free integer sums, the replicate mean
+    * the ONLY division.
+    *
+    * Key contract: `key` must be a unique non-negative integral id with
+    * key ≤ Long.Max/reps (guarded in-plan, loudly) so key·reps+rep is
+    * collision-free. Returns one row per replicate:
+    * (rep, n_src, n_eff, wsum) exact + mean (wsum/n_eff, null when the
+    * replicate drew no rows). Feed to [[bootstrapSe]] for the SE. */
+  def poissonBootstrap(df: DataFrame, key: Column, value: Column,
+      reps: Int, seed: Long = 0L): DataFrame = {
+    require(reps >= 2 && reps <= (1 << 20),
+      s"reps must be in [2, 2^20], got $reps")
+    val maxKey = Long.MaxValue / reps - reps
+    val src = df
+      .select(key.cast("long").as("_key"), value.cast("long").as("_v"))
+      .where(col("_key").isNotNull && col("_v").isNotNull)
+      .select(when(col("_key") < 0 || col("_key") > maxKey,
+          raise_error(concat(lit("poissonBootstrap key out of range: "),
+            col("_key").cast("string"))))
+          .otherwise(col("_key")).as("_key"),
+        col("_v"))
+    val drawn = src
+      .select(col("_key"), col("_v"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("rep"))
+      .withColumn("_u", pmod(graft.functions.splitmix64_rank(
+          col("_key") * reps + col("rep"), seed), lit(1000000000L)))
+      .withColumn("_w", poissonPpbCdf
+        .map(t => when(col("_u") >= t, 1L).otherwise(0L))
+        .reduce((a, b) => a + b))
+    drawn.groupBy("rep")
+      .agg(count(lit(1)).as("n_src"), sum("_w").as("n_eff"),
+        sum(col("_w") * col("_v")).as("wsum"))
+      .withColumn("mean", when(col("n_eff") > 0,
+        col("wsum").cast("double") / col("n_eff").cast("double")))
+  }
+
+  /** Fold a [[poissonBootstrap]] replicate table (B rows — tiny) into
+    * the bootstrap SE of the mean: sd of the replicate means in fixed
+    * ascending-rep order (the [[jackknifeMean]] summary-fold rule).
+    * One row: (b_used, grand_mean, se_boot). */
+  def bootstrapSe(repTable: DataFrame): DataFrame = {
+    val m = repTable.where(col("mean").isNotNull)
+    m.agg(transform(sort_array(collect_list(struct(col("rep"), col("mean")))),
+        p => p.getField("mean")).as("ms"))
+      .select(size(col("ms")).cast("long").as("b_used"), col("ms"))
+      .withColumn("grand_mean",
+        aggregate(col("ms"), lit(0.0), (acc, x) => acc + x) / col("b_used"))
+      .withColumn("ss", aggregate(col("ms"), lit(0.0),
+        (acc, x) => acc + (x - col("grand_mean")) * (x - col("grand_mean"))))
+      .select(col("b_used"), col("grand_mean"),
+        when(col("b_used") > 1,
+          sqrt(col("ss") / (col("b_used") - 1).cast("double")))
+          .as("se_boot"))
+  }
+
+  /** Trailing rolling-window aggregates over the dense zero-filled
+    * bucket grid — the moving-average volume monitor (`window`-bucket
+    * trailing sum / mean per group; gap buckets count 0, exactly like
+    * [[cusumChangepoint]]'s grid). The window is partitioned per group
+    * over <= T grid rows — never a global sort (the q157 scale
+    * contract). Counts are exact integers; win_avg is ONE division.
+    * Returns (groupCols..., bucket, cnt, win_n, win_sum, win_avg). */
+  def rollingCounts(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val g = denseGridCounts(df, groupCols, bucket)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_b"))
+      .rowsBetween(-(window - 1), 0)
+    g.select(groupCols.map(col) :+ col("_b").as("bucket") :+
+        col("_x").as("cnt") :+
+        count(lit(1)).over(w).as("win_n") :+
+        sum("_x").over(w).as("win_sum"): _*)
+      .withColumn("win_avg",
+        col("win_sum").cast("double") / col("win_n").cast("double"))
+  }
 }

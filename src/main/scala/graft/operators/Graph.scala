@@ -181,4 +181,122 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Common-neighbor link prediction: for every node pair at distance
+    * 2, the shared-neighbor count and the Adamic–Adar score
+    * Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — rare shared neighbors vote
+    * loudly, hub neighbors barely count. The "which docs/hosts/items
+    * WILL be related" signal: candidate generation for recommenders,
+    * entity-graph completion, crawl frontier ranking.
+    *
+    * Exactness: each center's weight is quantized ONCE to ppb
+    * (`round(10⁹/ln(deg))` — the q172 single-quantize ln rule), then
+    * summed as exact integers — order-free, layout-invariant, and
+    * replayable by any SQL engine.
+    *
+    * Scale shape: wedges explode from the center-keyed adjacency
+    * self-join — Σ_w deg(w)² rows. `maxDegree` is the hub valve
+    * (centers above it are dropped — documented recall loss on
+    * hub-mediated pairs, the [[Dedup]] `maxDocFreq` rule); in a
+    * bipartite graph it also selects WHICH side mediates (e.g. keep
+    * user-centers to score item pairs). Pairs that are already edges
+    * are still scored — anti-join the edge list for strict link
+    * prediction. Returns (a, b, cn, aa_ppb), a < b. */
+  def adamicAdar(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxDegree: Long = Long.MaxValue): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("_deg"))
+    val adj = und.join(deg, Seq("x"))
+      .where(col("_deg") >= 2 && col("_deg") <= maxDegree)
+      .withColumn("_w",
+        round(lit(1e9) / log(col("_deg").cast("double"))).cast("long"))
+    val wedges = adj.select(col("x"), col("y").as("a"), col("_w"))
+      .join(adj.select(col("x"), col("y").as("b")), Seq("x"))
+      .where(col("a") < col("b"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("_w").as("aa_ppb"))
+  }
+
+  /** k-core peeling: `rounds` rounds of "drop every node with degree
+    * < k" over the undirected graph — the standard dense-substructure
+    * extractor (spam-farm / engagement-core detection on interaction
+    * graphs; separating genuinely dense near-dup cliques from chains
+    * the same way [[triangleCounts]] probes cohesion). With `rounds`
+    * large enough to reach the fixpoint this is exactly the k-core;
+    * fixed `rounds` keeps any prefix of the computation deterministic
+    * and externally replayable (the [[pageRankPpb]] fixed-iters rule) —
+    * converged runs are detectable by every output degree being >= k.
+    *
+    * Per round: one degree agg + two semi-joins (id-keyed shuffles of
+    * O(|E|) rows), `localCheckpoint` cutting the lineage — the
+    * convergence-join shape. Returns surviving (node, degree) over the
+    * final edge set. */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    var und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    for (_ <- 0 until rounds) {
+      val keep = und.groupBy("x").agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select("x")
+      und = und.join(keep, Seq("x"), "left_semi")
+        .join(keep.select(col("x").as("y")), Seq("y"), "left_semi")
+        .select(col("x"), col("y"))
+        .localCheckpoint(false)
+    }
+    und.groupBy("x").agg(count(lit(1)).as("degree"))
+      .select(col("x").as("node"), col("degree"))
+  }
+
+  /** Exact Newman modularity of a node partition over an undirected
+    * pair graph — "is this clustering denser than chance?", the
+    * quality readout for any community/cluster assignment (near-dup
+    * components, k-means domains, k-cores):
+    *
+    *   Q = within/m − Σ_c d_c² / (4m²)
+    *     = (4·m·within − Σ_c d_c²) / (4m²)
+    *
+    * m = edge count, within = edges with both endpoints in the same
+    * community, d_c = total degree of community c. All three inputs
+    * are exact integers (d_c² summed in Decimal(38,0) — overflow-free
+    * at any scale); q is the ONE float chain. Edges with an unlabeled
+    * endpoint are dropped (document-don't-guess rule); duplicate /
+    * reversed / self-loop pairs are collapsed first.
+    *
+    * Scale shape: two id-keyed label joins + three aggregations —
+    * no iteration, no windows. Returns one row
+    * (m, within, sum_dc2, q). */
+  def modularity(pairs: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val la = labels.select(col(idCol).as("x"), col(labelCol).as("_lx"))
+    val lb = labels.select(col(idCol).as("y"), col(labelCol).as("_ly"))
+    val el = e.join(la, "x").join(lb, "y")
+    val mw = el.agg(count(lit(1)).as("m"),
+      sum(when(col("_lx") === col("_ly"), 1L).otherwise(0L)).as("within"))
+    val dc2 = el
+      .select(explode(array(
+        struct(col("x").as("v"), col("_lx").as("l")),
+        struct(col("y").as("v"), col("_ly").as("l")))).as("s"))
+      .select(col("s.v"), col("s.l"))
+      .groupBy("l").agg(count(lit(1)).as("_dc")) // Σ incident edge ends
+      .agg(sum(col("_dc").cast("decimal(38,0)") * col("_dc"))
+        .as("sum_dc2"))
+    mw.crossJoin(dc2)
+      .select(col("m"), col("within"), col("sum_dc2"),
+        ((lit(4.0) * col("m") * col("within") -
+          col("sum_dc2").cast("double")) /
+          (lit(4.0) * col("m") * col("m"))).as("q"))
+  }
 }

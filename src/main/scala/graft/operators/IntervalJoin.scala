@@ -109,4 +109,43 @@ object IntervalJoin {
       .select(keys.map(col) :+ col("_pa").as("a") :+ col("_ia").as("b") :+
         col("_pt").as("t"): _*)
   }
+
+  /** Exact per-key union coverage of half-open intervals [start, end) —
+    * "how much wall-clock was this user/customer/device active", with
+    * overlaps counted once. The sweep-line as ONE per-key window pass:
+    * intervals sorted by (start, end), each row's novel coverage is
+    *
+    *   cov = max(0, end − max(start, runmax))
+    *
+    * where runmax = max(end) over all STRICTLY-PRECEDING rows — exactly
+    * the nesting/overlap/gap trichotomy of the classic sweep. Summing
+    * cov per key is traversal-order-invariant even under duplicate
+    * intervals (a duplicate contributes 0 wherever it lands), so the
+    * result is deterministic and externally replayable.
+    *
+    * Scale contract: ONE partitioned window over each key's intervals —
+    * right for bounded per-key interval counts (sessions, orders); a
+    * single key with hundreds of millions of intervals would need
+    * pre-merging by time-bucket first. All arithmetic in exact longs.
+    * Inverted/null intervals are dropped. Returns
+    * (keys…, n_intervals, span_start, span_end, covered). */
+  def unionLength(df: DataFrame, keys: Seq[String], start: Column,
+      end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = df
+      .select(keys.map(col) :+ start.cast("long").as("_s") :+
+        end.cast("long").as("_e"): _*)
+      .where(col("_s").isNotNull && col("_e").isNotNull &&
+        col("_s") < col("_e"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_s"), col("_e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("_cov",
+        greatest(lit(0L), col("_e") -
+          greatest(col("_s"), coalesce(max(col("_e")).over(w), col("_s")))))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        min("_s").as("span_start"), max("_e").as("span_end"),
+        sum("_cov").as("covered"))
+  }
 }

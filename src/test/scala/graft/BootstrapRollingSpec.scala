@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Evaluate
+
+/** Poisson bootstrap (deterministic inverse-CDF weights) and rolling
+  * window aggregates over the dense grid. */
+class BootstrapRollingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("poissonBootstrap: weights average ~1, runs are deterministic") {
+    val df = (0L until 2000L).map(i => (i, 1000000L)).toDF("id", "v")
+    val out = Evaluate.poissonBootstrap(df, col("id"), col("v"),
+      reps = 4, seed = 7L).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val nSrc = r.getAs[Long]("n_src")
+      val nEff = r.getAs[Long]("n_eff")
+      assert(nSrc === 2000L)
+      // Poisson(1) weights: Σw concentrates hard around n (sd ~ √n ≈ 45)
+      assert(nEff > 1800L && nEff < 2200L, s"n_eff $nEff out of band")
+      // constant value: wsum must be exactly v * n_eff
+      assert(r.getAs[Long]("wsum") === 1000000L * nEff)
+    }
+    val again = Evaluate.poissonBootstrap(df.repartition(7), col("id"),
+      col("v"), reps = 4, seed = 7L).collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("poissonBootstrap: replicates differ and seeds differ") {
+    val df = (0L until 500L).map(i => (i, i * 1000L)).toDF("id", "v")
+    val a = Evaluate.poissonBootstrap(df, col("id"), col("v"), reps = 8)
+      .select("n_eff").as[Long].collect().toSet
+    assert(a.size > 1, "all replicates drew identical weights")
+    val b = Evaluate.poissonBootstrap(df, col("id"), col("v"), reps = 8,
+      seed = 99L).select("wsum").as[Long].collect().toSeq
+    val b0 = Evaluate.poissonBootstrap(df, col("id"), col("v"), reps = 8)
+      .select("wsum").as[Long].collect().toSeq
+    assert(b != b0, "seed had no effect")
+  }
+
+  test("poissonBootstrap: out-of-range key refuses loudly") {
+    val df = Seq((-1L, 5L)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Evaluate.poissonBootstrap(df, col("id"), col("v"), reps = 4).collect()
+    }
+    assert(e.getMessage.contains("poissonBootstrap key out of range"))
+  }
+
+  test("bootstrapSe: hand means 1,2,3 -> grand 2, se 1") {
+    val reps = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("rep", "mean")
+    val r = Evaluate.bootstrapSe(reps).head
+    assert(r.getAs[Long]("b_used") === 3L)
+    assert(math.abs(r.getAs[Double]("grand_mean") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_boot") - 1.0) < 1e-12)
+  }
+
+  test("bootstrapSe over real draws lands near sd/sqrt(n)") {
+    // values uniform over 0..1e6 ppm: sd ≈ 288675, se ≈ sd/√n ≈ 9129
+    val n = 1000L
+    val df = (0L until n).map(i => (i, (i * 997L) % 1000001L)).toDF("id", "v")
+    val se = Evaluate.bootstrapSe(
+        Evaluate.poissonBootstrap(df, col("id"), col("v"), reps = 32))
+      .head.getAs[Double]("se_boot")
+    assert(se > 3000 && se < 27000, s"se_boot $se implausible")
+  }
+
+  test("rollingCounts: gaps zero-fill, trailing window ramps") {
+    // one group, events on days 0 (x2), 1 (x1), 3 (x5); day 2 is a gap
+    val ev = Seq(("g", 0L), ("g", 0L), ("g", 1L), ("g", 3L), ("g", 3L),
+      ("g", 3L), ("g", 3L), ("g", 3L)).toDF("g", "day")
+    val got = Evaluate.rollingCounts(ev, Seq("g"), col("day"), window = 2)
+      .orderBy("bucket")
+      .select("bucket", "cnt", "win_n", "win_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 2L), // head: window not yet full
+      (1L, 1L, 2L, 3L),
+      (2L, 0L, 2L, 1L), // the gap day participates as 0
+      (3L, 5L, 2L, 5L)))
+  }
+
+  test("rollingCounts: window=1 degenerates to the per-bucket count") {
+    val ev = Seq(("a", 0L), ("a", 2L), ("b", 1L)).toDF("g", "day")
+    val got = Evaluate.rollingCounts(ev, Seq("g"), col("day"), window = 1)
+    assert(got.where(col("win_sum") =!= col("cnt")).count() === 0)
+    assert(got.where(col("win_n") =!= 1).count() === 0)
+  }
+}

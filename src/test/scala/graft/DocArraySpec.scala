@@ -222,4 +222,21 @@ class DocArraySpec extends SparkSuite {
     assert(hh.count() > 0 &&
       hh.columns.toSeq == Seq("key", "cnt", "n_total"))
   }
+
+  test("linkPredict / kCoreOf / bootstrapSe facades") {
+    import spark.implicits._
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val lp = docs.linkPredict(pairs)
+    assert(lp.columns.toSeq == Seq("a", "b", "cn", "aa_ppb"))
+    assert(lp.count() > 0)
+    val kc = docs.kCoreOf(pairs, k = 2, rounds = 2)
+    assert(kc.columns.toSeq == Seq("node", "degree"))
+    assert(kc.count() == 3) // the triangle survives, node 4 peels
+    val se = docs.bootstrapSe(length(col("text")).cast("long"), reps = 8)
+    assert(se.columns.toSeq == Seq("b_used", "grand_mean", "se_boot"))
+    assert(se.head.getAs[Long]("b_used") == 8L)
+  }
 }

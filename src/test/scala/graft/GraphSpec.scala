@@ -142,4 +142,74 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == triRef(pairs))
   }
+
+  private def w(deg: Int): Long = math.round(1e9 / math.log(deg.toDouble))
+
+  test("adamicAdar: hand case — centers weight 1/ln(deg), ppb-exact sums") {
+    // w: {a,b,c}, z: {a,b}; a,b: {w,z}; c: {w}
+    val edges = Seq(("a", "w"), ("b", "w"), ("c", "w"), ("a", "z"), ("b", "z"))
+      .toDF("a", "b")
+    val got = Graph.adamicAdar(edges)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, w(3) + w(2)), // shared w (deg3) and z (deg2)
+      ("a", "c") -> (1L, w(3)),
+      ("b", "c") -> (1L, w(3)),
+      ("w", "z") -> (2L, 2 * w(2)))) // centers a and b, deg 2 each
+  }
+
+  test("adamicAdar: brute-force parity on a noisy random graph") {
+    val rnd = new scala.util.Random(23)
+    val pairs = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val noisy = pairs ++ pairs.take(40).map(_.swap) ++ Seq((5L, 5L))
+    // reference: adjacency sets, every pair's common neighbors
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val nodes = adj.keys.toSeq.sorted
+    val ref = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      common = adj(nodes(i)) & adj(nodes(j)) if common.nonEmpty
+    } yield (nodes(i), nodes(j)) ->
+        (common.size.toLong, common.toSeq.map(c => w(adj(c).size)).sum)
+      ).toMap
+    val got = Graph.adamicAdar(noisy.toDF("a", "b").repartition(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == ref)
+  }
+
+  test("adamicAdar: maxDegree valve drops hub centers only") {
+    val edges = Seq(("a", "w"), ("b", "w"), ("c", "w"), ("a", "z"), ("b", "z"))
+      .toDF("a", "b")
+    val got = Graph.adamicAdar(edges, maxDegree = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // w (deg 3) no longer mediates: (a,c)/(b,c) vanish, (a,b) keeps z only
+    assert(got == Map(
+      ("a", "b") -> (1L, w(2)),
+      ("w", "z") -> (2L, 2 * w(2))))
+  }
+
+  test("kCore: chain peels round by round, K4 survives; fixpoint") {
+    // K4 on 1..4 plus a tail 4-5, 5-6
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val g = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    def run(k: Int, rounds: Int): Map[Long, Long] =
+      Graph.kCore(g, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=2, one round: only 6 (deg 1) peels; 5 keeps edge to 4
+    assert(run(2, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // k=2, two rounds: 5 (now deg 1) peels too -> the 2-core is K4
+    val core2 = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(run(2, 2) == core2)
+    assert(run(2, 5) == core2) // fixpoint: extra rounds change nothing
+    // k=3: K4 survives immediately (tail gone in round 1), degrees 3
+    assert(run(3, 2) == core2)
+    // k=5: nothing survives
+    assert(run(5, 2) == Map.empty)
+  }
 }

@@ -255,6 +255,76 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSeq == Seq(("t3", -1.0), ("t1", 100.0), ("t2", 120.0)))
   }
 
+  test("asof forward picks earliest right row at-or-after; tolerance nulls") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 16L, "t2"), (1L, 30L, "t3"),
+      (2L, 5L, "t4")).toDF("key", "ts", "tag")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 15L, 110.0), (1L, 16L, 115.0),
+      (1L, 20L, 120.0)).toDF("key", "qts", "price")
+    def run(tol: Option[Long]) =
+      AsOf.join(trades, quotes, Seq("key"), "ts", "qts", Seq("price"),
+        direction = "forward", tolerance = tol)
+        .orderBy("ts").collect()
+        .map(r => (r.getString(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+        .toSeq
+    // t4@5 key2 → null; t1@10 → quote@15; t2@16 → quote@16 (tie =
+    // at-or-after); t3@30 → nothing follows
+    assert(run(None) ==
+      Seq(("t4", -1.0), ("t1", 110.0), ("t2", 115.0), ("t3", -1.0)))
+    // tolerance 4: t1's match at distance 5 nulls out, t2's tie (0) stays
+    assert(run(Some(4L)) ==
+      Seq(("t4", -1.0), ("t1", -1.0), ("t2", 115.0), ("t3", -1.0)))
+  }
+
+  test("asof backward tolerance nulls far matches, keeps ties") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2")).toDF("key", "ts", "tag")
+    val quotes = Seq((1L, 2L, 100.0), (1L, 20L, 120.0)).toDF("key", "qts", "price")
+    val got = AsOf.join(trades, quotes, Seq("key"), "ts", "qts",
+      Seq("price"), tolerance = Some(3L))
+      .orderBy("ts").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq == Seq(("t1", -1.0), ("t2", 120.0)))
+  }
+
+  test("unionLength: overlap merges, nesting free, gaps split, dups once") {
+    // key a: [0,10) ∪ [5,15) ∪ [12,13) (nested) ∪ [20,25) → 15 + 5 = 20
+    // key b: duplicate [3,7) twice → 4
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 15L), ("a", 12L, 13L),
+      ("a", 20L, 25L), ("b", 3L, 7L), ("b", 3L, 7L),
+      ("b", 9L, 9L) /* empty: dropped */).toDF("k", "s", "e")
+    val got = IntervalJoin.unionLength(iv, Seq("k"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map("a" -> (4L, 0L, 25L, 20L), "b" -> (2L, 3L, 7L, 4L)))
+    // layout invariance
+    val again = IntervalJoin.unionLength(iv.repartition(5), Seq("k"),
+      col("s"), col("e")).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again == got)
+  }
+
+  test("modularity: separated cliques score high, scrambled labels low") {
+    // two triangles bridged by one edge; m=7
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val good = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("id", "c")
+    val r = Graph.modularity(tri, good, "id", "c").head
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Long]("within") === 6L)
+    // degrees: 2,2,3,3,2,2 → d_0 = d_1 = 7 → Σd_c² = 98
+    assert(r.getAs[java.math.BigDecimal]("sum_dc2").longValue === 98L)
+    val q = r.getAs[Double]("q")
+    assert(math.abs(q - (4.0 * 7 * 6 - 98) / (4.0 * 7 * 7)) < 1e-12)
+    // the all-in-one partition scores 0 exactly: within=m, Σd² = (2m)²
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map((_, 0)).toDF("id", "c")
+    assert(math.abs(Graph.modularity(tri, one, "id", "c")
+      .head.getAs[Double]("q")) < 1e-12)
+    // alternating labels: worse than the true split
+    val bad = Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1), (5L, 0), (6L, 1))
+      .toDF("id", "c")
+    assert(Graph.modularity(tri, bad, "id", "c").head.getAs[Double]("q") < q)
+  }
+
   test("vocabulary honors minFreq (text.py:8-29)") {
     val df = Seq("a a a b b c").toDF("text")
     val v = GroupOps.vocabulary(df, $"text", minFreq = 2)
