@@ -417,6 +417,20 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     Evaluate.bootstrapSe(
       Evaluate.poissonBootstrap(df, col(idCol), value, reps, seed))
 
+  /** RAKE corpus keywords: candidate phrases between stopword
+    * delimiters scored by summed member deg/freq — (phrase, n_occ,
+    * score_ppm). */
+  def keywords(stopwords: Seq[String],
+      textCol: String = "text"): DataFrame =
+    TextSearch.rakeKeywords(df, idCol, textCol, stopwords)
+
+  /** Quantile-normalize a per-group score onto the pooled
+    * distribution (exact midrank percentile → pooled order statistic);
+    * adds (d_rank, pct_ppm, qn_value). */
+  def normalizeQuantiles(groupCols: Seq[String],
+      value: Column): DataFrame =
+    GroupOps.quantileNormalize(df, groupCols, value)
+
   /** Exact 1-D Wasserstein drift of an integer measure vs another
     * array — the total-transport complement of the KS max-gap. */
   def driftW1(other: DocArray, value: Column): DataFrame =

@@ -3018,6 +3018,56 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  // RAKE keyword extraction (TextSearch.rakeKeywords): phrases between
+  // 'a'/'the' delimiters, word deg/freq ratios quantized once to ppm,
+  // phrase scores exact integer sums — the whole chain (segmentation,
+  // assembly, stats, scores) replayed in SQL.
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    TextSearch.rakeKeywords(t(s, dir, "documents"), "doc_id", "text",
+        Seq("a", "the"))
+      .orderBy("phrase")
+
+  // Quantile normalization (GroupOps.quantileNormalize): per-source
+  // quality ppm mapped onto the pooled distribution via the q192
+  // midrank percentile and the exact pooled order statistic at rank
+  // ceil(pct·N/1e6) — every column an exact integer.
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 1e6)
+          .cast("long").as("v_ppm"))
+      .where(col("v_ppm").isNotNull)
+    GroupOps.quantileNormalize(d, Seq("source"), col("v_ppm"))
+      .select(col("doc_id"), col("source"), col("v_ppm"), col("d_rank"),
+        col("pct_ppm"), col("qn_value").as("qn_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // Fellegi–Sunter record linkage (Dedup.fellegiSunter): customers
+  // blocked on (nation, segment), three field comparisons, each field's
+  // ln-likelihood-ratio weights quantized once to ppb (literals shared
+  // with the oracle via fsWeightsPpb) — weight sums exact integers,
+  // the match/possible/non_match decision replayed.
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def side(p: String) = c.select(col("c_custkey").as(p),
+      col("c_nationkey").as(s"${p}_n"), col("c_mktsegment").as(s"${p}_s"),
+      col("c_acctbal").as(s"${p}_bal"), col("c_name").as(s"${p}_name"))
+    val pairs = side("a").join(side("b"),
+        col("a_n") === col("b_n") && col("a_s") === col("b_s") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (abs(col("a_bal") - col("b_bal")) < 100.0).as("agree_bal"),
+        (substring(col("a_name"), -2, 2) ===
+          substring(col("b_name"), -2, 2)).as("agree_sfx"),
+        (pmod(col("a"), lit(7)) === pmod(col("b"), lit(7))).as("agree_mod"))
+    Dedup.fellegiSunter(pairs,
+        Seq(("agree_bal", 0.75, 0.0625), ("agree_sfx", 0.5, 0.25),
+          ("agree_mod", 0.875, 0.125)),
+        upperPpb = 3000000000L, lowerPpb = -2000000000L)
+      .orderBy("a", "b")
+  }
+
   // PLSA fold-in (Plsa.foldIn): φ fitted on the even-doc_id half, θ-only
   // EM tags the odd half against the FROZEN φ — the fit-on-a-sample,
   // tag-the-corpus deployment path, replayed end-to-end (fit rounds +
@@ -3361,7 +3411,10 @@ object SparkEntry {
     "q214_rolling" -> (q214 _),
     "q215_asof_forward" -> (q215 _),
     "q216_modularity" -> (q216 _),
-    "q217_interval_union" -> (q217 _))
+    "q217_interval_union" -> (q217 _),
+    "q218_rake_keywords" -> (q218 _),
+    "q219_quantile_norm" -> (q219 _),
+    "q220_fellegi_sunter" -> (q220 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8019,7 +8072,94 @@ object SparkEntry {
            FROM w)
          SELECT k, count(*) AS n_intervals, min(st) AS span_start,
            max(en) AS span_end, CAST(sum(cov) AS BIGINT) AS covered
-         FROM c GROUP BY k ORDER BY k"""
+         FROM c GROUP BY k ORDER BY k""",
+
+    // q218: positional tokens, stopword-run segmentation via the
+    // windowed stop count, phrase assembly ordered by position, the
+    // deg/freq ppm floor division and exact phrase score sums
+    "q218_rake_keywords" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, u.i AS pos, l[u.i] AS w
+           FROM t, unnest(range(1, len(l) + 1)) AS u(i)
+           WHERE l[u.i] <> ''),
+         fl AS (SELECT doc_id, pos, w,
+             CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END AS st
+           FROM tok),
+         sg AS (SELECT doc_id, pos, w, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+           FROM fl),
+         cand AS (SELECT doc_id, seg, pos, w FROM sg WHERE st = 0),
+         ph AS (SELECT doc_id, seg, count(*) AS len,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+           FROM cand GROUP BY doc_id, seg),
+         mem AS (SELECT c.doc_id, c.seg, c.w, p.len
+           FROM cand c JOIN ph p USING (doc_id, seg)),
+         wr AS (SELECT w, (sum(len) * 1000000) // count(*) AS ratio
+           FROM mem GROUP BY w),
+         ps AS (SELECT m.doc_id, m.seg, sum(wr.ratio) AS score
+           FROM mem m JOIN wr USING (w) GROUP BY m.doc_id, m.seg)
+         SELECT ph.phrase, count(*) AS n_occ,
+           CAST(max(ps.score) AS BIGINT) AS score_ppm
+         FROM ph JOIN ps USING (doc_id, seg)
+         GROUP BY ph.phrase ORDER BY ph.phrase""",
+
+    // q219: the q21 score chain -> source-grouped doubled midranks
+    // (the q192 form), pooled row_number ranks, the exact ceil target
+    // rank and the value it lands on
+    "q219_quantile_norm" ->
+      s"""WITH $qualityScorePosCtes,
+         v AS (SELECT q.doc_id, d.source,
+             CAST(round(sc * 1000000) AS BIGINT) AS v_ppm
+           FROM q JOIN documents d USING (doc_id) WHERE sc IS NOT NULL),
+         c AS (SELECT source, v_ppm, count(*) AS c
+           FROM v GROUP BY source, v_ppm),
+         r AS (SELECT source, v_ppm,
+             2 * (sum(c) OVER (PARTITION BY source ORDER BY v_ppm) - c)
+               + c + 1 AS d_rank
+           FROM c),
+         n AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+         p AS (SELECT v.doc_id, v.source, v.v_ppm, r.d_rank,
+             (r.d_rank * 1000000) // (2 * n.n) AS pct_ppm
+           FROM v JOIN r USING (source, v_ppm) JOIN n USING (source)),
+         pool AS (SELECT v_ppm AS qn_ppm,
+             row_number() OVER (ORDER BY v_ppm) AS rk FROM v),
+         nn AS (SELECT count(*) AS nt FROM v),
+         tt AS (SELECT p.*, greatest(1, least(nt,
+             (pct_ppm * nt + 999999) // 1000000)) AS tr
+           FROM p CROSS JOIN nn)
+         SELECT tt.doc_id, tt.source, tt.v_ppm,
+           CAST(tt.d_rank AS BIGINT) AS d_rank,
+           CAST(tt.pct_ppm AS BIGINT) AS pct_ppm, pool.qn_ppm
+         FROM tt JOIN pool ON pool.rk = tt.tr ORDER BY tt.doc_id""",
+
+    // q220: the same blocking join, field comparisons, and decision
+    // CASE, with the ppb weight literals emitted by fsWeightsPpb —
+    // one quantization, two engines
+    "q220_fellegi_sunter" -> {
+      val (wa1, wd1) = Dedup.fsWeightsPpb(0.75, 0.0625)
+      val (wa2, wd2) = Dedup.fsWeightsPpb(0.5, 0.25)
+      val (wa3, wd3) = Dedup.fsWeightsPpb(0.875, 0.125)
+      s"""WITH p AS (SELECT a.c_custkey AS a, b.c_custkey AS b,
+           abs(a.c_acctbal - b.c_acctbal) < 100.0 AS agree_bal,
+           right(a.c_name, 2) = right(b.c_name, 2) AS agree_sfx,
+           (a.c_custkey % 7) = (b.c_custkey % 7) AS agree_mod
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey),
+         w AS (SELECT a, b, agree_bal, agree_sfx, agree_mod,
+             (CASE WHEN agree_bal THEN $wa1 ELSE $wd1 END)
+           + (CASE WHEN agree_sfx THEN $wa2 ELSE $wd2 END)
+           + (CASE WHEN agree_mod THEN $wa3 ELSE $wd3 END) AS weight_ppb
+           FROM p)
+         SELECT a, b, agree_bal, agree_sfx, agree_mod,
+           CAST(weight_ppb AS BIGINT) AS weight_ppb,
+           CASE WHEN weight_ppb >= 3000000000 THEN 'match'
+                WHEN weight_ppb <= -2000000000 THEN 'non_match'
+                ELSE 'possible' END AS decision
+         FROM w ORDER BY a, b"""
+    }
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -92,6 +92,42 @@ object GroupOps {
       .select(df.columns.map(col) :+ col("d_rank") :+ col("pct_ppm"): _*)
   }
 
+  /** Quantile normalization: replace each row's value with the POOLED
+    * value at the row's within-group quantile — heterogeneous per-source
+    * score distributions mapped onto one common scale (the cross-domain
+    * complement of [[percentileRank]], which stops at the percentile).
+    * Classic in batch-effect correction and multi-scorer calibration.
+    *
+    * Mechanics, all exact integers: within-group percentile = the
+    * doubled-tie-midrank ppm of [[percentileRank]]; the pooled inverse
+    * CDF is the value at rank ceil(pct·N/10⁶) (clamped to [1, N]) of
+    * the pooled multiset, ranked by [[globalOrderIndex]]'s
+    * range-partitioned total order — ties rank arbitrarily but the
+    * VALUE at a given rank is unique, so the output is deterministic.
+    * A group equal to the pool maps every value to itself (the midrank
+    * lands inside its own tie run).
+    *
+    * Scale shape: percentileRank's distinct-value windows + ONE
+    * range-partitioned rank of the pool + an equi-join on the computed
+    * rank; N rides a broadcast 1-row agg, never a driver count. Null
+    * values pass through with null outputs. Returns the input columns
+    * plus (d_rank, pct_ppm, qn_value). */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val pr = percentileRank(df, groupCols, value)
+    val pool = df.select(value.as("_pv")).where(col("_pv").isNotNull)
+    val ranked = globalOrderIndex(pool, "_r", col("_pv"))
+      .select((col("_r") + 1L).as("_tr"), col("_pv").as("qn_value"))
+    val n = pool.agg(count(lit(1)).as("_nt"))
+    pr.crossJoin(broadcast(n))
+      .withColumn("_tr",
+        when(col("pct_ppm").isNotNull,
+          greatest(lit(1L), least(col("_nt"),
+            expr("(pct_ppm * _nt + 999999) div 1000000")))))
+      .join(ranked, Seq("_tr"), "left")
+      .drop("_tr", "_nt")
+  }
+
   /** split_by_tag: one output group key per distinct value; returns the
     * groups as (tagValue, ids) rows — at scale prefer partitionBy writes
     * over materializing per-group arrays. */

@@ -196,4 +196,54 @@ object TextSearch {
         array(qTokens.map(lit): _*))).as("matched"))
       .where(col("matched") >= minShould)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal token runs between stopword/boundary delimiters; a word's
+    * score is deg/freq over candidate occurrences (deg = Σ length of
+    * the phrases it appears in — words that live in long multiword
+    * phrases score up); a phrase's score is the sum of its member
+    * occurrences' word scores. The unsupervised corpus-keyword table
+    * ("what is this crawl slice about") next to [[tfidfTopTerms]]'s
+    * per-doc terms.
+    *
+    * Exactness: word ratios are quantized ONCE to ppm by floor division
+    * of exact counts, phrase scores are exact integer sums of those —
+    * layout-invariant, engine-replayable. Identical phrase strings
+    * share one output row (identical members ⇒ identical score).
+    *
+    * Scale shape: segment ids from a per-document window (bounded by
+    * doc length), phrase assembly one bounded groupBy, word stats
+    * vocabulary-sized with map-side combine. Tokenization is the
+    * corpus's single-space convention; callers lowercase/normalize
+    * upstream. Returns (phrase, n_occ, score_ppm). */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stopwords.nonEmpty, "rakeKeywords needs >= 1 stopword")
+    val tok = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("_d"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_w")))
+      .where(length(col("_w")) > 0)
+      .withColumn("_st",
+        when(col("_w").isin(stopwords.map(_.asInstanceOf[Any]): _*), 1L)
+          .otherwise(0L))
+    val wseg = Window.partitionBy("_d").orderBy("_pos")
+    val cand = tok.withColumn("_seg", sum("_st").over(wseg))
+      .where(col("_st") === 0)
+    val ph = cand.groupBy("_d", "_seg").agg(
+      count(lit(1)).as("_len"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("_pos"), col("_w")))),
+        s => s.getField("_w"))).as("phrase"))
+    val mem = cand.select("_d", "_seg", "_w")
+      .join(ph.select("_d", "_seg", "_len"), Seq("_d", "_seg"))
+    val wr = mem.groupBy("_w")
+      .agg(count(lit(1)).as("_freq"), sum("_len").as("_deg"))
+      .withColumn("_ratio", expr("(_deg * 1000000) div _freq"))
+    val pscore = mem.join(wr.select("_w", "_ratio"), "_w")
+      .groupBy("_d", "_seg").agg(sum("_ratio").as("_score"))
+    ph.join(pscore, Seq("_d", "_seg"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max("_score").as("score_ppm"))
+  }
 }

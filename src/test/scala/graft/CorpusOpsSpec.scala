@@ -430,4 +430,55 @@ class CorpusOpsSpec extends SparkSuite {
       col("g"), col("id")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out2 == out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("quantileNormalize: one group maps to itself; shifted group maps over") {
+    // group A IS the pool shape: identity mapping
+    val a = Seq.tabulate(10)(i => ("A", i.toLong * 10)).toDF("g", "v")
+    val gotA = GroupOps.quantileNormalize(a, Seq("g"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(gotA.forall { case (v, qn) => v == qn })
+
+    // B is A shifted by +1000: pooled mapping sends each group's k-th
+    // value to the pooled value at its own percentile
+    val ab = (Seq.tabulate(10)(i => ("A", i.toLong * 10)) ++
+      Seq.tabulate(10)(i => ("B", 1000L + i * 10))).toDF("g", "v")
+    val got = GroupOps.quantileNormalize(ab, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    // within-group pct of the k-th of 10 is (2k+1)/20 -> pooled rank
+    // ceil(pct*20/1e6); A's k-th and B's k-th share a pct, so they map
+    // to the SAME pooled value
+    (0 until 10).foreach { k =>
+      assert(got(("A", k.toLong * 10)) == got(("B", 1000L + k * 10)))
+    }
+    // monotone in k and drawn from the pooled values
+    val pooled = ab.select("v").collect().map(_.getLong(0)).toSet
+    assert(got.values.forall(pooled.contains))
+
+    // layout invariance
+    val again = GroupOps.quantileNormalize(ab.repartition(5), Seq("g"),
+      col("v")).collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(again == got)
+  }
+
+  test("fellegiSunter: weights, null = 0 contribution, decision bands") {
+    val (wa, wd) = Dedup.fsWeightsPpb(0.75, 0.0625)
+    val (wa2, wd2) = Dedup.fsWeightsPpb(0.5, 0.25)
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),
+      (1L, 3L, Some(false), Some(true)),
+      (1L, 4L, None, Some(false))).toDF("a", "b", "f1", "f2")
+    val got = Dedup.fellegiSunter(pairs,
+        Seq(("f1", 0.75, 0.0625), ("f2", 0.5, 0.25)),
+        upperPpb = wa, lowerPpb = wd)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getString(5))).toMap
+    assert(got((1L, 2L)) == (wa + wa2, "match")) // >= upper
+    assert(got((1L, 3L)) == (wd + wa2, "possible"))
+    assert(got((1L, 4L)) == (0L + wd2, "possible")) // null field adds 0
+    // degenerate thresholds rejected
+    intercept[IllegalArgumentException] {
+      Dedup.fellegiSunter(pairs, Seq(("f1", 0.5, 0.75)), 0L, 0L)
+    }
+  }
 }

@@ -62,4 +62,34 @@ class PhraseSearchSpec extends SparkSuite {
     assert(TextSearch.proximityPairs(docs, "id", "text",
       "fox", "dog", window = 5).count() === 0L)
   }
+
+  test("rakeKeywords: hand case — deg/freq ratios, phrase sums, merging") {
+    // phrases: "red apple" ×2 (docs 1, 2), "green pear" ×1, "apple" ×1
+    val d = Seq(
+      (1L, "red apple the green pear"),
+      (2L, "the red apple a apple")).toDF("id", "text")
+    val got = TextSearch.rakeKeywords(d, "id", "text", Seq("a", "the"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // freq: red 2, apple 3, green 1, pear 1
+    // deg:  red 2+2=4, apple 2+2+1=5, green 2, pear 2
+    val red = 4L * 1000000 / 2; val apple = 5L * 1000000 / 3
+    val green = 2L * 1000000 / 1; val pear = 2L * 1000000 / 1
+    assert(got == Map(
+      "red apple" -> (2L, red + apple),
+      "green pear" -> (1L, green + pear),
+      "apple" -> (1L, apple)))
+  }
+
+  test("rakeKeywords: layout invariance; leading/trailing delimiters") {
+    val d = Seq((1L, "the apple red"), (2L, "apple red the"),
+      (3L, "the the")).toDF("id", "text")
+    val a = TextSearch.rakeKeywords(d, "id", "text", Seq("the"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = TextSearch.rakeKeywords(d.repartition(5), "id", "text",
+      Seq("the")).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // doc 3 is all stopwords -> contributes nothing; both phrase docs merge
+    assert(a.length == 1 && a.head.contains("apple red"))
+  }
 }
