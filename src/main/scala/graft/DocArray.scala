@@ -431,6 +431,18 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       value: Column): DataFrame =
     GroupOps.quantileNormalize(df, groupCols, value)
 
+  /** Kaplan–Meier survival curves per group: duration + 0/1 event
+    * (0 = censored) → (t, n_risk, d, c, surv). */
+  def survivalCurve(groupCols: Seq[String], duration: Column,
+      event: Column): DataFrame =
+    Evaluate.kaplanMeier(df, groupCols, duration, event)
+
+  /** Min hop distance from a seed id set through a pair graph, up to
+    * maxHops (absent = unreached). */
+  def seedDistances(pairs: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame =
+    Graph.bfsDistances(pairs, seeds, idCol, maxHops)
+
   /** Exact 1-D Wasserstein drift of an integer measure vs another
     * array — the total-transport complement of the KS max-gap. */
   def driftW1(other: DocArray, value: Column): DataFrame =

@@ -3018,6 +3018,64 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  // Weighted PageRank (Graph.pageRankWeightedPpb): the bidirected
+  // trade graph with lineitem counts as link strength, two exact
+  // fixed-point iterations replayed with the identical floor
+  // divisions — q124's weighted twin.
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .groupBy(concat(lit("c"), col("ck")).as("cn"),
+        concat(lit("s"), col("sk")).as("sn"))
+      .agg(count(lit(1)).as("w"))
+    val edges = cs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .union(cs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    Graph.pageRankWeightedPpb(edges, nodes, "node", iters = 2)
+      .orderBy("node")
+  }
+
+  // Kaplan–Meier survival (Evaluate.kaplanMeier): per-cohort time from
+  // first event to first purchase in days, censored at the last
+  // observed event — d/c/n_risk exact integers, the survival product
+  // the one float chain, refolded prefix-for-prefix in the oracle.
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(
+      min("ts").as("t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+      max("ts").as("tl"))
+    val dur = perUser.select(
+      pmod(col("user_id"), lit(2)).as("cohort"),
+      when(col("tp").isNotNull, expr("(tp - t0) div 86400000000000"))
+        .otherwise(expr("(tl - t0) div 86400000000000")).as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    Evaluate.kaplanMeier(dur, Seq("cohort"), col("t"), col("ev"))
+      .select(col("cohort"), col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("surv"), 6).as("surv_r"))
+      .orderBy("cohort", "t")
+  }
+
+  // Multi-source BFS (Graph.bfsDistances): hop distance from the
+  // seed-supplier set through the trade graph, three rounds unrolled
+  // as union+min CTEs in the oracle.
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select(concat(lit("c"), col("ck")).as("a"),
+        concat(lit("s"), col("sk")).as("b")).distinct()
+    val seeds = t(s, dir, "supplier")
+      .where(col("s_suppkey") % 10 === 0)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    Graph.bfsDistances(cs, seeds, "node", maxHops = 3).orderBy("node")
+  }
+
   // RAKE keyword extraction (TextSearch.rakeKeywords): phrases between
   // 'a'/'the' delimiters, word deg/freq ratios quantized once to ppm,
   // phrase scores exact integer sums — the whole chain (segmentation,
@@ -3414,7 +3472,10 @@ object SparkEntry {
     "q217_interval_union" -> (q217 _),
     "q218_rake_keywords" -> (q218 _),
     "q219_quantile_norm" -> (q219 _),
-    "q220_fellegi_sunter" -> (q220 _))
+    "q220_fellegi_sunter" -> (q220 _),
+    "q221_weighted_pagerank" -> (q221 _),
+    "q222_kaplan_meier" -> (q222 _),
+    "q223_bfs_distance" -> (q223 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8159,7 +8220,98 @@ object SparkEntry {
                 WHEN weight_ppb <= -2000000000 THEN 'non_match'
                 ELSE 'possible' END AS decision
          FROM w ORDER BY a, b"""
-    }
+    },
+
+    // q221: weighted contribs (r·w) // W(u), two floor-division
+    // iterations — the q124 chain with link strength
+    "q221_weighted_pagerank" ->
+      """WITH cs AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS cn,
+             's' || CAST(l_suppkey AS VARCHAR) AS sn, count(*) AS w
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+         e AS (SELECT cn AS src, sn AS dst, w FROM cs
+           UNION ALL SELECT sn, cn, w FROM cs),
+         ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+         nd AS (SELECT DISTINCT src AS id FROM e
+           UNION SELECT DISTINCT dst FROM e),
+         pp0 AS (SELECT 1000000000 // count(*) AS r0,
+             ((1000000000 // count(*)) * 15) // 100 AS base FROM nd),
+         i0 AS (SELECT id, (SELECT r0 FROM pp0) AS r FROM nd),
+         c1 AS (SELECT e.dst, sum((i0.r * e.w) // ws.wsum) AS cin
+           FROM e JOIN i0 ON e.src = i0.id JOIN ws ON e.src = ws.src
+           GROUP BY e.dst),
+         i1 AS (SELECT nd.id, (SELECT base FROM pp0)
+             + (85 * coalesce(c1.cin, 0)) // 100 AS r
+           FROM nd LEFT JOIN c1 ON nd.id = c1.dst),
+         c2 AS (SELECT e.dst, sum((i1.r * e.w) // ws.wsum) AS cin
+           FROM e JOIN i1 ON e.src = i1.id JOIN ws ON e.src = ws.src
+           GROUP BY e.dst),
+         i2 AS (SELECT nd.id, (SELECT base FROM pp0)
+             + (85 * coalesce(c2.cin, 0)) // 100 AS r
+           FROM nd LEFT JOIN c2 ON nd.id = c2.dst)
+         SELECT id AS node, CAST(r AS BIGINT) AS rank_ppb
+         FROM i2 ORDER BY node""",
+
+    // q222: per-user first/first-purchase/last times, day durations,
+    // (d, c) per distinct time, n_risk via the strictly-preceding
+    // removal sum, survival refolded prefix-for-prefix (scalar
+    // list_reduce — the q96 left-fold rule)
+    "q222_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) END) AS tp,
+             max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY user_id),
+         dur AS (SELECT user_id % 2 AS cohort,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+               ELSE (tl - t0) // 86400000000000 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM pu),
+         d AS (SELECT cohort, t, sum(e) AS d, sum(1 - e) AS c
+           FROM dur GROUP BY cohort, t),
+         w AS (SELECT cohort, t, d, c,
+             sum(d + c) OVER (PARTITION BY cohort)
+               - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM d),
+         s AS (SELECT cohort,
+             list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY t) AS farr,
+             list(t ORDER BY t) AS ts FROM w GROUP BY cohort),
+         x AS (SELECT s.cohort AS xcohort, ts[i] AS xt,
+             list_reduce(list_prepend(1.0, farr[1:i]),
+               (a, b) -> a * b) AS surv
+           FROM s, unnest(range(1, len(ts) + 1)) AS u(i))
+         SELECT w.cohort, w.t, CAST(w.n_risk AS BIGINT) AS n_risk,
+           CAST(w.d AS BIGINT) AS d, CAST(w.c AS BIGINT) AS c,
+           round(x.surv, 6) AS surv_r
+         FROM w JOIN x ON w.cohort = x.xcohort AND w.t = x.xt
+         ORDER BY cohort, t""",
+
+    // q223: three union+min BFS rounds from the seed suppliers
+    "q223_bfs_distance" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         und AS (SELECT a AS x, b AS y FROM cs
+           UNION SELECT b AS x, a AS y FROM cs),
+         d0 AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS id,
+             0 AS d FROM supplier WHERE s_suppkey % 10 = 0),
+         s1 AS (SELECT id, min(d) AS d FROM (
+             SELECT id, d FROM d0
+             UNION ALL SELECT und.y, d0.d + 1 FROM und
+               JOIN d0 ON und.x = d0.id) GROUP BY id),
+         s2 AS (SELECT id, min(d) AS d FROM (
+             SELECT id, d FROM s1
+             UNION ALL SELECT und.y, s1.d + 1 FROM und
+               JOIN s1 ON und.x = s1.id) GROUP BY id),
+         s3 AS (SELECT id, min(d) AS d FROM (
+             SELECT id, d FROM s2
+             UNION ALL SELECT und.y, s2.d + 1 FROM und
+               JOIN s2 ON und.x = s2.id) GROUP BY id)
+         SELECT id AS node, CAST(d AS BIGINT) AS dist
+         FROM s3 ORDER BY node"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -1211,6 +1211,62 @@ object Evaluate {
           .as("se_boot"))
   }
 
+  /** Kaplan–Meier survival curves per group — time-to-event with
+    * censoring (time to purchase/churn/error, censored at last
+    * observation), THE estimator under right-censoring where a naive
+    * mean of observed durations is biased. At each distinct duration
+    * t (ascending): d_t events, c_t censorings, n_t at risk
+    * (everything not yet removed), and
+    *
+    *   S(t) = Π_{t' <= t} (n_{t'} − d_{t'}) / n_{t'}
+    *
+    * Exactness: d/c/n are exact integers (n via prefix sums inside the
+    * per-group array — no window); the survival product is the ONLY
+    * float chain, a fixed ascending-time left fold of exactly-derived
+    * doubles — bit-replayable as a list_reduce prefix fold (the q96
+    * rule; scalar accumulator, so the DuckDB struct-fold bug q201
+    * documents is not in play).
+    *
+    * Scale contract: one groupBy collapses to distinct durations, then
+    * per-group arrays of that size (quantize durations — days, not ns —
+    * upstream; the q157 bounded-grid rule). `event` must be 0
+    * (censored) or 1; negative/null durations drop. Returns one row
+    * per (group…, t): n_risk, d, c, surv. */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+
+        duration.cast("long").as("_t") :+ event.cast("long").as("_e"): _*)
+      .where(col("_t").isNotNull && col("_t") >= 0 &&
+        col("_e").isin(0L, 1L))
+    val byT = base.groupBy(groupCols.map(col) :+ col("_t"): _*)
+      .agg(sum("_e").as("_d"), sum(lit(1L) - col("_e")).as("_c"))
+    val arr = byT.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col("_t"), col("_d"), col("_c")))).as("_s"))
+    val rows = arr
+      .withColumn("_n0", aggregate(col("_s"), lit(0L),
+        (a, e) => a + e.getField("_d") + e.getField("_c")))
+      .withColumn("_narr", transform(sequence(lit(1), size(col("_s"))),
+        i => col("_n0") - aggregate(
+          slice(col("_s"), lit(1), i - lit(1)), lit(0L),
+          (a, e) => a + e.getField("_d") + e.getField("_c"))))
+      .withColumn("_farr", transform(sequence(lit(1), size(col("_s"))),
+        i => (element_at(col("_narr"), i) -
+            element_at(col("_s"), i).getField("_d")).cast("double") /
+          element_at(col("_narr"), i).cast("double")))
+      .withColumn("_r", explode(transform(sequence(lit(1), size(col("_s"))),
+        i => struct(
+          element_at(col("_s"), i).getField("_t").as("t"),
+          element_at(col("_narr"), i).as("n_risk"),
+          element_at(col("_s"), i).getField("_d").as("d"),
+          element_at(col("_s"), i).getField("_c").as("c"),
+          aggregate(slice(col("_farr"), lit(1), i), lit(1.0),
+            (a, x) => a * x).as("surv")))))
+    rows.select(groupCols.map(col) :+ col("_r.t").as("t") :+
+      col("_r.n_risk").as("n_risk") :+ col("_r.d").as("d") :+
+      col("_r.c").as("c") :+ col("_r.surv").as("surv"): _*)
+  }
+
   /** Trailing rolling-window aggregates over the dense zero-filled
     * bucket grid — the moving-average volume monitor (`window`-bucket
     * trailing sum / mean per group; gap buckets count 0, exactly like

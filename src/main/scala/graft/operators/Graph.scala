@@ -255,6 +255,83 @@ object Graph {
       .select(col("x").as("node"), col("degree"))
   }
 
+  /** Weighted PageRank in the same exact fixed-point integer
+    * arithmetic as [[pageRankPpb]]: each out-edge carries an integral
+    * weight and a node's rank splits proportionally —
+    *
+    *   rᵢ₊₁(v) = base + (dampNum · Σ_{u→v} (rᵢ(u)·w(u,v)) div W(u))
+    *             div dampDen,   W(u) = Σ out-weights of u
+    *
+    * — link strength (trade volume, click counts, citation counts)
+    * weighted into the centrality instead of flattened to 0/1.
+    * Duplicate (src, dst) edges sum their weights; non-positive
+    * weights are rejected in-plan. r·w needs w ≤ ~9·10⁹ to stay in a
+    * long against r ≤ 10⁹ — enforced loudly. Same per-iteration
+    * join/agg shape and determinism guarantees as the unweighted
+    * variant; floor leakage per edge mirrors its div-by-degree rule. */
+  def pageRankWeightedPpb(edges: DataFrame, nodes: DataFrame,
+      idCol: String, iters: Int, dampNum: Int = 85,
+      dampDen: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .select(col("src"), col("dst"),
+        when(col("w").isNull || col("w") <= 0 || col("w") > 9000000000L,
+          raise_error(concat(lit("pageRankWeightedPpb: edge weight out " +
+            "of (0, 9e9]: "), col("w").cast("string"))))
+          .otherwise(col("w")).as("w"))
+    val wsum = e.groupBy("src").agg(sum("w").as("_wsum"))
+    val n = nodes.select(col(idCol)).distinct().count()
+    require(n > 0, "empty node set")
+    val r0 = 1000000000L / n
+    val base = (r0 * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.select(col(idCol).as("_id")).distinct()
+      .withColumn("_r", lit(r0))
+    for (_ <- 0 until iters) {
+      val contrib = e.join(ranks, e("src") === ranks("_id"))
+        .join(wsum, Seq("src"))
+        .select(col("dst"), expr("(_r * w) div _wsum").as("_c"))
+        .groupBy("dst").agg(sum("_c").as("_in"))
+      ranks = ranks.join(contrib, ranks("_id") === contrib("dst"), "left")
+        .select(col("_id"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("_r"))
+        .localCheckpoint(false)
+    }
+    ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
+  }
+
+  /** Multi-source BFS distances: min hop count from any seed within
+    * `maxHops`, over the undirected pair graph — "how far is this
+    * node from the trusted/flagged set", the graph-proximity data-
+    * valuation and contamination-spread readout. Fixed `maxHops`
+    * keeps the computation deterministic and replayable round by
+    * round (the [[pageRankPpb]] fixed-iters rule); unreached nodes are
+    * absent from the output.
+    *
+    * Per hop: one edges⋈dist join + one min agg + lineage cut — the
+    * convergence-join shape, O(|E|) shuffled rows per hop. Seeds not
+    * present in the graph still appear at distance 0. */
+  def bfsDistances(pairs: DataFrame, seeds: DataFrame, idCol: String,
+      maxHops: Int, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    var dist = seeds.select(col(idCol).as("_id")).distinct()
+      .withColumn("_d", lit(0L))
+    for (_ <- 0 until maxHops) {
+      val nd = und.join(dist, und("x") === dist("_id"))
+        .select(col("y").as("_id"), (col("_d") + 1L).as("_d"))
+      dist = dist.union(nd).groupBy("_id").agg(min("_d").as("_d"))
+        .localCheckpoint(false)
+    }
+    dist.select(col("_id").as(idCol), col("_d").as("dist"))
+  }
+
   /** Exact Newman modularity of a node partition over an undirected
     * pair graph — "is this clustering denser than chance?", the
     * quality readout for any community/cluster assignment (near-dup

@@ -89,4 +89,36 @@ class BootstrapRollingSpec extends SparkSuite {
     assert(got.where(col("win_sum") =!= col("cnt")).count() === 0)
     assert(got.where(col("win_n") =!= 1).count() === 0)
   }
+
+  test("kaplanMeier: textbook hand case with censoring") {
+    // (t,e): (1,1) (2,0) (3,1) (3,1) (4,0)
+    val d = Seq((1L, 1L), (2L, 0L), (3L, 1L), (3L, 1L), (4L, 0L))
+      .map { case (t, e) => ("g", t, e) }.toDF("grp", "t", "e")
+    val got = Evaluate.kaplanMeier(d, Seq("grp"), col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.map(x => (x._1, x._2, x._3, x._4)).toSeq ==
+      Seq((1L, 5L, 1L, 0L), (2L, 4L, 0L, 1L), (3L, 3L, 2L, 0L),
+        (4L, 1L, 0L, 1L)))
+    val s = got.map(_._5)
+    assert(math.abs(s(0) - 0.8) < 1e-12)
+    assert(math.abs(s(1) - 0.8) < 1e-12) // censoring alone never drops S
+    assert(math.abs(s(2) - 0.8 / 3) < 1e-12)
+    assert(math.abs(s(3) - 0.8 / 3) < 1e-12)
+  }
+
+  test("kaplanMeier: no censoring equals the empirical survivor; invariance") {
+    val d = (1L to 20L).map(i => ("g", i % 5, 1L)).toDF("grp", "t", "e")
+    val got = Evaluate.kaplanMeier(d, Seq("grp"), col("t"), col("e"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getDouble(5)))
+    // uniform over t=0..4, 4 each: S(t) = (16-4t)/20
+    got.foreach { case (t, s) =>
+      assert(math.abs(s - (16.0 - 4 * t) / 20.0) < 1e-12, s"t=$t s=$s") }
+    val again = Evaluate.kaplanMeier(d.repartition(7), Seq("grp"),
+      col("t"), col("e")).orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getDouble(5)))
+    assert(again.toSeq == got.toSeq)
+  }
 }

@@ -212,4 +212,53 @@ class GraphSpec extends SparkSuite {
     // k=5: nothing survives
     assert(run(5, 2) == Map.empty)
   }
+
+  test("pageRankWeightedPpb: uniform weights equal the unweighted ranks") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.map(Tuple1(_))
+      .toDF("node")
+    val unw = Graph.pageRankPpb(e.toDF("src", "dst"), nodes, "node", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Graph.pageRankWeightedPpb(
+      e.map { case (s, d) => (s, d, 5L) }.toDF("src", "dst", "w"),
+      nodes, "node", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w == unw) // (r·w) div (deg·w) == r div deg for uniform w
+  }
+
+  test("pageRankWeightedPpb: weights steer mass; bad weights refuse") {
+    // a splits 3:1 between b and c
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L),
+      ("c", "a", 1L)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").map(Tuple1(_)).toDF("node")
+    val got = Graph.pageRankWeightedPpb(e, nodes, "node", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0 = 333333333, base = 49999999 (ppb, damp 85/100)
+    val r0 = 333333333L; val base = (r0 * 15) / 100
+    assert(got("b") === base + 85L * ((r0 * 3) / 4) / 100)
+    assert(got("c") === base + 85L * ((r0 * 1) / 4) / 100)
+    val bad = Seq(("a", "b", 0L)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.pageRankWeightedPpb(bad, nodes, "node", 1).collect()
+    }
+    assert(ex.getMessage.contains("edge weight out of"))
+  }
+
+  test("bfsDistances: hop distances, truncation, off-graph seeds") {
+    // path a-b-c-d-e plus isolated seed z
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("a", "b")
+    val seeds = Seq("a", "z").map(Tuple1(_)).toDF("node")
+    val got = Graph.bfsDistances(g, seeds, "node", maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // e is 4 hops out -> absent at maxHops=3; z sits at 0 despite no edges
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L,
+      "z" -> 0L))
+    // two seeds: min distance wins
+    val got2 = Graph.bfsDistances(g,
+      Seq("a", "e").map(Tuple1(_)).toDF("node"), "node", maxHops = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
+      "e" -> 0L))
+  }
 }
