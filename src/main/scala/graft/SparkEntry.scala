@@ -3018,6 +3018,35 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  // Covariate-adjusted OLS (Evaluate.olsDummyPoints): daily volume ~
+  // b0 + b1·day + b2·is_weekend per event type over the dense grid —
+  // the trend slope with the weekend dip partialled out; det and all
+  // three Cramer numerators exact integers gated directly.
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val grid = Evaluate.rollingCounts(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), window = 1)
+      .select(col("event_type"), col("bucket"), col("cnt"))
+    val b0 = broadcast(grid.agg(min("bucket").as("_gb0")))
+    val pts = grid.crossJoin(b0)
+      .select(col("event_type"), (col("bucket") - col("_gb0")).as("x"),
+        (pmod(col("bucket") + 3, lit(7)) >= 5).cast("long").as("f"),
+        col("cnt").as("y"))
+    Evaluate.olsDummyPoints(pts, Seq("event_type"), col("x"), col("f"),
+        col("y"))
+      .select(col("event_type"), col("n"), col("det"), col("nb0"),
+        col("nb1"), col("nb2"), round(col("b0"), 6).as("b0_r"),
+        round(col("b1"), 6).as("b1_r"), round(col("b2"), 6).as("b2_r"))
+      .orderBy("event_type")
+  }
+
+  // Dunning LLR collocations (LangModel.collocationsLlr): the
+  // significance-tested bigram table beside q86's PMI lift — all four
+  // contingency cells' ppb terms + the exact sum gated.
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    LangModel.collocationsLlr(t(s, dir, "documents"), col("text"),
+        minCount = 5)
+      .orderBy("w1", "w2")
+
   // Weighted PageRank (Graph.pageRankWeightedPpb): the bidirected
   // trade graph with lineitem counts as link strength, two exact
   // fixed-point iterations replayed with the identical floor
@@ -3475,7 +3504,9 @@ object SparkEntry {
     "q220_fellegi_sunter" -> (q220 _),
     "q221_weighted_pagerank" -> (q221 _),
     "q222_kaplan_meier" -> (q222 _),
-    "q223_bfs_distance" -> (q223 _))
+    "q223_bfs_distance" -> (q223 _),
+    "q224_ols_dummy" -> (q224 _),
+    "q225_llr_collocations" -> (q225 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8311,7 +8342,94 @@ object SparkEntry {
              UNION ALL SELECT und.y, s2.d + 1 FROM und
                JOIN s2 ON und.x = s2.id) GROUP BY id)
          SELECT id AS node, CAST(d AS BIGINT) AS dist
-         FROM s3 ORDER BY node"""
+         FROM s3 ORDER BY node""",
+
+    // q224: the dense grid, centered day index + weekend dummy, the
+    // identical Cramer expansion in HUGEINT
+    "q224_ols_dummy" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         cn AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM cn),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x0 AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS y
+           FROM grid LEFT JOIN cn ON grid.g = cn.g AND grid.b = cn.b),
+         mn AS (SELECT min(b) AS gb0 FROM x0),
+         p AS (SELECT g, b - (SELECT gb0 FROM mn) AS x,
+             CASE WHEN (b + 3) % 7 >= 5 THEN 1 ELSE 0 END AS f, y
+           FROM x0),
+         s AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(f) AS sf,
+             sum(x*x) AS sxx, sum(x*f) AS sxf, sum(f*f) AS sff,
+             sum(y) AS sy, sum(x*y) AS sxy, sum(f*y) AS sfy
+           FROM p GROUP BY g),
+         d AS (SELECT g, n,
+             n*(sxx*sff - sxf*sxf) - sx*(sx*sff - sxf*sf)
+               + sf*(sx*sxf - sxx*sf) AS det,
+             sy*(sxx*sff - sxf*sxf) - sx*(sxy*sff - sxf*sfy)
+               + sf*(sxy*sxf - sxx*sfy) AS nb0,
+             n*(sxy*sff - sxf*sfy) - sy*(sx*sff - sxf*sf)
+               + sf*(sx*sfy - sxy*sf) AS nb1,
+             n*(sxx*sfy - sxy*sxf) - sx*(sx*sfy - sxy*sf)
+               + sy*(sx*sxf - sxx*sf) AS nb2
+           FROM s)
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n, det, nb0, nb1,
+           nb2,
+           CASE WHEN det <> 0 THEN round(CAST(nb0 AS DOUBLE)
+             / CAST(det AS DOUBLE), 6) END AS b0_r,
+           CASE WHEN det <> 0 THEN round(CAST(nb1 AS DOUBLE)
+             / CAST(det AS DOUBLE), 6) END AS b1_r,
+           CASE WHEN det <> 0 THEN round(CAST(nb2 AS DOUBLE)
+             / CAST(det AS DOUBLE), 6) END AS b2_r
+         FROM d ORDER BY event_type""",
+
+    // q225: unfiltered bigram marginals, the four contingency cells'
+    // ppb terms (negative cells round away from zero on both engines),
+    // exact 2·Σ sum
+    "q225_llr_collocations" ->
+      """WITH t AS (SELECT
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '') tok FROM documents),
+         b AS (SELECT unnest([{'w1': tok[i], 'w2': tok[i+1]}
+                 for i in range(1, len(tok))], recursive := true) FROM t),
+         bc AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2),
+         r AS (SELECT w1, sum(n12) AS rr FROM bc GROUP BY w1),
+         c AS (SELECT w2, sum(n12) AS cc FROM bc GROUP BY w2),
+         nt AS (SELECT sum(n12) AS nn FROM bc),
+         base AS (SELECT bc.w1, bc.w2, bc.n12, r.rr, c.cc,
+             (SELECT nn FROM nt) AS nn
+           FROM bc JOIN r USING (w1) JOIN c USING (w2)
+           WHERE bc.n12 >= 5),
+         lt AS (SELECT w1, w2, n12, rr, cc, nn,
+             (CASE WHEN n12 > 0 THEN CAST(round(1000000000
+               * CAST(n12 AS DOUBLE)
+               * ln((CAST(n12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE))))
+               AS BIGINT) ELSE 0 END)
+           + (CASE WHEN rr - n12 > 0 THEN CAST(round(1000000000
+               * CAST(rr - n12 AS DOUBLE)
+               * ln((CAST(rr - n12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(rr AS DOUBLE) * CAST(nn - cc AS DOUBLE))))
+               AS BIGINT) ELSE 0 END)
+           + (CASE WHEN cc - n12 > 0 THEN CAST(round(1000000000
+               * CAST(cc - n12 AS DOUBLE)
+               * ln((CAST(cc - n12 AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(nn - rr AS DOUBLE) * CAST(cc AS DOUBLE))))
+               AS BIGINT) ELSE 0 END)
+           + (CASE WHEN nn - rr - cc + n12 > 0 THEN CAST(round(1000000000
+               * CAST(nn - rr - cc + n12 AS DOUBLE)
+               * ln((CAST(nn - rr - cc + n12 AS DOUBLE)
+                   * CAST(nn AS DOUBLE))
+                 / (CAST(nn - rr AS DOUBLE) * CAST(nn - cc AS DOUBLE))))
+               AS BIGINT) ELSE 0 END) AS tsum
+           FROM base)
+         SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+           CAST(rr AS BIGINT) AS rr, CAST(cc AS BIGINT) AS cc,
+           CAST(nn AS BIGINT) AS nn,
+           CAST(2 * tsum AS BIGINT) AS llr2_ppb
+         FROM lt ORDER BY w1, w2"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

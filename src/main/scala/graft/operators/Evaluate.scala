@@ -606,6 +606,72 @@ object Evaluate {
         col("den") :+ col("slope") :+ col("intercept"): _*)
   }
 
+  /** OLS with a 0/1 covariate: y = b0 + b1·x + b2·f solved EXACTLY by
+    * Cramer's rule over the 3×3 integer normal equations — the
+    * "trend adjusted for a confounder" regression (weekend/holiday
+    * dummies on volume series, treatment flags on metrics) that
+    * [[olsPoints]]' single-feature fit can't express.
+    *
+    * Every matrix entry is an exact Decimal(38,0) sum; the determinant
+    * and the three numerators are exact 3-factor products (bounded by
+    * the in-plan |x| < 32768 guard — entries ≤ n·2³⁰, products ≤ 10³⁸
+    * for n up to ~10⁶ rows per group), and each coefficient is ONE
+    * float division — layout-invariant, HUGEINT-replayable. Center x
+    * upstream (e.g. bucket − min) to satisfy the guard. Singular
+    * groups (constant x, or f constant) yield null coefficients.
+    * Returns (group…, n, det, nb0, nb1, nb2, b0, b1, b2). */
+  def olsDummyPoints(df: DataFrame, groupCols: Seq[String], x: Column,
+      flag: Column, y: Column): DataFrame = {
+    val g = df.select(groupCols.map(col) :+ x.cast("long").as("_x") :+
+        flag.cast("long").as("_f") :+ y.cast("long").as("_y"): _*)
+      .where(col("_x").isNotNull && col("_f").isNotNull &&
+        col("_y").isNotNull && col("_f").isin(0L, 1L))
+      .select(groupCols.map(col) :+
+        when(abs(col("_x")) >= 32768L,
+          raise_error(concat(lit("olsDummyPoints needs |x| < 32768 " +
+            "(center the bucket index upstream): "),
+            col("_x").cast("string"))))
+          .otherwise(col("_x")).as("_x") :+ col("_f") :+ col("_y"): _*)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val s = g.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      d(sum("_x")).as("_sx"), d(sum("_f")).as("_sf"),
+      d(sum(col("_x") * col("_x"))).as("_sxx"),
+      d(sum(col("_x") * col("_f"))).as("_sxf"),
+      d(sum(col("_f") * col("_f"))).as("_sff"),
+      d(sum("_y")).as("_sy"), d(sum(col("_x") * col("_y"))).as("_sxy"),
+      d(sum(col("_f") * col("_y"))).as("_sfy"))
+    // Cramer over [[n,sx,sf],[sx,sxx,sxf],[sf,sxf,sff]] b = [sy,sxy,sfy]
+    def det3(a: Column, b: Column, c: Column,
+        p: Column, q: Column, r: Column,
+        u: Column, v: Column, w: Column): Column =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val nn = d(col("n"))
+    val det = det3(nn, col("_sx"), col("_sf"),
+      col("_sx"), col("_sxx"), col("_sxf"),
+      col("_sf"), col("_sxf"), col("_sff"))
+    val nb0 = det3(col("_sy"), col("_sx"), col("_sf"),
+      col("_sxy"), col("_sxx"), col("_sxf"),
+      col("_sfy"), col("_sxf"), col("_sff"))
+    val nb1 = det3(nn, col("_sy"), col("_sf"),
+      col("_sx"), col("_sxy"), col("_sxf"),
+      col("_sf"), col("_sfy"), col("_sff"))
+    val nb2 = det3(nn, col("_sx"), col("_sy"),
+      col("_sx"), col("_sxx"), col("_sxy"),
+      col("_sf"), col("_sxf"), col("_sfy"))
+    s.withColumn("det", det)
+      .withColumn("nb0", nb0).withColumn("nb1", nb1).withColumn("nb2", nb2)
+      .withColumn("b0", when(col("det") =!= 0,
+        col("nb0").cast("double") / col("det").cast("double")))
+      .withColumn("b1", when(col("det") =!= 0,
+        col("nb1").cast("double") / col("det").cast("double")))
+      .withColumn("b2", when(col("det") =!= 0,
+        col("nb2").cast("double") / col("det").cast("double")))
+      .select(groupCols.map(col) :+ col("n") :+ col("det") :+
+        col("nb0") :+ col("nb1") :+ col("nb2") :+ col("b0") :+
+        col("b1") :+ col("b2"): _*)
+  }
+
   /** Theil–Sen robust trend of a bucketed count series: slope = the
     * MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) over the dense
     * grid — outlier days move the Holt/OLS trend but barely move this

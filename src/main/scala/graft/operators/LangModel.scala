@@ -352,6 +352,47 @@ object LangModel {
       expr(s"(n12 * ${nTok}L * 1000000L) div (n1 * n2)")), "lift_ppm", topK)
   }
 
+  /** Dunning log-likelihood-ratio collocations (1993) — the
+    * significance-tested complement of [[collocations]]' PMI lift: PMI
+    * overrates rare pairs (two hapaxes that co-occur once score
+    * maximal lift), LLR weighs the evidence. Over the bigram
+    * contingency table (k11 = n12, k12 = R−n12, k21 = C−n12,
+    * k22 = N−R−C+n12; R/C/N = bigram row/column/total marginals):
+    *
+    *   llr = 2 · Σ_cells k · ln(k·N / (rowSum·colSum)),  k > 0 cells
+    *
+    * Every count is an exact integer; each cell's term is quantized
+    * ONCE to ppb (the q123 fixed-chain rule — negative terms round
+    * away from zero on both engines) and the 4-term sum is exact, so
+    * `llr2_ppb` gates directly. One bigram aggregation + two
+    * vocabulary-sized marginal joins + a broadcast 1-row total; the
+    * minCount filter applies AFTER marginals (the filtered universe
+    * stays the full corpus). Returns
+    * (w1, w2, n12, rr, cc, nn, llr2_ppb). */
+  def collocationsLlr(docs: DataFrame, textCol: Column,
+      minCount: Long = 5): DataFrame = {
+    val bc = bigramFit(docs, textCol)
+    val r = bc.groupBy("w1").agg(sum("n").as("rr"))
+    val c = bc.groupBy("w2").agg(sum("n").as("cc"))
+    val tot = broadcast(bc.agg(sum("n").as("nn")))
+    val base = bc.select(col("w1"), col("w2"), col("n").as("n12"))
+      .where(col("n12") >= minCount)
+      .join(r, Seq("w1")).join(c, Seq("w2")).crossJoin(tot)
+    def term(k: Column, rowSum: Column, colSum: Column): Column =
+      when(k > 0, round(lit(1e9) * k.cast("double") *
+        log((k.cast("double") * col("nn").cast("double")) /
+          (rowSum.cast("double") * colSum.cast("double")))).cast("long"))
+        .otherwise(0L)
+    base.withColumn("llr2_ppb",
+        lit(2L) * (term(col("n12"), col("rr"), col("cc")) +
+          term(col("rr") - col("n12"), col("rr"), col("nn") - col("cc")) +
+          term(col("cc") - col("n12"), col("nn") - col("rr"), col("cc")) +
+          term(col("nn") - col("rr") - col("cc") + col("n12"),
+            col("nn") - col("rr"), col("nn") - col("cc"))))
+      .select(col("w1"), col("w2"), col("n12"), col("rr"), col("cc"),
+        col("nn"), col("llr2_ppb"))
+  }
+
   /** [[collocations]]' scale path: identical count pipeline, ranked by
     * double-precision `pmi = ln(n12 · N / (n1 · n2))` with no overflow
     * bound — for corpora past the exact-ppm guard. Same deterministic

@@ -108,6 +108,41 @@ class BootstrapRollingSpec extends SparkSuite {
     assert(math.abs(s(3) - 0.8 / 3) < 1e-12)
   }
 
+  test("olsDummyPoints: exact recovery of a planted linear+dummy model") {
+    // y = 2 + 3x + 7f, residual-free -> Cramer solves it exactly
+    val pts = (0L until 40L).map { x =>
+      val f = (x * 13) % 3 match { case 0 => 1L; case _ => 0L }
+      ("g", x, f, 2L + 3 * x + 7 * f)
+    }.toDF("grp", "x", "f", "y")
+    val r = Evaluate.olsDummyPoints(pts, Seq("grp"), col("x"), col("f"),
+      col("y")).head
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 7.0) < 1e-9)
+    // layout invariance of the exact integer columns
+    val again = Evaluate.olsDummyPoints(pts.repartition(7), Seq("grp"),
+      col("x"), col("f"), col("y")).head
+    assert(again.getAs[java.math.BigDecimal]("det") ==
+      r.getAs[java.math.BigDecimal]("det"))
+    assert(again.getAs[java.math.BigDecimal]("nb1") ==
+      r.getAs[java.math.BigDecimal]("nb1"))
+  }
+
+  test("olsDummyPoints: singular designs yield nulls; |x| guard refuses") {
+    // f constant -> f column collinear with intercept -> det = 0
+    val flat = (0L until 10L).map(x => ("g", x, 1L, x)).toDF("grp", "x", "f", "y")
+    val r = Evaluate.olsDummyPoints(flat, Seq("grp"), col("x"), col("f"),
+      col("y")).head
+    assert(r.getAs[java.math.BigDecimal]("det").longValue === 0L)
+    assert(r.isNullAt(r.fieldIndex("b1")))
+    val wide = Seq(("g", 40000L, 0L, 1L)).toDF("grp", "x", "f", "y")
+    val ex = intercept[Exception] {
+      Evaluate.olsDummyPoints(wide, Seq("grp"), col("x"), col("f"),
+        col("y")).collect()
+    }
+    assert(ex.getMessage.contains("olsDummyPoints needs |x| < 32768"))
+  }
+
   test("kaplanMeier: no censoring equals the empirical survivor; invariance") {
     val d = (1L to 20L).map(i => ("g", i % 5, 1L)).toDF("grp", "t", "e")
     val got = Evaluate.kaplanMeier(d, Seq("grp"), col("t"), col("e"))

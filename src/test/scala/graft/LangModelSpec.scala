@@ -411,4 +411,47 @@ class LangModelSpec extends SparkSuite {
     assert(selfP.length === 1) // (a,a) both directions collapse to one key
     assert(selfP.head.getLong(2) === 2L) // ...with directed count 2
   }
+
+  test("collocationsLlr: hand contingency, association ranks above chance") {
+    // corpus engineered so "x y" is a strong collocation and "p q" is
+    // near-independent filler
+    val strong = Seq.fill(10)("x y").mkString(" ")
+    val noise = Seq.tabulate(40)(i =>
+      Seq("p", "q", "r", "s")((i * 7) % 4)).mkString(" ")
+    val docs = Seq(strong, noise, noise).toDF("text")
+    val got = LangModel.collocationsLlr(docs, col("text"), minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // reference computation straight from the Dunning formula
+    got.foreach { case ((w1, w2), (n12, rr, cc, nn, llr)) =>
+      def term(k: Long, row: Long, colS: Long): Long =
+        if (k <= 0) 0L
+        else math.round(1e9 * k.toDouble *
+          math.log((k.toDouble * nn.toDouble) /
+            (row.toDouble * colS.toDouble)))
+      val expect = 2L * (term(n12, rr, cc) + term(rr - n12, rr, nn - cc) +
+        term(cc - n12, nn - rr, cc) +
+        term(nn - rr - cc + n12, nn - rr, nn - cc))
+      assert(llr === expect, s"($w1,$w2)")
+    }
+    // every surviving pair here is a genuine association (the filler
+    // cycle is deterministic): LLR strictly positive throughout, and
+    // the x->y pair scores as the formula says it should
+    assert(got(("x", "y"))._5 > 0)
+    assert(got.values.forall(_._5 > 0))
+  }
+
+  test("collocationsLlr: marginals stay unfiltered under minCount") {
+    val docs = Seq("a b a b a b a c").toDF("text")
+    // bigrams: ab×3, ba×3, ac×1 -> N=7; minCount=3 keeps ab and ba but
+    // ac still counts in a's row marginal and the total
+    val rows = LangModel.collocationsLlr(docs, col("text"), minCount = 3)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("a", "b", 3L, 4L, 3L, 7L), // rr(a) = ab×3 + ac×1
+      ("b", "a", 3L, 3L, 3L, 7L)))
+  }
 }
