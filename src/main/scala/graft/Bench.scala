@@ -812,6 +812,36 @@ object Bench {
         threshold = 0.7, ngram = 2).count()
     }
 
+    // As-of join at 10M probes / 1M reference rows / 100k keys: the
+    // union+tagged-window carry (one key shuffle, ~110 rows per key,
+    // no range cross product) — the time-series enrichment shape.
+    bench("x_asof_10m", runs = 1) {
+      val left = spark.range(10000000L).select(col("id"),
+        pmod(xxhash64(col("id"), lit(51)), lit(100000L)).as("k"),
+        pmod(xxhash64(col("id"), lit(52)), lit(1000000000L)).as("ts"))
+      val right = spark.range(1000000L).select(
+        pmod(xxhash64(col("id"), lit(53)), lit(100000L)).as("k"),
+        pmod(xxhash64(col("id"), lit(54)), lit(1000000000L)).as("rts"),
+        col("id").as("v"))
+      graft.operators.AsOf.join(left, right, Seq("k"), "ts", "rts",
+          Seq("v"))
+        .agg(sum("v")).collect()
+    }
+
+    // Adamic-Adar over a 1M-edge bipartite graph (100k users x 10k
+    // items): maxDegree=64 keeps user centers (deg ~10) and drops item
+    // hubs (deg ~100), so wedges stay ~100k x deg^2/2 — the valve
+    // doing its scale job; ~5M wedge rows into the pair aggregate.
+    bench("x_adamic_1m", runs = 1) {
+      val e = spark.range(1000000L).select(
+        concat(lit("u"),
+          pmod(xxhash64(col("id"), lit(61)), lit(100000L))).as("a"),
+        concat(lit("i"),
+          pmod(xxhash64(col("id"), lit(62)), lit(10000L))).as("b"))
+      graft.operators.Graph.adamicAdar(e, maxDegree = 64)
+        .agg(count(lit(1)), sum("aa_ppb")).collect()
+    }
+
     emitSummaryAndStop()
   }
 }
