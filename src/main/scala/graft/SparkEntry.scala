@@ -3018,6 +3018,36 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
+  // normalization): the wide→long reshape of the relational surface,
+  // beside q169's PIVOT.
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"),
+        round(col("l_discount"), 2).as("l_discount"),
+        round(col("l_tax"), 2).as("l_tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  // Linear multi-touch attribution (Funnel.linearAttribution):
+  // purchase credit split equally over the user's trailing-7-day
+  // view/click touches — per-touch credit an exact 10⁶ div n ppm,
+  // channel sums gated directly.
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    Funnel.linearAttribution(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowNs = 7L * 86400L * 1000000000L)
+      .orderBy("channel")
+
   // Covariate-adjusted OLS (Evaluate.olsDummyPoints): daily volume ~
   // b0 + b1·day + b2·is_weekend per event type over the dense grid —
   // the trend slope with the weekend dip partialled out; det and all
@@ -3506,7 +3536,9 @@ object SparkEntry {
     "q222_kaplan_meier" -> (q222 _),
     "q223_bfs_distance" -> (q223 _),
     "q224_ols_dummy" -> (q224 _),
-    "q225_llr_collocations" -> (q225 _))
+    "q225_llr_collocations" -> (q225 _),
+    "q226_unpivot" -> (q226 _),
+    "q227_attribution" -> (q227 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8429,7 +8461,43 @@ object SparkEntry {
            CAST(rr AS BIGINT) AS rr, CAST(cc AS BIGINT) AS cc,
            CAST(nn AS BIGINT) AS nn,
            CAST(2 * tsum AS BIGINT) AS llr2_ppb
-         FROM lt ORDER BY w1, w2"""
+         FROM lt ORDER BY w1, w2""",
+
+    // q226: the UNION ALL normalization of the same four metrics
+    "q226_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+           round(l_quantity, 2) AS q, round(l_extendedprice, 2) AS ep,
+           round(l_discount, 2) AS dc, round(l_tax, 2) AS tx
+         FROM lineitem WHERE l_orderkey % 50 = 0)
+         SELECT l_orderkey, l_linenumber, metric, val FROM (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS metric, q AS val FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', ep FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber,
+             'l_discount', dc FROM b
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', tx FROM b)
+         ORDER BY l_orderkey, l_linenumber, metric""",
+
+    // q227: the same conversions⋈touches window join keyed by
+    // event_id, per-conversion counts, exact floor-division credit
+    "q227_attribution" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts, event_type t,
+             event_id FROM events),
+         conv AS (SELECT u, ts AS cts, event_id AS cid FROM ev
+           WHERE t = 'purchase'),
+         touch AS (SELECT u, ts AS tts, t AS channel FROM ev
+           WHERE t IN ('view', 'click')),
+         j AS (SELECT conv.cid, touch.channel FROM conv JOIN touch
+           ON conv.u = touch.u
+           AND touch.tts < conv.cts
+           AND touch.tts >= conv.cts - 604800000000000),
+         n AS (SELECT cid, count(*) AS n FROM j GROUP BY cid)
+         SELECT j.channel, count(*) AS touches,
+           count(DISTINCT j.cid) AS conversions_touched,
+           CAST(sum(1000000 // n.n) AS BIGINT) AS credit_ppm
+         FROM j JOIN n ON j.cid = n.cid
+         GROUP BY j.channel ORDER BY j.channel"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -125,4 +125,42 @@ object Funnel {
       .agg(count(lit(1)).as("users"), sum("_n").as("events"),
         sum("_vs").as("value_cents"))
   }
+
+  /** Linear multi-touch attribution: each conversion's credit splits
+    * EQUALLY across the user's touch events in the trailing window —
+    * the standard marketing/channel-credit model beside last-touch
+    * (which is the as-of join). Credit per touch = 10⁶ div n ppm of
+    * its conversion (floor — a conversion's credit sums to ≤ 10⁶ by
+    * exactly the floor remainder, deterministic); conversions with no
+    * in-window touch carry no credit (reported via n_conversions
+    * vs converted_attributed).
+    *
+    * Scale shape: one user-keyed conversions⋈touches join bounded by
+    * per-user activity, a per-conversion count, one channel rollup —
+    * no windows. All integers exact. Returns one row per channel:
+    * (channel, touches, conversions_touched, credit_ppm). */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, conversionType: String,
+      touchTypes: Seq[String], windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
+      col(idCol).as("_id"))
+    val conv = ev.where(col("_t") === conversionType)
+      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
+    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+    val joined = conv.join(touch, Seq("_u"))
+      .where(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - windowNs)
+    val n = joined.groupBy("_cid").agg(count(lit(1)).as("_n"))
+    joined.join(n, Seq("_cid"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("touches"),
+        countDistinct("_cid").as("conversions_touched"),
+        sum(expr("1000000L div _n")).as("credit_ppm"))
+  }
 }

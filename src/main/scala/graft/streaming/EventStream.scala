@@ -213,6 +213,27 @@ object EventStream {
     * re-fit decision, exactly as in the batch path. Per batch this is one
     * broadcast-centroid assign + a map-side encode — no shuffle of the
     * batch, no read of the existing index. */
+  /** Streaming as-of enrichment: each micro-batch of probe rows is
+    * as-of-joined ([[graft.operators.AsOf.join]]) against the static
+    * reference table and appended to `path` — the continuous twin of
+    * the time-series enrichment join (tag each arriving event with the
+    * latest reference row at-or-before it). Stateless by design: the
+    * static side is re-planned per micro-batch, so a growing reference
+    * table is picked up; a replayed batch appends duplicate rows —
+    * downstream keys dedupe if exactly-once matters (the stateless-twin
+    * contract [[streamingNewAgainstCorpus]] documents). */
+  def streamingAsOfEnrich(stream: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      rightVals: Seq[String], path: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.AsOf.join(batch, right, keys, leftTime,
+            rightTime, rightVals, direction, tolerance)
+          .write.mode("append").parquet(path)
+      }
+
   def streamingAnnIngest(docStream: DataFrame,
       index: graft.operators.Ann.IvfIndex,
       codebook: graft.operators.Ann.PqCodebook,

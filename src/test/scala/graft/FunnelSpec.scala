@@ -95,6 +95,35 @@ class FunnelSpec extends SparkSuite {
       (1L, 0) -> ((1L, 1L, 7L))))
   }
 
+  test("linearAttribution: equal split, window bounds, untouched conversions") {
+    // user a: purchase@100 with touches view@95, click@96, view@97 ->
+    //   each gets 333333 ppm (floor); purchase@200 with click@199 ->
+    //   full 1000000; window excludes view@89 (too old) and click@100
+    //   (not strictly before). user b: purchase@50 with NO touches.
+    val rows = Seq(
+      ("a", 89L, "view", 1L), ("a", 95L, "view", 2L),
+      ("a", 96L, "click", 3L), ("a", 97L, "view", 4L),
+      ("a", 100L, "click", 5L), ("a", 100L, "purchase", 6L),
+      ("a", 199L, "click", 7L), ("a", 200L, "purchase", 8L),
+      ("b", 50L, "purchase", 9L), ("b", 60L, "view", 10L))
+      .toDF("u", "ts", "t", "id")
+    val got = Funnel.linearAttribution(rows.repartition(3), "u", "ts",
+        "t", "id", "purchase", Seq("view", "click"), windowNs = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "view" -> (2L, 1L, 666666L),          // two thirds of purchase 6
+      "click" -> (2L, 2L, 333333L + 1000000L)))
+    // conversion identity rides idCol: a second purchase at the SAME
+    // (user, ts) doubles the credit rather than collapsing
+    val dup = rows.union(Seq(("a", 200L, "purchase", 11L))
+      .toDF("u", "ts", "t", "id"))
+    val got2 = Funnel.linearAttribution(dup, "u", "ts", "t", "id",
+        "purchase", Seq("view", "click"), windowNs = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got2("click") == 333333L + 2000000L)
+  }
+
   test("basketPairs: hand support/conf/lift, maxBasket valve, minSupport cut") {
     import graft.operators.GroupOps
     // baskets: 1:{x,y} 2:{x,y} 3:{x,z} 4:{y} -> sup(xy)=2, cnt x=3 y=3

@@ -1185,4 +1185,37 @@ class IoStreamSpec extends SparkSuite {
     assert(groups.length == 1)
     assert(groups(0).getSeq[String](2) == Seq("a", "b"))
   }
+
+  test("streaming as-of enrichment matches the batch join across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.AsOf
+    val right = Seq((1L, 8L, 100.0), (1L, 15L, 110.0), (2L, 3L, 50.0))
+      .toDF("k", "rts", "price")
+    val dir = Files.createTempDirectory("graftsasof").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    def run(): Unit = {
+      val q = EventStream.streamingAsOfEnrich(
+        mem.toDF().toDF("k", "ts", "tag"), right, Seq("k"), "ts", "rts",
+        Seq("price"), s"$dir/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    mem.addData((1L, 10L, "e1"), (2L, 2L, "e2"))
+    run() // writer restart between micro-batches: stateless twin
+    mem.addData((1L, 20L, "e3"))
+    run()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    val probes = Seq((1L, 10L, "e1"), (2L, 2L, "e2"), (1L, 20L, "e3"))
+      .toDF("k", "ts", "tag")
+    val want = AsOf.join(probes, right, Seq("k"), "ts", "rts",
+        Seq("price")).collect()
+      .map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(got == want)
+    assert(got == Map("e1" -> 100.0, "e2" -> -1.0, "e3" -> 110.0))
+  }
 }
