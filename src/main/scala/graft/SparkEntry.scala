@@ -3018,6 +3018,60 @@ object SparkEntry {
       .orderBy("k")
   }
 
+  // Porter stemming (functions.porter_stem): the corpus vocabulary
+  // stemmed; the oracle carries HAND-DERIVED stems for every vocab
+  // word (computed on paper from the published 1980 rule tables — the
+  // wire-fixture discipline), so the expression is checked against the
+  // algorithm, not itself. ELSE NULL makes any future vocab addition
+  // fail loudly instead of silently passing as identity.
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("stem", porter_stem(col("w")))
+      .orderBy("w")
+
+  // FULL OUTER join semantics (the last ungated join type): even
+  // customers x their order counts where custkey ≡ 0 mod 3 — both
+  // null sides exercised, masked to -1 on both engines.
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal"), 2).as("bal"))
+    val b = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+      .where(col("k") % 3 === 0)
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("bal"), lit(-1.0)).as("bal"),
+        coalesce(col("n_orders"), lit(-1L)).as("n_orders"))
+      .orderBy("k")
+  }
+
+  // Exact per-group variance/stddev: integer Σv and Σv² over the q21
+  // quality ppm make the numerator n·Σv² − (Σv)² exact — the
+  // summary-statistics float trap (partial-agg order) dodged by
+  // construction; var/std one rounded chain each.
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 1e6)
+          .cast("long").as("v"))
+      .where(col("v").isNotNull)
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .withColumn("var_num", col("n") * col("svv") - col("sv") * col("sv"))
+      // variance/std reported in NATURAL score units (ppm² / 1e12):
+      // rounding ppm²-scale values (~4e9) to 6 dp sits below the double
+      // ulp and diverges cross-engine at the last digit
+      .withColumn("var_r", round(col("var_num").cast("double") /
+        (col("n").cast("double") * col("n").cast("double") * lit(1e12)), 6))
+      .withColumn("std_r", round(sqrt(col("var_num").cast("double")) /
+        (col("n").cast("double") * lit(1e6)), 6))
+      .orderBy("source")
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3538,7 +3592,10 @@ object SparkEntry {
     "q224_ols_dummy" -> (q224 _),
     "q225_llr_collocations" -> (q225 _),
     "q226_unpivot" -> (q226 _),
-    "q227_attribution" -> (q227 _))
+    "q227_attribution" -> (q227 _),
+    "q228_porter_stem" -> (q228 _),
+    "q229_full_outer" -> (q229 _),
+    "q230_exact_variance" -> (q230 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8497,7 +8554,64 @@ object SparkEntry {
            count(DISTINCT j.cid) AS conversions_touched,
            CAST(sum(1000000 // n.n) AS BIGINT) AS credit_ppm
          FROM j JOIN n ON j.cid = n.cid
-         GROUP BY j.channel ORDER BY j.channel"""
+         GROUP BY j.channel ORDER BY j.channel""",
+
+    // q228: every stem below derived BY HAND from the published Porter
+    // rule tables (customer: step-4 ER with m(custom)=2; key: step-1c
+    // *v* y→i; merge/table/value: step-5a e-drop, m=1 and not *o;
+    // query: step-1c; the rest are fixed points of every step). ELSE
+    // NULL: an unlisted word must fail the gate, not pass as identity.
+    "q228_porter_stem" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS w FROM documents)
+         SELECT w, count(*) AS n, CASE w
+           WHEN 'a' THEN 'a' WHEN 'agg' THEN 'agg'
+           WHEN 'batch' THEN 'batch' WHEN 'big' THEN 'big'
+           WHEN 'column' THEN 'column' WHEN 'customer' THEN 'custom'
+           WHEN 'data' THEN 'data' WHEN 'dup' THEN 'dup'
+           WHEN 'fast' THEN 'fast' WHEN 'filter' THEN 'filter'
+           WHEN 'group' THEN 'group' WHEN 'hash' THEN 'hash'
+           WHEN 'join' THEN 'join' WHEN 'key' THEN 'kei'
+           WHEN 'line' THEN 'line' WHEN 'merge' THEN 'merg'
+           WHEN 'order' THEN 'order' WHEN 'part' THEN 'part'
+           WHEN 'query' THEN 'queri' WHEN 'row' THEN 'row'
+           WHEN 'scan' THEN 'scan' WHEN 'slow' THEN 'slow'
+           WHEN 'small' THEN 'small' WHEN 'sort' THEN 'sort'
+           WHEN 'spark' THEN 'spark' WHEN 'stream' THEN 'stream'
+           WHEN 'table' THEN 'tabl' WHEN 'the' THEN 'the'
+           WHEN 'value' THEN 'valu' WHEN 'vector' THEN 'vector'
+           WHEN 'window' THEN 'window' ELSE NULL END AS stem
+         FROM tok GROUP BY w ORDER BY w""",
+
+    // q229: FULL JOIN with the same -1 null masks
+    "q229_full_outer" ->
+      """WITH a AS (SELECT c_custkey AS k, round(c_acctbal, 2) AS bal
+           FROM customer WHERE c_custkey % 2 = 0),
+         b AS (SELECT k, n_orders FROM (
+             SELECT o_custkey AS k, count(*) AS n_orders
+             FROM orders GROUP BY o_custkey)
+           WHERE k % 3 = 0)
+         SELECT coalesce(a.k, b.k) AS k, coalesce(bal, -1.0) AS bal,
+           coalesce(n_orders, -1) AS n_orders
+         FROM a FULL JOIN b ON a.k = b.k ORDER BY k""",
+
+    // q230: identical integer sums and the two mirrored float chains
+    "q230_exact_variance" ->
+      s"""WITH $qualityScorePosCtes,
+         v AS (SELECT d.source, CAST(round(sc * 1000000) AS BIGINT) AS v
+           FROM q JOIN documents d USING (doc_id) WHERE sc IS NOT NULL)
+         SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+           CAST(sum(v * v) AS BIGINT) AS svv,
+           CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+             AS var_num,
+           round(CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                * 1e12), 6) AS var_r,
+           round(sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)
+               AS DOUBLE)) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
+             AS std_r
+         FROM v GROUP BY source ORDER BY source"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

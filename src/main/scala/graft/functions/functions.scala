@@ -196,6 +196,10 @@ package object functions {
   def redact_cards(c: Column): Column =
     Bridge.column(RedactCards(Bridge.expression(c)))
 
+  /** Classic Porter stem of a lowercase token. */
+  def porter_stem(c: Column): Column =
+    Bridge.column(PorterStem(Bridge.expression(c)))
+
   /** struct(n_runs, n_valid): candidate card runs and Luhn survivors. */
   def card_run_stats(c: Column): Column =
     Bridge.column(CardRunStats(Bridge.expression(c)))
@@ -254,6 +258,7 @@ package object functions {
         JaroWinklerSimilarity(exprs(0), exprs(1))),
       "damerau_levenshtein" -> (exprs =>
         DamerauLevenshtein(exprs(0), exprs(1))),
+      "porter_stem" -> (exprs => PorterStem(exprs(0))),
       "bit_length64" -> (exprs => BitLength64(exprs(0))),
       "hll_sketch" -> (exprs =>
         HllSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),

@@ -618,8 +618,9 @@ object Evaluate {
     * for n up to ~10⁶ rows per group), and each coefficient is ONE
     * float division — layout-invariant, HUGEINT-replayable. Center x
     * upstream (e.g. bucket − min) to satisfy the guard. Singular
-    * groups (constant x, or f constant) yield null coefficients.
-    * Returns (group…, n, det, nb0, nb1, nb2, b0, b1, b2). */
+    * groups (constant x, or f constant) yield null coefficients;
+    * rows with flag outside {0, 1} or null inputs drop (by documented
+    * rule). Returns (group…, n, det, nb0, nb1, nb2, b0, b1, b2). */
   def olsDummyPoints(df: DataFrame, groupCols: Seq[String], x: Column,
       flag: Column, y: Column): DataFrame = {
     val g = df.select(groupCols.map(col) :+ x.cast("long").as("_x") :+
@@ -1267,8 +1268,8 @@ object Evaluate {
     m.agg(transform(sort_array(collect_list(struct(col("rep"), col("mean")))),
         p => p.getField("mean")).as("ms"))
       .select(size(col("ms")).cast("long").as("b_used"), col("ms"))
-      .withColumn("grand_mean",
-        aggregate(col("ms"), lit(0.0), (acc, x) => acc + x) / col("b_used"))
+      .withColumn("grand_mean", when(col("b_used") > 0,
+        aggregate(col("ms"), lit(0.0), (acc, x) => acc + x) / col("b_used")))
       .withColumn("ss", aggregate(col("ms"), lit(0.0),
         (acc, x) => acc + (x - col("grand_mean")) * (x - col("grand_mean"))))
       .select(col("b_used"), col("grand_mean"),
@@ -1296,8 +1297,10 @@ object Evaluate {
     * Scale contract: one groupBy collapses to distinct durations, then
     * per-group arrays of that size (quantize durations — days, not ns —
     * upstream; the q157 bounded-grid rule). `event` must be 0
-    * (censored) or 1; negative/null durations drop. Returns one row
-    * per (group…, t): n_risk, d, c, surv. */
+    * (censored) or 1; negative/null durations AND events outside
+    * {0, 1} drop (by documented rule — validate upstream if a bad
+    * event flag should be an error). Returns one row per
+    * (group…, t): n_risk, d, c, surv. */
   def kaplanMeier(df: DataFrame, groupCols: Seq[String], duration: Column,
       event: Column): DataFrame = {
     val base = df.select(groupCols.map(col) :+

@@ -345,7 +345,9 @@ object Graph {
     * are exact integers (d_c² summed in Decimal(38,0) — overflow-free
     * at any scale); q is the ONE float chain. Edges with an unlabeled
     * endpoint are dropped (document-don't-guess rule); duplicate /
-    * reversed / self-loop pairs are collapsed first.
+    * reversed / self-loop pairs are collapsed first. `labels` must
+    * carry ONE row per node — duplicate label rows would multiply the
+    * joined edges and inflate every count.
     *
     * Scale shape: two id-keyed label joins + three aggregations —
     * no iteration, no windows. Returns one row
