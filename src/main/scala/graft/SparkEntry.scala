@@ -3072,6 +3072,21 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // Stemmed BM25 retrieval: the q228 stemmer plumbed into the q26
+  // chain. The query carries INFLECTED forms ("querying tables merges")
+  // that appear NOWHERE in the corpus — surface-form BM25 returns zero
+  // rows; only the stem collapse (queri/tabl/merg on both sides)
+  // produces matches. The oracle stems corpus tokens via the q228
+  // hand-derived CASE map (non-fixed-point words listed; all other
+  // vocab words are gate-verified stem fixed points) and replays the
+  // same BM25 statistics over stems.
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    TextSearch.bm25Stemmed(t(s, dir, "documents"), "doc_id", "text",
+        "querying tables merges")
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3595,7 +3610,8 @@ object SparkEntry {
     "q227_attribution" -> (q227 _),
     "q228_porter_stem" -> (q228 _),
     "q229_full_outer" -> (q229 _),
-    "q230_exact_variance" -> (q230 _))
+    "q230_exact_variance" -> (q230 _),
+    "q231_stemmed_search" -> (q231 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8611,7 +8627,38 @@ object SparkEntry {
            round(sqrt(CAST(count(*) * sum(v * v) - sum(v) * sum(v)
                AS DOUBLE)) / (CAST(count(*) AS DOUBLE) * 1e6), 6)
              AS std_r
-         FROM v GROUP BY source ORDER BY source"""
+         FROM v GROUP BY source ORDER BY source""",
+
+    // q231: q26's BM25 chain over STEMS. The CASE lists exactly the
+    // vocab words whose Porter stem differs from the surface form (the
+    // q228 hand table); every other vocab word is a q228-verified stem
+    // fixed point, so ELSE w is exact. Query stems: querying→queri,
+    // tables→tabl, merges→merg — zero surface-form hits by design.
+    "q231_stemmed_search" ->
+      """WITH tok0 AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) w FROM documents),
+         tok AS (SELECT doc_id, CASE w
+             WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+             WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+             WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+             ELSE w END tok FROM tok0),
+         dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY 1),
+         stats AS (SELECT avg(dl) avgdl,
+           (SELECT count(*) FROM documents) n FROM dl),
+         tf AS (SELECT doc_id, tok, count(*) tf FROM tok
+                WHERE tok IN ('queri','tabl','merg') GROUP BY 1,2),
+         dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id,
+           sum( ln((stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0)
+              * tf.tf*(1.2+1)
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ) score
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+           GROUP BY 1)
+         SELECT doc_id, round(score,4) AS score FROM sc
+         ORDER BY score DESC, doc_id LIMIT 20"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{PorterStemmer, TextFunctions}
 
 /** Full-text search over the `text` column — the reference's
   * `find(query_text)` (reference: docarray/array/mixins/find.py:147-156,
@@ -22,9 +22,34 @@ object TextSearch {
   def bm25(docs: DataFrame, idCol: String, textCol: String, query: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    bm25Core(docs, idCol, textCol, qTokens, identity, k1, b)
+  }
+
+  /** BM25 over Porter-STEMMED terms — inflection-robust retrieval: query
+    * and corpus surface forms collapse to shared stems BEFORE tf/df/
+    * scoring, so "querying tables" matches docs saying "query"/"table"
+    * (which plain [[bm25]] misses entirely). One stemmer serves both
+    * sides: the in-plan codegen scalar `porter_stem` for corpus tokens
+    * and the same [[PorterStemmer.stem]] driver-side for the handful of
+    * query terms. Statistics chain identical to [[bm25]]. */
+  def bm25Stemmed(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTokens = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      .map(PorterStemmer.stem).distinct.toSeq
+    bm25Core(docs, idCol, textCol, qTokens,
+      t => graft.functions.porter_stem(t), k1, b)
+  }
+
+  /** Shared BM25 chain; `analyze` maps each exploded token (identity for
+    * surface-form search, `porter_stem` for stemmed). Doc length counts
+    * analyzed tokens — for per-token maps the count is unchanged. */
+  private def bm25Core(docs: DataFrame, idCol: String, textCol: String,
+      qTokens: Seq[String], analyze: Column => Column,
+      k1: Double, b: Double): DataFrame = {
 
     val toks = docs.select(col(idCol).as("_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("_tok"))
+        explode(TextFunctions.tokens(col(textCol))).as("_raw"))
+      .select(col("_id"), analyze(col("_raw")).as("_tok"))
 
     val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
     val stats = dl.agg(avg("_dl").as("_avgdl"), count(lit(1)).as("_n"))

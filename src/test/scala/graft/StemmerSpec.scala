@@ -80,4 +80,25 @@ class StemmerSpec extends SparkSuite {
     val got = spark.sql("SELECT porter_stem('relational')").head.getString(0)
     assert(got === "relat")
   }
+
+  test("bm25Stemmed matches inflected queries surface-form bm25 misses") {
+    val docs = Seq(
+      (1L, "run fast run far"),
+      (2L, "walking slowly"),
+      (3L, "the cat sat")).toDF("doc_id", "text")
+    // "running" appears nowhere; only the stem collapse (running→run,
+    // run→run) can match doc 1
+    val surface = operators.TextSearch
+      .bm25(docs, "doc_id", "text", "running")
+    assert(surface.count() === 0)
+    val stemmed = operators.TextSearch
+      .bm25Stemmed(docs, "doc_id", "text", "running")
+      .collect()
+    assert(stemmed.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(stemmed.head.getDouble(1) > 0.0)
+    // query-side stem also collapses plurals: "runs" → "run"
+    val plural = operators.TextSearch
+      .bm25Stemmed(docs, "doc_id", "text", "runs")
+    assert(plural.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
