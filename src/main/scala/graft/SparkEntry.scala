@@ -3087,6 +3087,21 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
 
+  // Soundex phonetic coding (native `soundex` — NARA-probed: the
+  // published Robert/Rupert=R163, Ashcraft=A261 h/w-transparency,
+  // Pfister=P236 first-letter, Tymczak=T522 vowel-separator examples
+  // all reproduce): the blocking key a linkage pipeline (q220) hangs
+  // expensive pairwise comparators on. Oracle carries HAND-DERIVED
+  // codes for the corpus vocabulary (computed on paper from the NARA
+  // rule table, then cross-checked against the engine — both sides
+  // agree on all 31); ELSE NULL fails loudly on future vocab drift.
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("sx", soundex(col("w")))
+      .orderBy("w")
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3611,7 +3626,8 @@ object SparkEntry {
     "q228_porter_stem" -> (q228 _),
     "q229_full_outer" -> (q229 _),
     "q230_exact_variance" -> (q230 _),
-    "q231_stemmed_search" -> (q231 _))
+    "q231_stemmed_search" -> (q231 _),
+    "q232_soundex" -> (q232 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8658,7 +8674,36 @@ object SparkEntry {
                 CROSS JOIN stats
            GROUP BY 1)
          SELECT doc_id, round(score,4) AS score FROM sc
-         ORDER BY score DESC, doc_id LIMIT 20"""
+         ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // q232: every code below derived BY HAND from the published NARA
+    // soundex rule table (letter groups 1-6, vowels separate, h/w
+    // transparent, first-letter duplicate suppression — e.g. scan:
+    // c repeats the first letter's code 2 adjacently so it drops,
+    // S500; batch: h transparent after c=2, B320; column: m,n collapse
+    // to one 5, C450). ELSE NULL: unlisted vocab must fail the gate.
+    "q232_soundex" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS w FROM documents)
+         SELECT w, count(*) AS n, CASE w
+           WHEN 'a' THEN 'A000' WHEN 'agg' THEN 'A200'
+           WHEN 'batch' THEN 'B320' WHEN 'big' THEN 'B200'
+           WHEN 'column' THEN 'C450' WHEN 'customer' THEN 'C235'
+           WHEN 'data' THEN 'D300' WHEN 'dup' THEN 'D100'
+           WHEN 'fast' THEN 'F230' WHEN 'filter' THEN 'F436'
+           WHEN 'group' THEN 'G610' WHEN 'hash' THEN 'H200'
+           WHEN 'join' THEN 'J500' WHEN 'key' THEN 'K000'
+           WHEN 'line' THEN 'L500' WHEN 'merge' THEN 'M620'
+           WHEN 'order' THEN 'O636' WHEN 'part' THEN 'P630'
+           WHEN 'query' THEN 'Q600' WHEN 'row' THEN 'R000'
+           WHEN 'scan' THEN 'S500' WHEN 'slow' THEN 'S400'
+           WHEN 'small' THEN 'S540' WHEN 'sort' THEN 'S630'
+           WHEN 'spark' THEN 'S162' WHEN 'stream' THEN 'S365'
+           WHEN 'table' THEN 'T140' WHEN 'the' THEN 'T000'
+           WHEN 'value' THEN 'V400' WHEN 'vector' THEN 'V236'
+           WHEN 'window' THEN 'W530' ELSE NULL END AS sx
+         FROM tok GROUP BY w ORDER BY w"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
