@@ -3102,6 +3102,21 @@ object SparkEntry {
       .withColumn("sx", soundex(col("w")))
       .orderBy("w")
 
+  // Mann–Whitney rank-sum (Evaluate.mannWhitneyU): the LOCATION drift
+  // test beside q131's KS — token counts (a tight grid, so the tie
+  // correction carries real weight), en vs non-en. r1x2/u1x2/tie_cube
+  // gated as exact integers; z one mirrored float chain.
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .withColumn("_ntok", size(TextFunctions.tokens(col("text"))))
+    Evaluate.mannWhitneyU(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        col("_ntok"))
+      .select(col("n1"), col("n2"), col("r1x2"), col("u1x2"),
+        col("tie_cube").cast("long").as("tie_cube"),
+        round(col("z"), 6).as("z_r"))
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3627,7 +3642,8 @@ object SparkEntry {
     "q229_full_outer" -> (q229 _),
     "q230_exact_variance" -> (q230 _),
     "q231_stemmed_search" -> (q231 _),
-    "q232_soundex" -> (q232 _))
+    "q232_soundex" -> (q232 _),
+    "q233_mann_whitney" -> (q233 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8703,7 +8719,34 @@ object SparkEntry {
            WHEN 'table' THEN 'T140' WHEN 'the' THEN 'T000'
            WHEN 'value' THEN 'V400' WHEN 'vector' THEN 'V236'
            WHEN 'window' THEN 'W530' ELSE NULL END AS sx
-         FROM tok GROUP BY w ORDER BY w"""
+         FROM tok GROUP BY w ORDER BY w""",
+
+    // q233: tie-average doubled ranks replayed with a window (fine in
+    // the oracle), exact integer sums, then the identical no-continuity
+    // z chain: (2U1 - n1*n2) / (2*sqrt((n1*n2/12)*((n+1) - T/(n(n-1)))))
+    "q233_mann_whitney" ->
+      """WITH pool AS (SELECT
+           len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS v,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s
+         FROM documents WHERE text IS NOT NULL),
+         cnt AS (SELECT v, count(*) t, sum(s) c1 FROM pool GROUP BY v),
+         rk AS (SELECT v, t, c1,
+             2*(sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM cnt),
+         ag AS (SELECT CAST(sum(c1) AS BIGINT) n1,
+             CAST(sum(t - c1) AS BIGINT) n2,
+             CAST(sum(c1 * r2) AS BIGINT) r1x2,
+             CAST(sum(t*t*t - t) AS BIGINT) tie_cube FROM rk)
+         SELECT n1, n2, r1x2,
+           CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2, tie_cube,
+           round((CAST(r1x2 - n1*(n1+1) AS DOUBLE)
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - CAST(tie_cube AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6) AS z_r
+         FROM ag"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

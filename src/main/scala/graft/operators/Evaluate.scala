@@ -272,6 +272,54 @@ object Evaluate {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** Exact tie-corrected Mann–Whitney U (Wilcoxon rank-sum) over an
+    * integer measure — the LOCATION companion of [[ksTest2]]: KS asks
+    * "did the distribution change shape anywhere", rank-sum asks "did
+    * one slice shift systematically higher" (is the new crawl's doc
+    * length stochastically larger?), robust to outliers where a mean
+    * test is not.
+    *
+    * All statistics are exact integers on the [[spearmanExact]] doubled
+    * tie-average-rank rule (2·gmin + t + 1 per distinct value from
+    * [[GroupOps.globalOrderIndex]] — range partition + zipWithIndex,
+    * never a 1-partition sort): `r1x2` = 2·ΣR₁ (exact while ~2n² < 2⁶³,
+    * n ≲ 2·10⁹), `u1x2` = 2·U₁ = r1x2 − n₁(n₁+1), and the tie term
+    * Σ(t³−t) accumulates in Decimal(38,0) (a single hot value's t³
+    * overflows a long past t ~ 2·10⁶). z is ONE fixed-order float
+    * chain over the normal approximation with the tie-corrected
+    * variance and NO continuity correction (document-don't-guess;
+    * [[mannKendall]] is the continuity-corrected one): z = (2U₁ −
+    * n₁n₂) / (2·σ), σ² = (n₁n₂/12)·((n+1) − Σ(t³−t)/(n(n−1))); null
+    * when either side is empty or σ² ≤ 0 (all values tied).
+    *
+    * Returns one row: (n1, n2, r1x2, u1x2, tie_cube decimal, z). */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def side(df: DataFrame, s: Int): DataFrame =
+      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+        .withColumn("_s", lit(s))
+    val pooled = side(a, 1).unionByName(side(b, 0))
+    val perV = GroupOps.globalOrderIndex(pooled, "_gi", col("_v"))
+      .groupBy("_v").agg(
+        (lit(2L) * min("_gi") + count(lit(1)) + 1L).as("_r2"),
+        count(lit(1)).as("_t"),
+        sum(col("_s").cast("long")).as("_c1"))
+    val agg = perV.agg(
+      coalesce(sum("_c1"), lit(0L)).as("n1"),
+      coalesce(sum(col("_t") - col("_c1")), lit(0L)).as("n2"),
+      coalesce(sum(col("_c1") * col("_r2")), lit(0L)).as("r1x2"),
+      coalesce(sum((col("_t") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("tie_cube"))
+      .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1L))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val sigma2 = (n1d * n2d / 12.0) *
+      ((nd + 1.0) - col("tie_cube").cast("double") / (nd * (nd - 1.0)))
+    agg.withColumn("z",
+      when(col("n1") > 0L && col("n2") > 0L && sigma2 > 0.0,
+        (col("u1x2").cast("double") - n1d * n2d) / (lit(2.0) * sqrt(sigma2)))
+        .otherwise(lit(null).cast("double")))
+  }
+
   /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
     * integer measure — [[ksTest2]]'s integral twin: where KS reports the
     * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,

@@ -69,6 +69,40 @@ class BleuSpec extends SparkSuite {
     assert(rep.getLong(2) === 8L && rep.getLong(3) === 2L)
   }
 
+  test("mannWhitneyU: hand cases (tied and untied), symmetry, degenerate null, layout-proof") {
+    // no ties: a=[1,2] b=[3,4] -> doubled ranks 2,4,6,8; 2R1=6, 2U1=0;
+    // z = (0 - 4) / (2*sqrt((4/12)*5)) = -1.549193...
+    val a = Seq(1L, 2L).toDF("v"); val b = Seq(3L, 4L).toDF("v")
+    val r = Evaluate.mannWhitneyU(a, b, col("v")).head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 6L && r.getLong(4) === 0L)
+    assert(math.abs(r.getDouble(5) - (-4.0 / (2.0 * math.sqrt(5.0 / 3.0)))) < 1e-12)
+
+    // ties: a=[1,1,2] b=[1,3] -> v=1 doubled midrank 4 (avg rank 2),
+    // v=2 -> 8, v=3 -> 10; 2R1 = 2*4+8 = 16, 2U1 = 16 - 12 = 4,
+    // T = 3^3-3 = 24; sigma^2 = (6/12)*(6 - 24/20) = 2.4
+    val at = Seq(1L, 1L, 2L).toDF("v"); val bt = Seq(1L, 3L).toDF("v")
+    val rt = Evaluate.mannWhitneyU(at, bt, col("v")).head
+    assert(rt.getLong(2) === 16L && rt.getLong(4) === 4L)
+    assert(rt.getDecimal(3).longValueExact() === 24L)
+    assert(math.abs(rt.getDouble(5) - (4.0 - 6.0) / (2.0 * math.sqrt(2.4))) < 1e-12)
+
+    // symmetry: swapping sides negates z (same tie structure)
+    val rs = Evaluate.mannWhitneyU(bt, at, col("v")).head
+    assert(math.abs(rs.getDouble(5) + rt.getDouble(5)) < 1e-12)
+
+    // all values tied -> sigma^2 = 0 -> null z; empty side -> null z
+    val c = Seq(5L, 5L).toDF("v")
+    assert(Evaluate.mannWhitneyU(c, c, col("v")).head.isNullAt(5))
+    assert(Evaluate.mannWhitneyU(a, b.where(col("v") < 0L), col("v"))
+      .head.isNullAt(5))
+
+    // layout invariance: repartition changes nothing
+    val rp = Evaluate.mannWhitneyU(at.repartition(4), bt.repartition(3),
+      col("v")).head
+    assert(rp.getLong(2) === 16L && rp.getLong(4) === 4L)
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
