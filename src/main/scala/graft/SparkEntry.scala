@@ -3117,6 +3117,19 @@ object SparkEntry {
         round(col("z"), 6).as("z_r"))
   }
 
+  // Kruskal–Wallis H (Evaluate.kruskalWallis): one k-sample location
+  // test across ALL langs over token counts. Integer core gated
+  // (n, k, tie_cube); h and the tie-corrected h_c are the mirrored
+  // sorted-fold float chains.
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    Evaluate.kruskalWallis(d, col("lang"),
+        size(TextFunctions.tokens(col("text"))))
+      .select(col("n"), col("k"),
+        col("tie_cube").cast("long").as("tie_cube"),
+        round(col("h"), 6).as("h_r"), round(col("h_c"), 6).as("hc_r"))
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3643,7 +3656,8 @@ object SparkEntry {
     "q230_exact_variance" -> (q230 _),
     "q231_stemmed_search" -> (q231 _),
     "q232_soundex" -> (q232 _),
-    "q233_mann_whitney" -> (q233 _))
+    "q233_mann_whitney" -> (q233 _),
+    "q234_kruskal_wallis" -> (q234 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8746,7 +8760,39 @@ object SparkEntry {
                   - CAST(tie_cube AS DOUBLE)
                     / (CAST(n1 + n2 AS DOUBLE)
                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6) AS z_r
-         FROM ag"""
+         FROM ag""",
+
+    // q234: the same pooled doubled ranks; per-group exact 2*R_g; the
+    // k float contributions folded in ORDER BY g via list_reduce (the
+    // left fold from 0.0 equals the no-init fold: 0.0 + x1 == x1).
+    "q234_kruskal_wallis" ->
+      """WITH pool AS (SELECT lang AS g,
+           len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS v
+         FROM documents WHERE text IS NOT NULL),
+         cnt AS (SELECT v, count(*) t FROM pool GROUP BY v),
+         rk AS (SELECT v, t,
+             2*(sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM cnt),
+         pg AS (SELECT g, CAST(sum(c) AS BIGINT) ng,
+             CAST(sum(c * r2) AS BIGINT) r2g
+           FROM (SELECT g, v, count(*) c FROM pool GROUP BY g, v) gv
+           JOIN rk USING (v) GROUP BY g),
+         tots AS (SELECT CAST(sum(t) AS BIGINT) n,
+             CAST(sum(t*t*t - t) AS BIGINT) tie FROM cnt),
+         fs AS (SELECT list_reduce(
+             (SELECT list(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g) FROM pg),
+             (a, b) -> a + b) AS s,
+           (SELECT count(*) FROM pg) AS k)
+         SELECT n, CAST(k AS BIGINT) AS k, tie AS tie_cube,
+           round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_r,
+           round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(n AS DOUBLE))), 6) AS hc_r
+         FROM tots, fs"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

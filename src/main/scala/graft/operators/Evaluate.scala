@@ -320,6 +320,65 @@ object Evaluate {
         .otherwise(lit(null).cast("double")))
   }
 
+  /** Exact tie-corrected Kruskal–Wallis H over an integer measure —
+    * [[mannWhitneyU]]'s k-sample extension (one test across ALL slices:
+    * "does doc length differ by language", not k² pairwise tests; the
+    * ordinal companion of [[LangModel.termClassChi2]]'s categorical
+    * association).
+    *
+    * The data-sized work is exact-integer: pooled doubled tie-average
+    * ranks ([[GroupOps.globalOrderIndex]]), per-(group, value) counts,
+    * per-group 2·R_g sums (exact while ~2n² < 2⁶³), and the tie term
+    * Σ(t³−t) in Decimal(38,0). The k per-group float contributions
+    * R_g²/n_g are folded in SORTED group order over a collected k-row
+    * array (k = #groups, bounded; the q201 deterministic-fold rule —
+    * a plain groupBy sum of doubles is partial-agg-order-dependent at
+    * the ulp), so H = 12/(n(n+1))·ΣR_g²/n_g − 3(n+1) and the
+    * tie-corrected H_c = H/(1 − ΣT/(n³−n)) are layout-invariant and
+    * engine-replayable. Null H_c when the correction denominator ≤ 0
+    * (all values tied); null H when n = 0 or k < 2.
+    *
+    * Returns one row: (n, k, tie_cube decimal, h, h_c). */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("_g"), value.cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+    val ranks = GroupOps.globalOrderIndex(base.select(col("_v")), "_gi",
+        col("_v"))
+      .groupBy("_v").agg(
+        (lit(2L) * min("_gi") + count(lit(1)) + 1L).as("_r2"),
+        count(lit(1)).as("_t"))
+    val perG = base.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+      .join(ranks, Seq("_v"))
+      .groupBy("_g").agg(sum("_c").as("_ng"),
+        sum(col("_c") * col("_r2")).as("_r2g"))
+    val tots = ranks.agg(
+      coalesce(sum("_t"), lit(0L)).as("n"),
+      coalesce(sum((col("_t") * col("_t") * col("_t") - col("_t"))
+          .cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("tie_cube"))
+    val folded = perG.agg(
+      sort_array(collect_list(struct(col("_g"), col("_r2g"), col("_ng"))))
+        .as("_gs"))
+    val nd = col("n").cast("double")
+    val s = aggregate(col("_gs"), lit(0.0), (acc, x) =>
+      acc + x.getField("_r2g").cast("double") *
+        x.getField("_r2g").cast("double") /
+        (lit(4.0) * x.getField("_ng").cast("double")))
+    val h = lit(12.0) / (nd * (nd + 1.0)) * col("_s") - lit(3.0) * (nd + 1.0)
+    val corr = lit(1.0) -
+      col("tie_cube").cast("double") / (nd * nd * nd - nd)
+    folded.crossJoin(tots)
+      .withColumn("k", size(col("_gs")).cast("long"))
+      .withColumn("_s", s)
+      .withColumn("h",
+        when(col("n") > 0L && col("k") >= 2L, h)
+          .otherwise(lit(null).cast("double")))
+      .withColumn("h_c",
+        when(col("h").isNotNull && corr > 0.0, col("h") / corr)
+          .otherwise(lit(null).cast("double")))
+      .select(col("n"), col("k"), col("tie_cube"), col("h"), col("h_c"))
+  }
+
   /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
     * integer measure — [[ksTest2]]'s integral twin: where KS reports the
     * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,

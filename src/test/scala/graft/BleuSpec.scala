@@ -103,6 +103,41 @@ class BleuSpec extends SparkSuite {
     assert(rp.getLong(2) === 16L && rp.getLong(4) === 4L)
   }
 
+  test("kruskalWallis: hand case, two-group MW consistency, all-tied null, layout-proof") {
+    // untied hand case: a=[1,2] b=[3,4] c=[5,6]; ranks 1..6;
+    // R = 3, 7, 11; S = (9+49+121)/2 = 89.5; H = 12/42*89.5 - 21
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val r = Evaluate.kruskalWallis(df, col("g"), col("v")).head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L)
+    assert(r.getDecimal(2).longValueExact() === 0L)
+    val hWant = 12.0 / 42.0 * 89.5 - 21.0
+    assert(math.abs(r.getDouble(3) - hWant) < 1e-12)
+    assert(r.getDouble(4) === r.getDouble(3)) // no ties -> corr = 1
+
+    // two groups: H equals z^2 from mannWhitneyU (tied case from above:
+    // z = -2/(2*sqrt(2.4)) -> z^2 = 4/9.6)
+    val two = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("y", 1L), ("y", 3L))
+      .toDF("g", "v")
+    val kw = Evaluate.kruskalWallis(two, col("g"), col("v")).head
+    val z = Evaluate.mannWhitneyU(
+      two.where(col("g") === "x").select(col("v")),
+      two.where(col("g") === "y").select(col("v")), col("v"))
+      .head.getDouble(5)
+    assert(math.abs(kw.getDouble(4) - z * z) < 1e-9)
+
+    // all values tied -> correction denominator 0 -> h_c null
+    val tied = Seq(("a", 7L), ("b", 7L), ("a", 7L)).toDF("g", "v")
+    assert(Evaluate.kruskalWallis(tied, col("g"), col("v")).head.isNullAt(4))
+
+    // one group -> h null
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Evaluate.kruskalWallis(one, col("g"), col("v")).head.isNullAt(3))
+
+    val rp = Evaluate.kruskalWallis(df.repartition(5), col("g"), col("v")).head
+    assert(rp.getDouble(3) === r.getDouble(3))
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
