@@ -3130,6 +3130,19 @@ object SparkEntry {
         round(col("h"), 6).as("h_r"), round(col("h_c"), 6).as("hc_r"))
   }
 
+  // Cohen's kappa (Evaluate.cohensKappa): chance-corrected agreement of
+  // the q34/q200 langID prediction with the gold lang label — exact
+  // integer numerator/denominator, kappa one mirrored division.
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    Evaluate.cohensKappa(
+        t(s, dir, "documents").select(col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred")),
+        col("lang"), col("lang_pred"))
+      .select(col("n"), col("agree"),
+        col("kappa_num").cast("long").as("kappa_num"),
+        col("kappa_den").cast("long").as("kappa_den"),
+        round(col("kappa"), 6).as("kappa_r"))
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3657,7 +3670,8 @@ object SparkEntry {
     "q231_stemmed_search" -> (q231 _),
     "q232_soundex" -> (q232 _),
     "q233_mann_whitney" -> (q233 _),
-    "q234_kruskal_wallis" -> (q234 _))
+    "q234_kruskal_wallis" -> (q234 _),
+    "q235_cohens_kappa" -> (q235 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -7850,38 +7864,7 @@ object SparkEntry {
 
     // q200: the q34 predictor chain cross-tabbed vs the lang column
     "q200_langid_confusion" ->
-      """WITH t AS (SELECT doc_id, text,
-           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
-           FROM documents),
-         s AS (SELECT doc_id, text,
-           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
-             ('the','a','an','and','or','of','to','in','is','are','was','for',
-              'on','with','as','by','at','it','this','that','be','from')))*1.0
-             /len(tok) END s_en,
-           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
-             ('le','la','les','de','des','du','un','une','et','ou','est','sont',
-              'pour','dans','par','sur','avec','ce','que','qui','au','aux')))*1.0
-             /len(tok) END s_fr,
-           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
-             ('der','die','das','und','oder','ist','sind','ein','eine','zu',
-              'von','mit','auf','für','im','den','dem','nicht','sich','auch')))*1.0
-             /len(tok) END s_de,
-           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
-             ('el','la','los','las','de','del','un','una','y','o','es','son',
-              'para','en','por','con','que','se','no','al')))*1.0
-             /len(tok) END s_es
-           FROM t),
-         f AS (SELECT doc_id, text, s_en, s_fr, s_de, s_es,
-           CASE WHEN s_fr > s_en THEN s_fr ELSE s_en END b1s,
-           CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END b1l FROM s),
-         g AS (SELECT *, CASE WHEN s_de > b1s THEN s_de ELSE b1s END b2s,
-           CASE WHEN s_de > b1s THEN 'de' ELSE b1l END b2l FROM f),
-         h AS (SELECT *, CASE WHEN s_es > b2s THEN s_es ELSE b2s END b3s,
-           CASE WHEN s_es > b2s THEN 'es' ELSE b2l END b3l FROM g),
-         pred AS (SELECT doc_id,
-           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
-           FROM h)
+      s"""WITH $langIdPredCtes
          SELECT d.lang, p.lang_pred, count(*) AS n
          FROM pred p JOIN documents d USING (doc_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -8792,7 +8775,29 @@ object SparkEntry {
              / (1.0 - CAST(tie AS DOUBLE)
                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                   - CAST(n AS DOUBLE))), 6) AS hc_r
-         FROM tots, fs"""
+         FROM tots, fs""",
+
+    // q235: kappa = (n*agree - S)/(n^2 - S), S = sum of the marginal
+    // products — exact HUGEINT-side integers, one mirrored division.
+    "q235_cohens_kappa" ->
+      s"""WITH $langIdPredCtes,
+         pair AS (SELECT d.lang AS a, p.lang_pred AS b
+           FROM pred p JOIN documents d USING (doc_id)
+           WHERE d.lang IS NOT NULL AND p.lang_pred IS NOT NULL),
+         tot AS (SELECT CAST(count(*) AS BIGINT) n,
+           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) agree
+           FROM pair),
+         ra AS (SELECT a AS c, count(*) ra FROM pair GROUP BY a),
+         rb AS (SELECT b AS c, count(*) rb FROM pair GROUP BY b),
+         sm AS (SELECT coalesce(CAST(sum(ra * rb) AS BIGINT), 0) s
+           FROM ra JOIN rb USING (c))
+         SELECT n, agree,
+           CAST(n * agree - s AS BIGINT) AS kappa_num,
+           CAST(n * n - s AS BIGINT) AS kappa_den,
+           CASE WHEN n * n - s <> 0 THEN
+             round(CAST(n * agree - s AS DOUBLE)
+               / CAST(n * n - s AS DOUBLE), 6) END AS kappa_r
+         FROM tot, sm"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -8928,6 +8933,43 @@ object SparkEntry {
     * recursive min-label reach), ending in `reach(id, r)` — shared by
     * q53 (clusters) and q133 (cluster-safe split); text identical to
     * the original q53 inline form. Callers prefix WITH RECURSIVE. */
+  /** q200/q235's oracle core: the full langId n-gram-heuristic replay
+    * (stopword scores per language, argmax cascade, CJK override,
+    * 'und' floor) ending in `pred(doc_id, lang_pred)`. */
+  private val langIdPredCtes: String =
+    """t AS (SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok
+           FROM documents),
+         s AS (SELECT doc_id, text,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('the','a','an','and','or','of','to','in','is','are','was','for',
+              'on','with','as','by','at','it','this','that','be','from')))*1.0
+             /len(tok) END s_en,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('le','la','les','de','des','du','un','une','et','ou','est','sont',
+              'pour','dans','par','sur','avec','ce','que','qui','au','aux')))*1.0
+             /len(tok) END s_fr,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('der','die','das','und','oder','ist','sind','ein','eine','zu',
+              'von','mit','auf','für','im','den','dem','nicht','sich','auch')))*1.0
+             /len(tok) END s_de,
+           CASE WHEN len(tok)=0 THEN 0.0 ELSE len(list_filter(tok, x -> x IN
+             ('el','la','los','las','de','del','un','una','y','o','es','son',
+              'para','en','por','con','que','se','no','al')))*1.0
+             /len(tok) END s_es
+           FROM t),
+         f AS (SELECT doc_id, text, s_en, s_fr, s_de, s_es,
+           CASE WHEN s_fr > s_en THEN s_fr ELSE s_en END b1s,
+           CASE WHEN s_fr > s_en THEN 'fr' ELSE 'en' END b1l FROM s),
+         g AS (SELECT *, CASE WHEN s_de > b1s THEN s_de ELSE b1s END b2s,
+           CASE WHEN s_de > b1s THEN 'de' ELSE b1l END b2l FROM f),
+         h AS (SELECT *, CASE WHEN s_es > b2s THEN s_es ELSE b2s END b3s,
+           CASE WHEN s_es > b2s THEN 'es' ELSE b2l END b3l FROM g),
+         pred AS (SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                WHEN b3s <= 0.0 THEN 'und' ELSE b3l END AS lang_pred
+           FROM h)"""
+
   private val dupClusterCtes: String =
     """t AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), x -> x <> '') tok

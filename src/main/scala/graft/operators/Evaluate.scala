@@ -379,6 +379,42 @@ object Evaluate {
       .select(col("n"), col("k"), col("tie_cube"), col("h"), col("h_c"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (annotator vs annotator, classifier vs
+    * gold: "is the langID right beyond what marginal guessing earns").
+    * FULLY exact: with S = Σ_c rowMarginal_c · colMarginal_c,
+    * κ = (n·agree − S) / (n² − S) — numerator and denominator are exact
+    * Decimal(38,0) integers (products reach n², past long at n ~ 3·10⁹),
+    * κ is ONE division. Null rows drop; κ null when the denominator is 0
+    * (both sides constant and equal — agreement is vacuous).
+    *
+    * Scale shape: one count agg + two marginal aggs + a category-keyed
+    * join of two ≤|categories|-row frames — no windows, no collect.
+    * Returns one row: (n, agree, kappa_num, kappa_den, kappa). */
+  def cohensKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.select(a.cast("string").as("_a"), b.cast("string").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+    val ra = base.groupBy(col("_a").as("_c")).agg(count(lit(1)).as("_ra"))
+    val rb = base.groupBy(col("_b").as("_c")).agg(count(lit(1)).as("_rb"))
+    val sm = ra.join(rb, Seq("_c")) // categories on one side only add 0
+      .agg(coalesce(sum((col("_ra") * col("_rb")).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_s"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), 1L).otherwise(0L)), lit(0L))
+        .as("agree"))
+    tot.crossJoin(sm)
+      .withColumn("kappa_num",
+        col("n").cast("decimal(38,0)") * col("agree") - col("_s"))
+      .withColumn("kappa_den",
+        col("n").cast("decimal(38,0)") * col("n") - col("_s"))
+      .withColumn("kappa",
+        when(col("kappa_den") =!= 0L,
+          col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select(col("n"), col("agree"), col("kappa_num"), col("kappa_den"),
+        col("kappa"))
+  }
+
   /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
     * integer measure — [[ksTest2]]'s integral twin: where KS reports the
     * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,

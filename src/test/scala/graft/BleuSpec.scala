@@ -138,6 +138,39 @@ class BleuSpec extends SparkSuite {
     assert(rp.getDouble(3) === r.getDouble(3))
   }
 
+  test("cohensKappa: hand 2x2, perfect -> 1, chance-level -> 0, degenerate null") {
+    // classic hand case: 2 raters, 4 items: agree on 3
+    // a: x,x,y,y  b: x,x,y,x -> agree=3; marginals a: x2 y2, b: x3 y1
+    // S = 2*3 + 2*1 = 8; kappa = (4*3-8)/(16-8) = 0.5
+    val df = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "x"))
+      .toDF("a", "b")
+    val r = Evaluate.cohensKappa(df, col("a"), col("b")).head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 3L)
+    assert(r.getDecimal(2).longValueExact() === 4L)
+    assert(r.getDecimal(3).longValueExact() === 8L)
+    assert(r.getDouble(4) === 0.5)
+
+    // perfect agreement with >1 category -> 1
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Evaluate.cohensKappa(perfect, col("a"), col("b"))
+      .head.getDouble(4) === 1.0)
+
+    // independence at equal marginals -> 0: agree = n/2, S = n^2/2
+    val chance = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    assert(Evaluate.cohensKappa(chance, col("a"), col("b"))
+      .head.getDouble(4) === 0.0)
+
+    // both sides one identical category -> denominator 0 -> null
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Evaluate.cohensKappa(degen, col("a"), col("b")).head.isNullAt(4))
+
+    // disjoint label sets: S = 0, agree = 0 -> kappa = 0/n^2 = 0
+    val disj = Seq(("x", "p"), ("y", "q")).toDF("a", "b")
+    assert(Evaluate.cohensKappa(disj, col("a"), col("b"))
+      .head.getDouble(4) === 0.0)
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
