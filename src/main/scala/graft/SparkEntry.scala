@@ -3143,6 +3143,20 @@ object SparkEntry {
         col("kappa_den").cast("long").as("kappa_den"),
         round(col("kappa"), 6).as("kappa_r"))
 
+  // Per-source Gini concentration (Evaluate.giniByGroup) over token
+  // frequencies: is a source's token mass boilerplate-dominated?
+  // n/sx/six exact-integer-gated; gini one mirrored division.
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("x"))
+    Evaluate.giniByGroup(toks, Seq("source"), col("w"), col("x"))
+      .select(col("source"), col("n"), col("sx"),
+        col("six").cast("long").as("six"),
+        round(col("gini"), 6).as("gini_r"))
+      .orderBy("source")
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3671,7 +3685,8 @@ object SparkEntry {
     "q232_soundex" -> (q232 _),
     "q233_mann_whitney" -> (q233 _),
     "q234_kruskal_wallis" -> (q234 _),
-    "q235_cohens_kappa" -> (q235 _))
+    "q235_cohens_kappa" -> (q235 _),
+    "q236_gini_tokens" -> (q236 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8797,7 +8812,25 @@ object SparkEntry {
            CASE WHEN n * n - s <> 0 THEN
              round(CAST(n * agree - s AS DOUBLE)
                / CAST(n * n - s AS DOUBLE), 6) END AS kappa_r
-         FROM tot, sm"""
+         FROM tot, sm""",
+
+    // q236: ascending-rank Gini; tie order inside an equal-x block is
+    // irrelevant (the block contributes x * sum-of-positions), so the
+    // engines need not agree on it — (x, w) ordering pins it anyway.
+    "q236_gini_tokens" ->
+      """WITH tok AS (SELECT source,
+           unnest(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS w FROM documents),
+         xs AS (SELECT source, w, count(*) x FROM tok GROUP BY source, w),
+         r AS (SELECT source, x, row_number()
+             OVER (PARTITION BY source ORDER BY x, w) rn FROM xs),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS BIGINT) sx, CAST(sum(rn * x) AS BIGINT) six
+           FROM r GROUP BY source)
+         SELECT source, n, sx, six,
+           round(CAST(2*six - (n+1)*sx AS DOUBLE)
+             / CAST(n*sx AS DOUBLE), 6) AS gini_r
+         FROM g ORDER BY source"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -415,6 +415,42 @@ object Evaluate {
         col("kappa"))
   }
 
+  /** Per-group Gini coefficient over nonnegative integer weights — the
+    * concentration diagnostic ("is this source's token mass spread over
+    * its vocabulary or dominated by a few boilerplate terms"; works
+    * equally for bytes-per-domain or docs-per-cluster). Exact: with
+    * items ranked ascending by weight within the group (1-based rank
+    * rn), G = (2·Σrn·x − (n+1)·Σx) / (n·Σx) — numerator and denominator
+    * are exact Decimal(38,0) integers, G is ONE division. Tie order
+    * inside an equal-weight block cannot change Σrn·x (the block
+    * contributes x·Σpositions regardless of permutation), so the
+    * statistic is deterministic; rows with null/negative weight drop.
+    *
+    * Scale contract: the rank is a window PARTITIONED by the group —
+    * fine while one group's item count fits a partition (vocabulary
+    * sized, ~10⁷); for a single global Gini over billions of items
+    * rank via [[GroupOps.globalOrderIndex]] instead. G null when
+    * Σx = 0. Returns (group…, n, sx, six, gini). */
+  def giniByGroup(df: DataFrame, groupCols: Seq[String], item: Column,
+      weight: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ item.as("_i") :+
+        weight.cast("long").as("_x"): _*)
+      .where(col("_x").isNotNull && col("_x") >= 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_x"), col("_i"))
+    base.withColumn("_rn", row_number().over(w).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum("_x").as("sx"),
+        sum((col("_rn") * col("_x")).cast("decimal(38,0)")).as("six"))
+      .withColumn("gini",
+        when(col("sx") > 0L,
+          (lit(2L) * col("six") -
+            (col("n") + 1L).cast("decimal(38,0)") * col("sx"))
+            .cast("double") /
+            (col("n").cast("decimal(38,0)") * col("sx")).cast("double"))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
     * integer measure — [[ksTest2]]'s integral twin: where KS reports the
     * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,

@@ -171,6 +171,35 @@ class BleuSpec extends SparkSuite {
       .head.getDouble(4) === 0.0)
   }
 
+  test("giniByGroup: hand case, uniform -> 0, tie-order invariance, zero mass null") {
+    // g1: weights 1,2,3,4 -> six = 1+4+9+16 = 30;
+    // gini = (60 - 5*10)/(4*10) = 0.25
+    val df = Seq(("g1", "a", 1L), ("g1", "b", 2L), ("g1", "c", 3L),
+      ("g1", "d", 4L), ("g2", "a", 5L), ("g2", "b", 5L))
+      .toDF("g", "i", "x")
+    val rows = Evaluate.giniByGroup(df, Seq("g"), col("i"), col("x"))
+      .orderBy("g").collect()
+    assert(rows(0).getDouble(4) === 0.25)
+    assert(rows(1).getDouble(4) === 0.0) // uniform -> 0
+
+    // tie-order invariance: permuting equal-weight item names changes
+    // per-item ranks but not six
+    val perm = Seq(("g2", "zz", 5L), ("g2", "aa", 5L)).toDF("g", "i", "x")
+    val rp = Evaluate.giniByGroup(perm, Seq("g"), col("i"), col("x")).head
+    assert(rp.getDecimal(3).longValueExact() === 15L) // 1*5 + 2*5
+
+    // all-zero mass -> null
+    val z = Seq(("g", "a", 0L)).toDF("g", "i", "x")
+    assert(Evaluate.giniByGroup(z, Seq("g"), col("i"), col("x"))
+      .head.isNullAt(4))
+
+    // extreme concentration: one item holds everything among n=2
+    // -> (2*2x - 3x)/(2x) = 0.5 at x=(0, anything)
+    val ext = Seq(("g", "a", 0L), ("g", "b", 8L)).toDF("g", "i", "x")
+    assert(Evaluate.giniByGroup(ext, Seq("g"), col("i"), col("x"))
+      .head.getDouble(4) === 0.5)
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
