@@ -3157,6 +3157,20 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // McNemar's paired-filter test (Evaluate.mcnemar): does the cheap
+  // length filter systematically keep what the quality-score filter
+  // drops? Thresholds compare 6-dp-ROUNDED scores (the q85 rule: land
+  // both engines on the same side of every boundary). All four cells
+  // exact; chi2 one mirrored chain.
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (round(TextFunctions.qualityScore(col("text")), 6) >= 0.5).as("a"),
+      (size(TextFunctions.tokens(col("text"))) >= 30).as("b"))
+    Evaluate.mcnemar(d, col("a"), col("b"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("chi2"), 6).as("chi2_r"))
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3686,7 +3700,8 @@ object SparkEntry {
     "q233_mann_whitney" -> (q233 _),
     "q234_kruskal_wallis" -> (q234 _),
     "q235_cohens_kappa" -> (q235 _),
-    "q236_gini_tokens" -> (q236 _))
+    "q236_gini_tokens" -> (q236 _),
+    "q237_mcnemar" -> (q237 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8830,7 +8845,28 @@ object SparkEntry {
          SELECT source, n, sx, six,
            round(CAST(2*six - (n+1)*sx AS DOUBLE)
              / CAST(n*sx AS DOUBLE), 6) AS gini_r
-         FROM g ORDER BY source"""
+         FROM g ORDER BY source""",
+
+    // q237: only the discordant cells carry signal; thresholds compare
+    // the 6-dp-rounded score on both engines.
+    "q237_mcnemar" ->
+      s"""WITH $qualityScorePosCtes,
+         pair AS (SELECT (round(sc, 6) >= 0.5) AS a,
+             (len(list_filter(string_split_regex(lower(d.text),
+               '[^a-z0-9]+'), x -> x <> '')) >= 30) AS b
+           FROM q JOIN documents d USING (doc_id)
+           WHERE sc IS NOT NULL AND d.text IS NOT NULL),
+         ag AS (SELECT CAST(count(*) AS BIGINT) n,
+           CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) n11,
+           CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) n10,
+           CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) n01,
+           CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) n00
+           FROM pair)
+         SELECT n, n11, n10, n01, n00,
+           CASE WHEN n10 + n01 > 0 THEN
+             round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+               / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_r
+         FROM ag"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

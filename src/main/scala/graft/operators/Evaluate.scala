@@ -451,6 +451,33 @@ object Evaluate {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** McNemar's test over two paired binary decisions — "do these two
+    * filters disagree SYMMETRICALLY, or does one systematically keep
+    * what the other drops" (quality filter A vs B on the same docs;
+    * before/after a filter change on a frozen corpus). Only the
+    * discordant cells carry signal: χ² = (n₁₀ − n₀₁)²/(n₁₀ + n₀₁),
+    * ~χ²(1) under the null. All four contingency cells are exact
+    * integer aggregations in ONE map-side-combined pass; χ² is one
+    * float chain, NO continuity correction (document-don't-guess —
+    * [[mannKendall]] carries the corrected variant's pattern). Null
+    * χ² when there are no discordant pairs; null-flag rows drop.
+    * Returns one row: (n, n11, n10, n01, n00, chi2). */
+  def mcnemar(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val base = df.select(a.cast("boolean").as("_a"), b.cast("boolean").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+    def cell(pa: Boolean, pb: Boolean): Column =
+      coalesce(sum(when(col("_a") === pa && col("_b") === pb, 1L)
+        .otherwise(0L)), lit(0L))
+    base.agg(count(lit(1)).as("n"),
+        cell(true, true).as("n11"), cell(true, false).as("n10"),
+        cell(false, true).as("n01"), cell(false, false).as("n00"))
+      .withColumn("chi2",
+        when(col("n10") + col("n01") > 0L,
+          ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+            .cast("double") / (col("n10") + col("n01")).cast("double"))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Exact two-sample 1-D Wasserstein (earth-mover) distance over an
     * integer measure — [[ksTest2]]'s integral twin: where KS reports the
     * WORST CDF gap, W₁ = ∫|F₁−F₂| dv reports the TOTAL transport cost,

@@ -200,6 +200,30 @@ class BleuSpec extends SparkSuite {
       .head.getDouble(4) === 0.5)
   }
 
+  test("mcnemar: hand cells, symmetric disagreement -> 0, concordant-only null, null rows drop") {
+    // 2 concordant keeps, 3 discordant a-only, 1 discordant b-only:
+    // chi2 = (3-1)^2/4 = 1.0
+    val df = Seq((true, true), (true, true), (true, false), (true, false),
+      (true, false), (false, true), (false, false)).toDF("a", "b")
+    val r = Evaluate.mcnemar(df, col("a"), col("b")).head
+    assert(r.getLong(0) === 7L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getDouble(5) === 1.0)
+
+    // symmetric disagreement -> chi2 = 0
+    val sym = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(Evaluate.mcnemar(sym, col("a"), col("b")).head.getDouble(5) === 0.0)
+
+    // perfect agreement -> no discordant pairs -> null
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Evaluate.mcnemar(agree, col("a"), col("b")).head.isNullAt(5))
+
+    // null flags drop
+    val withNull = Seq((Some(true), Some(false)), (None, Some(true)))
+      .toDF("a", "b")
+    assert(Evaluate.mcnemar(withNull, col("a"), col("b")).head.getLong(0) === 1L)
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
