@@ -705,4 +705,5 @@ object LangModel {
       .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
         col("admbc"), col("chi2"))
   }
+
 }

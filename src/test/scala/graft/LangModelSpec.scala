@@ -454,4 +454,5 @@ class LangModelSpec extends SparkSuite {
       ("a", "b", 3L, 4L, 3L, 7L), // rr(a) = ab×3 + ac×1
       ("b", "a", 3L, 3L, 3L, 7L)))
   }
+
 }
