@@ -41,6 +41,11 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def findText(query: String, textCol: String = "text"): DataFrame =
     TextSearch.bm25(df, idCol, textCol, query)
 
+  /** find(text_query) over Porter stems — inflection-robust BM25
+    * ("querying tables" matches docs saying "query"/"table"). */
+  def findTextStemmed(query: String, textCol: String = "text"): DataFrame =
+    TextSearch.bm25Stemmed(df, idCol, textCol, query)
+
   /** Per-doc TF-IDF keyword profile (top-k terms by smooth-idf weight). */
   def tfidfTopTerms(topK: Int, textCol: String = "text"): DataFrame =
     TextSearch.tfidfTopTerms(df, idCol, textCol, topK)
@@ -340,6 +345,32 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     * per-source scores into comparable [0, 1e6] percentiles. */
   def percentileRank(groupCols: Seq[String], value: Column): DataFrame =
     GroupOps.percentileRank(df, groupCols, value)
+
+  /** Two-slice location drift: exact tie-corrected Mann–Whitney U of
+    * `value` between the rows matching `slice` and the rest. */
+  def rankSumDrift(slice: Column, value: Column): DataFrame =
+    Evaluate.mannWhitneyU(df.where(slice), df.where(!slice), value)
+
+  /** k-slice location drift: exact tie-corrected Kruskal–Wallis H of
+    * `value` across the groups of `group`. */
+  def rankDriftByGroup(group: Column, value: Column): DataFrame =
+    Evaluate.kruskalWallis(df, group, value)
+
+  /** Chance-corrected agreement (Cohen's kappa) between two categorical
+    * columns — classifier-vs-gold or annotator-pair QA. */
+  def agreement(a: Column, b: Column): DataFrame =
+    Evaluate.cohensKappa(df, a, b)
+
+  /** Paired-filter disagreement (McNemar): does filter `b` keep what
+    * filter `a` drops beyond symmetric noise? */
+  def filterDisagreement(a: Column, b: Column): DataFrame =
+    Evaluate.mcnemar(df, a, b)
+
+  /** Per-group concentration (exact Gini) of `weight` over `item` —
+    * token-mass, bytes-per-domain, docs-per-cluster. */
+  def concentration(groupCols: Seq[String], item: Column,
+      weight: Column): DataFrame =
+    Evaluate.giniByGroup(df, groupCols, item, weight)
 
   /** Exact-k weighted sampling without replacement (inclusion odds ∝
     * weight; deterministic, layout-invariant, engine-replayable). */

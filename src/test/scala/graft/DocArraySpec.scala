@@ -239,4 +239,28 @@ class DocArraySpec extends SparkSuite {
     assert(se.columns.toSeq == Seq("b_used", "grand_mean", "se_boot"))
     assert(se.head.getAs[Long]("b_used") == 8L)
   }
+
+  test("drift / agreement / concentration / stemmed-search facades") {
+    import spark.implicits._
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+    val rs = docs.rankSumDrift(col("lang") === "en", length(col("text")))
+    assert(rs.columns.toSeq ==
+      Seq("n1", "n2", "r1x2", "tie_cube", "u1x2", "z"))
+    assert(rs.head.getLong(0) > 0L)
+    val kw = docs.rankDriftByGroup(col("lang"), length(col("text")))
+    assert(kw.columns.toSeq == Seq("n", "k", "tie_cube", "h", "h_c"))
+    assert(kw.head.getLong(1) >= 2L)
+    val ag = docs.agreement(col("lang"), col("lang"))
+    assert(ag.head.getDouble(4) === 1.0) // self-agreement is perfect
+    val fd = docs.filterDisagreement(length(col("text")) > 50,
+      length(col("text")) > 200)
+    assert(fd.columns.toSeq == Seq("n", "n11", "n10", "n01", "n00", "chi2"))
+    val gn = docs.concentration(Seq("source"), col("id"),
+      length(col("text")).cast("long"))
+    assert(gn.count() > 0 && gn.columns.contains("gini"))
+    val st = docs.findTextStemmed("querying tables")
+    assert(st.count() > 0) // inflected query only matches via stems
+  }
 }
