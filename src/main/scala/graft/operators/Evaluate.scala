@@ -225,12 +225,27 @@ object Evaluate {
     * single-partition window. Returns one row: (n1, n2, d_num, at_v =
     * the smallest value attaining the max, d). */
   def ksTest2(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as("_c"))
+    ksTest2Counts(side(a), side(b), col("_v"), col("_c"))
+  }
+
+  /** [[ksTest2]] over PRE-AGGREGATED (value, count) distributions — the
+    * entry point for histogram state that never materializes raw rows:
+    * the [[graft.streaming.EventStream.streamingValueCounts]] live
+    * distribution vs a frozen reference, or any two stored histograms.
+    * Duplicate value rows (merged deltas) sum; non-positive counts
+    * drop. Identical statistic, same exact-integer guarantees. */
+  def ksTest2Counts(a: DataFrame, b: DataFrame, value: Column,
+      cnt: Column): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = a.sparkSession
     def side(df: DataFrame, cName: String): DataFrame =
-      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
-        .groupBy("_v").agg(count(lit(1)).as(cName))
+      df.select(value.cast("long").as("_v"), cnt.cast("long").as("_n"))
+        .where(col("_v").isNotNull && col("_n") > 0L)
+        .groupBy("_v").agg(sum("_n").as(cName))
     val merged = side(a, "_c1").join(side(b, "_c2"), Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
         coalesce(col("_c2"), lit(0L)).as("_c2"))

@@ -386,6 +386,42 @@ object EventStream {
       }
   }
 
+  /** Streaming distribution monitor: per micro-batch, collapse the
+    * streamed measure to its (value, count) histogram and write it as
+    * delta `d<batchId>` — counts are ADDITIVE, so the per-batch-delta
+    * design is the replay-idempotent one (a replayed batch overwrites
+    * its OWN delta; the [[streamingCmSketch]] rule). The summed state
+    * ([[readValueCounts]]) is the exact distribution of everything
+    * seen; test it for drift against a frozen reference any time with
+    * [[graft.operators.Evaluate.ksTest2Counts]] — bit-identical to a
+    * one-shot [[graft.operators.Evaluate.ksTest2]] over the full
+    * stream history, without revisiting it. State per batch is one row
+    * per distinct value IN THAT BATCH (bucket/quantize the measure
+    * upstream for unbounded-cardinality values — the q157 rule). */
+  def streamingValueCounts(stream: DataFrame,
+      value: org.apache.spark.sql.Column, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(value.cast("long").as("v"))
+          .where(org.apache.spark.sql.functions.col("v").isNotNull)
+          .groupBy("v")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+          .write.mode("overwrite").parquet(s"$path/d$batchId")
+      }
+
+  /** The summed (v, c) histogram of every completed
+    * [[streamingValueCounts]] delta — the exact live distribution. */
+  def readValueCounts(spark: SparkSession, path: String): DataFrame = {
+    val deltas = completedDeltas(spark, path, Long.MaxValue)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no value-count state under $path")
+    spark.read.parquet(deltas: _*)
+      .groupBy("v")
+      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+  }
+
   /** The summed counter state of every completed [[streamingCmSketch]]
     * delta; estimate with [[graft.operators.Sketch.cmEstimate]]. */
   def readCmState(spark: SparkSession, path: String): DataFrame = {

@@ -1218,4 +1218,46 @@ class IoStreamSpec extends SparkSuite {
     assert(got == want)
     assert(got == Map("e1" -> 100.0, "e2" -> -1.0, "e3" -> 110.0))
   }
+
+  test("streamingValueCounts: delta-summed histogram drift-tests identical to one-shot KS") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Evaluate
+    // live stream drifts high vs the frozen reference
+    val live = (0 until 1200).map(i => Tuple1((i % 40 + 5).toLong))
+    val ref = (0 until 1000).map(i => (i % 40).toLong).toDF("v")
+    val (h1, h2) = live.splitAt(500)
+    val dir = Files.createTempDirectory("graftsvc").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Tuple1[Long]]
+    val writer = EventStream.streamingValueCounts(
+      mem.toDF().toDF("x"), col("x"), path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val state = EventStream.readValueCounts(spark, s"$dir/state")
+    val refCounts = ref.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val got = Evaluate.ksTest2Counts(state, refCounts,
+      col("v"), col("c")).head
+    // bit-identical to the one-shot KS over the full raw history
+    val want = Evaluate.ksTest2(live.map(_._1).toDF("v"), ref, col("v")).head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(2) === want.getLong(2) &&
+      got.getLong(3) === want.getLong(3))
+    assert(got.getDouble(4) === want.getDouble(4))
+    assert(got.getDouble(4) > 0.0) // the planted shift is visible
+
+    // duplicate value rows (unmerged deltas read raw) sum to the same
+    val raw = spark.read.parquet(
+      new java.io.File(s"$dir/state").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("d"))
+        .map(_.toString): _*)
+    val got2 = Evaluate.ksTest2Counts(raw, refCounts,
+      col("v"), col("c")).head
+    assert(got2.getLong(2) === got.getLong(2))
+  }
 }
