@@ -309,18 +309,59 @@ object Evaluate {
     *
     * Returns one row: (n1, n2, r1x2, u1x2, tie_cube decimal, z). */
   def mannWhitneyU(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
-    def side(df: DataFrame, s: Int): DataFrame =
+    def side(df: DataFrame): DataFrame =
       df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
-        .withColumn("_s", lit(s))
-    val pooled = side(a, 1).unionByName(side(b, 0))
-    val perV = GroupOps.globalOrderIndex(pooled, "_gi", col("_v"))
-      .groupBy("_v").agg(
-        (lit(2L) * min("_gi") + count(lit(1)) + 1L).as("_r2"),
-        count(lit(1)).as("_t"),
-        sum(col("_s").cast("long")).as("_c1"))
-    val agg = perV.agg(
+        .groupBy("_v").agg(count(lit(1)).as("_c"))
+    mannWhitneyUCounts(side(a), side(b), col("_v"), col("_c"))
+  }
+
+  /** [[mannWhitneyU]] over PRE-AGGREGATED (value, count) distributions
+    * (the [[ksTest2Counts]] companion — histogram state from
+    * [[graft.streaming.EventStream.streamingValueCounts]] vs a frozen
+    * reference). The doubled tie-average rank comes straight from the
+    * merged histogram: r2(v) = 2·cumBefore(v) + t(v) + 1 with cumBefore
+    * the exclusive prefix of t = c₁+c₂ (range-partition + two-pass
+    * prefix sum, never a 1-partition sort) — ALGEBRAICALLY the raw-row
+    * formula (min global index over equal values IS cumBefore), so the
+    * statistics are bit-identical to the raw-row path. Duplicate value
+    * rows sum; non-positive counts drop. */
+  def mannWhitneyUCounts(a: DataFrame, b: DataFrame, value: Column,
+      cnt: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = a.sparkSession
+    def side(df: DataFrame, cName: String): DataFrame =
+      df.select(value.cast("long").as("_v"), cnt.cast("long").as("_n"))
+        .where(col("_v").isNotNull && col("_n") > 0L)
+        .groupBy("_v").agg(sum("_n").as(cName))
+    val merged = side(a, "_c1").join(side(b, "_c2"), Seq("_v"), "full_outer")
+      .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
+        coalesce(col("_c2"), lit(0L)).as("_c2"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = merged.repartitionByRange(parts, col("_v"))
+      .sortWithinPartitions("_v")
+    val partSums = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var t = 0L
+      it.foreach { r => t += r.getLong(1) + r.getLong(2) }
+      Iterator((i, t))
+    }.collect().sortBy(_._1)
+    val offs = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offs)
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        val c1 = r.getLong(1); val c2 = r.getLong(2); val t = c1 + c2
+        val r2 = 2L * cum + t + 1L
+        cum += t
+        Row(c1, c2, t, r2)
+      }
+    }
+    val df = spark.createDataFrame(rows, StructType(
+      Seq("_c1", "_c2", "_t", "_r2").map(n =>
+        StructField(n, LongType, nullable = false))))
+    val agg = df.agg(
       coalesce(sum("_c1"), lit(0L)).as("n1"),
-      coalesce(sum(col("_t") - col("_c1")), lit(0L)).as("n2"),
+      coalesce(sum("_c2"), lit(0L)).as("n2"),
       coalesce(sum(col("_c1") * col("_r2")), lit(0L)).as("r1x2"),
       coalesce(sum((col("_t") * col("_t") * col("_t") - col("_t"))
         .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("tie_cube"))
@@ -510,12 +551,25 @@ object Evaluate {
     * and the sum run in exact decimal. Returns (n1, n2, w1_num decimal,
     * w1 double). */
   def w1Test2(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as("_c"))
+    w1Test2Counts(side(a), side(b), col("_v"), col("_c"))
+  }
+
+  /** [[w1Test2]] over PRE-AGGREGATED (value, count) distributions — the
+    * [[ksTest2Counts]] companion for histogram state
+    * ([[graft.streaming.EventStream.streamingValueCounts]] vs a frozen
+    * reference). Duplicate value rows sum; non-positive counts drop. */
+  def w1Test2Counts(a: DataFrame, b: DataFrame, value: Column,
+      cnt: Column): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = a.sparkSession
     def side(df: DataFrame, cName: String): DataFrame =
-      df.select(value.cast("long").as("_v")).where(col("_v").isNotNull)
-        .groupBy("_v").agg(count(lit(1)).as(cName))
+      df.select(value.cast("long").as("_v"), cnt.cast("long").as("_n"))
+        .where(col("_v").isNotNull && col("_n") > 0L)
+        .groupBy("_v").agg(sum("_n").as(cName))
     val merged = side(a, "_c1").join(side(b, "_c2"), Seq("_v"), "full_outer")
       .select(col("_v"), coalesce(col("_c1"), lit(0L)).as("_c1"),
         coalesce(col("_c2"), lit(0L)).as("_c2"))

@@ -101,6 +101,14 @@ class BleuSpec extends SparkSuite {
     val rp = Evaluate.mannWhitneyU(at.repartition(4), bt.repartition(3),
       col("v")).head
     assert(rp.getLong(2) === 16L && rp.getLong(4) === 4L)
+
+    // counts entry point: pre-aggregated histograms (with duplicate
+    // value rows, as merged deltas read raw) give bit-identical stats
+    val ac = Seq((1L, 1L), (1L, 1L), (2L, 1L)).toDF("v", "c")
+    val bc = Seq((1L, 1L), (3L, 1L)).toDF("v", "c")
+    val rc = Evaluate.mannWhitneyUCounts(ac, bc, col("v"), col("c")).head
+    assert(rc.getLong(2) === rt.getLong(2) && rc.getLong(4) === rt.getLong(4))
+    assert(rc.getDouble(5) === rt.getDouble(5))
   }
 
   test("kruskalWallis: hand case, two-group MW consistency, all-tied null, layout-proof") {
