@@ -828,6 +828,28 @@ object Bench {
         .agg(sum("v")).collect()
     }
 
+    // Two-sample drift battery (KS + W1 + rank-sum) at 10M vs 10M rows
+    // over a 100k-value grid: the three tests share the distinct-value
+    // collapse (10M rows -> 100k histogram rows BEFORE any prefix
+    // machinery), so the range-partition two-pass prefix sums run over
+    // histograms, never raw rows — the shape that holds at 100 TB.
+    bench("x_drift_10m", runs = 1) {
+      import graft.operators.Evaluate
+      def hist(seed: Int, shift: Long) = spark.range(10000000L)
+        .select((pmod(xxhash64(col("id"), lit(seed)), lit(100000L)) +
+          lit(shift)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c")).cache()
+      val aH = hist(61, 0L); val bH = hist(62, 5000L)
+      try {
+        val ks = Evaluate.ksTest2Counts(aH, bH, col("v"), col("c")).head
+        require(ks.getLong(2) > 0L)
+        val w1 = Evaluate.w1Test2Counts(aH, bH, col("v"), col("c")).head
+        require(w1.getDouble(3) > 0.0)
+        val mw = Evaluate.mannWhitneyUCounts(aH, bH, col("v"), col("c")).head
+        require(mw.getDouble(5) < 0.0) // b is shifted high
+      } finally { aH.unpersist(); bH.unpersist() }
+    }
+
     // Adamic-Adar over a 1M-edge bipartite graph (100k users x 10k
     // items): maxDegree=64 keeps user centers (deg ~10) and drops item
     // hubs (deg ~100), so wedges stay ~100k x deg^2/2 — the valve
