@@ -3194,6 +3194,25 @@ object SparkEntry {
       .orderBy("d")
   }
 
+  // CUPED variance-reduced experiment readout (Evaluate.cuped): per-
+  // user even-day value sums as the pre-period covariate, odd-day sums
+  // as the outcome, user parity as the arm. theta's integers, both
+  // adjusted-sum longs, and the mirrored diff/se chains gated.
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      (expr("ts div 86400000000000") % 2 === 0).as("_pre"),
+      round(col("value") * 1e6).cast("long").as("_vppm"))
+    val perUser = e.groupBy("user_id").agg(
+        coalesce(sum(when(col("_pre"), col("_vppm"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("_pre"), col("_vppm"))), lit(0L)).as("y"))
+      .withColumn("t", col("user_id") % 2 === 0)
+    Evaluate.cuped(perUser, col("x"), col("y"), col("t"))
+      .select(col("n_t"), col("n_c"), col("adj_sum_t"), col("adj_sum_c"),
+        round(col("theta"), 6).as("theta_r"),
+        round(col("diff"), 6).as("diff_r"),
+        round(col("se"), 6).as("se_r"))
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3725,7 +3744,8 @@ object SparkEntry {
     "q235_cohens_kappa" -> (q235 _),
     "q236_gini_tokens" -> (q236 _),
     "q237_mcnemar" -> (q237 _),
-    "q239_benford" -> (q239 _))
+    "q239_benford" -> (q239 _),
+    "q240_cuped" -> (q240 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8911,7 +8931,57 @@ object SparkEntry {
                    AS BIGINT) / 1e9 * CAST(n AS DOUBLE))
              / (CAST(round(log10(1.0 + 1.0 / CAST(d.d AS DOUBLE)) * 1e9)
                   AS BIGINT) / 1e9 * CAST(n AS DOUBLE)), 6) AS chi2_part
-         FROM d, t ORDER BY d"""
+         FROM d, t ORDER BY d""",
+
+    // q240: theta from exact HUGEINT normal-equation integers; the
+    // per-unit adjustment is the identical double chain rounded back
+    // to an integer, so both arm sums gate exactly; diff/se mirrored.
+    "q240_cuped" ->
+      """WITH e AS (SELECT user_id,
+           (epoch_ns(ts) // 86400000000000) % 2 = 0 AS pre,
+           CAST(round(value * 1000000) AS BIGINT) vppm FROM events),
+         u AS (SELECT user_id,
+             coalesce(sum(CASE WHEN pre THEN vppm END), 0) x,
+             coalesce(sum(CASE WHEN NOT pre THEN vppm END), 0) y,
+             user_id % 2 = 0 AS t
+           FROM e GROUP BY user_id),
+         st AS (SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) sxx FROM u),
+         th AS (SELECT CASE WHEN n*sxx - CAST(sx AS HUGEINT)*sx <> 0
+             THEN CAST(n*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE)
+               / CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+             ELSE 0.0 END theta,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) xbar FROM st),
+         adj AS (SELECT t, CAST(round(CAST(y AS DOUBLE)
+             - theta * (CAST(x AS DOUBLE) - xbar)) AS BIGINT) a
+           FROM u, th),
+         arms AS (SELECT t, CAST(count(*) AS BIGINT) an,
+             CAST(sum(a) AS BIGINT) s,
+             CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) s2
+           FROM adj GROUP BY t),
+         w AS (SELECT
+           (SELECT an FROM arms WHERE t) n_t,
+           (SELECT s FROM arms WHERE t) s_t,
+           (SELECT s2 FROM arms WHERE t) s2_t,
+           (SELECT an FROM arms WHERE NOT t) n_c,
+           (SELECT s FROM arms WHERE NOT t) s_c,
+           (SELECT s2 FROM arms WHERE NOT t) s2_c,
+           (SELECT theta FROM th) theta)
+         SELECT n_t, n_c, s_t AS adj_sum_t, s_c AS adj_sum_c,
+           round(theta, 6) AS theta_r,
+           round((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+             - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 1e6, 6)
+             AS diff_r,
+           round(sqrt(
+             CAST(n_t*s2_t - CAST(s_t AS HUGEINT)*s_t AS DOUBLE)
+               / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE) * 1e12)
+               / CAST(n_t AS DOUBLE)
+             + CAST(n_c*s2_c - CAST(s_c AS HUGEINT)*s_c AS DOUBLE)
+               / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE) * 1e12)
+               / CAST(n_c AS DOUBLE)), 6) AS se_r
+         FROM w"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -507,6 +507,74 @@ object Evaluate {
           .otherwise(lit(null).cast("double")))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM 2013
+    * "Improving the Sensitivity of Online Controlled Experiments"):
+    * adjust each unit's outcome by its PRE-period covariate,
+    * y′ = y − θ·(x − x̄) with θ = cov(x,y)/var(x), then read the
+    * treatment/control difference off the adjusted metric — same
+    * expectation, variance shrunk by the covariate's R², so experiments
+    * decide faster on the same traffic.
+    *
+    * Engine-portable shape: θ's numerator/denominator are exact
+    * Decimal(38,0) sums over the integer (x, y) inputs (quantize the
+    * raw metric to ppm upstream), θ and x̄ are each ONE division; the
+    * per-unit adjustment is a fixed-order double chain immediately
+    * rounded back to an integer (the q123 quantize-once rule), so the
+    * per-arm sums Σy′ and Σy′² are exact again and the final
+    * diff/SE are mirrored one-chain floats. θ defaults to 0 (no
+    * adjustment) when var(x) = 0. Scale: two aggregations + a 1-row
+    * broadcast — no windows, no collect. Returns ONE row (empty if
+    * either arm has no units): (n_t, n_c, adj_sum_t, adj_sum_c, theta,
+    * diff, se). */
+  def cuped(df: DataFrame, x: Column, y: Column, treat: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"),
+        treat.cast("boolean").as("_t"))
+      .where(col("_x").isNotNull && col("_y").isNotNull &&
+        col("_t").isNotNull)
+    val st = base.agg(count(lit(1)).as("_n"),
+        coalesce(sum("_x"), lit(0L)).as("_sx"),
+        coalesce(sum("_y"), lit(0L)).as("_sy"),
+        coalesce(sum(col("_x").cast("decimal(19,0)") * col("_y")),
+          lit(0L).cast("decimal(38,0)")).as("_sxy"),
+        coalesce(sum(col("_x").cast("decimal(19,0)") * col("_x")),
+          lit(0L).cast("decimal(38,0)")).as("_sxx"))
+      .withColumn("_num", col("_n").cast("decimal(38,0)") * col("_sxy") -
+        col("_sx").cast("decimal(38,0)") * col("_sy"))
+      .withColumn("_den", col("_n").cast("decimal(38,0)") * col("_sxx") -
+        col("_sx").cast("decimal(38,0)") * col("_sx"))
+      .withColumn("theta",
+        when(col("_den") =!= 0L,
+          col("_num").cast("double") / col("_den").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("_xbar", col("_sx").cast("double") / col("_n").cast("double"))
+    val adj = base
+      .crossJoin(broadcast(st.select(col("theta"), col("_xbar"))))
+      .withColumn("_a", round(col("_y").cast("double") -
+        col("theta") * (col("_x").cast("double") - col("_xbar")))
+        .cast("long"))
+    val arms = adj.groupBy("_t").agg(count(lit(1)).as("_an"),
+      sum("_a").as("_as"),
+      sum(col("_a").cast("decimal(19,0)") * col("_a")).as("_as2"))
+    val tArm = arms.where(col("_t")).select(col("_an").as("n_t"),
+      col("_as").as("adj_sum_t"), col("_as2").as("_s2t"))
+    val cArm = arms.where(!col("_t")).select(col("_an").as("n_c"),
+      col("_as").as("adj_sum_c"), col("_as2").as("_s2c"))
+    def varNat(n: Column, s: Column, s2: Column): Column =
+      (n.cast("decimal(38,0)") * s2 - s.cast("decimal(38,0)") * s)
+        .cast("double") / (n.cast("double") * n.cast("double") * lit(1e12))
+    tArm.crossJoin(cArm).crossJoin(broadcast(st.select(col("theta"))))
+      .withColumn("diff",
+        (col("adj_sum_t").cast("double") / col("n_t").cast("double") -
+          col("adj_sum_c").cast("double") / col("n_c").cast("double")) / 1e6)
+      .withColumn("se", sqrt(
+        varNat(col("n_t"), col("adj_sum_t"), col("_s2t")) /
+          col("n_t").cast("double") +
+        varNat(col("n_c"), col("adj_sum_c"), col("_s2c")) /
+          col("n_c").cast("double")))
+      .select(col("n_t"), col("n_c"), col("adj_sum_t"), col("adj_sum_c"),
+        col("theta"), col("diff"), col("se"))
+  }
+
   /** McNemar's test over two paired binary decisions — "do these two
     * filters disagree SYMMETRICALLY, or does one systematically keep
     * what the other drops" (quality filter A vs B on the same docs;

@@ -232,6 +232,31 @@ class BleuSpec extends SparkSuite {
     assert(Evaluate.mcnemar(withNull, col("a"), col("b")).head.getLong(0) === 1L)
   }
 
+  test("cuped: hand theta and adjustment, constant covariate no-op, empty arm empty") {
+    // (x, y, t): theta = cov/var = 2, xbar = 1; adj = y - 2(x-1)
+    // T: 12, 12 -> sum 24; C: 10, 10 -> sum 20; within-arm var 0 -> se 0
+    val df = Seq((0L, 10L, true), (2L, 14L, true),
+      (0L, 8L, false), (2L, 12L, false)).toDF("x", "y", "t")
+    val r = Evaluate.cuped(df, col("x"), col("y"), col("t")).head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 24L && r.getLong(3) === 20L)
+    assert(r.getDouble(4) === 2.0)
+    assert(r.getDouble(5) === 2.0e-6) // ppm units -> natural
+    assert(r.getDouble(6) === 0.0)
+
+    // constant covariate: var(x) = 0 -> theta 0 -> adjustment is a no-op
+    val const = Seq((5L, 10L, true), (5L, 30L, true),
+      (5L, 8L, false), (5L, 12L, false)).toDF("x", "y", "t")
+    val rc = Evaluate.cuped(const, col("x"), col("y"), col("t")).head
+    assert(rc.getDouble(4) === 0.0)
+    assert(rc.getLong(2) === 40L && rc.getLong(3) === 20L)
+    assert(rc.getDouble(6) > 0.0) // unadjusted variance survives
+
+    // an empty arm -> empty readout (documented contract)
+    val oneArm = Seq((1L, 2L, true)).toDF("x", "y", "t")
+    assert(Evaluate.cuped(oneArm, col("x"), col("y"), col("t")).count() === 0L)
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
