@@ -3213,6 +3213,23 @@ object SparkEntry {
         round(col("se"), 6).as("se_r"))
   }
 
+  // Exact trimmed/winsorized means (Evaluate.trimmedMeans): per-source
+  // quality ppm at 5% two-sided trim — the outlier-robust experiment-
+  // metric readout. All sums integer-gated; means mirrored divisions.
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 1e6)
+          .cast("long").as("v"))
+      .where(col("v").isNotNull)
+    Evaluate.trimmedMeans(d, Seq("source"), col("v"), trimPpm = 50000L)
+      .select(col("source"), col("n"), col("k"), col("trim_sum"),
+        col("wins_sum"),
+        round(col("trimmed_mean"), 6).as("tmean_r"),
+        round(col("winsorized_mean"), 6).as("wmean_r"))
+      .orderBy("source")
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3745,7 +3762,8 @@ object SparkEntry {
     "q236_gini_tokens" -> (q236 _),
     "q237_mcnemar" -> (q237 _),
     "q239_benford" -> (q239 _),
-    "q240_cuped" -> (q240 _))
+    "q240_cuped" -> (q240 _),
+    "q241_trimmed_means" -> (q241 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -8981,7 +8999,32 @@ object SparkEntry {
              + CAST(n_c*s2_c - CAST(s_c AS HUGEINT)*s_c AS DOUBLE)
                / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE) * 1e12)
                / CAST(n_c AS DOUBLE)), 6) AS se_r
-         FROM w"""
+         FROM w""",
+
+    // q241: same ranked band; boundary ties cannot change any sum, so
+    // the engines need not agree on tie order.
+    "q241_trimmed_means" ->
+      s"""WITH $qualityScorePosCtes,
+         v AS (SELECT d.source, CAST(round(sc * 1000000) AS BIGINT) AS v
+           FROM q JOIN documents d USING (doc_id) WHERE sc IS NOT NULL),
+         r AS (SELECT source, v, row_number()
+             OVER (PARTITION BY source ORDER BY v) rn FROM v),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) n,
+             CAST(count(*) * 50000 // 1000000 AS BIGINT) k
+           FROM v GROUP BY source),
+         a AS (SELECT r.source, c.n, c.k,
+             coalesce(CAST(sum(CASE WHEN rn > k AND rn <= n - k
+               THEN v END) AS BIGINT), 0) trim_sum,
+             max(CASE WHEN rn = k + 1 THEN v END) lo,
+             max(CASE WHEN rn = n - k THEN v END) hi
+           FROM r JOIN c USING (source) GROUP BY r.source, c.n, c.k)
+         SELECT source, n, k, trim_sum,
+           CAST(trim_sum + k * lo + k * hi AS BIGINT) AS wins_sum,
+           round(CAST(trim_sum AS DOUBLE) / CAST(n - 2*k AS DOUBLE), 6)
+             AS tmean_r,
+           round(CAST(trim_sum + k * lo + k * hi AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS wmean_r
+         FROM a ORDER BY source"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -575,6 +575,59 @@ object Evaluate {
         col("theta"), col("diff"), col("se"))
   }
 
+  /** Per-group exact trimmed AND winsorized means over an integer
+    * measure — outlier-robust metric readouts (session value, latency,
+    * doc length: one whale user shouldn't move the experiment metric).
+    * With k = ⌊n·trimPpm/10⁶⌋ per group: the trimmed mean drops the k
+    * lowest and k highest rows; the winsorized mean clamps them to the
+    * band boundaries (the values at ranks k+1 and n−k). Which duplicate
+    * of a boundary-tied value is dropped/clamped cannot change any sum
+    * (equal values), so both statistics are deterministic; all sums are
+    * exact integers and each mean is ONE division. Null means when
+    * 2k ≥ n (everything trimmed) — and k = 0 degenerates to the plain
+    * mean, exactly.
+    *
+    * Scale contract: per-group rank via a group-partitioned window
+    * (group member counts fit a partition; same contract as
+    * [[giniByGroup]] — use [[GroupOps.globalOrderIndex]] for one global
+    * band over billions of rows). Returns (group…, n, k, trim_sum,
+    * wins_sum, trimmed_mean, winsorized_mean). */
+  def trimmedMeans(df: DataFrame, groupCols: Seq[String], value: Column,
+      trimPpm: Long): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val base = df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
+    val counts = base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      // `div` (integer division): Column./ on longs is DOUBLE division
+      .withColumn("k", expr(s"(n * ${trimPpm}L) div 1000000L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_v"))
+    base.withColumn("_rn", row_number().over(w).cast("long"))
+      .join(counts, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first("n").as("n"), first("k").as("k"),
+        coalesce(sum(when(col("_rn") > col("k") &&
+          col("_rn") <= col("n") - col("k"), col("_v"))), lit(0L))
+          .as("trim_sum"),
+        max(when(col("_rn") === col("k") + 1L, col("_v"))).as("_lo"),
+        max(when(col("_rn") === col("n") - col("k"), col("_v"))).as("_hi"))
+      .withColumn("wins_sum",
+        when(col("n") > col("k") * 2L,
+          col("trim_sum") + col("k") * col("_lo") + col("k") * col("_hi")))
+      .withColumn("trimmed_mean",
+        when(col("n") > col("k") * 2L,
+          col("trim_sum").cast("double") /
+            (col("n") - col("k") * 2L).cast("double")))
+      .withColumn("winsorized_mean",
+        when(col("n") > col("k") * 2L,
+          col("wins_sum").cast("double") / col("n").cast("double")))
+      .select(groupCols.map(col) :+ col("n") :+ col("k") :+
+        col("trim_sum") :+ col("wins_sum") :+ col("trimmed_mean") :+
+        col("winsorized_mean"): _*)
+  }
+
   /** McNemar's test over two paired binary decisions — "do these two
     * filters disagree SYMMETRICALLY, or does one systematically keep
     * what the other drops" (quality filter A vs B on the same docs;
