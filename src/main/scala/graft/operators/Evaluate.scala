@@ -523,9 +523,9 @@ object Evaluate {
     * per-arm sums Σy′ and Σy′² are exact again and the final
     * diff/SE are mirrored one-chain floats. θ defaults to 0 (no
     * adjustment) when var(x) = 0. Scale: two aggregations + a 1-row
-    * broadcast — no windows, no collect. Returns ONE row (empty if
-    * either arm has no units): (n_t, n_c, adj_sum_t, adj_sum_c, theta,
-    * diff, se). */
+    * broadcast — no windows, no collect. Returns ONE row always;
+    * diff/se null when either arm has no units: (n_t, n_c, adj_sum_t,
+    * adj_sum_c, theta, diff, se). */
   def cuped(df: DataFrame, x: Column, y: Column, treat: Column): DataFrame = {
     val base = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"),
         treat.cast("boolean").as("_t"))
@@ -552,25 +552,33 @@ object Evaluate {
       .withColumn("_a", round(col("_y").cast("double") -
         col("theta") * (col("_x").cast("double") - col("_xbar")))
         .cast("long"))
-    val arms = adj.groupBy("_t").agg(count(lit(1)).as("_an"),
-      sum("_a").as("_as"),
-      sum(col("_a").cast("decimal(19,0)") * col("_a")).as("_as2"))
-    val tArm = arms.where(col("_t")).select(col("_an").as("n_t"),
-      col("_as").as("adj_sum_t"), col("_as2").as("_s2t"))
-    val cArm = arms.where(!col("_t")).select(col("_an").as("n_c"),
-      col("_as").as("adj_sum_c"), col("_as2").as("_s2c"))
+    // ONE aggregation with per-arm conditional sums — a filter-per-arm
+    // pivot would re-execute the whole upstream (base agg + adjustment)
+    // once per arm; theta rides along via first() so nothing re-derives
+    // the stats frame
+    val out = adj.agg(
+      coalesce(sum(when(col("_t"), 1L)), lit(0L)).as("n_t"),
+      coalesce(sum(when(!col("_t"), 1L)), lit(0L)).as("n_c"),
+      coalesce(sum(when(col("_t"), col("_a"))), lit(0L)).as("adj_sum_t"),
+      coalesce(sum(when(!col("_t"), col("_a"))), lit(0L)).as("adj_sum_c"),
+      sum(when(col("_t"), col("_a").cast("decimal(19,0)") * col("_a")))
+        .as("_s2t"),
+      sum(when(!col("_t"), col("_a").cast("decimal(19,0)") * col("_a")))
+        .as("_s2c"),
+      first("theta").as("theta"))
     def varNat(n: Column, s: Column, s2: Column): Column =
       (n.cast("decimal(38,0)") * s2 - s.cast("decimal(38,0)") * s)
         .cast("double") / (n.cast("double") * n.cast("double") * lit(1e12))
-    tArm.crossJoin(cArm).crossJoin(broadcast(st.select(col("theta"))))
-      .withColumn("diff",
+    val armed = col("n_t") > 0L && col("n_c") > 0L
+    out
+      .withColumn("diff", when(armed,
         (col("adj_sum_t").cast("double") / col("n_t").cast("double") -
-          col("adj_sum_c").cast("double") / col("n_c").cast("double")) / 1e6)
-      .withColumn("se", sqrt(
+          col("adj_sum_c").cast("double") / col("n_c").cast("double")) / 1e6))
+      .withColumn("se", when(armed, sqrt(
         varNat(col("n_t"), col("adj_sum_t"), col("_s2t")) /
           col("n_t").cast("double") +
         varNat(col("n_c"), col("adj_sum_c"), col("_s2c")) /
-          col("n_c").cast("double")))
+          col("n_c").cast("double"))))
       .select(col("n_t"), col("n_c"), col("adj_sum_t"), col("adj_sum_c"),
         col("theta"), col("diff"), col("se"))
   }
@@ -604,8 +612,10 @@ object Evaluate {
       .withColumn("k", expr(s"(n * ${trimPpm}L) div 1000000L"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("_v"))
+    // broadcast the GROUPS-sized counts frame — without the hint Spark's
+    // stats put the windowed (data-sized) side under the broadcast
     base.withColumn("_rn", row_number().over(w).cast("long"))
-      .join(counts, groupCols)
+      .join(broadcast(counts), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(first("n").as("n"), first("k").as("k"),
         coalesce(sum(when(col("_rn") > col("k") &&

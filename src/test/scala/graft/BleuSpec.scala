@@ -252,9 +252,11 @@ class BleuSpec extends SparkSuite {
     assert(rc.getLong(2) === 40L && rc.getLong(3) === 20L)
     assert(rc.getDouble(6) > 0.0) // unadjusted variance survives
 
-    // an empty arm -> empty readout (documented contract)
+    // an empty arm -> one row, null readouts (documented contract)
     val oneArm = Seq((1L, 2L, true)).toDF("x", "y", "t")
-    assert(Evaluate.cuped(oneArm, col("x"), col("y"), col("t")).count() === 0L)
+    val ra = Evaluate.cuped(oneArm, col("x"), col("y"), col("t")).head
+    assert(ra.getLong(0) === 1L && ra.getLong(1) === 0L)
+    assert(ra.isNullAt(5) && ra.isNullAt(6))
   }
 
   test("trimmedMeans: hand band, outlier immunity, k=0 plain mean, all-trimmed null") {
