@@ -3230,6 +3230,18 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // Van Elteren stratified rank-sum (Evaluate.vanElteren): doc-id
+  // parity vs token count WITHIN language strata — per-stratum exact
+  // integers, ppm/ppb-quantized weighted contributions, one z chain.
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    Evaluate.vanElteren(d, col("lang"), col("doc_id") % 2 === 0,
+        size(TextFunctions.tokens(col("text"))))
+      .select(col("k_strata"), col("n1"), col("n2"),
+        col("num_ppm_sum"), col("var_ppb_sum"),
+        round(col("z"), 6).as("z_r"))
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3763,7 +3775,8 @@ object SparkEntry {
     "q237_mcnemar" -> (q237 _),
     "q239_benford" -> (q239 _),
     "q240_cuped" -> (q240 _),
-    "q241_trimmed_means" -> (q241 _))
+    "q241_trimmed_means" -> (q241 _),
+    "q242_van_elteren" -> (q242 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9024,7 +9037,49 @@ object SparkEntry {
              AS tmean_r,
            round(CAST(trim_sum + k * lo + k * hi AS DOUBLE)
              / CAST(n AS DOUBLE), 6) AS wmean_r
-         FROM a ORDER BY source"""
+         FROM a ORDER BY source""",
+
+    // q242: per-stratum exact integers off the (lang, ntok) histogram;
+    // the weighted contributions quantize ONCE to ppm/ppb; empty-side
+    // strata drop by documented rule.
+    "q242_van_elteren" ->
+      """WITH pool AS (SELECT lang AS g, doc_id % 2 = 0 AS t,
+           len(list_filter(string_split_regex(lower(text),'[^a-z0-9]+'),
+             x -> x <> '')) AS v
+         FROM documents WHERE text IS NOT NULL),
+         gv AS (SELECT g, v, count(*) tc,
+             sum(CASE WHEN t THEN 1 ELSE 0 END) c1
+           FROM pool GROUP BY g, v),
+         rk AS (SELECT g, tc, c1,
+             2 * (sum(tc) OVER (PARTITION BY g ORDER BY v) - tc) + tc + 1
+               AS r2 FROM gv),
+         ps AS (SELECT g, CAST(sum(c1) AS BIGINT) n1,
+             CAST(sum(tc - c1) AS BIGINT) n2,
+             CAST(sum(c1 * r2) AS BIGINT) r1x2,
+             CAST(sum(tc*tc*tc - tc) AS BIGINT) tie
+           FROM rk GROUP BY g
+           HAVING sum(c1) > 0 AND sum(tc - c1) > 0),
+         co AS (SELECT g, n1, n2,
+             CAST(round(CAST(r1x2 - n1*(n1+1) - n1*n2 AS DOUBLE)
+               / (2.0 * (CAST(n1 + n2 AS DOUBLE) + 1.0)) * 1e6)
+               AS BIGINT) num_ppm,
+             CAST(round((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - CAST(tie AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+               / ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  * (CAST(n1 + n2 AS DOUBLE) + 1.0)) * 1e9)
+               AS BIGINT) var_ppb
+           FROM ps)
+         SELECT CAST(count(*) AS BIGINT) k_strata,
+           CAST(sum(n1) AS BIGINT) n1, CAST(sum(n2) AS BIGINT) n2,
+           CAST(sum(num_ppm) AS BIGINT) num_ppm_sum,
+           CAST(sum(var_ppb) AS BIGINT) var_ppb_sum,
+           CASE WHEN sum(var_ppb) > 0 THEN
+             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
+               / sqrt(CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS z_r
+         FROM co"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -638,6 +638,66 @@ object Evaluate {
         col("winsorized_mean"): _*)
   }
 
+  /** Van Elteren's stratified rank-sum test — [[mannWhitneyU]] blocked
+    * by a stratum ("is the new slice's doc length shifted, comparing
+    * ONLY within each language"), the rank analog of a stratified
+    * t-test: confounding by stratum composition cancels because ranks
+    * never cross strata. Locally-best weights w_s = 1/(n_s+1):
+    * z = Σ_s (U_s − μ_s)·w_s / √(Σ_s σ²_s·w_s²).
+    *
+    * Engine-portable shape: per-stratum 2U−2μ and Σ(t³−t) are exact
+    * integers off the per-(stratum, value) histogram (doubled midranks
+    * from a stratum-partitioned cumulative — vocabulary-scale groups,
+    * the [[giniByGroup]] window contract); each stratum's weighted
+    * numerator/variance contribution is a fixed double chain quantized
+    * ONCE to ppm/ppb longs (the q123 rule), so the cross-stratum sums
+    * are order-free exact integers and z is one final chain. Strata
+    * with an empty side drop (no within-stratum information —
+    * documented rule). Returns one row: (k_strata, n1, n2,
+    * num_ppm_sum, var_ppb_sum, z — null when the variance sum ≤ 0). */
+  def vanElteren(df: DataFrame, stratum: Column, inA: Column,
+      value: Column): DataFrame = {
+    val base = df.select(stratum.as("_g"), inA.cast("boolean").as("_t"),
+        value.cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_t").isNotNull &&
+        col("_v").isNotNull)
+    val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_tc"),
+      coalesce(sum(when(col("_t"), 1L)), lit(0L)).as("_c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = gv.withColumn("_cum", coalesce(sum("_tc").over(w), lit(0L)))
+      .withColumn("_r2", lit(2L) * col("_cum") + col("_tc") + 1L)
+    val perS = ranked.groupBy("_g").agg(
+        coalesce(sum("_c1"), lit(0L)).as("_n1"),
+        coalesce(sum(col("_tc") - col("_c1")), lit(0L)).as("_n2"),
+        coalesce(sum(col("_c1") * col("_r2")), lit(0L)).as("_r1x2"),
+        coalesce(sum((col("_tc") * col("_tc") * col("_tc") - col("_tc"))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")).as("_tie"))
+      .where(col("_n1") > 0L && col("_n2") > 0L)
+    val ns = col("_n1") + col("_n2")
+    val num2 = col("_r1x2") - col("_n1") * (col("_n1") + 1L) -
+      col("_n1") * col("_n2") // 2(U - mu), exact
+    val nsd = ns.cast("double")
+    val sig2 = (col("_n1").cast("double") * col("_n2").cast("double") / 12.0) *
+      ((nsd + 1.0) - col("_tie").cast("double") / (nsd * (nsd - 1.0)))
+    val contrib = perS
+      .withColumn("_num_ppm", round(num2.cast("double") /
+        (lit(2.0) * (nsd + 1.0)) * 1e6).cast("long"))
+      .withColumn("_var_ppb", round(sig2 /
+        ((nsd + 1.0) * (nsd + 1.0)) * 1e9).cast("long"))
+    contrib.agg(count(lit(1)).as("k_strata"),
+        coalesce(sum("_n1"), lit(0L)).as("n1"),
+        coalesce(sum("_n2"), lit(0L)).as("n2"),
+        coalesce(sum("_num_ppm"), lit(0L)).as("num_ppm_sum"),
+        coalesce(sum("_var_ppb"), lit(0L)).as("var_ppb_sum"))
+      .withColumn("z",
+        when(col("var_ppb_sum") > 0L,
+          (col("num_ppm_sum").cast("double") / 1e6) /
+            sqrt(col("var_ppb_sum").cast("double") / 1e9))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** McNemar's test over two paired binary decisions — "do these two
     * filters disagree SYMMETRICALLY, or does one systematically keep
     * what the other drops" (quality filter A vs B on the same docs;

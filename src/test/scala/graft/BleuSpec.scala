@@ -294,6 +294,37 @@ class BleuSpec extends SparkSuite {
     assert(rb.getLong(3) === 2L + 2L + 5L)
   }
 
+  test("vanElteren: single stratum matches MW, opposite strata cancel, empty-side drops") {
+    // one stratum, a=[1,2] vs b=[3,4]: num_ppm = round(-4/10 * 1e6),
+    // var_ppb = round((5/3)/25 * 1e9); z == the unweighted MW z
+    val one = Seq(("s", true, 1L), ("s", true, 2L),
+      ("s", false, 3L), ("s", false, 4L)).toDF("g", "t", "v")
+    val r = Evaluate.vanElteren(one, col("g"), col("t"), col("v")).head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(3) === -400000L)
+    assert(r.getLong(4) === 66666667L)
+    assert(math.abs(r.getDouble(5) -
+      (-0.4 / math.sqrt(0.066666667))) < 1e-9)
+
+    // two mirror-image strata cancel to z ~ 0
+    val two = one.unionByName(Seq(("u", false, 1L), ("u", false, 2L),
+      ("u", true, 3L), ("u", true, 4L)).toDF("g", "t", "v"))
+    val r2 = Evaluate.vanElteren(two, col("g"), col("t"), col("v")).head
+    assert(r2.getLong(0) === 2L && r2.getLong(3) === 0L)
+    assert(r2.getDouble(5) === 0.0)
+
+    // a stratum with only one side present carries no information
+    val degen = one.unionByName(
+      Seq(("w", true, 9L), ("w", true, 11L)).toDF("g", "t", "v"))
+    val r3 = Evaluate.vanElteren(degen, col("g"), col("t"), col("v")).head
+    assert(r3.getLong(0) === 1L && r3.getLong(1) === 2L)
+
+    // all-tied everywhere -> zero variance -> null z
+    val tied = Seq(("s", true, 7L), ("s", false, 7L)).toDF("g", "t", "v")
+    assert(Evaluate.vanElteren(tied, col("g"), col("t"), col("v"))
+      .head.isNullAt(5))
+  }
+
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
     // point masses at 0 and 10: W1 = 10 (w1_num = 10 * 1*1)
     val pm = Evaluate.w1Test2(Seq(0L).toDF("v"), Seq(10L).toDF("v"),
