@@ -3171,29 +3171,6 @@ object SparkEntry {
         round(col("chi2"), 6).as("chi2_r"))
   }
 
-  // Benford first-digit audit over order totals: per-digit exact
-  // counts beside the log10(1+1/d) expectation and the per-digit chi2
-  // contribution — a 9-row frame, so no cross-digit float fold exists
-  // to get order-wrong. Digit extraction is string-first (decimal
-  // render, not log10 float-edge-prone exponent math).
-  private def q239(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").where(col("o_totalprice") > 0)
-      .select(substring(col("o_totalprice").cast("string"), 1, 1).as("d"))
-      .groupBy("d").agg(count(lit(1)).as("n_d"))
-    val tot = o.agg(sum("n_d").as("n"))
-    val expd = log10(lit(1.0) + lit(1.0) / col("d").cast("double"))
-    o.crossJoin(tot)
-      .withColumn("exp_ppb", round(expd * 1e9).cast("long"))
-      .withColumn("_expn",
-        col("exp_ppb").cast("double") / 1e9 * col("n").cast("double"))
-      .withColumn("chi2_part", round(
-        (col("n_d").cast("double") - col("_expn")) *
-          (col("n_d").cast("double") - col("_expn")) / col("_expn"), 6))
-      .select(col("d"), col("n_d"), col("n"), col("exp_ppb"),
-        col("chi2_part"))
-      .orderBy("d")
-  }
-
   // CUPED variance-reduced experiment readout (Evaluate.cuped): per-
   // user even-day value sums as the pre-period covariate, odd-day sums
   // as the outcome, user parity as the arm. theta's integers, both
@@ -3773,7 +3750,6 @@ object SparkEntry {
     "q235_cohens_kappa" -> (q235 _),
     "q236_gini_tokens" -> (q236 _),
     "q237_mcnemar" -> (q237 _),
-    "q239_benford" -> (q239 _),
     "q240_cuped" -> (q240 _),
     "q241_trimmed_means" -> (q241 _),
     "q242_van_elteren" -> (q242 _))
@@ -8942,27 +8918,6 @@ object SparkEntry {
              round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
                / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_r
          FROM ag""",
-
-    // q239: string-first digit extraction (decimal render, no log10
-    // exponent edge); expectation quantized ONCE to ppb; per-digit
-    // rows, so no cross-digit fold order exists.
-    "q239_benford" ->
-      """WITH d AS (SELECT substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS d,
-           count(*) AS n_d
-         FROM orders WHERE o_totalprice > 0 GROUP BY 1),
-         t AS (SELECT CAST(sum(n_d) AS BIGINT) n FROM d)
-         SELECT d.d, n_d, n,
-           CAST(round(log10(1.0 + 1.0 / CAST(d.d AS DOUBLE)) * 1e9)
-             AS BIGINT) AS exp_ppb,
-           round((CAST(n_d AS DOUBLE)
-               - CAST(round(log10(1.0 + 1.0 / CAST(d.d AS DOUBLE)) * 1e9)
-                   AS BIGINT) / 1e9 * CAST(n AS DOUBLE))
-             * (CAST(n_d AS DOUBLE)
-               - CAST(round(log10(1.0 + 1.0 / CAST(d.d AS DOUBLE)) * 1e9)
-                   AS BIGINT) / 1e9 * CAST(n AS DOUBLE))
-             / (CAST(round(log10(1.0 + 1.0 / CAST(d.d AS DOUBLE)) * 1e9)
-                  AS BIGINT) / 1e9 * CAST(n AS DOUBLE)), 6) AS chi2_part
-         FROM d, t ORDER BY d""",
 
     // q240: theta from exact HUGEINT normal-equation integers; the
     // per-unit adjustment is the identical double chain rounded back
