@@ -3219,6 +3219,21 @@ object SparkEntry {
         round(col("z"), 6).as("z_r"))
   }
 
+  // t-closeness (Quality.tCloseness): per-source quality-decile
+  // distribution vs the corpus — the ordered-EMD privacy gate beside
+  // q188's k-anonymity/l-diversity. Exact decimal EMD numerators.
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("source"),
+        least(greatest(floor(round(TextFunctions.qualityScore(col("text")),
+          6) * 10).cast("long"), lit(0L)), lit(9L)).as("b"))
+      .where(col("b").isNotNull)
+    Quality.tCloseness(d, Seq("source"), col("b"))
+      .select(col("source"), col("n_g"), col("m"),
+        col("emd_num").cast("long").as("emd_num"),
+        round(col("t"), 6).as("t_r"))
+      .orderBy("source")
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3752,7 +3767,8 @@ object SparkEntry {
     "q237_mcnemar" -> (q237 _),
     "q240_cuped" -> (q240 _),
     "q241_trimmed_means" -> (q241 _),
-    "q242_van_elteren" -> (q242 _))
+    "q242_van_elteren" -> (q242 _),
+    "q243_t_closeness" -> (q243 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9034,7 +9050,42 @@ object SparkEntry {
            CASE WHEN sum(var_ppb) > 0 THEN
              round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
                / sqrt(CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS z_r
-         FROM co"""
+         FROM co""",
+
+    // q243: the full g x m grid (cohorts cross the global decile list),
+    // cohort-partitioned cums, exact common-denominator EMD numerators.
+    "q243_t_closeness" ->
+      s"""WITH $qualityScorePosCtes,
+         bb AS (SELECT d.source,
+             least(greatest(CAST(floor(round(sc, 6) * 10) AS BIGINT), 0), 9)
+               AS b
+           FROM q JOIN documents d USING (doc_id) WHERE sc IS NOT NULL),
+         g AS (SELECT b AS v, count(*) cv FROM bb GROUP BY b),
+         tt AS (SELECT CAST(sum(cv) AS BIGINT) nn,
+             CAST(count(*) AS BIGINT) m FROM g),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) ng
+           FROM bb GROUP BY source),
+         gv AS (SELECT source, b AS v, count(*) cgv
+           FROM bb GROUP BY source, b),
+         grid AS (SELECT c.source, c.ng, g.v, g.cv,
+             coalesce(gv.cgv, 0) cgv
+           FROM c CROSS JOIN g
+           LEFT JOIN gv ON gv.source = c.source AND gv.v = g.v),
+         cum AS (SELECT source, ng, v,
+             sum(cgv) OVER (PARTITION BY source ORDER BY v) cumg,
+             sum(cv) OVER (PARTITION BY source ORDER BY v) cuma
+           FROM grid),
+         agg AS (SELECT source, ng,
+             CAST(sum(abs(CAST(cumg AS HUGEINT) * (SELECT nn FROM tt)
+               - CAST(cuma AS HUGEINT) * ng)) AS BIGINT) num
+           FROM cum GROUP BY source, ng)
+         SELECT source, ng AS n_g, (SELECT m FROM tt) AS m,
+           num AS emd_num,
+           round(CAST(num AS DOUBLE)
+             / (CAST(ng AS DOUBLE)
+                * CAST((SELECT nn FROM tt) AS DOUBLE)
+                * CAST((SELECT m FROM tt) - 1 AS DOUBLE)), 6) AS t_r
+         FROM agg ORDER BY source"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

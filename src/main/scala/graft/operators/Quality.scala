@@ -220,4 +220,53 @@ object Quality {
           .as("at_risk_rows"),
         sum(col("at_risk").cast("long")).as("at_risk_groups"),
         min("n").as("k_anonymity"))
+
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) over an
+    * ORDERED sensitive attribute — the privacy gate
+    * [[kAnonymityGroups]]' l-diversity readout can't express: a cohort
+    * whose sensitive DISTRIBUTION differs sharply from the population's
+    * leaks (all-high salaries in one cohort is a disclosure even with
+    * many distinct values). Per QI cohort, the ordered-EMD distance to
+    * the global distribution with the paper's 1/(m−1) adjacent-value
+    * metric: t_g = Σᵢ|cumₚ(i) − cum_q(i)| /(m−1) over the m global
+    * distinct values, computed on the common denominator n_g·N so the
+    * numerator Σ|cum_g·N − cum_all·n_g| is an EXACT Decimal(38,0)
+    * integer and t is ONE division. Bucketize an unbounded sensitive
+    * measure upstream (deciles, bands — m is the grid).
+    *
+    * Scale shape: the cohort frame crossJoins the broadcast m-row
+    * global grid (cohorts × m rows — m is bucket-sized by contract),
+    * cums are cohort-partitioned windows over m rows. Returns one row
+    * per cohort: (qi…, n_g, m, emd_num decimal, t — null when m < 2). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String],
+      sensitive: Column): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val base = df.select(qiCols.map(col) :+
+        sensitive.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
+    val global = base.groupBy("_v").agg(count(lit(1)).as("_cv"))
+    val tot = global.agg(sum("_cv").as("_N"), count(lit(1)).as("_m"))
+    val cohorts = base.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_g"))
+    val gv = base.groupBy(qiCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_cgv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("_v"))
+    cohorts.crossJoin(broadcast(global))
+      .join(gv, qiCols :+ "_v", "left")
+      .withColumn("_cgv", coalesce(col("_cgv"), lit(0L)))
+      .withColumn("_cumg", sum("_cgv").over(w))
+      .withColumn("_cuma", sum("_cv").over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(qiCols.map(col) :+ col("n_g") :+ col("_N") :+ col("_m"): _*)
+      .agg(coalesce(sum(abs(col("_cumg").cast("decimal(19,0)") * col("_N") -
+          col("_cuma").cast("decimal(19,0)") * col("n_g"))),
+        lit(0L).cast("decimal(38,0)")).as("emd_num"))
+      .withColumn("t",
+        when(col("_m") > 1L, col("emd_num").cast("double") /
+          (col("n_g").cast("double") * col("_N").cast("double") *
+            (col("_m") - 1L).cast("double"))))
+      .select(qiCols.map(col) :+ col("n_g") :+ col("_m").as("m") :+
+        col("emd_num") :+ col("t"): _*)
+  }
 }

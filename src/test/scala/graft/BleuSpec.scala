@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Evaluate
+import graft.operators.{Evaluate, Quality}
 
 /** Sentence BLEU-4: hand-derived clipped counts, the zero rule, identity
   * pairs, brevity penalty, and clipping under repeated n-grams. */
@@ -323,6 +323,44 @@ class BleuSpec extends SparkSuite {
     val tied = Seq(("s", true, 7L), ("s", false, 7L)).toDF("g", "t", "v")
     assert(Evaluate.vanElteren(tied, col("g"), col("t"), col("v"))
       .head.isNullAt(5))
+  }
+
+  test("tCloseness: hand EMD, cohort == population -> 0, concentrated cohort maximal") {
+    // population values {0,1,2}, counts (2,2,2), N=6, m=3
+    // cohort A = (1,1,0,0)?? use: A holds both 0s and one 1; B holds
+    // one 1 and both 2s. A: counts (2,1,0), ng=3.
+    // cums A: 2,3,3; all: 2,4,6. |cumg*N - cuma*ng|: |12-6|=6, |18-12|=6,
+    // |18-18|=0 -> num=12; t = 12/(3*6*2) = 1/3
+    val df = Seq(("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 1L), ("B", 2L), ("B", 2L)).toDF("g", "v")
+    val rows = Quality.tCloseness(df, Seq("g"), col("v"))
+      .orderBy("g").collect()
+    assert(rows(0).getLong(1) === 3L && rows(0).getLong(2) === 3L)
+    assert(rows(0).getDecimal(3).longValueExact() === 12L)
+    assert(math.abs(rows(0).getDouble(4) - 1.0 / 3.0) < 1e-12)
+    // B mirrors A
+    assert(rows(1).getDecimal(3).longValueExact() === 12L)
+
+    // a cohort distributed like the population scores 0
+    val same = Seq(("A", 0L), ("A", 1L), ("B", 0L), ("B", 1L))
+      .toDF("g", "v")
+    val rs = Quality.tCloseness(same, Seq("g"), col("v"))
+      .orderBy("g").collect()
+    assert(rs.forall(_.getDouble(4) === 0.0))
+
+    // all mass on one extreme value in a 2-value grid -> t = 1/2:
+    // A=(2,0) vs all=(2,2): cums 2,2 vs 2,4 -> |8-4|=4+|8-8|=0; wait
+    // num = |2*4-2*2| + |2*4-4*2| = 4 + 0 = 4; t = 4/(2*4*1) = 0.5
+    val ext = Seq(("A", 0L), ("A", 0L), ("B", 1L), ("B", 1L))
+      .toDF("g", "v")
+    val re = Quality.tCloseness(ext, Seq("g"), col("v"))
+      .orderBy("g").collect()
+    assert(re(0).getDouble(4) === 0.5 && re(1).getDouble(4) === 0.5)
+
+    // single global value -> m = 1 -> t null
+    val degen = Seq(("A", 5L), ("B", 5L)).toDF("g", "v")
+    assert(Quality.tCloseness(degen, Seq("g"), col("v"))
+      .head.isNullAt(4))
   }
 
   test("w1Test2: hand case, point masses, identical -> 0, layout-proof, naive parity") {
