@@ -559,6 +559,23 @@ object Bench {
         .count() == 100000L)
     }
 
+    // Grid-blocked geo nearest at 1M x 100k within 50 km: candidate
+    // rows stay ~9 x cell-density x L (never L x R); the shuffle keys
+    // on grid cells. Validation row for the q251 operator's scale
+    // shape.
+    bench("x_geo_nearest_1m", runs = 1) {
+      def geoPts(n: Long, s1: Int, s2: Int) = spark.range(n).select(
+        col("id"),
+        (pmod(xxhash64(col("id"), lit(s1)), lit(1200000L)) / 10000.0 - 60.0)
+          .as("la"),
+        (pmod(xxhash64(col("id"), lit(s2)), lit(3600000L)) / 10000.0 - 180.0)
+          .as("lo"))
+      graft.operators.Geo.nearestWithin(
+        geoPts(1000000L, 61, 62), geoPts(100000L, 63, 64),
+        "id", "la", "lo", "id", "la", "lo",
+        radiusKm = 50.0, k = 3, maxAbsLatDeg = 60.0).count()
+    }
+
     // Z-order layout: 4M rows, two independent uniform keys in [0, 4096)
     // plus a ~120 B payload (so scan I/O, not task overhead, dominates),
     // 64 files each way. The discriminating query is a range on the
@@ -569,7 +586,8 @@ object Bench {
     // file count — leading-column pruning alone already serves it; the
     // payoff z-order buys is pruning on the non-leading dimensions.)
     if (overBudget) Seq("x_zorder_write_4m", "x_zorder_bslab_4m",
-      "x_linear_bslab_4m").foreach(skip)
+      "x_linear_bslab_4m", "x_hilbert_write_4m", "x_hilbert_bslab_4m")
+      .foreach(skip)
     else locally {
       val zsrc = spark.range(4000000L).select(
         col("id"),
@@ -592,6 +610,17 @@ object Bench {
       }
       bench("x_linear_bslab_4m") {
         spark.read.parquet(s"$tmp/lin").where(bSlab)
+          .agg(sum(length(col("payload")))).collect()
+      }
+      // Hilbert twin of the z-layout rows: same source, same b-slab
+      // probe — the always-adjacent curve should prune at least as
+      // well as the z-curve on the non-leading dimension.
+      bench("x_hilbert_write_4m", runs = 1) {
+        graft.operators.ZOrder.writeHilbertOrdered(zsrc, s"$tmp/hord",
+          64, 12, "a", "b")
+      }
+      bench("x_hilbert_bslab_4m") {
+        spark.read.parquet(s"$tmp/hord").where(bSlab)
           .agg(sum(length(col("payload")))).collect()
       }
     }

@@ -3234,6 +3234,171 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  // Log-rank test (Evaluate.logRank): q222's purchase-latency survival
+  // frame, even vs odd user cohorts — "do the two Kaplan-Meier curves
+  // differ significantly", the significance companion to q222.
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(
+      min("ts").as("t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+      max("ts").as("tl"))
+    val dur = perUser.select(
+      when(col("tp").isNotNull, expr("(tp - t0) div 86400000000000"))
+        .otherwise(expr("(tl - t0) div 86400000000000")).as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"),
+      (pmod(col("user_id"), lit(2)) === 0).as("a"))
+    Evaluate.logRank(dur, Nil, col("t"), col("ev"), col("a"))
+      .select(col("n1"), col("n2"), col("o1"), col("k_times"),
+        col("num_ppm_sum"), col("var_ppb_sum"),
+        round(col("z"), 6).as("z_r"))
+  }
+
+  // Cochran-Mantel-Haenszel (Evaluate.cmhTest): is "long document"
+  // associated with the even-doc_id arm after controlling for lang —
+  // the binary-outcome sibling of q242's van Elteren.
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    Evaluate.cmhTest(d, col("lang"), col("doc_id") % 2 === 0,
+        col("n_chars") > 200)
+      .select(col("k_strata"), col("n"), col("o_sum"),
+        col("num_ppm_sum"), col("var_ppb_sum"),
+        round(col("chi2"), 6).as("chi2_r"), round(col("z"), 6).as("z_r"))
+  }
+
+  // One-way ANOVA F (Evaluate.anovaF): does mean document length
+  // differ by source — the parametric companion to q234's
+  // Kruskal-Wallis over the same frame shape.
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    Evaluate.anovaF(t(s, dir, "documents").where(col("text").isNotNull),
+        col("source"), col("n_chars"))
+      .select(col("k"), col("n"), round(col("ssb"), 6).as("ssb_r"),
+        round(col("ssw"), 6).as("ssw_r"), round(col("f"), 6).as("f_r"))
+
+  // Brown-Forsythe (Evaluate.brownForsythe): does length VARIANCE
+  // differ by source — median-centered Levene over the q246 frame;
+  // deviations kept integral by the 2v - med2 doubling.
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    Evaluate.brownForsythe(
+        t(s, dir, "documents").where(col("text").isNotNull),
+        col("source"), col("n_chars"))
+      .select(col("k"), col("n"), round(col("ssb"), 6).as("ssb_r"),
+        round(col("ssw"), 6).as("ssw_r"), round(col("f"), 6).as("f_r"))
+
+  // Welch's unequal-variance t (Evaluate.welchT): even vs odd order
+  // keys on floor(o_totalprice) — the parametric two-arm mean test
+  // beside q156's proportion z and q240's CUPED.
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    Evaluate.welchT(t(s, dir, "orders"), col("o_orderkey") % 2 === 0,
+        floor(col("o_totalprice")))
+      .select(col("n1"), col("n2"),
+        round(col("mean1"), 6).as("mean1_r"),
+        round(col("mean2"), 6).as("mean2_r"),
+        round(col("t"), 6).as("t_r"), round(col("df_w"), 6).as("df_r"))
+
+  // Cochran's Q (Evaluate.cochranQ): do three text filters (length,
+  // has-digit, mentions-"the") keep different fractions of the same
+  // docs — q237 McNemar's k-treatment extension, exact integers end
+  // to end.
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+    val long = d.select(col("doc_id").as("s"), lit("len").as("j"),
+        (col("n_chars") > 150).as("y"))
+      .unionByName(d.select(col("doc_id").as("s"), lit("digit").as("j"),
+        col("text").rlike("[0-9]").as("y")))
+      .unionByName(d.select(col("doc_id").as("s"), lit("the").as("j"),
+        lower(col("text")).rlike("the").as("y")))
+    Evaluate.cochranQ(long, col("s"), col("j"), col("y"))
+      .select(col("k"), col("n_subjects"), col("num"), col("den"),
+        round(col("q"), 6).as("q_r"))
+  }
+
+  // Geohash spatial bucketing (GeoFunctions.geohash): hash-derived
+  // lat/lon per customer -> 4-char geohash cells, exact closed-form
+  // integer bit interleave replayed bit-for-bit in the oracle.
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(col("c_custkey"),
+      (pmod(col("c_custkey") * 37, lit(12000)) / 100.0 - 60.0).as("la"),
+      (pmod(col("c_custkey") * 91, lit(36000)) / 100.0 - 180.0).as("lo"))
+    pts.select(GeoFunctions.geohash(col("la"), col("lo"), 4).as("gh4"))
+      .groupBy("gh4").agg(count(lit(1)).as("cnt"))
+      .orderBy("gh4")
+  }
+
+  // Grid-blocked geo nearest-neighbors (Geo.nearestWithin): 3 nearest
+  // suppliers within 3000 great-circle km of each customer; the
+  // oracle replays the haversine top-k as a full cross join - the
+  // blocked plan must reproduce it exactly (completeness proof by
+  // gate, meter-quantized ordering).
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      (pmod(col("c_custkey") * 37, lit(12000)) / 100.0 - 60.0).as("la"),
+      (pmod(col("c_custkey") * 91, lit(36000)) / 100.0 - 180.0).as("lo"))
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+      (pmod(col("s_suppkey") * 53, lit(12000)) / 100.0 - 60.0).as("la"),
+      (pmod(col("s_suppkey") * 97, lit(36000)) / 100.0 - 180.0).as("lo"))
+    Geo.nearestWithin(c, sup, "c_custkey", "la", "lo",
+        "s_suppkey", "la", "lo", radiusKm = 3000.0, k = 3,
+        maxAbsLatDeg = 60.0)
+      .select(col("left_id").as("custkey"), col("right_id").as("suppkey"),
+        col("dist_km"), col("rank").cast("long").as("rank"))
+      .orderBy("custkey", "rank")
+  }
+
+  // Corpus snapshot diff (Dedup.snapshotDiff): two simulated corpus
+  // versions of the documents table (drops + mutations) -> per-status
+  // churn counts off the content-hash full-outer join.
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("ct"))
+    val oldDf = d.where(col("doc_id") % 7 =!= 0)
+    val newDf = d.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), when(col("doc_id") % 11 === 0,
+        upper(col("ct"))).otherwise(col("ct")).as("ct"))
+    Dedup.snapshotDiff(oldDf, newDf, "doc_id", col("ct"))
+      .groupBy("status").agg(count(lit(1)).as("cnt"))
+      .orderBy("status")
+  }
+
+  // Jonckheere-Terpstra (Evaluate.jonckheere): does order value TREND
+  // across the ordered priority classes (1-URGENT .. 5-LOW) — the
+  // ordered-group sibling of q209's Mann-Kendall, more powerful than
+  // q234's Kruskal-Wallis under a monotone alternative. var_j is
+  // ppm²-scale (the q230 below-the-ulp rule) so the gate carries the
+  // exact j2/e2 integers and the O(1) z only.
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    Evaluate.jonckheere(t(s, dir, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        floor(col("o_totalprice")))
+      .select(col("k"), col("n"), col("j2"), col("e2"),
+        round(col("z"), 6).as("z_r"))
+
+  // Hilbert curve (functions.HilbertIndex2 via ZOrder.withHValue):
+  // q79's Morton walk upgraded to the always-adjacent curve; the
+  // oracle replays the sequential per-bit rotate as 8 staged CTEs
+  // (the splitmix-chain precedent).
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    ZOrder.withHValue(l, bits = 8, "l_partkey", "l_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("_h").as("hval"))
+      .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+  }
+
+  // Geohash 3x3 neighborhoods (GeoFunctions.geohashNeighbors): the
+  // blocking-key array for geohash-prefix joins — lon cells wrap, lat
+  // cells clamp+dedup; the oracle replays offsets/clamp/wrap then the
+  // q250 interleave on the adjusted cell ints.
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").where(col("c_custkey") % 37 === 0)
+      .select(col("c_custkey"),
+        (pmod(col("c_custkey") * 37, lit(12000)) / 100.0 - 60.0).as("la"),
+        (pmod(col("c_custkey") * 91, lit(36000)) / 100.0 - 180.0).as("lo"))
+    pts.select(col("c_custkey"),
+        explode(GeoFunctions.geohashNeighbors(col("la"), col("lo"), 5))
+          .as("nb"))
+      .orderBy("c_custkey", "nb")
+  }
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3768,7 +3933,19 @@ object SparkEntry {
     "q240_cuped" -> (q240 _),
     "q241_trimmed_means" -> (q241 _),
     "q242_van_elteren" -> (q242 _),
-    "q243_t_closeness" -> (q243 _))
+    "q243_t_closeness" -> (q243 _),
+    "q244_logrank" -> (q244 _),
+    "q245_cmh" -> (q245 _),
+    "q246_anova_f" -> (q246 _),
+    "q247_brown_forsythe" -> (q247 _),
+    "q248_welch_t" -> (q248 _),
+    "q249_cochran_q" -> (q249 _),
+    "q250_geohash" -> (q250 _),
+    "q251_geo_nearest" -> (q251 _),
+    "q252_snapshot_diff" -> (q252 _),
+    "q253_jonckheere" -> (q253 _),
+    "q254_hilbert_curve" -> (q254 _),
+    "q255_geohash_neighbors" -> (q255 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9085,7 +9262,409 @@ object SparkEntry {
              / (CAST(ng AS DOUBLE)
                 * CAST((SELECT nn FROM tt) AS DOUBLE)
                 * CAST((SELECT m FROM tt) - 1 AS DOUBLE)), 6) AS t_r
-         FROM agg ORDER BY source"""
+         FROM agg ORDER BY source""",
+
+    // q244: q222's survival frame, then the per-event-time 2x2
+    // hypergeometric terms — ppm/ppb quantized per time, integer sums.
+    "q244_logrank" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) END) AS tp,
+             max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY user_id),
+         dur AS (SELECT
+             CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+               ELSE (tl - t0) // 86400000000000 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e,
+             (user_id % 2 = 0) AS a
+           FROM pu),
+         d AS (SELECT t, count(*) AS tot,
+             sum(CASE WHEN a THEN 1 ELSE 0 END) AS tot1,
+             sum(e) AS d, sum(CASE WHEN a THEN e ELSE 0 END) AS d1
+           FROM dur GROUP BY t),
+         w AS (SELECT t, d, d1,
+             sum(tot) OVER ()
+               - coalesce(sum(tot) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+             sum(tot1) OVER ()
+               - coalesce(sum(tot1) OVER (ORDER BY t ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+           FROM d),
+         co AS (SELECT d1, d,
+             CAST(round((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+               AS BIGINT) AS num_ppm,
+             CASE WHEN n > 1 THEN CAST(round(CAST(d AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) * 1e9) AS BIGINT)
+               ELSE 0 END AS var_ppb
+           FROM w WHERE d > 0),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1s,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n2s
+           FROM dur),
+         ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(count(*) AS BIGINT) AS k_times,
+             CAST(sum(num_ppm) AS BIGINT) AS num_ppm_sum,
+             CAST(sum(var_ppb) AS BIGINT) AS var_ppb_sum
+           FROM co)
+         SELECT n1s AS n1, n2s AS n2, o1, k_times,
+           num_ppm_sum, var_ppb_sum,
+           CASE WHEN n1s > 0 AND n2s > 0 AND var_ppb_sum > 0 THEN
+             round((CAST(num_ppm_sum AS DOUBLE) / 1e6)
+               / sqrt(CAST(var_ppb_sum AS DOUBLE) / 1e9), 6) END AS z_r
+         FROM tot, ag""",
+
+    // q245: per-lang 2x2 (arm x long-doc), num ppm / var ppb per
+    // stratum, integer cross-stratum sums, no continuity correction.
+    "q245_cmh" ->
+      """WITH base AS (SELECT lang AS g, doc_id % 2 = 0 AS x,
+             n_chars > 200 AS y
+           FROM documents WHERE text IS NOT NULL),
+         ps AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           FROM base GROUP BY g HAVING count(*) > 1),
+         co AS (SELECT n, n11,
+             CAST(round((CAST(n11 AS DOUBLE) - CAST(r1 AS DOUBLE)
+               * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+               AS BIGINT) AS num_ppm,
+             CAST(round(CAST(r1 AS DOUBLE)
+               * (CAST(n AS DOUBLE) - CAST(r1 AS DOUBLE))
+               * CAST(c1 AS DOUBLE)
+               * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1.0)) * 1e9) AS BIGINT)
+               AS var_ppb
+           FROM ps)
+         SELECT CAST(count(*) AS BIGINT) AS k_strata,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(n11) AS BIGINT) AS o_sum,
+           CAST(sum(num_ppm) AS BIGINT) AS num_ppm_sum,
+           CAST(sum(var_ppb) AS BIGINT) AS var_ppb_sum,
+           CASE WHEN sum(var_ppb) > 0 THEN
+             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
+               * (CAST(sum(num_ppm) AS DOUBLE) / 1e6)
+               / (CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS chi2_r,
+           CASE WHEN sum(var_ppb) > 0 THEN
+             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
+               / sqrt(CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS z_r
+         FROM co""",
+
+    // q246: exact n/Σv/Σv² skeleton; per-group S²/n quantized ppm
+    // before the integer sum; ssb/ssw/f one float chain.
+    "q246_anova_f" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v
+           FROM documents WHERE text IS NOT NULL),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))
+               AS HUGEINT) AS v2
+           FROM base GROUP BY g),
+         wt AS (SELECT *, CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1e6) AS HUGEINT) AS sq_ppm FROM pg),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(v2) AS HUGEINT) AS v2,
+             CAST(sum(sq_ppm) AS HUGEINT) AS sq_ppm FROM wt),
+         fin AS (SELECT k, n,
+             CAST(sq_ppm - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1e6) AS HUGEINT) AS DOUBLE) / 1e6
+               AS ssb,
+             CAST(v2 AS DOUBLE) - CAST(sq_ppm AS DOUBLE) / 1e6 AS ssw
+           FROM tt)
+         SELECT k, n, round(ssb, 6) AS ssb_r, round(ssw, 6) AS ssw_r,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+             round((ssb / CAST(k - 1 AS DOUBLE))
+               / (ssw / CAST(n - k AS DOUBLE)), 6) END AS f_r
+         FROM fin""",
+
+    // q247: the q246 chain over z = |2v − med2_g| (med2 = lower +
+    // upper middle from the group-partitioned row_number window).
+    "q247_brown_forsythe" ->
+      """WITH base AS (SELECT source AS g, n_chars AS v
+           FROM documents WHERE text IS NOT NULL),
+         rk AS (SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+           FROM base),
+         med AS (SELECT g,
+             sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE 0 END)
+               + sum(CASE WHEN rn = cnt // 2 + 1 THEN v ELSE 0 END)
+               AS med2
+           FROM rk GROUP BY g),
+         dev AS (SELECT base.g, abs(2 * v - med2) AS z
+           FROM base JOIN med ON base.g = med.g),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s,
+             CAST(sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT))
+               AS HUGEINT) AS v2
+           FROM dev GROUP BY g),
+         wt AS (SELECT *, CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1e6) AS HUGEINT) AS sq_ppm FROM pg),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+             CAST(sum(v2) AS HUGEINT) AS v2,
+             CAST(sum(sq_ppm) AS HUGEINT) AS sq_ppm FROM wt),
+         fin AS (SELECT k, n,
+             CAST(sq_ppm - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1e6) AS HUGEINT) AS DOUBLE) / 1e6
+               AS ssb,
+             CAST(v2 AS DOUBLE) - CAST(sq_ppm AS DOUBLE) / 1e6 AS ssw
+           FROM tt)
+         SELECT k, n, round(ssb, 6) AS ssb_r, round(ssw, 6) AS ssw_r,
+           CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+             round((ssb / CAST(k - 1 AS DOUBLE))
+               / (ssw / CAST(n - k AS DOUBLE)), 6) END AS f_r
+         FROM fin""",
+
+    // q248: one conditional-sum pass, exact n/Σv/Σv² per arm, then the
+    // Welch t and Welch–Satterthwaite df float chains.
+    "q248_welch_t" ->
+      """WITH ag AS (SELECT
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0
+             THEN CAST(floor(o_totalprice) AS HUGEINT)
+               * CAST(floor(o_totalprice) AS HUGEINT) ELSE 0 END)
+             AS HUGEINT) AS v21,
+           CAST(sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+             THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS s2,
+           CAST(sum(CASE WHEN o_orderkey % 2 <> 0
+             THEN CAST(floor(o_totalprice) AS HUGEINT)
+               * CAST(floor(o_totalprice) AS HUGEINT) ELSE 0 END)
+             AS HUGEINT) AS v22
+           FROM orders),
+         m AS (SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2,
+             (CAST(v21 AS DOUBLE) * CAST(n1 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS var1,
+             (CAST(v22 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS var2
+           FROM ag),
+         x AS (SELECT n1, n2, mean1, mean2,
+             var1 / CAST(n1 AS DOUBLE) AS a,
+             var2 / CAST(n2 AS DOUBLE) AS b
+           FROM m)
+         SELECT n1, n2, round(mean1, 6) AS mean1_r,
+           round(mean2, 6) AS mean2_r,
+           CASE WHEN (a + b) > 0.0 THEN
+             round((mean1 - mean2) / sqrt(a + b), 6) END AS t_r,
+           CASE WHEN (a + b) > 0.0 THEN
+             round((a + b) * (a + b)
+               / (a * a / CAST(n1 - 1 AS DOUBLE)
+                  + b * b / CAST(n2 - 1 AS DOUBLE)), 6) END AS df_r
+         FROM x""",
+
+    // q249: three filter columns unpivoted to complete blocks; Q's
+    // numerator and denominator stay exact integers.
+    "q249_cochran_q" ->
+      """WITH d AS (SELECT doc_id, text, n_chars
+           FROM documents WHERE text IS NOT NULL),
+         lf AS (
+           SELECT doc_id AS s, 'len' AS j,
+             CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS y FROM d
+           UNION ALL SELECT doc_id, 'digit',
+             CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+             FROM d
+           UNION ALL SELECT doc_id, 'the',
+             CASE WHEN regexp_matches(lower(text), 'the') THEN 1 ELSE 0 END
+             FROM d),
+         rsum AS (SELECT s, sum(y) AS r FROM lf GROUP BY s),
+         ra AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+             CAST(sum(r) AS BIGINT) AS sumr,
+             CAST(sum(r * r) AS BIGINT) AS sumr2 FROM rsum),
+         ca AS (SELECT CAST(sum(c * c) AS BIGINT) AS sumc2,
+             CAST(sum(c) AS BIGINT) AS sumc
+           FROM (SELECT j, sum(y) AS c FROM lf GROUP BY j))
+         SELECT CAST(3 AS BIGINT) AS k, n_subjects,
+           (3 - 1) * (3 * sumc2 - sumc * sumc) AS num,
+           3 * sumr - sumr2 AS den,
+           CASE WHEN 3 * sumr - sumr2 > 0 THEN
+             round(CAST((3 - 1) * (3 * sumc2 - sumc * sumc) AS DOUBLE)
+               / CAST(3 * sumr - sumr2 AS DOUBLE), 6) END AS q_r
+         FROM ra, ca""",
+
+    // q250: the closed-form geohash replayed bit-for-bit (scale+floor
+    // fixed-point expansions, unrolled interleave, base32 chars).
+    "q250_geohash" ->
+      s"""WITH pts AS (SELECT
+             ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS la,
+             ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lo
+           FROM customer),
+         ib AS (SELECT
+             least(1023, greatest(0, CAST(floor((lo + 180.0) / 360.0
+               * 1024.0) AS BIGINT))) AS ilon,
+             least(1023, greatest(0, CAST(floor((la + 90.0) / 180.0
+               * 1024.0) AS BIGINT))) AS ilat
+           FROM pts),
+         ih AS (SELECT ${geohashInterleaveSql(4)} AS h FROM ib),
+         gh AS (SELECT ${geohashCharsSql(4)} AS gh4 FROM ih)
+         SELECT gh4, CAST(count(*) AS BIGINT) AS cnt
+         FROM gh GROUP BY gh4 ORDER BY gh4""",
+
+    // q251: the grid-blocked plan must reproduce the full cross-join
+    // haversine top-k exactly — meter-quantized (dist, suppkey) order.
+    "q251_geo_nearest" ->
+      """WITH c AS (SELECT c_custkey,
+             ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS cla,
+             ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS clo
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             ((s_suppkey * 53) % 12000) / 100.0 - 60.0 AS sla,
+             ((s_suppkey * 97) % 36000) / 100.0 - 180.0 AS slo
+           FROM supplier),
+         p AS (SELECT c_custkey, s_suppkey,
+             2.0 * 6371.0088 * asin(least(1.0, sqrt(
+               sin(radians(sla - cla) / 2.0)
+                 * sin(radians(sla - cla) / 2.0)
+               + cos(radians(cla)) * cos(radians(sla))
+                 * sin(radians(slo - clo) / 2.0)
+                 * sin(radians(slo - clo) / 2.0)))) AS d
+           FROM c CROSS JOIN s),
+         f AS (SELECT c_custkey, s_suppkey,
+             round(d * 1000.0) / 1000.0 AS dr
+           FROM p WHERE d <= 3000.0),
+         r AS (SELECT c_custkey, s_suppkey, dr,
+             row_number() OVER (PARTITION BY c_custkey
+               ORDER BY dr, s_suppkey) AS rk
+           FROM f)
+         SELECT c_custkey AS custkey, s_suppkey AS suppkey,
+           dr AS dist_km, CAST(rk AS BIGINT) AS rank
+         FROM r WHERE rk <= 3 ORDER BY custkey, rank""",
+
+    // q252: content-equality FULL OUTER replay of the hash-based diff
+    // (hash equality == content equality modulo collisions).
+    "q252_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS ct
+           FROM documents),
+         o AS (SELECT doc_id, ct FROM d WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN upper(ct)
+             ELSE ct END AS ct
+           FROM d WHERE doc_id % 5 <> 0),
+         j AS (SELECT
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.ct = n.ct THEN 'unchanged'
+               ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT status, CAST(count(*) AS BIGINT) AS cnt
+         FROM j GROUP BY status ORDER BY status""",
+
+    // q253: dense group×value grid, the two prefix windows, exact
+    // integer J2/E2 and tie-corrected variance numerators.
+    "q253_jonckheere" ->
+      """WITH base AS (SELECT
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g,
+             CAST(floor(o_totalprice) AS BIGINT) AS v
+           FROM orders),
+         gv AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+         grid AS (SELECT gg.g, vv.v, coalesce(gv.c, 0) AS c
+           FROM (SELECT DISTINCT g FROM gv) gg
+           CROSS JOIN (SELECT DISTINCT v FROM gv) vv
+           LEFT JOIN gv ON gv.g = gg.g AND gv.v = vv.v),
+         cells AS (SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumv
+           FROM grid),
+         cells2 AS (SELECT g, v, c,
+             coalesce(sum(cumv) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+             coalesce(sum(c) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+           FROM cells),
+         jj AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (2 * a + b))
+             AS BIGINT) AS j2 FROM cells2),
+         pg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2,
+             CAST(sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5))
+               AS HUGEINT) AS g225,
+             CAST(sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2))
+               AS HUGEINT) AS g12,
+             CAST(sum(CAST(n AS HUGEINT) * (n - 1)) AS HUGEINT) AS g1
+           FROM (SELECT g, count(*) AS n FROM base GROUP BY g)),
+         tg AS (SELECT
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+               0) AS HUGEINT) AS t225,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)),
+               0) AS HUGEINT) AS t12,
+             CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+               AS HUGEINT) AS t1
+           FROM (SELECT v, count(*) AS t FROM base GROUP BY v)),
+         fin AS (SELECT k, n, j2,
+             CAST((CAST(n AS HUGEINT) * n - sn2) // 2 AS BIGINT) AS e2,
+             CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                 - g225 - t225 AS DOUBLE) / 72.0
+               + (CASE WHEN n >= 3 THEN CAST(g12 AS DOUBLE)
+                   * CAST(t12 AS DOUBLE)
+                   / (36.0 * (CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)
+                      * (CAST(n AS DOUBLE) - 2.0))) ELSE 0.0 END)
+               + CAST(g1 AS DOUBLE) * CAST(t1 AS DOUBLE)
+                 / (8.0 * (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - 1.0))) AS var_j
+           FROM jj, pg, tg)
+         SELECT k, n, j2, e2,
+           CASE WHEN k >= 2 AND var_j > 0.0 THEN
+             round((CAST(j2 - e2 AS DOUBLE) / 2.0) / sqrt(var_j), 6)
+             END AS z_r
+         FROM fin""",
+
+    // q254: q79's min/max scaling to 8 bits, then the Hilbert per-bit
+    // quadrant-code + rotate state machine as 8 staged CTEs.
+    "q254_hilbert_curve" ->
+      s"""WITH mm AS (SELECT min(l_partkey) pmn, max(l_partkey) pmx,
+                  min(l_suppkey) smn, max(l_suppkey) smx FROM lineitem),
+         h0 AS (SELECT l_orderkey, l_linenumber,
+             CASE WHEN pmx - pmn <= 0 THEN 0
+                  ELSE ((l_partkey - pmn) * 255) // (pmx - pmn) END AS x,
+             CASE WHEN smx - smn <= 0 THEN 0
+                  ELSE ((l_suppkey - smn) * 255) // (smx - smn) END AS y,
+             CAST(0 AS BIGINT) AS d
+           FROM lineitem, mm),
+         ${hilbertChainSql(8)}
+         SELECT l_orderkey, l_linenumber, d AS hval FROM h8
+         ORDER BY hval, l_orderkey, l_linenumber LIMIT 200""",
+
+    // q255: the 9 cell offsets with lat clamp / lon wrap, then the
+    // q250 interleave+chars over the ADJUSTED cell ints; DISTINCT
+    // mirrors array_distinct's pole-edge collapse.
+    "q255_geohash_neighbors" ->
+      s"""WITH pts AS (SELECT c_custkey,
+             ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS la,
+             ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lo
+           FROM customer WHERE c_custkey % 37 = 0),
+         ib AS (SELECT c_custkey,
+             least(4095, greatest(0, CAST(floor((la + 90.0) / 180.0
+               * 4096.0) AS BIGINT))) AS ilat0,
+             least(8191, greatest(0, CAST(floor((lo + 180.0) / 360.0
+               * 8192.0) AS BIGINT))) AS ilon0
+           FROM pts),
+         offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+             (0,0),(0,1),(1,-1),(1,0),(1,1)) t(dy, dx)),
+         cells AS (SELECT c_custkey,
+             least(4095, greatest(0, ilat0 + dy)) AS ilat,
+             ((ilon0 + dx) % 8192 + 8192) % 8192 AS ilon
+           FROM ib CROSS JOIN offs),
+         ih AS (SELECT c_custkey, ${geohashInterleaveSql(5)} AS h
+           FROM cells),
+         gh AS (SELECT DISTINCT c_custkey, ${geohashCharsSql(5)} AS nb
+           FROM ih)
+         SELECT c_custkey, nb FROM gh ORDER BY c_custkey, nb"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -9455,4 +10034,49 @@ object SparkEntry {
                CAST((x // 2147483648) AS BIGINT)) AS rk
          FROM ${prefix}s5)
     """
+
+  /** The [[graft.functions.GeoFunctions.geohash]] bit interleave
+    * unrolled as DuckDB SQL over `ilon`/`ilat` columns — the SAME
+    * closed form (even interleave positions from lon's MSB down, odd
+    * from lat's), so the oracle replays the hash bit-for-bit. */
+  private def geohashInterleaveSql(precision: Int): String = {
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits - lonBits
+    (0 until totalBits).map { i =>
+      val (src, srcBits, idx) =
+        if (i % 2 == 0) ("ilon", lonBits, i / 2)
+        else ("ilat", latBits, i / 2)
+      s"((($src >> ${srcBits - 1 - idx}) & 1) << ${totalBits - 1 - i})"
+    }.mkString(" + ")
+  }
+
+  /** The base32 character extraction of [[geohashInterleaveSql]]'s
+    * interleaved value `h`, unrolled per character. */
+  private def geohashCharsSql(precision: Int): String =
+    (0 until precision).map { c =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+        s"CAST(((h >> ${5 * (precision - 1 - c)}) & 31) + 1 AS INT), 1)"
+    }.mkString(" || ")
+
+  /** [[graft.functions.Hilbert.xy2d]]'s per-bit state machine unrolled
+    * as staged CTEs h1..h`bits` over h0's (x, y, d) — each stage reads
+    * only the PREVIOUS stage's row (quadrant code from old x/y, then
+    * the flip+swap rotate), exactly the expression's loop body. */
+  private def hilbertChainSql(bits: Int): String = {
+    val n = 1L << bits
+    (1 to bits).map { i =>
+      val s = n >> i // stage i consumes bit (bits - i)
+      s"""h$i AS (SELECT l_orderkey, l_linenumber,
+           CASE WHEN (y & $s) = 0 THEN
+             (CASE WHEN (x & $s) > 0 THEN ${n - 1} - y ELSE y END)
+             ELSE x END AS x,
+           CASE WHEN (y & $s) = 0 THEN
+             (CASE WHEN (x & $s) > 0 THEN ${n - 1} - x ELSE x END)
+             ELSE y END AS y,
+           d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+             (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+         FROM h${i - 1})"""
+    }.mkString(",\n         ")
+  }
 }

@@ -242,6 +242,8 @@ package object functions {
       "splitmix64_rank" -> (exprs =>
         Splitmix64Rank(exprs(0),
           if (exprs.length > 1) exprs(1).eval().toString.toLong else 0L)),
+      "hilbert2" -> (exprs =>
+        HilbertIndex2(exprs(0), exprs(1), litInt(exprs(2)))),
       "bytes_to_ints" -> (exprs => BytesToInts(exprs(0))),
       "normalize_text" -> (exprs =>
         NormalizeText(exprs(0),

@@ -1823,4 +1823,356 @@ object Evaluate {
       .withColumn("win_avg",
         col("win_sum").cast("double") / col("win_n").cast("double"))
   }
+
+  /** Two-group log-rank test over right-censored durations — the
+    * significance companion to [[kaplanMeier]] ("do the two survival
+    * curves differ", e.g. user retention under treatment vs control,
+    * document lifetime before takedown by source). At each distinct
+    * event time t the 2×2 table (group × event) contributes an
+    * observed-minus-expected term d₁ₜ − dₜ·n₁ₜ/nₜ and a hypergeometric
+    * variance dₜ·(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1); z = Σnum/√Σvar.
+    *
+    * Exactness contract (the [[vanElteren]] pattern): per-time counts
+    * are exact integers from ONE (cell, t) aggregation; at-risk counts
+    * come from a cell-partitioned cumulative window over ≤T distinct
+    * times (never a global sort); each time's num is quantized to ppm
+    * and var to ppb BEFORE the cross-time integer sum, so the fold is
+    * order-free and engine-replayable. Censored-at-t subjects stay at
+    * risk AT t (standard convention: events precede censorings at the
+    * same time). Cells missing a group (n1=0 or n2=0) return null z.
+    * Returns per cell: (groupCols..., n1, n2, o1, k_times,
+    * num_ppm_sum, var_ppb_sum, z). */
+  def logRank(df: DataFrame, groupCols: Seq[String], duration: Column,
+      event: Column, inA: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) :+
+        duration.cast("long").as("_t") :+ event.cast("long").as("_e") :+
+        inA.cast("boolean").as("_a"): _*)
+      .where(col("_t").isNotNull && col("_t") >= 0L &&
+        col("_e").isin(0L, 1L) && col("_a").isNotNull)
+    val byT = base.groupBy(groupCols.map(col) :+ col("_t"): _*)
+      .agg(count(lit(1)).as("_tot"),
+        coalesce(sum(when(col("_a"), 1L)), lit(0L)).as("_tot1"),
+        coalesce(sum("_e"), lit(0L)).as("_d"),
+        coalesce(sum(when(col("_a"), col("_e"))), lit(0L)).as("_d1"))
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val risked = byT
+      .withColumn("_n", sum("_tot").over(wAll) -
+        coalesce(sum("_tot").over(wCum), lit(0L)))
+      .withColumn("_n1", sum("_tot1").over(wAll) -
+        coalesce(sum("_tot1").over(wCum), lit(0L)))
+      .where(col("_d") > 0L)
+    val nD = col("_n").cast("double")
+    val p1 = col("_n1").cast("double") / nD
+    val contrib = risked
+      .withColumn("_num_ppm", round((col("_d1").cast("double") -
+        col("_d").cast("double") * p1) * 1e6).cast("long"))
+      .withColumn("_var_ppb", when(col("_n") > 1L,
+        round(col("_d").cast("double") * p1 * (lit(1.0) - p1) *
+          (nD - col("_d").cast("double")) / (nD - 1.0) * 1e9).cast("long"))
+        .otherwise(lit(0L)))
+    val totals = base.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum(when(col("_a"), 1L)), lit(0L)).as("n1"),
+        coalesce(sum(when(!col("_a"), 1L)), lit(0L)).as("n2"))
+    val agg = contrib.groupBy(groupCols.map(col): _*)
+      .agg(coalesce(sum("_d1"), lit(0L)).as("o1"),
+        count(lit(1)).as("k_times"),
+        coalesce(sum("_num_ppm"), lit(0L)).as("num_ppm_sum"),
+        coalesce(sum("_var_ppb"), lit(0L)).as("var_ppb_sum"))
+    val joined =
+      if (groupCols.isEmpty) totals.crossJoin(agg)
+      else totals.join(agg, groupCols, "left")
+    joined.withColumn("z",
+      when(col("n1") > 0L && col("n2") > 0L && col("var_ppb_sum") > 0L,
+        (col("num_ppm_sum").cast("double") / 1e6) /
+          sqrt(col("var_ppb_sum").cast("double") / 1e9))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** Cochran–Mantel–Haenszel test over stratified 2×2 tables — "is the
+    * binary outcome associated with the binary exposure after
+    * controlling for the stratum" (does the quality filter pass rate
+    * differ by pipeline arm within each source; [[vanElteren]]'s binary-
+    * outcome sibling). Per stratum: num = n₁₁ − r₁c₁/N, var =
+    * r₁(N−r₁)c₁(N−c₁)/(N²(N−1)); χ² = (Σnum)²/Σvar (NO continuity
+    * correction — [[mcnemar]]'s documented convention), z carries the
+    * sign of the pooled association. Per-stratum num quantized to ppm
+    * and var to ppb before the integer cross-stratum sum (order-free,
+    * engine-replayable); single-row and single-class strata (var 0)
+    * contribute nothing, degenerate N≤1 strata drop. Returns one row:
+    * (k_strata, n, o_sum, num_ppm_sum, var_ppb_sum, chi2, z). */
+  def cmhTest(df: DataFrame, stratum: Column, exposed: Column,
+      outcome: Column): DataFrame = {
+    val base = df.select(stratum.as("_g"), exposed.cast("boolean").as("_x"),
+        outcome.cast("boolean").as("_y"))
+      .where(col("_g").isNotNull && col("_x").isNotNull &&
+        col("_y").isNotNull)
+    val perS = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+        coalesce(sum(when(col("_x") && col("_y"), 1L)), lit(0L)).as("_n11"),
+        coalesce(sum(when(col("_x"), 1L)), lit(0L)).as("_r1"),
+        coalesce(sum(when(col("_y"), 1L)), lit(0L)).as("_c1"))
+      .where(col("_n") > 1L)
+    val nD = col("_n").cast("double")
+    val contrib = perS
+      .withColumn("_num_ppm", round((col("_n11").cast("double") -
+        col("_r1").cast("double") * col("_c1").cast("double") / nD) * 1e6)
+        .cast("long"))
+      .withColumn("_var_ppb", round(
+        col("_r1").cast("double") * (nD - col("_r1").cast("double")) *
+          col("_c1").cast("double") * (nD - col("_c1").cast("double")) /
+          (nD * nD * (nD - 1.0)) * 1e9).cast("long"))
+    contrib.agg(count(lit(1)).as("k_strata"),
+        coalesce(sum("_n"), lit(0L)).as("n"),
+        coalesce(sum("_n11"), lit(0L)).as("o_sum"),
+        coalesce(sum("_num_ppm"), lit(0L)).as("num_ppm_sum"),
+        coalesce(sum("_var_ppb"), lit(0L)).as("var_ppb_sum"))
+      .withColumn("chi2", when(col("var_ppb_sum") > 0L,
+        (col("num_ppm_sum").cast("double") / 1e6) *
+          (col("num_ppm_sum").cast("double") / 1e6) /
+          (col("var_ppb_sum").cast("double") / 1e9))
+        .otherwise(lit(null).cast("double")))
+      .withColumn("z", when(col("var_ppb_sum") > 0L,
+        (col("num_ppm_sum").cast("double") / 1e6) /
+          sqrt(col("var_ppb_sum").cast("double") / 1e9))
+        .otherwise(lit(null).cast("double")))
+  }
+
+  /** One-way ANOVA F over integer values — "does the group mean differ
+    * across k groups" (mean document length by source, mean order value
+    * by segment); the parametric companion to [[kruskalWallis]]. Exact
+    * integer skeleton: per-group n and Σv (longs), global Σv² in
+    * Decimal(38,0); the only rationals are the k per-group S²/n terms,
+    * each quantized to ppm BEFORE the cross-group sum (the
+    * [[vanElteren]] fold rule), and S²/N. SSB = ΣS_g²/n_g − S²/N,
+    * SSW = Σv² − ΣS_g²/n_g, F = (SSB/(k−1))/(SSW/(N−k)); null when
+    * k < 2, N ≤ k, or SSW ≤ 0. A cross-group fold order is NOT needed —
+    * the quantized ppm terms sum as integers, and the final ssb/ssw/f
+    * doubles are one deterministic float chain off those integers.
+    * Returns one row: (k, n, ssb, ssw, f). */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val base = df.select(group.as("_g"), value.cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+    val perG = base.groupBy("_g").agg(count(lit(1)).as("_n"),
+      coalesce(sum("_v"), lit(0L)).as("_s"),
+      coalesce(sum((col("_v") * col("_v")).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_v2"))
+    val withTerm = perG.withColumn("_sq_ppm",
+      round(col("_s").cast("double") * col("_s").cast("double") /
+        col("_n").cast("double") * 1e6).cast("decimal(38,0)"))
+    val tot = withTerm.agg(count(lit(1)).as("k"),
+      coalesce(sum("_n"), lit(0L)).as("n"),
+      coalesce(sum("_s"), lit(0L)).as("s"),
+      coalesce(sum("_v2"), lit(0L).cast("decimal(38,0)")).as("v2"),
+      coalesce(sum("_sq_ppm"), lit(0L).cast("decimal(38,0)")).as("sq_ppm"))
+    val grandPpm = round(col("s").cast("double") * col("s").cast("double") /
+      col("n").cast("double") * 1e6).cast("decimal(38,0)")
+    tot
+      .withColumn("ssb", (col("sq_ppm") - grandPpm).cast("double") / 1e6)
+      .withColumn("ssw",
+        col("v2").cast("double") - col("sq_ppm").cast("double") / 1e6)
+      .withColumn("f",
+        when(col("k") >= 2L && col("n") > col("k") && col("ssw") > 0.0,
+          (col("ssb") / (col("k") - 1L).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .select("k", "n", "ssb", "ssw", "f")
+  }
+
+  /** Brown–Forsythe robust variance-homogeneity test — "does the SPREAD
+    * differ across groups" (is length variance higher for crawl sources
+    * than curated ones), Levene's test with the group MEDIAN center
+    * (robust to the heavy tails that break the mean-centered variant).
+    * Deviations are kept exactly integral by doubling: z = |2v − med2_g|
+    * where med2 = lower-middle + upper-middle of the group's sorted
+    * values (odd n: twice the median), from ONE group-partitioned
+    * row_number window (never global); the F statistic is [[anovaF]]
+    * over z. Returns one row: (k, n, ssb_ppm, ssw_ppm, f). */
+  def brownForsythe(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.as("_g"), value.cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base.withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(wAll))
+    // lo == hi for odd n: the conditional sums then BOTH pick the same
+    // row, so med2 = 2·median exactly. floor() because Column./ on
+    // longs is DOUBLE division (the olsDummy compile-time catch).
+    val lo = floor((col("_cnt") + 1L) / 2L).cast("long")
+    val hi = floor(col("_cnt") / 2L).cast("long") + 1L
+    val med = ranked.groupBy("_g").agg(
+      (coalesce(sum(when(col("_rn") === lo, col("_v"))), lit(0L)) +
+        coalesce(sum(when(col("_rn") === hi, col("_v"))), lit(0L)))
+        .as("_med2"))
+    val dev = base.join(med, "_g")
+      .select(col("_g"), abs(lit(2L) * col("_v") - col("_med2")).as("_z"))
+    anovaF(dev, col("_g"), col("_z"))
+  }
+
+  /** Welch's unequal-variance two-sample t-test — "do the two arm means
+    * differ" without the equal-variance assumption Student's t needs
+    * (A/B revenue per user where treatment also changes the variance).
+    * Per arm ONE exact pass: n (long), Σv (long), Σv² (Decimal(38,0));
+    * s²ᵢ = (nΣv² − (Σv)²)/(n(n−1)) exact-integer numerator, then the
+    * t/df chain is one float computation: t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂),
+    * df = Welch–Satterthwaite. Null t/df when either arm has n < 2 or
+    * both variances are 0. Returns one row:
+    * (n1, n2, mean1, mean2, var1, var2, t, df_w). */
+  def welchT(df: DataFrame, inA: Column, value: Column): DataFrame = {
+    val base = df.select(inA.cast("boolean").as("_a"),
+        value.cast("long").as("_v"))
+      .where(col("_a").isNotNull && col("_v").isNotNull)
+    def side(a: Boolean, p: String): Seq[Column] = Seq(
+      coalesce(sum(when(col("_a") === a, 1L)), lit(0L)).as(s"n$p"),
+      coalesce(sum(when(col("_a") === a, col("_v"))), lit(0L)).as(s"_s$p"),
+      coalesce(sum(when(col("_a") === a,
+          (col("_v") * col("_v")).cast("decimal(38,0)"))),
+        lit(0L).cast("decimal(38,0)")).as(s"_v2$p"))
+    def varNat(n: String, s: String, v2: String): Column =
+      when(col(n) >= 2L,
+        (col(v2).cast("double") * col(n).cast("double") -
+          col(s).cast("double") * col(s).cast("double")) /
+          (col(n).cast("double") * (col(n) - 1L).cast("double")))
+    val cols = side(true, "1") ++ side(false, "2")
+    val j = base.agg(cols.head, cols.tail: _*) // ONE conditional-sum pass
+      .withColumn("mean1", when(col("n1") > 0L,
+        col("_s1").cast("double") / col("n1").cast("double")))
+      .withColumn("mean2", when(col("n2") > 0L,
+        col("_s2").cast("double") / col("n2").cast("double")))
+      .withColumn("var1", varNat("n1", "_s1", "_v21"))
+      .withColumn("var2", varNat("n2", "_s2", "_v22"))
+    val a = col("var1") / col("n1").cast("double")
+    val b = col("var2") / col("n2").cast("double")
+    j.withColumn("t",
+        when(col("var1").isNotNull && col("var2").isNotNull && (a + b) > 0.0,
+          (col("mean1") - col("mean2")) / sqrt(a + b)))
+      .withColumn("df_w",
+        when(col("var1").isNotNull && col("var2").isNotNull && (a + b) > 0.0,
+          (a + b) * (a + b) /
+            (a * a / (col("n1") - 1L).cast("double") +
+              b * b / (col("n2") - 1L).cast("double"))))
+      .select("n1", "n2", "mean1", "mean2", "var1", "var2", "t", "df_w")
+  }
+
+  /** Cochran's Q over k paired binary decisions — [[mcnemar]]'s
+    * k-treatment extension: "do the k quality filters keep DIFFERENT
+    * fractions of the same corpus" (Gopher vs C4 vs classifier on
+    * identical docs). Input is long format (subject, treatment, kept);
+    * only complete blocks count (subjects missing any treatment drop —
+    * the standard complete-block requirement; duplicate
+    * (subject, treatment) rows are rejected by an exact count check).
+    * Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / (k·ΣR_i − ΣR_i²) is EXACT integer
+    * arithmetic end to end with one final division — no quantization
+    * needed anywhere. ~χ²(k−1) under the null. Null Q when the
+    * denominator is 0 (all-identical rows). Returns one row:
+    * (k, n_subjects, num, den, q). */
+  /** Jonckheere–Terpstra ordered-alternative trend test — "does the
+    * value INCREASE across the ordered groups" (doc quality across
+    * curation tiers, order value across priority classes): strictly
+    * more powerful than [[kruskalWallis]] when the alternative is
+    * monotone, the ordered-group sibling of [[mannKendall]]'s
+    * time-trend. J = Σ_{i<j} U_ij over ordered group pairs, kept exact
+    * by doubling (ties count twice-half): for each (group, value) cell,
+    * 2J gains c·(2A + B) where A = elements of EARLIER groups with
+    * smaller value and B = earlier-group ties — both from two windows
+    * over the DENSE group×value count grid (G·V rows, the
+    * [[kruskalWallis]] bounded-distinct scale contract; never a window
+    * over raw rows). E[2J] = (N² − Σn_i²)/2 exactly; the tie-corrected
+    * variance is the standard three-term formula, every numerator an
+    * exact Decimal(38,0) integer, the final var/z ONE float chain.
+    * Null z when < 2 groups or var = 0 (all values tied). Returns one
+    * row: (k, n, j2, e2, var_j, z). */
+  def jonckheere(df: DataFrame, groupOrder: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupOrder.cast("long").as("_g"),
+        value.cast("long").as("_v"))
+      .where(col("_g").isNotNull && col("_v").isNotNull)
+    val gv = base.groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val grid = gv.select("_g").distinct()
+      .crossJoin(gv.select("_v").distinct())
+      .join(gv, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wInG = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAtV = Window.partitionBy(col("_v")).orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = grid
+      .withColumn("_cumv", coalesce(sum("_c").over(wInG), lit(0L)))
+      .withColumn("_a", coalesce(sum("_cumv").over(wAtV), lit(0L)))
+      .withColumn("_b", coalesce(sum("_c").over(wAtV), lit(0L)))
+    val j2 = cells.agg(coalesce(sum(
+      (col("_c") * (lit(2L) * col("_a") + col("_b"))).cast("decimal(38,0)")),
+      lit(0L).cast("decimal(38,0)")).as("j2"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val perG = base.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum("_n"), lit(0L)).as("n"),
+        coalesce(sum(d(col("_n") * col("_n"))), d(lit(0L))).as("_sn2"),
+        coalesce(sum(d(col("_n")) * d(col("_n") - 1L) *
+          d(lit(2L) * col("_n") + 5L)), d(lit(0L))).as("_g225"),
+        coalesce(sum(d(col("_n")) * d(col("_n") - 1L) *
+          d(col("_n") - 2L)), d(lit(0L))).as("_g12"),
+        coalesce(sum(d(col("_n")) * d(col("_n") - 1L)), d(lit(0L)))
+          .as("_g1"))
+    val ties = base.groupBy("_v").agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(d(col("_t")) * d(col("_t") - 1L) *
+          d(lit(2L) * col("_t") + 5L)), d(lit(0L))).as("_t225"),
+        coalesce(sum(d(col("_t")) * d(col("_t") - 1L) *
+          d(col("_t") - 2L)), d(lit(0L))).as("_t12"),
+        coalesce(sum(d(col("_t")) * d(col("_t") - 1L)), d(lit(0L)))
+          .as("_t1"))
+    val joined = j2.crossJoin(perG).crossJoin(ties)
+    val nD = col("n").cast("double")
+    val e2 = (d(col("n")) * d(col("n")) - col("_sn2"))
+    val term1 = (d(col("n")) * d(col("n") - 1L) *
+      d(lit(2L) * col("n") + 5L) - col("_g225") - col("_t225"))
+      .cast("double") / 72.0
+    val term2 = when(col("n") >= 3L,
+      col("_g12").cast("double") * col("_t12").cast("double") /
+        (lit(36.0) * (nD * (nD - 1.0) * (nD - 2.0)))).otherwise(lit(0.0))
+    val term3 = col("_g1").cast("double") * col("_t1").cast("double") /
+      (lit(8.0) * (nD * (nD - 1.0)))
+    joined
+      .withColumn("j2", col("j2").cast("long"))
+      .withColumn("e2", (e2 / d(lit(2L))).cast("long"))
+      .withColumn("var_j", when(col("n") >= 2L, term1 + term2 + term3))
+      .withColumn("z", when(col("k") >= 2L && col("var_j") > 0.0,
+        ((col("j2") - col("e2")).cast("double") / 2.0) / sqrt(col("var_j"))))
+      .select("k", "n", "j2", "e2", "var_j", "z")
+  }
+
+  def cochranQ(df: DataFrame, subject: Column, treatment: Column,
+      kept: Column): DataFrame = {
+    val base = df.select(subject.as("_s"), treatment.as("_j"),
+        kept.cast("boolean").as("_y"))
+      .where(col("_s").isNotNull && col("_j").isNotNull &&
+        col("_y").isNotNull)
+    val k = base.select(countDistinct("_j")).first().getLong(0)
+    require(k >= 2, s"cochranQ needs >= 2 treatments, got $k")
+    val rows = base.groupBy("_s").agg(count(lit(1)).as("_cnt"),
+        countDistinct("_j").as("_dj"),
+        coalesce(sum(when(col("_y"), 1L)), lit(0L)).as("_r"))
+    val dupes = rows.where(col("_cnt") =!= col("_dj")).limit(1).count()
+    require(dupes == 0L, "cochranQ: duplicate (subject, treatment) rows")
+    val complete = rows.where(col("_dj") === k)
+    val rowAgg = complete.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum("_r"), lit(0L)).as("_sumR"),
+      coalesce(sum(col("_r") * col("_r")), lit(0L)).as("_sumR2"))
+    val colAgg = base.join(complete.select("_s"), "_s")
+      .groupBy("_j").agg(coalesce(sum(when(col("_y"), 1L)), lit(0L)).as("_c"))
+      .agg(coalesce(sum(col("_c") * col("_c")), lit(0L)).as("_sumC2"),
+        coalesce(sum("_c"), lit(0L)).as("_sumC"))
+    rowAgg.crossJoin(colAgg)
+      .withColumn("k", lit(k))
+      .withColumn("num", (lit(k) - 1L) *
+        (lit(k) * col("_sumC2") - col("_sumC") * col("_sumC")))
+      .withColumn("den", lit(k) * col("_sumR") - col("_sumR2"))
+      .withColumn("q", when(col("den") > 0L,
+        col("num").cast("double") / col("den").cast("double")))
+      .select("k", "n_subjects", "num", "den", "q")
+  }
 }

@@ -91,4 +91,36 @@ object ZOrder {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert index of two pre-scaled columns (see
+    * [[graft.functions.HilbertIndex2]]): the better-locality 2-D
+    * alternative to [[zvalue]] — consecutive keys are always
+    * Manhattan-adjacent cells, so equal-size key ranges cover tighter
+    * spatial blobs than the z-curve's seam-jumping ranges. */
+  def hvalue(bits: Int, x: Column, y: Column): Column =
+    Bridge.column(graft.functions.HilbertIndex2(
+      Bridge.expression(x.cast("long")), Bridge.expression(y.cast("long")),
+      bits))
+
+  /** Append a `_h` Hilbert key over two columns — [[withZValue]]'s
+    * twin (same min/max scaling, same broadcast bounds row). */
+  def withHValue(df: DataFrame, bits: Int, xName: String,
+      yName: String): DataFrame = {
+    val mm = df.agg(min(col(xName)).as("_mn_x"), max(col(xName)).as("_mx_x"),
+      min(col(yName)).as("_mn_y"), max(col(yName)).as("_mx_y"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("_h", hvalue(bits,
+        scaleToBits(col(xName), col("_mn_x"), col("_mx_x"), bits),
+        scaleToBits(col(yName), col("_mn_y"), col("_mx_y"), bits)))
+      .drop("_mn_x", "_mx_x", "_mn_y", "_mx_y")
+  }
+
+  /** [[writeZOrdered]] on the Hilbert key. */
+  def writeHilbertOrdered(df: DataFrame, path: String, nFiles: Int,
+      bits: Int, xName: String, yName: String): Unit =
+    withHValue(df, bits, xName, yName)
+      .repartitionByRange(nFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+      .write.mode("overwrite").parquet(path)
 }

@@ -642,4 +642,163 @@ class BleuSpec extends SparkSuite {
     val one = Seq((3L, 5L), (3L, 7L)).toDF("b", "v")
     assert(Evaluate.jackknifeMean(one, col("v"), col("b")).count() == 0L)
   }
+
+  test("logRank: hand hypergeometric terms, symmetric groups -> z 0, one-group null") {
+    // A events at t=1,2; B events at t=3,4 (no censoring):
+    // t=1: n=4 n1=2 d=1 d1=1 -> num 0.5, var 1*(.5)(.5)(3)/(3) = 0.25
+    // t=2: n=3 n1=1 d=1 d1=1 -> num 2/3, var (1/3)(2/3)(2)/(2) = 2/9
+    // t=3: n=2 n1=0 -> num 0, var 0;  t=4: n=1 -> var rule 0
+    val df = Seq((1L, 1L, true), (2L, 1L, true), (3L, 1L, false),
+      (4L, 1L, false)).toDF("t", "ev", "a")
+    val r = Evaluate.logRank(df, Nil, col("t"), col("ev"), col("a")).head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L) // n1, n2
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L) // o1, k_times
+    assert(r.getLong(4) == 500000L + 666667L)
+    assert(r.getLong(5) == 250000000L + 222222222L)
+    assert(math.abs(r.getDouble(6) -
+      1.166667 / math.sqrt(0.472222222)) < 1e-6)
+    // mirrored groups: every time's d1 == E1 -> z == 0
+    val sym = Seq((1L, 1L, true), (1L, 1L, false), (2L, 1L, true),
+      (2L, 1L, false)).toDF("t", "ev", "a")
+    val rs = Evaluate.logRank(sym, Nil, col("t"), col("ev"), col("a")).head
+    assert(rs.getLong(4) == 0L && rs.getDouble(6) == 0.0)
+    // one-sided input: z null
+    val oneG = Seq((1L, 1L, true), (2L, 1L, true)).toDF("t", "ev", "a")
+    assert(Evaluate.logRank(oneG, Nil, col("t"), col("ev"), col("a"))
+      .head.isNullAt(6))
+    // censored rows stay at risk but are not events
+    val cen = Seq((1L, 1L, true), (1L, 0L, true), (2L, 1L, false),
+      (3L, 0L, false)).toDF("t", "ev", "a")
+    val rc = Evaluate.logRank(cen, Nil, col("t"), col("ev"), col("a")).head
+    assert(rc.getLong(2) == 1L) // o1 counts only the A event
+  }
+
+  test("cmhTest: hand 2x2, balanced stratum contributes 0, opposite strata cancel") {
+    // one stratum: n=10, r1=5, c1=5, n11=4:
+    // num = 4 - 2.5 = 1.5, var = 625/900
+    def rows(s: String, n11: Int, n10: Int, n01: Int, n00: Int) =
+      Seq.fill(n11)((s, true, true)) ++ Seq.fill(n10)((s, true, false)) ++
+        Seq.fill(n01)((s, false, true)) ++ Seq.fill(n00)((s, false, false))
+    val one = rows("g", 4, 1, 1, 4).toDF("g", "x", "y")
+    val r = Evaluate.cmhTest(one, col("g"), col("x"), col("y")).head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 1500000L)
+    assert(r.getLong(4) == math.round(625.0 / 900.0 * 1e9))
+    assert(math.abs(r.getDouble(5) - 2.25 / (625.0 / 900.0)) < 1e-6)
+    // opposite association in two strata cancels the pooled num
+    val two = (rows("a", 4, 1, 1, 4) ++ rows("b", 1, 4, 4, 1))
+      .toDF("g", "x", "y")
+    val r2 = Evaluate.cmhTest(two, col("g"), col("x"), col("y")).head
+    assert(r2.getLong(0) == 2L && r2.getLong(3) == 0L &&
+      r2.getDouble(6) == 0.0)
+  }
+
+  test("anovaF: hand SSB/SSW, identical groups -> F 0, constant values null") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L)).toDF("g", "v")
+    val r = Evaluate.anovaF(df, col("g"), col("v")).head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) === 13.5 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 13.5) // (13.5/1)/(4/4)
+    val same = Seq(("a", 1L), ("a", 3L), ("b", 1L), ("b", 3L))
+      .toDF("g", "v")
+    assert(Evaluate.anovaF(same, col("g"), col("v")).head.getDouble(4) == 0.0)
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    assert(Evaluate.anovaF(const, col("g"), col("v")).head.isNullAt(4))
+  }
+
+  test("brownForsythe: doubled median deviations, outlier-robust, even-n median") {
+    // A = [1,2,30] med 2 -> z = 2,0,56 ; B = [4,5,6] med 5 -> z = 2,0,2
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 30L), ("b", 4L), ("b", 5L),
+      ("b", 6L)).toDF("g", "v")
+    val r = Evaluate.brownForsythe(df, col("g"), col("v")).head
+    // ssb = 3*(58/3 - 31/3)^2/... exact: group sums 58 and 4, n=3 each
+    // sq_ppm = round(58^2/3 * 1e6) + round(16/3 * 1e6),
+    // grand = round(62^2/6 * 1e6)
+    val sq = math.round(58.0 * 58.0 / 3.0 * 1e6) +
+      math.round(16.0 / 3.0 * 1e6)
+    val grand = math.round(62.0 * 62.0 / 6.0 * 1e6)
+    assert(math.abs(r.getDouble(2) - (sq - grand) / 1e6) < 1e-9)
+    assert(math.abs(r.getDouble(3) - ((4 + 0 + 3136 + 4 + 0 + 4) - sq / 1e6)) < 1e-6)
+    // even-n group: med2 = lower + upper middle (3 + 5 = 8 for [1,3,5,7])
+    val even = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("a", 7L),
+      ("b", 2L), ("b", 2L)).toDF("g", "v")
+    // A deviations |2v-8| = 6,2,2,6 -> sum 16; B: |2v-4| = 0,0
+    val re = Evaluate.brownForsythe(even, col("g"), col("v")).head
+    assert(re.getLong(1) == 6L)
+    // ssw exact: A z-values 6,2,2,6: v2 = 80, s = 16 -> ssw_A = 80 - 64 = 16
+    assert(math.abs(re.getDouble(3) - 16.0) < 1e-6)
+  }
+
+  test("welchT: hand t and Welch-Satterthwaite df, equal arms -> t 0, tiny arm null") {
+    val df = (Seq(1L, 2L, 3L).map(v => (true, v)) ++
+      Seq(7L, 9L, 11L, 13L).map(v => (false, v))).toDF("a", "v")
+    val r = Evaluate.welchT(df, col("a"), col("v")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 10.0)
+    assert(r.getDouble(4) === 1.0) // var1
+    assert(math.abs(r.getDouble(5) - 20.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(6) - (-8.0 / math.sqrt(2.0))) < 1e-12)
+    val a = 1.0 / 3.0; val b = (20.0 / 3.0) / 4.0
+    assert(math.abs(r.getDouble(7) -
+      (a + b) * (a + b) / (a * a / 2.0 + b * b / 3.0)) < 1e-12)
+    val eq = Seq((true, 1L), (true, 3L), (false, 1L), (false, 3L))
+      .toDF("a", "v")
+    assert(Evaluate.welchT(eq, col("a"), col("v")).head.getDouble(6) == 0.0)
+    val tiny = Seq((true, 1L), (false, 2L), (false, 3L)).toDF("a", "v")
+    assert(Evaluate.welchT(tiny, col("a"), col("v")).head.isNullAt(6))
+  }
+
+  test("jonckheere: hand no-tie and tied cases, reversed trend flips sign, degenerate nulls") {
+    // groups 1:[1,2], 2:[3,4] -- every cross pair ascends: J=4, j2=8,
+    // e2=(16-8)/2=4, no ties: var = (156-36)/72 + 0 + 0 = 5/3
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDF("g", "v")
+    val r = Evaluate.jonckheere(up, col("g"), col("v")).head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 2.0 / math.sqrt(5.0 / 3.0)) < 1e-12)
+    // mirrored trend: j2 symmetric below e2
+    val down = Seq((1L, 3L), (1L, 4L), (2L, 1L), (2L, 2L)).toDF("g", "v")
+    val rd = Evaluate.jonckheere(down, col("g"), col("v")).head
+    assert(rd.getLong(2) == 0L &&
+      math.abs(rd.getDouble(5) + r.getDouble(5)) < 1e-12)
+    // ties: 1:[1,1], 2:[1,2] -- U = 2*(0.5 + 1) = 3 -> j2 = 6;
+    // var = 54/72 + 0 + 24/96 = 1.0; z = ((6-4)/2)/1 = 1
+    val tied = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)).toDF("g", "v")
+    val rt = Evaluate.jonckheere(tied, col("g"), col("v")).head
+    assert(rt.getLong(2) == 6L && rt.getLong(3) == 4L)
+    assert(math.abs(rt.getDouble(4) - 1.0) < 1e-12)
+    assert(math.abs(rt.getDouble(5) - 1.0) < 1e-12)
+    // all-tied values: var 0 -> z null; single group -> z null
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("g", "v")
+    assert(Evaluate.jonckheere(const, col("g"), col("v")).head.isNullAt(5))
+    val one = Seq((1L, 1L), (1L, 2L)).toDF("g", "v")
+    assert(Evaluate.jonckheere(one, col("g"), col("v")).head.isNullAt(5))
+  }
+
+  test("cochranQ: hand Q, incomplete blocks drop, duplicate rows rejected") {
+    // 4 subjects x 3 treatments; C = 4,2,0; R = 2,1,2,1
+    // num = 2*(3*20 - 36) = 48, den = 3*6 - 10 = 8, Q = 6
+    val rows = for {
+      s <- 1L to 4L
+      (j, y) <- Seq(("t1", true), ("t2", s % 2 == 1), ("t3", false))
+    } yield (s, j, y)
+    val r = Evaluate.cochranQ(rows.toDF("s", "j", "y"),
+      col("s"), col("j"), col("y")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 48L && r.getLong(3) == 8L)
+    assert(r.getDouble(4) === 6.0)
+    // subject 5 misses t3 -> drops; totals unchanged except C from 1-4
+    val incomplete = rows ++ Seq((5L, "t1", true), (5L, "t2", true))
+    val ri = Evaluate.cochranQ(incomplete.toDF("s", "j", "y"),
+      col("s"), col("j"), col("y")).head
+    assert(ri.getLong(1) == 4L && ri.getLong(2) == 48L)
+    val dup = rows ++ Seq((1L, "t1", false))
+    assertThrows[IllegalArgumentException] {
+      Evaluate.cochranQ(dup.toDF("s", "j", "y"),
+        col("s"), col("j"), col("y")).head
+    }
+  }
 }

@@ -481,4 +481,17 @@ class CorpusOpsSpec extends SparkSuite {
       Dedup.fellegiSunter(pairs, Seq(("f1", 0.5, 0.75)), 0L, 0L)
     }
   }
+
+  test("snapshotDiff: all four statuses, duplicate-id rejection") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "ct")
+    val newDf = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "ct")
+    val got = Dedup.snapshotDiff(oldDf, newDf, "id", col("ct"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val dup = Seq((1L, "a"), (1L, "a2")).toDF("id", "ct")
+    intercept[IllegalArgumentException] {
+      Dedup.snapshotDiff(dup, newDf, "id", col("ct"))
+    }
+  }
 }

@@ -72,4 +72,40 @@ class ZOrderSpec extends SparkSuite {
     assert(linB > 56, s"linear b spread $linB")
     assert(zb < linB / 2)
   }
+
+  test("hilbert: canonical 2x2 U-walk, bijective, ALWAYS-adjacent steps (the z-curve is not)") {
+    import graft.functions.Hilbert
+    // the base curve: (0,0) -> (0,1) -> (1,1) -> (1,0)
+    assert(Hilbert.xy2d(1, 0, 0) == 0L && Hilbert.xy2d(1, 0, 1) == 1L)
+    assert(Hilbert.xy2d(1, 1, 1) == 2L && Hilbert.xy2d(1, 1, 0) == 3L)
+    // bits=4 full 16x16 grid: bijection onto 0..255 and the defining
+    // locality property — EVERY consecutive index pair is Manhattan-
+    // adjacent. The z-curve violates it at every power-of-two seam.
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x, y, Hilbert.xy2d(4, x, y))
+    assert(cells.map(_._3).sorted == (0L until 256L))
+    val walk = cells.sortBy(_._3)
+    val steps = walk.sliding(2).map { case Seq((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(steps.forall(_ == 1), s"non-adjacent hilbert steps: ${steps.count(_ != 1)}")
+    def zxy(b: Int, x: Long, y: Long): Long = // morton for contrast
+      (0 until b).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    val zwalk = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield (x, y, zxy(4, x, y))).sortBy(_._3)
+    val zbad = zwalk.sliding(2).count { case Seq((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1 }
+    assert(zbad > 0)
+    // column API == the reference walk; inputs masked into range
+    val df = Seq((3L, 7L), (19L, 7L)).toDF("x", "y") // 19 masks to 3
+    val got = df.select(ZOrder.hvalue(4, col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    assert(got(0) == Hilbert.xy2d(4, 3, 7) && got(1) == got(0))
+  }
+
+  test("hilbert2 is SQL-registered and matches the column API") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql("SELECT hilbert2(5, 9, 4)").head.getLong(0)
+    assert(r == graft.functions.Hilbert.xy2d(4, 5, 9))
+  }
 }
