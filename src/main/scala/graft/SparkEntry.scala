@@ -3399,6 +3399,27 @@ object SparkEntry {
       .orderBy("c_custkey", "nb")
   }
 
+  // Kendall tau-b + Somers' D (Evaluate.kendallTauB): ordinal
+  // association between priority class and coarse price bucket — the
+  // tie-corrected rank correlation beside q132's Spearman; exact
+  // concordance counts off the q253 grid machinery.
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    Evaluate.kendallTauB(t(s, dir, "orders"),
+        substring(col("o_orderpriority"), 1, 1).cast("long"),
+        floor(col("o_totalprice") / 20000.0))
+      .select(col("n"), col("conc"), col("disc"), col("tx2"), col("ty2"),
+        round(col("tau_b"), 6).as("tau_r"),
+        round(col("somers_yx"), 6).as("somers_r"))
+
+  // Mutual information (Evaluate.mutualInfo): how much does source
+  // tell you about language — the information-theoretic complement to
+  // q166's Cramer's V; per-cell ppb terms (q225 LLR rule), exact sums.
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    Evaluate.mutualInfo(t(s, dir, "documents").where(col("text").isNotNull),
+        col("lang"), col("source"))
+      .select(col("n"), col("cells"), col("mi_ppb"), col("hx_ppb"),
+        col("hy_ppb"), round(col("nmi"), 6).as("nmi_r"))
+
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
   // beside q169's PIVOT.
@@ -3945,7 +3966,9 @@ object SparkEntry {
     "q252_snapshot_diff" -> (q252 _),
     "q253_jonckheere" -> (q253 _),
     "q254_hilbert_curve" -> (q254 _),
-    "q255_geohash_neighbors" -> (q255 _))
+    "q255_geohash_neighbors" -> (q255 _),
+    "q256_kendall_taub" -> (q256 _),
+    "q257_mutual_info" -> (q257 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9664,7 +9687,86 @@ object SparkEntry {
            FROM cells),
          gh AS (SELECT DISTINCT c_custkey, ${geohashCharsSql(5)} AS nb
            FROM ih)
-         SELECT c_custkey, nb FROM gh ORDER BY c_custkey, nb"""
+         SELECT c_custkey, nb FROM gh ORDER BY c_custkey, nb""",
+
+    // q256: the q253 dense grid + both-strict prefix windows; C at the
+    // larger-x cell, D via colBefore - T - E; tie terms doubled ints.
+    "q256_kendall_taub" ->
+      """WITH base AS (SELECT
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+             CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS y
+           FROM orders),
+         gv AS (SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+         grid AS (SELECT xx.x, yy.y, coalesce(gv.c, 0) AS c
+           FROM (SELECT DISTINCT x FROM gv) xx
+           CROSS JOIN (SELECT DISTINCT y FROM gv) yy
+           LEFT JOIN gv ON gv.x = xx.x AND gv.y = yy.y),
+         cells AS (SELECT x, y, c,
+             coalesce(sum(c) OVER (PARTITION BY x ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumy
+           FROM grid),
+         cells2 AS (SELECT x, y, c,
+             coalesce(sum(cumy) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t,
+             coalesce(sum(c) OVER (PARTITION BY y ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS e
+           FROM cells),
+         px AS (SELECT x, count(*) AS nx FROM base GROUP BY x),
+         pb AS (SELECT x, coalesce(sum(nx) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+           FROM px),
+         cd AS (SELECT
+             CAST(sum(CAST(c AS HUGEINT) * t) AS BIGINT) AS conc,
+             CAST(sum(CAST(c AS HUGEINT) * (bf - t - e)) AS BIGINT) AS disc
+           FROM cells2 JOIN pb USING (x)),
+         tx AS (SELECT CAST(sum(nx * (nx - 1)) AS BIGINT) AS tx2,
+             CAST(sum(nx) AS BIGINT) AS n FROM px),
+         ty AS (SELECT CAST(sum(ny * (ny - 1)) AS BIGINT) AS ty2
+           FROM (SELECT y, count(*) AS ny FROM base GROUP BY y)),
+         fin AS (SELECT n, conc, disc, tx2, ty2,
+             (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+               - CAST(tx2 AS DOUBLE)) / 2.0 AS dx,
+             (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+               - CAST(ty2 AS DOUBLE)) / 2.0 AS dy,
+             CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE) AS num
+           FROM cd, tx, ty)
+         SELECT n, conc, disc, tx2, ty2,
+           CASE WHEN dx > 0.0 AND dy > 0.0 THEN
+             round(num / sqrt(dx * dy), 6) END AS tau_r,
+           CASE WHEN dx > 0.0 THEN round(num / dx, 6) END AS somers_r
+         FROM fin""",
+
+    // q257: per-occupied-cell ppb terms (the q225 LLR quantize rule),
+    // margin entropies the same way, NMI one float chain.
+    "q257_mutual_info" ->
+      """WITH base AS (SELECT lang AS x, source AS y FROM documents
+           WHERE text IS NOT NULL),
+         cells AS (SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+         rx AS (SELECT x, count(*) AS r FROM base GROUP BY x),
+         ry AS (SELECT y, count(*) AS s FROM base GROUP BY y),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         mi AS (SELECT CAST(count(*) AS BIGINT) AS cells,
+             CAST(sum(CAST(round((CAST(c AS DOUBLE)
+               / CAST((SELECT n FROM nn) AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) * CAST((SELECT n FROM nn) AS DOUBLE)
+                 / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS mi_ppb
+           FROM cells JOIN rx USING (x) JOIN ry USING (y)),
+         hx AS (SELECT CAST(sum(CAST(round(-((CAST(r AS DOUBLE)
+               / CAST((SELECT n FROM nn) AS DOUBLE))
+               * ln(CAST(r AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS hx_ppb FROM rx),
+         hy AS (SELECT CAST(sum(CAST(round(-((CAST(s AS DOUBLE)
+               / CAST((SELECT n FROM nn) AS DOUBLE))
+               * ln(CAST(s AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)))
+               * 1e9) AS BIGINT)) AS BIGINT) AS hy_ppb FROM ry)
+         SELECT (SELECT n FROM nn) AS n, cells, mi_ppb, hx_ppb, hy_ppb,
+           CASE WHEN hx_ppb > 0 AND hy_ppb > 0 THEN
+             round((CAST(mi_ppb AS DOUBLE) / 1e9)
+               / sqrt((CAST(hx_ppb AS DOUBLE) / 1e9)
+                 * (CAST(hy_ppb AS DOUBLE) / 1e9)), 6) END AS nmi_r
+         FROM mi, hx, hy"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

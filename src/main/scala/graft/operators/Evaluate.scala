@@ -2145,6 +2145,113 @@ object Evaluate {
       .select("k", "n", "j2", "e2", "var_j", "z")
   }
 
+  /** Kendall's τ-b + Somers' D — ordinal↔ordinal association with full
+    * tie correction ("does the quality tier track the curation tier";
+    * the rank-correlation complement to [[spearmanExact]], and the
+    * asymmetric Somers' D_yx is the ordinal effect size of x on y).
+    * Concordant/discordant pair counts come EXACTLY off the
+    * [[jonckheere]] grid machinery: per dense-grid cell, C gains
+    * c·T (T = both-strictly-smaller prefix) and D gains
+    * c·(colBefore − T − E) (E = earlier-x same-y ties), each pair
+    * counted once at its larger-x cell; tie terms Σt(t−1) stay doubled
+    * integers. τ-b = (C−D)/√(((n₂−tx₂)/2)·((n₂−ty₂)/2)) and
+    * D_yx = (C−D)/((n₂−tx₂)/2) are each ONE float chain
+    * (n₂ = n(n−1)). Bounded-distinct scale contract: the grid is
+    * X·Y cells — bucket continuous values first. Null statistics when
+    * either margin is constant. Returns one row:
+    * (n, conc, disc, tx2, ty2, tau_b, somers_yx). */
+  def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val gv = base.groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
+    val grid = gv.select("_x").distinct()
+      .crossJoin(gv.select("_y").distinct())
+      .join(gv, Seq("_x", "_y"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wInX = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAtY = Window.partitionBy(col("_y")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = grid
+      .withColumn("_cumy", coalesce(sum("_c").over(wInX), lit(0L)))
+      .withColumn("_t", coalesce(sum("_cumy").over(wAtY), lit(0L)))
+      .withColumn("_e", coalesce(sum("_c").over(wAtY), lit(0L)))
+    val perX = base.groupBy("_x").agg(count(lit(1)).as("_nx"))
+    val wX = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val colBefore = perX
+      .withColumn("_before", coalesce(sum("_nx").over(wX), lit(0L)))
+      .select(col("_x"), col("_before"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cd = cells.join(broadcast(colBefore), "_x")
+      .agg( // cast BEFORE multiply: c·(pair counts) is N²-scale
+        coalesce(sum(dec(col("_c")) * dec(col("_t"))), dec(lit(0L)))
+          .as("conc"),
+        coalesce(sum(dec(col("_c")) *
+          dec(col("_before") - col("_t") - col("_e"))), dec(lit(0L)))
+          .as("disc"))
+    val tx = perX.agg(coalesce(sum(col("_nx") * (col("_nx") - 1L)),
+      lit(0L)).as("tx2"), coalesce(sum("_nx"), lit(0L)).as("n"))
+    val ty = base.groupBy("_y").agg(count(lit(1)).as("_ny"))
+      .agg(coalesce(sum(col("_ny") * (col("_ny") - 1L)), lit(0L)).as("ty2"))
+    val j = cd.crossJoin(tx).crossJoin(ty)
+    val n2 = col("n").cast("double") * (col("n") - 1L).cast("double")
+    val dx = (n2 - col("tx2").cast("double")) / 2.0
+    val dy = (n2 - col("ty2").cast("double")) / 2.0
+    val num = col("conc").cast("double") - col("disc").cast("double")
+    j.withColumn("tau_b", when(dx > 0.0 && dy > 0.0, num / sqrt(dx * dy)))
+      .withColumn("somers_yx", when(dx > 0.0, num / dx))
+      .select(col("n"), col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"), col("tx2"), col("ty2"),
+        col("tau_b"), col("somers_yx"))
+  }
+
+  /** Mutual information (nats) between two categorical columns — "how
+    * much does knowing the source tell you about the language"; the
+    * information-theoretic complement to [[cramersV]]'s χ²-based
+    * association, and the standard leakage probe between a metadata
+    * column and a label. Each occupied cell contributes
+    * (c/N)·ln(cN/(r·s)), quantized ONCE to ppb (the q225 LLR rule —
+    * negative cells round away from zero identically on both engines)
+    * and summed as integers; the margin entropies H(x), H(y) get the
+    * same treatment, so NMI = MI/√(H(x)H(y)) is one float chain over
+    * three exact integers. Empty cells contribute nothing (0·ln0 = 0).
+    * Returns one row: (n, cells, mi_ppb, hx_ppb, hy_ppb, nmi). */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.as("_x"), y.as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val cells = base.groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
+    val rx = base.groupBy("_x").agg(count(lit(1)).as("_r"))
+    val ry = base.groupBy("_y").agg(count(lit(1)).as("_s"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val withM = cells.join(broadcast(rx), "_x").join(broadcast(ry), "_y")
+      .crossJoin(broadcast(n))
+    val cD = col("_c").cast("double"); val nD = col("n").cast("double")
+    val mi = withM
+      .withColumn("_term_ppb", round((cD / nD) *
+        log(cD * nD / (col("_r").cast("double") * col("_s").cast("double")))
+        * 1e9).cast("long"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("cells"),
+        coalesce(sum("_term_ppb"), lit(0L)).as("mi_ppb"))
+    def entropyPpb(cnt: String): Column = {
+      val p = col(cnt).cast("double") / col("_n").cast("double")
+      round(-(p * log(p)) * 1e9).cast("long")
+    }
+    val hx = rx.crossJoin(broadcast(n.select(col("n").as("_n"))))
+      .select(entropyPpb("_r").as("_h"))
+      .agg(coalesce(sum("_h"), lit(0L)).as("hx_ppb"))
+    val hy = ry.crossJoin(broadcast(n.select(col("n").as("_n"))))
+      .select(entropyPpb("_s").as("_h"))
+      .agg(coalesce(sum("_h"), lit(0L)).as("hy_ppb"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .withColumn("nmi", when(col("hx_ppb") > 0L && col("hy_ppb") > 0L,
+        (col("mi_ppb").cast("double") / 1e9) /
+          sqrt((col("hx_ppb").cast("double") / 1e9) *
+            (col("hy_ppb").cast("double") / 1e9))))
+      .select("n", "cells", "mi_ppb", "hx_ppb", "hy_ppb", "nmi")
+  }
+
   def cochranQ(df: DataFrame, subject: Column, treatment: Column,
       kept: Column): DataFrame = {
     val base = df.select(subject.as("_s"), treatment.as("_j"),

@@ -778,6 +778,42 @@ class BleuSpec extends SparkSuite {
     assert(Evaluate.jonckheere(one, col("g"), col("v")).head.isNullAt(5))
   }
 
+  test("kendallTauB: perfect/reversed/independent, ties, constant margin null") {
+    def run(pairs: Seq[(Long, Long)]) =
+      Evaluate.kendallTauB(pairs.toDF("x", "y"), col("x"), col("y")).head
+    val perfect = run(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(perfect.getLong(1) == 3L && perfect.getLong(2) == 0L)
+    assert(perfect.getDouble(5) === 1.0 && perfect.getDouble(6) === 1.0)
+    val rev = run(Seq((1L, 30L), (2L, 20L), (3L, 10L)))
+    assert(rev.getDouble(5) === -1.0)
+    // independent 2x2: one concordant, one discordant pair -> tau 0
+    val ind = run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)))
+    assert(ind.getLong(1) == 1L && ind.getLong(2) == 1L)
+    assert(ind.getDouble(5) === 0.0)
+    // ties on both margins: all comparable pairs concordant -> tau-b 1
+    val tied = run(Seq((1L, 5L), (1L, 5L), (2L, 9L)))
+    assert(tied.getLong(1) == 2L && tied.getLong(2) == 0L)
+    assert(tied.getLong(3) == 2L && tied.getLong(4) == 2L)
+    assert(tied.getDouble(5) === 1.0 && tied.getDouble(6) === 1.0)
+    // constant x margin: dx = 0 -> null statistics
+    assert(run(Seq((7L, 1L), (7L, 2L))).isNullAt(5))
+  }
+
+  test("mutualInfo: perfect dependence -> NMI 1, independence -> 0, constant margin null") {
+    def run(pairs: Seq[(String, String)]) =
+      Evaluate.mutualInfo(pairs.toDF("x", "y"), col("x"), col("y")).head
+    val dep = run(Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")))
+    assert(dep.getLong(0) == 4L && dep.getLong(1) == 2L)
+    // per cell: (1/2)ln2 -> 346573590 ppb, twice; entropies identical
+    assert(dep.getLong(2) == 2L * 346573590L)
+    assert(dep.getLong(3) == dep.getLong(2) && dep.getLong(4) == dep.getLong(2))
+    assert(dep.getDouble(5) === 1.0)
+    val ind = run(Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")))
+    assert(ind.getLong(2) == 0L && ind.getDouble(5) === 0.0)
+    val const = run(Seq(("a", "x"), ("a", "y")))
+    assert(const.getLong(3) == 0L && const.isNullAt(5))
+  }
+
   test("cochranQ: hand Q, incomplete blocks drop, duplicate rows rejected") {
     // 4 subjects x 3 treatments; C = 4,2,0; R = 2,1,2,1
     // num = 2*(3*20 - 36) = 48, den = 3*6 - 10 = 8, Q = 6
