@@ -479,6 +479,37 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def driftW1(other: DocArray, value: Column): DataFrame =
     Evaluate.w1Test2(df, other.df, value)
 
+  /** Do the two survival curves differ — two-group log-rank z over
+    * right-censored durations (the [[survivalCurve]] significance
+    * companion). */
+  def survivalSignificance(duration: Column, event: Column,
+      inA: Column): DataFrame =
+    Evaluate.logRank(df, Nil, duration, event, inA)
+
+  /** Does `value` trend monotonically across the ORDERED groups of
+    * `groupOrder` — Jonckheere–Terpstra z (the ordered-group
+    * Mann-Kendall). */
+  def trendAcrossGroups(groupOrder: Column, value: Column): DataFrame =
+    Evaluate.jonckheere(df, groupOrder, value)
+
+  /** How much does one categorical column tell you about another —
+    * mutual information + NMI (the metadata→label leakage probe). */
+  def dependence(x: Column, y: Column): DataFrame =
+    Evaluate.mutualInfo(df, x, y)
+
+  /** k nearest other-array points within `radiusKm` great-circle km of
+    * each of this array's (lat, lon) points — the geo `find`. */
+  def geoNearest(other: DocArray, latCol: String, lonCol: String,
+      radiusKm: Double, k: Int): DataFrame =
+    Geo.nearestWithin(df, other.df, idCol, latCol, lonCol,
+      other.idCol, latCol, lonCol, radiusKm, k)
+
+  /** What did the corpus refresh actually do — per-id
+    * added/removed/changed/unchanged vs a previous snapshot, by
+    * content hash of `contentCol`. */
+  def snapshotDiff(previous: DocArray, contentCol: Column): DataFrame =
+    Dedup.snapshotDiff(previous.df, df, idCol, contentCol)
+
   /** PSI drift of a [0,1] score distribution vs another array
     * (per-bin ppb contributions; total = Σ psi_ppb / 1e9). */
   def driftPsi(other: DocArray, score: Column,

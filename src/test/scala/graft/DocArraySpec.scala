@@ -263,4 +263,34 @@ class DocArraySpec extends SparkSuite {
     val st = docs.findTextStemmed("querying tables")
     assert(st.count() > 0) // inflected query only matches via stems
   }
+
+  test("survivalSignificance / trendAcrossGroups / dependence / geoNearest / snapshotDiff facades") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+
+    val lr = docs.survivalSignificance(col("n_chars") % 20,
+      lit(1L), col("id") % 2 === 0)
+    assert(lr.columns.contains("z") && lr.count() == 1)
+
+    val tr = docs.trendAcrossGroups(col("id") % 3, col("n_chars"))
+    assert(tr.columns.toSeq ==
+      Seq("k", "n", "j2", "e2", "var_j", "z") && tr.count() == 1)
+
+    val dep = docs.dependence(col("lang"), col("source"))
+    assert(dep.head.getLong(2) >= 0L) // MI of real columns, non-negative
+
+    val pts = DocArray(docs.df.select(col("id"),
+      (col("id") % 100 - 50).cast("double").as("la"),
+      (col("id") % 300 - 150).cast("double").as("lo")))
+    val gn = pts.geoNearest(pts, "la", "lo", radiusKm = 500.0, k = 2)
+    assert(gn.columns.toSeq ==
+      Seq("left_id", "right_id", "dist_km", "rank") && gn.count() > 0)
+
+    val prev = DocArray(docs.df.where(col("id") % 2 === 0))
+    val sd = docs.snapshotDiff(prev, col("text"))
+    val statuses = sd.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.contains("added") && statuses.contains("unchanged"))
+  }
 }

@@ -101,4 +101,17 @@ class GeoSpec extends SparkSuite {
     assert(Geo.nearestWithin(lp, rw, "id", "la", "lo", "id", "la", "lo",
       radiusKm = 50.0, k = 1, maxAbsLatDeg = 75.0).isEmpty)
   }
+
+  test("plan shape: blocked geo join is an equi-join on cells, never a cross product") {
+    val l = (1L to 100L).map(i =>
+      (i, (i * 37 % 120).toDouble - 60.0, (i * 91 % 360).toDouble - 180.0))
+      .toDF("id", "la", "lo")
+    val plan = Geo.nearestWithin(l, l, "id", "la", "lo", "id", "la", "lo",
+        radiusKm = 200.0, k = 3, maxAbsLatDeg = 60.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the top-k window partitions by the left id — never a global sort
+    assert(plan.contains("row_number"))
+  }
 }
