@@ -3411,6 +3411,24 @@ object SparkEntry {
         round(col("tau_b"), 6).as("tau_r"),
         round(col("somers_yx"), 6).as("somers_r"))
 
+  // Deterministic synchronous label propagation (Graph.labelPropagation):
+  // two rounds over the q223 trade graph — communities, not components
+  // (q53's clusters); min-label tiebreak replaces the paper's random
+  // choices so the oracle unrolls the rounds exactly.
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").alias("o")
+      .join(t(s, dir, "lineitem").alias("l"),
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .select(concat(lit("c"), col("o.o_custkey")).as("a"),
+        concat(lit("s"), col("l.l_suppkey")).as("b"))
+      .distinct()
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+    Graph.labelPropagation(edges, nodes, "id", rounds = 2)
+      .select(col("id").as("node"), col("label"))
+      .orderBy("node")
+  }
+
   // Mutual information (Evaluate.mutualInfo): how much does source
   // tell you about language — the information-theoretic complement to
   // q166's Cramer's V; per-cell ppb terms (q225 LLR rule), exact sums.
@@ -3968,7 +3986,8 @@ object SparkEntry {
     "q254_hilbert_curve" -> (q254 _),
     "q255_geohash_neighbors" -> (q255 _),
     "q256_kendall_taub" -> (q256 _),
-    "q257_mutual_info" -> (q257 _))
+    "q257_mutual_info" -> (q257 _),
+    "q258_label_propagation" -> (q258 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9766,7 +9785,34 @@ object SparkEntry {
              round((CAST(mi_ppb AS DOUBLE) / 1e9)
                / sqrt((CAST(hx_ppb AS DOUBLE) / 1e9)
                  * (CAST(hy_ppb AS DOUBLE) / 1e9)), 6) END AS nmi_r
-         FROM mi, hx, hy"""
+         FROM mi, hx, hy""",
+
+    // q258: two unrolled synchronous rounds — neighbor-label counts,
+    // (count DESC, label ASC) argmax via QUALIFY, isolated keep-own.
+    "q258_label_propagation" ->
+      """WITH cs AS (SELECT DISTINCT
+             'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         und AS (SELECT a AS x, b AS y FROM cs
+           UNION SELECT b AS x, a AS y FROM cs),
+         n0 AS (SELECT DISTINCT x AS id FROM und),
+         l0 AS (SELECT id, id AS l FROM n0),
+         nbr1 AS (SELECT und.x, l0.l, count(*) AS c FROM und
+           JOIN l0 ON und.y = l0.id GROUP BY und.x, l0.l),
+         best1 AS (SELECT x, l FROM nbr1
+           QUALIFY row_number() OVER (PARTITION BY x
+             ORDER BY c DESC, l ASC) = 1),
+         l1 AS (SELECT n0.id, coalesce(best1.l, n0.id) AS l
+           FROM n0 LEFT JOIN best1 ON n0.id = best1.x),
+         nbr2 AS (SELECT und.x, l1.l, count(*) AS c FROM und
+           JOIN l1 ON und.y = l1.id GROUP BY und.x, l1.l),
+         best2 AS (SELECT x, l FROM nbr2
+           QUALIFY row_number() OVER (PARTITION BY x
+             ORDER BY c DESC, l ASC) = 1),
+         l2 AS (SELECT n0.id, coalesce(best2.l, n0.id) AS l
+           FROM n0 LEFT JOIN best2 ON n0.id = best2.x)
+         SELECT id AS node, l AS label FROM l2 ORDER BY node"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

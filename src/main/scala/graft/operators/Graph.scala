@@ -378,4 +378,48 @@ object Graph {
           col("sum_dc2").cast("double")) /
           (lit(4.0) * col("m") * col("m"))).as("q"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * made DETERMINISTIC: every node starts as its own label; each
+    * round every node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label (the
+    * random-order/random-tie choices of the paper are replaced by a
+    * fixed total order so the result is layout- and engine-stable).
+    * Fixed `rounds` (synchronous LPA can 2-cycle on bipartite
+    * structures — a fixed round count is the documented determinism
+    * contract, not a convergence promise); isolated nodes keep their
+    * own label. Where [[Dedup.clusters]] answers "what is CONNECTED",
+    * LPA answers "what is DENSELY connected" — components that share
+    * only thin bridges split into separate communities.
+    *
+    * Scale shape: per round ONE edges⋈labels join (O(|E|) rows), a
+    * (node, label) partial-agg count, and an argmax window partitioned
+    * per node over its ≤degree distinct neighbor labels — never
+    * global; `localCheckpoint` cuts the lineage each round (the
+    * [[pageRankPpb]] pattern). Returns (idCol, label). */
+  def labelPropagation(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      rounds: Int, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    var lab = nodes.select(col(idCol).as("_id")).distinct()
+      .withColumn("_l", col("_id"))
+    for (_ <- 0 until rounds) {
+      val nbr = und.join(lab, und("y") === lab("_id"))
+        .select(col("x"), col("_l"))
+        .groupBy("x", "_l").agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("x"))
+        .orderBy(col("_c").desc, col("_l").asc)
+      val best = nbr.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).select(col("x").as("_id"),
+          col("_l").as("_nl"))
+      lab = lab.join(best, Seq("_id"), "left")
+        .select(col("_id"), coalesce(col("_nl"), col("_l")).as("_l"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("_id").as(idCol), col("_l").as("label"))
+  }
 }

@@ -261,4 +261,25 @@ class GraphSpec extends SparkSuite {
     assert(got2 == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 1L,
       "e" -> 0L))
   }
+
+  test("labelPropagation: bridged triangles split into two communities, isolated keeps own") {
+    // one connected component, two dense communities over a thin bridge
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("id") // 7 isolated
+    val got = Graph.labelPropagation(g, nodes, "id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced fixed point: triangle {1,2,3} -> 1, {4,5,6} -> 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L, 7L -> 7L))
+    // contrast: connectivity clusters put 1..6 in ONE component
+    val cc = graft.operators.Dedup.clusters(g,
+        (1L to 6L).map(Tuple1(_)).toDF("id"), "id")
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+    // layout invariance
+    val got7 = Graph.labelPropagation(g.repartition(7), nodes, "id",
+      rounds = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == got)
+  }
 }
