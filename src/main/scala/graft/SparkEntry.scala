@@ -3429,6 +3429,27 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  // Parquet row-group stats audit (ScanStats.rowGroupStats): write a
+  // range-clustered lineitem layout with tiny row groups, read the
+  // footers back distributed — the oracle parses the SAME files
+  // independently via DuckDB's parquet_metadata(). Two engines, one
+  // byte-level artifact: pruning evidence as data.
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_q259_scanstats"
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .coalesce(1).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 65536)
+      .option("parquet.page.size", 8192)
+      .parquet(out)
+    ScanStats.rowGroupStats(s, out, Seq("l_partkey", "l_suppkey"))
+      .select(col("col_name"), col("num_rows"),
+        col("min_v").cast("long").as("min_v"),
+        col("max_v").cast("long").as("max_v"))
+      .orderBy("col_name", "min_v", "max_v", "num_rows")
+  }
+
   // Mutual information (Evaluate.mutualInfo): how much does source
   // tell you about language — the information-theoretic complement to
   // q166's Cramer's V; per-cell ppb terms (q225 LLR rule), exact sums.
@@ -3987,7 +4008,8 @@ object SparkEntry {
     "q255_geohash_neighbors" -> (q255 _),
     "q256_kendall_taub" -> (q256 _),
     "q257_mutual_info" -> (q257 _),
-    "q258_label_propagation" -> (q258 _))
+    "q258_label_propagation" -> (q258 _),
+    "q259_rowgroup_stats" -> (q259 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9812,7 +9834,18 @@ object SparkEntry {
              ORDER BY c DESC, l ASC) = 1),
          l2 AS (SELECT n0.id, coalesce(best2.l, n0.id) AS l
            FROM n0 LEFT JOIN best2 ON n0.id = best2.x)
-         SELECT id AS node, l AS label FROM l2 ORDER BY node"""
+         SELECT id AS node, l AS label FROM l2 ORDER BY node""",
+
+    // q259: DuckDB independently parses the SAME parquet footers the
+    // Spark query just wrote — byte-level cross-engine stats parity.
+    "q259_rowgroup_stats" ->
+      """SELECT path_in_schema AS col_name,
+           CAST(row_group_num_rows AS BIGINT) AS num_rows,
+           CAST(stats_min_value AS BIGINT) AS min_v,
+           CAST(stats_max_value AS BIGINT) AS max_v
+         FROM parquet_metadata('/tmp/graft_q259_scanstats/*.parquet')
+         WHERE path_in_schema IN ('l_partkey', 'l_suppkey')
+         ORDER BY col_name, min_v, max_v, num_rows"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

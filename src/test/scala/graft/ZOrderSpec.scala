@@ -108,4 +108,28 @@ class ZOrderSpec extends SparkSuite {
     val r = spark.sql("SELECT hilbert2(5, 9, 4)").head.getLong(0)
     assert(r == graft.functions.Hilbert.xy2d(4, 5, 9))
   }
+
+  test("rowGroupStats: footer stats cover the data exactly; sorted layout = disjoint ranges") {
+    import graft.operators.ScanStats
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgstats").toString
+    spark.range(50000L).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 65536)
+      .option("parquet.page.size", 8192)
+      .parquet(dir)
+    val st = ScanStats.rowGroupStats(spark, dir, Seq("k"))
+      .orderBy(col("min_v").cast("long")).collect()
+    assert(st.length > 1, "expected multiple row groups at this block size")
+    assert(st.map(_.getLong(3)).sum == 50000L)
+    assert(st.head.getString(4).toLong == 0L &&
+      st.last.getString(5).toLong == 49999L)
+    // sorted unique key: consecutive groups strictly disjoint — the
+    // prunable shape the audit exists to surface
+    st.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getString(5).toLong < b.getString(4).toLong)
+    }
+    // column filter: only the requested column's chunks are returned
+    assert(st.forall(_.getString(2) == "k"))
+  }
 }
