@@ -3429,6 +3429,39 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  // Geohash decode (GeoFunctions.geohashDecode): encode -> decode
+  // round trip; the oracle derives the same cell centers from the
+  // integer side, so a broken string parse or de-interleave mismatches.
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").where(col("c_custkey") % 23 === 0)
+      .select(col("c_custkey"),
+        (pmod(col("c_custkey") * 37, lit(12000)) / 100.0 - 60.0).as("la"),
+        (pmod(col("c_custkey") * 91, lit(36000)) / 100.0 - 180.0).as("lo"))
+      .withColumn("gh", GeoFunctions.geohash(col("la"), col("lo"), 5))
+      .withColumn("ctr", GeoFunctions.geohashDecode(col("gh"), 5))
+    pts.select(col("c_custkey"), col("gh"),
+        round(col("ctr.lat"), 6).as("clat_r"),
+        round(col("ctr.lon"), 6).as("clon_r"))
+      .orderBy("c_custkey")
+  }
+
+  // Data-contract expectations (Quality.expectRows/expectUnique/
+  // expectForeignKey): the nightly pre-promotion validation report —
+  // row rules in one conditional-sum pass, duplicate mass, FK orphans.
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    Quality.expectRows(o, Seq(
+        "status_valid" -> col("o_orderstatus").isin("O", "F", "P"),
+        "price_positive" -> (col("o_totalprice") > 0.0),
+        "price_below_cap" -> (col("o_totalprice") < 300000.0),
+        "priority_nonnull" -> col("o_orderpriority").isNotNull))
+      .unionByName(Quality.expectUnique(o, Seq("o_orderkey"),
+        rule = "orderkey_unique"))
+      .unionByName(Quality.expectForeignKey(o, col("o_custkey"),
+        t(s, dir, "customer"), col("c_custkey"), rule = "custkey_fk"))
+      .orderBy("rule")
+  }
+
   // Parquet row-group stats audit (ScanStats.rowGroupStats): write a
   // range-clustered lineitem layout with tiny row groups, read the
   // footers back distributed — the oracle parses the SAME files
@@ -4009,7 +4042,9 @@ object SparkEntry {
     "q256_kendall_taub" -> (q256 _),
     "q257_mutual_info" -> (q257 _),
     "q258_label_propagation" -> (q258 _),
-    "q259_rowgroup_stats" -> (q259 _))
+    "q259_rowgroup_stats" -> (q259 _),
+    "q260_geohash_decode" -> (q260 _),
+    "q261_expectations" -> (q261 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9845,7 +9880,63 @@ object SparkEntry {
            CAST(stats_max_value AS BIGINT) AS max_v
          FROM parquet_metadata('/tmp/graft_q259_scanstats/*.parquet')
          WHERE path_in_schema IN ('l_partkey', 'l_suppkey')
-         ORDER BY col_name, min_v, max_v, num_rows"""
+         ORDER BY col_name, min_v, max_v, num_rows""",
+
+    // q260: the q250 integer-side encode, chars for gh, and the cell
+    // centers computed from the SAME ints — a decode that misparses
+    // the string or de-interleaves wrong cannot match.
+    "q260_geohash_decode" ->
+      s"""WITH pts AS (SELECT c_custkey,
+             ((c_custkey * 37) % 12000) / 100.0 - 60.0 AS la,
+             ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lo
+           FROM customer WHERE c_custkey % 23 = 0),
+         ib AS (SELECT c_custkey,
+             least(4095, greatest(0, CAST(floor((la + 90.0) / 180.0
+               * 4096.0) AS BIGINT))) AS ilat,
+             least(8191, greatest(0, CAST(floor((lo + 180.0) / 360.0
+               * 8192.0) AS BIGINT))) AS ilon
+           FROM pts),
+         ih AS (SELECT c_custkey, ilat, ilon,
+             ${geohashInterleaveSql(5)} AS h FROM ib)
+         SELECT c_custkey, ${geohashCharsSql(5)} AS gh,
+           round((CAST(ilat * 2 + 1 AS DOUBLE) / 2.0) / 4096.0 * 180.0
+             - 90.0, 6) AS clat_r,
+           round((CAST(ilon * 2 + 1 AS DOUBLE) / 2.0) / 8192.0 * 360.0
+             - 180.0, 6) AS clon_r
+         FROM ih ORDER BY c_custkey""",
+
+    // q261: each row rule as the same NOT-coalesce conditional sum;
+    // uniqueness = duplicate mass; FK = parentless child rows.
+    "q261_expectations" ->
+      """WITH r AS (
+           SELECT 'status_valid' AS rule, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN NOT coalesce(
+               o_orderstatus IN ('O', 'F', 'P'), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+           UNION ALL
+           SELECT 'price_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'price_below_cap', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN NOT coalesce(o_totalprice < 300000.0,
+               FALSE) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'priority_nonnull', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'orderkey_unique', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             FROM orders
+           UNION ALL
+           SELECT 'custkey_fk',
+             CAST((SELECT count(*) FROM orders) AS BIGINT),
+             CAST((SELECT count(*) FROM orders o
+               LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON o.o_custkey = c.c_custkey
+               WHERE c.c_custkey IS NULL) AS BIGINT))
+         SELECT rule, n, violations FROM r ORDER BY rule"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -71,6 +71,42 @@ object GeoFunctions {
     array_distinct(array(cells: _*))
   }
 
+  /** Decode a geohash string back to its cell CENTER (lat, lon) as a
+    * struct<lat:double, lon:double> — the inverse of [[geohash]] up to
+    * cell resolution (encode(decode(h)) == h for every valid hash).
+    * De-interleaves by summing per-character base32 digits (found via
+    * one locate() per char — no UDF) into iLat/iLon, then
+    * center = ((2·i + 1)/2) / 2^bits · range − offset, one float chain.
+    * `precision` must match the string's length. */
+  def geohashDecode(hash: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1,12], got $precision")
+    val totalBits = 5 * precision
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits - lonBits
+    // interleaved long from the chars: digit(c) << 5*(p-1-c), digit via
+    // a 1-based locate into the base32 alphabet (builtin, codegen'd)
+    val inter = (0 until precision).map { c =>
+      val digit = (call_function("locate",
+        substring(hash, c + 1, 1), lit(Base32)) - 1).cast("long")
+      shiftleft(digit, 5 * (precision - 1 - c))
+    }.reduce(_ + _)
+    // de-interleave: lon holds even positions from the MSB, lat odd
+    def unpick(even: Boolean, bits: Int): Column =
+      (0 until bits).map { idx =>
+        val i = if (even) 2 * idx else 2 * idx + 1 // interleaved position
+        val bit = shiftright(inter, totalBits - 1 - i).bitwiseAND(lit(1L))
+        shiftleft(bit, bits - 1 - idx)
+      }.reduce(_ + _)
+    val iLon = unpick(even = true, lonBits)
+    val iLat = unpick(even = false, latBits)
+    def center(i: Column, bits: Int, range: Double, offset: Double): Column =
+      ((i * 2L + 1L).cast("double") / 2.0) /
+        (1L << bits).toDouble * range - offset
+    struct(center(iLat, latBits, 180.0, 90.0).as("lat"),
+      center(iLon, lonBits, 360.0, 180.0).as("lon"))
+  }
+
   /** (iLat, iLon) cell integers at `precision` — the fixed-point binary
     * expansions geohash interleaves (see [[geohash]]). */
   private def cellInts(lat: Column, lon: Column,

@@ -269,4 +269,52 @@ object Quality {
       .select(qiCols.map(col) :+ col("n_g") :+ col("_m").as("m") :+
         col("emd_num") :+ col("t"): _*)
   }
+
+  /** Data-contract expectations — the nightly validation report a
+    * 100 TB pipeline runs before promoting a snapshot: each named
+    * row-level rule is checked in ONE conditional-sum pass (a rule
+    * evaluating to NULL counts as a violation — an unverifiable row is
+    * a failing row), and the per-rule (rule, n, violations) report
+    * stacks out of the single aggregate. Exact integers, map-side
+    * combined, no second scan per rule. */
+  def expectRows(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectRows needs >= 1 rule")
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
+      case ((_, c), i) =>
+        coalesce(sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)),
+          lit(0L)).as(s"_v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.zipWithIndex.map { case ((name, _), i) =>
+      one.select(lit(name).as("rule"), col("_n").as("n"),
+        col(s"_v$i").as("violations"))
+    }
+    stacked.reduce(_ unionByName _)
+  }
+
+  /** Uniqueness expectation: violations = rows beyond the first per
+    * key (duplicate mass, not duplicate-key count). Null keys count
+    * as a key value. */
+  def expectUnique(df: DataFrame, cols: Seq[String],
+      rule: String = "unique"): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum("_c"), lit(0L)).as("n"),
+        coalesce(sum(col("_c") - 1L), lit(0L)).as("violations"))
+      .select(lit(rule).as("rule"), col("n"), col("violations"))
+
+  /** Referential-integrity expectation: violations = child rows whose
+    * key has no parent (null keys violate — same unverifiable-row rule
+    * as [[expectRows]]). ONE left-outer join + aggregate, lazy. */
+  def expectForeignKey(child: DataFrame, key: Column,
+      parent: DataFrame, parentKey: Column,
+      rule: String = "foreign_key"): DataFrame = {
+    val c = child.select(key.as("_k"))
+    val p = parent.select(parentKey.as("_pk")).where(col("_pk").isNotNull)
+      .distinct()
+    c.join(p, c("_k") === p("_pk"), "left_outer")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("_pk").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("violations"))
+      .select(lit(rule).as("rule"), col("n"), col("violations"))
+  }
 }

@@ -45,6 +45,24 @@ class GeoSpec extends SparkSuite {
       Set("u", "g", "v", "e", "s", "t")) // pole edge clamps -> 6 cells
   }
 
+  test("geohashDecode: inverse of encode up to cell resolution, canonical center") {
+    val df = Seq((57.64911, 10.40744), (0.0, 0.0), (-33.9, 151.2))
+      .toDF("la", "lo")
+      .withColumn("gh", GeoFunctions.geohash(col("la"), col("lo"), 6))
+      .withColumn("ctr", GeoFunctions.geohashDecode(col("gh"), 6))
+      .withColumn("gh2", GeoFunctions.geohash(
+        col("ctr.lat"), col("ctr.lon"), 6))
+    val rows = df.collect()
+    // re-encoding the decoded center lands back in the SAME cell
+    assert(rows.forall(r => r.getString(2) == r.getString(4)))
+    // the center is inside the p=6 cell of the original point
+    rows.foreach { r =>
+      val ctr = r.getStruct(3)
+      assert(math.abs(ctr.getDouble(0) - r.getDouble(0)) < 180.0 / (1 << 15))
+      assert(math.abs(ctr.getDouble(1) - r.getDouble(1)) < 360.0 / (1 << 15))
+    }
+  }
+
   test("haversine: zero, equator degree, antipodes, known city pair") {
     val d = Seq((48.8566, 2.3522, 51.5074, -0.1278))
       .toDF("a", "b", "c", "d")

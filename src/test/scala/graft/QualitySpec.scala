@@ -305,4 +305,25 @@ class QualitySpec extends SparkSuite {
     assert(out(2L) === ((2, 1, 2, 206.835 - 1.015 * 2.0 - 84.6 * 1.0)))
     assert(out(3L)._1 === 0 && out(3L)._4.isNaN) // null score
   }
+
+  test("expectations: null rule = violation, duplicate mass, FK orphans incl. null key") {
+    val df = Seq((1L, Some(10L)), (2L, Some(-5L)), (3L, None),
+      (3L, Some(7L))).toDF("k", "v")
+    val rows = Quality.expectRows(df, Seq(
+        "v_positive" -> (col("v") > 0L),
+        "k_small" -> (col("k") < 100L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // the NULL v row is unverifiable -> counts as a violation
+    assert(rows("v_positive") == ((4L, 2L)))
+    assert(rows("k_small") == ((4L, 0L)))
+    val uq = Quality.expectUnique(df, Seq("k")).head
+    assert(uq.getLong(1) == 4L && uq.getLong(2) == 1L) // one extra '3'
+    val parent = Seq(1L, 2L).map(Tuple1(_)).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).map(Tuple1(_))
+      .toDF("fk")
+    val fk = Quality.expectForeignKey(child, col("fk"), parent, col("pk"))
+      .head
+    assert(fk.getLong(1) == 4L && fk.getLong(2) == 2L) // orphan 9 + null
+  }
 }
