@@ -511,6 +511,16 @@ object Bench {
         textDocs.select(sum(size(
           graft.operators.Bpe.encode(col("text"), merges)))).collect()
       } else skip("x_bpe_encode_1m")
+      // WordPiece greedy encode over the same 1M docs (map-only eval'd
+      // expression, full single-char + common-piece vocab)
+      bench("x_wordpiece_encode_1m", runs = 1) {
+        val singles = ("abcdefghijklmnopqrstuvwxyz" + "0123456789")
+          .map(_.toString)
+        val vocab = singles ++ singles.map("##" + _) ++
+          Seq("w1", "w2", "w3", "##00", "##11", "w", "##9")
+        textDocs.select(sum(size(graft.functions.wordpiece_encode(
+          split(col("text"), " "), vocab)))).collect()
+      }
     }
 
     // Banded hamming pairs at 1M 64-bit signatures + 50k planted

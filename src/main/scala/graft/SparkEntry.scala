@@ -3445,6 +3445,34 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** The q262 WordPiece vocab — full single-char coverage EXCEPT 'q'
+    * (so q-words exercise the whole-word-UNK rule), `##` continuations,
+    * and a handful of multi-char pieces that force real longest-match
+    * decisions. Shared between the Spark gate and the generated oracle
+    * (`wpVocabValues`) so both sides tokenize against one table. */
+  private val wpVocab: Seq[String] = {
+    val singles = ("abcdefghijklmnoprstuvwxyz" + "0123456789").map(_.toString)
+    val cont = singles.map("##" + _)
+    val multi = Seq("the", "an", "in", "re", "th", "wh",
+      "##ing", "##ed", "##er", "##tion", "##on", "##at", "##es", "##s", "##e")
+    singles ++ cont ++ multi
+  }
+
+  // WordPiece encode (functions.WordPieceEncode): greedy longest-match
+  // tokenization with a production-style fixed vocab — the BERT
+  // inference tokenizer beside q50's BPE. The oracle unrolls the
+  // per-word cursor walk as 28 staged CTEs (one char minimum per
+  // step), whole-word [UNK] on any dead end.
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .where(col("text").isNotNull && col("doc_id") % 20 === 0)
+    d.select(col("doc_id"),
+        array_join(graft.functions.wordpiece_encode(
+          TextFunctions.tokens(col("text")), wpVocab, maxWordLen = 28),
+          " ").as("wp"))
+      .orderBy("doc_id")
+  }
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4044,7 +4072,8 @@ object SparkEntry {
     "q258_label_propagation" -> (q258 _),
     "q259_rowgroup_stats" -> (q259 _),
     "q260_geohash_decode" -> (q260 _),
-    "q261_expectations" -> (q261 _))
+    "q261_expectations" -> (q261 _),
+    "q262_wordpiece" -> (q262 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9936,7 +9965,28 @@ object SparkEntry {
                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
                ON o.o_custkey = c.c_custkey
                WHERE c.c_custkey IS NULL) AS BIGINT))
-         SELECT rule, n, violations FROM r ORDER BY rule"""
+         SELECT rule, n, violations FROM r ORDER BY rule""",
+
+    // q262: the per-word greedy cursor walk unrolled as 28 staged CTEs
+    // (>= 1 char consumed per step; maxWordLen 28 = fail upfront);
+    // longest match via a correlated max over the shared vocab table.
+    "q262_wordpiece" ->
+      s"""WITH vocab(p) AS (SELECT * FROM (VALUES $wpVocabValues) t(p)),
+         d AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS tl
+           FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0),
+         w AS (SELECT doc_id, i AS widx, tl[i] AS word
+           FROM d, unnest(range(1, len(tl) + 1)) AS u(i)),
+         s0 AS (SELECT doc_id, widx, word, len(word) AS wlen,
+             0 AS pos, len(word) > 28 AS fail, '' AS acc FROM w),
+         ${wpStepsSql(28)},
+         wp AS (SELECT doc_id, widx,
+             CASE WHEN fail THEN '[UNK]' ELSE acc END AS ws FROM s28),
+         agg AS (SELECT doc_id, string_agg(ws, ' ' ORDER BY widx) AS wp
+           FROM wp GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.wp, '') AS wp
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -10330,6 +10380,46 @@ object SparkEntry {
       s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
         s"CAST(((h >> ${5 * (precision - 1 - c)}) & 31) + 1 AS INT), 1)"
     }.mkString(" || ")
+
+  /** [[wpVocab]] as a SQL VALUES list (pieces are [a-z0-9#]-only, no
+    * quoting hazards). */
+  private def wpVocabValues: String =
+    wpVocab.map(p => s"('$p')").mkString(", ")
+
+  /** The WordPiece greedy cursor walk unrolled: step i computes the
+    * longest matching piece at the cursor (pos-0 pieces plain,
+    * continuations `##`-prefixed — lengths counted in WORD chars) via
+    * a correlated max over the vocab, then advances pos/acc or fails
+    * the whole word. Finished/failed rows pass through unchanged. */
+  private def wpStepsSql(steps: Int): String =
+    (1 to steps).map { i =>
+      s"""n$i AS (SELECT doc_id, widx, word, wlen, pos, fail, acc,
+           CASE WHEN fail OR pos >= wlen THEN NULL ELSE (
+             SELECT max(CASE WHEN s.pos = 0 THEN len(v.p)
+                             ELSE len(v.p) - 2 END)
+             FROM vocab v
+             WHERE CASE WHEN s.pos = 0
+               THEN v.p NOT LIKE '##%'
+                 AND v.p = substr(s.word, 1, len(v.p))
+               ELSE v.p LIKE '##%'
+                 AND substr(v.p, 3, len(v.p) - 2)
+                   = substr(s.word, s.pos + 1, len(v.p) - 2) END
+           ) END AS blen
+         FROM s${i - 1} s),
+         s$i AS (SELECT doc_id, widx, word, wlen,
+           CASE WHEN fail OR pos >= wlen OR blen IS NULL THEN pos
+                ELSE pos + blen END AS pos,
+           CASE WHEN fail THEN TRUE
+                WHEN pos >= wlen THEN FALSE
+                WHEN blen IS NULL THEN TRUE
+                ELSE FALSE END AS fail,
+           CASE WHEN fail OR pos >= wlen OR blen IS NULL THEN acc
+                ELSE (CASE WHEN acc = '' THEN '' ELSE acc || ' ' END)
+                  || (CASE WHEN pos = 0 THEN substr(word, 1, blen)
+                      ELSE '##' || substr(word, pos + 1, blen) END)
+           END AS acc
+         FROM n$i)"""
+    }.mkString(",\n         ")
 
   /** [[graft.functions.Hilbert.xy2d]]'s per-bit state machine unrolled
     * as staged CTEs h1..h`bits` over h0's (x, y, d) — each stage reads

@@ -100,6 +100,68 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 }
 
 /** Token ids in the given vocabulary (−1 = symbol not in vocab). */
+/** WordPiece greedy longest-match-first encode (the BERT inference
+  * tokenizer, Devlin et al. 2018 / the original Schuster & Nakajima
+  * scheme) over an ALREADY word-split `array<string>` input: per word,
+  * repeatedly take the longest vocab piece matching at the cursor
+  * (continuation pieces carry the `##` prefix); if any position has no
+  * match — or the word exceeds `maxWordLen` — the WHOLE word collapses
+  * to `unk` (the BERT rule, not partial emission). The vocab rides in
+  * the expression (plan-serialized, one set per executor) — zero
+  * shuffle, zero UDF; [[BpeEncode]]'s merge-table pattern. */
+case class WordPieceEncode(child: Expression, vocab: Seq[String],
+    unk: String = "[UNK]", maxWordLen: Int = 100)
+    extends UnaryExpression with CodegenFallback {
+  require(vocab.nonEmpty, "wordpiece needs a non-empty vocab")
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPiece: Int =
+    vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+  override def dataType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode expects array<string>, got ${t.sql}")
+  }
+  private def encodeWord(w: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    if (w.isEmpty) return
+    if (w.length > maxWordLen) { out.add(UTF8String.fromString(unk)); return }
+    val pieces = new java.util.ArrayList[UTF8String]()
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(maxPiece, w.length - pos)
+      var hit = -1
+      while (len >= 1 && hit < 0) {
+        val cand =
+          if (pos == 0) w.substring(0, len)
+          else "##" + w.substring(pos, pos + len)
+        if (vocabSet.contains(cand)) hit = len else len -= 1
+      }
+      if (hit < 0) { out.add(UTF8String.fromString(unk)); return }
+      pieces.add(UTF8String.fromString(
+        if (pos == 0) w.substring(0, hit) else "##" + w.substring(pos, pos + hit)))
+      pos += hit
+    }
+    out.addAll(pieces)
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) encodeWord(arr.getUTF8String(i).toString, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "wordpiece_encode"
+}
+
 case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
     vocab: Seq[String])
     extends UnaryExpression with CodegenFallback {

@@ -98,6 +98,14 @@ package object functions {
   def splitmix64_rank(c: Column, seed: Long = 0L): Column =
     Bridge.column(Splitmix64Rank(Bridge.expression(c), seed))
 
+  /** WordPiece greedy longest-match-first encode of an already
+    * word-split array against a fixed vocab (`##` continuations; BERT
+    * whole-word-UNK rule). */
+  def wordpiece_encode(words: Column, vocab: Seq[String],
+      unk: String = "[UNK]", maxWordLen: Int = 100): Column =
+    Bridge.column(WordPieceEncode(Bridge.expression(words), vocab, unk,
+      maxWordLen))
+
   /** 8-bit scalar-quantize an embedding to a binary code (one byte per
     * dimension) against a trained per-dim (min, delta) codebook. */
   def sq_encode(vec: Column, mins: Seq[Double], deltas: Seq[Double]): Column =

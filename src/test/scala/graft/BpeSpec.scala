@@ -118,4 +118,28 @@ class BpeSpec extends SparkSuite {
       Bpe.train(docs, col("t"), 10, maxWords = 100)
     }
   }
+
+  test("wordpiece: canonical BERT example, whole-word UNK, longest match, position rule") {
+    def enc(vocab: Seq[String], words: Seq[String],
+        maxWordLen: Int = 100): Seq[String] =
+      Seq(Tuple1(words)).toDF("w")
+        .select(graft.functions.wordpiece_encode(col("w"), vocab,
+          maxWordLen = maxWordLen))
+        .head.getSeq[String](0)
+    // the BERT paper's example
+    val v = Seq("un", "##aff", "##able", "aff", "able", "a", "##a")
+    assert(enc(v, Seq("unaffable")) == Seq("un", "##aff", "##able"))
+    // greedy longest-first: 'aff' wins over 'a' at position 0
+    assert(enc(v, Seq("affable")) == Seq("aff", "##able"))
+    // dead end mid-word -> the WHOLE word is [UNK], not partial pieces
+    assert(enc(v, Seq("unaffordable")) == Seq("[UNK]"))
+    // position rule: continuation pieces can't start a word
+    assert(enc(Seq("##a"), Seq("a")) == Seq("[UNK]"))
+    assert(enc(Seq("a", "##a"), Seq("aaa")) == Seq("a", "##a", "##a"))
+    // maxWordLen collapses long words
+    assert(enc(v, Seq("unaffable"), maxWordLen = 5) == Seq("[UNK]"))
+    // multiple words flatten in order; empty words skip
+    assert(enc(v, Seq("able", "", "unaffable")) ==
+      Seq("able", "un", "##aff", "##able"))
+  }
 }
