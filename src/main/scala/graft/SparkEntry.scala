@@ -3473,6 +3473,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Dense-grid linear interpolation (Evaluate.interpolateLinear): the
+  // time-series gap fill — sparse per-type daily sums resampled onto
+  // the full day grid, gaps linearly interpolated, no extrapolation.
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    Evaluate.interpolateLinear(
+        events(s, dir).where(col("event_id") % 13 === 0),
+        Seq("event_type"),
+        expr("ts div 86400000000000"),
+        col("value"))
+      .orderBy("event_type", "bucket")
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4073,7 +4084,8 @@ object SparkEntry {
     "q259_rowgroup_stats" -> (q259 _),
     "q260_geohash_decode" -> (q260 _),
     "q261_expectations" -> (q261 _),
-    "q262_wordpiece" -> (q262 _))
+    "q262_wordpiece" -> (q262 _),
+    "q263_gap_fill" -> (q263 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -9986,7 +9998,41 @@ object SparkEntry {
          agg AS (SELECT doc_id, string_agg(ws, ' ' ORDER BY widx) AS wp
            FROM wp GROUP BY doc_id)
          SELECT d.doc_id, coalesce(agg.wp, '') AS wp
-         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // q263: per-type day grid, IGNORE-NULLS carry windows, the same
+    // linear-interpolation float chain, ppm-quantized once.
+    "q263_gap_fill" ->
+      """WITH obs AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b, sum(value) AS v
+           FROM events WHERE event_id % 13 = 0 GROUP BY g, b),
+         span AS (SELECT g, min(b) AS b0, max(b) AS b1 FROM obs
+           GROUP BY g),
+         grid AS (SELECT span.g, u.i AS b
+           FROM span, unnest(range(b0, b1 + 1)) AS u(i)),
+         j AS (SELECT grid.g, grid.b, obs.v FROM grid
+           LEFT JOIN obs ON obs.g = grid.g AND obs.b = grid.b),
+         m AS (SELECT g, b, v,
+             last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS pb,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY b ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS nb,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY g ORDER BY b ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS nv
+           FROM j)
+         SELECT g AS event_type, b AS bucket,
+           v IS NOT NULL AS observed,
+           CAST(round((CASE WHEN v IS NOT NULL THEN v
+             ELSE (pv * CAST(nb - b AS DOUBLE)
+               + nv * CAST(b - pb AS DOUBLE))
+               / CAST(nb - pb AS DOUBLE) END) * 1e6) AS BIGINT) AS v_ppm
+         FROM m ORDER BY event_type, bucket"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

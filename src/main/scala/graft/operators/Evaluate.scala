@@ -2145,6 +2145,56 @@ object Evaluate {
       .select("k", "n", "j2", "e2", "var_j", "z")
   }
 
+  /** Dense-grid linear interpolation (gap fill) — the time-series
+    * resample every monitoring/forecast pipeline needs before a model
+    * sees the series: per group, every bucket in [first, last observed]
+    * gets a value — observed buckets keep their exact sum, gaps get the
+    * linear interpolation between the surrounding observations
+    * (v_p·(b_n−b) + v_n·(b−b_p))/(b_n−b_p), no extrapolation outside
+    * the observed span by construction. ONE (group, bucket) aggregate,
+    * a per-group sequence explode over the bounded grid (the
+    * [[rollingCounts]]/denseGridCounts contract, ≤10M-bucket guard),
+    * and four group-partitioned IGNORE-NULLS carry windows — never
+    * global. Output value quantized once to ppm (engine-replayable).
+    * Returns (groupCols..., bucket, observed, v_ppm). */
+  def interpolateLinear(df: DataFrame, groupCols: Seq[String],
+      bucket: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs0 = df.select(groupCols.map(col) :+
+        bucket.cast("long").as("_b") :+ value.cast("double").as("_v"): _*)
+      .where(col("_b").isNotNull && col("_v").isNotNull)
+    val obs = obs0.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg(sum("_v").as("_v"))
+    val span = obs.groupBy(groupCols.map(col): _*)
+      .agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      .withColumn("_b0",
+        when(col("_b1") - col("_b0") < 10000000L, col("_b0"))
+          .otherwise(raise_error(concat(lit(
+            "bucket span too wide for a dense grid: "),
+            (col("_b1") - col("_b0")).cast("string")))))
+    val grid = span.select(groupCols.map(col) :+
+        explode(sequence(col("_b0"), col("_b1"))).as("_b"): _*)
+      .join(obs, groupCols :+ "_b", "left")
+    val wPrev = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_b")).rowsBetween(0, Window.unboundedFollowing)
+    val marked = grid
+      .withColumn("_pb", last(when(col("_v").isNotNull, col("_b")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wPrev))
+      .withColumn("_nb", first(when(col("_v").isNotNull, col("_b")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wNext))
+    val interp = when(col("_v").isNotNull, col("_v")).otherwise(
+      (col("_pv") * (col("_nb") - col("_b")).cast("double") +
+        col("_nv") * (col("_b") - col("_pb")).cast("double")) /
+        (col("_nb") - col("_pb")).cast("double"))
+    marked.select(groupCols.map(col) :+ col("_b").as("bucket") :+
+      col("_v").isNotNull.as("observed") :+
+      round(interp * 1e6).cast("long").as("v_ppm"): _*)
+  }
+
   /** Kendall's τ-b + Somers' D — ordinal↔ordinal association with full
     * tie correction ("does the quality tier track the curation tier";
     * the rank-correlation complement to [[spearmanExact]], and the

@@ -156,4 +156,25 @@ class BootstrapRollingSpec extends SparkSuite {
       .map(r => (r.getLong(1), r.getDouble(5)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("interpolateLinear: exact observed, hand interpolation, no extrapolation, group isolation") {
+    val df = Seq(("a", 1L, 10.0), ("a", 4L, 40.0), ("a", 4L, 5.0),
+      ("a", 6L, 0.0), ("b", 2L, 7.0)).toDF("g", "b", "v")
+    val got = Evaluate.interpolateLinear(df, Seq("g"), col("b"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getLong(3))).toMap
+    // duplicate-bucket rows sum: b=4 -> 45
+    assert(got(("a", 4L)) == ((true, 45000000L)))
+    assert(got(("a", 1L)) == ((true, 10000000L)))
+    // gap 2,3 between (1,10) and (4,45): 10 + (v diff 35)*(t/3)
+    assert(got(("a", 2L)) == ((false, math.round((10.0 * 2 + 45.0 * 1) / 3.0 * 1e6))))
+    assert(got(("a", 3L)) == ((false, math.round((10.0 * 1 + 45.0 * 2) / 3.0 * 1e6))))
+    // gap 5 between (4,45) and (6,0)
+    assert(got(("a", 5L)) == ((false, math.round(45.0 / 2.0 * 1e6))))
+    // no extrapolation: group a grid stops at [1,6]; b is a single point
+    assert(!got.contains(("a", 0L)) && !got.contains(("a", 7L)))
+    assert(got(("b", 2L)) == ((true, 7000000L)) &&
+      got.keys.count(_._1 == "b") == 1)
+  }
 }
