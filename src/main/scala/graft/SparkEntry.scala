@@ -3484,6 +3484,15 @@ object SparkEntry {
         col("value"))
       .orderBy("event_type", "bucket")
 
+  // EWMA monitoring smoother (Evaluate.ewma): per-type daily value
+  // sums on the zero-filled day grid, alpha = 0.3 — the exponential
+  // complement of q214's flat rolling window; fold replayed
+  // fold-for-fold via list_reduce.
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    Evaluate.ewma(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), col("value"), alpha = 0.3)
+      .orderBy("event_type", "bucket")
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4085,7 +4094,8 @@ object SparkEntry {
     "q260_geohash_decode" -> (q260 _),
     "q261_expectations" -> (q261 _),
     "q262_wordpiece" -> (q262 _),
-    "q263_gap_fill" -> (q263 _))
+    "q263_gap_fill" -> (q263 _),
+    "q264_ewma" -> (q264 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10032,7 +10042,33 @@ object SparkEntry {
              ELSE (pv * CAST(nb - b AS DOUBLE)
                + nv * CAST(b - pb AS DOUBLE))
                / CAST(nb - pb AS DOUBLE) END) * 1e6) AS BIGINT) AS v_ppm
-         FROM m ORDER BY event_type, bucket"""
+         FROM m ORDER BY event_type, bucket""",
+
+    // q264: the same dense grid zero-filled, per-bucket sums quantized
+    // to 1e-3 BEFORE the fold, then the s = a*v + (1-a)*s left fold
+    // via list_reduce (acc-first lambda; 1-a computed at runtime, the
+    // decimal literal 0.7 is NOT the double 1.0-0.3).
+    "q264_ewma" ->
+      """WITH obs AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b,
+             round(sum(value) * 1e3) / 1e3 AS v
+           FROM events GROUP BY g, b),
+         span AS (SELECT g, min(b) AS b0, max(b) AS b1 FROM obs
+           GROUP BY g),
+         grid AS (SELECT span.g, u.i AS b
+           FROM span, unnest(range(b0, b1 + 1)) AS u(i)),
+         j AS (SELECT grid.g, grid.b, coalesce(obs.v, 0.0) AS v
+           FROM grid LEFT JOIN obs ON obs.g = grid.g AND obs.b = grid.b),
+         arr AS (SELECT g, list(v ORDER BY b) AS varr,
+             list(b ORDER BY b) AS barr FROM j GROUP BY g),
+         x AS (SELECT g, barr[i] AS b, varr[i] AS v,
+             list_reduce(varr[1:i],
+               (a, x) -> 0.3 * x + (1.0 - 0.3) * a) AS s
+           FROM arr, unnest(range(1, len(barr) + 1)) AS u(i))
+         SELECT g AS event_type, b AS bucket,
+           CAST(round(v * 1e6) AS BIGINT) AS v_ppm,
+           CAST(round(s * 1e6) AS BIGINT) AS ewma_ppm
+         FROM x ORDER BY event_type, bucket"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -2195,6 +2195,59 @@ object Evaluate {
       round(interp * 1e6).cast("long").as("v_ppm"): _*)
   }
 
+  /** EWMA over the dense zero-filled bucket grid — the exponentially
+    * weighted monitoring smoother beside [[rollingCounts]]' flat
+    * window: s_k = α·v_k + (1−α)·s_{k−1}, seeded s_1 = v_1, gap
+    * buckets count 0 (a silent day decays the average — exactly the
+    * alerting semantic). The recurrence is a per-bucket prefix LEFT
+    * FOLD over the group's collected grid array (the [[kaplanMeier]]
+    * survival-product pattern — bounded-distinct scale contract,
+    * O(T²) array ops per group, never a cross-row window recurrence),
+    * replayed fold-for-fold by list_reduce; 1−α is computed at runtime
+    * from the same α literal on BOTH engines (the decimal literal
+    * "0.7" is NOT the double 1.0−0.3). Values and smoothed values
+    * quantized once to ppm. Returns (groupCols..., bucket, v_ppm,
+    * ewma_ppm). */
+  def ewma(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val obs0 = df.select(groupCols.map(col) :+
+        bucket.cast("long").as("_b") :+ value.cast("double").as("_v"): _*)
+      .where(col("_b").isNotNull && col("_v").isNotNull)
+    // per-bucket sums quantized to 1e-3 BEFORE the fold: a double sum's
+    // accumulation order differs across engines/layouts at ~1e-14
+    // relative, and the fold would otherwise smear that all the way to
+    // the ppm outputs — quantize-then-fold makes every fold input the
+    // identical double on both sides
+    val obs = obs0.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg((round(sum("_v") * 1e3) / 1e3).as("_v"))
+    val span = obs.groupBy(groupCols.map(col): _*)
+      .agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      .withColumn("_b0",
+        when(col("_b1") - col("_b0") < 10000000L, col("_b0"))
+          .otherwise(raise_error(concat(lit(
+            "bucket span too wide for a dense grid: "),
+            (col("_b1") - col("_b0")).cast("string")))))
+    val grid = span.select(groupCols.map(col) :+
+        explode(sequence(col("_b0"), col("_b1"))).as("_b"): _*)
+      .join(obs, groupCols :+ "_b", "left")
+      .withColumn("_v", coalesce(col("_v"), lit(0.0)))
+    val arr = grid.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("_b"), col("_v")))).as("_s"))
+      .withColumn("_varr", transform(col("_s"), e => e.getField("_v")))
+    val a = lit(alpha); val oneMinusA = lit(1.0) - lit(alpha)
+    val rows = arr.withColumn("_r",
+      explode(transform(sequence(lit(1), size(col("_s"))), i => struct(
+        element_at(col("_s"), i).getField("_b").as("b"),
+        element_at(col("_varr"), i).as("v"),
+        aggregate(slice(col("_varr"), lit(2), i - 1),
+          element_at(col("_varr"), 1),
+          (acc, x) => a * x + oneMinusA * acc).as("s")))))
+    rows.select(groupCols.map(col) :+ col("_r.b").as("bucket") :+
+      round(col("_r.v") * 1e6).cast("long").as("v_ppm") :+
+      round(col("_r.s") * 1e6).cast("long").as("ewma_ppm"): _*)
+  }
+
   /** Kendall's τ-b + Somers' D — ordinal↔ordinal association with full
     * tie correction ("does the quality tier track the curation tier";
     * the rank-correlation complement to [[spearmanExact]], and the

@@ -177,4 +177,27 @@ class BootstrapRollingSpec extends SparkSuite {
     assert(got(("b", 2L)) == ((true, 7000000L)) &&
       got.keys.count(_._1 == "b") == 1)
   }
+
+  test("ewma: hand recurrence, zero-filled gaps decay, alpha=1 tracks exactly, layout-proof") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 4L, 8.0))
+      .toDF("g", "b", "v")
+    val got = Evaluate.ewma(df, Seq("g"), col("b"), col("v"), alpha = 0.5)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // s1=10, s2=.5*20+.5*10=15, s3(gap, v=0)=7.5, s4=.5*8+.5*7.5=7.75
+    assert(got(1L) == ((10000000L, 10000000L)))
+    assert(got(2L) == ((20000000L, 15000000L)))
+    assert(got(3L) == ((0L, 7500000L)))
+    assert(got(4L) == ((8000000L, 7750000L)))
+    // alpha = 1: the smoother IS the series
+    val track = Evaluate.ewma(df, Seq("g"), col("b"), col("v"), alpha = 1.0)
+      .collect().map(r => r.getLong(2) -> r.getLong(3))
+    assert(track.forall { case (v, s) => v == s })
+    // layout invariance (fold rides a sorted collected array)
+    val got7 = Evaluate.ewma(df.repartition(7), Seq("g"), col("b"),
+        col("v"), alpha = 0.5)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got7 == got)
+  }
 }
