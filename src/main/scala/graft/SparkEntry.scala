@@ -3493,6 +3493,34 @@ object SparkEntry {
         expr("ts div 86400000000000"), col("value"), alpha = 0.3)
       .orderBy("event_type", "bucket")
 
+  // Unicode script composition (TextFunctions.scriptCounts): exact
+  // per-class character counts over text with deterministically
+  // injected Cyrillic/CJK/Greek tails — the mixed-script filter
+  // signal; classes disjoint, struct sums to n.
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .where(col("text").isNotNull && col("doc_id") % 10 === 0)
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" Привет мир 123"))
+          .when(col("doc_id") % 3 === 1, lit(" 你好世界"))
+          .otherwise(lit(" γειά κόσμος"))))
+      .withColumn("sc", TextFunctions.scriptCounts(col("t2")))
+    d.select(col("doc_id"), col("sc.latin"), col("sc.digit"),
+        col("sc.cyrillic"), col("sc.greek"), col("sc.cjk"),
+        col("sc.space"), col("sc.other"), col("sc.n"))
+      .orderBy("doc_id")
+  }
+
+  // c-TF-IDF cluster labeling (TextSearch.clusterTerms): top terms per
+  // source — frequent HERE, rare corpus-wide; the BERTopic topic-word
+  // step over any cluster assignment.
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    TextSearch.clusterTerms(t(s, dir, "documents"), col("source"),
+        col("text"), topK = 5)
+      .select(col("cluster"), col("term"), col("tf"), col("idf_ppb"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("cluster", "rank")
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4095,7 +4123,9 @@ object SparkEntry {
     "q261_expectations" -> (q261 _),
     "q262_wordpiece" -> (q262 _),
     "q263_gap_fill" -> (q263 _),
-    "q264_ewma" -> (q264 _))
+    "q264_ewma" -> (q264 _),
+    "q265_script_counts" -> (q265 _),
+    "q266_cluster_terms" -> (q266 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10068,7 +10098,65 @@ object SparkEntry {
          SELECT g AS event_type, b AS bucket,
            CAST(round(v * 1e6) AS BIGINT) AS v_ppm,
            CAST(round(s * 1e6) AS BIGINT) AS ewma_ppm
-         FROM x ORDER BY event_type, bucket"""
+         FROM x ORDER BY event_type, bucket""",
+
+    // q265: the same codepoint-range classification over split chars
+    // (list_filter + ascii — no regex-engine dependence).
+    "q265_script_counts" -> {
+      def cnt(ranges: Seq[(Int, Int)]): String =
+        "CAST(len(list_filter(cs, c -> " + ranges.map { case (a, b) =>
+          s"(ascii(c) BETWEEN $a AND $b)" }.mkString(" OR ") +
+          ")) AS BIGINT)"
+      val latin = cnt(Seq(0x41 -> 0x5A, 0x61 -> 0x7A, 0xC0 -> 0x24F))
+      val digit = cnt(Seq(0x30 -> 0x39))
+      val cyr = cnt(Seq(0x400 -> 0x4FF))
+      val greek = cnt(Seq(0x370 -> 0x3FF))
+      val arabic = cnt(Seq(0x600 -> 0x6FF))
+      val cjk = cnt(Seq(0x3040 -> 0x30FF, 0x4E00 -> 0x9FFF,
+        0xAC00 -> 0xD7AF))
+      val space = cnt(Seq(0x09 -> 0x0D, 0x20 -> 0x20))
+      s"""WITH d AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' Привет мир 123'
+                  WHEN doc_id % 3 = 1 THEN ' 你好世界'
+                  ELSE ' γειά κόσμος' END AS t2
+           FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         ch AS (SELECT doc_id,
+             list_filter(string_split(t2, ''), c -> c <> '') AS cs
+           FROM d),
+         x AS (SELECT doc_id,
+             $latin AS latin, $digit AS digit, $cyr AS cyrillic,
+             $greek AS greek, $cjk AS cjk, $arabic AS arabic,
+             $space AS space, CAST(len(cs) AS BIGINT) AS n
+           FROM ch)
+         SELECT doc_id, latin, digit, cyrillic, greek, cjk, space,
+           n - latin - digit - cyrillic - greek - arabic - cjk - space
+             AS other, n
+         FROM x ORDER BY doc_id"""
+    },
+
+    // q266: two aggregations of one tokenization, the ln(1 + (T/K)/f)
+    // factor quantized ppb, HUGEINT score rank per cluster.
+    "q266_cluster_terms" ->
+      """WITH tok AS (SELECT source AS c,
+             unnest(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS w
+           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         tf AS (SELECT c, w, count(*) AS tf FROM tok GROUP BY c, w),
+         ft AS (SELECT w, sum(tf) AS ft FROM tf GROUP BY w),
+         tot AS (SELECT CAST(sum(tf) AS BIGINT) AS T,
+             CAST(count(DISTINCT c) AS BIGINT) AS K FROM tf),
+         sc AS (SELECT c, w, tf,
+             CAST(round(ln(1.0 + (CAST((SELECT T FROM tot) AS DOUBLE)
+               / CAST((SELECT K FROM tot) AS DOUBLE))
+               / CAST(ft AS DOUBLE)) * 1e9) AS BIGINT) AS idf_ppb
+           FROM tf JOIN ft USING (w)),
+         rk AS (SELECT c, w, tf, idf_ppb,
+             row_number() OVER (PARTITION BY c
+               ORDER BY CAST(tf AS HUGEINT) * idf_ppb DESC, w ASC) AS rk
+           FROM sc)
+         SELECT c AS cluster, w AS term, CAST(tf AS BIGINT) AS tf,
+           idf_ppb, CAST(rk AS BIGINT) AS rank
+         FROM rk WHERE rk <= 5 ORDER BY cluster, rank"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

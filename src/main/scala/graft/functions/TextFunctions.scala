@@ -312,4 +312,36 @@ object TextFunctions {
       .when(best.getField("s") <= 0.0, lit("und"))
       .otherwise(best.getField("l"))
   }
+
+  /** Unicode script composition of a text — exact per-class character
+    * counts (struct latin/digit/cyrillic/greek/arabic/cjk/space/other/n),
+    * the multilingual-corpus filter signal ("drop documents whose
+    * declared language disagrees with their script", "split mixed-
+    * script docs before langID"). Pure builtin Column ops: split to
+    * characters, classify each by codepoint range (BMP contract:
+    * astral characters land in `other`, and Spark's UTF-16 split
+    * counts their two surrogates — document, don't hide), classes are
+    * disjoint by construction so the struct sums to n. */
+  def scriptCounts(text: Column): Column = {
+    val chars = filter(split(coalesce(text, lit("")), ""), c => c =!= "")
+    def inRange(c: Column, ranges: Seq[(Int, Int)]): Column =
+      ranges.map { case (a, b) => ascii(c) >= a && ascii(c) <= b }
+        .reduce(_ || _)
+    val latin = Seq(0x41 -> 0x5A, 0x61 -> 0x7A, 0xC0 -> 0x24F)
+    val digit = Seq(0x30 -> 0x39)
+    val cyr = Seq(0x400 -> 0x4FF)
+    val greek = Seq(0x370 -> 0x3FF)
+    val arabic = Seq(0x600 -> 0x6FF)
+    val cjk = Seq(0x3040 -> 0x30FF, 0x4E00 -> 0x9FFF, 0xAC00 -> 0xD7AF)
+    val space = Seq(0x09 -> 0x0D, 0x20 -> 0x20)
+    def cnt(ranges: Seq[(Int, Int)]): Column =
+      size(filter(chars, c => inRange(c, ranges))).cast("long")
+    val all = Seq("latin" -> latin, "digit" -> digit, "cyrillic" -> cyr,
+      "greek" -> greek, "arabic" -> arabic, "cjk" -> cjk, "space" -> space)
+    val counted = all.map { case (n, r) => cnt(r).as(n) }
+    val n = size(chars).cast("long")
+    val other = (n - all.map { case (_, r) => cnt(r) }.reduce(_ + _))
+      .as("other")
+    struct(counted :+ other :+ n.as("n"): _*)
+  }
 }

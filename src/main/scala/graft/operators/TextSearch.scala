@@ -271,4 +271,43 @@ object TextSearch {
       .groupBy("phrase")
       .agg(count(lit(1)).as("n_occ"), max("_score").as("score_ppm"))
   }
+
+  /** c-TF-IDF cluster labeling (the BERTopic topic-word step,
+    * Grootendorst 2022): each cluster's top terms by
+    * tf_{t,c} · ln(1 + A / f_t), where tf is the term's count INSIDE
+    * the cluster, f_t its count across ALL clusters, and A the average
+    * token mass per cluster — class-based TF-IDF, so a term ranks high
+    * when it is frequent in THIS cluster but rare corpus-wide. The
+    * "what do my clusters mean" step after q204's text clustering /
+    * q178's topics. Exact skeleton: tf and f_t are integer counts from
+    * two aggregations of one tokenization; the ln factor quantizes
+    * ONCE to ppb (the LLR rule), score = tf · idf_ppb in Decimal;
+    * per-cluster top-k via a (score DESC, term ASC) rank window
+    * partitioned by cluster. Returns
+    * (cluster, term, tf, idf_ppb, rank). */
+  def clusterTerms(docs: DataFrame, clusterCol: Column, textCol: Column,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tok = docs.where(textCol.isNotNull && clusterCol.isNotNull)
+      .select(clusterCol.as("_c"),
+        explode(graft.functions.TextFunctions.tokens(textCol)).as("_w"))
+    val tf = tok.groupBy("_c", "_w").agg(count(lit(1)).as("_tf"))
+    val ft = tf.groupBy("_w").agg(sum("_tf").as("_ft"))
+    val totals = tf.agg(sum("_tf").as("_T"),
+      countDistinct("_c").as("_K"))
+    val scored = tf.join(ft, "_w").crossJoin(broadcast(totals))
+      .withColumn("_idf_ppb", round(log(lit(1.0) +
+        (col("_T").cast("double") / col("_K").cast("double")) /
+          col("_ft").cast("double")) * 1e9).cast("long"))
+      .withColumn("_score",
+        col("_tf").cast("decimal(38,0)") *
+          col("_idf_ppb").cast("decimal(38,0)"))
+    val w = Window.partitionBy(col("_c"))
+      .orderBy(col("_score").desc, col("_w").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("_c").as("cluster"), col("_w").as("term"),
+        col("_tf").as("tf"), col("_idf_ppb").as("idf_ppb"), col("rank"))
+  }
 }

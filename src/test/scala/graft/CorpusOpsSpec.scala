@@ -482,6 +482,36 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("scriptCounts: hand-mixed string, disjoint classes sum to n, null text zeros") {
+    val r = Seq(Tuple1("Ab1 Пр 你 γ ع!")).toDF("t")
+      .select(TextFunctions.scriptCounts(col("t")).as("s"))
+      .select("s.*").head
+    val Seq(latin, digit, cyr, greek, arabic, cjk, space, other, n) =
+      (0 until 9).map(r.getLong)
+    assert(latin == 2L && digit == 1L && cyr == 2L && greek == 1L)
+    assert(arabic == 1L && cjk == 1L && space == 4L && other == 1L) // '!'
+    assert(n == 13L &&
+      latin + digit + cyr + greek + arabic + cjk + space + other == n)
+    val z = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(TextFunctions.scriptCounts(col("t")).as("s"))
+      .select("s.*").head
+    assert((0 until 9).forall(z.getLong(_) == 0L))
+  }
+
+  test("clusterTerms: cluster-exclusive term outranks shared boilerplate, topK caps") {
+    val docs = Seq(
+      ("a", "common words here zebra zebra zebra"),
+      ("a", "common words zebra"),
+      ("b", "common words here yak yak"),
+      ("b", "common words yak yak")).toDF("cl", "text")
+    val got = TextSearch.clusterTerms(docs, col("cl"), col("text"), 2)
+      .collect().map(r => (r.getString(0), r.getInt(4)) -> r.getString(1))
+      .toMap
+    // the exclusive heavy term wins each cluster; boilerplate ranks lower
+    assert(got(("a", 1)) == "zebra" && got(("b", 1)) == "yak")
+    assert(got.size == 4) // topK = 2 per cluster, nothing more
+  }
+
   test("snapshotDiff: all four statuses, duplicate-id rejection") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "ct")
     val newDf = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "ct")
