@@ -3521,6 +3521,19 @@ object SparkEntry {
         col("rank").cast("long").as("rank"))
       .orderBy("cluster", "rank")
 
+  // Per-row robust z by group (GroupOps.robustZ): (v - median) /
+  // (1.4826 MAD), exact-integer med2/mad2 skeleton — outlier scoring a
+  // heavy tail cannot corrupt; scores computed over FULL groups, the
+  // gate projects a key subset.
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    GroupOps.robustZ(t(s, dir, "orders")
+          .withColumn("prio", substring(col("o_orderpriority"), 1, 1)),
+        Seq("prio"), "o_orderkey", floor(col("o_totalprice")))
+      .where(col("o_orderkey") % 101 === 0)
+      .select(col("prio"), col("o_orderkey"), col("v"), col("med2"),
+        col("mad2"), round(col("z"), 6).as("z_r"))
+      .orderBy("o_orderkey")
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4125,7 +4138,8 @@ object SparkEntry {
     "q263_gap_fill" -> (q263 _),
     "q264_ewma" -> (q264 _),
     "q265_script_counts" -> (q265 _),
-    "q266_cluster_terms" -> (q266 _))
+    "q266_cluster_terms" -> (q266 _),
+    "q267_robust_z" -> (q267 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10156,7 +10170,39 @@ object SparkEntry {
            FROM sc)
          SELECT c AS cluster, w AS term, CAST(tf AS BIGINT) AS tf,
            idf_ppb, CAST(rk AS BIGINT) AS rank
-         FROM rk WHERE rk <= 5 ORDER BY cluster, rank"""
+         FROM rk WHERE rk <= 5 ORDER BY cluster, rank""",
+
+    // q267: the doubled-median trick twice (med2 then mad2 over exact
+    // integer deviations), one float chain per row.
+    "q267_robust_z" ->
+      """WITH base AS (SELECT substr(o_orderpriority, 1, 1) AS prio,
+             o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS v
+           FROM orders),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY prio
+               ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY prio) AS cnt FROM base),
+         med AS (SELECT prio,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE 0 END)
+               + sum(CASE WHEN rn = cnt // 2 + 1 THEN v ELSE 0 END)
+               AS BIGINT) AS med2
+           FROM r1 GROUP BY prio),
+         d AS (SELECT base.prio, o_orderkey, v, med2,
+             abs(2 * v - med2) AS dev
+           FROM base JOIN med USING (prio)),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY prio
+               ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY prio) AS cnt FROM d),
+         mad AS (SELECT prio,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev ELSE 0 END)
+               + sum(CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END)
+               AS BIGINT) AS mad2
+           FROM r2 GROUP BY prio)
+         SELECT d.prio, o_orderkey, v, med2, mad2,
+           CASE WHEN mad2 > 0 THEN
+             round(2.0 * CAST(2 * v - med2 AS DOUBLE)
+               / (1.4826 * CAST(mad2 AS DOUBLE)), 6) END AS z_r
+         FROM d JOIN mad USING (prio)
+         WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -618,4 +618,46 @@ object GroupOps {
       sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
   }
+
+  /** Per-row robust z-score by group — (v − median)/(1.4826·MAD), the
+    * outlier scale that a heavy tail cannot corrupt (mean/std blow up
+    * with the whale; median/MAD don't). Kept EXACTLY integral until
+    * the last division by doubling twice: med2 = lower+upper middle of
+    * v (so 2·median), dev = |2v − med2| (= 2|v − median|, integer),
+    * mad2 = lower+upper middle of dev (= 4·MAD, integer); then
+    * z = 2·(2v − med2)/(1.4826·mad2) is ONE float chain per row.
+    * mad2 = 0 (a majority-constant group) → null z, the
+    * robustAnomalies convention. Two group-partitioned rank windows,
+    * never global. Returns every input row +
+    * (v, med2, mad2, z). */
+  def robustZ(df: DataFrame, groupCols: Seq[String], idCol: String,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) :+ col(idCol) :+
+        value.cast("long").as("v"): _*)
+      .where(col("v").isNotNull)
+    def doubledMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(c))
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = in.withColumn("_rn", row_number().over(w))
+        .withColumn("_cnt", count(lit(1)).over(wAll))
+      // Column./ on longs is DOUBLE division — floor'd (the olsDummy rule)
+      val lo = floor((col("_cnt") + 1L) / 2L).cast("long")
+      val hi = floor(col("_cnt") / 2L).cast("long") + 1L
+      ranked.groupBy(groupCols.map(col): _*).agg(
+        (coalesce(sum(when(col("_rn") === lo, col(c))), lit(0L)) +
+          coalesce(sum(when(col("_rn") === hi, col(c))), lit(0L)))
+          .as(out))
+    }
+    val med = doubledMedian(base, "v", "med2")
+    val withDev = base.join(med, groupCols)
+      .withColumn("dev", abs(lit(2L) * col("v") - col("med2")))
+    val mad = doubledMedian(withDev, "dev", "mad2")
+    withDev.join(mad, groupCols)
+      .withColumn("z", when(col("mad2") > 0L,
+        lit(2.0) * (lit(2L) * col("v") - col("med2")).cast("double") /
+          (lit(1.4826) * col("mad2").cast("double"))))
+      .drop("dev")
+  }
 }

@@ -512,6 +512,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(got.size == 4) // topK = 2 per cluster, nothing more
   }
 
+  test("robustZ: hand med/MAD, whale immune, constant-majority null, group isolation") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 100L), ("h", 5L, 7L), ("h", 6L, 7L), ("h", 7L, 9L))
+      .toDF("c", "id", "x")
+    val got = GroupOps.robustZ(df, Seq("c"), "id", col("x"))
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(3), r.getLong(4), if (r.isNullAt(5)) Double.NaN
+         else r.getDouble(5))).toMap
+    // g: sorted 1,2,3,100 -> med2 = 5; dev = 3,1,1,195 -> mad2 = 1+3 = 4
+    assert(got(1L)._1 == 5L && got(1L)._2 == 4L)
+    assert(math.abs(got(4L)._3 - 2.0 * 195.0 / (1.4826 * 4.0)) < 1e-9)
+    assert(math.abs(got(1L)._3 - 2.0 * -3.0 / (1.4826 * 4.0)) < 1e-9)
+    // the whale barely moves the scale: z of ordinary rows stays O(1)
+    assert(math.abs(got(2L)._3) < 1.0)
+    // h: majority at 7 -> med2 = 14, dev = 0,0,4 -> mad2 = 0 -> null z
+    assert(got(5L)._2 == 0L && got(5L)._3.isNaN)
+  }
+
   test("snapshotDiff: all four statuses, duplicate-id rejection") {
     val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "ct")
     val newDf = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "ct")
