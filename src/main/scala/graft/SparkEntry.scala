@@ -3534,6 +3534,17 @@ object SparkEntry {
         col("mad2"), round(col("z"), 6).as("z_r"))
       .orderBy("o_orderkey")
 
+  // Lagged cross-correlation (Evaluate.crossCorrelation): does daily
+  // event VALUE lead daily event COUNT per type — Pearson r at lags
+  // -3..3 over the zero-filled day grid, exact integer sufficient
+  // statistics off quantized per-bucket sums.
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    Evaluate.crossCorrelation(events(s, dir), Seq("event_type"),
+        expr("ts div 86400000000000"), col("value"), lit(1.0), maxLag = 3)
+      .select(col("event_type"), col("lag"), col("n"),
+        round(col("r"), 6).as("r_r"))
+      .orderBy("event_type", "lag")
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4139,7 +4150,8 @@ object SparkEntry {
     "q264_ewma" -> (q264 _),
     "q265_script_counts" -> (q265 _),
     "q266_cluster_terms" -> (q266 _),
-    "q267_robust_z" -> (q267 _))
+    "q267_robust_z" -> (q267 _),
+    "q268_cross_correlation" -> (q268 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10202,7 +10214,50 @@ object SparkEntry {
              round(2.0 * CAST(2 * v - med2 AS DOUBLE)
                / (1.4826 * CAST(mad2 AS DOUBLE)), 6) END AS z_r
          FROM d JOIN mad USING (prio)
-         WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey"""
+         WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""",
+
+    // q268: grid self-join shifted per lag, exact HUGEINT sufficient
+    // statistics over x1000-quantized per-bucket sums, one r chain.
+    "q268_cross_correlation" ->
+      """WITH obs AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b,
+             CAST(round(sum(value) * 1e3) AS BIGINT) AS xi,
+             CAST(round(sum(1.0) * 1e3) AS BIGINT) AS yi
+           FROM events GROUP BY g, b),
+         span AS (SELECT g, min(b) AS b0, max(b) AS b1 FROM obs
+           GROUP BY g),
+         g0 AS (SELECT span.g, u.i AS b
+           FROM span, unnest(range(b0, b1 + 1)) AS u(i)),
+         grid AS (SELECT g0.g, g0.b,
+             coalesce(obs.xi, 0) AS xi, coalesce(obs.yi, 0) AS yi
+           FROM g0 LEFT JOIN obs ON obs.g = g0.g AND obs.b = g0.b),
+         lags AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1),
+           (2), (3)) t(lag)),
+         pairs AS (SELECT a.g, lags.lag,
+             a.xi AS xi, c.yi AS yi
+           FROM grid a CROSS JOIN lags
+           JOIN grid c ON c.g = a.g AND c.b = a.b + lags.lag),
+         st AS (SELECT g, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(xi AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(yi AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(yi AS HUGEINT) * yi) AS HUGEINT) AS syy,
+             CAST(sum(CAST(xi AS HUGEINT) * yi) AS HUGEINT) AS sxy
+           FROM pairs GROUP BY g, lag)
+         SELECT g AS event_type, CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0 THEN
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             END AS r_r
+         FROM st ORDER BY event_type, lag"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

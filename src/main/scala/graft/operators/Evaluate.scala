@@ -2248,6 +2248,70 @@ object Evaluate {
       round(col("_r.s") * 1e6).cast("long").as("ewma_ppm"): _*)
   }
 
+  /** Lagged cross-correlation between two bucketed signals per group —
+    * "does x LEAD y by k buckets" (do clicks lead purchases by two
+    * days; does crawl volume lead dedup load), the cross-signal
+    * extension of [[autocorrelation]]: for every lag in [−maxLag,
+    * maxLag], Pearson r between x_b and y_{b+lag} over the overlapping
+    * buckets of the zero-filled dense grid. Per-bucket sums quantized
+    * to 1e-3 and kept as ×1000 INTEGERS (the q264 rule, then exact),
+    * so all five sufficient statistics per (group, lag) are exact
+    * Decimal sums off ONE self-join of the grid shifted by the
+    * exploded lag column; r is one float chain. Degenerate (constant
+    * either side or n < 2) lags → null r. Returns
+    * (groupCols..., lag, n, r). */
+  def crossCorrelation(df: DataFrame, groupCols: Seq[String],
+      bucket: Column, x: Column, y: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val obs0 = df.select(groupCols.map(col) :+
+        bucket.cast("long").as("_b") :+ x.cast("double").as("_x") :+
+        y.cast("double").as("_y"): _*)
+      .where(col("_b").isNotNull)
+    val obs = obs0.groupBy(groupCols.map(col) :+ col("_b"): _*)
+      .agg(round(sum(coalesce(col("_x"), lit(0.0))) * 1e3).cast("long")
+          .as("_xi"),
+        round(sum(coalesce(col("_y"), lit(0.0))) * 1e3).cast("long")
+          .as("_yi"))
+    val span = obs.groupBy(groupCols.map(col): _*)
+      .agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      .withColumn("_b0",
+        when(col("_b1") - col("_b0") < 10000000L, col("_b0"))
+          .otherwise(raise_error(concat(lit(
+            "bucket span too wide for a dense grid: "),
+            (col("_b1") - col("_b0")).cast("string")))))
+    val grid = span.select(groupCols.map(col) :+
+        explode(sequence(col("_b0"), col("_b1"))).as("_b"): _*)
+      .join(obs, groupCols :+ "_b", "left")
+      .withColumn("_xi", coalesce(col("_xi"), lit(0L)))
+      .withColumn("_yi", coalesce(col("_yi"), lit(0L)))
+    val lags = (-maxLag to maxLag).map(_.toLong)
+    val left = grid.select(groupCols.map(col) :+ col("_b") :+
+        col("_xi"): _*)
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("_b2", col("_b") + col("lag"))
+    val right = grid.select((groupCols.map(col) :+ col("_b").as("_b2") :+
+      col("_yi")): _*)
+    def d(c: Column) = c.cast("decimal(38,0)")
+    val stats = left.join(right, groupCols :+ "_b2")
+      .groupBy(groupCols.map(col) :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(d(col("_xi"))), d(lit(0L))).as("_sx"),
+        coalesce(sum(d(col("_yi"))), d(lit(0L))).as("_sy"),
+        coalesce(sum(d(col("_xi")) * d(col("_xi"))), d(lit(0L))).as("_sxx"),
+        coalesce(sum(d(col("_yi")) * d(col("_yi"))), d(lit(0L))).as("_syy"),
+        coalesce(sum(d(col("_xi")) * d(col("_yi"))), d(lit(0L))).as("_sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("_sxy").cast("double") -
+      col("_sx").cast("double") * col("_sy").cast("double")
+    val vx = nD * col("_sxx").cast("double") -
+      col("_sx").cast("double") * col("_sx").cast("double")
+    val vy = nD * col("_syy").cast("double") -
+      col("_sy").cast("double") * col("_sy").cast("double")
+    stats.withColumn("r",
+        when(col("n") >= 2L && vx > 0.0 && vy > 0.0, num / sqrt(vx * vy)))
+      .select(groupCols.map(col) :+ col("lag") :+ col("n") :+ col("r"): _*)
+  }
+
   /** Kendall's τ-b + Somers' D — ordinal↔ordinal association with full
     * tie correction ("does the quality tier track the curation tier";
     * the rank-correlation complement to [[spearmanExact]], and the

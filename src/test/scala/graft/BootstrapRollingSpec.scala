@@ -200,4 +200,28 @@ class BootstrapRollingSpec extends SparkSuite {
       .toMap
     assert(got7 == got)
   }
+
+  test("crossCorrelation: shifted signal peaks at its lag, antisymmetric swap, constant null") {
+    // y is x delayed by one bucket -> perfect r at lag +1, weaker at 0
+    val df = Seq((1L, 1.0, 0.0), (2L, 5.0, 1.0), (3L, 2.0, 5.0),
+      (4L, 7.0, 2.0)).map { case (b, x, y) => ("g", b, x, y) }
+      .toDF("g", "b", "x", "y")
+    val r = Evaluate.crossCorrelation(df, Seq("g"), col("b"), col("x"),
+        col("y"), maxLag = 2)
+      .collect().map(x => x.getLong(1) -> (x.getLong(2),
+        if (x.isNullAt(3)) Double.NaN else x.getDouble(3))).toMap
+    assert(r.size == 5 && r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2 - 1.0) < 1e-12)
+    assert(r(0L)._2 < 0.9)
+    // swapping the signals mirrors the lag axis
+    val sw = Evaluate.crossCorrelation(df, Seq("g"), col("b"), col("y"),
+        col("x"), maxLag = 2)
+      .collect().map(x => x.getLong(1) ->
+        (if (x.isNullAt(3)) Double.NaN else x.getDouble(3))).toMap
+    assert(math.abs(sw(-1L) - r(1L)._2) < 1e-12)
+    // constant y: zero variance -> null r at every lag
+    val const = Evaluate.crossCorrelation(df, Seq("g"), col("b"),
+      col("x"), lit(3.0), maxLag = 1)
+    assert(const.collect().forall(_.isNullAt(3)))
+  }
 }
