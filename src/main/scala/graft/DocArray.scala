@@ -510,6 +510,28 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def snapshotDiff(previous: DocArray, contentCol: Column): DataFrame =
     Dedup.snapshotDiff(previous.df, df, idCol, contentCol)
 
+  /** Unicode script composition of every document's text — the
+    * mixed-script / declared-language-disagrees filter signal. */
+  def scriptComposition(textCol: String = "text"): DataFrame =
+    df.withColumn("scripts",
+      graft.functions.TextFunctions.scriptCounts(col(textCol)))
+
+  /** Top terms per cluster by c-TF-IDF — label what each cluster of
+    * documents is ABOUT (the BERTopic topic-word step). */
+  def clusterTerms(cluster: Column, topK: Int,
+      textCol: String = "text"): DataFrame =
+    TextSearch.clusterTerms(df, cluster, col(textCol), topK)
+
+  /** Per-document robust outlier score of `value` within `groupCols`
+    * — (v − median)/(1.4826·MAD), heavy-tail safe. */
+  def robustScores(groupCols: Seq[String], value: Column): DataFrame =
+    GroupOps.robustZ(df, groupCols, idCol, value)
+
+  /** Pre-promotion data-contract report: named row rules (NULL =
+    * violation) in one pass. */
+  def expect(rules: (String, Column)*): DataFrame =
+    Quality.expectRows(df, rules)
+
   /** PSI drift of a [0,1] score distribution vs another array
     * (per-bin ppb contributions; total = Σ psi_ppb / 1e9). */
   def driftPsi(other: DocArray, score: Column,

@@ -293,4 +293,28 @@ class DocArraySpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(statuses.contains("added") && statuses.contains("unchanged"))
   }
+
+  test("scriptComposition / clusterTerms / robustScores / expect facades") {
+    val docs = DocArray(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumnRenamed("doc_id", "id"))
+
+    val sc = docs.scriptComposition()
+    assert(sc.columns.contains("scripts") &&
+      sc.where(col("scripts.n") > 0).count() > 0)
+
+    val ct = docs.clusterTerms(col("source"), topK = 3)
+    assert(ct.columns.toSeq ==
+      Seq("cluster", "term", "tf", "idf_ppb", "rank"))
+    assert(ct.groupBy("cluster").count().collect().forall(_.getLong(1) <= 3))
+
+    val rz = docs.robustScores(Seq("lang"), col("n_chars"))
+    assert(rz.columns.contains("z") && rz.count() > 0)
+
+    val ex = docs.expect(
+      "has_text" -> col("text").isNotNull,
+      "len_sane" -> (col("n_chars") < 100000L))
+    assert(ex.count() == 2 &&
+      ex.where(col("rule") === "len_sane").head.getLong(2) == 0L)
+  }
 }
