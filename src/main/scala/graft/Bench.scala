@@ -192,46 +192,11 @@ object Bench {
     // excluded from the total, skippable once the budget is spent.
     // =====================================================================
 
-    // Large-Q regime: 10k queries can't sensibly ride one broadcast-kernel
-    // block (80 heaps/MB per partition is fine, but the regime under test
-    // is the block loop) — 8 blocks over a cached doc projection, source
-    // parquet scanned ONCE (the round-3 shape re-scanned it per block;
-    // KnnSpec asserts the single-scan behavior via FS byte counters).
-    Bench.benchDocs(spark, 100000L, 128)
-      .write.mode("overwrite").option("compression", "none")
-      .parquet(s"$tmp/docs100k")
-    val stored100k = spark.read.parquet(s"$tmp/docs100k")
-    val queries10k = benchDocs(spark, 10000L, 128)
-    // x_ prefix: scale-validation row, excluded from the cross-round total
-    // runs=2: a one-off 30 s outlier (vs 7.3/7.6 s isolated min-of-2,
-    // re-measured round 4) showed these long rows need the same
-    // min-of-N insurance knn_batch100 got
-    bench("x_knn_largeq_10k", runs = 2) {
-      Knn.bruteForceLargeQ(stored100k, queries10k, 10, nBlocks = 8).count()
-    }
-    // same regime through the ANN path (search only — build cost is its
-    // own row at 1M and amortizes over every query batch): one blocked
-    // pass over the probed cells takes the whole 10k query set (heaps for
-    // all 10k queries ride one broadcast, 10k × 128 doubles ≈ 10 MB).
-    // MEASURED HONESTY (r4): at 100k docs this row ≈ the exact loop
-    // (9.2 s vs 8.6 s) — the per-(row, probing-query) subset indirection
-    // costs about what the 1/8 nominal scan saves, and the real scan
-    // fraction on this clusterless corpus is ~0.5 anyway. The IVF win at
-    // this kernel's scale is the 1M-row regime (ann_ivf_search100 0.83 s
-    // vs knn_blocked_100 ~1.1 s) and, above all, pruned I/O once the
-    // corpus doesn't fit a single pass. Tracked, not celebrated.
-    if (overBudget) skip("x_knn_largeq_ivf_10k")
-    else locally {
-      val idx100k0 = Ann.ivfBuild(stored100k, "id", "embedding",
-        nCells = 256, maxIter = 8, center = true)
-      val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
-      idx100k.assigned.count()
-      bench("x_knn_largeq_ivf_10k", runs = 2) {
-        Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
-      }
-      idx100k.assigned.unpersist()
-    }
-    spark.catalog.clearCache()
+    // The ANN block leads the tail (round 6): ann_ivf_build_1m is the
+    // longest contract-gated row (≤ 55 s), and the first minutes after
+    // the headline queries are the quietest JVM/host window — round 5
+    // measured 55.148 s with the build behind ~45 s of large-Q work on a
+    // noisy host vs 26.6 s quiet. The large-Q block moved after it.
 
     // ANN (the 100 TB path): MEAN-CENTERED spherical-k-means IVF. This
     // corpus (uniform all-positive 1M×128) is the hardest case for
@@ -374,6 +339,47 @@ object Bench {
       }
       idx.assigned.unpersist()
     }
+
+    // Large-Q regime: 10k queries can't sensibly ride one broadcast-kernel
+    // block (80 heaps/MB per partition is fine, but the regime under test
+    // is the block loop) — 8 blocks over a cached doc projection, source
+    // parquet scanned ONCE (the round-3 shape re-scanned it per block;
+    // KnnSpec asserts the single-scan behavior via FS byte counters).
+    Bench.benchDocs(spark, 100000L, 128)
+      .write.mode("overwrite").option("compression", "none")
+      .parquet(s"$tmp/docs100k")
+    val stored100k = spark.read.parquet(s"$tmp/docs100k")
+    val queries10k = benchDocs(spark, 10000L, 128)
+    // x_ prefix: scale-validation row, excluded from the cross-round total
+    // runs=2: a one-off 30 s outlier (vs 7.3/7.6 s isolated min-of-2,
+    // re-measured round 4) showed these long rows need the same
+    // min-of-N insurance knn_batch100 got
+    bench("x_knn_largeq_10k", runs = 2) {
+      Knn.bruteForceLargeQ(stored100k, queries10k, 10, nBlocks = 8).count()
+    }
+    // same regime through the ANN path (search only — build cost is its
+    // own row at 1M and amortizes over every query batch): one blocked
+    // pass over the probed cells takes the whole 10k query set (heaps for
+    // all 10k queries ride one broadcast, 10k × 128 doubles ≈ 10 MB).
+    // MEASURED HONESTY (r4): at 100k docs this row ≈ the exact loop
+    // (9.2 s vs 8.6 s) — the per-(row, probing-query) subset indirection
+    // costs about what the 1/8 nominal scan saves, and the real scan
+    // fraction on this clusterless corpus is ~0.5 anyway. The IVF win at
+    // this kernel's scale is the 1M-row regime (ann_ivf_search100 0.83 s
+    // vs knn_blocked_100 ~1.1 s) and, above all, pruned I/O once the
+    // corpus doesn't fit a single pass. Tracked, not celebrated.
+    if (overBudget) skip("x_knn_largeq_ivf_10k")
+    else locally {
+      val idx100k0 = Ann.ivfBuild(stored100k, "id", "embedding",
+        nCells = 256, maxIter = 8, center = true)
+      val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
+      idx100k.assigned.count()
+      bench("x_knn_largeq_ivf_10k", runs = 2) {
+        Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
+      }
+      idx100k.assigned.unpersist()
+    }
+    spark.catalog.clearCache()
 
     // Scale validation of the join-based text→tensor path (round 3: the
     // driver-side vocab collect was removed — prove the replacement holds

@@ -498,11 +498,16 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     Evaluate.mutualInfo(df, x, y)
 
   /** k nearest other-array points within `radiusKm` great-circle km of
-    * each of this array's (lat, lon) points — the geo `find`. */
+    * each of this array's (lat, lon) points — the geo `find`.
+    * `otherLatCol`/`otherLonCol` name the right side's coordinate
+    * columns when they differ from this array's (default: same names). */
   def geoNearest(other: DocArray, latCol: String, lonCol: String,
-      radiusKm: Double, k: Int): DataFrame =
+      radiusKm: Double, k: Int,
+      otherLatCol: String = null, otherLonCol: String = null): DataFrame =
     Geo.nearestWithin(df, other.df, idCol, latCol, lonCol,
-      other.idCol, latCol, lonCol, radiusKm, k)
+      other.idCol,
+      Option(otherLatCol).getOrElse(latCol),
+      Option(otherLonCol).getOrElse(lonCol), radiusKm, k)
 
   /** What did the corpus refresh actually do — per-id
     * added/removed/changed/unchanged vs a previous snapshot, by

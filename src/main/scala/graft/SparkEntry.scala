@@ -161,9 +161,9 @@ object SparkEntry {
 
   // maxDocFreq=30 drops hot shingles BEFORE the inverted-index self-join —
   // the skew guard that keeps posting lists subquadratic at scale (here it
-  // prunes ~55% of join volume). Capping lower-bounds the scored jaccard
-  // (hot shingles leave the intersection but not the set sizes); the
-  // oracle replicates that exactly.
+  // prunes ~55% of join volume). The valve filters postings AND set sizes,
+  // so jaccard is exact on the hot-filtered shingle universe; the oracle
+  // replicates that exactly (sizes from the filtered postings).
   private def q10(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       threshold = 0.2, ngram = 2, maxDocFreq = 30L)
@@ -953,9 +953,8 @@ object SparkEntry {
     TextSearch.hybridRrf(t(s, dir, "documents"), "doc_id", "text",
         emb, "vec_id", "embedding", "spark table merge", qv,
         k = 20, depth = 50)
-      .select(col("doc_id"), col("rank_text"), col("rank_vec"),
-        round(col("rrf"), 6).as("rrf_r"))
-      .orderBy(col("rrf_r").desc, col("doc_id"))
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"))
+      .orderBy("doc_id")
   }
 
   // Duplicated-span coverage (Lee et al. substring-dedup signal): fraction
@@ -1694,7 +1693,7 @@ object SparkEntry {
     Sketch.hllDistinctStrings(toks.unionByName(bi), Seq("source"), col("w"),
         p = 8)
       .select(col("source"), col("n_reg"), col("reg_sum"), col("reg_wsum"),
-        col("n_zero"), round(col("est_hll"), 6).as("est_hll_r"))
+        col("n_zero"))
       .orderBy("source")
   }
 
@@ -1744,8 +1743,7 @@ object SparkEntry {
     val r = Ann.kmeansLloyd(emb, "vec_id", "embedding", k = 4, iters = 2,
       initCell = pmod(col("vec_id"), lit(4)))
     Ann.silhouetteByCluster(emb, "embedding", r.centroids)
-      .select(col("cell"), col("n"), col("sil_ppm_sum"),
-        round(col("mean_sil"), 6).as("mean_sil_r"))
+      .select(col("cell"), col("n"), col("sil_ppm_sum"))
       .orderBy("cell")
   }
 
@@ -1767,8 +1765,7 @@ object SparkEntry {
         TextFunctions.tokens(col("_ref")), maxN = 4)
       .select(col("doc_id"), col("c_len"), col("r_len"),
         col("match_1"), col("match_2"), col("match_3"), col("match_4"),
-        col("total_1"), col("total_2"), col("total_3"), col("total_4"),
-        round(col("bleu"), 6).as("bleu_r"))
+        col("total_1"), col("total_2"), col("total_3"), col("total_4"))
       .orderBy("doc_id")
   }
 
@@ -1788,10 +1785,7 @@ object SparkEntry {
       .where(col("_ref").isNotNull)
     Evaluate.rougeL(pairs, "doc_id", TextFunctions.tokens(col("_cand")),
         TextFunctions.tokens(col("_ref")))
-      .select(col("doc_id"), col("c_len"), col("r_len"), col("lcs"),
-        round(col("rouge_p"), 6).as("rouge_p_r"),
-        round(col("rouge_r"), 6).as("rouge_r_r"),
-        round(col("rouge_f"), 6).as("rouge_f_r"))
+      .select(col("doc_id"), col("c_len"), col("r_len"), col("lcs"))
       .orderBy("doc_id")
   }
 
@@ -1805,8 +1799,7 @@ object SparkEntry {
     LangModel.jsDivergencePairs(t(s, dir, "documents"), "source",
         col("text"))
       .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
-        col("ca_shared"), col("cb_shared"), col("t_ppb_sum"),
-        round(col("js"), 6).as("js_r"))
+        col("ca_shared"), col("cb_shared"), col("t_ppb_sum"))
       .orderBy("ga", "gb")
 
   // Integer fixed-point PageRank (Graph.pageRankPpb) over the bidirected
@@ -1851,9 +1844,7 @@ object SparkEntry {
     Evaluate.calibrationBins(t(s, dir, "documents"),
         TextFunctions.qualityScore(col("text")), col("lang") === "en",
         nBins = 10)
-      .select(col("bin"), col("n"), col("n_pos"), col("score_ppm_sum"),
-        round(col("mean_score"), 6).as("mean_score_r"),
-        round(col("frac_pos"), 6).as("frac_pos_r"))
+      .select(col("bin"), col("n"), col("n_pos"), col("score_ppm_sum"))
       .orderBy("bin")
 
   // Exact vector pooling (GroupOps.poolVectors): chunk→doc embedding
@@ -1881,7 +1872,7 @@ object SparkEntry {
         e.where(col("vec_id") >= 440), k = 4,
         aId = "vec_id", bId = "vec_id")
       .select(col("a_id"), col("b_id"), col("c_ppb"), col("s_a"),
-        col("s_b"), round(col("margin"), 6).as("margin_r"))
+        col("s_b"))
       .orderBy("a_id")
   }
 
@@ -1893,8 +1884,7 @@ object SparkEntry {
   private def q129(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventStream.decayedCounts(events(s, dir),
         Seq("event_type"), col("ts"), halfLifeNs = 86400000000000L)
-      .select(col("event_type"), col("n"), col("w_ppb_sum"),
-        round(col("decayed"), 6).as("decayed_r"))
+      .select(col("event_type"), col("n"), col("w_ppb_sum"))
       .orderBy("event_type")
 
   // Per-doc token entropy (Quality.tokenEntropy): the gibberish /
@@ -1904,7 +1894,7 @@ object SparkEntry {
   private def q130(s: SparkSession, dir: String): DataFrame =
     Quality.tokenEntropy(t(s, dir, "documents"), "doc_id", col("text"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        col("h_ppb_sum"), round(col("entropy"), 6).as("entropy_r"))
+        col("h_ppb_sum"))
       .orderBy("doc_id")
 
   // Exact two-sample KS (Evaluate.ksTest2): length-distribution drift
@@ -1917,8 +1907,7 @@ object SparkEntry {
     Evaluate.ksTest2(
         d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
         length(col("text")))
-      .select(col("n1"), col("n2"), col("d_num"), col("at_v"),
-        round(col("d"), 6).as("d_r"))
+      .select(col("n1"), col("n2"), col("d_num"), col("at_v"))
   }
 
   // Exact Spearman (Evaluate.spearmanExact): does the q21 quality score
@@ -1930,7 +1919,7 @@ object SparkEntry {
     Evaluate.spearmanExact(t(s, dir, "documents"),
         TextFunctions.qualityScore(col("text")), length(col("text")))
       .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
-        col("syy"), round(col("rho"), 6).as("rho_r"))
+        col("syy"))
 
   // Leakage-safe cluster split (Dedup.clusterSafeSplit): q53's near-dup
   // clusters + q91's splitmix ppm split keyed on cluster_id — every
@@ -2015,6 +2004,7 @@ object SparkEntry {
         "len" -> length(col("text")),
         "n_tokens" -> TextFunctions.tokenCount(col("text")),
         "quality" -> round(TextFunctions.qualityScore(col("text")), 6)))
+      .drop("corr_r")
       .orderBy("sig_i", "sig_j")
 
   // Zipf-law slope per source: five ppb-integer regression sums over the
@@ -2022,6 +2012,7 @@ object SparkEntry {
   // float chain on top — the corpus-health diagnostic
   private def q140(s: SparkSession, dir: String): DataFrame =
     LangModel.zipfFit(t(s, dir, "documents"), "source", col("text"))
+      .drop("zipf_slope_r")
       .orderBy("source")
 
   // whitened 2-D PCA projection: the q108 dyadic projection kernel
@@ -2093,8 +2084,7 @@ object SparkEntry {
   private def q143(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, ngram = 2, maxDocFreq = 30L)
-      .select(col("a"), col("b"), col("n_a"), col("shared"),
-        round(col("containment"), 6).as("containment_r"))
+      .select(col("a"), col("b"), col("n_a"), col("shared"))
       .orderBy("a", "b")
 
   // Luhn-validated card scrubbing: deterministic digit runs planted from
@@ -2131,7 +2121,7 @@ object SparkEntry {
     LangModel.termClassChi2(t(s, dir, "documents"), "doc_id",
         col("text"), col("lang") === "en")
       .select(col("term"), col("n11"), col("n10"), col("n01"), col("n00"),
-        col("admbc"), round(col("chi2"), 6).as("chi2_r"))
+        col("admbc"))
       .orderBy("term")
 
   // Isotonic calibration of the q21 quality score as an English-ness
@@ -2194,8 +2184,7 @@ object SparkEntry {
         d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
         col("n_chars"))
       .select(col("n1"), col("n2"),
-        col("w1_num").cast("long").as("w1_num"),
-        round(col("w1"), 6).as("w1_r"))
+        col("w1_num").cast("long").as("w1_num"))
   }
 
   // Strict-order funnel (Funnel.funnelUsers): view -> click -> purchase
@@ -2262,8 +2251,7 @@ object SparkEntry {
         ncf, alphaNum = 1, alphaDen = 10)
       .select(col("n_cal"), col("r"),
         coalesce(col("thr"), lit(-1L)).as("thr"),
-        col("n_eval"), col("n_covered"),
-        round(col("coverage"), 6).as("coverage_r"))
+        col("n_eval"), col("n_covered"))
   }
 
   // Personalized PageRank (Graph.personalizedPageRankPpb): teleport
@@ -2304,8 +2292,7 @@ object SparkEntry {
         u.where(col("user_id") % 2 === 0),
         u.where(col("user_id") % 2 =!= 0),
         col("conv"))
-      .select(col("n1"), col("k1"), col("n2"), col("k2"),
-        round(col("z"), 6).as("z_r"))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"))
   }
 
   // CUSUM changepoint per event type over the DENSE daily count grid
@@ -2316,7 +2303,7 @@ object SparkEntry {
     Evaluate.cusumChangepoint(events(s, dir), Seq("event_type"),
         expr("ts div 86400000000000"))
       .select(col("event_type"), col("t_buckets"), col("total"),
-        col("best_bucket"), col("d_num"), round(col("d"), 6).as("d_r"))
+        col("best_bucket"), col("d_num"))
       .orderBy("event_type")
 
   // HITS hubs/authorities (Graph.hitsPpm): two iterations over the
@@ -2361,9 +2348,7 @@ object SparkEntry {
           col("l_suppkey").as("item")),
         "basket", "item", minSupport = 3L)
       .select(col("a"), col("b"), col("support"), col("cnt_a"),
-        col("cnt_b"), col("n_baskets"),
-        round(col("conf_ab"), 6).as("conf_r"),
-        round(col("lift"), 6).as("lift_r"))
+        col("cnt_b"), col("n_baskets"))
       .orderBy("a", "b")
 
   // Corpus concentration (GroupOps.concentration): Gini + HHI of the
@@ -2375,7 +2360,7 @@ object SparkEntry {
           size(TextFunctions.tokens(col("text"))).as("ntok")),
         col("source"), col("ntok"))
       .select(col("n_groups"), col("total"), col("gini_num"),
-        round(col("gini"), 6).as("gini_r"), round(col("hhi"), 6).as("hhi_r"))
+        round(col("hhi"), 6).as("hhi_r"))
 
   // DTW similarity matrix between event types' daily-volume curves
   // (native dtw_distance kernel): zero-filled aligned day series, all
@@ -2498,7 +2483,6 @@ object SparkEntry {
     Evaluate.jackknifeMean(t(s, dir, "orders"),
         round(col("o_totalprice") * 100), pmod(col("o_orderkey"), lit(32)))
       .select(col("n"), col("s"), col("b_used"),
-        round(col("mean"), 6).as("mean_r"),
         round(col("m_dot"), 6).as("m_dot_r"),
         round(col("se_jack"), 6).as("se_r"))
 
@@ -2643,7 +2627,7 @@ object SparkEntry {
       .select(col("event_type"), col("lag"),
         col("num_t2").cast("long").as("num_t2"),
         col("den_t2").cast("long").as("den_t2"),
-        col("t_buckets"), col("total"), round(col("acf"), 6).as("acf_r"))
+        col("t_buckets"), col("total"))
       .orderBy("event_type", "lag")
 
   // Reciprocal kNN pairs (Knn.mutualPairsFromHits): both directions of
@@ -2842,7 +2826,6 @@ object SparkEntry {
     Evaluate.olsTrend(events(s, dir), Seq("event_type"),
         expr("ts div 86400000000000"))
       .select(col("event_type"), col("n"), col("num"), col("den"),
-        round(col("slope"), 6).as("slope_r"),
         round(col("intercept"), 6).as("intercept_r"))
       .orderBy("event_type")
 
@@ -2864,9 +2847,7 @@ object SparkEntry {
       .select(col("doc_id"),
         col("f.n_words").cast("long").as("n_words"),
         col("f.n_sent").cast("long").as("n_sent"),
-        col("f.n_syll").cast("long").as("n_syll"),
-        round(TextFunctions.fleschScore(col("f.n_words"), col("f.n_sent"),
-          col("f.n_syll")), 6).as("flesch_r"))
+        col("f.n_syll").cast("long").as("n_syll"))
       .orderBy("doc_id")
 
   // Segmented trend: q157's gated CUSUM changepoint splits each type's
@@ -2888,8 +2869,7 @@ object SparkEntry {
     Evaluate.olsPoints(seg, Seq("event_type", "segment"), col("_day"),
         col("_cnt"))
       .select(col("event_type"), col("segment"), col("n"), col("num"),
-        col("den"), round(col("slope"), 6).as("slope_r"),
-        round(col("intercept"), 6).as("intercept_r"))
+        col("den"), round(col("intercept"), 6).as("intercept_r"))
       .orderBy("event_type", "segment")
   }
 
@@ -2898,8 +2878,7 @@ object SparkEntry {
   private def q209(s: SparkSession, dir: String): DataFrame =
     Evaluate.mannKendall(events(s, dir), Seq("event_type"),
         expr("ts div 86400000000000"))
-      .select(col("event_type"), col("n"), col("s"), col("var18"),
-        round(col("z"), 6).as("z_r"))
+      .select(col("event_type"), col("n"), col("s"), col("var18"))
       .orderBy("event_type")
 
   // Adamic–Adar link prediction (Graph.adamicAdar) over the bipartite
@@ -2933,8 +2912,7 @@ object SparkEntry {
     Evaluate.poissonBootstrap(t(s, dir, "documents"), col("doc_id"),
         round(TextFunctions.qualityScore(col("text")) * 1e6).cast("long"),
         reps = 32, seed = 0L)
-      .select(col("rep"), col("n_src"), col("n_eff"), col("wsum"),
-        round(col("mean"), 6).as("mean_r"))
+      .select(col("rep"), col("n_src"), col("n_eff"), col("wsum"))
       .orderBy("rep")
 
   // k-core peeling (Graph.kCore) over the q152 geometric graph: four
@@ -2964,7 +2942,7 @@ object SparkEntry {
     Evaluate.rollingCounts(events(s, dir), Seq("event_type"),
         expr("ts div 86400000000000"), window = 7)
       .select(col("event_type"), col("bucket"), col("cnt"), col("win_n"),
-        col("win_sum"), round(col("win_avg"), 6).as("win_avg_r"))
+        col("win_sum"))
       .orderBy("event_type", "bucket")
 
   // Forward as-of join with tolerance (AsOf.join direction="forward"):
@@ -2999,10 +2977,12 @@ object SparkEntry {
         "embedding", k = 4, iters = 2,
         initCell = pmod(col("vec_id"), lit(4)))
       .assigned.select(col("vec_id"), col("_cell").as("cell"))
+    // Gate only the exact integer sufficient statistics (m, within,
+    // Σd_c²) — q is a pure float function of them, and round(double, 6)
+    // diverges cross-engine below the double ulp (the q230 lesson).
     Graph.modularity(projPairGraph(s, dir, radius = 0.03), labels,
         "vec_id", "cell")
-      .select(col("m"), col("within"), col("sum_dc2"),
-        round(col("q"), 6).as("q_r"))
+      .select(col("m"), col("within"), col("sum_dc2"))
   }
 
   // Interval union coverage (IntervalJoin.unionLength): per-customer
@@ -3113,8 +3093,7 @@ object SparkEntry {
         d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
         col("_ntok"))
       .select(col("n1"), col("n2"), col("r1x2"), col("u1x2"),
-        col("tie_cube").cast("long").as("tie_cube"),
-        round(col("z"), 6).as("z_r"))
+        col("tie_cube").cast("long").as("tie_cube"))
   }
 
   // Kruskal–Wallis H (Evaluate.kruskalWallis): one k-sample location
@@ -3140,8 +3119,7 @@ object SparkEntry {
         col("lang"), col("lang_pred"))
       .select(col("n"), col("agree"),
         col("kappa_num").cast("long").as("kappa_num"),
-        col("kappa_den").cast("long").as("kappa_den"),
-        round(col("kappa"), 6).as("kappa_r"))
+        col("kappa_den").cast("long").as("kappa_den"))
 
   // Per-source Gini concentration (Evaluate.giniByGroup) over token
   // frequencies: is a source's token mass boilerplate-dominated?
@@ -3152,8 +3130,7 @@ object SparkEntry {
       .groupBy("source", "w").agg(count(lit(1)).as("x"))
     Evaluate.giniByGroup(toks, Seq("source"), col("w"), col("x"))
       .select(col("source"), col("n"), col("sx"),
-        col("six").cast("long").as("six"),
-        round(col("gini"), 6).as("gini_r"))
+        col("six").cast("long").as("six"))
       .orderBy("source")
   }
 
@@ -3167,8 +3144,7 @@ object SparkEntry {
       (round(TextFunctions.qualityScore(col("text")), 6) >= 0.5).as("a"),
       (size(TextFunctions.tokens(col("text"))) >= 30).as("b"))
     Evaluate.mcnemar(d, col("a"), col("b"))
-      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        round(col("chi2"), 6).as("chi2_r"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"))
   }
 
   // CUPED variance-reduced experiment readout (Evaluate.cuped): per-
@@ -3186,7 +3162,6 @@ object SparkEntry {
     Evaluate.cuped(perUser, col("x"), col("y"), col("t"))
       .select(col("n_t"), col("n_c"), col("adj_sum_t"), col("adj_sum_c"),
         round(col("theta"), 6).as("theta_r"),
-        round(col("diff"), 6).as("diff_r"),
         round(col("se"), 6).as("se_r"))
   }
 
@@ -3201,9 +3176,7 @@ object SparkEntry {
       .where(col("v").isNotNull)
     Evaluate.trimmedMeans(d, Seq("source"), col("v"), trimPpm = 50000L)
       .select(col("source"), col("n"), col("k"), col("trim_sum"),
-        col("wins_sum"),
-        round(col("trimmed_mean"), 6).as("tmean_r"),
-        round(col("winsorized_mean"), 6).as("wmean_r"))
+        col("wins_sum"))
       .orderBy("source")
   }
 
@@ -3215,8 +3188,7 @@ object SparkEntry {
     Evaluate.vanElteren(d, col("lang"), col("doc_id") % 2 === 0,
         size(TextFunctions.tokens(col("text"))))
       .select(col("k_strata"), col("n1"), col("n2"),
-        col("num_ppm_sum"), col("var_ppb_sum"),
-        round(col("z"), 6).as("z_r"))
+        col("num_ppm_sum"), col("var_ppb_sum"))
   }
 
   // t-closeness (Quality.tCloseness): per-source quality-decile
@@ -3229,8 +3201,7 @@ object SparkEntry {
       .where(col("b").isNotNull)
     Quality.tCloseness(d, Seq("source"), col("b"))
       .select(col("source"), col("n_g"), col("m"),
-        col("emd_num").cast("long").as("emd_num"),
-        round(col("t"), 6).as("t_r"))
+        col("emd_num").cast("long").as("emd_num"))
       .orderBy("source")
   }
 
@@ -3249,8 +3220,7 @@ object SparkEntry {
       (pmod(col("user_id"), lit(2)) === 0).as("a"))
     Evaluate.logRank(dur, Nil, col("t"), col("ev"), col("a"))
       .select(col("n1"), col("n2"), col("o1"), col("k_times"),
-        col("num_ppm_sum"), col("var_ppb_sum"),
-        round(col("z"), 6).as("z_r"))
+        col("num_ppm_sum"), col("var_ppb_sum"))
   }
 
   // Cochran-Mantel-Haenszel (Evaluate.cmhTest): is "long document"
@@ -3261,8 +3231,7 @@ object SparkEntry {
     Evaluate.cmhTest(d, col("lang"), col("doc_id") % 2 === 0,
         col("n_chars") > 200)
       .select(col("k_strata"), col("n"), col("o_sum"),
-        col("num_ppm_sum"), col("var_ppb_sum"),
-        round(col("chi2"), 6).as("chi2_r"), round(col("z"), 6).as("z_r"))
+        col("num_ppm_sum"), col("var_ppb_sum"))
   }
 
   // One-way ANOVA F (Evaluate.anovaF): does mean document length
@@ -3308,8 +3277,7 @@ object SparkEntry {
       .unionByName(d.select(col("doc_id").as("s"), lit("the").as("j"),
         lower(col("text")).rlike("the").as("y")))
     Evaluate.cochranQ(long, col("s"), col("j"), col("y"))
-      .select(col("k"), col("n_subjects"), col("num"), col("den"),
-        round(col("q"), 6).as("q_r"))
+      .select(col("k"), col("n_subjects"), col("num"), col("den"))
   }
 
   // Geohash spatial bucketing (GeoFunctions.geohash): hash-derived
@@ -3407,9 +3375,7 @@ object SparkEntry {
     Evaluate.kendallTauB(t(s, dir, "orders"),
         substring(col("o_orderpriority"), 1, 1).cast("long"),
         floor(col("o_totalprice") / 20000.0))
-      .select(col("n"), col("conc"), col("disc"), col("tx2"), col("ty2"),
-        round(col("tau_b"), 6).as("tau_r"),
-        round(col("somers_yx"), 6).as("somers_r"))
+      .select(col("n"), col("conc"), col("disc"), col("tx2"), col("ty2"))
 
   // Deterministic synchronous label propagation (Graph.labelPropagation):
   // two rounds over the q223 trade graph — communities, not components
@@ -3531,7 +3497,7 @@ object SparkEntry {
         Seq("prio"), "o_orderkey", floor(col("o_totalprice")))
       .where(col("o_orderkey") % 101 === 0)
       .select(col("prio"), col("o_orderkey"), col("v"), col("med2"),
-        col("mad2"), round(col("z"), 6).as("z_r"))
+        col("mad2"))
       .orderBy("o_orderkey")
 
   // Lagged cross-correlation (Evaluate.crossCorrelation): does daily
@@ -3544,6 +3510,50 @@ object SparkEntry {
       .select(col("event_type"), col("lag"), col("n"),
         round(col("r"), 6).as("r_r"))
       .orderBy("event_type", "lag")
+
+  // The SQL surface end-to-end ([[GraftExtensions]]/registerAll): ONE
+  // spark.sql() string runs the flagship pipeline — relational filter →
+  // cosine knn through the native [[graft.plans.TopKByDistance]] bounded
+  // aggregate (shuffles O(partitions × Q × k) rows, never N × Q; the
+  // same kernel the DataFrame path plans) → posexplode back to
+  // (query, rank) rows. Proves a SQL-only user needs zero DataFrame
+  // code: every graft function is a first-class Catalyst expression
+  // behind a FunctionIdentifier.
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(s)
+    t(s, dir, "documents").createOrReplaceTempView("sql_documents")
+    t(s, dir, "embeddings").createOrReplaceTempView("sql_embeddings")
+    s.sql("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                 FROM sql_embeddings WHERE vec_id < 8),
+           docs AS (SELECT d.doc_id, e.embedding
+                    FROM sql_documents d
+                    JOIN sql_embeddings e ON e.vec_id = d.doc_id
+                    WHERE d.lang = 'en' AND d.n_chars >= 200),
+           hits AS (SELECT q.qid,
+                      topk_by_distance(
+                        cosine_distance(docs.embedding, q.qv),
+                        docs.doc_id, 10) AS topk
+                    FROM docs JOIN q ON docs.doc_id <> q.qid
+                    GROUP BY q.qid)
+      SELECT qid AS query_id, h.value AS doc_id,
+             round(h.distance, 6) AS distance,
+             CAST(pos + 1 AS INT) AS rank
+      FROM hits LATERAL VIEW posexplode(topk) x AS pos, h
+      ORDER BY query_id, rank""")
+  }
+
+  // Distributed Louvain phase-1 (Graph.louvainRounds): two synchronous
+  // modularity-local-move rounds over the q216 projected pair graph,
+  // exact cross-multiplied integer gain scores, explicit id-parity move
+  // phases so the oracle can replay every move decision bit-for-bit —
+  // the community upgrade of q212's label propagation (degree-mass
+  // null model instead of raw neighbor frequency).
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    Graph.louvainRounds(projPairGraph(s, dir, radius = 0.03),
+        t(s, dir, "embeddings").select(col("vec_id")), "vec_id",
+        rounds = 2, phaseCol = pmod(col("_id"), lit(2)))
+      .orderBy("vec_id")
 
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
@@ -3590,7 +3600,7 @@ object SparkEntry {
     Evaluate.mutualInfo(t(s, dir, "documents").where(col("text").isNotNull),
         col("lang"), col("source"))
       .select(col("n"), col("cells"), col("mi_ppb"), col("hx_ppb"),
-        col("hy_ppb"), round(col("nmi"), 6).as("nmi_r"))
+        col("hy_ppb"))
 
   // UNPIVOT / melt (native Dataset.unpivot vs the UNION ALL
   // normalization): the wide→long reshape of the relational surface,
@@ -3637,9 +3647,11 @@ object SparkEntry {
         col("cnt").as("y"))
     Evaluate.olsDummyPoints(pts, Seq("event_type"), col("x"), col("f"),
         col("y"))
+      // det and the three Cramer numerators are exact integers and carry
+      // full verification power; the rounded b* doubles were dropped from
+      // the gate (round(double, 6) diverges cross-engine — q230 lesson).
       .select(col("event_type"), col("n"), col("det"), col("nb0"),
-        col("nb1"), col("nb2"), round(col("b0"), 6).as("b0_r"),
-        round(col("b1"), 6).as("b1_r"), round(col("b2"), 6).as("b2_r"))
+        col("nb1"), col("nb2"))
       .orderBy("event_type")
   }
 
@@ -3687,8 +3699,7 @@ object SparkEntry {
         .otherwise(expr("(tl - t0) div 86400000000000")).as("t"),
       when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
     Evaluate.kaplanMeier(dur, Seq("cohort"), col("t"), col("ev"))
-      .select(col("cohort"), col("t"), col("n_risk"), col("d"), col("c"),
-        round(col("surv"), 6).as("surv_r"))
+      .select(col("cohort"), col("t"), col("n_risk"), col("d"), col("c"))
       .orderBy("cohort", "t")
   }
 
@@ -3829,8 +3840,7 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")), col("lang") =!= "en",
         col("doc_id"), nBins = 10)
       .select(col("bin"), col("n"), col("n_pos"), col("cum_n"),
-        col("cum_pos"), round(col("gain"), 6).as("gain_r"),
-        round(col("lift"), 6).as("lift_r"))
+        col("cum_pos"))
       .orderBy("bin")
 
   // PSI score drift (Evaluate.psiBins): en vs non-en quality-score
@@ -3850,8 +3860,7 @@ object SparkEntry {
   private def q166(s: SparkSession, dir: String): DataFrame =
     Evaluate.cramersV(t(s, dir, "documents"), col("lang"), col("source"))
       .select(col("n"), col("card_a"), col("card_b"),
-        col("term_ppb_sum"), round(col("chi2"), 6).as("chi2_r"),
-        round(col("v"), 6).as("v_r"))
+        col("term_ppb_sum"))
 
   // Expected calibration error (Evaluate.ece): the q126 bin grid
   // collapsed to ONE exact integer numerator Σ|pos·1e6 − s_ppm| and a
@@ -3860,7 +3869,7 @@ object SparkEntry {
     Evaluate.ece(t(s, dir, "documents"),
         TextFunctions.qualityScore(col("text")), col("lang") =!= "en",
         nBins = 10)
-      .select(col("n"), col("ece_num"), round(col("ece"), 6).as("ece_r"))
+      .select(col("n"), col("ece_num"))
 
   // Greedy k-center coreset (Ann.kCenter): deterministic Gonzalez
   // farthest-point selection over the embeddings — each round one
@@ -3880,7 +3889,7 @@ object SparkEntry {
         t(s, dir, "embeddings").select(col("label"), col("embedding")),
         "label", col("embedding"))
       .select(col("ga"), col("gb"), col("dot_ppm2"), col("na_ppm2"),
-        col("nb_ppm2"), round(col("cos"), 6).as("cos_r"))
+        col("nb_ppm2"))
       .orderBy("ga", "gb")
 
   // ------------------------------------------------------------------
@@ -4151,7 +4160,9 @@ object SparkEntry {
     "q265_script_counts" -> (q265 _),
     "q266_cluster_terms" -> (q266 _),
     "q267_robust_z" -> (q267 _),
-    "q268_cross_correlation" -> (q268 _))
+    "q268_cross_correlation" -> (q268 _),
+    "q269_sql_pipeline" -> (q269 _),
+    "q270_louvain" -> (q270 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -4284,7 +4295,7 @@ object SparkEntry {
          inter AS (SELECT x.doc_id a, y.doc_id b, count(*) shared
                    FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
                    GROUP BY 1, 2),
-         sz AS (SELECT doc_id, len(s) n FROM g),
+         sz AS (SELECT doc_id, count(*) n FROM kept GROUP BY doc_id),
          j AS (SELECT a, b, shared*1.0 / (sa.n + sb.n - shared) j
                FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          SELECT a, b, round(j,6) AS jaccard FROM j WHERE j >= 0.2 ORDER BY a, b""",
@@ -5378,8 +5389,7 @@ object SparkEntry {
                    ELSE 1.0/(60+v.rank_vec) END) rrf
            FROM ttop t FULL JOIN vtop v ON t.doc_id = v.id)
          SELECT doc_id, CAST(rank_text AS INTEGER) AS rank_text,
-                CAST(rank_vec AS INTEGER) AS rank_vec,
-                round(rrf, 6) AS rrf_r
+                CAST(rank_vec AS INTEGER) AS rank_vec
          FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
 
     // q70: 4-token shingles with start positions; duplicated = shingle in
@@ -6387,10 +6397,7 @@ object SparkEntry {
                / CAST(zp + CAST(n_zero AS HUGEINT) * 144115188075855872 AS DOUBLE)
                AS raw
            FROM hs)
-         SELECT source, n_reg, reg_sum, reg_wsum, n_zero,
-           round(CASE WHEN n_zero > 0 AND raw <= 640.0
-                      THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
-                      ELSE raw END, 6) AS est_hll_r
+         SELECT source, n_reg, reg_sum, reg_wsum, n_zero
          FROM he ORDER BY source"""
     },
 
@@ -6478,9 +6485,7 @@ object SparkEntry {
            FROM d12),
          g AS (SELECT cell, count(*) AS n, sum(sp) AS sil_ppm_sum
            FROM sl GROUP BY cell)
-         SELECT cell, n, CAST(sil_ppm_sum AS BIGINT) AS sil_ppm_sum,
-           round(CAST(sil_ppm_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
-             AS mean_sil_r
+         SELECT cell, n, CAST(sil_ppm_sum AS BIGINT) AS sil_ppm_sum
          FROM g ORDER BY cell""",
 
     // q121: BLEU-4 replayed — n-grams by list slice, clipped-match
@@ -6523,18 +6528,7 @@ object SparkEntry {
            FROM ln0 l LEFT JOIN mt ON l.doc_id = mt.doc_id
            GROUP BY l.doc_id, c_len, r_len)
          SELECT doc_id, c_len, r_len, match_1, match_2, match_3, match_4,
-           total_1, total_2, total_3, total_4,
-           round(CASE WHEN c_len = 0
-                   OR match_1 = 0 OR total_1 = 0 OR match_2 = 0 OR total_2 = 0
-                   OR match_3 = 0 OR total_3 = 0 OR match_4 = 0 OR total_4 = 0
-                 THEN 0.0
-                 ELSE (CASE WHEN c_len >= r_len THEN 1.0
-                            ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END)
-                   * exp((ln(CAST(match_1 AS DOUBLE) / CAST(total_1 AS DOUBLE))
-                        + ln(CAST(match_2 AS DOUBLE) / CAST(total_2 AS DOUBLE))
-                        + ln(CAST(match_3 AS DOUBLE) / CAST(total_3 AS DOUBLE))
-                        + ln(CAST(match_4 AS DOUBLE) / CAST(total_4 AS DOUBLE))) / 4.0)
-                 END, 6) AS bleu_r
+           total_1, total_2, total_3, total_4
          FROM j ORDER BY doc_id""",
 
     // q122: every LCS recomputed with a flat row-major list_reduce DP
@@ -6571,10 +6565,7 @@ object SparkEntry {
              CASE WHEN r_len > 0 THEN CAST(lcs AS DOUBLE) / CAST(r_len AS DOUBLE)
                   ELSE 0.0 END AS rr
            FROM lx)
-         SELECT doc_id, c_len, r_len, lcs,
-           round(rp, 6) AS rouge_p_r, round(rr, 6) AS rouge_r_r,
-           round(CASE WHEN rp + rr > 0.0 THEN 2.0 * rp * rr / (rp + rr)
-                      ELSE 0.0 END, 6) AS rouge_f_r
+         SELECT doc_id, c_len, r_len, lcs
          FROM sc ORDER BY doc_id""",
 
     // q123: JS divergence replayed — identical shared-token join, the
@@ -6607,12 +6598,7 @@ object SparkEntry {
          SELECT ga, gb, n_a, n_b,
            coalesce(ca_shared, 0) AS ca_shared,
            coalesce(cb_shared, 0) AS cb_shared,
-           coalesce(t_ppb_sum, 0) AS t_ppb_sum,
-           round(CAST(coalesce(t_ppb_sum, 0) AS DOUBLE) / 1000000000.0
-             + (0.5 * ln(2.0)) *
-               ((1.0 - CAST(coalesce(ca_shared, 0) AS DOUBLE) / CAST(n_a AS DOUBLE))
-                + (1.0 - CAST(coalesce(cb_shared, 0) AS DOUBLE) / CAST(n_b AS DOUBLE))),
-             6) AS js_r
+           coalesce(t_ppb_sum, 0) AS t_ppb_sum
          FROM pr LEFT JOIN sh USING (ga, gb)
          ORDER BY ga, gb""",
 
@@ -6669,10 +6655,7 @@ object SparkEntry {
          g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
              CAST(sum(sppm) AS BIGINT) AS score_ppm_sum
            FROM b GROUP BY bin)
-         SELECT bin, n, n_pos, score_ppm_sum,
-           round(CAST(score_ppm_sum AS DOUBLE)
-             / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean_score_r,
-           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos_r
+         SELECT bin, n, n_pos, score_ppm_sum
          FROM g ORDER BY bin""",
 
     // q127: the ppm integer mean (round-half-away (2|s|+n) div 2n) and
@@ -6723,8 +6706,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY aid
                ORDER BY margin DESC, bid) rn
            FROM cand)
-         SELECT aid AS a_id, bid AS b_id, c_ppb, s_a, s_b,
-           round(margin, 6) AS margin_r
+         SELECT aid AS a_id, bid AS b_id, c_ppb, s_a, s_b
          FROM best WHERE rn = 1 ORDER BY a_id""",
 
     // q129: the pure-integer decay weight replayed — same epoch-ns age,
@@ -6744,8 +6726,7 @@ object SparkEntry {
          g AS (SELECT event_type, count(*) AS n,
              CAST(sum(w_ppb) AS BIGINT) AS w_ppb_sum
            FROM w2 GROUP BY event_type)
-         SELECT event_type, n, w_ppb_sum,
-           round(CAST(w_ppb_sum AS DOUBLE) / 1000000000.0, 6) AS decayed_r
+         SELECT event_type, n, w_ppb_sum
          FROM g ORDER BY event_type""",
 
     // q130: per-term −p·ln p ppb integers summed per doc, the same
@@ -6767,9 +6748,7 @@ object SparkEntry {
          SELECT d.doc_id,
            coalesce(n, 0) AS n_tokens,
            coalesce(n_distinct, 0) AS n_distinct,
-           coalesce(h_ppb_sum, 0) AS h_ppb_sum,
-           round(CAST(coalesce(h_ppb_sum, 0) AS DOUBLE) / 1000000000.0, 6)
-             AS entropy_r
+           coalesce(h_ppb_sum, 0) AS h_ppb_sum
          FROM documents d LEFT JOIN tot USING (doc_id)
          LEFT JOIN sc USING (doc_id)
          ORDER BY doc_id""",
@@ -6793,9 +6772,7 @@ object SparkEntry {
            FROM c CROSS JOIN t),
          best AS (SELECT v, dnum,
              row_number() OVER (ORDER BY dnum DESC, v) AS rn FROM d)
-         SELECT n1, n2, CAST(dnum AS BIGINT) AS d_num, v AS at_v,
-           round(CAST(dnum AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_r
+         SELECT n1, n2, CAST(dnum AS BIGINT) AS d_num, v AS at_v
          FROM best CROSS JOIN t WHERE rn = 1""",
 
     // q132: doubled tie-average ranks (2·min-gi + cnt + 1 per distinct
@@ -6819,12 +6796,7 @@ object SparkEntry {
              sum(yr2 * yr2) AS syy FROM j)
          SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
            CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
-           CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
-                ELSE NULL END AS rho_r
+           CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy
          FROM a""",
 
     // q133: both gated chains composed — the q53 recursive reach gives
@@ -7052,11 +7024,7 @@ object SparkEntry {
          dg AS (SELECT i, cov_num AS vr FROM cv WHERE i = j),
          nm AS (SELECT 0 AS i, 'n_chars' AS nm UNION ALL SELECT 1, 'len'
            UNION ALL SELECT 2, 'n_tokens' UNION ALL SELECT 3, 'quality')
-         SELECT na.nm AS sig_i, nb.nm AS sig_j, cv.n, cv.cov_num,
-           CASE WHEN da.vr > 0 AND db.vr > 0
-                THEN round(CAST(cv.cov_num AS DOUBLE)
-                  / sqrt(CAST(da.vr AS DOUBLE) * CAST(db.vr AS DOUBLE)), 6)
-                ELSE NULL END AS corr_r
+         SELECT na.nm AS sig_i, nb.nm AS sig_j, cv.n, cv.cov_num
          FROM cv
          JOIN dg da ON da.i = cv.i
          JOIN dg db ON db.i = cv.j
@@ -7085,18 +7053,7 @@ object SparkEntry {
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
              CAST(sum(xy) AS BIGINT) AS sxy, CAST(sum(xx) AS BIGINT) AS sxx
            FROM t2 GROUP BY source)
-         SELECT source, n_terms, sx, sy, sxy, sxx,
-           CASE WHEN CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000.0)
-                     - (CAST(sx AS DOUBLE) / 1000000000.0)
-                       * (CAST(sx AS DOUBLE) / 1000000000.0) > 0
-                THEN round(
-                  (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000.0)
-                   - (CAST(sx AS DOUBLE) / 1000000000.0)
-                     * (CAST(sy AS DOUBLE) / 1000000000.0))
-                  / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000000.0)
-                   - (CAST(sx AS DOUBLE) / 1000000000.0)
-                     * (CAST(sx AS DOUBLE) / 1000000000.0)), 6)
-                ELSE NULL END AS zipf_slope_r
+         SELECT source, n_terms, sx, sy, sxy, sxx
          FROM g ORDER BY source""",
 
     // q141: the q108 projection CTE quantized to the 1e4 grid; z
@@ -7196,8 +7153,7 @@ object SparkEntry {
                  shared * 1.0 / sa.n AS containment
                FROM inter JOIN sz sa ON sa.doc_id = a)
          SELECT a, b, CAST(n_a AS BIGINT) AS n_a,
-           CAST(shared AS BIGINT) AS shared,
-           round(containment, 6) AS containment_r
+           CAST(shared AS BIGINT) AS shared
          FROM c WHERE containment >= 0.5 ORDER BY a, b""",
 
     // q144: ordered digit/non-digit tokenization (regexp_extract_all
@@ -7270,7 +7226,7 @@ object SparkEntry {
            FROM x)
          SELECT term, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
            CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
-           CAST(admbc AS BIGINT) AS admbc, round(chi2, 6) AS chi2_r
+           CAST(admbc AS BIGINT) AS admbc
          FROM y ORDER BY term""",
 
     // q146: the q126 bin table, then isotonic values via the minimax
@@ -7374,9 +7330,7 @@ object SparkEntry {
              * CAST(coalesce(nxt - v, 0) AS HUGEINT) AS contrib
            FROM c CROSS JOIN t)
          SELECT n1, n2,
-           CAST(coalesce(sum(contrib), 0) AS BIGINT) AS w1_num,
-           round(CAST(coalesce(sum(contrib), 0) AS DOUBLE)
-             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS w1_r
+           CAST(coalesce(sum(contrib), 0) AS BIGINT) AS w1_num
          FROM d CROSS JOIN t GROUP BY n1, n2""",
 
     // q150: the earliest-completion funnel chain replayed step by step
@@ -7449,8 +7403,7 @@ object SparkEntry {
          SELECT CAST(th.n_cal AS BIGINT) AS n_cal, CAST(th.r AS BIGINT) AS r,
            CAST(coalesce(th.thr, -1) AS BIGINT) AS thr,
            CAST(ea.n_eval AS BIGINT) AS n_eval,
-           CAST(ea.n_covered AS BIGINT) AS n_covered,
-           round(CAST(ea.n_covered AS DOUBLE) / ea.n_eval, 6) AS coverage_r
+           CAST(ea.n_covered AS BIGINT) AS n_covered
          FROM th CROSS JOIN ea""",
 
     // q154: the q127 ppm-mean pooling per label, then exact integer
@@ -7483,11 +7436,7 @@ object SparkEntry {
                [vb[i] * vb[i] for i in range(1, len(vb) + 1)]),
                (acc, x) -> acc + x) AS BIGINT) AS nb_ppm2
            FROM p)
-         SELECT ga, gb, dot_ppm2, na_ppm2, nb_ppm2,
-           CASE WHEN na_ppm2 > 0 AND nb_ppm2 > 0
-             THEN round(CAST(dot_ppm2 AS DOUBLE)
-               / (sqrt(CAST(na_ppm2 AS DOUBLE)) * sqrt(CAST(nb_ppm2 AS DOUBLE))), 6)
-             ELSE NULL END AS cos_r
+         SELECT ga, gb, dot_ppm2, na_ppm2, nb_ppm2
          FROM d ORDER BY ga, gb""",
 
     // q155: q124's replay with the teleport terms gated on seed
@@ -7543,14 +7492,7 @@ object SparkEntry {
              coalesce(sum(CASE WHEN conv THEN 1 ELSE 0 END), 0) AS k2
            FROM u WHERE user_id % 2 <> 0)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
-           CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
-           CASE WHEN n1 > 0 AND n2 > 0 AND k1 + k2 > 0
-                 AND k1 + k2 < n1 + n2
-             THEN round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
-               / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
-                 * (1.0 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
-                 * (1.0 / n1 + 1.0 / n2)), 6)
-             ELSE NULL END AS z_r
+           CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2
          FROM s1 CROSS JOIN s2""",
 
     // q157: the dense day grid (zero days included), per-type cumsum,
@@ -7577,9 +7519,7 @@ object SparkEntry {
            FROM d)
          SELECT g AS event_type, CAST(t AS BIGINT) AS t_buckets,
            CAST(tot AS BIGINT) AS total, CAST(b AS BIGINT) AS best_bucket,
-           CAST(dn AS BIGINT) AS d_num,
-           round(CAST(dn AS DOUBLE)
-             / (CAST(t AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS d_r
+           CAST(dn AS BIGINT) AS d_num
          FROM best WHERE rn = 1 ORDER BY event_type""",
 
     // q158: the greedy rounds unrolled — seed = smallest id, then
@@ -7675,10 +7615,7 @@ object SparkEntry {
            GROUP BY 1, 2 HAVING count(*) >= 3)
          SELECT a, b, CAST(support AS BIGINT) AS support,
            CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
-           CAST(n_baskets AS BIGINT) AS n_baskets,
-           round(CAST(support AS DOUBLE) / ca.cnt, 6) AS conf_r,
-           round(CAST(support * n_baskets AS DOUBLE)
-             / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift_r
+           CAST(n_baskets AS BIGINT) AS n_baskets
          FROM pr JOIN ic ca ON pr.a = ca.it JOIN ic cb ON pr.b = cb.it
          CROSS JOIN nb ORDER BY a, b""",
 
@@ -7700,8 +7637,6 @@ object SparkEntry {
          SELECT CAST(n AS BIGINT) AS n_groups, CAST(total AS BIGINT) AS total,
            CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT) AS BIGINT)
              AS gini_num,
-           round(CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT) AS DOUBLE)
-             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini_r,
            round(CAST(xx AS DOUBLE)
              / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi_r
          FROM agg""",
@@ -7723,10 +7658,7 @@ object SparkEntry {
          c AS (SELECT bin, n_b, np, sum(n_b) OVER (ORDER BY bin) AS cn,
              sum(np) OVER (ORDER BY bin) AS cp FROM b)
          SELECT bin, CAST(n_b AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pos,
-           CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos,
-           round(CAST(cp AS DOUBLE) / tp, 6) AS gain_r,
-           round((CAST(cp AS DOUBLE) / cn)
-             / (CAST(tp AS DOUBLE) / n), 6) AS lift_r
+           CAST(cn AS BIGINT) AS cum_n, CAST(cp AS BIGINT) AS cum_pos
          FROM c CROSS JOIN tt ORDER BY bin""",
 
     // q165: clamped floor(sc*10) bins per side, Laplace +1 smoothing,
@@ -7766,13 +7698,7 @@ object SparkEntry {
              count(DISTINCT a) AS ca, count(DISTINCT b) AS cb2 FROM cells)
          SELECT n, CAST(ca AS BIGINT) AS card_a,
            CAST(cb2 AS BIGINT) AS card_b,
-           CAST(tsum AS BIGINT) AS term_ppb_sum,
-           round(CAST(n AS DOUBLE) * (CAST(tsum AS DOUBLE) / 1e9 - 1.0),
-             6) AS chi2_r,
-           round(sqrt(greatest(CAST(n AS DOUBLE)
-               * (CAST(tsum AS DOUBLE) / 1e9 - 1.0), 0.0)
-             / (CAST(n AS DOUBLE)
-               * CAST(least(ca - 1, cb2 - 1) AS DOUBLE))), 6) AS v_r
+           CAST(tsum AS BIGINT) AS term_ppb_sum
          FROM ag CROSS JOIN nn""",
 
     // q167: the q126 bin grid collapsed to Σ|pos·1e6 − s_ppm| — one
@@ -7786,9 +7712,7 @@ object SparkEntry {
          g AS (SELECT bin, count(*) AS n, sum(p) AS np, sum(sppm) AS sp
            FROM b GROUP BY bin)
          SELECT CAST(sum(n) AS BIGINT) AS n,
-           CAST(sum(abs(np * 1000000 - sp)) AS BIGINT) AS ece_num,
-           round(CAST(sum(abs(np * 1000000 - sp)) AS DOUBLE)
-             / (CAST(sum(n) AS DOUBLE) * 1e6), 6) AS ece_r
+           CAST(sum(abs(np * 1000000 - sp)) AS BIGINT) AS ece_num
          FROM g""",
 
     // q168: GROUP BY ROLLUP with the same ALL masking
@@ -7954,7 +7878,6 @@ object SparkEntry {
            FROM md)
          SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
            CAST(b_used AS BIGINT) AS b_used,
-           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r,
            round(m_dot, 6) AS m_dot_r,
            round(sqrt(ss * CAST(b_used - 1 AS DOUBLE)
              / CAST(b_used AS DOUBLE)), 6) AS se_r
@@ -8159,9 +8082,7 @@ object SparkEntry {
            CAST(num_t2 AS BIGINT) AS num_t2,
            CAST(den_t2 AS BIGINT) AS den_t2,
            CAST(t_buckets AS BIGINT) AS t_buckets,
-           CAST(total AS BIGINT) AS total,
-           round(CAST(num_t2 AS DOUBLE) / CAST(den_t2 AS DOUBLE), 6)
-             AS acf_r
+           CAST(total AS BIGINT) AS total
          FROM num JOIN den ON num.g = den.g ORDER BY 1, 2""",
 
     // q190: both knn directions replayed (the q11/q12 rank chain), the
@@ -8482,7 +8403,6 @@ object SparkEntry {
              n * sxx - si * si AS den, si, sy FROM a)
          SELECT g AS event_type, CAST(n AS BIGINT) AS n,
            CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
-           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope_r,
            round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)
                / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
              / CAST(n AS DOUBLE), 6) AS intercept_r
@@ -8520,11 +8440,7 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
            CAST(n_sent AS BIGINT) AS n_sent,
-           CAST(n_syll AS BIGINT) AS n_syll,
-           CASE WHEN n_words > 0 THEN round(206.835::DOUBLE
-             - 1.015::DOUBLE * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
-             - 84.6::DOUBLE * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
-           END AS flesch_r
+           CAST(n_syll AS BIGINT) AS n_syll
          FROM c ORDER BY doc_id""",
 
     // q208: the q157 CUSUM chain picks the changepoint, exact OLS per
@@ -8561,9 +8477,6 @@ object SparkEntry {
          SELECT g AS event_type, seg AS segment, CAST(n AS BIGINT) AS n,
            CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
            CASE WHEN den <> 0 THEN
-             round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
-           END AS slope_r,
-           CASE WHEN den <> 0 THEN
              round((CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE)
                  / CAST(den AS DOUBLE)) * CAST(si AS DOUBLE))
                / CAST(n AS DOUBLE), 6)
@@ -8595,15 +8508,7 @@ object SparkEntry {
            FROM st JOIN nt ON st.g = nt.g
            LEFT JOIN tie ON st.g = tie.g)
          SELECT g AS event_type, CAST(n AS BIGINT) AS n,
-           CAST(s AS BIGINT) AS s, CAST(var18 AS BIGINT) AS var18,
-           CASE WHEN var18 > 0 AND s > 0 THEN
-               round(CAST(s - 1 AS DOUBLE)
-                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
-             WHEN var18 > 0 AND s < 0 THEN
-               round(CAST(s + 1 AS DOUBLE)
-                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
-             WHEN var18 > 0 THEN 0.0
-           END AS z_r
+           CAST(s AS BIGINT) AS s, CAST(var18 AS BIGINT) AS var18
          FROM f ORDER BY 1""",
 
     // q210: the undirected customer↔supplier adjacency, ppb
@@ -8657,9 +8562,7 @@ object SparkEntry {
            FROM u)
          SELECT CAST(rep AS BIGINT) AS rep, count(*) AS n_src,
            CAST(sum(w) AS BIGINT) AS n_eff,
-           CAST(sum(w * vp) AS BIGINT) AS wsum,
-           round(CAST(sum(w * vp) AS DOUBLE)
-             / CAST(sum(w) AS DOUBLE), 6) AS mean_r
+           CAST(sum(w * vp) AS BIGINT) AS wsum
          FROM w GROUP BY rep ORDER BY rep""",
 
     // q212: the q152 projected-pair graph, then four peel rounds
@@ -8710,9 +8613,7 @@ object SparkEntry {
            FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b)
          SELECT g AS event_type, b AS bucket, cnt,
            count(*) OVER w AS win_n,
-           CAST(sum(cnt) OVER w AS BIGINT) AS win_sum,
-           round(CAST(sum(cnt) OVER w AS DOUBLE)
-             / CAST(count(*) OVER w AS DOUBLE), 6) AS win_avg_r
+           CAST(sum(cnt) OVER w AS BIGINT) AS win_sum
          FROM x
          WINDOW w AS (PARTITION BY g ORDER BY b
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -8757,9 +8658,7 @@ object SparkEntry {
              UNION ALL SELECT y, ly FROM el) GROUP BY l),
          s2 AS (SELECT sum(CAST(d AS HUGEINT) * d) AS sum_dc2 FROM dc)
          SELECT CAST(m AS BIGINT) AS m, CAST(within AS BIGINT) AS within,
-           sum_dc2,
-           round((4.0 * m * within - CAST(sum_dc2 AS DOUBLE))
-             / (4.0 * m * m), 6) AS q_r
+           sum_dc2
          FROM mw CROSS JOIN s2""",
 
     // q217: the identical sweep — strictly-preceding running max(end),
@@ -8928,8 +8827,7 @@ object SparkEntry {
                (a, b) -> a * b) AS surv
            FROM s, unnest(range(1, len(ts) + 1)) AS u(i))
          SELECT w.cohort, w.t, CAST(w.n_risk AS BIGINT) AS n_risk,
-           CAST(w.d AS BIGINT) AS d, CAST(w.c AS BIGINT) AS c,
-           round(x.surv, 6) AS surv_r
+           CAST(w.d AS BIGINT) AS d, CAST(w.c AS BIGINT) AS c
          FROM w JOIN x ON w.cohort = x.xcohort AND w.t = x.xt
          ORDER BY cohort, t""",
 
@@ -8990,13 +8888,7 @@ object SparkEntry {
                + sy*(sx*sxf - sxx*sf) AS nb2
            FROM s)
          SELECT g AS event_type, CAST(n AS BIGINT) AS n, det, nb0, nb1,
-           nb2,
-           CASE WHEN det <> 0 THEN round(CAST(nb0 AS DOUBLE)
-             / CAST(det AS DOUBLE), 6) END AS b0_r,
-           CASE WHEN det <> 0 THEN round(CAST(nb1 AS DOUBLE)
-             / CAST(det AS DOUBLE), 6) END AS b1_r,
-           CASE WHEN det <> 0 THEN round(CAST(nb2 AS DOUBLE)
-             / CAST(det AS DOUBLE), 6) END AS b2_r
+           nb2
          FROM d ORDER BY event_type""",
 
     // q225: unfiltered bigram marginals, the four contingency cells'
@@ -9215,14 +9107,7 @@ object SparkEntry {
              CAST(sum(c1 * r2) AS BIGINT) r1x2,
              CAST(sum(t*t*t - t) AS BIGINT) tie_cube FROM rk)
          SELECT n1, n2, r1x2,
-           CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2, tie_cube,
-           round((CAST(r1x2 - n1*(n1+1) AS DOUBLE)
-               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-             / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
-               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
-                  - CAST(tie_cube AS DOUBLE)
-                    / (CAST(n1 + n2 AS DOUBLE)
-                       * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6) AS z_r
+           CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u1x2, tie_cube
          FROM ag""",
 
     // q234: the same pooled doubled ranks; per-group exact 2*R_g; the
@@ -9273,10 +9158,7 @@ object SparkEntry {
            FROM ra JOIN rb USING (c))
          SELECT n, agree,
            CAST(n * agree - s AS BIGINT) AS kappa_num,
-           CAST(n * n - s AS BIGINT) AS kappa_den,
-           CASE WHEN n * n - s <> 0 THEN
-             round(CAST(n * agree - s AS DOUBLE)
-               / CAST(n * n - s AS DOUBLE), 6) END AS kappa_r
+           CAST(n * n - s AS BIGINT) AS kappa_den
          FROM tot, sm""",
 
     // q236: ascending-rank Gini; tie order inside an equal-x block is
@@ -9292,9 +9174,7 @@ object SparkEntry {
          g AS (SELECT source, CAST(count(*) AS BIGINT) n,
              CAST(sum(x) AS BIGINT) sx, CAST(sum(rn * x) AS BIGINT) six
            FROM r GROUP BY source)
-         SELECT source, n, sx, six,
-           round(CAST(2*six - (n+1)*sx AS DOUBLE)
-             / CAST(n*sx AS DOUBLE), 6) AS gini_r
+         SELECT source, n, sx, six
          FROM g ORDER BY source""",
 
     // q237: only the discordant cells carry signal; thresholds compare
@@ -9312,10 +9192,7 @@ object SparkEntry {
            CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) n01,
            CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) n00
            FROM pair)
-         SELECT n, n11, n10, n01, n00,
-           CASE WHEN n10 + n01 > 0 THEN
-             round(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
-               / CAST(n10 + n01 AS DOUBLE), 6) END AS chi2_r
+         SELECT n, n11, n10, n01, n00
          FROM ag""",
 
     // q240: theta from exact HUGEINT normal-equation integers; the
@@ -9356,9 +9233,6 @@ object SparkEntry {
            (SELECT theta FROM th) theta)
          SELECT n_t, n_c, s_t AS adj_sum_t, s_c AS adj_sum_c,
            round(theta, 6) AS theta_r,
-           round((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
-             - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 1e6, 6)
-             AS diff_r,
            round(sqrt(
              CAST(n_t*s2_t - CAST(s_t AS HUGEINT)*s_t AS DOUBLE)
                / (CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE) * 1e12)
@@ -9386,11 +9260,7 @@ object SparkEntry {
              max(CASE WHEN rn = n - k THEN v END) hi
            FROM r JOIN c USING (source) GROUP BY r.source, c.n, c.k)
          SELECT source, n, k, trim_sum,
-           CAST(trim_sum + k * lo + k * hi AS BIGINT) AS wins_sum,
-           round(CAST(trim_sum AS DOUBLE) / CAST(n - 2*k AS DOUBLE), 6)
-             AS tmean_r,
-           round(CAST(trim_sum + k * lo + k * hi AS DOUBLE)
-             / CAST(n AS DOUBLE), 6) AS wmean_r
+           CAST(trim_sum + k * lo + k * hi AS BIGINT) AS wins_sum
          FROM a ORDER BY source""",
 
     // q242: per-stratum exact integers off the (lang, ntok) histogram;
@@ -9429,10 +9299,7 @@ object SparkEntry {
          SELECT CAST(count(*) AS BIGINT) k_strata,
            CAST(sum(n1) AS BIGINT) n1, CAST(sum(n2) AS BIGINT) n2,
            CAST(sum(num_ppm) AS BIGINT) num_ppm_sum,
-           CAST(sum(var_ppb) AS BIGINT) var_ppb_sum,
-           CASE WHEN sum(var_ppb) > 0 THEN
-             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
-               / sqrt(CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS z_r
+           CAST(sum(var_ppb) AS BIGINT) var_ppb_sum
          FROM co""",
 
     // q243: the full g x m grid (cohorts cross the global decile list),
@@ -9463,11 +9330,7 @@ object SparkEntry {
                - CAST(cuma AS HUGEINT) * ng)) AS BIGINT) num
            FROM cum GROUP BY source, ng)
          SELECT source, ng AS n_g, (SELECT m FROM tt) AS m,
-           num AS emd_num,
-           round(CAST(num AS DOUBLE)
-             / (CAST(ng AS DOUBLE)
-                * CAST((SELECT nn FROM tt) AS DOUBLE)
-                * CAST((SELECT m FROM tt) - 1 AS DOUBLE)), 6) AS t_r
+           num AS emd_num
          FROM agg ORDER BY source""",
 
     // q244: q222's survival frame, then the per-event-time 2x2
@@ -9517,10 +9380,7 @@ object SparkEntry {
              CAST(sum(var_ppb) AS BIGINT) AS var_ppb_sum
            FROM co)
          SELECT n1s AS n1, n2s AS n2, o1, k_times,
-           num_ppm_sum, var_ppb_sum,
-           CASE WHEN n1s > 0 AND n2s > 0 AND var_ppb_sum > 0 THEN
-             round((CAST(num_ppm_sum AS DOUBLE) / 1e6)
-               / sqrt(CAST(var_ppb_sum AS DOUBLE) / 1e9), 6) END AS z_r
+           num_ppm_sum, var_ppb_sum
          FROM tot, ag""",
 
     // q245: per-lang 2x2 (arm x long-doc), num ppm / var ppb per
@@ -9550,14 +9410,7 @@ object SparkEntry {
            CAST(sum(n) AS BIGINT) AS n,
            CAST(sum(n11) AS BIGINT) AS o_sum,
            CAST(sum(num_ppm) AS BIGINT) AS num_ppm_sum,
-           CAST(sum(var_ppb) AS BIGINT) AS var_ppb_sum,
-           CASE WHEN sum(var_ppb) > 0 THEN
-             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
-               * (CAST(sum(num_ppm) AS DOUBLE) / 1e6)
-               / (CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS chi2_r,
-           CASE WHEN sum(var_ppb) > 0 THEN
-             round((CAST(sum(num_ppm) AS DOUBLE) / 1e6)
-               / sqrt(CAST(sum(var_ppb) AS DOUBLE) / 1e9), 6) END AS z_r
+           CAST(sum(var_ppb) AS BIGINT) AS var_ppb_sum
          FROM co""",
 
     // q246: exact n/Σv/Σv² skeleton; per-group S²/n quantized ppm
@@ -9697,10 +9550,7 @@ object SparkEntry {
            FROM (SELECT j, sum(y) AS c FROM lf GROUP BY j))
          SELECT CAST(3 AS BIGINT) AS k, n_subjects,
            (3 - 1) * (3 * sumc2 - sumc * sumc) AS num,
-           3 * sumr - sumr2 AS den,
-           CASE WHEN 3 * sumr - sumr2 > 0 THEN
-             round(CAST((3 - 1) * (3 * sumc2 - sumc * sumc) AS DOUBLE)
-               / CAST(3 * sumr - sumr2 AS DOUBLE), 6) END AS q_r
+           3 * sumr - sumr2 AS den
          FROM ra, ca""",
 
     // q250: the closed-form geohash replayed bit-for-bit (scale+floor
@@ -9914,10 +9764,7 @@ object SparkEntry {
                - CAST(ty2 AS DOUBLE)) / 2.0 AS dy,
              CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE) AS num
            FROM cd, tx, ty)
-         SELECT n, conc, disc, tx2, ty2,
-           CASE WHEN dx > 0.0 AND dy > 0.0 THEN
-             round(num / sqrt(dx * dy), 6) END AS tau_r,
-           CASE WHEN dx > 0.0 THEN round(num / dx, 6) END AS somers_r
+         SELECT n, conc, disc, tx2, ty2
          FROM fin""",
 
     // q257: per-occupied-cell ppb terms (the q225 LLR quantize rule),
@@ -9944,11 +9791,7 @@ object SparkEntry {
                / CAST((SELECT n FROM nn) AS DOUBLE))
                * ln(CAST(s AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)))
                * 1e9) AS BIGINT)) AS BIGINT) AS hy_ppb FROM ry)
-         SELECT (SELECT n FROM nn) AS n, cells, mi_ppb, hx_ppb, hy_ppb,
-           CASE WHEN hx_ppb > 0 AND hy_ppb > 0 THEN
-             round((CAST(mi_ppb AS DOUBLE) / 1e9)
-               / sqrt((CAST(hx_ppb AS DOUBLE) / 1e9)
-                 * (CAST(hy_ppb AS DOUBLE) / 1e9)), 6) END AS nmi_r
+         SELECT (SELECT n FROM nn) AS n, cells, mi_ppb, hx_ppb, hy_ppb
          FROM mi, hx, hy""",
 
     // q258: two unrolled synchronous rounds — neighbor-label counts,
@@ -10209,10 +10052,7 @@ object SparkEntry {
                + sum(CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END)
                AS BIGINT) AS mad2
            FROM r2 GROUP BY prio)
-         SELECT d.prio, o_orderkey, v, med2, mad2,
-           CASE WHEN mad2 > 0 THEN
-             round(2.0 * CAST(2 * v - med2 AS DOUBLE)
-               / (1.4826 * CAST(mad2 AS DOUBLE)), 6) END AS z_r
+         SELECT d.prio, o_orderkey, v, med2, mad2
          FROM d JOIN mad USING (prio)
          WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""",
 
@@ -10257,7 +10097,45 @@ object SparkEntry {
                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
              END AS r_r
-         FROM st ORDER BY event_type, lag"""
+         FROM st ORDER BY event_type, lag""",
+
+    // q269: the SQL-surface pipeline replayed relationally — filter →
+    // per-query cosine top-10 (row_number mirrors topk_by_distance's
+    // (dist, id) tie order) → rank rows; distances bit-identical to
+    // list_cosine_similarity in double (the q11 precedent).
+    "q269_sql_pipeline" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 8),
+         docs AS (SELECT d.doc_id, e.v
+           FROM documents d JOIN e ON e.vec_id = d.doc_id
+           WHERE d.lang = 'en' AND d.n_chars >= 200),
+         dist AS (SELECT q.qid, docs.doc_id id,
+             1.0 - list_cosine_similarity(q.qv, docs.v) dist
+           FROM q, docs WHERE docs.doc_id <> q.qid),
+         r AS (SELECT qid query_id, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) rank
+           FROM dist)
+         SELECT query_id, id AS doc_id, round(dist, 6) AS distance,
+           CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q270: two louvainRoundCte move rounds over the q216 pair graph —
+    // every gain score, tie order, and parity-phase decision replayed
+    // in exact HUGEINT arithmetic; isolated nodes keep their own label.
+    "q270_louvain" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         und AS (SELECT a AS x, b AS y FROM pr
+                 UNION ALL SELECT b AS x, a AS y FROM pr),
+         deg AS (SELECT x, count(*) AS k FROM und GROUP BY x),
+         m2 AS (SELECT count(*) AS m2 FROM und),
+         lab0 AS (SELECT vec_id, vec_id AS l FROM embeddings),
+         ${louvainRoundCte("lab0", "lab1", 0)},
+         ${louvainRoundCte("lab1", "lab2", 1)}
+         SELECT vec_id, l AS label FROM lab2 ORDER BY vec_id"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit
@@ -10555,6 +10433,45 @@ object SparkEntry {
                   - ((CAST((j*13) % 32 AS DOUBLE) - 16)/64))
                for j in range(0, 64) ]), (a, b) -> a + b) AS p1
          FROM embeddings WHERE len(embedding) = 64)"""
+
+  /** One louvainRounds move round as WITH-clauses: `prev` labels table
+    * → `next` labels table, replaying the exact cross-multiplied
+    * integer gain argmax (HUGEINT — the decimal(38,0) twin), the
+    * smallest-label tie order, the strictly-better move rule, and the
+    * id-parity move phase. Requires und(x,y), deg(x,k), m2(m2) in
+    * scope; isolated nodes drop out of sc_ via the deg join and keep
+    * their label through the LEFT JOINs (NULL comparison → ELSE). */
+  private def louvainRoundCte(prev: String, next: String, round: Int): String =
+    s"""kin_$round AS (SELECT e.x, p.l, count(*) AS kin
+         FROM und e JOIN $prev p ON e.y = p.vec_id GROUP BY e.x, p.l),
+       tot_$round AS (SELECT p.l, sum(coalesce(d.k, 0)) AS tot
+         FROM $prev p LEFT JOIN deg d ON p.vec_id = d.x GROUP BY p.l),
+       cand_$round AS (
+         SELECT k.x, k.l, k.kin, p.l AS lcur
+           FROM kin_$round k JOIN $prev p ON k.x = p.vec_id
+         UNION ALL
+         SELECT p.vec_id, p.l, 0 AS kin, p.l AS lcur FROM $prev p
+           WHERE NOT EXISTS (SELECT 1 FROM kin_$round k
+             WHERE k.x = p.vec_id AND k.l = p.l)),
+       sc_$round AS (SELECT c.x, c.l, c.lcur,
+           CAST(m2.m2 AS HUGEINT) * c.kin
+             - CAST(d.k AS HUGEINT)
+               * (t.tot - CASE WHEN c.l = c.lcur THEN d.k ELSE 0 END)
+             AS score
+         FROM cand_$round c JOIN deg d ON c.x = d.x
+         JOIN tot_$round t ON c.l = t.l CROSS JOIN m2),
+       best_$round AS (SELECT x, l AS lbest, score AS sbest FROM (
+           SELECT x, l, score, row_number() OVER (PARTITION BY x
+             ORDER BY score DESC, l ASC) AS rn FROM sc_$round)
+         WHERE rn = 1),
+       $next AS (SELECT p.vec_id,
+           CASE WHEN p.vec_id % 2 = ${round % 2}
+                 AND b.sbest > cs.score
+                THEN b.lbest ELSE p.l END AS l
+         FROM $prev p
+         LEFT JOIN best_$round b ON b.x = p.vec_id
+         LEFT JOIN (SELECT x, score FROM sc_$round WHERE l = lcur) cs
+           ON cs.x = p.vec_id)"""
 
   /** q100's two-iteration k-means replay as reusable WITH-clauses ending
     * in `a2(vec_id, c)` — the exact-ppm centroid means + left-fold argmin

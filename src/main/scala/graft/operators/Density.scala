@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.LineageCutOps
 
 /** Density-based clustering over a 2-D projected space — the
   * embedding-space structure-discovery op of corpus curation (cluster
@@ -47,7 +48,7 @@ object Density {
     // before the returned lazy plan ever ran)
     val pairs = Dedup.gridPairs2d(df, idCol, xCol, yCol, eps,
         maxCell = maxCell)
-      .select(col("a"), col("b")).localCheckpoint(false)
+      .select(col("a"), col("b")).cutLineage(false)
     val und = pairs.select(col("a").as("_i"), col("b").as("_j"))
       .union(pairs.select(col("b").as("_i"), col("a").as("_j")))
     val deg = und.groupBy("_i").agg(count(lit(1)).as("_deg"))

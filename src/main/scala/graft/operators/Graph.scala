@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.LineageCutOps
 
 /** Iterative graph centrality in EXACT fixed-point integer arithmetic —
   * the crawl-graph quality-weighting op of web-corpus curation
@@ -13,8 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per iteration ONE edges⋈ranks join (id-keyed shuffle of
   * O(|E|) rows) and one dst-keyed partial-agg sum, exactly the
-  * [[Dedup.clusters]] convergence-join shape; `localCheckpoint` cuts
-  * the growing lineage each round. Degrees are computed once.
+  * [[Dedup.clusters]] convergence-join shape; [[Checkpoints.LineageCutOps
+  * cutLineage]] cuts the growing lineage each round (reliable
+  * `checkpoint` under `spark.graft.checkpoint.reliable=true`). Degrees are computed once.
   */
 object Graph {
 
@@ -50,7 +52,7 @@ object Graph {
         .select(col("_id"),
           (lit(base) +
             expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("_r"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
@@ -95,7 +97,7 @@ object Graph {
         .select(col("_id"), col("_b"),
           (col("_b") +
             expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("_r"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
@@ -131,12 +133,12 @@ object Graph {
         .groupBy(col("dst")).agg(sum("_h").as("_ar"))
       val amax = maxDiv(aRaw, "_ar")
       auths = aRaw.select(col("dst").as("_id"),
-        expr(s"_ar div ${amax}L").as("_a")).localCheckpoint(false)
+        expr(s"_ar div ${amax}L").as("_a")).cutLineage(false)
       val hRaw = e.join(auths, e("dst") === auths("_id"))
         .groupBy(col("src")).agg(sum("_a").as("_hr"))
       val hmax = maxDiv(hRaw, "_hr")
       hubs = hRaw.select(col("src").as("_id"),
-        expr(s"_hr div ${hmax}L").as("_h")).localCheckpoint(false)
+        expr(s"_hr div ${hmax}L").as("_h")).cutLineage(false)
     }
     val out = hubs.join(auths, Seq("_id"), "full_outer")
       .select(col("_id").as("node"),
@@ -249,7 +251,7 @@ object Graph {
       und = und.join(keep, Seq("x"), "left_semi")
         .join(keep.select(col("x").as("y")), Seq("y"), "left_semi")
         .select(col("x"), col("y"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
     und.groupBy("x").agg(count(lit(1)).as("degree"))
       .select(col("x").as("node"), col("degree"))
@@ -298,7 +300,7 @@ object Graph {
         .select(col("_id"),
           (lit(base) +
             expr(s"($dampNum * coalesce(_in, 0L)) div $dampDen")).as("_r"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
@@ -327,7 +329,7 @@ object Graph {
       val nd = und.join(dist, und("x") === dist("_id"))
         .select(col("y").as("_id"), (col("_d") + 1L).as("_d"))
       dist = dist.union(nd).groupBy("_id").agg(min("_d").as("_d"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
     dist.select(col("_id").as(idCol), col("_d").as("dist"))
   }
@@ -418,8 +420,122 @@ object Graph {
           col("_l").as("_nl"))
       lab = lab.join(best, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_nl"), col("_l")).as("_l"))
-        .localCheckpoint(false)
+        .cutLineage(false)
     }
+    lab.select(col("_id").as(idCol), col("_l").as("label"))
+  }
+
+  /** Synchronous Louvain-style modularity local move (Blondel et al.
+    * 2008, phase 1), made DETERMINISTIC and EXACT-INTEGER: every node
+    * starts as its own community; each round every node simultaneously
+    * evaluates moving to each neighboring community and takes the one
+    * with the best modularity gain. The Louvain gain comparison
+    *
+    *   ΔQ(i→c) ∝ k_i→c / m  −  k_i · Σtot'(c) / (2m²)
+    *
+    * is decided by the cross-multiplied integer score
+    *
+    *   score(c) = 2m · k_i→c − k_i · Σtot'(c)
+    *
+    * where k_i→c = edges from i into c, Σtot'(c) = total degree of c
+    * MINUS k_i when c is i's current community (the self-exclusion of
+    * the published formula), and m = edge count — all exact integers
+    * (Decimal(38,0) products, overflow-free at any graph size), so the
+    * argmax is engine- and layout-stable with no float anywhere. A node
+    * moves only when the best score STRICTLY beats its current
+    * community's score (ties keep the node put; among equal best
+    * targets the smallest community label wins) — the determinism
+    * contract that replaces the paper's sequential random node order,
+    * at the price of possible 2-cycles on symmetric structures, so
+    * `rounds` is fixed, not a convergence promise (the
+    * [[labelPropagation]] contract).
+    *
+    * Where [[labelPropagation]] moves to the most COMMON neighbor
+    * label, this op weighs each candidate against the degree mass it
+    * would join — hubs stop absorbing everything once Σtot grows, the
+    * modularity null model at work. Chain [[modularity]] on the result
+    * to read the achieved Q off its exact sufficient statistics.
+    *
+    * Simultaneous moves of ALL nodes would let symmetric pairs swap
+    * communities forever (i adopts j's community while j adopts i's —
+    * the 2-cycle above, every round). The standard distributed-Louvain
+    * mitigation applies: rounds alternate between two node phases
+    * (`phaseCol` parity — default a hash parity of the id; pass an
+    * explicit parity column over the internal `_id` node column, e.g.
+    * `pmod(col("_id"), lit(2))`, for engine-replicable runs), so a node
+    * and its neighbor never move in the same round and singleton
+    * attractors drain instead of ping-ponging.
+    *
+    * Scale shape, per round: ONE edges⋈labels join (O(|E|) rows) into
+    * a (node, community) partial-agg count, a degree-mass groupBy of
+    * O(|V|) rows, and an argmax window per node over its ≤degree
+    * candidate communities — never global; lineage cut each round.
+    * Returns (idCol, label). */
+  def louvainRounds(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      rounds: Int, aCol: String = "a", bCol: String = "b",
+      phaseCol: Column = null): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e0 = pairs
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .cache()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("_k")).cache()
+    val m2 = lit(und.count()) // = 2m (each edge counted both ways)
+    val phase = Option(phaseCol).getOrElse(pmod(xxhash64(col("_id")), lit(2)))
+    var lab = nodes.select(col(idCol).as("_id")).distinct()
+      .withColumn("_l", col("_id"))
+      .withColumn("_ph", phase)
+    for (round <- 0 until rounds) {
+      // k_i→c over current labels (candidate = every neighboring community)
+      val kin = und.join(lab.select(col("_id").as("y"), col("_l")), "y")
+        .groupBy(col("x"), col("_l")).agg(count(lit(1)).as("_kin"))
+      // Σtot per community
+      val tot = lab.join(deg, lab("_id") === deg("x"), "left")
+        .groupBy("_l").agg(sum(coalesce(col("_k"), lit(0L))).as("_tot"))
+      // ensure the CURRENT community is always a candidate (k_i→cur may
+      // be 0 when no neighbor shares it)
+      val cur = lab.select(col("_id").as("x"), col("_l").as("_lcur"))
+      val kinCur = kin.join(cur, "x") // (x, _l, _kin, _lcur)
+      val curMissing = cur
+        .join(kinCur.where(col("_l") === col("_lcur")).select("x"),
+          Seq("x"), "left_anti")
+        .select(col("x"), col("_lcur").as("_l"), lit(0L).as("_kin"),
+          col("_lcur"))
+      val cand = kinCur.unionByName(curMissing)
+      val scored = cand
+        .join(deg, "x")
+        .join(tot, "_l")
+        .select(col("x"), col("_l"), col("_lcur"),
+          (m2.cast("decimal(38,0)") * col("_kin") -
+            col("_k").cast("decimal(38,0)") *
+              (col("_tot") - when(col("_l") === col("_lcur"), col("_k"))
+                .otherwise(lit(0L)))).as("_score"))
+      val w = Window.partitionBy(col("x"))
+        .orderBy(col("_score").desc, col("_l").asc)
+      val best = scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("x"), col("_l").as("_lbest"), col("_score").as("_sbest"))
+      val curScore = scored.where(col("_l") === col("_lcur"))
+        .select(col("x"), col("_score").as("_scur"))
+      val moved = best.join(curScore, "x")
+        .join(cur, "x")
+        .select(col("x").as("_id"),
+          when(col("_sbest") > col("_scur"), col("_lbest"))
+            .otherwise(col("_lcur")).as("_l"))
+      // isolated nodes have no scored row, and only this round's phase
+      // may move — everyone else keeps their label
+      lab = lab.join(moved, Seq("_id"), "left")
+        .select(lab("_id"),
+          when(lab("_ph") === lit(round % 2),
+            coalesce(moved("_l"), lab("_l"))).otherwise(lab("_l")).as("_l"),
+          lab("_ph"))
+        .cutLineage(false)
+    }
+    und.unpersist()
+    deg.unpersist()
     lab.select(col("_id").as(idCol), col("_l").as("label"))
   }
 }

@@ -422,8 +422,19 @@ object GroupOps {
   def negativeSamples(positives: DataFrame, userCol: String,
       itemCol: String, kNeg: Int, seed: Long): DataFrame = {
     require(kNeg >= 1 && kNeg <= 256, s"kNeg must be in [1, 256], got $kNeg")
-    val pos = positives.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+    // the draw key is user·2^8 + j: user ids ≥ 2^55 would silently wrap
+    // (key collisions → correlated draws) and non-integral user columns
+    // would mis-pack — the same loud in-plan guard as poissonBootstrap
+    // and skipGramPairs
+    val maxUser = Long.MaxValue >> 8
+    val pos = positives
+      .select(col(userCol).cast("long").as("_u"), col(itemCol).as("_i"))
       .where(col("_u").isNotNull && col("_i").isNotNull)
+      .select(when(col("_u") < 0 || col("_u") > maxUser,
+          raise_error(concat(lit("negativeSamples user id out of " +
+            s"[0, 2^55) packing range: "), col("_u").cast("string"))))
+          .otherwise(col("_u")).as("_u"),
+        col("_i"))
     val range = broadcast(pos.agg(min("_i").as("_lo"), max("_i").as("_hi")))
     val draws = pos.select(col("_u")).distinct()
       .withColumn("draw", explode(sequence(lit(0L), lit(kNeg - 1L))))

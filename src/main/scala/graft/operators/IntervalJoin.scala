@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Exact floor division for longs (Spark's `/` on longs truncates
-    * toward zero; pmod makes it a true floor for negative starts). */
+  /** Exact floor division for longs. Integer `div`, not Column `/`:
+    * `/` is double division, and for |c| ≥ 2^53 (nanosecond epochs are
+    * ~1.7e18) the quotient can round to the adjacent bucket — an
+    * off-by-one on one side's b1/b2 breaks blocking completeness. pmod
+    * makes the `div` a true floor for negative starts. */
   private def bdiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w)).cast("long")
 
   /** All (left, right) pairs with equal `keys` whose closed intervals
     * [lStart, lEnd] and [rStart, rEnd] intersect (touching endpoints

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.LineageCutOps
 
 import graft.functions.fnv64
 
@@ -84,8 +85,8 @@ object Plsa {
         .select(col("z"), col("w"),
           expr("CAST((_s * 1000000) div _tot AS BIGINT)").as("p"))
 
-      theta = pack(thetaFromEx(ex), "d", "z", "t", "th").localCheckpoint(false)
-      phi = pack(ph, "w", "z", "p", "ph").localCheckpoint(false)
+      theta = pack(thetaFromEx(ex), "d", "z", "t", "th").cutLineage(false)
+      phi = pack(ph, "w", "z", "p", "ph").cutLineage(false)
     }
 
     Model(unpack(theta, "d", "th", "z", "t"),
@@ -111,7 +112,7 @@ object Plsa {
       .withColumn("th", array_repeat(lit(1000000L / k), k))
     for (_ <- 0 until iters) {
       theta = pack(thetaFromEx(eStep(tok, theta, phiArr, k)),
-        "d", "z", "t", "th").localCheckpoint(false)
+        "d", "z", "t", "th").cutLineage(false)
     }
     unpack(theta, "d", "th", "z", "t")
   }
@@ -133,7 +134,7 @@ object Plsa {
           expr("_nz * 1000000 div _den"))
         .otherwise(lit(1000000L / k)))
       .withColumn("_cr", (col("_r") * col("c")).cast("decimal(38,0)"))
-      .localCheckpoint(false)
+      .cutLineage(false)
 
   /** M-step θ': per-doc topic mass, normalized over the K rows. */
   private def thetaFromEx(ex: DataFrame): DataFrame =

@@ -285,15 +285,25 @@ class DedupTextSpec extends SparkSuite {
     assert(got(1) > got(2)); assert(got(1) > got(3))
   }
 
-  test("jaccardPairs maxDocFreq drops hot-token postings (superset stays exact)") {
-    // 'the' appears in 3 docs; capping df at 2 removes its postings but
-    // near-dup pairs still surface through their other shared tokens
+  test("jaccardPairs maxDocFreq is exact on the hot-filtered universe") {
+    // 'the' (df=3) is hot at maxDocFreq=2 and sits in doc 1 only of the
+    // near-dup pair (1,2). Unfiltered J(1,2) = 2/4 = 0.5 < 0.6; on the
+    // hot-filtered universe J = 2/3 >= 0.6. The old biased shape kept the
+    // hot token in the set sizes (J = 2/(3+3-2) = 0.5) and silently
+    // missed exactly this near-threshold pair.
+    val d = Seq((1L, "the x y"), (2L, "x y w"), (3L, "the foo"),
+      (4L, "the bar")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(d, "doc_id", "text", 0.6, ngram = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!uncapped.contains((1L, 2L)))
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", 0.6, ngram = 1,
+      maxDocFreq = 2).as[(Long, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(math.abs(capped.head._3 - 2.0 / 3.0) < 1e-9)
+    // docs 3,4 share ONLY the hot token: filtered out entirely, no pair
+    // a generous cap changes nothing
     val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1,
-      maxDocFreq = 2).select("a", "b").as[(Long, Long)].collect().toSet
-    assert(capped.subsetOf(full))
-    // a generous cap changes nothing
     val loose = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, ngram = 1,
       maxDocFreq = 1000).select("a", "b").as[(Long, Long)].collect().toSet
     assert(loose == full)

@@ -282,4 +282,32 @@ class GraphSpec extends SparkSuite {
       rounds = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got7 == got)
   }
+
+  test("louvainRounds: modularity local move merges triangles, phases stop swaps") {
+    // the labelPropagation graph: two triangles over a thin bridge + an
+    // isolated node; explicit id-parity phases for the hand trace
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
+    val got = Graph.louvainRounds(g, nodes, "id", rounds = 3,
+        phaseCol = pmod(col("_id"), lit(2)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced: round 0 (even ids move): 2→c1 (score 14−2·2=10 beats
+    // c3's 8), 4→c5 (ties c5/c6 at 8, smaller label), 6→c5; round 1
+    // (odd): 3 joins c1 (2·14−3·4=16 > stay 0), 1 and 5 stay; round 2:
+    // fixed point — each triangle is one community, isolated 7 keeps 7
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // the achieved partition is modularity-positive and layout-stable
+    val q = Graph.modularity(g, Graph.louvainRounds(g.repartition(5),
+        nodes, "id", rounds = 3, phaseCol = pmod(col("_id"), lit(2))),
+      "id", "label").select("q").as[Double].head()
+    assert(q > 0.3, s"expected dense two-community Q, got $q")
+    // default hash-parity phases: deterministic across runs and layouts
+    val d1 = Graph.louvainRounds(g, nodes, "id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d2 = Graph.louvainRounds(g.repartition(7), nodes, "id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == d2)
+  }
 }
