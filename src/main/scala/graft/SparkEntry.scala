@@ -3555,6 +3555,58 @@ object SparkEntry {
         rounds = 2, phaseCol = pmod(col("_id"), lit(2)))
       .orderBy("vec_id")
 
+  // Shuffle-skew pre-flight (Quality.skewReport): the top-8 heaviest
+  // (status, priority) keys with exact ppm shares — the report that
+  // decides salting/AQE-skew-join before a 100 TB shuffle; top-N is a
+  // TakeOrdered, never a global sort.
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    Quality.skewReport(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), topN = 8)
+
+  // Fleiss' kappa (Evaluate.fleissKappa): three deterministic heuristic
+  // "raters" bucket every doc (two char-length bands, one token-count
+  // band) — chance-corrected multi-rater agreement in exact rational
+  // arithmetic; the gate carries the integer sufficient statistics and
+  // the exact kappa_num/kappa_den pair (κ itself is their one float
+  // quotient, left out per the float-gate rule).
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val ratings = d.select(col("doc_id"), explode(array(
+        struct(lit(1L).as("rater"),
+          least(expr("n_chars div 150"), lit(4L)).as("cat")),
+        struct(lit(2L).as("rater"),
+          least(expr("length(text) div 160"), lit(4L)).as("cat")),
+        struct(lit(3L).as("rater"),
+          least(call_function("div",
+            TextFunctions.tokenCount(col("text")).cast("long"), lit(30L)),
+            lit(4L)).as("cat")))).as("e"))
+      .select(col("doc_id"), col("e.rater"), col("e.cat"))
+    Evaluate.fleissKappa(ratings, col("doc_id"), col("rater"), col("cat"))
+      .select("n_subjects", "r", "k_cats", "s2", "sum_c2",
+        "kappa_num", "kappa_den")
+  }
+
+  // Fellegi-Sunter entity resolution (Linkage.patternCounts): even- vs
+  // odd-key customers blocked on nation, three agreement fields
+  // (segment, name tens digit, balance band) — the bit-packed
+  // agreement-pattern rollup an F-S EM fits on, exact integers, with
+  // the hot-block valve EXERCISED (maxBlock=25 drops the big nations;
+  // the oracle replays the drop).
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def fieldSet = Seq(
+      ("segment", col("c_mktsegment"), col("c_mktsegment")),
+      ("name_tens", substring(col("c_name"), 17, 1),
+        substring(col("c_name"), 17, 1)),
+      ("bal_band", floor(col("c_acctbal") / 1000),
+        floor(col("c_acctbal") / 1000)))
+    Linkage.patternCounts(
+      c.where(col("c_custkey") % 2 === 0),
+      c.where(col("c_custkey") % 2 === 1),
+      col("c_nationkey"), col("c_nationkey"), fieldSet, maxBlock = 25)
+      .orderBy("pattern")
+  }
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4162,7 +4214,10 @@ object SparkEntry {
     "q267_robust_z" -> (q267 _),
     "q268_cross_correlation" -> (q268 _),
     "q269_sql_pipeline" -> (q269 _),
-    "q270_louvain" -> (q270 _))
+    "q270_louvain" -> (q270 _),
+    "q271_skew_report" -> (q271 _),
+    "q272_fleiss_kappa" -> (q272 _),
+    "q273_linkage_patterns" -> (q273 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10135,7 +10190,78 @@ object SparkEntry {
          lab0 AS (SELECT vec_id, vec_id AS l FROM embeddings),
          ${louvainRoundCte("lab0", "lab1", 0)},
          ${louvainRoundCte("lab1", "lab2", 1)}
-         SELECT vec_id, l AS label FROM lab2 ORDER BY vec_id"""
+         SELECT vec_id, l AS label FROM lab2 ORDER BY vec_id""",
+
+    // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
+    // with (cnt desc, key asc) tie order, exact ppm shares
+    "q271_skew_report" ->
+      """WITH c AS (SELECT o_orderstatus || '|' || o_orderpriority AS key,
+             count(*) AS cnt
+           FROM orders GROUP BY 1),
+         s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             count(*) AS n_keys FROM c),
+         t AS (SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+           FROM c)
+         SELECT CAST(rank AS INTEGER) AS rank, key, cnt,
+           CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+           total, n_keys
+         FROM t CROSS JOIN s WHERE rank <= 8 ORDER BY rank""",
+
+    // q272: the three heuristic raters replayed (char bands + the
+    // shared token regex), n_ij counts, exact HUGEINT kappa fraction
+    "q272_fleiss_kappa" ->
+      """WITH tok AS (SELECT doc_id, n_chars, length(text) AS lc,
+             len(list_filter(string_split_regex(lower(text),
+               '[^a-z0-9]+'), x -> x <> '')) AS nt
+           FROM documents),
+         rt AS (
+           SELECT doc_id AS s, 1 AS r, least(n_chars // 150, 4) AS j
+             FROM tok
+           UNION ALL SELECT doc_id, 2, least(lc // 160, 4) FROM tok
+           UNION ALL SELECT doc_id, 3, least(nt // 30, 4) FROM tok),
+         nij AS (SELECT s, j, count(*) AS nij FROM rt GROUP BY s, j),
+         s2a AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+             CAST(sum(nij * nij) AS BIGINT) AS s2 FROM nij),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS k_cats,
+             sum(CAST(c AS HUGEINT) * c) AS sum_c2
+           FROM (SELECT j, sum(nij) AS c FROM nij GROUP BY j))
+         SELECT n_subjects, CAST(3 AS BIGINT) AS r, k_cats, s2, sum_c2,
+           (CAST(s2 AS HUGEINT) - n_subjects * 3) * (n_subjects * 3)
+             - sum_c2 * 2 AS kappa_num,
+           (CAST(n_subjects * 3 AS HUGEINT) * (n_subjects * 3) - sum_c2)
+             * 2 AS kappa_den
+         FROM s2a CROSS JOIN ca""",
+
+    // q273: blocked pair join with the hot-block valve replayed (either
+    // side > 25 in a nation drops the block), three field-agreement
+    // bits packed little-endian in field order
+    "q273_linkage_patterns" ->
+      """WITH l AS (SELECT c_nationkey AS blk, c_mktsegment AS f0,
+             substring(c_name, 17, 1) AS f1,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS f2
+           FROM customer WHERE c_custkey % 2 = 0),
+         r AS (SELECT c_nationkey AS blk, c_mktsegment AS f0,
+             substring(c_name, 17, 1) AS f1,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS f2
+           FROM customer WHERE c_custkey % 2 = 1),
+         cl AS (SELECT blk, count(*) AS nl FROM l GROUP BY 1),
+         cr AS (SELECT blk, count(*) AS nr FROM r GROUP BY 1),
+         hot AS (SELECT coalesce(cl.blk, cr.blk) AS blk
+           FROM cl FULL JOIN cr ON cl.blk = cr.blk
+           WHERE coalesce(nl, 0) > 25 OR coalesce(nr, 0) > 25),
+         lv AS (SELECT * FROM l WHERE blk NOT IN (SELECT blk FROM hot)),
+         rv AS (SELECT * FROM r WHERE blk NOT IN (SELECT blk FROM hot)),
+         p AS (SELECT
+             (CASE WHEN lv.f0 IS NOT NULL AND rv.f0 IS NOT NULL
+                    AND lv.f0 = rv.f0 THEN 1 ELSE 0 END)
+           + (CASE WHEN lv.f1 IS NOT NULL AND rv.f1 IS NOT NULL
+                    AND lv.f1 = rv.f1 THEN 2 ELSE 0 END)
+           + (CASE WHEN lv.f2 IS NOT NULL AND rv.f2 IS NOT NULL
+                    AND lv.f2 = rv.f2 THEN 4 ELSE 0 END) AS pattern
+           FROM lv JOIN rv USING (blk))
+         SELECT CAST(pattern AS BIGINT) AS pattern, count(*) AS n_pairs
+         FROM p GROUP BY 1 ORDER BY 1"""
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

@@ -2449,4 +2449,60 @@ object Evaluate {
         col("num").cast("double") / col("den").cast("double")))
       .select("k", "n_subjects", "num", "den", "q")
   }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement of r
+    * raters assigning N subjects to k categories — [[cohensKappa]]'s
+    * many-rater generalization, the label-quality readout when several
+    * heuristic annotators (or model versions) tag the same corpus.
+    * Exact rational arithmetic end to end: with n_ij = raters putting
+    * subject i in category j, S2 = Σ_ij n_ij² and C_j = Σ_i n_ij,
+    *
+    *   κ = [(S2 − Nr)·Nr − ΣC_j²·(r−1)] / [((Nr)² − ΣC_j²)·(r−1)]
+    *
+    * — numerator and denominator are exact Decimal(38,0) integers
+    * (overflow-free at any corpus size), κ the ONE float at the end.
+    * Every subject must be rated exactly once by each of the r raters
+    * (loud require, the [[cochranQ]] completeness contract).
+    *
+    * Scale shape: one (subject, category) groupBy count of O(N·r)
+    * rows partial-agg'd map-side, one ≤k-row category rollup, one
+    * subject-completeness check — no windows, no driver data beyond
+    * the bounded requires. Returns one row
+    * (n_subjects, r, k_cats, s2, sum_c2, kappa_num, kappa_den, kappa). */
+  def fleissKappa(df: DataFrame, subject: Column, rater: Column,
+      category: Column): DataFrame = {
+    val base = df.select(subject.as("_s"), rater.as("_r"),
+        category.as("_j"))
+      .where(col("_s").isNotNull && col("_r").isNotNull &&
+        col("_j").isNotNull)
+    val r = base.select(countDistinct("_r")).first().getLong(0)
+    require(r >= 2, s"fleissKappa needs >= 2 raters, got $r")
+    val perSubject = base.groupBy("_s").agg(count(lit(1)).as("_cnt"),
+      countDistinct("_r").as("_dr"))
+    val bad = perSubject
+      .where(col("_cnt") =!= r || col("_dr") =!= r).limit(1).count()
+    require(bad == 0L,
+      s"fleissKappa: every subject needs exactly one rating from each of $r raters")
+    val nij = base.groupBy("_s", "_j").agg(count(lit(1)).as("_nij"))
+    val s2agg = nij.agg(count(lit(1)).as("_cells"),
+      coalesce(sum(col("_nij") * col("_nij")), lit(0L)).as("s2"),
+      countDistinct("_s").as("n_subjects"))
+    val cats = nij.groupBy("_j")
+      .agg(coalesce(sum("_nij"), lit(0L)).as("_c"))
+      .agg(count(lit(1)).as("k_cats"),
+        coalesce(sum(col("_c").cast("decimal(38,0)") * col("_c")),
+          lit(0L).cast("decimal(38,0)")).as("sum_c2"))
+    val nr = col("n_subjects").cast("decimal(38,0)") * lit(r)
+    s2agg.crossJoin(cats)
+      .withColumn("r", lit(r))
+      .withColumn("kappa_num",
+        ((col("s2").cast("decimal(38,0)") - nr) * nr -
+          col("sum_c2") * lit(r - 1L)).cast("decimal(38,0)"))
+      .withColumn("kappa_den",
+        ((nr * nr - col("sum_c2")) * lit(r - 1L)).cast("decimal(38,0)"))
+      .withColumn("kappa", when(col("kappa_den") =!= lit(0L),
+        col("kappa_num").cast("double") / col("kappa_den").cast("double")))
+      .select("n_subjects", "r", "k_cats", "s2", "sum_c2",
+        "kappa_num", "kappa_den", "kappa")
+  }
 }

@@ -317,4 +317,38 @@ object Quality {
           .as("violations"))
       .select(lit(rule).as("rule"), col("n"), col("violations"))
   }
+
+  /** Shuffle-skew diagnostics over a grouping key — the pre-flight
+    * report that decides salting / AQE skew-join / broadcast BEFORE a
+    * 100 TB `groupBy`/`join` on that key: exact per-key counts, the
+    * `topN` heaviest keys with their exact ppm share of all rows, and
+    * the dataset totals (total rows, distinct keys) on every row for
+    * context. Multi-column keys are joined with `"|"` (nulls read as
+    * empty — the concat_ws rule; disambiguate upstream if '|' can
+    * occur in values).
+    *
+    * Scale shape: ONE map-side-combined groupBy count over the key,
+    * then top-N as a TakeOrdered (bounded per-partition heaps — never
+    * a global sort shuffle) and a broadcast one-row total; the final
+    * rank window runs over the ≤ topN selected rows only. Ties break
+    * by key ascending, so the report is layout- and engine-stable.
+    * Returns (rank, key, cnt, share_ppm, total, n_keys). */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+      topN: Int): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs >= 1 key column")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val counts = df.select(key.as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      coalesce(sum("cnt"), lit(0L)).as("total"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    top.crossJoin(broadcast(stats))
+      .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key").asc)))
+      .select("rank", "key", "cnt", "share_ppm", "total", "n_keys")
+  }
 }

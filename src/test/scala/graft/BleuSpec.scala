@@ -837,4 +837,32 @@ class BleuSpec extends SparkSuite {
         col("s"), col("j"), col("y")).head
     }
   }
+
+  test("fleissKappa: hand kappa fraction, perfect agreement = 1, incomplete rejected") {
+    // 4 subjects x 3 raters x 2 cats: n = (3,0),(0,3),(2,1),(1,2)
+    // S2 = 28, C = (6,6), Pbar = 2/3, Pe = 1/2, kappa = 1/3 = 48/144
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "b"), (2L, 3L, "b"),
+      (3L, 1L, "a"), (3L, 2L, "a"), (3L, 3L, "b"),
+      (4L, 1L, "a"), (4L, 2L, "b"), (4L, 3L, "b"))
+    val r = Evaluate.fleissKappa(rows.toDF("s", "r", "j"),
+      col("s"), col("r"), col("j")).head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 28L)
+    assert(r.getDecimal(4).longValueExact == 72L)
+    assert(r.getDecimal(5).longValueExact == 48L)
+    assert(r.getDecimal(6).longValueExact == 144L)
+    assert(math.abs(r.getDouble(7) - 1.0 / 3.0) < 1e-15)
+    // unanimous raters: kappa exactly 1
+    val perfect = Evaluate.fleissKappa(rows.take(6).toDF("s", "r", "j"),
+      col("s"), col("r"), col("j")).head
+    assert(perfect.getDouble(7) === 1.0)
+    // subject 5 rated by only two raters: loud completeness failure
+    val incomplete = rows ++ Seq((5L, 1L, "a"), (5L, 2L, "a"))
+    assertThrows[IllegalArgumentException] {
+      Evaluate.fleissKappa(incomplete.toDF("s", "r", "j"),
+        col("s"), col("r"), col("j")).head
+    }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+
+/** Fellegi-Sunter record linkage: hand-computed u-probabilities and
+  * log2 weights, null-field semantics, hot-block valve, pattern
+  * packing. */
+class LinkageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fields2 = Seq(
+    ("tag", col("f0"), col("f0")),
+    ("grp", col("f1"), col("f1")))
+
+  test("scorePairs: exact u collision mass, hand log2 weights, patterns") {
+    val left = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("id", "f0", "f1")
+      .withColumn("blk", lit(0))
+    val right = Seq((3L, "x", "A"), (4L, "x", "C")).toDF("id", "f0", "f1")
+      .withColumn("blk", lit(0))
+    // u(f0): collisions x:1·2=2 over 2·2 pairs = 0.5
+    // u(f1): collisions A:1·1=1 over 4 = 0.25; m = 0.9 both
+    val m = 0.9
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val wA0 = lg2(m / 0.5); val wD0 = lg2((1 - m) / 0.5)
+    val wA1 = lg2(m / 0.25); val wD1 = lg2((1 - m) / 0.75)
+    val got = Linkage.scorePairs(left, right, "id", "id",
+        col("blk"), col("blk"), fields2, Seq(900000L, 900000L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == 4)
+    val (p13, n13, w13) = got((1L, 3L)) // agree both
+    assert(p13 == 3L && n13 == 2L)
+    assert(math.abs(w13 - (wA0 + wA1)) < 1e-12)
+    val (p14, n14, w14) = got((1L, 4L)) // f0 agrees, f1 differs
+    assert(p14 == 1L && n14 == 1L)
+    assert(math.abs(w14 - (wA0 + wD1)) < 1e-12)
+    val (p23, _, w23) = got((2L, 3L)) // neither agrees
+    assert(p23 == 0L)
+    assert(math.abs(w23 - (wD0 + wD1)) < 1e-12)
+  }
+
+  test("scorePairs: null field never agrees, blocks partition candidates") {
+    val left = Seq((1L, Some("x"), 0), (2L, None, 1)).toDF("id", "f0", "blk")
+    val right = Seq((3L, Some("x"), 0), (4L, None, 1)).toDF("id", "f0", "blk")
+    val fields = Seq(("tag", col("f0"), col("f0")))
+    val got = Linkage.scorePairs(left, right, "id", "id",
+        col("blk"), col("blk"), fields, Seq(900000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // only same-block pairs exist; null = null does NOT agree
+    assert(got == Map((1L, 3L) -> 1L, (2L, 4L) -> 0L))
+  }
+
+  test("patternCounts: rollup matches scorePairs, valve drops hot blocks") {
+    val left = (1L to 30L).map(i => (i, s"v${i % 3}", i % 2))
+      .toDF("id", "f0", "blk")
+    val right = (31L to 60L).map(i => (i, s"v${i % 3}", i % 2))
+      .toDF("id", "f0", "blk")
+    val fields = Seq(("tag", col("f0"), col("f0")))
+    val full = Linkage.patternCounts(left, right, col("blk"), col("blk"),
+        fields)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byScore = Linkage.scorePairs(left, right, "id", "id",
+        col("blk"), col("blk"), fields, Seq(500000L))
+      .groupBy("pattern").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == byScore)
+    assert(full.values.sum == 2L * 15L * 15L) // two blocks of 15×15
+    // valve: both blocks have 15 rows per side -> maxBlock 10 drops all
+    val valved = Linkage.patternCounts(left, right, col("blk"), col("blk"),
+      fields, maxBlock = 10)
+    assert(valved.count() == 0L)
+  }
+}

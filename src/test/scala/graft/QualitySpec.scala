@@ -326,4 +326,23 @@ class QualitySpec extends SparkSuite {
       .head
     assert(fk.getLong(1) == 4L && fk.getLong(2) == 2L) // orphan 9 + null
   }
+
+  test("skewReport: exact counts/shares, (cnt desc, key asc) tie order, topN cap") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 1),
+      ("c", 3), ("d", 3)).toDF("g", "h")
+    val got = Quality.skewReport(df, Seq("g", "h"), topN = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // counts: a|1=2, b|1=2, a|2=1, c|3=1, d|3=1; total 7, 5 keys;
+    // ties: a|1 before b|1 (key asc), then a|2 (smallest key of the 1s)
+    assert(got.toSeq == Seq(
+      (1, "a|1", 2L, 285714L, 7L, 5L),
+      (2, "b|1", 2L, 285714L, 7L, 5L),
+      (3, "a|2", 1L, 142857L, 7L, 5L)))
+    // layout invariance
+    val got5 = Quality.skewReport(df.repartition(5), Seq("g", "h"), 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got5.toSeq == Seq((1, "a|1"), (2, "b|1"), (3, "a|2")))
+  }
 }
