@@ -3607,6 +3607,32 @@ object SparkEntry {
       .orderBy("pattern")
   }
 
+  // Exact-integer Johnson-Lindenstrauss knn (Ann.jlProject): 64-d
+  // floats → 16-d ±1-sign sketch over ppm-quantized components — every
+  // projection, distance and rank is order-free integer arithmetic, so
+  // the whole funnel (the cheap first pass of a JL→rerank pipeline, or
+  // a sign-bucket blocking key) gates bit-for-bit; the oracle rebuilds
+  // the splitmix sign table and replays the quantized sums in HUGEINT.
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{topk_by_distance => topk}
+    val proj = Ann.jlProject(t(s, dir, "embeddings"), "vec_id",
+      "embedding", outDim = 16, seed = 7L, quantScale = 100000L)
+    val q = proj.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("jl").as("qv"))
+    val dist = aggregate(zip_with(col("qv"), col("dv"),
+      (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+    proj.select(col("vec_id").as("id"), col("jl").as("dv"))
+      .crossJoin(broadcast(q)).where(col("id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(topk(dist.cast("double"), col("id"), 10).as("tk"))
+      .select(col("qid").as("query_id"),
+        posexplode(col("tk")).as(Seq("pos", "h")))
+      .select(col("query_id"), col("h.value").as("doc_id"),
+        col("h.distance").cast("long").as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // Data-contract expectations (Quality.expectRows/expectUnique/
   // expectForeignKey): the nightly pre-promotion validation report —
   // row rules in one conditional-sum pass, duplicate mass, FK orphans.
@@ -4217,7 +4243,8 @@ object SparkEntry {
     "q270_louvain" -> (q270 _),
     "q271_skew_report" -> (q271 _),
     "q272_fleiss_kappa" -> (q272 _),
-    "q273_linkage_patterns" -> (q273 _))
+    "q273_linkage_patterns" -> (q273 _),
+    "q274_jl_knn" -> (q274 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10261,7 +10288,41 @@ object SparkEntry {
                     AND lv.f2 = rv.f2 THEN 4 ELSE 0 END) AS pattern
            FROM lv JOIN rv USING (blk))
          SELECT CAST(pattern AS BIGINT) AS pattern, count(*) AS n_pairs
-         FROM p GROUP BY 1 ORDER BY 1"""
+         FROM p GROUP BY 1 ORDER BY 1""",
+
+    // q274: the splitmix chain rebuilds the (j,t) sign table; quantized
+    // components and all distances are integer sums (order-free), ranks
+    // replay TopKByDistance's (dist, id) order
+    "q274_jl_knn" -> {
+      s"""WITH comp AS (SELECT vec_id, g.i AS j,
+             CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 100000)
+               AS BIGINT) AS vq
+           FROM embeddings,
+             unnest(range(0, len(embedding))) AS g(i)),
+         jt AS (SELECT d.j, t.i AS t, d.j * 16 + t.i AS key
+           FROM (SELECT DISTINCT j FROM comp) d, range(0, 16) t(i)),
+         ${splitmixChainSql("j, t", 7L, from = "jt", key = "key",
+            prefix = "sm")},
+         signs AS (SELECT j, t,
+             CASE WHEN ((rk % 2) + 2) % 2 = 0 THEN 1 ELSE -1 END AS sg
+           FROM smranked),
+         proj AS (SELECT c.vec_id, s.t,
+             CAST(sum(s.sg * c.vq) AS BIGINT) AS p
+           FROM comp c JOIN signs s ON c.j = s.j
+           GROUP BY c.vec_id, s.t),
+         q AS (SELECT vec_id AS qid, t, p FROM proj WHERE vec_id < 5),
+         dd AS (SELECT q.qid, proj.vec_id AS id,
+             sum(CAST(q.p - proj.p AS HUGEINT) * (q.p - proj.p)) AS dist2
+           FROM q JOIN proj ON q.t = proj.t AND proj.vec_id <> q.qid
+           GROUP BY q.qid, proj.vec_id),
+         r AS (SELECT qid AS query_id, id, dist2,
+             row_number() OVER (PARTITION BY qid ORDER BY dist2, id)
+               AS rank
+           FROM dd)
+         SELECT query_id, id AS doc_id, CAST(dist2 AS BIGINT) AS dist2,
+           CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+    }
   )
 
   /** q178/q179's oracle core: the complete fixed-point PLSA fit

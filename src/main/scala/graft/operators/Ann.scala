@@ -1454,4 +1454,46 @@ object Ann {
       sel.map(s => org.apache.spark.sql.Row(s._1, s._2, s._3)).asJava,
       schema)
   }
+
+  /** Johnson-Lindenstrauss sign projection as an EXACT-INTEGER sketch:
+    * components are quantized to `quantScale` fixed-point longs
+    * (round(x·scale) — float32→double is exact, one deterministic
+    * rounding), then projected to `outDim` dimensions with ±1 signs
+    * drawn from the splitmix64 parity of (j·outDim + t) + seed — the
+    * engine-portable hash chain every sampling op here uses. Each
+    * output coordinate is an INTEGER sum, so projections, distances
+    * and rankings in the sketch space are order-free and bit-identical
+    * on any engine/layout — the property that makes JL sketches safe
+    * as BLOCKING keys (sign buckets, dedup prefilters) and as a cheap
+    * first-pass distance for rerank funnels, per the JL lemma's
+    * O(log n / ε²) dimension bound on distortion.
+    *
+    * Scale shape: one map-only pass, zero shuffle — per row a
+    * `transform`(outDim) × `aggregate`(d) codegen fold, the
+    * [[Pca.project]] shape; ~d·outDim fused multiply-adds per row.
+    * Rows with null vectors drop. Quantization bound: |x|·scale·d must
+    * stay < 2^63 per output coordinate (loud in-plan guard on the
+    * component magnitude is the caller's job; at scale=1e6 and unit
+    * vectors the headroom is ~9e12×). Returns (idCol, jl: array<long>
+    * of length outDim). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L,
+      quantScale: Long = 1000000L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
+    val vq = transform(col(vecCol),
+      x => round(x.cast("double") * quantScale).cast("long"))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), t =>
+      aggregate(
+        sequence(lit(0), size(col(vecCol)) - 1),
+        lit(0L),
+        (acc, j) => acc + when(
+          pmod(splitmix64_rank((j.cast("long") * outDim + t.cast("long")),
+            seed), lit(2L)) === 0L,
+          element_at(col("_vq"), j + 1))
+          .otherwise(-element_at(col("_vq"), j + 1))))
+    df.where(col(vecCol).isNotNull)
+      .withColumn("_vq", vq)
+      .select(col(idCol), proj.as("jl"))
+  }
 }

@@ -283,4 +283,37 @@ class PqSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(sqDelta == sqWant)
   }
+
+  test("jlProject: splitmix sign replay, exact integer sums, layout invariance") {
+    val df = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(-1.5f, 1.0f, 2.0f))).toDF("id", "embedding")
+    val outDim = 4; val seed = 9L; val scale = 1000L
+    val got = Ann.jlProject(df, "id", "embedding", outDim, seed, scale)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // replay: sign(j,t) = +1 iff splitmix64(j*outDim + t + seed) even
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def sign(j: Int, t: Int): Long =
+      if (java.lang.Math.floorMod(mix(j.toLong * outDim + t + seed), 2L) == 0L) 1L
+      else -1L
+    val vecs = Map(0L -> Seq(1.0f, -2.0f, 0.5f), 1L -> Seq(0f, 0f, 0f),
+      2L -> Seq(-1.5f, 1.0f, 2.0f))
+    for ((id, v) <- vecs; t <- 0 until outDim) {
+      val want = v.indices.map(j =>
+        sign(j, t) * math.round(v(j).toDouble * scale)).sum
+      assert(got(id)(t) == want, s"id=$id t=$t")
+    }
+    // zero vector projects to zeros; layout invariance
+    assert(got(1L) == Seq(0L, 0L, 0L, 0L))
+    val got7 = Ann.jlProject(df.repartition(7), "id", "embedding",
+        outDim, seed, scale)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got7 == got)
+  }
 }
