@@ -3607,6 +3607,21 @@ object SparkEntry {
       .orderBy("pattern")
   }
 
+  // Unigram-LM tokenizer end-to-end (Unigram.seedVocab + integer
+  // Viterbi segmentVocab): the SentencePiece-family trainer joins the
+  // gated BPE (q76) and WordPiece (q262) — substring seed counts, the
+  // quantize-once micro-nat costs, and the min-plus DP with its
+  // earliest-split tie rule are ALL replayed by the oracle as 8 staged
+  // DP CTEs over packed (cost, j, np) keys.
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vocab = Unigram.seedVocab(d, col("text"), maxPieceLen = 3,
+      minFreq = 8L, maxVocab = 48, maxWordLen = 8)
+    Unigram.segmentVocab(d, col("text"), vocab, maxWordLen = 8)
+      .select(col("word"), col("cost_micro"), col("n_pieces"))
+      .orderBy("word")
+  }
+
   // Exact-integer Johnson-Lindenstrauss knn (Ann.jlProject): 64-d
   // floats → 16-d ±1-sign sketch over ppm-quantized components — every
   // projection, distance and rank is order-free integer arithmetic, so
@@ -4244,7 +4259,8 @@ object SparkEntry {
     "q271_skew_report" -> (q271 _),
     "q272_fleiss_kappa" -> (q272 _),
     "q273_linkage_patterns" -> (q273 _),
-    "q274_jl_knn" -> (q274 _))
+    "q274_jl_knn" -> (q274 _),
+    "q275_unigram_tokenizer" -> (q275 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10322,6 +10338,39 @@ object SparkEntry {
          SELECT query_id, id AS doc_id, CAST(dist2 AS BIGINT) AS dist2,
            CAST(rank AS INTEGER) AS rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+    },
+
+    // q275: seed substring counts -> top-48 multi pieces by
+    // (freq desc, piece asc) + all chars -> micro-nat costs -> the
+    // 8-stage packed-key DP; per distinct truncated word the min cost
+    // and piece count
+    "q275_unigram_tokenizer" -> {
+      s"""WITH toks0 AS (SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x <> '')) AS w0 FROM documents),
+         toks AS (SELECT substring(w0, 1, 8) AS w FROM toks0),
+         sub AS (SELECT substring(w, s.i, l.i) AS piece, l.i AS len
+           FROM toks,
+             unnest(range(1, length(w) + 1)) AS s(i),
+             unnest(range(1, 4)) AS l(i)
+           WHERE s.i + l.i - 1 <= length(w)),
+         pf AS (SELECT piece, len, count(*) AS freq FROM sub
+           GROUP BY 1, 2),
+         kept AS (SELECT piece, freq FROM pf WHERE len = 1
+           UNION ALL
+           SELECT piece, freq FROM (
+             SELECT piece, freq,
+               row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+             FROM pf WHERE len > 1 AND freq >= 8) WHERE rn <= 48),
+         tot AS (SELECT sum(freq) AS tot FROM kept),
+         pieces AS (SELECT piece,
+             CAST(round(-ln(CAST(freq AS DOUBLE) / tot) * 1e6) AS BIGINT)
+               AS cost
+           FROM kept CROSS JOIN tot),
+         w AS (SELECT DISTINCT w FROM toks),
+         ${unigramDpSql(maxLen = 8, maxPieceLen = 3)}
+         SELECT w AS word, cost AS cost_micro, np AS n_pieces
+         FROM dpres ORDER BY word"""
     }
   )
 
@@ -10659,6 +10708,38 @@ object SparkEntry {
          LEFT JOIN best_$round b ON b.x = p.vec_id
          LEFT JOIN (SELECT x, score FROM sc_$round WHERE l = lcur) cs
            ON cs.x = p.vec_id)"""
+
+  /** [[graft.operators.Unigram]]'s integer Viterbi replayed as staged
+    * WITH-clauses: stage i computes best(i) = min over j of
+    * best(j) + cost(w[j..i)) with the packed key
+    * ((cost·16)+j)·16+np, whose plain MIN is exactly the DP's
+    * (cost asc, j asc) tie rule; np rides the low nibble. Requires
+    * `pieces`(piece, cost) and `w`(w) in scope; emits b_0..b_maxLen
+    * and a final `dpres`(w, cost, np) union. */
+  private def unigramDpSql(maxLen: Int, maxPieceLen: Int): String = {
+    val stages = (1 to maxLen).map { i =>
+      val js = math.max(0, i - maxPieceLen) until i
+      val cands = js.map { j =>
+        s"""SELECT b.w, ((b.cost + pc.cost) * 16 + $j) * 16 + b.np + 1
+              AS key
+            FROM b_$j b JOIN pieces pc
+              ON pc.piece = substring(b.w, ${j + 1}, ${i - j})
+            WHERE length(b.w) >= $i"""
+      }.mkString("\n            UNION ALL ")
+      s"""cand_$i AS (
+            $cands),
+         b_$i AS (SELECT w, CAST(min(key) // 256 AS BIGINT) AS cost,
+             CAST(min(key) % 16 AS INTEGER) AS np
+           FROM cand_$i GROUP BY w)"""
+    }.mkString(",\n         ")
+    val finals = (1 to maxLen).map(i =>
+      s"SELECT w, cost, np FROM b_$i WHERE length(w) = $i")
+      .mkString("\n           UNION ALL ")
+    s"""b_0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np FROM w),
+         $stages,
+         dpres AS (
+           $finals)"""
+  }
 
   /** q100's two-iteration k-means replay as reusable WITH-clauses ending
     * in `a2(vec_id, c)` — the exact-ppm centroid means + left-fold argmin

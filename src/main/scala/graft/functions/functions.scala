@@ -208,6 +208,12 @@ package object functions {
   def porter_stem(c: Column): Column =
     Bridge.column(PorterStem(Bridge.expression(c)))
 
+  /** Min-cost unigram segmentation of one word (integer Viterbi). */
+  def unigram_segment(word: Column, vocab: Seq[(String, Long)],
+      unkCostMicro: Long = 50000000L): Column =
+    Bridge.column(
+      UnigramSegment(Bridge.expression(word), vocab, unkCostMicro))
+
   /** struct(n_runs, n_valid): candidate card runs and Luhn survivors. */
   def card_run_stats(c: Column): Column =
     Bridge.column(CardRunStats(Bridge.expression(c)))
