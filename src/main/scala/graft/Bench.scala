@@ -340,6 +340,28 @@ object Bench {
       idx.assigned.unpersist()
     }
 
+    // JL sketch funnel (the NO-FIT ann path): project 1M x 128 -> 16-d
+    // exact-integer sketches (pure map, no training, no artifact),
+    // sketch-space scan, exact rerank of the top-200. The right first
+    // pass for one-shot jobs where an IVF fit would never amortize;
+    // recall vs exact ships like the IVF rows (honest number for a
+    // 128->16 squeeze on the uniform worst-case corpus).
+    if (overBudget) Seq("x_jl_project_1m", "x_jl_rerank100",
+      "x_jl_recall10_x1000").foreach(skip)
+    else {
+      bench("x_jl_project_1m", runs = 1) {
+        Ann.jlProject(stored, "id", "embedding", outDim = 16)
+          .write.format("noop").mode("overwrite").save()
+      }
+      bench("x_jl_rerank100", runs = 2) {
+        Ann.jlSearchRerank(stored, queries100, 10, rerank = 200).count()
+      }
+      val exactJl = Knn.bruteForce(stored, queries100, 10, "cosine")
+      record("x_jl_recall10_x1000", math.round(Ann.recallAgainstExact(
+        Ann.jlSearchRerank(stored, queries100, 10, rerank = 200),
+        exactJl) * 1000).toDouble)
+    }
+
     // Large-Q regime: 10k queries can't sensibly ride one broadcast-kernel
     // block (80 heaps/MB per partition is fine, but the regime under test
     // is the block loop) — 8 blocks over a cached doc projection, source

@@ -1496,4 +1496,51 @@ object Ann {
       .withColumn("_vq", vq)
       .select(col(idCol), proj.as("jl"))
   }
+
+  /** JL-sketch knn funnel: scan in the `outDim`-d integer sketch space
+    * (d→outDim shrinks the per-pair arithmetic and the scan I/O by
+    * d/outDim), take the top-`rerank` sketch candidates per query, then
+    * rerank them EXACTLY against the base vectors — with `rerank` ≥ the
+    * corpus size this is bit-equal to [[Knn.bruteForce]] (the spec's
+    * equivalence contract); smaller `rerank` trades recall for the
+    * funnel speedup, the JL-lemma distortion bound governing the trade.
+    * Unlike IVF this needs NO training fit and no index artifact — the
+    * sketch is a pure map — so it is the right first pass for one-shot
+    * jobs where an index would never amortize.
+    *
+    * Scale shape: two zero-shuffle projections, the blocked sketch-knn
+    * kernel (bounded heaps, O(partitions × Q × rerank) shuffle), then
+    * one broadcast of Q × rerank candidate ids against the base table.
+    * Returns (query_id, id, distance, rank) like every knn here. */
+  def jlSearchRerank(docs: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine",
+      docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding",
+      outDim: Int = 16, seed: Long = 42L, quantScale: Long = 100000L,
+      rerank: Int = 100): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val pd = jlProject(docs, docId, docVec, outDim, seed, quantScale)
+      .select(col(docId), col("jl").cast("array<double>").as("_jd"))
+    val pq = jlProject(queries, queryId, queryVec, outDim, seed,
+        quantScale)
+      .select(col(queryId), col("jl").cast("array<double>").as("_jq"))
+    val cand = Knn.bruteForce(pd, pq, rerank, "sqeuclidean",
+        docId = docId, docVec = "_jd", queryId = queryId,
+        queryVec = "_jq")
+      .select(col("query_id"), col("id"))
+    val qv = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"))
+    val base = docs.select(col(docId).as("id"),
+      col(docVec).cast("array<double>").as("_dvec"))
+    base.join(broadcast(cand.join(qv, "query_id")), "id")
+      .groupBy("query_id")
+      .agg(topk_by_distance(
+        vector_distance(col("_dvec"), col("_qvec"), metric),
+        col("id"), k).as("_topk"))
+      .select(col("query_id"),
+        posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(col("query_id"), col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -316,4 +316,22 @@ class PqSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(got7 == got)
   }
+
+  test("jlSearchRerank with rerank >= corpus equals exact bruteForce") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(24)(rnd.nextFloat() * 2 - 1))).toDF("id", "embedding")
+    val queries = (0L until 6L).map(i =>
+      (i, Seq.fill(24)(rnd.nextFloat() * 2 - 1))).toDF("id", "embedding")
+    val exact = key(graft.operators.Knn.bruteForce(docs, queries, 5,
+      "cosine"))
+    val funnel = key(Ann.jlSearchRerank(docs, queries, 5, "cosine",
+      outDim = 8, rerank = 80))
+    assert(funnel == exact)
+    // a narrow funnel still returns k ranked rows per query
+    val narrow = Ann.jlSearchRerank(docs, queries, 5, "cosine",
+      outDim = 8, rerank = 10)
+    assert(narrow.groupBy("query_id").count()
+      .select("count").as[Long].collect().forall(_ == 5L))
+  }
 }
