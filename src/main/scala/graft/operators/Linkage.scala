@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * entity-resolution tier of corpus curation: "are these two records
   * the same real-world thing" across sources that share no key
   * (author pages, licensing registries, crawl duplicates with edited
-  * metadata). The reference's exact/near dedup answers CONTENT
-  * identity; this answers ENTITY identity from field agreement
-  * patterns.
+  * metadata). [[Dedup.fellegiSunter]] SCORES an already-built pair
+  * table under caller-supplied (m, u); this object supplies the
+  * layers upstream of it — blocked candidate GENERATION with the
+  * hot-block valve, data-driven u ESTIMATION, and the agreement-
+  * pattern rollup an F-S EM fits on — using the same ln-ppb weight
+  * quantization ([[Dedup.fsWeightsPpb]]) so the two compose.
   *
   * The F-S decision variable for a candidate pair is the sum of
   * per-field log-likelihood ratios: agreement on field f contributes
-  * log2(m_f/u_f), disagreement log2((1−m_f)/(1−u_f)), where m_f =
+  * ln(m_f/u_f), disagreement ln((1−m_f)/(1−u_f)), where m_f =
   * P(agree | match) (supplied — domain knowledge or EM) and u_f =
   * P(agree | non-match), estimated here exactly from the data as the
   * collision probability of two random records:
@@ -21,8 +24,8 @@ import org.apache.spark.sql.functions._
   *   u_f = Σ_v nL_v · nR_v / (|L| · |R|)
   *
   * (nL_v/nR_v = per-value frequencies). All u sufficient statistics
-  * are exact integers; the log weights are the one float chain,
-  * folded in fixed field order.
+  * are exact integers; each field's two log weights are the one float
+  * op, quantized ONCE to ppb longs at plan time, then summed exactly.
   *
   * Scale shape: candidate generation is a BLOCKED equi-join on the
   * caller's blocking key (never a cross join), with the standard
@@ -86,9 +89,11 @@ object Linkage {
     * exact equality (normalize upstream); `mPpm(f)` = m-probability of
     * field f in ppm; u-probabilities are estimated exactly from the
     * value-frequency collision mass (clamped into (0,1) so a
-    * never-colliding field keeps a finite disagreement weight).
-    * Returns (left_id, right_id, pattern, n_agree, weight) —
-    * pattern/n_agree exact integers, weight the float readout. */
+    * never-colliding field keeps a finite disagreement weight). Weights
+    * are [[Dedup.fsWeightsPpb]] ln-ppb longs, quantized once per field
+    * at plan time, summed exactly.
+    * Returns (left_id, right_id, pattern, n_agree, weight_ppb) —
+    * every column an exact integer. */
   def scorePairs(left: DataFrame, right: DataFrame,
       leftId: String, rightId: String,
       leftBlock: Column, rightBlock: Column,
@@ -121,18 +126,15 @@ object Linkage {
     val agree = agreements(fields.size)
     val nAgree = agree.map(a => when(a, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
-    val log2 = math.log(2.0)
     val weight = agree.zipWithIndex.map { case (a, i) =>
-      val m = mPpm(i).toDouble / 1e6
-      val u = uProb(i)
-      when(a, lit(math.log(m / u) / log2))
-        .otherwise(lit(math.log((1.0 - m) / (1.0 - u)) / log2))
+      val (wa, wd) = Dedup.fsWeightsPpb(mPpm(i).toDouble / 1e6, uProb(i))
+      when(a, lit(wa)).otherwise(lit(wd))
     }.reduce(_ + _)
 
     lv.join(rv, Seq("_blk"))
       .select(col("_lid").as("left_id"), col("_rid").as("right_id"),
         packPattern(agree).as("pattern"), nAgree.as("n_agree"),
-        weight.as("weight"))
+        weight.as("weight_ppb"))
   }
 
   /** The F-S sufficient statistics: blocked candidate pairs rolled up

@@ -14,32 +14,27 @@ class LinkageSpec extends SparkSuite {
     ("tag", col("f0"), col("f0")),
     ("grp", col("f1"), col("f1")))
 
-  test("scorePairs: exact u collision mass, hand log2 weights, patterns") {
+  test("scorePairs: exact u collision mass, ln-ppb weights, patterns") {
     val left = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("id", "f0", "f1")
       .withColumn("blk", lit(0))
     val right = Seq((3L, "x", "A"), (4L, "x", "C")).toDF("id", "f0", "f1")
       .withColumn("blk", lit(0))
     // u(f0): collisions x:1·2=2 over 2·2 pairs = 0.5
-    // u(f1): collisions A:1·1=1 over 4 = 0.25; m = 0.9 both
+    // u(f1): collisions A:1·1=1 over 4 = 0.25; m = 0.9 both —
+    // weights are Dedup.fsWeightsPpb ln-ppb longs, summed exactly
     val m = 0.9
-    def lg2(x: Double) = math.log(x) / math.log(2.0)
-    val wA0 = lg2(m / 0.5); val wD0 = lg2((1 - m) / 0.5)
-    val wA1 = lg2(m / 0.25); val wD1 = lg2((1 - m) / 0.75)
+    val (wA0, wD0) = graft.operators.Dedup.fsWeightsPpb(m, 0.5)
+    val (wA1, wD1) = graft.operators.Dedup.fsWeightsPpb(m, 0.25)
     val got = Linkage.scorePairs(left, right, "id", "id",
         col("blk"), col("blk"), fields2, Seq(900000L, 900000L))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got.size == 4)
-    val (p13, n13, w13) = got((1L, 3L)) // agree both
-    assert(p13 == 3L && n13 == 2L)
-    assert(math.abs(w13 - (wA0 + wA1)) < 1e-12)
-    val (p14, n14, w14) = got((1L, 4L)) // f0 agrees, f1 differs
-    assert(p14 == 1L && n14 == 1L)
-    assert(math.abs(w14 - (wA0 + wD1)) < 1e-12)
-    val (p23, _, w23) = got((2L, 3L)) // neither agrees
-    assert(p23 == 0L)
-    assert(math.abs(w23 - (wD0 + wD1)) < 1e-12)
+    assert(got((1L, 3L)) == ((3L, 2L, wA0 + wA1))) // agree both
+    assert(got((1L, 4L)) == ((1L, 1L, wA0 + wD1))) // f0 only
+    assert(got((2L, 3L)) == ((0L, 0L, wD0 + wD1))) // neither
+    assert(got((2L, 4L)) == ((0L, 0L, wD0 + wD1)))
   }
 
   test("scorePairs: null field never agrees, blocks partition candidates") {
