@@ -3607,6 +3607,20 @@ object SparkEntry {
       .orderBy("pattern")
   }
 
+  // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
+  // collapsed into a weighted supernode graph — within-community mass
+  // as self-loops, total edge weight conserved (the coarsening a full
+  // multi-level Louvain feeds back into phase 1). Exact counts; the
+  // oracle replays q270's two move rounds then the rollup.
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val pairs = projPairGraph(s, dir, radius = 0.03)
+    val labels = Graph.louvainRounds(pairs,
+      t(s, dir, "embeddings").select(col("vec_id")), "vec_id",
+      rounds = 2, phaseCol = pmod(col("_id"), lit(2)))
+    Graph.louvainCoarsen(pairs, labels, "vec_id", "label")
+      .orderBy("ca", "cb")
+  }
+
   // Unigram-LM tokenizer end-to-end (Unigram.seedVocab + integer
   // Viterbi segmentVocab): the SentencePiece-family trainer joins the
   // gated BPE (q76) and WordPiece (q262) — substring seed counts, the
@@ -4260,7 +4274,8 @@ object SparkEntry {
     "q272_fleiss_kappa" -> (q272 _),
     "q273_linkage_patterns" -> (q273 _),
     "q274_jl_knn" -> (q274 _),
-    "q275_unigram_tokenizer" -> (q275 _))
+    "q275_unigram_tokenizer" -> (q275 _),
+    "q276_louvain_coarsen" -> (q276 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10234,6 +10249,27 @@ object SparkEntry {
          ${louvainRoundCte("lab0", "lab1", 0)},
          ${louvainRoundCte("lab1", "lab2", 1)}
          SELECT vec_id, l AS label FROM lab2 ORDER BY vec_id""",
+
+    // q276: q270's two move rounds, then the supernode rollup — within
+    // mass as self-loops, weight = exact collapsed edge count
+    "q276_louvain_coarsen" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         und AS (SELECT a AS x, b AS y FROM pr
+                 UNION ALL SELECT b AS x, a AS y FROM pr),
+         deg AS (SELECT x, count(*) AS k FROM und GROUP BY x),
+         m2 AS (SELECT count(*) AS m2 FROM und),
+         lab0 AS (SELECT vec_id, vec_id AS l FROM embeddings),
+         ${louvainRoundCte("lab0", "lab1", 0)},
+         ${louvainRoundCte("lab1", "lab2", 1)}
+         SELECT least(la.l, lb.l) AS ca, greatest(la.l, lb.l) AS cb,
+           count(*) AS weight
+         FROM pr JOIN lab2 la ON pr.a = la.vec_id
+         JOIN lab2 lb ON pr.b = lb.vec_id
+         GROUP BY 1, 2 ORDER BY ca, cb""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

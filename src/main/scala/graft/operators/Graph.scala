@@ -538,4 +538,31 @@ object Graph {
     deg.unpersist()
     lab.select(col("_id").as(idCol), col("_l").as("label"))
   }
+
+  /** Louvain phase 2: coarsen the graph onto a community partition —
+    * one weighted supernode edge per community pair, the within-
+    * community edge mass as self-loops (ca = cb), so total edge weight
+    * is conserved and modularity computed on the coarse graph equals
+    * the fine graph's. Feed the result back through [[louvainRounds]]
+    * (weights folded via edge multiplicity) or [[pageRankWeightedPpb]]
+    * for community-level centrality. Edges with an unlabeled endpoint
+    * drop ([[modularity]]'s document-don't-guess rule); reversed /
+    * duplicate / self pairs collapse first.
+    *
+    * Scale shape: two id-keyed label joins + one (ca, cb) partial-agg
+    * count — no iteration. Returns (ca, cb, weight), ca <= cb. */
+  def louvainCoarsen(pairs: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .where(col("x") =!= col("y")).distinct()
+    val la = labels.select(col(idCol).as("x"), col(labelCol).as("_lx"))
+    val lb = labels.select(col(idCol).as("y"), col(labelCol).as("_ly"))
+    e.join(la, "x").join(lb, "y")
+      .select(least(col("_lx"), col("_ly")).as("ca"),
+        greatest(col("_lx"), col("_ly")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
+  }
 }

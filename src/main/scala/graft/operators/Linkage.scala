@@ -154,4 +154,65 @@ object Linkage {
       .select(packPattern(agreements(fields.size)).as("pattern"))
       .groupBy("pattern").agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** Fitted F-S parameters: match prevalence `p`, per-field m/u. */
+  final case class EmFit(p: Double, m: IndexedSeq[Double],
+      u: IndexedSeq[Double])
+
+  /** The classic Fellegi-Sunter EM (Winkler 1988) over a
+    * [[patternCounts]] rollup — fits (p, m_f, u_f) from the agreement
+    * patterns alone under the standard conditional-independence model,
+    * no labels needed. Driver-side by design: the pattern table has at
+    * most 2^nFields rows (loudly required ≤ 2^20), i.e. the expensive
+    * distributed work — the blocked pair join — already happened in
+    * patternCounts; iterating a ≤million-row table on the driver is the
+    * correct altitude (the [[Unigram]] guarded-fit rule). Deterministic:
+    * fixed iteration count, fixed init, no RNG. Identifiability needs
+    * nFields ≥ 3 (2³−1 = 7 free pattern dims ≥ the 7 parameters — the
+    * classic F-S condition; with 2 fields EM converges but the solution
+    * is not unique). Feed the fitted m/u to [[Dedup.fellegiSunter]] /
+    * [[scorePairs]] for the decision pass. */
+  def emFit(patterns: DataFrame, nFields: Int, iters: Int = 20,
+      init: EmFit = null): EmFit = {
+    require(nFields >= 1 && nFields <= 20,
+      s"emFit supports 1..20 fields, got $nFields")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val rows = patterns.select(col("pattern").cast("long"),
+        col("n_pairs").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(rows.nonEmpty, "emFit: empty pattern table")
+    require(rows.length <= (1 << nFields),
+      s"more patterns (${rows.length}) than 2^$nFields")
+    val total = rows.map(_._2).sum.toDouble
+    var fit = Option(init).getOrElse(
+      EmFit(0.1, IndexedSeq.fill(nFields)(0.9),
+        IndexedSeq.fill(nFields)(0.1)))
+    def clamp(x: Double) = math.min(math.max(x, 1e-9), 1.0 - 1e-9)
+    for (_ <- 0 until iters) {
+      // E: P(match | pattern) per pattern under conditional independence
+      val g = rows.map { case (pat, n) =>
+        var pm = fit.p; var pu = 1.0 - fit.p
+        var f = 0
+        while (f < nFields) {
+          val agree = ((pat >> f) & 1L) == 1L
+          pm *= (if (agree) fit.m(f) else 1.0 - fit.m(f))
+          pu *= (if (agree) fit.u(f) else 1.0 - fit.u(f))
+          f += 1
+        }
+        (pat, n, pm / (pm + pu))
+      }
+      // M: reweighted prevalence and per-field agreement rates
+      val wMatch = g.map { case (_, n, w) => n * w }.sum
+      val m = (0 until nFields).map { f =>
+        clamp(g.collect { case (pat, n, w) if ((pat >> f) & 1L) == 1L =>
+          n * w }.sum / math.max(wMatch, 1e-300))
+      }
+      val u = (0 until nFields).map { f =>
+        clamp(g.collect { case (pat, n, w) if ((pat >> f) & 1L) == 1L =>
+          n * (1.0 - w) }.sum / math.max(total - wMatch, 1e-300))
+      }
+      fit = EmFit(clamp(wMatch / total), m, u)
+    }
+    fit
+  }
 }

@@ -310,4 +310,18 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d1 == d2)
   }
+
+  test("louvainCoarsen: weighted supernode edges conserve edge mass") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (3L, 4L), (4L, 3L)).toDF("a", "b") // dups collapse
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L), (7L, 7L)).toDF("id", "lab")
+    val got = Graph.louvainCoarsen(g, labels, "id", "lab")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // 3 within edges per triangle (self-loops), 1 bridge; total = 7 = m
+    assert(got == Map((10L, 10L) -> 3L, (20L, 20L) -> 3L,
+      (10L, 20L) -> 1L))
+    assert(got.values.sum == 7L)
+  }
 }

@@ -69,4 +69,29 @@ class LinkageSpec extends SparkSuite {
       fields, maxBlock = 10)
     assert(valved.count() == 0L)
   }
+
+  test("emFit recovers planted m/u structure from pattern counts alone") {
+    // plant a THREE-field population (the F-S identifiability minimum:
+    // 2^3−1 = 7 free pattern dims ≥ 7 parameters): 500 matches with
+    // m=(0.95, 0.9, 0.85), 9500 non-matches with u=(0.3, 0.05, 0.1);
+    // expected pattern counts exact under conditional independence
+    val m = Seq(0.95, 0.9, 0.85); val u = Seq(0.3, 0.05, 0.1)
+    val nM = 500.0; val nU = 9500.0
+    val rows = (0L to 7L).map { pat =>
+      def pr(p: Seq[Double]) = (0 until 3).map(f =>
+        if (((pat >> f) & 1L) == 1L) p(f) else 1 - p(f)).product
+      (pat, math.round(nM * pr(m) + nU * pr(u)))
+    }
+    val fit = Linkage.emFit(rows.toDF("pattern", "n_pairs"), nFields = 3,
+      iters = 300)
+    // EM from the default init converges to the planted structure
+    assert(math.abs(fit.p - 0.05) < 0.02, s"p=${fit.p}")
+    (0 until 3).foreach { f =>
+      assert(math.abs(fit.m(f) - m(f)) < 0.05, s"m=${fit.m}")
+      assert(math.abs(fit.u(f) - u(f)) < 0.05, s"u=${fit.u}")
+    }
+    // deterministic: same input, same fit
+    val fit2 = Linkage.emFit(rows.toDF("pattern", "n_pairs"), 3, 300)
+    assert(fit2 == fit)
+  }
 }
