@@ -3607,6 +3607,28 @@ object SparkEntry {
       .orderBy("pattern")
   }
 
+  // Small-files compaction planning (ZOrder.compactionPlan): the
+  // order table as a deterministic file listing — next-fit byte-range
+  // bins off one prefix-sum window, a bin overruns by at most one
+  // file, oversize files sit alone; the lakehouse maintenance op
+  // before any 100 TB rewrite.
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "orders").select(
+      concat(lit("f"), lpad(col("o_orderkey").cast("string"), 10, "0"))
+        .as("path"),
+      floor(col("o_totalprice")).cast("long").as("bytes"))
+    ZOrder.compactionPlan(files, "path", "bytes", 10000000L)
+      .select("path", "bytes", "bin", "bin_bytes", "bin_files")
+      .orderBy("path")
+  }
+
+  // Join-key discovery (Quality.inclusion): distinct-value containment
+  // between orders.o_custkey and customer.c_custkey — the FK-candidate
+  // statistic over O(distinct) rows, exact counts and ppm floors.
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    Quality.inclusion(t(s, dir, "orders"), col("o_custkey"),
+      t(s, dir, "customer"), col("c_custkey"))
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4275,7 +4297,9 @@ object SparkEntry {
     "q273_linkage_patterns" -> (q273 _),
     "q274_jl_knn" -> (q274 _),
     "q275_unigram_tokenizer" -> (q275 _),
-    "q276_louvain_coarsen" -> (q276 _))
+    "q276_louvain_coarsen" -> (q276 _),
+    "q277_compaction_plan" -> (q277 _),
+    "q278_inclusion" -> (q278 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10270,6 +10294,39 @@ object SparkEntry {
          FROM pr JOIN lab2 la ON pr.a = la.vec_id
          JOIN lab2 lb ON pr.b = lb.vec_id
          GROUP BY 1, 2 ORDER BY ca, cb""",
+
+    // q277: the identical prefix-sum window and floor-division bins
+    "q277_compaction_plan" ->
+      """WITH f AS (SELECT
+             'f' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS path,
+             CAST(floor(o_totalprice) AS BIGINT) AS bytes FROM orders),
+         w AS (SELECT path, bytes,
+             coalesce(sum(bytes) OVER (ORDER BY path
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+           FROM f),
+         p AS (SELECT path, bytes,
+             CAST(before // 10000000 AS BIGINT) AS bin FROM w),
+         g AS (SELECT bin, CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+             count(*) AS bin_files FROM p GROUP BY 1)
+         SELECT p.path, p.bytes, p.bin, g.bin_bytes, g.bin_files
+         FROM p JOIN g USING (bin) ORDER BY path""",
+
+    // q278: distinct-level containment, nulls out, exact ppm floors
+    "q278_inclusion" ->
+      """WITH a AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+           FROM orders WHERE o_custkey IS NOT NULL),
+         b AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+           FROM customer WHERE c_custkey IS NOT NULL),
+         s AS (SELECT count(*) AS n_shared FROM a JOIN b USING (v)),
+         na AS (SELECT count(*) AS n_a FROM a),
+         nb AS (SELECT count(*) AS n_b FROM b)
+         SELECT n_a, n_b, n_shared,
+           CAST(CASE WHEN n_a > 0 THEN n_shared * 1000000 // n_a
+                ELSE 0 END AS BIGINT) AS incl_a_ppm,
+           CAST(CASE WHEN n_b > 0 THEN n_shared * 1000000 // n_b
+                ELSE 0 END AS BIGINT) AS incl_b_ppm
+         FROM na CROSS JOIN nb CROSS JOIN s""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -351,4 +351,34 @@ object Quality {
         row_number().over(Window.orderBy(col("cnt").desc, col("key").asc)))
       .select("rank", "key", "cnt", "share_ppm", "total", "n_keys")
   }
+
+  /** Value-inclusion profile between two columns — the join-key /
+    * foreign-key DISCOVERY statistic for a lake of undocumented
+    * tables (where [[expectForeignKey]] VERIFIES a declared key, this
+    * measures candidate pairs): distinct cardinalities of both sides,
+    * the shared-value count, and both containment coefficients
+    * |A∩B|/|A| and |A∩B|/|B| as exact ppm — a pair with
+    * incl_a_ppm ≈ 1e6 is "every value of A appears in B", the FK
+    * signature. Nulls are excluded from both sides (a null never
+    * joins).
+    *
+    * Scale shape: two distinct aggregations + one distinct-level
+    * equi-join — O(distinct values), never O(rows); all counts exact
+    * integers, the ppm a floor division. Returns one row
+    * (n_a, n_b, n_shared, incl_a_ppm, incl_b_ppm). */
+  def inclusion(dfA: DataFrame, colA: Column,
+      dfB: DataFrame, colB: Column): DataFrame = {
+    val a = dfA.select(colA.cast("string").as("_v"))
+      .where(col("_v").isNotNull).distinct()
+    val b = dfB.select(colB.cast("string").as("_v"))
+      .where(col("_v").isNotNull).distinct()
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val shared = a.join(b, "_v").agg(count(lit(1)).as("n_shared"))
+    na.crossJoin(nb).crossJoin(shared)
+      .withColumn("incl_a_ppm", when(col("n_a") > 0L,
+        expr("n_shared * 1000000 div n_a")).otherwise(lit(0L)))
+      .withColumn("incl_b_ppm", when(col("n_b") > 0L,
+        expr("n_shared * 1000000 div n_b")).otherwise(lit(0L)))
+  }
 }

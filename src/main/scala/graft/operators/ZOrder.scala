@@ -123,4 +123,33 @@ object ZOrder {
       .sortWithinPartitions("_h")
       .drop("_h")
       .write.mode("overwrite").parquet(path)
+
+  /** Compaction plan for the small-files problem: assign every file to
+    * an output bin of ~`targetBytes` by NEXT-FIT over a deterministic
+    * total order (sortCol asc — path for locality, or size for tighter
+    * packing): bin(f) = floor(bytes-before-f / target), i.e. bins are
+    * contiguous byte ranges of the ordered listing. A bin can overrun
+    * by at most one file (the next-fit contract — deterministic and
+    * engine-replayable, unlike first-fit-decreasing whose sequential
+    * state doesn't distribute); files ≥ target land alone. One window
+    * prefix-sum over the listing — the listing is metadata (one row
+    * per FILE, not per data row), so a single window partition is the
+    * correct altitude up to tens of millions of files; shard the
+    * window by a directory prefix above that.
+    * Returns the input + (bin, bin_bytes, bin_files). */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col(pathCol).asc)
+    val before = coalesce(
+      sum(col(bytesCol)).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val planned = files.withColumn("bin",
+      call_function("div", before, lit(targetBytes)))
+    val byBin = planned.groupBy("bin")
+      .agg(sum(col(bytesCol)).as("bin_bytes"),
+        count(lit(1)).as("bin_files"))
+    planned.join(byBin, "bin")
+  }
 }

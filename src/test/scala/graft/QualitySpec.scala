@@ -345,4 +345,31 @@ class QualitySpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(got5.toSeq == Seq((1, "a|1"), (2, "b|1"), (3, "a|2")))
   }
+
+  test("inclusion: exact distinct containment both ways, nulls excluded") {
+    val a = Seq(Some(1), Some(2), Some(2), Some(3), None).map(Tuple1(_))
+      .toDF("k")
+    val b = Seq(2, 3, 4, 5).map(Tuple1(_)).toDF("k")
+    val r = Quality.inclusion(a, col("k"), b, col("k")).head
+    // A = {1,2,3}, B = {2,3,4,5}, shared = {2,3}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 2L)))
+    assert(r.getLong(3) == 666666L) // 2/3 of A in B
+    assert(r.getLong(4) == 500000L) // 2/4 of B in A
+  }
+
+  test("compactionPlan: next-fit byte-range bins, oversize files alone") {
+    import graft.operators.ZOrder
+    val files = Seq(("a", 60L), ("b", 30L), ("c", 30L), ("d", 250L),
+      ("e", 10L)).toDF("path", "bytes")
+    val got = ZOrder.compactionPlan(files, "path", "bytes", 100L)
+      .select("path", "bin", "bin_bytes", "bin_files")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // cumulative-before: a=0,b=60,c=90,d=120,e=370 -> bins 0,0,0,1,3
+    assert(got("a")._1 == 0L && got("b")._1 == 0L && got("c")._1 == 0L)
+    assert(got("d")._1 == 1L) // the oversize file sits alone in bin 1
+    assert(got("e")._1 == 3L)
+    assert(got("a")._2 == 120L && got("a")._3 == 3L) // bin 0 totals
+    assert(got("d")._2 == 250L && got("d")._3 == 1L)
+  }
 }
