@@ -362,6 +362,48 @@ object Bench {
         exactJl) * 1000).toDouble)
     }
 
+    // Round-6 operator scale rows: the shapes, not the semantics, are
+    // under test (synthetic inputs).
+    // Louvain phase 1 at 1M nodes / 4M random edges, 2 move rounds —
+    // per round one edges-join + bounded per-node candidate argmax.
+    bench("x_louvain_1m", runs = 1) {
+      val edges = spark.range(4000000L).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("a"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("b"))
+      val nodes = spark.range(1000000L).select(col("id").as("n"))
+      graft.operators.Graph.louvainRounds(edges, nodes, "n", rounds = 2)
+        .agg(countDistinct("label")).collect()
+    }
+    // Unigram tokenizer: seed on 100k docs (2M tokens x ~21 substring
+    // candidates), then zero-shuffle Viterbi decode of 1M docs / 20M
+    // tokens under the fitted 500-piece vocab.
+    bench("x_unigram_20m", runs = 1) {
+      val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
+          .as("text"))
+      val vocab = graft.operators.Unigram.seedVocab(
+        textDocs.where(col("doc_id") < 100000), col("text"),
+        maxPieceLen = 3, minFreq = 100L, maxVocab = 500, maxWordLen = 8)
+      graft.operators.Unigram.segment(textDocs, col("text"), vocab,
+          maxWordLen = 8)
+        .agg(sum(size(col("pieces")))).collect()
+    }
+    // F-S pattern rollup pushing ~1e9 blocked pairs through the
+    // map-side-combined pattern aggregate (1000 blocks x 1000 x 1000).
+    bench("x_linkage_1g_pairs", runs = 1) {
+      def side(seed: Int) = spark.range(1000000L).select(
+        pmod(col("id"), lit(1000)).as("blk"),
+        pmod(xxhash64(col("id"), lit(seed)), lit(50)).cast("string")
+          .as("f0"),
+        pmod(xxhash64(col("id"), lit(seed + 1)), lit(10)).cast("string")
+          .as("f1"))
+      graft.operators.Linkage.patternCounts(side(1), side(7),
+        col("blk"), col("blk"),
+        Seq(("f0", col("f0"), col("f0")), ("f1", col("f1"), col("f1"))),
+        maxBlock = 2000).count()
+    }
+
     // Large-Q regime: 10k queries can't sensibly ride one broadcast-kernel
     // block (80 heaps/MB per partition is fine, but the regime under test
     // is the block loop) — 8 blocks over a cached doc projection, source
