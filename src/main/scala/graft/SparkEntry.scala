@@ -3629,6 +3629,35 @@ object SparkEntry {
     Quality.inclusion(t(s, dir, "orders"), col("o_custkey"),
       t(s, dir, "customer"), col("c_custkey"))
 
+  // Bloom-filter join pre-filtering (Sketch.bloomBuild/bloomPack/
+  // bloomMightContain): the hand-rolled semi-join pushdown — build the
+  // bitmap over the SMALL side's keys (BUILDING-segment customers),
+  // broadcast the packed word array, test the big side's keys map-only.
+  // m = 1024 bits / ~300 members / 3 hashes keeps the false-positive
+  // rate ~20%, so BOTH verdict outcomes are exercised; the gate proves
+  // no-false-negatives (bloom_keep must cover actual) AND the exact
+  // bitmap, because the oracle rebuilds every bit from the splitmix
+  // chain and replays each membership verdict.
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val members = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("long").as("k"))
+    val probes = t(s, dir, "orders")
+      .select(col("o_custkey").cast("long").as("custkey")).distinct()
+    val packed = Sketch.bloomPack(
+      Sketch.bloomBuild(members, col("k"), nHashes = 3, mBits = 10),
+      mBits = 10)
+    probes.crossJoin(broadcast(packed))
+      .select(col("custkey"),
+        Sketch.bloomMightContain(col("custkey"), col("words"),
+          nHashes = 3, mBits = 10).as("bloom_keep"))
+      .join(members.select(col("k").as("custkey"), lit(true).as("_m")),
+        Seq("custkey"), "left")
+      .select(col("custkey"), col("bloom_keep"),
+        coalesce(col("_m"), lit(false)).as("actual"))
+      .orderBy("custkey")
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4299,7 +4328,8 @@ object SparkEntry {
     "q275_unigram_tokenizer" -> (q275 _),
     "q276_louvain_coarsen" -> (q276 _),
     "q277_compaction_plan" -> (q277 _),
-    "q278_inclusion" -> (q278 _))
+    "q278_inclusion" -> (q278 _),
+    "q279_bloom_prefilter" -> (q279 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10327,6 +10357,31 @@ object SparkEntry {
            CAST(CASE WHEN n_b > 0 THEN n_shared * 1000000 // n_b
                 ELSE 0 END AS BIGINT) AS incl_b_ppm
          FROM na CROSS JOIN nb CROSS JOIN s""",
+
+    // q279: the Bloom bitmap rebuilt bit-for-bit — positions =
+    // splitmix64(custkey + i) & 1023 for i in 0..2 (ONE chain over
+    // custkey + i, since mix(k + s) makes the seed additive), member
+    // bits distinct, each probe's verdict = all 3 positions set
+    "q279_bloom_prefilter" ->
+      s"""WITH mem AS (SELECT CAST(c_custkey AS BIGINT) AS custkey
+           FROM customer WHERE c_mktsegment = 'BUILDING'),
+         prb AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS custkey
+           FROM orders),
+         uni AS (SELECT custkey, CAST(unnest([0, 1, 2]) AS BIGINT) AS i
+           FROM (SELECT custkey FROM mem UNION SELECT custkey FROM prb)),
+         uk AS (SELECT custkey, i, custkey + i AS kk FROM uni),
+         ${splitmixChainSql("custkey, i", 0L, "uk", "kk")},
+         posn AS (SELECT custkey, i, (rk & 1023) AS pos FROM ranked),
+         bits AS (SELECT DISTINCT pos FROM posn JOIN mem USING (custkey)),
+         verdict AS (SELECT p.custkey,
+             count(*) FILTER (WHERE b.pos IS NOT NULL) = 3 AS bloom_keep
+           FROM (SELECT posn.* FROM posn JOIN prb USING (custkey)) p
+           LEFT JOIN bits b ON p.pos = b.pos
+           GROUP BY p.custkey)
+         SELECT v.custkey, v.bloom_keep,
+           (m.custkey IS NOT NULL) AS actual
+         FROM verdict v LEFT JOIN mem m ON v.custkey = m.custkey
+         ORDER BY v.custkey""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

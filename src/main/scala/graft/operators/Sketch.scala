@@ -390,6 +390,104 @@ object Sketch {
       .withColumn("hi", logBinHi(col("bin"), subBits))
   }
 
+  // ------------------------------------------------------------------
+  // Bloom filter (Bloom 1970): fixed-size (2^mBits bits) MEMBERSHIP
+  // pre-filters — "might this key be in the set" with no false
+  // negatives and a tunable false-positive rate. The join-pushdown
+  // workhorse at 100 TB: build the filter over the SMALL side's join
+  // keys (one bounded aggregation), broadcast the ≤ 2^mBits/8-byte
+  // word array, and drop non-matching rows from the BIG side map-side
+  // BEFORE the shuffle join — a hand-rolled semi-join pushdown that
+  // costs one broadcast instead of a full shuffle of the big side.
+  //
+  // Bit positions come from the same engine-portable splitmix64 chain
+  // as every other sketch (position_i = splitmix64(hash + seed + i) &
+  // (m−1), low bits two's-complement portable — the cmSketch rule),
+  // so the whole bitmap — and every membership verdict — is
+  // deterministic, layout-invariant, and replayable bit-for-bit by an
+  // external SQL engine. Filters with the same (nHashes, mBits, seed)
+  // merge by word-wise OR (set union).
+  // ------------------------------------------------------------------
+
+  /** The nHashes bit positions of one already-hashed key (int in
+    * [0, 2^mBits)). `hash` should be a well-mixed long ([[keyHash]]
+    * for strings, [[splitmix64_rank]] for numeric ids). */
+  def bloomPositions(hash: Column, nHashes: Int, mBits: Int): Column = {
+    require(mBits >= 6 && mBits <= 30, s"mBits must be in [6, 30], got $mBits")
+    require(nHashes >= 1 && nHashes <= 16, s"nHashes in [1, 16], got $nHashes")
+    val mask = (1L << mBits) - 1L
+    array((0 until nHashes).map { i =>
+      splitmix64_rank(hash, i.toLong).bitwiseAND(lit(mask)).cast("int")
+    }: _*)
+  }
+
+  /** Sparse build: the DISTINCT set bit positions of all keys — ≤ 2^mBits
+    * rows. ONE distinct-key pre-aggregation (the corpus collapses to its
+    * key vocabulary before hashing — the cmSketch shape), then a bounded
+    * explode of nHashes positions per distinct key. */
+  def bloomBuild(df: DataFrame, hash: Column, nHashes: Int,
+      mBits: Int): DataFrame =
+    df.select(hash.as("_h")).where(col("_h").isNotNull).distinct()
+      .select(explode(bloomPositions(col("_h"), nHashes, mBits)).as("pos"))
+      .distinct()
+
+  /** Dense packed artifact: ONE row with `words` = the 2^mBits-bit
+    * bitmap as 2^mBits/64 longs (word w bit b set ⇔ position w·64+b
+    * set). bit_or over distinct single-bit values per word — absent
+    * words ride in via the static word index table. The broadcastable /
+    * storable / OR-mergeable form. */
+  def bloomPack(positions: DataFrame, mBits: Int): DataFrame = {
+    val nWords = 1 << (mBits - 6)
+    val spark = positions.sparkSession
+    val idx = spark.range(0, nWords).select(col("id").cast("int").as("widx"))
+    val words = positions
+      .select(shiftright(col("pos"), 6).as("widx"),
+        shl1(col("pos").bitwiseAND(lit(63)).cast("int")).as("_bit"))
+      .groupBy("widx").agg(bit_or(col("_bit")).as("word"))
+    idx.join(words, Seq("widx"), "left")
+      .select(col("widx"), coalesce(col("word"), lit(0L)).as("word"))
+      .agg(aggregate(
+        // array_sort on struct(widx, word): widx ascending
+        array_sort(collect_list(struct(col("widx"), col("word")))),
+        typedLit(Seq.empty[Long]),
+        (acc, s) => concat(acc, array(s.getField("word")))).as("words"))
+  }
+
+  /** Membership test column over a packed words array: true iff ALL
+    * nHashes bit positions of `hash` are set. Map-only — element_at on
+    * the (broadcast) words array + an unrolled AND of nHashes bit
+    * tests; zero shuffle, zero explode, stays in codegen. */
+  def bloomMightContain(hash: Column, words: Column, nHashes: Int,
+      mBits: Int): Column = {
+    val mask = (1L << mBits) - 1L
+    (0 until nHashes).map { i =>
+      val pos = splitmix64_rank(hash, i.toLong).bitwiseAND(lit(mask)).cast("int")
+      val word = element_at(words, shiftright(pos, 6) + 1)
+      shru(word, pos.bitwiseAND(lit(63))).bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** The 100 TB shape end-to-end: keep only `big` rows whose `hash`
+    * might be in the filter built from `small`'s hashes — crossJoin of
+    * the ONE-row packed artifact (broadcast) + the map-only test. No
+    * false negatives: every row whose key IS present survives. */
+  def bloomPrefilter(big: DataFrame, bigHash: Column, small: DataFrame,
+      smallHash: Column, nHashes: Int, mBits: Int): DataFrame = {
+    val packed = bloomPack(bloomBuild(small, smallHash, nHashes, mBits), mBits)
+    big.crossJoin(broadcast(packed))
+      .where(bloomMightContain(bigHash, col("words"), nHashes, mBits))
+      .drop("words")
+  }
+
+  /** Merge packed filters with identical (nHashes, mBits, seed): word-
+    * wise OR (set union) — per-shard/per-day artifacts combine without
+    * re-reading data. */
+  def bloomMerge(packed: DataFrame): DataFrame =
+    packed.agg(aggregate(collect_list(col("words")),
+      typedLit(Seq.empty[Long]),
+      (acc, ws) => when(size(acc) === 0, ws)
+        .otherwise(zip_with(acc, ws, (a, b) => a.bitwiseOR(b)))).as("words"))
+
   /** Exact heavy hitters — every key with count·k > N — without a
     * full-vocabulary shuffle (Misra & Gries 1982 summaries + the
     * candidates-then-verify second pass). Pass 1 runs a Misra–Gries
