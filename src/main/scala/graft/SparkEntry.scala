@@ -3658,6 +3658,19 @@ object SparkEntry {
       .orderBy("custkey")
   }
 
+  // Trainable multinomial Naive Bayes (LangModel.naiveBayesFit/Score):
+  // fit on (lang, text), classify every doc back — the in-cluster
+  // upgrade of q94's fixed-coefficient classifier. Every parameter is
+  // a Laplace ratio of exact integer counts ln-quantized ONCE to ppb,
+  // so the oracle rebuilds the full model (counts → weights) and
+  // replays each doc's integer weight sum + prior + argmax.
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val m = LangModel.naiveBayesFit(d, col("lang"), col("text"))
+    LangModel.naiveBayesScore(d, m, "doc_id", col("text"))
+      .orderBy("doc_id")
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4329,7 +4342,8 @@ object SparkEntry {
     "q276_louvain_coarsen" -> (q276 _),
     "q277_compaction_plan" -> (q277 _),
     "q278_inclusion" -> (q278 _),
-    "q279_bloom_prefilter" -> (q279 _))
+    "q279_bloom_prefilter" -> (q279 _),
+    "q280_naive_bayes" -> (q280 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10382,6 +10396,47 @@ object SparkEntry {
            (m.custkey IS NOT NULL) AS actual
          FROM verdict v LEFT JOIN mem m ON v.custkey = m.custkey
          ORDER BY v.custkey""",
+
+    // q280: the full NB model rebuilt — (label, word) counts, vocab V,
+    // Laplace ratios ln-quantized once to ppb, per-(doc, label) exact
+    // weight sums with unseen/OOV fallback, prior add, argmax with
+    // (score desc, label asc) determinism
+    "q280_naive_bayes" ->
+      """WITH tokf AS (SELECT lang AS label, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents WHERE lang IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents),
+         cnt AS (SELECT label, word, count(*) AS c FROM tokf GROUP BY 1, 2),
+         voc AS (SELECT count(DISTINCT word) AS v FROM tokf),
+         nl AS (SELECT label, count(*) AS n_tok FROM tokf GROUP BY 1),
+         dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM dc),
+         cs AS (SELECT label,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+               AS prior_ppb,
+             CAST(round(ln(1.0 / (n_tok + v)) * 1e9) AS BIGINT) AS unseen_ppb
+           FROM dc JOIN nl USING (label) CROSS JOIN tot CROSS JOIN voc),
+         ww AS (SELECT label, word,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_tok + v)) * 1e9) AS BIGINT)
+               AS w_ppb
+           FROM cnt JOIN nl USING (label) CROSS JOIN voc),
+         ts AS (SELECT t.doc_id, cs.label,
+             count(*) AS nt, sum(coalesce(ww.w_ppb, cs.unseen_ppb)) AS ws
+           FROM toks t CROSS JOIN cs
+           LEFT JOIN ww ON ww.label = cs.label AND ww.word = t.word
+           GROUP BY 1, 2),
+         grid AS (SELECT d.doc_id, cs.label,
+             CAST(coalesce(ts.nt, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(ts.ws, 0) + cs.prior_ppb AS BIGINT) AS score_ppb
+           FROM documents d CROSS JOIN cs
+           LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cs.label)
+         SELECT doc_id, label AS label_pred, n_tokens, score_ppb FROM grid
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_ppb DESC, label) = 1
+         ORDER BY doc_id""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -706,4 +706,95 @@ object LangModel {
         col("admbc"), col("chi2"))
   }
 
+  // ------------------------------------------------------------------
+  // Multinomial Naive Bayes: the classic TRAINABLE text classifier —
+  // the in-cluster upgrade of the fixed-coefficient QualityClassifier
+  // (q94) for language ID, domain routing, and quality labeling when
+  // labeled data exists. Fit = ONE (label, word) count aggregation
+  // (the model never leaves the cluster); every parameter is a
+  // Laplace-smoothed ratio of exact integer counts whose ln is
+  // quantized ONCE to ppb (the q172/q225 rule), so scoring — integer
+  // weight sums + a deterministic argmax — is layout-invariant and
+  // replayable bit-for-bit by an external engine.
+  //
+  // Scale shape: fit shuffles on (label, word) with map-side combine
+  // (vocabulary-bounded output); scoring is one explode, one
+  // label-grid crossJoin of a bounded L-row broadcast, one
+  // vocabulary-sized weight join (AQE broadcasts it when it fits),
+  // one groupBy(doc, label), one per-doc argmax window. No UDFs.
+  // ------------------------------------------------------------------
+
+  /** Fitted NB model: `classStats` = one row per label (label, n_docs,
+    * n_tok, prior_ppb, unseen_ppb), `wordWeights` = (label, word,
+    * w_ppb) for words SEEN with that label. */
+  case class NaiveBayesModel(classStats: DataFrame, wordWeights: DataFrame)
+
+  /** Train on (label, text): w(l, w) = ln((c_lw + 1) / (n_l + V)) with
+    * V = the training vocabulary size (Laplace smoothing). Each ln
+    * argument is ONE double division of exact integers (identical on
+    * every IEEE engine), quantized once to ppb. `prior_ppb` =
+    * ln(docs_l / docs) the same way; `unseen_ppb` is the c = 0 weight
+    * (score-time words outside the training vocabulary use it too —
+    * the standard "treat OOV as unseen" convention, documented). */
+  def naiveBayesFit(docs: DataFrame, labelCol: Column,
+      textCol: Column): NaiveBayesModel = {
+    val ppb = (c: Column) => round(c * lit(1e9)).cast("long")
+    val toks = docs.select(labelCol.as("label"),
+        explode(TextFunctions.tokens(textCol)).as("word"))
+      .where(col("label").isNotNull)
+    val counts = toks.groupBy("label", "word").agg(count(lit(1)).as("c"))
+    val vocab = counts.select(col("word")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val perLabel = toks.groupBy("label").agg(count(lit(1)).as("n_tok"))
+    val docCounts = docs.select(labelCol.as("label"))
+      .where(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("n_docs"))
+    val totDocs = docCounts.agg(sum("n_docs").as("n_total"))
+    val classStats = docCounts
+      .join(perLabel, Seq("label"))
+      .crossJoin(broadcast(totDocs)).crossJoin(broadcast(vocab))
+      .select(col("label"), col("n_docs"), col("n_tok"),
+        ppb(log(col("n_docs").cast("double") / col("n_total").cast("double")))
+          .as("prior_ppb"),
+        ppb(log(lit(1.0) / (col("n_tok") + col("v")).cast("double")))
+          .as("unseen_ppb"))
+    val wordWeights = counts
+      .join(broadcast(perLabel), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("word"),
+        ppb(log((col("c") + 1L).cast("double") /
+          (col("n_tok") + col("v")).cast("double"))).as("w_ppb"))
+    NaiveBayesModel(classStats, wordWeights)
+  }
+
+  /** Score + classify: per (doc, label) the EXACT long sum of per-token
+    * ppb weights (unseen/OOV tokens take the label's `unseen_ppb`)
+    * plus the prior, then the (score desc, label asc) argmax. Docs
+    * whose text tokenizes to nothing classify on priors alone.
+    * Returns (idCol, `label_pred`, `n_tokens`, `score_ppb`). */
+  def naiveBayesScore(docs: DataFrame, model: NaiveBayesModel,
+      idCol: String, textCol: Column): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(textCol)).as("word"))
+    val labels = model.classStats
+      .select(col("label"), col("prior_ppb"), col("unseen_ppb"))
+    val tokenSums = toks
+      .crossJoin(broadcast(labels.select(col("label"), col("unseen_ppb"))))
+      .join(model.wordWeights, Seq("label", "word"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(count(lit(1)).as("_nt"),
+        sum(coalesce(col("w_ppb"), col("unseen_ppb"))).as("_ws"))
+    docs.select(col(idCol)).crossJoin(broadcast(labels))
+      .join(tokenSums, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_ws"), lit(0L)) + col("prior_ppb")).as("score_ppb"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score_ppb").desc, col("label").asc)))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("label").as("label_pred"),
+        col("n_tokens"), col("score_ppb"))
+  }
+
 }
