@@ -3671,6 +3671,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  // Local Outlier Factor (Knn.lofFromHits): density-RELATIVE outlier
+  // scores over the q148 self-knn chain — reach distances quantized
+  // once to ppm, lrd one exact integer floor division, LOF numerator
+  // an exact long sum, the final ratio the only float op. The oracle
+  // replays neighborhoods, k-distances, and both integer stages.
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    Knn.lofScores(t(s, dir, "embeddings"), k = 10, metric = "cosine",
+        idCol = "vec_id", vecCol = "embedding")
+      .orderBy("query_id")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4343,7 +4353,8 @@ object SparkEntry {
     "q277_compaction_plan" -> (q277 _),
     "q278_inclusion" -> (q278 _),
     "q279_bloom_prefilter" -> (q279 _),
-    "q280_naive_bayes" -> (q280 _))
+    "q280_naive_bayes" -> (q280 _),
+    "q281_lof" -> (q281 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10437,6 +10448,38 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY doc_id
            ORDER BY score_ppb DESC, label) = 1
          ORDER BY doc_id""",
+
+    // q281: the q148 knn chain -> reach = max(kdist(o), d) ppm-quantized
+    // once -> exact rsum -> lrd = 10^16 // rsum -> exact lof numerator,
+    // one final division; HAVING count = 10 mirrors the completeness drops
+    "q281_lof" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         d AS (SELECT a.vec_id qid, b.vec_id id,
+             1.0 - list_cosine_similarity(a.v, b.v) dist
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         r AS (SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) rk
+           FROM d),
+         nb AS (SELECT qid p, id o, dist FROM r WHERE rk <= 10),
+         kd AS (SELECT qid o, dist kdist FROM r WHERE rk = 10),
+         rs AS (SELECT p,
+             CAST(sum(CAST(round(greatest(kdist, dist) * 1e6) AS BIGINT))
+               AS BIGINT) rsum_ppm
+           FROM nb JOIN kd USING (o) GROUP BY p HAVING count(*) = 10),
+         lr AS (SELECT p, rsum_ppm,
+             CASE WHEN rsum_ppm > 0
+               THEN CAST(10000000000000000 // rsum_ppm AS BIGINT) END lrd_ppb
+           FROM rs),
+         lnum AS (SELECT nb.p, CAST(sum(l2.lrd_ppb) AS BIGINT) lof_num
+           FROM nb JOIN (SELECT p o, lrd_ppb FROM lr
+             WHERE lrd_ppb IS NOT NULL) l2 USING (o)
+           GROUP BY nb.p HAVING count(*) = 10)
+         SELECT lr.p query_id, lr.rsum_ppm, lr.lrd_ppb, lnum.lof_num,
+           CASE WHEN lr.lrd_ppb IS NOT NULL AND lnum.lof_num IS NOT NULL
+             THEN CAST(lnum.lof_num AS DOUBLE) / CAST(lr.lrd_ppb * 10 AS DOUBLE)
+           END lof
+         FROM lr LEFT JOIN lnum ON lr.p = lnum.p
+         ORDER BY query_id""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -591,4 +591,68 @@ object Knn {
     outlierFromHits(
       bruteForce(docs, docs, k, metric, docId = idCol, docVec = vecCol,
         queryId = idCol, queryVec = vecCol, excludeSelf = true), k)
+
+  /** Local Outlier Factor (Breunig et al. 2000) from a self-knn hit
+    * table (`query_id`, `doc_id`, `distance`, `rank`) — the DENSITY-
+    * relative outlier score: LOF ≈ 1 means "as dense as my neighbors",
+    * ≫ 1 means "locally sparse" — the complement of [[outlierFromHits]]'s
+    * absolute kth-distance (which misses outliers near dense clusters).
+    *
+    * Kept engine-replayable by the quantize-once discipline:
+    * reachability reach(p, o) = max(kdist(o), d(p, o)) is a max of
+    * exact doubles, quantized ONCE to ppm; lrd(p) = k·10^15 div
+    * Σreach_ppm(p) is one exact integer floor division; LOF's numerator
+    * Σ lrd_ppb(o) is an exact long sum; the single float op is the final
+    * ratio of two exact integers. Neighborhoods are the hit table's
+    * rank ≤ k rows (the knn (distance, id) tie rule); nodes with fewer
+    * than k neighbors drop (the [[outlierFromHits]] convention); a node
+    * whose k neighbors are all at distance 0 (rsum = 0) gets null lrd/lof.
+    *
+    * Scale shape: hit-table-agnostic (feed [[Ann]] hits at corpus
+    * scale) — two self-joins of the O(N·k) hit table on its id keys +
+    * two partial-agg groupBys; no windows over data, no driver state.
+    *
+    * Returns (`query_id`, `rsum_ppm`, `lrd_ppb`, `lof_num`, `lof`). */
+  def lofFromHits(hits: DataFrame, k: Int, docCol: String = "id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nbrs = hits.where(col("rank") <= k)
+      .select(col("query_id").as("p"), col(docCol).as("o"),
+        col("distance").as("d"))
+    val kdist = hits.where(col("rank") === k)
+      .select(col("query_id").as("o"), col("distance").as("kdist"))
+    val rsum = nbrs.join(kdist, Seq("o"))
+      .select(col("p"),
+        round(greatest(col("kdist"), col("d")) * lit(1e6)).cast("long")
+          .as("_r"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("_n"), sum(col("_r")).as("rsum_ppm"))
+      .where(col("_n") === k)
+    val lrd = rsum.select(col("p"),
+      col("rsum_ppm"),
+      when(col("rsum_ppm") > 0L,
+        expr(s"(CAST($k AS BIGINT) * 1000000000000000) div rsum_ppm"))
+        .as("lrd_ppb"))
+    // a neighbor with null lrd (duplicate-point rsum = 0) would silently
+    // shrink the sum — exclude it so the _m = k completeness check
+    // drops the affected node instead (documented convention)
+    val lofNum = nbrs
+      .join(lrd.where(col("lrd_ppb").isNotNull)
+        .select(col("p").as("o"), col("lrd_ppb").as("_lo")), Seq("o"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("_m"), sum(col("_lo")).as("lof_num"))
+      .where(col("_m") === k)
+    lrd.join(lofNum, Seq("p"), "left")
+      .select(col("p").as("query_id"), col("rsum_ppm"), col("lrd_ppb"),
+        col("lof_num"),
+        when(col("lrd_ppb").isNotNull && col("lof_num").isNotNull,
+          col("lof_num").cast("double") /
+            (col("lrd_ppb") * k).cast("double")).as("lof"))
+  }
+
+  /** Self-knn convenience for [[lofFromHits]]. */
+  def lofScores(docs: DataFrame, k: Int, metric: String = "cosine",
+      idCol: String = "id", vecCol: String = "embedding"): DataFrame =
+    lofFromHits(
+      bruteForce(docs, docs, k, metric, docId = idCol, docVec = vecCol,
+        queryId = idCol, queryVec = vecCol, excludeSelf = true), k)
 }
