@@ -3681,6 +3681,48 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding")
       .orderBy("query_id")
 
+  // l-diversity (Quality.lDiversity): entropy + recursive (c,l)
+  // verdicts per lang cohort over the source attribute — completes the
+  // k-anonymity (q188) / t-closeness (q243) privacy battery. Recursive
+  // check is pure integers; entropy terms quantized once to ppb.
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    Quality.lDiversity(t(s, dir, "documents"), Seq("lang"), col("source"),
+        l = 3, c = 2)
+      .orderBy("lang")
+
+  // SCD type-2 history merge (Dedup.scdMerge): four deterministic
+  // snapshot versions of the documents table (absence gaps at
+  // (doc_id + v) % 7 = 0, one content flip per doc at v = 1 + id % 3)
+  // collapsed into validity ranges — change, gap, reappearance, and
+  // is_current all exercised; the oracle replays the run detection.
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val snaps = t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(1L), lit(4L))).as("v"))
+      .where(pmod(col("doc_id") + col("v"), lit(7)) =!= 0)
+      .withColumn("content",
+        when(col("v") <= lit(1) + pmod(col("doc_id"), lit(3)), lit("early"))
+          .otherwise(lit("late")))
+    Dedup.scdMerge(snaps, "doc_id", col("v"), col("content"))
+      .orderBy("id", "valid_from")
+  }
+
+  // Exact best-split stump (Evaluate.bestSplit): the CART/XGBoost
+  // split finder per market segment — nationkey feature vs floored
+  // account balance, gain = (S_l² div n_l) + (S_r² div n_r) summed in
+  // Decimal(38,0), argmax (gain desc, split asc) — no float anywhere.
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    Evaluate.bestSplit(t(s, dir, "customer"), Seq("c_mktsegment"),
+        col("c_nationkey"), floor(col("c_acctbal")))
+      .orderBy("c_mktsegment")
+
+  // Exact average precision (Evaluate.averagePrecision): the PR-curve
+  // summary over the q116 quality-score ranking (score desc, doc_id
+  // tiebreak) — each precision@k term an exact (cum·10⁹) div k
+  // integer, one final division; AUC's threshold-free companion.
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    Evaluate.averagePrecision(t(s, dir, "documents"), col("doc_id"),
+      TextFunctions.qualityScore(col("text")), col("lang") === "en")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4354,7 +4396,11 @@ object SparkEntry {
     "q278_inclusion" -> (q278 _),
     "q279_bloom_prefilter" -> (q279 _),
     "q280_naive_bayes" -> (q280 _),
-    "q281_lof" -> (q281 _))
+    "q281_lof" -> (q281 _),
+    "q282_l_diversity" -> (q282 _),
+    "q283_scd_merge" -> (q283 _),
+    "q284_best_split" -> (q284 _),
+    "q285_avg_precision" -> (q285 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10480,6 +10526,100 @@ object SparkEntry {
            END lof
          FROM lr LEFT JOIN lnum ON lr.p = lnum.p
          ORDER BY query_id""",
+
+    // q282: per-(lang, source) counts, descending-frequency ranks with
+    // (c desc, source asc) ties, exact tails, ppb entropy terms;
+    // ln(3)·1e9 rounds to 1098612289 on both engines
+    "q282_l_diversity" ->
+      """WITH vc AS (SELECT lang, source, count(*) c FROM documents
+           WHERE source IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT lang, source, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, source) rk,
+             sum(c) OVER (PARTITION BY lang) n
+           FROM vc),
+         h AS (SELECT lang, c, n, rk,
+             CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+               * 1e9) AS BIGINT) hterm
+           FROM rk),
+         agg AS (SELECT lang, CAST(max(n) AS BIGINT) n_g,
+             count(*) n_distinct,
+             CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) r1,
+             CAST(coalesce(sum(CASE WHEN rk >= 3 THEN c END), 0) AS BIGINT)
+               tail_l,
+             CAST(sum(hterm) AS BIGINT) h_ppb
+           FROM h GROUP BY lang)
+         SELECT lang, n_g, n_distinct, r1, tail_l,
+           r1 < 2 * tail_l AS recursive_ok, h_ppb,
+           h_ppb >= 1098612289 AS entropy_ok
+         FROM agg ORDER BY lang""",
+
+    // q283: the versioned snapshot stack rebuilt, run breaks on content
+    // change or version gap via lag windows, run-group rollup, current
+    // = touches the global max version
+    "q283_scd_merge" ->
+      """WITH s AS (SELECT doc_id id, CAST(v AS BIGINT) v,
+             CASE WHEN v <= 1 + doc_id % 3 THEN 'early' ELSE 'late' END
+               AS content
+           FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS v)
+           WHERE (doc_id + v) % 7 <> 0),
+         mv AS (SELECT max(v) vmax FROM s),
+         f AS (SELECT id, v, content,
+             CASE WHEN lag(v) OVER w IS NULL THEN 1
+                  WHEN v <> lag(v) OVER w + 1 THEN 1
+                  WHEN content <> lag(content) OVER w THEN 1 ELSE 0 END nr
+           FROM s WINDOW w AS (PARTITION BY id ORDER BY v)),
+         r AS (SELECT id, v, content,
+             sum(nr) OVER (PARTITION BY id ORDER BY v) run FROM f),
+         g AS (SELECT id, run, min(content) AS content,
+             min(v) valid_from, max(v) valid_to
+           FROM r GROUP BY id, run)
+         SELECT id, content, valid_from, valid_to,
+           valid_to = vmax AS is_current
+         FROM g CROSS JOIN mv ORDER BY id, valid_from""",
+
+    // q284: the distinct-x grid, two prefix windows, exact HUGEINT
+    // floor-division gain, (gain desc, split asc) argmax
+    "q284_best_split" ->
+      """WITH b AS (SELECT c_mktsegment g, CAST(c_nationkey AS BIGINT) x,
+             CAST(floor(c_acctbal) AS BIGINT) y FROM customer),
+         grid AS (SELECT g, x, count(*) c, sum(y) s FROM b GROUP BY 1, 2),
+         wn AS (SELECT g, x, sum(c) OVER w nl, sum(s) OVER w sl,
+             sum(c) OVER (PARTITION BY g) n, sum(s) OVER (PARTITION BY g) st
+           FROM grid WINDOW w AS (PARTITION BY g ORDER BY x)),
+         cand AS (SELECT g, x split_x, CAST(nl AS BIGINT) n_l,
+             CAST(n - nl AS BIGINT) n_r, CAST(sl AS BIGINT) sum_l,
+             CAST(st - sl AS BIGINT) sum_r
+           FROM wn WHERE nl < n),
+         gains AS (SELECT *,
+             CAST(sum_l AS HUGEINT) * sum_l // n_l
+               + CAST(sum_r AS HUGEINT) * sum_r // n_r AS gain
+           FROM cand)
+         SELECT g AS c_mktsegment, split_x, n_l, n_r, sum_l, sum_r, gain
+         FROM gains
+         QUALIFY row_number() OVER (PARTITION BY g
+           ORDER BY gain DESC, split_x) = 1
+         ORDER BY c_mktsegment""",
+
+    // q285: the q116 score chain ranked (sc desc, doc_id asc), each
+    // precision@k an exact (cum·1e9)//k integer, one final division
+    "q285_avg_precision" ->
+      s"""WITH $qualityScorePosCtes,
+         rkd AS (SELECT doc_id, sc, pos,
+             row_number() OVER (ORDER BY sc DESC, doc_id) k
+           FROM q WHERE sc IS NOT NULL),
+         cum AS (SELECT k, pos,
+             sum(pos) OVER (ORDER BY k) cp
+           FROM rkd),
+         agg AS (SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(pos) AS BIGINT) n_pos,
+             CAST(coalesce(sum(CASE WHEN pos = 1
+               THEN (cp * 1000000000) // k END), 0) AS BIGINT) ap_num
+           FROM cum)
+         SELECT n, n_pos, ap_num,
+           CASE WHEN n_pos > 0
+             THEN CAST(ap_num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e9)
+           END ap
+         FROM agg""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

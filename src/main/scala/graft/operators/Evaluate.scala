@@ -2505,4 +2505,95 @@ object Evaluate {
       .select("n_subjects", "r", "k_cats", "s2", "sum_c2",
         "kappa_num", "kappa_den", "kappa")
   }
+
+  /** Best single-feature split (the CART/XGBoost histogram split
+    * finder, one decision stump): per group, the threshold on an
+    * integer feature `x` that maximizes the variance-reduction
+    * surrogate S_l²/n_l + S_r²/n_r over an integer target `y` —
+    * feature-importance / leakage screening for training pipelines.
+    *
+    * Kept engine-exact: per candidate boundary (the gaps between
+    * consecutive DISTINCT x values), n/Σy on each side are exact
+    * integers off two prefix windows over the per-(group, x) pre-agg;
+    * the gain is quantized ONCE as (S_l² div n_l) + (S_r² div n_r) —
+    * two exact integer floor divisions summed in Decimal(38,0), no
+    * float anywhere (each floor loses < 1 on an integer-valued scale,
+    * a deterministic, documented statistic) — and the argmax tie rule
+    * is (gain desc, split asc). An in-plan sum(|y|) ≤ 3·10⁹ guard
+    * keeps every S² inside a long; rescale the target upstream.
+    *
+    * Scale contract: windows run over the DISTINCT-x grid per group
+    * (bounded by contract — bucketize a continuous feature upstream,
+    * the q253 rule). Returns one row per group: (group…, split_x =
+    * the largest x routed LEFT, n_l, n_r, sum_l, sum_r, gain);
+    * groups with one distinct x yield no row. */
+  def bestSplit(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ x.cast("long").as("_x") :+
+        y.cast("long").as("_y"): _*)
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val grid = base.groupBy(groupCols.map(col) :+ col("_x"): _*)
+      .agg(count(lit(1)).as("_c"), sum("_y").as("_s"),
+        sum(abs(col("_y"))).as("_sa"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_x"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("gain").desc, col("split_x").asc)
+    grid
+      // |Σ|y|| ≤ 3·10⁹ per group keeps every S² inside a long
+      .withColumn("_satot", sum("_sa").over(wAll))
+      .withColumn("_nl", when(col("_satot") <= 3000000000L, sum("_c").over(w))
+        .otherwise(raise_error(concat(
+          lit("bestSplit needs sum(|y|) <= 3e9 per group " +
+            "(rescale the target upstream): "),
+          col("_satot").cast("string")))))
+      .withColumn("_sl", sum("_s").over(w))
+      .withColumn("_n", sum("_c").over(wAll))
+      .withColumn("_st", sum("_s").over(wAll))
+      .where(col("_nl") < col("_n")) // the top x has no right side
+      .select(groupCols.map(col) :+ col("_x").as("split_x") :+
+        col("_nl").as("n_l") :+ (col("_n") - col("_nl")).as("n_r") :+
+        col("_sl").as("sum_l") :+ (col("_st") - col("_sl")).as("sum_r"): _*)
+      .withColumn("gain",
+        expr("(sum_l * sum_l) div n_l").cast("decimal(38,0)") +
+          expr("(sum_r * sum_r) div n_r").cast("decimal(38,0)"))
+      .withColumn("_rn", row_number().over(wBest))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Average precision (the PR-curve summary, exact): rank rows by
+    * (`score` desc, `id` asc — deterministic), AP = (1/P)·Σ over
+    * positive rows of precision@k. Each precision term is quantized
+    * ONCE as (cum_pos·10⁹) div k — an exact integer floor division —
+    * so `ap_num` (their sum) and `n_pos` gate exactly and the single
+    * float op is the final ap_num / (n_pos·10⁹). The threshold-free
+    * companion of the exact AUC (aucExact) for imbalanced eval.
+    *
+    * The global rank is ONE total order — computed via a single
+    * window here (ranking-eval scale: score tables, not raw corpora);
+    * feed a pre-ranked frame at larger scale. Returns one row:
+    * (n, n_pos, ap_num, ap). */
+  def averagePrecision(df: DataFrame, id: Column, score: Column,
+      positive: Column): DataFrame = {
+    val base = df.select(id.as("_id"), score.as("_sc"),
+        positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_sc").desc, col("_id").asc)
+    base
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_cum", sum(col("_p").cast("long")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_p").cast("long")).as("n_pos"),
+        coalesce(sum(when(col("_p"),
+          expr("(_cum * 1000000000) div _k"))), lit(0L)).as("ap_num"))
+      .withColumn("ap", when(col("n_pos") > 0L,
+        col("ap_num").cast("double") /
+          (col("n_pos").cast("double") * lit(1e9))))
+  }
 }

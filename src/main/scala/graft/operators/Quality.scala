@@ -270,6 +270,59 @@ object Quality {
         col("emd_num") :+ col("t"): _*)
   }
 
+  /** l-diversity (Machanavajjhala et al. 2007) per QI cohort — BOTH
+    * published strengthenings of the distinct-count readout
+    * [[kAnonymityGroups]] already carries:
+    *
+    *  - entropy l-diversity: H(cohort sensitive distribution) ≥ ln(l),
+    *    with H = Σ −(c/n)·ln(c/n) computed per (cohort, value) as ONE
+    *    short float chain quantized ONCE to ppb (the mutualInfo rule)
+    *    and summed exactly; the ln(l) threshold is quantized the same
+    *    way, so the verdict is an integer comparison.
+    *  - recursive (c,l)-diversity: r₁ < c·(r_l + … + r_m) over the
+    *    DESCENDING frequency ranks — pure exact integers end to end.
+    *
+    * Scale shape: one (qi, value) count aggregation (map-side combined,
+    * output bounded by cohorts × sensitive domain), per-cohort windows
+    * over the VALUE GRID (bounded by contract — bucketize an unbounded
+    * sensitive attribute upstream), never over rows. NULL sensitive
+    * values are excluded (they are absence, not a value to protect).
+    *
+    * Returns one row per cohort: (qi…, n_g, n_distinct, r1, tail_l,
+    * recursive_ok, h_ppb, entropy_ok). */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      l: Int, c: Long = 1L): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    require(c >= 1, s"c must be >= 1, got $c")
+    val ppb = (x: Column) => round(x * lit(1e9)).cast("long")
+    val vc = df.select(qiCols.map(col) :+ sensitive.as("_v"): _*)
+      .where(col("_v").isNotNull)
+      .groupBy(qiCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+      .orderBy(col("_c").desc, col("_v").asc)
+    val lnThresholdPpb = math.round(math.log(l.toDouble) * 1e9)
+    vc.withColumn("_rk", row_number().over(wRank))
+      .withColumn("_n", sum("_c").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(qiCols.map(col): _*)))
+      .withColumn("_h", ppb(-(col("_c").cast("double") / col("_n").cast("double")) *
+        log(col("_c").cast("double") / col("_n").cast("double"))))
+      .groupBy(qiCols.map(col): _*)
+      .agg(max(col("_n")).as("n_g"),
+        count(lit(1)).as("n_distinct"),
+        max(when(col("_rk") === 1, col("_c"))).as("r1"),
+        coalesce(sum(when(col("_rk") >= l, col("_c"))), lit(0L)).as("tail_l"),
+        sum(col("_h")).as("h_ppb"))
+      .withColumn("recursive_ok", col("r1") < lit(c) * col("tail_l"))
+      .withColumn("entropy_ok", col("h_ppb") >= lit(lnThresholdPpb))
+      .select(qiCols.map(col) :+ col("n_g") :+ col("n_distinct") :+
+        col("r1") :+ col("tail_l") :+ col("recursive_ok") :+
+        col("h_ppb") :+ col("entropy_ok"): _*)
+  }
+
   /** Data-contract expectations — the nightly validation report a
     * 100 TB pipeline runs before promoting a snapshot: each named
     * row-level rule is checked in ONE conditional-sum pass (a rule
