@@ -3723,6 +3723,30 @@ object SparkEntry {
     Evaluate.averagePrecision(t(s, dir, "documents"), col("doc_id"),
       TextFunctions.qualityScore(col("text")), col("lang") === "en")
 
+  // Deterministic random walks (Graph.randomWalks): the DeepWalk
+  // corpus generator over the numeric trade graph (customer = 2k,
+  // supplier = 2k+1) — every step's neighbor choice is the splitmix
+  // draw on the packed (start, walk, step) key mod degree into the
+  // dst-ascending adjacency rank, so the oracle replays all three
+  // steps chain-for-chain. Sink truncation exercised structurally.
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = t(s, dir, "customer")
+      .where(pmod(col("c_custkey"), lit(20)) === 0)
+      .select((col("c_custkey") * 2).as("id"))
+    Graph.randomWalks(edges, "src", "dst", starts, "id",
+        walksPerNode = 2, walkLength = 3)
+      .orderBy("start", "walk", "step", "node")
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4400,7 +4424,8 @@ object SparkEntry {
     "q282_l_diversity" -> (q282 _),
     "q283_scd_merge" -> (q283 _),
     "q284_best_split" -> (q284 _),
-    "q285_avg_precision" -> (q285 _))
+    "q285_avg_precision" -> (q285 _),
+    "q286_random_walks" -> (q286 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10620,6 +10645,42 @@ object SparkEntry {
              THEN CAST(ap_num AS DOUBLE) / (CAST(n_pos AS DOUBLE) * 1e9)
            END ap
          FROM agg""",
+
+    // q286: three walk steps unrolled — each a splitmix chain over the
+    // packed key start*256 + walk*16 + step, pmod into the dst-ranked
+    // adjacency; sinks drop out via the inner degree join
+    "q286_random_walks" -> {
+      def stepCte(i: Int): String =
+        s"""w${i}k AS (SELECT start, walk, node,
+             start * 256 + walk * 16 + $i AS kk FROM w${i - 1}),
+         ${splitmixChainSql("start, walk, node", 0L, s"w${i}k", "kk", s"p$i")},
+         w$i AS (SELECT f.start, f.walk, $i AS step, adj.dst AS node
+           FROM p${i}ranked f
+           JOIN dg ON f.node = dg.src
+           JOIN adj ON adj.src = f.node
+             AND adj.rk = ((f.rk % dg.deg) + dg.deg) % dg.deg + 1)"""
+      s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+         adj AS (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) rk FROM e),
+         dg AS (SELECT src, count(*) deg FROM e GROUP BY src),
+         st AS (SELECT c_custkey * 2 AS start FROM customer
+           WHERE c_custkey % 20 = 0),
+         w0 AS (SELECT start, CAST(unnest([0, 1]) AS INTEGER) walk,
+             0 AS step, start AS node FROM st),
+         ${stepCte(1)},
+         ${stepCte(2)},
+         ${stepCte(3)}
+         SELECT CAST(start AS BIGINT) AS start, walk, step,
+           CAST(node AS BIGINT) AS node
+         FROM (SELECT start, walk, step, node FROM w0
+           UNION ALL SELECT start, walk, step, node FROM w1
+           UNION ALL SELECT start, walk, step, node FROM w2
+           UNION ALL SELECT start, walk, step, node FROM w3)
+         ORDER BY start, walk, step, node"""
+    },
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -565,4 +565,65 @@ object Graph {
         greatest(col("_lx"), col("_ly")).as("cb"))
       .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
   }
+
+  /** Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
+    * corpus generator): `walksPerNode` walks of `walkLength` steps from
+    * each start node, each step drawn by the engine-portable splitmix64
+    * chain — draw(start, walk, step) = splitmix64((start << 8) | (walk
+    * << 4) | step, seed) mod deg(cur), neighbor = that index into the
+    * (dst ascending) adjacency rank. No RNG state: the walk corpus is a
+    * pure function of (graph, seed), layout-invariant, replayable
+    * step-for-step by an external SQL engine, and incrementally
+    * extendable (same keys → same prefix).
+    *
+    * Scale shape: the adjacency is ranked ONCE (per-src row_number —
+    * partitions bounded by max degree); each of the L steps is one
+    * frontier ⋈ degree ⋈ adjacency equi-join on the node key, so the
+    * total work is O(L·|walks|) join rows with no global structure.
+    * Walks stop early at sink nodes (no out-edges). In-plan guards
+    * reject start ids outside [0, 2^55) — the key packing bound
+    * (the negativeSamples rule); walksPerNode ≤ 16 and walkLength ≤ 15
+    * keep the packed nibbles disjoint.
+    *
+    * Returns (`start`, `walk`, `step`, `node`) with step 0 = start. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      starts: DataFrame, idCol: String, walksPerNode: Int, walkLength: Int,
+      seed: Long = 0L): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 16,
+      s"walksPerNode in [1, 16], got $walksPerNode")
+    require(walkLength >= 1 && walkLength <= 15,
+      s"walkLength in [1, 15], got $walkLength")
+    val adj = edges.select(col(srcCol).cast("long").as("_src"),
+        col(dstCol).cast("long").as("_dst"))
+      .where(col("_src").isNotNull && col("_dst").isNotNull).distinct()
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_src").orderBy("_dst")))
+    val deg = adj.groupBy("_src").agg(count(lit(1)).as("_deg"))
+    val s0 = starts.select(col(idCol).cast("long").as("start"))
+      .where(col("start").isNotNull).distinct()
+      .select(when(col("start") < 0L || col("start") >= (1L << 55),
+          raise_error(concat(lit("randomWalks start id out of [0, 2^55): "),
+            col("start").cast("string"))))
+        .otherwise(col("start")).as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("node"))
+    var frontier = s0
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
+    for (step <- 1 to walkLength) {
+      val key = shiftleft(col("start"), 8) +
+        col("walk").cast("long") * 16L + lit(step.toLong)
+      frontier = frontier
+        .join(deg.select(col("_src").as("node"), col("_deg")), Seq("node"))
+        .withColumn("_idx",
+          pmod(graft.functions.splitmix64_rank(key, seed), col("_deg"))
+            .cast("int") + 1)
+        .join(adj, col("node") === col("_src") && col("_idx") === col("_rk"))
+        .select(col("start"), col("walk"), lit(step).as("step"),
+          col("_dst").as("node"))
+      out += frontier
+    }
+    out.reduce(_.unionByName(_))
+  }
 }
