@@ -3747,6 +3747,34 @@ object SparkEntry {
       .orderBy("start", "walk", "step", "node")
   }
 
+  // Leave-one-out + smoothed target encoding (GroupOps.targetEncode):
+  // the leakage-safe categorical featurizer — exact per-category /
+  // global integer sufficient statistics; LOO is one division of
+  // exact integers, the smoothed blend cross-multiplies the prior
+  // away into exact Decimal num/den (both gated).
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    GroupOps.targetEncode(t(s, dir, "orders"), "o_orderkey",
+        col("o_orderpriority"), floor(col("o_totalprice")), m = 10L)
+      .orderBy("o_orderkey")
+
+  // Truncated rank-biased overlap (Evaluate.rankBiasedOverlap):
+  // "how similar are two prioritization runs" — spend-ranked vs
+  // count-ranked top-50 customers at p = 0.9. The ppt suffix weights
+  // are computed ONCE and embedded as identical literals in both
+  // engines (the fsWeightsPpb rule), so rbo_num is an exact long.
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("spend"),
+        count(lit(1)).as("cnt"))
+    val ra = agg.select(col("ck"), row_number().over(
+      Window.orderBy(col("spend").desc, col("ck").asc)).as("rank"))
+    val rb = agg.select(col("ck"), row_number().over(
+      Window.orderBy(col("cnt").desc, col("ck").asc)).as("rank"))
+    Evaluate.rankBiasedOverlap(ra, rb, "ck", "rank", depth = 50, p = 0.9)
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4425,7 +4453,9 @@ object SparkEntry {
     "q283_scd_merge" -> (q283 _),
     "q284_best_split" -> (q284 _),
     "q285_avg_precision" -> (q285 _),
-    "q286_random_walks" -> (q286 _))
+    "q286_random_walks" -> (q286 _),
+    "q287_target_encode" -> (q287 _),
+    "q288_rbo" -> (q288 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10680,6 +10710,57 @@ object SparkEntry {
            UNION ALL SELECT start, walk, step, node FROM w2
            UNION ALL SELECT start, walk, step, node FROM w3)
          ORDER BY start, walk, step, node"""
+    },
+
+    // q287: category/global sums, LOO division, HUGEINT cross-
+    // multiplied smoothed blend (lateral alias reuse for the division)
+    "q287_target_encode" ->
+      """WITH b AS (SELECT o_orderkey id, o_orderpriority cat,
+             CAST(floor(o_totalprice) AS BIGINT) y FROM orders),
+         c AS (SELECT cat, count(*) n_c, sum(y) sc FROM b GROUP BY cat),
+         g AS (SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(y) AS BIGINT) s FROM b)
+         SELECT b.id AS o_orderkey, b.cat, CAST(c.n_c AS BIGINT) n_c,
+           CAST(c.sc - b.y AS BIGINT) loo_num,
+           CAST(c.n_c - 1 AS BIGINT) loo_den,
+           CASE WHEN c.n_c - 1 > 0
+             THEN CAST(c.sc - b.y AS DOUBLE) / CAST(c.n_c - 1 AS DOUBLE)
+           END te_loo,
+           CAST(c.sc - b.y AS HUGEINT) * g.n + CAST(10 AS HUGEINT) * g.s
+             AS sm_num,
+           CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n AS sm_den,
+           CASE WHEN CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n <> 0
+             THEN CAST(CAST(c.sc - b.y AS HUGEINT) * g.n
+                    + CAST(10 AS HUGEINT) * g.s AS DOUBLE)
+                  / CAST(CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n AS DOUBLE)
+           END te_smooth
+         FROM b JOIN c USING (cat) CROSS JOIN g
+         ORDER BY o_orderkey""",
+
+    // q288: both rankings replayed with the same tie rules; the ppt
+    // suffix-weight literals are THE SAME longs the Spark plan embeds
+    "q288_rbo" -> {
+      val ws = graft.operators.Evaluate.rboSuffixWeightsPpt(50, 0.9)
+      s"""WITH a0 AS (SELECT o_custkey ck,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) spend,
+             count(*) cnt
+           FROM orders GROUP BY 1),
+         ra AS (SELECT ck, row_number() OVER (ORDER BY spend DESC, ck) r
+           FROM a0),
+         rb AS (SELECT ck, row_number() OVER (ORDER BY cnt DESC, ck) r
+           FROM a0),
+         aa AS (SELECT ck, r FROM ra WHERE r <= 50),
+         bb AS (SELECT ck, r FROM rb WHERE r <= 50),
+         j AS (SELECT w[greatest(aa.r, bb.r)] wv
+           FROM aa JOIN bb USING (ck)
+           CROSS JOIN (SELECT [${ws.mkString(", ")}] AS w)),
+         nums AS (SELECT CAST(count(*) AS BIGINT) n_shared,
+             CAST(coalesce(sum(wv), 0) AS BIGINT) rbo_num FROM j),
+         na AS (SELECT count(*) n_a FROM aa),
+         nb AS (SELECT count(*) n_b FROM bb)
+         SELECT n_a, n_b, n_shared, rbo_num,
+           CAST(rbo_num AS DOUBLE) / 1e12 AS rbo
+         FROM na CROSS JOIN nb CROSS JOIN nums"""
     },
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8

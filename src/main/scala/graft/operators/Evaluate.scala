@@ -2596,4 +2596,52 @@ object Evaluate {
         col("ap_num").cast("double") /
           (col("n_pos").cast("double") * lit(1e9))))
   }
+
+  /** Per-depth RBO weights (1−p)·p^(d−1)/d quantized ONCE to ppt
+    * (10⁻¹²) as SUFFIX sums W_m = Σ_{d=m..D} w_d — exposed so an
+    * external replay embeds the IDENTICAL literals (the fsWeightsPpb
+    * rule). An id whose worse rank is m contributes to every depth
+    * d ≥ m, so its total weight is exactly W_m. */
+  def rboSuffixWeightsPpt(depth: Int, p: Double): Seq[Long] = {
+    require(depth >= 1 && depth <= 1000, s"depth in [1, 1000], got $depth")
+    require(p > 0.0 && p < 1.0, s"p in (0, 1), got $p")
+    val w = (1 to depth).map(d =>
+      math.round((1.0 - p) * math.pow(p, d - 1) / d * 1e12))
+    w.scanRight(0L)(_ + _).init
+  }
+
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * top-`depth` rankings — "how similar are these two retrieval /
+    * prioritization runs", top-weighted by p (p = 0.9 ⇒ ~86% of the
+    * weight in the first 10 ranks). RBO@D = (1−p)·Σ_{d≤D} p^(d−1)·X_d/d
+    * with X_d the size of the rank-d prefix intersection.
+    *
+    * Exact by construction: X_d never materializes — each shared id
+    * with worse-rank m = max(r_a, r_b) adds the precomputed suffix
+    * weight W_m ([[rboSuffixWeightsPpt]] ppt longs) to `rbo_num`, an
+    * exact integer sum; `rbo` is the single final division by 10¹².
+    * ONE equi-join of two ≤ depth-row frames — trivially broadcast.
+    *
+    * `a`/`b` carry (idCol, rankCol) with ranks 1..depth (build them
+    * with a deterministic row_number). Returns one row:
+    * (n_a, n_b, n_shared, rbo_num, rbo). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
+      rankCol: String, depth: Int, p: Double): DataFrame = {
+    val ws = rboSuffixWeightsPpt(depth, p)
+    val wLit = array(ws.map(lit): _*)
+    val aa = a.select(col(idCol).as("_id"), col(rankCol).as("_ra"))
+      .where(col("_ra") >= 1 && col("_ra") <= depth)
+    val bb = b.select(col(idCol).as("_id"), col(rankCol).as("_rb"))
+      .where(col("_rb") >= 1 && col("_rb") <= depth)
+    val na = aa.agg(count(lit(1)).as("n_a"))
+    val nb = bb.agg(count(lit(1)).as("n_b"))
+    aa.join(bb, Seq("_id"))
+      .select(element_at(wLit,
+        greatest(col("_ra"), col("_rb")).cast("int")).as("_w"))
+      .agg(count(lit(1)).as("n_shared"),
+        coalesce(sum(col("_w")), lit(0L)).as("rbo_num"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_a"), col("n_b"), col("n_shared"), col("rbo_num"),
+        (col("rbo_num").cast("double") / lit(1e12)).as("rbo"))
+  }
 }

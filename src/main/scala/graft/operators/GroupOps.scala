@@ -671,4 +671,51 @@ object GroupOps {
           (lit(1.4826) * col("mad2").cast("double"))))
       .drop("dev")
   }
+
+  /** Leave-one-out + smoothed target encoding — the leakage-safe
+    * categorical featurizer (the mean-encoding every tabular training
+    * pipeline reaches for): per row, the target mean of the row's
+    * category EXCLUDING the row itself, plus the m-smoothed blend with
+    * the global prior.
+    *
+    * Kept engine-exact end to end: per-category n_c/S_c and global N/S
+    * are exact integer aggregates; the LOO encoding is ONE division of
+    * exact integers ((S_c − y) / (n_c − 1), null for singletons —
+    * nothing to leave out); the smoothed encoding cross-multiplies the
+    * prior away — ((S_c − y)·N + m·S) / ((n_c − 1 + m)·N) — so its
+    * numerator/denominator are exact Decimal(38,0) integers and the
+    * value is again ONE division. Both num/den pairs ship alongside
+    * the doubles for integer-exact gating.
+    *
+    * Scale shape: one category aggregate (map-side combined, output
+    * bounded by category cardinality), one broadcast-sized join back
+    * (AQE broadcasts it when it fits) + one 1-row global crossJoin —
+    * map-only after that, no windows, no per-row state.
+    *
+    * Returns the id/category columns plus (n_c, loo_num, loo_den,
+    * te_loo, sm_num, sm_den, te_smooth). */
+  def targetEncode(df: DataFrame, idCol: String, category: Column,
+      y: Column, m: Long = 10L): DataFrame = {
+    require(m >= 0L, s"smoothing m must be >= 0, got $m")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(col(idCol), category.as("cat"), y.cast("long").as("_y"))
+      .where(col("cat").isNotNull && col("_y").isNotNull)
+    val cats = base.groupBy("cat")
+      .agg(count(lit(1)).as("n_c"), sum("_y").as("_sc"))
+    val glob = base.agg(count(lit(1)).as("_n"), sum("_y").as("_s"))
+    base.join(cats, Seq("cat"))
+      .crossJoin(broadcast(glob))
+      .withColumn("loo_num", col("_sc") - col("_y"))
+      .withColumn("loo_den", col("n_c") - 1L)
+      .withColumn("te_loo", when(col("loo_den") > 0L,
+        col("loo_num").cast("double") / col("loo_den").cast("double")))
+      .withColumn("sm_num",
+        dec(col("loo_num")) * col("_n") + dec(lit(m)) * col("_s"))
+      .withColumn("sm_den", dec(col("loo_den") + m) * col("_n"))
+      .withColumn("te_smooth", when(col("sm_den") =!= lit(0L),
+        col("sm_num").cast("double") / col("sm_den").cast("double")))
+      .select(col(idCol), col("cat"), col("n_c"), col("loo_num"),
+        col("loo_den"), col("te_loo"), col("sm_num"), col("sm_den"),
+        col("te_smooth"))
+  }
 }
