@@ -973,6 +973,76 @@ object Bench {
         .agg(count(lit(1)), sum("aa_ppb")).collect()
     }
 
+    // Bloom join pre-filter at 20M big-side rows vs a 1M-key small side:
+    // build (one distinct agg + a 2 MB packed bitmap) + the map-only
+    // 5-hash membership scan — the hand-rolled semi-join pushdown that
+    // replaces a 20M-row shuffle with one broadcast at 100 TB.
+    bench("x_bloom_20m", runs = 1) {
+      import graft.operators.Sketch
+      import graft.functions.splitmix64_rank
+      val small = spark.range(1000000L).select(
+        pmod(xxhash64(col("id"), lit(71)), lit(50000000L)).as("k"))
+      val big = spark.range(20000000L).select(
+        pmod(xxhash64(col("id"), lit(72)), lit(50000000L)).as("k"))
+      Sketch.bloomPrefilter(big, splitmix64_rank(col("k")),
+          small, splitmix64_rank(col("k")), nHashes = 5, mBits = 24)
+        .agg(count(lit(1))).collect()
+    }
+
+    // Naive Bayes fit + score at 1M docs / 8M tokens / 5 labels: the
+    // (label, word) count shuffle with map-side combine, then the
+    // broadcast-weight scoring join + per-doc argmax.
+    bench("x_nb_1m", runs = 1) {
+      import graft.operators.LangModel
+      val docs = spark.range(1000000L).select(col("id"),
+        concat(lit("l"), pmod(col("id"), lit(5))).as("label"),
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(80 + j))
+            + pmod(col("id"), lit(5)) * 7L, lit(5000L)))): _*).as("text"))
+      val m = LangModel.naiveBayesFit(docs, col("label"), col("text"))
+      LangModel.naiveBayesScore(docs, m, "id", col("text"))
+        .agg(count(lit(1))).collect()
+    }
+
+    // Deterministic random walks over a 1M-edge graph: 100k starts x 2
+    // walks x 4 steps — each step ONE frontier/adjacency equi-join,
+    // ~800k join rows per step, no global structure.
+    bench("x_walks_1m", runs = 1) {
+      import graft.operators.Graph
+      val e = spark.range(1000000L).select(
+        pmod(xxhash64(col("id"), lit(91)), lit(100000L)).as("src"),
+        pmod(xxhash64(col("id"), lit(92)), lit(100000L)).as("dst"))
+      val starts = spark.range(100000L).toDF("id")
+      Graph.randomWalks(e, "src", "dst", starts, "id",
+        walksPerNode = 2, walkLength = 4).agg(count(lit(1))).collect()
+    }
+
+    // LOO + smoothed target encoding at 10M rows / 1k categories: one
+    // bounded category aggregate + a broadcast join back — map-only
+    // after the single shuffle.
+    bench("x_target_encode_10m", runs = 1) {
+      import graft.operators.GroupOps
+      val df = spark.range(10000000L).select(col("id"),
+        concat(lit("c"), pmod(xxhash64(col("id"), lit(95)), lit(1000L))).as("cat"),
+        pmod(xxhash64(col("id"), lit(96)), lit(1000L)).as("y"))
+      GroupOps.targetEncode(df, "id", col("cat"), col("y"))
+        .agg(count(lit(1)), sum("loo_num")).collect()
+    }
+
+    // SCD-2 history merge at 10M snapshot rows (1M ids x 10 versions
+    // with absence gaps): one per-id window over <= 10-row partitions
+    // + the run rollup.
+    bench("x_scd_10m", runs = 1) {
+      val snaps = spark.range(10000000L)
+        .select((col("id") % 1000000L).as("sid"), (col("id") / 1000000L).as("v"))
+        .where(pmod(col("sid") + col("v"), lit(11)) =!= 0)
+        .select(col("sid").as("id"), col("v"),
+          when(col("v") <= pmod(col("sid"), lit(10)), lit("a"))
+            .otherwise(lit("b")).as("content"))
+      Dedup.scdMerge(snaps, "id", col("v"), col("content"))
+        .agg(count(lit(1))).collect()
+    }
+
     emitSummaryAndStop()
   }
 }

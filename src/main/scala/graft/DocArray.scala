@@ -786,6 +786,33 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     })(org.apache.spark.sql.Encoders.row(schema)))
   }
 
+  /** Density-relative outlier scores (LOF) over the embedding column:
+    * exact self-knn + the quantize-once reachability chain. */
+  def lofScores(k: Int = 10, metric: String = "cosine",
+      vecCol: String = "embedding"): DataFrame =
+    Knn.lofScores(df, k, metric, idCol, vecCol)
+
+  /** Train a multinomial Naive Bayes text classifier on a label column. */
+  def trainClassifier(labelCol: String, textCol: String = "text")
+      : LangModel.NaiveBayesModel =
+    LangModel.naiveBayesFit(df, col(labelCol), col(textCol))
+
+  /** Classify every doc under a fitted NB model. */
+  def classify(model: LangModel.NaiveBayesModel,
+      textCol: String = "text"): DataFrame =
+    LangModel.naiveBayesScore(df, model, idCol, col(textCol))
+
+  /** Leakage-safe target encoding of a categorical column. */
+  def targetEncode(category: String, y: Column, m: Long = 10L): DataFrame =
+    GroupOps.targetEncode(df, idCol, col(category), y, m)
+
+  /** Deterministic DeepWalk corpus over a pair graph from this array's
+    * ids (walk keys are splitmix draws — replayable, no RNG state). */
+  def randomWalks(pairs: DataFrame, walksPerNode: Int, walkLength: Int,
+      seed: Long = 0L): DataFrame =
+    Graph.randomWalks(pairs, "a", "b",
+      df.select(col(idCol)), idCol, walksPerNode, walkLength, seed)
+
   def summary(): DataFrame = Summary.describe(df)
 
   /** This array's actual schema as a JSON-Schema document (the

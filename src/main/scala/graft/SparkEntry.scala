@@ -3775,6 +3775,50 @@ object SparkEntry {
     Evaluate.rankBiasedOverlap(ra, rb, "ck", "rank", depth = 50, p = 0.9)
   }
 
+  // Entity resolution END-TO-END (the q77/q83 pipeline pattern):
+  // q220's blocked comparison + F-S scoring feed the match decisions
+  // into transitive closure (Dedup.clusters) and a min-id canonical
+  // survivorship — blocking → scoring → clustering → survivorship in
+  // ONE declarative plan, every stage individually gated elsewhere.
+  // The oracle recomputes the scores and resolves components with the
+  // q147 recursive min-label CTE.
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    def side(p: String) = c.select(col("c_custkey").as(p),
+      col("c_nationkey").as(s"${p}_n"), col("c_mktsegment").as(s"${p}_s"),
+      col("c_acctbal").as(s"${p}_bal"), col("c_name").as(s"${p}_name"))
+    val pairs = side("a").join(side("b"),
+        col("a_n") === col("b_n") && col("a_s") === col("b_s") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (abs(col("a_bal") - col("b_bal")) < 100.0).as("agree_bal"),
+        (substring(col("a_name"), -2, 2) ===
+          substring(col("b_name"), -2, 2)).as("agree_sfx"),
+        (pmod(col("a"), lit(7)) === pmod(col("b"), lit(7))).as("agree_mod"))
+    val matches = Dedup.fellegiSunter(pairs,
+        Seq(("agree_bal", 0.75, 0.0625), ("agree_sfx", 0.5, 0.25),
+          ("agree_mod", 0.875, 0.125)),
+        upperPpb = 3000000000L, lowerPpb = -2000000000L)
+      .where(col("decision") === "match").select("a", "b")
+    val labels = Dedup.clusters(matches, c.select(col("c_custkey")),
+      "c_custkey")
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("c_custkey"), col("cluster_id"), col("cluster_size"),
+        (col("c_custkey") === col("cluster_id")).as("is_canonical"))
+      .orderBy("c_custkey")
+  }
+
+  // Prefix-completion index (TextSearch.prefixCompletions): the
+  // autocomplete table over the corpus vocabulary — top-3 completions
+  // per 1..4-char token prefix, exact counts, (cnt desc, word asc)
+  // ties; the explode and rank window run over vocabulary-sized data.
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    TextSearch.prefixCompletions(t(s, dir, "documents"), col("text"),
+        minLen = 1, maxLen = 4, topK = 3)
+      .orderBy("prefix", "rank")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4455,7 +4499,9 @@ object SparkEntry {
     "q285_avg_precision" -> (q285 _),
     "q286_random_walks" -> (q286 _),
     "q287_target_encode" -> (q287 _),
-    "q288_rbo" -> (q288 _))
+    "q288_rbo" -> (q288 _),
+    "q289_entity_resolution" -> (q289 _),
+    "q290_prefix_completions" -> (q290 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10762,6 +10808,59 @@ object SparkEntry {
            CAST(rbo_num AS DOUBLE) / 1e12 AS rbo
          FROM na CROSS JOIN nb CROSS JOIN nums"""
     },
+
+    // q289: the q220 score chain -> match pairs -> recursive min-label
+    // components seeded from ALL customers (isolated keep own id) ->
+    // sizes + min-id canonical flag
+    "q289_entity_resolution" -> {
+      val (wa1, wd1) = Dedup.fsWeightsPpb(0.75, 0.0625)
+      val (wa2, wd2) = Dedup.fsWeightsPpb(0.5, 0.25)
+      val (wa3, wd3) = Dedup.fsWeightsPpb(0.875, 0.125)
+      s"""WITH RECURSIVE p AS (SELECT a.c_custkey AS a, b.c_custkey AS b,
+           abs(a.c_acctbal - b.c_acctbal) < 100.0 AS agree_bal,
+           right(a.c_name, 2) = right(b.c_name, 2) AS agree_sfx,
+           (a.c_custkey % 7) = (b.c_custkey % 7) AS agree_mod
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey),
+         w AS (SELECT a, b,
+             (CASE WHEN agree_bal THEN $wa1 ELSE $wd1 END)
+           + (CASE WHEN agree_sfx THEN $wa2 ELSE $wd2 END)
+           + (CASE WHEN agree_mod THEN $wa3 ELSE $wd3 END) AS weight_ppb
+           FROM p),
+         mp AS (SELECT a, b FROM w WHERE weight_ppb >= 3000000000),
+         und AS (SELECT a i, b j FROM mp UNION ALL SELECT b, a FROM mp),
+         reach(i, r) AS (SELECT c_custkey, c_custkey FROM customer
+           UNION SELECT e.j, reach.r FROM reach JOIN und e ON reach.i = e.i),
+         lbl AS (SELECT i AS c_custkey, min(r) AS cluster_id
+           FROM reach GROUP BY i),
+         sz AS (SELECT cluster_id, count(*) cluster_size FROM lbl GROUP BY 1)
+         SELECT l.c_custkey, l.cluster_id,
+           CAST(sz.cluster_size AS BIGINT) cluster_size,
+           l.c_custkey = l.cluster_id AS is_canonical
+         FROM lbl l JOIN sz USING (cluster_id)
+         ORDER BY l.c_custkey"""
+    },
+
+    // q290: vocabulary counts -> 1..4-char prefixes -> QUALIFY top-3
+    // with the (cnt desc, word asc) tie rule
+    "q290_prefix_completions" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents),
+         v AS (SELECT word, count(*) cnt FROM tok GROUP BY word),
+         pl AS (SELECT word, cnt,
+             CAST(unnest(range(1, least(4, length(word)) + 1)) AS INTEGER) plen
+           FROM v WHERE length(word) >= 1),
+         pr AS (SELECT substring(word, 1, plen) AS prefix, word, cnt FROM pl)
+         SELECT prefix,
+           CAST(row_number() OVER (PARTITION BY prefix
+             ORDER BY cnt DESC, word) AS INTEGER) AS rank,
+           word, cnt
+         FROM pr
+         QUALIFY rank <= 3
+         ORDER BY prefix, rank""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -310,4 +310,35 @@ object TextSearch {
       .select(col("_c").as("cluster"), col("_w").as("term"),
         col("_tf").as("tf"), col("_idf_ppb").as("idf_ppb"), col("rank"))
   }
+
+  /** Prefix-completion index (the autocomplete/typeahead table): for
+    * every token prefix of length `minLen..maxLen`, the `topK` most
+    * frequent corpus completions with the (count desc, word asc) tie
+    * rule — exact integer counts end to end.
+    *
+    * Scale shape: the corpus collapses to its VOCABULARY first (one
+    * token-count aggregation with map-side combine), so the prefix
+    * explode and the per-prefix rank window run over vocabulary-sized
+    * data — bounded by |vocab|·(maxLen−minLen+1) rows, never corpus
+    * rows. Returns (prefix, rank, word, cnt). */
+  def prefixCompletions(docs: DataFrame, textCol: Column,
+      minLen: Int = 1, maxLen: Int = 4, topK: Int = 3): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen && topK >= 1,
+      s"bad prefix bounds ($minLen, $maxLen, $topK)")
+    val vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(textCol)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prefix").orderBy(col("cnt").desc, col("word").asc)
+    vocab
+      .where(length(col("word")) >= minLen)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(minLen), least(lit(maxLen), length(col("word")))))
+          .as("_plen"))
+      .select(expr("substring(word, 1, _plen)").as("prefix"),
+        col("word"), col("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("prefix"), col("rank"), col("word"), col("cnt"))
+  }
 }

@@ -336,6 +336,51 @@ object EventStream {
       case None => throw new IllegalStateException(s"no hll state under $path")
     }
 
+  /** Streaming Bloom filter state: the membership twin of
+    * [[streamingHllSketch]] — per micro-batch, pack the batch's keys
+    * ([[graft.operators.Sketch.bloomBuild]]/`bloomPack`), word-wise-OR
+    * merge into the latest strictly-older version, write v<batchId>.
+    * Bit OR is idempotent, so the versioned-overwrite replay contract
+    * carries over unchanged: a replayed batch re-ORs the same bits.
+    * The continuously-maintained "have we ever seen this key" filter —
+    * stream-side dedup screens and join pre-filters read the state
+    * with [[readBloomState]] + `bloomMightContain`. */
+  def streamingBloom(stream: DataFrame,
+      hash: org.apache.spark.sql.Column, nHashes: Int, mBits: Int,
+      path: String, keepVersions: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keepVersions >= 2, "keepVersions must be >= 2 (replay safety)")
+    import graft.operators.Sketch
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchPacked =
+          Sketch.bloomPack(Sketch.bloomBuild(batch, hash, nHashes, mBits), mBits)
+        val merged = latestKmvVersion(spark, path, batchId) match {
+          case Some(v) =>
+            val prev = spark.read.parquet(s"$path/v$v")
+            Sketch.bloomMerge(prev.unionByName(batchPacked))
+          case None => batchPacked
+        }
+        merged.write.mode("overwrite").parquet(s"$path/v$batchId")
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+          .flatMap(s => s.getPath.getName.drop(1).toLongOption.map((_, s.getPath)))
+          .filter(_._1 <= batchId)
+          .sortBy(-_._1).drop(keepVersions)
+          .foreach { case (_, old) => fs.delete(old, true) }
+      }
+  }
+
+  /** The current packed words written by [[streamingBloom]]. */
+  def readBloomState(spark: SparkSession, path: String): DataFrame =
+    latestKmvVersion(spark, path, Long.MaxValue) match {
+      case Some(v) => spark.read.parquet(s"$path/v$v")
+      case None => throw new IllegalStateException(s"no bloom state under $path")
+    }
+
   /** Freshness-weighted (bucketed exponential decay) counts per group:
     * each event contributes 2^−e of a count where e = floor(age /
     * halfLife) — the per-epoch half-life decay counters of trending /

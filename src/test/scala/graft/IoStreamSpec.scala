@@ -722,6 +722,42 @@ class IoStreamSpec extends SparkSuite {
     assert(vs.toSet == Set("v0", "v1"))
   }
 
+  test("streaming Bloom: merged words equal the batch filter of everything") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Sketch
+    val all = (0 until 800).map(i => Tuple1(s"key-$i"))
+    val (h1, h2) = all.splitAt(400)
+    val dir = Files.createTempDirectory("graftsbloom").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Tuple1[String]]
+    val writer = EventStream.streamingBloom(
+      mem.toDF().toDF("key"), Sketch.keyHash(col("key")),
+      nHashes = 4, mBits = 12, path = s"$dir/state")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/_chk")
+    mem.addData(h1: _*)
+    val r1 = writer.start(); r1.processAllAvailable(); r1.stop()
+    mem.addData(h2: _*)
+    val r2 = writer.start(); r2.processAllAvailable(); r2.stop()
+
+    val state = EventStream.readBloomState(spark, s"$dir/state")
+      .head.getSeq[Long](0)
+    val want = Sketch.bloomPack(
+      Sketch.bloomBuild(all.map(_._1).toDF("key"),
+        Sketch.keyHash(col("key")), 4, 12), 12).head.getSeq[Long](0)
+    assert(state === want) // bit OR merge is lossless
+    // every streamed key tests positive against the merged state
+    val hits = all.map(_._1).toDF("key")
+      .crossJoin(broadcast(EventStream.readBloomState(spark, s"$dir/state")))
+      .select(Sketch.bloomMightContain(Sketch.keyHash(col("key")),
+        col("words"), 4, 12).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity))
+    val vs = new java.io.File(s"$dir/state").list().filter(_.startsWith("v"))
+    assert(vs.toSet == Set("v0", "v1"))
+  }
+
   test("decayedCounts: exact power-of-two bucket weights") {
     val h = 100L // half-life in the test's fake-ns unit
     val ev = Seq(
