@@ -3644,12 +3644,12 @@ object SparkEntry {
       .select(col("c_custkey").cast("long").as("k"))
     val probes = t(s, dir, "orders")
       .select(col("o_custkey").cast("long").as("custkey")).distinct()
-    val packed = Sketch.bloomPack(
+    val words = Sketch.bloomPack(
       Sketch.bloomBuild(members, col("k"), nHashes = 3, mBits = 10),
-      mBits = 10)
-    probes.crossJoin(broadcast(packed))
+      mBits = 10).head.getSeq[Long](0)
+    probes
       .select(col("custkey"),
-        Sketch.bloomMightContain(col("custkey"), col("words"),
+        Sketch.bloomMightContainLit(col("custkey"), words,
           nHashes = 3, mBits = 10).as("bloom_keep"))
       .join(members.select(col("k").as("custkey"), lit(true).as("_m")),
         Seq("custkey"), "left")
@@ -3818,6 +3818,47 @@ object SparkEntry {
     TextSearch.prefixCompletions(t(s, dir, "documents"), col("text"),
         minLen = 1, maxLen = 4, topK = 3)
       .orderBy("prefix", "rank")
+
+  // Per-group winsorization (GroupOps.winsorize): the cleaning
+  // transform beside q241's trimmed-mean statistic — exact ceil(q·n)
+  // bound selection over the per-(group, value) count grid, map-side
+  // clamp join back; 5%/95% over lineitem quantity per return flag.
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    GroupOps.winsorize(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity").cast("long").as("qty")),
+        Seq("l_returnflag"), col("qty"), 1, 20, 19, 20)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("qty"), col("lo"), col("hi"), col("v_w"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // Column-profile snapshot diff (Quality.profileDiff): the
+  // column-level twin of q252's row-level churn — exact n / nulls /
+  // distinct + string min/max per column, full-outer by column name,
+  // change flags; old = all orders, new = the 'F' status slice.
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    Quality.profileDiff(o, o.where(col("o_orderstatus") === "F"),
+        Seq("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"))
+      .orderBy("column")
+  }
+
+  // Cross-validated AUC (Evaluate.aucExact per splitmix fold): the
+  // q116 statistic per unstratified fold pmod(splitmix64(doc_id+31), 5)
+  // — the eval loop a model-selection pipeline runs; every fold's
+  // half-rank machinery replays within its fold partition.
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("fold",
+        pmod(graft.functions.splitmix64_rank(col("doc_id"), 31L), lit(5))
+          .cast("int"))
+    (0 until 5).map { f =>
+      Evaluate.aucExact(d.where(col("fold") === f),
+          TextFunctions.qualityScore(col("text")), col("lang") === "en")
+        .withColumn("fold", lit(f))
+        .select("fold", "n_pos", "n_neg", "auc")
+    }.reduce(_.unionByName(_)).orderBy("fold")
+  }
 
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
@@ -4501,7 +4542,10 @@ object SparkEntry {
     "q287_target_encode" -> (q287 _),
     "q288_rbo" -> (q288 _),
     "q289_entity_resolution" -> (q289 _),
-    "q290_prefix_completions" -> (q290 _))
+    "q290_prefix_completions" -> (q290 _),
+    "q291_winsorize" -> (q291 _),
+    "q292_profile_diff" -> (q292 _),
+    "q293_cv_auc" -> (q293 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10861,6 +10905,76 @@ object SparkEntry {
          FROM pr
          QUALIFY rank <= 3
          ORDER BY prefix, rank""",
+
+    // q291: the count-grid cumulative window, exact ceil targets,
+    // min-qualifying-value bounds, clamp join
+    "q291_winsorize" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) qty FROM lineitem),
+         g AS (SELECT l_returnflag, qty v, count(*) c FROM b GROUP BY 1, 2),
+         wn AS (SELECT l_returnflag, v,
+             sum(c) OVER w cum,
+             sum(c) OVER (PARTITION BY l_returnflag) n
+           FROM g WINDOW w AS (PARTITION BY l_returnflag ORDER BY v)),
+         bounds AS (SELECT l_returnflag,
+             min(CASE WHEN cum >= (n * 1 + 19) // 20 THEN v END) lo,
+             min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v END) hi
+           FROM wn GROUP BY l_returnflag)
+         SELECT b.l_orderkey, b.l_linenumber, b.l_returnflag, b.qty,
+           bounds.lo, bounds.hi,
+           greatest(bounds.lo, least(bounds.hi, b.qty)) v_w
+         FROM b JOIN bounds USING (l_returnflag)
+         ORDER BY l_orderkey, l_linenumber""",
+
+    // q292: per-column exact profile per side, joined by column name,
+    // null-safe change flags
+    "q292_profile_diff" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority",
+        "o_orderstatus")
+      def side(name: String, from: String) = cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_$name,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_null_$name,
+            count(DISTINCT $c) AS n_distinct_$name,
+            CAST(min($c) AS VARCHAR) AS min_$name,
+            CAST(max($c) AS VARCHAR) AS max_$name
+          FROM $from""").mkString("\n          UNION ALL ")
+      s"""WITH po AS (${side("old", "orders")}),
+         pn AS (${side("new",
+          "(SELECT * FROM orders WHERE o_orderstatus = 'F')")})
+         SELECT po."column", n_old, n_null_old, n_distinct_old, min_old,
+           max_old, n_new, n_null_new, n_distinct_new, min_new, max_new,
+           NOT (min_old IS NOT DISTINCT FROM min_new)
+             OR NOT (max_old IS NOT DISTINCT FROM max_new) AS range_changed,
+           NOT (n_distinct_old IS NOT DISTINCT FROM n_distinct_new)
+             AS distinct_changed
+         FROM po JOIN pn USING ("column")
+         ORDER BY po."column""""
+    },
+
+    // q293: the q116 chain + the splitmix(doc_id + 31) fold split; the
+    // half-rank machinery runs within each fold partition
+    "q293_cv_auc" ->
+      s"""WITH $qualityScorePosCtes,
+         ${splitmixChainSql("doc_id", 31L, "documents", "doc_id", "f")},
+         fd AS (SELECT doc_id, CAST(((rk % 5) + 5) % 5 AS INTEGER) AS fold
+           FROM franked),
+         qf AS (SELECT q.doc_id, fd.fold, q.sc, q.pos
+           FROM q JOIN fd USING (doc_id)),
+         r AS (SELECT fold, sc, pos,
+             row_number() OVER (PARTITION BY fold ORDER BY sc) - 1 AS gi
+           FROM qf),
+         g AS (SELECT fold, sc, min(gi) gmin, count(*) gcnt, sum(pos) gpos
+           FROM r GROUP BY fold, sc),
+         a AS (SELECT fold, CAST(sum(gpos) AS BIGINT) p,
+             CAST(sum(gcnt) - sum(gpos) AS BIGINT) n,
+             CAST(sum(gpos * (2*gmin + gcnt + 1)) AS BIGINT) r2
+           FROM g GROUP BY fold)
+         SELECT fold, p AS n_pos, n AS n_neg,
+           CASE WHEN p > 0 AND n > 0
+                THEN CAST(r2 - p*(p+1) AS DOUBLE) / (2.0 * p * n)
+                ELSE NULL END AS auc
+         FROM a ORDER BY fold""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -672,6 +672,46 @@ object GroupOps {
       .drop("dev")
   }
 
+  /** Per-group winsorization — clamp an integer measure at exact
+    * rational quantile bounds (the outlier-tolerant cleaning TRANSFORM
+    * beside q241's trimmed-mean statistic): bound(q = num/den) = the
+    * smallest value whose cumulative count reaches ceil(q·n), selected
+    * in exact integer arithmetic over the per-(group, value) COUNT
+    * GRID (the q119/q253 discipline — windows run over distinct
+    * values, never data rows), then one map-side clamp join back.
+    *
+    * Returns the input columns plus (`lo`, `hi`, `v_w`). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], value: Column,
+      loNum: Int, loDen: Int, hiNum: Int, hiDen: Int): DataFrame = {
+    require(loDen > 0 && hiDen > 0 && loNum >= 0 && hiNum >= 0 &&
+      loNum <= loDen && hiNum <= hiDen && loNum * hiDen <= hiNum * loDen,
+      s"bad quantile bounds ($loNum/$loDen, $hiNum/$hiDen)")
+    val base = df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
+    val grid = base.groupBy(groupCols.map(col) :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("_v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val bounds = grid
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(wAll))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(col("_cum") >=
+          expr(s"(_n * $loNum + $loDen - 1) div $loDen"), col("_v")))
+          .as("lo"),
+        min(when(col("_cum") >=
+          expr(s"(_n * $hiNum + $hiDen - 1) div $hiDen"), col("_v")))
+          .as("hi"))
+    df.select(df.columns.map(col) :+ value.cast("long").as("_v"): _*)
+      .where(col("_v").isNotNull)
+      .join(bounds, groupCols)
+      .withColumn("v_w", greatest(col("lo"), least(col("hi"), col("_v"))))
+      .drop("_v")
+  }
+
   /** Leave-one-out + smoothed target encoding — the leakage-safe
     * categorical featurizer (the mean-encoding every tabular training
     * pipeline reaches for): per row, the target mean of the row's

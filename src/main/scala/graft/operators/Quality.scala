@@ -323,6 +323,49 @@ object Quality {
         col("h_ppb") :+ col("entropy_ok"): _*)
   }
 
+  /** Column-level profile: one row per named column with exact
+    * (n, n_null, n_distinct) and min/max rendered as strings (profile
+    * integer/string/date columns; a raw double's string form is
+    * engine-specific — bucketize first). One aggregation per column
+    * over a column-pruned scan — the scan reads ONLY the profiled
+    * columns, and each agg map-side combines. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n"),
+          sum(col(c).isNull.cast("long")).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Profile DIFF between two snapshots — the schema/content drift
+    * report a nightly pipeline runs before promotion (the column-level
+    * twin of [[graft.operators.Dedup.snapshotDiff]]'s row-level
+    * churn): per column, both profiles side by side plus change flags.
+    * Columns are compared by NAME (full outer — added/removed columns
+    * surface as null sides). */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val po = profile(oldDf, cols.filter(oldDf.columns.contains))
+      .select(col("column"), col("n").as("n_old"),
+        col("n_null").as("n_null_old"), col("n_distinct").as("n_distinct_old"),
+        col("min_s").as("min_old"), col("max_s").as("max_old"))
+    val pn = profile(newDf, cols.filter(newDf.columns.contains))
+      .select(col("column"), col("n").as("n_new"),
+        col("n_null").as("n_null_new"), col("n_distinct").as("n_distinct_new"),
+        col("min_s").as("min_new"), col("max_s").as("max_new"))
+    po.join(pn, Seq("column"), "full_outer")
+      .withColumn("range_changed",
+        !(col("min_old") <=> col("min_new")) ||
+          !(col("max_old") <=> col("max_new")))
+      .withColumn("distinct_changed",
+        !(col("n_distinct_old") <=> col("n_distinct_new")))
+  }
+
   /** Data-contract expectations — the nightly validation report a
     * 100 TB pipeline runs before promoting a snapshot: each named
     * row-level rule is checked in ONE conditional-sum pass (a rule

@@ -467,16 +467,27 @@ object Sketch {
     }.reduce(_ && _)
   }
 
+  /** Membership test against a DRIVER-HELD word array embedded as one
+    * plan literal — the scan-side form: `element_at` on a literal is a
+    * constant lookup inside whole-stage codegen, and the array ships
+    * ONCE per task. (Testing against a words COLUMN via crossJoin is a
+    * trap at scale: the join materializes the multi-MB array into
+    * every output UnsafeRow — measured 959 s vs ~10 s on 20M rows.) */
+  def bloomMightContainLit(hash: Column, words: Seq[Long], nHashes: Int,
+      mBits: Int): Column =
+    bloomMightContain(hash, typedLit(words), nHashes, mBits)
+
   /** The 100 TB shape end-to-end: keep only `big` rows whose `hash`
-    * might be in the filter built from `small`'s hashes — crossJoin of
-    * the ONE-row packed artifact (broadcast) + the map-only test. No
-    * false negatives: every row whose key IS present survives. */
+    * might be in the filter built from `small`'s hashes. The packed
+    * bitmap (≤ 2^mBits/8 bytes — BOUNDED by construction, the
+    * broadcast-query-rows precedent) is collected once and embedded as
+    * a literal, so the big side sees a map-only codegen filter with NO
+    * join. No false negatives: every row whose key IS present survives. */
   def bloomPrefilter(big: DataFrame, bigHash: Column, small: DataFrame,
       smallHash: Column, nHashes: Int, mBits: Int): DataFrame = {
-    val packed = bloomPack(bloomBuild(small, smallHash, nHashes, mBits), mBits)
-    big.crossJoin(broadcast(packed))
-      .where(bloomMightContain(bigHash, col("words"), nHashes, mBits))
-      .drop("words")
+    val words = bloomPack(bloomBuild(small, smallHash, nHashes, mBits), mBits)
+      .head.getSeq[Long](0)
+    big.where(bloomMightContainLit(bigHash, words, nHashes, mBits))
   }
 
   /** Merge packed filters with identical (nHashes, mBits, seed): word-
