@@ -3860,6 +3860,53 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy("fold")
   }
 
+  // CM-sketch join-size estimation (Sketch.cmJoinSize): the AGMS/CM
+  // inner-product estimator — two ≤ depth·width counter tables answer
+  // "how big is orders ⋈ customer" with NO scan of either table;
+  // never underestimates; exact integer products so the estimate
+  // replays bit-for-bit. actual_rows rides along for the honesty gap.
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey").cast("string").as("k"))
+    val c = t(s, dir, "customer").select(col("c_custkey").cast("string").as("k"))
+    val est = Sketch.cmJoinSize(
+      Sketch.cmSketch(o, col("k"), depth = 4, width = 256),
+      Sketch.cmSketch(c, col("k"), depth = 4, width = 256), depth = 4)
+    val actual = o.join(c, "k").agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+  }
+
+  // Node-embedding pipeline (Graph.randomWalks → walkPairsPmi): the
+  // DeepWalk factorization target end-to-end — q286's walk corpus,
+  // adjacent-step co-occurrence counts, and the q194-rule PMI — in
+  // ONE declarative plan; the oracle replays walks chain-for-chain
+  // then the margins and the single quantized ln.
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val cs = o.join(l, "ok")
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = cs.unionByName(
+      cs.select(col("dst").as("src"), col("src").as("dst")))
+    val starts = t(s, dir, "customer")
+      .where(pmod(col("c_custkey"), lit(20)) === 0)
+      .select((col("c_custkey") * 2).as("id"))
+    Graph.walkPairsPmi(Graph.randomWalks(edges, "src", "dst", starts, "id",
+        walksPerNode = 2, walkLength = 3))
+      .orderBy("a", "b")
+  }
+
+  // Fixed-threshold confusion statistics (Evaluate.confusionStats):
+  // exact tp/fp/fn/tn in one pass over the q116 quality-score chain at
+  // 0.5; precision/recall/F1 each ONE division of exact integers
+  // (F1 = 2tp/(2tp+fp+fn)) — the operating-point companion of
+  // AUC (q116) and AP (q285).
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    Evaluate.confusionStats(t(s, dir, "documents"),
+      TextFunctions.qualityScore(col("text")), col("lang") === "en", 0.5)
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4545,7 +4592,10 @@ object SparkEntry {
     "q290_prefix_completions" -> (q290 _),
     "q291_winsorize" -> (q291 _),
     "q292_profile_diff" -> (q292 _),
-    "q293_cv_auc" -> (q293 _))
+    "q293_cv_auc" -> (q293 _),
+    "q294_cm_join_size" -> (q294 _),
+    "q295_walk_pmi" -> (q295 _),
+    "q296_confusion" -> (q296 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10769,38 +10819,12 @@ object SparkEntry {
     // q286: three walk steps unrolled — each a splitmix chain over the
     // packed key start*256 + walk*16 + step, pmod into the dst-ranked
     // adjacency; sinks drop out via the inner degree join
-    "q286_random_walks" -> {
-      def stepCte(i: Int): String =
-        s"""w${i}k AS (SELECT start, walk, node,
-             start * 256 + walk * 16 + $i AS kk FROM w${i - 1}),
-         ${splitmixChainSql("start, walk, node", 0L, s"w${i}k", "kk", s"p$i")},
-         w$i AS (SELECT f.start, f.walk, $i AS step, adj.dst AS node
-           FROM p${i}ranked f
-           JOIN dg ON f.node = dg.src
-           JOIN adj ON adj.src = f.node
-             AND adj.rk = ((f.rk % dg.deg) + dg.deg) % dg.deg + 1)"""
-      s"""WITH cs AS (SELECT DISTINCT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst
-           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
-         adj AS (SELECT src, dst,
-             row_number() OVER (PARTITION BY src ORDER BY dst) rk FROM e),
-         dg AS (SELECT src, count(*) deg FROM e GROUP BY src),
-         st AS (SELECT c_custkey * 2 AS start FROM customer
-           WHERE c_custkey % 20 = 0),
-         w0 AS (SELECT start, CAST(unnest([0, 1]) AS INTEGER) walk,
-             0 AS step, start AS node FROM st),
-         ${stepCte(1)},
-         ${stepCte(2)},
-         ${stepCte(3)}
+    "q286_random_walks" ->
+      s"""WITH $tradeWalkCtes
          SELECT CAST(start AS BIGINT) AS start, walk, step,
            CAST(node AS BIGINT) AS node
-         FROM (SELECT start, walk, step, node FROM w0
-           UNION ALL SELECT start, walk, step, node FROM w1
-           UNION ALL SELECT start, walk, step, node FROM w2
-           UNION ALL SELECT start, walk, step, node FROM w3)
-         ORDER BY start, walk, step, node"""
-    },
+         FROM allwalks
+         ORDER BY start, walk, step, node""",
 
     // q287: category/global sums, LOO division, HUGEINT cross-
     // multiplied smoothed blend (lateral alias reuse for the division)
@@ -10975,6 +10999,79 @@ object SparkEntry {
                 THEN CAST(r2 - p*(p+1) AS DOUBLE) / (2.0 * p * n)
                 ELSE NULL END AS auc
          FROM a ORDER BY fold""",
+
+    // q294: both CM sketches rebuilt over the shared key universe (the
+    // q118 chain), per-row bucket-product sums over the depth grid
+    // (absent row = 0), min, plus the true join count
+    "q294_cm_join_size" -> {
+      s"""WITH ko AS (SELECT CAST(o_custkey AS VARCHAR) w FROM orders),
+         kc AS (SELECT CAST(c_custkey AS VARCHAR) w FROM customer),
+         cnta AS (SELECT w, count(*) c FROM ko GROUP BY w),
+         cntb AS (SELECT w, count(*) c FROM kc GROUP BY w),
+         ws AS (SELECT w FROM cnta UNION SELECT w FROM cntb),
+         th AS (SELECT w, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM ws),
+         ${(0 until 4).map(i => wordMixCtes(s"k$i", i.toLong)).mkString(",\n         ")},
+         rks AS (${(0 until 4).map(i =>
+          s"SELECT $i AS i, w, rk FROM k${i}rk").mkString("\n           UNION ALL ")}),
+         ca AS (SELECT i, (rk & 255) b, sum(c) cell
+           FROM rks JOIN cnta USING (w) GROUP BY 1, 2),
+         cb AS (SELECT i, (rk & 255) b, sum(c) cell
+           FROM rks JOIN cntb USING (w) GROUP BY 1, 2),
+         pr AS (SELECT ca.i, sum(CAST(ca.cell AS HUGEINT) * cb.cell) p
+           FROM ca JOIN cb USING (i, b) GROUP BY ca.i),
+         grid AS (SELECT unnest([0, 1, 2, 3]) i),
+         pe AS (SELECT grid.i, coalesce(pr.p, 0) p
+           FROM grid LEFT JOIN pr USING (i)),
+         est AS (SELECT min(p) est_join_rows FROM pe),
+         act AS (SELECT count(*) actual_rows FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey)
+         SELECT est.est_join_rows,
+           CAST(act.actual_rows AS BIGINT) actual_rows
+         FROM est CROSS JOIN act"""
+    },
+
+    // q295: the q286 walk replay feeding adjacent-step pair counts,
+    // margins off the same pair table, one quantized ln
+    "q295_walk_pmi" ->
+      s"""WITH $tradeWalkCtes,
+         pa AS (SELECT x.node a, y.node b FROM allwalks x JOIN allwalks y
+           ON x.start = y.start AND x.walk = y.walk AND y.step = x.step + 1),
+         cnt AS (SELECT a, b, count(*) c_ab FROM pa GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(sum(c_ab) AS BIGINT) m_a FROM cnt GROUP BY a),
+         mb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) m_b FROM cnt GROUP BY b),
+         tt AS (SELECT CAST(sum(c_ab) AS BIGINT) t FROM cnt)
+         SELECT CAST(cnt.a AS BIGINT) a, CAST(cnt.b AS BIGINT) b,
+           CAST(c_ab AS BIGINT) c_ab, m_a, m_b, t,
+           CAST(round(ln(CAST(c_ab AS DOUBLE) * t
+             / (CAST(m_a AS DOUBLE) * m_b)) * 1e9) AS BIGINT) pmi_ppb
+         FROM cnt JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tt
+         ORDER BY a, b""",
+
+    // q296: the q116 score chain at threshold 0.5 — exact confusion
+    // cells, one division per metric ("precision" quoted: DOUBLE
+    // PRECISION makes it a DuckDB type keyword)
+    "q296_confusion" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT (sc >= 0.5) pred, pos FROM q WHERE sc IS NOT NULL),
+         agg AS (SELECT
+             CAST(sum(CASE WHEN pred AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) tp,
+             CAST(sum(CASE WHEN pred AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) fp,
+             CAST(sum(CASE WHEN NOT pred AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) fn,
+             CAST(sum(CASE WHEN NOT pred AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) tn
+           FROM b)
+         SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+           CASE WHEN tp + fn > 0
+             THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+           CASE WHEN 2*tp + fp + fn > 0
+             THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END AS f1
+         FROM agg""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
@@ -11519,6 +11616,41 @@ object SparkEntry {
     s"""a0 AS (SELECT vec_id, CAST(vec_id % $k AS INTEGER) c FROM e),
        ${step("a0", "ks1", "kc1", "kd1", "a1")},
        ${step("a1", "ks2", "kc2", "kd2", "a2")}"""
+  }
+
+  /** q286's deterministic trade-graph walk replay as reusable
+    * WITH-clauses ending in `allwalks(start, walk, step, node)` —
+    * the numeric customer/supplier graph, dst-ranked adjacency, and
+    * three splitmix-drawn steps; shared by q286 (the walk gate) and
+    * q295 (the walk→PMI node-embedding pipeline). */
+  private def tradeWalkCtes: String = {
+    def stepCte(i: Int): String =
+      s"""w${i}k AS (SELECT start, walk, node,
+             start * 256 + walk * 16 + $i AS kk FROM w${i - 1}),
+         ${splitmixChainSql("start, walk, node", 0L, s"w${i}k", "kk", s"p$i")},
+         w$i AS (SELECT f.start, f.walk, $i AS step, adj.dst AS node
+           FROM p${i}ranked f
+           JOIN dg ON f.node = dg.src
+           JOIN adj ON adj.src = f.node
+             AND adj.rk = ((f.rk % dg.deg) + dg.deg) % dg.deg + 1)"""
+    s"""cs AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         e AS (SELECT src, dst FROM cs UNION SELECT dst, src FROM cs),
+         adj AS (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) rk FROM e),
+         dg AS (SELECT src, count(*) deg FROM e GROUP BY src),
+         st AS (SELECT c_custkey * 2 AS start FROM customer
+           WHERE c_custkey % 20 = 0),
+         w0 AS (SELECT start, CAST(unnest([0, 1]) AS INTEGER) walk,
+             0 AS step, start AS node FROM st),
+         ${stepCte(1)},
+         ${stepCte(2)},
+         ${stepCte(3)},
+         allwalks AS (SELECT start, walk, step, node FROM w0
+           UNION ALL SELECT start, walk, step, node FROM w1
+           UNION ALL SELECT start, walk, step, node FROM w2
+           UNION ALL SELECT start, walk, step, node FROM w3)"""
   }
 
   /** The q52/q58 splitmix64(doc_id + seed) HUGEINT chain as reusable

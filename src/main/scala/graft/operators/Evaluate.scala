@@ -2597,6 +2597,33 @@ object Evaluate {
           (col("n_pos").cast("double") * lit(1e9))))
   }
 
+  /** Classification confusion statistics at a score threshold: exact
+    * tp/fp/fn/tn in ONE conditional-sum pass, precision/recall/F1 each
+    * a single division of exact integers (F1 = 2tp/(2tp+fp+fn) — no
+    * harmonic-mean float chain). Null metrics when their denominator
+    * is 0. The fixed-operating-point companion of the threshold-free
+    * AUC (aucExact) / AP (averagePrecision). Rows with a null score or
+    * label drop. Returns one row: (tp, fp, fn, tn, precision, recall,
+    * f1). */
+  def confusionStats(df: DataFrame, score: Column, positive: Column,
+      threshold: Double): DataFrame = {
+    val base = df.select(score.as("_sc"), positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+      .select((col("_sc") >= threshold).as("_pred"), col("_p"))
+    base.agg(
+        sum(when(col("_pred") && col("_p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_pred") && !col("_p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("_pred") && col("_p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("_pred") && !col("_p"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0L,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", when(col("tp") + col("fn") > 0L,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
   /** Per-depth RBO weights (1−p)·p^(d−1)/d quantized ONCE to ppt
     * (10⁻¹²) as SUFFIX sums W_m = Σ_{d=m..D} w_d — exposed so an
     * external replay embeds the IDENTICAL literals (the fsWeightsPpb

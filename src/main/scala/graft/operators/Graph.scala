@@ -626,4 +626,34 @@ object Graph {
     }
     out.reduce(_.unionByName(_))
   }
+
+  /** Directed co-occurrence PMI over a walk corpus ([[randomWalks]]
+    * output): adjacent-step (node_t → node_t+1) pairs counted exactly,
+    * margins and total off the SAME pair table, pmi_ppb = one ln of
+    * the exact count ratio quantized once to ppb (the q194 rule). The
+    * DeepWalk/node2vec factorization target — feed the positive PMI
+    * rows into [[graft.operators.LangModel]] word-vector machinery or
+    * export as edge features.
+    *
+    * Scale shape: one self-equi-join of the walk table on (start,
+    * walk, step+1) + three bounded count aggregations — everything
+    * keyed, nothing global. Returns (a, b, c_ab, m_a, m_b, t,
+    * pmi_ppb). */
+  def walkPairsPmi(walks: DataFrame): DataFrame = {
+    val a = walks.select(col("start"), col("walk"), col("step"),
+      col("node").as("a"))
+    val b = walks.select(col("start"), col("walk"),
+      (col("step") - 1).as("step"), col("node").as("b"))
+    val cnt = a.join(b, Seq("start", "walk", "step"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ma = cnt.groupBy("a").agg(sum("c_ab").as("m_a"))
+    val mb = cnt.groupBy("b").agg(sum("c_ab").as("m_b"))
+    val tot = cnt.agg(sum("c_ab").as("t"))
+    cnt.join(ma, "a").join(mb, "b").crossJoin(broadcast(tot))
+      .withColumn("pmi_ppb",
+        round(log(col("c_ab").cast("double") * col("t").cast("double") /
+          (col("m_a").cast("double") * col("m_b").cast("double"))) * lit(1e9))
+          .cast("long"))
+      .select("a", "b", "c_ab", "m_a", "m_b", "t", "pmi_ppb")
+  }
 }

@@ -306,6 +306,33 @@ object Sketch {
       .withColumnRenamed("_w", keyCol)
   }
 
+  /** Equi-join SIZE estimation from two count-min sketches (the AGMS /
+    * CM inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+    * |A ⋈ B| on a key = Σ_k cntA(k)·cntB(k), estimated as min over the
+    * depth rows of Σ_b cellA[b]·cellB[b]. Never underestimates;
+    * collisions only add. The plan-time cardinality probe at 100 TB —
+    * two ≤ depth·width counter tables answer "how big would this join
+    * be" with NO scan of either table, and sketches persist/merge per
+    * shard. Exact integer products (Decimal(38,0) sums), so the
+    * estimate replays bit-for-bit externally.
+    *
+    * Both sketches must share (depth, width, seed). Returns one row:
+    * (`est_join_rows`). */
+  def cmJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val x = a.select(col("row"), col("bucket"), col("cell").as("_ca"))
+    val y = b.select(col("row"), col("bucket"), col("cell").as("_cb"))
+    val rows = a.sparkSession.range(0, depth)
+      .select(col("id").cast("int").as("row"))
+    val perRow = x.join(y, Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum(col("_ca").cast("decimal(38,0)") * col("_cb")).as("_p"))
+    // a hash row with NO shared bucket proves the join is empty — it
+    // must enter the min as 0, not vanish from it
+    rows.join(perRow, Seq("row"), "left")
+      .select(coalesce(col("_p"), lit(0L).cast("decimal(38,0)")).as("_p"))
+      .agg(min(col("_p")).cast("decimal(38,0)").as("est_join_rows"))
+  }
+
   // ------------------------------------------------------------------
   // Mergeable log-scale histograms: pure-integer value binning (bin =
   // bit-length bucket × 2^subBits sub-buckets from the bits after the
