@@ -3907,6 +3907,42 @@ object SparkEntry {
     Evaluate.confusionStats(t(s, dir, "documents"),
       TextFunctions.qualityScore(col("text")), col("lang") === "en", 0.5)
 
+  // Multi-class classifier eval (Evaluate.multiClassStats): the
+  // per-label confusion table over q280's NB predictions vs the true
+  // lang — exact tp/n_true/n_pred off three bounded aggregations,
+  // P/R/F1 one division each; the oracle re-runs the full model
+  // replay and the rollup.
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val m = LangModel.naiveBayesFit(d, col("lang"), col("text"))
+    val preds = LangModel.naiveBayesScore(d, m, "doc_id", col("text"))
+    Evaluate.multiClassStats(
+        d.select(col("doc_id"), col("lang")).join(preds, "doc_id"),
+        col("lang"), col("label_pred"))
+      .orderBy("label")
+  }
+
+  // Per-dimension embedding drift (Evaluate.embeddingDrift): the
+  // embedding-space monitor beside the scalar drift battery — each
+  // component ppm-quantized once, exact integer sums + Decimal
+  // squares per dimension for both vec_id-parity slices, one float
+  // mean-difference chain.
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Evaluate.embeddingDrift(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+      .orderBy("dim")
+  }
+
+  // Order-invariant dataset fingerprint (Quality.fingerprint): the
+  // reproducibility artifact — (n_rows, xor64, low-31-bit sum) over
+  // the splitmix row hash of a canonical key string; every bit
+  // replayed by the oracle's FNV→mix chain.
+  private def q299(s: SparkSession, dir: String): DataFrame =
+    Quality.fingerprint(t(s, dir, "documents"),
+      concat_ws("|", col("doc_id"), col("lang"), col("source")))
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4595,7 +4631,10 @@ object SparkEntry {
     "q293_cv_auc" -> (q293 _),
     "q294_cm_join_size" -> (q294 _),
     "q295_walk_pmi" -> (q295 _),
-    "q296_confusion" -> (q296 _))
+    "q296_confusion" -> (q296 _),
+    "q297_multiclass_eval" -> (q297 _),
+    "q298_embedding_drift" -> (q298 _),
+    "q299_fingerprint" -> (q299 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -10654,37 +10693,7 @@ object SparkEntry {
     // weight sums with unseen/OOV fallback, prior add, argmax with
     // (score desc, label asc) determinism
     "q280_naive_bayes" ->
-      """WITH tokf AS (SELECT lang AS label, unnest(list_filter(
-             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
-           FROM documents WHERE lang IS NOT NULL),
-         toks AS (SELECT doc_id, unnest(list_filter(
-             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
-           FROM documents),
-         cnt AS (SELECT label, word, count(*) AS c FROM tokf GROUP BY 1, 2),
-         voc AS (SELECT count(DISTINCT word) AS v FROM tokf),
-         nl AS (SELECT label, count(*) AS n_tok FROM tokf GROUP BY 1),
-         dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents
-           WHERE lang IS NOT NULL GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM dc),
-         cs AS (SELECT label,
-             CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e9) AS BIGINT)
-               AS prior_ppb,
-             CAST(round(ln(1.0 / (n_tok + v)) * 1e9) AS BIGINT) AS unseen_ppb
-           FROM dc JOIN nl USING (label) CROSS JOIN tot CROSS JOIN voc),
-         ww AS (SELECT label, word,
-             CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_tok + v)) * 1e9) AS BIGINT)
-               AS w_ppb
-           FROM cnt JOIN nl USING (label) CROSS JOIN voc),
-         ts AS (SELECT t.doc_id, cs.label,
-             count(*) AS nt, sum(coalesce(ww.w_ppb, cs.unseen_ppb)) AS ws
-           FROM toks t CROSS JOIN cs
-           LEFT JOIN ww ON ww.label = cs.label AND ww.word = t.word
-           GROUP BY 1, 2),
-         grid AS (SELECT d.doc_id, cs.label,
-             CAST(coalesce(ts.nt, 0) AS BIGINT) AS n_tokens,
-             CAST(coalesce(ts.ws, 0) + cs.prior_ppb AS BIGINT) AS score_ppb
-           FROM documents d CROSS JOIN cs
-           LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cs.label)
+      s"""WITH $naiveBayesCtes
          SELECT doc_id, label AS label_pred, n_tokens, score_ppb FROM grid
          QUALIFY row_number() OVER (PARTITION BY doc_id
            ORDER BY score_ppb DESC, label) = 1
@@ -11072,6 +11081,73 @@ object SparkEntry {
            CASE WHEN 2*tp + fp + fn > 0
              THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END AS f1
          FROM agg""",
+
+    // q297: the q280 model replay -> argmax predictions -> per-class
+    // tp/n_true/n_pred rollup, one division per metric
+    "q297_multiclass_eval" ->
+      s"""WITH $naiveBayesCtes,
+         pred AS (SELECT doc_id, label AS p FROM grid
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_ppb DESC, label) = 1),
+         j AS (SELECT d.lang t, pred.p FROM documents d
+           JOIN pred USING (doc_id) WHERE d.lang IS NOT NULL),
+         tpv AS (SELECT t AS label, count(*) tp FROM j WHERE t = p GROUP BY t),
+         nt AS (SELECT t AS label, count(*) n_true FROM j GROUP BY t),
+         np AS (SELECT p AS label, count(*) n_pred FROM j GROUP BY p),
+         m AS (SELECT coalesce(nt.label, np.label) AS label,
+             coalesce(n_true, 0) n_true, coalesce(n_pred, 0) n_pred
+           FROM nt FULL OUTER JOIN np ON nt.label = np.label),
+         f AS (SELECT m.label, CAST(m.n_true AS BIGINT) n_true,
+             CAST(m.n_pred AS BIGINT) n_pred,
+             CAST(coalesce(tpv.tp, 0) AS BIGINT) tp
+           FROM m LEFT JOIN tpv ON m.label = tpv.label)
+         SELECT label, n_true, n_pred, tp,
+           n_pred - tp AS fp, n_true - tp AS fn,
+           CASE WHEN n_pred > 0
+             THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS "precision",
+           CASE WHEN n_true > 0
+             THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+           CASE WHEN 2*tp + (n_pred - tp) + (n_true - tp) > 0
+             THEN CAST(2*tp AS DOUBLE)
+                  / CAST(2*tp + (n_pred - tp) + (n_true - tp) AS DOUBLE)
+           END AS f1
+         FROM f ORDER BY label""",
+
+    // q298: per-dimension ppm quantize-once sums/squares per parity
+    // slice, one float mean-difference chain
+    "q298_embedding_drift" ->
+      """WITH q1 AS (SELECT CAST(r.range - 1 AS INTEGER) dim,
+             CAST(round(CAST(embedding[r.range] AS DOUBLE) * 1e6) AS BIGINT) q
+           FROM embeddings CROSS JOIN range(1, 65) r WHERE vec_id % 2 = 0),
+         q2 AS (SELECT CAST(r.range - 1 AS INTEGER) dim,
+             CAST(round(CAST(embedding[r.range] AS DOUBLE) * 1e6) AS BIGINT) q
+           FROM embeddings CROSS JOIN range(1, 65) r WHERE vec_id % 2 = 1),
+         sa AS (SELECT dim, count(*) n_a, CAST(sum(q) AS BIGINT) sum_a_ppm,
+             sum(CAST(q AS HUGEINT) * q) ss_a FROM q1 GROUP BY dim),
+         sb AS (SELECT dim, count(*) n_b, CAST(sum(q) AS BIGINT) sum_b_ppm,
+             sum(CAST(q AS HUGEINT) * q) ss_b FROM q2 GROUP BY dim)
+         SELECT dim, n_a, n_b, sum_a_ppm, sum_b_ppm, ss_a, ss_b,
+           CAST(sum_a_ppm AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(sum_b_ppm AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff_ppm
+         FROM sa JOIN sb USING (dim) ORDER BY dim""",
+
+    // q299: the FNV -> splitmix chain per row key, then the three
+    // order-invariant aggregates
+    "q299_fingerprint" -> {
+      s"""WITH ks AS (SELECT CAST(doc_id AS VARCHAR) || '|' || lang || '|'
+             || source AS w FROM documents),
+         th AS (SELECT w, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split_regex(w, ''), c -> CAST(ord(c) AS HUGEINT))),
+             (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+                        * 1099511628211) % 18446744073709551616) AS h
+           FROM ks),
+         ${wordMixCtes("g", 0L)}
+         SELECT CAST(count(*) AS BIGINT) n_rows,
+           bit_xor(rk) AS xor64,
+           CAST(sum(rk & 2147483647) AS BIGINT) AS sum_lo
+         FROM grk"""
+    },
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
@@ -11617,6 +11693,43 @@ object SparkEntry {
        ${step("a0", "ks1", "kc1", "kd1", "a1")},
        ${step("a1", "ks2", "kc2", "kd2", "a2")}"""
   }
+
+  /** q280's full Naive Bayes replay as reusable WITH-clauses ending in
+    * `grid(doc_id, label, n_tokens, score_ppb)` — the model rebuild
+    * (counts → ppb weights) plus every doc's per-label exact score;
+    * shared by q280 (the prediction gate) and q297 (per-class eval). */
+  private def naiveBayesCtes: String =
+    """tokf AS (SELECT lang AS label, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents WHERE lang IS NOT NULL),
+         toks AS (SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+           FROM documents),
+         cnt AS (SELECT label, word, count(*) AS c FROM tokf GROUP BY 1, 2),
+         voc AS (SELECT count(DISTINCT word) AS v FROM tokf),
+         nl AS (SELECT label, count(*) AS n_tok FROM tokf GROUP BY 1),
+         dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM dc),
+         cs AS (SELECT label,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / n_total) * 1e9) AS BIGINT)
+               AS prior_ppb,
+             CAST(round(ln(1.0 / (n_tok + v)) * 1e9) AS BIGINT) AS unseen_ppb
+           FROM dc JOIN nl USING (label) CROSS JOIN tot CROSS JOIN voc),
+         ww AS (SELECT label, word,
+             CAST(round(ln(CAST(c + 1 AS DOUBLE) / (n_tok + v)) * 1e9) AS BIGINT)
+               AS w_ppb
+           FROM cnt JOIN nl USING (label) CROSS JOIN voc),
+         ts AS (SELECT t.doc_id, cs.label,
+             count(*) AS nt, sum(coalesce(ww.w_ppb, cs.unseen_ppb)) AS ws
+           FROM toks t CROSS JOIN cs
+           LEFT JOIN ww ON ww.label = cs.label AND ww.word = t.word
+           GROUP BY 1, 2),
+         grid AS (SELECT d.doc_id, cs.label,
+             CAST(coalesce(ts.nt, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(ts.ws, 0) + cs.prior_ppb AS BIGINT) AS score_ppb
+           FROM documents d CROSS JOIN cs
+           LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cs.label)"""
 
   /** q286's deterministic trade-graph walk replay as reusable
     * WITH-clauses ending in `allwalks(start, walk, step, node)` —

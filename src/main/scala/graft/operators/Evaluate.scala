@@ -2624,6 +2624,60 @@ object Evaluate {
           (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
   }
 
+  /** Multi-class per-label confusion statistics: for every label
+    * appearing as truth or prediction, exact (tp, n_true, n_pred) off
+    * three bounded count aggregations — fp = n_pred − tp and
+    * fn = n_true − tp follow — plus per-label precision/recall/F1,
+    * each ONE division of exact integers. Macro-average downstream by
+    * taking the mean of the per-label rows. Rows with a null truth or
+    * prediction drop. Returns one row per label. */
+  def multiClassStats(df: DataFrame, truth: Column, pred: Column): DataFrame = {
+    val base = df.select(truth.as("_t"), pred.as("_p"))
+      .where(col("_t").isNotNull && col("_p").isNotNull)
+    val tp = base.where(col("_t") === col("_p"))
+      .groupBy(col("_t").as("label")).agg(count(lit(1)).as("tp"))
+    val nt = base.groupBy(col("_t").as("label")).agg(count(lit(1)).as("n_true"))
+    val np = base.groupBy(col("_p").as("label")).agg(count(lit(1)).as("n_pred"))
+    nt.join(np, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("precision", when(col("n_pred") > 0L,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("n_true") > 0L,
+        col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+  }
+
+  /** Per-dimension embedding-distribution drift between two corpus
+    * slices — the embedding-space monitor beside the scalar drift
+    * battery (KS/W1/PSI): each float component is quantized ONCE to
+    * ppm, then per dimension both slices report exact integer
+    * (n, Σv_ppm) and exact Decimal Σv_ppm² — layout-invariant,
+    * mergeable, replayable — plus the mean difference in ppm as the
+    * single float chain. One posexplode + one (dim) aggregation per
+    * side; output is dim-sized. Returns (dim, n_a, n_b, sum_a_ppm,
+    * sum_b_ppm, ss_a, ss_b, mean_diff_ppm). */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def side(df: DataFrame, p: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("dim"),
+        round(col("_v").cast("double") * lit(1e6)).cast("long").as("_q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as(s"n_$p"), sum("_q").as(s"sum_${p}_ppm"),
+        sum(col("_q").cast("decimal(38,0)") * col("_q")).as(s"ss_$p"))
+    side(a, "a").join(side(b, "b"), Seq("dim"))
+      .withColumn("mean_diff_ppm",
+        col("sum_a_ppm").cast("double") / col("n_a").cast("double") -
+          col("sum_b_ppm").cast("double") / col("n_b").cast("double"))
+  }
+
   /** Per-depth RBO weights (1−p)·p^(d−1)/d quantized ONCE to ppt
     * (10⁻¹²) as SUFFIX sums W_m = Σ_{d=m..D} w_d — exposed so an
     * external replay embeds the IDENTICAL literals (the fsWeightsPpb

@@ -323,6 +323,22 @@ object Quality {
         col("h_ppb") :+ col("entropy_ok"): _*)
   }
 
+  /** Order-invariant dataset fingerprint: one row of (n_rows, xor64,
+    * sum_lo) over the engine-portable splitmix64(fnv64(key)) row hash —
+    * the reproducibility / cache-invalidation artifact ("is this
+    * EXACTLY the table I trained on"). XOR and the low-31-bit sum are
+    * both commutative (layout-invariant) and complementary: XOR alone
+    * is blind to duplicated pairs, the (sum, count) pair is not. ONE
+    * map-side-combined aggregation; fingerprints of disjoint shards
+    * combine (xor, +, +). `key` should be a canonical string of the
+    * identifying columns. */
+  def fingerprint(df: DataFrame, key: Column): DataFrame =
+    df.select(graft.operators.Sketch.keyHash(key).as("_h"))
+      .where(col("_h").isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(_h)").as("xor64"),
+        sum(col("_h").bitwiseAND(lit(0x7FFFFFFFL))).as("sum_lo"))
+
   /** Column-level profile: one row per named column with exact
     * (n, n_null, n_distinct) and min/max rendered as strings (profile
     * integer/string/date columns; a raw double's string form is
