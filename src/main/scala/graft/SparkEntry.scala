@@ -3943,6 +3943,18 @@ object SparkEntry {
     Quality.fingerprint(t(s, dir, "documents"),
       concat_ws("|", col("doc_id"), col("lang"), col("source")))
 
+  // Gini split finder (Evaluate.bestSplitGini): q284's classification
+  // sibling — per-class cumulative counts on the dense (x × label)
+  // grid, exact Decimal sums of squares, floor-division gain, (gain
+  // desc, split asc) argmax; a 3-class balance band as the target.
+  private def q300(s: SparkSession, dir: String): DataFrame =
+    Evaluate.bestSplitGini(t(s, dir, "customer"), Seq("c_mktsegment"),
+        col("c_nationkey"),
+        when(col("c_acctbal") < 0, lit("neg"))
+          .when(col("c_acctbal") < 5000, lit("mid"))
+          .otherwise(lit("high")))
+      .orderBy("c_mktsegment")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4634,7 +4646,8 @@ object SparkEntry {
     "q296_confusion" -> (q296 _),
     "q297_multiclass_eval" -> (q297 _),
     "q298_embedding_drift" -> (q298 _),
-    "q299_fingerprint" -> (q299 _))
+    "q299_fingerprint" -> (q299 _),
+    "q300_gini_split" -> (q300 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11148,6 +11161,40 @@ object SparkEntry {
            CAST(sum(rk & 2147483647) AS BIGINT) AS sum_lo
          FROM grk"""
     },
+
+    // q300: dense (x × label) grid, per-class cumulative windows,
+    // HUGEINT sums of squares, floor-division gain, argmax
+    "q300_gini_split" ->
+      """WITH b AS (SELECT c_mktsegment g, CAST(c_nationkey AS BIGINT) x,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS l
+           FROM customer),
+         cells AS (SELECT g, x, l, count(*) c FROM b GROUP BY 1, 2, 3),
+         xs AS (SELECT DISTINCT g, x FROM cells),
+         ls AS (SELECT DISTINCT g, l FROM cells),
+         grid AS (SELECT xs.g, xs.x, ls.l, coalesce(cells.c, 0) c0
+           FROM xs JOIN ls ON xs.g = ls.g
+           LEFT JOIN cells ON cells.g = xs.g AND cells.x = xs.x
+             AND cells.l = ls.l),
+         cum AS (SELECT g, x, l,
+             sum(c0) OVER (PARTITION BY g, l ORDER BY x) cum,
+             sum(c0) OVER (PARTITION BY g, l) tot
+           FROM grid),
+         cand AS (SELECT g, x,
+             CAST(sum(cum) AS BIGINT) n_l,
+             sum(CAST(cum AS HUGEINT) * cum) a_l,
+             CAST(sum(tot) AS BIGINT) n,
+             sum(CAST(tot - cum AS HUGEINT) * (tot - cum)) a_r
+           FROM cum GROUP BY g, x),
+         gains AS (SELECT g, x split_x, n_l, n - n_l AS n_r, a_l, a_r,
+             (a_l * 1000000) // n_l + (a_r * 1000000) // (n - n_l) AS gain
+           FROM cand WHERE n_l < n)
+         SELECT g AS c_mktsegment, split_x, n_l, n_r, a_l, a_r, gain
+         FROM gains
+         QUALIFY row_number() OVER (PARTITION BY g
+           ORDER BY gain DESC, split_x) = 1
+         ORDER BY c_mktsegment""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -2565,6 +2565,68 @@ object Evaluate {
       .drop("_rn")
   }
 
+  /** Best single-feature split for a CATEGORICAL target (the Gini
+    * split finder — [[bestSplit]]'s classification sibling): per
+    * group, the threshold maximizing Σ_c cum_c²/n_l + Σ_c (tot_c −
+    * cum_c)²/n_r (equivalently minimizing weighted Gini impurity).
+    *
+    * Exactness: per-class cumulative counts ride the DENSE
+    * (distinct-x × label) grid (absent cells joined in as 0 — a class
+    * missing at a boundary must carry its stale cumulative, not
+    * vanish), A_l/A_r are exact Decimal sums of squares, the gain is
+    * quantized ONCE as (A_l·10⁶ div n_l) + (A_r·10⁶ div n_r) — floor
+    * divisions, no float — with the (gain desc, split asc) tie rule.
+    * An in-plan n ≤ 2³¹ per-group guard keeps A·10⁶ div n inside a
+    * long. Windows run over the bounded grid, never data rows.
+    *
+    * Returns one row per group: (group…, split_x, n_l, n_r, a_l, a_r,
+    * gain); single-distinct-x groups yield no row. */
+  def bestSplitGini(df: DataFrame, groupCols: Seq[String], x: Column,
+      label: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(groupCols.map(col) :+ x.cast("long").as("_x") :+
+        label.cast("string").as("_l"): _*)
+      .where(col("_x").isNotNull && col("_l").isNotNull)
+    val cells = base.groupBy(groupCols.map(col) :+ col("_x") :+ col("_l"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val xs = cells.select(groupCols.map(col) :+ col("_x"): _*).distinct()
+    val ls = cells.select(groupCols.map(col) :+ col("_l"): _*).distinct()
+    val grid = xs.join(ls, groupCols)
+      .join(cells, groupCols :+ "_x" :+ "_l", "left")
+      .withColumn("_c0", coalesce(col("_c"), lit(0L)))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "_l").map(col): _*).orderBy(col("_x"))
+    val wLbl = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "_l").map(col): _*)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("gain").desc, col("split_x").asc)
+    grid
+      .withColumn("_cum", sum("_c0").over(wCum))
+      .withColumn("_tot", sum("_c0").over(wLbl))
+      .groupBy(groupCols.map(col) :+ col("_x"): _*)
+      .agg(sum("_cum").as("n_l"),
+        sum(dec(col("_cum")) * col("_cum")).as("a_l"),
+        sum("_tot").as("_n"),
+        sum(dec(col("_tot") - col("_cum")) * (col("_tot") - col("_cum")))
+          .as("a_r"))
+      .withColumn("_guard", when(col("_n") <= (1L << 31),
+          col("_n"))
+        .otherwise(raise_error(concat(
+          lit("bestSplitGini needs n <= 2^31 per group: "),
+          col("_n").cast("string")))))
+      .where(col("n_l") < col("_guard")) // the top x has no right side
+      .select(groupCols.map(col) :+ col("_x").as("split_x") :+
+        col("n_l") :+ (col("_n") - col("n_l")).as("n_r") :+
+        col("a_l") :+ col("a_r"): _*)
+      .withColumn("gain",
+        expr("((a_l * 1000000) div n_l)").cast("decimal(38,0)") +
+          expr("((a_r * 1000000) div n_r)").cast("decimal(38,0)"))
+      .withColumn("_rn", row_number().over(wBest))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Average precision (the PR-curve summary, exact): rank rows by
     * (`score` desc, `id` asc — deterministic), AP = (1/P)·Σ over
     * positive rows of precision@k. Each precision term is quantized

@@ -74,6 +74,18 @@ class BloomSpec extends SparkSuite {
     assert(merged === whole)
   }
 
+  test("bloomPrefilter big-side plan is a pure filter — no join") {
+    // the regression guard for the measured 959s trap: testing against
+    // a words COLUMN via crossJoin materializes the bitmap into every
+    // output row; the literal path must keep the big side join-free
+    val small = (0 until 50).map(i => s"m$i").toDF("k")
+    val big = (0 until 500).map(i => s"b$i").toDF("k")
+    val plan = Sketch.bloomPrefilter(big, Sketch.keyHash(col("k")),
+        small, Sketch.keyHash(col("k")), nHashes = 3, mBits = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("bloomPrefilter keeps every true match and only bounded extras") {
     val small = (0 until 50).map(i => i * 7L).toDF("id")
     val big = (0L until 2000L).toDF("id")
