@@ -813,6 +813,20 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     Graph.randomWalks(pairs, "a", "b",
       df.select(col(idCol)), idCol, walksPerNode, walkLength, seed)
 
+  /** Autocomplete/typeahead table over this array's token vocabulary. */
+  def completions(minLen: Int = 1, maxLen: Int = 4, topK: Int = 3,
+      textCol: String = "text"): DataFrame =
+    TextSearch.prefixCompletions(df, col(textCol), minLen, maxLen, topK)
+
+  /** Order-invariant reproducibility fingerprint of this array. */
+  def fingerprint(keyCols: Seq[String]): DataFrame =
+    Quality.fingerprint(df, concat_ws("|", keyCols.map(col): _*))
+
+  /** Per-dimension embedding-distribution drift vs another array. */
+  def embeddingDriftVs(other: DocArray,
+      vecCol: String = "embedding"): DataFrame =
+    Evaluate.embeddingDrift(df, other.df, vecCol)
+
   def summary(): DataFrame = Summary.describe(df)
 
   /** This array's actual schema as a JSON-Schema document (the
