@@ -3955,6 +3955,43 @@ object SparkEntry {
           .otherwise(lit("high")))
       .orderBy("c_mktsegment")
 
+  // Salted skew join (Joins.saltedJoin): a 5-hot-key dim joined onto
+  // orders with salt 8 — the result must be EXACTLY the plain join
+  // (the oracle IS the plain join), proving the salt spread/explode
+  // changes the shuffle, never the semantics.
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val dim = o.select(col("o_orderpriority")).distinct()
+      .withColumn("plen", length(col("o_orderpriority")))
+    Joins.saltedJoin(o, dim, Seq("o_orderpriority"), col("o_orderkey"),
+        salt = 8)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("plen"))
+      .orderBy("o_orderkey")
+  }
+
+  // Seasonality-adjusted anomalies (seasonalIndex ∘ robustZ): q202's
+  // dow index deflates the observed-day counts ((x·10⁹) div index_ppm
+  // — exact floor division), then q267's doubled-median robust z runs
+  // per type — the monitoring composition that stops weekends from
+  // reading as incidents; integers gated end to end.
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val day = expr("ts div 86400000000000")
+    val counts = ev.groupBy(col("event_type"), day.as("b"))
+      .agg(count(lit(1)).as("x"))
+    val idx = Evaluate.seasonalIndex(ev, Seq("event_type"), day, period = 7)
+      .select(col("event_type"), col("phase"), col("index_ppm"))
+    val adjusted = counts.withColumn("phase", pmod(col("b"), lit(7L)))
+      .join(idx, Seq("event_type", "phase"))
+      .where(col("index_ppm") > 0L)
+      .withColumn("adj", expr("(x * 1000000000) div index_ppm"))
+    GroupOps.robustZ(adjusted, Seq("event_type"), "b", col("adj"))
+      .select(col("event_type"), col("b"), col("v"), col("med2"),
+        col("mad2"))
+      .orderBy("event_type", "b")
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4647,7 +4684,9 @@ object SparkEntry {
     "q297_multiclass_eval" -> (q297 _),
     "q298_embedding_drift" -> (q298 _),
     "q299_fingerprint" -> (q299 _),
-    "q300_gini_split" -> (q300 _))
+    "q300_gini_split" -> (q300 _),
+    "q301_salted_join" -> (q301 _),
+    "q302_seasonal_anomalies" -> (q302 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11195,6 +11234,61 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY g
            ORDER BY gain DESC, split_x) = 1
          ORDER BY c_mktsegment""",
+
+    // q301: the oracle IS the plain join — salting must be invisible
+    "q301_salted_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(length(o_orderpriority) AS INTEGER) AS plen
+         FROM orders ORDER BY o_orderkey""",
+
+    // q302: the q202 dense-grid index replay -> observed-day counts
+    // deflated by exact floor division -> the q267 doubled-median
+    // med/MAD windows per type
+    "q302_seasonal_anomalies" ->
+      """WITH ev AS (SELECT event_type AS g,
+             epoch_ns(ts) // 86400000000000 AS b FROM events),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1 FROM ev),
+         c AS (SELECT g, b, count(*) AS cnt FROM ev GROUP BY g, b),
+         gs AS (SELECT DISTINCT g FROM c),
+         grid AS (SELECT g, b0 + r.range AS b
+           FROM gs CROSS JOIN sp CROSS JOIN range(0, 20000) r
+           WHERE b0 + r.range <= b1),
+         x AS (SELECT grid.g, grid.b, coalesce(cnt, 0) AS x
+           FROM grid LEFT JOIN c ON grid.g = c.g AND grid.b = c.b),
+         tt AS (SELECT g, count(*) AS t, sum(x) AS s FROM x GROUP BY g),
+         p AS (SELECT x.g, ((x.b % 7) + 7) % 7 AS phase,
+             count(*) AS n_buckets, sum(x.x) AS total
+           FROM x GROUP BY 1, 2),
+         idx AS (SELECT p.g, p.phase,
+             CASE WHEN s > 0
+               THEN (total * t * 1000000) // (n_buckets * s) END AS ix
+           FROM p JOIN tt ON p.g = tt.g),
+         adj AS (SELECT c.g, c.b,
+             CAST((c.cnt * 1000000000) // idx.ix AS BIGINT) AS v
+           FROM c JOIN idx ON c.g = idx.g
+             AND ((c.b % 7) + 7) % 7 = idx.phase
+           WHERE idx.ix > 0),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY g
+               ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt FROM adj),
+         med AS (SELECT g,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN v ELSE 0 END)
+               + sum(CASE WHEN rn = cnt // 2 + 1 THEN v ELSE 0 END)
+               AS BIGINT) AS med2
+           FROM r1 GROUP BY g),
+         d AS (SELECT adj.g, adj.b, v, med2, abs(2 * v - med2) AS dev
+           FROM adj JOIN med USING (g)),
+         r2 AS (SELECT *, row_number() OVER (PARTITION BY g
+               ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt FROM d),
+         mad AS (SELECT g,
+             CAST(sum(CASE WHEN rn = (cnt + 1) // 2 THEN dev ELSE 0 END)
+               + sum(CASE WHEN rn = cnt // 2 + 1 THEN dev ELSE 0 END)
+               AS BIGINT) AS mad2
+           FROM r2 GROUP BY g)
+         SELECT d.g AS event_type, d.b, d.v, d.med2, mad.mad2
+         FROM d JOIN mad USING (g)
+         ORDER BY event_type, b""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
