@@ -3992,6 +3992,26 @@ object SparkEntry {
       .orderBy("event_type", "b")
   }
 
+  // Pairwise correlation matrix (Evaluate.correlationMatrix): the
+  // feature-redundancy screen — one pass of exact Decimal sufficient
+  // statistics, one float chain per pair; qty↔price strongly
+  // correlated, linenumber near-independent.
+  private def q303(s: SparkSession, dir: String): DataFrame =
+    Evaluate.correlationMatrix(
+        t(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice")).as("price"),
+          col("l_linenumber").cast("long").as("lnum")),
+        Seq("qty", "price", "lnum"))
+      .orderBy("col_a", "col_b")
+
+  // Brier score (Evaluate.brierScore): the proper scoring rule over
+  // the q116 quality-score chain predicting English — predictions
+  // ppm-quantized once, exact Decimal numerator, one division.
+  private def q304(s: SparkSession, dir: String): DataFrame =
+    Evaluate.brierScore(t(s, dir, "documents"),
+      TextFunctions.qualityScore(col("text")), col("lang") === "en")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4686,7 +4706,9 @@ object SparkEntry {
     "q299_fingerprint" -> (q299 _),
     "q300_gini_split" -> (q300 _),
     "q301_salted_join" -> (q301 _),
-    "q302_seasonal_anomalies" -> (q302 _))
+    "q302_seasonal_anomalies" -> (q302 _),
+    "q303_correlation_matrix" -> (q303 _),
+    "q304_brier" -> (q304 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11289,6 +11311,53 @@ object SparkEntry {
          SELECT d.g AS event_type, d.b, d.v, d.med2, mad.mad2
          FROM d JOIN mad USING (g)
          ORDER BY event_type, b""",
+
+    // q303: one pass of HUGEINT sufficient statistics, per-pair
+    // cov/sqrt·sqrt chain mirrored operation-for-operation
+    "q303_correlation_matrix" -> {
+      val ms = Seq("qty", "price", "lnum")
+      def pairSql(a: String, b: String): String = {
+        val (cov, va, vb) = (
+          s"n * x_${a}_$b - CAST(s_$a AS HUGEINT) * s_$b",
+          s"n * ss_$a - CAST(s_$a AS HUGEINT) * s_$a",
+          s"n * ss_$b - CAST(s_$b AS HUGEINT) * s_$b")
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+            CASE WHEN $va > 0 AND $vb > 0
+              THEN CAST($cov AS DOUBLE)
+                   / (sqrt(CAST($va AS DOUBLE)) * sqrt(CAST($vb AS DOUBLE)))
+            END AS r
+          FROM s"""
+      }
+      val pairs = (for {
+        i <- ms.indices; j <- ms.indices if i < j
+      } yield pairSql(ms(i), ms(j))).mkString("\n          UNION ALL ")
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) qty,
+             CAST(floor(l_extendedprice) AS BIGINT) price,
+             CAST(l_linenumber AS BIGINT) lnum FROM lineitem),
+         s AS (SELECT CAST(count(*) AS HUGEINT) n,
+             ${ms.map(m => s"sum($m) s_$m").mkString(", ")},
+             ${ms.map(m => s"sum(CAST($m AS HUGEINT) * $m) ss_$m").mkString(", ")},
+             ${(for { i <- ms.indices; j <- ms.indices if i < j }
+               yield s"sum(CAST(${ms(i)} AS HUGEINT) * ${ms(j)}) x_${ms(i)}_${ms(j)}")
+               .mkString(", ")}
+           FROM b)
+         SELECT * FROM ($pairs)
+         ORDER BY col_a, col_b"""
+    },
+
+    // q304: ppm-quantized predictions, exact HUGEINT squared-error
+    // numerator, one division
+    "q304_brier" ->
+      s"""WITH $qualityScorePosCtes,
+         e AS (SELECT CAST(round(sc * 1e6) AS BIGINT)
+             - CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS e
+           FROM q WHERE sc IS NOT NULL),
+         a AS (SELECT CAST(count(*) AS BIGINT) n,
+             coalesce(sum(CAST(e AS HUGEINT) * e), 0) brier_num FROM e)
+         SELECT n, brier_num,
+           CASE WHEN n > 0 THEN CAST(brier_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1e12) END AS brier
+         FROM a""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

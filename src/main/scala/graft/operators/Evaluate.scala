@@ -2740,6 +2740,64 @@ object Evaluate {
           col("sum_b_ppm").cast("double") / col("n_b").cast("double"))
   }
 
+  /** Pairwise Pearson correlation matrix over integer-castable
+    * measures — the profiling screen "which features are redundant /
+    * leaking". ONE pass computes every sufficient statistic (n, Σx,
+    * Σx² and all K(K−1)/2 cross products — exact Decimal(38,0) sums),
+    * then each pair's r is ONE float chain over exact integers.
+    * Output bounded by K², never data-sized. Rows with ANY null
+    * measure drop (listwise deletion — the statistic must share one n
+    * across pairs to be a matrix). Returns (col_a, col_b, n, r). */
+  def correlationMatrix(df: DataFrame, measures: Seq[String]): DataFrame = {
+    require(measures.size >= 2, "need at least two measures")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val base = df.select(measures.map(m => col(m).cast("long").as(m)): _*)
+      .where(measures.map(col(_).isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("_n")) ++
+      measures.map(m => sum(col(m)).as(s"_s_$m")) ++
+      measures.map(m => sum(dec(col(m)) * col(m)).as(s"_ss_$m")) ++
+      (for {
+        i <- measures.indices; j <- measures.indices if i < j
+      } yield sum(dec(col(measures(i))) * col(measures(j)))
+        .as(s"_x_${measures(i)}_${measures(j)}"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val pairRows = for {
+      i <- measures.indices; j <- measures.indices if i < j
+    } yield {
+      val (a, b) = (measures(i), measures(j))
+      val n = col("_n").cast("decimal(38,0)")
+      val cov = n * col(s"_x_${a}_$b") - dec(col(s"_s_$a")) * col(s"_s_$b")
+      val va = n * col(s"_ss_$a") - dec(col(s"_s_$a")) * col(s"_s_$a")
+      val vb = n * col(s"_ss_$b") - dec(col(s"_s_$b")) * col(s"_s_$b")
+      stats.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_n").as("n"),
+        when(va > 0 && vb > 0,
+          cov.cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double")))).as("r"))
+    }
+    pairRows.reduce(_.unionByName(_))
+  }
+
+  /** Brier score (the proper scoring rule for probabilistic
+    * predictions — calibration AND refinement in one number, beside
+    * ECE q167's calibration-only readout): predictions quantized ONCE
+    * to ppm, so the numerator Σ(p_ppm − y·10⁶)² is an exact
+    * Decimal(38,0) sum and the score is ONE division by n·10¹².
+    * Returns (n, brier_num, brier). */
+  def brierScore(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val base = df.select(score.cast("double").as("_sc"),
+        positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+      .select((round(col("_sc") * lit(1e6)).cast("long") -
+        when(col("_p"), lit(1000000L)).otherwise(lit(0L))).as("_e"))
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("_e").cast("decimal(38,0)") * col("_e")),
+          lit(0L).cast("decimal(38,0)")).as("brier_num"))
+      .withColumn("brier", when(col("n") > 0L,
+        col("brier_num").cast("double") /
+          (col("n").cast("double") * lit(1e12))))
+  }
+
   /** Per-depth RBO weights (1−p)·p^(d−1)/d quantized ONCE to ppt
     * (10⁻¹²) as SUFFIX sums W_m = Σ_{d=m..D} w_d — exposed so an
     * external replay embeds the IDENTICAL literals (the fsWeightsPpb
