@@ -4012,6 +4012,22 @@ object SparkEntry {
     Evaluate.brierScore(t(s, dir, "documents"),
       TextFunctions.qualityScore(col("text")), col("lang") === "en")
 
+  // Log-loss (Evaluate.logLoss): cross-entropy over the q116 chain —
+  // clamped p, per-row term quantized once to ppb, exact sum, one
+  // division; Brier's sharper sibling.
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    Evaluate.logLoss(t(s, dir, "documents"),
+      TextFunctions.qualityScore(col("text")), col("lang") === "en")
+
+  // Precision@k table (Evaluate.precisionAtK): exact hits at cutoffs
+  // 10/50/100 over the same ranking AP (q285) summarizes — the
+  // eyeballable retrieval readout.
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    Evaluate.precisionAtK(t(s, dir, "documents"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")), col("lang") === "en",
+        Seq(10, 50, 100))
+      .orderBy("k")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4708,7 +4724,9 @@ object SparkEntry {
     "q301_salted_join" -> (q301 _),
     "q302_seasonal_anomalies" -> (q302 _),
     "q303_correlation_matrix" -> (q303 _),
-    "q304_brier" -> (q304 _))
+    "q304_brier" -> (q304 _),
+    "q305_logloss" -> (q305 _),
+    "q306_precision_at_k" -> (q306 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11358,6 +11376,37 @@ object SparkEntry {
            CASE WHEN n > 0 THEN CAST(brier_num AS DOUBLE)
              / (CAST(n AS DOUBLE) * 1e12) END AS brier
          FROM a""",
+
+    // q305: clamp, one ln per row quantized to ppb, exact sum; the
+    // clamp bounds are the identical double literals on both engines
+    "q305_logloss" ->
+      s"""WITH $qualityScorePosCtes,
+         c AS (SELECT least(greatest(sc, 0.000001), 1.0 - 0.000001) pc, pos
+           FROM q WHERE sc IS NOT NULL),
+         lt AS (SELECT CAST(round(-(CASE WHEN pos = 1 THEN ln(pc)
+             ELSE ln(1.0 - pc) END) * 1e9) AS BIGINT) AS lv FROM c)
+         SELECT CAST(count(*) AS BIGINT) n,
+           CAST(coalesce(sum(lv), 0) AS BIGINT) loss_ppb_sum,
+           CASE WHEN count(*) > 0
+             THEN CAST(coalesce(sum(lv), 0) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * 1e9) END AS logloss
+         FROM lt""",
+
+    // q306: the q285 ranking cut at each k, exact hits, one division
+    "q306_precision_at_k" ->
+      s"""WITH $qualityScorePosCtes,
+         rkd AS (SELECT doc_id, sc, pos,
+             row_number() OVER (ORDER BY sc DESC, doc_id) k
+           FROM q WHERE sc IS NOT NULL),
+         cuts AS (SELECT unnest([10, 50, 100]) AS k)
+         SELECT CAST(cuts.k AS INTEGER) k,
+           CAST(count(*) AS BIGINT) k_actual,
+           CAST(coalesce(sum(pos), 0) AS BIGINT) hits,
+           CASE WHEN count(*) > 0
+             THEN CAST(coalesce(sum(pos), 0) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) END AS p_at_k
+         FROM cuts JOIN rkd ON rkd.k <= cuts.k
+         GROUP BY cuts.k ORDER BY k""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -2798,6 +2798,50 @@ object Evaluate {
           (col("n").cast("double") * lit(1e12))))
   }
 
+  /** Log-loss (cross-entropy) — [[brierScore]]'s sharper sibling:
+    * per-row −(y·ln p + (1−y)·ln(1−p)) with p clamped to
+    * [10⁻⁶, 1−10⁻⁶] (the standard guard against infinite loss),
+    * quantized ONCE to ppb per row and summed exactly; the mean is
+    * ONE division. Returns (n, loss_ppb_sum, logloss). */
+  def logLoss(df: DataFrame, score: Column, positive: Column): DataFrame = {
+    val base = df.select(score.cast("double").as("_sc"),
+        positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+      .select(least(greatest(col("_sc"), lit(1e-6)), lit(1.0 - 1e-6))
+        .as("_pc"), col("_p"))
+      .select(round(-when(col("_p"), log(col("_pc")))
+        .otherwise(log(lit(1.0) - col("_pc"))) * lit(1e9))
+        .cast("long").as("_t"))
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum("_t"), lit(0L)).as("loss_ppb_sum"))
+      .withColumn("logloss", when(col("n") > 0L,
+        col("loss_ppb_sum").cast("double") /
+          (col("n").cast("double") * lit(1e9))))
+  }
+
+  /** Precision@k table over a (score desc, id asc) ranking — the
+    * eyeballable companion of [[averagePrecision]]: for each cutoff,
+    * exact (k_actual, hits) integers and ONE division. Cutoffs beyond
+    * the row count report the shrunken k_actual (honest, not padded).
+    * Returns one row per cutoff: (k, k_actual, hits, p_at_k). */
+  def precisionAtK(df: DataFrame, id: Column, score: Column,
+      positive: Column, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad cutoffs $ks")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_sc").desc, col("_id").asc)
+    val ranked = df.select(id.as("_id"), score.as("_sc"),
+        positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+      .withColumn("_k", row_number().over(w))
+    val cuts = ks.map(k =>
+      ranked.where(col("_k") <= k)
+        .agg(lit(k).as("k"), count(lit(1)).as("k_actual"),
+          coalesce(sum(col("_p").cast("long")), lit(0L)).as("hits")))
+    cuts.reduce(_.unionByName(_))
+      .withColumn("p_at_k", when(col("k_actual") > 0L,
+        col("hits").cast("double") / col("k_actual").cast("double")))
+  }
+
   /** Per-depth RBO weights (1−p)·p^(d−1)/d quantized ONCE to ppt
     * (10⁻¹²) as SUFFIX sums W_m = Σ_{d=m..D} w_d — exposed so an
     * external replay embeds the IDENTICAL literals (the fsWeightsPpb
