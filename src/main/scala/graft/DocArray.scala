@@ -827,6 +827,21 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding"): DataFrame =
     Evaluate.embeddingDrift(df, other.df, vecCol)
 
+  /** Probabilistic-prediction eval battery over a score column. */
+  def brier(score: Column, positive: Column): DataFrame =
+    Evaluate.brierScore(df, score, positive)
+  def logLoss(score: Column, positive: Column): DataFrame =
+    Evaluate.logLoss(df, score, positive)
+  def precisionAt(ks: Seq[Int], score: Column,
+      positive: Column): DataFrame =
+    Evaluate.precisionAtK(df, col(idCol), score, positive, ks)
+  def averagePrecision(score: Column, positive: Column): DataFrame =
+    Evaluate.averagePrecision(df, col(idCol), score, positive)
+
+  /** Feature-redundancy screen over integer-castable measures. */
+  def correlations(measures: Seq[String]): DataFrame =
+    Evaluate.correlationMatrix(df, measures)
+
   def summary(): DataFrame = Summary.describe(df)
 
   /** This array's actual schema as a JSON-Schema document (the
