@@ -48,6 +48,19 @@ object SparkEntry {
       leftId = "vec_id", rightId = "vec_id", excludeSelf = true)
   }
 
+  /** Driver-proof gate cast: the driver's duckdb→pandas oracle stack
+    * hashes raw DECIMAL(38,0) columns representation-sensitively
+    * (VERDICT r6 — all 9 r6 reds, zero greens, carried one), so no gate
+    * column ships as Decimal. Exact-arithmetic operators keep their
+    * Decimal internals; the GATE casts to long with a loud in-plan range
+    * guard — silent truncation would be a wrong answer, an error is a
+    * diagnosis. */
+  private def gLong(c: Column, name: String): Column =
+    when(c.isNull || (c >= lit(Long.MinValue) && c <= lit(Long.MaxValue)),
+        c.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"gate column $name exceeds int64: "), c.cast("string"))))
+
   // ------------------------------------------------------------------
   // §2.5 aggregations
   // ------------------------------------------------------------------
@@ -2982,7 +2995,8 @@ object SparkEntry {
     // diverges cross-engine below the double ulp (the q230 lesson).
     Graph.modularity(projPairGraph(s, dir, radius = 0.03), labels,
         "vec_id", "cell")
-      .select(col("m"), col("within"), col("sum_dc2"))
+      .select(col("m"), col("within"),
+        gLong(col("sum_dc2"), "sum_dc2").as("sum_dc2"))
   }
 
   // Interval union coverage (IntervalJoin.unionLength): per-customer
@@ -3582,8 +3596,10 @@ object SparkEntry {
             lit(4L)).as("cat")))).as("e"))
       .select(col("doc_id"), col("e.rater"), col("e.cat"))
     Evaluate.fleissKappa(ratings, col("doc_id"), col("rater"), col("cat"))
-      .select("n_subjects", "r", "k_cats", "s2", "sum_c2",
-        "kappa_num", "kappa_den")
+      .select(col("n_subjects"), col("r"), col("k_cats"), col("s2"),
+        gLong(col("sum_c2"), "sum_c2").as("sum_c2"),
+        gLong(col("kappa_num"), "kappa_num").as("kappa_num"),
+        gLong(col("kappa_den"), "kappa_den").as("kappa_den"))
   }
 
   // Fellegi-Sunter entity resolution (Linkage.patternCounts): even- vs
@@ -3713,6 +3729,7 @@ object SparkEntry {
   private def q284(s: SparkSession, dir: String): DataFrame =
     Evaluate.bestSplit(t(s, dir, "customer"), Seq("c_mktsegment"),
         col("c_nationkey"), floor(col("c_acctbal")))
+      .withColumn("gain", gLong(col("gain"), "gain"))
       .orderBy("c_mktsegment")
 
   // Exact average precision (Evaluate.averagePrecision): the PR-curve
@@ -3755,6 +3772,8 @@ object SparkEntry {
   private def q287(s: SparkSession, dir: String): DataFrame =
     GroupOps.targetEncode(t(s, dir, "orders"), "o_orderkey",
         col("o_orderpriority"), floor(col("o_totalprice")), m = 10L)
+      .withColumn("sm_num", gLong(col("sm_num"), "sm_num"))
+      .withColumn("sm_den", gLong(col("sm_den"), "sm_den"))
       .orderBy("o_orderkey")
 
   // Truncated rank-biased overlap (Evaluate.rankBiasedOverlap):
@@ -3872,7 +3891,15 @@ object SparkEntry {
       Sketch.cmSketch(o, col("k"), depth = 4, width = 256),
       Sketch.cmSketch(c, col("k"), depth = 4, width = 256), depth = 4)
     val actual = o.join(c, "k").agg(count(lit(1)).as("actual_rows"))
-    est.crossJoin(broadcast(actual))
+    // The estimate is a sum of counter products and can exceed int64 at
+    // extreme corpus sizes — gate it as exact base-10^18 hi/lo longs
+    // (never a raw Decimal: the r6 driver-hash lesson).
+    est.select(
+        gLong(expr("est_join_rows div 1000000000000000000"), "est_hi")
+          .as("est_hi"),
+        gLong(expr("est_join_rows % 1000000000000000000"), "est_lo")
+          .as("est_lo"))
+      .crossJoin(broadcast(actual))
   }
 
   // Node-embedding pipeline (Graph.randomWalks → walkPairsPmi): the
@@ -3932,6 +3959,8 @@ object SparkEntry {
     Evaluate.embeddingDrift(
         e.where(pmod(col("vec_id"), lit(2)) === 0),
         e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+      .withColumn("ss_a", gLong(col("ss_a"), "ss_a"))
+      .withColumn("ss_b", gLong(col("ss_b"), "ss_b"))
       .orderBy("dim")
   }
 
@@ -3953,6 +3982,9 @@ object SparkEntry {
         when(col("c_acctbal") < 0, lit("neg"))
           .when(col("c_acctbal") < 5000, lit("mid"))
           .otherwise(lit("high")))
+      .withColumn("a_l", gLong(col("a_l"), "a_l"))
+      .withColumn("a_r", gLong(col("a_r"), "a_r"))
+      .withColumn("gain", gLong(col("gain"), "gain"))
       .orderBy("c_mktsegment")
 
   // Salted skew join (Joins.saltedJoin): a 5-hot-key dim joined onto
@@ -4010,7 +4042,8 @@ object SparkEntry {
   // ppm-quantized once, exact Decimal numerator, one division.
   private def q304(s: SparkSession, dir: String): DataFrame =
     Evaluate.brierScore(t(s, dir, "documents"),
-      TextFunctions.qualityScore(col("text")), col("lang") === "en")
+        TextFunctions.qualityScore(col("text")), col("lang") === "en")
+      .withColumn("brier_num", gLong(col("brier_num"), "brier_num"))
 
   // Log-loss (Evaluate.logLoss): cross-entropy over the q116 chain —
   // clamped p, per-row term quantized once to ppb, exact sum, one
@@ -4178,8 +4211,11 @@ object SparkEntry {
       // det and the three Cramer numerators are exact integers and carry
       // full verification power; the rounded b* doubles were dropped from
       // the gate (round(double, 6) diverges cross-engine — q230 lesson).
-      .select(col("event_type"), col("n"), col("det"), col("nb0"),
-        col("nb1"), col("nb2"))
+      .select(col("event_type"), col("n"),
+        gLong(col("det"), "det").as("det"),
+        gLong(col("nb0"), "nb0").as("nb0"),
+        gLong(col("nb1"), "nb1").as("nb1"),
+        gLong(col("nb2"), "nb2").as("nb2"))
       .orderBy("event_type")
   }
 
@@ -9222,7 +9258,7 @@ object SparkEntry {
              UNION ALL SELECT y, ly FROM el) GROUP BY l),
          s2 AS (SELECT sum(CAST(d AS HUGEINT) * d) AS sum_dc2 FROM dc)
          SELECT CAST(m AS BIGINT) AS m, CAST(within AS BIGINT) AS within,
-           sum_dc2
+           CAST(sum_dc2 AS BIGINT) AS sum_dc2
          FROM mw CROSS JOIN s2""",
 
     // q217: the identical sweep — strictly-preceding running max(end),
@@ -9451,8 +9487,9 @@ object SparkEntry {
              n*(sxx*sfy - sxy*sxf) - sx*(sx*sfy - sxy*sf)
                + sy*(sx*sxf - sxx*sf) AS nb2
            FROM s)
-         SELECT g AS event_type, CAST(n AS BIGINT) AS n, det, nb0, nb1,
-           nb2
+         SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           CAST(det AS BIGINT) AS det, CAST(nb0 AS BIGINT) AS nb0,
+           CAST(nb1 AS BIGINT) AS nb1, CAST(nb2 AS BIGINT) AS nb2
          FROM d ORDER BY event_type""",
 
     // q225: unfiltered bigram marginals, the four contingency cells'
@@ -10890,7 +10927,8 @@ object SparkEntry {
              CAST(sum_l AS HUGEINT) * sum_l // n_l
                + CAST(sum_r AS HUGEINT) * sum_r // n_r AS gain
            FROM cand)
-         SELECT g AS c_mktsegment, split_x, n_l, n_r, sum_l, sum_r, gain
+         SELECT g AS c_mktsegment, split_x, n_l, n_r, sum_l, sum_r,
+           CAST(gain AS BIGINT) AS gain
          FROM gains
          QUALIFY row_number() OVER (PARTITION BY g
            ORDER BY gain DESC, split_x) = 1
@@ -10941,9 +10979,9 @@ object SparkEntry {
            CASE WHEN c.n_c - 1 > 0
              THEN CAST(c.sc - b.y AS DOUBLE) / CAST(c.n_c - 1 AS DOUBLE)
            END te_loo,
-           CAST(c.sc - b.y AS HUGEINT) * g.n + CAST(10 AS HUGEINT) * g.s
-             AS sm_num,
-           CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n AS sm_den,
+           CAST(CAST(c.sc - b.y AS HUGEINT) * g.n
+             + CAST(10 AS HUGEINT) * g.s AS BIGINT) AS sm_num,
+           CAST(CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n AS BIGINT) AS sm_den,
            CASE WHEN CAST(c.n_c - 1 + 10 AS HUGEINT) * g.n <> 0
              THEN CAST(CAST(c.sc - b.y AS HUGEINT) * g.n
                     + CAST(10 AS HUGEINT) * g.s AS DOUBLE)
@@ -11131,7 +11169,10 @@ object SparkEntry {
          est AS (SELECT min(p) est_join_rows FROM pe),
          act AS (SELECT count(*) actual_rows FROM orders o
            JOIN customer c ON o.o_custkey = c.c_custkey)
-         SELECT est.est_join_rows,
+         SELECT CAST(est.est_join_rows // 1000000000000000000 AS BIGINT)
+             AS est_hi,
+           CAST(est.est_join_rows % 1000000000000000000 AS BIGINT)
+             AS est_lo,
            CAST(act.actual_rows AS BIGINT) actual_rows
          FROM est CROSS JOIN act"""
     },
@@ -11218,7 +11259,8 @@ object SparkEntry {
              sum(CAST(q AS HUGEINT) * q) ss_a FROM q1 GROUP BY dim),
          sb AS (SELECT dim, count(*) n_b, CAST(sum(q) AS BIGINT) sum_b_ppm,
              sum(CAST(q AS HUGEINT) * q) ss_b FROM q2 GROUP BY dim)
-         SELECT dim, n_a, n_b, sum_a_ppm, sum_b_ppm, ss_a, ss_b,
+         SELECT dim, n_a, n_b, sum_a_ppm, sum_b_ppm,
+           CAST(ss_a AS BIGINT) AS ss_a, CAST(ss_b AS BIGINT) AS ss_b,
            CAST(sum_a_ppm AS DOUBLE) / CAST(n_a AS DOUBLE)
              - CAST(sum_b_ppm AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_diff_ppm
          FROM sa JOIN sb USING (dim) ORDER BY dim""",
@@ -11269,7 +11311,9 @@ object SparkEntry {
          gains AS (SELECT g, x split_x, n_l, n - n_l AS n_r, a_l, a_r,
              (a_l * 1000000) // n_l + (a_r * 1000000) // (n - n_l) AS gain
            FROM cand WHERE n_l < n)
-         SELECT g AS c_mktsegment, split_x, n_l, n_r, a_l, a_r, gain
+         SELECT g AS c_mktsegment, split_x, n_l, n_r,
+           CAST(a_l AS BIGINT) AS a_l, CAST(a_r AS BIGINT) AS a_r,
+           CAST(gain AS BIGINT) AS gain
          FROM gains
          QUALIFY row_number() OVER (PARTITION BY g
            ORDER BY gain DESC, split_x) = 1
@@ -11371,7 +11415,8 @@ object SparkEntry {
              - CASE WHEN pos = 1 THEN 1000000 ELSE 0 END AS e
            FROM q WHERE sc IS NOT NULL),
          a AS (SELECT CAST(count(*) AS BIGINT) n,
-             coalesce(sum(CAST(e AS HUGEINT) * e), 0) brier_num FROM e)
+             CAST(coalesce(sum(CAST(e AS HUGEINT) * e), 0) AS BIGINT)
+               brier_num FROM e)
          SELECT n, brier_num,
            CASE WHEN n > 0 THEN CAST(brier_num AS DOUBLE)
              / (CAST(n AS DOUBLE) * 1e12) END AS brier
@@ -11442,11 +11487,12 @@ object SparkEntry {
          ca AS (SELECT CAST(count(*) AS BIGINT) AS k_cats,
              sum(CAST(c AS HUGEINT) * c) AS sum_c2
            FROM (SELECT j, sum(nij) AS c FROM nij GROUP BY j))
-         SELECT n_subjects, CAST(3 AS BIGINT) AS r, k_cats, s2, sum_c2,
-           (CAST(s2 AS HUGEINT) - n_subjects * 3) * (n_subjects * 3)
-             - sum_c2 * 2 AS kappa_num,
-           (CAST(n_subjects * 3 AS HUGEINT) * (n_subjects * 3) - sum_c2)
-             * 2 AS kappa_den
+         SELECT n_subjects, CAST(3 AS BIGINT) AS r, k_cats, s2,
+           CAST(sum_c2 AS BIGINT) AS sum_c2,
+           CAST((CAST(s2 AS HUGEINT) - n_subjects * 3) * (n_subjects * 3)
+             - sum_c2 * 2 AS BIGINT) AS kappa_num,
+           CAST((CAST(n_subjects * 3 AS HUGEINT) * (n_subjects * 3)
+             - sum_c2) * 2 AS BIGINT) AS kappa_den
          FROM s2a CROSS JOIN ca""",
 
     // q273: blocked pair join with the hot-block valve replayed (either
