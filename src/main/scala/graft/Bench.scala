@@ -340,14 +340,16 @@ object Bench {
       idx.assigned.unpersist()
     }
 
-    // JL sketch funnel (the NO-FIT ann path): project 1M x 128 -> 16-d
-    // exact-integer sketches (pure map, no training, no artifact),
-    // sketch-space scan, exact rerank of the top-200. The right first
-    // pass for one-shot jobs where an IVF fit would never amortize;
-    // recall vs exact ships like the IVF rows (honest number for a
-    // 128->16 squeeze on the uniform worst-case corpus).
+    // JL sketch funnel (the NO-FIT ann path): project 1M x 128 into
+    // exact-integer sketches (pure map, no training, no artifact;
+    // driver-precomputed sign matrix -> SignProjectLong codegen kernel),
+    // blocked sketch-space scan, exact rerank. Two honest recall rows:
+    // the uniform corpus is the JL worst case (NN gaps ~2% vs sketch
+    // distortion ~130% at k=64 -> recall ~0.2: blocking-key territory);
+    // the clustered corpus (1000 centers, noise 1/8 spread) is the
+    // real-workload shape where the funnel IS a search path.
     if (overBudget) Seq("x_jl_project_1m", "x_jl_rerank100",
-      "x_jl_recall10_x1000").foreach(skip)
+      "x_jl_recall10_x1000", "x_jl_clustered_recall10_x1000").foreach(skip)
     else {
       bench("x_jl_project_1m", runs = 1) {
         Ann.jlProject(stored, "id", "embedding", outDim = 16)
@@ -360,6 +362,25 @@ object Bench {
       record("x_jl_recall10_x1000", math.round(Ann.recallAgainstExact(
         Ann.jlSearchRerank(stored, queries100, 10, rerank = 200),
         exactJl) * 1000).toDouble)
+      // clustered twin: same 1M x 128 scale, gap-bearing geometry
+      val clDir = "/tmp/graft_bench/jl_clustered"
+      def clustered(n: Long) = spark.range(n).select(
+        col("id"),
+        transform(sequence(lit(0), lit(127)), j =>
+          ((pmod(xxhash64(pmod(col("id"), lit(1000)), j, lit(7)),
+            lit(10000)) / 10000.0)
+            + (pmod(xxhash64(col("id"), j, lit(8)), lit(10000)) / 80000.0))
+            .cast("float")).as("embedding"))
+      clustered(1000000L).write.mode("overwrite").parquet(clDir)
+      val clStored = spark.read.parquet(clDir)
+      val clQueries = clustered(1000000L)
+        .where(pmod(col("id"), lit(9999)) === 3).limit(100)
+        .select((col("id") + 2000000000L).as("id"), col("embedding"))
+      val clExact = Knn.bruteForce(clStored, clQueries, 10, "cosine")
+      record("x_jl_clustered_recall10_x1000",
+        math.round(Ann.recallAgainstExact(
+          Ann.jlSearchRerank(clStored, clQueries, 10, rerank = 1000),
+          clExact) * 1000).toDouble)
     }
 
     // Round-6 operator scale rows: the shapes, not the semantics, are

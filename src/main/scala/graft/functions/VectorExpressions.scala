@@ -432,3 +432,80 @@ case class BytesToInts(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Integer sign-projection for the JL sketch: out_t = Σ_j signs(t)(j)·v_j
+  * over an already-quantized `array<long>` vector. The ±1 sign matrix is a
+  * pure function of (seed, outDim, d), precomputed ONCE on the driver and
+  * shipped as a codegen reference object — the r6 plan fix: the previous
+  * per-row splitmix fold re-derived every sign for every row
+  * (rows × outDim × d interpreted hash evals; 2×10⁹ at 1M×128×16).
+  * Exact long arithmetic, fixed left-to-right order — bit-identical on any
+  * engine/layout, same contract as the fold it replaces. A vector whose
+  * length differs from the sign matrix's d yields null (the
+  * [[ProjectVector]] mismatch rule); a null element yields null (the old
+  * fold's propagation). */
+case class SignProjectLong(child: Expression, signs: Seq[Seq[Byte]])
+    extends UnaryExpression {
+  require(signs.nonEmpty, "signs must be non-empty")
+
+  @transient private lazy val sgn: Array[Array[Byte]] =
+    signs.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_project_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val d = sgn(0).length
+    if (a.numElements() != d) return null
+    var j = 0
+    while (j < d) { if (a.isNullAt(j)) return null; j += 1 }
+    val out = new Array[Long](sgn.length)
+    var t = 0
+    while (t < sgn.length) {
+      val s = sgn(t)
+      var acc = 0L
+      var i = 0
+      while (i < d) { acc += s(i) * a.getLong(i); i += 1 }
+      out(t) = acc
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", sgn, "byte[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val d = ctx.freshName("d"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""int $d = $signsRef[0].length;
+         |boolean $bad = $a.numElements() != $d;
+         |for (int $j = 0; !$bad && $j < $d; $j++) {
+         |  if ($a.isNullAt($j)) $bad = true;
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$signsRef.length];
+         |  for (int $t = 0; $t < $signsRef.length; $t++) {
+         |    byte[] $s = $signsRef[$t];
+         |    long $acc = 0L;
+         |    for (int $j = 0; $j < $d; $j++) { $acc += $s[$j] * $a.getLong($j); }
+         |    $out[$t] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -59,6 +59,12 @@ package object functions {
       components: Seq[Seq[Double]]): Column =
     Bridge.column(ProjectVector(Bridge.expression(vec), mean, components))
 
+  /** Integer JL sign-projection of an already-quantized long vector onto a
+    * driver-precomputed ±1 matrix: out_t = Σ_j signs(t)(j)·v_j, exact long
+    * arithmetic in fixed order. */
+  def sign_project_long(vec: Column, signs: Seq[Seq[Byte]]): Column =
+    Bridge.column(SignProjectLong(Bridge.expression(vec), signs))
+
   /** KMV distinct estimate from the kth-minimum signed hash: exact integer
     * (k−1)·2^64 / unsigned(hash) floor division. */
   def kmv_estimate(h: Column, k: Int): Column =

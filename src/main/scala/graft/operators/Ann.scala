@@ -1468,33 +1468,40 @@ object Ann {
     * first-pass distance for rerank funnels, per the JL lemma's
     * O(log n / ε²) dimension bound on distortion.
     *
-    * Scale shape: one map-only pass, zero shuffle — per row a
-    * `transform`(outDim) × `aggregate`(d) codegen fold, the
-    * [[Pca.project]] shape; ~d·outDim fused multiply-adds per row.
-    * Rows with null vectors drop. Quantization bound: |x|·scale·d must
-    * stay < 2^63 per output coordinate (loud in-plan guard on the
-    * component magnitude is the caller's job; at scale=1e6 and unit
-    * vectors the headroom is ~9e12×). Returns (idCol, jl: array<long>
-    * of length outDim). */
+    * Scale shape: one map-only pass, zero shuffle. The ±1 sign matrix is
+    * a pure function of (seed, outDim, d), so it is precomputed ONCE on
+    * the driver (outDim×d splitmix evals) and projected through the
+    * [[graft.functions.SignProjectLong]] broadcast-literal codegen kernel
+    * — ~d·outDim long multiply-adds per row (the r6 fix: the previous
+    * per-row HOF fold re-derived every sign per row — rows×outDim×d
+    * interpreted splitmix evals, 25.6 s/1M×128×16 → map-speed now).
+    * Rows with null vectors drop; a row whose dimensionality differs
+    * from the (probed or passed) `dim` yields a null sketch rather than
+    * a wrong one. Quantization bound: |x|·scale·d must stay < 2^63 per
+    * output coordinate (loud in-plan guard on the component magnitude is
+    * the caller's job; at scale=1e6 and unit vectors the headroom is
+    * ~9e12×). Returns (idCol, jl: array<long> of length outDim). */
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int, seed: Long = 42L,
-      quantScale: Long = 1000000L): DataFrame = {
+      quantScale: Long = 1000000L, dim: Int = -1): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
+    val nn = df.where(col(vecCol).isNotNull)
+    // one-row dimensionality probe (skipped when the caller passes dim)
+    val d = if (dim > 0) dim else nn.select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0) // empty input: schema-correct empty frame
+      return nn.select(col(idCol),
+        lit(null).cast("array<bigint>").as("jl"))
+    // sign(t, j) = parity of splitmix64(j·outDim + t + seed) — the
+    // identical chain the per-row fold used and the oracle replays
+    val signs: Seq[Seq[Byte]] = Seq.tabulate(outDim, d) { (t, j) =>
+      val h = graft.functions.Fnv64.mix(j.toLong * outDim + t + seed)
+      if (((h % 2L) + 2L) % 2L == 0L) 1.toByte else (-1).toByte
+    }
     val vq = transform(col(vecCol),
       x => round(x.cast("double") * quantScale).cast("long"))
-    val proj = transform(sequence(lit(0), lit(outDim - 1)), t =>
-      aggregate(
-        sequence(lit(0), size(col(vecCol)) - 1),
-        lit(0L),
-        (acc, j) => acc + when(
-          pmod(splitmix64_rank((j.cast("long") * outDim + t.cast("long")),
-            seed), lit(2L)) === 0L,
-          element_at(col("_vq"), j + 1))
-          .otherwise(-element_at(col("_vq"), j + 1))))
-    df.where(col(vecCol).isNotNull)
-      .withColumn("_vq", vq)
-      .select(col(idCol), proj.as("jl"))
+    nn.select(col(idCol), sign_project_long(vq, signs).as("jl"))
   }
 
   /** JL-sketch knn funnel: scan in the `outDim`-d integer sketch space
@@ -1508,6 +1515,17 @@ object Ann {
     * sketch is a pure map — so it is the right first pass for one-shot
     * jobs where an index would never amortize.
     *
+    * WHEN TO USE (measured, 1M×128, 100 queries): the funnel is a real
+    * search path only where nearest-neighbor GAPS exist. On a clustered
+    * corpus (1000 centers, noise ⅛ spread) outDim=64/rerank=1000 gives
+    * recall@10 = 1.000 in ~5 s. On a uniform random corpus — the JL
+    * worst case, where the 10th→200th neighbor gap is ~2% while the
+    * k=64 sketch distortion is ~sqrt(8·ln n/k) ≈ 130% — recall@10 is
+    * only ~0.2–0.5 even at rerank=4000: there, use [[jlProject]] as a
+    * BLOCKING-KEY generator (sign buckets, dedup prefilters) or an IVF
+    * index instead. Both regimes ship as bench rows
+    * (x_jl_recall10_x1000 uniform, x_jl_clustered_recall10_x1000).
+    *
     * Scale shape: two zero-shuffle projections, the blocked sketch-knn
     * kernel (bounded heaps, O(partitions × Q × rerank) shuffle), then
     * one broadcast of Q × rerank candidate ids against the base table.
@@ -1516,7 +1534,7 @@ object Ann {
       metric: String = "cosine",
       docId: String = "id", docVec: String = "embedding",
       queryId: String = "id", queryVec: String = "embedding",
-      outDim: Int = 16, seed: Long = 42L, quantScale: Long = 100000L,
+      outDim: Int = 64, seed: Long = 42L, quantScale: Long = 100000L,
       rerank: Int = 100): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val pd = jlProject(docs, docId, docVec, outDim, seed, quantScale)
@@ -1524,7 +1542,10 @@ object Ann {
     val pq = jlProject(queries, queryId, queryVec, outDim, seed,
         quantScale)
       .select(col(queryId), col("jl").cast("array<double>").as("_jq"))
-    val cand = Knn.bruteForce(pd, pq, rerank, "sqeuclidean",
+    // blocked sketch-knn kernel (bounded heaps, no expression-path
+    // crossJoin) — the r6 fix: bruteForce here cost ~30 s/run where the
+    // blocked kernel scans the same sketches in well under a second
+    val cand = Knn.bruteForceBlocked(pd, pq, rerank, "sqeuclidean",
         docId = docId, docVec = "_jd", queryId = queryId,
         queryVec = "_jq")
       .select(col("query_id"), col("id"))
