@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 
 /** Hilbert-curve index — the space-filling layout key with strictly
@@ -40,9 +39,14 @@ object Hilbert {
 /** `hilbert2(x, y)` over a 2^bits grid — long Hilbert index of two
   * integral columns (masked into range; scale first, the
   * [[graft.operators.ZOrder.withZValue]] pattern). bits ≤ 31 so d
-  * fits a long. */
+  * fits a long.
+  *
+  * Full `doGenCode` (r7): the rotate walk is a fixed-bits loop of
+  * shifts/xors that inlines cleanly into whole-stage codegen — the r6
+  * CodegenFallback made a 4M-row write path interpreted and its bench
+  * row weather-dependent (3.5 s vs 33.9 s across hosts). */
 case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(bits >= 1 && bits <= 31, s"hilbert2 bits must be in [1,31], got $bits")
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
@@ -59,6 +63,32 @@ case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
   }
   override def nullSafeEval(x: Any, y: Any): Any =
     Hilbert.xy2d(bits, toLong(x), toLong(y))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (xv, yv) => {
+      val n = ctx.freshName("n"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val d = ctx.freshName("d")
+      val s = ctx.freshName("s"); val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry"); val t = ctx.freshName("t")
+      s"""long $n = 1L << $bits;
+         |long $x = ((long) $xv) & ($n - 1L);
+         |long $y = ((long) $yv) & ($n - 1L);
+         |long $d = 0L;
+         |for (long $s = $n >> 1; $s > 0L; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0L) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0L) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $n - 1L - $x; $y = $n - 1L - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;""".stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "hilbert2"
