@@ -806,12 +806,20 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def targetEncode(category: String, y: Column, m: Long = 10L): DataFrame =
     GroupOps.targetEncode(df, idCol, col(category), y, m)
 
-  /** Deterministic DeepWalk corpus over a pair graph from this array's
-    * ids (walk keys are splitmix draws — replayable, no RNG state). */
+  /** Deterministic DeepWalk corpus over an UNDIRECTED pair table from
+    * this array's ids (walk keys are splitmix draws — replayable, no
+    * RNG state). The pairs are symmetrized here (a,b) ∪ (b,a) before
+    * the walk — like the sibling pair-graph facades — because
+    * [[Graph.randomWalks]] builds a DIRECTED adjacency: feeding it a
+    * canonical a<b pair table unsymmetrized would only ever step toward
+    * higher ids and silently bias the corpus (r7 ADVICE fix). */
   def randomWalks(pairs: DataFrame, walksPerNode: Int, walkLength: Int,
-      seed: Long = 0L): DataFrame =
-    Graph.randomWalks(pairs, "a", "b",
+      seed: Long = 0L): DataFrame = {
+    val sym = pairs.select(col("a"), col("b")).unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    Graph.randomWalks(sym, "a", "b",
       df.select(col(idCol)), idCol, walksPerNode, walkLength, seed)
+  }
 
   /** Autocomplete/typeahead table over this array's token vocabulary. */
   def completions(minLen: Int = 1, maxLen: Int = 4, topK: Int = 3,

@@ -2812,11 +2812,23 @@ object Evaluate {
       .select(round(-when(col("_p"), log(col("_pc")))
         .otherwise(log(lit(1.0) - col("_pc"))) * lit(1e9))
         .cast("long").as("_t"))
+    // accumulate in Decimal(38,0) like brierScore — per-row terms reach
+    // ~1.38e10 ppb at the clamp, so a plain long sum would wrap silently
+    // around 7e8 rows; the output column stays a GUARDED long (r7
+    // ADVICE fix; the gate convention bans raw Decimal outputs)
     base.agg(count(lit(1)).as("n"),
-        coalesce(sum("_t"), lit(0L)).as("loss_ppb_sum"))
+        coalesce(sum(col("_t").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_ds"))
+      .withColumn("loss_ppb_sum",
+        when(col("_ds") >= lit(Long.MinValue) &&
+            col("_ds") <= lit(Long.MaxValue), col("_ds").cast("long"))
+          .otherwise(raise_error(concat(
+            lit("logLoss loss_ppb_sum exceeds int64 (report means per "),
+            lit("shard upstream): "), col("_ds").cast("string")))))
       .withColumn("logloss", when(col("n") > 0L,
         col("loss_ppb_sum").cast("double") /
           (col("n").cast("double") * lit(1e9))))
+      .drop("_ds")
   }
 
   /** Precision@k table over a (score desc, id asc) ranking — the

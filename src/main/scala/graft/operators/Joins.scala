@@ -20,7 +20,10 @@ object Joins {
     * must still broadcast or shuffle cheaply); the big side gains one
     * codegen'd hash column. `rowKey` should be a per-row-distinct
     * column (a surrogate id); duplicate rowKeys merely co-locate those
-    * rows on one salt. Supported joinType: inner / left (the exploded
+    * rows on one salt; a NULL rowKey lands on salt 0 (coalesced — a
+    * null salt would silently DROP matching rows under inner join,
+    * breaking the exactly-the-plain-join contract; r7 ADVICE fix).
+    * Supported joinType: inner / left (the exploded
     * small side covers every salt value, so left semantics hold). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       rowKey: Column, salt: Int, joinType: String = "inner"): DataFrame = {
@@ -29,8 +32,10 @@ object Joins {
     require(Set("inner", "left", "leftouter", "left_outer")(joinType),
       s"saltedJoin supports inner/left, got $joinType")
     val b = big.withColumn("_salt",
-      pmod(graft.functions.splitmix64_rank(rowKey), lit(salt.toLong))
-        .cast("int"))
+      coalesce(
+        pmod(graft.functions.splitmix64_rank(rowKey), lit(salt.toLong))
+          .cast("int"),
+        lit(0)))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, keys :+ "_salt", joinType).drop("_salt")

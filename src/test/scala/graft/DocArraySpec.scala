@@ -317,4 +317,20 @@ class DocArraySpec extends SparkSuite {
     assert(ex.count() == 2 &&
       ex.where(col("rule") === "len_sane").head.getLong(2) == 0L)
   }
+
+  test("randomWalks facade symmetrizes an undirected a<b pair table") {
+    // path 0-1-2: canonical pairs only go upward; without the facade's
+    // symmetrization a walk from 2 could never move (2 would be a sink)
+    val nodes = DocArray(Seq(0L, 1L, 2L).toDF("id"))
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    val walks = nodes.randomWalks(pairs, walksPerNode = 1, walkLength = 2)
+    // every start (incl. node 2) emits step-1 rows: no artificial sinks
+    val starts = walks.where(col("step") === 1)
+      .select("start").distinct().as[Long].collect().sorted
+    assert(starts.toSeq == Seq(0L, 1L, 2L))
+    // node 2's first hop must be its only undirected neighbor, 1
+    val hop2 = walks.where(col("start") === 2L && col("step") === 1)
+      .select("node").as[Long].collect()
+    assert(hop2.nonEmpty && hop2.forall(_ == 1L))
+  }
 }

@@ -44,6 +44,19 @@ class JoinsSpec extends SparkSuite {
     assert(spread.map(_.getLong(1)).max < 1800 * 0.25) // no salt hogs it
   }
 
+  test("a NULL rowKey still joins (coalesced onto salt 0)") {
+    val withNullKey = big.select(
+      when(col("id") === 7L, lit(null).cast("long"))
+        .otherwise(col("id")).as("id"), col("k"))
+    val plain = withNullKey.join(dim, "k").count()
+    val salted = Joins.saltedJoin(withNullKey, dim, Seq("k"), col("id"),
+      salt = 8).count()
+    assert(salted === plain) // the null-id row must NOT drop
+    val nullRow = Joins.saltedJoin(withNullKey, dim, Seq("k"), col("id"),
+      salt = 8).where(col("id").isNull).collect()
+    assert(nullRow.length === 1)
+  }
+
   test("parameter refusal: bad salt and unsupported join type") {
     intercept[IllegalArgumentException] {
       Joins.saltedJoin(big, dim, Seq("k"), col("id"), salt = 1)
