@@ -830,6 +830,15 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def fingerprint(keyCols: Seq[String]): DataFrame =
     Quality.fingerprint(df, concat_ws("|", keyCols.map(col): _*))
 
+  /** TensorBoard Embedding Projector artifact of this array — the
+    * on-disk half of the reference's `plot_embeddings` (vectors.tsv +
+    * metadata.tsv + projector_config.pbtxt); returns the files read
+    * back line by line. Browser-bounded: sample/coreset first above
+    * `maxRows`. */
+  def exportProjector(dir: String, labelCols: Seq[String],
+      vecCol: String = "embedding", maxRows: Long = 100000L): DataFrame =
+    Projector.exportEmbeddings(df, idCol, vecCol, labelCols, dir, maxRows)
+
   /** Per-dimension embedding-distribution drift vs another array. */
   def embeddingDriftVs(other: DocArray,
       vecCol: String = "embedding"): DataFrame =

@@ -4061,6 +4061,19 @@ object SparkEntry {
         Seq(10, 50, 100))
       .orderBy("k")
 
+  // TensorBoard projector artifact (Projector.exportEmbeddings — the
+  // reference plot_embeddings' on-disk half): vectors.tsv in exact ppm
+  // integers (the q298 quantization), single-label metadata.tsv (no
+  // header per the projector format), static pbtxt config — the query
+  // returns the files READ BACK from disk line by line and the oracle
+  // recomputes every line from the parquet (the q259 two-engines-one-
+  // artifact pattern).
+  private def q307(s: SparkSession, dir: String): DataFrame =
+    Projector.exportEmbeddings(t(s, dir, "embeddings"), "vec_id",
+        "embedding", Seq("label"), "/tmp/graft_q307_projector",
+        quantPpm = true)
+      .orderBy("file", "line_no")
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4762,7 +4775,8 @@ object SparkEntry {
     "q303_correlation_matrix" -> (q303 _),
     "q304_brier" -> (q304 _),
     "q305_logloss" -> (q305 _),
-    "q306_precision_at_k" -> (q306 _))
+    "q306_precision_at_k" -> (q306 _),
+    "q307_projector_export" -> (q307 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11452,6 +11466,30 @@ object SparkEntry {
                   / CAST(count(*) AS DOUBLE) END AS p_at_k
          FROM cuts JOIN rkd ON rkd.k <= cuts.k
          GROUP BY cuts.k ORDER BY k""",
+
+    // q307: every artifact line recomputed from the parquet — ppm
+    // component strings tab-joined per vec_id-ordered row, the label
+    // column as metadata, the static pbtxt literals
+    "q307_projector_export" ->
+      """WITH v AS (SELECT row_number() OVER (ORDER BY vec_id) rn,
+             list_aggregate(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000)
+                 AS BIGINT) AS VARCHAR)), 'string_agg', chr(9)) AS line
+           FROM embeddings WHERE embedding IS NOT NULL),
+         m AS (SELECT row_number() OVER (ORDER BY vec_id) rn,
+             CAST(label AS VARCHAR) AS line
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c(rn, line) AS (VALUES
+           (1, 'embeddings {'),
+           (2, '  tensor_name: "embeddings"'),
+           (3, '  tensor_path: "vectors.tsv"'),
+           (4, '  metadata_path: "metadata.tsv"'),
+           (5, '}'))
+         SELECT file, CAST(line_no AS INTEGER) AS line_no, line FROM (
+           SELECT 'vectors.tsv' AS file, rn AS line_no, line FROM v
+           UNION ALL SELECT 'metadata.tsv', rn, line FROM m
+           UNION ALL SELECT 'projector_config.pbtxt', rn, line FROM c)
+         ORDER BY file, line_no""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
