@@ -807,13 +807,22 @@ object Evaluate {
       StructField("_v", LongType), StructField("_cum1", LongType),
       StructField("_cum2", LongType), StructField("_next", LongType))))
     // the global max value has cum1=n1, cum2=n2 -> dnum 0; its null gap
-    // coalesces to 0 so the row contributes nothing either way
-    val contrib = abs(col("_cum1") * n2 - col("_cum2") * n1)
-      .cast("decimal(38,0)") *
-      coalesce(col("_next") - col("_v"), lit(0L)).cast("decimal(38,0)")
-    cums.agg(sum(contrib).as("w1_num"))
+    // coalesces to 0 so the row contributes nothing either way.
+    // cum·n is DECIMAL math (a long product would wrap silently past
+    // n1·n2 > 2^63 — r7 overflow audit), and the summed w1_num is
+    // null-guarded: with rows present, a null sum means Decimal(38,0)
+    // overflow, which must raise, never read as "no drift".
+    val contribAbs =
+      abs(col("_cum1").cast("decimal(38,0)") * n2 -
+        col("_cum2").cast("decimal(38,0)") * n1) *
+        coalesce(col("_next") - col("_v"), lit(0L)).cast("decimal(38,0)")
+    cums.agg(sum(contribAbs).as("_w1s"), count(lit(1)).as("_cnt"))
       .select(lit(n1).as("n1"), lit(n2).as("n2"),
-        coalesce(col("w1_num"), lit(0).cast("decimal(38,0)")).as("w1_num"))
+        when(col("_cnt") === 0L, lit(0).cast("decimal(38,0)"))
+          .when(col("_w1s").isNotNull, col("_w1s"))
+          .otherwise(raise_error(lit(
+            "driftW1 w1_num overflowed Decimal(38,0) — rescale the " +
+              "value column upstream"))).as("w1_num"))
       .withColumn("w1",
         when(lit(n1) > 0L && lit(n2) > 0L,
           col("w1_num").cast("double") /
@@ -2751,9 +2760,23 @@ object Evaluate {
   def correlationMatrix(df: DataFrame, measures: Seq[String]): DataFrame = {
     require(measures.size >= 2, "need at least two measures")
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val base = df.select(measures.map(m => col(m).cast("long").as(m)): _*)
+    // r7 overflow audit: with |x| ≤ 2^31 and n ≤ 4·10⁹ every statistic
+    // in the chain provably fits Decimal(38,0) (n·Σx² ≤ n²·M² ≤ 9.3e37;
+    // (Σx)² same bound) — without the guards a 100×-scale input nulls
+    // the Decimal sums silently (ansi=false) and r reads as null
+    val bound = 2147483647L
+    def guarded(m: String): Column =
+      when(abs(col(m).cast("long")) <= bound, col(m).cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"correlationMatrix needs |$m| <= 2^31 (quantize coarser " +
+            "upstream): "), col(m).cast("string")))).as(m)
+    val base = df.select(measures.map(guarded): _*)
       .where(measures.map(col(_).isNotNull).reduce(_ && _))
-    val aggs = Seq(count(lit(1)).as("_n")) ++
+    val aggs = Seq(
+      when(count(lit(1)) <= 4000000000L, count(lit(1)))
+        .otherwise(raise_error(lit(
+          "correlationMatrix needs n <= 4e9 rows (pre-aggregate or " +
+            "sample upstream)"))).as("_n")) ++
       measures.map(m => sum(col(m)).as(s"_s_$m")) ++
       measures.map(m => sum(dec(col(m)) * col(m)).as(s"_ss_$m")) ++
       (for {
