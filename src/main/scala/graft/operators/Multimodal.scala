@@ -527,6 +527,103 @@ object Multimodal {
     }
   }
 
+  /** AVI (RIFF) container metadata: frame count / geometry / timing from
+    * `avih`, stream fourcc from the first `vids` `strh` — the AVI twin
+    * of [[probeMp4]]. Little-endian RIFF per the public AVI spec
+    * (chunks `[fourcc][u32 size][payload][pad-to-even]`, LIST chunks
+    * nest with a 4-byte list type). */
+  case class AviMeta(n_frames: Int, width: Int, height: Int,
+      us_per_frame: Long, fourcc: String)
+
+  val probeAvi = udf { (blob: Array[Byte]) =>
+    if (blob == null || blob.length < 12 ||
+        new String(blob, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(blob, 8, 4, "ISO-8859-1") != "AVI ") null
+    else try {
+      def u32(p: Int): Long =
+        (blob(p) & 0xffL) | ((blob(p + 1) & 0xffL) << 8) |
+          ((blob(p + 2) & 0xffL) << 16) | ((blob(p + 3) & 0xffL) << 24)
+      def typ(p: Int): String = new String(blob, p, 4, "ISO-8859-1")
+      var usPerFrame = 0L; var nFrames = 0; var width = 0; var height = 0
+      var fourcc = ""; var sawVids = false
+      def walk(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val t = typ(off); val size = u32(off + 4).toInt
+          if (size < 0 || off + 8 + size > end) return
+          t match {
+            case "LIST" => walk(off + 12, off + 8 + size)
+            case "avih" if size >= 40 =>
+              usPerFrame = u32(off + 8)
+              nFrames = u32(off + 24).toInt
+              width = u32(off + 40).toInt
+              height = u32(off + 44).toInt
+            case "strh" if size >= 8 && typ(off + 8) == "vids" && !sawVids =>
+              sawVids = true; fourcc = typ(off + 12)
+            case _ =>
+          }
+          off += 8 + size + (size & 1) // RIFF pads chunks to even
+        }
+      }
+      walk(12, blob.length)
+      if (usPerFrame == 0 && nFrames == 0) null
+      else AviMeta(nFrames, width, height, usPerFrame, fourcc)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** One extracted video frame: 0-based index + its codec payload. */
+  case class AviFrame(frame_idx: Int, bytes: Array[Byte])
+
+  /** MJPEG-AVI frame DECODE path (r7 — the pure-JVM slice of the
+    * reference's video frame decode, `document/mixins/video.py:12-70`):
+    * every MJPEG frame is intra-coded, i.e. a standalone JPEG and a
+    * keyframe, so `only_keyframes=True` degenerates to every-nth
+    * sampling and each extracted payload decodes through the REAL
+    * [[decodeImage]] JPEG codec already in this module. mp4/h264 pixel
+    * decode remains OOS (no JVM codec); this closes the gap for the one
+    * container+codec a dependency-free JVM can fully own.
+    *
+    * Walks `LIST movi` collecting stream-0 video chunks (`00dc`/`00db`),
+    * keeps every `everyNth`-th up to `maxFrames` (0 = unlimited), in
+    * container order. Scale shape: one udf per video row, frames explode
+    * to rows — the per-row cost is bounded by the blob the row already
+    * carries; downstream tensor work is ordinary columnar code. */
+  val aviMjpegFrames = udf {
+    (blob: Array[Byte], everyNth: Int, maxFrames: Int) =>
+      if (blob == null || blob.length < 12 || everyNth < 1 ||
+          new String(blob, 0, 4, "ISO-8859-1") != "RIFF" ||
+          new String(blob, 8, 4, "ISO-8859-1") != "AVI ") null
+      else try {
+        def u32(p: Int): Long =
+          (blob(p) & 0xffL) | ((blob(p + 1) & 0xffL) << 8) |
+            ((blob(p + 2) & 0xffL) << 16) | ((blob(p + 3) & 0xffL) << 24)
+        def typ(p: Int): String = new String(blob, p, 4, "ISO-8859-1")
+        val out = scala.collection.mutable.ArrayBuffer[AviFrame]()
+        var idx = 0
+        def keep: Boolean = idx % everyNth == 0 &&
+          (maxFrames <= 0 || out.length < maxFrames)
+        def walk(from: Int, end: Int, inMovi: Boolean): Unit = {
+          var off = from
+          while (off + 8 <= end) {
+            val t = typ(off); val size = u32(off + 4).toInt
+            if (size < 0 || off + 8 + size > end) return
+            if (t == "LIST")
+              walk(off + 12, off + 8 + size,
+                inMovi || typ(off + 8) == "movi")
+            else if (inMovi && (t == "00dc" || t == "00db")) {
+              if (keep)
+                out += AviFrame(idx,
+                  java.util.Arrays.copyOfRange(blob, off + 8, off + 8 + size))
+              idx += 1
+            }
+            off += 8 + size + (size & 1)
+          }
+        }
+        walk(12, blob.length, inMovi = false)
+        out.toSeq
+      } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Point-cloud sampling from a triangle mesh (reference:
     * document/mixins/mesh.py:12-42 load_uri_to_point_cloud_tensor — there
     * trimesh.sample; here the actual math): area-weighted triangle pick +
