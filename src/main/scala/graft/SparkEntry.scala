@@ -4074,6 +4074,53 @@ object SparkEntry {
         quantPpm = true)
       .orderBy("file", "line_no")
 
+  // Batch gap sessionization (Funnel.sessionize): the clickstream
+  // partitioner — a 2-hour silence starts a new session; two per-user
+  // windows (lag + running flag sum) then one hash agg, exact ns
+  // integers end to end. Equal-ts ties are session-stable (gap 0), so
+  // the output is deterministic whatever the tie order.
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    Funnel.sessionize(events(s, dir), "user_id", "ts", "event_type",
+        gapNs = 2L * 3600L * 1000000000L)
+      .orderBy("user", "session_idx")
+
+  // HITS hubs/authorities (Graph.hitsPpm): Kleinberg's bipartite-
+  // friendly centrality over the directed customer→supplier trade
+  // graph — two exact fixed-point iterations, max-normalized integer
+  // scores (the pageRankPpb no-float rule), every div replayed.
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val edges = o.join(l, "ok")
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+    val nodes = t(s, dir, "customer")
+      .select((col("c_custkey") * 2).as("id"))
+      .unionByName(t(s, dir, "supplier")
+        .select((col("s_suppkey") * 2 + 1).as("id")))
+    Graph.hitsPpm(edges, nodes, "id", iters = 2)
+      .orderBy("id")
+  }
+
+  // Multi-pattern substring forensics (substring_count_all): non-
+  // overlapping occurrence counts of literal patterns — boilerplate /
+  // marker phrases INSIDE words and across token boundaries, where the
+  // token blocklist cannot see; per-pattern totals + doc coverage,
+  // absent pattern exercised (zero row). The oracle replays each count
+  // with the replace-length arithmetic.
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq("table", "fast", "row sc", "zzqx")
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(posexplode(substring_count_all(col("text"), pats))
+        .as(Seq("pi", "cnt")))
+    d.groupBy(element_at(
+        array(pats.map(lit): _*), col("pi") + 1).as("pattern"))
+      .agg(sum("cnt").as("occurrences"),
+        sum((col("cnt") > 0).cast("long")).as("docs_with"))
+      .orderBy("pattern")
+  }
+
   // Louvain phase 2 (Graph.louvainCoarsen): the q270 communities
   // collapsed into a weighted supernode graph — within-community mass
   // as self-loops, total edge weight conserved (the coarsening a full
@@ -4776,7 +4823,10 @@ object SparkEntry {
     "q304_brier" -> (q304 _),
     "q305_logloss" -> (q305 _),
     "q306_precision_at_k" -> (q306 _),
-    "q307_projector_export" -> (q307 _))
+    "q307_projector_export" -> (q307 _),
+    "q308_sessionize" -> (q308 _),
+    "q309_hits" -> (q309 _),
+    "q310_substring_counts" -> (q310 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11490,6 +11540,78 @@ object SparkEntry {
            UNION ALL SELECT 'metadata.tsv', rn, line FROM m
            UNION ALL SELECT 'projector_config.pbtxt', rn, line FROM c)
          ORDER BY file, line_no""",
+
+    // q308: lag over (user, ts) — equal-ts ties are session-stable so
+    // the tie order cannot matter — then the running new-session flag
+    // sum and one (user, session) rollup
+    "q308_sessionize" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_ns(ts) AS tns,
+             event_type AS t FROM events),
+         lg AS (SELECT u, tns, t,
+             lag(tns) OVER (PARTITION BY u ORDER BY tns, t) AS prev
+           FROM ev),
+         fl AS (SELECT u, tns, t,
+             CASE WHEN prev IS NULL OR tns - prev > 7200000000000
+               THEN 1 ELSE 0 END AS nw
+           FROM lg),
+         sid AS (SELECT u, tns, t,
+             sum(nw) OVER (PARTITION BY u ORDER BY tns, t) AS s
+           FROM fl)
+         SELECT u AS "user", CAST(s AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(tns) AS start_ns, max(tns) AS end_ns,
+           max(tns) - min(tns) AS duration_ns,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_types
+         FROM sid GROUP BY u, s ORDER BY u, s""",
+
+    // q309: the two HITS iterations unrolled as CTE pairs — raw sums,
+    // 1-row maxima, exact (x·10⁶)//max normalizations
+    "q309_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         n AS (SELECT c_custkey * 2 AS id FROM customer
+           UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+         a1r AS (SELECT dst, CAST(count(*) AS BIGINT) * 1000000 AS ar
+           FROM e GROUP BY dst),
+         a1m AS (SELECT max(ar) AS am FROM a1r),
+         a1 AS (SELECT dst AS id, (ar * 1000000) // am AS a
+           FROM a1r CROSS JOIN a1m),
+         h1r AS (SELECT src, CAST(sum(a1.a) AS BIGINT) AS hr
+           FROM e JOIN a1 ON e.dst = a1.id GROUP BY src),
+         h1m AS (SELECT max(hr) AS hm FROM h1r),
+         h1 AS (SELECT src AS id, (hr * 1000000) // hm AS h
+           FROM h1r CROSS JOIN h1m),
+         a2r AS (SELECT e.dst, CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS ar
+           FROM e LEFT JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+         a2m AS (SELECT max(ar) AS am FROM a2r),
+         a2 AS (SELECT dst AS id,
+             CASE WHEN am > 0 THEN (ar * 1000000) // am ELSE 0 END AS a
+           FROM a2r CROSS JOIN a2m),
+         h2r AS (SELECT e.src, CAST(sum(coalesce(a2.a, 0)) AS BIGINT) AS hr
+           FROM e LEFT JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+         h2m AS (SELECT max(hr) AS hm FROM h2r),
+         h2 AS (SELECT src AS id,
+             CASE WHEN hm > 0 THEN (hr * 1000000) // hm ELSE 0 END AS h
+           FROM h2r CROSS JOIN h2m)
+         SELECT n.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_ppm,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_ppm
+         FROM n LEFT JOIN h2 ON n.id = h2.id LEFT JOIN a2 ON n.id = a2.id
+         ORDER BY n.id""",
+
+    // q310: every count replayed with the replace-length arithmetic
+    // (non-overlapping left-to-right — the identical convention)
+    "q310_substring_counts" ->
+      """WITH pats(pattern) AS (VALUES ('table'), ('fast'), ('row sc'),
+           ('zzqx')),
+         pc AS (SELECT pattern,
+             (length(text) - length(replace(text, pattern, '')))
+               / length(pattern) AS cnt
+           FROM documents CROSS JOIN pats WHERE text IS NOT NULL)
+         SELECT pattern, CAST(sum(cnt) AS BIGINT) AS occurrences,
+           CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with
+         FROM pc GROUP BY pattern ORDER BY pattern""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

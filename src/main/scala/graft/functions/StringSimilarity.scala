@@ -177,3 +177,73 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "damerau_levenshtein"
 }
+
+/** `substring_count_all(text, patterns)` → array<long>: NON-OVERLAPPING
+  * occurrence count of every literal pattern in one left-to-right scan
+  * each — the substring-level companion of the token blocklist
+  * (PII markers, boilerplate phrases, injection strings survive inside
+  * words where `arrays_overlap` on tokens cannot see them). Counting is
+  * the `replace` convention: at a match, advance past it — so an
+  * external engine replays each count as
+  * `(length(t) − length(replace(t, p, ''))) / length(p)` exactly.
+  * Byte-level search over UTF-8 (a whole valid-UTF-8 pattern can only
+  * match on character boundaries — self-synchronizing), patterns ship
+  * as a broadcast-literal reference object, the scan is one static call
+  * inside whole-stage codegen. */
+object SubstringCountAll {
+  def countBytes(t: Array[Byte], pats: Array[Array[Byte]]): Array[Long] = {
+    val out = new Array[Long](pats.length)
+    var pi = 0
+    while (pi < pats.length) {
+      val p = pats(pi)
+      if (p.length > 0 && p.length <= t.length) {
+        var i = 0; var c = 0L
+        val limit = t.length - p.length
+        while (i <= limit) {
+          var j = 0
+          while (j < p.length && t(i + j) == p(j)) j += 1
+          if (j == p.length) { c += 1; i += p.length } else i += 1
+        }
+        out(pi) = c
+      }
+      pi += 1
+    }
+    out
+  }
+}
+
+case class SubstringCountAll(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty strings")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "substring_count_all"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"substring_count_all expects string, got ${t.sql}")
+  }
+
+  @transient private lazy val patBytes: Array[Array[Byte]] =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SubstringCountAll.countBytes(
+        v.asInstanceOf[UTF8String].getBytes, patBytes))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val pats = ctx.addReferenceObj("pats", patBytes, "byte[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SubstringCountAll.countBytes($a.getBytes(), $pats))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -59,6 +59,12 @@ package object functions {
       components: Seq[Seq[Double]]): Column =
     Bridge.column(ProjectVector(Bridge.expression(vec), mean, components))
 
+  /** Non-overlapping occurrence counts of literal substring patterns
+    * (replace-convention: advance past a match) — array<long> aligned
+    * with `patterns`. */
+  def substring_count_all(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(SubstringCountAll(Bridge.expression(text), patterns))
+
   /** Integer JL sign-projection of an already-quantized long vector onto a
     * driver-precomputed ±1 matrix: out_t = Σ_j signs(t)(j)·v_j, exact long
     * arithmetic in fixed order. */

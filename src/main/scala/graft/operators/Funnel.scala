@@ -163,4 +163,38 @@ object Funnel {
         countDistinct("_cid").as("conversions_touched"),
         sum(expr("1000000L div _n")).as("credit_ppm"))
   }
+
+  /** Batch gap sessionization — the classic clickstream partitioner
+    * (the batch twin of the streaming flatMapGroupsWithState sessions
+    * in [[graft.streaming.EventStream]]): a new session starts at the
+    * first event of a user and at every event whose gap from the
+    * previous one EXCEEDS `gapNs` (a gap of exactly `gapNs` stays in
+    * the session). Per session: 1-based index within the user, event
+    * count, exact integer start/end/duration ns, and distinct event
+    * types.
+    *
+    * Scale shape: two per-user windows (lag + running sum of the
+    * new-session flag) partitioned by user — never a global window —
+    * then one (user, session) hash aggregation; at 100 TB this
+    * shuffles once on the user key and everything else is map-side.
+    * Returns (user, session_idx, n_events, start_ns, end_ns,
+    * duration_ns, n_types). */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_u").orderBy(col("_ts").asc, col("_t").asc)
+    events.select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
+        col(typeCol).as("_t"))
+      .withColumn("_prev", lag("_ts", 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_ts") - col("_prev") > gapNs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("_sid", sum("_new").over(w))
+      .groupBy(col("_u").as("user"), col("_sid").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("_ts").as("start_ns"), max("_ts").as("end_ns"),
+        (max("_ts") - min("_ts")).as("duration_ns"),
+        countDistinct("_t").as("n_types"))
+  }
 }

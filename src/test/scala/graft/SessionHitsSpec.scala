@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, Graph}
+import graft.functions.substring_count_all
+
+/** r7 additions: gap sessionization, HITS, multi-pattern substring
+  * counts — hand cases + layout invariance. */
+class SessionHitsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sessionize: gap strictly-greater rule, per-user indexing") {
+    val g = 100L
+    val ev = Seq(
+      // user 1: gaps 100 (stays), 101 (new), 50 (stays)
+      (1L, 0L, "a"), (1L, 100L, "b"), (1L, 201L, "a"), (1L, 251L, "a"),
+      // user 2: single event
+      (2L, 7L, "z")).toDF("u", "ts", "t")
+    val out = Funnel.sessionize(ev, "u", "ts", "t", g)
+      .orderBy("user", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 100L, 100L, 2L),   // a,b — 2 types
+      (1L, 2L, 2L, 201L, 251L, 50L, 1L),  // a,a — 1 type
+      (2L, 1L, 1L, 7L, 7L, 0L, 1L)))
+    // layout invariance
+    val out7 = Funnel.sessionize(ev.repartition(7), "u", "ts", "t", g)
+      .orderBy("user", "session_idx").collect()
+    assert(out7.length == 3)
+  }
+
+  test("hitsPpm: star graph — hub center, authority leaves; isolated 0") {
+    // center 0 -> 1,2,3; node 9 isolated
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val n = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+    val out = Graph.hitsPpm(e, n, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(0L) == (1000000L, 0L))          // the only hub
+    Seq(1L, 2L, 3L).foreach(v => assert(out(v) == (0L, 1000000L)))
+    assert(out(9L) == (0L, 0L))                // isolated
+  }
+
+  test("hitsPpm: authority mass follows in-degree; dup edges collapse") {
+    // 1,2 -> 10; 1 -> 11; duplicate (1,10) must not double-count
+    val e = Seq((1L, 10L), (1L, 10L), (2L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val n = Seq(1L, 2L, 10L, 11L).toDF("id")
+    val out = Graph.hitsPpm(e, n, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(10L)._2 == 1000000L) // indegree 2 -> the max authority
+    assert(out(11L)._2 == 500000L)  // indegree 1 -> half
+    // hub(1) touches auth 1e6 + 5e5, hub(2) touches 1e6 -> ratio 3:2
+    assert(out(1L)._1 == 1000000L && out(2L)._1 == 666666L)
+  }
+
+  test("substring_count_all: non-overlapping replace convention") {
+    val df = Seq("aaaa banana aa", "no hits here", null)
+      .toDF("t")
+    val out = df.select(substring_count_all(col("t"),
+        Seq("aa", "ana", "banana")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    // "aaaa" -> aa,aa = 2; " aa" tail -> 1 more = 3 total
+    // "ana": banana has ana at 1 (non-overlap -> skip to 4) = 1
+    assert(out(0) == Seq(3L, 1L, 1L))
+    assert(out(1) == Seq(0L, 0L, 0L))
+    assert(out(2) == null)
+  }
+
+  test("substring_count_all matches the replace-length arithmetic") {
+    val pats = Seq("ab", "aba")
+    val texts = Seq("ababab", "aabbaab", "abaabaaba")
+    val got = texts.toDF("t")
+      .select(col("t"), substring_count_all(col("t"), pats).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (t <- texts; (p, i) <- pats.zipWithIndex) {
+      val want = (t.length - t.replace(p, "").length) / p.length
+      assert(got(t)(i) == want, s"$t / $p")
+    }
+  }
+}
