@@ -4103,6 +4103,28 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  // SymSpell spelling correction (TextSearch.spellCorrect): each
+  // corpus token mutated by one deterministic char drop (position =
+  // freq mod len — data-derived, trivially replayable), then corrected
+  // back against the corpus vocabulary via COMPLETE deletion-
+  // neighborhood blocking + exact levenshtein verify; best pick
+  // (dist, freq desc, word). The oracle does the quadratic join the
+  // operator exists to avoid — same result, different plan.
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val vocab = tok.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("freq"))
+    val p = (pmod(col("freq"), length(col("word"))) + 1).cast("int")
+    val queries = vocab.where(length(col("word")) >= 3)
+      .select(concat(col("word").substr(lit(1), p - 1),
+        col("word").substr(p + 1, length(col("word")))).as("tok"))
+      .distinct()
+    TextSearch.spellCorrect(queries, "tok", vocab, "word", "freq")
+      .orderBy("token")
+  }
+
   // Multi-pattern substring forensics (substring_count_all): non-
   // overlapping occurrence counts of literal patterns — boilerplate /
   // marker phrases INSIDE words and across token boundaries, where the
@@ -4826,7 +4848,8 @@ object SparkEntry {
     "q307_projector_export" -> (q307 _),
     "q308_sessionize" -> (q308 _),
     "q309_hits" -> (q309 _),
-    "q310_substring_counts" -> (q310 _))
+    "q310_substring_counts" -> (q310 _),
+    "q311_spell_correct" -> (q311 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11612,6 +11635,30 @@ object SparkEntry {
            CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS docs_with
          FROM pc GROUP BY pattern ORDER BY pattern""",
+
+    // q311: the quadratic token×vocab levenshtein join the deletion-
+    // neighborhood blocking avoids — identical results, different plan;
+    // mutation position replayed from (freq mod len)
+    "q311_spell_correct" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE text IS NOT NULL),
+         v AS (SELECT w AS word, count(*) AS freq FROM tok
+           WHERE w <> '' GROUP BY w),
+         mq AS (SELECT word,
+             CAST(freq % length(word) AS INTEGER) + 1 AS p
+           FROM v WHERE length(word) >= 3),
+         q AS (SELECT DISTINCT
+             substr(word, 1, p - 1) || substr(word, p + 1) AS token
+           FROM mq),
+         cand AS (SELECT q.token, v.word,
+             CAST(levenshtein(q.token, v.word) AS INTEGER) AS dist,
+             CAST(v.freq AS BIGINT) AS freq
+           FROM q CROSS JOIN v
+           WHERE levenshtein(q.token, v.word) <= 1)
+         SELECT token, word, dist, freq FROM cand
+         QUALIFY row_number() OVER (PARTITION BY token
+           ORDER BY dist, freq DESC, word) = 1
+         ORDER BY token""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -341,4 +341,52 @@ object TextSearch {
       .where(col("rank") <= topK)
       .select(col("prefix"), col("rank"), col("word"), col("cnt"))
   }
+
+  /** SymSpell-style spelling correction: map each query token to its
+    * best vocabulary word within Levenshtein distance ≤ 1, via
+    * DELETION-NEIGHBORHOOD blocking (Garbe's SymSpell) — both sides
+    * expand to {word} ∪ {word minus one char}, and two strings are
+    * within edit 1 (ins/del/sub) IFF their neighborhoods intersect, so
+    * candidate generation is COMPLETE (deterministic — unlike minhash
+    * banding, which [[graft.operators.Dedup.editDistancePairs]] uses
+    * for the long-string regime) while never forming the token×vocab
+    * product. Best pick per token: (distance asc, freq desc, word asc).
+    * Tokens with no match within 1 are absent (caller left-joins).
+    *
+    * Scale shape: explode factor len+1 per word (capped at `maxLen` —
+    * longer tokens pass through unmatched rather than exploding), one
+    * equi-join on short delete-keys, exact `levenshtein` verify inside
+    * the join, one per-token argmin window over ≤ a handful of
+    * verified candidates. Returns (token, word, dist, freq). */
+  def spellCorrect(tokens: DataFrame, tokCol: String, vocab: DataFrame,
+      wordCol: String, freqCol: String, maxLen: Int = 24): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    // {c} ∪ {c with the char at position i removed}; a 1-char token
+    // contributes "" — the key that lets two 1-char tokens meet (their
+    // edit distance is 1 via substitution). array_union dedups the
+    // repeated deletes of doubled letters.
+    def deletes(c: Column): Column = array_union(
+      array(c),
+      transform(sequence(lit(1), length(c)), i =>
+        concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val toks = tokens.select(col(tokCol).as("token")).distinct()
+      .where(col("token").isNotNull && length(col("token")) <= maxLen &&
+        length(col("token")) >= 1)
+      .select(col("token"), explode(deletes(col("token"))).as("_k"))
+    val words = vocab.select(col(wordCol).as("word"),
+        col(freqCol).cast("long").as("freq"))
+      .where(col("word").isNotNull && length(col("word")) <= maxLen &&
+        length(col("word")) >= 1)
+      .select(col("word"), col("freq"), explode(deletes(col("word"))).as("_k"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
+      .orderBy(col("dist").asc, col("freq").desc, col("word").asc)
+    toks.join(words, "_k")
+      .select(col("token"), col("word"), col("freq"),
+        levenshtein(col("token"), col("word")).as("dist"))
+      .where(col("dist") <= 1)
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("token"), col("word"), col("dist"), col("freq"))
+  }
 }

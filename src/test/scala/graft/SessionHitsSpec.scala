@@ -70,6 +70,56 @@ class SessionHitsSpec extends SparkSuite {
     assert(out(2) == null)
   }
 
+  test("spellCorrect: deletion-neighborhood completeness for edit <= 1") {
+    import graft.operators.TextSearch
+    val vocab = Seq(("spark", 100L), ("spars", 40L), ("stark", 60L),
+      ("shark", 60L), ("a", 5L), ("b", 3L), ("query", 10L))
+      .toDF("word", "freq")
+    val toks = Seq("spark", "sparkk", "spak", "sprak", "qq", "a", "c")
+      .toDF("t")
+    val out = TextSearch.spellCorrect(toks, "t", vocab, "word", "freq")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out("spark") == ("spark", 0, 100L))  // exact self-match wins
+    assert(out("sparkk") == ("spark", 1, 100L)) // insertion
+    assert(out("spak") == ("spark", 1, 100L))   // deletion; freq beats spars
+    assert(!out.contains("sprak")) // transposition = levenshtein 2: absent
+    assert(!out.contains("qq"))    // nothing within 1
+    assert(out("a") == ("a", 0, 5L))
+    assert(out("c") == ("a", 1, 5L)) // 1-char sub via the "" key; freq pick
+  }
+
+  test("spellCorrect equals the quadratic levenshtein join") {
+    import graft.operators.TextSearch
+    val words = Seq("cat", "cart", "card", "care", "scat", "hat", "chat",
+      "coat", "cast", "cut", "bat", "batch", "match", "other")
+    val vocab = words.zipWithIndex.map { case (w, i) => (w, (i + 1).toLong) }
+      .toDF("word", "freq")
+    val toks = Seq("cat", "cas", "mat", "xx", "coats", "batc").toDF("t")
+    val got = TextSearch.spellCorrect(toks, "t", vocab, "word", "freq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    // quadratic reference in plain scala
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val freqs = words.zipWithIndex.map { case (w, i) => w -> (i + 1L) }.toMap
+    val want = Seq("cat", "cas", "mat", "xx", "coats", "batc").flatMap { t =>
+      val cand = words.map(w => (w, lev(t, w))).filter(_._2 <= 1)
+      if (cand.isEmpty) None
+      else Some {
+        val best = cand.minBy { case (w, d) => (d, -freqs(w), w) }
+        (t, best._1, best._2)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
   test("substring_count_all matches the replace-length arithmetic") {
     val pats = Seq("ab", "aba")
     val texts = Seq("ababab", "aabbaab", "abaabaaba")
