@@ -4125,6 +4125,29 @@ object SparkEntry {
       .orderBy("token")
   }
 
+  // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
+  // minimax identity over the ppc-quantized quality-score grid — the
+  // monotone recalibration of the q116 score chain; exact (num, den)
+  // interval rationals, grid-bounded windows, ties broken
+  // deterministically; fit is monotone non-decreasing by construction.
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    Evaluate.isotonicFit(t(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), col("lang") === "en",
+        quantScale = 100L)
+      .orderBy("bucket")
+
+  // Graph feature smoothing (Graph.featureSmoothPpm): two rounds of
+  // exact integer neighborhood mean over the q152 geometric graph,
+  // label·10⁶ as the feature — the SGC/label-spreading precompute;
+  // isolated nodes hold their value, every div replayed.
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "embeddings").select(col("vec_id"),
+      (col("label").cast("long") * 1000000L).as("f"))
+    Graph.featureSmoothPpm(projPairGraph(s, dir, radius = 0.03), feats,
+        "vec_id", col("f"), rounds = 2)
+      .orderBy("vec_id")
+  }
+
   // Multi-pattern substring forensics (substring_count_all): non-
   // overlapping occurrence counts of literal patterns — boilerplate /
   // marker phrases INSIDE words and across token boundaries, where the
@@ -4849,7 +4872,9 @@ object SparkEntry {
     "q308_sessionize" -> (q308 _),
     "q309_hits" -> (q309 _),
     "q310_substring_counts" -> (q310 _),
-    "q311_spell_correct" -> (q311 _))
+    "q311_spell_correct" -> (q311 _),
+    "q312_isotonic" -> (q312 _),
+    "q313_feature_smooth" -> (q313 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11659,6 +11684,65 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY token
            ORDER BY dist, freq DESC, word) = 1
          ORDER BY token""",
+
+    // q312: the same minimax replay — bucket grid, interval rationals
+    // off prefix sums, min-then-max with the (v, kbi)/(v desc, jbi)
+    // tie orders
+    "q312_isotonic" ->
+      s"""WITH $qualityScorePosCtes,
+         g AS (SELECT CAST(round(sc * 100) AS BIGINT) AS bk,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS k
+           FROM q WHERE sc IS NOT NULL GROUP BY 1),
+         gi AS (SELECT bk, n, k,
+             row_number() OVER (ORDER BY bk) AS bi,
+             sum(n) OVER (ORDER BY bk) AS cn,
+             sum(k) OVER (ORDER BY bk) AS ck
+           FROM g),
+         iv AS (SELECT j.bi AS jbi, kk.bi AS kbi,
+             CAST(kk.ck - (j.ck - j.k) AS BIGINT) AS ikk,
+             CAST(kk.cn - (j.cn - j.n) AS BIGINT) AS inn
+           FROM gi j JOIN gi kk ON j.bi <= kk.bi),
+         ivv AS (SELECT *, CAST(ikk AS DOUBLE) / CAST(inn AS DOUBLE) AS v
+           FROM iv),
+         mi AS (SELECT ivv.jbi, i.bi AS ibi, i.bk AS bucket, i.n,
+             i.k AS n_pos, ivv.ikk, ivv.inn, ivv.v,
+             row_number() OVER (PARTITION BY ivv.jbi, i.bi
+               ORDER BY ivv.v, ivv.kbi) AS rmin
+           FROM ivv JOIN gi i ON ivv.jbi <= i.bi AND i.bi <= ivv.kbi),
+         fin AS (SELECT bucket, n, n_pos, ikk AS fit_num, inn AS fit_den,
+             v AS fit,
+             row_number() OVER (PARTITION BY ibi
+               ORDER BY v DESC, jbi) AS rmax
+           FROM mi WHERE rmin = 1)
+         SELECT bucket, n, n_pos, fit_num, fit_den, fit
+         FROM fin WHERE rmax = 1 ORDER BY bucket""",
+
+    // q313: the q216 geometric pair graph, symmetrized; two rounds of
+    // sum-over-neighbors // degree with isolated nodes holding
+    "q313_feature_smooth" ->
+      s"""WITH $pcaProjCte,
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+           FROM pp a JOIN pp b ON a.vec_id < b.vec_id
+           WHERE (a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+                 <= 0.03*0.03),
+         und AS (SELECT a AS x, b AS y FROM pr
+           UNION SELECT b, a FROM pr),
+         deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+         x0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) * 1000000 AS x
+           FROM embeddings),
+         n1 AS (SELECT und.x AS nid, sum(x0.x) AS s
+           FROM und JOIN x0 ON und.y = x0.id GROUP BY und.x),
+         x1 AS (SELECT x0.id, CAST(coalesce(n1.s // deg.d, x0.x) AS BIGINT)
+             AS x
+           FROM x0 LEFT JOIN n1 ON x0.id = n1.nid
+           LEFT JOIN deg ON x0.id = deg.x),
+         n2 AS (SELECT und.x AS nid, sum(x1.x) AS s
+           FROM und JOIN x1 ON und.y = x1.id GROUP BY und.x),
+         x2 AS (SELECT x1.id, CAST(coalesce(n2.s // deg.d, x1.x) AS BIGINT)
+             AS x
+           FROM x1 LEFT JOIN n2 ON x1.id = n2.nid
+           LEFT JOIN deg ON x1.id = deg.x)
+         SELECT id AS vec_id, x AS x_ppm FROM x2 ORDER BY vec_id""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -171,6 +171,80 @@ object Evaluate {
         col("n_pos").cast("double") / col("n").cast("double"))
   }
 
+  /** Isotonic regression calibration — pool-adjacent-violators via the
+    * closed-form MINIMAX identity (Robertson–Wright–Dykstra 1988, §1.2):
+    *
+    *   g(i) = max_{j ≤ i} min_{k ≥ i} ( Σ_{b=j..k} pos_b / Σ_{b=j..k} n_b )
+    *
+    * — the monotone fit that PAV's sequential pooling loop computes,
+    * but with NO sequential state, so it distributes as plain joins and
+    * replays exactly on any engine. The standard calibrator when the
+    * reliability curve is non-monotone (Platt's sigmoid assumes a
+    * shape; isotonic doesn't).
+    *
+    * Scores quantize ONCE to `quantScale` fixed point. The 100 TB work
+    * is the single groupBy collapsing the corpus to the bucket grid;
+    * the minimax runs on the GRID (valve-bounded at `maxBuckets`,
+    * refused loudly — calibration grids are small by construction), so
+    * its windows are grid-bounded, never data-sized. Interval means
+    * stay exact (num, den) rationals; ordering uses the IEEE quotient
+    * (correctly rounded identically on both engines) with a
+    * deterministic (interval-end, interval-start) tiebreak. Returns one
+    * row per bucket, fit monotone non-decreasing:
+    * (bucket, n, n_pos, fit_num, fit_den, fit). */
+  def isotonicFit(df: DataFrame, score: Column, positive: Column,
+      quantScale: Long = 100L, maxBuckets: Int = 256): DataFrame = {
+    require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
+    require(maxBuckets >= 2, s"maxBuckets must be >= 2, got $maxBuckets")
+    val base = df.select(score.cast("double").as("_sc"),
+        positive.cast("boolean").as("_p"))
+      .where(col("_sc").isNotNull && col("_p").isNotNull)
+      .select(round(col("_sc") * quantScale).cast("long").as("_b"),
+        col("_p").cast("long").as("_y"))
+    val grid0 = base.groupBy("_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_k"))
+    val sizeGuard = broadcast(grid0.agg(
+      when(count(lit(1)) <= maxBuckets, count(lit(1)))
+        .otherwise(raise_error(concat(lit(
+          s"isotonicFit grid exceeds maxBuckets=$maxBuckets (coarsen " +
+            "quantScale): "), count(lit(1)).cast("string")))).as("_nb")))
+    // grid-bounded windows (≤ maxBuckets rows — the count-grid rule).
+    // _bi consumes the guard column so column pruning cannot optimize
+    // the raise_error away (it did — spec-caught).
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_b")
+    val grid = grid0.crossJoin(sizeGuard)
+      .withColumn("_bi",
+        (row_number().over(w) + col("_nb") - col("_nb")).cast("int"))
+      .withColumn("_cn", sum("_n").over(w))
+      .withColumn("_ck", sum("_k").over(w))
+    val j = grid.select(col("_bi").as("_jbi"),
+      (col("_cn") - col("_n")).as("_njlo"), (col("_ck") - col("_k")).as("_kjlo"))
+    val k = grid.select(col("_bi").as("_kbi"),
+      col("_cn").as("_nkhi"), col("_ck").as("_kkhi"))
+    val intervals = j.join(k, col("_jbi") <= col("_kbi"))
+      .select(col("_jbi"), col("_kbi"),
+        (col("_kkhi") - col("_kjlo")).as("_kk"),
+        (col("_nkhi") - col("_njlo")).as("_nn"))
+      .withColumn("_v", col("_kk").cast("double") / col("_nn").cast("double"))
+    val i = grid.select(col("_bi").as("_ibi"), col("_b").as("bucket"),
+      col("_n").as("n"), col("_k").as("n_pos"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("_jbi", "_ibi")
+      .orderBy(col("_v").asc, col("_kbi").asc)
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy("_ibi")
+      .orderBy(col("_v").desc, col("_jbi").asc)
+    intervals
+      .join(i, col("_jbi") <= col("_ibi") && col("_ibi") <= col("_kbi"))
+      .withColumn("_rmin", row_number().over(wMin))
+      .where(col("_rmin") === 1)
+      .withColumn("_rmax", row_number().over(wMax))
+      .where(col("_rmax") === 1)
+      .select(col("bucket"), col("n"), col("n_pos"),
+        col("_kk").as("fit_num"), col("_nn").as("fit_den"),
+        col("_v").as("fit"))
+  }
+
   /** Exact tie-aware Spearman rank correlation between two per-row
     * signals — the signal-agreement QA check (does the model quality
     * score order docs like the heuristic? does length correlate with

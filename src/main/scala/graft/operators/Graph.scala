@@ -305,6 +305,46 @@ object Graph {
     ranks.select(col("_id").as(idCol), col("_r").as("rank_ppb"))
   }
 
+  /** Graph feature smoothing — the GNN-precompute / label-spreading
+    * primitive: `rounds` rounds of neighborhood mean over the
+    * undirected pair graph,
+    *
+    *   x_{t+1}(v) = (Σ_{u~v} x_t(u)) div deg(v)
+    *
+    * in exact integer arithmetic (quantize the feature upstream —
+    * ppm — so every round replays bit-for-bit; the floor leakage per
+    * node mirrors [[pageRankPpb]]'s div rule). Isolated nodes keep
+    * their value (no neighborhood, no smoothing). SGC (Wu et al. 2019)
+    * shows exactly this precomputation recovers most of a GCN's
+    * accuracy — so it's the honest scalable baseline before any
+    * parameter server.
+    *
+    * Scale shape per round: one edges⋈features join + one node-keyed
+    * agg + the degree join — O(|E|) shuffled rows, lineage cut per
+    * round. Returns (idCol, x_ppm) after the final round. */
+  def featureSmoothPpm(pairs: DataFrame, feats: DataFrame, idCol: String,
+      valCol: Column, rounds: Int,
+      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .where(col("x") =!= col("y"))
+    val und = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    val deg = und.groupBy("x").agg(count(lit(1)).as("_deg"))
+    var xs = feats.select(col(idCol).as("_id"),
+      valCol.cast("long").as("_x"))
+    for (_ <- 0 until rounds) {
+      val nbr = und.join(xs, und("y") === xs("_id"))
+        .groupBy("x").agg(sum("_x").as("_s"))
+        .join(deg, "x")
+        .select(col("x").as("_nid"), expr("_s div _deg").as("_xn"))
+      xs = xs.join(nbr, xs("_id") === nbr("_nid"), "left")
+        .select(col("_id"), coalesce(col("_xn"), col("_x")).as("_x"))
+        .cutLineage(false)
+    }
+    xs.select(col("_id").as(idCol), col("_x").as("x_ppm"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) in the repo's exact
     * fixed-point integer arithmetic (the [[pageRankPpb]] rule — no
     * float L2 norm, so every score replays bit-for-bit on any engine):
