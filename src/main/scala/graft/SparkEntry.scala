@@ -4084,25 +4084,6 @@ object SparkEntry {
         gapNs = 2L * 3600L * 1000000000L)
       .orderBy("user", "session_idx")
 
-  // HITS hubs/authorities (Graph.hitsPpm): Kleinberg's bipartite-
-  // friendly centrality over the directed customer→supplier trade
-  // graph — two exact fixed-point iterations, max-normalized integer
-  // scores (the pageRankPpb no-float rule), every div replayed.
-  private def q309(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-    val l = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val edges = o.join(l, "ok")
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-    val nodes = t(s, dir, "customer")
-      .select((col("c_custkey") * 2).as("id"))
-      .unionByName(t(s, dir, "supplier")
-        .select((col("s_suppkey") * 2 + 1).as("id")))
-    Graph.hitsPpm(edges, nodes, "id", iters = 2)
-      .orderBy("id")
-  }
-
   // SymSpell spelling correction (TextSearch.spellCorrect): each
   // corpus token mutated by one deterministic char drop (position =
   // freq mod len — data-derived, trivially replayable), then corrected
@@ -4870,7 +4851,6 @@ object SparkEntry {
     "q306_precision_at_k" -> (q306 _),
     "q307_projector_export" -> (q307 _),
     "q308_sessionize" -> (q308 _),
-    "q309_hits" -> (q309 _),
     "q310_substring_counts" -> (q310 _),
     "q311_spell_correct" -> (q311 _),
     "q312_isotonic" -> (q312 _),
@@ -11611,41 +11591,6 @@ object SparkEntry {
            max(tns) - min(tns) AS duration_ns,
            CAST(count(DISTINCT t) AS BIGINT) AS n_types
          FROM sid GROUP BY u, s ORDER BY u, s""",
-
-    // q309: the two HITS iterations unrolled as CTE pairs — raw sums,
-    // 1-row maxima, exact (x·10⁶)//max normalizations
-    "q309_hits" ->
-      """WITH e AS (SELECT DISTINCT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         n AS (SELECT c_custkey * 2 AS id FROM customer
-           UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
-         a1r AS (SELECT dst, CAST(count(*) AS BIGINT) * 1000000 AS ar
-           FROM e GROUP BY dst),
-         a1m AS (SELECT max(ar) AS am FROM a1r),
-         a1 AS (SELECT dst AS id, (ar * 1000000) // am AS a
-           FROM a1r CROSS JOIN a1m),
-         h1r AS (SELECT src, CAST(sum(a1.a) AS BIGINT) AS hr
-           FROM e JOIN a1 ON e.dst = a1.id GROUP BY src),
-         h1m AS (SELECT max(hr) AS hm FROM h1r),
-         h1 AS (SELECT src AS id, (hr * 1000000) // hm AS h
-           FROM h1r CROSS JOIN h1m),
-         a2r AS (SELECT e.dst, CAST(sum(coalesce(h1.h, 0)) AS BIGINT) AS ar
-           FROM e LEFT JOIN h1 ON e.src = h1.id GROUP BY e.dst),
-         a2m AS (SELECT max(ar) AS am FROM a2r),
-         a2 AS (SELECT dst AS id,
-             CASE WHEN am > 0 THEN (ar * 1000000) // am ELSE 0 END AS a
-           FROM a2r CROSS JOIN a2m),
-         h2r AS (SELECT e.src, CAST(sum(coalesce(a2.a, 0)) AS BIGINT) AS hr
-           FROM e LEFT JOIN a2 ON e.dst = a2.id GROUP BY e.src),
-         h2m AS (SELECT max(hr) AS hm FROM h2r),
-         h2 AS (SELECT src AS id,
-             CASE WHEN hm > 0 THEN (hr * 1000000) // hm ELSE 0 END AS h
-           FROM h2r CROSS JOIN h2m)
-         SELECT n.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_ppm,
-           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_ppm
-         FROM n LEFT JOIN h2 ON n.id = h2.id LEFT JOIN a2 ON n.id = a2.id
-         ORDER BY n.id""",
 
     // q310: every count replayed with the replace-length arithmetic
     // (non-overlapping left-to-right — the identical convention)

@@ -182,6 +182,14 @@ object Evaluate {
     * reliability curve is non-monotone (Platt's sigmoid assumes a
     * shape; isotonic doesn't).
     *
+    * Twin of [[isotonicCalibrate]] (the bruteForce/bruteForceBlocked
+    * relationship): that one bins with [[calibrationBins]] and runs
+    * PAV's pooling loop DRIVER-side over ≤ nBins collected rows (the
+    * guarded-driver-fit altitude); this one never collects — the whole
+    * fit is plan-side, for callers that forbid driver state or want the
+    * grid in the thousands. Same fitted values on the same binning
+    * (spec-asserted: both equal the sequential-PAV reference).
+    *
     * Scores quantize ONCE to `quantScale` fixed point. The 100 TB work
     * is the single groupBy collapsing the corpus to the bucket grid;
     * the minimax runs on the GRID (valve-bounded at `maxBuckets`,
@@ -1681,7 +1689,9 @@ object Evaluate {
     * Output: one row per PRESENT bin — (bin, n, n_pos, iso_num, iso_den,
     * iso) with iso nondecreasing in bin; iso_num/iso_den are the merged
     * block's exact sums (iso = iso_num/iso_den). Apply by broadcast-
-    * joining on the binned score. */
+    * joining on the binned score. Twin: [[isotonicFit]] computes the
+    * same fit with ZERO driver state (minimax as plan-side joins) —
+    * prefer it when the grid outgrows a driver fit. */
   def isotonicCalibrate(df: DataFrame, score: Column, positive: Column,
       nBins: Int = 10): DataFrame = {
     val spark = df.sparkSession

@@ -345,59 +345,6 @@ object Graph {
     xs.select(col("_id").as(idCol), col("_x").as("x_ppm"))
   }
 
-  /** HITS hubs & authorities (Kleinberg 1999) in the repo's exact
-    * fixed-point integer arithmetic (the [[pageRankPpb]] rule — no
-    * float L2 norm, so every score replays bit-for-bit on any engine):
-    * per iteration
-    *
-    *   auth_raw(v) = Σ_{u→v} hub(u),  auth = (auth_raw·10⁶) div max_auth
-    *   hub_raw(u)  = Σ_{u→v} auth(v), hub  = (hub_raw·10⁶) div max_hub
-    *
-    * — max-normalization instead of L2 keeps scores integral in
-    * [0, 10⁶] (the top hub/authority is exactly 10⁶; relative order
-    * under max- vs L2-normalization is identical, only the scale
-    * differs). Duplicate edges collapse; self-loops drop. hub₀ = 10⁶.
-    *
-    * Scale shape per iteration: two edges⋈scores joins + two key aggs
-    * (all shuffles on node ids) + two 1-row broadcast maxima; lineage
-    * cut per round. Σhub over in-edges ≤ deg·10⁶ — a long overflows
-    * only past 9·10¹² in-degree, loudly impossible before storage
-    * does. Returns (idCol, hub_ppm, auth_ppm). */
-  def hitsPpm(edges: DataFrame, nodes: DataFrame, idCol: String,
-      iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst")).distinct()
-    var sc = nodes.select(col(idCol).as("_id")).distinct()
-      .withColumn("_h", lit(1000000L)).withColumn("_a", lit(0L))
-    for (_ <- 0 until iters) {
-      val araw = e.join(sc.select(col("_id"), col("_h")),
-          e("src") === sc("_id"))
-        .groupBy("dst").agg(sum("_h").as("_ar"))
-      val amax = broadcast(araw.agg(
-        coalesce(max("_ar"), lit(0L)).as("_am")))
-      val auth = araw.crossJoin(amax)
-        .select(col("dst").as("_aid"),
-          when(col("_am") > 0L, expr("(_ar * 1000000) div _am"))
-            .otherwise(lit(0L)).as("_a2"))
-      val hraw = e.join(auth, e("dst") === auth("_aid"))
-        .groupBy("src").agg(sum("_a2").as("_hr"))
-      val hmax = broadcast(hraw.agg(
-        coalesce(max("_hr"), lit(0L)).as("_hm")))
-      val hub = hraw.crossJoin(hmax)
-        .select(col("src").as("_hid"),
-          when(col("_hm") > 0L, expr("(_hr * 1000000) div _hm"))
-            .otherwise(lit(0L)).as("_h2"))
-      sc = sc.join(auth, sc("_id") === auth("_aid"), "left")
-        .join(hub, sc("_id") === hub("_hid"), "left")
-        .select(col("_id"), coalesce(col("_h2"), lit(0L)).as("_h"),
-          coalesce(col("_a2"), lit(0L)).as("_a"))
-        .cutLineage(false)
-    }
-    sc.select(col("_id").as(idCol), col("_h").as("hub_ppm"),
-      col("_a").as("auth_ppm"))
-  }
-
   /** Multi-source BFS distances: min hop count from any seed within
     * `maxHops`, over the undirected pair graph — "how far is this
     * node from the trusted/flagged set", the graph-proximity data-

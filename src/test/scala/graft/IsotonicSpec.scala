@@ -54,6 +54,30 @@ class IsotonicSpec extends SparkSuite {
       r.getDouble(5) == r.getLong(3).toDouble / r.getLong(4).toDouble))
   }
 
+  test("isotonicFit agrees with the driver-side isotonicCalibrate twin") {
+    // scores at bin centers so floor-binning (calibrate, nBins=10) and
+    // round-quantization (fit, quantScale=10) group identically
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { _ =>
+      val b = rnd.nextInt(10)
+      val s = b / 10.0 + 0.05
+      // non-monotone positive rate forces pooling
+      val p = rnd.nextDouble() < (if (b % 3 == 0) 0.8 - b * 0.05
+        else 0.1 + b * 0.07)
+      (s, p)
+    }
+    val df = rows.toDF("s", "y")
+    val viaCalibrate = Evaluate.isotonicCalibrate(df, col("s"), col("y"),
+        nBins = 10)
+      .orderBy("bin").collect().map(_.getDouble(5)).toSeq
+    val viaFit = Evaluate.isotonicFit(df, col("s"), col("y"),
+        quantScale = 10L)
+      .orderBy("bucket").collect().map(_.getDouble(5)).toSeq
+    assert(viaCalibrate.size == viaFit.size)
+    viaCalibrate.zip(viaFit).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"$a vs $b") }
+  }
+
   test("isotonicFit: already-monotone data is a fixed point") {
     val df = Seq((0.1, false), (0.2, false), (0.3, true), (0.4, true))
       .toDF("s", "y")

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Graph}
+import graft.operators.Funnel
 import graft.functions.substring_count_all
 
-/** r7 additions: gap sessionization, HITS, multi-pattern substring
-  * counts — hand cases + layout invariance. */
+/** r7 additions: gap sessionization, SymSpell correction, multi-pattern
+  * substring counts — hand cases + layout invariance. */
 class SessionHitsSpec extends SparkSuite {
   import spark.implicits._
 
@@ -29,32 +29,6 @@ class SessionHitsSpec extends SparkSuite {
     val out7 = Funnel.sessionize(ev.repartition(7), "u", "ts", "t", g)
       .orderBy("user", "session_idx").collect()
     assert(out7.length == 3)
-  }
-
-  test("hitsPpm: star graph — hub center, authority leaves; isolated 0") {
-    // center 0 -> 1,2,3; node 9 isolated
-    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
-    val n = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
-    val out = Graph.hitsPpm(e, n, "id", iters = 2)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(out(0L) == (1000000L, 0L))          // the only hub
-    Seq(1L, 2L, 3L).foreach(v => assert(out(v) == (0L, 1000000L)))
-    assert(out(9L) == (0L, 0L))                // isolated
-  }
-
-  test("hitsPpm: authority mass follows in-degree; dup edges collapse") {
-    // 1,2 -> 10; 1 -> 11; duplicate (1,10) must not double-count
-    val e = Seq((1L, 10L), (1L, 10L), (2L, 10L), (1L, 11L))
-      .toDF("src", "dst")
-    val n = Seq(1L, 2L, 10L, 11L).toDF("id")
-    val out = Graph.hitsPpm(e, n, "id", iters = 1)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(out(10L)._2 == 1000000L) // indegree 2 -> the max authority
-    assert(out(11L)._2 == 500000L)  // indegree 1 -> half
-    // hub(1) touches auth 1e6 + 5e5, hub(2) touches 1e6 -> ratio 3:2
-    assert(out(1L)._1 == 1000000L && out(2L)._1 == 666666L)
   }
 
   test("substring_count_all: non-overlapping replace convention") {
