@@ -1064,6 +1064,59 @@ object Bench {
         .agg(count(lit(1))).collect()
     }
 
+    // Round-7 rows. Gap sessionization at 10M events / 1M users: the
+    // per-user lag + running-flag windows over ~10-row partitions, one
+    // hash agg — one user-keyed shuffle total.
+    bench("x_sessionize_10m", runs = 1) {
+      import graft.operators.Funnel
+      val ev = spark.range(10000000L).select(
+        pmod(xxhash64(col("id"), lit(71)), lit(1000000L)).as("u"),
+        pmod(xxhash64(col("id"), lit(72)), lit(86400000000000L)).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(5))).as("t"))
+      Funnel.sessionize(ev, "u", "ts", "t", gapNs = 600000000000L)
+        .agg(count(lit(1)), sum("n_events")).collect()
+    }
+    // SymSpell correction: 1M mutated tokens against a 100k-word vocab
+    // via delete-key join (never the 1M x 100k product); explode factor
+    // ~ wordLen+1 on both sides.
+    bench("x_spellcorrect_1m", runs = 1) {
+      import graft.operators.TextSearch
+      def word(c: org.apache.spark.sql.Column, seed: Int) =
+        concat_ws("", transform(sequence(lit(0), lit(6)), j =>
+          chr(lit(97) + pmod(xxhash64(c, j, lit(seed)), lit(26)))))
+      val vocab = spark.range(100000L)
+        .select(word(col("id"), 1).as("word"),
+          pmod(xxhash64(col("id"), lit(2)), lit(10000L)).as("freq"))
+      val toks = spark.range(1000000L)
+        .select(concat(substring(word(pmod(col("id"), lit(100000L)), 1),
+          1, 6)).as("tok")) // drop the last char: edit distance 1
+      TextSearch.spellCorrect(toks, "tok", vocab, "word", "freq")
+        .agg(count(lit(1))).collect()
+    }
+    // Graph feature smoothing at 1M nodes / 4M random edges, 2 rounds:
+    // per round one edges-join + node agg, O(|E|) shuffled rows.
+    bench("x_featsmooth_1m", runs = 1) {
+      import graft.operators.Graph
+      val edges = spark.range(4000000L).select(
+        pmod(xxhash64(col("id"), lit(81)), lit(1000000L)).as("a"),
+        pmod(xxhash64(col("id"), lit(82)), lit(1000000L)).as("b"))
+      val feats = spark.range(1000000L).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(83)), lit(1000L)) * 1000L).as("f"))
+      Graph.featureSmoothPpm(edges, feats, "id", col("f"), rounds = 2)
+        .agg(sum("x_ppm")).collect()
+    }
+    // Distributed isotonic fit on 10M rows -> 200-bucket grid: the
+    // corpus collapses in ONE groupBy; the minimax runs on the grid.
+    bench("x_isotonic_10m", runs = 1) {
+      import graft.operators.Evaluate
+      val df = spark.range(10000000L).select(
+        (pmod(xxhash64(col("id"), lit(61)), lit(200L)) / 200.0).as("s"),
+        (pmod(xxhash64(col("id"), lit(62)), lit(1000L)) <
+          pmod(xxhash64(col("id"), lit(61)), lit(200L)) * 4 + 100).as("y"))
+      Evaluate.isotonicFit(df, col("s"), col("y"), quantScale = 200L)
+        .agg(count(lit(1)), sum("fit_den")).collect()
+    }
+
     emitSummaryAndStop()
   }
 }
