@@ -826,6 +826,37 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text"): DataFrame =
     TextSearch.prefixCompletions(df, col(textCol), minLen, maxLen, topK)
 
+  /** SymSpell-correct this array's ids-as-tokens column against a
+    * vocabulary frame (complete deletion-neighborhood blocking,
+    * levenshtein ≤ 1 verify, (dist, freq desc, word) pick). */
+  def spellCorrect(tokCol: String, vocab: DataFrame,
+      wordCol: String = "word", freqCol: String = "freq"): DataFrame =
+    TextSearch.spellCorrect(df, tokCol, vocab, wordCol, freqCol)
+
+  /** Non-overlapping occurrence counts of literal substring patterns
+    * per doc — the substring-level blocklist probe. */
+  def substringCounts(patterns: Seq[String],
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), graft.functions.substring_count_all(
+      col(textCol), patterns).as("pattern_counts"))
+
+  /** Batch gap sessionization of an event-shaped array. */
+  def sessionize(userCol: String, tsCol: String, typeCol: String,
+      gapNs: Long): DataFrame =
+    Funnel.sessionize(df, userCol, tsCol, typeCol, gapNs)
+
+  /** Distributed isotonic calibration (zero driver state — the
+    * [[Evaluate.isotonicCalibrate]] twin). */
+  def isotonic(score: Column, positive: Column,
+      quantScale: Long = 100L): DataFrame =
+    Evaluate.isotonicFit(df, score, positive, quantScale)
+
+  /** Smooth an integer (ppm) feature over a pair graph of this array's
+    * ids — the SGC/label-spreading precompute. */
+  def smoothFeature(pairs: DataFrame, valCol: Column,
+      rounds: Int): DataFrame =
+    Graph.featureSmoothPpm(pairs, df, idCol, valCol, rounds)
+
   /** Order-invariant reproducibility fingerprint of this array. */
   def fingerprint(keyCols: Seq[String]): DataFrame =
     Quality.fingerprint(df, concat_ws("|", keyCols.map(col): _*))

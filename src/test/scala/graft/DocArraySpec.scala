@@ -318,6 +318,39 @@ class DocArraySpec extends SparkSuite {
       ex.where(col("rule") === "len_sane").head.getLong(2) == 0L)
   }
 
+  test("r7 facades: sessionize / spellCorrect / substringCounts / isotonic / smoothFeature") {
+    val ev = DocArray(Seq((1L, 0L, "a"), (1L, 500L, "b"), (2L, 9L, "a"))
+      .toDF("u", "ts", "t"), idCol = "u")
+    assert(ev.sessionize("u", "ts", "t", gapNs = 100L).count() == 3)
+
+    val vocab = Seq(("hello", 5L), ("help", 9L)).toDF("word", "freq")
+    val toks = DocArray(Seq("helo", "hel").toDF("tok"), idCol = "tok")
+    val sc = toks.spellCorrect("tok", vocab)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // "helo" is distance 1 from BOTH (insert l / sub o->p): freq picks help
+    assert(sc("helo") == "help" && sc("hel") == "help")
+
+    val docs = DocArray(Seq((1L, "abc abc"), (2L, "xyz"))
+      .toDF("id", "text"))
+    val cnt = docs.substringCounts(Seq("abc", "q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(cnt(1L) == Seq(2L, 0L) && cnt(2L) == Seq(0L, 0L))
+
+    val scored = DocArray(Seq((1L, 0.1, false), (2L, 0.9, true))
+      .toDF("id", "s", "y"))
+    val iso = scored.isotonic(col("s"), col("y"))
+    assert(iso.count() == 2 &&
+      iso.orderBy("bucket").collect().map(_.getDouble(5)).toSeq ==
+        Seq(0.0, 1.0))
+
+    val nodes = DocArray(Seq((1L, 1000000L), (2L, 3000000L))
+      .toDF("id", "f"))
+    val sm = nodes.smoothFeature(Seq((1L, 2L)).toDF("a", "b"),
+        col("f"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm == Map(1L -> 3000000L, 2L -> 1000000L))
+  }
+
   test("randomWalks facade symmetrizes an undirected a<b pair table") {
     // path 0-1-2: canonical pairs only go upward; without the facade's
     // symmetrization a walk from 2 could never move (2 would be a sink)
