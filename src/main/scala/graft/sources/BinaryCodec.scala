@@ -140,12 +140,17 @@ object BinaryCodec {
     w.out.toByteArray
   }
 
-  /** One valid stream (header + framed docs) from an iterator of rows. */
-  private[sources] def streamBytes(rows: Iterator[Row]): Array[Byte] = {
+  /** One valid stream (header + framed docs) from an iterator of rows.
+    * With `compress`, each FRAME is compressed independently (the
+    * reference's streamed-protocol rule — `Document.from_bytes(...,
+    * compress)` per record, io/binary.py:127-137 — NOT the whole
+    * stream). */
+  private[sources] def streamBytes(rows: Iterator[Row],
+      compress: Option[String] = None): Array[Byte] = {
     val body = new ByteArrayOutputStream()
     var n = 0L
     rows.foreach { r =>
-      val b = docToProto(r)
+      val b = compressBytes(docToProto(r), compress)
       body.write(ByteBuffer.allocate(4).putInt(b.length).array()) // 4B big-endian
       body.write(b)
       n += 1
@@ -155,6 +160,124 @@ object BinaryCodec {
     out.write(ByteBuffer.allocate(8).putLong(n).array()) // 8B big-endian count
     body.writeTo(out)
     out.toByteArray
+  }
+
+  /** gzip/zlib (de)compression — the two algorithms the JDK owns
+    * natively (reference compress set is lz4/bz2/lzma/zlib/gzip,
+    * helper.py:294-341; lz4/bz2/lzma need third-party codecs the
+    * container cannot install — refused LOUDLY, not mis-read).
+    * Java's GZIPOutputStream writes MTIME=0, so output is
+    * deterministic. */
+  private[sources] def compressBytes(b: Array[Byte],
+      algo: Option[String]): Array[Byte] = algo match {
+    case None => b
+    case Some("gzip") =>
+      val out = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    case Some("zlib") =>
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    case Some(other) => throw new IllegalArgumentException(
+      s"unsupported compress '$other' (JVM-native: gzip, zlib; " +
+        "lz4/bz2/lzma need codecs this container cannot install)")
+  }
+
+  private[sources] def decompressBytes(b: Array[Byte],
+      algo: Option[String]): Array[Byte] = algo match {
+    case None => b
+    case Some("gzip") =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    case Some("zlib") =>
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b)
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.io.EOFException(
+          "truncated zlib stream")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    case Some(other) => throw new IllegalArgumentException(
+      s"unsupported compress '$other' (JVM-native: gzip, zlib)")
+  }
+
+  /** `protobuf-array` protocol: ONE `DocumentArrayProto { repeated
+    * DocumentProto docs = 1 }` message instead of the framed stream
+    * (reference io/binary.py:160-168,343-360); with `compress`, the
+    * WHOLE message compresses (the -array rule — per-doc compression
+    * is the streamed protocol's). Driver-side like [[toBytes]]. */
+  def toBytesArray(df: DataFrame, compress: Option[String] = None)
+      : Array[Byte] = {
+    val w = new W
+    DocSchema.fromColumns(df).collect().foreach { r =>
+      w.bytes(1, docToProto(r))
+    }
+    compressBytes(w.out.toByteArray, compress)
+  }
+
+  def fromBytesArray(spark: SparkSession, bytes: Array[Byte],
+      compress: Option[String] = None): DataFrame = {
+    val b = decompressBytes(bytes, compress)
+    val r = new R(b, 0, b.length)
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    while (r.hasMore) {
+      val t = r.varint(); val field = (t >> 3).toInt; val wire = (t & 7).toInt
+      if (field == 1 && wire == 2) rows ++= parseDoc(r.chunk())
+      else r.skip(wire)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), DocSchema.flat)
+  }
+
+  /** (protocol, compress) from the reference's filename convention
+    * `name.$protocol[.$compress]` (io/binary.py:60-66) — e.g.
+    * `arr.protobuf.gzip`, `arr.protobuf-array.zlib`, `arr.protobuf`.
+    * Unknown extensions fall back to (protobuf, None) like an explicit
+    * call would. */
+  private[sources] def protocolAndCompressFromPath(path: String)
+      : (String, Option[String]) = {
+    val name = new java.io.File(path).getName
+    val parts = name.split('.').toSeq
+    val compressSet = Set("gzip", "zlib", "lz4", "bz2", "lzma")
+    val protocolSet = Set("protobuf", "protobuf-array")
+    parts.reverse match {
+      case c +: p +: _ if compressSet(c) && protocolSet(p) =>
+        (p, Some(c))
+      case p +: _ if protocolSet(p) => (p, None)
+      case _ => ("protobuf", None)
+    }
+  }
+
+  /** [[loadBinary]] with the filename convention: infers protocol
+    * (framed stream vs protobuf-array) and compression from the
+    * extension and decodes accordingly. */
+  def loadBinaryAuto(spark: SparkSession, path: String): DataFrame = {
+    val (protocol, compress) = protocolAndCompressFromPath(path)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    protocol match {
+      case "protobuf-array" => fromBytesArray(spark, bytes, compress)
+      case _ =>
+        val rows = parseStream(bytes, compress).toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), DocSchema.flat)
+    }
   }
 
   /** Distributed save: one reference-format stream file per partition. */
@@ -170,9 +293,22 @@ object BinaryCodec {
   }
 
   /** Driver-side single-blob serialization (the reference's `to_bytes`) —
-    * only for arrays that fit on the driver. */
-  def toBytes(df: DataFrame): Array[Byte] =
-    streamBytes(DocSchema.fromColumns(df).collect().iterator)
+    * only for arrays that fit on the driver. `compress` applies per
+    * frame (gzip/zlib — the JDK-native subset). */
+  def toBytes(df: DataFrame, compress: Option[String] = None): Array[Byte] =
+    streamBytes(DocSchema.fromColumns(df).collect().iterator, compress)
+
+  /** Write one file under the reference's `name.$protocol[.$compress]`
+    * naming, choosing the encoding from the path — the save twin of
+    * [[loadBinaryAuto]]. */
+  def saveBinaryAuto(df: DataFrame, path: String): Unit = {
+    val (protocol, compress) = protocolAndCompressFromPath(path)
+    val bytes = protocol match {
+      case "protobuf-array" => toBytesArray(df, compress)
+      case _ => toBytes(df, compress)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
 
   /** to_base64 / from_base64 of the whole stream (reference:
     * io/binary.py:343-403) — driver-side, small arrays only. */
@@ -485,15 +621,24 @@ object BinaryCodec {
     self +: children.flatten.toSeq
   }
 
-  /** Parse one full stream (header + framed docs) → flat rows. */
-  private[sources] def parseStream(bytes: Array[Byte]): Iterator[Row] = {
+  /** Parse one full stream (header + framed docs) → flat rows. With
+    * `compress`, each frame decompresses independently (the streamed-
+    * protocol rule — see [[streamBytes]]). */
+  private[sources] def parseStream(bytes: Array[Byte],
+      compress: Option[String] = None): Iterator[Row] = {
     require(bytes.length >= 9 && bytes(0) == 1,
       s"unsupported stream version ${if (bytes.isEmpty) -1 else bytes(0)}")
     val n = ByteBuffer.wrap(bytes, 1, 8).getLong
     var p = 9
     (0L until n).iterator.flatMap { _ =>
       val len = ByteBuffer.wrap(bytes, p, 4).getInt
-      val r = new R(bytes, p + 4, p + 4 + len)
+      val frame = compress match {
+        case None => null
+        case c => decompressBytes(
+          java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + len), c)
+      }
+      val r = if (frame == null) new R(bytes, p + 4, p + 4 + len)
+        else new R(frame, 0, frame.length)
       p += 4 + len
       parseDoc(r)
     }
