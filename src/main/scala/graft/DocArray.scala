@@ -870,6 +870,19 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding", maxRows: Long = 100000L): DataFrame =
     Projector.exportEmbeddings(df, idCol, vecCol, labelCols, dir, maxRows)
 
+  /** Sprite sheet of this array's image tensors (the reference's
+    * `plot_image_sprites` file), written as a real PNG. */
+  def plotImageSprites(outPath: String, valuesCol: String = "values",
+      shapeCol: String = "shape", canvasSize: Int = 512,
+      minSize: Int = 16): (Int, Int, Int, String) =
+    Sprites.imageSprites(df, idCol, valuesCol, shapeCol, outPath,
+      canvasSize, minSize)
+
+  /** Animated GIF, one frame per doc (the reference's `save_gif`). */
+  def saveGif(outPath: String, valuesCol: String = "values",
+      shapeCol: String = "shape", delayMs: Int = 200): Int =
+    Sprites.saveGif(df, idCol, valuesCol, shapeCol, outPath, delayMs)
+
   /** Per-dimension embedding-distribution drift vs another array. */
   def embeddingDriftVs(other: DocArray,
       vecCol: String = "embedding"): DataFrame =
