@@ -186,6 +186,9 @@ object Funnel {
       .partitionBy("_u").orderBy(col("_ts").asc, col("_t").asc)
     events.select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
         col(typeCol).as("_t"))
+      // a null ts would yield a null gap and silently glue the row onto
+      // the previous session — undated events don't sessionize
+      .where(col("_ts").isNotNull)
       .withColumn("_prev", lag("_ts", 1).over(w))
       .withColumn("_new",
         when(col("_prev").isNull || col("_ts") - col("_prev") > gapNs,

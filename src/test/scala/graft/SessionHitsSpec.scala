@@ -29,6 +29,13 @@ class SessionHitsSpec extends SparkSuite {
     val out7 = Funnel.sessionize(ev.repartition(7), "u", "ts", "t", g)
       .orderBy("user", "session_idx").collect()
     assert(out7.length == 3)
+    // undated events drop rather than gluing onto a session
+    val withNull = ev.unionByName(
+      Seq((1L, null.asInstanceOf[java.lang.Long], "x"))
+        .toDF("u", "ts", "t").select(col("u"), col("ts").cast("long"),
+          col("t")))
+    assert(Funnel.sessionize(withNull, "u", "ts", "t", g)
+      .agg(sum("n_events")).head.getLong(0) == 5L)
   }
 
   test("substring_count_all: non-overlapping replace convention") {
