@@ -4106,6 +4106,50 @@ object SparkEntry {
       .orderBy("token")
   }
 
+  // Typo-robust dedup END-TO-END (the q83/q289 pipeline pattern): every
+  // doc gets a COPY (doc_id + 10⁶) whose eligible tokens each take one
+  // deterministic char drop (position = (pos + doc_id) mod len —
+  // replayable), the vocabulary comes from the clean originals, q311's
+  // spell-normalization maps every dirty token back, and the dedup key
+  // is the position-ordered corrected text — exact dedup cannot see the
+  // typo'd copies, normalization collapses them onto their originals;
+  // all three counts gated.
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val tok = corpus.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val vocab = tok.where(col("doc_id") < 1000000L)
+      .groupBy(col("w").as("word")).agg(count(lit(1)).as("freq"))
+    val mp = (pmod(col("pos") + col("doc_id"), length(col("w"))) + 1)
+      .cast("int")
+    val dirty = tok.select(col("doc_id"), col("pos"),
+      when(col("doc_id") >= 1000000L && length(col("w")) >= 3,
+        concat(col("w").substr(lit(1), mp - 1),
+          col("w").substr(mp + 1, length(col("w")))))
+        .otherwise(col("w")).as("tok"))
+    val fixes = TextSearch.spellCorrect(
+      dirty.select("tok").distinct(), "tok", vocab, "word", "freq")
+    val norm = dirty.join(fixes.select(col("token").as("tok"),
+          col("word")), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        col("tok").as("raw"), coalesce(col("word"), col("tok")).as("fixed"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("raw")))), e => e("raw")), " ")
+          .as("raw_text"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("fixed")))), e => e("fixed")), " ")
+          .as("norm_text"))
+    norm.agg(count(lit(1)).as("docs"),
+      countDistinct("raw_text").as("distinct_raw"),
+      countDistinct("norm_text").as("distinct_norm"))
+  }
+
   // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
   // minimax identity over the ppc-quantized quality-score grid — the
   // monotone recalibration of the q116 score chain; exact (num, den)
@@ -4854,7 +4898,8 @@ object SparkEntry {
     "q310_substring_counts" -> (q310 _),
     "q311_spell_correct" -> (q311 _),
     "q312_isotonic" -> (q312 _),
-    "q313_feature_smooth" -> (q313 _))
+    "q313_feature_smooth" -> (q313 _),
+    "q314_typo_dedup" -> (q314 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11688,6 +11733,45 @@ object SparkEntry {
            FROM x1 LEFT JOIN n2 ON x1.id = n2.nid
            LEFT JOIN deg ON x1.id = deg.x)
          SELECT id AS vec_id, x AS x_ppm FROM x2 ORDER BY vec_id""",
+
+    // q314: the whole pipeline replayed — copies, char drops, the
+    // quadratic correction pick, position-ordered re-joins, counts
+    "q314_typo_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL),
+         corpus AS (SELECT doc_id, text FROM d
+           UNION ALL SELECT doc_id + 1000000, text FROM d),
+         tk0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+         tok AS (SELECT doc_id, u.i - 1 AS pos, l[u.i] AS w
+           FROM tk0, unnest(range(1, len(l) + 1)) AS u(i)
+           WHERE l[u.i] <> ''),
+         v AS (SELECT w AS word, count(*) AS freq FROM tok
+           WHERE doc_id < 1000000 GROUP BY w),
+         dirty AS (SELECT doc_id, pos,
+             CASE WHEN doc_id >= 1000000 AND length(w) >= 3
+               THEN substr(w, 1,
+                      CAST((pos + doc_id) % length(w) AS INTEGER))
+                 || substr(w,
+                      CAST((pos + doc_id) % length(w) AS INTEGER) + 2)
+               ELSE w END AS tok
+           FROM tok),
+         q AS (SELECT DISTINCT tok FROM dirty),
+         cand AS (SELECT q.tok, v.word,
+             levenshtein(q.tok, v.word) AS dist, v.freq
+           FROM q CROSS JOIN v WHERE levenshtein(q.tok, v.word) <= 1),
+         best AS (SELECT tok, word FROM cand
+           QUALIFY row_number() OVER (PARTITION BY tok
+             ORDER BY dist, freq DESC, word) = 1),
+         norm AS (SELECT d2.doc_id,
+             string_agg(d2.tok, ' ' ORDER BY d2.pos) AS raw_text,
+             string_agg(coalesce(b.word, d2.tok), ' '
+               ORDER BY d2.pos) AS norm_text
+           FROM dirty d2 LEFT JOIN best b ON d2.tok = b.tok
+           GROUP BY d2.doc_id)
+         SELECT CAST(count(*) AS BIGINT) AS docs,
+           CAST(count(DISTINCT raw_text) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT norm_text) AS BIGINT) AS distinct_norm
+         FROM norm""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
