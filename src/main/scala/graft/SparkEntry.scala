@@ -4150,6 +4150,29 @@ object SparkEntry {
       countDistinct("norm_text").as("distinct_norm"))
   }
 
+  // Session-level conversion analytics (q308 ∘ rollup): sessions
+  // bucketed by event-count band, per band the exact session count,
+  // converted-session count (any purchase inside the session), mean
+  // duration as exact integer sums — "do longer sessions convert
+  // more", the product-analytics composition over the sessionizer.
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sess = Funnel.sessionize(ev, "user_id", "ts", "event_type",
+      gapNs = 2L * 3600L * 1000000000L)
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("user"), col("ts").as("pts"))
+    val conv = sess.join(purch, Seq("user"), "left")
+      .groupBy(col("user"), col("session_idx"), col("n_events"),
+        col("start_ns"), col("end_ns"), col("duration_ns"))
+      .agg(max(when(col("pts").between(col("start_ns"), col("end_ns")),
+        lit(1L)).otherwise(lit(0L))).as("converted"))
+    conv.groupBy(least(col("n_events"), lit(5L)).as("events_band"))
+      .agg(count(lit(1)).as("sessions"),
+        sum("converted").as("converted_sessions"),
+        sum("duration_ns").as("duration_ns_sum"))
+      .orderBy("events_band")
+  }
+
   // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
   // minimax identity over the ppc-quantized quality-score grid — the
   // monotone recalibration of the q116 score chain; exact (num, den)
@@ -4899,7 +4922,8 @@ object SparkEntry {
     "q311_spell_correct" -> (q311 _),
     "q312_isotonic" -> (q312 _),
     "q313_feature_smooth" -> (q313 _),
-    "q314_typo_dedup" -> (q314 _))
+    "q314_typo_dedup" -> (q314 _),
+    "q315_session_conversion" -> (q315 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11772,6 +11796,40 @@ object SparkEntry {
            CAST(count(DISTINCT raw_text) AS BIGINT) AS distinct_raw,
            CAST(count(DISTINCT norm_text) AS BIGINT) AS distinct_norm
          FROM norm""",
+
+    // q315: the q308 sessions rebuilt, purchases windowed into their
+    // session span, capped band rollup with exact integer sums
+    "q315_session_conversion" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_ns(ts) AS tns,
+             event_type AS t FROM events),
+         lg AS (SELECT u, tns, t,
+             lag(tns) OVER (PARTITION BY u ORDER BY tns, t) AS prev
+           FROM ev),
+         sid AS (SELECT u, tns, t,
+             sum(CASE WHEN prev IS NULL OR tns - prev > 7200000000000
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY u ORDER BY tns, t) AS s
+           FROM lg),
+         sess AS (SELECT u, s, count(*) AS n_events,
+             min(tns) AS start_ns, max(tns) AS end_ns,
+             max(tns) - min(tns) AS dur
+           FROM sid GROUP BY u, s),
+         purch AS (SELECT user_id AS u, epoch_ns(ts) AS pts FROM events
+           WHERE event_type = 'purchase'),
+         conv AS (SELECT sess.u, sess.s, sess.n_events, sess.dur,
+             max(CASE WHEN purch.pts BETWEEN sess.start_ns AND sess.end_ns
+               THEN 1 ELSE 0 END) AS converted
+           FROM sess LEFT JOIN purch ON sess.u = purch.u
+           GROUP BY sess.u, sess.s, sess.n_events, sess.dur),
+         agg AS (SELECT least(n_events, 5) AS events_band,
+             CAST(count(*) AS BIGINT) AS sessions,
+             CAST(sum(coalesce(converted, 0)) AS BIGINT)
+               AS converted_sessions,
+             CAST(sum(dur) AS BIGINT) AS duration_ns_sum
+           FROM conv GROUP BY 1)
+         SELECT CAST(events_band AS BIGINT) AS events_band, sessions,
+           converted_sessions, duration_ns_sum
+         FROM agg ORDER BY events_band""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares
