@@ -4173,6 +4173,15 @@ object SparkEntry {
       .orderBy("events_band")
   }
 
+  // Complete edit-1 pair mining (Dedup.delete1Pairs): every customer-
+  // name pair within Levenshtein 1 via deletion-neighborhood
+  // self-blocking — candidate generation is COMPLETE (no probabilistic
+  // banding), verify exact; the short-string entity-resolution blocking
+  // pass. The oracle runs the quadratic join the blocking avoids.
+  private def q316(s: SparkSession, dir: String): DataFrame =
+    Dedup.delete1Pairs(t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy("a", "b")
+
   // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
   // minimax identity over the ppc-quantized quality-score grid — the
   // monotone recalibration of the q116 score chain; exact (num, den)
@@ -4923,7 +4932,8 @@ object SparkEntry {
     "q312_isotonic" -> (q312 _),
     "q313_feature_smooth" -> (q313 _),
     "q314_typo_dedup" -> (q314 _),
-    "q315_session_conversion" -> (q315 _))
+    "q315_session_conversion" -> (q315 _),
+    "q316_edit1_pairs" -> (q316 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11830,6 +11840,18 @@ object SparkEntry {
          SELECT CAST(events_band AS BIGINT) AS events_band, sessions,
            converted_sessions, duration_ns_sum
          FROM agg ORDER BY events_band""",
+
+    // q316: the quadratic name×name levenshtein join the deletion-
+    // neighborhood blocking avoids — identical pair set
+    "q316_edit1_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer
+           WHERE c_name IS NOT NULL
+             AND length(c_name) BETWEEN 1 AND 64)
+         SELECT a.id AS a, b.id AS b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         FROM c a JOIN c b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY a, b""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

@@ -101,6 +101,34 @@ class SessionHitsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("delete1Pairs equals the quadratic edit-1 pair set") {
+    import graft.operators.Dedup
+    val strs = Seq("cat", "cats", "bat", "bats", "cast", "act", "cat",
+      "dog", "dig", "dg", "d", "e", "xyzzy")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = Dedup.delete1Pairs(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = lev(strs(i), strs(j)) if d <= 1
+    } yield (i.toLong, j.toLong, d)).toSet
+    assert(got == want)
+    // the dist-0 exact-dup pair ("cat" twice) is in the set
+    assert(got.contains((0L, 6L, 0)))
+    // "act" vs "cat" is a transposition = levenshtein 2: absent
+    assert(!got.exists(p => Set(p._1, p._2) == Set(0L, 5L)))
+  }
+
   test("substring_count_all matches the replace-length arithmetic") {
     val pats = Seq("ab", "aba")
     val texts = Seq("ababab", "aabbaab", "abaabaaba")
