@@ -1105,6 +1105,26 @@ object Bench {
       Graph.featureSmoothPpm(edges, feats, "id", col("f"), rounds = 2)
         .agg(sum("x_ppm")).collect()
     }
+    // Complete edit-1 pair mining at 1M 7-char codes (100k distinct
+    // stems x 10 variants): delete-key buckets + exact verify, never
+    // the 10^12 product.
+    bench("x_edit1_pairs_1m", runs = 1) {
+      import graft.operators.Dedup
+      def code(c: org.apache.spark.sql.Column, seed: Int) =
+        concat_ws("", transform(sequence(lit(0), lit(6)), j =>
+          chr(lit(97) + pmod(xxhash64(c, j, lit(seed)), lit(26)))))
+      val df = spark.range(1000000L).select(col("id"),
+        // ids sharing id%100000 get the same stem; every 10th is a
+        // 1-char variant (drop position id%7) -> planted edit-1 pairs
+        when(pmod(col("id"), lit(10)) === 0,
+          concat(
+            substring(code(pmod(col("id"), lit(100000L)), 5), 1, 3),
+            substring(code(pmod(col("id"), lit(100000L)), 5), 5, 3)))
+          .otherwise(code(pmod(col("id"), lit(100000L)), 5)).as("s"))
+      Dedup.delete1Pairs(df, "id", "s", maxBucket = 1000000)
+        .agg(count(lit(1))).collect()
+    }
+
     // Distributed isotonic fit on 10M rows -> 200-bucket grid: the
     // corpus collapses in ONE groupBy; the minimax runs on the grid.
     bench("x_isotonic_10m", runs = 1) {

@@ -29,6 +29,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("delete1Pairs: bucket self-join, never the n^2 product") {
+    val df = Seq((1L, "abc"), (2L, "abd")).toDF("id", "s")
+    val p = plan(graft.operators.Dedup.delete1Pairs(df, "id", "s"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p) // the delete-key buckets
+  }
+
   test("isotonicFit collapses the corpus before any grid join") {
     val df = Seq((0.1, true), (0.2, false)).toDF("s", "y")
     val p = plan(Evaluate.isotonicFit(df, col("s"), col("y"), 10L))
