@@ -288,6 +288,13 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def gopherQuality(textCol: String = "text"): DocArray =
     wrap(Quality.gopherQuality(df, col(textCol)))
 
+  /** Deflate compression-ratio signal (the zlib repetitiveness test):
+    * adds raw_bytes, deflate_bytes, ratio_ppm — low = boilerplate/
+    * repetition, high = noise/binary-ish. Map-only codec pass; byte
+    * lengths exact per zlib build, not pinned across builds. */
+  def compressionSignals(textCol: String = "text"): DocArray =
+    wrap(Quality.compressionSignals(df, col(textCol)))
+
   /** PMI collocation mining over the corpus: top-`k` bigrams by exact
     * integer independence lift (see LangModel.collocations). */
   def collocations(k: Int = 50, minCount: Long = 5,
@@ -844,6 +851,29 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def sessionize(userCol: String, tsCol: String, typeCol: String,
       gapNs: Long): DataFrame =
     Funnel.sessionize(df, userCol, tsCol, typeCol, gapNs)
+
+  /** Top-k frequent contiguous session paths (gap-free sequential
+    * patterns): (path, occurrences, support). */
+  def frequentPaths(userCol: String, tsCol: String, typeCol: String,
+      gapNs: Long, n: Int = 3, topK: Int = 25): DataFrame =
+    Funnel.frequentPaths(df, userCol, tsCol, typeCol, gapNs, n, topK)
+
+  /** Binary-quantized knn over this array's embeddings: sign-bit
+    * Hamming candidate scan + exact rerank (see
+    * [[graft.operators.Ann.binarySearchRerank]]). */
+  def findBinaryQuantized(queries: DataFrame, k: Int,
+      metric: String = "cosine", rerank: Int = 100,
+      vecCol: String = "embedding"): DataFrame =
+    Ann.binarySearchRerank(df, queries, k, metric, idCol, vecCol,
+      idCol, vecCol, rerank)
+
+  /** Matryoshka sizing table: recall@k of prefix-truncated search per
+    * width vs the full-dim exact top-k. */
+  def truncationRecall(queries: DataFrame, k: Int, dims: Seq[Int],
+      metric: String = "cosine",
+      vecCol: String = "embedding"): DataFrame =
+    Ann.truncatedRecall(df, queries, k, dims, metric, idCol, vecCol,
+      idCol, vecCol)
 
   /** Distributed isotonic calibration (zero driver state — the
     * [[Evaluate.isotonicCalibrate]] twin). */

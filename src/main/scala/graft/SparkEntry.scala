@@ -4182,6 +4182,44 @@ object SparkEntry {
     Dedup.delete1Pairs(t(s, dir, "customer"), "c_custkey", "c_name")
       .orderBy("a", "b")
 
+  // Frequent contiguous session paths (Funnel.frequentPaths): the
+  // gap-free cut of sequential-pattern mining — q308's sessions,
+  // (ts, type)-ordered, every 3 consecutive event types one path;
+  // support counts a session once however often the path repeats.
+  // Top-25 by (support desc, occurrences desc, path) — total order.
+  private def q317(s: SparkSession, dir: String): DataFrame =
+    Funnel.frequentPaths(events(s, dir), "user_id", "ts", "event_type",
+      gapNs = 2L * 3600L * 1000000000L, n = 3, topK = 25)
+
+  // Binary-quantized knn funnel (Ann.binarySearchRerank): sign-bit
+  // signatures in 32-bit lanes, Hamming candidate scan (integer
+  // distances, id tie-break — the candidate SET is engine-replayable,
+  // unlike a float funnel boundary), exact cosine rerank of the top
+  // 100. The 1-bit quantization path every vector store shipped beside
+  // SQ8/PQ; oracle replays packing, scan, and rerank end to end.
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.binarySearchRerank(e, e.where(col("vec_id") < 10), k = 10,
+        docId = "vec_id", docVec = "embedding",
+        queryId = "vec_id", queryVec = "embedding", rerank = 100)
+      .select(col("query_id"), col("id"),
+        round(col("distance"), 6).as("distance"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // Matryoshka truncation sweep (Ann.truncatedRecall): recall@10 of
+  // prefix-truncated search (8/16/32/64 dims) vs the full-width exact
+  // top-10 — the "how many leading dims do I store" sizing table; the
+  // 64-row is the identity self-check (recall exactly 10⁶). Hits and
+  // totals exact integers, every knn boundary ties on id.
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Ann.truncatedRecall(e, e.where(col("vec_id") < 20), k = 10,
+      dims = Seq(8, 16, 32, 64),
+      docId = "vec_id", docVec = "embedding",
+      queryId = "vec_id", queryVec = "embedding")
+  }
+
   // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
   // minimax identity over the ppc-quantized quality-score grid — the
   // monotone recalibration of the q116 score chain; exact (num, den)
@@ -4933,7 +4971,10 @@ object SparkEntry {
     "q313_feature_smooth" -> (q313 _),
     "q314_typo_dedup" -> (q314 _),
     "q315_session_conversion" -> (q315 _),
-    "q316_edit1_pairs" -> (q316 _))
+    "q316_edit1_pairs" -> (q316 _),
+    "q317_frequent_paths" -> (q317 _),
+    "q318_binary_quant_knn" -> (q318 _),
+    "q319_matryoshka_recall" -> (q319 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11852,6 +11893,108 @@ object SparkEntry {
          FROM c a JOIN c b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 1
          ORDER BY a, b""",
+
+    // q317: q308's session-id chain, then lead-2 trigram paths inside
+    // each (user, session) partition — equal-(ts, type) rows are
+    // identical in every used field, so tie order cannot matter —
+    // support = distinct sessions, top-25 on the (support, occ, path)
+    // total order
+    "q317_frequent_paths" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_ns(ts) AS tns,
+             event_type AS t FROM events),
+         lg AS (SELECT u, tns, t,
+             lag(tns) OVER (PARTITION BY u ORDER BY tns, t) AS prev
+           FROM ev),
+         sid AS (SELECT u, tns, t,
+             sum(CASE WHEN prev IS NULL OR tns - prev > 7200000000000
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY u ORDER BY tns, t) AS s
+           FROM lg),
+         ld AS (SELECT u, s, t,
+             lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2
+           FROM sid WINDOW w AS (PARTITION BY u, s ORDER BY tns, t)),
+         p AS (SELECT u, s, t || '>' || t1 || '>' || t2 AS path
+           FROM ld WHERE t1 IS NOT NULL AND t2 IS NOT NULL)
+         SELECT path, CAST(count(*) AS BIGINT) AS occurrences,
+           CAST(count(DISTINCT (u, s)) AS BIGINT) AS support
+         FROM p GROUP BY path
+         ORDER BY support DESC, occurrences DESC, path LIMIT 25""",
+
+    // q318: sign-bit packing in 32-bit lanes (1::BIGINT << j, strictly-
+    // positive rule), xor+popcount Hamming scan with (ham, id) candidate
+    // order, exact cosine rerank of the top 100 — every stage replayed
+    "q318_binary_quant_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         w AS (SELECT vec_id, v,
+             list_transform(range(0, 2), k ->
+               list_sum(list_transform(range(0, 32), j ->
+                 CASE WHEN v[32*k + j + 1] > 0
+                   THEN (1::BIGINT << j) ELSE 0::BIGINT END))) AS bw
+           FROM e),
+         q AS (SELECT vec_id AS qid, bw AS qw, v AS qv FROM w
+           WHERE vec_id < 10),
+         h AS (SELECT qid, w.vec_id AS id,
+             list_sum(list_transform(range(0, 2), k ->
+               bit_count(xor(w.bw[k+1], qw[k+1])))) AS ham
+           FROM q, w WHERE w.vec_id <> qid),
+         c AS (SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY ham, id) AS cr
+           FROM h),
+         d AS (SELECT c.qid AS query_id, c.id,
+             1.0 - list_cosine_similarity(q.qv, e2.v) AS dist
+           FROM c JOIN q ON c.qid = q.qid JOIN e e2 ON e2.vec_id = c.id
+           WHERE c.cr <= 100),
+         r AS (SELECT query_id, id, dist, row_number() OVER
+             (PARTITION BY query_id ORDER BY dist, id) AS rank
+           FROM d)
+         SELECT query_id, id, round(dist, 6) AS distance,
+           CAST(rank AS INTEGER) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // q319: four prefix-truncated exact knns vs the full-width ground
+    // truth — every boundary cut on (dist, id), hit counting a left
+    // join, total a 1-row CTE, recall floor-div ppm
+    "q319_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         g AS (SELECT qid, id FROM (
+             SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY
+                 qid ORDER BY 1.0 - list_cosine_similarity(qv, e.v),
+                 e.vec_id) AS rk
+             FROM q, e WHERE e.vec_id <> qid) WHERE rk <= 10),
+         u AS (
+           SELECT 8 AS dim, qid, id FROM (
+             SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY
+                 qid ORDER BY 1.0 - list_cosine_similarity(qv[1:8],
+                 e.v[1:8]), e.vec_id) AS rk
+             FROM q, e WHERE e.vec_id <> qid) WHERE rk <= 10
+           UNION ALL
+           SELECT 16, qid, id FROM (
+             SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY
+                 qid ORDER BY 1.0 - list_cosine_similarity(qv[1:16],
+                 e.v[1:16]), e.vec_id) AS rk
+             FROM q, e WHERE e.vec_id <> qid) WHERE rk <= 10
+           UNION ALL
+           SELECT 32, qid, id FROM (
+             SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY
+                 qid ORDER BY 1.0 - list_cosine_similarity(qv[1:32],
+                 e.v[1:32]), e.vec_id) AS rk
+             FROM q, e WHERE e.vec_id <> qid) WHERE rk <= 10
+           UNION ALL
+           SELECT 64, qid, id FROM (
+             SELECT qid, e.vec_id AS id, row_number() OVER (PARTITION BY
+                 qid ORDER BY 1.0 - list_cosine_similarity(qv[1:64],
+                 e.v[1:64]), e.vec_id) AS rk
+             FROM q, e WHERE e.vec_id <> qid) WHERE rk <= 10),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM g),
+         h AS (SELECT dim,
+             CAST(count(g.qid) AS BIGINT) AS hits
+           FROM u LEFT JOIN g ON u.qid = g.qid AND u.id = g.id
+           GROUP BY dim)
+         SELECT CAST(dim AS INTEGER) AS dim, hits, total,
+           CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
+         FROM h, t ORDER BY dim""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

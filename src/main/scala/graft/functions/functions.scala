@@ -39,6 +39,16 @@ package object functions {
   def l2_normalize(a: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(a)))
 
+  /** Sign-bit binary quantization: array<float|double> → array<long>
+    * words, 32 dims per word (strictly-positive rule, 32-bit lanes). */
+  def sign_pack_words(a: Column): Column =
+    Bridge.column(SignPackWords(Bridge.expression(a)))
+
+  /** Hamming distance between two sign_pack_words signatures:
+    * Σ popcount(xor) over the common word prefix. */
+  def hamming_words(a: Column, b: Column): Column =
+    Bridge.column(HammingWords(Bridge.expression(a), Bridge.expression(b)))
+
   /** Bounded top-k aggregate: smallest-k (distance, payload) pairs per group,
     * map-side combined. Returns array<struct<distance, value>> ascending. */
   def topk_by_distance(distance: Column, payload: Column, k: Int): Column =

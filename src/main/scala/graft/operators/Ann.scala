@@ -1564,4 +1564,124 @@ object Ann {
         col("_hit.distance").as("distance"),
         (col("_pos") + 1).cast("int").as("rank"))
   }
+
+  /** Sign-bit binary quantization: each vector collapses to one bit
+    * per dimension (set iff the component is strictly positive),
+    * packed 32 dims per long word — 32-bit lanes, NOT 64, so every
+    * word stays below 2^32 and the packing replays in any engine's
+    * signed-64 arithmetic without two's-complement edge cases. The
+    * 1-bit twin of the SQ8 path ([[sqQuantize]]): 32× smaller than
+    * float32, and candidate scan becomes xor+popcount.
+    *
+    * Map-only, zero shuffle. Null vectors drop; a row whose length
+    * differs from the (probed or passed) `dim` yields a null
+    * signature rather than a wrong one. Returns (idCol, bq:
+    * array<long> of ceil(dim/32) words). */
+  def signWords(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int = -1): DataFrame = {
+    val nn = df.where(col(vecCol).isNotNull)
+    val d = if (dim > 0) dim else nn.select(size(col(vecCol)))
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (d == 0)
+      return nn.select(col(idCol),
+        lit(null).cast("array<bigint>").as("bq"))
+    nn.select(col(idCol),
+      when(size(col(vecCol)) === d,
+        graft.functions.sign_pack_words(col(vecCol)))
+        .otherwise(lit(null).cast("array<bigint>")).as("bq"))
+  }
+
+  /** Binary-quantized knn funnel: scan in sign-bit Hamming space
+    * (xor+popcount over ceil(d/32) words — the cheapest candidate
+    * scan there is), take the top-`rerank` Hamming candidates per
+    * query (ties broken by id — integer distances, so the candidate
+    * set is exactly replayable in any engine), then rerank them
+    * EXACTLY against the base vectors. The no-training funnel beside
+    * [[jlSearchRerank]]: where JL preserves quantized dot products,
+    * BQ preserves only angular octants — coarser per bit, but 32 dims
+    * per word make the scan another ~4× narrower than a 16-d JL
+    * sketch, and sign bits need no scale calibration.
+    *
+    * Scale shape: two map-only sign packings, one broadcast-queries
+    * Hamming scan with bounded per-partition heaps (O(partitions ×
+    * Q × rerank) shuffle), then one broadcast of Q×rerank candidate
+    * ids against the base table. Self-matches are excluded (the
+    * find() convention). Returns (query_id, id, distance, rank). */
+  def binarySearchRerank(docs: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine",
+      docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding",
+      rerank: Int = 100, dim: Int = -1): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val wd = signWords(docs, docId, docVec, dim)
+      .where(col("bq").isNotNull)
+      .select(col(docId).as("_did"), col("bq").as("_wd"))
+    val wq = signWords(queries, queryId, queryVec, dim)
+      .where(col("bq").isNotNull)
+      .select(col(queryId).as("query_id"), col("bq").as("_wq"))
+    val ham = graft.functions.hamming_words(col("_wd"), col("_wq"))
+    val cand = wd.join(broadcast(wq), col("_did") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(topk_by_distance(ham.cast("double"), col("_did"), rerank)
+        .as("_topk"))
+      .select(col("query_id"), explode(col("_topk.value")).as("id"))
+    val qv = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"))
+    val base = docs.select(col(docId).as("id"),
+      col(docVec).cast("array<double>").as("_dvec"))
+    base.join(broadcast(cand.join(qv, "query_id")), "id")
+      .groupBy("query_id")
+      .agg(topk_by_distance(
+        vector_distance(col("_dvec"), col("_qvec"), metric),
+        col("id"), k).as("_topk"))
+      .select(col("query_id"),
+        posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(col("query_id"), col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Matryoshka truncation sweep: recall@k of PREFIX-truncated
+    * embeddings against the full-dimension exact top-k, one row per
+    * truncation width — the storage-sizing question for
+    * matryoshka-trained models ("how many leading dims can I keep and
+    * still retrieve"). Hit = a (query, id) pair the truncated search
+    * shares with the full-dim ground truth; recall_ppm = hits·10⁶ div
+    * ground-truth pairs, exact integers end to end (the knn boundary
+    * itself ties on id, so both engines cut identical sets).
+    *
+    * Scale shape: one exact knn per width + the ground-truth knn —
+    * each a blocked scan at scale — then Q×k-bounded equi-joins and
+    * one ≤|dims|-row rollup; prefix slicing is a map on the scan side.
+    * Returns (dim, hits, total, recall_ppm) ordered by dim. */
+  def truncatedRecall(docs: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int], metric: String = "cosine",
+      docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(dims.forall(_ >= 1), s"dims must be >= 1, got $dims")
+    val ground = Knn.bruteForce(docs, queries, k, metric, docId, docVec,
+        queryId, queryVec, excludeSelf = true)
+      .select(col("query_id"), col("id"))
+    val perDim = dims.sorted.map { d =>
+      val td = docs.select(col(docId),
+        slice(col(docVec), 1, d).as(docVec))
+      val tq = queries.select(col(queryId),
+        slice(col(queryVec), 1, d).as(queryVec))
+      Knn.bruteForce(td, tq, k, metric, docId, docVec, queryId,
+          queryVec, excludeSelf = true)
+        .select(lit(d).as("dim"), col("query_id"), col("id"))
+    }.reduce(_ unionByName _)
+    // total rides a broadcast 1-row agg (no driver action); a width
+    // with zero hits still reports — every dim row exists in perDim
+    val tot = ground.agg(count(lit(1)).as("total"))
+    perDim.join(ground.withColumn("_g", lit(1L)),
+        Seq("query_id", "id"), "left")
+      .groupBy("dim")
+      .agg(sum(coalesce(col("_g"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(tot))
+      .select(col("dim"), col("hits"), col("total"),
+        expr("hits * 1000000L div total").as("recall_ppm"))
+      .orderBy("dim")
+  }
 }

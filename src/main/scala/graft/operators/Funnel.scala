@@ -180,24 +180,69 @@ object Funnel {
     * Returns (user, session_idx, n_events, start_ns, end_ns,
     * duration_ns, n_types). */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, gapNs: Long): DataFrame = {
+      typeCol: String, gapNs: Long): DataFrame =
+    sessionAssigned(events, userCol, tsCol, typeCol, gapNs)
+      .groupBy(col("_u").as("user"), col("_sid").as("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("_ts").as("start_ns"), max("_ts").as("end_ns"),
+        (max("_ts") - min("_ts")).as("duration_ns"),
+        countDistinct("_t").as("n_types"))
+
+  /** Shared session-id assignment: events as (_u, _ts, _t, _sid) with
+    * the [[sessionize]] break rule. Null-ts rows drop (an undated
+    * event would null its gap and silently glue onto the previous
+    * session). */
+  private def sessionAssigned(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, gapNs: Long): DataFrame = {
     require(gapNs > 0, s"gapNs must be positive, got $gapNs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_u").orderBy(col("_ts").asc, col("_t").asc)
     events.select(col(userCol).as("_u"), col(tsCol).cast("long").as("_ts"),
         col(typeCol).as("_t"))
-      // a null ts would yield a null gap and silently glue the row onto
-      // the previous session — undated events don't sessionize
       .where(col("_ts").isNotNull)
       .withColumn("_prev", lag("_ts", 1).over(w))
       .withColumn("_new",
         when(col("_prev").isNull || col("_ts") - col("_prev") > gapNs,
           lit(1L)).otherwise(lit(0L)))
       .withColumn("_sid", sum("_new").over(w))
-      .groupBy(col("_u").as("user"), col("_sid").as("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min("_ts").as("start_ns"), max("_ts").as("end_ns"),
-        (max("_ts") - min("_ts")).as("duration_ns"),
-        countDistinct("_t").as("n_types"))
+      .drop("_prev", "_new")
+  }
+
+  /** Frequent contiguous session paths — the gap-free cut of
+    * sequential-pattern mining (PrefixSpan with maxGap=0, which is
+    * the product-analytics standard: "what are the top n-step flows").
+    * Events sessionize by `gapNs`, order inside the session by
+    * (ts, type) — equal-(ts, type) rows are identical in every field
+    * used, so the n-gram multiset is order-invariant — and every
+    * window of `n` consecutive event types becomes one path
+    * occurrence. Per path: total occurrences and SUPPORT = distinct
+    * sessions containing it (a session counts once however often the
+    * path repeats inside it). Top `topK` by (support desc,
+    * occurrences desc, path asc) — a total order, ties impossible
+    * past the unique path key.
+    *
+    * Scale shape: the session windows partition by user, the n-gram
+    * leads by (user, session) — never global; support is a two-phase
+    * distinct-then-count aggregation on the path key; the top-k is
+    * TakeOrderedAndProject, no global sort. All counts exact longs.
+    * Returns (path, occurrences, support). */
+  def frequentPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, gapNs: Long, n: Int, topK: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_u", "_sid").orderBy(col("_ts").asc, col("_t").asc)
+    val grams = sessionAssigned(events, userCol, tsCol, typeCol, gapNs)
+      .select(col("_u"), col("_sid"),
+        concat_ws(">", (Seq(col("_t")) ++
+          (1 until n).map(i => lead("_t", i).over(w))): _*).as("path"),
+        lead("_t", n - 1).over(w).isNotNull.as("_full"))
+      .where(col("_full"))
+    grams.groupBy("path")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("_u"), col("_sid")).as("support"))
+      .orderBy(col("support").desc, col("occurrences").desc,
+        col("path").asc)
+      .limit(topK)
   }
 }

@@ -493,4 +493,48 @@ object Quality {
       .withColumn("incl_b_ppm", when(col("n_b") > 0L,
         expr("n_shared * 1000000 div n_b")).otherwise(lit(0L)))
   }
+
+  /** Raw-deflate byte length of a string's UTF-8 bytes — the codec
+    * behind [[compressionSignals]]. A UDF by necessity: the JVM
+    * Deflater IS the codec, the same boundary as the image/audio
+    * codecs in [[Multimodal]]. Raw deflate (nowrap), level 6 — no
+    * gzip/zlib header, whose fixed bytes would bias short documents.
+    * Null in → null out. */
+  private[graft] val deflateLen = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        java.lang.Long.valueOf(n)
+      } finally d.end()
+    }
+  }
+
+  /** Compression-ratio quality signal (the zlib repetitiveness test
+    * real pretraining pipelines run beside the Gopher battery): text
+    * that deflates far below typical prose is template/boilerplate/
+    * repetition-heavy, text that barely deflates is noise or embedded
+    * binary — both ends are removal candidates. Appends raw_bytes
+    * (UTF-8 length), deflate_bytes, and ratio_ppm = deflate·10⁶ div
+    * raw (floor; null for null/empty text — an empty document has no
+    * ratio). Typical English prose lands ~300k–500k ppm at level 6;
+    * filter tails per-corpus, not by a universal constant.
+    *
+    * Scale shape: map-only, zero shuffle — one codec call per row.
+    * Byte lengths are exact for a given zlib build but NOT pinned
+    * across zlib versions, so this signal is spec- and bench-covered,
+    * never hash-gated cross-engine (the documented boundary: same
+    * class as the image codecs' pixel output). */
+  def compressionSignals(df: DataFrame, text: Column): DataFrame = {
+    val raw = octet_length(text).cast("long")
+    df.withColumn("raw_bytes", raw)
+      .withColumn("deflate_bytes", when(raw > 0L, deflateLen(text)))
+      .withColumn("ratio_ppm", when(raw > 0L,
+        expr("deflate_bytes * 1000000L div raw_bytes")))
+  }
 }

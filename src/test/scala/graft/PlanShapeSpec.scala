@@ -46,4 +46,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.split("\n").count(_.contains("HashAggregate(keys=[_b")) >= 1)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("binarySearchRerank: codegen hamming scan, broadcast funnel, no shuffle join") {
+    val docs = Seq((1L, Seq(1.0f, -1.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val qs = Seq((9L, Seq(1.0f, 0.5f))).toDF("id", "embedding")
+    val df = graft.operators.Ann.binarySearchRerank(docs, qs, 1, rerank = 2)
+    val p = plan(df)
+    // the scan side joins the broadcast query table — a shuffle join
+    // here would re-key the whole corpus per query batch
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the scan kernel is the native codegen expression, no fallback
+    // (sign_pack_words itself constant-folds into the LocalTableScan
+    // on literal inputs — asserted via hamming's operands instead)
+    assert(p.contains("hamming_words"), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
 }
