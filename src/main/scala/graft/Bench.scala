@@ -340,6 +340,25 @@ object Bench {
       idx.assigned.unpersist()
     }
 
+    // Clustered 1M x 128 corpus (1000 centers, noise 1/8 spread) — the
+    // gap-bearing geometry shared by the JL and BQ honest-regime recall
+    // rows; generated once per program, deterministic.
+    val clusteredDir = "/tmp/graft_bench/jl_clustered"
+    def clustered(n: Long) = spark.range(n).select(
+      col("id"),
+      transform(sequence(lit(0), lit(127)), j =>
+        ((pmod(xxhash64(pmod(col("id"), lit(1000)), j, lit(7)),
+          lit(10000)) / 10000.0)
+          + (pmod(xxhash64(col("id"), j, lit(8)), lit(10000)) / 80000.0))
+          .cast("float")).as("embedding"))
+    def ensureClustered(): Unit =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(clusteredDir, "_SUCCESS")))
+        clustered(1000000L).write.mode("overwrite").parquet(clusteredDir)
+    def clusteredQueries100() = clustered(1000000L)
+      .where(pmod(col("id"), lit(9999)) === 3).limit(100)
+      .select((col("id") + 2000000000L).as("id"), col("embedding"))
+
     // JL sketch funnel (the NO-FIT ann path): project 1M x 128 into
     // exact-integer sketches (pure map, no training, no artifact;
     // driver-precomputed sign matrix -> SignProjectLong codegen kernel),
@@ -363,19 +382,9 @@ object Bench {
         Ann.jlSearchRerank(stored, queries100, 10, rerank = 200),
         exactJl) * 1000).toDouble)
       // clustered twin: same 1M x 128 scale, gap-bearing geometry
-      val clDir = "/tmp/graft_bench/jl_clustered"
-      def clustered(n: Long) = spark.range(n).select(
-        col("id"),
-        transform(sequence(lit(0), lit(127)), j =>
-          ((pmod(xxhash64(pmod(col("id"), lit(1000)), j, lit(7)),
-            lit(10000)) / 10000.0)
-            + (pmod(xxhash64(col("id"), j, lit(8)), lit(10000)) / 80000.0))
-            .cast("float")).as("embedding"))
-      clustered(1000000L).write.mode("overwrite").parquet(clDir)
-      val clStored = spark.read.parquet(clDir)
-      val clQueries = clustered(1000000L)
-        .where(pmod(col("id"), lit(9999)) === 3).limit(100)
-        .select((col("id") + 2000000000L).as("id"), col("embedding"))
+      ensureClustered()
+      val clStored = spark.read.parquet(clusteredDir)
+      val clQueries = clusteredQueries100()
       val clExact = Knn.bruteForce(clStored, clQueries, 10, "cosine")
       record("x_jl_clustered_recall10_x1000",
         math.round(Ann.recallAgainstExact(
@@ -1135,6 +1144,77 @@ object Bench {
           pmod(xxhash64(col("id"), lit(61)), lit(200L)) * 4 + 100).as("y"))
       Evaluate.isotonicFit(df, col("s"), col("y"), quantScale = 200L)
         .agg(count(lit(1)), sum("fit_den")).collect()
+    }
+
+    // Round-7 second wave. Binary quantization, the ann_ivf
+    // build/search split: pack = per-dim integer mean thresholds (one
+    // d-agg scan) + the codegen sign pack — the persistable index
+    // artifact (4 longs/row at 128-d); search = xor+popcount Hamming
+    // scan over the packed words + exact rerank of 200.
+    if (overBudget) Seq("x_bq_pack_1m", "x_bq_search100",
+      "x_bq_recall10_x1000", "x_bq_clustered_recall10_x1000")
+      .foreach(skip)
+    else {
+      var bqThr: (Long, Array[Long]) = null
+      var bqWords: DataFrame = null
+      bench("x_bq_pack_1m", runs = 1) {
+        bqThr = Ann.signThresholdsQ(stored, "embedding", 128)
+        bqWords = Ann.signWords(stored, "id", "embedding", dim = 128,
+          threshQ = bqThr._2.toSeq, n = bqThr._1).cache()
+        bqWords.count()
+      }
+      bench("x_bq_search100", runs = 2) {
+        Ann.binarySearchRerankPrepacked(stored, bqWords, queries100,
+          10, rerank = 200, dim = 128, threshQ = bqThr._2.toSeq,
+          n = bqThr._1).count()
+      }
+      val exactBq = Knn.bruteForce(stored, queries100, 10, "cosine")
+      record("x_bq_recall10_x1000", math.round(Ann.recallAgainstExact(
+        Ann.binarySearchRerankPrepacked(stored, bqWords, queries100,
+          10, rerank = 200, dim = 128, threshQ = bqThr._2.toSeq,
+          n = bqThr._1), exactBq) * 1000).toDouble)
+      bqWords.unpersist()
+      // Honest-regime twin (the x_jl_clustered convention): on the
+      // uniform corpus sign bits separate the true NN from 1M
+      // impostors by a fraction of the Hamming noise σ — recall ~0.26
+      // at rerank=200, blocking-key territory. On the clustered
+      // corpus the funnel is a real search path (recall 1.0 at
+      // rerank=1000, 0.41 at 200 — measured r7).
+      ensureClustered()
+      val clStored = spark.read.parquet(clusteredDir)
+      val clQueries = clusteredQueries100()
+      val clExact = Knn.bruteForce(clStored, clQueries, 10, "cosine")
+      record("x_bq_clustered_recall10_x1000",
+        math.round(Ann.recallAgainstExact(
+          Ann.binarySearchRerank(clStored, clQueries, 10, rerank = 1000,
+            dim = 128, center = true), clExact) * 1000).toDouble)
+    }
+    // Matryoshka sizing sweep: 4 truncated exact scans + ground truth
+    // over the same 1M x 128 — one timing row for the whole table.
+    bench("x_matryoshka_sweep", runs = 1) {
+      Ann.truncatedRecall(stored, queries100, 10,
+        dims = Seq(16, 32, 64, 128)).collect()
+    }
+    // Frequent contiguous paths at 10M events / 1M users: the
+    // sessionize windows + two in-partition leads + one path agg.
+    bench("x_freqpaths_10m", runs = 1) {
+      import graft.operators.Funnel
+      val ev = spark.range(10000000L).select(
+        pmod(xxhash64(col("id"), lit(71)), lit(1000000L)).as("u"),
+        pmod(xxhash64(col("id"), lit(72)), lit(86400000000000L)).as("ts"),
+        concat(lit("t"), pmod(col("id"), lit(5))).as("t"))
+      Funnel.frequentPaths(ev, "u", "ts", "t",
+        gapNs = 600000000000L, n = 3, topK = 50).collect()
+    }
+    // Deflate ratio signal: 1M ~1 KB docs through the codec UDF —
+    // map-only; the one non-codegen stage this family allows.
+    bench("x_deflate_1m", runs = 1) {
+      import graft.operators.Quality
+      val docs = spark.range(1000000L).select(col("id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(99)), j =>
+          conv(xxhash64(col("id"), j), 10, 16))).as("text"))
+      Quality.compressionSignals(docs, col("text"))
+        .agg(sum("ratio_ppm"), count(lit(1))).collect()
     }
 
     emitSummaryAndStop()

@@ -4220,6 +4220,19 @@ object SparkEntry {
       queryId = "vec_id", queryVec = "embedding")
   }
 
+  // U-shaped attribution (Funnel.positionAttribution): q227's window
+  // join, but credit by POSITION — first 40%, last 40%, middles split
+  // 20% (1 touch 100%, 2 touches 50/50). Rank ties on (ts, channel)
+  // are same-channel-interchangeable so channel sums stay exact.
+  private def q320(s: SparkSession, dir: String): DataFrame =
+    Funnel.positionAttribution(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowNs = 7L * 86400L * 1000000000L)
+      .orderBy("channel")
+
   // Isotonic calibration (Evaluate.isotonicFit): PAV by the closed-form
   // minimax identity over the ppc-quantized quality-score grid — the
   // monotone recalibration of the q116 score chain; exact (num, den)
@@ -4974,7 +4987,8 @@ object SparkEntry {
     "q316_edit1_pairs" -> (q316 _),
     "q317_frequent_paths" -> (q317 _),
     "q318_binary_quant_knn" -> (q318 _),
-    "q319_matryoshka_recall" -> (q319 _))
+    "q319_matryoshka_recall" -> (q319 _),
+    "q320_position_attribution" -> (q320 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -11995,6 +12009,34 @@ object SparkEntry {
          SELECT CAST(dim AS INTEGER) AS dim, hits, total,
            CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
          FROM h, t ORDER BY dim""",
+
+    // q320: q227's window join + per-conversion (tts, channel)
+    // row_number and count, the U-shape CASE credit, channel rollup
+    "q320_position_attribution" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts, event_type t,
+             event_id FROM events),
+         conv AS (SELECT u, ts AS cts, event_id AS cid FROM ev
+           WHERE t = 'purchase'),
+         touch AS (SELECT u, ts AS tts, t AS channel FROM ev
+           WHERE t IN ('view', 'click')),
+         j AS (SELECT conv.cid, touch.channel,
+             row_number() OVER (PARTITION BY conv.cid
+               ORDER BY touch.tts, touch.channel) AS rnk,
+             count(*) OVER (PARTITION BY conv.cid) AS n
+           FROM conv JOIN touch
+           ON conv.u = touch.u
+           AND touch.tts < conv.cts
+           AND touch.tts >= conv.cts - 604800000000000),
+         c AS (SELECT cid, channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN rnk = 1 OR rnk = n THEN 400000
+                  ELSE 200000 // (n - 2) END AS credit
+           FROM j)
+         SELECT channel, CAST(count(*) AS BIGINT) AS touches,
+           CAST(count(DISTINCT cid) AS BIGINT) AS conversions_touched,
+           CAST(sum(credit) AS BIGINT) AS credit_ppm
+         FROM c GROUP BY channel ORDER BY channel""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

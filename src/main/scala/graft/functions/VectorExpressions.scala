@@ -511,12 +511,33 @@ case class SignProjectLong(child: Expression, signs: Seq[Seq[Byte]])
 }
 
 /** Sign-bit pack of an embedding into 32-dims-per-long words (binary
-  * quantization): bit j of word w is set iff component 32w+j is
-  * strictly positive — zeros, NaNs, and null components contribute no
-  * bit. 32-bit lanes keep every word below 2^32 so the packing replays
-  * in any engine's signed-64 arithmetic. Codegen'd: the 1M-row pack is
-  * a map at scan speed, the [[HammingWords]] scan's producer. */
-case class SignPackWords(child: Expression) extends UnaryExpression {
+  * quantization): bit j of word w is set iff component 32w+j clears
+  * its per-dimension threshold — zeros-at-threshold, NaNs, and null
+  * components contribute no bit. 32-bit lanes keep every word below
+  * 2^32 so the packing replays in any engine's signed-64 arithmetic.
+  *
+  * Two threshold modes, both engine-replayable:
+  *  - `threshQ` empty (raw): bit iff x > 0 — for embeddings already
+  *    centered per dimension (the normalized-model case).
+  *  - `threshQ` = per-dim Σ round(x·10⁶) over an n-row corpus
+  *    (mean-centered): bit iff round(x·10⁶)·n > threshQ(i) — the
+  *    integer cross-multiplied "x > mean_i" test, division-free and
+  *    order-free so any engine computes the identical bit. A vector
+  *    whose length differs from threshQ nulls out rather than packing
+  *    wrong bits.
+  *
+  * Codegen'd: the 1M-row pack is a map at scan speed, the
+  * [[HammingWords]] scan's producer. */
+case class SignPackWords(child: Expression,
+    threshQ: Seq[Long] = Nil, n: Long = 0L) extends UnaryExpression {
+  require(threshQ.isEmpty || n > 0L,
+    "centered packing needs the corpus row count n > 0")
+  // |x_q|·n must stay inside long: x_q ≤ 10^6·|x|; guard the obvious
+  // blowup (n beyond ~9·10^11 rows would need a wider grid anyway)
+  require(n <= 900000000000L, s"n too large for the ppm grid: $n")
+
+  @transient private lazy val thr: Array[Long] = threshQ.toArray
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "sign_pack_words"
@@ -535,13 +556,24 @@ case class SignPackWords(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    val out = new Array[Long]((n + 31) / 32)
+    val len = a.numElements()
+    if (thr.nonEmpty && len != thr.length) return null
+    val out = new Array[Long]((len + 31) / 32)
     var i = 0
-    while (i < n) {
+    while (i < len) {
       if (!a.isNullAt(i)) {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        if (x > 0.0) out(i >> 5) |= 1L << (i & 31)
+        val hit =
+          if (thr.isEmpty) x > 0.0
+          else {
+            // half-away-from-zero ppm quantization — the rule Spark's
+            // round() and external engines' round() share (Math.round
+            // would differ on negative halves)
+            val xq = if (x >= 0) Math.floor(x * 1e6 + 0.5d).toLong
+                     else Math.ceil(x * 1e6 - 0.5d).toLong
+            xq * n > thr(i)
+          }
+        if (hit) out(i >> 5) |= 1L << (i & 31)
       }
       i += 1
     }
@@ -551,18 +583,33 @@ case class SignPackWords(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val len = ctx.freshName("len"); val out = ctx.freshName("out")
       val i = ctx.freshName("i"); val x = ctx.freshName("x")
-      s"""int $n = $a.numElements();
-         |long[] $out = new long[($n + 31) / 32];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    double $x = (double) $a.$get($i);
-         |    if ($x > 0.0) $out[$i >> 5] |= 1L << ($i & 31);
+      val hit = ctx.freshName("hit")
+      val (pre, test) =
+        if (thr.isEmpty) ("", s"$x > 0.0")
+        else {
+          val tRef = ctx.addReferenceObj("threshQ", thr, "long[]")
+          (s"""if ($len != $tRef.length) {
+              |  ${ev.isNull} = true;
+              |} else """.stripMargin,
+            s"""($x >= 0
+               | ? (long) java.lang.Math.floor($x * 1.0E6d + 0.5d)
+               | : (long) java.lang.Math.ceil($x * 1.0E6d - 0.5d))
+               | * ${n}L > $tRef[$i]""".stripMargin.replace("\n", ""))
+        }
+      s"""int $len = $a.numElements();
+         |$pre{
+         |  long[] $out = new long[($len + 31) / 32];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $x = (double) $a.$get($i);
+         |      boolean $hit = $test;
+         |      if ($hit) $out[$i >> 5] |= 1L << ($i & 31);
+         |    }
          |  }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |""".stripMargin
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}""".stripMargin
     })
   }
 

@@ -44,6 +44,12 @@ package object functions {
   def sign_pack_words(a: Column): Column =
     Bridge.column(SignPackWords(Bridge.expression(a)))
 
+  /** Mean-centered sign packing: bit iff ppm(x)·n > threshQ(i), the
+    * division-free integer "x > mean_i" test (threshQ = per-dim
+    * Σ ppm(x) over the n-row corpus). */
+  def sign_pack_words(a: Column, threshQ: Seq[Long], n: Long): Column =
+    Bridge.column(SignPackWords(Bridge.expression(a), threshQ, n))
+
   /** Hamming distance between two sign_pack_words signatures:
     * Σ popcount(xor) over the common word prefix. */
   def hamming_words(a: Column, b: Column): Column =
@@ -304,6 +310,8 @@ package object functions {
       "kmv_sketch" -> (exprs =>
         KmvSketchAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),
       "co_moments" -> (exprs =>
-        CoMomentAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()))
+        CoMomentAgg(exprs(0), litInt(exprs(1))).toAggregateExpression()),
+      "sign_pack_words" -> (exprs => SignPackWords(exprs(0))),
+      "hamming_words" -> (exprs => HammingWords(exprs(0), exprs(1))))
   }
 }

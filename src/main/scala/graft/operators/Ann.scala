@@ -1578,17 +1578,45 @@ object Ann {
     * signature rather than a wrong one. Returns (idCol, bq:
     * array<long> of ceil(dim/32) words). */
   def signWords(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1, threshQ: Seq[Long] = Nil, n: Long = 0L): DataFrame = {
     val nn = df.where(col(vecCol).isNotNull)
     val d = if (dim > 0) dim else nn.select(size(col(vecCol)))
       .head(1).headOption.map(_.getInt(0)).getOrElse(0)
     if (d == 0)
       return nn.select(col(idCol),
         lit(null).cast("array<bigint>").as("bq"))
+    val packed =
+      if (threshQ.isEmpty) graft.functions.sign_pack_words(col(vecCol))
+      else graft.functions.sign_pack_words(col(vecCol), threshQ, n)
     nn.select(col(idCol),
-      when(size(col(vecCol)) === d,
-        graft.functions.sign_pack_words(col(vecCol)))
+      when(size(col(vecCol)) === d, packed)
         .otherwise(lit(null).cast("array<bigint>")).as("bq"))
+  }
+
+  /** Per-dimension ppm sums for mean-centered [[signWords]]: threshQ(i)
+    * = Σ round(x_i·10⁶) over the corpus rows of width `dim`, n = that
+    * row count — together they define the exact integer "x > mean_i"
+    * bit test (ppm(x)·n > threshQ(i)), order-free and engine-
+    * replayable. One explode + d-row aggregation; the d-long artifact
+    * is driver-bounded by construction. */
+  def signThresholdsQ(docs: DataFrame, vecCol: String,
+      dim: Int): (Long, Array[Long]) = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    // ONE map-side-combined scan with d sum expressions — never the
+    // rows×d explode (a 1M×128 corpus would shuffle 128M rows there;
+    // this ships d+1 longs per partition)
+    val sums = (0 until dim).map(i =>
+      sum(round(col(vecCol).getItem(i).cast("double") * 1000000)
+        .cast("long")).as(s"_s$i"))
+    val row = docs
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .head(1).headOption
+    row match {
+      case Some(r) if r.getLong(0) > 0L =>
+        (r.getLong(0), Array.tabulate(dim)(i => r.getLong(i + 1)))
+      case _ => (0L, Array.fill(dim)(0L))
+    }
   }
 
   /** Binary-quantized knn funnel: scan in sign-bit Hamming space
@@ -1602,6 +1630,17 @@ object Ann {
     * per word make the scan another ~4× narrower than a 16-d JL
     * sketch, and sign bits need no scale calibration.
     *
+    * WHEN TO USE: sign bits carry signal only when each dimension
+    * splits the corpus — embeddings from normalized models (per-dim
+    * ≈ zero-centered) work raw; anything else needs `center = true`
+    * (per-dim mean thresholds via the exact integer test — an
+    * all-positive corpus packs to IDENTICAL signatures raw, recall 0).
+    * Like every 1-bit method it needs nearest-neighbor gaps: on a
+    * uniform random corpus recall stays near 0 at any rerank
+    * (blocking-key territory — the honest x_bq_recall10 bench rows);
+    * on clustered corpora it is a real search path (the
+    * x_bq_clustered row).
+    *
     * Scale shape: two map-only sign packings, one broadcast-queries
     * Hamming scan with bounded per-partition heaps (O(partitions ×
     * Q × rerank) shuffle), then one broadcast of Q×rerank candidate
@@ -1611,12 +1650,46 @@ object Ann {
       metric: String = "cosine",
       docId: String = "id", docVec: String = "embedding",
       queryId: String = "id", queryVec: String = "embedding",
-      rerank: Int = 100, dim: Int = -1): DataFrame = {
+      rerank: Int = 100, dim: Int = -1,
+      center: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val wd = signWords(docs, docId, docVec, dim)
-      .where(col("bq").isNotNull)
+    // center=true: threshold every bit at the DOC corpus's per-dim
+    // mean via the exact integer cross-multiply test — the mode for
+    // corpora that are not already centered per dimension (raw sign
+    // bits on an all-positive corpus degenerate to identical
+    // signatures). Thresholds come from docs only; queries pack
+    // against the same thresholds, as a search structure must.
+    val (tn, thr): (Long, Seq[Long]) =
+      if (!center) (0L, Nil)
+      else {
+        val d = if (dim > 0) dim else docs.where(col(docVec).isNotNull)
+          .select(size(col(docVec)))
+          .head(1).headOption.map(_.getInt(0)).getOrElse(0)
+        val (n0, t0) = signThresholdsQ(docs, docVec, d)
+        (n0, t0.toSeq)
+      }
+    val wd = signWords(docs, docId, docVec, dim, thr, tn)
+    binarySearchRerankPrepacked(docs, wd, queries, k, metric,
+      docId, docVec, queryId, queryVec, rerank, dim, thr, tn)
+  }
+
+  /** [[binarySearchRerank]] over PREBUILT doc signatures — the
+    * amortized path: pack the corpus once (persist `signWords`'s
+    * (id, bq) output like any index artifact; 4 longs/row at 128-d,
+    * append-friendly — a new batch packs independently), then every
+    * search is just the Hamming scan + rerank. `threshQ`/`n` must be
+    * the thresholds the signatures were packed with (queries pack
+    * against the same ones, as a search structure requires). */
+  def binarySearchRerankPrepacked(docs: DataFrame, docWords: DataFrame,
+      queries: DataFrame, k: Int, metric: String = "cosine",
+      docId: String = "id", docVec: String = "embedding",
+      queryId: String = "id", queryVec: String = "embedding",
+      rerank: Int = 100, dim: Int = -1,
+      threshQ: Seq[Long] = Nil, n: Long = 0L): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val wd = docWords.where(col("bq").isNotNull)
       .select(col(docId).as("_did"), col("bq").as("_wd"))
-    val wq = signWords(queries, queryId, queryVec, dim)
+    val wq = signWords(queries, queryId, queryVec, dim, threshQ, n)
       .where(col("bq").isNotNull)
       .select(col(queryId).as("query_id"), col("bq").as("_wq"))
     val ham = graft.functions.hamming_words(col("_wd"), col("_wq"))

@@ -164,6 +164,55 @@ object Funnel {
         sum(expr("1000000L div _n")).as("credit_ppm"))
   }
 
+  /** U-shaped (position-based) multi-touch attribution — the standard
+    * sibling of [[linearAttribution]]: the FIRST touch earns 40%, the
+    * LAST 40%, the middles split the remaining 20% equally (floor div
+    * ppm); one touch takes 100%, two touches split 50/50 (the
+    * degenerate-U convention). Position = row_number over (ts,
+    * channel) inside the conversion — touches identical in (ts,
+    * channel) are interchangeable, so per-channel credit sums are
+    * deterministic under any tie assignment.
+    *
+    * Scale shape: [[linearAttribution]]'s user-keyed window join, then
+    * two windows PARTITIONED PER CONVERSION (bounded by that user's
+    * in-window touches, never global) + one channel rollup. All
+    * credits exact ppm integers. Returns (channel, touches,
+    * conversions_touched, credit_ppm). */
+  def positionAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
+      col(idCol).as("_id"))
+    val conv = ev.where(col("_t") === conversionType)
+      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
+    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_cid")
+    val joined = conv.join(touch, Seq("_u"))
+      .where(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - windowNs)
+      .withColumn("_rnk", row_number().over(
+        w.orderBy(col("_tts").asc, col("channel").asc)))
+      .withColumn("_n", count(lit(1)).over(w))
+    val credit =
+      when(col("_n") === 1L, lit(1000000L))
+        .when(col("_n") === 2L, lit(500000L))
+        .when(col("_rnk") === 1L || col("_rnk") === col("_n"),
+          lit(400000L))
+        .otherwise(expr("200000L div (_n - 2)"))
+    joined.groupBy("channel")
+      .agg(count(lit(1)).as("touches"),
+        countDistinct("_cid").as("conversions_touched"),
+        sum(credit).as("credit_ppm"))
+  }
+
   /** Batch gap sessionization — the classic clickstream partitioner
     * (the batch twin of the streaming flatMapGroupsWithState sessions
     * in [[graft.streaming.EventStream]]): a new session starts at the

@@ -68,6 +68,30 @@ class PathsBinquantSpec extends SparkSuite {
     assert(rows(1).isNullAt(1)) // 10-d row against dim=64 -> null
   }
 
+  test("centered packing: integer mean thresholds, degeneracy on positive corpora fixed") {
+    // hand case: means (2.0, 3.0) -> threshQ (4e6, 6e6), n = 2
+    val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val (n, thr) = Ann.signThresholdsQ(docs, "embedding", 2)
+    assert(n == 2L && thr.toSeq == Seq(4000000L, 6000000L))
+    val words = Ann.signWords(docs, "id", "embedding", dim = 2,
+        threshQ = thr.toSeq, n = n)
+      .orderBy("id").collect().map(_.getSeq[Long](1).head)
+    assert(words.toSeq == Seq(2L, 1L)) // doc1: only dim1 above mean; doc2: only dim0
+    // an all-positive corpus degenerates raw (one distinct signature)
+    // and separates centered
+    val rnd = new scala.util.Random(7)
+    val pos = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() + 0.1f))).toDF("id", "embedding")
+    val rawDistinct = Ann.signWords(pos, "id", "embedding", dim = 8)
+      .select("bq").distinct().count()
+    assert(rawDistinct == 1L)
+    val (pn, pthr) = Ann.signThresholdsQ(pos, "embedding", 8)
+    val cDistinct = Ann.signWords(pos, "id", "embedding", dim = 8,
+      threshQ = pthr.toSeq, n = pn).select("bq").distinct().count()
+    assert(cDistinct > 1L)
+  }
+
   test("binarySearchRerank with rerank >= corpus equals exact bruteForce") {
     val rnd = new scala.util.Random(11)
     val docs = (0L until 70L).map(i =>
@@ -124,5 +148,39 @@ class PathsBinquantSpec extends SparkSuite {
     val again = graft.operators.Quality.compressionSignals(df, col("text"))
       .orderBy("id").collect()
     assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+  }
+
+  test("positionAttribution: U-shape credits, degenerate 1/2-touch rules, window bounds") {
+    val ev = Seq(
+      // user 1: 4 touches -> 400k first / 100k+100k middles / 400k last
+      (1L, 10L, "view", 101L), (1L, 20L, "click", 102L),
+      (1L, 30L, "view", 103L), (1L, 40L, "click", 104L),
+      (1L, 100L, "purchase", 105L),
+      // user 2: single touch -> 100%
+      (2L, 5L, "view", 201L), (2L, 50L, "purchase", 202L),
+      // user 3: two touches -> 50/50
+      (3L, 5L, "click", 301L), (3L, 6L, "view", 302L),
+      (3L, 50L, "purchase", 303L),
+      // user 4: touch outside the window and one after conversion
+      (4L, 1L, "view", 401L), (4L, 5000L, "purchase", 402L),
+      (4L, 6000L, "click", 403L))
+      .toDF("u", "ts", "t", "eid")
+    val out = Funnel.positionAttribution(ev, "u", "ts", "t", "eid",
+        "purchase", Seq("view", "click"), windowNs = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("view") == (4L, 3L, 2000000L))
+    assert(out("click") == (3L, 2L, 1000000L))
+    // untouched conversion (user 4) appears in no channel
+    assert(out.values.map(_._2).sum == 5L)
+  }
+
+  test("sign_pack_words / hamming_words are SQL-callable") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT hamming_words(sign_pack_words(array(1.0D, -1.0D)),
+        |                     sign_pack_words(array(-1.0D, 1.0D))) AS h
+        |""".stripMargin).head.getLong(0)
+    assert(r == 2L)
   }
 }
