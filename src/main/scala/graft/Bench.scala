@@ -1217,6 +1217,83 @@ object Bench {
         .agg(sum("ratio_ppm"), count(lit(1))).collect()
     }
 
+    // Round-7 third wave: causal/eval + packing-study rows.
+    // Uplift bins at 10M: one globalOrderIndex rank (range-partitioned)
+    // + one 10-bin hash agg + cum windows over 10 rows.
+    bench("x_uplift_10m", runs = 1) {
+      import graft.operators.Evaluate
+      val df = spark.range(10000000L).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(81)), lit(100000L)) / 100000.0)
+          .as("s"),
+        (pmod(xxhash64(col("id"), lit(82)), lit(2L)) === 0L).as("tr"),
+        (pmod(xxhash64(col("id"), lit(83)), lit(100L)) < 7L).as("pos"))
+      Evaluate.upliftBins(df, col("s"), col("tr"), col("pos"), col("id"))
+        .agg(count(lit(1)), sum("cum_pos_t")).collect()
+    }
+    // Padding waste at 10M docs: two ranks (arrival, sorted) + two
+    // batch aggs — the whole study is four shuffles of longs.
+    bench("x_padwaste_10m", runs = 1) {
+      import graft.operators.Pack
+      val docs = spark.range(10000000L).select(col("id"),
+        (pmod(xxhash64(col("id"), lit(84)), lit(2048L)) + 1L).as("n"))
+      Pack.paddingWaste(docs, "id", "n", batchSize = 64)
+        .agg(sum("waste_ppm"), count(lit(1))).collect()
+    }
+    // Split conformal at 10M: one count-grid agg (<= 100k distinct
+    // quantized scores) + a grid window + two broadcast-joined scans.
+    bench("x_conformal_10m", runs = 1) {
+      import graft.operators.Evaluate
+      val df = spark.range(10000000L).select(
+        pmod(xxhash64(col("id"), lit(85)), lit(100000L)).as("s"),
+        (pmod(col("id"), lit(2L)) === 0L).as("cal"))
+      Evaluate.conformalSplit(df, col("s"), col("cal"), alphaPpm = 100000L)
+        .collect()
+    }
+    // Item-item CF at 1M interactions (100k users x 2k items, ~10
+    // items/user): valve semi-join + co-count self-join + top-10
+    // windows — the whole recommender is four shuffles.
+    bench("x_itemcf_1m", runs = 1) {
+      import graft.operators.Recommend
+      val ui = spark.range(1000000L).select(
+        pmod(xxhash64(col("id"), lit(86)), lit(100000L)).as("u"),
+        pmod(xxhash64(col("id"), lit(87)), lit(2000L)).as("i"))
+      Recommend.itemItemRecs(ui, "u", "i", topN = 10,
+          minSupport = 3L, maxUserItems = 100)
+        .agg(count(lit(1)), sum("score_ppm")).collect()
+    }
+    // Wilcoxon at 10M pairs: one groupBy onto the |d| grid + the
+    // two-pass prefix + one agg — the mannWhitney shape.
+    bench("x_wilcoxon_10m", runs = 1) {
+      import graft.operators.Evaluate
+      val df = spark.range(10000000L).select(
+        pmod(xxhash64(col("id"), lit(88)), lit(5000L)).as("b"),
+        pmod(xxhash64(col("id"), lit(89)), lit(5000L)).as("a"))
+      Evaluate.wilcoxonSignedRank(df, col("b"), col("a")).collect()
+    }
+    // SPRT at 10M: range-partition + two-pass prefix + one agg; the
+    // sequential walk without a sequential bottleneck.
+    bench("x_sprt_10m", runs = 1) {
+      import graft.operators.Evaluate
+      val df = spark.range(10000000L).select(col("id").as("k"),
+        (pmod(xxhash64(col("id"), lit(90)), lit(100L)) < 31L).as("x"))
+      Evaluate.sprtBinary(df, col("x"), col("k"),
+        300000L, 310000L, 50000L, 50000L).collect()
+    }
+    // URL normalize at 10M: one pure-codegen map stage (regex parse +
+    // param sort + reassembly), then a distinct-count on the key.
+    bench("x_urlnorm_10m", runs = 1) {
+      import graft.operators.Web
+      val urls = spark.range(10000000L).select(concat(
+        lit("HTTP://www.site"),
+        pmod(xxhash64(col("id")), lit(100000L)).cast("string"),
+        lit(".example.com:80/p/"),
+        pmod(col("id"), lit(1000L)).cast("string"),
+        lit("?utm_source=x&b=2&a="),
+        pmod(col("id"), lit(7L)).cast("string")).as("u"))
+      urls.select(Web.urlNormalize(col("u")).as("n"))
+        .agg(countDistinct("n")).collect()
+    }
+
     emitSummaryAndStop()
   }
 }

@@ -918,6 +918,120 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       vecCol: String = "embedding"): DataFrame =
     Evaluate.embeddingDrift(df, other.df, vecCol)
 
+  /** Benjamini–Hochberg FDR control over a per-test p-value frame
+    * derived from this array (one row per hypothesis, p in ppb). */
+  def bhAdjust(testId: Column, pPpb: Column,
+      alphaPpb: Long): DataFrame =
+    Evaluate.bhAdjust(df, testId, pPpb, alphaPpb)
+
+  /** Difference-in-differences contrast over this array's rows. */
+  def diffInDiff(treated: Column, post: Column, value: Column): DataFrame =
+    Evaluate.diffInDiff(df, treated, post, value)
+
+  /** Uplift / Qini bin table: incremental-conversion report of a
+    * targeting score under a treatment flag. */
+  def upliftBins(score: Column, treated: Column, positive: Column,
+      nBins: Int = 10): DataFrame =
+    Evaluate.upliftBins(df, score, treated, positive, col(idCol), nBins)
+
+  /** Split-conformal threshold + held-out coverage over a quantized
+    * nonconformity score. */
+  def conformalSplit(score: Column, isCal: Column,
+      alphaPpm: Long): DataFrame =
+    Evaluate.conformalSplit(df, score, isCal, alphaPpm)
+
+  /** Weight-of-evidence / information-value screen of a categorical
+    * feature against a binary outcome. */
+  def woeIv(bucket: Column, positive: Column): DataFrame =
+    Evaluate.woeIv(df, bucket, positive)
+
+  /** Padding-waste study: pad-to-max batch bill under arrival vs
+    * length-grouped order (see [[graft.operators.Pack.paddingWaste]]). */
+  def paddingWaste(nTokensCol: String, batchSize: Int): DataFrame =
+    Pack.paddingWaste(df, idCol, nTokensCol, batchSize)
+
+  /** Wilcoxon signed-rank test of a paired before/after measure. */
+  def wilcoxonSignedRank(before: Column, after: Column): DataFrame =
+    Evaluate.wilcoxonSignedRank(df, before, after)
+
+  /** Friedman test: k treatments ranked within each block. */
+  def friedman(block: Column, treatment: Column,
+      value: Column): DataFrame =
+    Evaluate.friedman(df, block, treatment, value)
+
+  /** Stratified ATE (= exact-propensity IPW) of a treatment flag. */
+  def strataAte(stratum: Column, treated: Column,
+      value: Column): DataFrame =
+    Evaluate.strataAte(df, stratum, treated, value)
+
+  /** Wald SPRT over a Bernoulli outcome in a deterministic key order. */
+  def sprt(outcome: Column, orderKey: Column, p0Ppm: Long, p1Ppm: Long,
+      alphaPpm: Long = 50000L, betaPpm: Long = 50000L): DataFrame =
+    Evaluate.sprtBinary(df, outcome, orderKey, p0Ppm, p1Ppm,
+      alphaPpm, betaPpm)
+
+  /** Nelson–Aalen cumulative hazard per group (all-integer twin of
+    * [[survivalCurve]]). */
+  def cumulativeHazard(groupCols: Seq[String], duration: Column,
+      event: Column): DataFrame =
+    Evaluate.nelsonAalen(df, groupCols, duration, event)
+
+  /** Granger lag-1 causality F-test of bucketed series x onto y. */
+  def grangerCausality(bucket: Column, x: Column, y: Column): DataFrame =
+    Evaluate.grangerLag1(df, bucket, x, y)
+
+  /** Caliper nearest-neighbor propensity matching ATT. */
+  def caliperMatch(scorePpm: Column, treated: Column, y: Column,
+      caliper: Long): DataFrame =
+    Evaluate.caliperMatchAtt(df, scorePpm, treated, y, caliper)
+
+  /** Time-decay multi-touch attribution (discrete halving weights). */
+  def timeDecayAttribution(userCol: String, tsCol: String,
+      typeCol: String, conversionType: String, touchTypes: Seq[String],
+      windowNs: Long, halfLifeNs: Long): DataFrame =
+    Funnel.timeDecayAttribution(df, userCol, tsCol, typeCol, idCol,
+      conversionType, touchTypes, windowNs, halfLifeNs)
+
+  /** Item-item collaborative-filtering top-N recommendations. */
+  def recommendItems(userCol: String, itemCol: String, topN: Int = 10,
+      minSupport: Long = 2L, maxUserItems: Int = 1000,
+      simTopK: Int = 50): DataFrame =
+    Recommend.itemItemRecs(df, userCol, itemCol, topN, minSupport,
+      maxUserItems, simTopK)
+
+  /** Leave-last-out hit-rate@N eval of the item-item recommender. */
+  def recommenderHitRate(userCol: String, itemCol: String,
+      order: Column, topN: Int = 10): DataFrame =
+    Recommend.hitRateAtN(df, userCol, itemCol, order, topN)
+
+  /** Walk-forward CV fold boundaries with an embargo gap. */
+  def walkForwardFolds(bucket: Column, nFolds: Int,
+      embargo: Long = 0L): DataFrame =
+    GroupOps.walkForwardFolds(df, bucket, nFolds, embargo)
+
+  /** Rank-1 ALS factorization of a (user, item, rating) view. */
+  def als1(userCol: String, itemCol: String, rating: Column,
+      iters: Int = 2): (DataFrame, DataFrame) =
+    Recommend.als1(df, userCol, itemCol, rating, iters)
+
+  /** Damped bias baseline (μ + b_i + b_u) — ALS's null model. */
+  def biasBaseline(userCol: String, itemCol: String, rating: Column,
+      lambda: Long = 10L): (DataFrame, DataFrame) =
+    Recommend.biasBaseline(df, userCol, itemCol, rating, lambda)
+
+  /** Canonical URL dedup key + parsed components appended per row. */
+  def normalizeUrls(url: Column): DocArray =
+    wrap(df.withColumn("url_host", Web.urlHost(url))
+      .withColumn("url_domain", Web.registrableDomain(Web.urlHost(url)))
+      .withColumn("url_norm", Web.urlNormalize(url)))
+
+  /** Shapley-value channel attribution over this array's events. */
+  def shapleyAttribution(userCol: String, tsCol: String,
+      typeCol: String, conversionType: String, touchTypes: Seq[String],
+      windowNs: Long): DataFrame =
+    Funnel.shapleyAttribution(df, userCol, tsCol, typeCol, idCol,
+      conversionType, touchTypes, windowNs)
+
   /** Probabilistic-prediction eval battery over a score column. */
   def brier(score: Column, positive: Column): DataFrame =
     Evaluate.brierScore(df, score, positive)

@@ -4669,6 +4669,401 @@ object SparkEntry {
         col("nb_ppm2"))
       .orderBy("ga", "gb")
 
+  // Benjamini–Hochberg FDR (Evaluate.bhAdjust) over EMPIRICAL p-values:
+  // each nation's mean customer balance ranked against the 25-nation
+  // distribution — p = #{means ≥ mine}/25, an exact rational (means
+  // compared by cross-multiplied cent sums, no division) — then BH at
+  // α = 0.20: division-free p·m ≤ k·α step-up, suffix-min q-values
+  // floor-quantized once. The multiplicity gate for every per-segment
+  // test in the battery.
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_nationkey").as("nk"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+    val per = cust.groupBy("nk")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    val pvals = per.as("a").join(per.as("b"),
+        col("b.sc") * col("a.n") >= col("a.sc") * col("b.n"))
+      .groupBy(col("a.nk").as("nk"))
+      .agg(count(lit(1)).as("ge"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("nn"))))
+      .select(col("nk"), expr("(ge * 1000000000) div nn").as("p_ppb"))
+    Evaluate.bhAdjust(pvals, col("nk"), col("p_ppb"),
+        alphaPpb = 200000000L)
+      .orderBy("rank")
+  }
+
+  // Difference-in-differences (Evaluate.diffInDiff): did odd-nation
+  // customers' order spend move MORE across 1995-01-01 than even-nation
+  // customers'? Four exact (n, Σfloored-price) cells in one pass, the
+  // DiD contrast one fixed four-division float chain.
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    Evaluate.diffInDiff(
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey")),
+      treated = pmod(col("c_nationkey"), lit(2)) === 1,
+      post = col("o_orderdate") >= lit("1995-01-01").cast("date"),
+      value = floor(col("o_totalprice")).cast("long"))
+
+  // Uplift / Qini bins (Evaluate.upliftBins): the q116 quality score as
+  // the targeting score, doc_id parity as the (placebo) treatment,
+  // lang = 'en' as conversion — per score decile, exact treated/control
+  // counts and the cumulative Qini value. Response lift (q-liftTable)
+  // can't separate "would convert anyway"; this table can.
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Evaluate.upliftBins(d,
+        score = TextFunctions.qualityScore(col("text")),
+        treated = pmod(col("doc_id"), lit(2)) === 0,
+        positive = col("lang") === "en",
+        key = col("doc_id"), nBins = 10)
+      .orderBy("bin")
+  }
+
+  // Padding-waste study (Pack.paddingWaste): pad-to-max batches of 32
+  // docs, arrival (doc_id) order vs length-grouped order — the exact
+  // pad-token bill that motivates HF group_by_length. Char length
+  // stands in for token count (deterministic both engines).
+  private def q324(s: SparkSession, dir: String): DataFrame =
+    Pack.paddingWaste(
+        t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", batchSize = 32)
+      .orderBy("strategy")
+
+  // Split-conformal threshold (Evaluate.conformalSplit): calibrate on
+  // even doc_ids at α = 0.10 — k = ⌈(n+1)·0.9⌉-th smallest ppm-
+  // quantized quality score off the count grid — and measure exact
+  // coverage on the odd half. Finite-sample validity, no model trust.
+  private def q325(s: SparkSession, dir: String): DataFrame =
+    Evaluate.conformalSplit(
+      t(s, dir, "documents").select(
+        round(TextFunctions.qualityScore(col("text")) * 1e6)
+          .cast("long").as("sppm"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("cal")),
+      score = col("sppm"), isCal = col("cal"), alphaPpm = 100000L)
+
+  // Weight-of-evidence / information value (Evaluate.woeIv): does
+  // order priority separate high-value orders? Laplace-smoothed
+  // per-category WOE and IV contributions, each one ln chain rounded
+  // once to ppb — the credit-scoring feature screen.
+  private def q326(s: SparkSession, dir: String): DataFrame =
+    Evaluate.woeIv(t(s, dir, "orders"),
+        bucket = col("o_orderpriority"),
+        positive = col("o_totalprice") > 150000.0)
+      .orderBy("bucket")
+
+  // RFM segmentation (GroupOps.rfmSegments): recency/frequency/monetary
+  // per customer over their orders, each scored 1..5 by EXACT rank
+  // bins — (rank·5) div n + 1 over the worst→best order with customer-
+  // key tiebreaks — not quantile estimates. asOf = 1998-12-31 (the
+  // TPC-H horizon), day-granular.
+  private def q327(s: SparkSession, dir: String): DataFrame =
+    GroupOps.rfmSegments(
+        t(s, dir, "orders").select(col("o_custkey"),
+          unix_date(col("o_orderdate").cast("date")).as("d"),
+          floor(col("o_totalprice")).cast("long").as("v")),
+        "o_custkey", col("d"), col("v"),
+        asOf = java.time.LocalDate.of(1998, 12, 31).toEpochDay)
+      .withColumnRenamed("cust", "cust_id")
+      .orderBy("cust_id")
+
+  // Lorenz curve (GroupOps.lorenzPoints): cumulative revenue share of
+  // customers ranked poorest-first — the distribution behind q174's
+  // scalar Gini/HHI; every share an exact floor-div ppm off integer
+  // cumulative sums over ≤ 10 point rows.
+  private def q328(s: SparkSession, dir: String): DataFrame =
+    GroupOps.lorenzPoints(t(s, dir, "orders"),
+        groupCol = col("o_custkey"),
+        weight = floor(col("o_totalprice")).cast("long"), nPoints = 10)
+      .orderBy("point")
+
+  // Compaction planner (Pack.compactionGroups): documents as "files"
+  // (char length = bytes), greedy sequential merge jobs of ~100 KB via
+  // the packBlocks two-pass prefix sum — the lakehouse small-files
+  // maintenance plan, layout-invariant by construction.
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    Pack.compactionGroups(
+        t(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("sz"))
+          .where(col("sz").isNotNull),
+        "doc_id", "sz", targetBytes = 100000L)
+      .orderBy("grp")
+
+  // Wilcoxon signed-rank (Evaluate.wilcoxonSignedRank): q233's PAIRED
+  // twin — each customer's own spend before vs after 1995-01-01, zero
+  // diffs dropped per the classic convention. n/n_zero/wp_x2/tie_cube
+  // gated exact; z one mirrored float chain rounded to 6dp.
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < lit("1995-01-01").cast("date"),
+          floor(col("o_totalprice")).cast("long")).otherwise(0L))
+          .as("b"),
+        sum(when(col("o_orderdate") >= lit("1995-01-01").cast("date"),
+          floor(col("o_totalprice")).cast("long")).otherwise(0L))
+          .as("a"))
+    Evaluate.wilcoxonSignedRank(per, col("b"), col("a"))
+      .select(col("n"), col("n_zero"), col("wp_x2"),
+        col("tie_cube").cast("long").as("tie_cube"),
+        round(col("z"), 6).as("z_r"))
+  }
+
+  // Friedman test (Evaluate.friedman): q234's BLOCKED twin — the five
+  // order priorities measured on the same 25 nation blocks (cell value
+  // = Σ floored spend), within-block ranks so nation size cancels.
+  // Integer core gated (rsq/a2 exact, cast guarded); chi2 mirrored.
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        col("o_orderpriority").as("pri"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("v"))
+    Evaluate.friedman(cells, col("nk"), col("pri"), col("v"))
+      .select(col("n_blocks"), col("k"), col("n_dropped"),
+        col("rsq").cast("long").as("rsq"),
+        col("a2").cast("long").as("a2"),
+        round(col("chi2"), 6).as("chi2_r"))
+  }
+
+  // Stratified ATE (Evaluate.strataAte): q322's no-pre-period sibling —
+  // does doc_id parity (placebo treatment) shift text length once
+  // stratified by lang? Exact cells, sorted-stratum fold, ate ~ 0 by
+  // construction (the placebo should pass the sanity check).
+  private def q332(s: SparkSession, dir: String): DataFrame =
+    Evaluate.strataAte(
+        t(s, dir, "documents").where(col("text").isNotNull),
+        stratum = col("lang"),
+        treated = pmod(col("doc_id"), lit(2)) === 0,
+        value = length(col("text")).cast("long"))
+      .select(col("n_strata"), col("n_complete"), col("n_used"),
+        round(col("ate"), 6).as("ate_r"))
+
+  // Wald SPRT (Evaluate.sprtBinary): the sequential A/B stopping rule
+  // walked over orders in o_orderkey arrival order — H1 "more than 31%
+  // of orders are urgent-or-high priority" vs H0 30%, α = β = 5%. The
+  // exact-integer LLR walk and the first boundary crossing gated.
+  private def q333(s: SparkSession, dir: String): DataFrame =
+    Evaluate.sprtBinary(t(s, dir, "orders"),
+        outcome = col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        orderKey = col("o_orderkey"),
+        p0Ppm = 300000L, p1Ppm = 310000L,
+        alphaPpm = 50000L, betaPpm = 50000L)
+      .select(col("n"), col("n_pos"), col("inc1_ppb"), col("inc0_ppb"),
+        col("a_ppb"), col("b_ppb"), col("n_decision"),
+        col("llr_at_decision"), col("llr_final"), col("decision"))
+
+  // Item-item collaborative filtering (Recommend.itemItemRecs): which
+  // suppliers should each customer see next, by co-purchase cosine
+  // over (customer, supplier) baskets — sim_ppm quantized once, exact
+  // integer score sums, per-user top-5 with (−score, item) ties.
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    Recommend.itemItemRecs(ui, "cust", "supp",
+        topN = 5, minSupport = 2L, maxUserItems = 1000)
+      .orderBy("user", "rn")
+  }
+
+  // Rank-1 ALS (Recommend.als1): two closed-form alternating sweeps on
+  // the (customer, priority, order-count) rating table — every factor
+  // a ppm long quantized once per update off exact decimal sums. The
+  // 5-row item side gated with the user-side totals broadcast on.
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("cnt"))
+    val (users, items) = Recommend.als1(r, "cust", "pri",
+      col("cnt"), iters = 2)
+    items.crossJoin(broadcast(users.agg(
+        count(lit(1)).as("n_users"), sum("u_ppm").as("sum_u_ppm"))))
+      .select(col("item"), col("v_ppm"), col("n_users"),
+        col("sum_u_ppm"))
+      .orderBy("item")
+  }
+
+  // Nelson–Aalen cumulative hazard (Evaluate.nelsonAalen): q222's
+  // additive twin on the SAME censored days-to-purchase frame — every
+  // output column exact integer (h_ppb floor-div, chaz a prefix sum),
+  // no float chain anywhere.
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(
+      min("ts").as("t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+      max("ts").as("tl"))
+    val dur = perUser.select(
+      pmod(col("user_id"), lit(2)).as("cohort"),
+      when(col("tp").isNotNull, expr("(tp - t0) div 86400000000000"))
+        .otherwise(expr("(tl - t0) div 86400000000000")).as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    Evaluate.nelsonAalen(dur, Seq("cohort"), col("t"), col("ev"))
+      .orderBy("cohort", "t")
+  }
+
+  // Granger lag-1 causality (Evaluate.grangerLag1): do yesterday's
+  // clicks predict today's purchases beyond yesterday's purchases?
+  // Daily count grid, consecutive pairs only, nine exact moments,
+  // closed-form nested OLS, one mirrored F chain.
+  private def q337(s: SparkSession, dir: String): DataFrame =
+    Evaluate.grangerLag1(
+        events(s, dir).select(
+          expr("ts div 86400000000000").as("b"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("x"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y")),
+        col("b"), col("x"), col("y"))
+      .select(col("n_pairs"), col("sy"), col("syl"), col("sxl"),
+        col("syy").cast("long").as("syy"),
+        col("syyl").cast("long").as("syyl"),
+        col("syxl").cast("long").as("syxl"),
+        col("syl2").cast("long").as("syl2"),
+        col("sxl2").cast("long").as("sxl2"),
+        col("sylxl").cast("long").as("sylxl"),
+        round(col("rss_r"), 6).as("rss_r6"),
+        round(col("rss_u"), 6).as("rss_u6"),
+        round(col("f"), 6).as("f6"))
+
+  // Time-decay attribution (Funnel.timeDecayAttribution): q227/q320's
+  // third sibling — purchase credit halves per day of touch distance
+  // (the discrete step convention: pure integer weights, no pow chain
+  // to mirror), 7-day window, exact floor-div credit shares.
+  private def q338(s: SparkSession, dir: String): DataFrame =
+    Funnel.timeDecayAttribution(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowNs = 7L * 86400L * 1000000000L,
+        halfLifeNs = 86400L * 1000000000L)
+      .orderBy("channel")
+
+  // Caliper propensity matching (Evaluate.caliperMatchAtt): q332's
+  // nearest-neighbor sibling — doc-parity placebo treatment matched to
+  // the nearest control on the ppm quality-score axis (caliper 1000
+  // ppm), ATT numerator exact, one division.
+  private def q339(s: SparkSession, dir: String): DataFrame =
+    Evaluate.caliperMatchAtt(
+        t(s, dir, "documents").where(col("text").isNotNull).select(
+          round(TextFunctions.qualityScore(col("text")) * 1e6)
+            .cast("long").as("sppm"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("tr"),
+          length(col("text")).cast("long").as("y")),
+        scorePpm = col("sppm"), treated = col("tr"), y = col("y"),
+        caliper = 1000L)
+      .select(col("n_treated"), col("n_matched"), col("n_unmatched"),
+        col("att_num").cast("long").as("att_num"),
+        round(col("att"), 6).as("att_r"))
+
+  // Shapley channel attribution (Funnel.shapleyAttribution): the
+  // game-theoretic close of the q227/q320/q338 family — v(S) = exact
+  // per-channel-set conversion counts, the 2^4 coalition sweep in
+  // BigInt rationals driver-side, phi at k!-scale gated exact, the
+  // whole sweep replayed in SQL off a 16-row coalition grid.
+  private def q340(s: SparkSession, dir: String): DataFrame =
+    Funnel.shapleyAttribution(
+        events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"), col("event_id")),
+        "user_id", "ts", "event_type", "event_id",
+        conversionType = "purchase",
+        touchTypes = Seq("view", "click", "signup", "error"),
+        windowNs = 7L * 86400L * 1000000000L)
+      .orderBy("channel")
+
+  // Damped bias baseline (Recommend.biasBaseline): the all-integer
+  // Netflix null model under q335's factor run — mu, per-priority and
+  // per-customer biases all exact floor-div ppm longs, lambda = 10.
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cust"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("cnt"))
+    val (users, items) = Recommend.biasBaseline(r, "cust", "pri",
+      col("cnt"), lambda = 10L)
+    items.crossJoin(broadcast(users.agg(
+        count(lit(1)).as("n_users"), sum("b_u_ppm").as("sum_bu"),
+        min("b_u_ppm").as("min_bu"), max("b_u_ppm").as("max_bu"))))
+      .orderBy("item")
+  }
+
+  // URL hygiene (operators.Web): parse + registrable-domain heuristic +
+  // canonical normalization (userinfo/default-port/fragment/tracking-
+  // param strip, bytewise param sort, trailing-slash collapse) over a
+  // deterministic messy-URL construction both engines assemble
+  // identically — the crawl-pipeline tier before per-domain stats.
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val url = concat(
+      when(m3 === 0, lit("HTTP")).when(m3 === 1, lit("https"))
+        .otherwise(lit("ftp")),
+      lit("://"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("user@"))
+        .otherwise(lit("")),
+      lit("WWW."), col("source"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(".Example.CO.UK"))
+        .otherwise(lit(".example.com")),
+      when(m3 === 0, lit(":80")).when(m3 === 1, lit(":443"))
+        .otherwise(lit(":21")),
+      lit("/p/"), pmod(col("doc_id"), lit(10)).cast("string"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("/"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("?utm_source=x&b=2&a=1"))
+        .otherwise(lit("?z=9&utm_campaign=s")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#frag"))
+        .otherwise(lit("")))
+    t(s, dir, "documents").select(col("doc_id"), url.as("u"))
+      .select(col("doc_id"),
+        Web.urlScheme(col("u")).as("scheme"),
+        Web.urlHost(col("u")).as("host"),
+        Web.urlPort(col("u")).as("port"),
+        Web.urlPath(col("u")).as("path"),
+        Web.registrableDomain(Web.urlHost(col("u"))).as("domain"),
+        Web.urlNormalize(col("u")).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  // Leave-last-out hit-rate@10 (Recommend.hitRateAtN): the offline
+  // eval loop closing the q334 recommender — hold out each customer's
+  // last supplier touch (by (orderkey, linenumber, supplier) order),
+  // retrain the co-count model without the pair, hit iff it lands in
+  // the top-10. The entire q334 chain replayed under the holdout.
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("ord"))
+    Recommend.hitRateAtN(ui, "cust", "supp", col("ord"),
+        topN = 10, minSupport = 2L, maxUserItems = 1000, simTopK = 50)
+      .select(col("n_users"), col("n_eval"), col("n_hits"),
+        round(col("hit_rate"), 6).as("hit_rate_r"))
+  }
+
+  // Walk-forward CV folds (GroupOps.walkForwardFolds): expanding-
+  // window temporal splits with a 2-day embargo over the events daily
+  // grid — the anti-leakage split q196's random folds must never be
+  // used for. All integer boundaries and counts.
+  private def q344(s: SparkSession, dir: String): DataFrame =
+    GroupOps.walkForwardFolds(
+        events(s, dir).select(expr("ts div 86400000000000").as("b")),
+        col("b"), nFolds = 4, embargo = 2L)
+      .orderBy("fold")
+
+  // Next-item transition recommendations (Recommend.nextItemRecs):
+  // q334's sequence-aware sibling — consecutive (prev → next) supplier
+  // transitions per customer under the (orderkey, linenumber) order,
+  // top-5 successors of each customer's last supplier.
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("ord"))
+    Recommend.nextItemRecs(ui, "cust", "supp", col("ord"),
+        topN = 5, minCount = 2L)
+      .orderBy("user", "rn")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4988,7 +5383,32 @@ object SparkEntry {
     "q317_frequent_paths" -> (q317 _),
     "q318_binary_quant_knn" -> (q318 _),
     "q319_matryoshka_recall" -> (q319 _),
-    "q320_position_attribution" -> (q320 _))
+    "q320_position_attribution" -> (q320 _),
+    "q321_bh_fdr" -> (q321 _),
+    "q322_diff_in_diff" -> (q322 _),
+    "q323_uplift_bins" -> (q323 _),
+    "q324_padding_waste" -> (q324 _),
+    "q325_conformal" -> (q325 _),
+    "q326_woe_iv" -> (q326 _),
+    "q327_rfm_segments" -> (q327 _),
+    "q328_lorenz_curve" -> (q328 _),
+    "q329_compaction_plan" -> (q329 _),
+    "q330_wilcoxon" -> (q330 _),
+    "q331_friedman" -> (q331 _),
+    "q332_strata_ate" -> (q332 _),
+    "q333_sprt" -> (q333 _),
+    "q334_item_cf" -> (q334 _),
+    "q335_als1" -> (q335 _),
+    "q336_nelson_aalen" -> (q336 _),
+    "q337_granger" -> (q337 _),
+    "q338_time_decay" -> (q338 _),
+    "q339_caliper_att" -> (q339 _),
+    "q340_shapley" -> (q340 _),
+    "q341_bias_baseline" -> (q341 _),
+    "q342_url_normalize" -> (q342 _),
+    "q343_rec_hitrate" -> (q343 _),
+    "q344_walk_forward" -> (q344 _),
+    "q345_next_item" -> (q345 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -12037,6 +12457,888 @@ object SparkEntry {
            CAST(count(DISTINCT cid) AS BIGINT) AS conversions_touched,
            CAST(sum(credit) AS BIGINT) AS credit_ppm
          FROM c GROUP BY channel ORDER BY channel""",
+
+    // q321: empirical p-values by cross-multiplied cent sums (no
+    // division), then the BH step-up replayed — division-free pass
+    // flag, suffix max/min windows over the 25 test rows
+    "q321_bh_fdr" ->
+      """WITH per AS (SELECT c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sc
+           FROM customer GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM per),
+         pv AS (SELECT a.nk,
+             CAST(count(*) AS BIGINT) * 1000000000 // nn AS p_ppb
+           FROM per a JOIN per b ON b.sc * a.n >= a.sc * b.n
+           CROSS JOIN nn GROUP BY a.nk, nn.nn),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+         r AS (SELECT nk, p_ppb, m,
+             CAST(row_number() OVER (ORDER BY p_ppb, nk) AS BIGINT) AS rank
+           FROM pv CROSS JOIN mm),
+         f AS (SELECT *,
+             CASE WHEN p_ppb * m <= rank * 200000000 THEN 1 ELSE 0 END AS pass,
+             least((p_ppb * m) // rank, 1000000000) AS qraw
+           FROM r)
+         SELECT nk AS test_id, p_ppb, rank, m,
+           CAST(min(qraw) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW
+             AND UNBOUNDED FOLLOWING) AS BIGINT) AS q_ppb,
+           (max(pass) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW
+             AND UNBOUNDED FOLLOWING) = 1) AS reject
+         FROM f ORDER BY rank""",
+
+    // q322: four exact (n, Σ floored-price) cells in one conditional
+    // pass, DiD one fixed four-division float chain, null on any
+    // empty cell
+    "q322_diff_in_diff" ->
+      """WITH j AS (SELECT (c_nationkey % 2 = 1) AS t,
+             (o_orderdate >= DATE '1995-01-01') AS p,
+             CAST(floor(o_totalprice) AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         a AS (SELECT
+             CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+             CAST(sum(CASE WHEN t AND p THEN v ELSE 0 END) AS BIGINT) AS s_t1,
+             CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+             CAST(sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+             CAST(sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS BIGINT) AS s_c1,
+             CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+             CAST(sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_c0
+           FROM j)
+         SELECT *,
+           CASE WHEN n_t1 > 0 AND n_t0 > 0 AND n_c1 > 0 AND n_c0 > 0
+             THEN (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+                 - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+                - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+                 - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))
+           END AS did
+         FROM a""",
+
+    // q323: the q116 score chain ranked (sc desc, doc_id), decile =
+    // exact rank·10 div n, per-bin treated/control sums, cumulative
+    // windows over ≤ 10 bin rows, uplift/qini one float chain each
+    "q323_uplift_bins" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT doc_id, sc, pos, (doc_id % 2 = 0) AS tr FROM q),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         r AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY sc DESC, doc_id) - 1
+               AS BIGINT) AS gi
+           FROM b),
+         bins AS (SELECT CAST(gi * 10 // n AS INTEGER) AS bin,
+             CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN tr THEN pos ELSE 0 END) AS BIGINT) AS pos_t,
+             CAST(sum(CASE WHEN tr THEN 0 ELSE pos END) AS BIGINT) AS pos_c
+           FROM r CROSS JOIN n GROUP BY 1),
+         c AS (SELECT *,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cum_n_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cum_n_c,
+             CAST(sum(pos_t) OVER w AS BIGINT) AS cum_pos_t,
+             CAST(sum(pos_c) OVER w AS BIGINT) AS cum_pos_c
+           FROM bins WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW))
+         SELECT bin, n_t, n_c, pos_t, pos_c,
+           cum_n_t, cum_n_c, cum_pos_t, cum_pos_c,
+           CASE WHEN n_t > 0 AND n_c > 0
+             THEN CAST(pos_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(pos_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS uplift,
+           CASE WHEN cum_n_c > 0
+             THEN CAST(cum_pos_t AS DOUBLE) - CAST(cum_pos_c AS DOUBLE)
+                * (CAST(cum_n_t AS DOUBLE) / CAST(cum_n_c AS DOUBLE))
+           END AS qini
+         FROM c ORDER BY bin""",
+
+    // q324: two deterministic batching orders, batch = rank div 32,
+    // per-batch (count, max, sum), exact pad-token bill per strategy
+    "q324_padding_waste" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL),
+         a AS (SELECT n, (row_number() OVER (ORDER BY doc_id) - 1) // 32
+             AS b FROM d),
+         ab AS (SELECT b, CAST(count(*) AS BIGINT) AS c,
+             CAST(max(n) AS BIGINT) AS mx, CAST(sum(n) AS BIGINT) AS r
+           FROM a GROUP BY b),
+         aa AS (SELECT 'arrival' AS strategy,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(r) AS BIGINT) AS real_tokens,
+             CAST(sum(mx * c) AS BIGINT) AS padded_tokens FROM ab),
+         s AS (SELECT n, (row_number() OVER (ORDER BY n DESC, doc_id) - 1)
+             // 32 AS b FROM d),
+         sb AS (SELECT b, CAST(count(*) AS BIGINT) AS c,
+             CAST(max(n) AS BIGINT) AS mx, CAST(sum(n) AS BIGINT) AS r
+           FROM s GROUP BY b),
+         ss AS (SELECT 'sorted' AS strategy,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_batches,
+             CAST(sum(r) AS BIGINT) AS real_tokens,
+             CAST(sum(mx * c) AS BIGINT) AS padded_tokens FROM sb),
+         u AS (SELECT * FROM aa UNION ALL SELECT * FROM ss)
+         SELECT *, CASE WHEN padded_tokens > 0 THEN
+             CAST((padded_tokens - real_tokens) * 1000000 // padded_tokens
+               AS BIGINT) END AS waste_ppm
+         FROM u ORDER BY strategy""",
+
+    // q325: k = exact ceil((n+1)·0.9), threshold = k-th smallest off
+    // the count grid's cumulative window, coverage exact on the
+    // held-out half
+    "q325_conformal" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT CAST(round(sc * 1000000) AS BIGINT) AS s,
+             (doc_id % 2 = 0) AS cal FROM q),
+         cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             CAST(((count(*) + 1) * 900000 + 999999) // 1000000 AS BIGINT)
+               AS k
+           FROM b WHERE cal),
+         grid AS (SELECT s, count(*) AS c FROM b WHERE cal GROUP BY s),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS cm FROM grid),
+         thr AS (SELECT CAST(min(s) AS BIGINT) AS threshold
+           FROM cum CROSS JOIN cn WHERE cm >= k),
+         ev AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN threshold IS NULL OR s <= threshold
+               THEN 1 ELSE 0 END) AS BIGINT) AS covered
+           FROM b CROSS JOIN thr WHERE NOT cal)
+         SELECT n_cal, k, threshold, n_eval, covered,
+           CASE WHEN n_eval > 0 THEN CAST(covered AS DOUBLE)
+             / CAST(n_eval AS DOUBLE) END AS coverage
+         FROM cn CROSS JOIN thr CROSS JOIN ev""",
+
+    // q326: Laplace-smoothed per-category WOE/IV, each one ln chain
+    // rounded once to ppb (the q123/psi rule)
+    "q326_woe_iv" ->
+      """WITH c AS (SELECT o_orderpriority AS bucket,
+             (o_totalprice > 150000.0) AS p FROM orders
+           WHERE o_orderpriority IS NOT NULL),
+         cells AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+           FROM c GROUP BY bucket),
+         tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS g,
+             CAST(sum(n_neg) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS k FROM cells),
+         w AS (SELECT bucket, n, n_pos, n_neg,
+             CAST(n_pos + 1 AS DOUBLE) / CAST(g + k AS DOUBLE) AS pp,
+             CAST(n_neg + 1 AS DOUBLE) / CAST(b + k AS DOUBLE) AS qq
+           FROM cells CROSS JOIN tot)
+         SELECT bucket, n, n_pos, n_neg,
+           CAST(round(ln(pp / qq) * 1000000000.0) AS BIGINT) AS woe_ppb,
+           CAST(round((pp - qq) * ln(pp / qq) * 1000000000.0) AS BIGINT)
+             AS iv_ppb
+         FROM w ORDER BY bucket""",
+
+    // q327: three worst→best row_number ranks with customer tiebreaks,
+    // score = exact (rank·5) div n + 1, segment digit concat
+    "q327_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+             CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+         per AS (SELECT cust,
+             CAST((DATE '1998-12-31' - DATE '1970-01-01') - max(d)
+               AS BIGINT) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(v) AS BIGINT) AS monetary
+           FROM o GROUP BY cust),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+         r AS (SELECT cust, CAST((row_number() OVER (ORDER BY recency
+             DESC, cust) - 1) * 5 // n + 1 AS INTEGER) AS r
+           FROM per CROSS JOIN n),
+         f AS (SELECT cust, CAST((row_number() OVER (ORDER BY frequency,
+             cust) - 1) * 5 // n + 1 AS INTEGER) AS f
+           FROM per CROSS JOIN n),
+         m AS (SELECT cust, CAST((row_number() OVER (ORDER BY monetary,
+             cust) - 1) * 5 // n + 1 AS INTEGER) AS m
+           FROM per CROSS JOIN n)
+         SELECT per.cust AS cust_id, recency, frequency, monetary,
+           r.r, f.f, m.m,
+           CAST(r.r AS VARCHAR) || CAST(f.f AS VARCHAR)
+             || CAST(m.m AS VARCHAR) AS segment
+         FROM per JOIN r USING (cust) JOIN f USING (cust)
+           JOIN m USING (cust)
+         ORDER BY cust_id""",
+
+    // q328: poorest-first rank, point = exact rank·10 div n, cumulative
+    // integer sums over ≤ 10 point rows, floor-div ppm shares
+    "q328_lorenz_curve" ->
+      """WITH s AS (SELECT o_custkey AS g,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS tot FROM s),
+         r AS (SELECT x, (row_number() OVER (ORDER BY x, g) - 1) AS gi
+           FROM s),
+         p AS (SELECT CAST(gi * 10 // n AS INTEGER) AS point,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(x) AS BIGINT) AS x_sum
+           FROM r CROSS JOIN t GROUP BY 1),
+         c AS (SELECT *,
+             CAST(sum(n_groups) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(x_sum) OVER w AS BIGINT) AS cum_x
+           FROM p WINDOW w AS (ORDER BY point ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW))
+         SELECT point, n_groups, x_sum, cum_n, cum_x,
+           CAST(cum_n * 1000000 // n AS BIGINT) AS pop_ppm,
+           CASE WHEN tot > 0 THEN CAST(cum_x * 1000000 // tot AS BIGINT)
+             END AS share_ppm
+         FROM c CROSS JOIN t ORDER BY point""",
+
+    // q329: the packBlocks prefix sum replayed — exclusive offset, file
+    // joins the group its offset falls in, per-job rollup
+    "q329_compaction_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) - n AS off
+           FROM d)
+         SELECT CAST(off // 100000 AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n) AS BIGINT) AS bytes,
+           CAST(max(n) AS BIGINT) AS largest,
+           max(n) >= 100000 AS has_oversize
+         FROM p GROUP BY 1 ORDER BY grp""",
+
+    // q330: per-|d| count grid, doubled tie-average ranks off the
+    // exclusive cumulative, exact wp_x2/tie_cube, one mirrored z chain
+    "q330_wilcoxon" ->
+      """WITH per AS (SELECT o_custkey,
+             sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS b,
+             sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+               THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS a
+           FROM orders GROUP BY 1),
+         d AS (SELECT a - b AS d FROM per),
+         nz AS (SELECT CAST(coalesce(sum(CASE WHEN d = 0 THEN 1
+             ELSE 0 END), 0) AS BIGINT) AS n_zero FROM d),
+         g AS (SELECT abs(d) AS ad,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(count(*) AS BIGINT) AS t
+           FROM d WHERE d <> 0 GROUP BY 1),
+         rk AS (SELECT cp, t,
+             2 * coalesce(sum(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+           FROM g),
+         agg AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(cp * r2), 0) AS BIGINT) AS wp_x2,
+             CAST(coalesce(sum(t*t*t - t), 0) AS BIGINT) AS tie_cube
+           FROM rk)
+         SELECT n, n_zero, wp_x2, tie_cube,
+           CASE WHEN n > 0 AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+               + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+               - CAST(tie_cube AS DOUBLE) / 48.0 > 0.0
+             THEN round((CAST(wp_x2 AS DOUBLE) / 2.0
+               - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                 * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                 - CAST(tie_cube AS DOUBLE) / 48.0), 6)
+             END AS z_r
+         FROM agg CROSS JOIN nz""",
+
+    // q331: within-block doubled tie-average ranks (partitioned rank +
+    // equal-count windows), exact HUGEINT square sums, one chi2 chain
+    "q331_friedman" ->
+      """WITH cells AS (SELECT c_nationkey AS nk, o_orderpriority AS pri,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS v
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         kk AS (SELECT CAST(count(DISTINCT pri) AS BIGINT) AS k
+           FROM cells),
+         sz AS (SELECT nk, count(*) AS s FROM cells GROUP BY 1),
+         dr AS (SELECT CAST(coalesce(sum(CASE WHEN s < k THEN 1
+             ELSE 0 END), 0) AS BIGINT) AS n_dropped
+           FROM sz CROSS JOIN kk),
+         comp AS (SELECT cells.nk, cells.pri, cells.v FROM cells
+           JOIN sz USING (nk) CROSS JOIN kk WHERE sz.s = kk.k),
+         rk AS (SELECT pri,
+             2 * rank() OVER (PARTITION BY nk ORDER BY v)
+               + count(*) OVER (PARTITION BY nk, v) - 1 AS r2
+           FROM comp),
+         per AS (SELECT pri, CAST(sum(r2) AS BIGINT) AS r2s,
+             CAST(count(*) AS BIGINT) AS nb,
+             sum(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS a2p
+           FROM rk GROUP BY 1),
+         agg AS (SELECT CAST(coalesce(max(nb), 0) AS BIGINT) AS n_blocks,
+             coalesce(sum(CAST(r2s AS HUGEINT) * CAST(r2s AS HUGEINT)),
+               CAST(0 AS HUGEINT)) AS rsq,
+             coalesce(sum(a2p), CAST(0 AS HUGEINT)) AS a2
+           FROM per)
+         SELECT n_blocks, k, n_dropped,
+           CAST(rsq AS BIGINT) AS rsq, CAST(a2 AS BIGINT) AS a2,
+           CASE WHEN n_blocks > 0 AND k >= 2
+               AND CAST(a2 - CAST(n_blocks AS HUGEINT) * k * (k+1) * (k+1)
+                 AS DOUBLE) > 0.0
+             THEN round(CAST(k - 1 AS DOUBLE)
+               * CAST(rsq - CAST(n_blocks AS HUGEINT) * n_blocks * k
+                 * (k+1) * (k+1) AS DOUBLE)
+               / CAST(a2 - CAST(n_blocks AS HUGEINT) * k * (k+1) * (k+1)
+                 AS DOUBLE), 6)
+             END AS chi2_r
+         FROM agg CROSS JOIN kk CROSS JOIN dr""",
+
+    // q332: exact per-stratum cells, complete-arm filter, the
+    // 0.0-seeded left fold in sorted-stratum order, one division
+    "q332_strata_ate" ->
+      """WITH c AS (SELECT lang AS s,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN doc_id % 2 = 0
+               THEN CAST(length(text) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS st,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN doc_id % 2 <> 0
+               THEN CAST(length(text) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS sc
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+           GROUP BY 1),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(coalesce(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1
+               ELSE 0 END), 0) AS BIGINT) AS n_complete,
+             CAST(coalesce(sum(CASE WHEN nt > 0 AND nc > 0
+               THEN nt + nc END), 0) AS BIGINT) AS n_used,
+             list(CAST(nt + nc AS DOUBLE)
+                 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+               ORDER BY CAST(s AS VARCHAR))
+               FILTER (WHERE nt > 0 AND nc > 0) AS cs
+           FROM c)
+         SELECT n_strata, n_complete, n_used,
+           CASE WHEN n_used > 0
+             THEN round(list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+               (a, b) -> a + b) / CAST(n_used AS DOUBLE), 6)
+             END AS ate_r
+         FROM f""",
+
+    // q333: the two ppb increments + boundaries replayed as the same
+    // fixed ln chains, exact-integer cumulative LLR, arg_min crossing
+    "q333_sprt" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS x
+           FROM orders WHERE o_orderkey IS NOT NULL),
+         inc AS (SELECT
+             CAST(round(1e9 * ln(310000.0 / 300000)) AS BIGINT) AS inc1,
+             CAST(round(1e9 * ln(690000.0 / 700000)) AS BIGINT) AS inc0,
+             CAST(round(1e9 * ln(950000.0 / 50000)) AS BIGINT) AS a_ppb,
+             CAST(round(1e9 * ln(50000.0 / 950000)) AS BIGINT) AS b_ppb),
+         cum AS (SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT)
+               AS i,
+             CAST(sum(x) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+           FROM base),
+         llr AS (SELECT i, c1,
+             c1 * inc1 + (i - c1) * inc0 AS v, a_ppb, b_ppb
+           FROM cum CROSS JOIN inc),
+         agg AS (SELECT CAST(coalesce(max(i), 0) AS BIGINT) AS n,
+             CAST(coalesce(max(c1), 0) AS BIGINT) AS n_pos,
+             CAST(min(CASE WHEN v >= a_ppb OR v <= b_ppb THEN i END)
+               AS BIGINT) AS n_decision,
+             CAST(arg_min(v, CASE WHEN v >= a_ppb OR v <= b_ppb THEN i
+               END) AS BIGINT) AS llr_at_decision,
+             CAST(arg_max(v, i) AS BIGINT) AS llr_final
+           FROM llr)
+         SELECT n, n_pos, inc1 AS inc1_ppb, inc0 AS inc0_ppb,
+           a_ppb, b_ppb, n_decision, llr_at_decision, llr_final,
+           CASE WHEN n_decision IS NULL THEN 'continue'
+             WHEN llr_at_decision >= a_ppb THEN 'accept_h1'
+             ELSE 'accept_h0' END AS decision
+         FROM agg CROSS JOIN inc""",
+
+    // q334: valve-kept distinct baskets, symmetric co-counts, the
+    // once-rounded cosine ppm, exact score sums, per-user top-5
+    "q334_item_cf" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         sz AS (SELECT u, count(*) AS s FROM ui GROUP BY 1),
+         kept AS (SELECT ui.u, ui.i FROM ui JOIN sz USING (u)
+           WHERE s <= 1000),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+           FROM kept GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib,
+             CAST(count(*) AS BIGINT) AS cc
+           FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sims0 AS (SELECT co.ia, co.ib,
+             CAST(round(CAST(cc AS DOUBLE) * 1e6
+               / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+               AS BIGINT) AS sim
+           FROM co JOIN ic ca ON co.ia = ca.i
+             JOIN ic cb ON co.ib = cb.i),
+         sims AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia
+               ORDER BY sim DESC, ib ASC) AS nrk
+           FROM sims0) WHERE nrk <= 50),
+         sc AS (SELECT k.u, s.ib AS item,
+             CAST(sum(s.sim) AS BIGINT) AS score_ppm,
+             CAST(count(*) AS BIGINT) AS n_contrib
+           FROM kept k JOIN sims s ON k.i = s.ia
+           GROUP BY 1, 2),
+         unowned AS (SELECT sc.u, sc.item, sc.score_ppm, sc.n_contrib
+           FROM sc WHERE NOT EXISTS (SELECT 1 FROM kept
+             WHERE kept.u = sc.u AND kept.i = sc.item)),
+         rn AS (SELECT u, item, score_ppm, n_contrib,
+             row_number() OVER (PARTITION BY u
+               ORDER BY score_ppm DESC, item ASC) AS rn
+           FROM unowned)
+         SELECT u AS "user", item, score_ppm, n_contrib,
+           CAST(rn AS INTEGER) AS rn
+         FROM rn WHERE rn <= 5 ORDER BY "user", rn""",
+
+    // q335: both closed-form sweeps replayed — HUGEINT num/den sums,
+    // factor = round(num·1e12/den) quantized once per update
+    "q335_als1" ->
+      """WITH r AS (SELECT o_custkey AS u, o_orderpriority AS i,
+             CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         u1 AS (SELECT u, CASE WHEN sum(CAST(1000000 AS HUGEINT)
+               * 1000000) = 0 THEN 0
+             ELSE CAST(round(CAST(sum(CAST(c AS HUGEINT) * 1000000)
+               AS DOUBLE) * 1e12 / CAST(sum(CAST(1000000 AS HUGEINT)
+               * 1000000) AS DOUBLE)) AS BIGINT) END AS f
+           FROM r GROUP BY 1),
+         v1 AS (SELECT i, CASE WHEN sum(CAST(f AS HUGEINT) * f) = 0
+               THEN 0
+             ELSE CAST(round(CAST(sum(CAST(c AS HUGEINT) * f)
+               AS DOUBLE) * 1e12 / CAST(sum(CAST(f AS HUGEINT) * f)
+               AS DOUBLE)) AS BIGINT) END AS f
+           FROM r JOIN u1 USING (u) GROUP BY 1),
+         u2 AS (SELECT u, CASE WHEN sum(CAST(f AS HUGEINT) * f) = 0
+               THEN 0
+             ELSE CAST(round(CAST(sum(CAST(c AS HUGEINT) * f)
+               AS DOUBLE) * 1e12 / CAST(sum(CAST(f AS HUGEINT) * f)
+               AS DOUBLE)) AS BIGINT) END AS f
+           FROM r JOIN v1 USING (i) GROUP BY 1),
+         v2 AS (SELECT i, CASE WHEN sum(CAST(f AS HUGEINT) * f) = 0
+               THEN 0
+             ELSE CAST(round(CAST(sum(CAST(c AS HUGEINT) * f)
+               AS DOUBLE) * 1e12 / CAST(sum(CAST(f AS HUGEINT) * f)
+               AS DOUBLE)) AS BIGINT) END AS f
+           FROM r JOIN u2 USING (u) GROUP BY 1),
+         us AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(f) AS BIGINT) AS sum_u_ppm FROM u2)
+         SELECT i AS item, f AS v_ppm, n_users, sum_u_ppm
+         FROM v2 CROSS JOIN us ORDER BY item""",
+
+    // q340: set assembly as a DISTINCT bit sum per conversion, v(S) as
+    // subset-containment sums over a 16-row coalition grid, the exact
+    // factorial-weighted marginal sweep, floor-div ppm share
+    "q340_shapley" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts, event_type t,
+             event_id FROM events),
+         conv AS (SELECT u, ts AS cts, event_id AS cid FROM ev
+           WHERE t = 'purchase'),
+         touch AS (SELECT u, ts AS tts, t AS ch FROM ev
+           WHERE t IN ('view', 'click', 'signup', 'error')),
+         j AS (SELECT DISTINCT conv.cid,
+             CASE touch.ch WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b
+           FROM conv JOIN touch ON conv.u = touch.u
+           AND touch.tts < conv.cts
+           AND touch.tts >= conv.cts - 604800000000000),
+         st AS (SELECT cid, CAST(sum(b) AS BIGINT) AS t FROM j
+           GROUP BY cid),
+         sets AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM st
+           GROUP BY t),
+         coal AS (SELECT CAST(r.range AS BIGINT) AS s FROM range(0, 16) r),
+         v AS (SELECT s, CAST(coalesce(sum(n), 0) AS BIGINT) AS v
+           FROM coal LEFT JOIN sets ON (sets.t & coal.s) = sets.t
+           GROUP BY s),
+         chn AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+             ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+             ('view', CAST(8 AS BIGINT))) c(channel, bit)),
+         fct AS (SELECT * FROM (VALUES (0, CAST(1 AS BIGINT)),
+             (1, CAST(1 AS BIGINT)), (2, CAST(2 AS BIGINT)),
+             (3, CAST(6 AS BIGINT))) t(sz, f)),
+         terms AS (SELECT chn.channel,
+             f1.f * f2.f * (vi.v - vs.v) AS term
+           FROM chn JOIN coal ON (coal.s & chn.bit) = 0
+           JOIN v vs ON vs.s = coal.s
+           JOIN v vi ON vi.s = (coal.s | chn.bit)
+           JOIN fct f1 ON f1.sz = bit_count(coal.s)
+           JOIN fct f2 ON f2.sz = 3 - bit_count(coal.s)),
+         phi AS (SELECT channel, CAST(sum(term) AS BIGINT) AS phi_kfact
+           FROM terms GROUP BY channel),
+         ns AS (SELECT chn.channel,
+             CAST(coalesce(sum(CASE WHEN (sets.t & chn.bit) <> 0
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sets
+           FROM chn LEFT JOIN sets ON true GROUP BY chn.channel),
+         tot AS (SELECT v AS vall FROM v WHERE s = 15)
+         SELECT phi.channel, ns.n_sets, phi.phi_kfact,
+           CASE WHEN vall = 0 THEN 0
+             ELSE CAST((phi_kfact * 1000000) // (24 * vall) AS BIGINT)
+             END AS phi_ppm
+         FROM phi JOIN ns USING (channel) CROSS JOIN tot
+         ORDER BY channel""",
+
+    // q341: mu / item / user biases as exact floor-div ppm off integer
+    // residual sums, lambda-damped denominators
+    "q341_bias_baseline" ->
+      """WITH r AS (SELECT o_custkey AS u, o_orderpriority AS i,
+             CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s FROM r),
+         mu AS (SELECT CAST((s * 1000000) // n AS BIGINT) AS mu_ppm
+           FROM g),
+         it AS (SELECT i AS item, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(c * 1000000 - mu_ppm) AS BIGINT) AS sr,
+             CAST(max(mu_ppm) AS BIGINT) AS mu_ppm
+           FROM r CROSS JOIN mu GROUP BY 1),
+         it2 AS (SELECT item, n_i,
+             CAST(sr // (10 + n_i) AS BIGINT) AS b_i_ppm, mu_ppm
+           FROM it),
+         us AS (SELECT u, CAST(count(*) AS BIGINT) AS n_u,
+             CAST(sum(c * 1000000 - it2.mu_ppm - b_i_ppm) AS BIGINT)
+               AS sr
+           FROM r JOIN it2 ON r.i = it2.item GROUP BY 1),
+         us2 AS (SELECT u, n_u,
+             CAST(sr // (10 + n_u) AS BIGINT) AS b_u_ppm FROM us),
+         ua AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(b_u_ppm) AS BIGINT) AS sum_bu,
+             CAST(min(b_u_ppm) AS BIGINT) AS min_bu,
+             CAST(max(b_u_ppm) AS BIGINT) AS max_bu FROM us2)
+         SELECT item, n_i, b_i_ppm, mu_ppm, n_users, sum_bu,
+           min_bu, max_bu
+         FROM it2 CROSS JOIN ua ORDER BY item""",
+
+    // q342: the identical messy-URL construction, then the same
+    // RE2-safe parse/normalize chains (list_filter + bytewise
+    // list_sort for params, anchored-tail regexp_replace for slashes)
+    "q342_url_normalize" ->
+      """WITH b AS (SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+                WHEN doc_id % 3 = 1 THEN 'https' ELSE 'ftp' END)
+             || '://'
+             || (CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END)
+             || 'WWW.' || source
+             || (CASE WHEN doc_id % 2 = 0 THEN '.Example.CO.UK'
+                  ELSE '.example.com' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                  WHEN doc_id % 3 = 1 THEN ':443' ELSE ':21' END)
+             || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+                  ELSE '?z=9&utm_campaign=s' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+             AS u
+           FROM documents),
+         p AS (SELECT doc_id, u,
+             lower(nullif(regexp_extract(u,
+               '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+             lower(nullif(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+               1), '')) AS host,
+             CAST(nullif(regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)',
+               1), '') AS BIGINT) AS port,
+             regexp_extract(u,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rp,
+             nullif(regexp_extract(u, '\?([^#]*)', 1), '') AS q
+           FROM b),
+         n AS (SELECT doc_id, scheme, host, port, rp,
+             CASE WHEN rp = '' THEN '/'
+               ELSE regexp_replace(rp, '/+$', '') END AS p1,
+             array_to_string(list_sort(list_filter(
+               string_split(coalesce(q, ''), '&'),
+               x -> NOT (regexp_matches(x,
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)=')
+                 OR x = ''))), '&') AS q2,
+             CASE WHEN nullif(regexp_extract(host,
+                 '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[A-Za-z]{2})$',
+                 1), '') IS NOT NULL
+               THEN regexp_extract(host,
+                 '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[A-Za-z]{2})$', 1)
+               ELSE nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+               END AS domain
+           FROM p)
+         SELECT doc_id, scheme, host, port,
+           rp AS path, domain,
+           CASE WHEN scheme IS NULL OR host IS NULL THEN NULL
+             ELSE scheme || '://' || host
+               || (CASE WHEN port IS NULL THEN ''
+                    WHEN scheme = 'http' AND port = 80 THEN ''
+                    WHEN scheme = 'https' AND port = 443 THEN ''
+                    ELSE ':' || CAST(port AS VARCHAR) END)
+               || (CASE WHEN p1 = '' THEN '/' ELSE p1 END)
+               || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+             END AS norm
+         FROM n ORDER BY doc_id""",
+
+    // q343: holdout = per-user last (ord, supp) row, train drops the
+    // pair, then the whole q334 chain (valve, co-counts, sim topK,
+    // score, anti, top-10) under the holdout + one hit join
+    "q343_rec_hitrate" ->
+      """WITH ev AS (SELECT o_custkey AS u, l_suppkey AS i,
+             l_orderkey * 10 + l_linenumber AS o
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         hold AS (SELECT u, i AS h FROM (SELECT u, i,
+             row_number() OVER (PARTITION BY u
+               ORDER BY o DESC, i DESC) AS rn FROM ev) WHERE rn = 1),
+         train AS (SELECT ev.u, ev.i FROM ev JOIN hold ON ev.u = hold.u
+           WHERE ev.i <> hold.h),
+         ui AS (SELECT DISTINCT u, i FROM train),
+         sz AS (SELECT u, count(*) AS s FROM ui GROUP BY 1),
+         kept AS (SELECT ui.u, ui.i FROM ui JOIN sz USING (u)
+           WHERE s <= 1000),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+           FROM kept GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib,
+             CAST(count(*) AS BIGINT) AS cc
+           FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sims0 AS (SELECT co.ia, co.ib,
+             CAST(round(CAST(cc AS DOUBLE) * 1e6
+               / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+               AS BIGINT) AS sim
+           FROM co JOIN ic ca ON co.ia = ca.i
+             JOIN ic cb ON co.ib = cb.i),
+         sims AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia
+               ORDER BY sim DESC, ib ASC) AS nrk
+           FROM sims0) WHERE nrk <= 50),
+         sc AS (SELECT k.u, s.ib AS item,
+             CAST(sum(s.sim) AS BIGINT) AS score_ppm
+           FROM kept k JOIN sims s ON k.i = s.ia
+           GROUP BY 1, 2),
+         unowned AS (SELECT sc.u, sc.item, sc.score_ppm
+           FROM sc WHERE NOT EXISTS (SELECT 1 FROM kept
+             WHERE kept.u = sc.u AND kept.i = sc.item)),
+         rn AS (SELECT u, item,
+             row_number() OVER (PARTITION BY u
+               ORDER BY score_ppm DESC, item ASC) AS rn
+           FROM unowned),
+         recs AS (SELECT u, item FROM rn WHERE rn <= 10),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM hold),
+         ne AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_eval
+           FROM train),
+         nh AS (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_hits
+           FROM recs JOIN hold ON recs.u = hold.u
+             AND recs.item = hold.h)
+         SELECT n_users, n_eval, n_hits,
+           CASE WHEN n_eval > 0 THEN round(CAST(n_hits AS DOUBLE)
+             / CAST(n_eval AS DOUBLE), 6) END AS hit_rate_r
+         FROM nu CROSS JOIN ne CROSS JOIN nh""",
+
+    // q344: span + equal integer segments, last test absorbs the
+    // remainder, embargo gap, grid-conditional fold counts
+    "q344_walk_forward" ->
+      """WITH g AS (SELECT epoch_ns(ts) // 86400000000000 AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         sp AS (SELECT min(b) AS b0, max(b) AS b1,
+             (max(b) - min(b) + 1) // 5 AS seg FROM g),
+         f AS (SELECT CAST(r.range AS BIGINT) AS fold, b0, b1, seg,
+             b0 + r.range * seg AS test_start,
+             b0 + r.range * seg - 2 AS train_end,
+             CASE WHEN r.range = 4 THEN b1 + 1
+               ELSE b0 + (r.range + 1) * seg END AS test_end
+           FROM range(1, 5) r CROSS JOIN sp)
+         SELECT fold, CAST(train_end AS BIGINT) AS train_end,
+           CAST(test_start AS BIGINT) AS test_start,
+           CAST(test_end AS BIGINT) AS test_end,
+           CAST(sum(CASE WHEN b < train_end THEN c ELSE 0 END)
+             AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN b >= train_end AND b < test_start
+             THEN c ELSE 0 END) AS BIGINT) AS n_embargoed,
+           CAST(sum(CASE WHEN b >= test_start AND b < test_end
+             THEN c ELSE 0 END) AS BIGINT) AS n_test
+         FROM f CROSS JOIN g
+         GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q345: lag-consecutive transitions (self drops, minCount prune),
+    // last item per user, top-5 successors with (cnt desc, item) ties
+    "q345_next_item" ->
+      """WITH ev AS (SELECT o_custkey AS u, l_suppkey AS i,
+             l_orderkey * 10 + l_linenumber AS o
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         wp AS (SELECT u, i,
+             lag(i) OVER (PARTITION BY u ORDER BY o, i) AS p FROM ev),
+         tr AS (SELECT p AS a, i AS b, CAST(count(*) AS BIGINT) AS cnt
+           FROM wp WHERE p IS NOT NULL AND p <> i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         lst AS (SELECT u, i AS a FROM (SELECT u, i,
+             row_number() OVER (PARTITION BY u
+               ORDER BY o DESC, i DESC) AS rn FROM ev) WHERE rn = 1),
+         j AS (SELECT lst.u, tr.b AS item, tr.cnt,
+             row_number() OVER (PARTITION BY lst.u
+               ORDER BY tr.cnt DESC, tr.b ASC) AS rn
+           FROM lst JOIN tr ON lst.a = tr.a)
+         SELECT u AS "user", item, cnt, CAST(rn AS INTEGER) AS rn
+         FROM j WHERE rn <= 5 ORDER BY "user", rn""",
+
+    // q336: q222's at-risk windows + the all-integer hazard: h_ppb
+    // floor-div per time, chaz a cumulative integer sum
+    "q336_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) END) AS tp,
+             max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY user_id),
+         dur AS (SELECT user_id % 2 AS cohort,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+               ELSE (tl - t0) // 86400000000000 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM pu),
+         d AS (SELECT cohort, t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+           FROM dur GROUP BY cohort, t),
+         w AS (SELECT cohort, t, d, c,
+             CAST(sum(d + c) OVER (PARTITION BY cohort)
+               - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM d),
+         h AS (SELECT cohort, t, n_risk, d, c,
+             CAST((d * 1000000000) // n_risk AS BIGINT) AS h_ppb
+           FROM w)
+         SELECT cohort, t, n_risk, d, c, h_ppb,
+           CAST(sum(h_ppb) OVER (PARTITION BY cohort ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS chaz_ppb
+         FROM h ORDER BY cohort, t""",
+
+    // q337: daily grid, consecutive-pair lag, nine HUGEINT moments,
+    // the identical centered-moment / Cramer / F float chain
+    "q337_granger" ->
+      """WITH grid AS (SELECT epoch_ns(ts) // 86400000000000 AS b,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS xs,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+               ELSE 0 END) AS BIGINT) AS ys
+           FROM events GROUP BY 1),
+         pairs AS (SELECT ys, yl, xl FROM (SELECT b, ys,
+             lag(b) OVER (ORDER BY b) AS pb,
+             lag(ys) OVER (ORDER BY b) AS yl,
+             lag(xs) OVER (ORDER BY b) AS xl
+           FROM grid) WHERE pb = b - 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ys) AS BIGINT) AS sy,
+             CAST(sum(yl) AS BIGINT) AS syl,
+             CAST(sum(xl) AS BIGINT) AS sxl,
+             sum(CAST(ys AS HUGEINT) * ys) AS syy,
+             sum(CAST(ys AS HUGEINT) * yl) AS syyl,
+             sum(CAST(ys AS HUGEINT) * xl) AS syxl,
+             sum(CAST(yl AS HUGEINT) * yl) AS syl2,
+             sum(CAST(xl AS HUGEINT) * xl) AS sxl2,
+             sum(CAST(yl AS HUGEINT) * xl) AS sylxl
+           FROM pairs),
+         ch AS (SELECT *,
+             CAST(syl2 AS DOUBLE) - CAST(syl AS DOUBLE)
+               * CAST(syl AS DOUBLE) / CAST(n AS DOUBLE) AS s11,
+             CAST(sxl2 AS DOUBLE) - CAST(sxl AS DOUBLE)
+               * CAST(sxl AS DOUBLE) / CAST(n AS DOUBLE) AS s22,
+             CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE)
+               * CAST(sxl AS DOUBLE) / CAST(n AS DOUBLE) AS s12,
+             CAST(syyl AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(syl AS DOUBLE) / CAST(n AS DOUBLE) AS sy1,
+             CAST(syxl AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sxl AS DOUBLE) / CAST(n AS DOUBLE) AS sy2,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS syyc
+           FROM m),
+         rs AS (SELECT *,
+             s11 * s22 - s12 * s12 AS det,
+             CASE WHEN n > 3 AND s11 > 0.0
+               THEN syyc - sy1 * sy1 / s11 END AS rss_r,
+             CASE WHEN n > 3 AND s11 > 0.0 AND s11 * s22 - s12 * s12 > 0.0
+               THEN syyc - (sy1 * sy1 * s22 - sy1 * sy2 * s12 * 2.0
+                 + sy2 * sy2 * s11) / (s11 * s22 - s12 * s12) END AS rss_u
+           FROM ch)
+         SELECT n AS n_pairs, sy, syl, sxl,
+           CAST(syy AS BIGINT) AS syy, CAST(syyl AS BIGINT) AS syyl,
+           CAST(syxl AS BIGINT) AS syxl, CAST(syl2 AS BIGINT) AS syl2,
+           CAST(sxl2 AS BIGINT) AS sxl2, CAST(sylxl AS BIGINT) AS sylxl,
+           round(rss_r, 6) AS rss_r6, round(rss_u, 6) AS rss_u6,
+           CASE WHEN rss_u IS NOT NULL AND rss_u > 0.0
+             THEN round((rss_r - rss_u) * CAST(n - 3 AS DOUBLE) / rss_u, 6)
+             END AS f6
+         FROM rs""",
+
+    // q338: q227's window join with the discrete halving weight —
+    // pure-integer shift decay, exact floor-div credit shares
+    "q338_time_decay" ->
+      """WITH ev AS (SELECT user_id u, epoch_ns(ts) ts, event_type t,
+             event_id FROM events),
+         conv AS (SELECT u, ts AS cts, event_id AS cid FROM ev
+           WHERE t = 'purchase'),
+         touch AS (SELECT u, ts AS tts, t AS channel FROM ev
+           WHERE t IN ('view', 'click')),
+         j AS (SELECT conv.cid, touch.channel,
+             1000000 // (CAST(1 AS BIGINT) << CAST(least(
+               (conv.cts - touch.tts) // 86400000000000, 62) AS INTEGER))
+               AS w
+           FROM conv JOIN touch ON conv.u = touch.u
+           AND touch.tts < conv.cts
+           AND touch.tts >= conv.cts - 604800000000000),
+         n AS (SELECT cid, CAST(sum(w) AS BIGINT) AS ws FROM j
+           GROUP BY cid)
+         SELECT j.channel, count(*) AS touches,
+           count(DISTINCT j.cid) AS conversions_touched,
+           CAST(sum((j.w * 1000000) // n.ws) AS BIGINT) AS credit_ppm
+         FROM j JOIN n ON j.cid = n.cid
+         WHERE n.ws > 0
+         GROUP BY j.channel ORDER BY j.channel""",
+
+    // q339: control grid with floor-div ybar_ppm, backward/forward
+    // IGNORE NULLS carries on the score axis, nearest-ties-backward,
+    // exact ATT numerator
+    "q339_caliper_att" ->
+      s"""WITH $qualityScorePosCtes,
+         b AS (SELECT CAST(round(sc * 1000000) AS BIGINT) AS s,
+             (doc_id % 2 = 0) AS tr,
+             CAST(length(text) AS BIGINT) AS y
+           FROM q JOIN documents USING (doc_id)
+           WHERE text IS NOT NULL),
+         grid AS (SELECT s,
+             CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+             CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sy_c
+           FROM b GROUP BY 1),
+         car AS (SELECT *,
+             last_value(CASE WHEN n_c > 0 THEN s END IGNORE NULLS)
+               OVER (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS bs,
+             last_value(CASE WHEN n_c > 0
+                 THEN (sy_c * 1000000) // n_c END IGNORE NULLS)
+               OVER (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS by,
+             last_value(CASE WHEN n_c > 0 THEN s END IGNORE NULLS)
+               OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS fs,
+             last_value(CASE WHEN n_c > 0
+                 THEN (sy_c * 1000000) // n_c END IGNORE NULLS)
+               OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS fy
+           FROM grid),
+         mt AS (SELECT *,
+             CASE WHEN bs IS NOT NULL AND (fs IS NULL OR s - bs <= fs - s)
+                 THEN s - bs
+               WHEN fs IS NOT NULL THEN fs - s END AS md,
+             CASE WHEN bs IS NOT NULL AND (fs IS NULL OR s - bs <= fs - s)
+                 THEN by
+               WHEN fs IS NOT NULL THEN fy END AS my
+           FROM car WHERE n_t > 0),
+         ok AS (SELECT *, md IS NOT NULL AND md <= 1000 AS o FROM mt),
+         agg AS (SELECT
+             CAST(coalesce(sum(n_t), 0) AS BIGINT) AS n_treated,
+             CAST(coalesce(sum(CASE WHEN o THEN n_t ELSE 0 END), 0)
+               AS BIGINT) AS n_matched,
+             CAST(coalesce(sum(CASE WHEN o THEN 0 ELSE n_t END), 0)
+               AS BIGINT) AS n_unmatched,
+             coalesce(sum(CASE WHEN o THEN CAST(sy_t AS HUGEINT)
+               * 1000000 - CAST(n_t AS HUGEINT) * my
+               ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT))
+               AS att_num
+           FROM ok)
+         SELECT n_treated, n_matched, n_unmatched,
+           CAST(att_num AS BIGINT) AS att_num,
+           CASE WHEN n_matched > 0 THEN round(CAST(att_num AS DOUBLE)
+             / (CAST(n_matched AS DOUBLE) * 1e6), 6) END AS att_r
+         FROM agg""",
 
     // q271: per-key counts, total/distinct broadcast, TakeOrdered top-8
     // with (cnt desc, key asc) tie order, exact ppm shares

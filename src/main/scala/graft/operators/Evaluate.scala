@@ -1895,6 +1895,176 @@ object Evaluate {
       col("_r.c").as("c") :+ col("_r.surv").as("surv"): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard per group — [[kaplanMeier]]'s
+    * additive twin (H(t) = Σ_{t'≤t} d_{t'}/n_{t'}; S ≈ e^{−H}), and the
+    * estimator of choice when hazard INCREMENTS matter (competing-risk
+    * extensions, piecewise-exponential fits). Unlike the KM product,
+    * the sum is FULLY integer-exact here: each time's increment is
+    * h_ppb = (d·10⁹) div n_risk (floor, documented) and the cumulative
+    * hazard is a plain integer prefix sum — no float chain at all.
+    * Same input conventions as [[kaplanMeier]] (event 0/1, negative/
+    * null durations and bad flags drop) and the same bounded-distinct-
+    * duration scale contract: the windows are group-partitioned over
+    * ≤T grid rows, never global. Returns one row per (group…, t):
+    * (n_risk, d, c, h_ppb, chaz_ppb). */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[String],
+      duration: Column, event: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCols.map(col) :+
+        duration.cast("long").as("_t") :+ event.cast("long").as("_e"): _*)
+      .where(col("_t").isNotNull && col("_t") >= 0 &&
+        col("_e").isin(0L, 1L))
+    val byT = base.groupBy(groupCols.map(col) :+ col("_t"): _*)
+      .agg(sum("_e").as("d"), sum(lit(1L) - col("_e")).as("c"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wAll) -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("h_ppb", expr("(d * 1000000000L) div n_risk"))
+      .withColumn("chaz_ppb", sum("h_ppb").over(wCum))
+      .select(groupCols.map(col) :+ col("_t").as("t") :+ col("n_risk") :+
+        col("d") :+ col("c") :+ col("h_ppb") :+ col("chaz_ppb"): _*)
+  }
+
+  /** Granger lag-1 causality F-test on two bucketed series — "do
+    * yesterday's x counts help predict today's y counts beyond
+    * yesterday's y?" The nested-OLS comparison: restricted
+    * y_t ~ (1, y_{t−1}) vs unrestricted y_t ~ (1, y_{t−1}, x_{t−1}),
+    * F = (RSS_r − RSS_u)·(n−3)/RSS_u with both fits CLOSED-FORM from
+    * nine raw moments (Cramer on the 2-predictor normal equations) —
+    * no gradient, no iteration. Only CONSECUTIVE bucket pairs enter
+    * (t−1 present on the grid; gaps drop, documented — zero-fill
+    * upstream via the dense-grid ops if absence means 0). The
+    * data-sized work is ONE groupBy onto the bucket grid; the lag and
+    * the moments run over the bounded grid (the q157 scale contract),
+    * raw moments accumulate in exact Decimal(38,0), and every derived
+    * quantity is one fixed float chain off those integers. Null f when
+    * n ≤ 3 or any variance/determinant/RSS_u is ≤ 0 (constant series,
+    * collinear lags). Returns one row: (n_pairs, sy/syl/sxl exact,
+    * syy/syyl/syxl/syl2/sxl2/sylxl decimal, rss_r, rss_u, f). */
+  def grangerLag1(df: DataFrame, bucket: Column, x: Column,
+      y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.select(bucket.cast("long").as("_b"),
+        coalesce(x.cast("long"), lit(0L)).as("_x"),
+        coalesce(y.cast("long"), lit(0L)).as("_y"))
+      .where(col("_b").isNotNull)
+      .groupBy("_b").agg(sum("_x").as("_xs"), sum("_y").as("_ys"))
+    val w = Window.orderBy("_b")
+    val pairs = grid
+      .withColumn("_pb", lag(col("_b"), 1).over(w))
+      .withColumn("_yl", lag(col("_ys"), 1).over(w))
+      .withColumn("_xl", lag(col("_xs"), 1).over(w))
+      .where(col("_pb") === col("_b") - 1L)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum("_ys").as("sy"), sum("_yl").as("syl"), sum("_xl").as("sxl"),
+      sum(dec(col("_ys")) * dec(col("_ys"))).as("syy"),
+      sum(dec(col("_ys")) * dec(col("_yl"))).as("syyl"),
+      sum(dec(col("_ys")) * dec(col("_xl"))).as("syxl"),
+      sum(dec(col("_yl")) * dec(col("_yl"))).as("syl2"),
+      sum(dec(col("_xl")) * dec(col("_xl"))).as("sxl2"),
+      sum(dec(col("_yl")) * dec(col("_xl"))).as("sylxl"))
+    val nD = col("n_pairs").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val syD = col("sy").cast("double"); val sylD = col("syl").cast("double")
+    val sxlD = col("sxl").cast("double")
+    val s11 = d("syl2") - sylD * sylD / nD
+    val s22 = d("sxl2") - sxlD * sxlD / nD
+    val s12 = d("sylxl") - sylD * sxlD / nD
+    val sy1 = d("syyl") - syD * sylD / nD
+    val sy2 = d("syxl") - syD * sxlD / nD
+    val syyC = d("syy") - syD * syD / nD
+    val det = s11 * s22 - s12 * s12
+    val rssR = syyC - sy1 * sy1 / s11
+    val rssU = syyC -
+      (sy1 * sy1 * s22 - sy1 * sy2 * s12 * 2.0 + sy2 * sy2 * s11) / det
+    m.withColumn("rss_r",
+        when(col("n_pairs") > 3L && s11 > 0.0, rssR))
+      .withColumn("rss_u",
+        when(col("n_pairs") > 3L && s11 > 0.0 && det > 0.0, rssU))
+      .withColumn("f",
+        when(col("rss_u").isNotNull && col("rss_u") > 0.0,
+          (col("rss_r") - col("rss_u")) *
+            (col("n_pairs") - 3L).cast("double") / col("rss_u")))
+  }
+
+  /** Caliper nearest-neighbor propensity matching (with replacement) —
+    * the estimator between [[strataAte]]'s coarse strata and a full
+    * model: each treated unit is matched to the NEAREST control on the
+    * quantized propensity axis, unmatched past the caliper, and the
+    * ATT is the mean treated-minus-matched-control outcome. Matching
+    * happens at the SCORE-VALUE level (all controls at the matched
+    * score are equally near, so the match outcome is their floor-div
+    * mean ybar_ppm = (Σy·10⁶) div n — deterministic, no tie lottery;
+    * documented). Nearest = min(backward, forward) distance with ties
+    * to backward. Scores arrive as exact quantized longs (the
+    * [[isotonicFit]]/[[conformalSplit]] contract), so the carry
+    * windows run over the bounded score GRID, never data rows; the ATT
+    * numerator Σ(Σy_t·10⁶ − n_t·ybar_match) is exact Decimal, one
+    * division at the end. Returns one row: (n_treated, n_matched,
+    * n_unmatched, att_num decimal, att). */
+  def caliperMatchAtt(df: DataFrame, scorePpm: Column, treated: Column,
+      y: Column, caliper: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(caliper >= 0L, s"caliper must be >= 0, got $caliper")
+    val base = df.select(scorePpm.cast("long").as("_s"),
+        treated.cast("boolean").as("_t"), y.cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_t").isNotNull &&
+        col("_y").isNotNull)
+    val grid = base.groupBy("_s").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("_t"), col("_y")).otherwise(0L)).as("sy_t"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("n_c"),
+      sum(when(!col("_t"), col("_y")).otherwise(0L)).as("sy_c"))
+    val cS = when(col("n_c") > 0L, col("_s"))
+    // truncating integer division toward zero — Spark `div` and
+    // DuckDB `//` share the convention (verified on negatives), so a
+    // negative-y control mean replays exactly
+    val cY = when(col("n_c") > 0L, expr("(sy_c * 1000000L) div n_c"))
+    val wB = Window.orderBy(col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = grid
+      .withColumn("_bs", last(cS, ignoreNulls = true).over(wB))
+      .withColumn("_by", last(cY, ignoreNulls = true).over(wB))
+      .withColumn("_fs", last(cS, ignoreNulls = true).over(wF))
+      .withColumn("_fy", last(cY, ignoreNulls = true).over(wF))
+    val db = col("_s") - col("_bs")
+    val dfw = col("_fs") - col("_s")
+    val pickB = col("_bs").isNotNull &&
+      (col("_fs").isNull || db <= dfw)
+    val matched = carried.where(col("n_t") > 0L)
+      .withColumn("_md", when(pickB, db)
+        .when(col("_fs").isNotNull, dfw))
+      .withColumn("_my", when(pickB, col("_by"))
+        .when(col("_fs").isNotNull, col("_fy")))
+      .withColumn("_ok", col("_md").isNotNull && col("_md") <= caliper)
+    matched.agg(
+        coalesce(sum("n_t"), lit(0L)).as("n_treated"),
+        coalesce(sum(when(col("_ok"), col("n_t")).otherwise(0L)), lit(0L))
+          .as("n_matched"),
+        coalesce(sum(when(!col("_ok"), col("n_t")).otherwise(0L)),
+          lit(0L)).as("n_unmatched"),
+        coalesce(sum(when(col("_ok"),
+          col("sy_t").cast("decimal(38,0)") * 1000000L -
+            col("n_t").cast("decimal(38,0)") * col("_my"))
+          .otherwise(lit(0L).cast("decimal(38,0)"))),
+          lit(0L).cast("decimal(38,0)")).as("att_num"))
+      .withColumn("att", when(col("n_matched") > 0L,
+        col("att_num").cast("double") /
+          (col("n_matched").cast("double") * 1e6)))
+  }
+
   /** Trailing rolling-window aggregates over the dense zero-filled
     * bucket grid — the moving-average volume monitor (`window`-bucket
     * trailing sum / mean per group; gap buckets count 0, exactly like
@@ -2989,6 +3159,494 @@ object Evaluate {
     * `a`/`b` carry (idCol, rankCol) with ranks 1..depth (build them
     * with a deterministic row_number). Returns one row:
     * (n_a, n_b, n_shared, rbo_num, rbo). */
+  /** Benjamini–Hochberg FDR control over a table of hypothesis tests —
+    * the multiplicity correction the per-test battery (chi-square,
+    * Cochran, Welch, log-rank, …) needs the moment you run it per
+    * segment: at α=0.05 over 1000 segments, ~50 "discoveries" are
+    * noise. Input is ONE ROW PER HYPOTHESIS (analysis-bounded — never
+    * data rows), p-values as exact ppb longs (empirical/permutation
+    * p-values are exact rationals; CDF-derived ones arrive already
+    * quantized). Ranks are the deterministic (p asc, id asc) total
+    * order; the rejection test is the division-free cross-multiply
+    * p_(k)·m ≤ k·α (all longs, in-plan guarded against overflow), and
+    * BH's step-up rule — reject i iff ANY k ≥ i passes — is one suffix
+    * max. The adjusted q-value is the textbook suffix min of
+    * p_(k)·m/k, floor-quantized ONCE to ppb before the min (the
+    * quantized-once rule: both engines take min over identical
+    * integers), capped at 10⁹.
+    *
+    * Scale shape: two windows over the m-row test table (m = number of
+    * hypotheses, not corpus rows) — global by design and bounded by
+    * design, like [[averagePrecision]]'s ranking. Returns one row per
+    * test: (test_id, p_ppb, rank, m, q_ppb, reject). */
+  def bhAdjust(tests: DataFrame, testId: Column, pPpb: Column,
+      alphaPpb: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaPpb > 0L && alphaPpb < 1000000000L,
+      s"alphaPpb must be in (0, 1e9), got $alphaPpb")
+    val base = tests.select(testId.as("test_id"),
+        pPpb.cast("long").as("p_ppb"))
+      .where(col("p_ppb").isNotNull)
+      // p outside [0, 1] is a caller bug; m > 1e9 would overflow the
+      // cross-multiply (p·m ≤ 1e9·1e9 = 1e18 < 2^63 when both hold).
+      .withColumn("p_ppb", when(
+        col("p_ppb") >= 0L && col("p_ppb") <= 1000000000L, col("p_ppb"))
+        .otherwise(raise_error(concat(
+          lit("bhAdjust: p_ppb outside [0, 1e9]: "),
+          col("p_ppb").cast("string")))))
+    // m ≤ 1e9 keeps p·m ≤ 1e18 < 2^63 (and a billion hypotheses means
+    // the caller fed data rows, not tests — refuse loudly).
+    val m = base.agg(
+      when(count(lit(1)) <= 1000000000L, count(lit(1)))
+        .otherwise(raise_error(concat(
+          lit("bhAdjust: more than 1e9 hypotheses: "),
+          count(lit(1)).cast("string")))).as("m"))
+    val w = Window.orderBy(col("p_ppb").asc, col("test_id").asc)
+    val ranked = base.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_pass",
+        when(col("p_ppb") * col("m") <= col("rank") * lit(alphaPpb), 1)
+          .otherwise(0))
+      .withColumn("_qraw",
+        least(expr("(p_ppb * m) div rank"), lit(1000000000L)))
+    val wSuf = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("q_ppb", min(col("_qraw")).over(wSuf))
+      .withColumn("reject", max(col("_pass")).over(wSuf) === 1)
+      .select("test_id", "p_ppb", "rank", "m", "q_ppb", "reject")
+  }
+
+  /** Difference-in-differences — the 2×2 (treated × post) causal
+    * contrast for a natural experiment: did the treated group's
+    * outcome move MORE than the control's across the event?
+    * did = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). All four cell
+    * (n, Σ) pairs come from ONE conditional-sum pass of exact longs
+    * (the [[confusionStats]] shape); the estimate is one fixed float
+    * chain of four IEEE divisions — deterministic on both engines.
+    * Null did when any cell is empty (a missing cell means the design
+    * is broken, not that the effect is 0). Returns one row:
+    * (n_t1/s_t1 … n_c0/s_c0, did). */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      value: Column): DataFrame = {
+    val base = df.select(treated.cast("boolean").as("_t"),
+        post.cast("boolean").as("_p"), value.cast("long").as("_v"))
+      .where(col("_t").isNotNull && col("_p").isNotNull &&
+        col("_v").isNotNull)
+    def cell(t: Boolean, p: Boolean, suffix: String): Seq[Column] = {
+      val in = (if (t) col("_t") else !col("_t")) &&
+        (if (p) col("_p") else !col("_p"))
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$suffix"),
+        sum(when(in, col("_v")).otherwise(0L)).as(s"s_$suffix"))
+    }
+    val aggs = cell(true, true, "t1") ++ cell(true, false, "t0") ++
+      cell(false, true, "c1") ++ cell(false, false, "c0")
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("did", when(
+        col("n_t1") > 0L && col("n_t0") > 0L &&
+          col("n_c1") > 0L && col("n_c0") > 0L,
+        (col("s_t1").cast("double") / col("n_t1").cast("double") -
+          col("s_t0").cast("double") / col("n_t0").cast("double")) -
+          (col("s_c1").cast("double") / col("n_c1").cast("double") -
+            col("s_c0").cast("double") / col("n_c0").cast("double"))))
+  }
+
+  /** Uplift (Qini) bin table — the evaluation report for incremental
+    * targeting: rank everyone by the model's uplift score, and ask per
+    * score bin whether TREATED units convert more than CONTROL units
+    * (a response model's lift table can't tell you that — it confounds
+    * "would buy anyway"). Ranking is the deterministic (−score, key)
+    * total order via [[GroupOps.globalOrderIndex]] (range-partitioned,
+    * never a 1-partition sort); bins are exact integer
+    * (rank·nBins) div n; per-bin treated/control counts and positives
+    * are exact longs; uplift = p_t − p_c and the Qini value
+    * cum_pos_t − cum_pos_c·(cum_n_t/cum_n_c) are one float chain each,
+    * null while a side is still empty. Cumulation runs over ≤ nBins
+    * bin rows. Returns (bin, n_t, n_c, pos_t, pos_c, cum_n_t, cum_n_c,
+    * cum_pos_t, cum_pos_c, uplift, qini). */
+  def upliftBins(df: DataFrame, score: Column, treated: Column,
+      positive: Column, key: Column, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val base = df.select(score.cast("double").as("_s"),
+        treated.cast("boolean").as("_t"),
+        when(positive, 1L).otherwise(0L).as("_p"), key.as("_k"))
+      .where(col("_s").isNotNull && col("_t").isNotNull)
+    val idx = GroupOps.globalOrderIndex(base, "_gi",
+      (-col("_s")).as("_ns"), col("_k"))
+    val n = base.agg(count(lit(1)).as("_n"))
+    val bins = idx.crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"(_gi * $nBins) div _n").cast("int"))
+      .groupBy("bin")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("_t"), col("_p")).otherwise(0L)).as("pos_t"),
+        sum(when(!col("_t"), col("_p")).otherwise(0L)).as("pos_c"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_n_t", sum("n_t").over(w))
+      .withColumn("cum_n_c", sum("n_c").over(w))
+      .withColumn("cum_pos_t", sum("pos_t").over(w))
+      .withColumn("cum_pos_c", sum("pos_c").over(w))
+      .withColumn("uplift", when(col("n_t") > 0L && col("n_c") > 0L,
+        col("pos_t").cast("double") / col("n_t").cast("double") -
+          col("pos_c").cast("double") / col("n_c").cast("double")))
+      .withColumn("qini", when(col("cum_n_c") > 0L,
+        col("cum_pos_t").cast("double") -
+          col("cum_pos_c").cast("double") *
+            (col("cum_n_t").cast("double") / col("cum_n_c").cast("double"))))
+  }
+
+  /** Split-conformal calibration: the finite-sample-valid prediction
+    * threshold. On the calibration slice take the k-th smallest
+    * nonconformity score with k = ⌈(n_cal+1)(1−α)⌉ (exact ceil by
+    * integer arithmetic, α in ppm); any eval point with score ≤ that
+    * threshold is covered with probability ≥ 1−α regardless of the
+    * model. Selection runs over the per-VALUE count grid (the
+    * winsorize discipline — a cumulative window over distinct score
+    * values, never data rows); coverage on the eval slice is exact
+    * integers + one division. k > n_cal (tiny calibration set at small
+    * α) → null threshold, coverage 1 by convention (the infinite
+    * threshold covers everything). Scores arrive as exact longs —
+    * quantize upstream (the [[isotonicFit]] contract). Returns one
+    * row: (n_cal, k, threshold, n_eval, covered, coverage). */
+  def conformalSplit(df: DataFrame, score: Column, isCal: Column,
+      alphaPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alphaPpm > 0L && alphaPpm < 1000000L,
+      s"alphaPpm must be in (0, 1e6), got $alphaPpm")
+    val base = df.select(score.cast("long").as("_s"),
+        isCal.cast("boolean").as("_cal"))
+      .where(col("_s").isNotNull && col("_cal").isNotNull)
+    val calN = base.where(col("_cal")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k",
+        expr(s"((n_cal + 1) * ${1000000L - alphaPpm} + 999999) div 1000000"))
+    val grid = base.where(col("_cal"))
+      .groupBy("_s").agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy("_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = grid.withColumn("_cum", sum("_c").over(w))
+      .crossJoin(broadcast(calN))
+      .where(col("_cum") >= col("k"))
+      .agg(min("_s").as("threshold"))
+    val ev = base.where(!col("_cal"))
+      .crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("threshold").isNotNull &&
+          col("_s") <= col("threshold"), 1L)
+          .when(col("threshold").isNull, 1L)
+          .otherwise(0L)).as("covered"))
+    calN.crossJoin(broadcast(thr)).crossJoin(broadcast(ev))
+      .withColumn("coverage", when(col("n_eval") > 0L,
+        col("covered").cast("double") / col("n_eval").cast("double")))
+      .select("n_cal", "k", "threshold", "n_eval", "covered", "coverage")
+  }
+
+  /** Weight-of-evidence / information-value table — the credit-scoring
+    * feature screen: per category, how differently do positives and
+    * negatives distribute, and how much separation does the whole
+    * feature carry (IV < 0.02 useless, > 0.5 suspicious)? Both sides
+    * are Laplace-smoothed (+1 per category over total+K, the
+    * [[psiBins]] rule) so one-sided categories stay finite and
+    * deterministic; woe_ppb = round(ln(p/q)·10⁹) and
+    * iv_ppb = round((p−q)·ln(p/q)·10⁹) are each ONE fixed float chain
+    * over exact integers, rounded once (order-free — the per-category
+    * rows are independent; total IV = Σ iv_ppb / 10⁹ downstream). One
+    * contingency aggregation, any scale. Returns one row per category:
+    * (bucket, n, n_pos, n_neg, woe_ppb, iv_ppb). */
+  def woeIv(df: DataFrame, bucket: Column, positive: Column): DataFrame = {
+    val cells = df.select(bucket.as("bucket"),
+        positive.cast("boolean").as("_p"))
+      .where(col("bucket").isNotNull && col("_p").isNotNull)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_p"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = cells.agg(sum("n_pos").as("_g"), sum("n_neg").as("_b"),
+      count(lit(1)).as("_k"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_pp", (col("n_pos") + 1L).cast("double") /
+        (col("_g") + col("_k")).cast("double"))
+      .withColumn("_qq", (col("n_neg") + 1L).cast("double") /
+        (col("_b") + col("_k")).cast("double"))
+      .withColumn("woe_ppb",
+        round(log(col("_pp") / col("_qq")) * 1e9).cast("long"))
+      .withColumn("iv_ppb",
+        round((col("_pp") - col("_qq")) * log(col("_pp") / col("_qq")) * 1e9)
+          .cast("long"))
+      .select("bucket", "n", "n_pos", "n_neg", "woe_ppb", "iv_ppb")
+  }
+
+  /** Wilcoxon signed-rank test — [[mannWhitneyU]]'s PAIRED twin: the
+    * same subjects measured before/after (two filters on the same
+    * docs, a model swap on the same queries), "did the distribution of
+    * within-subject differences shift?" without assuming normality.
+    * d = after − before as exact longs; zero differences DROP (the
+    * classic Wilcoxon convention, documented — n below is the nonzero
+    * count); |d| gets the doubled tie-average rank off the per-value
+    * count grid with the SAME range-partition + two-pass prefix sum as
+    * [[mannWhitneyUCounts]] (never a 1-partition sort), and
+    * `wp_x2` = 2·W⁺ = Σ_{d>0} r2 is exact while ~2n² < 2⁶³. The tie
+    * term Σ(t³−t) accumulates in Decimal(38,0). z is ONE fixed float
+    * chain over the normal approximation, NO continuity correction
+    * (the [[mannWhitneyU]] rule): z = (W⁺ − n(n+1)/4)/σ with
+    * σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48; null when n = 0 or σ² ≤ 0
+    * (all |d| tied at one value with one sign… degenerate designs).
+    *
+    * Returns one row: (n, n_zero, wp_x2, tie_cube decimal, z) —
+    * gate-cast tie_cube to BIGINT downstream (the q234 rule). */
+  def wilcoxonSignedRank(df: DataFrame, before: Column,
+      after: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val d = df.select((after.cast("long") - before.cast("long")).as("_d"))
+      .where(col("_d").isNotNull)
+    val nZero = d.agg(
+      sum(when(col("_d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val grid = d.where(col("_d") =!= 0L)
+      .select(abs(col("_d")).as("_ad"),
+        when(col("_d") > 0L, 1L).otherwise(0L).as("_pos"))
+      .groupBy("_ad")
+      .agg(sum("_pos").as("_cp"),
+        sum(lit(1L) - col("_pos")).as("_cn"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = grid.repartitionByRange(parts, col("_ad"))
+      .sortWithinPartitions("_ad")
+    val partSums = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var t = 0L
+      it.foreach { r => t += r.getLong(1) + r.getLong(2) }
+      Iterator((i, t))
+    }.collect().sortBy(_._1)
+    val offs = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offs)
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        val cp = r.getLong(1); val cn = r.getLong(2); val t = cp + cn
+        val r2 = 2L * cum + t + 1L
+        cum += t
+        Row(cp, t, r2)
+      }
+    }
+    val ranked = spark.createDataFrame(rows, StructType(
+      Seq("_cp", "_t", "_r2").map(n =>
+        StructField(n, LongType, nullable = false))))
+    val agg = ranked.agg(
+      coalesce(sum("_t"), lit(0L)).as("n"),
+      coalesce(sum(col("_cp") * col("_r2")), lit(0L)).as("wp_x2"),
+      coalesce(sum((col("_t") * col("_t") * col("_t") - col("_t"))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+        .as("tie_cube"))
+      .crossJoin(broadcast(nZero))
+      .withColumn("n_zero", coalesce(col("n_zero"), lit(0L)))
+    val nd = col("n").cast("double")
+    val sigma2 = nd * (nd + 1.0) * (nd * 2.0 + 1.0) / 24.0 -
+      col("tie_cube").cast("double") / 48.0
+    agg.withColumn("z",
+        when(col("n") > 0L && sigma2 > 0.0,
+          (col("wp_x2").cast("double") / 2.0 -
+            nd * (nd + 1.0) / 4.0) / sqrt(sigma2))
+          .otherwise(lit(null).cast("double")))
+      .select("n", "n_zero", "wp_x2", "tie_cube", "z")
+  }
+
+  /** Friedman test — [[cochranQ]]'s ordinal sibling and
+    * [[kruskalWallis]]'s BLOCKED twin: k treatments measured on the
+    * same n blocks (k prompts scored on the same documents), ranks
+    * taken WITHIN each block so between-block level differences cancel
+    * by construction. Duplicate (block, treatment) rows are a caller
+    * bug → in-plan raise_error (the cochranQ discipline); incomplete
+    * blocks (fewer than k treatments present) DROP and are counted.
+    * Within-block doubled tie-average ranks come from one
+    * block-partitioned rank window + an equal-count window
+    * (r2 = 2·rank_min + t − 1, partitioned — never a global sort);
+    * per-treatment Σr2 are exact longs and both square sums accumulate
+    * in Decimal(38,0). The tie-robust statistic (Conover's form,
+    * reduces to the classic 12/(nk(k+1))·ΣR_j² − 3n(k+1) when tie-free)
+    * is ONE division over exact integers, ×4-scaled to stay in doubled
+    * units: χ² = (k−1)·(ΣR2_j² − n²k(k+1)²)/(A2 − nk(k+1)²) with
+    * A2 = ΣΣ r2². Null χ² when n = 0, k < 2, or the denominator ≤ 0
+    * (every block fully tied). k is bounded (treatment arms), so the
+    * per-treatment fold is over k rows.
+    *
+    * Returns one row: (n_blocks, k, n_dropped, rsq decimal,
+    * a2 decimal, chi2). */
+  def friedman(df: DataFrame, block: Column, treatment: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(block.as("_b"), treatment.as("_tr"),
+        value.cast("long").as("_v"))
+      .where(col("_b").isNotNull && col("_tr").isNotNull &&
+        col("_v").isNotNull)
+      .groupBy("_b", "_tr")
+      .agg(when(count(lit(1)) === 1L, first(col("_v")))
+        .otherwise(raise_error(concat(
+          lit("friedman: duplicate (block, treatment) rows for block "),
+          col("_b").cast("string")))).as("_v"))
+    val k = base.agg(countDistinct(col("_tr")).as("k"))
+    val sizes = base.groupBy("_b").agg(count(lit(1)).as("_sz"))
+    val dropped = sizes.crossJoin(broadcast(k))
+      .agg(sum(when(col("_sz") < col("k"), 1L).otherwise(0L))
+        .as("n_dropped"))
+    val complete = base.join(
+      sizes.crossJoin(broadcast(k)).where(col("_sz") === col("k"))
+        .select("_b"), Seq("_b"), "left_semi")
+    val wRank = Window.partitionBy("_b").orderBy("_v")
+    val wEq = Window.partitionBy("_b", "_v")
+    val ranked = complete
+      .withColumn("_r2", lit(2L) * rank().over(wRank) +
+        count(lit(1)).over(wEq) - 1L)
+    val perTr = ranked.groupBy("_tr")
+      .agg(sum("_r2").as("_R2"), count(lit(1)).as("_n"),
+        sum((col("_r2") * col("_r2")).cast("decimal(38,0)")).as("_a2"))
+    val agg = perTr.agg(
+        coalesce(max("_n"), lit(0L)).as("n_blocks"),
+        count(lit(1)).as("k_present"),
+        coalesce(sum(col("_R2").cast("decimal(38,0)") *
+          col("_R2").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+          .as("rsq"),
+        coalesce(sum("_a2"), lit(0L).cast("decimal(38,0)")).as("a2"))
+      .crossJoin(broadcast(k)).crossJoin(broadcast(dropped))
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+    val nD = col("n_blocks").cast("decimal(38,0)")
+    val kD = col("k").cast("decimal(38,0)")
+    val kp1 = (col("k") + 1L).cast("decimal(38,0)")
+    val num = col("rsq") - nD * nD * kD * kp1 * kp1
+    val den = col("a2") - nD * kD * kp1 * kp1
+    agg.withColumn("chi2",
+        when(col("n_blocks") > 0L && col("k") >= 2L &&
+          den.cast("double") > 0.0,
+          (col("k") - 1L).cast("double") * num.cast("double") /
+            den.cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .select("n_blocks", "k", "n_dropped", "rsq", "a2", "chi2")
+  }
+
+  /** Stratified ATE — the adjustment [[diffInDiff]] can't give when
+    * there is no pre-period: within each stratum of a confounder the
+    * treated/control contrast is fair, and the average treatment
+    * effect reweights those contrasts by stratum size. ALGEBRAICALLY
+    * the inverse-propensity-weighted (IPW) estimator with the exact
+    * within-stratum propensity e_s = n_{t,s}/n_s — documented so
+    * callers don't build IPW twice. Per-stratum cells (n_t, Σy_t, n_c,
+    * Σy_c) are exact longs from ONE contingency aggregation; strata
+    * missing an arm DROP (no fair contrast exists there) and are
+    * counted. The per-stratum float contributions n_s·(ȳ_t − ȳ_c) fold
+    * in SORTED stratum order over a collected array (the q201
+    * deterministic-fold rule — stratum cardinality is bounded by
+    * design, like [[kruskalWallis]]'s k), then ONE division by the
+    * complete-strata N. Returns one row: (n_strata, n_complete,
+    * n_used, ate). */
+  def strataAte(df: DataFrame, stratum: Column, treated: Column,
+      value: Column): DataFrame = {
+    val cells = df.select(stratum.as("_s"),
+        treated.cast("boolean").as("_t"), value.cast("long").as("_v"))
+      .where(col("_s").isNotNull && col("_t").isNotNull &&
+        col("_v").isNotNull)
+      .groupBy("_s")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("_nt"),
+        sum(when(col("_t"), col("_v")).otherwise(0L)).as("_st"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("_nc"),
+        sum(when(!col("_t"), col("_v")).otherwise(0L)).as("_sc"))
+    val complete = col("_nt") > 0L && col("_nc") > 0L
+    val contrib = (col("_nt") + col("_nc")).cast("double") *
+      (col("_st").cast("double") / col("_nt").cast("double") -
+        col("_sc").cast("double") / col("_nc").cast("double"))
+    cells.agg(
+        count(lit(1)).as("n_strata"),
+        sum(when(complete, 1L).otherwise(0L)).as("n_complete"),
+        sum(when(complete, col("_nt") + col("_nc")).otherwise(0L))
+          .as("n_used"),
+        sort_array(collect_list(when(complete,
+          struct(col("_s").cast("string").as("s"),
+            contrib.as("c"))))).as("_cs"))
+      .withColumn("ate", when(col("n_used") > 0L,
+        aggregate(col("_cs"), lit(0.0), (acc, x) => acc + x("c")) /
+          col("n_used").cast("double")))
+      .select("n_strata", "n_complete", "n_used", "ate")
+  }
+
+  /** Sequential probability ratio test (Wald's SPRT) on a Bernoulli
+    * stream — the always-valid A/B stopping rule: walk the
+    * observations in a DETERMINISTIC key order accumulating the
+    * log-likelihood ratio of H₁: p = p₁ vs H₀: p = p₀, stop the first
+    * time it leaves (ln(β/(1−α)), ln((1−β)/α)). The per-observation
+    * increments take only TWO values, quantized ONCE to ppb longs
+    * driver-side (inc₁ = round(10⁹·ln(p₁/p₀)), inc₀ over the
+    * complements — both engines replay the identical fixed chain), so
+    * the running LLR is EXACT integer arithmetic:
+    * llr(k) = cum₁(k)·inc₁ + (k − cum₁(k))·inc₀ off the same
+    * range-partition + two-pass prefix sum as [[mannWhitneyUCounts]]
+    * (never a 1-partition window over data rows). The decision row is
+    * one min_by over the crossing indices. Returns one row: (n, n_pos,
+    * inc1_ppb, inc0_ppb, a_ppb, b_ppb, n_decision, llr_at_decision,
+    * llr_final, decision ∈ accept_h1/accept_h0/continue). */
+  def sprtBinary(df: DataFrame, outcome: Column, orderKey: Column,
+      p0Ppm: Long, p1Ppm: Long, alphaPpm: Long,
+      betaPpm: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(p0Ppm > 0L && p0Ppm < 1000000L && p1Ppm > 0L &&
+      p1Ppm < 1000000L && p0Ppm != p1Ppm,
+      s"p0/p1 must be distinct in (0, 1e6) ppm, got $p0Ppm, $p1Ppm")
+    require(alphaPpm > 0L && alphaPpm < 1000000L &&
+      betaPpm > 0L && betaPpm < 1000000L,
+      s"alpha/beta must be in (0, 1e6) ppm, got $alphaPpm, $betaPpm")
+    val inc1 = math.round(1e9 * math.log(p1Ppm.toDouble / p0Ppm))
+    val inc0 = math.round(1e9 * math.log(
+      (1000000L - p1Ppm).toDouble / (1000000L - p0Ppm)))
+    val aPpb = math.round(1e9 * math.log(
+      (1000000L - betaPpm).toDouble / alphaPpm))
+    val bPpb = math.round(1e9 * math.log(
+      betaPpm.toDouble / (1000000L - alphaPpm)))
+    val spark = df.sparkSession
+    val base = df.select(orderKey.as("_k"),
+        when(outcome, 1L).otherwise(0L).as("_x"))
+      .where(col("_k").isNotNull)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = base.repartitionByRange(parts, col("_k"))
+      .sortWithinPartitions("_k")
+    val xi = sorted.schema.fieldIndex("_x")
+    val partSums = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = 0L; var s = 0L
+      it.foreach { r => n += 1L; s += r.getLong(xi) }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val offN = partSums.map(_._2).scanLeft(0L)(_ + _)
+    val offS = partSums.map(_._3).scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast((offN, offS))
+    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = bc.value._1(i); var s = bc.value._2(i)
+      it.map { r =>
+        n += 1L; s += r.getLong(xi)
+        Row(n, s, s * inc1 + (n - s) * inc0)
+      }
+    }
+    val cum = spark.createDataFrame(rows, StructType(
+      Seq("_i", "_c1", "_llr").map(n =>
+        StructField(n, LongType, nullable = false))))
+    val crossed = col("_llr") >= aPpb || col("_llr") <= bPpb
+    cum.agg(
+        coalesce(max("_i"), lit(0L)).as("n"),
+        coalesce(max("_c1"), lit(0L)).as("n_pos"),
+        min(when(crossed, col("_i"))).as("n_decision"),
+        min_by(col("_llr"), when(crossed, col("_i")))
+          .as("llr_at_decision"),
+        max_by(col("_llr"), col("_i")).as("llr_final"))
+      .withColumn("inc1_ppb", lit(inc1))
+      .withColumn("inc0_ppb", lit(inc0))
+      .withColumn("a_ppb", lit(aPpb))
+      .withColumn("b_ppb", lit(bPpb))
+      .withColumn("decision",
+        when(col("n_decision").isNull, lit("continue"))
+          .when(col("llr_at_decision") >= aPpb, lit("accept_h1"))
+          .otherwise(lit("accept_h0")))
+      .select("n", "n_pos", "inc1_ppb", "inc0_ppb", "a_ppb", "b_ppb",
+        "n_decision", "llr_at_decision", "llr_final", "decision")
+  }
+
   def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: String,
       rankCol: String, depth: Int, p: Double): DataFrame = {
     val ws = rboSuffixWeightsPpt(depth, p)

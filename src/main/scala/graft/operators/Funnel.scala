@@ -213,6 +213,145 @@ object Funnel {
         sum(credit).as("credit_ppm"))
   }
 
+  /** Time-decay multi-touch attribution — the third standard model
+    * beside [[linearAttribution]] and [[positionAttribution]]: recent
+    * touches earn more, with weight halving per half-life of distance
+    * from the conversion. The decay is the DISCRETE step convention —
+    * w_ppm = 10⁶ div 2^(Δt div halfLifeNs), capped at 62 halvings —
+    * so every weight is a pure integer (no pow/exp chain to mirror at
+    * the ulp) and a conversion's credits are exact floor-div shares
+    * credit_ppm = (w·10⁶) div Σw of exact integer sums. Conversions
+    * whose every in-window touch decayed to weight 0 attribute nothing
+    * (reported via conversions_touched vs the caller's conversion
+    * count, the [[linearAttribution]] rule).
+    *
+    * Scale shape: the same user-keyed window join + one per-conversion
+    * weight-sum aggregation + one channel rollup — no windows at all.
+    * Returns (channel, touches, conversions_touched, credit_ppm). */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String], windowNs: Long,
+      halfLifeNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
+      col(idCol).as("_id"))
+    val conv = ev.where(col("_t") === conversionType)
+      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
+    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+    val joined = conv.join(touch, Seq("_u"))
+      .where(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - windowNs)
+      .withColumn("_w", expr(
+        s"1000000L div shiftleft(1L, cast(least((_cts - _tts) div ${halfLifeNs}L, 62L) as int))"))
+    val tot = joined.groupBy("_cid").agg(sum("_w").as("_ws"))
+    joined.join(tot, Seq("_cid"))
+      .where(col("_ws") > 0L)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("touches"),
+        countDistinct("_cid").as("conversions_touched"),
+        sum(expr("(_w * 1000000L) div _ws")).as("credit_ppm"))
+  }
+
+  /** Shapley-value channel attribution — the game-theoretic model that
+    * closes the heuristic family ([[linearAttribution]] /
+    * [[positionAttribution]] / [[timeDecayAttribution]] are fixed
+    * credit RULES; Shapley derives credit from what coalitions of
+    * channels actually convert). Characteristic function:
+    * v(S) = #conversions whose in-window touched-channel set T ⊆ S
+    * ("reachable with only S's channels" — the standard coalition
+    * reading of set-level conversion counts), so
+    * φ_c = Σ_{S ∌ c} |S|!(k−1−|S|)!/k!·(v(S∪{c}) − v(S)) and
+    * Σφ_c = v(all) = total attributed conversions, exactly.
+    *
+    * Exactness + scale: the data-sized work is ONE distinct +
+    * set-assembly aggregation per conversion and ONE count per
+    * observed channel set (≤ 2^k rows); the 2^k·k Shapley sweep runs
+    * DRIVER-SIDE over that bounded artifact in exact BigInt rationals
+    * (the Pca Jacobi / kmeans-centroid guarded-fit pattern), refused
+    * loudly past `maxChannels` (2^20 coalitions is a modeling error,
+    * not data). Credit is quantized ONCE at output:
+    * phi_ppm = ⌊10⁶·φ_num/(k!·v_all)⌋ (share of attributed
+    * conversions) plus the exact integer numerator at k!-scale.
+    * Channels touching no conversion earn 0. Returns one row per
+    * channel: (channel, n_sets, phi_kfact (φ·k! exact), phi_ppm). */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String], windowNs: Long,
+      maxChannels: Int = 16): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    require(touchTypes.size <= maxChannels && maxChannels <= 20,
+      s"shapleyAttribution: ${touchTypes.size} channels exceeds " +
+        s"maxChannels=$maxChannels (2^k coalitions — cap is 20)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val channels = touchTypes.sorted
+    val idx = channels.zipWithIndex.toMap
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
+      col(idCol).as("_id"))
+    val conv = ev.where(col("_t") === conversionType)
+      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
+    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("_ch"))
+    val bit = channels.foldLeft(lit(0L)) { (acc, c) =>
+      acc.bitwiseOR(when(col("_ch") === c,
+        lit(1L << idx(c))).otherwise(0L))
+    }
+    // per conversion: the OR of its touched-channel bits (exactly-once
+    // via distinct channel per conversion), then one count per set
+    val sets = conv.join(touch, Seq("_u"))
+      .where(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - windowNs)
+      .select(col("_cid"), bit.as("_b")).distinct()
+      .groupBy("_cid").agg(sum("_b").as("_set"))
+      .groupBy("_set").agg(count(lit(1)).as("_n"))
+    val obs = sets.as[(Long, Long)].collect().toMap // <= 2^k rows
+    val k = channels.size
+    val full = 1 << k
+    // v(S) = sum of conv counts over observed subsets of S
+    val v = Array.tabulate(full) { s =>
+      obs.iterator.collect {
+        case (t, n) if (t & s) == t => n
+      }.sum
+    }
+    val fact = Array.tabulate(k + 1)(i =>
+      (1 to i).foldLeft(BigInt(1))(_ * _))
+    val kFact = fact(k)
+    val vAll = v(full - 1)
+    val rows = channels.map { c =>
+      val ci = 1 << idx(c)
+      var num = BigInt(0)
+      var s = 0
+      while (s < full) {
+        if ((s & ci) == 0) {
+          val size = java.lang.Integer.bitCount(s)
+          num += fact(size) * fact(k - 1 - size) *
+            BigInt(v(s | ci) - v(s))
+        }
+        s += 1
+      }
+      val ppm =
+        if (vAll == 0L) 0L
+        else (num * 1000000 / (kFact * vAll)).toLong
+      require(num.isValidLong,
+        s"shapleyAttribution: phi numerator for $c exceeds int64 " +
+          s"at k!-scale — reduce channels or conversions: $num")
+      (c, obs.count { case (t, _) => (t & ci) != 0L }.toLong,
+        num.toLong, ppm)
+    }
+    spark.createDataFrame(rows)
+      .toDF("channel", "n_sets", "phi_kfact", "phi_ppm")
+  }
+
   /** Batch gap sessionization — the classic clickstream partitioner
     * (the batch twin of the streaming flatMapGroupsWithState sessions
     * in [[graft.streaming.EventStream]]): a new session starts at the

@@ -283,6 +283,78 @@ object GroupOps {
       .select("n_groups", "total", "gini_num", "gini", "hhi")
   }
 
+  /** RFM segmentation — the classic customer-value grid: per entity,
+    * recency (time units since last event, vs `asOf`), frequency
+    * (event count), monetary (value sum), each scored 1..`nBins` by
+    * EXACT rank bins — score = (rank·nBins) div n + 1 over the
+    * worst→best order (oldest recency first, smallest frequency /
+    * monetary first), ties broken on the entity key — so `nBins` is
+    * always the best cohort and every bin boundary is integer
+    * arithmetic, not a quantile estimate. Three
+    * [[globalOrderIndex]] ranks (range-partitioned, never a
+    * 1-partition sort) + three equi-joins back on the O(entities)
+    * aggregate. Returns (cust, recency, frequency, monetary, r, f, m,
+    * segment = "rfm" digits). */
+  def rfmSegments(df: DataFrame, custCol: String, ts: Column,
+      value: Column, asOf: Long, nBins: Int = 5): DataFrame = {
+    require(nBins >= 1 && nBins <= 9,
+      s"nBins must be in [1, 9] (segment is a digit string), got $nBins")
+    val per = df.select(col(custCol).as("cust"), ts.cast("long").as("_ts"),
+        value.cast("long").as("_v"))
+      .where(col("_ts").isNotNull && col("_v").isNotNull)
+      .groupBy("cust").agg(
+        (lit(asOf) - max("_ts")).as("recency"),
+        count(lit(1)).as("frequency"),
+        sum("_v").as("monetary"))
+    val n = per.agg(count(lit(1)).as("_n"))
+    def scored(metricWorstFirst: Column, out: String): DataFrame =
+      globalOrderIndex(per.select(col("cust"), metricWorstFirst.as("_m")),
+          "_gi", col("_m"), col("cust"))
+        .crossJoin(broadcast(n))
+        .select(col("cust"),
+          (expr(s"(_gi * $nBins) div _n") + 1L).cast("int").as(out))
+    per
+      .join(scored(-col("recency"), "r"), Seq("cust"))
+      .join(scored(col("frequency"), "f"), Seq("cust"))
+      .join(scored(col("monetary"), "m"), Seq("cust"))
+      .withColumn("segment", concat(col("r").cast("string"),
+        col("f").cast("string"), col("m").cast("string")))
+  }
+
+  /** Lorenz curve points — the distribution behind [[concentration]]'s
+    * scalar Gini: rank groups by weight ascending, cut into `nPoints`
+    * exact rank bins, and report each bin's cumulative share of the
+    * total — "the bottom 80% of customers carry share_ppm of revenue".
+    * One bounded agg + one [[globalOrderIndex]] rank + cum windows
+    * over ≤ `nPoints` rows; shares exact floor-div ppm. Returns
+    * (point, n_groups, x_sum, cum_n, cum_x, pop_ppm, share_ppm). */
+  def lorenzPoints(df: DataFrame, groupCol: Column, weight: Column,
+      nPoints: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPoints >= 1, s"nPoints must be >= 1, got $nPoints")
+    val sums = df.select(groupCol.as("_g"),
+        coalesce(weight.cast("long"), lit(0L)).as("_w"))
+      .where(col("_g").isNotNull)
+      .groupBy("_g").agg(sum("_w").as("_x"))
+    val ranked = globalOrderIndex(sums, "_gi", col("_x"), col("_g"))
+    val tot = sums.agg(count(lit(1)).as("_n"), sum("_x").as("_tot"))
+    val pts = ranked.crossJoin(broadcast(tot))
+      .withColumn("point", expr(s"(_gi * $nPoints) div _n").cast("int"))
+      .groupBy("point")
+      .agg(count(lit(1)).as("n_groups"), sum("_x").as("x_sum"),
+        max("_n").as("_n"), max("_tot").as("_tot"))
+    val w = Window.orderBy("point")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("cum_n", sum("n_groups").over(w))
+      .withColumn("cum_x", sum("x_sum").over(w))
+      .withColumn("pop_ppm", expr("(cum_n * 1000000) div _n"))
+      .withColumn("share_ppm", when(col("_tot") > 0L,
+        expr("(cum_x * 1000000) div _tot")))
+      .select("point", "n_groups", "x_sum", "cum_n", "cum_x",
+        "pop_ppm", "share_ppm")
+  }
+
   def splitByTag(df: DataFrame, tagCol: Column, idCol: Column): DataFrame =
     df.groupBy(tagCol.as("tag"))
       .agg(sort_array(collect_list(idCol)).as("ids"), count(lit(1)).as("n"))
@@ -757,5 +829,53 @@ object GroupOps {
       .select(col(idCol), col("cat"), col("n_c"), col("loo_num"),
         col("loo_den"), col("te_loo"), col("sm_num"), col("sm_den"),
         col("te_smooth"))
+  }
+
+  /** Walk-forward (expanding-window) cross-validation fold boundaries
+    * over a bucketed time axis — the temporal split that [[kFolds]]'s
+    * random assignment must NEVER be used for (a random fold leaks the
+    * future into training; finance calls the fix an embargo). The span
+    * [b0, b1] splits into nFolds+1 equal segments (integer div); fold
+    * k trains on [b0, b0+k*seg − embargo), skips the embargo gap, and
+    * tests on [b0+k*seg, b0+(k+1)*seg) — the LAST fold's test absorbs
+    * the remainder through b1. Refuses when the span is thinner than
+    * nFolds+1 buckets. One bounded grid aggregation + a grid×nFolds
+    * conditional rollup — the event data shuffles once onto the
+    * bucket grid and never again. Returns one row per fold:
+    * (fold, train_end, test_start, test_end, n_train, n_embargoed,
+    * n_test). Bounds are exclusive ends; assign rows downstream with
+    * bucket < train_end etc. */
+  def walkForwardFolds(df: DataFrame, bucket: Column, nFolds: Int,
+      embargo: Long = 0L): DataFrame = {
+    require(nFolds >= 1, s"nFolds must be >= 1, got $nFolds")
+    require(embargo >= 0L, s"embargo must be >= 0, got $embargo")
+    val grid = df.select(bucket.cast("long").as("_b"))
+      .where(col("_b").isNotNull)
+      .groupBy("_b").agg(count(lit(1)).as("_c"))
+    val span = grid.agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      .withColumn("_seg", expr(s"(_b1 - _b0 + 1) div ${nFolds + 1}L"))
+      .withColumn("_seg", when(col("_seg") >= 1L, col("_seg"))
+        .otherwise(raise_error(concat(
+          lit(s"walkForwardFolds: span thinner than ${nFolds + 1} buckets: "),
+          (col("_b1") - col("_b0") + 1L).cast("string")))))
+    val folds = span
+      .select(explode(sequence(lit(1L), lit(nFolds.toLong))).as("fold"),
+        col("_b0"), col("_b1"), col("_seg"))
+      .withColumn("test_start", col("_b0") + col("fold") * col("_seg"))
+      .withColumn("train_end", col("test_start") - lit(embargo))
+      .withColumn("test_end",
+        when(col("fold") === nFolds.toLong, col("_b1") + 1L)
+          .otherwise(col("_b0") + (col("fold") + 1L) * col("_seg")))
+    folds.crossJoin(grid)
+      .groupBy("fold", "train_end", "test_start", "test_end")
+      .agg(
+        sum(when(col("_b") < col("train_end"), col("_c")).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("_b") >= col("train_end") &&
+          col("_b") < col("test_start"), col("_c")).otherwise(0L))
+          .as("n_embargoed"),
+        sum(when(col("_b") >= col("test_start") &&
+          col("_b") < col("test_end"), col("_c")).otherwise(0L))
+          .as("n_test"))
   }
 }

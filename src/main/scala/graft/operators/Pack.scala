@@ -143,4 +143,69 @@ object Pack {
       .select(col(keyCol), col("_pos").as("pos"), col("_ctx").as("context"),
         itemCol.as("label"))
   }
+
+  /** Small-files compaction planner — the lakehouse maintenance step a
+    * 100 TB table needs continuously: group files (atomic — never
+    * split) into merge jobs of ~`targetBytes` each. Greedy sequential
+    * grouping in (id) order: a file joins the group its exclusive
+    * byte offset falls in (group = start_off div target — the
+    * [[packBlocks]] prefix sum reused verbatim, so the plan is
+    * layout-invariant and two-pass distributed, never a 1-partition
+    * window). A group's bytes exceed `targetBytes` only by its last
+    * straddling file; a single file ≥ target flags `has_oversize`
+    * (already compact — rewrite is wasted IO). Returns one row per
+    * merge job: (grp, n_files, bytes, largest, has_oversize). */
+  def compactionGroups(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    packBlocks(files, idCol, sizeCol, targetBytes)
+      .groupBy(col("first_block").as("grp"))
+      .agg(count(lit(1)).as("n_files"), sum("n_tokens").as("bytes"),
+        max("n_tokens").as("largest"),
+        (max("n_tokens") >= targetBytes).as("has_oversize"))
+  }
+
+  /** Padding-waste report for pad-to-max batching — the sizing study
+    * behind length-grouped batching (HF `group_by_length`): when every
+    * batch pads to its longest member, how many pad tokens does each
+    * batching order burn? Compares two deterministic strategies over
+    * the same corpus:
+    *
+    *   - `arrival`: batches cut from the (id) order — what a naive
+    *     loader does;
+    *   - `sorted`: batches cut from the (n_tokens desc, id) order —
+    *     length grouping, the cheap 90%-of-optimal fix.
+    *
+    * Each strategy is ONE [[graft.operators.GroupOps.globalOrderIndex]]
+    * rank (range-partitioned, never a 1-partition sort), batch =
+    * rank div batchSize, then one hash agg per batch and one rollup —
+    * all counts exact longs; waste_ppm = ((padded−real)·10⁶) div padded
+    * exact floor division. Empty docs pad like any other member (the
+    * pad-to-max semantics). Returns one row per strategy: (strategy,
+    * n_docs, n_batches, real_tokens, padded_tokens, waste_ppm). */
+  def paddingWaste(df: DataFrame, idCol: String, nTokensCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = df.select(col(idCol).as("_id"),
+        col(nTokensCol).cast("long").as("_n"))
+      .where(col("_n").isNotNull)
+    def strategy(name: String, sortCols: Column*): DataFrame = {
+      val idx = graft.operators.GroupOps.globalOrderIndex(
+        base, "_gi", sortCols: _*)
+      idx.withColumn("_batch", expr(s"_gi div $batchSize"))
+        .groupBy("_batch")
+        .agg(count(lit(1)).as("_cnt"), max("_n").as("_max"),
+          sum("_n").as("_real"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("_cnt").as("n_docs"),
+          sum("_real").as("real_tokens"),
+          sum(col("_max") * col("_cnt")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_docs"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"))
+    }
+    strategy("arrival", col("_id"))
+      .unionByName(strategy("sorted", (-col("_n")).as("_nn"), col("_id")))
+      .withColumn("waste_ppm", when(col("padded_tokens") > 0L,
+        expr("((padded_tokens - real_tokens) * 1000000) div padded_tokens")))
+  }
 }

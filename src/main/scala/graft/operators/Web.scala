@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-scale corpus pipelines — the parse / normalize /
+  * canonical-dedup-key tier every crawl-derived training set needs
+  * before any per-domain statistic or URL-level dedup is meaningful
+  * (the reference stops at `uri` load/convert mixins —
+  * document/mixins/content.py treats a URI as an opaque fetch handle;
+  * this is the analytics side of that column).
+  *
+  * Everything is a pure `Column` expression (codegen'd, map-only, any
+  * scale) built from RE2-safe regexes — the q57 PII discipline — so
+  * the SAME pattern text replays on the DuckDB oracle. No public-
+  * suffix list ships offline, so registrable-domain uses the
+  * documented heuristic: last two host labels, or last three when the
+  * second-to-last is a well-known multi-part suffix (co/com/net/org/
+  * gov/ac/edu + 2-letter ccTLD) — right for the overwhelming bulk of
+  * a crawl and loudly simple, not silently wrong.
+  */
+object Web {
+
+  /** Lowercased scheme, or null when the value does not look like a
+    * scheme://-style URL at all. */
+  def urlScheme(u: Column): Column =
+    lower(nullIfEmpty(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+
+  /** Lowercased host (authority minus userinfo/port). */
+  def urlHost(u: Column): Column =
+    lower(nullIfEmpty(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)))
+
+  /** Explicit port as a long, null when absent. */
+  def urlPort(u: Column): Column =
+    nullIfEmpty(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1))
+      .cast("long")
+
+  /** Path component ('' when absent — the pre-?# slash run). */
+  def urlPath(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string WITHOUT the '?', null when absent. */
+  def urlQuery(u: Column): Column =
+    nullIfEmpty(regexp_extract(u, "\\?([^#]*)", 1))
+
+  /** Registrable domain by the documented offline heuristic: last two
+    * labels, or last three when label -2 is a well-known multi-part
+    * second-level (co|com|net|org|gov|ac|edu) AND the TLD is a
+    * 2-letter ccTLD. */
+  def registrableDomain(host: Column): Column = {
+    val three = regexp_extract(host,
+      "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.[A-Za-z]{2})$", 1)
+    val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    nullIfEmpty(when(three =!= "", three).otherwise(two))
+  }
+
+  /** Canonical dedup key: lowercase scheme+host, strip userinfo,
+    * default ports (:80 http, :443 https), fragment, and tracking
+    * params (utm_*, gclid, fbclid, msclkid, mc_cid, mc_eid), sort the
+    * surviving query params bytewise, drop a bare trailing '/' on
+    * non-root paths and a trailing '?' — one deterministic string both
+    * engines assemble from the same parts. */
+  def urlNormalize(u: Column): Column = {
+    val scheme = urlScheme(u)
+    val host = urlHost(u)
+    val port = urlPort(u)
+    val rawPath = urlPath(u)
+    val path = when(rawPath === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val pathOrRoot = when(path === "", lit("/")).otherwise(path)
+    val keptParams = filter(
+      split(coalesce(urlQuery(u), lit("")), "&"),
+      p => !(p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|" +
+        "mc_cid|mc_eid)=") || p === ""))
+    val query = array_join(array_sort(keptParams), "&")
+    val portPart = when(port.isNull, lit(""))
+      .when(scheme === "http" && port === 80L, lit(""))
+      .when(scheme === "https" && port === 443L, lit(""))
+      .otherwise(concat(lit(":"), port.cast("string")))
+    when(scheme.isNull || host.isNull, lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathOrRoot,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  private def nullIfEmpty(c: Column): Column =
+    when(c === "", lit(null).cast("string")).otherwise(c)
+}

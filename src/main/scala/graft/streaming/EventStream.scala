@@ -638,4 +638,84 @@ object EventStream {
         fs.exists(new org.apache.hadoop.fs.Path(s"$path/v$v/_SUCCESS")))
       .maxOption
   }
+
+  /** Streaming SPRT state — the batch [[graft.operators.Evaluate
+    * .sprtBinary]] walk's online twin, because a sequential test IS a
+    * streaming computation: each micro-batch reduces to ONE exact
+    * (batch_id, n, n_pos) delta row (additive, replay-idempotent — a
+    * replayed batch overwrites its OWN delta, the streamingValueCounts
+    * design). The decision replays any time from the ≤#batches delta
+    * table with [[readSprtDecision]]: the cumulative LLR walks the
+    * batches in batch_id order, so crossings are detected at BATCH
+    * granularity (within-batch arrival order is not meaningful in a
+    * distributed stream — the documented, conservative semantic;
+    * shrink the trigger interval for finer steps). */
+  def streamingSprtCounts(stream: DataFrame,
+      outcome: org.apache.spark.sql.Column, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(org.apache.spark.sql.functions.when(outcome, 1L)
+            .otherwise(0L).as("x"))
+          .agg(
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum("x"),
+              org.apache.spark.sql.functions.lit(0L)).as("n_pos"))
+          .withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite").parquet(s"$path/d$batchId")
+      }
+
+  /** Replay the batch-granular SPRT decision off
+    * [[streamingSprtCounts]] state: same ppb-quantized increments and
+    * boundaries as the batch operator, cumulative LLR over the
+    * (bounded) batch table in batch_id order, first-crossing batch
+    * reported. Returns one row: (n, n_pos, n_batches, inc1_ppb,
+    * inc0_ppb, a_ppb, b_ppb, decision_batch, llr_at_decision,
+    * llr_final, decision). */
+  def readSprtDecision(spark: SparkSession, path: String, p0Ppm: Long,
+      p1Ppm: Long, alphaPpm: Long, betaPpm: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(p0Ppm > 0L && p0Ppm < 1000000L && p1Ppm > 0L &&
+      p1Ppm < 1000000L && p0Ppm != p1Ppm,
+      s"p0/p1 must be distinct in (0, 1e6) ppm, got $p0Ppm, $p1Ppm")
+    val inc1 = math.round(1e9 * math.log(p1Ppm.toDouble / p0Ppm))
+    val inc0 = math.round(1e9 * math.log(
+      (1000000L - p1Ppm).toDouble / (1000000L - p0Ppm)))
+    val aPpb = math.round(1e9 * math.log(
+      (1000000L - betaPpm).toDouble / alphaPpm))
+    val bPpb = math.round(1e9 * math.log(
+      betaPpm.toDouble / (1000000L - alphaPpm)))
+    val deltas = completedDeltas(spark, path, Long.MaxValue)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no sprt state under $path")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("batch_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    // the window runs over the <= #batches delta table, never events
+    val cum = spark.read.parquet(deltas: _*)
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("c1", sum("n_pos").over(w))
+      .withColumn("llr", col("c1") * inc1 + (col("cn") - col("c1")) * inc0)
+    val crossed = col("llr") >= aPpb || col("llr") <= bPpb
+    cum.agg(
+        coalesce(max("cn"), lit(0L)).as("n"),
+        coalesce(max("c1"), lit(0L)).as("n_pos"),
+        count(lit(1)).as("n_batches"),
+        min(when(crossed, col("batch_id"))).as("decision_batch"),
+        min_by(col("llr"), when(crossed, col("batch_id")))
+          .as("llr_at_decision"),
+        max_by(col("llr"), col("batch_id")).as("llr_final"))
+      .withColumn("inc1_ppb", lit(inc1))
+      .withColumn("inc0_ppb", lit(inc0))
+      .withColumn("a_ppb", lit(aPpb))
+      .withColumn("b_ppb", lit(bPpb))
+      .withColumn("decision",
+        when(col("decision_batch").isNull, lit("continue"))
+          .when(col("llr_at_decision") >= aPpb, lit("accept_h1"))
+          .otherwise(lit("accept_h0")))
+  }
 }
