@@ -1279,6 +1279,24 @@ object Bench {
       Evaluate.sprtBinary(df, col("x"), col("k"),
         300000L, 310000L, 50000L, 50000L).collect()
     }
+    // Item-CF artifact serving: co-counts persisted once (untimed
+    // setup), recs served from the artifact — the daily-update path
+    // that replaces the full x_itemcf_1m rebuild.
+    locally {
+      import graft.operators.Recommend
+      val ui = spark.range(1000000L).select(
+        pmod(xxhash64(col("id"), lit(86)), lit(100000L)).as("u"),
+        pmod(xxhash64(col("id"), lit(87)), lit(2000L)).as("i"))
+      val artDir = s"$tmp/itemcf_counts"
+      Recommend.coCounts(ui, "u", "i", maxUserItems = 100)
+        .write.mode("overwrite").parquet(artDir)
+      bench("x_itemcf_serve_1m", runs = 1) {
+        Recommend.itemItemRecsFromCounts(
+            spark.read.parquet(artDir), ui, "u", "i",
+            topN = 10, minSupport = 3L, maxUserItems = 100)
+          .agg(count(lit(1)), sum("score_ppm")).collect()
+      }
+    }
     // URL normalize at 10M: one pure-codegen map stage (regex parse +
     // param sort + reassembly), then a distinct-count on the key.
     bench("x_urlnorm_10m", runs = 1) {

@@ -1019,6 +1019,16 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       lambda: Long = 10L): (DataFrame, DataFrame) =
     Recommend.biasBaseline(df, userCol, itemCol, rating, lambda)
 
+  /** Dataset-card release manifest (exact-integer JSON lines). */
+  def exportDatacard(dir: String, sourceCol: String = "source",
+      textCol: String = "text", langCol: String = "lang"): DataFrame =
+    Datacard.export(df, sourceCol, textCol, langCol, dir)
+
+  /** Seeded-Laplace DP release of per-key counts (ε in ppm). */
+  def dpNoisyCounts(key: Column, epsilonPpm: Long,
+      seed: Long = 0L): DataFrame =
+    Quality.dpNoisyCounts(df, key, epsilonPpm, seed)
+
   /** Canonical URL dedup key + parsed components appended per row. */
   def normalizeUrls(url: Column): DocArray =
     wrap(df.withColumn("url_host", Web.urlHost(url))

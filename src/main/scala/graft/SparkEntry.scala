@@ -5064,6 +5064,25 @@ object SparkEntry {
       .orderBy("user", "rn")
   }
 
+  // Seeded-Laplace DP counts (Quality.dpNoisyCounts): per-customer
+  // order counts released under ε = 0.5 — the gated splitmix uniform,
+  // one inverse-CDF chain, noise rounded once, clamp at 0. Completes
+  // the privacy battery (q188 k-anon, q282 l-div, q243 t-closeness).
+  private def q346(s: SparkSession, dir: String): DataFrame =
+    Quality.dpNoisyCounts(t(s, dir, "orders"), col("o_custkey"),
+        epsilonPpm = 500000L, seed = 7L)
+      .orderBy("key")
+
+  // Datacard artifact (Datacard.export): the release manifest — one
+  // exact-integer JSON line per source plus a global header, written
+  // to disk and READ BACK as the query result; the oracle recomputes
+  // every byte of every line (the q259/q307 two-engines-one-artifact
+  // pattern).
+  private def q347(s: SparkSession, dir: String): DataFrame =
+    Datacard.export(t(s, dir, "documents"), "source", "text", "lang",
+        "/tmp/graft_q347_datacard")
+      .orderBy("file", "line_no")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5408,7 +5427,9 @@ object SparkEntry {
     "q342_url_normalize" -> (q342 _),
     "q343_rec_hitrate" -> (q343 _),
     "q344_walk_forward" -> (q344 _),
-    "q345_next_item" -> (q345 _))
+    "q345_next_item" -> (q345 _),
+    "q346_dp_counts" -> (q346 _),
+    "q347_datacard" -> (q347 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13146,6 +13167,86 @@ object SparkEntry {
              THEN c ELSE 0 END) AS BIGINT) AS n_test
          FROM f CROSS JOIN g
          GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q347: every datacard line recomputed byte-for-byte — exact
+    // integer stats, doubled-median lo/hi order statistics, top-lang
+    // QUALIFY with lang-asc ties, the same JSON assembly
+    "q347_datacard" ->
+      """WITH b AS (SELECT source AS s, text AS t, lang AS l
+           FROM documents WHERE source IS NOT NULL),
+         c AS (SELECT s, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+             CAST(sum(coalesce(length(t), 0)) AS BIGINT) AS total_chars,
+             CAST(min(length(t)) AS BIGINT) AS min_len,
+             CAST(max(length(t)) AS BIGINT) AS max_len
+           FROM b GROUP BY 1),
+         lens AS (SELECT s, CAST(length(t) AS BIGINT) AS len,
+             row_number() OVER (PARTITION BY s ORDER BY length(t)) AS rn,
+             count(*) OVER (PARTITION BY s) AS cnt
+           FROM b WHERE t IS NOT NULL),
+         med AS (SELECT s, CAST(sum(len) * (CASE WHEN
+               count(DISTINCT rn) = 1 THEN 2 ELSE 1 END) AS BIGINT)
+               AS med2_len
+           FROM lens WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+           GROUP BY 1),
+         tl AS (SELECT s, l AS top_lang, lc FROM (SELECT s, l,
+             CAST(count(*) AS BIGINT) AS lc,
+             row_number() OVER (PARTITION BY s
+               ORDER BY count(*) DESC, l ASC) AS r
+           FROM b WHERE l IS NOT NULL GROUP BY s, l) WHERE r = 1),
+         body AS (SELECT c.s,
+             '{"source":"'
+             || replace(replace(CAST(c.s AS VARCHAR), '\', '\\'),
+                  '"', '\"')
+             || '","n_docs":' || CAST(n_docs AS VARCHAR)
+             || ',"null_text":' || CAST(null_text AS VARCHAR)
+             || ',"total_chars":' || CAST(total_chars AS VARCHAR)
+             || ',"min_len":' || coalesce(CAST(min_len AS VARCHAR), 'null')
+             || ',"med2_len":'
+             || coalesce(CAST(med2_len AS VARCHAR), 'null')
+             || ',"max_len":' || coalesce(CAST(max_len AS VARCHAR), 'null')
+             || ',"top_lang":' || (CASE WHEN top_lang IS NULL THEN 'null'
+                  ELSE '"' || replace(replace(CAST(top_lang AS VARCHAR),
+                    '\', '\\'), '"', '\"') || '"' END)
+             || ',"top_lang_ppm":'
+             || coalesce(CAST((lc * 1000000) // n_docs AS VARCHAR), 'null')
+             || '}' AS line
+           FROM c LEFT JOIN med ON c.s = med.s
+             LEFT JOIN tl ON c.s = tl.s),
+         g AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS ns,
+             CAST(count(*) AS BIGINT) AS nd FROM b),
+         hdr AS (SELECT '{"datacard":"graft","n_sources":'
+             || CAST(ns AS VARCHAR) || ',"n_docs":'
+             || CAST(nd AS VARCHAR) || '}' AS line FROM g),
+         nb AS (SELECT row_number() OVER (ORDER BY CAST(s AS VARCHAR))
+               + 1 AS line_no, line FROM body)
+         SELECT 'datacard.jsonl' AS file,
+           CAST(line_no AS INTEGER) AS line_no, line FROM (
+           SELECT 1 AS line_no, line FROM hdr
+           UNION ALL SELECT line_no, line FROM nb)
+         ORDER BY line_no""",
+
+    // q346: per-key counts, the splitmix chain replayed stage-for-
+    // stage, the identical Laplace inverse-CDF chain rounded once
+    "q346_dp_counts" ->
+      s"""WITH grp AS (SELECT o_custkey AS key,
+             CAST(count(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+         ${splitmixChainSql("key, n", 7L, from = "grp", key = "key")},
+         u AS (SELECT key, n,
+             ((rk % 1000000000) + 1000000000) % 1000000000 AS u_ppb
+           FROM ranked),
+         z AS (SELECT key, n, u_ppb,
+             (CAST(u_ppb AS DOUBLE) - 499999999.5) / 1e9 AS t
+           FROM u)
+         SELECT key, n, CAST(u_ppb AS BIGINT) AS u_ppb,
+           CAST(round(0.0 - (CAST(1 AS DOUBLE) * 1000000.0 / 500000.0)
+             * sign(t) * ln(1.0 - abs(t) * 2.0)) AS BIGINT) AS noise,
+           greatest(CAST(0 AS BIGINT), n + CAST(round(0.0
+             - (CAST(1 AS DOUBLE) * 1000000.0 / 500000.0)
+             * sign(t) * ln(1.0 - abs(t) * 2.0)) AS BIGINT)) AS noisy_n
+         FROM z ORDER BY key""",
 
     // q345: lag-consecutive transitions (self drops, minCount prune),
     // last item per user, top-5 successors with (cnt desc, item) ties

@@ -537,4 +537,45 @@ object Quality {
       .withColumn("ratio_ppm", when(raw > 0L,
         expr("deflate_bytes * 1000000L div raw_bytes")))
   }
+
+  /** Seeded-Laplace differentially-private group counts — the release
+    * mechanism for sharing per-cohort statistics off a sensitive
+    * corpus: noisy_n = n + round(b·L⁻¹(u)) with Laplace scale
+    * b = sensitivity/ε and L⁻¹(u) = −sign(u−½)·ln(1−2|u−½|). The
+    * uniform is the GATED splitmix draw of the group key
+    * (u = splitmix64(key+seed) mod 10⁹, the [[Evaluate
+    * .poissonBootstrap]] chain — key ≥ 0 in-plan refusal), so the
+    * mechanism is reproducible AND engine-replayable: b comes from the
+    * same integer literals on both engines, the inverse-CDF is ONE
+    * fixed float chain, and the noise rounds once to an integer.
+    * Deterministic seeding is the standard reproducible-pipeline
+    * trade-off (a fresh seed per release restores the formal DP
+    * guarantee; the seed is part of the privacy budget discipline,
+    * documented, not hidden). `noisy_n` clamps at 0 (post-processing —
+    * DP-safe). One hash aggregation + a map stage over group rows.
+    * Returns (key, n, u_ppb, noise, noisy_n). */
+  def dpNoisyCounts(df: DataFrame, key: Column, epsilonPpm: Long,
+      seed: Long = 0L, sensitivity: Long = 1L): DataFrame = {
+    require(epsilonPpm > 0L && epsilonPpm <= 100000000L,
+      s"epsilonPpm must be in (0, 1e8], got $epsilonPpm")
+    require(sensitivity >= 1L,
+      s"sensitivity must be >= 1, got $sensitivity")
+    val grp = df.select(key.cast("long").as("key"))
+      .where(col("key").isNotNull)
+      .withColumn("key", when(col("key") >= 0L, col("key"))
+        .otherwise(raise_error(concat(
+          lit("dpNoisyCounts: key must be >= 0 (splitmix gate): "),
+          col("key").cast("string")))))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val u = pmod(graft.functions.splitmix64_rank(col("key"), seed),
+      lit(1000000000L))
+    val t = (col("u_ppb").cast("double") - 4.999999995e8) / 1.0e9
+    val b = lit(sensitivity.toDouble) * 1000000.0 /
+      lit(epsilonPpm.toDouble)
+    val noise = round(lit(0.0) - b * signum(t) *
+      log(lit(1.0) - abs(t) * 2.0)).cast("long")
+    grp.withColumn("u_ppb", u)
+      .withColumn("noise", noise)
+      .withColumn("noisy_n", greatest(lit(0L), col("n") + col("noise")))
+  }
 }

@@ -84,6 +84,96 @@ object Recommend {
         col("score_ppm"), col("n_contrib"), col("rn"))
   }
 
+  /** The persistable model state behind [[itemItemRecs]] — exact
+    * symmetric co-counts plus per-item counts in ONE frame
+    * (b = null row carries the item count; b set carries the pair
+    * count), so the artifact parquets as one table and
+    * [[coCountsMerge]] is one groupBy-sum. The 100 TB point: co-counts
+    * are ADDITIVE across USER-DISJOINT interaction batches (a user's
+    * whole item set must live in one batch — the contract, enforced
+    * nowhere cheaper than the ingest layout, documented loudly), so a
+    * daily model update is one delta build + one merge instead of a
+    * full-corpus rebuild — the [[graft.operators.Dedup]] incremental-
+    * ingest discipline applied to the recommender. No minSupport here:
+    * pruning is a QUERY-time decision ([[itemItemRecsFromCounts]]),
+    * never baked into a mergeable artifact (a pruned artifact cannot
+    * be merged — support below threshold in both halves can cross it
+    * in the union). */
+  def coCounts(df: DataFrame, userCol: String, itemCol: String,
+      maxUserItems: Int = 1000): DataFrame = {
+    val ui = df.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .where(col("_u").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val sizes = ui.groupBy("_u").agg(count(lit(1)).as("_sz"))
+    val kept = ui.join(sizes.where(col("_sz") <= maxUserItems)
+      .select("_u"), Seq("_u"), "left_semi")
+    val itemCnt = kept.groupBy(col("_i"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("_i").as("a"), lit(null).cast(ui.schema("_i").dataType)
+        .as("b"), col("cnt"))
+    val pairs = kept.select(col("_u"), col("_i").as("a"))
+      .join(kept.select(col("_u"), col("_i").as("b")), Seq("_u"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+    itemCnt.unionByName(pairs)
+  }
+
+  /** Sum-merge two [[coCounts]] artifacts (user-disjoint batches —
+    * see the contract there). Lossless and associative: merge of any
+    * split equals the one-shot build, exactly. */
+  def coCountsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("a", "b").agg(sum("cnt").as("cnt"))
+
+  /** [[itemItemRecs]] served OFF the persisted [[coCounts]] artifact —
+    * same math, same output columns, but the expensive co-count build
+    * is read, not recomputed; minSupport/simTopK prune at query time.
+    * `interactions` supplies the users to recommend for (their owned
+    * items and the anti-join), and must be consistent with the
+    * artifact's kept universe for exact [[itemItemRecs]] parity. */
+  def itemItemRecsFromCounts(counts: DataFrame, interactions: DataFrame,
+      userCol: String, itemCol: String, topN: Int = 10,
+      minSupport: Long = 2L, maxUserItems: Int = 1000,
+      simTopK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = interactions.select(col(userCol).as("_u"),
+        col(itemCol).as("_i"))
+      .where(col("_u").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val sizes = ui.groupBy("_u").agg(count(lit(1)).as("_sz"))
+    val kept = ui.join(sizes.where(col("_sz") <= maxUserItems)
+      .select("_u"), Seq("_u"), "left_semi")
+    val itemCnt = counts.where(col("b").isNull)
+      .select(col("a").as("_i"), col("cnt").as("_cnt"))
+    val co = counts.where(col("b").isNotNull &&
+      col("cnt") >= minSupport)
+    val sims = co
+      .join(itemCnt.select(col("_i").as("a"), col("_cnt").as("_ca")),
+        Seq("a"))
+      .join(itemCnt.select(col("_i").as("b"), col("_cnt").as("_cb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("cnt").cast("double") * 1e6 /
+          sqrt(col("_ca").cast("double") * col("_cb").cast("double")))
+          .cast("long").as("_sim_ppm"))
+      .withColumn("_nrk", row_number().over(Window.partitionBy("a")
+        .orderBy(col("_sim_ppm").desc, col("b").asc)))
+      .where(col("_nrk") <= simTopK)
+      .drop("_nrk")
+    val scored = kept.select(col("_u"), col("_i").as("a"))
+      .join(sims, Seq("a"))
+      .groupBy(col("_u"), col("b"))
+      .agg(sum("_sim_ppm").as("score_ppm"),
+        count(lit(1)).as("n_contrib"))
+      .join(kept.select(col("_u"), col("_i").as("b")),
+        Seq("_u", "b"), "left_anti")
+    val w = Window.partitionBy("_u")
+      .orderBy(col("score_ppm").desc, col("b").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col("_u").as("user"), col("b").as("item"),
+        col("score_ppm"), col("n_contrib"), col("rn"))
+  }
+
   /** Next-item recommendations from a first-order transition model —
     * the SEQUENCE-aware sibling of [[itemItemRecs]] (co-occurrence
     * ignores order; "what do users touch AFTER this item" is a

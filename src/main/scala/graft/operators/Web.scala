@@ -3,21 +3,24 @@ package graft.operators
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** URL hygiene for web-scale corpus pipelines — the parse / normalize /
-  * canonical-dedup-key tier every crawl-derived training set needs
-  * before any per-domain statistic or URL-level dedup is meaningful
-  * (the reference stops at `uri` load/convert mixins —
-  * document/mixins/content.py treats a URI as an opaque fetch handle;
-  * this is the analytics side of that column).
+/** URL hygiene, the STRICT engine-portable tier — the sibling of
+  * [[graft.functions.UrlFunctions]] and deliberately not a duplicate:
+  * UrlFunctions is the `parse_url`-native fast path (java.net.URI
+  * semantics, q65-q67's gates) whose parser cannot be replayed
+  * outside Spark; THIS module re-derives every component from RE2-safe
+  * regexes — the q57 PII discipline — so the SAME pattern text runs on
+  * any engine, and layers the normalizations the fast path stops short
+  * of: userinfo strip, default-port strip (:80 http / :443 https), a
+  * multi-part registrable-domain heuristic (bbc.co.uk → bbc.co.uk, not
+  * co.uk), and a full canonical dedup key. UrlConsistencySpec locks
+  * the two modules to agree on clean inputs.
   *
   * Everything is a pure `Column` expression (codegen'd, map-only, any
-  * scale) built from RE2-safe regexes — the q57 PII discipline — so
-  * the SAME pattern text replays on the DuckDB oracle. No public-
-  * suffix list ships offline, so registrable-domain uses the
-  * documented heuristic: last two host labels, or last three when the
-  * second-to-last is a well-known multi-part suffix (co/com/net/org/
-  * gov/ac/edu + 2-letter ccTLD) — right for the overwhelming bulk of
-  * a crawl and loudly simple, not silently wrong.
+  * scale). No public-suffix list ships offline, so registrable-domain
+  * uses the documented heuristic: last two host labels, or last three
+  * when the second-to-last is a well-known multi-part suffix (co/com/
+  * net/org/gov/ac/edu + 2-letter ccTLD) — right for the overwhelming
+  * bulk of a crawl and loudly simple, not silently wrong.
   */
 object Web {
 
