@@ -1024,6 +1024,17 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       textCol: String = "text", langCol: String = "lang"): DataFrame =
     Datacard.export(df, sourceCol, textCol, langCol, dir)
 
+  /** Quantile treatment effects of a treatment flag on an integer
+    * outcome (tails, where the mean contrast is blind). */
+  def quantileTreatmentEffect(treated: Column, y: Column,
+      qPpms: Seq[Long] = Seq(100000L, 250000L, 500000L, 750000L,
+        900000L)): DataFrame =
+    Evaluate.quantileTreatmentEffect(df, treated, y, qPpms)
+
+  /** Kish effective sample size of an importance-weight column. */
+  def effectiveSampleSize(weight: Column): DataFrame =
+    GroupOps.essWeights(df, weight)
+
   /** Seeded-Laplace DP release of per-key counts (ε in ppm). */
   def dpNoisyCounts(key: Column, epsilonPpm: Long,
       seed: Long = 0L): DataFrame =

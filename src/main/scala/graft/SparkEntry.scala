@@ -5083,6 +5083,49 @@ object SparkEntry {
         "/tmp/graft_q347_datacard")
       .orderBy("file", "line_no")
 
+  // Effective sample size (GroupOps.essWeights): the Kish diagnostic
+  // over the q325 ppm quality weights — how many equally-weighted docs
+  // is this weighted corpus actually worth? Exact decimal sums gated
+  // as guarded longs, ESS one mirrored chain.
+  private def q348(s: SparkSession, dir: String): DataFrame =
+    GroupOps.essWeights(
+        t(s, dir, "documents").where(col("text").isNotNull),
+        round(TextFunctions.qualityScore(col("text")) * 1e6)
+          .cast("long"))
+      .select(col("n"), col("sw").cast("long").as("sw"),
+        col("sw2").cast("long").as("sw2"),
+        round(col("ess"), 6).as("ess_r"),
+        round(col("ess_ratio"), 6).as("ess_ratio_r"))
+
+  // IPF raking (GroupOps.ipfWeights): rake the priority × status cell
+  // grid to uniform priority shares and a 50/40/10 status spec — two
+  // full sweeps, each half-step one float chain quantized once to ppm.
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("r"),
+        col("o_orderstatus").as("c"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW").map((_, 200000L)).toDF("r", "t_ppm")
+    val colT = Seq(("F", 500000L), ("O", 400000L), ("P", 100000L))
+      .toDF("c", "t_ppm")
+    GroupOps.ipfWeights(cells, rowT, colT, iters = 2)
+      .orderBy("r", "c")
+  }
+
+  // Quantile treatment effects (Evaluate.quantileTreatmentEffect):
+  // does the odd/even-nation "treatment" move the tails of order
+  // spend where q322's mean contrast would miss it — five quantiles,
+  // all-integer order statistics off arm-partitioned count grids.
+  private def q350(s: SparkSession, dir: String): DataFrame =
+    Evaluate.quantileTreatmentEffect(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        treated = pmod(col("c_nationkey"), lit(2)) === 1,
+        y = floor(col("o_totalprice")).cast("long"))
+      .orderBy("q_ppm")
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5429,7 +5472,10 @@ object SparkEntry {
     "q344_walk_forward" -> (q344 _),
     "q345_next_item" -> (q345 _),
     "q346_dp_counts" -> (q346 _),
-    "q347_datacard" -> (q347 _))
+    "q347_datacard" -> (q347 _),
+    "q348_ess_weights" -> (q348 _),
+    "q349_ipf_raking" -> (q349 _),
+    "q350_qte" -> (q350 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13167,6 +13213,105 @@ object SparkEntry {
              THEN c ELSE 0 END) AS BIGINT) AS n_test
          FROM f CROSS JOIN g
          GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q350: per-arm count-grid order statistics at ceil(q·n/1e6),
+    // all-integer differences
+    "q350_qte" ->
+      """WITH b AS (SELECT (c_nationkey % 2 = 1) AS t,
+             CAST(floor(o_totalprice) AS BIGINT) AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT t, y, CAST(count(*) AS BIGINT) AS c FROM b
+           GROUP BY 1, 2),
+         cum AS (SELECT t, y,
+             sum(c) OVER (PARTITION BY t ORDER BY y ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(c) OVER (PARTITION BY t) AS n
+           FROM g),
+         qs(q_ppm) AS (VALUES (100000), (250000), (500000), (750000),
+           (900000)),
+         pk AS (SELECT q_ppm, t, CAST(min(y) AS BIGINT) AS v,
+             CAST(max(n) AS BIGINT) AS nn
+           FROM cum CROSS JOIN qs
+           WHERE cm >= greatest(1, (n * q_ppm + 999999) // 1000000)
+           GROUP BY 1, 2)
+         SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+           max(CASE WHEN t THEN nn END) AS n_t,
+           max(CASE WHEN NOT t THEN nn END) AS n_c,
+           max(CASE WHEN t THEN v END) AS y_t,
+           max(CASE WHEN NOT t THEN v END) AS y_c,
+           max(CASE WHEN t THEN v END) - max(CASE WHEN NOT t THEN v END)
+             AS qte
+         FROM pk GROUP BY 1 ORDER BY q_ppm""",
+
+    // q348: Kish ESS — HUGEINT weight sums, one mirrored chain
+    "q348_ess_weights" ->
+      s"""WITH $qualityScorePosCtes,
+         w AS (SELECT CAST(round(sc * 1000000) AS BIGINT) AS wv
+           FROM q JOIN documents USING (doc_id) WHERE text IS NOT NULL),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             coalesce(sum(CAST(wv AS HUGEINT)), CAST(0 AS HUGEINT))
+               AS sw,
+             coalesce(sum(CAST(wv AS HUGEINT) * wv), CAST(0 AS HUGEINT))
+               AS sw2
+           FROM w)
+         SELECT n, CAST(sw AS BIGINT) AS sw, CAST(sw2 AS BIGINT) AS sw2,
+           CASE WHEN CAST(sw2 AS DOUBLE) > 0.0
+             THEN round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sw2 AS DOUBLE), 6) END AS ess_r,
+           CASE WHEN n > 0 AND CAST(sw2 AS DOUBLE) > 0.0
+             THEN round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             END AS ess_ratio_r
+         FROM a""",
+
+    // q349: four half-steps unrolled — HUGEINT margin masses, the
+    // identical t·total/(1e6·mass) chain, w quantized once per step
+    "q349_ipf_raking" ->
+      """WITH cells AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS BIGINT) AS n, CAST(1000000 AS BIGINT) AS w
+           FROM orders GROUP BY 1, 2),
+         rt(r, t) AS (VALUES ('1-URGENT', 200000), ('2-HIGH', 200000),
+           ('3-MEDIUM', 200000), ('4-NOT SPECIFIED', 200000),
+           ('5-LOW', 200000)),
+         ct(c, t) AS (VALUES ('F', 500000), ('O', 400000),
+           ('P', 100000)),
+         m1 AS (SELECT r, sum(CAST(n AS HUGEINT) * w) AS m FROM cells
+           GROUP BY 1),
+         t1 AS (SELECT sum(m) AS tm FROM m1),
+         h1 AS (SELECT cells.r, cells.c, cells.n,
+             CAST(round(CAST(w AS DOUBLE) * (CASE WHEN t = 0 THEN 0.0
+               ELSE CAST(t AS DOUBLE) * CAST(tm AS DOUBLE)
+                 / (1e6 * CAST(m AS DOUBLE)) END)) AS BIGINT) AS w
+           FROM cells JOIN rt ON cells.r = rt.r
+             JOIN m1 ON cells.r = m1.r CROSS JOIN t1),
+         m2 AS (SELECT c, sum(CAST(n AS HUGEINT) * w) AS m FROM h1
+           GROUP BY 1),
+         t2 AS (SELECT sum(m) AS tm FROM m2),
+         h2 AS (SELECT h1.r, h1.c, h1.n,
+             CAST(round(CAST(w AS DOUBLE) * (CASE WHEN t = 0 THEN 0.0
+               ELSE CAST(t AS DOUBLE) * CAST(tm AS DOUBLE)
+                 / (1e6 * CAST(m AS DOUBLE)) END)) AS BIGINT) AS w
+           FROM h1 JOIN ct ON h1.c = ct.c
+             JOIN m2 ON h1.c = m2.c CROSS JOIN t2),
+         m3 AS (SELECT r, sum(CAST(n AS HUGEINT) * w) AS m FROM h2
+           GROUP BY 1),
+         t3 AS (SELECT sum(m) AS tm FROM m3),
+         h3 AS (SELECT h2.r, h2.c, h2.n,
+             CAST(round(CAST(w AS DOUBLE) * (CASE WHEN t = 0 THEN 0.0
+               ELSE CAST(t AS DOUBLE) * CAST(tm AS DOUBLE)
+                 / (1e6 * CAST(m AS DOUBLE)) END)) AS BIGINT) AS w
+           FROM h2 JOIN rt ON h2.r = rt.r
+             JOIN m3 ON h2.r = m3.r CROSS JOIN t3),
+         m4 AS (SELECT c, sum(CAST(n AS HUGEINT) * w) AS m FROM h3
+           GROUP BY 1),
+         t4 AS (SELECT sum(m) AS tm FROM m4),
+         h4 AS (SELECT h3.r, h3.c, h3.n,
+             CAST(round(CAST(w AS DOUBLE) * (CASE WHEN t = 0 THEN 0.0
+               ELSE CAST(t AS DOUBLE) * CAST(tm AS DOUBLE)
+                 / (1e6 * CAST(m AS DOUBLE)) END)) AS BIGINT) AS w
+           FROM h3 JOIN ct ON h3.c = ct.c
+             JOIN m4 ON h3.c = m4.c CROSS JOIN t4)
+         SELECT r, c, n, w AS w_ppm FROM h4 ORDER BY r, c""",
 
     // q347: every datacard line recomputed byte-for-byte — exact
     // integer stats, doubled-median lo/hi order statistics, top-lang

@@ -3568,6 +3568,50 @@ object Evaluate {
       .select("n_strata", "n_complete", "n_used", "ate")
   }
 
+  /** Quantile treatment effects — what [[strataAte]]'s mean hides:
+    * an intervention can leave the average flat while moving the tails
+    * (compression at the top, expansion at the bottom). Per requested
+    * quantile q (ppm), the treated and control order statistics at
+    * rank ⌈q·n/10⁶⌉ (percentile_disc convention, rank floor 1) and
+    * their difference — ALL exact integers, no float anywhere.
+    * Selection runs over the per-(arm, value) count grid with
+    * arm-partitioned cumulative windows (the [[conformalSplit]]
+    * winsorize discipline — quantize y upstream if its distinct count
+    * is unbounded). Returns one row per quantile:
+    * (q_ppm, n_t, n_c, y_t, y_c, qte). Empty arms yield null sides. */
+  def quantileTreatmentEffect(df: DataFrame, treated: Column, y: Column,
+      qPpms: Seq[Long] = Seq(100000L, 250000L, 500000L, 750000L,
+        900000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qPpms.nonEmpty && qPpms.forall(q => q > 0L && q <= 1000000L),
+      s"quantiles must be in (0, 1e6] ppm, got $qPpms")
+    val base = df.select(treated.cast("boolean").as("_t"),
+        y.cast("long").as("_y"))
+      .where(col("_t").isNotNull && col("_y").isNotNull)
+    val grid = base.groupBy("_t", "_y").agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy("_t").orderBy("_y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = grid.withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(wAll))
+    val qs = qPpms.map(lit(_))
+    val picked = cum
+      .crossJoin(broadcast(base.sparkSession.range(1).select(
+        explode(array(qs: _*)).as("q_ppm"))))
+      .withColumn("_k", greatest(lit(1L),
+        expr("(_n * q_ppm + 999999L) div 1000000L")))
+      .where(col("_cum") >= col("_k"))
+      .groupBy("q_ppm", "_t")
+      .agg(min("_y").as("_v"), max(col("_n")).as("_nn"))
+    picked.groupBy("q_ppm")
+      .agg(max(when(col("_t"), col("_nn"))).as("n_t"),
+        max(when(!col("_t"), col("_nn"))).as("n_c"),
+        max(when(col("_t"), col("_v"))).as("y_t"),
+        max(when(!col("_t"), col("_v"))).as("y_c"))
+      .withColumn("qte", col("y_t") - col("y_c"))
+  }
+
   /** Sequential probability ratio test (Wald's SPRT) on a Bernoulli
     * stream — the always-valid A/B stopping rule: walk the
     * observations in a DETERMINISTIC key order accumulating the

@@ -878,4 +878,93 @@ object GroupOps {
           col("_b") < col("test_end"), col("_c")).otherwise(0L))
           .as("n_test"))
   }
+
+  /** Effective sample size of an importance-weighted corpus — the
+    * one-number diagnostic every weighting scheme ([[Dsir]] scores,
+    * Moore-Lewis, IPW, [[ipfWeights]]) must report before anyone
+    * trusts a weighted mean: ESS = (Σw)²/Σw² (Kish), the equivalent
+    * count of EQUALLY-weighted samples. A few huge weights → ESS ≪ n →
+    * the weighted estimate rides on a handful of rows. Weights arrive
+    * as exact quantized longs (the ppm contract); both sums accumulate
+    * in Decimal(38,0), ESS is ONE float chain. Negative weights are a
+    * caller bug → in-plan raise_error. Returns one row:
+    * (n, sw, sw2 — decimals, gate-cast downstream — ess, ess_ratio). */
+  def essWeights(df: DataFrame, weight: Column): DataFrame = {
+    val w = df.select(weight.cast("long").as("_w"))
+      .where(col("_w").isNotNull)
+      .withColumn("_w", when(col("_w") >= 0L, col("_w"))
+        .otherwise(raise_error(concat(
+          lit("essWeights: negative weight: "),
+          col("_w").cast("string")))))
+    w.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("_w").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sw"),
+        coalesce(sum(col("_w").cast("decimal(38,0)") *
+          col("_w").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sw2"))
+      .withColumn("ess", when(col("sw2").cast("double") > 0.0,
+        col("sw").cast("double") * col("sw").cast("double") /
+          col("sw2").cast("double")))
+      .withColumn("ess_ratio", when(col("n") > 0L,
+        col("ess") / col("n").cast("double")))
+  }
+
+  /** Iterative proportional fitting (survey raking) over a two-way
+    * cell grid — reweight a corpus so BOTH marginal distributions hit
+    * caller targets (topic × language to a product spec, priority ×
+    * status to uniform): the dataset-curation move when per-cell
+    * targets are underdetermined and only margins are known. Cells
+    * (r, c, n) come from ONE data-sized groupBy; every IPF sweep runs
+    * on the bounded grid. Weights live as ppm longs (w⁰ = 10⁶);
+    * each half-step scales one margin to its target —
+    * f = t_ppm·Σmass/(10⁶·mass_margin), ONE float chain off exact
+    * integer masses, w' = round(w·f) quantized ONCE per half-step —
+    * so any iteration count is layout-invariant and engine-replayable
+    * (rows first, then columns, `iters` full sweeps). Margins with
+    * target > 0 but zero observed mass cannot be raked → in-plan
+    * raise_error; zero-target margins zero out. Returns
+    * (r, c, n, w_ppm). */
+  def ipfWeights(cells: DataFrame, rowTargets: DataFrame,
+      colTargets: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = cells.select(col("r"), col("c"),
+        col("n").cast("long").as("n"))
+      .where(col("r").isNotNull && col("c").isNotNull && col("n") > 0L)
+      .withColumn("w_ppm", lit(1000000L))
+    val rt = rowTargets.select(col("r"), col("t_ppm").cast("long")
+      .as("_rt"))
+    val ct = colTargets.select(col("c"), col("t_ppm").cast("long")
+      .as("_ct"))
+    def half(df: DataFrame, key: String, targets: DataFrame,
+        tName: String): DataFrame = {
+      val mass = df.groupBy(key)
+        .agg(sum(col("n").cast("decimal(38,0)") *
+          col("w_ppm").cast("decimal(38,0)")).as("_m"))
+      val total = mass.agg(sum("_m").as("_tm"))
+      df.join(targets, Seq(key))
+        .join(mass, Seq(key)).crossJoin(broadcast(total))
+        .withColumn("_f",
+          when(col(tName) === 0L, lit(0.0))
+            .when(col("_m").cast("double") > 0.0,
+              col(tName).cast("double") * col("_tm").cast("double") /
+                (lit(1e6) * col("_m").cast("double")))
+            .otherwise(raise_error(concat(
+              lit("ipfWeights: target > 0 on an empty margin: "),
+              col(key).cast("string")))))
+        .withColumn("w_ppm",
+          round(col("w_ppm").cast("double") * col("_f")).cast("long"))
+        .select("r", "c", "n", "w_ppm")
+    }
+    // each half-step references the running frame twice (margin agg +
+    // join back), so the raw plan DAG doubles per step — the standard
+    // iterative-op lineage cut keeps analysis linear (the pageRank /
+    // kCore discipline; the grid is bounded, so the cut is cheap)
+    import graft.operators.Checkpoints.LineageCutOps
+    var cur = base
+    for (_ <- 1 to iters) {
+      cur = half(cur, "r", rt, "_rt").cutLineage(eager = true)
+      cur = half(cur, "c", ct, "_ct").cutLineage(eager = true)
+    }
+    cur
+  }
 }
