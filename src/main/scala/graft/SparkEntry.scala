@@ -5126,6 +5126,24 @@ object SparkEntry {
         y = floor(col("o_totalprice")).cast("long"))
       .orderBy("q_ppm")
 
+  // Recommender coverage / popularity-bias report
+  // (Recommend.coverageReport): q334's rec table against the full
+  // supplier catalog — catalog share ever recommended + Gini/HHI of
+  // the recommendation mass, the popularity-trap review numbers.
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val recs = Recommend.itemItemRecs(ui, "cust", "supp",
+      topN = 5, minSupport = 2L, maxUserItems = 1000)
+    Recommend.coverageReport(recs,
+        t(s, dir, "supplier").select(col("s_suppkey").as("item")))
+      .select(col("n_rows"), col("n_users"), col("n_catalog"),
+        col("n_recommended"), col("coverage_ppm"), col("total"),
+        col("gini_num"), round(col("gini"), 6).as("gini_r"),
+        round(col("hhi"), 6).as("hhi_r"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5475,7 +5493,8 @@ object SparkEntry {
     "q347_datacard" -> (q347 _),
     "q348_ess_weights" -> (q348 _),
     "q349_ipf_raking" -> (q349 _),
-    "q350_qte" -> (q350 _))
+    "q350_qte" -> (q350 _),
+    "q351_rec_coverage" -> (q351 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13213,6 +13232,72 @@ object SparkEntry {
              THEN c ELSE 0 END) AS BIGINT) AS n_test
          FROM f CROSS JOIN g
          GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q351: the q334 chain, then per-item rec counts through the q163
+    // rank/HUGEINT gini machinery against the full supplier catalog
+    "q351_rec_coverage" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         sz AS (SELECT u, count(*) AS s FROM ui GROUP BY 1),
+         kept AS (SELECT ui.u, ui.i FROM ui JOIN sz USING (u)
+           WHERE s <= 1000),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c
+           FROM kept GROUP BY 1),
+         co AS (SELECT a.i AS ia, b.i AS ib,
+             CAST(count(*) AS BIGINT) AS cc
+           FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sims0 AS (SELECT co.ia, co.ib,
+             CAST(round(CAST(cc AS DOUBLE) * 1e6
+               / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))
+               AS BIGINT) AS sim
+           FROM co JOIN ic ca ON co.ia = ca.i
+             JOIN ic cb ON co.ib = cb.i),
+         sims AS (SELECT ia, ib, sim FROM (SELECT ia, ib, sim,
+             row_number() OVER (PARTITION BY ia
+               ORDER BY sim DESC, ib ASC) AS nrk
+           FROM sims0) WHERE nrk <= 50),
+         sc AS (SELECT k.u, s.ib AS item,
+             CAST(sum(s.sim) AS BIGINT) AS score_ppm
+           FROM kept k JOIN sims s ON k.i = s.ia
+           GROUP BY 1, 2),
+         unowned AS (SELECT sc.u, sc.item, sc.score_ppm
+           FROM sc WHERE NOT EXISTS (SELECT 1 FROM kept
+             WHERE kept.u = sc.u AND kept.i = sc.item)),
+         recs AS (SELECT u, item FROM (SELECT u, item,
+             row_number() OVER (PARTITION BY u
+               ORDER BY score_ppm DESC, item ASC) AS rn
+           FROM unowned) WHERE rn <= 5),
+         base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM recs),
+         cat AS (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT)
+             AS n_catalog FROM supplier),
+         s AS (SELECT item, CAST(count(*) AS BIGINT) AS x FROM recs
+           GROUP BY 1),
+         r AS (SELECT x, row_number() OVER (ORDER BY x, item) AS rk
+           FROM s),
+         agg AS (SELECT count(*) AS n, sum(x) AS total,
+             sum(CAST(rk AS HUGEINT) * x) AS rx,
+             sum(CAST(x AS HUGEINT) * x) AS xx
+           FROM r)
+         SELECT n_rows, n_users, n_catalog,
+           CAST(n AS BIGINT) AS n_recommended,
+           CASE WHEN n_catalog > 0
+             THEN CAST((n * 1000000) // n_catalog AS BIGINT)
+             END AS coverage_ppm,
+           CAST(total AS BIGINT) AS total,
+           CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT) AS BIGINT)
+             AS gini_num,
+           CASE WHEN total > 0 AND n > 0
+             THEN round(CAST(rx * 2 - (n + 1) * CAST(total AS HUGEINT)
+               AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)),
+               6) END AS gini_r,
+           CASE WHEN total > 0
+             THEN round(CAST(xx AS DOUBLE)
+               / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             END AS hhi_r
+         FROM base CROSS JOIN cat CROSS JOIN agg""",
 
     // q350: per-arm count-grid order statistics at ceil(q·n/1e6),
     // all-integer differences

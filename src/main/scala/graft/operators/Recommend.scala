@@ -174,6 +174,34 @@ object Recommend {
         col("score_ppm"), col("n_contrib"), col("rn"))
   }
 
+  /** Coverage / popularity-bias report of a recommendation table —
+    * the two numbers a recommender review asks first: what share of
+    * the catalog ever gets recommended (low = popularity trap), and
+    * how concentrated the recommendation mass is across items (the
+    * [[GroupOps.concentration]] Gini/HHI machinery applied to per-item
+    * rec counts — exact integer core, one division each). Catalog =
+    * caller-supplied item universe (distinct-ed here), so dead items
+    * count against coverage. Returns one row: (n_rows, n_users,
+    * n_catalog, n_recommended, coverage_ppm, total, gini_num, gini,
+    * hhi). */
+  def coverageReport(recs: DataFrame, catalog: DataFrame,
+      userCol: String = "user", itemCol: String = "item"): DataFrame = {
+    val r = recs.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .where(col("_u").isNotNull && col("_i").isNotNull)
+    val nCat = catalog.select(col(itemCol).as("_i"))
+      .where(col("_i").isNotNull).distinct()
+      .agg(count(lit(1)).as("n_catalog"))
+    val base = r.agg(count(lit(1)).as("n_rows"),
+      countDistinct("_u").as("n_users"))
+    val conc = GroupOps.concentration(r, col("_i"), lit(1L))
+      .withColumnRenamed("n_groups", "n_recommended")
+    base.crossJoin(broadcast(nCat)).crossJoin(broadcast(conc))
+      .withColumn("coverage_ppm", when(col("n_catalog") > 0L,
+        expr("(n_recommended * 1000000L) div n_catalog")))
+      .select("n_rows", "n_users", "n_catalog", "n_recommended",
+        "coverage_ppm", "total", "gini_num", "gini", "hhi")
+  }
+
   /** Next-item recommendations from a first-order transition model —
     * the SEQUENCE-aware sibling of [[itemItemRecs]] (co-occurrence
     * ignores order; "what do users touch AFTER this item" is a

@@ -718,4 +718,36 @@ object EventStream {
           .when(col("llr_at_decision") >= aPpb, lit("accept_h1"))
           .otherwise(lit("accept_h0")))
   }
+
+  /** Streaming ingest for the [[graft.operators.Recommend.coCounts]]
+    * recommender model — co-counts are ADDITIVE across user-disjoint
+    * batches (the documented contract there), which is exactly the
+    * per-batch-delta shape: each micro-batch reduces to its own
+    * coCounts frame written as delta `d<batchId>` (a replayed batch
+    * overwrites its OWN delta — the streamingValueCounts /
+    * streamingCoMoments idempotence design), and the live model is
+    * the sum-merge of every committed delta. Serve any time with
+    * `Recommend.itemItemRecsFromCounts(readCoCounts(...), ...)`. */
+  def streamingCoCounts(stream: DataFrame, userCol: String,
+      itemCol: String, path: String, maxUserItems: Int = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Recommend
+          .coCounts(batch, userCol, itemCol, maxUserItems)
+          .write.mode("overwrite").parquet(s"$path/d$batchId")
+      }
+
+  /** The sum-merged co-count model of every completed
+    * [[streamingCoCounts]] delta — equals the one-shot
+    * [[graft.operators.Recommend.coCounts]] over the full history
+    * EXACTLY when batches were user-disjoint. */
+  def readCoCounts(spark: SparkSession, path: String): DataFrame = {
+    val deltas = completedDeltas(spark, path, Long.MaxValue)
+    if (deltas.isEmpty)
+      throw new IllegalStateException(s"no co-count state under $path")
+    spark.read.parquet(deltas: _*)
+      .groupBy("a", "b")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+  }
 }
