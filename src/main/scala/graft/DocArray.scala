@@ -999,6 +999,17 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
     Recommend.itemItemRecs(df, userCol, itemCol, topN, minSupport,
       maxUserItems, simTopK)
 
+  /** Next-item top-N from first-order transition counts. */
+  def nextItems(userCol: String, itemCol: String, order: Column,
+      topN: Int = 10, minCount: Long = 2L): DataFrame =
+    Recommend.nextItemRecs(df, userCol, itemCol, order, topN, minCount)
+
+  /** Coverage / popularity-bias report of a rec table vs a catalog. */
+  def recommendationCoverage(recs: DataFrame,
+      itemCol: String = "item"): DataFrame =
+    Recommend.coverageReport(recs, df.select(col(itemCol)),
+      itemCol = itemCol)
+
   /** Leave-last-out hit-rate@N eval of the item-item recommender. */
   def recommenderHitRate(userCol: String, itemCol: String,
       order: Column, topN: Int = 10): DataFrame =

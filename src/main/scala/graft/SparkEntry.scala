@@ -5144,6 +5144,36 @@ object SparkEntry {
         round(col("hhi"), 6).as("hhi_r"))
   }
 
+  // Churn-style label frame (composition): the supervised-dataset
+  // builder every temporal model needs and random splits get wrong —
+  // features from the observation window strictly BEFORE the split
+  // day, the label from the outcome window after it (the q344
+  // anti-leakage discipline as a concrete frame). All exact integers.
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      expr("ts div 86400000000000").as("d"), col("event_type"))
+    val split = ev.agg(
+      expr("min(d) + ((max(d) - min(d)) * 3L) div 4L").as("t0"))
+    ev.crossJoin(broadcast(split))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("d") < col("t0"), 1L).otherwise(0L))
+          .as("n_events_obs"),
+        sum(when(col("d") < col("t0") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases_obs"),
+        max(when(col("d") < col("t0"), col("d"))).as("last_obs_day"),
+        max(col("t0")).as("t0"),
+        (sum(when(col("d") >= col("t0") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)) > 0L)
+          .as("label"))
+      .where(col("n_events_obs") > 0L)
+      .withColumn("recency_days", col("t0") - col("last_obs_day"))
+      .select(col("user_id"), col("n_events_obs"),
+        col("n_purchases_obs"), col("recency_days"), col("label"))
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5494,7 +5524,8 @@ object SparkEntry {
     "q348_ess_weights" -> (q348 _),
     "q349_ipf_raking" -> (q349 _),
     "q350_qte" -> (q350 _),
-    "q351_rec_coverage" -> (q351 _))
+    "q351_rec_coverage" -> (q351 _),
+    "q352_churn_labels" -> (q352 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13232,6 +13263,28 @@ object SparkEntry {
              THEN c ELSE 0 END) AS BIGINT) AS n_test
          FROM f CROSS JOIN g
          GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q352: split day at the 3/4 point of the span, observation-window
+    // conditional sums, outcome-window label, zero-activity drop
+    "q352_churn_labels" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS d, event_type
+           FROM events),
+         sp AS (SELECT min(d) + ((max(d) - min(d)) * 3) // 4 AS t0
+           FROM ev),
+         g AS (SELECT user_id,
+             CAST(sum(CASE WHEN d < t0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_obs,
+             CAST(sum(CASE WHEN d < t0 AND event_type = 'purchase'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases_obs,
+             max(CASE WHEN d < t0 THEN d END) AS last_obs_day,
+             CAST(max(t0) AS BIGINT) AS t0,
+             sum(CASE WHEN d >= t0 AND event_type = 'purchase'
+               THEN 1 ELSE 0 END) > 0 AS label
+           FROM ev CROSS JOIN sp GROUP BY user_id)
+         SELECT user_id, n_events_obs, n_purchases_obs,
+           CAST(t0 - last_obs_day AS BIGINT) AS recency_days, label
+         FROM g WHERE n_events_obs > 0 ORDER BY user_id""",
 
     // q351: the q334 chain, then per-item rec counts through the q163
     // rank/HUGEINT gini machinery against the full supplier catalog
