@@ -976,6 +976,11 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       event: Column): DataFrame =
     Evaluate.nelsonAalen(df, groupCols, duration, event)
 
+  /** Restricted mean survival time to horizon tau per group. */
+  def restrictedMeanSurvival(groupCols: Seq[String], duration: Column,
+      event: Column, tau: Long): DataFrame =
+    Evaluate.rmst(df, groupCols, duration, event, tau)
+
   /** Granger lag-1 causality F-test of bucketed series x onto y. */
   def grangerCausality(bucket: Column, x: Column, y: Column): DataFrame =
     Evaluate.grangerLag1(df, bucket, x, y)

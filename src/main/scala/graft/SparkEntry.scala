@@ -5174,6 +5174,27 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // Restricted mean survival time (Evaluate.rmst): the scalar summary
+  // completing the q222/q336 survival trio — expected purchase-free
+  // days within the first 30, per cohort; ppb-quantized survival ×
+  // exact integer spans, Decimal sum gated as guarded BIGINT.
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(
+      min("ts").as("t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+      max("ts").as("tl"))
+    val dur = perUser.select(
+      pmod(col("user_id"), lit(2)).as("cohort"),
+      when(col("tp").isNotNull, expr("(tp - t0) div 86400000000000"))
+        .otherwise(expr("(tl - t0) div 86400000000000")).as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    Evaluate.rmst(dur, Seq("cohort"), col("t"), col("ev"), tau = 30L)
+      .select(col("cohort"), col("tau"),
+        col("rmst_ppb").cast("long").as("rmst_ppb"),
+        round(col("rmst"), 6).as("rmst_r"))
+      .orderBy("cohort")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5525,7 +5546,8 @@ object SparkEntry {
     "q349_ipf_raking" -> (q349 _),
     "q350_qte" -> (q350 _),
     "q351_rec_coverage" -> (q351 _),
-    "q352_churn_labels" -> (q352 _))
+    "q352_churn_labels" -> (q352 _),
+    "q353_rmst" -> (q353 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13263,6 +13285,53 @@ object SparkEntry {
              THEN c ELSE 0 END) AS BIGINT) AS n_test
          FROM f CROSS JOIN g
          GROUP BY 1, 2, 3, 4 ORDER BY fold""",
+
+    // q353: q222's bit-replayed KM fold, survival quantized once to
+    // ppb, exact integer interval spans clamped at tau, HUGEINT sum
+    "q353_rmst" ->
+      """WITH pu AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+               THEN epoch_ns(ts) END) AS tp,
+             max(epoch_ns(ts)) AS tl
+           FROM events GROUP BY user_id),
+         dur AS (SELECT user_id % 2 AS cohort,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000000
+               ELSE (tl - t0) // 86400000000000 END AS t,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+           FROM pu),
+         d AS (SELECT cohort, t, sum(e) AS d, sum(1 - e) AS c
+           FROM dur GROUP BY cohort, t),
+         w AS (SELECT cohort, t, d, c,
+             sum(d + c) OVER (PARTITION BY cohort)
+               - coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM d),
+         s AS (SELECT cohort,
+             list(CAST(n_risk - d AS DOUBLE) / n_risk ORDER BY t) AS farr,
+             list(t ORDER BY t) AS ts FROM w GROUP BY cohort),
+         x AS (SELECT s.cohort AS xcohort, ts[i] AS xt,
+             list_reduce(list_prepend(1.0, farr[1:i]),
+               (a, b) -> a * b) AS surv
+           FROM s, unnest(range(1, len(ts) + 1)) AS u(i)),
+         ld AS (SELECT xcohort AS cohort, xt AS t, surv,
+             coalesce(lead(xt) OVER (PARTITION BY xcohort
+               ORDER BY xt), 30) AS nt,
+             row_number() OVER (PARTITION BY xcohort
+               ORDER BY xt) AS rn
+           FROM x),
+         tm AS (SELECT cohort,
+             CAST(round(surv * 1e9) AS HUGEINT)
+               * greatest(0, least(nt, 30) - least(t, 30))
+             + (CASE WHEN rn = 1
+                 THEN CAST(1000000000 AS HUGEINT) * least(t, 30)
+                 ELSE CAST(0 AS HUGEINT) END) AS term
+           FROM ld)
+         SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(30 AS BIGINT) AS tau,
+           CAST(sum(term) AS BIGINT) AS rmst_ppb,
+           round(CAST(sum(term) AS DOUBLE) / 1e9, 6) AS rmst_r
+         FROM tm GROUP BY 1 ORDER BY cohort""",
 
     // q352: split day at the 3/4 point of the span, observation-window
     // conditional sums, outcome-window label, zero-activity drop

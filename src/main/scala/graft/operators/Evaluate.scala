@@ -1933,6 +1933,44 @@ object Evaluate {
         col("d") :+ col("c") :+ col("h_ppb") :+ col("chaz_ppb"): _*)
   }
 
+  /** Restricted mean survival time — the scalar summary of a
+    * [[kaplanMeier]] curve clinicians and retention teams actually
+    * report: the area under S(t) up to horizon τ = expected
+    * event-free time within the window ("average retained days in the
+    * first 30"), valid under censoring where a naive mean of observed
+    * durations is not. The step function holds S = 1 on [0, t₁) and
+    * S(tᵢ) on [tᵢ, tᵢ₊₁); each interval's contribution is
+    * round(10⁹·S)·span — the survival double quantized ONCE to ppb
+    * (the EWMA discipline; the KM fold itself is bit-replayable per
+    * [[kaplanMeier]]), the span exact integer clamped to τ — so the
+    * cross-interval sum is EXACT Decimal and order-free. One
+    * group-partitioned lead window over the bounded KM grid. Returns
+    * one row per group: (group…, tau, rmst_ppb decimal, rmst). */
+  def rmst(df: DataFrame, groupCols: Seq[String], duration: Column,
+      event: Column, tau: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tau > 0L, s"tau must be positive, got $tau")
+    val km = kaplanMeier(df, groupCols, duration, event)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("t")
+    val terms = km
+      .withColumn("_nt", coalesce(lead("t", 1).over(w), lit(tau)))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_sppb", round(col("surv") * 1e9).cast("long"))
+      .withColumn("_span", greatest(lit(0L),
+        least(col("_nt"), lit(tau)) - least(col("t"), lit(tau))))
+      .withColumn("_term",
+        col("_sppb").cast("decimal(38,0)") *
+          col("_span").cast("decimal(38,0)") +
+        when(col("_rn") === 1,
+          lit(1000000000L).cast("decimal(38,0)") *
+            least(col("t"), lit(tau)).cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
+    terms.groupBy(groupCols.map(col): _*)
+      .agg(sum("_term").as("rmst_ppb"))
+      .withColumn("tau", lit(tau))
+      .withColumn("rmst", col("rmst_ppb").cast("double") / 1e9)
+  }
+
   /** Granger lag-1 causality F-test on two bucketed series — "do
     * yesterday's x counts help predict today's y counts beyond
     * yesterday's y?" The nested-OLS comparison: restricted

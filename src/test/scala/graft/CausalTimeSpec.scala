@@ -37,6 +37,28 @@ class CausalTimeSpec extends SparkSuite {
     assert(out("h") == 1000000000L)
   }
 
+  // ---- rmst -----------------------------------------------------------
+
+  test("rmst: textbook censored hand case, exact ppb area") {
+    // events t=1 (S->3/4), censor t=2, event t=3 (S->3/8), event t=4
+    // (S->0). Area to tau=10: 1*1 + .75*1 + .75*1 + .375*1 + 0*6
+    // = 2.875 -> 2_875_000_000 ppb.
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("t", "e")
+    val r = Evaluate.rmst(df, Seq.empty, col("t"), col("e"), tau = 10L)
+      .collect().head
+    assert(r.getAs[java.math.BigDecimal]("rmst_ppb").longValueExact ==
+      2875000000L)
+    assert(math.abs(r.getAs[Double]("rmst") - 2.875) < 1e-12)
+  }
+
+  test("rmst: tau clips both the tail and a late first event") {
+    // single subject, event at t=5, tau=3: S=1 on [0,3) -> rmst 3.
+    val df = Seq((5L, 1L)).toDF("t", "e")
+    val r = Evaluate.rmst(df, Seq.empty, col("t"), col("e"), tau = 3L)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("rmst") - 3.0) < 1e-12)
+  }
+
   // ---- grangerLag1 ----------------------------------------------------
 
   test("granger: x perfectly predicts next y -> rss_u ~ 0, huge f") {
