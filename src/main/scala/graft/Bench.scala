@@ -54,9 +54,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val benchT0 = System.nanoTime()
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
-    // min-of-2 IVF build costs 35–92 s per attempt; default is ONE attempt
-    // so a stolen host can't blow the budget before the recall rows land
-    val min2Builds = sys.env.get("SPARK_GRAFT_BENCH_MIN2").contains("1")
+    // round 8: IVF build is min-of-2 by DEFAULT (the r7 verdict's
+    // bench-noise item — identical code measured 52 s and 92 s across two
+    // exclusive runs; one attempt left the row a runs=1 whipsaw). The
+    // budget guard still skips the second attempt on a stolen host, and
+    // SPARK_GRAFT_BENCH_MIN2=0 restores the single-attempt behavior.
+    val min2Builds = !sys.env.get("SPARK_GRAFT_BENCH_MIN2").contains("0")
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     def overBudget: Boolean = elapsedS > budgetS
 
@@ -221,14 +224,15 @@ object Bench {
       "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000")
     if (overBudget) annRows.foreach(skip)
     else {
-      // ONE build attempt by default (round 5): min-of-2 (identical code
-      // measured 52 s and 92 s across two exclusive round-4 runs —
-      // JVM/GC state, not plan) is behind SPARK_GRAFT_BENCH_MIN2=1; the
-      // second attempt was half the block's fixed cost and a kill risk.
+      // min-of-2 build attempts by default (round 8 — identical code
+      // measured 52 s and 92 s across two exclusive round-4 runs, so one
+      // attempt made this the bench's noisiest contract row); the budget
+      // guard drops the second attempt on a stolen host, and
+      // SPARK_GRAFT_BENCH_MIN2=0 restores single-attempt.
       var idx: Ann.IvfIndex = null
       var buildBest = Double.MaxValue
       val attempts = if (min2Builds) 2 else 1
-      for (attempt <- 0 until attempts) {
+      for (attempt <- 0 until attempts if attempt == 0 || !overBudget) {
         if (idx != null) idx.assigned.unpersist()
         val tb0 = System.nanoTime()
         val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
@@ -519,7 +523,7 @@ object Bench {
     // map-side to 2.4M + 400k. The distributed-EM shuffle regime
     // (first measured at 1M docs: 137 s — the shape holds, the row was
     // outsized for a per-round validation; 300k keeps the same plan).
-    bench("x_plsa_300k", runs = 1) {
+    bench("x_plsa_300k", runs = 2) {
       val textDocs = spark.range(300000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -536,7 +540,7 @@ object Bench {
     // buckets — the weight pass's shuffle regime ((doc, bucket) partial
     // agg → bucket-keyed model join → per-doc decimal dot-product).
     // Validation row, outside the headline total.
-    bench("x_dsir_1m", runs = 1) {
+    bench("x_dsir_1m", runs = 2) {
       val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -553,7 +557,7 @@ object Bench {
     // scalar battery is map-only (one scan, no shuffle, one codegen
     // stage); the row measures per-doc scalar throughput. Validation
     // row, outside the headline total.
-    bench("x_gopher_1m", runs = 1) {
+    bench("x_gopher_1m", runs = 2) {
       val textDocs = spark.range(1000000L).select(
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -725,7 +729,7 @@ object Bench {
       // Hilbert twin of the z-layout rows: same source, same b-slab
       // probe — the always-adjacent curve should prune at least as
       // well as the z-curve on the non-leading dimension.
-      bench("x_hilbert_write_4m", runs = 1) {
+      bench("x_hilbert_write_4m", runs = 2) {
         graft.operators.ZOrder.writeHilbertOrdered(zsrc, s"$tmp/hord",
           64, 12, "a", "b")
       }
@@ -742,7 +746,7 @@ object Bench {
     // changed-count. The pair→cluster resolution step of every dedup
     // pipeline (q53's operator) at its scale regime; the long chain
     // exercises the O(log diameter) doubling, not just star merges.
-    bench("x_cc_1m", runs = 1) {
+    bench("x_cc_1m", runs = 2) {
       val nodes = spark.range(1000000L).select(col("id"))
       val chain = spark.range(1000000L)
         .where(pmod(col("id"), lit(10)) =!= 9 && col("id") < 999000L)
@@ -758,7 +762,7 @@ object Bench {
     // the dominant cost), bipartite band join on ids+buckets only,
     // signature-estimated verify — the daily-crawl-vs-corpus regime the
     // artifact path exists for. Validation row.
-    bench("x_neardup_ingest_1m", runs = 1) {
+    bench("x_neardup_ingest_1m", runs = 2) {
       def mkText(n: Long, off: Long, mut: Boolean) =
         spark.range(n).select((col("id") + off).as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
@@ -1177,9 +1181,11 @@ object Bench {
       // Honest-regime twin (the x_jl_clustered convention): on the
       // uniform corpus sign bits separate the true NN from 1M
       // impostors by a fraction of the Hamming noise σ — recall ~0.26
-      // at rerank=200, blocking-key territory. On the clustered
-      // corpus the funnel is a real search path (recall 1.0 at
-      // rerank=1000, 0.41 at 200 — measured r7).
+      // at rerank=200, prefilter/blocking territory (so documented).
+      // On the clustered corpus the funnel is a real search path
+      // (recall 1.0 at rerank=1000, 0.41 at 200 — measured r7), and
+      // since r8 rerank=1000 + center=true ARE the operator defaults:
+      // this row measures the default-parameter regime.
       ensureClustered()
       val clStored = spark.read.parquet(clusteredDir)
       val clQueries = clusteredQueries100()
@@ -1252,7 +1258,7 @@ object Bench {
     // Item-item CF at 1M interactions (100k users x 2k items, ~10
     // items/user): valve semi-join + co-count self-join + top-10
     // windows — the whole recommender is four shuffles.
-    bench("x_itemcf_1m", runs = 1) {
+    bench("x_itemcf_1m", runs = 2) {
       import graft.operators.Recommend
       val ui = spark.range(1000000L).select(
         pmod(xxhash64(col("id"), lit(86)), lit(100000L)).as("u"),
@@ -1299,7 +1305,7 @@ object Bench {
     }
     // URL normalize at 10M: one pure-codegen map stage (regex parse +
     // param sort + reassembly), then a distinct-count on the key.
-    bench("x_urlnorm_10m", runs = 1) {
+    bench("x_urlnorm_10m", runs = 2) {
       import graft.operators.Web
       val urls = spark.range(10000000L).select(concat(
         lit("HTTP://www.site"),
