@@ -126,6 +126,48 @@ object Funnel {
         sum("_vs").as("value_cents"))
   }
 
+  /** Shared conversions⋈touches trailing-window join for the
+    * attribution family ([[linearAttribution]] /
+    * [[positionAttribution]] / [[timeDecayAttribution]] /
+    * [[shapleyAttribution]]), with the HOT-USER VALVE: the user-keyed
+    * join materializes conversions×touches rows per user BEFORE the
+    * window predicate can cut them, so one bot user with 10⁶ touches
+    * and 10³ conversions would put 10⁹ intermediate rows on a single
+    * key. Users whose TOUCH count exceeds `maxUserTouches` DROP
+    * ENTIRELY — touches and conversions both, the
+    * [[Recommend.itemItemRecs]] `maxUserItems` convention (the kept
+    * universe stays consistent across every model, and a bot's credit
+    * is noise, not signal) — via one per-user count aggregation +
+    * left-semi prefilters on the user key. Zero-touch users never
+    * reached the output anyway (the join is inner), so the valve
+    * changes results ONLY for users over the cap; per kept user the
+    * join is bounded at conversions×maxUserTouches rows. Returns
+    * (_u, _cid, _cts, _tts, channel). */
+  private def attributionJoined(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String], windowNs: Long,
+      maxUserTouches: Int): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType cannot also be a touch type")
+    require(maxUserTouches >= 1,
+      s"maxUserTouches must be >= 1, got $maxUserTouches")
+    val ev = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
+      col(idCol).as("_id"))
+    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+    val okUsers = touch.groupBy("_u").agg(count(lit(1)).as("_tc"))
+      .where(col("_tc") <= maxUserTouches).select("_u")
+    val conv = ev.where(col("_t") === conversionType)
+      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
+      .join(okUsers, Seq("_u"), "left_semi")
+    conv.join(touch.join(okUsers, Seq("_u"), "left_semi"), Seq("_u"))
+      .where(col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - windowNs)
+  }
+
   /** Linear multi-touch attribution: each conversion's credit splits
     * EQUALLY across the user's touch events in the trailing window —
     * the standard marketing/channel-credit model beside last-touch
@@ -136,26 +178,17 @@ object Funnel {
     * vs converted_attributed).
     *
     * Scale shape: one user-keyed conversions⋈touches join bounded by
-    * per-user activity, a per-conversion count, one channel rollup —
-    * no windows. All integers exact. Returns one row per channel:
+    * per-user activity and the [[attributionJoined]] hot-user valve
+    * (`maxUserTouches` — over-cap users drop entirely), a
+    * per-conversion count, one channel rollup — no windows. All
+    * integers exact. Returns one row per channel:
     * (channel, touches, conversions_touched, credit_ppm). */
   def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, conversionType: String,
-      touchTypes: Seq[String], windowNs: Long): DataFrame = {
-    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
-    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
-    require(!touchTypes.contains(conversionType),
-      "conversionType cannot also be a touch type")
-    val ev = events.select(col(userCol).as("_u"),
-      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
-      col(idCol).as("_id"))
-    val conv = ev.where(col("_t") === conversionType)
-      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
-    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
-      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
-    val joined = conv.join(touch, Seq("_u"))
-      .where(col("_tts") < col("_cts") &&
-        col("_tts") >= col("_cts") - windowNs)
+      touchTypes: Seq[String], windowNs: Long,
+      maxUserTouches: Int = 10000): DataFrame = {
+    val joined = attributionJoined(events, userCol, tsCol, typeCol,
+      idCol, conversionType, touchTypes, windowNs, maxUserTouches)
     val n = joined.groupBy("_cid").agg(count(lit(1)).as("_n"))
     joined.join(n, Seq("_cid"))
       .groupBy("channel")
@@ -173,31 +206,19 @@ object Funnel {
     * channel) are interchangeable, so per-channel credit sums are
     * deterministic under any tie assignment.
     *
-    * Scale shape: [[linearAttribution]]'s user-keyed window join, then
-    * two windows PARTITIONED PER CONVERSION (bounded by that user's
-    * in-window touches, never global) + one channel rollup. All
-    * credits exact ppm integers. Returns (channel, touches,
-    * conversions_touched, credit_ppm). */
+    * Scale shape: [[attributionJoined]]'s user-keyed window join
+    * (hot-user valve included), then two windows PARTITIONED PER
+    * CONVERSION (bounded by that user's in-window touches, never
+    * global) + one channel rollup. All credits exact ppm integers.
+    * Returns (channel, touches, conversions_touched, credit_ppm). */
   def positionAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String],
-      windowNs: Long): DataFrame = {
-    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
-    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
-    require(!touchTypes.contains(conversionType),
-      "conversionType cannot also be a touch type")
-    val ev = events.select(col(userCol).as("_u"),
-      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
-      col(idCol).as("_id"))
-    val conv = ev.where(col("_t") === conversionType)
-      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
-    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
-      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+      windowNs: Long, maxUserTouches: Int = 10000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_cid")
-    val joined = conv.join(touch, Seq("_u"))
-      .where(col("_tts") < col("_cts") &&
-        col("_tts") >= col("_cts") - windowNs)
+    val joined = attributionJoined(events, userCol, tsCol, typeCol,
+      idCol, conversionType, touchTypes, windowNs, maxUserTouches)
       .withColumn("_rnk", row_number().over(
         w.orderBy(col("_tts").asc, col("channel").asc)))
       .withColumn("_n", count(lit(1)).over(w))
@@ -225,28 +246,18 @@ object Funnel {
     * (reported via conversions_touched vs the caller's conversion
     * count, the [[linearAttribution]] rule).
     *
-    * Scale shape: the same user-keyed window join + one per-conversion
-    * weight-sum aggregation + one channel rollup — no windows at all.
+    * Scale shape: the same user-keyed window join
+    * ([[attributionJoined]], hot-user valve included) + one
+    * per-conversion weight-sum aggregation + one channel rollup — no
+    * windows at all.
     * Returns (channel, touches, conversions_touched, credit_ppm). */
   def timeDecayAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String], windowNs: Long,
-      halfLifeNs: Long): DataFrame = {
-    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+      halfLifeNs: Long, maxUserTouches: Int = 10000): DataFrame = {
     require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
-    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
-    require(!touchTypes.contains(conversionType),
-      "conversionType cannot also be a touch type")
-    val ev = events.select(col(userCol).as("_u"),
-      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
-      col(idCol).as("_id"))
-    val conv = ev.where(col("_t") === conversionType)
-      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
-    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
-      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
-    val joined = conv.join(touch, Seq("_u"))
-      .where(col("_tts") < col("_cts") &&
-        col("_tts") >= col("_cts") - windowNs)
+    val joined = attributionJoined(events, userCol, tsCol, typeCol,
+      idCol, conversionType, touchTypes, windowNs, maxUserTouches)
       .withColumn("_w", expr(
         s"1000000L div shiftleft(1L, cast(least((_cts - _tts) div ${halfLifeNs}L, 62L) as int))"))
     val tot = joined.groupBy("_cid").agg(sum("_w").as("_ws"))
@@ -269,9 +280,10 @@ object Funnel {
     * φ_c = Σ_{S ∌ c} |S|!(k−1−|S|)!/k!·(v(S∪{c}) − v(S)) and
     * Σφ_c = v(all) = total attributed conversions, exactly.
     *
-    * Exactness + scale: the data-sized work is ONE distinct +
-    * set-assembly aggregation per conversion and ONE count per
-    * observed channel set (≤ 2^k rows); the 2^k·k Shapley sweep runs
+    * Exactness + scale: the data-sized work is
+    * [[attributionJoined]]'s valved user-keyed window join, ONE
+    * distinct + set-assembly aggregation per conversion and ONE count
+    * per observed channel set (≤ 2^k rows); the 2^k·k Shapley sweep runs
     * DRIVER-SIDE over that bounded artifact in exact BigInt rationals
     * (the Pca Jacobi / kmeans-centroid guarded-fit pattern), refused
     * loudly past `maxChannels` (2^20 coalitions is a modeling error,
@@ -283,11 +295,7 @@ object Funnel {
   def shapleyAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String], windowNs: Long,
-      maxChannels: Int = 16): DataFrame = {
-    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
-    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
-    require(!touchTypes.contains(conversionType),
-      "conversionType cannot also be a touch type")
+      maxChannels: Int = 16, maxUserTouches: Int = 10000): DataFrame = {
     require(touchTypes.size <= maxChannels && maxChannels <= 20,
       s"shapleyAttribution: ${touchTypes.size} channels exceeds " +
         s"maxChannels=$maxChannels (2^k coalitions — cap is 20)")
@@ -295,22 +303,14 @@ object Funnel {
     import spark.implicits._
     val channels = touchTypes.sorted
     val idx = channels.zipWithIndex.toMap
-    val ev = events.select(col(userCol).as("_u"),
-      col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
-      col(idCol).as("_id"))
-    val conv = ev.where(col("_t") === conversionType)
-      .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
-    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
-      .select(col("_u"), col("_ts").as("_tts"), col("_t").as("_ch"))
     val bit = channels.foldLeft(lit(0L)) { (acc, c) =>
-      acc.bitwiseOR(when(col("_ch") === c,
+      acc.bitwiseOR(when(col("channel") === c,
         lit(1L << idx(c))).otherwise(0L))
     }
     // per conversion: the OR of its touched-channel bits (exactly-once
     // via distinct channel per conversion), then one count per set
-    val sets = conv.join(touch, Seq("_u"))
-      .where(col("_tts") < col("_cts") &&
-        col("_tts") >= col("_cts") - windowNs)
+    val sets = attributionJoined(events, userCol, tsCol, typeCol,
+        idCol, conversionType, touchTypes, windowNs, maxUserTouches)
       .select(col("_cid"), bit.as("_b")).distinct()
       .groupBy("_cid").agg(sum("_b").as("_set"))
       .groupBy("_set").agg(count(lit(1)).as("_n"))

@@ -124,6 +124,47 @@ class FunnelSpec extends SparkSuite {
     assert(got2("click") == 333333L + 2000000L)
   }
 
+  test("attribution hot-user valve: over-cap users drop entirely, " +
+      "quiet users unchanged, all four models") {
+    // user a (quiet): purchase@100 with touches view@95, click@96.
+    // user h (hot): 5 views then a purchase — over a maxUserTouches=4
+    // cap its touches AND its conversion must vanish from every model.
+    val quiet = Seq(
+      ("a", 95L, "view", 1L), ("a", 96L, "click", 2L),
+      ("a", 100L, "purchase", 3L))
+    val hot = (0 until 5).map(i => ("h", 90L + i, "view", 10L + i)) :+
+      (("h", 100L, "purchase", 20L))
+    val ev = (quiet ++ hot).toDF("u", "ts", "t", "id").repartition(3)
+    val quietOnly = quiet.toDF("u", "ts", "t", "id")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val lin = Funnel.linearAttribution(ev, "u", "ts", "t", "id",
+      "purchase", Seq("view", "click"), windowNs = 10L,
+      maxUserTouches = 4)
+    assert(rollup(lin) == rollup(Funnel.linearAttribution(quietOnly,
+      "u", "ts", "t", "id", "purchase", Seq("view", "click"), 10L)))
+    val pos = Funnel.positionAttribution(ev, "u", "ts", "t", "id",
+      "purchase", Seq("view", "click"), windowNs = 10L,
+      maxUserTouches = 4)
+    assert(rollup(pos) == rollup(Funnel.positionAttribution(quietOnly,
+      "u", "ts", "t", "id", "purchase", Seq("view", "click"), 10L)))
+    val dec = Funnel.timeDecayAttribution(ev, "u", "ts", "t", "id",
+      "purchase", Seq("view", "click"), windowNs = 10L,
+      halfLifeNs = 3L, maxUserTouches = 4)
+    assert(rollup(dec) == rollup(Funnel.timeDecayAttribution(quietOnly,
+      "u", "ts", "t", "id", "purchase", Seq("view", "click"), 10L, 3L)))
+    val shap = Funnel.shapleyAttribution(ev, "u", "ts", "t", "id",
+      "purchase", Seq("view", "click"), windowNs = 10L,
+      maxUserTouches = 4)
+    assert(rollup(shap) == rollup(Funnel.shapleyAttribution(quietOnly,
+      "u", "ts", "t", "id", "purchase", Seq("view", "click"), 10L)))
+    // at the default cap the hot user is well under and contributes
+    val full = Funnel.linearAttribution(ev, "u", "ts", "t", "id",
+      "purchase", Seq("view", "click"), windowNs = 10L)
+    assert(rollup(full)("view")._2 == 2L) // both conversions touched
+  }
+
   test("basketPairs: hand support/conf/lift, maxBasket valve, minSupport cut") {
     import graft.operators.GroupOps
     // baskets: 1:{x,y} 2:{x,y} 3:{x,z} 4:{y} -> sup(xy)=2, cnt x=3 y=3
