@@ -27,8 +27,21 @@ import org.apache.spark.sql.types._
   */
 object Datacard {
 
-  private def esc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+  /** JSON-string escape for source/lang values: backslash, quote, and
+    * the common control characters (\n \r \t — an embedded newline
+    * would otherwise break both the JSON and the one-line-per-source
+    * framing [[export]]'s readBack splits on). Any OTHER control
+    * character < 0x20 raises loudly — a manifest key carrying \x07 is
+    * dirty data the release should refuse, not quietly reframe. */
+  private def esc(c: org.apache.spark.sql.Column) = {
+    val ct = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(c,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+      "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    when(ct.rlike("[\\x00-\\x1f]"), raise_error(concat(
+        lit("datacard: unescapable control character in value: "), ct)))
+      .otherwise(ct)
+  }
 
   /** Write `datacard.jsonl` under `dir`; returns the artifact read
     * back as (file, line_no, line). */

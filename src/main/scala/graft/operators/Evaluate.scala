@@ -3661,7 +3661,10 @@ object Evaluate {
     * the running LLR is EXACT integer arithmetic:
     * llr(k) = cum₁(k)·inc₁ + (k − cum₁(k))·inc₀ off the same
     * range-partition + two-pass prefix sum as [[mannWhitneyUCounts]]
-    * (never a 1-partition window over data rows). The decision row is
+    * (never a 1-partition window over data rows). Rows with a null
+    * outcome or null orderKey DROP (they carry no Bernoulli
+    * observation; compare `n` against the caller's row count for the
+    * accounting). The decision row is
     * one min_by over the crossing indices. Returns one row: (n, n_pos,
     * inc1_ppb, inc0_ppb, a_ppb, b_ppb, n_decision, llr_at_decision,
     * llr_final, decision ∈ accept_h1/accept_h0/continue). */
@@ -3684,9 +3687,12 @@ object Evaluate {
     val bPpb = math.round(1e9 * math.log(
       betaPpm.toDouble / (1000000L - alphaPpm)))
     val spark = df.sparkSession
+    // null outcome rows DROP, exactly like null orderKey rows (r8 —
+    // mapping null to 0 silently biased the LLR toward H0 on dirty
+    // data, unlike the neighboring wilcoxon/friedman which drop)
     val base = df.select(orderKey.as("_k"),
-        when(outcome, 1L).otherwise(0L).as("_x"))
-      .where(col("_k").isNotNull)
+        when(outcome, 1L).when(!outcome, 0L).as("_x"))
+      .where(col("_k").isNotNull && col("_x").isNotNull)
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = base.repartitionByRange(parts, col("_k"))
       .sortWithinPartitions("_k")

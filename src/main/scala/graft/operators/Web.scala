@@ -29,15 +29,22 @@ object Web {
   def urlScheme(u: Column): Column =
     lower(nullIfEmpty(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
 
-  /** Lowercased host (authority minus userinfo/port). */
+  /** Lowercased host (authority minus userinfo/port). IPv6 bracket
+    * literals come back WITH their brackets (`http://[::1]:8080/` →
+    * `[::1]` — the java.net.URI convention), via a dedicated
+    * alternation branch: the ':' inside the brackets would otherwise
+    * truncate the generic host pattern. */
   def urlHost(u: Column): Column =
     lower(nullIfEmpty(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)))
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?" +
+        "(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1)))
 
-  /** Explicit port as a long, null when absent. */
+  /** Explicit port as a long, null when absent (IPv6 bracket literals
+    * handled — the port is the digits after the ']'). */
   def urlPort(u: Column): Column =
     nullIfEmpty(regexp_extract(u,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1))
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?" +
+        "(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)", 1))
       .cast("long")
 
   /** Path component ('' when absent — the pre-?# slash run). */
@@ -73,10 +80,12 @@ object Web {
     val path = when(rawPath === "", lit("/"))
       .otherwise(regexp_replace(rawPath, "/+$", ""))
     val pathOrRoot = when(path === "", lit("/")).otherwise(path)
+    // the (=.*)? tail also strips BARE tracking params ('?gclid' with
+    // no value) — otherwise two otherwise-identical URLs dedup apart
     val keptParams = filter(
       split(coalesce(urlQuery(u), lit("")), "&"),
       p => !(p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|" +
-        "mc_cid|mc_eid)=") || p === ""))
+        "mc_cid|mc_eid)(=.*)?$") || p === ""))
     val query = array_join(array_sort(keptParams), "&")
     val portPart = when(port.isNull, lit(""))
       .when(scheme === "http" && port === 80L, lit(""))

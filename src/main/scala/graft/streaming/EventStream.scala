@@ -655,8 +655,10 @@ object EventStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // null-outcome rows drop, mirroring the batch sprtBinary (r8)
         batch.select(org.apache.spark.sql.functions.when(outcome, 1L)
-            .otherwise(0L).as("x"))
+            .when(!outcome, 0L).as("x"))
+          .where(org.apache.spark.sql.functions.col("x").isNotNull)
           .agg(
             org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("n"),

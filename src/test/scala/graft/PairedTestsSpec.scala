@@ -128,6 +128,19 @@ class PairedTestsSpec extends SparkSuite {
     assert(r.getAs[Long]("n") == 2L && r.getAs[Long]("n_pos") == 1L)
   }
 
+  test("sprt: null outcomes drop (no silent H0 bias) — r8") {
+    // two null-outcome rows interleaved: result identical to the
+    // clean stream (before r8 they counted as failures, biasing llr)
+    val clean = Seq((1L, Some(true)), (3L, Some(true)), (5L, Some(true)))
+    val dirty = clean ++ Seq((2L, None: Option[Boolean]), (4L, None))
+    val a = Evaluate.sprtBinary(clean.toDF("k", "x"), col("x"), col("k"),
+      200000L, 800000L, 50000L, 50000L).collect().head
+    val b = Evaluate.sprtBinary(dirty.toDF("k", "x"), col("x"), col("k"),
+      200000L, 800000L, 50000L, 50000L).collect().head
+    assert(a.toSeq == b.toSeq)
+    assert(b.getAs[Long]("n") == 3L) // the dropped rows are countable
+  }
+
   test("sprt: deterministic under repartition (key order, not layout)") {
     val df = spark.range(2000).select(col("id").as("k"),
       (pmod(xxhash64(col("id")), lit(10L)) < 3L).as("x"))

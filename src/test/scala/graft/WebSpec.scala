@@ -30,6 +30,27 @@ class WebSpec extends SparkSuite {
       "https://www.shop.example.com:8443/a/b?x=1")
   }
 
+  test("IPv6 bracket literals: host keeps brackets, port parses (r8)") {
+    val r = one("http://[::1]:8080/x?a=1")
+    assert(r.getAs[String]("host") == "[::1]")
+    assert(r.getAs[Long]("port") == 8080L)
+    assert(r.getAs[String]("path") == "/x")
+    assert(r.getAs[String]("domain") == null) // no dotted labels
+    assert(r.getAs[String]("norm") == "http://[::1]:8080/x?a=1")
+    val r2 = one("https://[2001:db8::7]/p/")
+    assert(r2.getAs[String]("host") == "[2001:db8::7]")
+    assert(r2.isNullAt(r2.fieldIndex("port")))
+    assert(r2.getAs[String]("norm") == "https://[2001:db8::7]/p")
+  }
+
+  test("bare tracking params (no '=') strip like valued ones (r8)") {
+    val r = one("http://ex.org/p?gclid&a=1&utm_source")
+    assert(r.getAs[String]("norm") == "http://ex.org/p?a=1")
+    // a non-tracking bare param survives
+    val r2 = one("http://ex.org/p?flag&a=1")
+    assert(r2.getAs[String]("norm") == "http://ex.org/p?a=1&flag")
+  }
+
   test("normalize: default ports, tracking params, sort, trailing slash") {
     val r = one("http://A.B.example.com:80/p/?utm_source=x&b=2&a=1")
     assert(r.getAs[String]("norm") == "http://a.b.example.com/p?a=1&b=2")
