@@ -858,11 +858,14 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
       gapNs: Long, n: Int = 3, topK: Int = 25): DataFrame =
     Funnel.frequentPaths(df, userCol, tsCol, typeCol, gapNs, n, topK)
 
-  /** Binary-quantized knn over this array's embeddings: sign-bit
-    * Hamming candidate scan + exact rerank (see
-    * [[graft.operators.Ann.binarySearchRerank]]). */
+  /** Binary-quantized knn over this array's embeddings: mean-centered
+    * sign-bit Hamming candidate scan + exact rerank of the top 1000
+    * (the defaults the honest clustered-corpus numbers come from —
+    * Recall@10 = 1.000 at 1M×128). On a STRUCTURELESS corpus treat
+    * this as a prefilter/candidate generator, not the search (see
+    * [[graft.operators.Ann.binarySearchRerank]]'s regime notes). */
   def findBinaryQuantized(queries: DataFrame, k: Int,
-      metric: String = "cosine", rerank: Int = 100,
+      metric: String = "cosine", rerank: Int = 1000,
       vecCol: String = "embedding"): DataFrame =
     Ann.binarySearchRerank(df, queries, k, metric, idCol, vecCol,
       idCol, vecCol, rerank)

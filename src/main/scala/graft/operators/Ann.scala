@@ -1630,16 +1630,22 @@ object Ann {
     * per word make the scan another ~4× narrower than a 16-d JL
     * sketch, and sign bits need no scale calibration.
     *
-    * WHEN TO USE: sign bits carry signal only when each dimension
-    * splits the corpus — embeddings from normalized models (per-dim
-    * ≈ zero-centered) work raw; anything else needs `center = true`
-    * (per-dim mean thresholds via the exact integer test — an
-    * all-positive corpus packs to IDENTICAL signatures raw, recall 0).
-    * Like every 1-bit method it needs nearest-neighbor gaps: on a
-    * uniform random corpus recall stays near 0 at any rerank
-    * (blocking-key territory — the honest x_bq_recall10 bench rows);
-    * on clustered corpora it is a real search path (the
-    * x_bq_clustered row).
+    * WHEN TO USE — and the r8 defaults: `center = true` +
+    * `rerank = 1000` are the DEFAULTS because they are the regime the
+    * honest numbers come from (clustered 1M×128: Recall@10 = 1.000,
+    * the x_bq_clustered bench row measures exactly these defaults).
+    * Centering thresholds every bit at the doc corpus's per-dim mean
+    * via the exact integer test — one extra d-agg scan, harmless when
+    * the corpus is already centered, and without it an all-positive
+    * corpus packs to IDENTICAL signatures (recall 0, the naive-caller
+    * trap the old `center = false` default invited). Set
+    * `center = false` only when signatures must replay a raw packing.
+    * Like every 1-bit method it still needs nearest-neighbor GAPS: on
+    * a structureless/uniform corpus recall stays low at any practical
+    * rerank (0.26 at rerank 200, measured — distance concentration,
+    * the JL story) — there, use this as a PREFILTER / candidate
+    * generator feeding an exact or IVF stage, not as the search
+    * itself (the honest x_bq_recall10 row documents that regime).
     *
     * Scale shape: two map-only sign packings, one broadcast-queries
     * Hamming scan with bounded per-partition heaps (O(partitions ×
@@ -1650,8 +1656,8 @@ object Ann {
       metric: String = "cosine",
       docId: String = "id", docVec: String = "embedding",
       queryId: String = "id", queryVec: String = "embedding",
-      rerank: Int = 100, dim: Int = -1,
-      center: Boolean = false): DataFrame = {
+      rerank: Int = 1000, dim: Int = -1,
+      center: Boolean = true): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     // center=true: threshold every bit at the DOC corpus's per-dim
     // mean via the exact integer cross-multiply test — the mode for
