@@ -4199,9 +4199,12 @@ object SparkEntry {
   // SQ8/PQ; oracle replays packing, scan, and rerank end to end.
   private def q318(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // rerank/center pinned: the oracle replays RAW packing (the r8
+    // operator defaults moved to center=true + rerank=1000)
     Ann.binarySearchRerank(e, e.where(col("vec_id") < 10), k = 10,
         docId = "vec_id", docVec = "embedding",
-        queryId = "vec_id", queryVec = "embedding", rerank = 100)
+        queryId = "vec_id", queryVec = "embedding", rerank = 100,
+        center = false)
       .select(col("query_id"), col("id"),
         round(col("distance"), 6).as("distance"), col("rank"))
       .orderBy("query_id", "rank")
@@ -5195,6 +5198,65 @@ object SparkEntry {
       .orderBy("cohort")
   }
 
+  // Depth-3 nesting round trip (SURVEY §2.6 stress — the nested
+  // representation is depth-2 BY DESIGN; deeper corpora ride the
+  // normalized (id, parent_id) table and ITERATIVE SELF-JOINS, and
+  // this gate locks that claim at driver level): a 4-level corpus
+  // (nation → customer → orders → lineitem leaves) is re-nested
+  // bottom-up with one self-join + order-preserving collect per
+  // level, written back at the leaves through a depth-3 chunk chain
+  // (Traverse.setByPath "ccc" — posexplode + position-sorted rebuild
+  // per level), then traversed back out with "ccc". The oracle
+  // replays the whole round trip as plain relational joins + the same
+  // CASE write — if any level of the explode/rebuild machinery drops,
+  // duplicates, or reorders a row, the leaf set hashes apart.
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem does NOT keep (orderkey, linenumber)
+    // unique — collapse collisions with an exact integer sum so leaf
+    // ids are genuinely unique (doc ids must be: a duplicate id would
+    // multiply rows through the write-back join on BOTH engines)
+    val leaves = t(s, dir, "lineitem").select(
+      concat(lit("L"), col("l_orderkey"), lit("_"),
+        col("l_linenumber")).as("id"),
+      concat(lit("O"), col("l_orderkey")).as("_pid"),
+      col("l_quantity").cast("long").as("_q"))
+      .groupBy("id", "_pid").agg(sum("_q").as("qty"))
+    val orders = t(s, dir, "orders").select(
+      concat(lit("O"), col("o_orderkey")).as("id"),
+      concat(lit("C"), col("o_custkey")).as("_pid"))
+    val custs = t(s, dir, "customer").select(
+      concat(lit("C"), col("c_custkey")).as("id"),
+      concat(lit("N"), col("c_nationkey")).as("_pid"))
+    val roots = t(s, dir, "nation").select(
+      concat(lit("N"), col("n_nationkey")).as("id"))
+    // bottom-up re-nest: each level is one equi-join on the parent key
+    // + one id-sorted collect_list (ids are unique, so the default
+    // struct sort is a pure id sort) — the normalized-table path
+    val ordNested = orders
+      .join(leaves.select(col("_pid").as("_k"),
+        struct(col("id"), col("qty")).as("_c")), col("id") === col("_k"))
+      .groupBy(col("id"), col("_pid"))
+      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
+    val custNested = custs
+      .join(ordNested.select(col("_pid").as("_k"),
+          struct(col("id"), col("chunks")).as("_c")),
+        custs("id") === col("_k"))
+      .groupBy(custs("id"), custs("_pid"))
+      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
+    val nested = roots
+      .join(custNested.select(col("_pid").as("_k"),
+          struct(col("id"), col("chunks")).as("_c")),
+        roots("id") === col("_k"))
+      .groupBy(roots("id"))
+      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
+    val updates = leaves.where(col("qty") >= 30L)
+      .select(col("id"), (col("qty") * 10L).as("qty"))
+    val written = Traverse.setByPath(nested, "ccc", updates)
+    Traverse.traverse(written, "ccc")
+      .select(col("id"), col("qty"))
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5547,7 +5609,8 @@ object SparkEntry {
     "q350_qte" -> (q350 _),
     "q351_rec_coverage" -> (q351 _),
     "q352_churn_labels" -> (q352 _),
-    "q353_rmst" -> (q353 _))
+    "q353_rmst" -> (q353 _),
+    "q354_depth3_roundtrip" -> (q354 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -12954,7 +13017,8 @@ object SparkEntry {
       """WITH base AS (SELECT o_orderkey AS k,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                THEN 1 ELSE 0 END AS x
-           FROM orders WHERE o_orderkey IS NOT NULL),
+           FROM orders WHERE o_orderkey IS NOT NULL
+             AND o_orderpriority IS NOT NULL),
          inc AS (SELECT
              CAST(round(1e9 * ln(310000.0 / 300000)) AS BIGINT) AS inc1,
              CAST(round(1e9 * ln(690000.0 / 700000)) AS BIGINT) AS inc0,
@@ -13166,10 +13230,10 @@ object SparkEntry {
              lower(nullif(regexp_extract(u,
                '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
              lower(nullif(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(\[[^\]/?#]*\]|[^/:?#]+)',
                1), '')) AS host,
              CAST(nullif(regexp_extract(u,
-               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)',
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?(?:\[[^\]/?#]*\]|[^/:?#]+):([0-9]+)',
                1), '') AS BIGINT) AS port,
              regexp_extract(u,
                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rp,
@@ -13181,7 +13245,7 @@ object SparkEntry {
              array_to_string(list_sort(list_filter(
                string_split(coalesce(q, ''), '&'),
                x -> NOT (regexp_matches(x,
-                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)=')
+                 '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)(=.*)?$')
                  OR x = ''))), '&') AS q2,
              CASE WHEN nullif(regexp_extract(host,
                  '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[A-Za-z]{2})$',
@@ -13332,6 +13396,23 @@ object SparkEntry {
            CAST(sum(term) AS BIGINT) AS rmst_ppb,
            round(CAST(sum(term) AS DOUBLE) / 1e9, 6) AS rmst_r
          FROM tm GROUP BY 1 ORDER BY cohort""",
+
+    // q354: the depth-3 nest/write/traverse round trip is, relationally,
+    // just the 4-table ancestry join + the same CASE write at the leaves
+    "q354_depth3_roundtrip" ->
+      """WITH leaf AS (SELECT
+             'L' || CAST(l_orderkey AS VARCHAR) || '_'
+               || CAST(l_linenumber AS VARCHAR) AS id,
+             l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2)
+         SELECT id,
+           CASE WHEN q >= 30 THEN q * 10 ELSE q END AS qty
+         FROM leaf
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY id""",
 
     // q352: split day at the 3/4 point of the span, observation-window
     // conditional sums, outcome-window label, zero-activity drop
