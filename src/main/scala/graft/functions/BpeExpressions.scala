@@ -4,7 +4,6 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,16 +84,27 @@ private[graft] object BpeApply {
 }
 
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val ranks = BpeApply.ranks(merges)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(BpeApply.encode(v.asInstanceOf[UTF8String].toString, ranks)
+  /** Public for the generated code (r8: plan-reference call keeps the
+    * 1M-row encode scan inside whole-stage codegen). */
+  def kernel(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(BpeApply.encode(v.toString, ranks)
       .map(s => UTF8String.fromString(s)).toArray[Any])
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "bpe_encode"
 }
@@ -111,7 +121,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   * shuffle, zero UDF; [[BpeEncode]]'s merge-table pattern. */
 case class WordPieceEncode(child: Expression, vocab: Seq[String],
     unk: String = "[UNK]", maxWordLen: Int = 100)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(vocab.nonEmpty, "wordpiece needs a non-empty vocab")
   @transient private lazy val vocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -147,8 +157,9 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String],
     }
     out.addAll(pieces)
   }
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
     var i = 0
     while (i < arr.numElements()) {
@@ -157,6 +168,16 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String],
     }
     new GenericArrayData(out.toArray)
   }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wpExpr", this,
+      classOf[WordPieceEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "wordpiece_encode"
@@ -164,7 +185,7 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String],
 
 case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
     vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   @transient private lazy val ranks = BpeApply.ranks(merges)
   @transient private lazy val ids = {
     val m = new java.util.HashMap[String, Integer]()
@@ -176,11 +197,22 @@ case class BpeEncodeIds(child: Expression, merges: Seq[(String, String)],
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val toks = BpeApply.encode(v.asInstanceOf[UTF8String].toString, ranks)
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = BpeApply.encode(v.toString, ranks)
     new GenericArrayData(toks.map { t =>
       val i = ids.get(t); if (i == null) -1 else i.intValue()
     }.toArray[Any])
+  }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdsExpr", this,
+      classOf[BpeEncodeIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "bpe_encode_ids"

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,9 +42,10 @@ object Fnv64 {
   }
 }
 
-/** fnv64(str[, seed]) → long. */
+/** fnv64(str[, seed]) → long. Full `doGenCode` (r8): the byte fold
+  * inlines into whole-stage codegen. */
 case class Fnv64Hash(child: Expression, seed: Long = 0L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -53,6 +53,20 @@ case class Fnv64Hash(child: Expression, seed: Long = 0L)
   }
   override def nullSafeEval(v: Any): Any =
     Fnv64.hashString(v.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""byte[] $b = $c.getBytes();
+         |long $h = ${Fnv64.OFFSET}L ^ ${seed}L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h ^= ($b[$i] & 0xffL); $h *= ${Fnv64.PRIME}L;
+         |}
+         |${ev.value} = $h;""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "fnv64"
 }
@@ -62,7 +76,7 @@ case class Fnv64Hash(child: Expression, seed: Long = 0L)
   * arithmetic here; the DuckDB oracle replicates the same finalizer with
   * HUGEINT mod-2^64 stages (see SparkEntry's q52 oracle). */
 case class Splitmix64Rank(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType => TypeCheckResult.TypeCheckSuccess
@@ -75,6 +89,19 @@ case class Splitmix64Rank(child: Expression, seed: Long)
     }
     Fnv64.mix(x + seed)
   }
+  // full doGenCode (r8): the splitmix finalizer is three mult/xor/shift
+  // steps — pure inline arithmetic in whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val x = ctx.freshName("x")
+      s"""long $x = ((long) $c) + ${seed}L + 0x9e3779b97f4a7c15L;
+         |$x = ($x ^ ($x >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$x = ($x ^ ($x >>> 27)) * 0x94d049bb133111ebL;
+         |${ev.value} = $x ^ ($x >>> 31);""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "splitmix64_rank"
 }
@@ -83,7 +110,7 @@ case class Splitmix64Rank(child: Expression, seed: Long)
   * h_i(x) = mix(fnv(x) ^ mix(seed + i)); signature[i] = min over tokens.
   * Empty token set → signature of Long.MaxValue (never collides). */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -92,54 +119,33 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   @transient private lazy val streams: Array[Long] =
     Array.tabulate(numHashes)(i => Fnv64.mix(seed + i))
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var t = 0
-    while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val base = Fnv64.hashString(arr.getUTF8String(t))
-        var i = 0
-        while (i < numHashes) {
-          val h = Fnv64.mix(base ^ streams(i))
-          if (h < sig(i)) sig(i) = h
-          i += 1
-        }
-      }
-      t += 1
-    }
-    new GenericArrayData(sig)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashSignature(v.asInstanceOf[ArrayData], numHashes,
+      streams)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val streamsRef = ctx.addReferenceObj("mhsStreams", streams, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashSignature(" +
+        s"$c, $numHashes, $streamsRef);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_signature"
 }
 
-/** minhash_text(text, ngram, numHashes, seed) → array<long>.
-  *
-  * Fused one-pass kernel: tokenizes (lowercase alnum runs — byte-level
-  * equivalent of [[graft.functions.TextFunctions.tokens]]), forms word
-  * n-gram shingles, FNV-hashes each shingle and folds it into the minhash
-  * signature — without materializing token or shingle arrays. Produces
-  * *identical* signatures to `MinHashSignature(wordNgrams(text, n))`
-  * (shingle hash = FNV over the space-joined shingle string; duplicate
-  * shingles don't affect a min). O(len + shingles × numHashes), zero
-  * allocation beyond the signature. This is the kernel that makes
-  * MinHash-LSH dedup run at corpus scale.
-  */
-case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
-  require(ngram >= 1 && numHashes >= 1)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
-  }
-  @transient private lazy val streams: Array[Long] =
-    Array.tabulate(numHashes)(i => Fnv64.mix(seed + i))
-
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+/** JIT-compiled static kernels behind the codegen'd hash expressions —
+  * a top-level object so the mirror class exposes true Java statics the
+  * generated code can call directly ([[MinHashText]] / [[SimHash64]]
+  * `doGenCode` emit one static call each; the expressions stay inside
+  * whole-stage codegen with no [[CodegenFallback]] row materialization
+  * or boxing on the >1M-row dedup paths). */
+object HashKernels {
+  /** The fused tokenize→shingle→minhash walk of [[MinHashText]]. */
+  def minhashText(str: UTF8String, ngram: Int, numHashes: Int,
+      streams: Array[Long]): ArrayData = {
+    val bytes = str.getBytes
     val sig = Array.fill(numHashes)(Long.MaxValue)
     // token boundaries over lowercased alnum bytes
     val starts = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -182,26 +188,123 @@ case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "minhash_text"
-}
 
-/** text_ngrams(text, n) → array<string>: word n-gram shingles in one pass —
-  * byte-level tokenizer equivalent to `tokens(text)` (lowercase alnum runs),
-  * shingles joined with a single space. Exists because composing this from
-  * `transform(sequence(...), i => element_at(tokens(text), i))` re-evaluates
-  * the regex tokenization per element (Spark HOF lambdas don't CSE their
-  * captured subexpressions) — O(T·len) instead of O(len). */
-case class TextNgrams(child: Expression, ngram: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(ngram >= 1)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  /** The per-token minhash fold of [[MinHashSignature]]. */
+  def minhashSignature(arr: ArrayData, numHashes: Int,
+      streams: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val base = Fnv64.hashString(arr.getUTF8String(t))
+        var i = 0
+        while (i < numHashes) {
+          val h = Fnv64.mix(base ^ streams(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
   }
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+
+  /** The hashing-trick accumulate of [[FeatureHash]]. */
+  def featureHash(arr: ArrayData, nDim: Int): ArrayData = {
+    val out = new Array[Float](nDim)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = Fnv64.hashString(arr.getUTF8String(t))
+        val idx = (((h % nDim) + nDim) % nDim).toInt
+        val sign = if ((Fnv64.mix(h) & 1L) == 1L) 1.0f else -1.0f
+        out(idx) += sign
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The min-of-rolling-hashes walk of [[RollingFingerprint]]. */
+  def rollingFingerprint(str: UTF8String, window: Int, b: Long,
+      bPow: Long): Long = {
+    val bytes = str.getBytes
+    val n = bytes.length
+    if (n == 0) 0L
+    else if (n <= window) Fnv64.hashBytes(bytes, 0, n, 0L)
+    else {
+      var h = 0L
+      var i = 0
+      while (i < window) { h = h * b + (bytes(i) & 0xffL); i += 1 }
+      var best = Fnv64.mix(h)
+      while (i < n) {
+        h = (h - (bytes(i - window) & 0xffL) * bPow) * b + (bytes(i) & 0xffL)
+        val m = Fnv64.mix(h)
+        if (m < best) best = m
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** The boundary walk of [[CdcChunks]]. */
+  def cdcChunks(str: UTF8String, window: Int, mask: Long, minLen: Int,
+      maxLen: Int, b: Long, bPow: Long): ArrayData = {
+    val s = str.toString
+    val n = s.length
+    if (n == 0) return org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.empty[UTF8String])
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i) & 0xffffL
+      h = if (i < window) h * b + c
+        else (h - (s.charAt(i - window) & 0xffffL) * bPow) * b + c
+      val pos = i + 1 // chars before a cut placed after position i
+      // never cut between the halves of a surrogate pair: an astral char
+      // split in two mangles both neighboring chunks to '?' on UTF-8
+      // encode and breaks the tiling invariant
+      if (pos < n && pos - cuts.last >= math.max(minLen, 1) &&
+          !Character.isHighSurrogate(s.charAt(i))) {
+        if (i >= window - 1 && (Fnv64.mix(h) & mask) == 0L) cuts += pos
+        else if (maxLen > 0 && pos - cuts.last >= maxLen) cuts += pos
+      }
+      i += 1
+    }
+    cuts += n
+    val out = new Array[UTF8String](cuts.length - 1)
+    var k = 0
+    while (k < cuts.length - 1) {
+      out(k) = UTF8String.fromString(s.substring(cuts(k), cuts(k + 1)))
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** The plane-dot sign pack of [[CosineLsh]]. */
+  def cosineLsh(a: ArrayData, dim: Int, nPlanes: Int,
+      planes: Array[Double], isFloat: Boolean): Long = {
+    val n = math.min(dim, a.numElements())
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var dot = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { dot += a.getFloat(i) * planes(base + i); i += 1 }
+      else while (i < n) { dot += a.getDouble(i) * planes(base + i); i += 1 }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** The one-pass shingle assembly of [[TextNgrams]]. */
+  def textNgrams(str: UTF8String, ngram: Int): ArrayData = {
+    val bytes = str.getBytes
     val starts = new scala.collection.mutable.ArrayBuffer[Int]()
     val ends = new scala.collection.mutable.ArrayBuffer[Int]()
     val low = new Array[Byte](bytes.length)
@@ -241,23 +344,10 @@ case class TextNgrams(child: Expression, ngram: Int)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "text_ngrams"
-}
 
-/** char_ngrams(text, n) → array<string>: character n-grams over the
-  * normalized text (lowercased, non-alnum runs collapsed to single spaces,
-  * trimmed) in one pass — same rationale as [[TextNgrams]]. */
-case class CharNgrams(child: Expression, ngram: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(ngram >= 1)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
-  }
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  /** The normalized char-gram pass of [[CharNgrams]]. */
+  def charNgrams(str: UTF8String, ngram: Int): ArrayData = {
+    val bytes = str.getBytes
     val norm = new ByteArrayStringBuilder(bytes.length)
     var pendingSpace = false
     var i = 0
@@ -284,28 +374,9 @@ case class CharNgrams(child: Expression, ngram: Int)
     }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-  override def prettyName: String = "char_ngrams"
-}
 
-private[functions] final class ByteArrayStringBuilder(cap: Int) {
-  var buf = new Array[Byte](math.max(cap, 8))
-  var len = 0
-  def add(b: Byte): Unit = {
-    if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
-    buf(len) = b; len += 1
-  }
-}
-
-/** simhash64(tokens) → long: sign-sum of token hash bits. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
-  }
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** The sign-sum bit walk of [[SimHash64]]. */
+  def simhash64(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var t = 0
@@ -325,6 +396,132 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+/** minhash_text(text, ngram, numHashes, seed) → array<long>.
+  *
+  * Fused one-pass kernel: tokenizes (lowercase alnum runs — byte-level
+  * equivalent of [[graft.functions.TextFunctions.tokens]]), forms word
+  * n-gram shingles, FNV-hashes each shingle and folds it into the minhash
+  * signature — without materializing token or shingle arrays. Produces
+  * *identical* signatures to `MinHashSignature(wordNgrams(text, n))`
+  * (shingle hash = FNV over the space-joined shingle string; duplicate
+  * shingles don't affect a min). O(len + shingles × numHashes), zero
+  * allocation beyond the signature. This is the kernel that makes
+  * MinHash-LSH dedup run at corpus scale.
+  *
+  * Full `doGenCode` (r8): one static [[HashKernels.minhashText]] call —
+  * the expression stays inside whole-stage codegen with no
+  * CodegenFallback row materialization (the exposure class that made
+  * the r6 Hilbert write row weather-dependent).
+  */
+case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  require(ngram >= 1 && numHashes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  @transient private lazy val streams: Array[Long] =
+    Array.tabulate(numHashes)(i => Fnv64.mix(seed + i))
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashText(v.asInstanceOf[UTF8String], ngram, numHashes,
+      streams)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val streamsRef = ctx.addReferenceObj("mhStreams", streams, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashText(" +
+        s"$c, $ngram, $numHashes, $streamsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_text"
+}
+
+/** text_ngrams(text, n) → array<string>: word n-gram shingles in one pass —
+  * byte-level tokenizer equivalent to `tokens(text)` (lowercase alnum runs),
+  * shingles joined with a single space. Exists because composing this from
+  * `transform(sequence(...), i => element_at(tokens(text), i))` re-evaluates
+  * the regex tokenization per element (Spark HOF lambdas don't CSE their
+  * captured subexpressions) — O(T·len) instead of O(len). */
+case class TextNgrams(child: Expression, ngram: Int)
+    extends UnaryExpression {
+  require(ngram >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.textNgrams(v.asInstanceOf[UTF8String], ngram)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.textNgrams($c, $ngram);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "text_ngrams"
+}
+
+/** char_ngrams(text, n) → array<string>: character n-grams over the
+  * normalized text (lowercased, non-alnum runs collapsed to single spaces,
+  * trimmed) in one pass — same rationale as [[TextNgrams]]. */
+case class CharNgrams(child: Expression, ngram: Int)
+    extends UnaryExpression {
+  require(ngram >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.charNgrams(v.asInstanceOf[UTF8String], ngram)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.charNgrams($c, $ngram);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_ngrams"
+}
+
+private[functions] final class ByteArrayStringBuilder(cap: Int) {
+  var buf = new Array[Byte](math.max(cap, 8))
+  var len = 0
+  def add(b: Byte): Unit = {
+    if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+    buf(len) = b; len += 1
+  }
+}
+
+/** simhash64(tokens) → long: sign-sum of token hash bits. Full
+  * `doGenCode` (r8): one static [[HashKernels.simhash64]] call keeps the
+  * kernel inside whole-stage codegen (no CodegenFallback row
+  * materialization in the SimHash dedup scan). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhash64($c);")
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash64"
 }
@@ -334,28 +531,20 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * accumulate (reference: docarray/document/mixins/featurehash.py:14-54,
   * which uses md5; we use FNV + splitmix for speed, same semantics). */
 case class FeatureHash(child: Expression, nDim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects array<string>, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val out = new Array[Float](nDim)
-    val n = arr.numElements()
-    var t = 0
-    while (t < n) {
-      if (!arr.isNullAt(t)) {
-        val h = Fnv64.hashString(arr.getUTF8String(t))
-        val idx = (((h % nDim) + nDim) % nDim).toInt
-        val sign = if ((Fnv64.mix(h) & 1L) == 1L) 1.0f else -1.0f
-        out(idx) += sign
-      }
-      t += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.featureHash(v.asInstanceOf[ArrayData], nDim)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.featureHash($c, $nDim);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "feature_hash"
 }
@@ -363,7 +552,7 @@ case class FeatureHash(child: Expression, nDim: Int)
 /** rolling_fingerprint(text, window) → long: min of polynomial rolling hashes
   * over byte windows (a winnowing-style document fingerprint). */
 case class RollingFingerprint(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -375,25 +564,16 @@ case class RollingFingerprint(child: Expression, window: Int)
     while (i < window - 1) { p *= B; i += 1 }
     p
   }
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    val n = bytes.length
-    if (n == 0) 0L
-    else if (n <= window) Fnv64.hashBytes(bytes, 0, n, 0L)
-    else {
-      var h = 0L
-      var i = 0
-      while (i < window) { h = h * B + (bytes(i) & 0xffL); i += 1 }
-      var best = Fnv64.mix(h)
-      while (i < n) {
-        h = (h - (bytes(i - window) & 0xffL) * bPow) * B + (bytes(i) & 0xffL)
-        val m = Fnv64.mix(h)
-        if (m < best) best = m
-        i += 1
-      }
-      best
-    }
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.rollingFingerprint(v.asInstanceOf[UTF8String], window,
+      B, bPow)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.rollingFingerprint(" +
+        s"$c, $window, ${B}L, ${bPow}L);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "rolling_fingerprint"
 }
@@ -411,7 +591,7 @@ case class RollingFingerprint(child: Expression, window: Int)
   * mix as rolling_fingerprint, so the two share one oracle encoding. */
 case class CdcChunks(child: Expression, window: Int, maskBits: Int,
     minLen: Int = 0, maxLen: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(window >= 2 && maskBits >= 1 && maskBits <= 62)
   require(minLen >= 0 && (maxLen == 0 || maxLen >= math.max(minLen, 1)))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -426,38 +606,16 @@ case class CdcChunks(child: Expression, window: Int, maskBits: Int,
     while (i < window - 1) { p *= B; i += 1 }
     p
   }
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.toString
-    val n = s.length
-    if (n == 0) return org.apache.spark.sql.catalyst.util.ArrayData
-      .toArrayData(Array.empty[UTF8String])
-    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
-    var h = 0L
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i) & 0xffffL
-      h = if (i < window) h * B + c
-        else (h - (s.charAt(i - window) & 0xffffL) * bPow) * B + c
-      val pos = i + 1 // chars before a cut placed after position i
-      // never cut between the halves of a surrogate pair: an astral char
-      // split in two mangles both neighboring chunks to '?' on UTF-8
-      // encode and breaks the tiling invariant
-      if (pos < n && pos - cuts.last >= math.max(minLen, 1) &&
-          !Character.isHighSurrogate(s.charAt(i))) {
-        if (i >= window - 1 && (Fnv64.mix(h) & mask) == 0L) cuts += pos
-        else if (maxLen > 0 && pos - cuts.last >= maxLen) cuts += pos
-      }
-      i += 1
-    }
-    cuts += n
-    val out = new Array[UTF8String](cuts.length - 1)
-    var k = 0
-    while (k < cuts.length - 1) {
-      out(k) = UTF8String.fromString(s.substring(cuts(k), cuts(k + 1)))
-      k += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.cdcChunks(v.asInstanceOf[UTF8String], window, mask,
+      minLen, maxLen, B, bPow)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.cdcChunks($c, " +
+        s"$window, ${mask}L, $minLen, $maxLen, ${B}L, ${bPow}L);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "cdc_chunks"
 }
@@ -471,7 +629,7 @@ case class CdcChunks(child: Expression, window: Int, maskBits: Int,
   * `java.util.Random(seed).nextGaussian()` drawn row-major [plane][dim],
   * so signatures are bit-identical to the previous formulation. */
 case class CosineLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nPlanes > 0 && nPlanes <= 64, "1..64 planes per signature word")
 
   override def dataType: DataType = LongType
@@ -493,23 +651,18 @@ case class CosineLsh(child: Expression, dim: Int, nPlanes: Int, seed: Long)
     case _ => false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val n = math.min(dim, a.numElements())
-    var sig = 0L
-    var p = 0
-    while (p < nPlanes) {
-      val base = p * dim
-      var dot = 0.0
-      var i = 0
-      if (isFloat) while (i < n) { dot += a.getFloat(i) * planes(base + i); i += 1 }
-      else while (i < n) { dot += a.getDouble(i) * planes(base + i); i += 1 }
-      if (dot > 0) sig |= (1L << p)
-      p += 1
-    }
-    sig
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.cosineLsh(v.asInstanceOf[ArrayData], dim, nPlanes,
+      planes, isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.cosineLsh($c, " +
+        s"$dim, $nPlanes, $planesRef, $isFloat);")
   }
-
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "cosine_lsh"
 }

@@ -4,7 +4,6 @@ import org.apache.spark.ml.linalg.SQLDataTypes
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 
 /** Distance kernels over `ml.linalg.Vector` columns (VectorUDT) —
@@ -20,7 +19,7 @@ import org.apache.spark.sql.types._
   * use ||a-b||² = a·a + b·b - 2a·b.
   */
 case class MlVectorDistance(left: Expression, right: Expression, metric: String)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -42,7 +41,18 @@ case class MlVectorDistance(left: Expression, right: Expression, metric: String)
     else (false, row.getArray(2).toIntArray(), row.getArray(3).toDoubleArray())
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[InternalRow], r.asInstanceOf[InternalRow])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("mlvExpr", this,
+      classOf[MlVectorDistance].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.kernel($l, $r);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(l: InternalRow, r: InternalRow): Double = {
     val (ad, ai, av) = unpack(l)
     val (bd, bi, bv) = unpack(r)
     val dot = dotOf(ad, ai, av, bd, bi, bv)

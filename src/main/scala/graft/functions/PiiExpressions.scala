@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,15 +60,25 @@ object Luhn {
 
 /** redact_cards(text) → string: every maximal 13–19-digit run passing
   * Luhn replaced by `[CARD]`. */
-case class RedactCards(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class RedactCards(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("rcExpr", this,
+      classOf[RedactCards].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(v: UTF8String): UTF8String = {
+    val bytes = v.getBytes
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     var last = 0
     Luhn.eachCandidate(bytes) { (s, e) =>
@@ -79,7 +88,7 @@ case class RedactCards(child: Expression) extends UnaryExpression
         last = e
       }
     }
-    if (last == 0) v.asInstanceOf[UTF8String]
+    if (last == 0) v
     else {
       out.write(bytes, last, bytes.length - last)
       UTF8String.fromBytes(out.toByteArray)
@@ -93,8 +102,7 @@ case class RedactCards(child: Expression) extends UnaryExpression
 /** card_run_stats(text) → struct<n_runs:int, n_valid:int>: candidate
   * 13–19-digit runs and how many pass Luhn (the audit columns for a
   * scrubbing report). */
-case class CardRunStats(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class CardRunStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_runs", IntegerType, nullable = false),
     StructField("n_valid", IntegerType, nullable = false)))
@@ -102,8 +110,19 @@ case class CardRunStats(child: Expression) extends UnaryExpression
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("crsExpr", this,
+      classOf[CardRunStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(v: UTF8String): InternalRow = {
+    val bytes = v.getBytes
     var runs = 0
     var valid = 0
     Luhn.eachCandidate(bytes) { (s, e) =>

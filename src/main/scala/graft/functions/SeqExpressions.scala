@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -16,7 +15,7 @@ import org.apache.spark.sql.types._
   * token arrays (classic O(|a|·|b|) two-row DP — the per-row cost every
   * ROUGE implementation pays; null elements never match). */
 case class LcsLength(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -26,9 +25,18 @@ case class LcsLength(left: Expression, right: Expression)
         s"lcs_length expects (array<string>, array<string>), got (${l.sql}, ${r.sql})")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("lcsExpr", this,
+      classOf[LcsLength].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.kernel($l, $r);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(a: ArrayData, b: ArrayData): Int = {
     val n = a.numElements()
     val m = b.numElements()
     if (n == 0 || m == 0) return 0
@@ -65,7 +73,7 @@ case class LcsLength(left: Expression, right: Expression)
   * any engine without IEEE infinities). Exact integers throughout;
   * empty or null-element inputs yield null. */
 case class DtwDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -77,9 +85,24 @@ case class DtwDistance(left: Expression, right: Expression)
 
   private val Inf = 1000000000000000L // 1e15: finite, engine-portable
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("dtwExpr", this,
+      classOf[DtwDistance].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val o = ctx.freshName("dtwOut")
+      s"""java.lang.Long $o = $ref.kernel($l, $r);
+         |if ($o == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $o.longValue(); }""".stripMargin
+    })
+  }
+  /** Public for the generated code (r8 plan-reference call); null when
+    * either side is empty or has null elements. */
+  def kernel(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     val m = b.numElements()
     if (n == 0 || m == 0) return null

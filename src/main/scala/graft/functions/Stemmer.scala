@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -165,11 +164,21 @@ object PorterStemmer {
 
 /** porter_stem(text): the classic Porter stem of a lowercase token. */
 case class PorterStem(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(input: UTF8String): UTF8String =
+    UTF8String.fromString(PorterStemmer.stem(input.toString))
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      PorterStemmer.stem(input.asInstanceOf[UTF8String].toString))
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("stemExpr", this,
+      classOf[PorterStem].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override protected def withNewChildInternal(newChild: Expression): PorterStem =
     copy(child = newChild)
   override def prettyName: String = "porter_stem"

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -124,8 +123,7 @@ object StringSimilarity {
   }
 }
 
-private[functions] trait StringPairExpression extends BinaryExpression
-    with CodegenFallback {
+private[functions] trait StringPairExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -133,13 +131,28 @@ private[functions] trait StringPairExpression extends BinaryExpression
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, string), got (${l.sql}, ${r.sql})")
     }
+  /** The JIT-compiled pair kernel; codegen calls it through a plan
+    * reference (r8 — no CodegenFallback row materialization in the
+    * pair-mining scans). */
+  def pairKernel(a: UTF8String, b: UTF8String): Double
+  override def nullSafeEval(l: Any, r: Any): Any =
+    pairKernel(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pairExpr", this,
+      classOf[StringPairExpression].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $ref.pairKernel($l, $r);")
+  }
 }
 
 /** jaro_similarity(a, b) → double in [0,1]. */
 case class JaroSimilarity(left: Expression, right: Expression)
     extends StringPairExpression {
-  override def nullSafeEval(l: Any, r: Any): Any =
-    StringSimilarity.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override def pairKernel(a: UTF8String, b: UTF8String): Double =
+    StringSimilarity.jaro(a, b)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "jaro_similarity"
@@ -149,9 +162,8 @@ case class JaroSimilarity(left: Expression, right: Expression)
   * prefix cap 4, scaling 0.1). */
 case class JaroWinklerSimilarity(left: Expression, right: Expression)
     extends StringPairExpression {
-  override def nullSafeEval(l: Any, r: Any): Any =
-    StringSimilarity.jaroWinkler(
-      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override def pairKernel(a: UTF8String, b: UTF8String): Double =
+    StringSimilarity.jaroWinkler(a, b)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "jaro_winkler_similarity"
@@ -161,7 +173,7 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   * edit distance — the typo-tolerant complement of the builtin
   * `levenshtein` ("teh"→"the" costs 1, not 2). */
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -169,10 +181,20 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, string), got (${l.sql}, ${r.sql})")
     }
+  /** Public for the generated code (r8 codegen, plan-reference call). */
+  def kernel(a: UTF8String, b: UTF8String): Int =
+    StringSimilarity.damerauLevenshtein(a.getBytes, b.getBytes)
   override def nullSafeEval(l: Any, r: Any): Any =
-    StringSimilarity.damerauLevenshtein(
-      l.asInstanceOf[UTF8String].getBytes,
-      r.asInstanceOf[UTF8String].getBytes)
+    kernel(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("dlExpr", this,
+      classOf[DamerauLevenshtein].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = $ref.kernel($l, $r);")
+  }
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)
   override def prettyName: String = "damerau_levenshtein"

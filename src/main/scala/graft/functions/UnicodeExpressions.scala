@@ -4,7 +4,6 @@ import java.text.Normalizer
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,18 +18,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * ride inside the scan projection.
   */
 case class NormalizeText(child: Expression, form: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private val nf = Normalizer.Form.valueOf(form.toUpperCase)
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(v: UTF8String): UTF8String = {
+    val s = v.toString
     // fast path: Normalizer.isNormalized is a cheap scan, ASCII never allocates
     if (Normalizer.isNormalized(s, nf)) v
     else UTF8String.fromString(Normalizer.normalize(s, nf))
+  }
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("ntExpr", this,
+      classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "normalize_text"
@@ -40,14 +50,25 @@ case class NormalizeText(child: Expression, form: String)
   * utf8proc `strip_accents` semantics (DuckDB/ClickHouse): 'é' → 'e' but
   * 'ø'/'æ'/'ß' (no canonical decomposition) pass through unchanged. */
 case class StripAccents(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
   }
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("saExpr", this,
+      classOf[StripAccents].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(v: UTF8String): UTF8String = {
+    val s = v.toString
     val d = Normalizer.normalize(s, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -28,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * with the third major algorithm family. */
 case class UnigramSegment(child: Expression,
     vocab: Seq[(String, Long)], unkCostMicro: Long = 50000000L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(vocab.nonEmpty, "unigram_segment needs a non-empty vocab")
   require(unkCostMicro > 0L, s"unkCostMicro must be > 0, got $unkCostMicro")
 
@@ -55,8 +54,20 @@ case class UnigramSegment(child: Expression,
       s"unigram_segment expects string, got ${t.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val w = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("usExpr", this,
+      classOf[UnigramSegment].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  /** Public for the generated code (r8: plan-reference call keeps the
+    * 20M-token encode scan inside whole-stage codegen). */
+  def kernel(v: UTF8String): InternalRow = {
+    val w = v.toString
     val n = w.length
     if (n == 0)
       return InternalRow(0L, new GenericArrayData(Array.empty[Any]))

@@ -184,12 +184,11 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
   * per dimension (4× smaller than float32, 8× smaller than float64).
   * The index-build-time encode pass of an IVF-SQ index (the classic
   * compressed-codes ANN layout — codes live in the index, originals stay
-  * in the base table for the exact re-rank step). Build-time only, so
-  * eval-mode (CodegenFallback) is fine — the search-side decode runs in
-  * the primitive kernel, not here. */
+  * in the base table for the exact re-rank step). r8: full codegen via a
+  * plan-reference kernel call — the 1M-row encode bench row rides
+  * whole-stage codegen like every other scan expression. */
 case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = child.nullable
 
@@ -205,8 +204,17 @@ case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
     case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("sqExpr", this, classOf[SqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  /** Public for the generated code (r8 plan-reference call). */
+  def kernel(a: ArrayData): Array[Byte] = {
     val n = math.min(a.numElements(), mins.length)
     val out = new Array[Byte](n)
     var i = 0
@@ -234,8 +242,7 @@ case class SqEncode(child: Expression, mins: Seq[Double], deltas: Seq[Double])
   * expression (m × ≤256 × subDim doubles — plan-sized, not data-sized). */
 case class PqEncode(child: Expression, subDim: Int,
     centroids: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   require(subDim >= 1 && centroids.nonEmpty &&
     centroids.forall(cs => cs.nonEmpty && cs.length <= 256 &&
       cs.forall(_.length == subDim)),
@@ -257,8 +264,23 @@ case class PqEncode(child: Expression, subDim: Int,
     case t => TypeCheckResult.TypeCheckFailure(s"expects array<float|double>, got ${t.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqExpr", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val o = ctx.freshName("pqOut")
+      s"""byte[] $o = $ref.kernel($c);
+         |if ($o == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $o; }""".stripMargin
+    })
+  }
+  /** Public for the generated code (r8 plan-reference call); null on a
+    * dimension mismatch. */
+  def kernel(a: ArrayData): Array[Byte] = {
     val m = cents.length
     // a dimension-mismatched vector encodes to null, not to a plausible-
     // looking code with zero-padded (or dropped) subspaces that would

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.functions._
+
+/** r8 gate for the CodegenFallback purge: run every converted kernel
+  * expression under `spark.sql.codegen.factoryMode=CODEGEN_ONLY` +
+  * `spark.sql.codegen.fallback=false` and diff against the forced
+  * interpreted (`NO_CODEGEN`) results. Without this spec a Janino
+  * compile error in a `doGenCode` would SILENTLY fall back to
+  * interpreted eval — every functional spec would stay green while the
+  * whole-stage-codegen claim quietly became false. Here a codegen
+  * failure throws, and a codegen/interpreted divergence fails the diff. */
+class CodegenOnlySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def withMode[T](mode: String, fallback: Boolean)(f: => T): T = {
+    val fm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val fb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", fallback.toString)
+    try f finally {
+      fm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(v =>
+        spark.conf.set("spark.sql.codegen.factoryMode", v))
+      fb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(v =>
+        spark.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("all converted kernels: CODEGEN_ONLY result == NO_CODEGEN result") {
+    val rows = Seq(
+      ("The Quick brown-Fox jumps 42 times", "café naïve ÆØß",
+        Seq("alpha", "beta", "alpha", "gamma"),
+        Seq("the", "quick", "brown"),
+        Seq(0.5f, -1.5f, 2.0f, 0.25f), Seq(1.0f, 0.0f, -1.0f, 3.0f),
+        Seq(1L, 5L, 3L, 9L), Seq(2L, 4L, 8L),
+        "running", "card 4111111111111111 end"),
+      ("", "łódź żółć", Seq.empty[String], Seq("x"),
+        Seq(0.0f, 0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f, 1.0f),
+        Seq(7L), Seq(7L), "caresses", "no digits here"),
+      ("aaa bbb aaa bbb ccc ddd eee fff ggg hhh", "ABC", Seq("z"),
+        Seq("zz", "zz"), Seq(1.5f, 2.5f, -0.5f, 0.125f),
+        Seq(-1.0f, 2.0f, 0.5f, 0.5f), Seq(10L, 20L, 30L), Seq(15L, 25L),
+        "ponies", "4111111111111111 4111111111111112"))
+      .toDF("text", "uni", "toks", "toks2", "vec", "vec2", "xs", "ys",
+        "word", "cardy")
+    val merges = Seq("a" -> "a", "aa" -> "a", "b" -> "b")
+    val wpVocab = Seq("run", "##ning", "po", "##nies", "[UNK]")
+    val ugVocab = Seq(("run", 1000000L), ("ning", 2000000L), ("s", 900000L))
+    val out = rows.select(
+      fnv64(col("text")).as("a1"),
+      splitmix64_rank(col("xs").getItem(0), 7L).as("a2"),
+      minhash_signature(col("toks"), 8).as("a3"),
+      minhash_text(col("text"), 2, 8).as("a4"),
+      text_ngrams(col("text"), 2).as("a5"),
+      char_ngrams(col("text"), 3).as("a6"),
+      simhash64(col("toks")).as("a7"),
+      feature_hash(col("toks"), 16).as("a8"),
+      rolling_fingerprint(col("text"), 4).as("a9"),
+      cdc_chunks(col("text"), 4, 2).as("a10"),
+      cosine_lsh(col("vec"), 4, 16).as("a11"),
+      bpe_encode(col("text"), merges).as("a12"),
+      bpe_encode_ids(col("text"), merges, Seq("a", "b", "c")).as("a13"),
+      wordpiece_encode(col("toks2"), wpVocab).as("a14"),
+      unigram_segment(col("word"), ugVocab).as("a15"),
+      porter_stem(col("word")).as("a16"),
+      normalize_text(col("uni"), "NFC").as("a17"),
+      strip_accents(col("uni")).as("a18"),
+      redact_cards(col("cardy")).as("a19"),
+      card_run_stats(col("cardy")).as("a20"),
+      lcs_length(col("toks"), col("toks2")).as("a21"),
+      dtw_distance(col("xs"), col("ys")).as("a22"),
+      jaro_similarity(col("text"), col("uni")).as("a23"),
+      jaro_winkler_similarity(col("word"), col("text")).as("a24"),
+      damerau_levenshtein(col("word"), col("uni")).as("a25"),
+      sq_encode(col("vec"), Seq(-2.0, -2.0, -2.0, -2.0),
+        Seq(0.05, 0.05, 0.05, 0.05)).as("a26"),
+      pq_encode(col("vec"), 2, Seq(
+        Seq(Seq(0.0, 0.0), Seq(1.0, -1.0)),
+        Seq(Seq(2.0, 0.0), Seq(0.0, 0.5)))).as("a27"),
+      graft.operators.ZOrder.hvalue(8, col("xs").getItem(0),
+        col("ys").getItem(0)).as("a28"))
+    val gen = withMode("CODEGEN_ONLY", fallback = false) {
+      out.toJSON.collect().toSeq
+    }
+    val interp = withMode("NO_CODEGEN", fallback = true) {
+      out.toJSON.collect().toSeq
+    }
+    assert(gen == interp)
+    // and the codegen run actually produced content, not empty rows
+    assert(gen.size == 3 && gen.forall(_.contains("\"a1\"")))
+  }
+
+  test("ml_vector_distance (VectorUDT sparse+dense): codegen == interpreted") {
+    import org.apache.spark.ml.linalg.Vectors
+    val df = Seq(
+      (Vectors.dense(1.0, 0.0, 2.0),
+        Vectors.sparse(3, Array(0, 2), Array(0.5, 1.5))),
+      (Vectors.sparse(3, Array(1), Array(4.0)),
+        Vectors.dense(0.0, 2.0, 0.0)))
+      .toDF("va", "vb")
+    val out = df.select(
+      ml_vector_distance(col("va"), col("vb"), "cosine").as("c"),
+      ml_vector_distance(col("va"), col("vb"), "euclidean").as("e"))
+    val gen = withMode("CODEGEN_ONLY", fallback = false) {
+      out.toJSON.collect().toSeq
+    }
+    val interp = withMode("NO_CODEGEN", fallback = true) {
+      out.toJSON.collect().toSeq
+    }
+    assert(gen == interp && gen.size == 2)
+  }
+}
