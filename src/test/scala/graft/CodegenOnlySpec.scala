@@ -92,6 +92,58 @@ class CodegenOnlySpec extends SparkSuite {
     assert(gen.size == 3 && gen.forall(_.contains("\"a1\"")))
   }
 
+  test("vector/bit kernels (pre-r8 codegen set): CODEGEN_ONLY == NO_CODEGEN") {
+    val df = Seq(
+      (Seq(0.5f, -1.5f, 2.0f, 0.25f), Seq(1.0f, 0.0f, -1.0f, 3.0f),
+        Seq(10L, -20L, 30L, -40L), "ab abab cab"),
+      (Seq(1.0f, 1.0f, 1.0f, 1.0f), Seq(-1.0f, 2.0f, 0.5f, 0.5f),
+        Seq(5L, 5L, 5L, 5L), "no hits"))
+      .toDF("va", "vb", "ql", "txt")
+    val out = df.select(
+      vector_distance(col("va"), col("vb"), "cosine").as("b1"),
+      vector_distance(col("va"), col("vb"), "euclidean").as("b2"),
+      vector_distance(col("va"), col("vb"), "sqeuclidean").as("b3"),
+      vector_distance(col("va"), col("vb"), "dot").as("b4"),
+      l2_normalize(col("va")).as("b5"),
+      sign_pack_words(col("va")).as("b6"),
+      sign_pack_words(col("va"), Seq(100L, 200L, -100L, 0L), 2L).as("b7"),
+      hamming_words(sign_pack_words(col("va")),
+        sign_pack_words(col("vb"))).as("b8"),
+      sign_project_long(col("ql"),
+        Seq(Seq[Byte](1, -1, 1, -1), Seq[Byte](-1, -1, 1, 1))).as("b9"),
+      project_vector(col("va"), Seq(0.0, 0.0, 0.0, 0.0),
+        Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.5, 0.5, 0.0))).as("b10"),
+      nearest_centroid(col("va"), Seq(3, 7),
+        Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0))).as("b11"),
+      bit_length64(col("ql").getItem(0)).as("b12"),
+      bytes_to_ints(col("txt").cast("binary")).as("b13"),
+      substring_count_all(col("txt"), Seq("ab", "cab")).as("b14"),
+      kmv_estimate(col("ql").getItem(0), 2).as("b15"))
+    val gen = withMode("CODEGEN_ONLY", fallback = false) {
+      out.toJSON.collect().toSeq
+    }
+    val interp = withMode("NO_CODEGEN", fallback = true) {
+      out.toJSON.collect().toSeq
+    }
+    assert(gen == interp && gen.size == 2)
+  }
+
+  test("whole-stage codegen span: converted kernel rides a starred stage") {
+    // the executedPlan marks codegen'd stages with '*'; a fallback
+    // Project would print unstarred — lock the hot dedup scan shape.
+    // spark.range (not a local Seq) so ConvertToLocalRelation can't
+    // constant-fold the projection away before execution.
+    val df = spark.range(4)
+      .select(org.apache.spark.sql.functions.concat(lit("w "),
+        col("id").cast("string")).as("text"))
+      .select(minhash_text(col("text"), 1, 8).as("sig"),
+        simhash64(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("sh"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no whole-stage codegen stage:\n$plan")
+    assert(!plan.toLowerCase.contains("fallback"), plan)
+  }
+
   test("ml_vector_distance (VectorUDT sparse+dense): codegen == interpreted") {
     import org.apache.spark.ml.linalg.Vectors
     val df = Seq(
