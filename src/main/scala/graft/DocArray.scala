@@ -91,6 +91,15 @@ final case class DocArray(df: DataFrame, idCol: String = "id") {
   def newAgainst(corpus: DocArray, key: Column): DocArray =
     wrap(Dedup.newAgainstCorpusBloom(df, corpus.df, key, key))
 
+  /** Fold this array (a NEW batch) and its near-dup `newPairs` into an
+    * existing persisted (id, cluster_id) `assignment` — re-resolving
+    * only the touched components, identical to a full recompute (see
+    * [[graft.operators.Dedup.clustersIncremental]]). */
+  def foldIntoClusters(assignment: DataFrame,
+      newPairs: DataFrame): DataFrame =
+    Dedup.clustersIncremental(assignment, newPairs,
+      df.select(col(idCol)), idCol)
+
   /** SemDeDup: drop semantic near-duplicates (cosine distance below
     * `threshold` inside learned embedding clusters), keeping the
     * best-`score` copy of each duplicate group. */

@@ -5257,6 +5257,30 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  // Incremental cluster resolution (Dedup.clustersIncremental): the
+  // corpus splits into an "old" crawl (doc_id % 17 != 0, the q55 eval
+  // convention inverted) and a new batch; old pairs resolve into a
+  // persisted assignment, then ONLY the batch's pairs fold in via the
+  // affected-component delta loop. Signatures are seeded, so the LSH
+  // pair set over the union splits EXACTLY into within-old and
+  // touches-batch — and the gate's contract is the strongest one
+  // possible: the incremental result must hash-equal the ORACLE'S
+  // FULL RECOMPUTE over the whole corpus (q53's recursive-CTE CC).
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+    val allPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.2, numHashes = 128, bands = 32, ngram = 2)
+    val oldPairs = allPairs.where(
+      pmod(col("a"), lit(17)) =!= 0 && pmod(col("b"), lit(17)) =!= 0)
+    val newPairs = allPairs.where(
+      pmod(col("a"), lit(17)) === 0 || pmod(col("b"), lit(17)) === 0)
+    val assignment = Dedup.clusters(oldPairs, old, "doc_id")
+    Dedup.clustersIncremental(assignment, newPairs, batch, "doc_id")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5610,7 +5634,8 @@ object SparkEntry {
     "q351_rec_coverage" -> (q351 _),
     "q352_churn_labels" -> (q352 _),
     "q353_rmst" -> (q353 _),
-    "q354_depth3_roundtrip" -> (q354 _))
+    "q354_depth3_roundtrip" -> (q354 _),
+    "q355_cc_incremental" -> (q355 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13396,6 +13421,13 @@ object SparkEntry {
            CAST(sum(term) AS BIGINT) AS rmst_ppb,
            round(CAST(sum(term) AS DOUBLE) / 1e9, 6) AS rmst_r
          FROM tm GROUP BY 1 ORDER BY cohort""",
+
+    // q355: incremental fold-in == full recompute, so the oracle is
+    // q53's recursive-CTE connected components over the WHOLE corpus
+    "q355_cc_incremental" ->
+      s"""WITH RECURSIVE $dupClusterCtes
+         SELECT id AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
 
     // q354: the depth-3 nest/write/traverse round trip is, relationally,
     // just the 4-table ancestry join + the same CASE write at the leaves

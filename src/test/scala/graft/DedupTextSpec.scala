@@ -176,6 +176,32 @@ class DedupTextSpec extends SparkSuite {
     assert(uncapped == Map(1L -> 2L))
   }
 
+  test("clustersIncremental: delta fold-in equals full recompute (r8)") {
+    // old corpus: chain {1,2,3} (cluster 1), pair {10,11} (cluster 10),
+    // untouched {20,21} (cluster 20), singleton 30
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val oldNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L).toDF("id")
+    val asg = Dedup.clusters(oldPairs, oldNodes, "id")
+    // batch: 0 bridges clusters 1 and 10 AND undercuts their min ids;
+    // 40-41 is a purely-new pair; 50 is a pairless singleton
+    val newPairs = Seq((0L, 3L), (0L, 11L), (40L, 41L)).toDF("a", "b")
+    val newNodes = Seq(0L, 40L, 41L, 50L).toDF("id")
+    val inc = Dedup.clustersIncremental(asg, newPairs, newNodes, "id")
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.clusters(
+      oldPairs.unionByName(newPairs),
+      oldNodes.unionByName(newNodes), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == full)
+    // merged mega-cluster takes the NEW smaller id everywhere
+    assert(Seq(0L, 1L, 2L, 3L, 10L, 11L).forall(inc(_) == 0L))
+    // untouched cluster and old singleton pass through unchanged
+    assert(inc(20L) == 20L && inc(21L) == 20L && inc(30L) == 30L)
+    // new-only pair and pairless new node resolve
+    assert(inc(40L) == 40L && inc(41L) == 40L && inc(50L) == 50L)
+  }
+
   test("clusters: chain, triangle, singleton resolve to min-id components") {
     // chain 1-2-3-4-5 (transitivity the pair set alone can't express),
     // triangle 10-11-12, singleton 20
