@@ -757,6 +757,38 @@ object Bench {
       cl.agg(countDistinct(col("cluster_id"))).collect()
     }
 
+    // Incremental cluster fold-in against a 1M-row persisted assignment
+    // (the x_cc_1m corpus resolved): 10k new pairs touch 10k of the
+    // 100k+1 old clusters, so the delta loop iterates over ~110k rows
+    // while the untouched 890k ride ONE anti-join — the row that backs
+    // the "O(affected + new pairs), never O(corpus)" claim beside the
+    // full-recompute x_cc_1m reading. Validation row.
+    if (overBudget) skip("x_cc_incr_1m")
+    else {
+      // assignment build = x_cc_1m's own reading; cached OUTSIDE the
+      // timed block so the row measures the FOLD alone
+      val nodes = spark.range(1000000L).select(col("id"))
+      val chain = spark.range(1000000L)
+        .where(pmod(col("id"), lit(10)) =!= 9 && col("id") < 999000L)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val long = spark.range(999L)
+        .select((col("id") + 999000L).as("a"), (col("id") + 999001L).as("b"))
+      val asg = Dedup.clusters(chain.unionByName(long), nodes, "id")
+        .cache()
+      asg.count()
+      // batch: node 1e6+k bridges onto chain-head 100k (k<10k) — each
+      // new pair merges one old 10-chain with one new singleton
+      bench("x_cc_incr_1m", runs = 2) {
+        val newPairs = spark.range(10000L)
+          .select((col("id") + 1000000L).as("a"), (col("id") * 100L).as("b"))
+        val newNodes = spark.range(10000L)
+          .select((col("id") + 1000000L).as("id"))
+        Dedup.clustersIncremental(asg, newPairs, newNodes, "id")
+          .agg(countDistinct(col("cluster_id"))).collect()
+      }
+      asg.unpersist()
+    }
+
     // Incremental near-dup ingest at 1M corpus / 100k batch with 5%
     // planted near-dups: sign both sides (minhash_text fused kernel is
     // the dominant cost), bipartite band join on ids+buckets only,
