@@ -203,6 +203,85 @@ object EventStream {
       }
   }
 
+  case class AttrEvent(user_id: Long, ts: Long, event_type: String,
+      event_id: Long)
+  case class AttrState(lastTs: Long, poisoned: Boolean,
+      touches: Seq[(Long, String)])
+  case class AttrCredit(user_id: Long, conv_id: Long, channel: String,
+      touches: Long, credit_ppm: Long)
+
+  /** Streaming linear multi-touch attribution — the continuous twin of
+    * [[graft.operators.Funnel.linearAttribution]]: per user a bounded
+    * buffer of in-window touches rides flatMapGroupsWithState, and
+    * each CONVERSION event emits one row per touched channel with the
+    * exact floor-div credit split (credit_ppm = count_ch · (10⁶ div
+    * n)), so summing credit_ppm/touches per channel downstream
+    * reproduces the batch rollup exactly on in-order streams.
+    *
+    * Delivery contract ([[streamingFunnel]]'s): events sort per user
+    * within each micro-batch by (ts, type, id); a later batch's event
+    * older than the user's last consumed ts is a straggler and is
+    * IGNORED (history never re-anchors, exactly-once credit). State is
+    * bounded twice over: touches older than windowNs evict on every
+    * append, and a user whose LIVE in-window buffer would exceed
+    * `maxUserTouches` is POISONED — all state drops and every later
+    * event of that user is ignored, the streaming reading of the
+    * batch valve's drop-entirely convention (forward-only: credits a
+    * bot earned before crossing the cap are already emitted and stay;
+    * the batch operator, seeing the whole history at once, drops them
+    * too). */
+  def streamingLinearAttribution(events: Dataset[AttrEvent],
+      conversionType: String, touchTypes: Seq[String], windowNs: Long,
+      maxUserTouches: Int = 10000): Dataset[AttrCredit] = {
+    import events.sparkSession.implicits._
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and disjoint from conversionType")
+    require(maxUserTouches >= 1,
+      s"maxUserTouches must be >= 1, got $maxUserTouches")
+    val touchSet = touchTypes.toSet
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrCredit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          var st = state.getOption
+            .getOrElse(AttrState(Long.MinValue, poisoned = false, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer[AttrCredit]()
+          if (!st.poisoned) {
+            rows.toSeq.sortBy(e => (e.ts, e.event_type, e.event_id))
+              .foreach { e =>
+                if (!st.poisoned && e.ts >= st.lastTs) {
+                  if (touchSet(e.event_type)) {
+                    // evict expired touches first: the cap bounds the
+                    // LIVE window, not all history
+                    val kept = st.touches.dropWhile(_._1 <= e.ts - windowNs)
+                    if (kept.length + 1 > maxUserTouches)
+                      st = AttrState(e.ts, poisoned = true, Seq.empty)
+                    else
+                      st = AttrState(e.ts, poisoned = false,
+                        kept :+ ((e.ts, e.event_type)))
+                  } else if (e.event_type == conversionType) {
+                    val inWin = st.touches.filter(t =>
+                      t._1 < e.ts && t._1 >= e.ts - windowNs)
+                    val n = inWin.length
+                    if (n > 0) {
+                      val per = 1000000L / n
+                      inWin.groupBy(_._2).toSeq.sortBy(_._1).foreach {
+                        case (ch, hits) => out += AttrCredit(uid,
+                          e.event_id, ch, hits.length.toLong,
+                          hits.length * per)
+                      }
+                    }
+                    st = st.copy(lastTs = e.ts)
+                  } else st = st.copy(lastTs = e.ts)
+                }
+              }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming ANN ingest: each micro-batch of new docs is assigned to
     * its IVF cell and (PQ-)encoded with the FROZEN quantizer/codebook,
     * then appended to the persisted codes-only layout — the continuous

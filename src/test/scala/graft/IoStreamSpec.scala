@@ -1144,6 +1144,66 @@ class IoStreamSpec extends SparkSuite {
     assert(sessions.count() + users == expected)
   }
 
+  test("streamingLinearAttribution: per-conversion credits equal the " +
+      "batch rollup; stragglers ignored; hot user poisons (r8)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStream.{AttrEvent, AttrCredit}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEvent]
+    val q = EventStream.streamingLinearAttribution(mem.toDS(),
+        "purchase", Seq("view", "click"), windowNs = 10L,
+        maxUserTouches = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sattr").start()
+    // batch 1: u1 two views + click then purchase@100 (out of order in
+    // the batch); an expired view@80 must NOT ride the window
+    mem.addData(
+      AttrEvent(1L, 96L, "click", 3L), AttrEvent(1L, 95L, "view", 2L),
+      AttrEvent(1L, 80L, "view", 1L), AttrEvent(1L, 97L, "view", 4L),
+      AttrEvent(1L, 100L, "purchase", 6L))
+    q.processAllAvailable()
+    // batch 2: a straggler older than u1's consumed history is ignored;
+    // a second purchase takes only the surviving in-window touch
+    mem.addData(
+      AttrEvent(1L, 90L, "click", 7L), // straggler: < lastTs=100
+      AttrEvent(1L, 104L, "purchase", 8L))
+    // u2 crosses maxUserTouches=3 within the window -> poisoned, its
+    // later conversion emits nothing
+    mem.addData(
+      AttrEvent(2L, 1L, "view", 10L), AttrEvent(2L, 2L, "view", 11L),
+      AttrEvent(2L, 3L, "view", 12L), AttrEvent(2L, 4L, "view", 13L),
+      AttrEvent(2L, 5L, "purchase", 14L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM sattr").as[AttrCredit].collect()
+    // conversion 6: touches view@95,click@96,view@97 (view@80 expired):
+    // per-touch 333333, views 2x, click 1x
+    val c6 = got.filter(_.conv_id == 6L).map(c => c.channel ->
+      (c.touches, c.credit_ppm)).toMap
+    assert(c6 == Map("view" -> ((2L, 666666L)),
+      "click" -> ((1L, 333333L))))
+    // conversion 8 @104: window [94,104) still holds all three touches
+    // (straggler click@90 was dropped, NOT appended)
+    val c8 = got.filter(_.conv_id == 8L).map(c => c.channel ->
+      (c.touches, c.credit_ppm)).toMap
+    assert(c8 == Map("view" -> ((2L, 666666L)),
+      "click" -> ((1L, 333333L))))
+    // the poisoned user emitted nothing
+    assert(!got.exists(_.user_id == 2L))
+    // parity: batch linearAttribution over the SAME in-order kept
+    // events gives the identical per-channel rollup for u1
+    val all = Seq(
+      (1L, 80L, "view", 1L), (1L, 95L, "view", 2L),
+      (1L, 96L, "click", 3L), (1L, 97L, "view", 4L),
+      (1L, 100L, "purchase", 6L), (1L, 104L, "purchase", 8L))
+      .toDF("u", "ts", "t", "id")
+    val batch = graft.operators.Funnel.linearAttribution(all, "u",
+        "ts", "t", "id", "purchase", Seq("view", "click"), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val streamed = got.filter(_.user_id == 1L).groupBy(_.channel)
+      .view.mapValues(_.map(_.credit_ppm).sum).toMap
+    assert(streamed == batch)
+  }
+
   test("streamingFunnel: cross-batch advancement equals the batch funnel; stragglers never re-anchor") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import EventStream.{FunnelEvent, FunnelUpdate}
