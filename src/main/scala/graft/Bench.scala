@@ -400,7 +400,7 @@ object Bench {
     // under test (synthetic inputs).
     // Louvain phase 1 at 1M nodes / 4M random edges, 2 move rounds —
     // per round one edges-join + bounded per-node candidate argmax.
-    bench("x_louvain_1m", runs = 1) {
+    bench("x_louvain_1m", runs = 2) {
       val edges = spark.range(4000000L).select(
         pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("a"),
         pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("b"))
@@ -499,7 +499,7 @@ object Bench {
     // quantizer; the verify distance is computed INSIDE the per-cell
     // pair explode, so only sub-threshold pairs ever shuffle out — no
     // pair × vector join anywhere. Validation row for that shape.
-    bench("x_semdedup_100k", runs = 1) {
+    bench("x_semdedup_100k", runs = 2) {
       Dedup.semanticPairs(stored100k, "id", "embedding", threshold = 0.02,
         nCells = 512, fitSampleFraction = 0.2).count()
     }
@@ -511,7 +511,7 @@ object Bench {
     // partial agg reduces each partition to ≤ k×dim rows before the
     // shuffle. Validation row for the every-row-participates fit shape
     // (ivfBuild's sampled fit is the headline ann_ path).
-    bench("x_kmeans_1m", runs = 1) {
+    bench("x_kmeans_1m", runs = 2) {
       Ann.kmeansLloyd(stored, "id", "embedding", k = 16, iters = 2)
         .assigned.agg(sum("_cell")).collect()
     }
