@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -345,6 +346,59 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** The fused token-statistics pass of [[TokenTopStats]]. */
+  def tokenTopStats(str: UTF8String): InternalRow = {
+    val bytes = str.getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    val low = new Array[Byte](bytes.length)
+    var i = 0
+    var inTok = false
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val c: Byte =
+        if (b >= 'A' && b <= 'Z') (b + 32).toByte
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else 0
+      low(i) = c
+      if (c != 0 && !inTok) { starts += i; inTok = true }
+      if (c == 0 && inTok) { ends += i; inTok = false }
+      i += 1
+    }
+    if (inTok) ends += bytes.length
+    val nTok = starts.length
+    var sumLen = 0L
+    var maxWord = 0
+    val counts = new java.util.HashMap[String, Integer]()
+    val toks = new Array[String](nTok)
+    var t = 0
+    while (t < nTok) {
+      // tokens are pure lowercase ASCII alnum, so byte length == char
+      // length and ISO-8859-1 decoding is exact
+      val s = new String(low, starts(t), ends(t) - starts(t),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      toks(t) = s
+      sumLen += s.length
+      val c = counts.merge(s, Integer.valueOf(1),
+        (a: Integer, b2: Integer) => Integer.valueOf(a + b2))
+      if (c > maxWord) maxWord = c
+      t += 1
+    }
+    val nBigrams = math.max(nTok - 1, 0)
+    var maxBigram = 0
+    if (nBigrams > 0) {
+      val bc = new java.util.HashMap[String, Integer]()
+      var j = 0
+      while (j < nTok - 1) {
+        val c = bc.merge(toks(j) + " " + toks(j + 1), Integer.valueOf(1),
+          (a: Integer, b2: Integer) => Integer.valueOf(a + b2))
+        if (c > maxBigram) maxBigram = c
+        j += 1
+      }
+    }
+    InternalRow(nTok, counts.size, sumLen, maxWord, nBigrams, maxBigram)
+  }
+
   /** The normalized char-gram pass of [[CharNgrams]]. */
   def charNgrams(str: UTF8String, ngram: Int): ArrayData = {
     val bytes = str.getBytes
@@ -442,6 +496,44 @@ case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_text"
+}
+
+/** token_top_stats(text) → struct<n, n_distinct, sum_len, max_word,
+  * n_bigrams, max_bigram>: every exact-integer input of the
+  * repetition-rule family in ONE fused pass — token count, distinct
+  * count, summed token length, the top word's occurrence count, bigram
+  * count and the top bigram's count. Exists because the Column
+  * formulations (`array_max(transform(array_distinct(ts), w =>
+  * size(filter(ts, _ === w))))`) are O(distinct × len) per doc in
+  * interpreted HOF lambdas AND re-tokenize per rule (HOF lambdas don't
+  * CSE their captured subexpressions) — the Gopher battery paid both,
+  * ten times per row. Same byte-level tokenizer as [[MinHashText]] /
+  * [[TextNgrams]] (the documented equivalent of
+  * [[TextFunctions.tokens]]); bigram keys are the space-joined
+  * [[TextNgrams]] shingles (tokens contain no spaces, so the join is
+  * injective and pair counts are exact). */
+case class TokenTopStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("max_word", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("max_bigram", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.tokenTopStats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.tokenTopStats($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "token_top_stats"
 }
 
 /** text_ngrams(text, n) → array<string>: word n-gram shingles in one pass —

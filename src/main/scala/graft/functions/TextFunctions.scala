@@ -57,11 +57,13 @@ object TextFunctions {
       length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / total)
   }
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters (fused [[token_top_stats]] pass —
+    * value-identical to the old `aggregate(tokens, …)` HOF chain, one
+    * compiled scan instead of an interpreted per-token fold). */
   def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+    val st = graft.functions.token_top_stats(text)
+    when(st.getField("n") === 0, lit(0.0)).otherwise(
+      st.getField("sum_len").cast("double") / st.getField("n"))
   }
 
   private val enStop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
@@ -140,25 +142,31 @@ object TextFunctions {
   /** Fraction of token occurrences that repeat an earlier token:
     * 1 - distinct/total; 0 for empty docs. */
   def dupWordFrac(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+    val st = graft.functions.token_top_stats(text)
+    when(st.getField("n") === 0, lit(0.0)).otherwise(
+      lit(1.0) - st.getField("n_distinct").cast("double") /
+        st.getField("n"))
   }
 
-  /** Share of the doc taken by its single most frequent token. */
+  /** Share of the doc taken by its single most frequent token.
+    * Fused [[token_top_stats]] pass — the old
+    * `array_max(transform(array_distinct(ts), w => size(filter(ts,
+    * _ === w))))` was O(distinct × len) PER DOC in interpreted HOF
+    * lambdas; the kernel counts in one compiled hash pass with the
+    * identical result. */
   def topWordFrac(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(ts),
-        w => size(filter(ts, t => t === w)))).cast("double") / size(ts))
+    val st = graft.functions.token_top_stats(text)
+    when(st.getField("n") === 0, lit(0.0)).otherwise(
+      st.getField("max_word").cast("double") / st.getField("n"))
   }
 
-  /** Share of all word bigrams taken by the most frequent bigram. */
+  /** Share of all word bigrams taken by the most frequent bigram
+    * (fused pass, see [[topWordFrac]]). */
   def topBigramFrac(text: Column): Column = {
-    val gs = wordNgrams(text, 2)
-    when(size(gs) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(gs),
-        g => size(filter(gs, x => x === g)))).cast("double") / size(gs))
+    val st = graft.functions.token_top_stats(text)
+    when(st.getField("n_bigrams") === 0, lit(0.0)).otherwise(
+      st.getField("max_bigram").cast("double") /
+        st.getField("n_bigrams"))
   }
 
   private def lines(text: Column): Column =

@@ -167,6 +167,11 @@ package object functions {
     Bridge.column(MinHashText(Bridge.expression(text), ngram, numHashes, seed))
 
   /** One-pass word n-gram shingles of raw text (see TextNgrams). */
+  /** Fused repetition-rule statistics: struct(n, n_distinct, sum_len,
+    * max_word, n_bigrams, max_bigram) in one token pass. */
+  def token_top_stats(text: Column): Column =
+    Bridge.column(TokenTopStats(Bridge.expression(text)))
+
   def text_ngrams(text: Column, n: Int): Column =
     Bridge.column(TextNgrams(Bridge.expression(text), n))
 

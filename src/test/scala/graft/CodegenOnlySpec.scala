@@ -64,6 +64,7 @@ class CodegenOnlySpec extends SparkSuite {
       bpe_encode_ids(col("text"), merges, Seq("a", "b", "c")).as("a13"),
       wordpiece_encode(col("toks2"), wpVocab).as("a14"),
       unigram_segment(col("word"), ugVocab).as("a15"),
+      token_top_stats(col("text")).as("a15b"),
       porter_stem(col("word")).as("a16"),
       normalize_text(col("uni"), "NFC").as("a17"),
       strip_accents(col("uni")).as("a18"),

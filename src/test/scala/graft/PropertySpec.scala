@@ -71,6 +71,60 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fused token_top_stats equals the HOF repetition formulas for arbitrary text (r8)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // the PRE-r8 Column formulations, inlined as the reference
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    def refTopWord(c: org.apache.spark.sql.Column) = {
+      val ts = toks(c)
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(ts),
+          w => size(filter(ts, t => t === w)))).cast("double") / size(ts))
+    }
+    def refTopBigram(c: org.apache.spark.sql.Column) = {
+      val gs = TextFunctions.wordNgrams(c, 2)
+      when(size(gs) === 0, lit(0.0)).otherwise(
+        array_max(transform(array_distinct(gs),
+          g => size(filter(gs, x => x === g)))).cast("double") / size(gs))
+    }
+    def refDupWord(c: org.apache.spark.sql.Column) = {
+      val ts = toks(c)
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts))
+    }
+    def refMeanLen(c: org.apache.spark.sql.Column) = {
+      val ts = toks(c)
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(ts))
+    }
+    val texts = Gen.listOfN(24, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("the", "the", "cat cat", "SAT", "on", "a",
+        "123", "", "  ", "x\ny"))
+        .map(_.mkString(" "))))
+    forAll(texts) { ts =>
+      whenever(ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val cmp = df.select(
+          TextFunctions.topWordFrac($"text").as("f1"), refTopWord($"text").as("r1"),
+          TextFunctions.topBigramFrac($"text").as("f2"), refTopBigram($"text").as("r2"),
+          TextFunctions.dupWordFrac($"text").as("f3"), refDupWord($"text").as("r3"),
+          TextFunctions.meanTokenLength($"text").as("f4"), refMeanLen($"text").as("r4"))
+          .collect()
+        cmp.foreach { r =>
+          assert(r.getDouble(0) == r.getDouble(1), s"topWord: $r")
+          assert(r.getDouble(2) == r.getDouble(3), s"topBigram: $r")
+          assert(r.getDouble(4) == r.getDouble(5), s"dupWord: $r")
+          assert(r.getDouble(6) == r.getDouble(7), s"meanLen: $r")
+        }
+      }
+    }
+  }
+
   test("native cosine_lsh equals the Column-algebra formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions._
