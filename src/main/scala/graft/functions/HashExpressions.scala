@@ -399,6 +399,87 @@ object HashKernels {
     InternalRow(nTok, counts.size, sumLen, maxWord, nBigrams, maxBigram)
   }
 
+  /** The fused line/word-rule pass of [[GopherAuxStats]]. */
+  def gopherAuxStats(str: UTF8String,
+      stop: java.util.HashSet[String]): InternalRow = {
+    val s = str.toString
+    val L = s.length
+    // --- line rules: non-empty '\n' segments; trim/rtrim = ASCII space
+    var nLines = 0
+    var nBullet = 0
+    var nEllipsis = 0
+    val lineSet = new java.util.HashSet[String]()
+    var start = 0
+    var i = 0
+    while (i <= L) {
+      if (i == L || s.charAt(i) == '\n') {
+        if (i > start) {
+          val line = s.substring(start, i)
+          nLines += 1
+          lineSet.add(line)
+          var a = 0
+          var b = line.length
+          while (a < b && line.charAt(a) == ' ') a += 1
+          if (a < b) {
+            val c0 = line.charAt(a)
+            if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+          }
+          while (b > a && line.charAt(b - 1) == ' ') b -= 1
+          if (b > a && (line.charAt(b - 1) == '…' ||
+              (b - a >= 3 && line.charAt(b - 1) == '.' &&
+                line.charAt(b - 2) == '.' && line.charAt(b - 3) == '.')))
+            nEllipsis += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    // --- symbol marks (#, …) over the whole text, char-counted
+    var nSym = 0
+    i = 0
+    while (i < L) {
+      val c = s.charAt(i)
+      if (c == '#' || c == '…') nSym += 1
+      i += 1
+    }
+    // --- token walk: lowercase alnum runs (the [[TokenTopStats]] /
+    // minhash_text tokenizer at char level — non-ASCII = separator)
+    var nAlpha = 0
+    val seenStops = new java.util.HashSet[String]()
+    var tStart = -1
+    var hasAlpha = false
+    i = 0
+    while (i <= L) {
+      val c = if (i < L) s.charAt(i) else ' '
+      val lc: Char =
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c
+        else ' '
+      if (lc != ' ') {
+        if (tStart < 0) { tStart = i; hasAlpha = false }
+        if (lc >= 'a' && lc <= 'z') hasAlpha = true
+      } else if (tStart >= 0) {
+        if (hasAlpha) nAlpha += 1
+        if (!stop.isEmpty) {
+          val n = i - tStart
+          val buf = new Array[Char](n)
+          var j = 0
+          while (j < n) {
+            val cc = s.charAt(tStart + j)
+            buf(j) = if (cc >= 'A' && cc <= 'Z') (cc + 32).toChar else cc
+            j += 1
+          }
+          val tok = new String(buf)
+          if (stop.contains(tok)) seenStops.add(tok)
+        }
+        tStart = -1
+      }
+      i += 1
+    }
+    InternalRow(nLines, lineSet.size, nBullet, nEllipsis, nAlpha,
+      seenStops.size, nSym)
+  }
+
   /** The normalized char-gram pass of [[CharNgrams]]. */
   def charNgrams(str: UTF8String, ngram: Int): ArrayData = {
     val bytes = str.getBytes
@@ -534,6 +615,52 @@ case class TokenTopStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.HashKernels.tokenTopStats($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "token_top_stats"
+}
+
+/** gopher_aux_stats(text, stopwords) → struct<n_lines, n_distinct_lines,
+  * n_bullet, n_ellipsis, n_alpha, n_stop, n_symbol>: the line/word-rule
+  * inputs of the Gopher battery in ONE fused pass — non-empty-line
+  * count, distinct lines, bullet-prefixed lines (space-trimmed, first
+  * char -, * or •), ellipsis-terminated lines (space-rtrimmed, ending
+  * "..." or …), alphabetic-token count, distinct required-stopword
+  * hits, and #/… symbol chars. Each was previously its own
+  * line-split/tokenize + interpreted HOF filter — six extra passes per
+  * doc. Char-level walk mirroring the Column semantics exactly
+  * ([[TokenTopStats]]' tokenizer for the word rules; trim/rtrim strip
+  * ASCII spaces only, the Spark `trim` default). */
+case class GopherAuxStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_distinct_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_symbol", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects string, got ${t.sql}")
+  }
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(w => h.add(w))
+    h
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.gopherAuxStats(v.asInstanceOf[UTF8String], stopSet)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val stopRef = ctx.addReferenceObj("gasStops", stopSet,
+      "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.gopherAuxStats(" +
+        s"$c, $stopRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gopher_aux_stats"
 }
 
 /** text_ngrams(text, n) → array<string>: word n-gram shingles in one pass —

@@ -215,22 +215,23 @@ object TextFunctions {
     * (the Gopher "80% of words must contain an alphabetic char" rule;
     * under the alnum tokenizer a non-alpha token is a pure digit run). */
   def alphaWordFrac(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts))
+    val st = graft.functions.token_top_stats(text)
+    val aux = graft.functions.gopher_aux_stats(text)
+    when(st.getField("n") === 0, lit(0.0)).otherwise(
+      aux.getField("n_alpha").cast("double") / st.getField("n"))
   }
 
   /** How many of `words` appear in the doc at least once (the Gopher
     * "must contain ≥2 of 8 required stopwords" rule). */
   def distinctStopwordCount(text: Column, words: Seq[String]): Column =
-    size(array_intersect(tokenSet(text),
-      array(words.map(lit): _*)))
+    graft.functions.gopher_aux_stats(text, words).getField("n_stop")
 
   /** Symbol marks (#, …) per token — boilerplate/markup density. */
   def symbolWordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[^#\\u2026]", "")).cast("double") / n)
+    val st = graft.functions.token_top_stats(text)
+    val aux = graft.functions.gopher_aux_stats(text)
+    when(st.getField("n") === 0, lit(0.0)).otherwise(
+      aux.getField("n_symbol").cast("double") / st.getField("n"))
   }
 
   // ---- PII scrubbing ---------------------------------------------------

@@ -172,6 +172,12 @@ package object functions {
   def token_top_stats(text: Column): Column =
     Bridge.column(TokenTopStats(Bridge.expression(text)))
 
+  /** Fused line/word-rule statistics: struct(n_lines, n_distinct_lines,
+    * n_bullet, n_ellipsis, n_alpha, n_stop, n_symbol) in one pass. */
+  def gopher_aux_stats(text: Column,
+      stopwords: Seq[String] = Nil): Column =
+    Bridge.column(GopherAuxStats(Bridge.expression(text), stopwords))
+
   def text_ngrams(text: Column, n: Int): Column =
     Bridge.column(TextNgrams(Bridge.expression(text), n))
 

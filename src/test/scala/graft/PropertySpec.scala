@@ -125,6 +125,75 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fused gopher_aux_stats equals the HOF line/word formulas for arbitrary text (r8)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    def lns(c: org.apache.spark.sql.Column) =
+      filter(split(c, "\n"), l => length(l) > 0)
+    def refDupLine(c: org.apache.spark.sql.Column) = {
+      val ls = lns(c)
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+    }
+    def refBullet(c: org.apache.spark.sql.Column) = {
+      val ls = lns(c)
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => trim(l).rlike("^[-*\\u2022]")))
+          .cast("double") / size(ls))
+    }
+    def refEllipsis(c: org.apache.spark.sql.Column) = {
+      val ls = lns(c)
+      when(size(ls) === 0, lit(0.0)).otherwise(
+        size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|\\u2026)$")))
+          .cast("double") / size(ls))
+    }
+    def refAlpha(c: org.apache.spark.sql.Column) = {
+      val ts = toks(c)
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / size(ts))
+    }
+    val stops = Seq("the", "be", "to", "of", "and")
+    def refStops(c: org.apache.spark.sql.Column) =
+      size(array_intersect(array_distinct(toks(c)),
+        array(stops.map(lit): _*)))
+    def refSymbols(c: org.apache.spark.sql.Column) = {
+      val n = size(toks(c))
+      when(n === 0, lit(0.0)).otherwise(
+        length(regexp_replace(c, "[^#\\u2026]", "")).cast("double") / n)
+    }
+    val texts = Gen.listOfN(20, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("- item", "* b", "• dot", "end...",
+        "trail…", "x..", "   - pad  ", "the cat", "BE to", "#tag",
+        "a#b…c", "", "  ", "99", "été"))
+        .map(_.mkString("\n"))))
+    forAll(texts) { ts =>
+      whenever(ts.nonEmpty) {
+        val df = ts.toDF("text")
+        val cmp = df.select(
+          TextFunctions.dupLineFrac($"text").as("f1"), refDupLine($"text").as("r1"),
+          TextFunctions.bulletLineFrac($"text").as("f2"), refBullet($"text").as("r2"),
+          TextFunctions.ellipsisLineFrac($"text").as("f3"), refEllipsis($"text").as("r3"),
+          TextFunctions.alphaWordFrac($"text").as("f4"), refAlpha($"text").as("r4"),
+          TextFunctions.distinctStopwordCount($"text", stops).as("f5"),
+          refStops($"text").as("r5"),
+          TextFunctions.symbolWordRatio($"text").as("f6"), refSymbols($"text").as("r6"))
+          .collect()
+        cmp.foreach { r =>
+          assert(r.getDouble(0) == r.getDouble(1), s"dupLine: $r")
+          assert(r.getDouble(2) == r.getDouble(3), s"bullet: $r")
+          assert(r.getDouble(4) == r.getDouble(5), s"ellipsis: $r")
+          assert(r.getDouble(6) == r.getDouble(7), s"alpha: $r")
+          assert(r.getInt(8) == r.getInt(9), s"stops: $r")
+          assert(r.getDouble(10) == r.getDouble(11), s"symbols: $r")
+        }
+      }
+    }
+  }
+
   test("native cosine_lsh equals the Column-algebra formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions._
