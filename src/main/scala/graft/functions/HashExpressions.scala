@@ -399,6 +399,26 @@ object HashKernels {
     InternalRow(nTok, counts.size, sumLen, maxWord, nBigrams, maxBigram)
   }
 
+  /** The fused LSH band-hash pass of [[BandHashes]] — Spark's own XXH64
+    * fold, replayed element-wise. */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int,
+      seed: Long): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = sig.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(seed, 42L)
+      h = XXH64.hashInt(b, h)
+      var k = b * rows
+      val end = math.min(k + rows, n)
+      while (k < end) { h = XXH64.hashLong(sig.getLong(k), h); k += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The fused line/word-rule pass of [[GopherAuxStats]]. */
   def gopherAuxStats(str: UTF8String,
       stop: java.util.HashSet[String]): InternalRow = {
@@ -615,6 +635,38 @@ case class TokenTopStats(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.HashKernels.tokenTopStats($c);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "token_top_stats"
+}
+
+/** band_hashes(sig, bands, rows, seed) → array<long>: the LSH banding
+  * keys of a minhash signature — hash b = Spark's
+  * `xxhash64(lit(seed), b, slice(sig, b·rows+1, rows))`, reproduced
+  * BIT-IDENTICALLY through catalyst's own XXH64 fold (long literal,
+  * int band index, then each slice element, from the 42L base seed) in
+  * one compiled pass. Exists because the Column formulation
+  * (`transform(sequence(…), b => xxhash64(…, slice(sig, …)))`) is an
+  * interpreted HOF that materializes a slice per band — the banding
+  * stage of a 1M-corpus LSH join paid 32 interpreted slice+hash
+  * evaluations per row. A short signature mirrors `slice` semantics
+  * (missing elements simply don't fold in). */
+case class BandHashes(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression {
+  require(bands >= 1 && rows >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<bigint>, got ${t.sql}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bandHashes(v.asInstanceOf[ArrayData], bands, rows, seed)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.bandHashes(" +
+        s"$c, $bands, $rows, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "band_hashes"
 }
 
 /** gopher_aux_stats(text, stopwords) → struct<n_lines, n_distinct_lines,

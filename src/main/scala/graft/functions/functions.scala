@@ -172,6 +172,12 @@ package object functions {
   def token_top_stats(text: Column): Column =
     Bridge.column(TokenTopStats(Bridge.expression(text)))
 
+  /** LSH banding keys of a minhash signature (bit-identical to the
+    * xxhash64-over-slices Column formulation, one compiled pass). */
+  def band_hashes(sig: Column, bands: Int, rows: Int,
+      seed: Long = 42L): Column =
+    Bridge.column(BandHashes(Bridge.expression(sig), bands, rows, seed))
+
   /** Fused line/word-rule statistics: struct(n_lines, n_distinct_lines,
     * n_bullet, n_ellipsis, n_alpha, n_stop, n_symbol) in one pass. */
   def gopher_aux_stats(text: Column,

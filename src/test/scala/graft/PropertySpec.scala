@@ -194,6 +194,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("native band_hashes equals the xxhash64-over-slices formulation (r8)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import spark.implicits._
+    val sigs = Gen.listOfN(16,
+      Gen.listOfN(128, Gen.choose(Long.MinValue, Long.MaxValue)))
+    forAll(sigs) { ss =>
+      whenever(ss.nonEmpty) {
+        val df = ss.toDF("sig")
+        val bands = 32; val rows = 4
+        val cmp = df.select(
+          band_hashes($"sig", bands, rows, seed = 42L).as("fast"),
+          transform(sequence(lit(0), lit(bands - 1), lit(1)),
+            b => xxhash64(lit(42L), b,
+              slice($"sig", b * rows + 1, lit(rows)))).as("ref"))
+          .collect()
+        cmp.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+      }
+    }
+    // short signatures mirror slice semantics
+    val short = Seq(Seq(1L, 2L, 3L)).toDF("sig")
+    val c = short.select(
+      band_hashes($"sig", 2, 2, 7L).as("fast"),
+      transform(sequence(lit(0), lit(1), lit(1)),
+        b => xxhash64(lit(7L), b, slice($"sig", b * 2 + 1, lit(2))))
+        .as("ref")).collect().head
+    assert(c.getSeq[Long](0) == c.getSeq[Long](1))
+  }
+
   test("native cosine_lsh equals the Column-algebra formulation") {
     import org.apache.spark.sql.functions._
     import graft.functions._
