@@ -586,7 +586,7 @@ object Bench {
     // distribution (~20% of lines drawn from a 1k-line boilerplate pool,
     // ~1k copies each) — exercises the agg+join keeper path's map-side
     // collapse of hot lines. Validation row, outside the headline total.
-    bench("x_line_dedup_1m", runs = 1) {
+    bench("x_line_dedup_1m", runs = 2) {
       val lines = spark.range(5000000L).select(
         (col("id") / 5).cast("long").as("doc_id"),
         (col("id") % 5).cast("int").as("idx"),
