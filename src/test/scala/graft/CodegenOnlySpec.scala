@@ -65,6 +65,8 @@ class CodegenOnlySpec extends SparkSuite {
       wordpiece_encode(col("toks2"), wpVocab).as("a14"),
       unigram_segment(col("word"), ugVocab).as("a15"),
       token_top_stats(col("text")).as("a15b"),
+      gopher_aux_stats(col("text"), Seq("the", "of")).as("a15c"),
+      band_hashes(minhash_text(col("text"), 2, 8), 4, 2).as("a15d"),
       porter_stem(col("word")).as("a16"),
       normalize_text(col("uni"), "NFC").as("a17"),
       strip_accents(col("uni")).as("a18"),
