@@ -412,7 +412,11 @@ object HashKernels {
       h = XXH64.hashInt(b, h)
       var k = b * rows
       val end = math.min(k + rows, n)
-      while (k < end) { h = XXH64.hashLong(sig.getLong(k), h); k += 1 }
+      while (k < end) {
+        // null elements skip, exactly as xxhash64 over an array child
+        if (!sig.isNullAt(k)) h = XXH64.hashLong(sig.getLong(k), h)
+        k += 1
+      }
       out(b) = h
       b += 1
     }
@@ -609,8 +613,11 @@ case class MinHashText(child: Expression, ngram: Int, numHashes: Int, seed: Long
   * interpreted HOF lambdas AND re-tokenize per rule (HOF lambdas don't
   * CSE their captured subexpressions) — the Gopher battery paid both,
   * ten times per row. Same byte-level tokenizer as [[MinHashText]] /
-  * [[TextNgrams]] (the documented equivalent of
-  * [[TextFunctions.tokens]]); bigram keys are the space-joined
+  * [[TextNgrams]] — the documented equivalent of
+  * [[TextFunctions.tokens]], with the same long-standing caveat: a
+  * Unicode char whose LOWERCASE maps into ASCII (U+212A Kelvin,
+  * U+0130 İ) tokenizes under the regex path but is a separator here
+  * (non-ASCII bytes never start a token). Bigram keys are the space-joined
   * [[TextNgrams]] shingles (tokens contain no spaces, so the join is
   * injective and pair counts are exact). */
 case class TokenTopStats(child: Expression) extends UnaryExpression {

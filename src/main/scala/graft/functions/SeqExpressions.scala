@@ -75,6 +75,11 @@ case class LcsLength(left: Expression, right: Expression)
 case class DtwDistance(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  // empty/null-element inputs yield null even from non-null children —
+  // and declaring it keeps nullSafeCodeGen's isNull variable MUTABLE
+  // (with non-nullable children the default takes the FalseLiteral
+  // path and the generated `isNull = true` fails Janino compilation)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>

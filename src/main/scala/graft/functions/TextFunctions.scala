@@ -58,8 +58,9 @@ object TextFunctions {
   }
 
   /** Mean token length in characters (fused [[token_top_stats]] pass —
-    * value-identical to the old `aggregate(tokens, …)` HOF chain, one
-    * compiled scan instead of an interpreted per-token fold). */
+    * one compiled scan instead of an interpreted per-token fold;
+    * value-identical to the old `aggregate(tokens, …)` HOF chain up to
+    * the byte-tokenizer equivalence regime TokenTopStats documents). */
   def meanTokenLength(text: Column): Column = {
     val st = graft.functions.token_top_stats(text)
     when(st.getField("n") === 0, lit(0.0)).otherwise(
@@ -172,25 +173,28 @@ object TextFunctions {
   private def lines(text: Column): Column =
     filter(split(text, "\n"), l => length(l) > 0)
 
-  /** Fraction of non-empty lines that duplicate another line. */
+  /** Fraction of non-empty lines that duplicate another line (fused
+    * [[gopher_aux_stats]] pass — one compiled scan shared by the
+    * whole line-rule family via codegen CSE). */
   def dupLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+    val st = graft.functions.gopher_aux_stats(text)
+    when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
+      lit(1.0) - st.getField("n_distinct_lines").cast("double") /
+        st.getField("n_lines"))
   }
 
   /** Fraction of non-empty lines that start with a bullet marker. */
   def bulletLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) === 0, lit(0.0)).otherwise(
-      size(filter(ls, l => trim(l).rlike("^[-*\\u2022]"))).cast("double") / size(ls))
+    val st = graft.functions.gopher_aux_stats(text)
+    when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
+      st.getField("n_bullet").cast("double") / st.getField("n_lines"))
   }
 
   /** Fraction of non-empty lines that trail off in an ellipsis. */
   def ellipsisLineFrac(text: Column): Column = {
-    val ls = lines(text)
-    when(size(ls) === 0, lit(0.0)).otherwise(
-      size(filter(ls, l => rtrim(l).rlike("(\\.\\.\\.|\\u2026)$"))).cast("double") / size(ls))
+    val st = graft.functions.gopher_aux_stats(text)
+    when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
+      st.getField("n_ellipsis").cast("double") / st.getField("n_lines"))
   }
 
   /** Shannon entropy (nats) of the doc's unigram distribution —

@@ -166,7 +166,6 @@ package object functions {
   def minhash_text(text: Column, ngram: Int, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashText(Bridge.expression(text), ngram, numHashes, seed))
 
-  /** One-pass word n-gram shingles of raw text (see TextNgrams). */
   /** Fused repetition-rule statistics: struct(n, n_distinct, sum_len,
     * max_word, n_bigrams, max_bigram) in one token pass. */
   def token_top_stats(text: Column): Column =
@@ -184,6 +183,7 @@ package object functions {
       stopwords: Seq[String] = Nil): Column =
     Bridge.column(GopherAuxStats(Bridge.expression(text), stopwords))
 
+  /** One-pass word n-gram shingles of raw text (see TextNgrams). */
   def text_ngrams(text: Column, n: Int): Column =
     Bridge.column(TextNgrams(Bridge.expression(text), n))
 

@@ -253,8 +253,10 @@ object EventStream {
                 if (!st.poisoned && e.ts >= st.lastTs) {
                   if (touchSet(e.event_type)) {
                     // evict expired touches first: the cap bounds the
-                    // LIVE window, not all history
-                    val kept = st.touches.dropWhile(_._1 <= e.ts - windowNs)
+                    // LIVE window, not all history. STRICT <: a touch at
+                    // exactly ts-windowNs is still creditable by a
+                    // conversion at ts (the batch join's >= bound)
+                    val kept = st.touches.dropWhile(_._1 < e.ts - windowNs)
                     if (kept.length + 1 > maxUserTouches)
                       st = AttrState(e.ts, poisoned = true, Seq.empty)
                     else

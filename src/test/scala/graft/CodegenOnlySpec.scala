@@ -147,6 +147,48 @@ class CodegenOnlySpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("fallback"), plan)
   }
 
+  test("dtw_distance with NON-NULLABLE children compiles and nulls on " +
+      "empty input (r8 regression: undeclared isNull var)") {
+    import org.apache.spark.sql.functions.{sequence, slice, array}
+    // sequence()/array(lit) children are non-nullable: without the
+    // nullable=true override the generated code assigned to an
+    // undeclared isNull variable and failed Janino compilation
+    val df = spark.range(3).select(
+      dtw_distance(sequence(lit(1L), col("id") + 1L),
+        array(lit(2L), lit(3L))).as("d"),
+      // empty left side (slice beyond range) must yield null, not 0
+      dtw_distance(slice(sequence(lit(1L), lit(2L)), 3, 2),
+        array(lit(2L))).as("e"))
+    val gen = withMode("CODEGEN_ONLY", fallback = false) {
+      df.toJSON.collect().toSeq
+    }
+    val interp = withMode("NO_CODEGEN", fallback = true) {
+      df.toJSON.collect().toSeq
+    }
+    assert(gen == interp)
+    assert(gen.forall(!_.contains("\"e\""))) // null e omitted from JSON
+  }
+
+  test("band_hashes over an array WITH null elements matches xxhash64 " +
+      "null-skip semantics (r8 regression)") {
+    import org.apache.spark.sql.functions.{sequence, transform, when => w}
+    // build array<bigint> with a null at position 2 from a real scan
+    val df = spark.range(2).select(
+      transform(sequence(lit(0L), lit(7L)),
+        x => w(x === 2L, lit(null).cast("long")).otherwise(x + col("id")))
+        .as("sig"))
+    val out = df.select(
+      band_hashes(col("sig"), 2, 4, 42L).as("fast"),
+      transform(sequence(lit(0), lit(1), lit(1)),
+        b => org.apache.spark.sql.functions.xxhash64(lit(42L), b,
+          org.apache.spark.sql.functions.slice(col("sig"), b * 4 + 1,
+            lit(4)))).as("ref"))
+    val gen = withMode("CODEGEN_ONLY", fallback = false) {
+      out.collect().toSeq
+    }
+    gen.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("ml_vector_distance (VectorUDT sparse+dense): codegen == interpreted") {
     import org.apache.spark.ml.linalg.Vectors
     val df = Seq(

@@ -1204,6 +1204,28 @@ class IoStreamSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streamingLinearAttribution: a touch at exactly ts-windowNs " +
+      "survives eviction (r8 boundary regression)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventStream.{AttrEvent, AttrCredit}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEvent]
+    val q = EventStream.streamingLinearAttribution(mem.toDS(),
+        "purchase", Seq("view"), windowNs = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sattr2").start()
+    // view@0 then view@10: the APPEND at ts=10 must NOT evict view@0
+    // (0 >= 10-10 keeps it creditable by a conversion at 10); the
+    // batch join credits it (0 >= 0 inclusive, 0 < 10 strict)
+    mem.addData(AttrEvent(1L, 0L, "view", 1L),
+      AttrEvent(1L, 10L, "view", 2L),
+      AttrEvent(1L, 10L, "purchase", 3L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM sattr2").as[AttrCredit].collect()
+    assert(got.length == 1 && got(0).touches == 1L &&
+      got(0).credit_ppm == 1000000L) // only view@0: view@10 not < cts
+  }
+
   test("streamingFunnel: cross-batch advancement equals the batch funnel; stragglers never re-anchor") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import EventStream.{FunnelEvent, FunnelUpdate}
