@@ -137,11 +137,20 @@ object Funnel {
     * ENTIRELY — touches and conversions both, the
     * [[Recommend.itemItemRecs]] `maxUserItems` convention (the kept
     * universe stays consistent across every model, and a bot's credit
-    * is noise, not signal) — via one per-user count aggregation +
-    * left-semi prefilters on the user key. Zero-touch users never
+    * is noise, not signal). Zero-touch users never
     * reached the output anyway (the join is inner), so the valve
     * changes results ONLY for users over the cap; per kept user the
-    * join is bounded at conversions×maxUserTouches rows. Returns
+    * join is bounded at conversions×maxUserTouches rows. The valve is
+    * OPT-IN (default `Int.MaxValue` = off) so upgrades never silently
+    * shrink rollups; pass a finite cap on bot-prone corpora. The
+    * per-user count rides a window over the touch side itself (the
+    * minhashAgainstSigs pattern) so the live `events` plan is
+    * evaluated once per side, never re-evaluated for a separate
+    * count aggregation, and the window's `_u` hash partitioning is
+    * the join's own exchange. Over-cap users drop ENTIRELY — touches
+    * AND conversions (the [[Recommend.itemItemRecs]] `maxUserItems`
+    * convention): their touches are filtered out, so their
+    * conversions lose every inner-join partner. Returns
     * (_u, _cid, _cts, _tts, channel). */
   private def attributionJoined(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
@@ -156,14 +165,17 @@ object Funnel {
     val ev = events.select(col(userCol).as("_u"),
       col(tsCol).cast("long").as("_ts"), col(typeCol).as("_t"),
       col(idCol).as("_id"))
-    val touch = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
+    val touchAll = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
       .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
-    val okUsers = touch.groupBy("_u").agg(count(lit(1)).as("_tc"))
-      .where(col("_tc") <= maxUserTouches).select("_u")
+    val touch =
+      if (maxUserTouches == Int.MaxValue) touchAll
+      else touchAll
+        .withColumn("_tc", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_u")))
+        .where(col("_tc") <= maxUserTouches).drop("_tc")
     val conv = ev.where(col("_t") === conversionType)
       .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
-      .join(okUsers, Seq("_u"), "left_semi")
-    conv.join(touch.join(okUsers, Seq("_u"), "left_semi"), Seq("_u"))
+    conv.join(touch, Seq("_u"))
       .where(col("_tts") < col("_cts") &&
         col("_tts") >= col("_cts") - windowNs)
   }
@@ -186,7 +198,7 @@ object Funnel {
   def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String, conversionType: String,
       touchTypes: Seq[String], windowNs: Long,
-      maxUserTouches: Int = 10000): DataFrame = {
+      maxUserTouches: Int = Int.MaxValue): DataFrame = {
     val joined = attributionJoined(events, userCol, tsCol, typeCol,
       idCol, conversionType, touchTypes, windowNs, maxUserTouches)
     val n = joined.groupBy("_cid").agg(count(lit(1)).as("_n"))
@@ -214,7 +226,7 @@ object Funnel {
   def positionAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String],
-      windowNs: Long, maxUserTouches: Int = 10000): DataFrame = {
+      windowNs: Long, maxUserTouches: Int = Int.MaxValue): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_cid")
     val joined = attributionJoined(events, userCol, tsCol, typeCol,
@@ -254,7 +266,7 @@ object Funnel {
   def timeDecayAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String], windowNs: Long,
-      halfLifeNs: Long, maxUserTouches: Int = 10000): DataFrame = {
+      halfLifeNs: Long, maxUserTouches: Int = Int.MaxValue): DataFrame = {
     require(halfLifeNs > 0, s"halfLifeNs must be positive, got $halfLifeNs")
     val joined = attributionJoined(events, userCol, tsCol, typeCol,
       idCol, conversionType, touchTypes, windowNs, maxUserTouches)
@@ -295,7 +307,7 @@ object Funnel {
   def shapleyAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String], windowNs: Long,
-      maxChannels: Int = 16, maxUserTouches: Int = 10000): DataFrame = {
+      maxChannels: Int = 16, maxUserTouches: Int = Int.MaxValue): DataFrame = {
     require(touchTypes.size <= maxChannels && maxChannels <= 20,
       s"shapleyAttribution: ${touchTypes.size} channels exceeds " +
         s"maxChannels=$maxChannels (2^k coalitions — cap is 20)")

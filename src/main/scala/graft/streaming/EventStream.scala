@@ -229,10 +229,13 @@ object EventStream {
     * batch valve's drop-entirely convention (forward-only: credits a
     * bot earned before crossing the cap are already emitted and stay;
     * the batch operator, seeing the whole history at once, drops them
-    * too). */
+    * too). The default matches the batch valve (`Int.MaxValue` = off,
+    * parity-by-default); a LONG-RUNNING deployment should pass a
+    * finite cap — with the valve off, one bot user's in-window touch
+    * buffer is the state bound. */
   def streamingLinearAttribution(events: Dataset[AttrEvent],
       conversionType: String, touchTypes: Seq[String], windowNs: Long,
-      maxUserTouches: Int = 10000): Dataset[AttrCredit] = {
+      maxUserTouches: Int = Int.MaxValue): Dataset[AttrCredit] = {
     import events.sparkSession.implicits._
     require(windowNs > 0, s"windowNs must be positive, got $windowNs")
     require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
