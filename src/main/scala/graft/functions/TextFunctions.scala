@@ -175,24 +175,30 @@ object TextFunctions {
 
   /** Fraction of non-empty lines that duplicate another line (fused
     * [[gopher_aux_stats]] pass — one compiled scan shared by the
-    * whole line-rule family via codegen CSE). */
-  def dupLineFrac(text: Column): Column = {
-    val st = graft.functions.gopher_aux_stats(text)
+    * whole line-rule family via codegen CSE). `stopwords` does not
+    * change this value; pass the battery's list so every rule shares
+    * ONE GopherAuxStats instance (CSE keys on the expression,
+    * stopword list included — a mismatched list forces a second
+    * line/word walk per row). */
+  def dupLineFrac(text: Column, stopwords: Seq[String] = Nil): Column = {
+    val st = graft.functions.gopher_aux_stats(text, stopwords)
     when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
       lit(1.0) - st.getField("n_distinct_lines").cast("double") /
         st.getField("n_lines"))
   }
 
-  /** Fraction of non-empty lines that start with a bullet marker. */
-  def bulletLineFrac(text: Column): Column = {
-    val st = graft.functions.gopher_aux_stats(text)
+  /** Fraction of non-empty lines that start with a bullet marker
+    * (stopwords: see [[dupLineFrac]]). */
+  def bulletLineFrac(text: Column, stopwords: Seq[String] = Nil): Column = {
+    val st = graft.functions.gopher_aux_stats(text, stopwords)
     when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
       st.getField("n_bullet").cast("double") / st.getField("n_lines"))
   }
 
-  /** Fraction of non-empty lines that trail off in an ellipsis. */
-  def ellipsisLineFrac(text: Column): Column = {
-    val st = graft.functions.gopher_aux_stats(text)
+  /** Fraction of non-empty lines that trail off in an ellipsis
+    * (stopwords: see [[dupLineFrac]]). */
+  def ellipsisLineFrac(text: Column, stopwords: Seq[String] = Nil): Column = {
+    val st = graft.functions.gopher_aux_stats(text, stopwords)
     when(st.getField("n_lines") === 0, lit(0.0)).otherwise(
       st.getField("n_ellipsis").cast("double") / st.getField("n_lines"))
   }
@@ -218,9 +224,9 @@ object TextFunctions {
   /** Fraction of tokens containing at least one alphabetic character
     * (the Gopher "80% of words must contain an alphabetic char" rule;
     * under the alnum tokenizer a non-alpha token is a pure digit run). */
-  def alphaWordFrac(text: Column): Column = {
+  def alphaWordFrac(text: Column, stopwords: Seq[String] = Nil): Column = {
     val st = graft.functions.token_top_stats(text)
-    val aux = graft.functions.gopher_aux_stats(text)
+    val aux = graft.functions.gopher_aux_stats(text, stopwords)
     when(st.getField("n") === 0, lit(0.0)).otherwise(
       aux.getField("n_alpha").cast("double") / st.getField("n"))
   }
@@ -230,10 +236,11 @@ object TextFunctions {
   def distinctStopwordCount(text: Column, words: Seq[String]): Column =
     graft.functions.gopher_aux_stats(text, words).getField("n_stop")
 
-  /** Symbol marks (#, …) per token — boilerplate/markup density. */
-  def symbolWordRatio(text: Column): Column = {
+  /** Symbol marks (#, …) per token — boilerplate/markup density
+    * (stopwords: see [[dupLineFrac]]). */
+  def symbolWordRatio(text: Column, stopwords: Seq[String] = Nil): Column = {
     val st = graft.functions.token_top_stats(text)
-    val aux = graft.functions.gopher_aux_stats(text)
+    val aux = graft.functions.gopher_aux_stats(text, stopwords)
     when(st.getField("n") === 0, lit(0.0)).otherwise(
       aux.getField("n_symbol").cast("double") / st.getField("n"))
   }

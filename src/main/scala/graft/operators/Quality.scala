@@ -134,19 +134,28 @@ object Quality {
       .withColumn("ok_word_len",
         r(TextFunctions.meanTokenLength(textCol))
           .between(minMeanWordLen, maxMeanWordLen))
+      // every gopher_aux_stats call carries the SAME stopword list so
+      // codegen CSE collapses the battery to one fused line/word walk
+      // (a Nil-list call beside the stopword call would be a second
+      // GopherAuxStats instance — two walks per row)
       .withColumn("ok_symbols",
-        r(TextFunctions.symbolWordRatio(textCol)) <= maxSymbolWordRatio)
+        r(TextFunctions.symbolWordRatio(textCol, requiredStopwords))
+          <= maxSymbolWordRatio)
       .withColumn("ok_bullets",
-        r(TextFunctions.bulletLineFrac(textCol)) <= maxBulletLineFrac)
+        r(TextFunctions.bulletLineFrac(textCol, requiredStopwords))
+          <= maxBulletLineFrac)
       .withColumn("ok_ellipsis",
-        r(TextFunctions.ellipsisLineFrac(textCol)) <= maxEllipsisLineFrac)
+        r(TextFunctions.ellipsisLineFrac(textCol, requiredStopwords))
+          <= maxEllipsisLineFrac)
       .withColumn("ok_alpha",
-        r(TextFunctions.alphaWordFrac(textCol)) >= minAlphaWordFrac)
+        r(TextFunctions.alphaWordFrac(textCol, requiredStopwords))
+          >= minAlphaWordFrac)
       .withColumn("ok_stopwords",
         TextFunctions.distinctStopwordCount(textCol, requiredStopwords)
           >= minDistinctStopwords)
       .withColumn("ok_dup_lines",
-        r(TextFunctions.dupLineFrac(textCol)) <= maxDupLineFrac)
+        r(TextFunctions.dupLineFrac(textCol, requiredStopwords))
+          <= maxDupLineFrac)
       .withColumn("ok_top_word",
         r(TextFunctions.topWordFrac(textCol)) <= maxTopWordFrac)
       .withColumn("ok_top_bigram",
