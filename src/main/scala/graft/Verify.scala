@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (only.contains("--entry")) { // flagship smoke: the driver's t1 check
+      println(s"ENTRY_ROWS=${SparkEntry.entry(spark).count()}")
+      spark.stop(); return
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
