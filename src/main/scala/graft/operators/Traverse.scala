@@ -143,6 +143,33 @@ object Traverse {
       .drop("_rb_pid", "_arr")
   }
 
+  /** Re-nest a normalized parent-child hierarchy — the inverse of
+    * [[flatten]] over the (id, parent_id, granularity) flat-table
+    * design ([[graft.schema.DocSchema]]). `levels` is root level first,
+    * leaves last; every non-root level carries `parentCol` pointing at
+    * the level above, plus arbitrary payload columns that ride into the
+    * structs. Depth is DATA (`levels.length`), not code: each fold step
+    * is the same equi-join on the parent key + one sorted collect_list
+    * — one shuffle per level, no driver loop, any depth. Parents with
+    * no children drop (inner join), matching the reference's walker
+    * which never surfaces childless branches on a chunk path. Children
+    * sort by full struct ascending — with unique ids leading each
+    * struct this is a pure id sort. */
+  def nest(levels: Seq[DataFrame], idCol: String = "id",
+      parentCol: String = "parent_id"): DataFrame = {
+    require(levels.size >= 2, s"nest needs >= 2 levels, got ${levels.size}")
+    levels.reduceRight { (parent, childNested) =>
+      val payload = childNested.columns.filterNot(_ == parentCol).toSeq
+      val parentCols = parent.columns.toSeq
+      parent
+        .join(childNested.select(col(parentCol).as("_nest_k"),
+          struct(payload.map(col): _*).as("_nest_c")),
+          parent(idCol) === col("_nest_k"))
+        .groupBy(parentCols.map(parent(_)): _*)
+        .agg(array_sort(collect_list(col("_nest_c"))).as("chunks"))
+    }
+  }
+
   /** flatten: all nesting levels as one table, deduped by id
     * (reference: traverse.py:197-228). Iteratively explodes to `depth`. */
   def flatten(nested: DataFrame, depth: Int = 2): DataFrame = {
