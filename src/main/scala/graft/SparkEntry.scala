@@ -5229,30 +5229,50 @@ object SparkEntry {
       concat(lit("N"), col("c_nationkey")).as("_pid"))
     val roots = t(s, dir, "nation").select(
       concat(lit("N"), col("n_nationkey")).as("id"))
-    // bottom-up re-nest: each level is one equi-join on the parent key
-    // + one id-sorted collect_list (ids are unique, so the default
-    // struct sort is a pure id sort) — the normalized-table path
-    val ordNested = orders
-      .join(leaves.select(col("_pid").as("_k"),
-        struct(col("id"), col("qty")).as("_c")), col("id") === col("_k"))
-      .groupBy(col("id"), col("_pid"))
-      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
-    val custNested = custs
-      .join(ordNested.select(col("_pid").as("_k"),
-          struct(col("id"), col("chunks")).as("_c")),
-        custs("id") === col("_k"))
-      .groupBy(custs("id"), custs("_pid"))
-      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
-    val nested = roots
-      .join(custNested.select(col("_pid").as("_k"),
-          struct(col("id"), col("chunks")).as("_c")),
-        roots("id") === col("_k"))
-      .groupBy(roots("id"))
-      .agg(array_sort(collect_list(col("_c"))).as("chunks"))
+    // bottom-up re-nest via the depth-as-data walker (Traverse.nest):
+    // each level is one equi-join on the parent key + one id-sorted
+    // collect_list — the normalized-table path, no per-depth code
+    val nested = Traverse.nest(Seq(roots, custs, orders, leaves),
+      idCol = "id", parentCol = "_pid")
     val updates = leaves.where(col("qty") >= 30L)
       .select(col("id"), (col("qty") * 10L).as("qty"))
     val written = Traverse.setByPath(nested, "ccc", updates)
     Traverse.traverse(written, "ccc")
+      .select(col("id"), col("qty"))
+      .orderBy("id")
+  }
+
+  // Depth-4 nest/write/traverse round trip — q354's contract one level
+  // deeper with ZERO per-depth code: the five normalized levels
+  // (region → nation → customer → order → lineitem leaves) fold
+  // through the same Traverse.nest walker (depth is the length of the
+  // level list), the write-back runs through depth-4 setByPath("cccc")
+  // and the leaves traverse back out. Locks the walkers' arbitrary-
+  // depth claim at driver level.
+  private def q358(s: SparkSession, dir: String): DataFrame = {
+    val leaves = t(s, dir, "lineitem").select(
+      concat(lit("L"), col("l_orderkey"), lit("_"),
+        col("l_linenumber")).as("id"),
+      concat(lit("O"), col("l_orderkey")).as("_pid"),
+      col("l_quantity").cast("long").as("_q"))
+      .groupBy("id", "_pid").agg(sum("_q").as("qty"))
+    val orders = t(s, dir, "orders").select(
+      concat(lit("O"), col("o_orderkey")).as("id"),
+      concat(lit("C"), col("o_custkey")).as("_pid"))
+    val custs = t(s, dir, "customer").select(
+      concat(lit("C"), col("c_custkey")).as("id"),
+      concat(lit("N"), col("c_nationkey")).as("_pid"))
+    val nations = t(s, dir, "nation").select(
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      concat(lit("R"), col("n_regionkey")).as("_pid"))
+    val roots = t(s, dir, "region").select(
+      concat(lit("R"), col("r_regionkey")).as("id"))
+    val nested = Traverse.nest(Seq(roots, nations, custs, orders, leaves),
+      idCol = "id", parentCol = "_pid")
+    val updates = leaves.where(col("qty") >= 30L)
+      .select(col("id"), (col("qty") * 10L).as("qty"))
+    val written = Traverse.setByPath(nested, "cccc", updates)
+    Traverse.traverse(written, "cccc")
       .select(col("id"), col("qty"))
       .orderBy("id")
   }
@@ -5280,6 +5300,51 @@ object SparkEntry {
     Dedup.clustersIncremental(assignment, newPairs, batch, "doc_id")
       .orderBy("doc_id")
   }
+
+  // 10M-scale dedup chain gate: minhashLsh → clusters →
+  // dropByClustersBest over 11.2M synthesized docs with PLANTED
+  // structure — 5M identical-text pairs, 1M unique singletons, and one
+  // 200,001-doc identical-text hot group that trips the maxBucket
+  // valve (dropped from banding → all kept), so the valve's refusal
+  // semantics are part of the correctness contract, not just a bench
+  // note. Texts are 4 words from a 10⁹ pool: distinct groups share at
+  // most an accidental shingle (jaccard ≤ 0.2 < 0.5 → exact-verify
+  // filtered), identical texts always pair — the LSH output is
+  // PROVABLY the planted pair set, so the oracle is pure arithmetic
+  // over generate_series, no cross-engine minhash replay needed. This
+  // is the only gate that runs the banding/CC path at 20× the sf0.1
+  // corpus — every other dedup gate lives at 500-60k docs.
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    def text(gkey: Column) = concat_ws(" ",
+      transform(sequence(lit(0), lit(3)), j =>
+        concat(lit("w"), pmod(xxhash64(gkey, j), lit(1000000000L)))))
+    val pairs10m = s.range(10000000L).select(col("id").as("doc_id"),
+      text(expr("id div 2")).as("text"))
+    val singles = s.range(1000000L).select(
+      (col("id") + 10000000L).as("doc_id"),
+      text(col("id") + 5000000L).as("text"))
+    val hot = s.range(200001L).select(
+      (col("id") + 11000000L).as("doc_id"), text(lit(6000000L)).as("text"))
+    val docs = pairs10m.unionByName(singles).unionByName(hot)
+    val lshPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.5, numHashes = 32, bands = 8, ngram = 2)
+    val kept = Dedup.dropByClustersBest(docs, lshPairs, "doc_id",
+      pmod(col("doc_id"), lit(7)))
+    kept.agg(
+        count(lit(1)).cast("long").as("kept_n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum(pmod(col("doc_id"), lit(7))).cast("long").as("q_sum"))
+      .crossJoin(broadcast(
+        lshPairs.agg(count(lit(1)).cast("long").as("n_pairs"))))
+  }
+
+  // Filter-compiler fuzz gate (FilterFuzz): 120 seeded random Mongo-QL
+  // filters — depth ≤ 3, all core operators, dunder map paths,
+  // placeholders, sibling/list-AND, a NULL-on-every-row map key — each
+  // replayed as a DuckDB predicate generated from the SAME AST. One
+  // corpus scan evaluates all 120 (conditional aggregates, unpivoted).
+  private def q356(s: SparkSession, dir: String): DataFrame =
+    FilterFuzz.gate(t(s, dir, "documents"))
 
   // ------------------------------------------------------------------
 
@@ -5635,7 +5700,10 @@ object SparkEntry {
     "q352_churn_labels" -> (q352 _),
     "q353_rmst" -> (q353 _),
     "q354_depth3_roundtrip" -> (q354 _),
-    "q355_cc_incremental" -> (q355 _))
+    "q355_cc_incremental" -> (q355 _),
+    "q356_filter_fuzz" -> (q356 _),
+    "q357_dedup_scale10m" -> (q357 _),
+    "q358_depth4_roundtrip" -> (q358 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13429,6 +13497,29 @@ object SparkEntry {
          SELECT id AS doc_id, min(r) AS cluster_id
          FROM reach GROUP BY id ORDER BY doc_id""",
 
+    // q356: every generated filter's DuckDB predicate comes from the
+    // same seeded AST the Spark side compiled — 120-branch UNION ALL
+    "q356_filter_fuzz" -> FilterFuzz.oracleSql(),
+
+    // q357: the planted 11.2M-doc structure makes the dedup chain's
+    // output pure arithmetic — per identical pair (2g, 2g+1) the
+    // keep-best rule retains the higher doc_id%7 (consecutive ints mod
+    // 7 never tie); singletons and the valve-dropped hot group keep
+    // everything
+    "q357_dedup_scale10m" ->
+      """WITH pairg AS (SELECT 2*g AS a, 2*g+1 AS b
+           FROM generate_series(0, 4999999) t(g)),
+         keptp AS (SELECT CASE WHEN a % 7 > b % 7 THEN a ELSE b END AS id
+           FROM pairg),
+         kept AS (SELECT id FROM keptp
+           UNION ALL SELECT 10000000 + k FROM generate_series(0, 999999) t(k)
+           UNION ALL SELECT 11000000 + k FROM generate_series(0, 200000) t(k))
+         SELECT CAST(count(*) AS BIGINT) AS kept_n,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(sum(id % 7) AS BIGINT) AS q_sum,
+           CAST(5000000 AS BIGINT) AS n_pairs
+         FROM kept""",
+
     // q354: the depth-3 nest/write/traverse round trip is, relationally,
     // just the 4-table ancestry join + the same CASE write at the leaves
     "q354_depth3_roundtrip" ->
@@ -13444,6 +13535,24 @@ object SparkEntry {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY id""",
+
+    // q358: depth-4 round trip is, relationally, the q354 ancestry join
+    // one table deeper (region) with the same CASE write at the leaves
+    "q358_depth4_roundtrip" ->
+      """WITH leaf AS (SELECT
+             'L' || CAST(l_orderkey AS VARCHAR) || '_'
+               || CAST(l_linenumber AS VARCHAR) AS id,
+             l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1, 2)
+         SELECT id,
+           CASE WHEN q >= 30 THEN q * 10 ELSE q END AS qty
+         FROM leaf
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
          ORDER BY id""",
 
     // q352: split day at the 3/4 point of the span, observation-window
