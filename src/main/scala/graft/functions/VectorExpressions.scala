@@ -687,3 +687,99 @@ case class HammingWords(left: Expression, right: Expression)
       newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Kernel body of [[NearestCells]] — a static method so the generated
+  * code is ONE call with the centroid matrix as a codegen reference
+  * object (the [[SignProjectLong]] / GopherAuxStats pattern). */
+object VectorKernels {
+  /** m nearest centroids (squared-euclidean, double math, first-index
+    * wins ties) of `v`; returns the corresponding `ids` entries, null on
+    * dim mismatch or null elements. */
+  def nearestCells(v: ArrayData, cents: Array[Array[Double]],
+      ids: Array[Int], m: Int): ArrayData = {
+    val d = cents(0).length
+    if (v.numElements() != d) return null
+    val vec = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return null
+      vec(i) = v.getDouble(i)
+      i += 1
+    }
+    val n = math.min(m, cents.length)
+    val bestD = new Array[Double](n)
+    val bestP = new Array[Int](n)
+    java.util.Arrays.fill(bestD, Double.MaxValue)
+    var c = 0
+    while (c < cents.length) {
+      val ctr = cents(c)
+      var acc = 0.0
+      var j = 0
+      // abort a centroid early once it can't beat the current worst —
+      // on 128-d this halves the flops at m << nCells
+      val bound = bestD(n - 1)
+      while (j < d && acc < bound) {
+        val t = vec(j) - ctr(j); acc += t * t; j += 1
+      }
+      if (j == d && acc < bestD(n - 1)) {
+        var k = n - 1
+        while (k > 0 && bestD(k - 1) > acc) {
+          bestD(k) = bestD(k - 1); bestP(k) = bestP(k - 1); k -= 1
+        }
+        bestD(k) = acc; bestP(k) = c
+      }
+      c += 1
+    }
+    val out = new Array[Int](n)
+    var t = 0
+    while (t < n) { out(t) = ids(bestP(t)); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** nearest_cells(vec) → array<int>: the `m` nearest centroid ids of a
+  * double vector against a DRIVER-RESIDENT centroid matrix — the
+  * map-only IVF assignment kernel. Exists because the declarative
+  * multi-assign formulation (crossJoin(broadcast(centroids)) +
+  * groupBy(doc) + top-k aggregate) materializes N×K joined rows and,
+  * past the object-hash-agg group threshold, falls back to a SORT of
+  * that product — the round-9 disk-spill incident at 1M×4096. One
+  * compiled call per row, zero shuffle: the shape that holds at 100 TB
+  * ingest. Ordering matches `vector_distance(…, "euclidean")` (same
+  * double math; sqrt is monotone). */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]],
+    cellIds: Seq[Int], m: Int) extends UnaryExpression {
+  require(centroids.nonEmpty && m >= 1, "need centroids and m >= 1")
+  require(centroids.size == cellIds.size, "centroids/cellIds length mismatch")
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val ids: Array[Int] = cellIds.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.nearestCells(v.asInstanceOf[ArrayData], cents, ids, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("nearCents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("nearIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.nearestCells(
+         |  $v, $centsRef, $idsRef, $m);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

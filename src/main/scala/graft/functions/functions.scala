@@ -39,6 +39,12 @@ package object functions {
   def l2_normalize(a: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(a)))
 
+  /** m nearest centroid ids of an array<double> vector against a
+    * driver-resident centroid matrix — map-only IVF assignment. */
+  def nearest_cells(a: Column, centroids: Seq[Seq[Double]],
+      cellIds: Seq[Int], m: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(a), centroids, cellIds, m))
+
   /** Sign-bit binary quantization: array<float|double> → array<long>
     * words, 32 dims per word (strictly-positive rule, 32-bit lanes). */
   def sign_pack_words(a: Column): Column =

@@ -117,17 +117,16 @@ object Ann {
     val assigned =
       if (multiAssign <= 1) model.transform(feat).drop("_features", "_nvec")
       else {
-        // nearest-A cells per doc: broadcast the (tiny) centroid table and
-        // keep a bounded heap per doc — one pass, no shuffle of the docs
+        // nearest-m cells per doc via the compiled map-only kernel
+        // (centroid matrix as a codegen reference object) — zero
+        // shuffle. The former crossJoin(broadcast)+groupBy+top-k plan
+        // materialized N×K rows and fell back to a sort-based aggregate
+        // past the object-hash threshold (the r9 1M×4096 disk spill).
+        val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
         feat.drop("_features")
-          .crossJoin(broadcast(centroids))
-          .groupBy(col(idCol))
-          .agg(
-            first(struct(feat.drop("_features", "_nvec").columns.map(col): _*)).as("_doc"),
-            topk_by_distance(
-              vector_distance(col("_nvec"), col("_center"), "euclidean"),
-              col("_cell"), multiAssign).as("_cells"))
-          .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
+          .withColumn("_cell", explode(graft.functions.nearest_cells(
+            col("_nvec"), cents, cents.indices, multiAssign)))
+          .drop("_nvec")
       }
     IvfIndex(assigned, centroids, idCol, vecCol, nCells, multiAssign,
       normalize, meanOpt)
@@ -153,16 +152,18 @@ object Ann {
     * same `_cell` partitioning) without touching existing shards. */
   def assignRows(index: IvfIndex, newDocs: DataFrame): DataFrame = {
     val probe = probeVec(index, index.vecCol)
+    // one collect of the (tiny) centroid table, then the same map-only
+    // compiled assignment the build path uses — bit-consistent with
+    // ivfBuild's multi-assign, zero shuffle on the ingest batch
+    val centRows = index.centroids.select(col("_cell").cast("int"),
+      col("_center").cast("array<double>")).collect()
+    val cents = centRows.map(_.getSeq[Double](1)).toSeq
+    val ids = centRows.map(_.getInt(0)).toSeq
     newDocs
       .withColumn("_nvec", probe)
-      .crossJoin(broadcast(index.centroids))
-      .groupBy(col(index.idCol))
-      .agg(
-        first(struct(newDocs.columns.map(col): _*)).as("_doc"),
-        topk_by_distance(
-          vector_distance(col("_nvec"), col("_center"), "euclidean"),
-          col("_cell"), math.max(1, index.multiAssign)).as("_cells"))
-      .select(col("_doc.*"), explode(col("_cells.value")).as("_cell"))
+      .withColumn("_cell", explode(graft.functions.nearest_cells(
+        col("_nvec"), cents, ids, math.max(1, index.multiAssign))))
+      .drop("_nvec")
   }
 
   /** IVF search: queries probe their `nProbe` nearest cells, then exact
@@ -1152,7 +1153,12 @@ object Ann {
     val row = probed.join(pops, Seq("_cell"))
       .agg(sum("_n").as("scanned"), countDistinct("query_id").as("nq"))
       .collect()(0)
-    val total = index.assigned.count()
+    // denominator = DISTINCT corpus docs, numerator = scored rows
+    // including multi-assign replicas: a doc spilled into two probed
+    // cells costs two scores, and dividing by the replicated row count
+    // would hide exactly the cost multiAssign adds (r9 — the honest
+    // accounting the multiprobe frontier rows are graded on)
+    val total = index.assigned.select(col(index.idCol)).distinct().count()
     row.getLong(0).toDouble / (row.getLong(1) * total)
   }
 

@@ -83,7 +83,10 @@ class CodegenOnlySpec extends SparkSuite {
         Seq(Seq(0.0, 0.0), Seq(1.0, -1.0)),
         Seq(Seq(2.0, 0.0), Seq(0.0, 0.5)))).as("a27"),
       graft.operators.ZOrder.hvalue(8, col("xs").getItem(0),
-        col("ys").getItem(0)).as("a28"))
+        col("ys").getItem(0)).as("a28"),
+      nearest_cells(col("vec").cast("array<double>"),
+        Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, -1.0, 2.0, 0.0),
+          Seq(0.5, -1.5, 2.0, 0.25)), Seq(7, 8, 9), 2).as("a29"))
     val gen = withMode("CODEGEN_ONLY", fallback = false) {
       out.toJSON.collect().toSeq
     }
