@@ -47,6 +47,30 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("rp") - 0.5) < 1e-12)
   }
 
+  test("nest: depth-as-data re-nest, payload order, childless parents drop") {
+    val roots = Seq("A", "B", "Z").toDF("id") // Z has no children -> drops
+    val mids = Seq(("A1", "A", 5L), ("A2", "A", 6L), ("B1", "B", 7L))
+      .toDF("id", "pid", "w")
+    val leaves = Seq(("L2", "A2", 20L), ("L1", "A1", 10L),
+      ("L3", "A1", 30L)).toDF("id", "pid", "q")
+    val nested = Traverse.nest(Seq(roots, mids, leaves),
+      idCol = "id", parentCol = "pid")
+    // B1 has no leaves -> B drops with it (inner joins all the way down)
+    assert(nested.select("id").as[String].collect().toSeq == Seq("A"))
+    // traverse back out through the generic walker: leaf ids in struct
+    // (id-sorted) order per parent
+    val back = Traverse.traverse(nested, "cc")
+      .select("id", "q").as[(String, Long)].collect().toSeq.sorted
+    assert(back == Seq(("L1", 10L), ("L2", 20L), ("L3", 30L)))
+    // mid-level payload rides into the structs
+    val mid = Traverse.traverse(nested, "c").select("id", "w")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(mid == Seq(("A1", 5L), ("A2", 6L)))
+    // depth is data: the same call shape handles a 2-level list
+    val two = Traverse.nest(Seq(mids.select("id"), leaves), "id", "pid")
+    assert(two.count() == 2) // A1, A2 (B1 childless)
+  }
+
   test("traverse paths and flatten (traverse.py)") {
     val docs = Seq(
       ("r1", "root one"), ("r2", "root two")
