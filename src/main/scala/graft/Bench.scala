@@ -140,6 +140,10 @@ object Bench {
     case class Makeup(name: String, t1: Double, attempts: Int,
         body: () => Unit)
     val makeupQ = scala.collection.mutable.ArrayBuffer[Makeup]()
+    /** Names still owed a second attempt when the budget closed — the
+      * summary publishes them so a single-attempt number is never
+      * mistaken for an arbitrated one. */
+    val min2Missed = scala.collection.mutable.ArrayBuffer[String]()
 
     /** Time `f` `runs` times (min wins). Validation rows run ONCE here
       * and owe their remaining attempts to the makeup pass — unless
@@ -169,16 +173,16 @@ object Bench {
         }
         i += 1
       }
+      // an inline (defer=false) row whose rerun the budget guard dropped
+      // is still owed an attempt — publish it, same as the makeup path
+      if (!deferred && skippable(name) && times.size < runs)
+        min2Missed += name
       if (deferred && runs > 1)
         makeupQ += Makeup(name, times.head, runs - 1, () => f)
       results(name) = times.min
       emitRow(name)
     }
 
-    /** Names still owed a second attempt when the budget closed — the
-      * summary publishes them so a single-attempt number is never
-      * mistaken for an arbitrated one. */
-    val min2Missed = scala.collection.mutable.ArrayBuffer[String]()
     def runMakeupPass(): Unit = {
       if (!min2Builds) { makeupQ.foreach(m => min2Missed += m.name); return }
       for (m <- makeupQ.sortBy(_.t1)) {
@@ -310,7 +314,9 @@ object Bench {
       "ann_sqr_recall10_x1000", "ann_pq_encode_1m", "ann_pq_search100",
       "ann_pq_rerank100", "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000",
       "ann_pqres_encode_1m", "ann_pqres_search100",
-      "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000")
+      "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000",
+      "ann_ivf4k_build_1m", "ann_ivf4k_search100",
+      "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000")
     if (overBudget) annRows.foreach(skip)
     else {
       // min-of-2 build attempts by default (round 8 — identical code
@@ -452,15 +458,23 @@ object Bench {
           idx4k = i0.copy(assigned = i0.assigned.cache())
           idx4k.assigned.count()
         }
-        bench("ann_ivf4k_search100", defer = false) {
-          Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480).count()
+        // a failed build records -1 and leaves idx4k null: the tail rows
+        // must skip, not NPE outside bench()'s try (which would kill the
+        // summary AND the whole makeup pass)
+        if (idx4k == null) Seq("ann_ivf4k_search100",
+          "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000")
+          .foreach(skip)
+        else {
+          bench("ann_ivf4k_search100", defer = false) {
+            Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480).count()
+          }
+          record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
+            Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480),
+            exact) * 1000).toDouble)
+          record("ann_ivf4k_scanfrac_x1000", math.round(
+            Ann.scanFraction(idx4k, queries100, nProbe = 480) * 1000).toDouble)
+          idx4k.assigned.unpersist()
         }
-        record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
-          Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480),
-          exact) * 1000).toDouble)
-        record("ann_ivf4k_scanfrac_x1000", math.round(
-          Ann.scanFraction(idx4k, queries100, nProbe = 480) * 1000).toDouble)
-        idx4k.assigned.unpersist()
       }
       idx.assigned.unpersist()
     }
@@ -593,7 +607,7 @@ object Bench {
         nCells = 256, maxIter = 8, center = true)
       val idx100k = idx100k0.copy(assigned = idx100k0.assigned.cache())
       idx100k.assigned.count()
-      bench("x_knn_largeq_ivf_10k", runs = 2) {
+      bench("x_knn_largeq_ivf_10k", runs = 2, defer = false) {
         Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
       }
       idx100k.assigned.unpersist()

@@ -694,7 +694,11 @@ case class HammingWords(left: Expression, right: Expression)
 object VectorKernels {
   /** m nearest centroids (squared-euclidean, double math, first-index
     * wins ties) of `v`; returns the corresponding `ids` entries, null on
-    * dim mismatch or null elements. */
+    * dim mismatch, null elements, or non-finite elements. The NaN/Inf
+    * null is load-bearing: a NaN distance fails every `<` comparison, so
+    * without the input check NO centroid would ever insert and the
+    * kernel would fabricate m copies of ids(0) — an unindexable row must
+    * DROP from the index, never land in an arbitrary cell. */
   def nearestCells(v: ArrayData, cents: Array[Array[Double]],
       ids: Array[Int], m: Int): ArrayData = {
     val d = cents(0).length
@@ -703,7 +707,9 @@ object VectorKernels {
     var i = 0
     while (i < d) {
       if (v.isNullAt(i)) return null
-      vec(i) = v.getDouble(i)
+      val x = v.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
+      vec(i) = x
       i += 1
     }
     val n = math.min(m, cents.length)
@@ -730,6 +736,9 @@ object VectorKernels {
       }
       c += 1
     }
+    // finite inputs can still square-overflow to Infinity in theory;
+    // a slot that never filled must not masquerade as cell bestP(0)=0
+    if (bestD(n - 1) == Double.MaxValue) return null
     val out = new Array[Int](n)
     var t = 0
     while (t < n) { out(t) = ids(bestP(t)); t += 1 }

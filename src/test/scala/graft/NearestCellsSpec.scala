@@ -51,6 +51,14 @@ class NearestCellsSpec extends SparkSuite {
     val withNull = Seq((1, Seq(Some(1.0), None))).toDF("i", "v")
       .select(nearest_cells(col("v"), cents, ids, 2)).head
     assert(withNull.isNullAt(0))
+    // NaN/Inf elements -> null, never a fabricated cell (a NaN distance
+    // fails every comparison, so an unchecked kernel would emit ids(0))
+    val withNaN = Seq(Seq(Double.NaN, 1.0)).toDF("v")
+      .select(nearest_cells(col("v"), cents, ids, 2)).head
+    assert(withNaN.isNullAt(0))
+    val withInf = Seq(Seq(Double.PositiveInfinity, 1.0)).toDF("v")
+      .select(nearest_cells(col("v"), cents, ids, 2)).head
+    assert(withInf.isNullAt(0))
   }
 
   test("ivfBuild multiAssign rides the kernel: map-only plan, search still correct") {
