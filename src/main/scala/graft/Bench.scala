@@ -466,7 +466,7 @@ object Bench {
           .foreach(skip)
         else {
           bench("ann_ivf4k_search100", defer = false) {
-            Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480).count()
+            Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 480).count()
           }
           record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
             Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480),

@@ -231,13 +231,14 @@ object Ann {
     * the queries that probed the row's cell. Decodes each doc vector
     * once per row instead of once per (row, probing-query) join copy —
     * same ~5× win the blocked exact kernel gets for Q ≳ 50. Results
-    * equal [[ivfSearch]] (spec-asserted); single-assignment indexes only
-    * (multiAssign > 1 needs the join path's per-(query,doc) min). */
+    * equal [[ivfSearch]] (spec-asserted), multiAssign included since r9:
+    * partition heaps widen to k·A entries (the top-k distinct docs
+    * always survive — one doc occupies at most A slots) and the global
+    * stage collapses per-(query, doc) duplicates before the final
+    * top-k. */
   def ivfSearchBlocked(index: IvfIndex, queries: DataFrame, k: Int,
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
-    require(index.multiAssign <= 1,
-      "ivfSearchBlocked requires a single-assignment index; use ivfSearch")
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
@@ -281,10 +282,17 @@ object Ann {
     val kk = k
     val docIdType = index.assigned.schema(index.idCol).dataType
     val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    // multiAssign: one doc is reachable through up to A probed cells, so
+    // it can enter a partition heap A times. Heaps of k·A entries keep
+    // the top-k DISTINCT docs regardless (each doc occupies ≤ A slots,
+    // so the j-th distinct doc's best copy ranks ≤ j·A ≤ k·A); the
+    // global stage then collapses per-(query, doc) duplicates before
+    // the final top-k — value-equal to ivfSearch's join path.
+    val heapK = kk * math.max(1, index.multiAssign)
     val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
       val (vecs, c2q) = bc.value
       val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
-      val heaps = Array.fill(vecs.length)(new TopKBuffer(kk, tieOrd))
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
       rows.foreach { row =>
         if (!row.isNullAt(1) && !row.isNullAt(2)) {
           val cell = row.getInt(2)
@@ -315,7 +323,11 @@ object Ann {
       StructType(Seq(StructField("_qidx", IntegerType, nullable = false),
         StructField("query_id", idType))))
 
-    partialDf
+    val perPair =
+      if (index.multiAssign <= 1) partialDf
+      else partialDf.groupBy("_qidx", "_did")
+        .agg(min(col("_dist")).as("_dist"))
+    perPair
       .groupBy("_qidx")
       .agg(topk_by_distance(col("_dist"), col("_did"), k).as("_topk"))
       .join(broadcast(qIdDf), "_qidx")

@@ -275,12 +275,15 @@ class KnnSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       assert(a == b, s"metric $metric")
     }
-    // multiAssign indexes must be rejected (join path handles the dedup)
+    // multiAssign indexes work since r9 (k·A partition heaps +
+    // per-(query,doc) dedup): blocked equals the join path there too
     val ma = Ann.ivfBuild(df, "id", "embedding", nCells = 5, seed = 13,
       multiAssign = 2)
-    intercept[IllegalArgumentException] {
-      Ann.ivfSearchBlocked(ma, q, 5, nProbe = 2)
-    }
+    val aMa = Ann.ivfSearch(ma, q, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val bMa = Ann.ivfSearchBlocked(ma, q, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(aMa == bMa)
   }
 
   test("ivf-sq8: lossless codes reproduce the float search exactly; " +

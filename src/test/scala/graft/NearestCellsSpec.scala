@@ -80,5 +80,16 @@ class NearestCellsSpec extends SparkSuite {
     val exact = graft.operators.Knn.bruteForce(docs, q, 5, "cosine")
     val viaIvf = Ann.ivfSearch(idx, q, 5, nProbe = 8)
     assert(Ann.recallAgainstExact(viaIvf, exact) == 1.0)
+    // the blocked kernel handles multi-assign since r9 (k·A partition
+    // heaps + per-(query,doc) dedup): result set equals the join path
+    // at partial AND full probe depth
+    for (p <- Seq(3, 8)) {
+      val join = Ann.ivfSearch(idx, q, 5, nProbe = p)
+        .select("query_id", "id", "rank")
+      val blocked = Ann.ivfSearchBlocked(idx, q, 5, nProbe = p)
+        .select("query_id", "id", "rank")
+      assert(join.exceptAll(blocked).count() == 0 &&
+        blocked.exceptAll(join).count() == 0, s"mismatch at nProbe=$p")
+    }
   }
 }
