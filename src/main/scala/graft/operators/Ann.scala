@@ -393,6 +393,208 @@ object Ann {
       maxs.zip(mins).map { case (hi, lo) => (hi - lo) / 255.0 }.toSeq)
   }
 
+  /** Result of [[ivfSearchAdaptive]]: hits in the [[Knn.bruteForce]]
+    * shape plus the cost the search ACTUALLY paid — `scannedRows` is
+    * Σ over (query, probed cell) of the cell's stored rows (replicas
+    * included), `scanFraction` divides by queries × distinct corpus
+    * docs (the [[scanFraction]] convention), `meanProbedCells` the
+    * average probe depth a query reached before retiring. */
+  final case class AdaptiveResult(hits: DataFrame, scannedRows: Long,
+      scanFraction: Double, rounds: Int, meanProbedCells: Double)
+
+  /** Per-query early-terminating IVF search: cells are probed in
+    * centroid-distance order in blocks of `blockCells`, and a query
+    * RETIRES once `patience` consecutive blocks fail to improve its
+    * k-th best distance by more than `epsilon` — easy queries (whose
+    * neighbors sit in the first cells) stop paying immediately while
+    * hard queries probe deeper, so the AVERAGE scan at equal recall
+    * beats any fixed nProbe. Motivated by the round-9 oracle-stopping
+    * study (NOTES r9): on the uniform 1M corpus a clairvoyant stopper
+    * needs only scan 0.257 for recall 0.90 where the best fixed probe
+    * pays 0.408 — this operator is the realizable step toward that
+    * bound.
+    *
+    * Scale shape: per round ONE blocked pass over ONLY that round's
+    * cells (`_cell` filter → partition pruning on a persisted
+    * cell-partitioned index), bounded per-partition heaps, a per-query
+    * k-row merge on the driver. Driver state is Q × k (id, distance)
+    * pairs — the same Q-is-bounded contract as [[ivfSearchPruned]]'s
+    * collected probe set. Like the blocked kernel, duplicates from
+    * multi-assigned docs collapse per (query, doc) before any top-k;
+    * cross-round duplicates collapse in the driver merge. */
+  def ivfSearchAdaptive(index: IvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", blockCells: Int = 64,
+      maxProbe: Int = Int.MaxValue, patience: Int = 1,
+      epsilon: Double = 0.0): AdaptiveResult = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import graft.plans.TopKBuffer
+    require(blockCells >= 1 && patience >= 1 && k >= 1)
+    val spark = queries.sparkSession
+    val idType = queries.schema(queryId).dataType
+    val probeDepth = math.min(maxProbe.toLong, index.nCells.toLong).toInt
+
+    // full per-query cell ranking, collected once (Q × probeDepth ints)
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("_qvec"),
+      probeVec(index, queryVec).as("_qnorm"))
+    val rankedQ = q.crossJoin(broadcast(index.centroids))
+      .groupBy("query_id")
+      .agg(first(col("_qvec")).as("_qvec"),
+        topk_by_distance(
+          vector_distance(col("_qnorm"), col("_center"), "euclidean"),
+          col("_cell"), probeDepth).as("_cells"))
+      .select(col("query_id"), col("_qvec"), col("_cells.value").as("_cells"))
+      .collect()
+    val nQ = rankedQ.length
+    val qIds = rankedQ.map(_.get(0))
+    val qVecs = rankedQ.map(_.getSeq[Double](1).toArray)
+    val qCells = rankedQ.map(_.getSeq[Int](2).toArray)
+
+    // stored rows per cell (replicas included) — the honest cost table
+    val cellSize = new Array[Long](index.nCells)
+    index.assigned.groupBy(col("_cell").cast("int").as("_c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .foreach(r => if (r.getInt(0) >= 0 && r.getInt(0) < index.nCells)
+        cellSize(r.getInt(0)) = r.getLong(1))
+    val corpusDocs = index.assigned.select(col(index.idCol)).distinct().count()
+
+    val docIdType = index.assigned.schema(index.idCol).dataType
+    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    val heapK = k * math.max(1, index.multiAssign)
+    val child0 = index.assigned.select(
+      col(index.idCol), col(index.vecCol).cast("array<double>"),
+      col("_cell").cast("int"))
+    val m = metric
+
+    // driver state: per query the best ≤k (id → distance) so far —
+    // trimming to k every round is lossless (k-th only ever decreases)
+    val best = Array.fill(nQ)(scala.collection.mutable.HashMap[Any, Double]())
+    def kth(qi: Int): Double =
+      if (best(qi).size < k) Double.MaxValue
+      else best(qi).values.toArray.sorted.apply(k - 1)
+    val pos = new Array[Int](nQ)
+    val misses = new Array[Int](nQ)
+    val retired = new Array[Boolean](nQ)
+    var scannedRows = 0L
+    var rounds = 0
+
+    while (pos.indices.exists(qi => !retired(qi) && pos(qi) < qCells(qi).length)) {
+      rounds += 1
+      val cellToQueries = scala.collection.mutable.HashMap[Int,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      val prevKth = new Array[Double](nQ)
+      for (qi <- 0 until nQ if !retired(qi) && pos(qi) < qCells(qi).length) {
+        prevKth(qi) = kth(qi)
+        val upto = math.min(pos(qi) + blockCells, qCells(qi).length)
+        var p = pos(qi)
+        while (p < upto) {
+          val c = qCells(qi)(p)
+          cellToQueries.getOrElseUpdate(c,
+            scala.collection.mutable.ArrayBuffer[Int]()) += qi
+          scannedRows += cellSize(c)
+          p += 1
+        }
+        pos(qi) = upto
+      }
+      val roundCells = cellToQueries.keys.toArray
+      val c2q: Array[Array[Int]] = {
+        val a = Array.fill(index.nCells)(Array.empty[Int])
+        cellToQueries.foreach { case (c, qs) => a(c) = qs.toArray }
+        a
+      }
+      val bcRound = spark.sparkContext.broadcast((qVecs, c2q))
+      val child = child0.where(col(child0.columns(2))
+        .isin(roundCells.map(_.asInstanceOf[Any]): _*))
+      val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
+        val (vecs, cq) = bcRound.value
+        val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+        val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
+        rows.foreach { row =>
+          if (!row.isNullAt(1) && !row.isNullAt(2)) {
+            val cell = row.getInt(2)
+            val qs = if (cell >= 0 && cell < cq.length) cq(cell)
+                     else Array.empty[Int]
+            if (qs.length > 0) {
+              val idVal = InternalRow.copyValue(row.get(0, docIdType))
+              val v = row.getArray(1).toDoubleArray()
+              graft.plans.KnnJoinExec.scoreRowSubset(m, v, idVal, vecs,
+                qNorms, heaps, qs)
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sortedEntries.iterator.map { case (d, id) =>
+            InternalRow(qi, id, d) }
+        }
+      }
+      val schema = StructType(Seq(
+        StructField("_qidx", IntegerType, nullable = false),
+        StructField("_did", docIdType),
+        StructField("_dist", DoubleType, nullable = false)))
+      val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+      val perPair =
+        if (index.multiAssign <= 1) partialDf
+        else partialDf.groupBy("_qidx", "_did")
+          .agg(min(col("_dist")).as("_dist"))
+      val roundTop = perPair.groupBy("_qidx")
+        .agg(topk_by_distance(col("_dist"), col("_did"), k).as("_t"))
+        .collect()
+      bcRound.destroy()
+      for (r <- roundTop) {
+        val qi = r.getInt(0)
+        r.getSeq[org.apache.spark.sql.Row](1).foreach { h =>
+          val d = h.getDouble(0); val id = h.get(1) // struct<distance, value>
+          val old = best(qi).getOrElse(id, Double.MaxValue)
+          if (d < old) best(qi)(id) = d
+        }
+        if (best(qi).size > k) { // lossless trim (k-th only decreases)
+          val keep = best(qi).toArray.sortBy(_._2).take(k)
+          best(qi).clear(); keep.foreach { case (i2, d2) => best(qi)(i2) = d2 }
+        }
+      }
+      for (qi <- 0 until nQ if !retired(qi)) {
+        val now = kth(qi)
+        if (now < prevKth(qi) - epsilon) misses(qi) = 0
+        else misses(qi) += 1
+        if (misses(qi) >= patience) retired(qi) = true
+      }
+    }
+
+    // driver state holds EXTERNAL values (collect()ed), so distance ties
+    // break on natural Comparable order, not the Catalyst ordering
+    def cmpExt(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      case _ => 0
+    }
+    val hitRows = (0 until nQ).flatMap { qi =>
+      val sorted = best(qi).toArray.sortWith { case ((i1, d1), (i2, d2)) =>
+        d1 < d2 || (d1 == d2 && cmpExt(i1, i2) < 0) }
+      sorted.take(k).zipWithIndex.map { case ((id, d), r) =>
+        org.apache.spark.sql.Row(qIds(qi), id, d, r + 1)
+      }
+    }
+    val hitSchema = StructType(Seq(
+      StructField("query_id", idType),
+      StructField("id", docIdType),
+      StructField("distance", DoubleType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    val hits = spark.createDataFrame(
+      spark.sparkContext.parallelize(hitRows, math.max(1, nQ / 1000)),
+      hitSchema)
+    val frac =
+      if (nQ == 0 || corpusDocs == 0) 0.0
+      else scannedRows.toDouble / (nQ.toDouble * corpusDocs)
+    AdaptiveResult(hits, scannedRows, frac, rounds,
+      if (nQ == 0) 0.0 else pos.map(_.toDouble).sum / nQ)
+  }
+
   /** IVF index + SQ8 codes: `coded` is (idCol, _code, _cell) — the
     * compact scan side; originals stay wherever the caller keeps them. */
   final case class SqIvfIndex(ivf: IvfIndex, codebook: SqCodebook,

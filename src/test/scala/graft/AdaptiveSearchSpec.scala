@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Knn}
+
+/** Per-query early-terminating IVF search (round 9): exhaustive-probe
+  * equivalence, early retirement on easy geometry, duplicate handling
+  * on spilled indexes, and honest cost accounting. */
+class AdaptiveSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def uniformDocs(n: Long, dim: Int) = spark.range(n).select(
+    col("id"),
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(col("id"), j), lit(10000)) / 10000.0)).as("embedding"))
+
+  test("one full-depth block == ivfSearch at nProbe=nCells (exact top-k)") {
+    val docs = uniformDocs(3000, 8)
+    val q = docs.where(col("id") < 6)
+    for (ma <- Seq(1, 2)) {
+      val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
+        maxIter = 5, center = true, multiAssign = ma)
+      val res = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 8)
+      val ref = Ann.ivfSearch(idx, q, 5, nProbe = 8)
+        .select("query_id", "id", "rank")
+      val got = res.hits.select("query_id", "id", "rank")
+      assert(got.exceptAll(ref).count() == 0 &&
+        ref.exceptAll(got).count() == 0, s"multiAssign=$ma")
+      assert(res.rounds == 1)
+      // everything probed: scanned rows = Q × all stored rows
+      assert(res.scannedRows == 6L * idx.assigned.count())
+      // no duplicate ids per query even on the spilled index
+      assert(res.hits.groupBy("query_id", "id").count()
+        .where(col("count") > 1).count() == 0)
+    }
+  }
+
+  test("easy geometry retires early: full recall at a fraction of the scan") {
+    // 10 tight clusters far apart: every query's true top-k lives in its
+    // own cell, so patience=1 retires after ~2 single-cell blocks
+    val docs = spark.range(5000).select(col("id"),
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(col("id"), lit(10)) * 100.0) +
+          (pmod(xxhash64(col("id"), j), lit(100)) / 100.0)).as("embedding"))
+    val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 10,
+      maxIter = 8, center = true)
+    val q = docs.where(col("id") < 5)
+    val res = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 1,
+      metric = "euclidean")
+    val exact = Knn.bruteForce(docs, q, 5, "euclidean")
+    assert(Ann.recallAgainstExact(res.hits, exact) == 1.0)
+    // retired long before the 10-cell depth: mean probed ≤ 4 of 10
+    assert(res.meanProbedCells <= 4.0,
+      s"meanProbedCells=${res.meanProbedCells}")
+    assert(res.scanFraction < 0.6, s"scanFraction=${res.scanFraction}")
+  }
+
+  test("patience extends the search; maxProbe caps it") {
+    val docs = uniformDocs(2000, 8)
+    val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 16,
+      maxIter = 5, center = true)
+    val q = docs.where(col("id") < 4)
+    val shallow = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 2,
+      patience = 1)
+    val deep = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 2,
+      patience = 4)
+    assert(deep.meanProbedCells >= shallow.meanProbedCells)
+    val capped = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 2,
+      maxProbe = 4, patience = 99)
+    assert(capped.meanProbedCells <= 4.0)
+  }
+}
