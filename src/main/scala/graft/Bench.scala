@@ -452,8 +452,10 @@ object Bench {
       else {
         var idx4k: Ann.IvfIndex = null
         bench("ann_ivf4k_build_1m", runs = 1, defer = false) {
+          // maxIter 6: measured equal recall to 12 (0.908@0.416 vs
+          // 0.907@0.408 — quantizer noise) at ~30 s less budget
           val i0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
-            maxIter = 12, fitSampleFraction = 0.2, center = true,
+            maxIter = 6, fitSampleFraction = 0.2, center = true,
             multiAssign = 2)
           idx4k = i0.copy(assigned = i0.assigned.cache())
           idx4k.assigned.count()
