@@ -222,6 +222,67 @@ object Ann {
         (col("_pos") + 1).cast("int").as("rank"))
   }
 
+  /** The ONE blocked scoring kernel under [[ivfSearchBlocked]] and
+    * [[ivfSearchAdaptive]] (a single implementation so the two paths
+    * cannot drift): one streamed pass over the assigned rows whose cell
+    * appears in `cellToQueries`, bounded per-partition heaps of k·A
+    * entries (multiAssign: one doc is reachable through up to A probed
+    * cells and can enter a heap A times — k·A entries keep the top-k
+    * DISTINCT docs regardless, since the j-th distinct doc's best copy
+    * ranks ≤ j·A), then a per-(query, doc) min collapses duplicates.
+    * `restrictCells` non-null pre-filters the scan to those cells —
+    * partition pruning on a persisted `_cell`-partitioned layout.
+    * Returns (_qidx, _did, _dist). */
+  private def blockedPairs(index: IvfIndex, qVecs: Array[Array[Double]],
+      cellToQueries: Array[Array[Int]], k: Int, metric: String,
+      restrictCells: Array[Int]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import graft.plans.TopKBuffer
+    val spark = index.assigned.sparkSession
+    val docIdType = index.assigned.schema(index.idCol).dataType
+    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
+    val heapK = k * math.max(1, index.multiAssign)
+    val child0 = index.assigned.select(
+      col(index.idCol), col(index.vecCol).cast("array<double>"),
+      col("_cell").cast("int"))
+    val child =
+      if (restrictCells == null) child0
+      else child0.where(col("_cell")
+        .isin(restrictCells.map(_.asInstanceOf[Any]): _*))
+    val bc = spark.sparkContext.broadcast((qVecs, cellToQueries))
+    val m = metric
+    val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
+      val (vecs, c2q) = bc.value
+      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
+      val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
+      rows.foreach { row =>
+        if (!row.isNullAt(1) && !row.isNullAt(2)) {
+          val cell = row.getInt(2)
+          val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
+                   else Array.empty[Int]
+          if (qs.length > 0) {
+            val idVal = InternalRow.copyValue(row.get(0, docIdType))
+            val v = row.getArray(1).toDoubleArray()
+            graft.plans.KnnJoinExec.scoreRowSubset(m, v, idVal, vecs,
+              qNorms, heaps, qs)
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sortedEntries.iterator.map { case (d, id) => InternalRow(qi, id, d) }
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("_qidx", IntegerType, nullable = false),
+      StructField("_did", docIdType),
+      StructField("_dist", DoubleType, nullable = false)))
+    val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
+    if (index.multiAssign <= 1) partialDf
+    else partialDf.groupBy("_qidx", "_did").agg(min(col("_dist")).as("_dist"))
+  }
+
   /** [[ivfSearch]] through the blocked primitive kernel (the
     * [[Knn.bruteForceBlocked]] strategy, cell-pruned): the probed
     * (query, cell) set is collected once (Q × nProbe ints — small by the
@@ -239,10 +300,7 @@ object Ann {
   def ivfSearchBlocked(index: IvfIndex, queries: DataFrame, k: Int,
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
-    import graft.plans.TopKBuffer
 
     val spark = queries.sparkSession
     val idType = queries.schema(queryId).dataType
@@ -273,48 +331,6 @@ object Ann {
       Array.tabulate(index.nCells)(c =>
         m.get(c).map(_.map(_._2).toArray).getOrElse(Array.empty[Int]))
     }
-    val bc = spark.sparkContext.broadcast((qVecs, cellToQueries))
-
-    val child = index.assigned.select(
-      col(index.idCol), col(index.vecCol).cast("array<double>"),
-      col("_cell").cast("int"))
-    val m = metric
-    val kk = k
-    val docIdType = index.assigned.schema(index.idCol).dataType
-    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
-    // multiAssign: one doc is reachable through up to A probed cells, so
-    // it can enter a partition heap A times. Heaps of k·A entries keep
-    // the top-k DISTINCT docs regardless (each doc occupies ≤ A slots,
-    // so the j-th distinct doc's best copy ranks ≤ j·A ≤ k·A); the
-    // global stage then collapses per-(query, doc) duplicates before
-    // the final top-k — value-equal to ivfSearch's join path.
-    val heapK = kk * math.max(1, index.multiAssign)
-    val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
-      val (vecs, c2q) = bc.value
-      val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
-      val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
-      rows.foreach { row =>
-        if (!row.isNullAt(1) && !row.isNullAt(2)) {
-          val cell = row.getInt(2)
-          val qs = if (cell >= 0 && cell < c2q.length) c2q(cell)
-                   else Array.empty[Int]
-          if (qs.length > 0) {
-            val idVal = InternalRow.copyValue(row.get(0, docIdType))
-            val v = row.getArray(1).toDoubleArray()
-            graft.plans.KnnJoinExec.scoreRowSubset(m, v, idVal, vecs, qNorms,
-              heaps, qs)
-          }
-        }
-      }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.sortedEntries.iterator.map { case (d, id) => InternalRow(qi, id, d) }
-      }
-    }
-    val schema = StructType(Seq(
-      StructField("_qidx", IntegerType, nullable = false),
-      StructField("_did", docIdType),
-      StructField("_dist", DoubleType, nullable = false)))
-    val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
 
     val qIdDf = spark.createDataFrame(
       spark.sparkContext.parallelize(qIds.zipWithIndex.map { case (id, i) =>
@@ -323,11 +339,8 @@ object Ann {
       StructType(Seq(StructField("_qidx", IntegerType, nullable = false),
         StructField("query_id", idType))))
 
-    val perPair =
-      if (index.multiAssign <= 1) partialDf
-      else partialDf.groupBy("_qidx", "_did")
-        .agg(min(col("_dist")).as("_dist"))
-    perPair
+    blockedPairs(index, qVecs, cellToQueries, k, metric,
+        restrictCells = null)
       .groupBy("_qidx")
       .agg(topk_by_distance(col("_dist"), col("_did"), k).as("_topk"))
       .join(broadcast(qIdDf), "_qidx")
@@ -427,10 +440,7 @@ object Ann {
       metric: String = "cosine", blockCells: Int = 64,
       maxProbe: Int = Int.MaxValue, patience: Int = 1,
       epsilon: Double = 0.0): AdaptiveResult = {
-    import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
-    import graft.plans.TopKBuffer
     require(blockCells >= 1 && patience >= 1 && k >= 1)
     val spark = queries.sparkSession
     val idType = queries.schema(queryId).dataType
@@ -457,24 +467,42 @@ object Ann {
     val cellSize = new Array[Long](index.nCells)
     index.assigned.groupBy(col("_cell").cast("int").as("_c"))
       .agg(count(lit(1)).as("n")).collect()
-      .foreach(r => if (r.getInt(0) >= 0 && r.getInt(0) < index.nCells)
-        cellSize(r.getInt(0)) = r.getLong(1))
-    val corpusDocs = index.assigned.select(col(index.idCol)).distinct().count()
+      .foreach(r => if (!r.isNullAt(0) && r.getInt(0) >= 0 &&
+        r.getInt(0) < index.nCells) cellSize(r.getInt(0)) = r.getLong(1))
+    // every indexed doc carries EXACTLY multiAssign rows (nearest_cells
+    // emits min(A, nCells) cells per non-null vector; null/NaN vectors
+    // never enter the index), so distinct docs = rows / A — no extra
+    // corpus-wide distinct pass per search
+    val corpusDocs = cellSize.sum / math.max(1, index.multiAssign)
 
     val docIdType = index.assigned.schema(index.idCol).dataType
-    val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
-    val heapK = k * math.max(1, index.multiAssign)
-    val child0 = index.assigned.select(
-      col(index.idCol), col(index.vecCol).cast("array<double>"),
-      col("_cell").cast("int"))
-    val m = metric
 
-    // driver state: per query the best ≤k (id → distance) so far —
-    // trimming to k every round is lossless (k-th only ever decreases)
-    val best = Array.fill(nQ)(scala.collection.mutable.HashMap[Any, Double]())
+    // driver state holds EXTERNAL values (collect()ed): HashMap keys and
+    // distance ties need value semantics — Array[Byte] ids get a
+    // canonical wrapper key and a lexicographic comparison, everything
+    // else its natural Comparable order
+    def keyOf(a: Any): Any = a match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    def cmpExt(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Array[Byte], y: Array[Byte]) =>
+        java.util.Arrays.compareUnsigned(x, y)
+      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y)
+      case _ => 0
+    }
+
+    // per query the best ≤k (key → (id, distance)) so far — trimming to
+    // k every round is lossless (the k-th distance only ever decreases)
+    val best = Array.fill(nQ)(
+      scala.collection.mutable.HashMap[Any, (Any, Double)]())
     def kth(qi: Int): Double =
       if (best(qi).size < k) Double.MaxValue
-      else best(qi).values.toArray.sorted.apply(k - 1)
+      else best(qi).valuesIterator.map(_._2).toArray.sorted.apply(k - 1)
     val pos = new Array[Int](nQ)
     val misses = new Array[Int](nQ)
     val retired = new Array[Boolean](nQ)
@@ -505,77 +533,47 @@ object Ann {
         cellToQueries.foreach { case (c, qs) => a(c) = qs.toArray }
         a
       }
-      val bcRound = spark.sparkContext.broadcast((qVecs, c2q))
-      val child = child0.where(col(child0.columns(2))
-        .isin(roundCells.map(_.asInstanceOf[Any]): _*))
-      val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
-        val (vecs, cq) = bcRound.value
-        val qNorms = vecs.map(graft.plans.KnnJoinExec.norm)
-        val heaps = Array.fill(vecs.length)(new TopKBuffer(heapK, tieOrd))
-        rows.foreach { row =>
-          if (!row.isNullAt(1) && !row.isNullAt(2)) {
-            val cell = row.getInt(2)
-            val qs = if (cell >= 0 && cell < cq.length) cq(cell)
-                     else Array.empty[Int]
-            if (qs.length > 0) {
-              val idVal = InternalRow.copyValue(row.get(0, docIdType))
-              val v = row.getArray(1).toDoubleArray()
-              graft.plans.KnnJoinExec.scoreRowSubset(m, v, idVal, vecs,
-                qNorms, heaps, qs)
-            }
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.sortedEntries.iterator.map { case (d, id) =>
-            InternalRow(qi, id, d) }
-        }
-      }
-      val schema = StructType(Seq(
-        StructField("_qidx", IntegerType, nullable = false),
-        StructField("_did", docIdType),
-        StructField("_dist", DoubleType, nullable = false)))
-      val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
-      val perPair =
-        if (index.multiAssign <= 1) partialDf
-        else partialDf.groupBy("_qidx", "_did")
-          .agg(min(col("_dist")).as("_dist"))
-      val roundTop = perPair.groupBy("_qidx")
+      val prevSize = (0 until nQ).map(best(_).size).toArray
+      val roundTop = blockedPairs(index, qVecs, c2q, k, metric,
+          restrictCells = roundCells)
+        .groupBy("_qidx")
         .agg(topk_by_distance(col("_dist"), col("_did"), k).as("_t"))
         .collect()
-      bcRound.destroy()
       for (r <- roundTop) {
         val qi = r.getInt(0)
         r.getSeq[org.apache.spark.sql.Row](1).foreach { h =>
           val d = h.getDouble(0); val id = h.get(1) // struct<distance, value>
-          val old = best(qi).getOrElse(id, Double.MaxValue)
-          if (d < old) best(qi)(id) = d
+          val key = keyOf(id)
+          val old = best(qi).get(key).map(_._2).getOrElse(Double.MaxValue)
+          if (d < old) best(qi)(key) = (id, d)
         }
-        if (best(qi).size > k) { // lossless trim (k-th only decreases)
-          val keep = best(qi).toArray.sortBy(_._2).take(k)
-          best(qi).clear(); keep.foreach { case (i2, d2) => best(qi)(i2) = d2 }
+        if (best(qi).size > k) { // lossless, tie-deterministic trim
+          val keep = best(qi).valuesIterator.toArray
+            .sortWith { case ((i1, d1), (i2, d2)) =>
+              d1 < d2 || (d1 == d2 && cmpExt(i1, i2) < 0) }
+            .take(k)
+          best(qi).clear()
+          keep.foreach { case (id2, d2) => best(qi)(keyOf(id2)) = (id2, d2) }
         }
       }
       for (qi <- 0 until nQ if !retired(qi)) {
+        // a round IMPROVES if it moved the k-th distance OR grew the
+        // candidate set toward k — without the size clause a query whose
+        // first blocks land in sparse cells (Lloyd leaves tiny cells)
+        // would read MaxValue === MaxValue as a miss and retire with
+        // fewer than k hits
         val now = kth(qi)
-        if (now < prevKth(qi) - epsilon) misses(qi) = 0
+        val grew = best(qi).size > prevSize(qi)
+        if (grew || now < prevKth(qi) - epsilon) misses(qi) = 0
         else misses(qi) += 1
         if (misses(qi) >= patience) retired(qi) = true
       }
     }
 
-    // driver state holds EXTERNAL values (collect()ed), so distance ties
-    // break on natural Comparable order, not the Catalyst ordering
-    def cmpExt(a: Any, b: Any): Int = (a, b) match {
-      case (null, null) => 0
-      case (null, _) => -1
-      case (_, null) => 1
-      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
-        x.asInstanceOf[Comparable[Any]].compareTo(y)
-      case _ => 0
-    }
     val hitRows = (0 until nQ).flatMap { qi =>
-      val sorted = best(qi).toArray.sortWith { case ((i1, d1), (i2, d2)) =>
-        d1 < d2 || (d1 == d2 && cmpExt(i1, i2) < 0) }
+      val sorted = best(qi).valuesIterator.toArray
+        .sortWith { case ((i1, d1), (i2, d2)) =>
+          d1 < d2 || (d1 == d2 && cmpExt(i1, i2) < 0) }
       sorted.take(k).zipWithIndex.map { case ((id, d), r) =>
         org.apache.spark.sql.Row(qIds(qi), id, d, r + 1)
       }

@@ -55,6 +55,44 @@ class AdaptiveSearchSpec extends SparkSuite {
     assert(res.scanFraction < 0.6, s"scanFraction=${res.scanFraction}")
   }
 
+  test("sparse early cells do not retire a query before it has k hits") {
+    // hand-built index: the query's FIRST cell holds 1 doc (< k=3) —
+    // the retirement rule must read a growing candidate set as
+    // improvement, not compare MaxValue to MaxValue and quit
+    val assigned = Seq(
+      (1L, Seq(0.5, 0.0), 0), (2L, Seq(9.0, 0.0), 1),
+      (3L, Seq(11.0, 0.0), 1), (4L, Seq(19.0, 0.0), 2),
+      (5L, Seq(20.0, 0.0), 2), (6L, Seq(21.0, 0.0), 2)
+    ).toDF("id", "embedding", "_cell")
+    val centroids = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)),
+      (2, Seq(20.0, 0.0))).toDF("_cell", "_center")
+    val idx = Ann.IvfIndex(assigned, centroids, "id", "embedding",
+      nCells = 3, multiAssign = 1, normalized = false)
+    val q = Seq((100L, Seq(0.0, 0.0))).toDF("id", "embedding")
+    val res = Ann.ivfSearchAdaptive(idx, q, 3, metric = "euclidean",
+      blockCells = 1, patience = 1)
+    assert(res.hits.count() == 3)
+    assert(res.hits.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("binary ids: cross-round duplicates of a multi-assigned doc collapse") {
+    val assigned = Seq(
+      (Array[Byte](1), Seq(2.0, 0.0), 0), (Array[Byte](1), Seq(2.0, 0.0), 1),
+      (Array[Byte](2), Seq(6.0, 0.0), 1), (Array[Byte](2), Seq(6.0, 0.0), 0)
+    ).toDF("id", "embedding", "_cell")
+    val centroids = Seq((0, Seq(0.0, 0.0)), (1, Seq(5.0, 0.0)))
+      .toDF("_cell", "_center")
+    val idx = Ann.IvfIndex(assigned, centroids, "id", "embedding",
+      nCells = 2, multiAssign = 2, normalized = false)
+    val q = Seq((Array[Byte](9), Seq(0.0, 0.0))).toDF("id", "embedding")
+    // blockCells=1: the two copies arrive in DIFFERENT rounds — the
+    // driver merge must key on byte-array VALUE, not reference
+    val res = Ann.ivfSearchAdaptive(idx, q, 2, metric = "euclidean",
+      blockCells = 1, patience = 2)
+    val ids = res.hits.select("id").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(ids.length == 2 && ids.toSet.size == 2, s"got $ids")
+  }
+
   test("patience extends the search; maxProbe caps it") {
     val docs = uniformDocs(2000, 8)
     val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 16,
