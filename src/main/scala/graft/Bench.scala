@@ -471,7 +471,7 @@ object Bench {
             Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 480).count()
           }
           record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
-            Ann.ivfSearch(idx4k, queries100, 10, nProbe = 480),
+            Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 480),
             exact) * 1000).toDouble)
           record("ann_ivf4k_scanfrac_x1000", math.round(
             Ann.scanFraction(idx4k, queries100, nProbe = 480) * 1000).toDouble)
