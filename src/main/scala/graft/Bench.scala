@@ -418,7 +418,10 @@ object Bench {
       // clustered embeddings (PqSpec: 0.957 vs 0.914 at equal bytes).
       // Both families ship so the frontier is visible per corpus shape;
       // search arithmetic is the same m table adds either way.
-      if (overBudget) annRows.drop(14).foreach(skip)
+      // take(4): only THIS block's rows — the ivf4k block below skips its
+      // own 4 on its own overBudget check (r9 ADVICE: drop(14) alone
+      // double-skipped them).
+      if (overBudget) annRows.drop(14).take(4).foreach(skip)
       else {
         val tpr = System.nanoTime()
         val rcb = Ann.pqTrainResidual(idx, m = 32, sampleFraction = 0.05)

@@ -561,10 +561,15 @@ object Ann {
         // candidate set toward k — without the size clause a query whose
         // first blocks land in sparse cells (Lloyd leaves tiny cells)
         // would read MaxValue === MaxValue as a miss and retire with
-        // fewer than k hits
+        // fewer than k hits. And while the candidate set is still SHORT
+        // of k, a round is never a miss at all (r9 ADVICE): a block
+        // landing entirely in EMPTY cells doesn't grow the set either,
+        // and with patience=1 that would retire the query below k hits
+        // even though unprobed cells hold docs.
         val now = kth(qi)
         val grew = best(qi).size > prevSize(qi)
-        if (grew || now < prevKth(qi) - epsilon) misses(qi) = 0
+        if (grew || best(qi).size < k || now < prevKth(qi) - epsilon)
+          misses(qi) = 0
         else misses(qi) += 1
         if (misses(qi) >= patience) retired(qi) = true
       }

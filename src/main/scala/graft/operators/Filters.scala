@@ -29,6 +29,17 @@ import graft.schema.DocSchema
   * semantics (reference: lookup.py:108-124): a field equal to its
   * documented default — empty string, 0 — is treated as not set.
   *
+  * DELIBERATE DIVERGENCE — NULL under `$neq`/`$ne`: this compiler keeps
+  * SQL three-valued logic (a NULL/missing field matches NO comparison,
+  * `$neq` included), where the reference's interpreted evaluator
+  * (lookup.py `neq` = Python `value != val`) returns True for a
+  * missing/None field. SQL 3VL is what every downstream Spark/DuckDB
+  * consumer of the compiled predicate expects, it is what parquet
+  * PushedFilters implement, and it is pinned by the cross-engine fuzz
+  * gate (q356/FilterFuzz — the DuckDB oracle predicate derives from the
+  * same AST). Callers who want the reference's behavior ask for it
+  * explicitly: `{"$or": [{"f": {"$neq": v}}, {"f": {"$exists": false}}]}`.
+  *
   * Because the output is a plain `Column`, Catalyst pushes the compiled
   * predicate down to the parquet scan (PushedFilters) — the distributed
   * analogue of the reference's backend-native filter pushdown

@@ -167,12 +167,22 @@ object Funnel {
       col(idCol).as("_id"))
     val touchAll = ev.where(col("_t").isin(touchTypes.map(_.asInstanceOf[Any]): _*))
       .select(col("_u"), col("_ts").as("_tts"), col("_t").as("channel"))
+    // Finite cap rides an AGGREGATE, not a window (r9 ADVICE): the bot
+    // user with millions of touches — exactly who the valve exists to
+    // drop — is also exactly the partition a per-user window would
+    // buffer/spill in WindowExec, while the groupBy collapses them
+    // map-side to one row each. The second touchAll reference is
+    // column-pruned to `_u` alone, and the over-cap set is tiny by
+    // construction (it's the anomaly list), so the anti-join broadcasts.
     val touch =
       if (maxUserTouches == Int.MaxValue) touchAll
-      else touchAll
-        .withColumn("_tc", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("_u")))
-        .where(col("_tc") <= maxUserTouches).drop("_tc")
+      else {
+        val overCap = touchAll.groupBy("_u")
+          .agg(count(lit(1)).as("_tc"))
+          .where(col("_tc") > maxUserTouches)
+          .select("_u")
+        touchAll.join(broadcast(overCap), Seq("_u"), "left_anti")
+      }
     val conv = ev.where(col("_t") === conversionType)
       .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))
     conv.join(touch, Seq("_u"))

@@ -75,6 +75,28 @@ class AdaptiveSearchSpec extends SparkSuite {
     assert(res.hits.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("EMPTY early cells do not retire a query before it has k hits") {
+    // r9 ADVICE regression: cells 0 and 1 hold NOTHING — a block landing
+    // entirely in empty cells neither grows the set nor moves the k-th
+    // distance, and with patience=1 the old rule retired the query with
+    // zero hits even though cell 2 holds the whole corpus. While
+    // best.size < k a round must never count as a miss.
+    val assigned = Seq(
+      (4L, Seq(19.0, 0.0), 2), (5L, Seq(20.0, 0.0), 2),
+      (6L, Seq(21.0, 0.0), 2)
+    ).toDF("id", "embedding", "_cell")
+    val centroids = Seq((0, Seq(0.0, 0.0)), (1, Seq(10.0, 0.0)),
+      (2, Seq(20.0, 0.0))).toDF("_cell", "_center")
+    val idx = Ann.IvfIndex(assigned, centroids, "id", "embedding",
+      nCells = 3, multiAssign = 1, normalized = false)
+    val q = Seq((100L, Seq(0.0, 0.0))).toDF("id", "embedding")
+    val res = Ann.ivfSearchAdaptive(idx, q, 3, metric = "euclidean",
+      blockCells = 1, patience = 1)
+    assert(res.hits.count() == 3)
+    assert(res.hits.select("id").as[Long].collect().toSet ==
+      Set(4L, 5L, 6L))
+  }
+
   test("binary ids: cross-round duplicates of a multi-assigned doc collapse") {
     val assigned = Seq(
       (Array[Byte](1), Seq(2.0, 0.0), 0), (Array[Byte](1), Seq(2.0, 0.0), 1),
