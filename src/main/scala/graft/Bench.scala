@@ -129,6 +129,134 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // ---- rotating expensive-tail phase (round 10) -----------------------
+    // The bench content outgrew the 1200 s budget (r9: 11 named rows
+    // structurally could never get their second attempt — exactly the
+    // expensive tail where one attempt is least trustworthy). Split:
+    // phase A (baseline + headline + every cheap validation row) always
+    // runs, min-of-2 via the makeup pass; the EXPENSIVE tail groups
+    // rotate — each run re-measures the stalest ~third min-of-2 INLINE
+    // and carries forward the last settled reading for the rest, labeled
+    // with the generation it was measured (per-row `carried`,
+    // `measured_gen`, `age`). Settled readings persist in a TSV state
+    // file next to the repo (SPARK_GRAFT_BENCH_STATE overrides;
+    // SPARK_GRAFT_BENCH_ROTATE=0 forces a full run, e.g. for seeding).
+    // A group whose reading would age past 3 generations, or that has a
+    // row never measured (new content), is force-selected.
+    //
+    // Group order is the rotation interleave: heavy groups are spread so
+    // no single run takes the whole expensive tail at once.
+    val tailGroups: Seq[(String, Seq[String])] = Seq(
+      "ann1024" -> Seq("ann_ivf_build_1m", "ann_ivf_search100",
+        "ann_recall10_x1000", "ann_scanfrac_x1000",
+        "ann_sq_encode_1m", "ann_sq_search100", "ann_sq_rerank100",
+        "ann_sq_recall10_x1000", "ann_sqr_recall10_x1000",
+        "ann_sqr_eqscan_x1000",
+        "ann_pq_encode_1m", "ann_pq_search100", "ann_pq_rerank100",
+        "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000",
+        "ann_pqres_encode_1m", "ann_pqres_search100",
+        "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000"),
+      "dedup_chain" -> Seq("x_dedup_chain_11m"),
+      "cc" -> Seq("x_cc_1m", "x_cc_incr_1m"),
+      "nb" -> Seq("x_nb_1m"),
+      "plsa" -> Seq("x_plsa_300k"),
+      "ann4k" -> Seq("ann_ivf4k_build_1m", "ann_ivf4k_search100",
+        "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000",
+        "ann_ivf4ksq_search100", "ann_ivf4ksq_recall10_x1000",
+        "ann_ivf4ksq_eqscan_x1000",
+        "x_ann_adapt_uni_recall10_x1000", "x_ann_adapt_uni_scanfrac_x1000",
+        "x_ann_adapt_uni_eqscan_x1000"),
+      "louvain" -> Seq("x_louvain_1m"),
+      "dsir" -> Seq("x_dsir_1m"),
+      "urlnorm" -> Seq("x_urlnorm_10m"),
+      "adapt" -> Seq("x_ann_adapt_build", "x_ann_adapt_recall10_x1000",
+        "x_ann_adapt_scanfrac_x1000", "x_ann_fixed64_recall10_x1000",
+        "x_ann_fixed64_scanfrac_x1000"),
+      "dbscan" -> Seq("x_dbscan_1m"),
+      "itemcf" -> Seq("x_itemcf_1m", "x_itemcf_serve_1m"),
+      "neardup" -> Seq("x_neardup_ingest_1m"))
+
+    case class TailRow(sec: Double, tRuns: String, ts: Long, gen: Int)
+    val statePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATE",
+      "/root/repo/bench_tail_state.tsv")
+    val (prevGen, prevState): (Int, Map[String, TailRow]) = try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(statePath)).toArray(Array.empty[String])
+      val g = lines.collectFirst {
+        case l if l.startsWith("#gen\t") => l.split("\t")(1).toInt
+      }.getOrElse(0)
+      val rows = lines.filterNot(_.startsWith("#")).flatMap { l =>
+        l.split("\t") match {
+          case Array(row, sec, truns, ts, gen, _*) =>
+            Some(row -> TailRow(sec.toDouble, truns, ts.toLong, gen.toInt))
+          case _ => None
+        }
+      }.toMap
+      (g, rows)
+    } catch { case _: Throwable => (0, Map.empty[String, TailRow]) }
+    val curGen = prevGen + 1
+    val rotationOn = !sys.env.get("SPARK_GRAFT_BENCH_ROTATE").contains("0")
+
+    val selectedGroups: Set[String] = {
+      val missingOrStale = tailGroups.collect {
+        case (g, rows) if rows.exists(r => !prevState.contains(r)) ||
+          rows.flatMap(prevState.get).map(t => curGen - t.gen).maxOption
+            .exists(_ >= 3) => g
+      }
+      val target = math.max(1, (tailGroups.size + 2) / 3)
+      val rest = tailGroups.map(_._1).filterNot(missingOrStale.contains)
+        .sortBy { g =>
+          tailGroups.find(_._1 == g).get._2
+            .flatMap(prevState.get).map(_.gen).minOption.getOrElse(0)
+        }
+      if (!rotationOn) tailGroups.map(_._1).toSet
+      else (missingOrStale ++
+        rest.take(math.max(0, target - missingOrStale.size))).toSet
+    }
+    val carriedRows = scala.collection.mutable.ArrayBuffer[String]()
+    var inTailGroup = false
+    /** Run a tail group's body if selected this generation (rows inside
+      * run min-of-2 INLINE — `inTailGroup` defeats the makeup deferral);
+      * otherwise emit the settled readings from the state file, labeled
+      * carried. */
+    def tailGroup(name: String)(body: => Unit): Unit = {
+      if (selectedGroups(name)) {
+        inTailGroup = true
+        try body finally { inTailGroup = false }
+      } else {
+        for (row <- tailGroups.find(_._1 == name).get._2;
+             tr <- prevState.get(row)) {
+          results(row) = tr.sec
+          carriedRows += row
+          println(s"""{"row":"$row","sec":${tr.sec},"carried":true,"measured_gen":${tr.gen},"age":${curGen - tr.gen},"measured_ts":${tr.ts},"t_runs":[${tr.tRuns}]$ctx}""")
+          Console.out.flush()
+        }
+      }
+    }
+    /** Persist settled tail readings: rows measured this run stamp
+      * curGen; everything else keeps its previous entry. Best-effort —
+      * a read-only checkout must not kill the summary. */
+    def writeTailState(): Unit = try {
+      val sb = new StringBuilder("# graft bench tail state v1\n")
+      sb.append(s"#gen\t$curGen\n")
+      for ((g, rows) <- tailGroups; row <- rows) {
+        val ranHere = selectedGroups(g) &&
+          results.get(row).exists(_ >= 0) && !carriedRows.contains(row)
+        if (ranHere) {
+          val tr = attemptTimes.getOrElse(row,
+              scala.collection.mutable.ArrayBuffer[Double]())
+            .map(t => f"$t%.4f").mkString(",")
+          sb.append(s"$row\t${results(row)}\t$tr\t$epochS\t$curGen\t$g\n")
+        } else prevState.get(row).foreach { t =>
+          sb.append(s"$row\t${t.sec}\t${t.tRuns}\t${t.ts}\t${t.gen}\t$g\n")
+        }
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(statePath), sb.toString)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] tail state write failed: ${e.getMessage}")
+    }
+
     /** Second attempts owed to validation rows, paid from whatever budget
       * remains AFTER every row has run once (the makeup pass). Round 9:
       * r8's inline min-of-2 didn't survive the budget — the guard
@@ -164,7 +292,10 @@ object Bench {
         return
       }
       var i = 1
-      val deferred = skippable(name) && defer
+      // inside a SELECTED tail group min-of-2 is inline and guaranteed
+      // (the whole point of rotating: the saved budget buys real second
+      // attempts where a single reading is least trustworthy)
+      val deferred = skippable(name) && defer && !inTailGroup
       while (i < runs && !deferred &&
           !(skippable(name) && elapsedS + times.head * 1.15 > budgetS)) {
         try times += timed(f) catch { case e: Throwable =>
@@ -278,7 +409,10 @@ object Bench {
       val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val m2 = min2Missed.distinct.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"min2_missed":$m2,"sf":"$sfDir"$ctx}""")
+      writeTailState()
+      val cr = carriedRows.distinct.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skipped":$sk,"min2_missed":$m2,"carried":$cr,"tail_gen":$curGen,"sf":"$sfDir"$ctx}""")
       Console.out.flush()
       spark.stop()
     }
@@ -308,15 +442,11 @@ object Bench {
     // ann_scanfrac_x1000 (the honest cost). The IVF win is pruned-scan
     // I/O at cluster scale (assigned partitioned by _cell; only probed
     // cells read); the exact blocked kernel stays faster at 1M.
-    val annRows = Seq("ann_ivf_build_1m", "ann_ivf_search100",
-      "ann_recall10_x1000", "ann_scanfrac_x1000", "ann_sq_encode_1m",
-      "ann_sq_search100", "ann_sq_rerank100", "ann_sq_recall10_x1000",
-      "ann_sqr_recall10_x1000", "ann_pq_encode_1m", "ann_pq_search100",
-      "ann_pq_rerank100", "ann_pq_recall10_x1000", "ann_pqr_recall10_x1000",
-      "ann_pqres_encode_1m", "ann_pqres_search100",
-      "ann_pqres_recall10_x1000", "ann_pqresr_recall10_x1000",
-      "ann_ivf4k_build_1m", "ann_ivf4k_search100",
-      "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000")
+    // (round 10: the 4096-cell family moved to its own rotation group —
+    // see tailGroup("ann4k") below; this list is exactly the ann1024
+    // group's rows)
+    val annRows = tailGroups.find(_._1 == "ann1024").get._2
+    tailGroup("ann1024") {
     if (overBudget) annRows.foreach(skip)
     else {
       // min-of-2 build attempts by default (round 8 — identical code
@@ -353,7 +483,7 @@ object Bench {
       // side is 4× smaller than float32). Encode is a build-time pass on
       // the existing IVF; search scans codes asymmetrically; the rerank
       // row refines top-50 per query exactly against the base table.
-      if (overBudget) annRows.drop(4).take(5).foreach(skip)
+      if (overBudget) annRows.drop(4).take(6).foreach(skip)
       else {
         val tsq = System.nanoTime()
         val cb = Ann.sqTrain(stored, "embedding")
@@ -373,6 +503,11 @@ object Bench {
         record("ann_sqr_recall10_x1000", math.round(Ann.recallAgainstExact(
           Ann.ivfSearchSq(sq, queries100, 10, nProbe = 410, rerank = 50,
             docs = stored), exact) * 1000).toDouble)
+        // the honest combined cost in EQUIVALENT FLOAT-ROWS (code row =
+        // 1/4 float row + the 50 reranked rows): reads beside
+        // ann_scanfrac_x1000 in one unit — same probe set, ~4× less scan
+        record("ann_sqr_eqscan_x1000", math.round(Ann.sqScanEquivalent(
+          sq, queries100, nProbe = 410, rerank = 50) * 1000).toDouble)
         sq.coded.unpersist()
       }
 
@@ -385,7 +520,7 @@ object Bench {
       // structure to exploit — scrambles the candidate funnel (recall
       // 0.32 raw / 0.72 even at rerank=200), while m=32 + rerank=100
       // reaches the IVF probe ceiling itself (0.853 vs 0.857 at 200k).
-      if (overBudget) annRows.drop(9).take(5).foreach(skip)
+      if (overBudget) annRows.drop(10).take(5).foreach(skip)
       else {
         val tpq = System.nanoTime()
         val pcb = Ann.pqTrain(stored, "id", "embedding", m = 32,
@@ -418,10 +553,10 @@ object Bench {
       // clustered embeddings (PqSpec: 0.957 vs 0.914 at equal bytes).
       // Both families ship so the frontier is visible per corpus shape;
       // search arithmetic is the same m table adds either way.
-      // take(4): only THIS block's rows — the ivf4k block below skips its
-      // own 4 on its own overBudget check (r9 ADVICE: drop(14) alone
-      // double-skipped them).
-      if (overBudget) annRows.drop(14).take(4).foreach(skip)
+      // drop(15): exactly this block's 4 rows (r9 ADVICE closed the
+      // double-skip; r10 moved the ivf4k family to its own group so the
+      // tail of annRows IS the pqres block again).
+      if (overBudget) annRows.drop(15).foreach(skip)
       else {
         val tpr = System.nanoTime()
         val rcb = Ann.pqTrainResidual(idx, m = 32, sampleFraction = 0.05)
@@ -439,49 +574,95 @@ object Bench {
             docs = stored), exact) * 1000).toDouble)
         pqr.coded.unpersist()
       }
-      // Finer-grained spilled index (round 9): 4096 cells + multiAssign=2
-      // through the new map-only nearest_cells kernel — the measured
-      // uniform-corpus frontier winner: Recall@10 0.907 at an honest 0.41
-      // scan fraction (the r8 default was 0.912 at 0.496 — same recall at
-      // 0.82× the scanned docs). The whole 1024→4096 × mA 1→3 × fit
-      // 0.05→0.2 grid was measured this round (NOTES r9); the verdict's
-      // 0.90@0.25 bar is not reachable by centroid-ranked probing on the
-      // iid-uniform corpus — recall at a FIXED 0.25 scan tops out ~0.80
-      // across the grid. Build is one k-means fit on a 200k sample + ONE
-      // compiled map pass (the crossJoin+topk formulation this replaced
-      // spilled at 1M×4096).
-      if (overBudget) Seq("ann_ivf4k_build_1m", "ann_ivf4k_search100",
-        "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000").foreach(skip)
-      else {
-        var idx4k: Ann.IvfIndex = null
-        bench("ann_ivf4k_build_1m", runs = 1, defer = false) {
-          // maxIter 6: measured equal recall to 12 (0.908@0.416 vs
-          // 0.907@0.408 — quantizer noise) at ~30 s less budget
-          val i0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
-            maxIter = 6, fitSampleFraction = 0.2, center = true,
-            multiAssign = 2)
-          idx4k = i0.copy(assigned = i0.assigned.cache())
-          idx4k.assigned.count()
-        }
-        // a failed build records -1 and leaves idx4k null: the tail rows
-        // must skip, not NPE outside bench()'s try (which would kill the
-        // summary AND the whole makeup pass)
-        if (idx4k == null) Seq("ann_ivf4k_search100",
-          "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000")
-          .foreach(skip)
-        else {
-          bench("ann_ivf4k_search100", defer = false) {
-            Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 480).count()
-          }
-          record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
-            Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 480),
-            exact) * 1000).toDouble)
-          record("ann_ivf4k_scanfrac_x1000", math.round(
-            Ann.scanFraction(idx4k, queries100, nProbe = 480) * 1000).toDouble)
-          idx4k.assigned.unpersist()
-        }
-      }
       idx.assigned.unpersist()
+    }
+    } // tailGroup("ann1024")
+
+    // Finer-grained spilled index: 4096 cells + multiAssign=2 through
+    // the map-only nearest_cells kernel. Round 10 re-fit the BUILD
+    // economics: initMode=random (k-means||'s oversampling passes +
+    // driver-local k-means++ on ~16k candidates dominated the fit at
+    // k=4096 and converged to a WORSE cost — measured 171.7k vs 175.4k),
+    // maxIter=4, fitSample 0.15 — build 122.7 s → ~57 s. The random-init
+    // quantizer lands on the same recall-vs-scan frontier at better
+    // balance: nProbe=880 reads ~0.43 of the corpus for recall ~0.91
+    // (r9 config: 0.908 @ 0.416 — within noise, r10 NOTES sweep).
+    // The verdict's 0.90@0.25 bar stays unreachable for centroid-ranked
+    // PROBING on iid-uniform data (r9 oracle study) — so r10 attacks the
+    // orthogonal axis: ann_ivf4ksq_* scan SQ8 CODES inside the same
+    // probed cells + exact rerank (equal candidate funnel, spec-locked),
+    // and the honest cost in EQUIVALENT FLOAT-ROWS (code row = 1/4 float
+    // row + rerank) lands recall ~0.91 at eq ~0.11 — past the 0.25 bar
+    // that probe ordering alone cannot reach. (At 1M in-memory the float
+    // kernel is still faster WALL-CLOCK — the SQ row's win is scan
+    // BYTES, the binding constraint once the index exceeds memory.)
+    // The x_ann_adapt_uni_* rows publish the adaptive rule on THIS
+    // no-signal corpus (it merely tracks the fixed frontier here —
+    // the honest no-free-lunch twin of the mixed-workload x_ann_adapt_*
+    // win, NOTES r9/r10).
+    tailGroup("ann4k") {
+      if (overBudget)
+        tailGroups.find(_._1 == "ann4k").get._2.foreach(skip)
+      else {
+      val exact4k = Knn.bruteForce(stored, queries100, 10, "cosine")
+      var idx4k: Ann.IvfIndex = null
+      var build4kBest = Double.MaxValue
+      val attempts4k = if (min2Builds) 2 else 1
+      for (attempt <- 0 until attempts4k if attempt == 0 || !overBudget) {
+        if (idx4k != null) idx4k.assigned.unpersist()
+        val tb0 = System.nanoTime()
+        val i0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
+          maxIter = 4, fitSampleFraction = 0.15, center = true,
+          multiAssign = 2, initMode = "random")
+        idx4k = i0.copy(assigned = i0.assigned.cache())
+        idx4k.assigned.count()
+        build4kBest = math.min(build4kBest, (System.nanoTime() - tb0) / 1e9)
+      }
+      record("ann_ivf4k_build_1m", build4kBest)
+      if (idx4k == null) Seq("ann_ivf4k_search100",
+        "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000",
+        "ann_ivf4ksq_search100", "ann_ivf4ksq_recall10_x1000",
+        "ann_ivf4ksq_eqscan_x1000", "x_ann_adapt_uni_recall10_x1000",
+        "x_ann_adapt_uni_scanfrac_x1000", "x_ann_adapt_uni_eqscan_x1000")
+        .foreach(skip)
+      else {
+        bench("ann_ivf4k_search100", defer = false) {
+          Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 880).count()
+        }
+        record("ann_ivf4k_recall10_x1000", math.round(Ann.recallAgainstExact(
+          Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 880),
+          exact4k) * 1000).toDouble)
+        record("ann_ivf4k_scanfrac_x1000", math.round(
+          Ann.scanFraction(idx4k, queries100, nProbe = 880) * 1000).toDouble)
+        // SQ8 codes inside the same probed cells + exact rerank of 50
+        val cb4k = Ann.sqTrain(stored, "embedding")
+        val sq4k0 = Ann.sqAttach(idx4k, cb4k)
+        val sq4k = sq4k0.copy(coded = sq4k0.coded.cache())
+        sq4k.coded.count()
+        bench("ann_ivf4ksq_search100", defer = false) {
+          Ann.ivfSearchSq(sq4k, queries100, 10, nProbe = 880,
+            rerank = 50, docs = stored).count()
+        }
+        record("ann_ivf4ksq_recall10_x1000", math.round(
+          Ann.recallAgainstExact(Ann.ivfSearchSq(sq4k, queries100, 10,
+            nProbe = 880, rerank = 50, docs = stored), exact4k) * 1000)
+          .toDouble)
+        record("ann_ivf4ksq_eqscan_x1000", math.round(
+          Ann.sqScanEquivalent(sq4k, queries100, nProbe = 880,
+            rerank = 50) * 1000).toDouble)
+        // adaptive on the no-signal corpus, published for honesty
+        val adUni = Ann.ivfSearchAdaptiveSq(sq4k, queries100, 10,
+          blockCells = 64, patience = 2, rerank = 50, docs = stored)
+        record("x_ann_adapt_uni_recall10_x1000", math.round(
+          Ann.recallAgainstExact(adUni.hits, exact4k) * 1000).toDouble)
+        record("x_ann_adapt_uni_scanfrac_x1000",
+          math.round(adUni.scanFraction * 1000).toDouble)
+        record("x_ann_adapt_uni_eqscan_x1000",
+          math.round(adUni.eqScanFraction * 1000).toDouble)
+        sq4k.coded.unpersist()
+        idx4k.assigned.unpersist()
+      }
+      }
     }
 
     // Clustered 1M x 128 corpus (1000 centers, noise 1/8 spread) — the
@@ -540,6 +721,7 @@ object Bench {
     // under test (synthetic inputs).
     // Louvain phase 1 at 1M nodes / 4M random edges, 2 move rounds —
     // per round one edges-join + bounded per-node candidate argmax.
+    tailGroup("louvain") {
     bench("x_louvain_1m", runs = 2) {
       val edges = spark.range(4000000L).select(
         pmod(xxhash64(col("id"), lit(1)), lit(1000000)).as("a"),
@@ -548,6 +730,7 @@ object Bench {
       graft.operators.Graph.louvainRounds(edges, nodes, "n", rounds = 2)
         .agg(countDistinct("label")).collect()
     }
+    } // tailGroup("louvain")
     // Unigram tokenizer: seed on 100k docs (2M tokens x ~21 substring
     // candidates), then zero-shuffle Viterbi decode of 1M docs / 20M
     // tokens under the fitted 500-piece vocab.
@@ -663,6 +846,7 @@ object Bench {
     // map-side to 2.4M + 400k. The distributed-EM shuffle regime
     // (first measured at 1M docs: 137 s — the shape holds, the row was
     // outsized for a per-round validation; 300k keeps the same plan).
+    tailGroup("plsa") {
     bench("x_plsa_300k", runs = 2) {
       val textDocs = spark.range(300000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
@@ -675,11 +859,13 @@ object Bench {
       m.phi.agg(sum("p")).collect()   // materializes the shared E-step
       m.theta.agg(sum("t")).collect() // θ' branch reuses the checkpoint
     }
+    } // tailGroup("plsa")
 
     // DSIR importance weights at 1M docs / 39M hashed features / 2^16
     // buckets — the weight pass's shuffle regime ((doc, bucket) partial
     // agg → bucket-keyed model join → per-doc decimal dot-product).
     // Validation row, outside the headline total.
+    tailGroup("dsir") {
     bench("x_dsir_1m", runs = 2) {
       val textDocs = spark.range(1000000L).select(col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(0), lit(19)),
@@ -692,6 +878,7 @@ object Bench {
         col("text"), buckets = 1 << 16)
         .agg(sum("n_feats"), sum("weight")).collect()
     }
+    } // tailGroup("dsir")
 
     // Gopher rule battery at 1M docs × 20 tokens — the full 10-rule
     // scalar battery is map-only (one scan, no shuffle, one codegen
@@ -886,6 +1073,7 @@ object Bench {
     // changed-count. The pair→cluster resolution step of every dedup
     // pipeline (q53's operator) at its scale regime; the long chain
     // exercises the O(log diameter) doubling, not just star merges.
+    tailGroup("cc") {
     bench("x_cc_1m", runs = 2) {
       val nodes = spark.range(1000000L).select(col("id"))
       val chain = spark.range(1000000L)
@@ -928,12 +1116,14 @@ object Bench {
       }
       asg.unpersist()
     }
+    } // tailGroup("cc")
 
     // Incremental near-dup ingest at 1M corpus / 100k batch with 5%
     // planted near-dups: sign both sides (minhash_text fused kernel is
     // the dominant cost), bipartite band join on ids+buckets only,
     // signature-estimated verify — the daily-crawl-vs-corpus regime the
     // artifact path exists for. Validation row.
+    tailGroup("neardup") {
     bench("x_neardup_ingest_1m", runs = 2) {
       def mkText(n: Long, off: Long, mut: Boolean) =
         spark.range(n).select((col("id") + off).as("doc_id"),
@@ -949,6 +1139,7 @@ object Bench {
         mkText(100000L, 2000000L, mut = true), "doc_id", "text")
       Dedup.minhashAgainstSigs(batch, corpus, threshold = 0.5).count()
     }
+    } // tailGroup("neardup")
 
     // Exact PCA at 1M×128: ONE co-moment scan (each partition collapses to
     // d(d+1)/2 + d = 8,384 longs before the shuffle), a driver-side Jacobi
@@ -1059,6 +1250,7 @@ object Bench {
     // grid-blocked DBSCAN over 1M uniform 2-D points at the x_gridpairs
     // radius (~420k eps-pairs): pair emit + degree agg + core-subgraph
     // CC + border attach — the full density-clustering path at scale.
+    tailGroup("dbscan") {
     bench("x_dbscan_1m") {
       val pts = spark.range(1000000L).select(col("id"),
         (pmod(xxhash64(col("id"), lit(21)), lit(1000000L)) / 1000000.0).as("x"),
@@ -1067,6 +1259,7 @@ object Bench {
           eps = 0.0005, minPts = 3)
         .groupBy("kind").count().collect()
     }
+    } // tailGroup("dbscan")
 
     // strict-order funnel over 10M events / 1M users: per step one
     // user-keyed join + partial-agg min — the no-window conversion path.
@@ -1198,6 +1391,7 @@ object Bench {
     // Naive Bayes fit + score at 1M docs / 8M tokens / 5 labels: the
     // (label, word) count shuffle with map-side combine, then the
     // broadcast-weight scoring join + per-doc argmax.
+    tailGroup("nb") {
     bench("x_nb_1m") {
       import graft.operators.LangModel
       val docs = spark.range(1000000L).select(col("id"),
@@ -1209,6 +1403,7 @@ object Bench {
       LangModel.naiveBayesScore(docs, m, "id", col("text"))
         .agg(count(lit(1))).collect()
     }
+    } // tailGroup("nb")
 
     // Deterministic random walks over a 1M-edge graph: 100k starts x 2
     // walks x 4 steps — each step ONE frontier/adjacency equi-join,
@@ -1377,6 +1572,7 @@ object Bench {
     // tracks the fixed frontier (no per-query signal); on the pure
     // clustered corpus both sit at the recall-1.0 minimum — the win is
     // exactly the heterogeneous regime a real query stream is.
+    tailGroup("adapt") {
     locally {
       val adaptRows = Seq("x_ann_adapt_build", "x_ann_adapt_recall10_x1000",
         "x_ann_adapt_scanfrac_x1000", "x_ann_fixed64_recall10_x1000",
@@ -1416,6 +1612,7 @@ object Bench {
         }
       }
     }
+    } // tailGroup("adapt")
     // Matryoshka sizing sweep: 4 truncated exact scans + ground truth
     // over the same 1M x 128 — one timing row for the whole table.
     bench("x_matryoshka_sweep") {
@@ -1479,6 +1676,7 @@ object Bench {
     // Item-item CF at 1M interactions (100k users x 2k items, ~10
     // items/user): valve semi-join + co-count self-join + top-10
     // windows — the whole recommender is four shuffles.
+    tailGroup("itemcf") {
     bench("x_itemcf_1m", runs = 2) {
       import graft.operators.Recommend
       val ui = spark.range(1000000L).select(
@@ -1524,17 +1722,21 @@ object Bench {
           .agg(count(lit(1)), sum("score_ppm")).collect()
       }
     }
+    } // tailGroup("itemcf")
     // The q357 gate body as a scale row: the full minhashLsh → clusters
     // → dropByClustersBest chain over 11.2M synthesized docs (5M planted
     // identical pairs + 1M singletons + one 200k hot group that trips
     // the maxBucket valve). 20× the sf0.1 corpus — the banding/CC path
     // at the scale every other dedup gate doesn't reach.
+    tailGroup("dedup_chain") {
     bench("x_dedup_chain_11m") {
       SparkEntry.queries("q357_dedup_scale10m")(spark, sfDir).collect()
     }
+    } // tailGroup("dedup_chain")
 
     // URL normalize at 10M: one pure-codegen map stage (regex parse +
     // param sort + reassembly), then a distinct-count on the key.
+    tailGroup("urlnorm") {
     bench("x_urlnorm_10m", runs = 2) {
       import graft.operators.Web
       val urls = spark.range(10000000L).select(concat(
@@ -1547,6 +1749,7 @@ object Bench {
       urls.select(Web.urlNormalize(col("u")).as("n"))
         .agg(countDistinct("n")).collect()
     }
+    } // tailGroup("urlnorm")
 
     emitSummaryAndStop()
   }

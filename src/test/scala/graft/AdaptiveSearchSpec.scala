@@ -115,6 +115,65 @@ class AdaptiveSearchSpec extends SparkSuite {
     assert(ids.length == 2 && ids.toSet.size == 2, s"got $ids")
   }
 
+  test("driver probe state is loudly bounded (maxProbeState refusal)") {
+    val docs = uniformDocs(500, 8)
+    val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
+      maxIter = 3, center = true)
+    val q = docs.where(col("id") < 100)
+    // 100 queries x probeDepth 8 = 800 ints > 64 -> refuse, naming fixes
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfSearchAdaptive(idx, q, 5, maxProbeState = 64L)
+    }
+    assert(e.getMessage.contains("maxProbeState"))
+    assert(e.getMessage.contains("maxProbe"))
+    // capping maxProbe restores the bound: 100 x 1 = 100 > 64 still
+    // refuses; a smaller query set passes
+    Ann.ivfSearchAdaptive(idx, q.limit(8), 5, maxProbeState = 64L)
+  }
+
+  test("SQ route at full depth + rerank >= corpus equals the float path") {
+    // the equal-candidate-set lock: with patience covering every block,
+    // width >= corpus keeps ALL scanned docs as candidates and the exact
+    // rerank makes the coded screen lossless by construction
+    val docs = uniformDocs(2000, 8)
+    val q = docs.where(col("id") < 8)
+    for (ma <- Seq(1, 2)) {
+      val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
+        maxIter = 5, center = true, multiAssign = ma)
+      val sq = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
+      val res = Ann.ivfSearchAdaptiveSq(sq, q, 5, blockCells = 2,
+        patience = 4, rerank = 2000, docs = docs)
+      val ref = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 2,
+        patience = 4)
+      def key(d: org.apache.spark.sql.DataFrame) =
+        d.select("query_id", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(key(res.hits) == key(ref.hits), s"multiAssign=$ma")
+      // honest unit accounting: eq = codeScan/4 + reranked rows
+      assert(res.eqScanFraction > 0.0 &&
+        res.eqScanFraction < res.scanFraction * 0.25 + 1.0 + 1e-9)
+      // float path reports eq == scanFraction (same unit, no codes)
+      assert(ref.eqScanFraction == ref.scanFraction)
+    }
+  }
+
+  test("SQ route cuts eqScanFraction ~4x at the same schedule") {
+    val docs = uniformDocs(3000, 8)
+    val q = docs.where(col("id") < 6)
+    val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
+      maxIter = 5, center = true)
+    val sq = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
+    val res = Ann.ivfSearchAdaptiveSq(sq, q, 5, blockCells = 8,
+      patience = 1, rerank = 20, docs = docs)
+    val ref = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 8,
+      patience = 1)
+    // same exhaustive one-round schedule: scanFraction equal, eq ~ /4
+    assert(res.scanFraction == ref.scanFraction)
+    val expectedEq = res.scanFraction * 0.25 + 6.0 * 20 / (6.0 * 3000)
+    assert(math.abs(res.eqScanFraction - expectedEq) < 1e-9,
+      s"eq=${res.eqScanFraction} expected=$expectedEq")
+  }
+
   test("patience extends the search; maxProbe caps it") {
     val docs = uniformDocs(2000, 8)
     val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 16,

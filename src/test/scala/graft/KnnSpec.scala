@@ -332,6 +332,39 @@ class KnnSpec extends SparkSuite {
     assert(hit >= exactD.size * 9 / 10, s"$hit of ${exactD.size}")
   }
 
+  test("ivf-sq8 on a multi-assigned index: dupes collapse, rerank >= corpus " +
+      "equals the float blocked path") {
+    val pts = (0 until 400).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 31 + j * 57) % 256).toFloat))
+    }
+    val df = pts.toDF("id", "embedding")
+    val idx = Ann.ivfBuild(df, "id", "embedding", nCells = 4, seed = 5,
+      multiAssign = 2)
+    val q = df.where(col("id") % 41 === 0)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // lossless codebook: code distances ARE float distances, so the coded
+    // path must equal the float blocked kernel exactly — including the
+    // per-(query, doc) collapse of multi-assign replicas
+    val lossless = Ann.sqAttach(idx,
+      Ann.SqCodebook(Seq.fill(6)(0.0), Seq.fill(6)(1.0)))
+    assert(key(Ann.ivfSearchSq(lossless, q, 5, nProbe = 2))
+      == key(Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2)))
+    // no id appears twice for a query
+    val raw = Ann.ivfSearchSq(lossless, q, 7, nProbe = 2)
+    assert(raw.groupBy("query_id", "id").count()
+      .where(col("count") > 1).count() == 0)
+
+    // lossy codebook + rerank >= corpus: the equal-candidate-set lock —
+    // every probed doc survives the funnel and the exact rerank returns
+    // the float truth of the probed set
+    val sq = Ann.sqAttach(idx, Ann.sqTrain(df, "embedding"))
+    assert(key(Ann.ivfSearchSq(sq, q, 5, nProbe = 2, rerank = 400,
+      docs = df)) == key(Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2)))
+  }
+
   test("persisted ivf-sq8: codes-only layout round-trips, scan is cell-pruned") {
     val pts = (0 until 300).map { i =>
       val c = i % 3
