@@ -5346,6 +5346,86 @@ object SparkEntry {
   private def q356(s: SparkSession, dir: String): DataFrame =
     FilterFuzz.gate(t(s, dir, "documents"))
 
+  // 10M-row ANN gate (the q357 convention for the IVF family): planted
+  // clusters whose exact top-k is ARITHMETIC, so build + adaptive
+  // search run in-gate and hash-compare against a generated oracle.
+  // Geometry: 10k clusters × 1k docs in 16 dims — u_c is a hash-derived
+  // 15-dim unit direction per cluster, dim 15 carries the in-cluster
+  // perturbation: doc(c, r) = cos(θ_r)·u_c + sin(θ_r)·e₁₅ with
+  // θ_r = 0.002·(r+1). Cosine distance from query u_c to its own docs
+  // is 1 − cos(θ_r), strictly increasing in r → the true top-10 of
+  // query c is EXACTLY ids {c + r·10⁴ : r < 10} at ranks r+1. The e₁₅
+  // component is orthogonal to every u_c′, so large-r docs wander
+  // AWAY from all queries, and inter-cluster interference needs
+  // ⟨u_c,u_c′⟩ > cos(0.02) — measure ~(0.02)¹³ per pair, vanishing
+  // even over 10⁸ pairs. Build: 1024 centered spherical cells fit on a
+  // 100k hash sample (random init), map-only nearest_cells multi-assign
+  // — the nearest_cells kernel at 20× every other ANN gate's scale;
+  // search: ivfSearchAdaptive, rounds partition-pruned to their cells.
+  private def q359(s: SparkSession, dir: String): DataFrame = {
+    def gvals(ckey: Column) = transform(sequence(lit(0), lit(14)), j =>
+      (pmod(xxhash64(ckey, j, lit(359L)), lit(10000L)) / 10000.0) - 0.5)
+    def unit(ckey: Column) = {
+      val g = gvals(ckey)
+      val n = sqrt(aggregate(g, lit(0.0), (acc, x) => acc + x * x))
+      transform(g, x => x / n)
+    }
+    val docs = s.range(10000000L).select(col("id").as("doc_id"),
+        expr("id % 10000").as("c"), expr("id div 10000").as("r"))
+      .withColumn("_th", (col("r") + 1) * 0.002)
+      .withColumn("embedding",
+        concat(transform(unit(col("c")), x => x * cos(col("_th"))),
+          array(sin(col("_th")))))
+      .select("doc_id", "embedding")
+    val queries = s.range(100L).select((col("id") * 97).as("query_id"))
+      .withColumn("embedding", concat(unit(col("query_id")),
+        array(lit(0.0))))
+    val idx0 = Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 1024,
+      maxIter = 4, fitSampleFraction = 0.01, center = true,
+      multiAssign = 2, initMode = "random")
+    val idx = idx0.copy(assigned = idx0.assigned.cache())
+    idx.assigned.count()
+    // eager driver loop: `hits` is parallelized local rows, so the
+    // cached assignment can drop before the gate's output is written
+    val res = Ann.ivfSearchAdaptive(idx, queries, 10,
+      queryId = "query_id", queryVec = "embedding",
+      blockCells = 32, patience = 3)
+    idx.assigned.unpersist()
+    res.hits.select(col("query_id"), col("id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // Streaming replay-parity gate: the batch corpus replayed through the
+  // streaming co-count twin in micro-batches must merge to EXACTLY the
+  // one-shot batch artifact (user-disjoint batches — the documented
+  // [[graft.streaming.EventStream.streamingCoCounts]] contract, which
+  // this gate pins at the DRIVER level against a pure-SQL oracle
+  // instead of only in a spec). Shards are user-hash partitioned so
+  // every micro-batch is user-disjoint; the valve (maxUserItems=10)
+  // trips in-gate on multi-year customers.
+  private def q360(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val ui = orders.select(col("o_custkey").as("user"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("item"))
+    val base = java.nio.file.Files.createTempDirectory("graft_scc")
+      .toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"
+    ui.repartition(4, pmod(col("user"), lit(4)))
+      .write.mode("overwrite").parquet(inDir)
+    val stream = s.readStream.schema(ui.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = graft.streaming.EventStream
+      .streamingCoCounts(stream, "user", "item", outDir,
+        maxUserItems = 10)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.EventStream.readCoCounts(s, outDir)
+      .orderBy(col("a"), col("b"))
+  }
+
   // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5703,7 +5783,9 @@ object SparkEntry {
     "q355_cc_incremental" -> (q355 _),
     "q356_filter_fuzz" -> (q356 _),
     "q357_dedup_scale10m" -> (q357 _),
-    "q358_depth4_roundtrip" -> (q358 _))
+    "q358_depth4_roundtrip" -> (q358 _),
+    "q359_ann_scale10m" -> (q359 _),
+    "q360_streaming_cocounts" -> (q360 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13554,6 +13636,36 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          ORDER BY id""",
+
+    // q359: the planted ANN geometry makes the exact top-10 pure
+    // arithmetic — query c's neighbors are its own cluster's ids
+    // c + r·10⁴ at ranks r+1 (θ_r strictly increasing; see the gate)
+    "q359_ann_scale10m" ->
+      """SELECT CAST(k * 97 AS BIGINT) AS query_id,
+           CAST(k * 97 + r * 10000 AS BIGINT) AS id,
+           CAST(r + 1 AS INTEGER) AS rank
+         FROM generate_series(0, 99) t(k), generate_series(0, 9) s(r)
+         ORDER BY query_id, rank""",
+
+    // q360: the streaming co-count replay must merge to the one-shot
+    // batch co-count — per-item rows (b NULL) + ordered co-pairs over
+    // DISTINCT (user, order-month) with the ≤10-items valve
+    "q360_streaming_cocounts" ->
+      """WITH ui AS (SELECT DISTINCT o_custkey AS u,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS i
+           FROM orders),
+         kept AS (SELECT u, i FROM ui WHERE u IN (
+             SELECT u FROM ui GROUP BY u HAVING count(*) <= 10))
+         SELECT a, b, cnt FROM (
+           SELECT i AS a, CAST(NULL AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM kept GROUP BY i
+           UNION ALL
+           SELECT x.i AS a, y.i AS b, CAST(count(*) AS BIGINT) AS cnt
+           FROM kept x JOIN kept y ON x.u = y.u AND x.i <> y.i
+           GROUP BY x.i, y.i)
+         ORDER BY a, b""",
 
     // q352: split day at the 3/4 point of the span, observation-window
     // conditional sums, outcome-window label, zero-activity drop

@@ -533,9 +533,13 @@ object Ann {
     val qVecs = rankedQ.map(_.getSeq[Double](1).toArray)
     val qCells = rankedQ.map(_.getSeq[Int](2).toArray)
 
-    // stored rows per cell (replicas included) — the honest cost table
+    // stored rows per cell (replicas included) — the honest cost table.
+    // On the SQ route count the CODED side: a disk-loaded sqReadIndex
+    // carries an EMPTY assigned frame (the codes-only layout is the
+    // point), and the scan the search pays is the coded scan anyway.
     val cellSize = new Array[Long](index.nCells)
-    index.assigned.groupBy(col("_cell").cast("int").as("_c"))
+    sqOpt.map(_.coded).getOrElse(index.assigned)
+      .groupBy(col("_cell").cast("int").as("_c"))
       .agg(count(lit(1)).as("n")).collect()
       .foreach(r => if (!r.isNullAt(0) && r.getInt(0) >= 0 &&
         r.getInt(0) < index.nCells) cellSize(r.getInt(0)) = r.getLong(1))

@@ -157,6 +157,30 @@ class AdaptiveSearchSpec extends SparkSuite {
     }
   }
 
+  test("SQ route runs off the persisted codes-only layout (empty assigned)") {
+    // sqReadIndex returns assigned = coded.limit(0) by design — the
+    // adaptive cost table must count the CODED side or a disk-loaded
+    // index reports zero scan cost (and nothing to retire against)
+    val docs = uniformDocs(1000, 6)
+    val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 4,
+      maxIter = 3, center = true)
+    val sq = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graftsqad").toString
+    Ann.sqWriteIndex(sq, dir)
+    val loaded = Ann.sqReadIndex(spark, dir)
+    val q = docs.where(col("id") < 4)
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val res = Ann.ivfSearchAdaptiveSq(loaded, q, 3, blockCells = 1,
+      patience = 2, rerank = 10, docs = docs)
+    val ref = Ann.ivfSearchAdaptiveSq(sq, q, 3, blockCells = 1,
+      patience = 2, rerank = 10, docs = docs)
+    assert(key(res.hits) == key(ref.hits))
+    assert(res.scanFraction > 0.0 && res.scannedRows > 0L)
+    assert(res.scanFraction == ref.scanFraction)
+  }
+
   test("SQ route cuts eqScanFraction ~4x at the same schedule") {
     val docs = uniformDocs(3000, 8)
     val q = docs.where(col("id") < 6)
