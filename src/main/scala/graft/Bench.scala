@@ -164,6 +164,8 @@ object Bench {
         "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000",
         "ann_ivf4ksq_search100", "ann_ivf4ksq_recall10_x1000",
         "ann_ivf4ksq_eqscan_x1000",
+        "ann_ivf4kpq_search100", "ann_ivf4kpq_recall10_x1000",
+        "ann_ivf4kpq_eqscan_x1000",
         "x_ann_adapt_uni_recall10_x1000", "x_ann_adapt_uni_scanfrac_x1000",
         "x_ann_adapt_uni_eqscan_x1000"),
       "louvain" -> Seq("x_louvain_1m"),
@@ -619,12 +621,9 @@ object Bench {
         build4kBest = math.min(build4kBest, (System.nanoTime() - tb0) / 1e9)
       }
       record("ann_ivf4k_build_1m", build4kBest)
-      if (idx4k == null) Seq("ann_ivf4k_search100",
-        "ann_ivf4k_recall10_x1000", "ann_ivf4k_scanfrac_x1000",
-        "ann_ivf4ksq_search100", "ann_ivf4ksq_recall10_x1000",
-        "ann_ivf4ksq_eqscan_x1000", "x_ann_adapt_uni_recall10_x1000",
-        "x_ann_adapt_uni_scanfrac_x1000", "x_ann_adapt_uni_eqscan_x1000")
-        .foreach(skip)
+      if (idx4k == null)
+        tailGroups.find(_._1 == "ann4k").get._2
+          .filterNot(_ == "ann_ivf4k_build_1m").foreach(skip)
       else {
         bench("ann_ivf4k_search100", defer = false) {
           Ann.ivfSearchBlocked(idx4k, queries100, 10, nProbe = 880).count()
@@ -650,6 +649,31 @@ object Bench {
         record("ann_ivf4ksq_eqscan_x1000", math.round(
           Ann.sqScanEquivalent(sq4k, queries100, nProbe = 880,
             rerank = 50) * 1000).toDouble)
+        // PQ codes on the same probe schedule: 32 B/vector = 1/16 of a
+        // float row — the deepest frontier point (read recall beside
+        // eqscan; the PQ family gives back some recall on structureless
+        // corpora, documented in the ann_pq rows' tuning notes)
+        val pcb4k = Ann.pqTrain(stored, "id", "embedding", m = 32,
+          sampleFraction = 0.05)
+        val pq4k0 = Ann.pqAttach(idx4k, pcb4k)
+        val pq4k = pq4k0.copy(coded = pq4k0.coded.cache())
+        pq4k.coded.count()
+        // rerank=200: measured 0.901 recall vs 0.880 at 100, at an eq
+        // cost delta of 1e-4 - the 0.90 bar at 1/16 scan bytes
+        bench("ann_ivf4kpq_search100", defer = false) {
+          Ann.ivfSearchPq(pq4k, queries100, 10, nProbe = 880,
+            rerank = 200, docs = stored).count()
+        }
+        record("ann_ivf4kpq_recall10_x1000", math.round(
+          Ann.recallAgainstExact(Ann.ivfSearchPq(pq4k, queries100, 10,
+            nProbe = 880, rerank = 200, docs = stored), exact4k) * 1000)
+          .toDouble)
+        // eq unit by hand for the fixed-probe PQ path: scanfrac/16 +
+        // the 200 reranked float rows per query
+        record("ann_ivf4kpq_eqscan_x1000", math.round(
+          (Ann.scanFraction(idx4k, queries100, nProbe = 880) / 16.0 +
+            200.0 / 1000000.0) * 1000).toDouble)
+        pq4k.coded.unpersist()
         // adaptive on the no-signal corpus, published for honesty
         val adUni = Ann.ivfSearchAdaptiveSq(sq4k, queries100, 10,
           blockCells = 64, patience = 2, rerank = 50, docs = stored)

@@ -458,7 +458,8 @@ object Ann {
       maxProbeState: Long = defaultMaxProbeState): AdaptiveResult =
     ivfSearchAdaptiveImpl(index, queries, k, k, queryId, queryVec,
       metric, blockCells, maxProbe, patience, epsilon, maxProbeState,
-      sqOpt = None, rerank = 0, docs = null)
+      codedScan = None, costSide = index.assigned, codeCostRatio = 1.0,
+      rerank = 0, docs = null)
 
   /** [[ivfSearchAdaptive]] with the per-cell scan routed through SQ8
     * CODES (the [[ivfSearchSq]] kernel): each round reads 1 byte per
@@ -482,9 +483,41 @@ object Ann {
       maxProbeState: Long = defaultMaxProbeState): AdaptiveResult = {
     require(rerank == 0 || docs != null,
       "rerank needs the base table (docs) for exact distances")
-    ivfSearchAdaptiveImpl(sq.ivf, queries, k, math.max(k, rerank),
+    val width = math.max(k, rerank)
+    ivfSearchAdaptiveImpl(sq.ivf, queries, k, width,
       queryId, queryVec, metric, blockCells, maxProbe, patience, epsilon,
-      maxProbeState, sqOpt = Some(sq), rerank = rerank, docs = docs)
+      maxProbeState,
+      codedScan = Some((qv, c2q, cells) =>
+        blockedPairsSq(sq, qv, c2q, width, metric, cells)),
+      costSide = sq.coded, codeCostRatio = 0.25,
+      rerank = rerank, docs = docs)
+  }
+
+  /** [[ivfSearchAdaptiveSq]]'s PQ sibling: the per-round scan reads
+    * m-byte ADC codes (raw or residual/IVFADC — 1/(4·subDim) of a
+    * float row, 16× at m=32 over 128 dims) under the same adaptive
+    * schedule, with one exact rerank of the accumulated candidates.
+    * The deepest point on the published cost frontier: coarser codes
+    * buy a ~4× further scan-byte cut over SQ8 at a modest recall give-
+    * back on structureless corpora (the PQ family's documented regime —
+    * read the bench rows side by side). */
+  def ivfSearchAdaptivePq(pq: PqIvfIndex, queries: DataFrame, k: Int,
+      queryId: String = "id", queryVec: String = "embedding",
+      metric: String = "cosine", blockCells: Int = 64,
+      maxProbe: Int = Int.MaxValue, patience: Int = 1,
+      epsilon: Double = 0.0, rerank: Int = 0, docs: DataFrame = null,
+      maxProbeState: Long = defaultMaxProbeState): AdaptiveResult = {
+    require(rerank == 0 || docs != null,
+      "rerank needs the base table (docs) for exact distances")
+    val width = math.max(k, rerank)
+    ivfSearchAdaptiveImpl(pq.ivf, queries, k, width,
+      queryId, queryVec, metric, blockCells, maxProbe, patience, epsilon,
+      maxProbeState,
+      codedScan = Some((qv, c2q, cells) =>
+        blockedPairsPq(pq, qv, c2q, width, metric, cells)),
+      costSide = pq.coded,
+      codeCostRatio = 1.0 / (4.0 * pq.codebook.subDim),
+      rerank = rerank, docs = docs)
   }
 
   /** Default cap on the adaptive searches' driver-resident probe state
@@ -495,10 +528,21 @@ object Ann {
     * cap deliberately), never a silent multi-GB collect. */
   val defaultMaxProbeState: Long = 16L << 20
 
+  /** Shared driver loop of the adaptive searches. `codedScan` (qVecs,
+    * cellToQueries, roundCells) → (_qidx,_did,_dist) plugs a compressed
+    * kernel ([[blockedPairsSq]], [[blockedPairsPq]]) under the SAME
+    * schedule as the float [[blockedPairs]]; `costSide` is the frame
+    * whose per-cell row counts price the scan (the coded frame for
+    * compressed routes — a disk-loaded codes-only index has an EMPTY
+    * assigned); `codeCostRatio` converts a scanned code row into
+    * equivalent float rows (1/4 for SQ8, 1/(4·subDim) for m-byte PQ). */
   private def ivfSearchAdaptiveImpl(index: IvfIndex, queries: DataFrame,
       k: Int, width: Int, queryId: String, queryVec: String,
       metric: String, blockCells: Int, maxProbe: Int, patience: Int,
-      epsilon: Double, maxProbeState: Long, sqOpt: Option[SqIvfIndex],
+      epsilon: Double, maxProbeState: Long,
+      codedScan: Option[(Array[Array[Double]], Array[Array[Int]],
+        Array[Int]) => DataFrame],
+      costSide: DataFrame, codeCostRatio: Double,
       rerank: Int, docs: DataFrame): AdaptiveResult = {
     import org.apache.spark.sql.types._
     require(blockCells >= 1 && patience >= 1 && k >= 1)
@@ -533,12 +577,12 @@ object Ann {
     val qVecs = rankedQ.map(_.getSeq[Double](1).toArray)
     val qCells = rankedQ.map(_.getSeq[Int](2).toArray)
 
-    // stored rows per cell (replicas included) — the honest cost table.
-    // On the SQ route count the CODED side: a disk-loaded sqReadIndex
-    // carries an EMPTY assigned frame (the codes-only layout is the
-    // point), and the scan the search pays is the coded scan anyway.
+    // stored rows per cell (replicas included) — the honest cost table,
+    // counted on `costSide` (the coded frame for compressed routes: a
+    // disk-loaded codes-only index carries an EMPTY assigned frame,
+    // and the scan the search pays is the coded scan anyway).
     val cellSize = new Array[Long](index.nCells)
-    sqOpt.map(_.coded).getOrElse(index.assigned)
+    costSide
       .groupBy(col("_cell").cast("int").as("_c"))
       .agg(count(lit(1)).as("n")).collect()
       .foreach(r => if (!r.isNullAt(0) && r.getInt(0) >= 0 &&
@@ -611,9 +655,8 @@ object Ann {
         a
       }
       val prevSize = (0 until nQ).map(best(_).size).toArray
-      val roundPairs = sqOpt match {
-        case Some(sq) => blockedPairsSq(sq, qVecs, c2q, width, metric,
-          restrictCells = roundCells)
+      val roundPairs = codedScan match {
+        case Some(scan) => scan(qVecs, c2q, roundCells)
         case None => blockedPairs(index, qVecs, c2q, width, metric,
           restrictCells = roundCells)
       }
@@ -668,7 +711,7 @@ object Ann {
           d1 < d2 || (d1 == d2 && cmpExt(i1, i2) < 0) }
     var rerankedRows = 0L
     val hits =
-      if (sqOpt.isEmpty || rerank <= 0) {
+      if (codedScan.isEmpty || rerank <= 0) {
         // float path (or coded path without refine): emit the best k
         val hitRows = (0 until nQ).flatMap { qi =>
           sortedBest(qi).take(k).zipWithIndex.map { case ((id, d), r) =>
@@ -711,9 +754,10 @@ object Ann {
       if (nQ == 0 || corpusDocs == 0) 0.0
       else scannedRows.toDouble / (nQ.toDouble * corpusDocs)
     val eqFrac =
-      if (sqOpt.isEmpty) frac
+      if (codedScan.isEmpty) frac
       else if (nQ == 0 || corpusDocs == 0) 0.0
-      else frac * 0.25 + rerankedRows.toDouble / (nQ.toDouble * corpusDocs)
+      else frac * codeCostRatio +
+        rerankedRows.toDouble / (nQ.toDouble * corpusDocs)
     AdaptiveResult(hits, scannedRows, frac, rounds,
       if (nQ == 0) 0.0 else pos.map(_.toDouble).sum / nQ, eqFrac)
   }
@@ -1221,12 +1265,30 @@ object Ann {
       queryId: String = "id", queryVec: String = "embedding",
       metric: String = "cosine", nProbe: Int = 4,
       rerank: Int = 0, docs: DataFrame = null): DataFrame = {
-    require(pq.ivf.multiAssign <= 1,
-      "ivfSearchPq requires a single-assignment index")
-    require(pq.codebook.anchors.forall(_.length == pq.ivf.nCells),
-      "residual codebook anchors must cover every cell of this index")
     require(rerank == 0 || docs != null,
       "rerank needs the base table (docs) for exact distances")
+    val probe = probeCollect(pq.ivf, queries, queryId, queryVec, nProbe)
+    val width = math.max(k, rerank)
+    val partialDf = blockedPairsPq(pq, probe.qVecs, probe.cellToQueries,
+      width, metric, restrictCells = null)
+    assembleTopK(partialDf, probe, k, width, metric, rerank, docs, pq.ivf)
+  }
+
+  /** Coded (PQ/IVFADC) twin of [[blockedPairs]] — the ADC scan over the
+    * probed cells' m-byte codes (m table adds per doc·query instead of
+    * dim multiply-adds; residual mode adds per-cell static tables, see
+    * [[ivfSearchPq]]). Per-partition heaps hold `width`·A entries and
+    * multi-assign replicas collapse per (query, doc) — one doc carries
+    * a DIFFERENT residual code per home cell, and min over its
+    * reconstructions is the best available approximation, same
+    * convention as the float and SQ kernels. `restrictCells` non-null
+    * narrows the scan to an adaptive round's cells. Returns
+    * (_qidx, _did, _dist) in code space. */
+  private def blockedPairsPq(pq: PqIvfIndex, qVecs: Array[Array[Double]],
+      cellToQueries: Array[Array[Int]], width: Int, metric: String,
+      restrictCells: Array[Int]): DataFrame = {
+    require(pq.codebook.anchors.forall(_.length == pq.ivf.nCells),
+      "residual codebook anchors must cover every cell of this index")
     require(Set("cosine", "sqeuclidean", "euclidean", "inner_product")
       .contains(metric), s"unsupported metric $metric")
     import org.apache.spark.sql.graft.Bridge
@@ -1234,9 +1296,8 @@ object Ann {
     import org.apache.spark.sql.types._
     import graft.plans.TopKBuffer
 
-    val spark = queries.sparkSession
+    val spark = pq.coded.sparkSession
     val index = pq.ivf
-    val probe = probeCollect(index, queries, queryId, queryVec, nProbe)
     val cents = pq.codebook.centroids.map(_.map(_.toArray).toArray).toArray
     val subDim = pq.codebook.subDim
     // residual mode ships the per-cell anchors too (nCells × dim doubles —
@@ -1244,14 +1305,15 @@ object Ann {
     val anchorsArr: Array[Array[Double]] =
       pq.codebook.anchors.map(_.map(_.toArray).toArray).orNull
     val bc = spark.sparkContext.broadcast(
-      (probe.qVecs, probe.cellToQueries, cents, subDim, anchorsArr))
+      (qVecs, cellToQueries, cents, subDim, anchorsArr))
 
-    val probedCells =
-      probe.cellToQueries.indices.filter(probe.cellToQueries(_).nonEmpty)
+    val probedCells: Seq[Int] =
+      if (restrictCells != null) restrictCells.toSeq
+      else cellToQueries.indices.filter(cellToQueries(_).nonEmpty)
     val child = prunedPqCoded(pq, probedCells).select(
       col(index.idCol), col("_code"), col("_cell").cast("int"))
     val met = metric
-    val heapK = math.max(k, rerank)
+    val heapK = width * math.max(1, index.multiAssign)
     val docIdType = pq.coded.schema(index.idCol).dataType
     val tieOrd = graft.plans.PayloadOrdering.forType(docIdType)
     val partials = Bridge.toInternalRdd(child).mapPartitions { rows =>
@@ -1450,7 +1512,8 @@ object Ann {
       StructField("_did", docIdType),
       StructField("_dist", DoubleType, nullable = false)))
     val partialDf = Bridge.fromInternalRdd(spark, partials, schema)
-    assembleTopK(partialDf, probe, k, heapK, metric, rerank, docs, index)
+    if (index.multiAssign <= 1) partialDf
+    else partialDf.groupBy("_qidx", "_did").agg(min(col("_dist")).as("_dist"))
   }
 
   private[graft] def prunedPqCoded(pq: PqIvfIndex,

@@ -181,6 +181,41 @@ class AdaptiveSearchSpec extends SparkSuite {
     assert(res.scanFraction == ref.scanFraction)
   }
 
+  test("PQ route at full depth + rerank >= corpus equals the float path") {
+    // same equal-candidate-set lock as the SQ route, through the ADC
+    // kernel — including multi-assign (a doc's per-home-cell residual
+    // codes collapse by min before any top-k)
+    val docs = uniformDocs(2000, 8)
+    val q = docs.where(col("id") < 6)
+    for (ma <- Seq(1, 2)) {
+      val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
+        maxIter = 5, center = true, multiAssign = ma)
+      val pq = Ann.pqAttach(idx,
+        Ann.pqTrain(docs, "id", "embedding", m = 2, sampleFraction = 1.0))
+      val res = Ann.ivfSearchAdaptivePq(pq, q, 5, blockCells = 2,
+        patience = 4, rerank = 2000, docs = docs)
+      val ref = Ann.ivfSearchAdaptive(idx, q, 5, blockCells = 2,
+        patience = 4)
+      def key(d: org.apache.spark.sql.DataFrame) =
+        d.select("query_id", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(key(res.hits) == key(ref.hits), s"multiAssign=$ma")
+      // ratio: m=2 bytes vs 8 float dims -> subDim=4 -> 1/16 per code
+      // row; at rerank = corpus EVERY doc reranks, so eq = scan/16 + 1
+      // exactly (the rerank term honestly dominates at this width —
+      // real configs rerank 50-200, not the corpus)
+      assert(res.scanFraction == ref.scanFraction)
+      assert(math.abs(res.eqScanFraction -
+        (res.scanFraction / 16.0 + 1.0)) < 1e-9,
+        s"eq=${res.eqScanFraction} scan=${res.scanFraction}")
+      // static path too: ivfSearchPq on the multi-assigned index at
+      // rerank >= corpus equals the float blocked kernel
+      assert(key(Ann.ivfSearchPq(pq, q, 5, nProbe = 8, rerank = 2000,
+        docs = docs)) == key(Ann.ivfSearchBlocked(idx, q, 5, nProbe = 8)),
+        s"static multiAssign=$ma")
+    }
+  }
+
   test("SQ route cuts eqScanFraction ~4x at the same schedule") {
     val docs = uniformDocs(3000, 8)
     val q = docs.where(col("id") < 6)

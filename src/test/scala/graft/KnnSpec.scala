@@ -363,6 +363,17 @@ class KnnSpec extends SparkSuite {
     val sq = Ann.sqAttach(idx, Ann.sqTrain(df, "embedding"))
     assert(key(Ann.ivfSearchSq(sq, q, 5, nProbe = 2, rerank = 400,
       docs = df)) == key(Ann.ivfSearchBlocked(idx, q, 5, nProbe = 2)))
+
+    // multi-assigned codes survive the persisted codes-only layout:
+    // replica rows ride the _cell partitioning, meta restores
+    // multiAssign, and the loaded search equals the in-memory one
+    val dir = java.nio.file.Files.createTempDirectory("graftsqma").toString
+    Ann.sqWriteIndex(sq, dir)
+    val loaded = Ann.sqReadIndex(spark, dir)
+    assert(loaded.ivf.multiAssign == 2)
+    assert(key(Ann.ivfSearchSq(loaded, q, 5, nProbe = 2, rerank = 400,
+      docs = df)) == key(Ann.ivfSearchSq(sq, q, 5, nProbe = 2,
+      rerank = 400, docs = df)))
   }
 
   test("persisted ivf-sq8: codes-only layout round-trips, scan is cell-pruned") {
