@@ -822,6 +822,19 @@ object Bench {
       bench("x_knn_largeq_ivf_10k", runs = 2, defer = false) {
         Ann.ivfSearchBlocked(idx100k, queries10k, 10, nProbe = 32).count()
       }
+      // Daily-ingest append path: a 100k-doc delta assigned against the
+      // broadcast centroid table (map-only nearest_cells — zero shuffle
+      // on the batch) and SQ8-encoded, the rows a persisted codes-only
+      // layout appends under its _cell partitioning. The row measures
+      // the ingest-side cost of the index WITHOUT a quantizer re-fit.
+      val cbApp = Ann.sqTrain(stored100k, "embedding")
+      bench("x_ann_append_100k", runs = 2, defer = false) {
+        val delta = benchDocs(spark, 100000L, 128)
+          .select(concat(lit("n"), col("id")).as("id"), col("embedding"),
+            col("tags_i"), col("tags"))
+        Ann.sqEncodeRows(idx100k, cbApp, Ann.assignRows(idx100k, delta))
+          .write.format("noop").mode("overwrite").save()
+      }
       idx100k.assigned.unpersist()
     }
     spark.catalog.clearCache()

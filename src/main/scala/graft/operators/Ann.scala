@@ -446,8 +446,10 @@ object Ann {
     * cells (`_cell` filter → partition pruning on a persisted
     * cell-partitioned index), bounded per-partition heaps, a per-query
     * k-row merge on the driver. Driver state is Q × k (id, distance)
-    * pairs — the same Q-is-bounded contract as [[ivfSearchPruned]]'s
-    * collected probe set. Like the blocked kernel, duplicates from
+    * pairs (Q × max(k, rerank) on the coded routes) plus the ranked
+    * cell lists, which are loudly bounded by `maxProbeState` — the
+    * [[ivfSearchPruned]] Q-is-bounded contract made enforcing.
+    * Like the blocked kernel, duplicates from
     * multi-assigned docs collapse per (query, doc) before any top-k;
     * cross-round duplicates collapse in the driver merge. */
   def ivfSearchAdaptive(index: IvfIndex, queries: DataFrame, k: Int,
