@@ -211,9 +211,18 @@ object Bench {
           tailGroups.find(_._1 == g).get._2
             .flatMap(prevState.get).map(_.gen).minOption.getOrElse(0)
         }
-      if (!rotationOn) tailGroups.map(_._1).toSet
-      else (missingOrStale ++
-        rest.take(math.max(0, target - missingOrStale.size))).toSet
+      // SPARK_GRAFT_BENCH_GROUPS=a,b forces exactly those groups (the
+      // re-measure-after-a-code-change path: a carried reading whose
+      // operator changed must be refreshed, not carried)
+      sys.env.get("SPARK_GRAFT_BENCH_GROUPS") match {
+        case Some(csv) =>
+          csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+            .intersect(tailGroups.map(_._1).toSet)
+        case None =>
+          if (!rotationOn) tailGroups.map(_._1).toSet
+          else (missingOrStale ++
+            rest.take(math.max(0, target - missingOrStale.size))).toSet
+      }
     }
     val carriedRows = scala.collection.mutable.ArrayBuffer[String]()
     var inTailGroup = false
@@ -459,16 +468,27 @@ object Bench {
       var idx: Ann.IvfIndex = null
       var buildBest = Double.MaxValue
       val attempts = if (min2Builds) 2 else 1
+      // each attempt individually guarded: a thrown build (executor OOM
+      // on a stolen host) must record -1 and skip this group's tail, not
+      // escape bench()'s try discipline and kill the summary + makeup
+      // pass + tail-state write (r10 review finding)
       for (attempt <- 0 until attempts if attempt == 0 || !overBudget) {
-        if (idx != null) idx.assigned.unpersist()
-        val tb0 = System.nanoTime()
-        val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
-          maxIter = 12, fitSampleFraction = 0.2, center = true)
-        idx = idx0.copy(assigned = idx0.assigned.cache())
-        idx.assigned.count()
-        buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
+        try {
+          if (idx != null) idx.assigned.unpersist()
+          val tb0 = System.nanoTime()
+          val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
+            maxIter = 12, fitSampleFraction = 0.2, center = true)
+          idx = idx0.copy(assigned = idx0.assigned.cache())
+          idx.assigned.count()
+          buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann_ivf build failed: ${e.getMessage}")
+        }
       }
-      record("ann_ivf_build_1m", buildBest)
+      record("ann_ivf_build_1m",
+        if (buildBest == Double.MaxValue) -1.0 else buildBest)
+      if (idx == null) { annRows.drop(1).foreach(skip); }
+      else {
       bench("ann_ivf_search100", defer = false) { // min of 2 like every other row
         // blocked kernel (spec-asserted equal to the join path): decodes
         // each doc vector once per row, not once per probing query
@@ -577,6 +597,7 @@ object Bench {
         pqr.coded.unpersist()
       }
       idx.assigned.unpersist()
+      }
     }
     } // tailGroup("ann1024")
 
@@ -610,17 +631,27 @@ object Bench {
       var idx4k: Ann.IvfIndex = null
       var build4kBest = Double.MaxValue
       val attempts4k = if (min2Builds) 2 else 1
+      // per-attempt guard: a thrown build records -1 and skips this
+      // group's tail instead of killing the whole run (r10 review
+      // finding — the bare loop had silently deleted bench()'s try
+      // discipline, making the null-idx skip branch dead code)
       for (attempt <- 0 until attempts4k if attempt == 0 || !overBudget) {
-        if (idx4k != null) idx4k.assigned.unpersist()
-        val tb0 = System.nanoTime()
-        val i0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
-          maxIter = 4, fitSampleFraction = 0.15, center = true,
-          multiAssign = 2, initMode = "random")
-        idx4k = i0.copy(assigned = i0.assigned.cache())
-        idx4k.assigned.count()
-        build4kBest = math.min(build4kBest, (System.nanoTime() - tb0) / 1e9)
+        try {
+          if (idx4k != null) idx4k.assigned.unpersist()
+          val tb0 = System.nanoTime()
+          val i0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 4096,
+            maxIter = 4, fitSampleFraction = 0.15, center = true,
+            multiAssign = 2, initMode = "random")
+          idx4k = i0.copy(assigned = i0.assigned.cache())
+          idx4k.assigned.count()
+          build4kBest = math.min(build4kBest,
+            (System.nanoTime() - tb0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ann_ivf4k build failed: ${e.getMessage}")
+        }
       }
-      record("ann_ivf4k_build_1m", build4kBest)
+      record("ann_ivf4k_build_1m",
+        if (build4kBest == Double.MaxValue) -1.0 else build4kBest)
       if (idx4k == null)
         tailGroups.find(_._1 == "ann4k").get._2
           .filterNot(_ == "ann_ivf4k_build_1m").foreach(skip)

@@ -552,12 +552,17 @@ object Ann {
     val idType = queries.schema(queryId).dataType
     val probeDepth = math.min(maxProbe.toLong, index.nCells.toLong).toInt
 
-    // full per-query cell ranking, collected once (Q × probeDepth ints).
-    // Limit-guarded (head, not collect): the driver holds this ranking
-    // for every live query, so Q × probeDepth is REQUIRED bounded —
-    // refuse loudly past maxProbeState instead of OOMing the driver.
+    // full per-query cell ranking, collected once (Q × probeDepth ints
+    // PLUS each query's raw vector — dim doubles = 2·dim int-equivalents;
+    // without the vector term a small-nCells/large-dim corpus passes the
+    // cell-count guard and still OOMs the driver on the vectors, r10
+    // review finding). Limit-guarded (head, not collect): refuse loudly
+    // past maxProbeState instead of collecting multi-GB silently.
+    val dim = index.centroids
+      .select(size(col("_center")).as("_d")).head.getInt(0)
+    val perQueryInts = probeDepth.toLong + 2L * dim
     val maxQ = math.min(Int.MaxValue.toLong - 1,
-      math.max(1L, maxProbeState / math.max(1, probeDepth))).toInt
+      math.max(1L, maxProbeState / math.max(1L, perQueryInts))).toInt
     val q = queries.select(col(queryId).as("query_id"),
       col(queryVec).cast("array<double>").as("_qvec"),
       probeVec(index, queryVec).as("_qnorm"))
@@ -572,8 +577,9 @@ object Ann {
     require(rankedQ.length <= maxQ,
       s"ivfSearchAdaptive driver probe state would exceed maxProbeState=" +
         s"$maxProbeState ints: > $maxQ queries at probeDepth=$probeDepth " +
-        s"(nCells=${index.nCells}). Cap maxProbe, batch the query set, " +
-        "or raise maxProbeState deliberately.")
+        s"+ 2×dim=$dim vector state (nCells=${index.nCells}). Cap " +
+        "maxProbe, batch the query set, or raise maxProbeState " +
+        "deliberately.")
     val nQ = rankedQ.length
     val qIds = rankedQ.map(_.get(0))
     val qVecs = rankedQ.map(_.getSeq[Double](1).toArray)
@@ -694,7 +700,13 @@ object Ann {
         // and with patience=1 that would retire the query below k hits
         // even though unprobed cells hold docs.
         val now = kth(qi)
-        val grew = best(qi).size > prevSize(qi)
+        // growth counts only up to k: on the coded routes the candidate
+        // pool is width = max(k, rerank) wide, and "some doc slipped
+        // under the width-th best" must NOT reset the miss counter —
+        // retirement is driven by the k-th distance (and reaching k
+        // candidates), or a wide rerank pool would keep every query
+        // probing to full depth (r10 review finding)
+        val grew = math.min(best(qi).size, k) > math.min(prevSize(qi), k)
         if (grew || best(qi).size < k || now < prevKth(qi) - epsilon)
           misses(qi) = 0
         else misses(qi) += 1
@@ -739,18 +751,7 @@ object Ann {
           StructType(Seq(StructField("query_id", idType),
             StructField("id", docIdType),
             StructField("_qvec", ArrayType(DoubleType)))))
-        val base = docs.select(col(index.idCol).as("id"),
-          col(index.vecCol).cast("array<double>").as("_dvec"))
-        base.join(broadcast(candDf), "id")
-          .groupBy("query_id")
-          .agg(topk_by_distance(
-            vector_distance(col("_dvec"), col("_qvec"), metric),
-            col("id"), k).as("_topk"))
-          .select(col("query_id"),
-            posexplode(col("_topk")).as(Seq("_pos", "_hit")))
-          .select(col("query_id"), col("_hit.value").as("id"),
-            col("_hit.distance").as("distance"),
-            (col("_pos") + 1).cast("int").as("rank"))
+        exactRefine(candDf, docs, index, metric, k)
       }
     val frac =
       if (nQ == 0 || corpusDocs == 0) 0.0
@@ -897,11 +898,16 @@ object Ann {
   def sqScanEquivalent(sq: SqIvfIndex, queries: DataFrame,
       queryId: String = "id", queryVec: String = "embedding",
       nProbe: Int = 4, rerank: Int = 0): Double = {
-    val codeFrac = scanFraction(sq.ivf, queries, queryId, queryVec, nProbe)
+    // price the scan off the CODED side: a disk-loaded sqReadIndex
+    // carries an EMPTY assigned frame (the codes-only layout is the
+    // point), and the coded rows ARE what this search scans — the same
+    // costSide rule the adaptive impl applies (r10 review finding)
+    val ivfForCost = sq.ivf.copy(assigned = sq.coded)
+    val codeFrac = scanFraction(ivfForCost, queries, queryId, queryVec,
+      nProbe)
     if (rerank <= 0) codeFrac * 0.25
     else {
-      val total = sq.ivf.assigned.select(col(sq.ivf.idCol))
-        .distinct().count()
+      val total = sq.coded.select(col(sq.ivf.idCol)).distinct().count()
       codeFrac * 0.25 +
         (if (total == 0) 0.0 else math.min(rerank.toLong, total).toDouble / total)
     }
@@ -977,19 +983,30 @@ object Ann {
           StructField("_qvec", ArrayType(DoubleType)))))
       val cands = codeTopK.select(col("query_id"), col("id"))
         .join(qv, "query_id")
-      val base = docs.select(col(index.idCol).as("id"),
-        col(index.vecCol).cast("array<double>").as("_dvec"))
-      base.join(broadcast(cands), "id")
-        .groupBy("query_id")
-        .agg(topk_by_distance(
-          vector_distance(col("_dvec"), col("_qvec"), metric),
-          col("id"), k).as("_topk"))
-        .select(col("query_id"),
-          posexplode(col("_topk")).as(Seq("_pos", "_hit")))
-        .select(col("query_id"), col("_hit.value").as("id"),
-          col("_hit.distance").as("distance"),
-          (col("_pos") + 1).cast("int").as("rank"))
+      exactRefine(cands, docs, index, metric, k)
     }
+  }
+
+  /** The ONE exact-refine tail shared by the static coded searches
+    * ([[assembleTopK]]) and the adaptive rerank — candidates
+    * (query_id, id, _qvec) broadcast against the base table, true
+    * top-k of the candidate set per query. A single implementation so
+    * tie-determinism and duplicate handling cannot drift between the
+    * two paths (r10 review finding). */
+  private def exactRefine(cands: DataFrame, docs: DataFrame,
+      index: IvfIndex, metric: String, k: Int): DataFrame = {
+    val base = docs.select(col(index.idCol).as("id"),
+      col(index.vecCol).cast("array<double>").as("_dvec"))
+    base.join(broadcast(cands), "id")
+      .groupBy("query_id")
+      .agg(topk_by_distance(
+        vector_distance(col("_dvec"), col("_qvec"), metric),
+        col("id"), k).as("_topk"))
+      .select(col("query_id"),
+        posexplode(col("_topk")).as(Seq("_pos", "_hit")))
+      .select(col("query_id"), col("_hit.value").as("id"),
+        col("_hit.distance").as("distance"),
+        (col("_pos") + 1).cast("int").as("rank"))
   }
 
   /** The scan side of an SQ search restricted to the probed cells —

@@ -172,8 +172,11 @@ object Funnel {
     // drop — is also exactly the partition a per-user window would
     // buffer/spill in WindowExec, while the groupBy collapses them
     // map-side to one row each. The second touchAll reference is
-    // column-pruned to `_u` alone, and the over-cap set is tiny by
-    // construction (it's the anomaly list), so the anti-join broadcasts.
+    // column-pruned to `_u` alone. NO forced broadcast on the over-cap
+    // set: it is tiny only when the cap is anomaly-sized — a small cap
+    // on a heavy-touch corpus makes it most of the user base, and a
+    // forced broadcast would OOM exactly there; AQE picks broadcast
+    // when the set is actually small (r10 review finding).
     val touch =
       if (maxUserTouches == Int.MaxValue) touchAll
       else {
@@ -181,7 +184,7 @@ object Funnel {
           .agg(count(lit(1)).as("_tc"))
           .where(col("_tc") > maxUserTouches)
           .select("_u")
-        touchAll.join(broadcast(overCap), Seq("_u"), "left_anti")
+        touchAll.join(overCap, Seq("_u"), "left_anti")
       }
     val conv = ev.where(col("_t") === conversionType)
       .select(col("_u"), col("_ts").as("_cts"), col("_id").as("_cid"))

@@ -120,15 +120,16 @@ class AdaptiveSearchSpec extends SparkSuite {
     val idx = Ann.ivfBuild(docs, "id", "embedding", nCells = 8,
       maxIter = 3, center = true)
     val q = docs.where(col("id") < 100)
-    // 100 queries x probeDepth 8 = 800 ints > 64 -> refuse, naming fixes
+    // 100 queries x (probeDepth 8 + 2*dim 16) = 2400 ints > 64 ->
+    // refuse, naming fixes (the bound charges the collected query
+    // VECTORS too, not only the ranked-cell ints)
     val e = intercept[IllegalArgumentException] {
       Ann.ivfSearchAdaptive(idx, q, 5, maxProbeState = 64L)
     }
     assert(e.getMessage.contains("maxProbeState"))
     assert(e.getMessage.contains("maxProbe"))
-    // capping maxProbe restores the bound: 100 x 1 = 100 > 64 still
-    // refuses; a smaller query set passes
-    Ann.ivfSearchAdaptive(idx, q.limit(8), 5, maxProbeState = 64L)
+    // a query set within the bound passes: 2 x 24 = 48 <= 64
+    Ann.ivfSearchAdaptive(idx, q.limit(2), 5, maxProbeState = 64L)
   }
 
   test("SQ route at full depth + rerank >= corpus equals the float path") {
@@ -179,6 +180,11 @@ class AdaptiveSearchSpec extends SparkSuite {
     assert(key(res.hits) == key(ref.hits))
     assert(res.scanFraction > 0.0 && res.scannedRows > 0L)
     assert(res.scanFraction == ref.scanFraction)
+    // the static cost diagnostic must price the coded side too — off
+    // the empty assigned frame it NPE'd (r10 review finding)
+    val eq = Ann.sqScanEquivalent(loaded, q, nProbe = 2, rerank = 10)
+    assert(eq > 0.0 &&
+      eq == Ann.sqScanEquivalent(sq, q, nProbe = 2, rerank = 10))
   }
 
   test("PQ route at full depth + rerank >= corpus equals the float path") {
