@@ -5362,7 +5362,9 @@ object SparkEntry {
   // 100k hash sample (random init), map-only nearest_cells multi-assign
   // — the nearest_cells kernel at 20× every other ANN gate's scale;
   // search: ivfSearchAdaptive, rounds partition-pruned to their cells.
-  private def q359(s: SparkSession, dir: String): DataFrame = {
+  /** The planted 10M ANN corpus shared by q359/q361 (geometry doc at
+    * [[q359]]) and its 100 exact-center queries. */
+  private def annScaleCorpus(s: SparkSession): (DataFrame, DataFrame) = {
     def gvals(ckey: Column) = transform(sequence(lit(0), lit(14)), j =>
       (pmod(xxhash64(ckey, j, lit(359L)), lit(10000L)) / 10000.0) - 0.5)
     def unit(ckey: Column) = {
@@ -5380,11 +5382,21 @@ object SparkEntry {
     val queries = s.range(100L).select((col("id") * 97).as("query_id"))
       .withColumn("embedding", concat(unit(col("query_id")),
         array(lit(0.0))))
+    (docs, queries)
+  }
+
+  private def annScaleIndex(docs: DataFrame): Ann.IvfIndex = {
     val idx0 = Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 1024,
       maxIter = 4, fitSampleFraction = 0.01, center = true,
       multiAssign = 2, initMode = "random")
     val idx = idx0.copy(assigned = idx0.assigned.cache())
     idx.assigned.count()
+    idx
+  }
+
+  private def q359(s: SparkSession, dir: String): DataFrame = {
+    val (docs, queries) = annScaleCorpus(s)
+    val idx = annScaleIndex(docs)
     // eager driver loop: `hits` is parallelized local rows, so the
     // cached assignment can drop before the gate's output is written
     val res = Ann.ivfSearchAdaptive(idx, queries, 10,
@@ -5393,6 +5405,34 @@ object SparkEntry {
     idx.assigned.unpersist()
     res.hits.select(col("query_id"), col("id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // The CODED-route twin of q359 at the same 10M scale: SQ8 codes in
+  // every adaptive round (1 byte/dim — the compressed layout every
+  // billion-scale store actually scans) + one exact rerank of the
+  // accumulated candidates. The arithmetic oracle is UNCHANGED: the
+  // per-dim quantization error (~4e-3) is two orders under the 0.07
+  // inter-cluster gap, so the coded funnel keeps the planted top-10 in
+  // its width-50 pool and the exact rerank restores true order — the
+  // whole compressed path (encode → coded adaptive scan → refine) is
+  // driver-gated at 20× every spec's scale, not just spec-locked.
+  private def q361(s: SparkSession, dir: String): DataFrame = {
+    val (docs, queries) = annScaleCorpus(s)
+    val idx = annScaleIndex(docs)
+    val sq0 = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
+    val sq = sq0.copy(coded = sq0.coded.cache())
+    sq.coded.count()
+    idx.assigned.unpersist() // rounds scan the coded side only
+    val res = Ann.ivfSearchAdaptiveSq(sq, queries, 10,
+      queryId = "query_id", queryVec = "embedding",
+      blockCells = 32, patience = 3, rerank = 50, docs = docs)
+    val out = res.hits.select(col("query_id"), col("id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+    // the rerank output is a live plan over `docs` ⋈ candidates — tiny
+    // (1000 rows) but lazy; materialize before dropping the coded cache
+    val rows = out.collect().toIndexedSeq
+    sq.coded.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
   }
 
   // Streaming replay-parity gate: the batch corpus replayed through the
@@ -5785,7 +5825,8 @@ object SparkEntry {
     "q357_dedup_scale10m" -> (q357 _),
     "q358_depth4_roundtrip" -> (q358 _),
     "q359_ann_scale10m" -> (q359 _),
-    "q360_streaming_cocounts" -> (q360 _))
+    "q360_streaming_cocounts" -> (q360 _),
+    "q361_ann_sq_scale10m" -> (q361 _))
 
   /** Shared CTE chain for q46/q49: per-token FNV-1a (HUGEINT mod 2^64),
     * splitmix64 finalizer as vectorized stages with 32-bit-half wrapping
@@ -13641,6 +13682,15 @@ object SparkEntry {
     // arithmetic — query c's neighbors are its own cluster's ids
     // c + r·10⁴ at ranks r+1 (θ_r strictly increasing; see the gate)
     "q359_ann_scale10m" ->
+      """SELECT CAST(k * 97 AS BIGINT) AS query_id,
+           CAST(k * 97 + r * 10000 AS BIGINT) AS id,
+           CAST(r + 1 AS INTEGER) AS rank
+         FROM generate_series(0, 99) t(k), generate_series(0, 9) s(r)
+         ORDER BY query_id, rank""",
+
+    // q361: same arithmetic truth as q359 — the SQ8-coded adaptive
+    // route with exact rerank must return the identical planted top-10
+    "q361_ann_sq_scale10m" ->
       """SELECT CAST(k * 97 AS BIGINT) AS query_id,
            CAST(k * 97 + r * 10000 AS BIGINT) AS id,
            CAST(r + 1 AS INTEGER) AS rank
