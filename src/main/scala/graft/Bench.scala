@@ -116,6 +116,17 @@ object Bench {
           scala.collection.mutable.ArrayBuffer[Double]()) += v
       emitRow(name)
     }
+    /** Record a row measured by a MANUAL attempt loop (the two IVF
+      * builds): every attempt's raw time ships in t_runs — min-of-N is
+      * only self-arbitrating if the other attempts are visible. */
+    def recordRuns(name: String, times: Seq[Double]): Unit = {
+      if (times.nonEmpty) {
+        attemptTimes.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer[Double]()) ++= times
+        results(name) = times.min
+      } else results(name) = -1.0
+      emitRow(name)
+    }
     def skip(name: String): Unit = {
       skipped += name
       println(s"""{"row":"$name","skipped":true$ctx}""")
@@ -173,7 +184,8 @@ object Bench {
       "urlnorm" -> Seq("x_urlnorm_10m"),
       "adapt" -> Seq("x_ann_adapt_build", "x_ann_adapt_recall10_x1000",
         "x_ann_adapt_scanfrac_x1000", "x_ann_fixed64_recall10_x1000",
-        "x_ann_fixed64_scanfrac_x1000"),
+        "x_ann_fixed64_scanfrac_x1000", "x_ann_adaptsq_recall10_x1000",
+        "x_ann_adaptsq_eqscan_x1000"),
       "dbscan" -> Seq("x_dbscan_1m"),
       "itemcf" -> Seq("x_itemcf_1m", "x_itemcf_serve_1m"),
       "neardup" -> Seq("x_neardup_ingest_1m"))
@@ -466,7 +478,7 @@ object Bench {
       // guard drops the second attempt on a stolen host, and
       // SPARK_GRAFT_BENCH_MIN2=0 restores single-attempt.
       var idx: Ann.IvfIndex = null
-      var buildBest = Double.MaxValue
+      val buildTimes = scala.collection.mutable.ArrayBuffer[Double]()
       val attempts = if (min2Builds) 2 else 1
       // each attempt individually guarded: a thrown build (executor OOM
       // on a stolen host) must record -1 and skip this group's tail, not
@@ -480,13 +492,12 @@ object Bench {
             maxIter = 12, fitSampleFraction = 0.2, center = true)
           idx = idx0.copy(assigned = idx0.assigned.cache())
           idx.assigned.count()
-          buildBest = math.min(buildBest, (System.nanoTime() - tb0) / 1e9)
+          buildTimes += (System.nanoTime() - tb0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ann_ivf build failed: ${e.getMessage}")
         }
       }
-      record("ann_ivf_build_1m",
-        if (buildBest == Double.MaxValue) -1.0 else buildBest)
+      recordRuns("ann_ivf_build_1m", buildTimes.toSeq)
       if (idx == null) { annRows.drop(1).foreach(skip); }
       else {
       bench("ann_ivf_search100", defer = false) { // min of 2 like every other row
@@ -629,7 +640,7 @@ object Bench {
       else {
       val exact4k = Knn.bruteForce(stored, queries100, 10, "cosine")
       var idx4k: Ann.IvfIndex = null
-      var build4kBest = Double.MaxValue
+      val build4kTimes = scala.collection.mutable.ArrayBuffer[Double]()
       val attempts4k = if (min2Builds) 2 else 1
       // per-attempt guard: a thrown build records -1 and skips this
       // group's tail instead of killing the whole run (r10 review
@@ -644,14 +655,12 @@ object Bench {
             multiAssign = 2, initMode = "random")
           idx4k = i0.copy(assigned = i0.assigned.cache())
           idx4k.assigned.count()
-          build4kBest = math.min(build4kBest,
-            (System.nanoTime() - tb0) / 1e9)
+          build4kTimes += (System.nanoTime() - tb0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ann_ivf4k build failed: ${e.getMessage}")
         }
       }
-      record("ann_ivf4k_build_1m",
-        if (build4kBest == Double.MaxValue) -1.0 else build4kBest)
+      recordRuns("ann_ivf4k_build_1m", build4kTimes.toSeq)
       if (idx4k == null)
         tailGroups.find(_._1 == "ann4k").get._2
           .filterNot(_ == "ann_ivf4k_build_1m").foreach(skip)
@@ -1644,7 +1653,8 @@ object Bench {
     locally {
       val adaptRows = Seq("x_ann_adapt_build", "x_ann_adapt_recall10_x1000",
         "x_ann_adapt_scanfrac_x1000", "x_ann_fixed64_recall10_x1000",
-        "x_ann_fixed64_scanfrac_x1000")
+        "x_ann_fixed64_scanfrac_x1000", "x_ann_adaptsq_recall10_x1000",
+        "x_ann_adaptsq_eqscan_x1000")
       if (overBudget) adaptRows.foreach(skip)
       else {
         ensureClustered()
@@ -1676,6 +1686,21 @@ object Bench {
               nProbe = 64), exactM) * 1000).toDouble)
           record("x_ann_fixed64_scanfrac_x1000", math.round(
             Ann.scanFraction(idxAd, mixedQ, nProbe = 64) * 1000).toDouble)
+          // the SHOWCASE combination: per-query early termination AND
+          // SQ8 in-cell codes on the mixed workload — both axes at once
+          // (adaptive cuts WHICH cells are read, codes cut what each
+          // cell COSTS), exact rerank restores float-true order
+          val sqAd0 = Ann.sqAttach(idxAd,
+            Ann.sqTrain(clStored, "embedding"))
+          val sqAd = sqAd0.copy(coded = sqAd0.coded.cache())
+          sqAd.coded.count()
+          val resSq = Ann.ivfSearchAdaptiveSq(sqAd, mixedQ, 10,
+            blockCells = 16, patience = 2, rerank = 50, docs = clStored)
+          record("x_ann_adaptsq_recall10_x1000", math.round(
+            Ann.recallAgainstExact(resSq.hits, exactM) * 1000).toDouble)
+          record("x_ann_adaptsq_eqscan_x1000",
+            math.round(resSq.eqScanFraction * 1000).toDouble)
+          sqAd.coded.unpersist()
           idxAd.assigned.unpersist()
         }
       }
