@@ -5362,9 +5362,19 @@ object SparkEntry {
   // 100k hash sample (random init), map-only nearest_cells multi-assign
   // — the nearest_cells kernel at 20× every other ANN gate's scale;
   // search: ivfSearchAdaptive, rounds partition-pruned to their cells.
-  /** The planted 10M ANN corpus shared by q359/q361 (geometry doc at
+  /** q359/q361 scale by dir: the sf0.001 dir (GateSchemaSpec's
+    * schema-hygiene walk and smoke runs — these gates are EAGER at
+    * construction, a 10M build per schema probe would double the suite)
+    * gets a 100k variant with IDENTICAL semantics and the SAME
+    * arithmetic oracle (10 docs per cluster = the whole top-10); the
+    * driver's sf0.01 correctness run gets the full 10M. */
+  private def annScaleSmall(dir: String): Boolean =
+    dir.contains("sf0.001")
+
+  /** The planted ANN corpus shared by q359/q361 (geometry doc at
     * [[q359]]) and its 100 exact-center queries. */
-  private def annScaleCorpus(s: SparkSession): (DataFrame, DataFrame) = {
+  private def annScaleCorpus(s: SparkSession,
+      small: Boolean): (DataFrame, DataFrame) = {
     def gvals(ckey: Column) = transform(sequence(lit(0), lit(14)), j =>
       (pmod(xxhash64(ckey, j, lit(359L)), lit(10000L)) / 10000.0) - 0.5)
     def unit(ckey: Column) = {
@@ -5372,7 +5382,8 @@ object SparkEntry {
       val n = sqrt(aggregate(g, lit(0.0), (acc, x) => acc + x * x))
       transform(g, x => x / n)
     }
-    val docs = s.range(10000000L).select(col("id").as("doc_id"),
+    val n = if (small) 100000L else 10000000L
+    val docs = s.range(n).select(col("id").as("doc_id"),
         expr("id % 10000").as("c"), expr("id div 10000").as("r"))
       .withColumn("_th", (col("r") + 1) * 0.002)
       .withColumn("embedding",
@@ -5385,18 +5396,26 @@ object SparkEntry {
     (docs, queries)
   }
 
-  private def annScaleIndex(docs: DataFrame): Ann.IvfIndex = {
-    val idx0 = Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 1024,
-      maxIter = 4, fitSampleFraction = 0.01, center = true,
-      multiAssign = 2, initMode = "random")
+  private def annScaleIndex(docs: DataFrame,
+      small: Boolean): Ann.IvfIndex = {
+    // the small variant shrinks the quantizer with the corpus (64 cells
+    // on a 20k fit sample — k must stay well under the sample size)
+    val idx0 =
+      if (small) Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 64,
+        maxIter = 4, fitSampleFraction = 0.2, center = true,
+        multiAssign = 2, initMode = "random")
+      else Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 1024,
+        maxIter = 4, fitSampleFraction = 0.01, center = true,
+        multiAssign = 2, initMode = "random")
     val idx = idx0.copy(assigned = idx0.assigned.cache())
     idx.assigned.count()
     idx
   }
 
   private def q359(s: SparkSession, dir: String): DataFrame = {
-    val (docs, queries) = annScaleCorpus(s)
-    val idx = annScaleIndex(docs)
+    val small = annScaleSmall(dir)
+    val (docs, queries) = annScaleCorpus(s, small)
+    val idx = annScaleIndex(docs, small)
     // eager driver loop: `hits` is parallelized local rows, so the
     // cached assignment can drop before the gate's output is written
     val res = Ann.ivfSearchAdaptive(idx, queries, 10,
@@ -5417,8 +5436,9 @@ object SparkEntry {
   // whole compressed path (encode → coded adaptive scan → refine) is
   // driver-gated at 20× every spec's scale, not just spec-locked.
   private def q361(s: SparkSession, dir: String): DataFrame = {
-    val (docs, queries) = annScaleCorpus(s)
-    val idx = annScaleIndex(docs)
+    val small = annScaleSmall(dir)
+    val (docs, queries) = annScaleCorpus(s, small)
+    val idx = annScaleIndex(docs, small)
     val sq0 = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
     val sq = sq0.copy(coded = sq0.coded.cache())
     sq.coded.count()
