@@ -1603,8 +1603,8 @@ object SparkEntry {
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = TextFunctions.tokens(col("text"))
-    val bi = d.select(col("source"), toks.as("_l"))
-      .where(size(col("_l")) >= 2)
+    val bi = d.where(graft.functions.has_min_tokens(col("text"), 2))
+      .select(col("source"), toks.as("_l"))
       .select(col("source"),
         slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
         slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
@@ -1697,9 +1697,10 @@ object SparkEntry {
     val toks = d.select(col("source"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
     val l = TextFunctions.tokens(col("text"))
-    val bi = d.where(size(l) >= 2)
-      .select(slice(l, lit(1), size(l) - 1).as("_a"),
-        slice(l, lit(2), size(l) - 1).as("_b"))
+    val bi = d.where(graft.functions.has_min_tokens(col("text"), 2))
+      .select(l.as("_l"))
+      .select(slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
+        slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
       .select(explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
       .select(lit("__bigrams__").as("source"),
         concat(col("_p._a"), lit(" "), col("_p._b")).as("w"))

@@ -45,6 +45,21 @@ package object functions {
       cellIds: Seq[Int], m: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(a), centroids, cellIds, m))
 
+  /** Cheap early-exit "tokenizes to ≥ n tokens" predicate under the
+    * [[graft.functions.TextFunctions.tokens]] definition
+    * (`split(lower(text), "[^a-z0-9]+")`) — the pushdown-safe stand-in
+    * for `size(tokens(text)) >= n` that keeps a pushed filter from
+    * re-running the full tokenize (guide §4.4, optimization r10). */
+  def has_min_tokens(text: Column, n: Int): Column =
+    Bridge.column(HasMinTokens(Bridge.expression(text), n, ascii = false))
+
+  /** Same predicate under the fused byte-walk tokenizer of
+    * `minhash_text` / `text_ngrams` (ASCII-only folding): true iff
+    * `minhash_text(text, n, …)` would be non-sentinel /
+    * `text_ngrams(text, n)` non-empty. */
+  def has_min_tokens_bytes(text: Column, n: Int): Column =
+    Bridge.column(HasMinTokens(Bridge.expression(text), n, ascii = true))
+
   /** Sign-bit binary quantization: array<float|double> → array<long>
     * words, 32 dims per word (strictly-positive rule, 32-bit lanes). */
   def sign_pack_words(a: Column): Column =

@@ -45,11 +45,16 @@ object LangModel {
     */
   def unigramNll(docs: DataFrame, model: DataFrame, idCol: String,
       textCol: Column, smooth: Double = 1.0): DataFrame = {
-    val total = model.agg(sum(col("n"))).head.getLong(0)
+    // r10: the model frame is read twice (total + the score join) and
+    // this function is already eager (head below) — materialize the
+    // vocabulary-sized model once instead of re-running its corpus
+    // aggregation per reference (guide §5 caching: reused AND expensive)
+    val m = model.localCheckpoint()
+    val total = m.agg(sum(col("n"))).head.getLong(0)
     val toks = docs
       .select(col(idCol), explode(TextFunctions.tokens(textCol)).as("word"))
     val scored = toks
-      .join(model, Seq("word"), "left")
+      .join(m, Seq("word"), "left")
       .select(col(idCol),
         log(coalesce(col("n").cast("double"), lit(smooth)) / lit(total.toDouble))
           .as("_lp"))
@@ -202,8 +207,8 @@ object LangModel {
     * codegen'd (slice + arrays_zip + explode). */
   private def bigramPairs(docs: DataFrame, idCol: String,
       textCol: Column): DataFrame =
-    docs.select(col(idCol), TextFunctions.tokens(textCol).as("_l"))
-      .where(size(col("_l")) >= 2)
+    docs.where(graft.functions.has_min_tokens(textCol, 2))
+      .select(col(idCol), TextFunctions.tokens(textCol).as("_l"))
       .select(col(idCol),
         slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
         slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
@@ -212,8 +217,8 @@ object LangModel {
 
   /** Bigram-frequency model: (`w1`, `w2`, `n`) over adjacent token pairs. */
   def bigramFit(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(TextFunctions.tokens(textCol).as("_l"))
-      .where(size(col("_l")) >= 2)
+    docs.where(graft.functions.has_min_tokens(textCol, 2))
+      .select(TextFunctions.tokens(textCol).as("_l"))
       .select(slice(col("_l"), lit(1), size(col("_l")) - 1).as("_a"),
         slice(col("_l"), lit(2), size(col("_l")) - 1).as("_b"))
       .select(explode(arrays_zip(col("_a"), col("_b"))).as("_p"))
@@ -229,6 +234,13 @@ object LangModel {
     * cluster; scoring is explode + two equi-joins + one groupBy. */
   def bigramNll(docs: DataFrame, model: DataFrame, idCol: String,
       textCol: Column): DataFrame = {
+    // r10 note: the model is referenced twice (left marginal + score
+    // join), so a lazy model re-runs its corpus subtree twice. A
+    // localCheckpoint here was MEASURED SLOWER (q62: 0.20 s → 0.75 s):
+    // the bigram model is distinct-pair-sized (~1M rows at sf0.1, far
+    // bigger than a unigram vocabulary), so materializing it costs more
+    // than the saved tokenize pass, and the checkpointed RDD loses the
+    // size estimate that made the score join a broadcast. Left as-is.
     val leftCounts = model.groupBy("w1").agg(sum(col("n")).as("_c1"))
     val scored = bigramPairs(docs, idCol, textCol)
       .join(model, Seq("w1", "w2"))
@@ -270,6 +282,10 @@ object LangModel {
     */
   def kneserNeyBigramNll(docs: DataFrame, model: DataFrame, idCol: String,
       textCol: Column, discount: Double = 0.75): DataFrame = {
+    // r10 note: four model references here — but the bigram model is
+    // distinct-pair-sized and a localCheckpoint was measured slower on
+    // the same-shaped q62 join (see bigramNll), so the lazy recompute
+    // stays.
     val types = model.count().toDouble // 1-row model-size read
     val left = model.groupBy("w1").agg(sum(col("n")).as("_c1"),
       countDistinct(col("w2")).cast("double").as("_n1p"))
@@ -589,7 +605,12 @@ object LangModel {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     require(buckets >= 1)
-    val scored = unigramNll(docs, model, idCol, textCol)
+    // r10: the scored frame is consumed THREE times (the count here,
+    // zipWithIndex's partition-size job, the final read) — without the
+    // materialization each consumer re-ran the whole tokenize + model
+    // join + aggregate pipeline. One row per doc, so the checkpoint is
+    // output-sized; this function was already eager via the count.
+    val scored = unigramNll(docs, model, idCol, textCol).localCheckpoint()
     val spark = scored.sparkSession
     val n = scored.count()
     val base = n / buckets

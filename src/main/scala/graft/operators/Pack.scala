@@ -104,9 +104,9 @@ object Pack {
     require(window >= 1 && overlap >= 0 && overlap < window,
       s"need 0 <= overlap < window, got window=$window overlap=$overlap")
     val step = window - overlap
-    df.select(col(idCol),
+    df.where(graft.functions.has_min_tokens(textCol, 1))
+      .select(col(idCol),
         graft.functions.TextFunctions.tokens(textCol).as("_l"))
-      .where(size(col("_l")) > 0)
       .select(col(idCol), col("_l"),
         posexplode(sequence(lit(0), size(col("_l")) - 1, lit(step)))
           .as(Seq("chunk_idx", "_start")))
