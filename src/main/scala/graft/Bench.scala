@@ -488,8 +488,16 @@ object Bench {
         try {
           if (idx != null) idx.assigned.unpersist()
           val tb0 = System.nanoTime()
+          // r10 optimization: maxIter 12 → 6 — measured-equal quantizer
+          // on the frontier (recall@410 0.911 @ scanfrac 0.500 vs
+          // 0.912 @ 0.496 at maxIter 12, same-session A/B), the fit is
+          // ~45% of the old build time. Rejected in the same sweep:
+          // random init at k=1024 (recall 0.847@0.401 — the seeding
+          // quality k-means|| buys DOES show at small k, unlike the 4k
+          // config), initSteps=1 (scanfrac blew up to 0.654 —
+          // unbalanced cells), fitSample 0.15 (recall 0.900).
           val idx0 = Ann.ivfBuild(stored, "id", "embedding", nCells = 1024,
-            maxIter = 12, fitSampleFraction = 0.2, center = true)
+            maxIter = 6, fitSampleFraction = 0.2, center = true)
           idx = idx0.copy(assigned = idx0.assigned.cache())
           idx.assigned.count()
           buildTimes += (System.nanoTime() - tb0) / 1e9

@@ -51,28 +51,72 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
   @inline private def get(a: ArrayData, i: Int, float: Boolean): Double =
     if (float) a.getFloat(i).toDouble else a.getDouble(i)
 
+  // r10: 4-chain stride-4 accumulation with sequential tail, combined
+  // (s0+s1)+(s2+s3) — one `acc +=` chain serializes on FP-add latency
+  // (~4 cycles/element); four independent chains pipeline it. The SAME
+  // grouping is generated in doGenCode and used by KnnJoinExec.dot4 /
+  // sqeuclidean4 and VectorKernels.nearestCells, so expression and
+  // blocked-kernel paths stay bit-consistent with each other. n < 4
+  // takes only the tail — bit-identical to the old sequential sum.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val af = elemType(left) == FloatType
     val bf = elemType(right) == FloatType
     val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val k = n & ~3
     metric match {
       case "cosine" =>
+        var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+        var na0 = 0.0; var na1 = 0.0; var na2 = 0.0; var na3 = 0.0
+        var nb0 = 0.0; var nb1 = 0.0; var nb2 = 0.0; var nb3 = 0.0
+        var i = 0
+        while (i < k) {
+          val x0 = get(a, i, af); val y0 = get(b, i, bf)
+          val x1 = get(a, i + 1, af); val y1 = get(b, i + 1, bf)
+          val x2 = get(a, i + 2, af); val y2 = get(b, i + 2, bf)
+          val x3 = get(a, i + 3, af); val y3 = get(b, i + 3, bf)
+          d0 += x0 * y0; na0 += x0 * x0; nb0 += y0 * y0
+          d1 += x1 * y1; na1 += x1 * x1; nb1 += y1 * y1
+          d2 += x2 * y2; na2 += x2 * x2; nb2 += y2 * y2
+          d3 += x3 * y3; na3 += x3 * x3; nb3 += y3 * y3
+          i += 4
+        }
         while (i < n) {
           val x = get(a, i, af); val y = get(b, i, bf)
-          dot += x * y; na += x * x; nb += y * y; i += 1
+          d0 += x * y; na0 += x * x; nb0 += y * y; i += 1
         }
+        val dot = (d0 + d1) + (d2 + d3)
+        val na = (na0 + na1) + (na2 + na3)
+        val nb = (nb0 + nb1) + (nb2 + nb3)
         1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
       case "sqeuclidean" | "euclidean" =>
-        while (i < n) {
-          val d = get(a, i, af) - get(b, i, bf); dot += d * d; i += 1
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        while (i < k) {
+          val e0 = get(a, i, af) - get(b, i, bf); s0 += e0 * e0
+          val e1 = get(a, i + 1, af) - get(b, i + 1, bf); s1 += e1 * e1
+          val e2 = get(a, i + 2, af) - get(b, i + 2, bf); s2 += e2 * e2
+          val e3 = get(a, i + 3, af) - get(b, i + 3, bf); s3 += e3 * e3
+          i += 4
         }
-        if (metric == "euclidean") math.sqrt(dot) else dot
+        while (i < n) {
+          val e = get(a, i, af) - get(b, i, bf); s0 += e * e; i += 1
+        }
+        val s = (s0 + s1) + (s2 + s3)
+        if (metric == "euclidean") math.sqrt(s) else s
       case _ => // inner_product / dot: negative dot product as a distance
-        while (i < n) { dot += get(a, i, af) * get(b, i, bf); i += 1 }
-        -dot
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var i = 0
+        while (i < k) {
+          s0 += get(a, i, af) * get(b, i, bf)
+          s1 += get(a, i + 1, af) * get(b, i + 1, bf)
+          s2 += get(a, i + 2, af) * get(b, i + 2, bf)
+          s3 += get(a, i + 3, af) * get(b, i + 3, bf)
+          i += 4
+        }
+        while (i < n) { s0 += get(a, i, af) * get(b, i, bf); i += 1 }
+        -((s0 + s1) + (s2 + s3))
     }
   }
 
@@ -80,42 +124,76 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
     val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // generated code mirrors nullSafeEval's 4-chain stride-4 grouping
+      // exactly — see the r10 comment there
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb"); val d = ctx.freshName("d")
+      val kk = ctx.freshName("kk")
+      def acc(p: String) = (0 to 3).map(j => ctx.freshName(p + j))
       val loop = metric match {
         case "cosine" =>
-          s"""double $na = 0.0; double $nb = 0.0;
-             |for (int $i = 0; $i < $n; $i++) {
+          val d = acc("d"); val na = acc("na"); val nb = acc("nb")
+          val dotS = ctx.freshName("dotS"); val naS = ctx.freshName("naS")
+          val nbS = ctx.freshName("nbS")
+          val lanes = (0 to 3).map { j =>
+            s"""double x$j = (double) $a.$aGet($i + $j);
+               |double y$j = (double) $b.$bGet($i + $j);
+               |${d(j)} += x$j * y$j; ${na(j)} += x$j * x$j; ${nb(j)} += y$j * y$j;""".stripMargin
+          }.mkString("\n")
+          s"""double ${d.map(_ + " = 0.0").mkString(", ")};
+             |double ${na.map(_ + " = 0.0").mkString(", ")};
+             |double ${nb.map(_ + " = 0.0").mkString(", ")};
+             |int $i = 0;
+             |for (; $i < $kk; $i += 4) {
+             |$lanes
+             |}
+             |for (; $i < $n; $i++) {
              |  double x = (double) $a.$aGet($i);
              |  double y = (double) $b.$bGet($i);
-             |  $dot += x * y; $na += x * x; $nb += y * y;
+             |  ${d(0)} += x * y; ${na(0)} += x * x; ${nb(0)} += y * y;
              |}
-             |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+             |double $dotS = (${d(0)} + ${d(1)}) + (${d(2)} + ${d(3)});
+             |double $naS = (${na(0)} + ${na(1)}) + (${na(2)} + ${na(3)});
+             |double $nbS = (${nb(0)} + ${nb(1)}) + (${nb(2)} + ${nb(3)});
+             |${ev.value} = 1.0 - $dotS / (java.lang.Math.sqrt($naS) * java.lang.Math.sqrt($nbS));
              |""".stripMargin
-        case "sqeuclidean" =>
-          s"""for (int $i = 0; $i < $n; $i++) {
-             |  double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
-             |  $dot += $d * $d;
+        case "sqeuclidean" | "euclidean" =>
+          val s = acc("s")
+          val lanes = (0 to 3).map { j =>
+            s"""double e$j = (double) $a.$aGet($i + $j) - (double) $b.$bGet($i + $j);
+               |${s(j)} += e$j * e$j;""".stripMargin
+          }.mkString("\n")
+          val fin = if (metric == "euclidean")
+            s"${ev.value} = java.lang.Math.sqrt((${s(0)} + ${s(1)}) + (${s(2)} + ${s(3)}));"
+          else s"${ev.value} = (${s(0)} + ${s(1)}) + (${s(2)} + ${s(3)});"
+          s"""double ${s.map(_ + " = 0.0").mkString(", ")};
+             |int $i = 0;
+             |for (; $i < $kk; $i += 4) {
+             |$lanes
              |}
-             |${ev.value} = $dot;
-             |""".stripMargin
-        case "euclidean" =>
-          s"""for (int $i = 0; $i < $n; $i++) {
-             |  double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
-             |  $dot += $d * $d;
+             |for (; $i < $n; $i++) {
+             |  double e = (double) $a.$aGet($i) - (double) $b.$bGet($i);
+             |  ${s(0)} += e * e;
              |}
-             |${ev.value} = java.lang.Math.sqrt($dot);
+             |$fin
              |""".stripMargin
         case _ =>
-          s"""for (int $i = 0; $i < $n; $i++) {
-             |  $dot += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+          val s = acc("s")
+          val lanes = (0 to 3).map { j =>
+            s"${s(j)} += (double) $a.$aGet($i + $j) * (double) $b.$bGet($i + $j);"
+          }.mkString("\n")
+          s"""double ${s.map(_ + " = 0.0").mkString(", ")};
+             |int $i = 0;
+             |for (; $i < $kk; $i += 4) {
+             |$lanes
              |}
-             |${ev.value} = -$dot;
+             |for (; $i < $n; $i++) {
+             |  ${s(0)} += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+             |}
+             |${ev.value} = -((${s(0)} + ${s(1)}) + (${s(2)} + ${s(3)}));
              |""".stripMargin
       }
       s"""int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
+         |int $kk = $n & ~3;
          |$loop""".stripMargin
     })
   }
@@ -719,20 +797,40 @@ object VectorKernels {
     var c = 0
     while (c < cents.length) {
       val ctr = cents(c)
-      var acc = 0.0
+      // r10: 4-chain stride-4 unroll, (s0+s1)+(s2+s3) — the same
+      // grouping as KnnJoinExec.sqeuclidean4 / VectorDistance, so
+      // assignment order stays consistent with euclidean probe
+      // ordering. The old per-element `acc < bound` abort serialized
+      // the loop on a compare per FP-add (the add-latency chain was
+      // the real cost, measured ~0.7 GFLOP/s/core on the 4k assign);
+      // pruning now happens once per 32-element block — same flop
+      // savings to first order, none of the per-element stalls.
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
       var j = 0
-      // abort a centroid early once it can't beat the current worst —
-      // on 128-d this halves the flops at m << nCells
       val bound = bestD(n - 1)
-      while (j < d && acc < bound) {
-        val t = vec(j) - ctr(j); acc += t * t; j += 1
-      }
-      if (j == d && acc < bestD(n - 1)) {
-        var k = n - 1
-        while (k > 0 && bestD(k - 1) > acc) {
-          bestD(k) = bestD(k - 1); bestP(k) = bestP(k - 1); k -= 1
+      val k4 = d & ~3
+      var alive = true
+      while (alive && j < k4) {
+        val blockEnd = math.min(j + 32, k4)
+        while (j < blockEnd) {
+          val t0 = vec(j) - ctr(j); s0 += t0 * t0
+          val t1 = vec(j + 1) - ctr(j + 1); s1 += t1 * t1
+          val t2 = vec(j + 2) - ctr(j + 2); s2 += t2 * t2
+          val t3 = vec(j + 3) - ctr(j + 3); s3 += t3 * t3
+          j += 4
         }
-        bestD(k) = acc; bestP(k) = c
+        if ((s0 + s1) + (s2 + s3) >= bound) alive = false
+      }
+      if (alive) {
+        while (j < d) { val t = vec(j) - ctr(j); s0 += t * t; j += 1 }
+        val acc = (s0 + s1) + (s2 + s3)
+        if (acc < bestD(n - 1)) {
+          var k = n - 1
+          while (k > 0 && bestD(k - 1) > acc) {
+            bestD(k) = bestD(k - 1); bestP(k) = bestP(k - 1); k -= 1
+          }
+          bestD(k) = acc; bestP(k) = c
+        }
       }
       c += 1
     }

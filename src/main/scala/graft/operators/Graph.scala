@@ -553,17 +553,22 @@ object Graph {
             col("_k").cast("decimal(38,0)") *
               (col("_tot") - when(col("_l") === col("_lcur"), col("_k"))
                 .otherwise(lit(0L)))).as("_score"))
-      val w = Window.partitionBy(col("x"))
-        .orderBy(col("_score").desc, col("_l").asc)
-      val best = scored.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .select(col("x"), col("_l").as("_lbest"), col("_score").as("_sbest"))
-      val curScore = scored.where(col("_l") === col("_lcur"))
-        .select(col("x"), col("_score").as("_scur"))
-      val moved = best.join(curScore, "x")
+      // r10 (guide §2.4): best-candidate and current-community score in
+      // ONE partial-aggregated pass — the row_number() Window forced a
+      // full (x, score, l) sort with no map-side combine, and the
+      // separate curScore branch re-executed the whole scored subtree
+      // (kin + tot + two joins) a second time. min(struct(-score, l))
+      // reproduces the Window's (score DESC, l ASC) ordering exactly:
+      // decimal negation is exact, ties fall to the smallest label.
+      // The current-community row always exists (curMissing above), so
+      // max(when(_l = _lcur, score)) is total, like the old join.
+      val agg = scored.groupBy("x").agg(
+        min(struct((-col("_score")).as("_ns"), col("_l"))).as("_b"),
+        max(when(col("_l") === col("_lcur"), col("_score"))).as("_scur"))
+      val moved = agg
         .join(cur, "x")
         .select(col("x").as("_id"),
-          when(col("_sbest") > col("_scur"), col("_lbest"))
+          when((-col("_b._ns")) > col("_scur"), col("_b._l"))
             .otherwise(col("_lcur")).as("_l"))
       // isolated nodes have no scored row, and only this round's phase
       // may move — everyone else keeps their label

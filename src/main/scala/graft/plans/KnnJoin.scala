@@ -127,11 +127,47 @@ case class KnnJoinExec(
 
 object KnnJoinExec {
 
-  @inline def norm(v: Array[Double]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < v.length) { acc += v(i) * v(i); i += 1 }
-    math.sqrt(acc)
+  // r10 (guide §1.2 per-task work): every distance accumulation below is
+  // a 4-chain stride-4 unroll with a sequential tail, combined as
+  // (s0+s1)+(s2+s3). A single `acc +=` chain serializes on FP-add
+  // latency (~4 cycles/element — measured 0.6 GFLOP/s/core on the knn
+  // rows); four independent chains pipeline it. The SAME grouping is
+  // used in VectorDistance (interpreted + codegen) and
+  // VectorKernels.nearestCells so every kernel/expression pair that was
+  // bit-consistent before stays bit-consistent now. Vectors shorter
+  // than 4 take only the tail — bit-identical to the old sequential sum.
+
+  @inline def dot4(a: Array[Double], b: Array[Double], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    val k = n & ~3
+    var i = 0
+    while (i < k) {
+      s0 += a(i) * b(i); s1 += a(i + 1) * b(i + 1)
+      s2 += a(i + 2) * b(i + 2); s3 += a(i + 3) * b(i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += a(i) * b(i); i += 1 }
+    (s0 + s1) + (s2 + s3)
   }
+
+  @inline def sqeuclidean4(a: Array[Double], b: Array[Double], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    val k = n & ~3
+    var i = 0
+    while (i < k) {
+      val d0 = a(i) - b(i); s0 += d0 * d0
+      val d1 = a(i + 1) - b(i + 1); s1 += d1 * d1
+      val d2 = a(i + 2) - b(i + 2); s2 += d2 * d2
+      val d3 = a(i + 3) - b(i + 3); s3 += d3 * d3
+      i += 4
+    }
+    while (i < n) { val d = a(i) - b(i); s0 += d * d; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  @inline def normSq(v: Array[Double]): Double = dot4(v, v, v.length)
+
+  @inline def norm(v: Array[Double]): Double = math.sqrt(normSq(v))
 
   /** Score one doc row against every query, updating the per-query heaps.
     * Cosine hoists the norms: doc norm once per doc, query norms
@@ -147,9 +183,7 @@ object KnnJoinExec {
       while (q < nq) {
         if (!(excludeSelf && idVal == ids(q))) {
           val b = vecs(q)
-          val n = math.min(v.length, b.length)
-          var dot = 0.0; var i = 0
-          while (i < n) { dot += v(i) * b(i); i += 1 }
+          val dot = dot4(v, b, math.min(v.length, b.length))
           val d = 1.0 - dot / (dn * qNorms(q))
           if (!d.isNaN) heaps(q).insert(d, idVal)
         }
@@ -180,9 +214,7 @@ object KnnJoinExec {
       while (j < qs.length) {
         val q = qs(j)
         val b = vecs(q)
-        val n = math.min(v.length, b.length)
-        var dot = 0.0; var i = 0
-        while (i < n) { dot += v(i) * b(i); i += 1 }
+        val dot = dot4(v, b, math.min(v.length, b.length))
         val d = 1.0 - dot / (dn * qNorms(q))
         if (!d.isNaN) heaps(q).insert(d, idVal)
         j += 1
@@ -200,24 +232,15 @@ object KnnJoinExec {
 
   @inline def distOf(metric: String, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
-    var i = 0
     metric match {
       case "cosine" =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-      case "sqeuclidean" =>
-        var s = 0.0
-        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-        s
-      case "euclidean" =>
-        var s = 0.0
-        while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-        math.sqrt(s)
-      case _ =>
-        var s = 0.0
-        while (i < n) { s += a(i) * b(i); i += 1 }
-        -s
+        // independent-chain sums: same values as the hoisted-norm kernel
+        // in scoreRow (dot4 there, dot4(a,a)/dot4(b,b) = normSq here)
+        1.0 - dot4(a, b, n) /
+          (math.sqrt(dot4(a, a, n)) * math.sqrt(dot4(b, b, n)))
+      case "sqeuclidean" => sqeuclidean4(a, b, n)
+      case "euclidean" => math.sqrt(sqeuclidean4(a, b, n))
+      case _ => -dot4(a, b, n)
     }
   }
 }
