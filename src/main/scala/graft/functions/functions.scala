@@ -60,6 +60,12 @@ package object functions {
   def has_min_tokens_bytes(text: Column, n: Int): Column =
     Bridge.column(HasMinTokens(Bridge.expression(text), n, ascii = true))
 
+  /** Canonical URL dedup key (see [[graft.operators.Web.urlNormalize]])
+    * in one fused byte walk — bit-identical to the declarative regex
+    * composition, one pass instead of seven regex extracts. */
+  def url_normalize(url: Column): Column =
+    Bridge.column(UrlNormalize(Bridge.expression(url)))
+
   /** Sign-bit binary quantization: array<float|double> → array<long>
     * words, 32 dims per word (strictly-positive rule, 32-bit lanes). */
   def sign_pack_words(a: Column): Column =

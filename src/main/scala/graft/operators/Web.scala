@@ -71,8 +71,21 @@ object Web {
     * params (utm_*, gclid, fbclid, msclkid, mc_cid, mc_eid), sort the
     * surviving query params bytewise, drop a bare trailing '/' on
     * non-root paths and a trailing '?' — one deterministic string both
-    * engines assemble from the same parts. */
-  def urlNormalize(u: Column): Column = {
+    * engines assemble from the same parts.
+    *
+    * Optimization r10 (guide §1.2): computed by the fused one-byte-walk
+    * kernel [[graft.functions.UrlKernels.normalize]] instead of the
+    * seven-regex Column composition. The composition stays below as
+    * [[urlNormalizeDeclarative]] — it IS the semantics (the same
+    * pattern text runs on any engine, which is how the oracle replays
+    * it), and `UrlNormFusedSpec` locks the fused kernel to it
+    * bit-for-bit, backtracking quirks included. */
+  def urlNormalize(u: Column): Column = graft.functions.url_normalize(u)
+
+  /** The original RE2-safe Column composition of [[urlNormalize]] —
+    * kept as the executable spec of the normalization (oracle parity +
+    * the fused kernel's cross-check reference). Not the hot path. */
+  def urlNormalizeDeclarative(u: Column): Column = {
     val scheme = urlScheme(u)
     val host = urlHost(u)
     val port = urlPort(u)
