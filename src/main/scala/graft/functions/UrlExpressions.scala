@@ -35,9 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - the query is the FIRST `\?([^#]*)` match anywhere in the string
   *    (the pattern is unanchored), so a '?' after '#' still yields a
   *    query.
-  *  - port digits cast like Spark's non-ANSI string→long cast: a
+  *  - port digits cast like `try_cast(.. as long)` (the declarative
+  *    composition uses try_cast so ANSI mode cannot throw): a
   *    matched-but-overflowing digit run gives a NULL port (which the
   *    normalizer then renders as no port at all).
+  *  - the trailing-slash collapse strips '/' runs at TRUE end-of-input
+  *    only (the declarative regexp_replace is anchored with \z, and
+  *    RE2 oracles' $ already means end-of-text), so a path ending in a
+  *    line terminator keeps its inner slashes.
   *
   * `UrlNormFusedSpec` locks the contract with fixed adversarial cases
   * plus a seeded component fuzz cross-checked against the declarative

@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * co.uk), and a full canonical dedup key. UrlConsistencySpec locks
   * the two modules to agree on clean inputs.
   *
-  * Everything is a pure `Column` expression (codegen'd, map-only, any
-  * scale). No public-suffix list ships offline, so registrable-domain
+  * The component extractors are pure `Column` expressions (codegen'd,
+  * map-only, any scale) whose pattern text replays on any RE2 engine
+  * (patterns avoid backtracking-only syntax, and the trailing-slash
+  * strip is anchored to true end-of-input so Java and RE2 agree on
+  * line-terminator inputs too). [[urlNormalize]] itself routes to the
+  * fused Spark kernel [[graft.functions.UrlKernels.normalize]];
+  * [[urlNormalizeDeclarative]] is the engine-portable executable spec
+  * it is locked to. No public-suffix list ships offline, so registrable-domain
   * uses the documented heuristic: last two host labels, or last three
   * when the second-to-last is a well-known multi-part suffix (co/com/
   * net/org/gov/ac/edu + 2-letter ccTLD) — right for the overwhelming
@@ -40,12 +46,16 @@ object Web {
         "(\\[[^\\]/?#]*\\]|[^/:?#]+)", 1)))
 
   /** Explicit port as a long, null when absent (IPv6 bracket literals
-    * handled — the port is the digits after the ']'). */
+    * handled — the port is the digits after the ']'). try_cast, not
+    * cast: a matched digit run longer than a BIGINT (>19 digits) must
+    * yield a NULL port on ANY Spark — under the ANSI default a plain
+    * cast would throw, silently diverging from the fused kernel and
+    * from DuckDB's overflow behavior on such (data-error) inputs. */
   def urlPort(u: Column): Column =
     nullIfEmpty(regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?" +
         "(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)", 1))
-      .cast("long")
+      .try_cast("long")
 
   /** Path component ('' when absent — the pre-?# slash run). */
   def urlPath(u: Column): Column =
@@ -90,8 +100,12 @@ object Web {
     val host = urlHost(u)
     val port = urlPort(u)
     val rawPath = urlPath(u)
+    // \z (true end-of-input), not $: Java's $ also matches BEFORE a
+    // final line terminator, so 'http://h/p/\n' would strip to '/p\n'
+    // under $ while RE2 engines (the oracle) and the fused kernel keep
+    // '/p/\n' — \z pins all three to end-of-text semantics.
     val path = when(rawPath === "", lit("/"))
-      .otherwise(regexp_replace(rawPath, "/+$", ""))
+      .otherwise(regexp_replace(rawPath, "/+\\z", ""))
     val pathOrRoot = when(path === "", lit("/")).otherwise(path)
     // the (=.*)? tail also strips BARE tracking params ('?gclid' with
     // no value) — otherwise two otherwise-identical URLs dedup apart

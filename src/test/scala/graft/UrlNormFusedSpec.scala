@@ -89,7 +89,19 @@ class UrlNormFusedSpec extends SparkSuite {
       // userinfo with excluded chars stops the userinfo scan
       "http://u/v@h/p",
       "http://u?v@h/p",
-      "http://u#v@h/p")
+      "http://u#v@h/p",
+      // trailing line terminators: \\z (and RE2's $) must NOT strip
+      // the slashes before a final \n / \r\n / u0085 / u2028 / u2029
+      // (the Java-$ quirk the r10 advice flagged); these pin
+      // end-of-text semantics on every terminator class
+      "http://h/p/\n",
+      "http://h/p//\r\n",
+      "http://h/p/\r",
+      "http://h/p/\u0085",
+      "http://h/p/\u2028",
+      "http://h/p/\u2029",
+      "http://h/p\n/",
+      "http://h/p/\n?b=2&a=1")
     assertAgree(cases)
   }
 
@@ -104,7 +116,9 @@ class UrlNormFusedSpec extends SparkSuite {
     val ports = Seq("", ":80", ":443", ":8080", ":0", ":00080",
       ":99999999999999999999", ":", ":x", ":1:2", ":80abc")
     val paths = Seq("", "/", "//", "/p", "/p/", "/p//q///", "/a b",
-      "/p\u00e9")
+      "/p\u00e9",
+      // line-terminator tails: the \z vs Java-$ divergence class
+      "/p/\n", "/p//\r\n", "/p/\r", "/p/\u2028", "/p/\u0085", "/p\n/")
     val queries = Seq("", "?", "?a=1", "?b=2&a=1", "?utm_source=x&b=2",
       "?gclid&flag", "?&&", "?a=1&&b=2&", "?=&a", "?z=9&utm_campaign=s",
       "?GCLID=x&gclid=y", "?mc_cid=1&mc_eid&mc_x=2", "??x")
