@@ -5315,7 +5315,17 @@ object SparkEntry {
   // over generate_series, no cross-engine minhash replay needed. This
   // is the only gate that runs the banding/CC path at 20× the sf0.1
   // corpus — every other dedup gate lives at 500-60k docs.
-  private def q357(s: SparkSession, dir: String): DataFrame = {
+  // r11: wrapped in LazyResult — `Dedup.clusters` inside
+  // dropByClustersBest runs its convergence loop (eager localCheckpoint
+  // jobs over the full 11.2M chain) as soon as the plan is COMPOSED, so
+  // pre-r11 this gate executed ~3 min of work per mere construction
+  // (GateSchemaSpec's schema walk paid it on every suite run — the same
+  // driver-timeout class as the r10 verdict's q359-q361 finding).
+  private def q357(s: SparkSession, dir: String): DataFrame =
+    graft.plans.LazyResult(s, org.apache.spark.sql.types.StructType(
+      Seq("kept_n", "id_sum", "q_sum", "n_pairs").map(
+        org.apache.spark.sql.types.StructField(_,
+          org.apache.spark.sql.types.LongType)))) {
     def text(gkey: Column) = concat_ws(" ",
       transform(sequence(lit(0), lit(3)), j =>
         concat(lit("w"), pmod(xxhash64(gkey, j), lit(1000000000L)))))
@@ -5363,19 +5373,28 @@ object SparkEntry {
   // 100k hash sample (random init), map-only nearest_cells multi-assign
   // — the nearest_cells kernel at 20× every other ANN gate's scale;
   // search: ivfSearchAdaptive, rounds partition-pruned to their cells.
-  /** q359/q361 scale by dir: the sf0.001 dir (GateSchemaSpec's
-    * schema-hygiene walk and smoke runs — these gates are EAGER at
-    * construction, a 10M build per schema probe would double the suite)
-    * gets a 100k variant with IDENTICAL semantics and the SAME
-    * arithmetic oracle (10 docs per cluster = the whole top-10); the
-    * driver's sf0.01 correctness run gets the full 10M. */
-  private def annScaleSmall(dir: String): Boolean =
-    dir.contains("sf0.001")
+  /** q359/q361 corpus size by dir (r11, driver-budget fix per the r10
+    * verdict): the ORACLE IS SCALE-INVARIANT — the planted top-10 of
+    * query c is ids {c + r·10⁴ : r < 10} whether each of the 10⁴
+    * clusters holds 10, 100 or 1000 members (θ_r strictly increasing,
+    * larger-r docs strictly farther) — so the corpus size only sets how
+    * much work the gate proves, never what it returns. sf0.001 (the
+    * suite's schema/smoke dir) gets 100k; every other dir (the driver's
+    * sf0.01 verify) gets 1M — the r10 10M default made the driver's
+    * verify pay two 10M IVF builds inside one local-JVM pass, which is
+    * budget the correctness gate does not have. The full 10M variant
+    * stays reachable for explicit scale runs via
+    * `-Dgraft.ann.gate.n=10000000` (or SPARK_GRAFT_ANN_GATE_N). */
+  private def annScaleN(dir: String): Long =
+    if (dir.contains("sf0.001")) 100000L
+    else sys.props.get("graft.ann.gate.n")
+      .orElse(sys.env.get("SPARK_GRAFT_ANN_GATE_N"))
+      .map(_.toLong).getOrElse(1000000L)
 
   /** The planted ANN corpus shared by q359/q361 (geometry doc at
     * [[q359]]) and its 100 exact-center queries. */
   private def annScaleCorpus(s: SparkSession,
-      small: Boolean): (DataFrame, DataFrame) = {
+      n: Long): (DataFrame, DataFrame) = {
     def gvals(ckey: Column) = transform(sequence(lit(0), lit(14)), j =>
       (pmod(xxhash64(ckey, j, lit(359L)), lit(10000L)) / 10000.0) - 0.5)
     def unit(ckey: Column) = {
@@ -5383,7 +5402,6 @@ object SparkEntry {
       val n = sqrt(aggregate(g, lit(0.0), (acc, x) => acc + x * x))
       transform(g, x => x / n)
     }
-    val n = if (small) 100000L else 10000000L
     val docs = s.range(n).select(col("id").as("doc_id"),
         expr("id % 10000").as("c"), expr("id div 10000").as("r"))
       .withColumn("_th", (col("r") + 1) * 0.002)
@@ -5397,35 +5415,48 @@ object SparkEntry {
     (docs, queries)
   }
 
-  private def annScaleIndex(docs: DataFrame,
-      small: Boolean): Ann.IvfIndex = {
-    // the small variant shrinks the quantizer with the corpus (64 cells
-    // on a 20k fit sample — k must stay well under the sample size)
+  private def annScaleIndex(docs: DataFrame, n: Long): Ann.IvfIndex = {
+    // the quantizer scales with the corpus: 100k gets 64 cells on a 20k
+    // fit sample (k must stay well under the sample size); 1M+ keeps
+    // the 1024-cell config with the fit-sample fraction chosen so the
+    // absolute sample stays ~100k rows
     val idx0 =
-      if (small) Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 64,
-        maxIter = 4, fitSampleFraction = 0.2, center = true,
+      if (n <= 100000L) Ann.ivfBuild(docs, "doc_id", "embedding",
+        nCells = 64, maxIter = 4, fitSampleFraction = 0.2, center = true,
         multiAssign = 2, initMode = "random")
       else Ann.ivfBuild(docs, "doc_id", "embedding", nCells = 1024,
-        maxIter = 4, fitSampleFraction = 0.01, center = true,
+        maxIter = 4,
+        fitSampleFraction = math.min(0.2, 100000.0 / n), center = true,
         multiAssign = 2, initMode = "random")
     val idx = idx0.copy(assigned = idx0.assigned.cache())
     idx.assigned.count()
     idx
   }
 
-  private def q359(s: SparkSession, dir: String): DataFrame = {
-    val small = annScaleSmall(dir)
-    val (docs, queries) = annScaleCorpus(s, small)
-    val idx = annScaleIndex(docs, small)
-    // eager driver loop: `hits` is parallelized local rows, so the
-    // cached assignment can drop before the gate's output is written
-    val res = Ann.ivfSearchAdaptive(idx, queries, 10,
-      queryId = "query_id", queryVec = "embedding",
-      blockCells = 32, patience = 3)
-    idx.assigned.unpersist()
-    res.hits.select(col("query_id"), col("id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+  /** Static output schema of q359/q361 (the lazy-gate contract: schema
+    * answered without running the build/search). */
+  private val annScaleSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("query_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("rank",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def q359(s: SparkSession, dir: String): DataFrame =
+    graft.plans.LazyResult(s, annScaleSchema) {
+      val n = annScaleN(dir)
+      val (docs, queries) = annScaleCorpus(s, n)
+      val idx = annScaleIndex(docs, n)
+      // eager driver loop: `hits` is parallelized local rows, so the
+      // cached assignment can drop before the gate's output is written
+      val res = Ann.ivfSearchAdaptive(idx, queries, 10,
+        queryId = "query_id", queryVec = "embedding",
+        blockCells = 32, patience = 3)
+      idx.assigned.unpersist()
+      res.hits.select(col("query_id"), col("id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }
 
   // The CODED-route twin of q359 at the same 10M scale: SQ8 codes in
   // every adaptive round (1 byte/dim — the compressed layout every
@@ -5436,25 +5467,26 @@ object SparkEntry {
   // its width-50 pool and the exact rerank restores true order — the
   // whole compressed path (encode → coded adaptive scan → refine) is
   // driver-gated at 20× every spec's scale, not just spec-locked.
-  private def q361(s: SparkSession, dir: String): DataFrame = {
-    val small = annScaleSmall(dir)
-    val (docs, queries) = annScaleCorpus(s, small)
-    val idx = annScaleIndex(docs, small)
-    val sq0 = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
-    val sq = sq0.copy(coded = sq0.coded.cache())
-    sq.coded.count()
-    idx.assigned.unpersist() // rounds scan the coded side only
-    val res = Ann.ivfSearchAdaptiveSq(sq, queries, 10,
-      queryId = "query_id", queryVec = "embedding",
-      blockCells = 32, patience = 3, rerank = 50, docs = docs)
-    val out = res.hits.select(col("query_id"), col("id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
-    // the rerank output is a live plan over `docs` ⋈ candidates — tiny
-    // (1000 rows) but lazy; materialize before dropping the coded cache
-    val rows = out.collect().toIndexedSeq
-    sq.coded.unpersist()
-    s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
-  }
+  private def q361(s: SparkSession, dir: String): DataFrame =
+    graft.plans.LazyResult(s, annScaleSchema) {
+      val n = annScaleN(dir)
+      val (docs, queries) = annScaleCorpus(s, n)
+      val idx = annScaleIndex(docs, n)
+      val sq0 = Ann.sqAttach(idx, Ann.sqTrain(docs, "embedding"))
+      val sq = sq0.copy(coded = sq0.coded.cache())
+      sq.coded.count()
+      idx.assigned.unpersist() // rounds scan the coded side only
+      val res = Ann.ivfSearchAdaptiveSq(sq, queries, 10,
+        queryId = "query_id", queryVec = "embedding",
+        blockCells = 32, patience = 3, rerank = 50, docs = docs)
+      val out = res.hits.select(col("query_id"), col("id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+      // the rerank output is a live plan over `docs` ⋈ candidates — tiny
+      // (1000 rows) but lazy; materialize before dropping the coded cache
+      val rows = out.collect().toIndexedSeq
+      sq.coded.unpersist()
+      s.createDataFrame(s.sparkContext.parallelize(rows), out.schema)
+    }
 
   // Streaming replay-parity gate: the batch corpus replayed through the
   // streaming co-count twin in micro-batches must merge to EXACTLY the
@@ -5464,28 +5496,35 @@ object SparkEntry {
   // instead of only in a spec). Shards are user-hash partitioned so
   // every micro-batch is user-disjoint; the valve (maxUserItems=10)
   // trips in-gate on multi-year customers.
-  private def q360(s: SparkSession, dir: String): DataFrame = {
-    val orders = s.read.parquet(s"$dir/orders.parquet")
-    val ui = orders.select(col("o_custkey").as("user"),
-      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-        .cast("long").as("item"))
-    val base = java.nio.file.Files.createTempDirectory("graft_scc")
-      .toString
-    val inDir = s"$base/in"; val outDir = s"$base/out"
-    ui.repartition(4, pmod(col("user"), lit(4)))
-      .write.mode("overwrite").parquet(inDir)
-    val stream = s.readStream.schema(ui.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = graft.streaming.EventStream
-      .streamingCoCounts(stream, "user", "item", outDir,
-        maxUserItems = 10)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    graft.streaming.EventStream.readCoCounts(s, outDir)
-      .orderBy(col("a"), col("b"))
-  }
+  private def q360(s: SparkSession, dir: String): DataFrame =
+    graft.plans.LazyResult(s, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))) {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val ui = orders.select(col("o_custkey").as("user"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("item"))
+      val base = java.nio.file.Files.createTempDirectory("graft_scc")
+        .toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"
+      ui.repartition(4, pmod(col("user"), lit(4)))
+        .write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(ui.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = graft.streaming.EventStream
+        .streamingCoCounts(stream, "user", "item", outDir,
+          maxUserItems = 10)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.EventStream.readCoCounts(s, outDir)
+        .orderBy(col("a"), col("b"))
+    }
 
   // ------------------------------------------------------------------
 
