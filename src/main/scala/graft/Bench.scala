@@ -1714,8 +1714,14 @@ object Bench {
             .select(col("id"), col("embedding")))
         var idxAd: Ann.IvfIndex = null
         bench("x_ann_adapt_build", runs = 1, defer = false) {
+          // r11: maxIter 12 → 6 — the clustered corpus converges in a
+          // handful of Lloyd rounds (real structure, unlike the uniform
+          // corpus r10 re-fit at the same k); same-harness A/B at 32
+          // cpus: build 27.8 → 22.7 s (-18%; fit is less of this build
+          // than the 4k one) with EVERY quality row identical (adapt
+          // recall 984 @ scan 53, fixed64 984 @ 68, adaptsq 984 @ eq 13)
           val i0 = Ann.ivfBuild(clStored, "id", "embedding",
-            nCells = 1024, maxIter = 12, fitSampleFraction = 0.2,
+            nCells = 1024, maxIter = 6, fitSampleFraction = 0.2,
             center = true)
           idxAd = i0.copy(assigned = i0.assigned.cache())
           idxAd.assigned.count()
